@@ -1,0 +1,45 @@
+"""frankensearch-tpu: a TPU-native two-tier hybrid search engine.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of frankensearch
+(reference: Dicklesworthstone/frankensearch): lexical BM25 + two semantic
+vector tiers fused with Reciprocal Rank Fusion, delivered progressively
+(fast ``Initial`` phase, quality ``Refined`` phase, optional cross-encoder
+``Reranked`` phase).
+
+Architecture differences from the reference (which is pure Rust + CPU SIMD):
+
+- The vector index is an HBM-resident sharded ``jax.Array`` slab (bf16/f16/
+  int8) scanned by a fused Pallas cosine-matvec + streaming top-k kernel
+  instead of an mmap'd file scanned with AVX2 intrinsics.
+- Embedders (Model2Vec-style token gather + mean pool; MiniLM-class BERT)
+  are batched JAX device programs instead of ONNX Runtime sessions.
+- Corpus scaling is document-axis sharding over a ``jax.sharding.Mesh``
+  with device-side top-k merge, instead of rayon chunking.
+
+Reference parity pointers are cited throughout as ``file:line`` of the
+upstream repo (facade surface: frankensearch/src/lib.rs).
+"""
+
+__version__ = "0.1.0"
+
+from frankensearch_tpu.core.config import TwoTierConfig, TwoTierMetrics
+from frankensearch_tpu.core.errors import SearchError
+from frankensearch_tpu.core.types import (
+    FusedHit,
+    IndexableDocument,
+    ScoredResult,
+    SearchPhase,
+    VectorHit,
+)
+
+__all__ = [
+    "TwoTierConfig",
+    "TwoTierMetrics",
+    "SearchError",
+    "ScoredResult",
+    "VectorHit",
+    "SearchPhase",
+    "FusedHit",
+    "IndexableDocument",
+    "__version__",
+]

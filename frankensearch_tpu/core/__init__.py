@@ -1,0 +1,4 @@
+"""Core contracts: types, config, errors, canonicalization, query analysis.
+
+Parity target: crates/frankensearch-core (reference).
+"""

@@ -1,0 +1,210 @@
+"""Two-tier search configuration + per-search metrics.
+
+Parity target: reference crates/frankensearch-core/src/config.rs —
+TwoTierConfig (:66) with env overrides FRANKENSEARCH_* (:242-341),
+TwoTierMetrics (:455), FusionStrategy (:31).
+
+TPU-specific additions are grouped at the bottom of the dataclass
+(device batch/tile knobs replacing the reference's rayon thresholds).
+"""
+
+from __future__ import annotations
+
+import enum
+import os
+from dataclasses import dataclass, field, fields
+from typing import Any
+
+from frankensearch_tpu.core.errors import InvalidConfig
+
+_ENV_PREFIX = "FRANKENSEARCH_"
+
+
+class FusionStrategy(enum.Enum):
+    """How lexical + vector arms are merged (parity: core config.rs:31)."""
+
+    RRF = "rrf"
+    POOL_MINMAX = "pool_minmax"
+
+
+class TiebreakStrategy(enum.Enum):
+    """Equal-score ordering inside fusion (parity: fusion/rrf.rs tiebreak;
+    measured comparison in reference docs/NEGATIVE_EVIDENCE.md)."""
+
+    LEXICAL_THEN_ID = "lexical_then_id"  # legacy default
+    NEUTRAL_HASH = "neutral_hash"
+
+
+@dataclass
+class TwoTierConfig:
+    """Configuration for the two-tier progressive searcher.
+
+    Defaults mirror the reference (config.rs:66): quality_weight=0.7,
+    rrf_k=60, candidate_multiplier=3, quality_timeout_ms=500,
+    mrl_rescore_top_k=30.
+    """
+
+    # fusion
+    quality_weight: float = 0.7  # blend alpha (blend.rs:107)
+    rrf_k: int = 60
+    candidate_multiplier: int = 3
+    fusion_strategy: FusionStrategy = FusionStrategy.RRF
+    tiebreak: TiebreakStrategy = TiebreakStrategy.LEXICAL_THEN_ID
+    lexical_rrf_weight: float = 1.0
+    fast_rrf_weight: float = 1.0
+    quality_rrf_weight: float = 1.0
+    graph_rrf_weight: float = 0.5
+
+    # phases
+    quality_timeout_ms: int = 500
+    fast_only: bool = False
+    rerank_enabled: bool = False
+    rerank_top_n: int = 20
+
+    # MRL (Matryoshka) two-pass
+    mrl_search_dims: int | None = None
+    mrl_rescore_top_k: int = 30
+
+    # optional quality kernels (off by default; zero-cost when off —
+    # config.rs:100-130 doc comments record measured nDCG deltas)
+    neighbor_smoothing: bool = False
+    smoothing_alpha: float = 0.1
+    smoothing_neighbors: int = 5
+    hubness_beta: float = 0.0  # 0.2 measured +0.0033 nDCG@10
+    nqc_downweight: bool = False
+
+    # explanations
+    explain: bool = False
+
+    # --- TPU-native knobs (no reference analog; replace rayon thresholds) ---
+    #: device scan tile size along the document axis (rows per grid step)
+    scan_tile_docs: int = 1024
+    #: max concurrent queries per device program invocation
+    query_batch: int = 64
+    #: int8 two-pass candidate multiplier (pass-1 keeps k*this, search.rs:514)
+    int8_candidate_multiplier: int = 4
+    #: storage dtype for the fast tier slab: "bf16" | "f16" | "f32" | "int8"
+    slab_dtype: str = "bf16"
+    #: use fused Pallas scan kernel when available (else pure-XLA path)
+    use_pallas: bool = True
+
+    def validate(self) -> "TwoTierConfig":
+        if not (0.0 <= self.quality_weight <= 1.0):
+            raise InvalidConfig(f"quality_weight must be in [0,1], got {self.quality_weight}")
+        if self.rrf_k <= 0:
+            raise InvalidConfig(f"rrf_k must be positive, got {self.rrf_k}")
+        if self.candidate_multiplier <= 0:
+            raise InvalidConfig("candidate_multiplier must be positive")
+        if self.quality_timeout_ms < 0:
+            raise InvalidConfig("quality_timeout_ms must be >= 0")
+        if self.slab_dtype not in ("bf16", "f16", "f32", "int8"):
+            raise InvalidConfig(f"unknown slab_dtype {self.slab_dtype!r}")
+        if self.mrl_search_dims is not None and self.mrl_search_dims <= 0:
+            raise InvalidConfig("mrl_search_dims must be positive when set")
+        return self
+
+    @classmethod
+    def from_env(cls, base: "TwoTierConfig | None" = None) -> "TwoTierConfig":
+        """Apply FRANKENSEARCH_* env overrides (parity: config.rs:242-341).
+
+        Recognized: FRANKENSEARCH_QUALITY_WEIGHT, FRANKENSEARCH_RRF_K,
+        FRANKENSEARCH_CANDIDATE_MULTIPLIER, FRANKENSEARCH_QUALITY_TIMEOUT_MS,
+        FRANKENSEARCH_FAST_ONLY, FRANKENSEARCH_FUSION_STRATEGY,
+        FRANKENSEARCH_MRL_SEARCH_DIMS, FRANKENSEARCH_HUBNESS_BETA, ...
+        (every scalar field by upper-cased name).
+        """
+        cfg = base or cls()
+        values: dict[str, Any] = {}
+        for f in fields(cls):
+            env_key = _ENV_PREFIX + f.name.upper()
+            raw = os.environ.get(env_key)
+            if raw is None:
+                continue
+            values[f.name] = _parse_env_value(f.name, raw, getattr(cfg, f.name))
+        if not values:
+            return cfg
+        merged = {f.name: getattr(cfg, f.name) for f in fields(cls)}
+        merged.update(values)
+        return cls(**merged).validate()
+
+    def to_dict(self) -> dict[str, Any]:
+        out = {}
+        for f in fields(self):
+            v = getattr(self, f.name)
+            out[f.name] = v.value if isinstance(v, enum.Enum) else v
+        return out
+
+
+def _parse_env_value(name: str, raw: str, current: Any) -> Any:
+    try:
+        if name == "fusion_strategy":
+            return FusionStrategy(raw.lower())
+        if name == "tiebreak":
+            return TiebreakStrategy(raw.lower())
+        if isinstance(current, bool):
+            return raw.strip().lower() in ("1", "true", "yes", "on")
+        if isinstance(current, int):
+            return int(raw)
+        if isinstance(current, float):
+            return float(raw)
+        if current is None and name == "mrl_search_dims":
+            return int(raw)
+        return raw
+    except ValueError as e:
+        raise InvalidConfig(f"bad env value for {name}: {raw!r}") from e
+
+
+@dataclass
+class TwoTierMetrics:
+    """Per-search timing/count metrics (parity: config.rs:455).
+
+    Every phase's wall time plus candidate counts, skip reasons, and
+    rank-stability (Kendall tau between Phase 1 and Phase 2 orderings).
+    """
+
+    query_class: str = ""
+    canonicalize_us: float = 0.0
+    fast_embed_ms: float = 0.0
+    lexical_ms: float = 0.0
+    vector_scan_ms: float = 0.0
+    fusion_ms: float = 0.0
+    phase1_ms: float = 0.0
+    quality_embed_ms: float = 0.0
+    quality_rescore_ms: float = 0.0
+    blend_ms: float = 0.0
+    phase2_ms: float = 0.0
+    rerank_ms: float = 0.0
+    phase3_ms: float = 0.0
+    total_ms: float = 0.0
+    lexical_candidates: int = 0
+    fast_candidates: int = 0
+    quality_candidates: int = 0
+    fused_candidates: int = 0
+    phase2_skip_reason: str | None = None
+    phase3_skip_reason: str | None = None
+    kendall_tau: float | None = None
+    zero_signal: str | None = None
+    #: device dispatch metadata (TPU-native)
+    device_kind: str = ""
+    scan_docs: int = 0
+
+    def to_dict(self) -> dict[str, Any]:
+        return {f.name: getattr(self, f.name) for f in fields(self)}
+
+
+class MetricsExporter:
+    """Callback interface for per-search metrics (parity: core traits.rs
+    MetricsExporter :1063). Zero overhead when not installed."""
+
+    def export(self, metrics: TwoTierMetrics) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+
+@dataclass
+class CollectingExporter(MetricsExporter):
+    """Test/ops exporter that retains every metrics struct."""
+
+    collected: list[TwoTierMetrics] = field(default_factory=list)
+
+    def export(self, metrics: TwoTierMetrics) -> None:
+        self.collected.append(metrics)

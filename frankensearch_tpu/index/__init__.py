@@ -1,0 +1,7 @@
+"""Vector index layer: FTVI artifact format, device-resident index,
+two-tier index, WAL sidecar, quantization wiring.
+
+Parity target: crates/frankensearch-index (reference). The mmap'd FSVI
+file scanned by CPU SIMD becomes an on-disk FTVI artifact loaded into an
+HBM-resident padded slab scanned by the ops-layer device kernels.
+"""

@@ -1,0 +1,343 @@
+"""Device-resident vector index: padded HBM slab + validity mask + doc table.
+
+This is the live-search half of the reference's ``VectorIndex``
+(crates/frankensearch-index/src/lib.rs:796 + src/search.rs): the FTVI
+artifact (+ replayed WAL) is padded to tile multiples, uploaded to HBM
+once, and scanned by the ops-layer kernels. Tombstones, WAL-superseded
+rows, filters and padding all lower to one additive f32 mask.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frankensearch_tpu.core.errors import DimensionMismatch
+from frankensearch_tpu.core.filter import SearchFilter
+from frankensearch_tpu.core.types import ClassifiedHits, VectorHit, ZeroSignalReason
+from frankensearch_tpu.index.fsvi import EmbeddingIdentity, FtviFile
+from frankensearch_tpu.index.wal import WalState
+from frankensearch_tpu.ops import topk_scan
+from frankensearch_tpu.ops.quantize import calibrate_int8
+
+NEG_INF = float("-inf")
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _l2_normalize_rows(x: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    return np.where(norms > 1e-12, x / np.maximum(norms, 1e-12), x)
+
+
+@dataclass(frozen=True)
+class ScanStats:
+    total_rows: int
+    live_rows: int
+    padded_rows: int
+
+
+class DeviceVectorIndex:
+    """An immutable, device-resident flat vector index.
+
+    Construction normalizes rows (cosine == dot), pads the doc axis to a
+    multiple of ``tile_n`` and the dim axis to a multiple of 128 (MXU lane
+    alignment), and uploads one slab + one additive base mask to HBM.
+
+    Updates follow the reference's immutability story: appends/tombstones
+    produce a *new* DeviceVectorIndex (cheap host-side concat + re-upload
+    of the delta region; full recompaction is the WAL-compaction job).
+    """
+
+    def __init__(
+        self,
+        vectors: np.ndarray,
+        doc_ids: Sequence[str],
+        identity: EmbeddingIdentity,
+        *,
+        tombstoned: np.ndarray | None = None,
+        tile_n: int = 2048,
+        slab_dtype: str = "bf16",
+        use_pallas: bool = True,
+        normalize: bool = True,
+    ) -> None:
+        vectors = np.asarray(vectors, dtype=np.float32)
+        n, d = vectors.shape if vectors.size else (0, identity.dim or 0)
+        if len(doc_ids) != n:
+            raise ValueError(f"{n} vectors for {len(doc_ids)} doc ids")
+        self.identity = identity
+        self.doc_ids = list(doc_ids)
+        self._row_of = {doc_id: i for i, doc_id in enumerate(self.doc_ids)}
+        self.dim = d
+        self.tile_n = tile_n
+        self.slab_dtype = slab_dtype
+        self.use_pallas = use_pallas
+
+        if normalize and n:
+            vectors = _l2_normalize_rows(vectors)
+        self._vectors_f32 = vectors  # host copy for rescore/compaction
+
+        n_pad = max(_round_up(max(n, 1), tile_n), tile_n)
+        d_pad = _round_up(max(d, 1), 128)
+        padded = np.zeros((n_pad, d_pad), dtype=np.float32)
+        if n:
+            padded[:n, :d] = vectors
+
+        valid = np.zeros(n_pad, dtype=bool)
+        valid[:n] = True
+        if tombstoned is not None and n:
+            valid[:n] &= ~np.asarray(tombstoned, dtype=bool)
+        self._valid_host = valid
+        self.live_count = int(valid.sum())
+
+        if slab_dtype == "f32":
+            self.slab = jnp.asarray(padded, dtype=jnp.float32)
+        elif slab_dtype == "f16":
+            self.slab = jnp.asarray(padded, dtype=jnp.float16)
+        else:  # bf16 default
+            self.slab = jnp.asarray(padded, dtype=jnp.bfloat16)
+        self.base_mask = jnp.asarray(
+            np.where(valid, 0.0, NEG_INF).astype(np.float32)
+        )
+
+        # int8 arm (lazy): quantized slab for the two-pass scan
+        self._int8 = None
+        self.n_rows = n
+        self.n_pad = n_pad
+        self.d_pad = d_pad
+
+    # -- metadata ---------------------------------------------------------
+
+    @property
+    def record_count(self) -> int:
+        return self.n_rows
+
+    def row_for(self, doc_id: str) -> int | None:
+        return self._row_of.get(doc_id)
+
+    def stats(self) -> ScanStats:
+        return ScanStats(self.n_rows, self.live_count, self.n_pad - self.n_rows)
+
+    def vector_for_row(self, row: int) -> np.ndarray:
+        return self._vectors_f32[row]
+
+    # -- construction helpers --------------------------------------------
+
+    @classmethod
+    def from_ftvi(
+        cls,
+        f: FtviFile,
+        wal: WalState | None = None,
+        **kwargs,
+    ) -> "DeviceVectorIndex":
+        """Load an FTVI artifact, merging replayed WAL state with the
+        reference's supersession rules (search.rs:276-300): WAL appends
+        supersede base rows of the same doc id; WAL tombstones kill both."""
+        vectors = f.vectors_f32()
+        doc_ids = list(f.doc_ids)
+        tomb = f.tombstoned().copy()
+        if wal is not None and (wal.live or wal.tombstones):
+            base_rows = {d: i for i, d in enumerate(doc_ids)}
+            extra_ids: list[str] = []
+            extra_vecs: list[np.ndarray] = []
+            for doc_id, vec in wal.live.items():
+                row = base_rows.get(doc_id)
+                if row is not None:
+                    vectors = vectors.copy() if vectors.base is not None else vectors
+                    if vec.shape[0] != vectors.shape[1]:
+                        raise DimensionMismatch(vectors.shape[1], vec.shape[0])
+                    vectors[row] = vec
+                    tomb[row] = False
+                else:
+                    extra_ids.append(doc_id)
+                    extra_vecs.append(vec)
+            if extra_ids:
+                vectors = np.concatenate([vectors, np.stack(extra_vecs)], axis=0)
+                doc_ids = doc_ids + extra_ids
+                tomb = np.concatenate([tomb, np.zeros(len(extra_ids), dtype=bool)])
+            for doc_id in wal.tombstones:
+                row = base_rows.get(doc_id)
+                if row is not None:
+                    tomb[row] = True
+        return cls(vectors, doc_ids, f.header.identity, tombstoned=tomb, **kwargs)
+
+    def with_appended(
+        self, doc_ids: Sequence[str], vectors: np.ndarray
+    ) -> "DeviceVectorIndex":
+        """Functional append -> new index (delta-slab story)."""
+        vecs = np.asarray(vectors, dtype=np.float32)
+        base = self._vectors_f32
+        keep_ids = list(self.doc_ids)
+        tomb = ~self._valid_host[: self.n_rows]
+        superseded = {d: i for i, d in enumerate(keep_ids)}
+        new_base = base.copy()
+        extra_ids, extra_rows = [], []
+        for i, doc_id in enumerate(doc_ids):
+            row = superseded.get(doc_id)
+            v = _l2_normalize_rows(vecs[i : i + 1])[0]
+            if row is not None:
+                new_base[row] = v
+                tomb = tomb.copy()
+                tomb[row] = False
+            else:
+                extra_ids.append(doc_id)
+                extra_rows.append(v)
+        if extra_ids:
+            all_vecs = np.concatenate([new_base, np.stack(extra_rows)], axis=0)
+            all_ids = keep_ids + extra_ids
+            all_tomb = np.concatenate([tomb, np.zeros(len(extra_ids), dtype=bool)])
+        else:
+            all_vecs, all_ids, all_tomb = new_base, keep_ids, tomb
+        return DeviceVectorIndex(
+            all_vecs,
+            all_ids,
+            self.identity,
+            tombstoned=all_tomb,
+            tile_n=self.tile_n,
+            slab_dtype=self.slab_dtype,
+            use_pallas=self.use_pallas,
+            normalize=False,
+        )
+
+    def with_tombstones(self, doc_ids: Sequence[str]) -> "DeviceVectorIndex":
+        tomb = (~self._valid_host[: self.n_rows]).copy()
+        for doc_id in doc_ids:
+            row = self._row_of.get(doc_id)
+            if row is not None:
+                tomb[row] = True
+        return DeviceVectorIndex(
+            self._vectors_f32,
+            self.doc_ids,
+            self.identity,
+            tombstoned=tomb,
+            tile_n=self.tile_n,
+            slab_dtype=self.slab_dtype,
+            use_pallas=self.use_pallas,
+            normalize=False,
+        )
+
+    # -- search ------------------------------------------------------------
+
+    def _effective_mask(
+        self,
+        search_filter: SearchFilter | None,
+        metadata: Sequence[Mapping | None] | None,
+    ) -> jax.Array:
+        if search_filter is None:
+            return self.base_mask
+        admit = search_filter.mask(
+            self.doc_ids, metadata if metadata is not None else [None] * self.n_rows
+        )
+        full = np.full(self.n_pad, NEG_INF, dtype=np.float32)
+        full[: self.n_rows] = np.where(admit, 0.0, NEG_INF)
+        base = np.asarray(self.base_mask)
+        return jnp.asarray(np.minimum(full, base))
+
+    def search_batch(
+        self,
+        queries: np.ndarray | jax.Array,
+        k: int,
+        *,
+        search_filter: SearchFilter | None = None,
+        metadata: Sequence[Mapping | None] | None = None,
+        mode: str = "auto",  # "auto" | "pallas" | "xla" | "int8" | "mrl"
+        mrl_search_dims: int | None = None,
+        mrl_rescore_top_k: int = 30,
+        int8_candidate_multiplier: int = 4,
+    ) -> topk_scan.TopKResult:
+        """Batched scan; returns device (scores, indices). Rows are slab
+        rows; use :meth:`hydrate` to map to doc ids."""
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.dim:
+            raise DimensionMismatch(self.dim, q.shape[1])
+        if q.shape[1] != self.d_pad:
+            q = np.pad(q, ((0, 0), (0, self.d_pad - q.shape[1])))
+        q_dev = jnp.asarray(q)
+        mask = self._effective_mask(search_filter, metadata)
+
+        if mode == "auto":
+            mode = "pallas" if (self.use_pallas and _on_tpu()) else "xla"
+        if mode == "mrl" or (mode == "auto" and mrl_search_dims):
+            return topk_scan.scan_topk_mrl(
+                self.slab, q_dev, k, mask,
+                search_dims=mrl_search_dims or 64,
+                rescore_top_k=mrl_rescore_top_k,
+            )
+        if mode == "int8":
+            q8 = self._int8_arm()
+            return topk_scan.scan_topk_int8_two_pass(
+                q8[0], q8[1], self.slab, q_dev, k, mask,
+                candidate_multiplier=int8_candidate_multiplier,
+            )
+        if mode == "pallas":
+            return topk_scan.scan_topk_pallas(self.slab, q_dev, k, mask, tile_n=self.tile_n)
+        return topk_scan.scan_topk_xla(self.slab, q_dev, k, mask)
+
+    def _int8_arm(self):
+        if self._int8 is None:
+            padded = np.zeros((self.n_pad, self.d_pad), dtype=np.float32)
+            padded[: self.n_rows, : self.dim] = self._vectors_f32
+            q = calibrate_int8(padded)
+            self._int8 = (jnp.asarray(q.values), jnp.asarray(q.scale))
+        return self._int8
+
+    def search_classified(
+        self,
+        query: np.ndarray,
+        k: int,
+        **kwargs,
+    ) -> ClassifiedHits:
+        """Single-query search with typed zero-signal classification
+        (parity: search_top_k_classified, index/src/search.rs:227)."""
+        q = np.asarray(query, dtype=np.float32).reshape(1, -1)
+        if self.n_rows == 0:
+            return ClassifiedHits(hits=(), zero_signal=ZeroSignalReason.NO_RECORDS)
+        if self.live_count == 0:
+            return ClassifiedHits(hits=(), zero_signal=ZeroSignalReason.ALL_TOMBSTONED)
+        norm = float(np.linalg.norm(q))
+        if norm < 1e-12 or math.isnan(norm):
+            return ClassifiedHits(hits=(), zero_signal=ZeroSignalReason.DEGENERATE_QUERY)
+        res = self.search_batch(q, k, **kwargs)
+        hits = self.hydrate(res)[0]
+        if not hits:
+            return ClassifiedHits(hits=(), zero_signal=ZeroSignalReason.ALL_FILTERED)
+        return ClassifiedHits(hits=tuple(hits))
+
+    def hydrate(self, result: topk_scan.TopKResult) -> list[list[VectorHit]]:
+        """Device result -> host VectorHits (drops -1 padding)."""
+        scores = np.asarray(result.scores)
+        indices = np.asarray(result.indices)
+        out: list[list[VectorHit]] = []
+        for b in range(scores.shape[0]):
+            row_hits: list[VectorHit] = []
+            for s, i in zip(scores[b], indices[b]):
+                if i < 0 or not np.isfinite(s):
+                    continue
+                row_hits.append(VectorHit(doc_id=self.doc_ids[int(i)], score=float(s), row=int(i)))
+            out.append(row_hits)
+        return out
+
+    def scores_for_rows(self, query: np.ndarray, rows: Sequence[int]) -> np.ndarray:
+        """Exact f32 rescore of specific slab rows against a query — the
+        aligned quality-rescoring path (two_tier.rs:1566)."""
+        q = np.asarray(query, dtype=np.float32).reshape(-1)
+        if q.shape[0] != self.dim:
+            raise DimensionMismatch(self.dim, q.shape[0])
+        rows_arr = np.asarray(rows, dtype=np.int64)
+        return self._vectors_f32[rows_arr] @ q
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False

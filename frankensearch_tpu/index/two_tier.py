@@ -1,0 +1,250 @@
+"""Two-tier index: fast tier + optional aligned quality tier.
+
+Parity target: reference crates/frankensearch-index/src/two_tier.rs:505 —
+opens ``vector.fast.idx`` (fallback ``vector.idx``) + optional
+``vector.quality.idx``, aligns doc ids between tiers, provides
+``search_fast_classified`` (:1358) and ``quality_scores_for_hits``
+(:1566, aligned rescoring), plus WAL merge and tombstone handling.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Mapping, Sequence
+
+import numpy as np
+
+from frankensearch_tpu.core.errors import IndexNotFound
+from frankensearch_tpu.core.types import ClassifiedHits, VectorHit
+from frankensearch_tpu.index.device_index import DeviceVectorIndex
+from frankensearch_tpu.index.fsvi import (
+    EmbeddingIdentity,
+    FtviFile,
+    write_ftvi,
+)
+from frankensearch_tpu.index.wal import WriteAheadLog
+
+FAST_FILE = "vector.fast.idx"
+FAST_FALLBACK_FILE = "vector.idx"
+QUALITY_FILE = "vector.quality.idx"
+
+
+@dataclass
+class TwoTierPaths:
+    root: str
+
+    @property
+    def fast(self) -> str:
+        primary = os.path.join(self.root, FAST_FILE)
+        if os.path.exists(primary):
+            return primary
+        fallback = os.path.join(self.root, FAST_FALLBACK_FILE)
+        return fallback if os.path.exists(fallback) else primary
+
+    @property
+    def quality(self) -> str:
+        return os.path.join(self.root, QUALITY_FILE)
+
+    def wal_for(self, idx_path: str) -> str:
+        return idx_path + ".wal"
+
+
+class TwoTierIndex:
+    """Fast + optional quality device indexes with doc-id alignment."""
+
+    def __init__(
+        self,
+        fast: DeviceVectorIndex,
+        quality: DeviceVectorIndex | None = None,
+        *,
+        root: str | None = None,
+    ) -> None:
+        self.fast = fast
+        self.quality = quality
+        self.root = root
+        # quality-tier row aligned to fast-tier row (or -1 when the doc
+        # has no quality vector) — the aligned-rescore fast path.
+        if quality is not None:
+            self._fast_to_quality = np.array(
+                [
+                    quality.row_for(doc_id) if quality.row_for(doc_id) is not None else -1
+                    for doc_id in fast.doc_ids
+                ],
+                dtype=np.int64,
+            )
+        else:
+            self._fast_to_quality = None
+
+    # -- lifecycle ----------------------------------------------------------
+
+    @classmethod
+    def open(
+        cls,
+        root: str,
+        *,
+        tile_n: int = 2048,
+        slab_dtype: str = "bf16",
+        use_pallas: bool = True,
+        verify: bool = False,
+    ) -> "TwoTierIndex":
+        paths = TwoTierPaths(root)
+        if not os.path.exists(paths.fast):
+            raise IndexNotFound(f"no fast-tier artifact under {root}")
+        fast_file = FtviFile(paths.fast, verify_slab=verify)
+        fast_wal = WriteAheadLog(paths.wal_for(paths.fast)).replay()
+        fast = DeviceVectorIndex.from_ftvi(
+            fast_file, fast_wal, tile_n=tile_n, slab_dtype=slab_dtype, use_pallas=use_pallas
+        )
+        quality = None
+        if os.path.exists(paths.quality):
+            q_file = FtviFile(paths.quality, verify_slab=verify)
+            q_wal = WriteAheadLog(paths.wal_for(paths.quality)).replay()
+            quality = DeviceVectorIndex.from_ftvi(
+                q_file, q_wal, tile_n=tile_n, slab_dtype=slab_dtype, use_pallas=use_pallas
+            )
+        return cls(fast, quality, root=root)
+
+    @classmethod
+    def create(
+        cls,
+        root: str,
+        fast_vectors: np.ndarray,
+        doc_ids: Sequence[str],
+        fast_identity: EmbeddingIdentity,
+        *,
+        quality_vectors: np.ndarray | None = None,
+        quality_identity: EmbeddingIdentity | None = None,
+        slab_dtype: str = "bf16",
+        tile_n: int = 2048,
+        use_pallas: bool = True,
+    ) -> "TwoTierIndex":
+        os.makedirs(root, exist_ok=True)
+        paths = TwoTierPaths(root)
+        write_ftvi(
+            os.path.join(root, FAST_FILE),
+            np.asarray(fast_vectors, dtype=np.float32),
+            doc_ids,
+            fast_identity,
+            dtype=slab_dtype if slab_dtype != "int8" else "f16",
+        )
+        if quality_vectors is not None:
+            if quality_identity is None:
+                raise ValueError("quality_vectors requires quality_identity")
+            write_ftvi(
+                paths.quality,
+                np.asarray(quality_vectors, dtype=np.float32),
+                doc_ids,
+                quality_identity,
+                dtype=slab_dtype if slab_dtype != "int8" else "f16",
+            )
+        return cls.open(root, tile_n=tile_n, slab_dtype=slab_dtype, use_pallas=use_pallas)
+
+    def compact(self) -> "TwoTierIndex":
+        """Fold WAL + tombstones back into the base artifacts (vacuum).
+        Parity: index vacuum/compaction (lib.rs:703 VacuumStats) + WAL
+        compaction (wal.rs)."""
+        if self.root is None:
+            raise ValueError("compact requires a rooted index")
+        paths = TwoTierPaths(self.root)
+        for tier, fname in ((self.fast, FAST_FILE), (self.quality, QUALITY_FILE)):
+            if tier is None:
+                continue
+            live = tier._valid_host[: tier.n_rows]
+            vecs = tier._vectors_f32[live]
+            ids = [d for d, ok in zip(tier.doc_ids, live) if ok]
+            path = os.path.join(self.root, fname)
+            write_ftvi(path, vecs, ids, tier.identity, dtype="bf16")
+            WriteAheadLog(paths.wal_for(path)).truncate()
+        return TwoTierIndex.open(self.root)
+
+    # -- appends (WAL path) ---------------------------------------------------
+
+    def append_fast(self, doc_ids: Sequence[str], vectors: np.ndarray) -> None:
+        """Durable append via WAL + in-memory functional update."""
+        if self.root is not None:
+            paths = TwoTierPaths(self.root)
+            WriteAheadLog(paths.wal_for(paths.fast)).append(doc_ids, vectors)
+        self.fast = self.fast.with_appended(doc_ids, vectors)
+        self._realign()
+
+    def append_quality(self, doc_ids: Sequence[str], vectors: np.ndarray) -> None:
+        if self.quality is None:
+            raise ValueError("index has no quality tier")
+        if self.root is not None:
+            paths = TwoTierPaths(self.root)
+            WriteAheadLog(paths.wal_for(paths.quality)).append(doc_ids, vectors)
+        self.quality = self.quality.with_appended(doc_ids, vectors)
+        self._realign()
+
+    def delete(self, doc_ids: Sequence[str]) -> None:
+        """Tombstone docs in both tiers (durable via WAL)."""
+        if self.root is not None:
+            paths = TwoTierPaths(self.root)
+            WriteAheadLog(paths.wal_for(paths.fast)).tombstone(doc_ids)
+            if self.quality is not None:
+                WriteAheadLog(paths.wal_for(paths.quality)).tombstone(doc_ids)
+        self.fast = self.fast.with_tombstones(doc_ids)
+        if self.quality is not None:
+            self.quality = self.quality.with_tombstones(doc_ids)
+        self._realign()
+
+    def _realign(self) -> None:
+        if self.quality is not None:
+            self._fast_to_quality = np.array(
+                [
+                    self.quality.row_for(d) if self.quality.row_for(d) is not None else -1
+                    for d in self.fast.doc_ids
+                ],
+                dtype=np.int64,
+            )
+
+    # -- search ----------------------------------------------------------------
+
+    @property
+    def has_quality_tier(self) -> bool:
+        return self.quality is not None
+
+    def search_fast_classified(
+        self, query: np.ndarray, k: int, **kwargs
+    ) -> ClassifiedHits:
+        """Phase-1 vector arm (two_tier.rs:1358)."""
+        return self.fast.search_classified(query, k, **kwargs)
+
+    def quality_scores_for_hits(
+        self,
+        quality_query: np.ndarray,
+        hits: Sequence[VectorHit],
+    ) -> dict[str, float]:
+        """Aligned quality rescoring of the Phase-1 pool (two_tier.rs:1566):
+        gather each hit's quality row and dot with the quality query —
+        no second scan."""
+        if self.quality is None:
+            return {}
+        assert self._fast_to_quality is not None
+        out: dict[str, float] = {}
+        rows = []
+        keep: list[str] = []
+        for h in hits:
+            q_row = self._fast_to_quality[h.row] if h.row >= 0 else -1
+            if q_row >= 0:
+                rows.append(int(q_row))
+                keep.append(h.doc_id)
+        if not rows:
+            return {}
+        scores = self.quality.scores_for_rows(quality_query, rows)
+        for doc_id, s in zip(keep, scores):
+            out[doc_id] = float(s)
+        return out
+
+    def search_quality(
+        self, quality_query: np.ndarray, k: int, **kwargs
+    ) -> ClassifiedHits:
+        """Full quality-tier retrieval (owner-backed path,
+        searcher.rs:2081-2110)."""
+        if self.quality is None:
+            return ClassifiedHits(hits=())
+        return self.quality.search_classified(quality_query, k, **kwargs)
+
+    def doc_count(self) -> int:
+        return self.fast.live_count

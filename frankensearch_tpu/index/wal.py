@@ -1,0 +1,175 @@
+"""WAL sidecar: append vectors/tombstones without rebuilding the artifact.
+
+Parity target: reference crates/frankensearch-index/src/wal.rs —
+``.fsvi.wal`` sidecar with FWAL header + CRC32-protected batches (FWB1),
+appended without rebuild, partial tail discarded on open, compacted into
+the main artifact; search merges WAL-resident entries with supersession
+rules (two_tier.rs WAL merge; search.rs:276-300).
+
+FTWL format (fresh layout, same contract):
+
+    file   := b"FTWL\\x01" + batches...
+    batch  := b"FWB1" + u32 LE payload_len + u32 LE crc32(payload) + payload
+    payload (json+binary): u32 json_len + json header
+                           {"op": "append"|"tombstone", "count": n,
+                            "dim": d, "dtype": "f32", "doc_ids": [...]}
+                           + raw f32 slab (append only)
+
+Supersession rule (reference parity): a later WAL append for a doc id
+supersedes both earlier WAL entries and the base artifact row; a
+tombstone op supersedes everything before it.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+import json
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import numpy as np
+
+from frankensearch_tpu.core.errors import WalCorrupted
+
+WAL_MAGIC = b"FTWL\x01"
+BATCH_MAGIC = b"FWB1"
+
+
+@dataclass
+class WalBatch:
+    op: str  # "append" | "tombstone"
+    doc_ids: list[str]
+    vectors: np.ndarray | None = None  # (n, d) f32 for append
+
+
+@dataclass
+class WalState:
+    """Materialized WAL contents after replay with supersession applied."""
+
+    #: doc_id -> vector (latest append wins)
+    live: dict[str, np.ndarray] = field(default_factory=dict)
+    #: doc ids tombstoned by the WAL (applies to base artifact too)
+    tombstones: set[str] = field(default_factory=set)
+    batches_read: int = 0
+    bytes_discarded: int = 0
+
+
+class WriteAheadLog:
+    """Append-only WAL over a file path; safe against torn tails."""
+
+    def __init__(self, path: str | os.PathLike) -> None:
+        self.path = str(path)
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def append(self, doc_ids: Sequence[str], vectors: np.ndarray) -> None:
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        if vectors.shape[0] != len(doc_ids):
+            raise ValueError("doc_ids / vectors length mismatch")
+        header = json.dumps(
+            {
+                "op": "append",
+                "count": len(doc_ids),
+                "dim": int(vectors.shape[1]) if len(doc_ids) else 0,
+                "dtype": "f32",
+                "doc_ids": list(doc_ids),
+            },
+            separators=(",", ":"),
+        ).encode("utf-8")
+        payload = struct.pack("<I", len(header)) + header + vectors.tobytes()
+        self._write_batch(payload)
+
+    def tombstone(self, doc_ids: Sequence[str]) -> None:
+        header = json.dumps(
+            {"op": "tombstone", "count": len(doc_ids), "doc_ids": list(doc_ids)},
+            separators=(",", ":"),
+        ).encode("utf-8")
+        payload = struct.pack("<I", len(header)) + header
+        self._write_batch(payload)
+
+    def _write_batch(self, payload: bytes) -> None:
+        new = not os.path.exists(self.path)
+        with open(self.path, "ab") as f:
+            if new:
+                f.write(WAL_MAGIC)
+            f.write(BATCH_MAGIC)
+            f.write(struct.pack("<II", len(payload), zlib.crc32(payload)))
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+
+    def replay(self, strict: bool = False) -> WalState:
+        """Read all intact batches; a torn/corrupt tail is discarded
+        (strict=False, the recovery default) or raises (strict=True,
+        the reference's strict inspection mode)."""
+        state = WalState()
+        if not os.path.exists(self.path):
+            return state
+        with open(self.path, "rb") as f:
+            data = f.read()
+        if data[: len(WAL_MAGIC)] != WAL_MAGIC:
+            if strict:
+                raise WalCorrupted(f"bad WAL magic in {self.path}")
+            state.bytes_discarded = len(data)
+            return state
+        pos = len(WAL_MAGIC)
+        while pos < len(data):
+            tail_error = None
+            if pos + 12 > len(data):
+                tail_error = "truncated batch frame"
+            elif data[pos : pos + 4] != BATCH_MAGIC:
+                tail_error = "bad batch magic"
+            else:
+                (plen, crc) = struct.unpack("<II", data[pos + 4 : pos + 12])
+                start = pos + 12
+                if start + plen > len(data):
+                    tail_error = "truncated batch payload"
+                else:
+                    payload = data[start : start + plen]
+                    if zlib.crc32(payload) != crc:
+                        tail_error = "batch CRC mismatch"
+            if tail_error is not None:
+                if strict:
+                    raise WalCorrupted(f"{tail_error} at offset {pos} in {self.path}")
+                state.bytes_discarded = len(data) - pos
+                break
+            batch = _decode_payload(payload)
+            _apply(state, batch)
+            state.batches_read += 1
+            pos = start + plen
+        return state
+
+    def truncate(self) -> None:
+        """Drop the WAL (after compaction into the main artifact)."""
+        if os.path.exists(self.path):
+            os.remove(self.path)
+
+
+def _decode_payload(payload: bytes) -> WalBatch:
+    (jlen,) = struct.unpack("<I", payload[:4])
+    header = json.loads(payload[4 : 4 + jlen].decode("utf-8"))
+    op = header["op"]
+    doc_ids = list(header["doc_ids"])
+    vectors = None
+    if op == "append":
+        n, d = header["count"], header["dim"]
+        raw = payload[4 + jlen :]
+        vectors = np.frombuffer(raw, dtype=np.float32).reshape(n, d).copy()
+    return WalBatch(op=op, doc_ids=doc_ids, vectors=vectors)
+
+
+def _apply(state: WalState, batch: WalBatch) -> None:
+    if batch.op == "append":
+        assert batch.vectors is not None
+        for i, doc_id in enumerate(batch.doc_ids):
+            state.live[doc_id] = batch.vectors[i]
+            state.tombstones.discard(doc_id)
+    elif batch.op == "tombstone":
+        for doc_id in batch.doc_ids:
+            state.tombstones.add(doc_id)
+            state.live.pop(doc_id, None)
+    else:  # pragma: no cover
+        raise WalCorrupted(f"unknown WAL op {batch.op!r}")

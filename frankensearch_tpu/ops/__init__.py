@@ -1,0 +1,5 @@
+"""Device kernels: fused scan+top-k (Pallas), quantization, vector math.
+
+This layer replaces the reference's hand-written SIMD
+(crates/frankensearch-index/src/simd.rs) with TPU device programs.
+"""

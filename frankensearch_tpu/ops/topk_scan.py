@@ -1,0 +1,334 @@
+"""Fused brute-force scan + top-k over an HBM-resident vector slab.
+
+This is the TPU replacement for the reference's hot loop: the mmap'd FSVI
+slab scanned by AVX2/F16C dot-product kernels with a bounded BinaryHeap
+(crates/frankensearch-index/src/search.rs:192, src/simd.rs). Here the slab
+is a device array of shape (N_pad, D_pad) and queries are batched, so the
+scan is a (B x D) . (D x N) contraction on the MXU.
+
+Two interchangeable execution paths:
+
+- :func:`scan_topk_xla` — plain XLA matmul + ``lax.top_k``. Always correct,
+  works on CPU/interpret meshes; materializes the (B, N) score matrix.
+- :func:`scan_topk_pallas` — fused Pallas kernel: the slab streams through
+  VMEM tile-by-tile (Mosaic double-buffers HBM->VMEM), each tile's scores
+  are reduced to a per-tile top-k *inside* the kernel, and only
+  (num_tiles * k) candidates per query ever reach HBM. A final cheap
+  ``lax.top_k`` merges tile candidates. This keeps HBM traffic at
+  ~1x slab size instead of slab + 2x(B*N) scores.
+
+Determinism contract (parity with the reference's NaN-safe total order +
+doc-id tiebreak, index/src/search.rs): scores are f32-accumulated; ties
+break toward the lower slab row on both paths; masked/padded rows score
+-inf and can never win.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu is importable on CPU too, but guard for safety
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+NEG_INF = float("-inf")
+
+
+class TopKResult(NamedTuple):
+    scores: jax.Array  # (B, k) f32, descending
+    indices: jax.Array  # (B, k) i32 slab rows; padded/masked rows -> -1
+
+
+def _apply_additive_mask(scores: jax.Array, mask: jax.Array | None) -> jax.Array:
+    if mask is None:
+        return scores
+    return scores + mask[None, :].astype(scores.dtype)
+
+
+def additive_mask(valid: jax.Array) -> jax.Array:
+    """Bool validity vector (N,) -> additive f32 mask (0 / -inf)."""
+    return jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
+
+
+def _finalize(scores: jax.Array, indices: jax.Array, k: int) -> TopKResult:
+    """Mark never-valid winners (score == -inf) with index -1."""
+    indices = jnp.where(jnp.isfinite(scores), indices, -1)
+    return TopKResult(scores.astype(jnp.float32), indices.astype(jnp.int32))
+
+
+# --------------------------------------------------------------------------
+# XLA path
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "precise"))
+def scan_topk_xla(
+    slab: jax.Array,
+    queries: jax.Array,
+    k: int,
+    mask: jax.Array | None = None,
+    *,
+    precise: bool = False,
+) -> TopKResult:
+    """Batched dot-product scan + exact top-k, pure XLA.
+
+    slab: (N, D) bf16/f16/f32 row-L2-normalized document vectors.
+    queries: (B, D) f32 L2-normalized query vectors.
+    mask: optional (N,) additive f32 mask (0 for valid, -inf for excluded).
+    """
+    n = slab.shape[0]
+    kk = min(k, n)
+    if precise or slab.dtype == jnp.float32:
+        scores = jnp.dot(
+            queries.astype(jnp.float32),
+            slab.astype(jnp.float32).T,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        scores = jax.lax.dot_general(
+            queries.astype(slab.dtype),
+            slab,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    scores = _apply_additive_mask(scores, mask)
+    top_scores, top_idx = jax.lax.top_k(scores, kk)
+    if kk < k:
+        pad = k - kk
+        top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        top_idx = jnp.pad(top_idx, ((0, 0), (0, pad)), constant_values=-1)
+    return _finalize(top_scores, top_idx, k)
+
+
+# --------------------------------------------------------------------------
+# Pallas fused path
+# --------------------------------------------------------------------------
+
+
+def _tile_topk_kernel(q_ref, slab_ref, mask_ref, out_s_ref, out_i_ref, *, k: int):
+    """One grid step: score a (TILE_N, D) slab tile against all queries and
+    emit that tile's per-query top-k.
+
+    Layout note: per-iteration winners are written as *rows* of a
+    (k, B)-shaped output block (sublane-indexed dynamic store, which Mosaic
+    handles well) rather than lanes of a (B, k) block; the caller
+    transposes the tiny candidate tensor afterwards.
+    """
+    tile_id = pl.program_id(0)
+    tile_n = slab_ref.shape[0]
+
+    # (B, TILE_N) f32 scores on the MXU.
+    scores = jax.lax.dot_general(
+        q_ref[:].astype(slab_ref.dtype),
+        slab_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores + mask_ref[0].astype(jnp.float32)  # (1, TILE_N) broadcasts
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
+    row_base = tile_id * tile_n
+
+    def body(j, scores):
+        best = jnp.max(scores, axis=1)  # (B,)
+        # lowest-index tiebreak: argmax returns the first maximal element
+        best_idx = jnp.argmax(scores, axis=1).astype(jnp.int32)  # (B,)
+        out_s_ref[0, pl.ds(j, 1), :] = best[None, :]
+        out_i_ref[0, pl.ds(j, 1), :] = (best_idx + row_base)[None, :]
+        knock_out = col_ids == best_idx[:, None]
+        return jnp.where(knock_out, NEG_INF, scores)
+
+    jax.lax.fori_loop(0, k, body, scores, unroll=True)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def scan_topk_pallas(
+    slab: jax.Array,
+    queries: jax.Array,
+    k: int,
+    mask: jax.Array | None = None,
+    *,
+    tile_n: int = 2048,
+    interpret: bool = False,
+) -> TopKResult:
+    """Fused scan + streaming per-tile top-k. Requirements: N % tile_n == 0
+    (pad the slab and mask padded rows -inf; the index layer does this).
+    """
+    n, d = slab.shape
+    b = queries.shape[0]
+    if n % tile_n != 0:
+        raise ValueError(f"slab rows {n} not a multiple of tile_n {tile_n}")
+    num_tiles = n // tile_n
+    kk = min(k, tile_n)
+
+    if mask is None:
+        mask = jnp.zeros((n,), dtype=jnp.float32)
+    mask2d = mask.reshape(num_tiles, 1, tile_n)
+
+    grid = (num_tiles,)
+    out_shape = (
+        jax.ShapeDtypeStruct((num_tiles, kk, b), jnp.float32),
+        jax.ShapeDtypeStruct((num_tiles, kk, b), jnp.int32),
+    )
+    kernel = functools.partial(_tile_topk_kernel, k=kk)
+    cand_s, cand_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i: (0, 0)),  # queries, resident
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0)),  # slab tile stream
+            pl.BlockSpec((1, 1, tile_n), lambda i: (i, 0, 0)),  # mask tile
+        ],
+        out_specs=(
+            pl.BlockSpec((1, kk, b), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, kk, b), lambda i: (i, 0, 0)),
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * d * n,
+            bytes_accessed=n * d * slab.dtype.itemsize + 2 * num_tiles * kk * b * 4,
+            transcendentals=0,
+        ),
+    )(queries, slab, mask2d)
+
+    # (T, kk, B) -> (B, T*kk) candidate pools; tile-major order preserves
+    # the row-ascending tiebreak among equal scores.
+    cand_s = jnp.transpose(cand_s, (2, 0, 1)).reshape(b, num_tiles * kk)
+    cand_i = jnp.transpose(cand_i, (2, 0, 1)).reshape(b, num_tiles * kk)
+    kk_final = min(k, cand_s.shape[1])
+    top_scores, pos = jax.lax.top_k(cand_s, kk_final)
+    top_idx = jnp.take_along_axis(cand_i, pos, axis=1)
+    if kk_final < k:
+        pad = k - kk_final
+        top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        top_idx = jnp.pad(top_idx, ((0, 0), (0, pad)), constant_values=-1)
+    return _finalize(top_scores, top_idx, k)
+
+
+# --------------------------------------------------------------------------
+# int8 two-pass (quantized pass-1 + exact rescore pass-2)
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "candidate_multiplier"))
+def scan_topk_int8_two_pass(
+    slab_i8: jax.Array,
+    slab_scale: jax.Array,
+    slab_exact: jax.Array,
+    queries: jax.Array,
+    k: int,
+    mask: jax.Array | None = None,
+    *,
+    candidate_multiplier: int = 4,
+) -> TopKResult:
+    """Two-pass quantized scan (parity: index/src/search.rs:514).
+
+    Pass 1: the slab rows are stored as per-dimension symmetric int8
+    (``x_d ~= x_i8_d * s_d``), so ``dot(q, x) ~= dot(q * s, x_i8)``: the
+    per-dim scale folds into the *query* ("prepared query", the same trick
+    the reference uses for its packed 4-bit kernels). The prepared query is
+    then per-query symmetric-quantized to int8 (rank-preserving per query),
+    and pass 1 is an int8 x int8 MXU matmul with i32 accumulation ranking a
+    pool of k * candidate_multiplier rows.
+
+    Pass 2: gather the candidates' exact rows (bf16/f32 slab) and rescore
+    in f32; final exact top-k over the pool.
+
+    slab_i8: (N, D) int8 quantized rows; slab_scale: (D,) or scalar
+    per-dimension dequant scale; slab_exact: (N, D) exact-dtype slab for
+    rescoring.
+    """
+    n, d = slab_i8.shape
+    b = queries.shape[0]
+    pool = min(max(k * candidate_multiplier, k), n)
+
+    # fold per-dim slab scale into the query, then per-query symmetric
+    # int8 quantization (rank-preserving: positive per-query scalar)
+    q_prepared = queries.astype(jnp.float32) * slab_scale.astype(jnp.float32)
+    qmax = jnp.maximum(jnp.max(jnp.abs(q_prepared), axis=1, keepdims=True), 1e-6)
+    q_i8 = jnp.clip(jnp.round(q_prepared / qmax * 127.0), -127, 127).astype(jnp.int8)
+
+    rough = jax.lax.dot_general(
+        q_i8,
+        slab_i8,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    rough = _apply_additive_mask(rough, mask)
+    _, cand_idx = jax.lax.top_k(rough, pool)  # (B, pool)
+
+    # Pass 2: exact rescore of gathered rows.
+    cand_rows = jnp.take(slab_exact, cand_idx, axis=0).astype(jnp.float32)  # (B, pool, D)
+    exact = jnp.einsum(
+        "bd,bpd->bp", queries.astype(jnp.float32), cand_rows,
+        preferred_element_type=jnp.float32,
+    )
+    if mask is not None:
+        exact = exact + jnp.take(mask, cand_idx).astype(jnp.float32)
+    kk = min(k, pool)
+    top_scores, pos = jax.lax.top_k(exact, kk)
+    top_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
+    if kk < k:
+        pad = k - kk
+        top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        top_idx = jnp.pad(top_idx, ((0, 0), (0, pad)), constant_values=-1)
+    return _finalize(top_scores, top_idx, k)
+
+
+# --------------------------------------------------------------------------
+# MRL two-pass (truncated-dim pass-1 + full-dim rescore)
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "search_dims", "rescore_top_k"))
+def scan_topk_mrl(
+    slab: jax.Array,
+    queries: jax.Array,
+    k: int,
+    mask: jax.Array | None = None,
+    *,
+    search_dims: int = 64,
+    rescore_top_k: int = 30,
+) -> TopKResult:
+    """Matryoshka two-pass (parity: index/src/mrl.rs mrl_search :241):
+    pass 1 scans only the first ``search_dims`` dimensions; pass 2 rescores
+    the top ``max(k, rescore_top_k)`` candidates at full dimension."""
+    n, d = slab.shape
+    sd = min(search_dims, d)
+    pool = min(max(k, rescore_top_k), n)
+
+    q_trunc = queries[:, :sd]
+    q_trunc = q_trunc / jnp.maximum(
+        jnp.linalg.norm(q_trunc, axis=1, keepdims=True), 1e-12
+    )
+    rough = jax.lax.dot_general(
+        q_trunc.astype(slab.dtype),
+        slab[:, :sd],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rough = _apply_additive_mask(rough, mask)
+    _, cand_idx = jax.lax.top_k(rough, pool)
+
+    cand_rows = jnp.take(slab, cand_idx, axis=0).astype(jnp.float32)
+    exact = jnp.einsum(
+        "bd,bpd->bp", queries.astype(jnp.float32), cand_rows,
+        preferred_element_type=jnp.float32,
+    )
+    if mask is not None:
+        exact = exact + jnp.take(mask, cand_idx).astype(jnp.float32)
+    kk = min(k, pool)
+    top_scores, pos = jax.lax.top_k(exact, kk)
+    top_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
+    if kk < k:
+        pad = k - kk
+        top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        top_idx = jnp.pad(top_idx, ((0, 0), (0, pad)), constant_values=-1)
+    return _finalize(top_scores, top_idx, k)

@@ -1,0 +1,40 @@
+"""Element-wise vector math device ops.
+
+Parity target: reference SIMD helpers — l2 normalization / cosine /
+scale-in-place (core/src/simd.rs, embed/src/simd.rs). On TPU these are
+single fused XLA programs; no hand scheduling needed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """Row-wise L2 normalization; zero rows stay zero (reference contract:
+    l2_normalize leaves zero vectors untouched)."""
+    norm = jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
+    return jnp.where(norm > eps, x / norm.astype(x.dtype), x)
+
+
+@jax.jit
+def cosine_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Pairwise cosine similarity (A rows x B rows), f32 accumulation."""
+    an = l2_normalize(a).astype(jnp.float32)
+    bn = l2_normalize(b).astype(jnp.float32)
+    return jnp.dot(an, bn.T, preferred_element_type=jnp.float32)
+
+
+def mean_pool(token_embeddings: jax.Array, mask: jax.Array) -> jax.Array:
+    """Masked mean pooling over the token axis.
+
+    token_embeddings: (B, T, D); mask: (B, T) 1/0. Matches the reference's
+    Model2Vec / MiniLM mean-pool contract (embed/src/model2vec_embedder.rs,
+    fastembed mean pooling).
+    """
+    mask_f = mask.astype(jnp.float32)[..., None]
+    summed = jnp.sum(token_embeddings.astype(jnp.float32) * mask_f, axis=1)
+    counts = jnp.maximum(jnp.sum(mask_f, axis=1), 1.0)
+    return summed / counts

@@ -1,0 +1,37 @@
+"""Test harness: force an 8-device virtual CPU platform.
+
+Multi-chip hardware isn't available in CI; sharding tests run over
+XLA's host-platform virtual devices (SURVEY.md §7 / driver contract).
+Must run before jax initializes, hence module-level os.environ writes.
+"""
+
+import os
+
+# Force CPU regardless of ambient JAX_PLATFORMS (the dev box exposes the
+# real TPU via an experimental 'axon' plugin whose sitecustomize re-pins
+# JAX_PLATFORMS; benches use the TPU, tests must not).
+_platform = os.environ.get("FS_TPU_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _platform)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def make_unit_rows(rng, n, d, dtype=np.float32):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return x.astype(dtype)

@@ -1,0 +1,165 @@
+"""Core contract tests: types, config, canonicalize, query class, parser."""
+
+import math
+import os
+
+import pytest
+
+from frankensearch_tpu.core.canonicalize import DefaultCanonicalizer
+from frankensearch_tpu.core.config import (
+    FusionStrategy,
+    TwoTierConfig,
+)
+from frankensearch_tpu.core.errors import InvalidConfig
+from frankensearch_tpu.core.parsed_query import ParsedQuery
+from frankensearch_tpu.core.query_class import QueryClass
+from frankensearch_tpu.core.types import (
+    IndexableDocument,
+    cosine_similarity,
+    l2_normalize,
+    truncate_embedding,
+)
+
+
+class TestQueryClass:
+    # behavior contract mirrors reference query_class.rs doc table
+    @pytest.mark.parametrize(
+        "query,expected",
+        [
+            ("", QueryClass.EMPTY),
+            ("   ", QueryClass.EMPTY),
+            ("bd-123", QueryClass.IDENTIFIER),
+            ("src/main.rs", QueryClass.IDENTIFIER),
+            ("snake_case_name", QueryClass.IDENTIFIER),
+            ("camelCaseName", QueryClass.IDENTIFIER),
+            ("std::vector", QueryClass.IDENTIFIER),
+            ("fn parse", QueryClass.IDENTIFIER),
+            ("error handling", QueryClass.SHORT_KEYWORD),
+            ("search", QueryClass.SHORT_KEYWORD),
+            ("one two three", QueryClass.SHORT_KEYWORD),
+            ("how does the search work?", QueryClass.NATURAL_LANGUAGE),
+        ],
+    )
+    def test_classify(self, query, expected):
+        assert QueryClass.classify(query) is expected
+
+    def test_capitalized_word_is_not_identifier(self):
+        assert QueryClass.classify("Hello") is QueryClass.SHORT_KEYWORD
+
+    def test_budget_multipliers(self):
+        # identifiers lean lexical; natural language leans semantic
+        ident = QueryClass.IDENTIFIER
+        nl = QueryClass.NATURAL_LANGUAGE
+        assert ident.lexical_budget_multiplier() > ident.semantic_budget_multiplier()
+        assert nl.semantic_budget_multiplier() > nl.lexical_budget_multiplier()
+        assert QueryClass.EMPTY.lexical_budget_multiplier() == 0.0
+        sk = QueryClass.SHORT_KEYWORD
+        assert sk.lexical_budget_multiplier() == sk.semantic_budget_multiplier()
+
+
+class TestParsedQuery:
+    def test_plain(self):
+        p = ParsedQuery.parse("error handling")
+        assert p.positive == "error handling"
+        assert not p.has_negations
+
+    def test_minus_term(self):
+        p = ParsedQuery.parse("rust async -tokio")
+        assert p.positive == "rust async"
+        assert p.negative_terms == ("tokio",)
+
+    def test_not_phrase(self):
+        p = ParsedQuery.parse('search engine NOT "vector database"')
+        assert p.positive == "search engine"
+        assert p.negative_terms == ("vector database",)
+
+    def test_mid_word_hyphen_is_not_negation(self):
+        p = ParsedQuery.parse("two-tier search")
+        assert p.positive == "two-tier search"
+        assert not p.has_negations
+
+    def test_excludes(self):
+        p = ParsedQuery.parse("widgets -blue")
+        assert p.excludes("a BLUE widget")
+        assert not p.excludes("a red widget")
+
+
+class TestCanonicalizer:
+    def setup_method(self):
+        self.canon = DefaultCanonicalizer()
+
+    def test_query_nfc_trim_only(self):
+        assert self.canon.canonicalize_query("  hello  world  ") == "hello  world"
+
+    def test_doc_whitespace_collapse(self):
+        out = self.canon.canonicalize_document("a   b\t\tc\n\n\n\nd")
+        assert out == "a b c\n\nd"
+
+    def test_doc_truncation(self):
+        out, stats = self.canon.canonicalize_document_with_stats("word " * 1000)
+        assert len(out) == 2000
+        assert stats.truncated
+
+    def test_markdown_strip(self):
+        out = self.canon.canonicalize_document("# Title\n\nSome **bold** and [link](http://x) text")
+        assert "#" not in out
+        assert "**" not in out
+        assert "http://x" not in out
+        assert "link" in out
+
+    def test_code_block_collapse(self):
+        lines = "\n".join(f"line{i}" for i in range(100))
+        doc = f"intro\n```python\n{lines}\n```\noutro"
+        out = self.canon.canonicalize_document(doc)
+        assert "line0" in out and "line19" in out
+        assert "line99" in out and "line90" in out
+        assert "line50" not in out
+
+    def test_low_signal_filtered(self):
+        out, stats = self.canon.canonicalize_document_with_stats("!!! ### $$$ %%%")
+        assert out == ""
+        assert stats.low_signal
+
+
+class TestConfig:
+    def test_defaults_match_reference(self):
+        cfg = TwoTierConfig()
+        assert cfg.quality_weight == 0.7
+        assert cfg.rrf_k == 60
+        assert cfg.candidate_multiplier == 3
+        assert cfg.quality_timeout_ms == 500
+        assert cfg.mrl_rescore_top_k == 30
+
+    def test_validate_rejects_bad_weight(self):
+        with pytest.raises(InvalidConfig):
+            TwoTierConfig(quality_weight=1.5).validate()
+
+    def test_env_overrides(self, monkeypatch):
+        monkeypatch.setenv("FRANKENSEARCH_RRF_K", "30")
+        monkeypatch.setenv("FRANKENSEARCH_FAST_ONLY", "true")
+        monkeypatch.setenv("FRANKENSEARCH_FUSION_STRATEGY", "pool_minmax")
+        cfg = TwoTierConfig.from_env()
+        assert cfg.rrf_k == 30
+        assert cfg.fast_only is True
+        assert cfg.fusion_strategy is FusionStrategy.POOL_MINMAX
+
+
+class TestVectorHelpers:
+    def test_l2_normalize(self):
+        v = l2_normalize([3.0, 4.0])
+        assert math.isclose(v[0], 0.6) and math.isclose(v[1], 0.8)
+
+    def test_l2_normalize_zero_stays_zero(self):
+        assert l2_normalize([0.0, 0.0]) == [0.0, 0.0]
+
+    def test_cosine(self):
+        assert math.isclose(cosine_similarity([1, 0], [1, 0]), 1.0)
+        assert math.isclose(cosine_similarity([1, 0], [0, 1]), 0.0)
+
+    def test_truncate_embedding_renormalizes(self):
+        v = truncate_embedding([0.6, 0.8, 0.0, 0.0], 2)
+        assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-6)
+
+    def test_document_requires_id(self):
+        with pytest.raises(ValueError):
+            IndexableDocument(doc_id="", content="x")

@@ -1,0 +1,216 @@
+"""FTVI artifact + WAL + device index + two-tier index tests.
+
+Parity model: reference fsvi_roundtrip.rs, wal tests, two-tier alignment
+tests (crates/frankensearch-index/tests/).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu.core.errors import (
+    IdentityMismatch,
+    IndexCorrupted,
+    IndexNotFound,
+    WalCorrupted,
+)
+from frankensearch_tpu.core.filter import BitsetFilter
+from frankensearch_tpu.core.types import ZeroSignalReason
+from frankensearch_tpu.index.device_index import DeviceVectorIndex
+from frankensearch_tpu.index.fsvi import (
+    EmbeddingIdentity,
+    FtviFile,
+    write_ftvi,
+)
+from frankensearch_tpu.index.two_tier import TwoTierIndex
+from frankensearch_tpu.index.wal import WriteAheadLog
+from tests.conftest import make_unit_rows
+
+IDENT = EmbeddingIdentity(embedder_id="test-embedder", embedder_revision="r1", dim=32)
+
+
+def make_index(rng, n=20, d=32, **kwargs):
+    vecs = make_unit_rows(rng, n, d)
+    ids = [f"doc-{i}" for i in range(n)]
+    return DeviceVectorIndex(vecs, ids, IDENT, use_pallas=False, **kwargs), vecs, ids
+
+
+class TestFtviRoundtrip:
+    @pytest.mark.parametrize("dtype", ["f32", "f16", "bf16"])
+    def test_roundtrip(self, rng, tmp_path, dtype):
+        vecs = make_unit_rows(rng, 10, 32)
+        ids = [f"doc-{i}" for i in range(10)]
+        path = tmp_path / "vector.idx"
+        write_ftvi(path, vecs, ids, IDENT, dtype=dtype)
+        f = FtviFile(path, verify_slab=True)
+        assert f.doc_ids == ids
+        assert f.record_count == 10
+        assert f.dim == 32
+        atol = {"f32": 1e-7, "f16": 1e-3, "bf16": 1e-2}[dtype]
+        np.testing.assert_allclose(f.vectors_f32(), vecs, atol=atol)
+
+    def test_identity_binding(self, rng, tmp_path):
+        vecs = make_unit_rows(rng, 5, 32)
+        path = tmp_path / "vector.idx"
+        write_ftvi(path, vecs, [f"d{i}" for i in range(5)], IDENT)
+        f = FtviFile(path)
+        f.verify_identity(IDENT)  # ok
+        with pytest.raises(IdentityMismatch):
+            f.verify_identity(EmbeddingIdentity(embedder_id="other", dim=32))
+
+    def test_corruption_detected(self, rng, tmp_path):
+        vecs = make_unit_rows(rng, 5, 32)
+        path = tmp_path / "vector.idx"
+        write_ftvi(path, vecs, [f"d{i}" for i in range(5)], IDENT)
+        # flip a byte in the slab
+        with open(path, "r+b") as fh:
+            fh.seek(-3, os.SEEK_END)
+            fh.write(b"\xff")
+        with pytest.raises(IndexCorrupted):
+            FtviFile(path, verify_slab=True)
+
+    def test_missing_file(self, tmp_path):
+        with pytest.raises(IndexNotFound):
+            FtviFile(tmp_path / "nope.idx")
+
+    def test_unicode_doc_ids(self, rng, tmp_path):
+        ids = ["héllo", "日本語", "emoji-🙂"]
+        vecs = make_unit_rows(rng, 3, 16)
+        path = tmp_path / "v.idx"
+        write_ftvi(path, vecs, ids, IDENT)
+        assert FtviFile(path).doc_ids == ids
+
+
+class TestWal:
+    def test_append_replay(self, rng, tmp_path):
+        wal = WriteAheadLog(tmp_path / "v.idx.wal")
+        v1 = make_unit_rows(rng, 2, 8)
+        v2 = make_unit_rows(rng, 1, 8)
+        wal.append(["a", "b"], v1)
+        wal.append(["c"], v2)
+        state = wal.replay()
+        assert state.batches_read == 2
+        assert set(state.live) == {"a", "b", "c"}
+        np.testing.assert_allclose(state.live["c"], v2[0])
+
+    def test_supersession(self, rng, tmp_path):
+        wal = WriteAheadLog(tmp_path / "v.idx.wal")
+        v1 = make_unit_rows(rng, 1, 8)
+        v2 = make_unit_rows(rng, 1, 8)
+        wal.append(["a"], v1)
+        wal.append(["a"], v2)  # later append wins
+        wal.tombstone(["b"])
+        state = wal.replay()
+        np.testing.assert_allclose(state.live["a"], v2[0])
+        assert "b" in state.tombstones
+
+    def test_torn_tail_discarded(self, rng, tmp_path):
+        wal = WriteAheadLog(tmp_path / "v.idx.wal")
+        wal.append(["a"], make_unit_rows(rng, 1, 8))
+        wal.append(["b"], make_unit_rows(rng, 1, 8))
+        # truncate mid-batch
+        size = os.path.getsize(wal.path)
+        with open(wal.path, "r+b") as f:
+            f.truncate(size - 5)
+        state = wal.replay()
+        assert state.batches_read == 1
+        assert "a" in state.live and "b" not in state.live
+        assert state.bytes_discarded > 0
+        with pytest.raises(WalCorrupted):
+            wal.replay(strict=True)
+
+
+class TestDeviceIndex:
+    def test_search_finds_self(self, rng):
+        idx, vecs, ids = make_index(rng)
+        hits = idx.search_classified(vecs[7], 3)
+        assert hits.hits[0].doc_id == "doc-7"
+        # bf16 slab storage: ~8-bit mantissa => 1e-2 score tolerance
+        assert hits.hits[0].score == pytest.approx(1.0, abs=1e-2)
+
+    def test_zero_signal_classification(self, rng):
+        idx, vecs, ids = make_index(rng)
+        empty = DeviceVectorIndex(np.zeros((0, 32)), [], IDENT, use_pallas=False)
+        assert empty.search_classified(vecs[0], 3).zero_signal is ZeroSignalReason.NO_RECORDS
+        assert (
+            idx.search_classified(np.zeros(32), 3).zero_signal
+            is ZeroSignalReason.DEGENERATE_QUERY
+        )
+        all_tomb = idx.with_tombstones(ids)
+        assert (
+            all_tomb.search_classified(vecs[0], 3).zero_signal
+            is ZeroSignalReason.ALL_TOMBSTONED
+        )
+
+    def test_tombstones_excluded(self, rng):
+        idx, vecs, ids = make_index(rng)
+        idx2 = idx.with_tombstones(["doc-7"])
+        hits = idx2.search_classified(vecs[7], 3)
+        assert all(h.doc_id != "doc-7" for h in hits.hits)
+
+    def test_append_supersedes(self, rng):
+        idx, vecs, ids = make_index(rng)
+        new_vec = make_unit_rows(rng, 1, 32)
+        idx2 = idx.with_appended(["doc-3", "doc-new"], np.stack([new_vec[0], vecs[5]]))
+        assert idx2.record_count == 21
+        hits = idx2.search_classified(new_vec[0], 1)
+        assert hits.hits[0].doc_id == "doc-3"
+
+    def test_filter_mask(self, rng):
+        idx, vecs, ids = make_index(rng)
+        f = BitsetFilter(frozenset({"doc-1", "doc-2"}))
+        hits = idx.search_classified(vecs[0], 5, search_filter=f)
+        assert {h.doc_id for h in hits.hits} <= {"doc-1", "doc-2"}
+
+    def test_int8_mode(self, rng):
+        idx, vecs, ids = make_index(rng, n=200)
+        res = idx.search_batch(vecs[:4], 5, mode="int8")
+        hits = idx.hydrate(res)
+        assert hits[0][0].doc_id == "doc-0"
+
+
+class TestTwoTier:
+    def test_create_open_search(self, rng, tmp_path):
+        fast = make_unit_rows(rng, 30, 32)
+        quality = make_unit_rows(rng, 30, 64)
+        ids = [f"doc-{i}" for i in range(30)]
+        qident = EmbeddingIdentity(embedder_id="quality-emb", dim=64)
+        idx = TwoTierIndex.create(
+            str(tmp_path / "ix"), fast, ids, IDENT,
+            quality_vectors=quality, quality_identity=qident, use_pallas=False,
+        )
+        assert idx.has_quality_tier
+        hits = idx.search_fast_classified(fast[3], 5)
+        assert hits.hits[0].doc_id == "doc-3"
+        qscores = idx.quality_scores_for_hits(quality[3], list(hits.hits))
+        assert qscores["doc-3"] == pytest.approx(1.0, abs=1e-2)
+
+    def test_reopen(self, rng, tmp_path):
+        fast = make_unit_rows(rng, 10, 32)
+        ids = [f"doc-{i}" for i in range(10)]
+        TwoTierIndex.create(str(tmp_path / "ix"), fast, ids, IDENT, use_pallas=False)
+        idx = TwoTierIndex.open(str(tmp_path / "ix"), use_pallas=False)
+        assert idx.doc_count() == 10
+
+    def test_wal_append_survives_reopen(self, rng, tmp_path):
+        fast = make_unit_rows(rng, 10, 32)
+        ids = [f"doc-{i}" for i in range(10)]
+        idx = TwoTierIndex.create(str(tmp_path / "ix"), fast, ids, IDENT, use_pallas=False)
+        new = make_unit_rows(rng, 1, 32)
+        idx.append_fast(["doc-extra"], new)
+        reopened = TwoTierIndex.open(str(tmp_path / "ix"), use_pallas=False)
+        assert reopened.doc_count() == 11
+        hits = reopened.search_fast_classified(new[0], 1)
+        assert hits.hits[0].doc_id == "doc-extra"
+
+    def test_delete_and_compact(self, rng, tmp_path):
+        fast = make_unit_rows(rng, 10, 32)
+        ids = [f"doc-{i}" for i in range(10)]
+        idx = TwoTierIndex.create(str(tmp_path / "ix"), fast, ids, IDENT, use_pallas=False)
+        idx.delete(["doc-0", "doc-1"])
+        assert idx.doc_count() == 8
+        compacted = idx.compact()
+        assert compacted.doc_count() == 8
+        assert compacted.fast.record_count == 8  # physically removed
+        assert not os.path.exists(str(tmp_path / "ix" / "vector.fast.idx.wal"))

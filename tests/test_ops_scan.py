@@ -1,0 +1,207 @@
+"""Scan kernel correctness: XLA path, Pallas fused path (interpret mode on
+CPU), int8 two-pass, MRL two-pass — all vs a numpy oracle.
+
+Parity model: the reference proves every SIMD path bit-identical or
+order-preserving vs a generic scalar fallback (index/src/simd.rs tests);
+here the numpy oracle plays the generic role.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from frankensearch_tpu.ops.quantize import (
+    calibrate_int4,
+    calibrate_int8,
+    dequantize_int8,
+    unpack_int4,
+    unpack_int4_device,
+)
+from frankensearch_tpu.ops.topk_scan import (
+    additive_mask,
+    scan_topk_int8_two_pass,
+    scan_topk_mrl,
+    scan_topk_pallas,
+    scan_topk_xla,
+)
+from tests.conftest import make_unit_rows
+
+
+def numpy_topk(slab, queries, k, valid=None):
+    scores = queries.astype(np.float64) @ slab.astype(np.float64).T
+    if valid is not None:
+        scores = np.where(valid[None, :], scores, -np.inf)
+    # stable (score desc, row asc) ordering
+    order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    top = np.take_along_axis(scores, order, axis=1)
+    order = np.where(np.isfinite(top), order, -1)
+    return top, order
+
+
+class TestScanXla:
+    def test_exact_match_vs_numpy(self, rng):
+        slab = make_unit_rows(rng, 100, 32)
+        queries = make_unit_rows(rng, 7, 32)
+        res = scan_topk_xla(jnp.asarray(slab), jnp.asarray(queries), 10, precise=True)
+        ref_s, ref_i = numpy_topk(slab, queries, 10)
+        # f32 device accumulation vs f64 oracle can swap near-ties; compare
+        # as sets + score values (the reference's "order-preserving" class)
+        for b in range(7):
+            assert set(np.asarray(res.indices)[b]) == set(ref_i[b])
+        np.testing.assert_allclose(np.asarray(res.scores), ref_s, atol=1e-5)
+
+    def test_determinism_across_runs(self, rng):
+        slab = make_unit_rows(rng, 300, 32)
+        queries = make_unit_rows(rng, 5, 32)
+        r1 = scan_topk_xla(jnp.asarray(slab), jnp.asarray(queries), 10, precise=True)
+        r2 = scan_topk_xla(jnp.asarray(slab), jnp.asarray(queries), 10, precise=True)
+        np.testing.assert_array_equal(np.asarray(r1.indices), np.asarray(r2.indices))
+        np.testing.assert_array_equal(np.asarray(r1.scores), np.asarray(r2.scores))
+
+    def test_mask_excludes_rows(self, rng):
+        slab = make_unit_rows(rng, 50, 16)
+        queries = make_unit_rows(rng, 3, 16)
+        valid = np.ones(50, dtype=bool)
+        valid[::2] = False
+        mask = additive_mask(jnp.asarray(valid))
+        res = scan_topk_xla(jnp.asarray(slab), jnp.asarray(queries), 5, mask, precise=True)
+        idx = np.asarray(res.indices)
+        assert np.all(idx % 2 == 1)  # only odd rows admitted
+
+    def test_k_larger_than_n_pads(self, rng):
+        slab = make_unit_rows(rng, 4, 8)
+        queries = make_unit_rows(rng, 2, 8)
+        res = scan_topk_xla(jnp.asarray(slab), jnp.asarray(queries), 10, precise=True)
+        assert res.scores.shape == (2, 10)
+        assert np.all(np.asarray(res.indices)[:, 4:] == -1)
+
+    def test_all_masked_yields_minus_one(self, rng):
+        slab = make_unit_rows(rng, 8, 8)
+        queries = make_unit_rows(rng, 1, 8)
+        mask = additive_mask(jnp.zeros(8, dtype=bool))
+        res = scan_topk_xla(jnp.asarray(slab), jnp.asarray(queries), 3, mask, precise=True)
+        assert np.all(np.asarray(res.indices) == -1)
+
+    def test_tiebreak_prefers_lower_row(self):
+        # duplicate rows -> equal scores; lower row must win
+        row = np.zeros((1, 8), dtype=np.float32)
+        row[0, 0] = 1.0
+        slab = np.concatenate([row, row, row], axis=0)
+        res = scan_topk_xla(jnp.asarray(slab), jnp.asarray(row), 3, precise=True)
+        np.testing.assert_array_equal(np.asarray(res.indices)[0], [0, 1, 2])
+
+
+class TestScanPallasInterpret:
+    """Pallas kernel in interpret mode (CPU); real-TPU run covered by bench."""
+
+    def test_matches_xla(self, rng):
+        slab = make_unit_rows(rng, 512, 128)
+        queries = make_unit_rows(rng, 8, 128)
+        res_p = scan_topk_pallas(
+            jnp.asarray(slab), jnp.asarray(queries), 10, tile_n=128, interpret=True
+        )
+        res_x = scan_topk_xla(jnp.asarray(slab), jnp.asarray(queries), 10, precise=True)
+        np.testing.assert_array_equal(np.asarray(res_p.indices), np.asarray(res_x.indices))
+        np.testing.assert_allclose(
+            np.asarray(res_p.scores), np.asarray(res_x.scores), atol=1e-5
+        )
+
+    def test_mask_and_padding(self, rng):
+        slab = make_unit_rows(rng, 256, 64)
+        # pad rows beyond 200 are invalid
+        valid = np.arange(256) < 200
+        queries = make_unit_rows(rng, 4, 64)
+        mask = additive_mask(jnp.asarray(valid))
+        res = scan_topk_pallas(
+            jnp.asarray(slab), jnp.asarray(queries), 8, mask, tile_n=64, interpret=True
+        )
+        assert np.all(np.asarray(res.indices) < 200)
+        ref_s, ref_i = numpy_topk(slab, queries, 8, valid)
+        for b in range(4):
+            assert set(np.asarray(res.indices)[b]) == set(ref_i[b])
+
+    def test_rejects_unaligned_tile(self, rng):
+        slab = make_unit_rows(rng, 100, 32)
+        queries = make_unit_rows(rng, 2, 32)
+        with pytest.raises(ValueError):
+            scan_topk_pallas(jnp.asarray(slab), jnp.asarray(queries), 5, tile_n=64, interpret=True)
+
+
+class TestInt8TwoPass:
+    def test_recall_at_equal_k(self, rng):
+        slab = make_unit_rows(rng, 1000, 64)
+        queries = make_unit_rows(rng, 8, 64)
+        q8 = calibrate_int8(slab)
+        res = scan_topk_int8_two_pass(
+            jnp.asarray(q8.values),
+            jnp.asarray(q8.scale),
+            jnp.asarray(slab),
+            jnp.asarray(queries),
+            10,
+            candidate_multiplier=4,
+        )
+        ref_s, ref_i = numpy_topk(slab, queries, 10)
+        # two-pass with 4x pool: expect >= 9/10 overlap per query
+        for b in range(8):
+            overlap = len(set(np.asarray(res.indices)[b]) & set(ref_i[b]))
+            assert overlap >= 9, f"query {b}: overlap {overlap}"
+
+    def test_pass2_scores_are_exact(self, rng):
+        slab = make_unit_rows(rng, 200, 32)
+        queries = make_unit_rows(rng, 2, 32)
+        q8 = calibrate_int8(slab)
+        res = scan_topk_int8_two_pass(
+            jnp.asarray(q8.values), jnp.asarray(q8.scale), jnp.asarray(slab),
+            jnp.asarray(queries), 5,
+        )
+        idx = np.asarray(res.indices)
+        expected = np.take_along_axis(
+            queries @ slab.T, idx, axis=1
+        )
+        np.testing.assert_allclose(np.asarray(res.scores), expected, atol=1e-4)
+
+
+class TestMrl:
+    def test_full_dim_rescore_improves_on_truncated(self, rng):
+        # MRL-trained embeddings concentrate energy in the leading dims;
+        # model that with a decaying per-dim scale, as in index/src/mrl.rs's
+        # assumption that truncated-dim ranking is a good pass-1 proxy.
+        decay = np.exp(-np.arange(128) / 16.0).astype(np.float32)
+
+        def mrl_rows(n):
+            x = rng.standard_normal((n, 128)).astype(np.float32) * decay
+            return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+        slab = mrl_rows(500)
+        queries = mrl_rows(4)
+        res = scan_topk_mrl(
+            jnp.asarray(slab), jnp.asarray(queries), 10,
+            search_dims=32, rescore_top_k=50,
+        )
+        ref_s, ref_i = numpy_topk(slab, queries, 10)
+        for b in range(4):
+            overlap = len(set(np.asarray(res.indices)[b]) & set(ref_i[b]))
+            assert overlap >= 8, f"query {b}: overlap {overlap}"
+
+
+class TestQuantize:
+    def test_int8_roundtrip_error(self, rng):
+        slab = make_unit_rows(rng, 100, 64)
+        q = calibrate_int8(slab)
+        err = np.abs(dequantize_int8(q) - slab).max()
+        assert err <= q.scale.max() * 0.51
+
+    def test_int4_pack_unpack(self, rng):
+        slab = make_unit_rows(rng, 64, 32)
+        q = calibrate_int4(slab)
+        recon = unpack_int4(q)
+        assert recon.shape == slab.shape
+        assert np.abs(recon - slab).max() <= q.scale.max() * 0.51
+
+    def test_int4_device_unpack_matches_host(self, rng):
+        slab = make_unit_rows(rng, 16, 8)
+        q = calibrate_int4(slab)
+        dev = np.asarray(unpack_int4_device(jnp.asarray(q.packed)))
+        host_int = np.round(unpack_int4(q) / q.scale).astype(np.int8)
+        np.testing.assert_array_equal(dev, host_int)
