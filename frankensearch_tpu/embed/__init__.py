@@ -1,0 +1,5 @@
+"""Embedders: hash fallback, Model2Vec fast tier, transformer quality tier.
+
+Parity target: crates/frankensearch-embed (reference). The ONNX Runtime
+sessions become batched JAX device programs.
+"""

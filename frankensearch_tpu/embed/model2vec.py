@@ -1,0 +1,188 @@
+"""Model2Vec embedder: static token embeddings + mean pool, on device.
+
+Parity target: reference crates/frankensearch-embed/src/model2vec_embedder.rs
+(:1-90) — the FAST tier (potion-multilingual-128M class): HF tokenizer ->
+per-token row gather from a flat (vocab x dim) f32 matrix -> mean pool ->
+L2 normalize. ~0.57 ms/doc on one CPU core in the reference; here the
+gather+pool is one jitted device program batched over documents.
+
+TPU-first notes:
+- token-id gather + masked mean-pool + normalize is a single XLA program;
+  token lengths are padded to bucket sizes so jit traces a handful of
+  shapes, not one per batch.
+- the embedding matrix lives in HBM in bf16 (f32 accumulation in the pool).
+
+Model loading: a directory holding ``tokenizer.json`` (HF tokenizers) and
+``model.safetensors`` (key ``embeddings``) in the model2vec layout. For
+tests and model-free operation, construct with an explicit vocab + matrix.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import re
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frankensearch_tpu.core.errors import EmbeddingFailed
+from frankensearch_tpu.embed.base import Embedder, l2_normalize_rows
+
+_WORD_RE = re.compile(r"[\w']+|[^\w\s]", re.UNICODE)
+
+_LENGTH_BUCKETS = (16, 32, 64, 128, 256, 512)
+
+
+def _bucket_len(n: int) -> int:
+    for b in _LENGTH_BUCKETS:
+        if n <= b:
+            return b
+    return _LENGTH_BUCKETS[-1]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _gather_pool_normalize(emb: jax.Array, ids: jax.Array, mask: jax.Array) -> jax.Array:
+    """(V, D) x (B, T) -> (B, D) unit rows; f32 accumulation."""
+    rows = jnp.take(emb, ids, axis=0).astype(jnp.float32)  # (B, T, D)
+    m = mask.astype(jnp.float32)[..., None]
+    pooled = jnp.sum(rows * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+    return jnp.where(norm > 1e-12, pooled / norm, pooled)
+
+
+class SimpleWordTokenizer:
+    """Whitespace/punct word tokenizer over an explicit vocab (test/default
+    path; real deployments load an HF ``tokenizer.json``)."""
+
+    def __init__(self, vocab: dict[str, int], unk_id: int | None = None, lowercase: bool = True):
+        self.vocab = vocab
+        self.unk_id = unk_id
+        self.lowercase = lowercase
+
+    def encode(self, text: str) -> list[int]:
+        if self.lowercase:
+            text = text.lower()
+        ids = []
+        for tok in _WORD_RE.findall(text):
+            i = self.vocab.get(tok)
+            if i is None:
+                i = self.unk_id
+            if i is not None:
+                ids.append(i)
+        return ids
+
+
+class HfTokenizerWrapper:
+    """Adapter over the ``tokenizers`` package (no specials, as model2vec)."""
+
+    def __init__(self, path: str) -> None:
+        from tokenizers import Tokenizer  # baked into the image
+
+        self._tok = Tokenizer.from_file(path)
+
+    def encode(self, text: str) -> list[int]:
+        return self._tok.encode(text, add_special_tokens=False).ids
+
+
+class Model2VecEmbedder(Embedder):
+    """Static-embedding fast tier."""
+
+    def __init__(
+        self,
+        embeddings: np.ndarray,
+        tokenizer,
+        *,
+        embedder_id: str = "model2vec",
+        revision: str = "",
+        max_tokens: int = 512,
+        param_dtype: str = "bf16",
+    ) -> None:
+        embeddings = np.asarray(embeddings, dtype=np.float32)
+        self._dim = int(embeddings.shape[1])
+        self._vocab_size = int(embeddings.shape[0])
+        dt = jnp.bfloat16 if param_dtype == "bf16" else jnp.float32
+        self._emb = jnp.asarray(embeddings, dtype=dt)
+        self._tokenizer = tokenizer
+        self._id = embedder_id
+        self._revision = revision
+        self.max_tokens = max_tokens
+
+    # -- identity --
+
+    @property
+    def dim(self) -> int:
+        return self._dim
+
+    @property
+    def embedder_id(self) -> str:
+        return self._id
+
+    @property
+    def revision(self) -> str:
+        return self._revision
+
+    # -- loading --
+
+    @classmethod
+    def from_dir(cls, model_dir: str, **kwargs) -> "Model2VecEmbedder":
+        """Load the model2vec layout: tokenizer.json + model.safetensors
+        (key 'embeddings'), config.json optional."""
+        tok_path = os.path.join(model_dir, "tokenizer.json")
+        st_path = os.path.join(model_dir, "model.safetensors")
+        if not (os.path.exists(tok_path) and os.path.exists(st_path)):
+            raise EmbeddingFailed(f"model2vec layout not found in {model_dir}")
+        try:
+            from safetensors.numpy import load_file
+        except ImportError as e:  # pragma: no cover
+            raise EmbeddingFailed("safetensors unavailable") from e
+        tensors = load_file(st_path)
+        key = "embeddings" if "embeddings" in tensors else next(iter(tensors))
+        emb = tensors[key]
+        rev = ""
+        cfg_path = os.path.join(model_dir, "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                rev = str(json.load(f).get("model_revision", ""))
+        return cls(
+            emb,
+            HfTokenizerWrapper(tok_path),
+            embedder_id=os.path.basename(os.path.normpath(model_dir)),
+            revision=rev,
+            **kwargs,
+        )
+
+    # -- embedding --
+
+    def embed_batch(self, texts: Sequence[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self._dim), dtype=np.float32)
+        encoded = [self._tokenizer.encode(t)[: self.max_tokens] for t in texts]
+        max_len = max((len(e) for e in encoded), default=1)
+        t_pad = _bucket_len(max(max_len, 1))
+        ids = np.zeros((len(texts), t_pad), dtype=np.int32)
+        mask = np.zeros((len(texts), t_pad), dtype=np.int32)
+        for i, e in enumerate(encoded):
+            if e:
+                ids[i, : len(e)] = e
+                mask[i, : len(e)] = 1
+        out = _gather_pool_normalize(self._emb, jnp.asarray(ids), jnp.asarray(mask))
+        result = np.asarray(out, dtype=np.float32)
+        # rows with zero tokens stay zero vectors (caller treats as degenerate)
+        return l2_normalize_rows(result)
+
+
+def random_model2vec(
+    vocab: Sequence[str], dim: int = 64, seed: int = 0, **kwargs
+) -> Model2VecEmbedder:
+    """Test helper: deterministic random static embeddings over a vocab."""
+    rng = np.random.default_rng(seed)
+    emb = rng.standard_normal((len(vocab), dim)).astype(np.float32)
+    emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    tok = SimpleWordTokenizer({w: i for i, w in enumerate(vocab)})
+    return Model2VecEmbedder(
+        emb, tok, embedder_id=f"random-m2v-{dim}", revision="test", **kwargs
+    )

@@ -1,0 +1,4 @@
+"""Fusion & orchestration: RRF, blending, the two-tier progressive searcher.
+
+Parity target: crates/frankensearch-fusion (reference).
+"""

@@ -1,0 +1,248 @@
+"""Reciprocal Rank Fusion with the reference's deterministic ordering.
+
+Parity target: reference crates/frankensearch-fusion/src/rrf.rs —
+``score(doc) = sum_i w_i / (K + rank_i + 1)`` with 0-based ranks, K=60
+default (:223), per-tier weight sanitization, first-occurrence dedup
+within a source, and the exact 4-level ordering (:51-64):
+
+    1. RRF score descending
+    2. in_both_sources (true preferred)
+    3. tiebreak: LexicalThenId (lexical score desc, missing = -inf)
+       or Hash (FNV-1a of doc_id ascending)
+    4. doc_id ascending (absolute determinism)
+
+Also provides the pool min-max fusion alternative (FusionStrategy) and
+the graph-source variant (rrf_fuse_with_graph :~240).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from frankensearch_tpu.core.config import FusionStrategy, TiebreakStrategy
+from frankensearch_tpu.core.types import FusedHit, ScoredResult, SearchSource, VectorHit
+from frankensearch_tpu.embed.hash_embedder import fnv1a_64
+
+DEFAULT_RRF_K = 60.0
+
+
+@dataclass(frozen=True)
+class RrfConfig:
+    k: float = DEFAULT_RRF_K
+    lexical_weight: float = 1.0
+    semantic_weight: float = 1.0
+    tiebreak: TiebreakStrategy = TiebreakStrategy.LEXICAL_THEN_ID
+
+
+def candidate_count(limit: int, offset: int, multiplier: int) -> int:
+    """How many candidates to fetch per source (rrf.rs candidate_count)."""
+    return (limit + offset) * multiplier
+
+
+def _sanitize_weight(w: float) -> float:
+    return w if math.isfinite(w) and w > 0.0 else 1.0
+
+
+def _sanitize_k(k: float) -> float:
+    return k if math.isfinite(k) and k >= 0.0 else DEFAULT_RRF_K
+
+
+def _sanitize_graph_weight(w: float) -> float:
+    return w if math.isfinite(w) and w > 0.0 else 0.0
+
+
+def _rank_contribution(k: float, rank: int) -> float:
+    return 1.0 / (k + float(rank) + 1.0)
+
+
+@dataclass
+class _Scratch:
+    doc_id: str
+    rrf_score: float = 0.0
+    lexical_rank: int | None = None
+    semantic_rank: int | None = None
+    semantic_row: int = -1
+    graph_rank: int | None = None
+    lexical_score: float | None = None
+    semantic_score: float | None = None
+    graph_score: float | None = None
+    in_both_sources: bool = False
+
+
+def _sort_key(h: _Scratch, tiebreak: TiebreakStrategy):
+    if tiebreak is TiebreakStrategy.NEUTRAL_HASH:
+        tb = fnv1a_64(h.doc_id.encode("utf-8"))
+    else:
+        lex = h.lexical_score if h.lexical_score is not None else float("-inf")
+        tb = -lex  # lexical score descending
+    return (-h.rrf_score, not h.in_both_sources, tb, h.doc_id)
+
+
+def rrf_fuse(
+    lexical: Sequence[ScoredResult],
+    semantic: Sequence[VectorHit],
+    limit: int,
+    offset: int = 0,
+    config: RrfConfig | None = None,
+) -> list[FusedHit]:
+    return rrf_fuse_with_graph(lexical, semantic, (), 0.0, limit, offset, config)
+
+
+def rrf_fuse_with_graph(
+    lexical: Sequence[ScoredResult],
+    semantic: Sequence[VectorHit],
+    graph: Sequence[ScoredResult],
+    graph_weight: float,
+    limit: int,
+    offset: int = 0,
+    config: RrfConfig | None = None,
+) -> list[FusedHit]:
+    cfg = config or RrfConfig()
+    k = _sanitize_k(cfg.k)
+    lw = _sanitize_weight(cfg.lexical_weight)
+    sw = _sanitize_weight(cfg.semantic_weight)
+    gw = _sanitize_graph_weight(graph_weight)
+
+    hits: dict[str, _Scratch] = {}
+
+    for rank, result in enumerate(lexical):
+        h = hits.get(result.doc_id)
+        if h is None:
+            h = _Scratch(doc_id=result.doc_id)
+            hits[result.doc_id] = h
+        elif h.lexical_rank is not None:
+            continue  # first (best) occurrence wins
+        h.rrf_score += _rank_contribution(k, rank) * lw
+        h.lexical_rank = rank
+        h.lexical_score = result.score
+        if h.semantic_rank is not None:
+            h.in_both_sources = True
+
+    for rank, vh in enumerate(semantic):
+        h = hits.get(vh.doc_id)
+        if h is None:
+            h = _Scratch(doc_id=vh.doc_id)
+            hits[vh.doc_id] = h
+        elif h.semantic_rank is not None:
+            continue
+        h.rrf_score += _rank_contribution(k, rank) * sw
+        h.semantic_rank = rank
+        h.semantic_score = vh.score
+        h.semantic_row = vh.row
+        if h.lexical_rank is not None:
+            h.in_both_sources = True
+
+    if gw > 0.0:
+        for rank, result in enumerate(graph):
+            h = hits.get(result.doc_id)
+            if h is None:
+                h = _Scratch(doc_id=result.doc_id)
+                hits[result.doc_id] = h
+            elif h.graph_rank is not None:
+                continue
+            h.rrf_score += _rank_contribution(k, rank) * gw
+            h.graph_rank = rank
+            h.graph_score = result.score
+
+    ordered = sorted(hits.values(), key=lambda h: _sort_key(h, cfg.tiebreak))
+    window = ordered[offset : offset + limit]
+    out: list[FusedHit] = []
+    for h in window:
+        sources = SearchSource.NONE
+        if h.lexical_rank is not None:
+            sources |= SearchSource.LEXICAL
+        if h.semantic_rank is not None:
+            sources |= SearchSource.FAST_VECTOR
+        if h.graph_rank is not None:
+            sources |= SearchSource.GRAPH
+        out.append(
+            FusedHit(
+                doc_id=h.doc_id,
+                score=h.rrf_score,
+                sources=sources,
+                lexical_rank=h.lexical_rank,
+                fast_rank=h.semantic_rank,
+                graph_rank=h.graph_rank,
+            )
+        )
+    return out
+
+
+def pool_minmax_fuse(
+    lexical: Sequence[ScoredResult],
+    semantic: Sequence[VectorHit],
+    limit: int,
+    offset: int = 0,
+    lexical_weight: float = 0.5,
+) -> list[FusedHit]:
+    """Score-based alternative to RRF (FusionStrategy::PoolMinmax,
+    core/config.rs:31): min-max normalize each pool, weighted sum."""
+    lw = min(max(lexical_weight, 0.0), 1.0)
+
+    def bounds(scores: list[float]) -> tuple[float, float]:
+        finite = [s for s in scores if math.isfinite(s)]
+        if not finite:
+            return (0.0, 0.0)
+        lo, hi = min(finite), max(finite)
+        return (lo, hi - lo)
+
+    l_lo, l_rng = bounds([r.score for r in lexical])
+    s_lo, s_rng = bounds([h.score for h in semantic])
+
+    def norm(score: float, lo: float, rng: float) -> float:
+        if not math.isfinite(score):
+            return 0.0
+        if rng > 1e-12:
+            return min(max((score - lo) / rng, 0.0), 1.0)
+        return 1.0
+
+    acc: dict[str, _Scratch] = {}
+    for rank, r in enumerate(lexical):
+        h = acc.setdefault(r.doc_id, _Scratch(doc_id=r.doc_id))
+        if h.lexical_rank is None:
+            h.lexical_rank = rank
+            h.lexical_score = r.score
+            h.rrf_score += lw * norm(r.score, l_lo, l_rng)
+            if h.semantic_rank is not None:
+                h.in_both_sources = True
+    for rank, vh in enumerate(semantic):
+        h = acc.setdefault(vh.doc_id, _Scratch(doc_id=vh.doc_id))
+        if h.semantic_rank is None:
+            h.semantic_rank = rank
+            h.semantic_score = vh.score
+            h.semantic_row = vh.row
+            h.rrf_score += (1.0 - lw) * norm(vh.score, s_lo, s_rng)
+            if h.lexical_rank is not None:
+                h.in_both_sources = True
+
+    ordered = sorted(acc.values(), key=lambda h: _sort_key(h, TiebreakStrategy.LEXICAL_THEN_ID))
+    window = ordered[offset : offset + limit]
+    return [
+        FusedHit(
+            doc_id=h.doc_id,
+            score=h.rrf_score,
+            sources=(
+                (SearchSource.LEXICAL if h.lexical_rank is not None else SearchSource.NONE)
+                | (SearchSource.FAST_VECTOR if h.semantic_rank is not None else SearchSource.NONE)
+            ),
+            lexical_rank=h.lexical_rank,
+            fast_rank=h.semantic_rank,
+        )
+        for h in window
+    ]
+
+
+def fuse_by_strategy(
+    strategy: FusionStrategy,
+    lexical: Sequence[ScoredResult],
+    semantic: Sequence[VectorHit],
+    limit: int,
+    offset: int = 0,
+    rrf_config: RrfConfig | None = None,
+) -> list[FusedHit]:
+    """Dispatch on FusionStrategy (rrf.rs fuse_by_strategy :788)."""
+    if strategy is FusionStrategy.POOL_MINMAX:
+        return pool_minmax_fuse(lexical, semantic, limit, offset)
+    return rrf_fuse(lexical, semantic, limit, offset, rrf_config)

@@ -1,0 +1,598 @@
+"""TwoTierSearcher: the progressive two-tier hybrid search orchestrator.
+
+Parity target: reference crates/frankensearch-fusion/src/searcher.rs:212
+(`TwoTierSearcher`) and its hot path :914 (`search`), traced in
+SURVEY.md §3.1:
+
+    canonicalize -> parse negations -> classify -> admit_semantic (fail
+    closed, BEFORE any embed/scan) -> Phase 1 [concurrent fast-embed +
+    lexical, vector scan, fuse, hydrate] -> Initial callback ->
+    circuit-breaker / phase-gate checks -> Phase 2 under timeout
+    [quality embed, PRF, aligned rescore or owner-backed retrieval,
+    blend alpha=0.7, lexical re-fusion] -> Refined / RefinementFailed ->
+    Phase 3 [cross-encoder rerank + MMR] -> Reranked.
+
+Graceful-degradation ladder (searcher.rs:1855-1885): fast-embed failure
+degrades to lexical-only; RefinementFailed is not an error
+(types.rs:4161-4172); every skip carries a typed reason in the metrics.
+
+Host/device split (TPU-first): embedding and the slab scan are device
+programs; orchestration, fusion and hydration are host-side. Phase-2
+work runs on a worker thread so the host-side timeout mirrors the
+reference's asupersync timeout (searcher.rs:1100-1119).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Mapping, Sequence
+
+import numpy as np
+
+from frankensearch_tpu.core.canonicalize import DefaultCanonicalizer
+from frankensearch_tpu.core.config import (
+    MetricsExporter,
+    TwoTierConfig,
+    TwoTierMetrics,
+)
+from frankensearch_tpu.core.parsed_query import ParsedQuery
+from frankensearch_tpu.core.query_class import QueryClass
+from frankensearch_tpu.core.types import (
+    ClassifiedHits,
+    FusedHit,
+    PhaseKind,
+    ScoredResult,
+    SearchPhase,
+    SearchSource,
+    VectorHit,
+)
+from frankensearch_tpu.embed.base import Embedder
+from frankensearch_tpu.embed.cached import CachedEmbedder
+from frankensearch_tpu.fusion.blend import (
+    blend_two_tier,
+    blend_two_tier_aligned,
+    kendall_tau,
+    rank_changes,
+)
+from frankensearch_tpu.fusion.circuit_breaker import CircuitBreaker, Phase2Outcome
+from frankensearch_tpu.fusion.phase_gate import PhaseGate
+from frankensearch_tpu.fusion.rrf import RrfConfig, candidate_count, fuse_by_strategy
+from frankensearch_tpu.index.two_tier import TwoTierIndex
+from frankensearch_tpu.lexical.base import LexicalRead
+
+PhaseCallback = Callable[[SearchPhase], None]
+TextFn = Callable[[str], str | None]
+
+
+@dataclass
+class SearchOutcome:
+    """Final results + per-phase record + metrics."""
+
+    results: list[ScoredResult]
+    phases: list[SearchPhase] = field(default_factory=list)
+    metrics: TwoTierMetrics = field(default_factory=TwoTierMetrics)
+
+
+class TwoTierSearcher:
+    def __init__(
+        self,
+        index: TwoTierIndex,
+        fast_embedder: Embedder,
+        *,
+        lexical: LexicalRead | None = None,
+        quality_embedder: Embedder | None = None,
+        reranker=None,  # rerank.pipeline-compatible; optional
+        config: TwoTierConfig | None = None,
+        metrics_exporter: MetricsExporter | None = None,
+        circuit_breaker: CircuitBreaker | None = None,
+        phase_gate: PhaseGate | None = None,
+        calibrator: Callable[[float], float] | None = None,
+        prf=None,  # fusion.prf.RocchioPrf | None
+        mmr=None,  # fusion.mmr.MmrDiversifier | None
+        feedback=None,  # fusion.feedback.FeedbackBooster | None
+        hubness=None,  # fusion.hubness.HubnessCorrector | None
+        smoother=None,  # fusion.smooth.ScoreSmoother | None
+        nqc=None,  # fusion.normalize.NqcDownweight | None
+        cache_query_embeddings: bool = True,
+    ) -> None:
+        self.index = index
+        self.config = (config or TwoTierConfig()).validate()
+        self.fast_embedder = (
+            CachedEmbedder(fast_embedder) if cache_query_embeddings else fast_embedder
+        )
+        self.quality_embedder = (
+            CachedEmbedder(quality_embedder)
+            if (quality_embedder is not None and cache_query_embeddings)
+            else quality_embedder
+        )
+        self.lexical = lexical
+        self.reranker = reranker
+        self.metrics_exporter = metrics_exporter
+        self.circuit_breaker = circuit_breaker
+        self.phase_gate = phase_gate
+        self.calibrator = calibrator
+        self.prf = prf
+        self.mmr = mmr
+        self.feedback = feedback
+        self.hubness = hubness
+        self.smoother = smoother
+        self.nqc = nqc
+        self.canonicalizer = DefaultCanonicalizer()
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="fs-searcher"
+        )
+        # fail-closed semantic admission, decided once (searcher.rs:780-792):
+        # the fast embedder identity must match the index identity.
+        self._semantic_admitted = self._admit_semantic()
+
+    def _admit_semantic(self) -> bool:
+        try:
+            self.index.fast.identity  # noqa: B018
+        except AttributeError:  # pragma: no cover
+            return False
+        mine = self.fast_embedder.identity()
+        idx = self.index.fast.identity
+        if idx.embedder_id and mine.embedder_id != idx.embedder_id:
+            return False
+        if (
+            idx.embedder_revision
+            and mine.embedder_revision
+            and mine.embedder_revision != idx.embedder_revision
+        ):
+            return False
+        if idx.dim and mine.dim and idx.dim != mine.dim:
+            return False
+        return True
+
+    # ------------------------------------------------------------------ search
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        *,
+        on_phase: PhaseCallback | None = None,
+        text_fn: TextFn | None = None,
+        search_filter=None,
+    ) -> SearchOutcome:
+        t_start = time.monotonic()
+        metrics = TwoTierMetrics()
+        phases: list[SearchPhase] = []
+
+        def emit(phase: SearchPhase) -> None:
+            phases.append(phase)
+            if on_phase is not None:
+                on_phase(phase)
+
+        # 1. canonicalize + parse + classify (searcher.rs:929-963)
+        t0 = time.monotonic()
+        canonical = self.canonicalizer.canonicalize_query(query)
+        parsed = ParsedQuery.parse(canonical)
+        qclass = QueryClass.classify(parsed.positive or canonical)
+        metrics.canonicalize_us = (time.monotonic() - t0) * 1e6
+        metrics.query_class = qclass.value
+
+        if qclass is QueryClass.EMPTY:
+            outcome = SearchOutcome(results=[], phases=phases, metrics=metrics)
+            emit(SearchPhase(PhaseKind.INITIAL, [], 0.0, metrics=metrics))
+            self._export(metrics, t_start)
+            return outcome
+
+        # 2. Phase 1
+        initial_results, fast_hits, lexical_pool = self._run_phase1(
+            parsed, qclass, k, metrics, search_filter, text_fn
+        )
+        metrics.phase1_ms = (time.monotonic() - t_start) * 1000.0
+        emit(
+            SearchPhase(
+                PhaseKind.INITIAL, list(initial_results), metrics.phase1_ms, metrics=metrics
+            )
+        )
+
+        results = initial_results
+
+        # 3. Phase 2 gates (searcher.rs:1080-1094)
+        skip_reason = self._phase2_skip_reason(fast_hits, initial_results)
+        if skip_reason is not None:
+            metrics.phase2_skip_reason = skip_reason
+        else:
+            t2 = time.monotonic()
+            refined, failure = self._run_phase2_with_timeout(
+                parsed, qclass, k, fast_hits, lexical_pool, initial_results, metrics, text_fn
+            )
+            metrics.phase2_ms = (time.monotonic() - t2) * 1000.0
+            if refined is not None:
+                results = refined
+                emit(
+                    SearchPhase(
+                        PhaseKind.REFINED,
+                        list(results),
+                        (time.monotonic() - t_start) * 1000.0,
+                        metrics=metrics,
+                    )
+                )
+            else:
+                metrics.phase2_skip_reason = failure
+                emit(
+                    SearchPhase(
+                        PhaseKind.REFINEMENT_FAILED,
+                        list(results),
+                        (time.monotonic() - t_start) * 1000.0,
+                        reason=failure,
+                        metrics=metrics,
+                    )
+                )
+
+        # 4. Phase 3 rerank (searcher.rs:1219, :2477)
+        if (
+            self.config.rerank_enabled
+            and self.reranker is not None
+            and results
+            and text_fn is not None
+        ):
+            t3 = time.monotonic()
+            reranked = self._run_phase3(parsed.positive, results, k, text_fn, metrics)
+            metrics.phase3_ms = (time.monotonic() - t3) * 1000.0
+            if reranked is not None:
+                results = reranked
+                emit(
+                    SearchPhase(
+                        PhaseKind.RERANKED,
+                        list(results),
+                        (time.monotonic() - t_start) * 1000.0,
+                        metrics=metrics,
+                    )
+                )
+        elif self.config.rerank_enabled and self.reranker is not None:
+            metrics.phase3_skip_reason = "no_text_fn"
+
+        if self.feedback is not None and results:
+            results = self.feedback.apply(results)
+
+        results = results[:k]
+        self._export(metrics, t_start)
+        return SearchOutcome(results=results, phases=phases, metrics=metrics)
+
+    # ------------------------------------------------------------------ phase 1
+
+    def _run_phase1(
+        self,
+        parsed: ParsedQuery,
+        qclass: QueryClass,
+        k: int,
+        metrics: TwoTierMetrics,
+        search_filter,
+        text_fn: TextFn | None,
+    ) -> tuple[list[ScoredResult], list[VectorHit], list[ScoredResult]]:
+        cfg = self.config
+        lex_budget = max(
+            int(candidate_count(k, 0, cfg.candidate_multiplier) * qclass.lexical_budget_multiplier()),
+            k,
+        )
+        sem_budget = max(
+            int(candidate_count(k, 0, cfg.candidate_multiplier) * qclass.semantic_budget_multiplier()),
+            k,
+        )
+
+        # concurrent fast embed + lexical search (searcher.rs:1536 rayon::join)
+        fast_future = None
+        if self._semantic_admitted:
+            fast_future = self._pool.submit(self._timed_fast_embed, parsed.positive, metrics)
+        lexical_pool: list[ScoredResult] = []
+        if self.lexical is not None:
+            t_lex = time.monotonic()
+            try:
+                lexical_pool = self.lexical.search(parsed.positive, lex_budget)
+            except Exception:
+                lexical_pool = []
+            metrics.lexical_ms = (time.monotonic() - t_lex) * 1000.0
+            metrics.lexical_candidates = len(lexical_pool)
+
+        # identifier short-circuit lane (searcher.rs:1451,1641): identifier
+        # queries with enough lexical evidence skip the semantic lane; a
+        # hash-only (non-semantic) stack returns lexical directly too.
+        fast_hits: list[VectorHit] = []
+        short_circuit = (
+            qclass is QueryClass.IDENTIFIER
+            and len(lexical_pool) >= k
+            and not self.fast_embedder.is_semantic
+        )
+        if fast_future is not None and not short_circuit:
+            query_vec = None
+            try:
+                query_vec = fast_future.result()
+            except Exception:
+                query_vec = None  # degrade to lexical-only (searcher.rs:1855)
+            if query_vec is not None:
+                t_scan = time.monotonic()
+                classified: ClassifiedHits = self.index.search_fast_classified(
+                    query_vec,
+                    sem_budget,
+                    search_filter=search_filter,
+                    mrl_search_dims=cfg.mrl_search_dims,
+                    mrl_rescore_top_k=cfg.mrl_rescore_top_k,
+                    mode="mrl" if cfg.mrl_search_dims else "auto",
+                )
+                metrics.vector_scan_ms = (time.monotonic() - t_scan) * 1000.0
+                metrics.scan_docs = self.index.fast.live_count
+                if classified.zero_signal is not None:
+                    metrics.zero_signal = classified.zero_signal.value
+                fast_hits = list(classified.hits)
+                if self.calibrator is not None:
+                    fast_hits = [
+                        VectorHit(h.doc_id, self.calibrator(h.score), h.row) for h in fast_hits
+                    ]
+                if self.hubness is not None:
+                    fast_hits = self.hubness.apply(fast_hits)
+                if self.smoother is not None:
+                    fast_hits = self.smoother.apply(fast_hits)
+                self._stash_query_vec = query_vec
+        elif fast_future is not None:
+            fast_future.cancel()
+        metrics.fast_candidates = len(fast_hits)
+
+        # fuse (searcher.rs:1760-1825)
+        t_fuse = time.monotonic()
+        rrf_cfg = RrfConfig(
+            k=self._effective_rrf_k(qclass),
+            lexical_weight=cfg.lexical_rrf_weight,
+            semantic_weight=self._effective_semantic_weight(lexical_pool, parsed),
+            tiebreak=cfg.tiebreak,
+        )
+        fused = fuse_by_strategy(
+            cfg.fusion_strategy, lexical_pool, fast_hits, k, 0, rrf_cfg
+        )
+        results = self._fused_to_results(fused, lexical_pool, fast_hits, text_fn, parsed)
+        metrics.fusion_ms = (time.monotonic() - t_fuse) * 1000.0
+        metrics.fused_candidates = len(results)
+        return results, fast_hits, lexical_pool
+
+    def _timed_fast_embed(self, text: str, metrics: TwoTierMetrics) -> np.ndarray:
+        t0 = time.monotonic()
+        vec = self.fast_embedder.embed(text)
+        metrics.fast_embed_ms = (time.monotonic() - t0) * 1000.0
+        return vec
+
+    def _effective_rrf_k(self, qclass: QueryClass) -> float:
+        return float(qclass.rrf_k_adjustment(self.config.rrf_k))
+
+    def _effective_semantic_weight(
+        self, lexical_pool: list[ScoredResult], parsed: ParsedQuery
+    ) -> float:
+        w = self.config.fast_rrf_weight
+        if self.nqc is not None and lexical_pool:
+            w *= self.nqc.semantic_weight_multiplier(lexical_pool)
+        return w
+
+    def _fused_to_results(
+        self,
+        fused: Sequence[FusedHit],
+        lexical_pool: Sequence[ScoredResult],
+        fast_hits: Sequence[VectorHit],
+        text_fn: TextFn | None,
+        parsed: ParsedQuery,
+    ) -> list[ScoredResult]:
+        lex_by_doc = {r.doc_id: r for r in lexical_pool}
+        fast_by_doc = {h.doc_id: h for h in fast_hits}
+        out: list[ScoredResult] = []
+        for h in fused:
+            lex = lex_by_doc.get(h.doc_id)
+            fast = fast_by_doc.get(h.doc_id)
+            if parsed.has_negations and self._negation_excludes(h.doc_id, lex, text_fn, parsed):
+                continue
+            out.append(
+                ScoredResult(
+                    doc_id=h.doc_id,
+                    score=h.score,
+                    lexical_score=lex.score if lex else None,
+                    fast_score=fast.score if fast else None,
+                    sources=h.sources,
+                    title=lex.title if lex else None,
+                    metadata=lex.metadata if lex else None,
+                )
+            )
+        return out
+
+    def _negation_excludes(
+        self,
+        doc_id: str,
+        lex: ScoredResult | None,
+        text_fn: TextFn | None,
+        parsed: ParsedQuery,
+    ) -> bool:
+        """Post-retrieval negation filter over available text
+        (parsed_query.rs contract; applied in both phases)."""
+        text = None
+        if text_fn is not None:
+            text = text_fn(doc_id)
+        if text is None and lex is not None and lex.metadata:
+            text = str(lex.metadata.get("preview", "")) or None
+        if text is None and lex is not None and lex.title:
+            text = lex.title
+        return text is not None and parsed.excludes(text)
+
+    # ------------------------------------------------------------------ phase 2
+
+    def _phase2_skip_reason(
+        self, fast_hits: list[VectorHit], initial: list[ScoredResult]
+    ) -> str | None:
+        if self.config.fast_only:
+            return "fast_only"
+        if self.quality_embedder is None and not self.index.has_quality_tier:
+            return "no_quality_tier"
+        if self.quality_embedder is None:
+            return "no_quality_embedder"
+        if not self.index.has_quality_tier:
+            return "no_quality_tier"
+        if not initial:
+            return "no_candidates"
+        if not fast_hits:
+            return "no_semantic_candidates"
+        if self.circuit_breaker is not None and self.circuit_breaker.should_skip_quality():
+            return "circuit_open"
+        if self.phase_gate is not None and self.phase_gate.should_skip_quality():
+            return "phase_gate"
+        return None
+
+    def _run_phase2_with_timeout(
+        self,
+        parsed: ParsedQuery,
+        qclass: QueryClass,
+        k: int,
+        fast_hits: list[VectorHit],
+        lexical_pool: list[ScoredResult],
+        initial: list[ScoredResult],
+        metrics: TwoTierMetrics,
+        text_fn: TextFn | None,
+    ) -> tuple[list[ScoredResult] | None, str | None]:
+        timeout_s = self.config.quality_timeout_ms / 1000.0
+        future = self._pool.submit(
+            self._run_phase2, parsed, qclass, k, fast_hits, lexical_pool, metrics, text_fn
+        )
+        t0 = time.monotonic()
+        try:
+            refined = future.result(timeout=timeout_s if timeout_s > 0 else None)
+            elapsed = time.monotonic() - t0
+            improved = self._record_phase2_outcome(
+                failed=False, timed_out=False, elapsed=elapsed, metrics=metrics
+            )
+            if self.phase_gate is not None:
+                self.phase_gate.record(improved)
+            return refined, None
+        except concurrent.futures.TimeoutError:
+            future.cancel()
+            self._record_phase2_outcome(
+                failed=False, timed_out=True, elapsed=timeout_s, metrics=metrics
+            )
+            return None, "timeout"
+        except Exception:
+            self._record_phase2_outcome(
+                failed=True, timed_out=False, elapsed=time.monotonic() - t0, metrics=metrics
+            )
+            return None, "error"
+
+    def _record_phase2_outcome(
+        self, *, failed: bool, timed_out: bool, elapsed: float, metrics: TwoTierMetrics
+    ) -> bool:
+        tau = metrics.kendall_tau
+        improved = (not failed) and (not timed_out) and (tau is None or tau < 0.98)
+        if self.circuit_breaker is not None:
+            slow = elapsed * 1000.0 > self.config.quality_timeout_ms * 0.8
+            self.circuit_breaker.record_outcome(
+                Phase2Outcome(failed=failed, timed_out=timed_out, slow=slow, improved=improved)
+            )
+        return improved
+
+    def _run_phase2(
+        self,
+        parsed: ParsedQuery,
+        qclass: QueryClass,
+        k: int,
+        fast_hits: list[VectorHit],
+        lexical_pool: list[ScoredResult],
+        metrics: TwoTierMetrics,
+        text_fn: TextFn | None,
+    ) -> list[ScoredResult]:
+        assert self.quality_embedder is not None
+        t0 = time.monotonic()
+        quality_vec = self.quality_embedder.embed(parsed.positive)
+        metrics.quality_embed_ms = (time.monotonic() - t0) * 1000.0
+
+        # PRF: Rocchio interpolation with Phase-1 top doc centroids (prf.rs)
+        if self.prf is not None and fast_hits:
+            quality_vec = self.prf.expand(quality_vec, fast_hits, self.index)
+
+        t1 = time.monotonic()
+        qscores = self.index.quality_scores_for_hits(quality_vec, fast_hits)
+        if self.calibrator is not None:
+            qscores = {d: self.calibrator(s) for d, s in qscores.items()}
+        aligned: list[float | None] = [qscores.get(h.doc_id) for h in fast_hits]
+        metrics.quality_rescore_ms = (time.monotonic() - t1) * 1000.0
+        metrics.quality_candidates = sum(1 for s in aligned if s is not None)
+
+        t2 = time.monotonic()
+        blended = blend_two_tier_aligned(fast_hits, aligned, self.config.quality_weight)
+        metrics.blend_ms = (time.monotonic() - t2) * 1000.0
+
+        tau = kendall_tau(fast_hits, blended)
+        metrics.kendall_tau = tau
+
+        # lexical re-fusion (searcher.rs:2359): refined ordering reflects
+        # both sources without a second lexical query.
+        rrf_cfg = RrfConfig(
+            k=self._effective_rrf_k(qclass),
+            lexical_weight=self.config.lexical_rrf_weight,
+            semantic_weight=self._effective_semantic_weight(lexical_pool, parsed),
+            tiebreak=self.config.tiebreak,
+        )
+        fused = fuse_by_strategy(
+            self.config.fusion_strategy, lexical_pool, blended, k, 0, rrf_cfg
+        )
+        fast_by_doc = {h.doc_id: h.score for h in fast_hits}
+        lex_by_doc = {r.doc_id: r for r in lexical_pool}
+        out: list[ScoredResult] = []
+        for h in fused:
+            lex = lex_by_doc.get(h.doc_id)
+            if parsed.has_negations and self._negation_excludes(h.doc_id, lex, text_fn, parsed):
+                continue
+            out.append(
+                ScoredResult(
+                    doc_id=h.doc_id,
+                    score=h.score,
+                    lexical_score=lex.score if lex else None,
+                    fast_score=fast_by_doc.get(h.doc_id),
+                    quality_score=qscores.get(h.doc_id),
+                    sources=h.sources
+                    | (SearchSource.QUALITY_VECTOR if h.doc_id in qscores else SearchSource.NONE),
+                    title=lex.title if lex else None,
+                    metadata=lex.metadata if lex else None,
+                )
+            )
+        return out
+
+    # ------------------------------------------------------------------ phase 3
+
+    def _run_phase3(
+        self,
+        query: str,
+        results: list[ScoredResult],
+        k: int,
+        text_fn: TextFn,
+        metrics: TwoTierMetrics,
+    ) -> list[ScoredResult] | None:
+        try:
+            from frankensearch_tpu.rerank.pipeline import rerank_step
+
+            reranked = rerank_step(
+                self.reranker,
+                query,
+                results,
+                text_fn,
+                top_n=min(self.config.rerank_top_n, len(results)),
+            )
+            metrics.rerank_ms = getattr(reranked, "rerank_ms", 0.0)
+            out = reranked.results if hasattr(reranked, "results") else reranked
+            if self.mmr is not None:
+                out = self.mmr.apply(out, self.index)
+            return out
+        except Exception:
+            metrics.phase3_skip_reason = "rerank_failed"
+            return None  # graceful skip (rerank/pipeline.rs contract)
+
+    # ------------------------------------------------------------------ misc
+
+    def _export(self, metrics: TwoTierMetrics, t_start: float) -> None:
+        metrics.total_ms = (time.monotonic() - t_start) * 1000.0
+        try:
+            import jax
+
+            metrics.device_kind = jax.devices()[0].platform
+        except Exception:  # pragma: no cover
+            metrics.device_kind = "unknown"
+        if self.metrics_exporter is not None:
+            self.metrics_exporter.export(metrics)
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False)

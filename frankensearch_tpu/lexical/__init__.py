@@ -1,0 +1,5 @@
+"""Lexical BM25 engines: tokenizer, CPU oracle index, device-side scoring.
+
+Parity target: crates/frankensearch-quill (reference native engine) and
+its pinned Tantivy 0.26.1 scoring contract (quill/src/contract.rs).
+"""

@@ -1,0 +1,71 @@
+"""Lexical backend interfaces.
+
+Parity target: reference crates/frankensearch-core/src/traits.rs —
+``LexicalRead::search / search_candidates / hydrate_candidates``
+(:927-1010) and ``LexicalWrite`` (:1022). Three interchangeable backends
+exist in the reference (Quill native / Tantivy oracle / FTS5); here the
+in-memory engine (CPU oracle) and the device-side scorer implement the
+same protocol.
+"""
+
+from __future__ import annotations
+
+import abc
+from dataclasses import dataclass
+from typing import Mapping, Sequence
+
+from frankensearch_tpu.core.types import IndexableDocument, ScoredResult
+
+
+@dataclass(frozen=True)
+class LexicalCandidate:
+    """A scored lexical hit before hydration (doc id + BM25 score)."""
+
+    doc_id: str
+    score: float
+
+
+class LexicalRead(abc.ABC):
+    @abc.abstractmethod
+    def search_candidates(self, query: str, budget: int) -> list[LexicalCandidate]:
+        """Top ``budget`` BM25 candidates, descending score, deterministic
+        (score desc, doc_id asc) tie-break."""
+
+    @abc.abstractmethod
+    def hydrate_candidates(
+        self, doc_ids: Sequence[str]
+    ) -> dict[str, Mapping]:
+        """Metadata (title/snippet source/meta) for the given doc ids,
+        pinned to the snapshot that produced the candidates."""
+
+    def search(self, query: str, limit: int) -> list[ScoredResult]:
+        cands = self.search_candidates(query, limit)
+        meta = self.hydrate_candidates([c.doc_id for c in cands])
+        out = []
+        for c in cands:
+            m = meta.get(c.doc_id, {})
+            out.append(
+                ScoredResult(
+                    doc_id=c.doc_id,
+                    score=c.score,
+                    lexical_score=c.score,
+                    title=m.get("title"),
+                    metadata=m.get("metadata"),
+                )
+            )
+        return out
+
+    @abc.abstractmethod
+    def doc_count(self) -> int: ...
+
+
+class LexicalWrite(abc.ABC):
+    @abc.abstractmethod
+    def add_document(self, doc: IndexableDocument) -> None: ...
+
+    @abc.abstractmethod
+    def delete_document(self, doc_id: str) -> None: ...
+
+    @abc.abstractmethod
+    def commit(self) -> None:
+        """Make pending writes visible to readers (snapshot publication)."""

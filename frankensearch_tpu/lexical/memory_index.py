@@ -1,0 +1,185 @@
+"""In-memory BM25 inverted index — the CPU oracle lexical backend.
+
+Parity target: the behavior of the reference's Quill engine
+(crates/frankensearch-quill/src/index.rs QuillIndex + argus.rs scoring)
+at the `LexicalRead`/`LexicalWrite` contract level: multi-field schema
+(title boosted 2.0x, content 1.0x — frankensearch-lexical/src/lib.rs
+schema), Tantivy-pinned BM25 arithmetic, deterministic (score desc,
+doc_id asc) ordering, snapshot commit semantics.
+
+This is the rank-parity oracle the device-side scorer
+(:mod:`frankensearch_tpu.lexical.device_bm25`) is differentially tested
+against — the reference's quill-gauntlet idea (SURVEY.md §4.8).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass, field
+from typing import Mapping, Sequence
+
+import numpy as np
+
+from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.lexical.base import LexicalCandidate, LexicalRead, LexicalWrite
+from frankensearch_tpu.lexical.bm25 import bm25_term_score, idf, tf_norm_cache
+from frankensearch_tpu.lexical.fieldnorm import fieldnorm_to_id
+from frankensearch_tpu.lexical.tokenizer import simple_tokenize
+
+TITLE_BOOST = np.float32(2.0)
+CONTENT_BOOST = np.float32(1.0)
+
+_FIELDS = ("content", "title")
+_BOOSTS = {"content": CONTENT_BOOST, "title": TITLE_BOOST}
+
+
+@dataclass
+class _FieldStats:
+    total_tokens: int = 0
+    doc_count: int = 0  # docs with at least one token in this field
+
+    @property
+    def avgdl(self) -> float:
+        # Tantivy: avgdl = total_num_tokens / total_num_docs (raw, not
+        # bucket-decoded) — contract.rs doc comment.
+        return self.total_tokens / self.doc_count if self.doc_count else 1.0
+
+
+@dataclass
+class _DocEntry:
+    doc_id: str
+    title: str | None
+    metadata: Mapping | None
+    content_preview: str
+    fieldnorm_id: dict[str, int] = field(default_factory=dict)
+    token_counts: dict[str, int] = field(default_factory=dict)
+
+
+class MemoryLexicalIndex(LexicalRead, LexicalWrite):
+    """Simple SoA-ish inverted index with commit snapshots."""
+
+    def __init__(self, preview_chars: int = 240) -> None:
+        self.preview_chars = preview_chars
+        # staging state (visible after commit)
+        self._staged: list[tuple[str, IndexableDocument | None]] = []
+        # committed state
+        self._docs: dict[str, _DocEntry] = {}
+        # postings[field][term] -> dict[doc_id, tf]
+        self._postings: dict[str, dict[str, dict[str, int]]] = {
+            f: defaultdict(dict) for f in _FIELDS
+        }
+        self._field_stats: dict[str, _FieldStats] = {f: _FieldStats() for f in _FIELDS}
+        self._generation = 0
+
+    # -- LexicalWrite --------------------------------------------------------
+
+    def add_document(self, doc: IndexableDocument) -> None:
+        self._staged.append((doc.doc_id, doc))
+
+    def delete_document(self, doc_id: str) -> None:
+        self._staged.append((doc_id, None))
+
+    def commit(self) -> None:
+        for doc_id, doc in self._staged:
+            if doc_id in self._docs:
+                self._remove_committed(doc_id)
+            if doc is not None:
+                self._insert_committed(doc)
+        self._staged.clear()
+        self._generation += 1
+
+    def _insert_committed(self, doc: IndexableDocument) -> None:
+        entry = _DocEntry(
+            doc_id=doc.doc_id,
+            title=doc.title,
+            metadata=doc.metadata,
+            content_preview=doc.content[: self.preview_chars],
+        )
+        for fname in _FIELDS:
+            text = doc.content if fname == "content" else (doc.title or "")
+            tokens = simple_tokenize(text)
+            if not tokens:
+                continue
+            stats = self._field_stats[fname]
+            stats.total_tokens += len(tokens)
+            stats.doc_count += 1
+            entry.fieldnorm_id[fname] = fieldnorm_to_id(len(tokens))
+            entry.token_counts[fname] = len(tokens)
+            tfs: dict[str, int] = {}
+            for t in tokens:
+                tfs[t] = tfs.get(t, 0) + 1
+            for term, tf in tfs.items():
+                self._postings[fname][term][doc.doc_id] = tf
+        self._docs[doc.doc_id] = entry
+
+    def _remove_committed(self, doc_id: str) -> None:
+        entry = self._docs.pop(doc_id)
+        for fname in _FIELDS:
+            if fname not in entry.fieldnorm_id:
+                continue
+            stats = self._field_stats[fname]
+            stats.doc_count -= 1
+            stats.total_tokens -= entry.token_counts.get(fname, 0)
+            field_postings = self._postings[fname]
+            dead_terms = []
+            for term, plist in field_postings.items():
+                plist.pop(doc_id, None)
+                if not plist:
+                    dead_terms.append(term)
+            for t in dead_terms:
+                del field_postings[t]
+
+    # -- LexicalRead -----------------------------------------------------------
+
+    def doc_count(self) -> int:
+        return len(self._docs)
+
+    def search_candidates(self, query: str, budget: int) -> list[LexicalCandidate]:
+        terms = simple_tokenize(query)
+        if not terms or not self._docs or budget <= 0:
+            return []
+        n_docs = len(self._docs)
+        scores: dict[str, np.float32] = defaultdict(lambda: np.float32(0.0))
+        for fname in _FIELDS:
+            stats = self._field_stats[fname]
+            if stats.doc_count == 0:
+                continue
+            cache = tf_norm_cache(stats.avgdl)
+            boost = _BOOSTS[fname]
+            seen_terms: set[str] = set()
+            for term in terms:
+                if term in seen_terms:
+                    continue  # Tantivy's Should union deduplicates terms
+                seen_terms.add(term)
+                plist = self._postings[fname].get(term)
+                if not plist:
+                    continue
+                term_idf = idf(n_docs, len(plist))
+                for doc_id, tf in plist.items():
+                    fid = self._docs[doc_id].fieldnorm_id.get(fname, 0)
+                    s = bm25_term_score(np.float32(tf), fid, term_idf, cache)
+                    scores[doc_id] = np.float32(scores[doc_id] + boost * s)
+        ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
+        return [LexicalCandidate(doc_id=d, score=float(s)) for d, s in ranked[:budget]]
+
+    def hydrate_candidates(self, doc_ids: Sequence[str]) -> dict[str, Mapping]:
+        out: dict[str, Mapping] = {}
+        for d in doc_ids:
+            e = self._docs.get(d)
+            if e is not None:
+                out[d] = {
+                    "title": e.title,
+                    "metadata": e.metadata,
+                    "preview": e.content_preview,
+                }
+        return out
+
+    # -- introspection (device scorer + gauntlet) ------------------------------
+
+    @property
+    def generation(self) -> int:
+        return self._generation
+
+    def snapshot_postings(self):
+        """Expose committed postings for the device-scorer build."""
+        return self._postings, self._field_stats, self._docs

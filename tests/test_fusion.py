@@ -1,0 +1,214 @@
+"""Fusion-layer tests: RRF ordering contract, blend, breaker, gate."""
+
+import math
+
+import pytest
+
+from frankensearch_tpu.core.config import FusionStrategy, TiebreakStrategy
+from frankensearch_tpu.core.types import ScoredResult, VectorHit
+from frankensearch_tpu.fusion.blend import (
+    blend_two_tier,
+    blend_two_tier_aligned,
+    kendall_tau,
+    rank_changes,
+)
+from frankensearch_tpu.fusion.circuit_breaker import (
+    BreakerState,
+    CircuitBreaker,
+    Phase2Outcome,
+)
+from frankensearch_tpu.fusion.phase_gate import PhaseGate
+from frankensearch_tpu.fusion.rrf import (
+    RrfConfig,
+    candidate_count,
+    fuse_by_strategy,
+    rrf_fuse,
+)
+
+
+def lex(doc_id, score):
+    return ScoredResult(doc_id=doc_id, score=score, lexical_score=score)
+
+
+def vec(doc_id, score, row=0):
+    return VectorHit(doc_id=doc_id, score=score, row=row)
+
+
+class TestRrf:
+    def test_both_sources_boost(self):
+        # doc "b" appears in both -> contributions sum
+        fused = rrf_fuse([lex("a", 5.0), lex("b", 4.0)], [vec("b", 0.9), vec("c", 0.8)], 10)
+        assert fused[0].doc_id == "b"
+        k = 60.0
+        expected = 1.0 / (k + 2.0) + 1.0 / (k + 1.0)
+        assert fused[0].score == pytest.approx(expected)
+
+    def test_rank_contribution_formula(self):
+        fused = rrf_fuse([lex("a", 1.0)], [], 10)
+        assert fused[0].score == pytest.approx(1.0 / 61.0)
+
+    def test_in_both_sources_breaks_ties(self):
+        # same RRF score: x lexical-rank-0 only vs y with sem-rank-0 only vs
+        # both-sources z constructed to tie
+        cfg = RrfConfig(k=60.0)
+        fused = rrf_fuse(
+            [lex("solo-lex", 9.0)],
+            [vec("solo-sem", 0.9)],
+            10,
+            config=cfg,
+        )
+        # equal score 1/61 each: tie -> both False -> LexicalThenId:
+        # solo-lex has lexical score, solo-sem has -inf -> solo-lex first
+        assert [h.doc_id for h in fused] == ["solo-lex", "solo-sem"]
+
+    def test_neutral_hash_tiebreak_is_deterministic(self):
+        cfg = RrfConfig(tiebreak=TiebreakStrategy.NEUTRAL_HASH)
+        f1 = rrf_fuse([lex("aaa", 1.0)], [vec("zzz", 0.5)], 10, config=cfg)
+        f2 = rrf_fuse([lex("aaa", 1.0)], [vec("zzz", 0.5)], 10, config=cfg)
+        assert [h.doc_id for h in f1] == [h.doc_id for h in f2]
+
+    def test_dedup_first_occurrence_wins(self):
+        fused = rrf_fuse([lex("a", 5.0), lex("a", 1.0)], [], 10)
+        assert len(fused) == 1
+        assert fused[0].score == pytest.approx(1.0 / 61.0)
+
+    def test_weight_sanitization(self):
+        cfg = RrfConfig(lexical_weight=float("nan"), semantic_weight=-3.0)
+        fused = rrf_fuse([lex("a", 1.0)], [vec("b", 0.5)], 10, config=cfg)
+        # both fall back to 1.0
+        assert fused[0].score == pytest.approx(1.0 / 61.0)
+
+    def test_offset_pagination(self):
+        lexs = [lex(f"d{i}", 10.0 - i) for i in range(5)]
+        page2 = rrf_fuse(lexs, [], 2, offset=2)
+        assert [h.doc_id for h in page2] == ["d2", "d3"]
+
+    def test_candidate_count(self):
+        assert candidate_count(10, 0, 3) == 30
+        assert candidate_count(10, 5, 3) == 45
+
+    def test_pool_minmax_strategy(self):
+        fused = fuse_by_strategy(
+            FusionStrategy.POOL_MINMAX,
+            [lex("a", 10.0), lex("b", 0.0)],
+            [vec("b", 1.0), vec("c", 0.0)],
+            10,
+        )
+        assert fused[0].doc_id == "b"  # 0.5*0 + 0.5*1 ... b has lex 0 + sem 1
+
+
+class TestBlend:
+    def test_alpha_blend(self):
+        fast = [vec("a", 1.0, 0), vec("b", 0.0, 1)]
+        quality = [vec("b", 1.0), vec("a", 0.0)]
+        out = blend_two_tier(fast, quality, 0.7)
+        by = {h.doc_id: h.score for h in out}
+        assert by["a"] == pytest.approx(0.3)  # 0.7*0 + 0.3*1
+        assert by["b"] == pytest.approx(0.7)
+
+    def test_missing_source_keeps_own_score(self):
+        fast = [vec("a", 0.8, 0), vec("only-fast", 0.2, 1)]
+        quality = [vec("a", 0.9), vec("only-quality", 0.1)]
+        out = blend_two_tier(fast, quality, 0.7)
+        ids = {h.doc_id for h in out}
+        assert {"a", "only-fast", "only-quality"} == ids
+
+    def test_aligned_matches_materialized(self):
+        fast = [vec("a", 0.9, 0), vec("b", 0.5, 1), vec("c", 0.1, 2)]
+        qscores = [0.2, None, 0.8]
+        aligned = blend_two_tier_aligned(fast, qscores, 0.7)
+        materialized = blend_two_tier(
+            fast, [vec("a", 0.2, 0), vec("c", 0.8, 2)], 0.7
+        )
+        assert [(h.doc_id, pytest.approx(h.score)) for h in aligned] == [
+            (h.doc_id, pytest.approx(h.score)) for h in materialized
+        ]
+
+    def test_non_finite_alpha_falls_back(self):
+        out = blend_two_tier([vec("a", 1.0, 0)], [vec("a", 0.0)], float("nan"))
+        assert math.isfinite(out[0].score)
+
+    def test_rank_changes(self):
+        initial = [vec("a", 3), vec("b", 2), vec("c", 1)]
+        refined = [vec("b", 3), vec("a", 2), vec("d", 1)]
+        rc = rank_changes(initial, refined)
+        assert rc.promoted == 1 and rc.demoted == 1
+        assert rc.entered == 1 and rc.dropped == 1
+
+    def test_kendall_tau(self):
+        a = [vec("a", 3), vec("b", 2), vec("c", 1)]
+        assert kendall_tau(a, a) == pytest.approx(1.0)
+        assert kendall_tau(a, list(reversed(a))) == pytest.approx(-1.0)
+        assert kendall_tau([vec("a", 1)], [vec("a", 1)]) is None  # overlap < 2
+
+
+class TestCircuitBreaker:
+    def test_opens_after_threshold(self):
+        t = [0.0]
+        cb = CircuitBreaker(failure_threshold=3, cooldown_s=10, clock=lambda: t[0])
+        for _ in range(3):
+            assert not cb.should_skip_quality()
+            cb.record_outcome(Phase2Outcome(failed=True))
+        assert cb.state is BreakerState.OPEN
+        assert cb.should_skip_quality()
+
+    def test_half_open_probe_recovers(self):
+        t = [0.0]
+        cb = CircuitBreaker(failure_threshold=1, cooldown_s=10, clock=lambda: t[0])
+        cb.record_outcome(Phase2Outcome(failed=True))
+        assert cb.should_skip_quality()
+        t[0] = 11.0
+        assert not cb.should_skip_quality()  # half-open probe admitted
+        assert cb.state is BreakerState.HALF_OPEN
+        cb.record_outcome(Phase2Outcome())
+        assert cb.state is BreakerState.CLOSED
+
+    def test_half_open_failure_reopens(self):
+        t = [0.0]
+        cb = CircuitBreaker(failure_threshold=1, cooldown_s=10, clock=lambda: t[0])
+        cb.record_outcome(Phase2Outcome(timed_out=True))
+        t[0] = 11.0
+        cb.should_skip_quality()
+        cb.record_outcome(Phase2Outcome(timed_out=True))
+        assert cb.state is BreakerState.OPEN
+
+
+class TestPhaseGate:
+    def test_skips_after_sustained_non_improvement(self):
+        gate = PhaseGate(p0=0.2, lam=0.5, alpha=0.05)
+        n = 0
+        while not gate.proven_unhelpful and n < 200:
+            gate.record(improved=False)
+            n += 1
+        assert gate.proven_unhelpful
+        assert gate.should_skip_quality()
+        assert n < 50  # reasonable sample efficiency
+
+    def test_improvements_keep_gate_open(self):
+        gate = PhaseGate()
+        for i in range(100):
+            gate.record(improved=(i % 2 == 0))  # 50% improvement rate > p0
+        assert not gate.proven_unhelpful
+
+    def test_anytime_validity_alpha(self):
+        # under H0 (true improvement rate == p0), false-skip rate <= alpha
+        import random
+
+        rnd = random.Random(0)
+        false_skips = 0
+        trials = 300
+        for _ in range(trials):
+            gate = PhaseGate(p0=0.2, lam=0.5, alpha=0.05)
+            for _ in range(200):
+                gate.record(improved=rnd.random() < 0.25)  # actually useful
+            if gate.proven_unhelpful:
+                false_skips += 1
+        assert false_skips / trials <= 0.05
+
+    def test_reprobe_after_skips(self):
+        gate = PhaseGate(reprobe_every=5)
+        for _ in range(60):
+            gate.record(improved=False)
+        assert gate.proven_unhelpful
+        skipped = [gate.should_skip_quality() for _ in range(12)]
+        assert False in skipped  # periodic probe admitted

@@ -1,0 +1,226 @@
+"""End-to-end TwoTierSearcher tests: progressive phases, degradation ladder.
+
+Parity model: reference fusion/tests/searcher_parity_conformance.rs and
+in-module searcher tests (mock embedders, searcher.rs:3692-3878).
+"""
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu.core.config import TwoTierConfig
+from frankensearch_tpu.core.types import IndexableDocument, PhaseKind
+from frankensearch_tpu.embed.base import Embedder
+from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+from frankensearch_tpu.fusion.circuit_breaker import CircuitBreaker
+from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+from frankensearch_tpu.index.two_tier import TwoTierIndex
+from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+
+CORPUS = [
+    ("rust-async", "Rust Async", "asynchronous programming in rust with futures and executors"),
+    ("rust-simd", "Rust SIMD", "vectorized simd kernels with avx2 intrinsics in rust"),
+    ("py-jax", "JAX Guide", "jax jit compilation and tpu acceleration for python arrays"),
+    ("py-numpy", "NumPy Book", "numpy arrays broadcasting and vectorized math in python"),
+    ("search-bm25", "BM25 Scoring", "lexical search ranking with bm25 term frequency scoring"),
+    ("search-vec", "Vector Search", "semantic vector search with embeddings and cosine similarity"),
+    ("db-sqlite", "SQLite Internals", "sqlite btree pages write ahead log and transactions"),
+    ("db-postgres", "Postgres Tuning", "postgres query planner indexes and vacuum tuning"),
+]
+
+
+class FailingEmbedder(Embedder):
+    @property
+    def dim(self):
+        return 64
+
+    @property
+    def embedder_id(self):
+        return "hash-jl-64"  # matches index identity so admission passes
+
+    @property
+    def revision(self):
+        return "1"
+
+    @property
+    def is_semantic(self):
+        return False
+
+    def embed_batch(self, texts):
+        raise RuntimeError("boom")
+
+
+class SlowEmbedder(Embedder):
+    def __init__(self, inner, delay_s):
+        self.inner = inner
+        self.delay_s = delay_s
+
+    @property
+    def dim(self):
+        return self.inner.dim
+
+    @property
+    def embedder_id(self):
+        return self.inner.embedder_id
+
+    @property
+    def is_semantic(self):
+        return True
+
+    def embed_batch(self, texts):
+        import time
+
+        time.sleep(self.delay_s)
+        return self.inner.embed_batch(texts)
+
+
+@pytest.fixture
+def stack(tmp_path):
+    """Index CORPUS with hash fast tier + a distinct hash quality tier."""
+    fast_emb = HashEmbedder(dim=64)
+    quality_emb = HashEmbedder(dim=128)
+    texts = [f"{title} {body}" for _, title, body in CORPUS]
+    ids = [doc_id for doc_id, _, _ in CORPUS]
+    fast = fast_emb.embed_batch(texts)
+    quality = quality_emb.embed_batch(texts)
+    index = TwoTierIndex.create(
+        str(tmp_path / "ix"),
+        fast,
+        ids,
+        fast_emb.identity(),
+        quality_vectors=quality,
+        quality_identity=quality_emb.identity(),
+        use_pallas=False,
+    )
+    lexical = MemoryLexicalIndex()
+    for doc_id, title, body in CORPUS:
+        lexical.add_document(IndexableDocument(doc_id=doc_id, content=body, title=title))
+    lexical.commit()
+    return index, lexical, fast_emb, quality_emb
+
+
+def make_searcher(stack, **kwargs):
+    index, lexical, fast_emb, quality_emb = stack
+    kwargs.setdefault("lexical", lexical)
+    kwargs.setdefault("quality_embedder", quality_emb)
+    return TwoTierSearcher(index, fast_emb, **kwargs)
+
+
+class TestProgressivePhases:
+    def test_initial_then_refined(self, stack):
+        searcher = make_searcher(stack)
+        phases = []
+        out = searcher.search(
+            "vector search embeddings cosine", k=5, on_phase=lambda p: phases.append(p.kind)
+        )
+        assert phases[0] is PhaseKind.INITIAL
+        assert PhaseKind.REFINED in phases
+        assert out.results
+        assert out.results[0].doc_id == "search-vec"
+        assert out.metrics.query_class == "natural_language"
+
+    def test_empty_query(self, stack):
+        searcher = make_searcher(stack)
+        out = searcher.search("   ", k=5)
+        assert out.results == []
+        assert out.metrics.query_class == "empty"
+
+    def test_fast_only_skips_phase2(self, stack):
+        searcher = make_searcher(stack, config=TwoTierConfig(fast_only=True))
+        out = searcher.search("lexical bm25 scoring", k=5)
+        assert out.metrics.phase2_skip_reason == "fast_only"
+        assert all(p.kind is not PhaseKind.REFINED for p in out.phases)
+
+    def test_no_quality_embedder_skip_reason(self, stack):
+        searcher = make_searcher(stack, quality_embedder=None)
+        out = searcher.search("postgres tuning", k=3)
+        assert out.metrics.phase2_skip_reason == "no_quality_embedder"
+
+    def test_results_respect_k(self, stack):
+        searcher = make_searcher(stack)
+        out = searcher.search("rust python search database", k=3)
+        assert len(out.results) <= 3
+
+    def test_negation_filters_results(self, stack):
+        searcher = make_searcher(stack)
+        texts = {doc_id: f"{t} {b}" for doc_id, t, b in CORPUS}
+        out = searcher.search(
+            "rust -simd", k=8, text_fn=lambda d: texts.get(d)
+        )
+        assert all(r.doc_id != "rust-simd" for r in out.results)
+
+    def test_metrics_populated(self, stack):
+        searcher = make_searcher(stack)
+        out = searcher.search("sqlite transactions", k=5)
+        m = out.metrics
+        assert m.total_ms > 0
+        assert m.phase1_ms > 0
+        assert m.lexical_candidates > 0
+        assert m.device_kind == "cpu"
+
+
+class TestDegradation:
+    def test_fast_embed_failure_degrades_to_lexical(self, stack):
+        index, lexical, _, quality_emb = stack
+        searcher = TwoTierSearcher(
+            index, FailingEmbedder(), lexical=lexical, quality_embedder=None,
+            cache_query_embeddings=False,
+        )
+        out = searcher.search("sqlite write ahead log", k=5)
+        assert out.results  # lexical-only results survive
+        assert out.results[0].doc_id == "db-sqlite"
+        assert out.metrics.fast_candidates == 0
+
+    def test_quality_timeout_yields_refinement_failed(self, stack):
+        index, lexical, fast_emb, quality_emb = stack
+        searcher = TwoTierSearcher(
+            index,
+            fast_emb,
+            lexical=lexical,
+            quality_embedder=SlowEmbedder(quality_emb, delay_s=0.5),
+            config=TwoTierConfig(quality_timeout_ms=50),
+            cache_query_embeddings=False,
+        )
+        out = searcher.search("jax tpu acceleration", k=5)
+        kinds = [p.kind for p in out.phases]
+        assert PhaseKind.REFINEMENT_FAILED in kinds
+        assert out.metrics.phase2_skip_reason == "timeout"
+        assert out.results  # Phase-1 results stand
+
+    def test_circuit_breaker_skips_after_trips(self, stack):
+        index, lexical, fast_emb, quality_emb = stack
+        t = [0.0]
+        cb = CircuitBreaker(failure_threshold=1, cooldown_s=1000, clock=lambda: t[0])
+        searcher = TwoTierSearcher(
+            index,
+            fast_emb,
+            lexical=lexical,
+            quality_embedder=SlowEmbedder(quality_emb, delay_s=0.3),
+            config=TwoTierConfig(quality_timeout_ms=30),
+            circuit_breaker=cb,
+            cache_query_embeddings=False,
+        )
+        out1 = searcher.search("rust futures", k=3)
+        assert out1.metrics.phase2_skip_reason == "timeout"
+        out2 = searcher.search("numpy arrays", k=3)
+        assert out2.metrics.phase2_skip_reason == "circuit_open"
+
+    def test_identity_mismatch_fails_closed(self, stack):
+        index, lexical, _, _ = stack
+        other = HashEmbedder(dim=32)  # wrong id + dim vs index identity
+        searcher = TwoTierSearcher(index, other, lexical=lexical)
+        out = searcher.search("vector search cosine", k=5)
+        # semantic lane refused before any embed/scan; lexical-only results
+        assert out.metrics.fast_candidates == 0
+        assert out.results
+
+
+class TestLexicalOnlyIdentifierLane:
+    def test_identifier_short_circuit(self, stack):
+        index, lexical, fast_emb, _ = stack
+        searcher = TwoTierSearcher(index, fast_emb, lexical=lexical, quality_embedder=None)
+        # underscore form classifies as identifier (query_class contract);
+        # the tokenizer still splits it into db + sqlite for lexical match
+        out = searcher.search("db_sqlite", k=2)
+        # identifier query + hash (non-semantic) stack with lexical evidence
+        assert out.metrics.query_class == "identifier"
+        assert out.results
