@@ -1,0 +1,119 @@
+"""Driver benchmark: fused scan QPS/chip on a 1M-doc bf16 corpus at
+recall@10 parity.
+
+Baseline (BASELINE.md): the reference's Rust SIMD f16 scan does 10K docs
+top-10 in ~2 ms on one CPU core => ~5M docs/s => ~5 QPS on a 1M-doc
+corpus. vs_baseline = measured QPS / 5.
+
+Method: batched queries (amortizing the per-dispatch tunnel RPC floor),
+pipelined dispatch (async JAX), median of timed rounds, recall@10
+measured against an exact f32 scan of the same corpus.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from frankensearch_tpu.ops.topk_scan import scan_topk_pallas, scan_topk_xla
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+
+    n_docs = 1_000_000 if on_tpu else 65_536
+    dim = 256
+    batch = 256
+    k = 10
+    tile_n = 2048
+    n_pad = (n_docs + tile_n - 1) // tile_n * tile_n
+
+    rng = np.random.default_rng(0)
+    # build in chunks to bound host memory
+    slab = np.empty((n_pad, dim), dtype=np.float32)
+    chunk = 131_072
+    for start in range(0, n_pad, chunk):
+        end = min(start + chunk, n_pad)
+        block = rng.standard_normal((end - start, dim)).astype(np.float32)
+        block /= np.maximum(np.linalg.norm(block, axis=1, keepdims=True), 1e-12)
+        slab[start:end] = block
+    mask = np.zeros(n_pad, dtype=np.float32)
+    mask[n_docs:] = -np.inf
+
+    queries = rng.standard_normal((batch, dim)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    slab_dev = jnp.asarray(slab, dtype=jnp.bfloat16)
+    mask_dev = jnp.asarray(mask)
+    q_dev = jnp.asarray(queries)
+
+    # choose the faster path on this chip (pallas fused vs XLA)
+    candidates = {}
+    runner_specs = {
+        "pallas_fused": lambda: scan_topk_pallas(slab_dev, q_dev, k, mask_dev, tile_n=tile_n),
+        "xla": lambda: scan_topk_xla(slab_dev, q_dev, k, mask_dev),
+    }
+    if not on_tpu:
+        runner_specs.pop("pallas_fused")  # interpret-only on CPU; too slow
+    for name, fn in runner_specs.items():
+        try:
+            res = fn()
+            res.scores.block_until_ready()
+        except Exception as e:  # pragma: no cover
+            print(f"# {name} failed: {e}", file=sys.stderr)
+            continue
+        # timed: pipeline 8 dispatches per round to amortize RPC, 5 rounds
+        per_round = 8
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            outs = [fn() for _ in range(per_round)]
+            outs[-1].scores.block_until_ready()
+            times.append((time.perf_counter() - t0) / per_round)
+        candidates[name] = (float(np.median(times)), res)
+
+    if not candidates:
+        print(json.dumps({"metric": "scan_qps_1M_bf16", "value": 0.0, "unit": "qps/chip", "vs_baseline": 0.0, "error": "no runner"}))
+        return
+
+    best_name = min(candidates, key=lambda n: candidates[n][0])
+    best_time, best_res = candidates[best_name]
+    qps = batch / best_time
+
+    # recall@10 vs exact f32 ground truth (device f32 scan in row chunks)
+    truth = scan_topk_xla(
+        jnp.asarray(slab, dtype=jnp.float32), q_dev, k, mask_dev, precise=True
+    )
+    ti = np.asarray(truth.indices)
+    bi = np.asarray(best_res.indices)
+    recall = float(np.mean([len(set(bi[b]) & set(ti[b])) / k for b in range(batch)]))
+
+    # reference scan rate: 10K docs / 2ms => 5e6 docs/s => on this corpus:
+    baseline_qps = 5e6 / n_docs
+    print(
+        json.dumps(
+            {
+                "metric": f"scan_qps_{n_docs // 1000}k_bf16_batch{batch}",
+                "value": round(qps, 2),
+                "unit": "qps/chip",
+                "vs_baseline": round(qps / baseline_qps, 2),
+                "recall_at_10": round(recall, 4),
+                "kernel": best_name,
+                "p50_batch_ms": round(best_time * 1e3, 3),
+                "platform": platform,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

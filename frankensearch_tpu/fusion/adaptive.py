@@ -1,0 +1,73 @@
+"""Bayesian online adaptation of RRF-K and the blend factor.
+
+Parity target: reference crates/frankensearch-fusion/src/adaptive.rs
+(:1-8) — learn per-query-class fusion parameters from implicit feedback
+(click = the refined/fused ranking worked; skip = it didn't) with
+Thompson-sampling over a small discrete arm set.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+from frankensearch_tpu.core.query_class import QueryClass
+
+_RRF_K_ARMS = (20, 40, 60, 90)
+_BLEND_ARMS = (0.5, 0.6, 0.7, 0.8)
+
+
+@dataclass
+class _Beta:
+    alpha: float = 1.0
+    beta: float = 1.0
+
+    def sample(self, rng: random.Random) -> float:
+        return rng.betavariate(self.alpha, self.beta)
+
+    def update(self, success: bool) -> None:
+        if success:
+            self.alpha += 1.0
+        else:
+            self.beta += 1.0
+
+
+@dataclass
+class AdaptiveFusion:
+    seed: int = 0
+    _rng: random.Random = field(init=False)
+    _k_arms: dict[str, list[_Beta]] = field(default_factory=dict)
+    _blend_arms: dict[str, list[_Beta]] = field(default_factory=dict)
+    _last_k: dict[str, int] = field(default_factory=dict)
+    _last_blend: dict[str, int] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        self._rng = random.Random(self.seed)
+
+    def _arms(self, store: dict, qclass: QueryClass, n: int) -> list[_Beta]:
+        return store.setdefault(qclass.value, [_Beta() for _ in range(n)])
+
+    def choose_rrf_k(self, qclass: QueryClass) -> int:
+        arms = self._arms(self._k_arms, qclass, len(_RRF_K_ARMS))
+        idx = max(range(len(arms)), key=lambda i: arms[i].sample(self._rng))
+        self._last_k[qclass.value] = idx
+        return _RRF_K_ARMS[idx]
+
+    def choose_blend(self, qclass: QueryClass) -> float:
+        arms = self._arms(self._blend_arms, qclass, len(_BLEND_ARMS))
+        idx = max(range(len(arms)), key=lambda i: arms[i].sample(self._rng))
+        self._last_blend[qclass.value] = idx
+        return _BLEND_ARMS[idx]
+
+    def update(self, qclass: QueryClass, success: bool) -> None:
+        ki = self._last_k.get(qclass.value)
+        if ki is not None:
+            self._arms(self._k_arms, qclass, len(_RRF_K_ARMS))[ki].update(success)
+        bi = self._last_blend.get(qclass.value)
+        if bi is not None:
+            self._arms(self._blend_arms, qclass, len(_BLEND_ARMS))[bi].update(success)
+
+    def expected_best_k(self, qclass: QueryClass) -> int:
+        arms = self._arms(self._k_arms, qclass, len(_RRF_K_ARMS))
+        idx = max(range(len(arms)), key=lambda i: arms[i].alpha / (arms[i].alpha + arms[i].beta))
+        return _RRF_K_ARMS[idx]

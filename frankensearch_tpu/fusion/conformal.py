@@ -1,0 +1,52 @@
+"""Distribution-free conformal coverage for result-set size.
+
+Parity target: reference crates/frankensearch-fusion/src/conformal.rs
+(:1-8) — given calibration data of "rank at which the relevant doc
+appeared", compute the k required for coverage 1 - alpha via the split
+conformal quantile, with an online adaptive update (Gibbs & Candès
+style: inflate/deflate the quantile as observed coverage drifts).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+
+@dataclass
+class ConformalK:
+    alpha: float = 0.1
+    max_k: int = 100
+    #: online learning rate for adaptive conformal
+    gamma: float = 0.02
+    _calibration_ranks: list[int] = field(default_factory=list)
+    _alpha_t: float | None = None
+
+    def calibrate(self, ranks: list[int]) -> None:
+        """ranks: 1-based rank of the first relevant result per query
+        (use max_k + 1 for 'not found')."""
+        self._calibration_ranks = sorted(ranks)
+        self._alpha_t = self.alpha
+
+    def required_k(self, confidence: float | None = None) -> int:
+        """Smallest k such that P(relevant in top-k) >= confidence,
+        by the split-conformal quantile with the +1 correction."""
+        alpha = 1.0 - confidence if confidence is not None else (self._alpha_t or self.alpha)
+        alpha = min(max(alpha, 1e-6), 1.0)
+        n = len(self._calibration_ranks)
+        if n == 0:
+            return self.max_k
+        q_index = math.ceil((n + 1) * (1.0 - alpha)) - 1
+        q_index = min(max(q_index, 0), n - 1)
+        return min(self._calibration_ranks[q_index], self.max_k)
+
+    def observe(self, covered: bool) -> None:
+        """Adaptive conformal update: alpha_t += gamma * (alpha - err)."""
+        if self._alpha_t is None:
+            self._alpha_t = self.alpha
+        err = 0.0 if covered else 1.0
+        self._alpha_t = min(max(self._alpha_t + self.gamma * (self.alpha - err), 1e-4), 0.5)
+
+    @property
+    def empirical_coverage_target(self) -> float:
+        return 1.0 - (self._alpha_t if self._alpha_t is not None else self.alpha)

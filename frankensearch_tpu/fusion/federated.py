@@ -1,0 +1,146 @@
+"""Federated search: fan one query over N searchers, fuse the results.
+
+Parity target: reference crates/frankensearch-fusion/src/federated.rs
+(:26-259) — ``FederatedSearcher`` fans out over shards (each a full
+TwoTierSearcher), merges via RRF or score merge, reports per-shard errors
+and a ``FederatedCoverage`` receipt instead of failing the whole query.
+
+On TPU the *within-slice* analog is the sharded device scan
+(parallel/sharded_scan.py); this host-level federation covers
+multi-index / multi-corpus composition where indexes are separate
+artifacts (and, later, separate hosts).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import enum
+import time
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from frankensearch_tpu.core.types import ScoredResult
+from frankensearch_tpu.fusion.rrf import RrfConfig, _rank_contribution, _sanitize_k
+
+
+class MergeStrategy(enum.Enum):
+    RRF = "rrf"
+    SCORE = "score"  # raw score merge (requires comparable score scales)
+
+
+@dataclass(frozen=True)
+class ShardError:
+    shard: str
+    error: str
+
+
+@dataclass(frozen=True)
+class FederatedCoverage:
+    """Which shards answered (parity: federated.rs FederatedCoverage)."""
+
+    total_shards: int
+    responded: int
+    failed: tuple[ShardError, ...] = ()
+    timed_out: tuple[str, ...] = ()
+
+    @property
+    def complete(self) -> bool:
+        return self.responded == self.total_shards
+
+
+@dataclass
+class FederatedResult:
+    results: list[ScoredResult]
+    coverage: FederatedCoverage
+    latency_ms: float = 0.0
+
+
+@dataclass
+class FederatedSearcher:
+    #: (name, searcher) pairs; searcher must expose .search(query, k=...)
+    shards: list[tuple[str, object]] = field(default_factory=list)
+    merge: MergeStrategy = MergeStrategy.RRF
+    rrf_k: float = 60.0
+    timeout_s: float | None = None
+    max_workers: int = 8
+
+    def add_shard(self, name: str, searcher) -> None:
+        self.shards.append((name, searcher))
+
+    def search(self, query: str, k: int = 10, **kwargs) -> FederatedResult:
+        t0 = time.monotonic()
+        per_shard: dict[str, list[ScoredResult]] = {}
+        errors: list[ShardError] = []
+        timed_out: list[str] = []
+        with concurrent.futures.ThreadPoolExecutor(
+            max_workers=min(self.max_workers, max(len(self.shards), 1))
+        ) as pool:
+            futures = {
+                pool.submit(self._search_one, s, query, k, kwargs): name
+                for name, s in self.shards
+            }
+            done, pending = concurrent.futures.wait(
+                futures, timeout=self.timeout_s
+            )
+            for f in done:
+                name = futures[f]
+                try:
+                    per_shard[name] = f.result()
+                except Exception as e:
+                    errors.append(ShardError(shard=name, error=f"{type(e).__name__}: {e}"))
+            for f in pending:
+                timed_out.append(futures[f])
+                f.cancel()
+
+        merged = self._merge(per_shard, k)
+        coverage = FederatedCoverage(
+            total_shards=len(self.shards),
+            responded=len(per_shard),
+            failed=tuple(errors),
+            timed_out=tuple(timed_out),
+        )
+        return FederatedResult(
+            results=merged,
+            coverage=coverage,
+            latency_ms=(time.monotonic() - t0) * 1000.0,
+        )
+
+    @staticmethod
+    def _search_one(searcher, query: str, k: int, kwargs) -> list[ScoredResult]:
+        out = searcher.search(query, k=k, **kwargs)
+        return out.results if hasattr(out, "results") else list(out)
+
+    def _merge(
+        self, per_shard: dict[str, list[ScoredResult]], k: int
+    ) -> list[ScoredResult]:
+        best: dict[str, ScoredResult] = {}
+        fused_score: dict[str, float] = {}
+        if self.merge is MergeStrategy.RRF:
+            kk = _sanitize_k(self.rrf_k)
+            for _, results in sorted(per_shard.items()):
+                for rank, r in enumerate(results):
+                    fused_score[r.doc_id] = fused_score.get(r.doc_id, 0.0) + _rank_contribution(
+                        kk, rank
+                    )
+                    if r.doc_id not in best or r.score > best[r.doc_id].score:
+                        best[r.doc_id] = r
+        else:
+            for _, results in sorted(per_shard.items()):
+                for r in results:
+                    if r.doc_id not in fused_score or r.score > fused_score[r.doc_id]:
+                        fused_score[r.doc_id] = r.score
+                        best[r.doc_id] = r
+        ranked = sorted(fused_score.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out = []
+        for doc_id, score in ranked:
+            r = best[doc_id]
+            out.append(
+                ScoredResult(
+                    doc_id=doc_id, score=score,
+                    lexical_score=r.lexical_score, fast_score=r.fast_score,
+                    quality_score=r.quality_score, rerank_score=r.rerank_score,
+                    sources=r.sources, title=r.title, snippet=r.snippet,
+                    metadata=r.metadata,
+                )
+            )
+        return out

@@ -1,0 +1,65 @@
+"""Implicit feedback boosts: clicks/dwell -> decayed multiplicative boost.
+
+Parity target: reference crates/frankensearch-fusion/src/feedback.rs
+(:1-8) — a boost map keyed by doc id, applied multiplicatively after
+fusion, with exponential time decay.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from frankensearch_tpu.core.types import ScoredResult
+
+
+@dataclass
+class FeedbackBooster:
+    #: half-life of a feedback signal, seconds
+    half_life_s: float = 7 * 24 * 3600.0
+    #: boost increment per click / per strong dwell
+    click_boost: float = 0.1
+    dwell_boost: float = 0.05
+    #: cap on the total multiplier
+    max_boost: float = 1.5
+    clock: "callable" = time.time
+    _signals: dict[str, list[tuple[float, float]]] = field(default_factory=dict)
+
+    def record_click(self, doc_id: str) -> None:
+        self._signals.setdefault(doc_id, []).append((self.clock(), self.click_boost))
+
+    def record_dwell(self, doc_id: str, seconds: float) -> None:
+        strength = self.dwell_boost * min(seconds / 30.0, 2.0)
+        self._signals.setdefault(doc_id, []).append((self.clock(), strength))
+
+    def boost_for(self, doc_id: str) -> float:
+        signals = self._signals.get(doc_id)
+        if not signals:
+            return 1.0
+        now = self.clock()
+        total = 0.0
+        for t, strength in signals:
+            age = max(now - t, 0.0)
+            total += strength * math.pow(0.5, age / self.half_life_s)
+        return min(1.0 + total, self.max_boost)
+
+    def apply(self, results: Sequence[ScoredResult]) -> list[ScoredResult]:
+        out = []
+        for r in results:
+            b = self.boost_for(r.doc_id)
+            if b == 1.0:
+                out.append(r)
+            else:
+                out.append(
+                    ScoredResult(
+                        doc_id=r.doc_id, score=r.score * b,
+                        lexical_score=r.lexical_score, fast_score=r.fast_score,
+                        quality_score=r.quality_score, rerank_score=r.rerank_score,
+                        graph_score=r.graph_score, sources=r.sources, title=r.title,
+                        snippet=r.snippet, metadata=r.metadata, explanation=r.explanation,
+                    )
+                )
+        out.sort(key=lambda r: (-r.score, r.doc_id))
+        return out

@@ -1,0 +1,96 @@
+"""Query-hubness demotion + kNN score smoothing.
+
+Parity targets: reference crates/frankensearch-fusion/src/hubness.rs and
+src/smooth.rs (:1-8 each) — both off by default, zero cost when off:
+
+- hubness: ``s' = cos - beta * r_d`` where r_d is the document's hubness
+  score (how often it appears in other points' neighbor lists); measured
+  +0.0033 nDCG@10 at beta=0.2 (core/config.rs:100-130).
+- smoothing: one step of kNN score diffusion over the doc-doc similarity
+  graph; measured +0.0039 nDCG@10.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import numpy as np
+
+from frankensearch_tpu.core.types import VectorHit
+
+
+@dataclass
+class HubnessCorrector:
+    beta: float = 0.2
+    #: precomputed hubness score per slab row (built offline by
+    #: build_hubness_scores); rows absent default to 0
+    scores_by_row: dict[int, float] = field(default_factory=dict)
+
+    def apply(self, hits: Sequence[VectorHit]) -> list[VectorHit]:
+        if self.beta == 0.0 or not self.scores_by_row:
+            return list(hits)
+        out = [
+            VectorHit(
+                doc_id=h.doc_id,
+                score=h.score - self.beta * self.scores_by_row.get(h.row, 0.0),
+                row=h.row,
+            )
+            for h in hits
+        ]
+        out.sort(key=lambda h: (-h.score, h.doc_id))
+        return out
+
+
+def build_hubness_scores(vectors: np.ndarray, k: int = 10) -> dict[int, float]:
+    """Offline: r_d = normalized count of appearances in other docs'
+    k-NN lists (the classic hubness measure). O(N^2) — intended for
+    corpora small enough to care about hubness, or sampled."""
+    n = vectors.shape[0]
+    if n <= k + 1:
+        return {}
+    sims = vectors @ vectors.T
+    np.fill_diagonal(sims, -np.inf)
+    counts = np.zeros(n, dtype=np.int64)
+    nn = np.argpartition(-sims, k, axis=1)[:, :k]
+    for row in nn:
+        counts[row] += 1
+    mean = counts.mean()
+    std = counts.std() or 1.0
+    z = (counts - mean) / std
+    return {i: float(max(z[i], 0.0)) for i in range(n) if z[i] > 0.0}
+
+
+@dataclass
+class ScoreSmoother:
+    """One-step kNN diffusion: s' = (1-alpha) * s + alpha * mean(s_neighbors).
+    Neighbor lists are precomputed rows (build_neighbor_lists)."""
+
+    alpha: float = 0.1
+    neighbors_by_row: dict[int, list[int]] = field(default_factory=dict)
+
+    def apply(self, hits: Sequence[VectorHit]) -> list[VectorHit]:
+        if self.alpha == 0.0 or not self.neighbors_by_row:
+            return list(hits)
+        score_by_row = {h.row: h.score for h in hits}
+        out = []
+        for h in hits:
+            nbrs = self.neighbors_by_row.get(h.row, ())
+            nbr_scores = [score_by_row[r] for r in nbrs if r in score_by_row]
+            if nbr_scores:
+                s = (1 - self.alpha) * h.score + self.alpha * (sum(nbr_scores) / len(nbr_scores))
+            else:
+                s = h.score
+            out.append(VectorHit(doc_id=h.doc_id, score=s, row=h.row))
+        out.sort(key=lambda h: (-h.score, h.doc_id))
+        return out
+
+
+def build_neighbor_lists(vectors: np.ndarray, k: int = 5) -> dict[int, list[int]]:
+    n = vectors.shape[0]
+    if n <= k + 1:
+        return {}
+    sims = vectors @ vectors.T
+    np.fill_diagonal(sims, -np.inf)
+    nn = np.argpartition(-sims, k, axis=1)[:, :k]
+    return {i: [int(j) for j in nn[i]] for i in range(n)}

@@ -1,0 +1,77 @@
+"""As-you-type incremental search state machine.
+
+Parity target: reference crates/frankensearch-fusion/src/incremental.rs
+(:1-8) — prefix-extension queries reuse the previous result pool
+(re-rank the cached pool lexically) instead of re-running the full
+pipeline; a non-extension edit resets the state.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from frankensearch_tpu.core.types import ScoredResult
+
+
+@dataclass
+class IncrementalState:
+    last_query: str = ""
+    pool: list[ScoredResult] = field(default_factory=list)
+    pool_created_at: float = 0.0
+    full_searches: int = 0
+    pool_reuses: int = 0
+
+
+@dataclass
+class IncrementalSearcher:
+    """Wraps a full searcher with prefix-reuse.
+
+    search_fn(query, k) must return the over-fetched pool (the wrapper
+    asks for pool_multiplier * k so prefix refinements have headroom).
+    """
+
+    search_fn: Callable[[str, int], list[ScoredResult]]
+    pool_multiplier: int = 5
+    max_pool_age_s: float = 10.0
+    min_prefix_len: int = 2
+    state: IncrementalState = field(default_factory=IncrementalState)
+    clock: Callable[[], float] = time.monotonic
+
+    def search(self, query: str, k: int = 10) -> list[ScoredResult]:
+        q = query.strip().lower()
+        st = self.state
+        fresh = (self.clock() - st.pool_created_at) <= self.max_pool_age_s
+        is_extension = (
+            bool(st.last_query)
+            and len(q) >= self.min_prefix_len
+            and q.startswith(st.last_query)
+            and q != st.last_query
+        )
+        if is_extension and fresh and st.pool:
+            st.pool_reuses += 1
+            st.last_query = q
+            refined = self._filter_pool(q, st.pool)
+            if len(refined) >= min(k, 2):
+                return refined[:k]
+            # pool too thin after filtering: fall through to a full search
+        pool = self.search_fn(query, k * self.pool_multiplier)
+        st.pool = pool
+        st.last_query = q
+        st.pool_created_at = self.clock()
+        st.full_searches += 1
+        return pool[:k]
+
+    @staticmethod
+    def _filter_pool(q: str, pool: list[ScoredResult]) -> list[ScoredResult]:
+        """Keep pool docs whose visible text still matches every new term."""
+        terms = q.split()
+        out = []
+        for r in pool:
+            hay = " ".join(
+                filter(None, [r.title or "", str((r.metadata or {}).get("preview", ""))])
+            ).lower()
+            if not hay or all(t in hay for t in terms):
+                out.append(r)
+        return out

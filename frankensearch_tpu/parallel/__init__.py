@@ -1,0 +1,9 @@
+"""Multi-device scale-out: mesh construction, document-axis sharded scan
+with device-side top-k merge, and the sharded training step.
+
+This is the TPU-native replacement for the reference's scale story
+(rayon chunking + in-process FederatedSearcher + design-only generation
+replication — SURVEY.md §2.11): the document axis shards over a
+``jax.sharding.Mesh``; each device scans its local shard and the per-
+shard top-k heaps merge via ``all_gather`` over ICI.
+"""

@@ -1,0 +1,37 @@
+"""Mesh construction helpers."""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(
+    n_devices: int | None = None,
+    axes: tuple[str, ...] = ("d",),
+    shape: tuple[int, ...] | None = None,
+) -> Mesh:
+    """Build a mesh over the first n devices.
+
+    Default: 1-D data mesh over the document axis ("d"). For training,
+    pass axes=("dp", "tp") with an explicit shape.
+    """
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = devices[:n_devices]
+    if shape is None:
+        shape = (len(devices),) if len(axes) == 1 else _default_shape(len(devices), len(axes))
+    dev_array = np.array(devices).reshape(shape)
+    return Mesh(dev_array, axes)
+
+
+def _default_shape(n: int, ndim: int) -> tuple[int, ...]:
+    if ndim == 1:
+        return (n,)
+    if ndim == 2:
+        # favor a tp axis of 2 when divisible; else put everything on axis 0
+        tp = 2 if n % 2 == 0 and n >= 2 else 1
+        return (n // tp, tp)
+    raise ValueError(f"unsupported mesh ndim {ndim}")

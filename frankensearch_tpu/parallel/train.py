@@ -1,0 +1,132 @@
+"""Sharded contrastive training step for the transformer embedder.
+
+The reference ships pre-trained encoders and never trains; a production
+TPU deployment of this framework fine-tunes its quality tier (the
+measured +33% recall from a retrieval-tuned fast model,
+docs/SEARCH_QUALITY_FINDINGS.md, is exactly this lever). This module
+provides that training step, sharded the scaling-book way:
+
+- mesh axes ("dp", "tp"): batch shards over dp; attention/FFN weight
+  matrices shard over tp (column-parallel in, row-parallel out), so XLA
+  inserts the all-reduce pattern of Megatron-style tensor parallelism;
+- loss: symmetric in-batch InfoNCE between query and document towers
+  (shared encoder), the standard two-tower retrieval objective;
+- optimizer: optax adamw; optimizer state inherits parameter shardings.
+
+This is also what the driver's ``dryrun_multichip`` compiles over a
+virtual device mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from frankensearch_tpu.rerank.bert import BertConfig, embed_forward, init_params
+
+
+def param_specs(cfg: BertConfig) -> dict[str, Any]:
+    """PartitionSpec pytree mirroring init_params' structure.
+
+    Column-parallel (q/k/v/ffn_in): out-dim over tp. Row-parallel
+    (attn_out/ffn_out): in-dim over tp. Embeddings + LayerNorm replicated.
+    """
+    col = {"w": P(None, "tp"), "b": P("tp")}
+    row = {"w": P("tp", None), "b": P()}
+    layer = {
+        "q": col,
+        "k": col,
+        "v": col,
+        "attn_out": row,
+        "attn_ln_scale": P(),
+        "attn_ln_bias": P(),
+        "ffn_in": col,
+        "ffn_out": row,
+        "ffn_ln_scale": P(),
+        "ffn_ln_bias": P(),
+    }
+    return {
+        "embeddings": {
+            "word": P(),
+            "position": P(),
+            "token_type": P(),
+            "ln_scale": P(),
+            "ln_bias": P(),
+        },
+        "layers": [layer for _ in range(cfg.layers)],
+        "pooler": {"w": P(), "b": P()},
+        "classifier": {"w": P(), "b": P()},
+    }
+
+
+def shard_params(params, mesh: Mesh, cfg: BertConfig):
+    specs = param_specs(cfg)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params,
+        specs,
+        is_leaf=lambda x: isinstance(x, jax.Array) or hasattr(x, "shape"),
+    )
+
+
+def info_nce_loss(
+    params,
+    q_ids: jax.Array,
+    q_mask: jax.Array,
+    d_ids: jax.Array,
+    d_mask: jax.Array,
+    *,
+    cfg: BertConfig,
+    temperature: float = 0.05,
+) -> jax.Array:
+    """Symmetric in-batch InfoNCE: row i's positive is column i."""
+    q = embed_forward(params, q_ids, q_mask, cfg=cfg)  # (B, H), unit rows
+    d = embed_forward(params, d_ids, d_mask, cfg=cfg)
+    logits = jnp.dot(q, d.T, preferred_element_type=jnp.float32) / temperature
+    labels = jnp.arange(logits.shape[0])
+    loss_qd = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+    loss_dq = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels).mean()
+    return 0.5 * (loss_qd + loss_dq)
+
+
+def make_train_state(
+    cfg: BertConfig,
+    mesh: Mesh,
+    *,
+    seed: int = 0,
+    learning_rate: float = 2e-5,
+    weight_decay: float = 0.01,
+):
+    """(params, opt_state, optimizer) with mesh shardings applied."""
+    params = init_params(cfg, seed=seed)
+    params = shard_params(params, mesh, cfg)
+    optimizer = optax.adamw(learning_rate, weight_decay=weight_decay)
+    opt_state = optimizer.init(params)
+    return params, opt_state, optimizer
+
+
+def make_train_step(cfg: BertConfig, mesh: Mesh, optimizer):
+    """jit a full (fwd + bwd + update) step with dp/tp shardings."""
+    batch_sharding = NamedSharding(mesh, P("dp", None))
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, q_ids, q_mask, d_ids, d_mask):
+        loss, grads = jax.value_and_grad(info_nce_loss)(
+            params, q_ids, q_mask, d_ids, d_mask, cfg=cfg
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def step(params, opt_state, q_ids, q_mask, d_ids, d_mask):
+        place = lambda x: jax.device_put(jnp.asarray(x), batch_sharding)
+        return train_step(
+            params, opt_state, place(q_ids), place(q_mask), place(d_ids), place(d_mask)
+        )
+
+    return step

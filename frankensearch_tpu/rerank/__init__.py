@@ -1,0 +1,9 @@
+"""Neural rerank/quality-tier inference: BERT encoder, cross-encoder.
+
+Parity target: crates/frankensearch-rerank (reference) — a from-scratch
+BertForSequenceClassification forward (NativeReranker, src/native.rs) and
+an all-MiniLM-class embedder reusing the same encoder
+(src/native_embedder.rs). Here both are pure-JAX device programs with an
+optional int8-weight path mirroring the reference's
+f32-substrate + per-channel int8 recipe.
+"""

@@ -1,0 +1,313 @@
+"""Pure-JAX BERT encoder (MiniLM-L6 class) with int8-Linear option.
+
+Parity target: reference crates/frankensearch-rerank/src/native.rs:1-66 —
+6 layers, H=384, 12 heads, exact GELU, LayerNorm eps 1e-12, CLS pooler
+(tanh) + classifier + sigmoid for the cross-encoder; mean-pool + L2 head
+for the embedder (native_embedder.rs). The reference runs an f32 substrate
+with per-output-channel static int8 weights and per-row dynamic int8
+activations and proves ranking is preserved; the same scheme here lowers
+to ``lax.dot_general`` int8 x int8 -> i32 on the MXU.
+
+Weights are a plain pytree (nested dicts). ``init_params`` gives a
+deterministic random model (tests / model-free operation);
+``load_hf_bert`` maps a HuggingFace ``BertModel``/``BertForSequence-
+Classification`` safetensors checkpoint into the pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden: int = 384
+    layers: int = 6
+    heads: int = 12
+    intermediate: int = 1536
+    max_position: int = 512
+    type_vocab: int = 2
+    ln_eps: float = 1e-12
+    num_labels: int = 1  # cross-encoder head
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden // self.heads
+
+
+def _dense_init(key, fan_in: int, fan_out: int) -> dict[str, np.ndarray]:
+    std = 0.02
+    w = jax.random.normal(key, (fan_in, fan_out), dtype=jnp.float32) * std
+    return {"w": w, "b": jnp.zeros((fan_out,), dtype=jnp.float32)}
+
+
+def init_params(cfg: BertConfig, seed: int = 0) -> dict[str, Any]:
+    key = jax.random.PRNGKey(seed)
+    keys = iter(jax.random.split(key, 16 + cfg.layers * 8))
+
+    def nxt():
+        return next(keys)
+
+    params: dict[str, Any] = {
+        "embeddings": {
+            "word": jax.random.normal(nxt(), (cfg.vocab_size, cfg.hidden)) * 0.02,
+            "position": jax.random.normal(nxt(), (cfg.max_position, cfg.hidden)) * 0.02,
+            "token_type": jax.random.normal(nxt(), (cfg.type_vocab, cfg.hidden)) * 0.02,
+            "ln_scale": jnp.ones((cfg.hidden,)),
+            "ln_bias": jnp.zeros((cfg.hidden,)),
+        },
+        "layers": [],
+        "pooler": _dense_init(nxt(), cfg.hidden, cfg.hidden),
+        "classifier": _dense_init(nxt(), cfg.hidden, cfg.num_labels),
+    }
+    for _ in range(cfg.layers):
+        params["layers"].append(
+            {
+                "q": _dense_init(nxt(), cfg.hidden, cfg.hidden),
+                "k": _dense_init(nxt(), cfg.hidden, cfg.hidden),
+                "v": _dense_init(nxt(), cfg.hidden, cfg.hidden),
+                "attn_out": _dense_init(nxt(), cfg.hidden, cfg.hidden),
+                "attn_ln_scale": jnp.ones((cfg.hidden,)),
+                "attn_ln_bias": jnp.zeros((cfg.hidden,)),
+                "ffn_in": _dense_init(nxt(), cfg.hidden, cfg.intermediate),
+                "ffn_out": _dense_init(nxt(), cfg.intermediate, cfg.hidden),
+                "ffn_ln_scale": jnp.ones((cfg.hidden,)),
+                "ffn_ln_bias": jnp.zeros((cfg.hidden,)),
+            }
+        )
+    return params
+
+
+# ---------------------------------------------------------------------------
+# int8 weight quantization (reference recipe: per-output-channel weights)
+# ---------------------------------------------------------------------------
+
+
+def quantize_linear_weights(params: dict[str, Any]) -> dict[str, Any]:
+    """Replace every dense 'w' with int8 values + per-output-channel scale.
+    Biases and LayerNorm stay f32 (the reference's f32 substrate)."""
+
+    def quant(d: dict) -> dict:
+        w = np.asarray(d["w"], dtype=np.float32)
+        scale = np.maximum(np.abs(w).max(axis=0), 1e-8) / 127.0  # per out-channel
+        wi8 = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+        return {"w_int8": jnp.asarray(wi8), "w_scale": jnp.asarray(scale), "b": d["b"]}
+
+    out: dict[str, Any] = {"embeddings": params["embeddings"], "layers": []}
+    for layer in params["layers"]:
+        ql = dict(layer)
+        for name in ("q", "k", "v", "attn_out", "ffn_in", "ffn_out"):
+            ql[name] = quant(layer[name])
+        out["layers"].append(ql)
+    out["pooler"] = quant(params["pooler"])
+    out["classifier"] = quant(params["classifier"])
+    return out
+
+
+def _linear(x: jax.Array, p: dict) -> jax.Array:
+    """Dense layer; dispatches on f32 vs int8 param layout."""
+    if "w_int8" in p:
+        # per-row dynamic activation quantization (native.rs recipe)
+        amax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-6)
+        x_i8 = jnp.clip(jnp.round(x / amax * 127.0), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            x_i8,
+            p["w_int8"],
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        y = acc * (amax / 127.0) * p["w_scale"]
+        return y + p["b"]
+    return jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
+
+
+def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _exact_gelu(x: jax.Array) -> jax.Array:
+    # exact GELU (erf form), matching the reference (native.rs "exact GELU")
+    return x * 0.5 * (1.0 + jax.lax.erf(x / math.sqrt(2.0)))
+
+
+def encoder_forward(
+    params: dict[str, Any],
+    input_ids: jax.Array,  # (B, T) i32
+    attention_mask: jax.Array,  # (B, T) i32/bool
+    token_type_ids: jax.Array | None = None,
+    *,
+    cfg: BertConfig,
+) -> jax.Array:
+    """Token-level hidden states (B, T, H), f32."""
+    b, t = input_ids.shape
+    emb = params["embeddings"]
+    positions = jnp.arange(t)[None, :]
+    if token_type_ids is None:
+        token_type_ids = jnp.zeros_like(input_ids)
+    x = (
+        jnp.take(emb["word"], input_ids, axis=0)
+        + jnp.take(emb["position"], positions, axis=0)
+        + jnp.take(emb["token_type"], token_type_ids, axis=0)
+    ).astype(jnp.float32)
+    x = _layer_norm(x, emb["ln_scale"], emb["ln_bias"], cfg.ln_eps)
+
+    # additive attention mask: (B, 1, 1, T)
+    neg = jnp.asarray(-1e9, dtype=jnp.float32)
+    amask = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)
+
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    for layer in params["layers"]:
+        q = _linear(x, layer["q"]).reshape(b, t, cfg.heads, cfg.head_dim)
+        k = _linear(x, layer["k"]).reshape(b, t, cfg.heads, cfg.head_dim)
+        v = _linear(x, layer["v"]).reshape(b, t, cfg.heads, cfg.head_dim)
+        # (B, heads, T, T)
+        logits = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
+        logits = logits * scale + amask
+        probs = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum("bhts,bshd->bthd", probs, v, preferred_element_type=jnp.float32)
+        ctx = ctx.reshape(b, t, cfg.hidden)
+        x = _layer_norm(
+            x + _linear(ctx, layer["attn_out"]),
+            layer["attn_ln_scale"],
+            layer["attn_ln_bias"],
+            cfg.ln_eps,
+        )
+        h = _exact_gelu(_linear(x, layer["ffn_in"]))
+        x = _layer_norm(
+            x + _linear(h, layer["ffn_out"]),
+            layer["ffn_ln_scale"],
+            layer["ffn_ln_bias"],
+            cfg.ln_eps,
+        )
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def embed_forward(
+    params: dict[str, Any],
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    *,
+    cfg: BertConfig,
+) -> jax.Array:
+    """Mean-pool + L2 head (native_embedder.rs / MiniLM embedder)."""
+    hidden = encoder_forward(params, input_ids, attention_mask, cfg=cfg)
+    m = attention_mask.astype(jnp.float32)[..., None]
+    pooled = jnp.sum(hidden * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1e-9)
+    norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+    return jnp.where(norm > 1e-12, pooled / norm, pooled)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def cross_encoder_forward(
+    params: dict[str, Any],
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    token_type_ids: jax.Array,
+    *,
+    cfg: BertConfig,
+) -> jax.Array:
+    """CLS pooler (tanh) -> classifier -> sigmoid relevance score (B,)
+    (native.rs BertForSequenceClassification head)."""
+    hidden = encoder_forward(params, input_ids, attention_mask, token_type_ids, cfg=cfg)
+    cls = hidden[:, 0, :]
+    pooled = jnp.tanh(_linear(cls, params["pooler"]))
+    logits = _linear(pooled, params["classifier"])
+    return jax.nn.sigmoid(logits[:, 0])
+
+
+# ---------------------------------------------------------------------------
+# HuggingFace checkpoint loading
+# ---------------------------------------------------------------------------
+
+_HF_LAYER_MAP = {
+    "q": "attention.self.query",
+    "k": "attention.self.key",
+    "v": "attention.self.value",
+    "attn_out": "attention.output.dense",
+}
+
+
+def load_hf_bert(model_dir: str, cfg: BertConfig | None = None) -> tuple[dict, BertConfig]:
+    """Map a local HF BERT safetensors checkpoint into the param pytree.
+    Supports BertModel and BertForSequenceClassification layouts."""
+    import json
+
+    from safetensors.numpy import load_file
+
+    cfg_path = os.path.join(model_dir, "config.json")
+    if cfg is None and os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            hf = json.load(f)
+        cfg = BertConfig(
+            vocab_size=hf.get("vocab_size", 30522),
+            hidden=hf.get("hidden_size", 384),
+            layers=hf.get("num_hidden_layers", 6),
+            heads=hf.get("num_attention_heads", 12),
+            intermediate=hf.get("intermediate_size", 1536),
+            max_position=hf.get("max_position_embeddings", 512),
+            type_vocab=hf.get("type_vocab_size", 2),
+            ln_eps=hf.get("layer_norm_eps", 1e-12),
+            num_labels=len(hf.get("id2label", {0: ""})) or 1,
+        )
+    assert cfg is not None
+    t = load_file(os.path.join(model_dir, "model.safetensors"))
+
+    def get(name: str) -> np.ndarray:
+        for prefix in ("", "bert.", "model."):
+            if prefix + name in t:
+                return t[prefix + name]
+        raise KeyError(name)
+
+    def dense(name: str) -> dict:
+        return {
+            # HF stores (out, in); we use (in, out)
+            "w": jnp.asarray(get(f"{name}.weight").T.astype(np.float32)),
+            "b": jnp.asarray(get(f"{name}.bias").astype(np.float32)),
+        }
+
+    params: dict[str, Any] = {
+        "embeddings": {
+            "word": jnp.asarray(get("embeddings.word_embeddings.weight")),
+            "position": jnp.asarray(get("embeddings.position_embeddings.weight")),
+            "token_type": jnp.asarray(get("embeddings.token_type_embeddings.weight")),
+            "ln_scale": jnp.asarray(get("embeddings.LayerNorm.weight")),
+            "ln_bias": jnp.asarray(get("embeddings.LayerNorm.bias")),
+        },
+        "layers": [],
+    }
+    for i in range(cfg.layers):
+        base = f"encoder.layer.{i}"
+        layer = {}
+        for ours, theirs in _HF_LAYER_MAP.items():
+            layer[ours] = dense(f"{base}.{theirs}")
+        layer["attn_ln_scale"] = jnp.asarray(get(f"{base}.attention.output.LayerNorm.weight"))
+        layer["attn_ln_bias"] = jnp.asarray(get(f"{base}.attention.output.LayerNorm.bias"))
+        layer["ffn_in"] = dense(f"{base}.intermediate.dense")
+        layer["ffn_out"] = dense(f"{base}.output.dense")
+        layer["ffn_ln_scale"] = jnp.asarray(get(f"{base}.output.LayerNorm.weight"))
+        layer["ffn_ln_bias"] = jnp.asarray(get(f"{base}.output.LayerNorm.bias"))
+        params["layers"].append(layer)
+    try:
+        params["pooler"] = dense("pooler.dense")
+    except KeyError:
+        params["pooler"] = _dense_init(jax.random.PRNGKey(0), cfg.hidden, cfg.hidden)
+    try:
+        params["classifier"] = {
+            "w": jnp.asarray(t["classifier.weight"].T.astype(np.float32)),
+            "b": jnp.asarray(t["classifier.bias"].astype(np.float32)),
+        }
+    except KeyError:
+        params["classifier"] = _dense_init(jax.random.PRNGKey(1), cfg.hidden, cfg.num_labels)
+    return params, cfg

@@ -1,0 +1,134 @@
+"""Quality-tier transformer embedder (MiniLM class) over the JAX encoder.
+
+Parity target: reference crates/frankensearch-rerank/src/native_embedder.rs
+(all-MiniLM-L6-v2 embedder reusing the cross-encoder's encoder, mean-pool +
+L2 head) and crates/frankensearch-embed/src/fastembed_embedder.rs (the
+ONNX quality tier this replaces).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from frankensearch_tpu.embed.base import Embedder
+from frankensearch_tpu.rerank.bert import (
+    BertConfig,
+    embed_forward,
+    init_params,
+    load_hf_bert,
+    quantize_linear_weights,
+)
+from frankensearch_tpu.rerank.tokenizer import (
+    WordPieceTokenizer,
+    load_hf_wordpiece,
+    tiny_test_vocab,
+)
+
+_LENGTH_BUCKETS = (16, 32, 64, 128, 256, 512)
+
+
+def _bucket(n: int) -> int:
+    for b in _LENGTH_BUCKETS:
+        if n <= b:
+            return b
+    return _LENGTH_BUCKETS[-1]
+
+
+class TransformerEmbedder(Embedder):
+    """Batched BERT mean-pool embedder as a single jitted device program."""
+
+    def __init__(
+        self,
+        params,
+        cfg: BertConfig,
+        tokenizer,
+        *,
+        embedder_id: str = "minilm-l6",
+        revision: str = "",
+        max_tokens: int = 256,
+        int8: bool = False,
+    ) -> None:
+        self.cfg = cfg
+        self.params = quantize_linear_weights(params) if int8 else params
+        self.tokenizer = tokenizer
+        self._id = embedder_id
+        self._revision = revision
+        self.max_tokens = max_tokens
+
+    @property
+    def dim(self) -> int:
+        return self.cfg.hidden
+
+    @property
+    def embedder_id(self) -> str:
+        return self._id
+
+    @property
+    def revision(self) -> str:
+        return self._revision
+
+    @classmethod
+    def from_dir(cls, model_dir: str, *, int8: bool = False, **kw) -> "TransformerEmbedder":
+        params, cfg = load_hf_bert(model_dir)
+        tok = load_hf_wordpiece(model_dir)
+        import os
+
+        return cls(
+            params,
+            cfg,
+            tok,
+            embedder_id=os.path.basename(os.path.normpath(model_dir)),
+            int8=int8,
+            **kw,
+        )
+
+    def embed_batch(self, texts: Sequence[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        encs = [self.tokenizer.encode(t, max_len=self.max_tokens) for t in texts]
+        t_pad = _bucket(max(len(e.input_ids) for e in encs))
+        ids = np.zeros((len(texts), t_pad), dtype=np.int32)
+        mask = np.zeros((len(texts), t_pad), dtype=np.int32)
+        for i, e in enumerate(encs):
+            n = len(e.input_ids)
+            ids[i, :n] = e.input_ids
+            mask[i, :n] = e.attention_mask
+        out = embed_forward(
+            self.params, jnp.asarray(ids), jnp.asarray(mask), cfg=self.cfg
+        )
+        return np.asarray(out, dtype=np.float32)
+
+
+def load_encoder_embedder(model_dir: str, **kw) -> TransformerEmbedder:
+    """Entry point used by EmbedderStack.auto_detect."""
+    return TransformerEmbedder.from_dir(model_dir, **kw)
+
+
+def random_transformer_embedder(
+    corpus_words: list[str],
+    *,
+    hidden: int = 64,
+    layers: int = 2,
+    heads: int = 4,
+    seed: int = 0,
+    int8: bool = False,
+) -> TransformerEmbedder:
+    """Test helper: tiny random BERT + tiny WordPiece vocab."""
+    vocab = tiny_test_vocab(corpus_words)
+    cfg = BertConfig(
+        vocab_size=len(vocab) + 8,
+        hidden=hidden,
+        layers=layers,
+        heads=heads,
+        intermediate=hidden * 4,
+        max_position=128,
+    )
+    params = init_params(cfg, seed=seed)
+    tok = WordPieceTokenizer(vocab, max_len=128)
+    return TransformerEmbedder(
+        params, cfg, tok, embedder_id=f"random-bert-{hidden}", revision="test", int8=int8,
+        max_tokens=128,
+    )

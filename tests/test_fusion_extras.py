@@ -1,0 +1,277 @@
+"""Tests for MMR, PRF, feedback, NQC, calibration, adaptive, conformal,
+hubness/smoothing, federated, incremental, queue/refresh, graph rank, OPE."""
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu.core.fingerprint import DocumentFingerprint, ReembedPolicy
+from frankensearch_tpu.core.graph import DocumentGraph
+from frankensearch_tpu.core.query_class import QueryClass
+from frankensearch_tpu.core.types import ScoredResult, VectorHit
+from frankensearch_tpu.fusion.adaptive import AdaptiveFusion
+from frankensearch_tpu.fusion.calibration import (
+    IsotonicCalibrator,
+    PlattCalibrator,
+    TemperatureCalibrator,
+)
+from frankensearch_tpu.fusion.conformal import ConformalK
+from frankensearch_tpu.fusion.federated import FederatedSearcher, MergeStrategy
+from frankensearch_tpu.fusion.feedback import FeedbackBooster
+from frankensearch_tpu.fusion.graph_rank import GraphRanker
+from frankensearch_tpu.fusion.hubness import (
+    HubnessCorrector,
+    ScoreSmoother,
+    build_hubness_scores,
+    build_neighbor_lists,
+)
+from frankensearch_tpu.fusion.incremental import IncrementalSearcher
+from frankensearch_tpu.fusion.normalize import NqcDownweight, minmax_normalize
+from frankensearch_tpu.fusion.ope import LoggedInteraction, doubly_robust_estimate, ips_estimate
+from frankensearch_tpu.fusion.queue import EmbeddingQueue, EnqueueResult
+
+
+def sr(doc_id, score, **kw):
+    return ScoredResult(doc_id=doc_id, score=score, **kw)
+
+
+class TestNqc:
+    def test_sharp_lexical_downweights_semantic(self):
+        nqc = NqcDownweight()
+        sharp = [sr("a", 10.0), sr("b", 1.0), sr("c", 0.5)]
+        flat = [sr("a", 1.0), sr("b", 0.99), sr("c", 0.98)]
+        assert nqc.semantic_weight_multiplier(sharp) < nqc.semantic_weight_multiplier(flat)
+        assert nqc.semantic_weight_multiplier(sharp) >= nqc.min_weight
+
+    def test_minmax(self):
+        assert minmax_normalize([1.0, 3.0]) == [0.0, 1.0]
+        assert minmax_normalize([2.0, 2.0]) == [1.0, 1.0]
+        assert minmax_normalize([]) == []
+
+
+class TestCalibration:
+    def test_temperature(self):
+        assert TemperatureCalibrator(2.0)(1.0) == 0.5
+
+    def test_platt_fit_separates(self):
+        scores = [0.1, 0.2, 0.3, 0.7, 0.8, 0.9]
+        labels = [0, 0, 0, 1, 1, 1]
+        cal = PlattCalibrator.fit(scores, labels, iters=500)
+        assert cal(0.9) > cal(0.1)
+
+    def test_isotonic_monotone(self):
+        scores = [0.1, 0.2, 0.5, 0.6, 0.9]
+        labels = [0.0, 0.2, 0.1, 0.8, 1.0]
+        cal = IsotonicCalibrator.fit(scores, labels)
+        xs = [0.0, 0.25, 0.55, 0.7, 1.0]
+        ys = [cal(x) for x in xs]
+        assert all(a <= b + 1e-9 for a, b in zip(ys, ys[1:]))
+
+
+class TestAdaptive:
+    def test_learns_better_arm(self):
+        af = AdaptiveFusion(seed=1)
+        qc = QueryClass.SHORT_KEYWORD
+        for _ in range(300):
+            k = af.choose_rrf_k(qc)
+            af.update(qc, success=(k == 20))  # only k=20 "works"
+        assert af.expected_best_k(qc) == 20
+
+
+class TestConformal:
+    def test_required_k_quantile(self):
+        c = ConformalK(alpha=0.1)
+        c.calibrate(list(range(1, 101)))  # ranks 1..100
+        k = c.required_k()
+        assert 88 <= k <= 95  # ~90th percentile with +1 correction
+
+    def test_adaptive_update_widens_on_misses(self):
+        c = ConformalK(alpha=0.1)
+        c.calibrate(list(range(1, 101)))
+        k_before = c.required_k()
+        for _ in range(50):
+            c.observe(covered=False)
+        assert c.required_k() >= k_before
+
+
+class TestFeedback:
+    def test_click_boost_and_decay(self):
+        t = [0.0]
+        fb = FeedbackBooster(half_life_s=100.0, clock=lambda: t[0])
+        fb.record_click("a")
+        assert fb.boost_for("a") > 1.0
+        fresh = fb.boost_for("a")
+        t[0] = 1000.0  # 10 half-lives
+        assert fb.boost_for("a") < fresh
+        assert fb.boost_for("a") == pytest.approx(1.0, abs=1e-3)
+
+    def test_apply_reorders(self):
+        fb = FeedbackBooster()
+        fb.record_click("b")
+        fb.record_click("b")
+        out = fb.apply([sr("a", 1.0), sr("b", 0.95)])
+        assert out[0].doc_id == "b"
+
+
+class TestHubnessSmoothing:
+    def test_hubness_demotes_hubs(self, rng):
+        # a centroid-ish point appears in everyone's kNN -> hub
+        base = rng.standard_normal((50, 16)).astype(np.float32)
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        hub = base.mean(axis=0)
+        hub /= np.linalg.norm(hub)
+        vecs = np.vstack([base, hub])
+        scores = build_hubness_scores(vecs, k=5)
+        assert 50 in scores  # the centroid is a hub
+        corr = HubnessCorrector(beta=0.5, scores_by_row=scores)
+        hits = [VectorHit("hub", 0.9, 50), VectorHit("x", 0.89, 0)]
+        out = corr.apply(hits)
+        assert out[0].doc_id == "x"
+
+    def test_smoothing_pulls_toward_neighbors(self, rng):
+        vecs = rng.standard_normal((20, 8)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        nbrs = build_neighbor_lists(vecs, k=3)
+        sm = ScoreSmoother(alpha=0.5, neighbors_by_row=nbrs)
+        hits = [VectorHit(f"d{i}", float(20 - i) / 20, i) for i in range(10)]
+        out = sm.apply(hits)
+        assert len(out) == 10
+
+    def test_zero_cost_when_off(self):
+        hits = [VectorHit("a", 0.5, 0)]
+        assert HubnessCorrector(beta=0.0).apply(hits) == hits
+        assert ScoreSmoother(alpha=0.0).apply(hits) == hits
+
+
+class FakeSearcher:
+    def __init__(self, results):
+        self._results = results
+        self.calls = 0
+
+    def search(self, query, k=10, **kw):
+        self.calls += 1
+        return self._results[:k]
+
+
+class TestFederated:
+    def test_rrf_merge_and_coverage(self):
+        s1 = FakeSearcher([sr("a", 1.0), sr("b", 0.5)])
+        s2 = FakeSearcher([sr("b", 0.9), sr("c", 0.4)])
+        fed = FederatedSearcher(shards=[("s1", s1), ("s2", s2)])
+        out = fed.search("q", k=3)
+        assert out.coverage.complete
+        assert out.results[0].doc_id == "b"  # in both shards
+
+    def test_shard_error_is_partial_not_fatal(self):
+        class Exploding:
+            def search(self, *a, **k):
+                raise RuntimeError("down")
+
+        fed = FederatedSearcher(
+            shards=[("ok", FakeSearcher([sr("a", 1.0)])), ("bad", Exploding())]
+        )
+        out = fed.search("q", k=3)
+        assert not out.coverage.complete
+        assert out.coverage.responded == 1
+        assert out.results[0].doc_id == "a"
+        assert out.coverage.failed[0].shard == "bad"
+
+    def test_score_merge(self):
+        fed = FederatedSearcher(
+            shards=[("s1", FakeSearcher([sr("a", 0.9)])), ("s2", FakeSearcher([sr("b", 0.8)]))],
+            merge=MergeStrategy.SCORE,
+        )
+        out = fed.search("q", k=2)
+        assert [r.doc_id for r in out.results] == ["a", "b"]
+
+
+class TestIncremental:
+    def test_prefix_reuses_pool(self):
+        calls = []
+
+        def search_fn(q, k):
+            calls.append(q)
+            return [
+                sr("apple", 1.0, metadata={"preview": "apple pie recipe"}),
+                sr("applet", 0.9, metadata={"preview": "java applet history"}),
+                sr("banana", 0.8, metadata={"preview": "banana bread"}),
+            ]
+
+        inc = IncrementalSearcher(search_fn=search_fn)
+        r1 = inc.search("app", k=3)
+        r2 = inc.search("appl", k=3)
+        r3 = inc.search("apple", k=3)
+        assert len(calls) == 1  # prefix extensions reused the pool
+        assert all(r.doc_id != "banana" for r in r3)
+
+    def test_non_extension_resets(self):
+        calls = []
+
+        def search_fn(q, k):
+            calls.append(q)
+            return [sr("x", 1.0, metadata={"preview": "x"})]
+
+        inc = IncrementalSearcher(search_fn=search_fn)
+        inc.search("abc", k=1)
+        inc.search("xyz", k=1)
+        assert len(calls) == 2
+
+
+class TestQueue:
+    def test_dedup_and_backpressure(self):
+        q = EmbeddingQueue(capacity=2)
+        assert q.push("a", "same text") is EnqueueResult.ENQUEUED
+        assert q.push("b", "same text") is EnqueueResult.DUPLICATE
+        assert q.push("c", "other") is EnqueueResult.ENQUEUED
+        assert q.push("d", "third") is EnqueueResult.FULL
+        batch = q.drain()
+        assert [j.doc_id for j in batch] == ["a", "c"]
+        # hash released after drain
+        assert q.push("a2", "same text") is EnqueueResult.ENQUEUED
+
+    def test_priority_order(self):
+        q = EmbeddingQueue()
+        q.push("low", "l", priority=0)
+        q.push("high", "h", priority=5)
+        assert q.drain()[0].doc_id == "high"
+
+
+class TestGraphRank:
+    def test_seeded_pagerank(self):
+        g = DocumentGraph()
+        g.add_edge("seed", "linked", 1.0)
+        g.add_edge("linked", "deep", 1.0)
+        g.add_node("island")
+        ranker = GraphRanker(g)
+        out = ranker.rank([sr("seed", 1.0)], limit=10)
+        by = {r.doc_id: r.score for r in out}
+        assert by["seed"] > by["linked"] > by["deep"]
+        assert "island" not in by
+
+
+class TestOpe:
+    def test_ips_identity_policy(self):
+        logs = [LoggedInteraction("q", f"d{i}", 0.5, 1.0 if i % 2 else 0.0) for i in range(100)]
+        est = ips_estimate(logs, lambda q, d: 0.5)
+        assert est.value == pytest.approx(0.5, abs=0.01)
+
+    def test_dr_reduces_to_model_when_weights_match(self):
+        logs = [LoggedInteraction("q", "d", 0.5, 1.0)]
+        est = doubly_robust_estimate(logs, lambda q, d: 0.5, lambda q, d: 0.7)
+        assert est.value == pytest.approx(0.7 + 1.0 * (1.0 - 0.7))
+
+
+class TestFingerprint:
+    def test_identical_never_reembeds(self):
+        f = DocumentFingerprint.of("hello world")
+        assert not ReembedPolicy().should_reembed(f, f)
+
+    def test_big_change_reembeds(self):
+        a = DocumentFingerprint.of("short text")
+        b = DocumentFingerprint.of("short text " * 50)
+        assert ReembedPolicy().should_reembed(a, b)
+
+    def test_tiny_tail_edit_skips(self):
+        base = "word " * 200
+        a = DocumentFingerprint.of(base + "end")
+        b = DocumentFingerprint.of(base + "end2")
+        assert not ReembedPolicy().should_reembed(a, b)

@@ -1,0 +1,194 @@
+"""BERT encoder + cross-encoder + rerank pipeline tests."""
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu.core.types import ScoredResult
+from frankensearch_tpu.rerank.cross_encoder import random_cross_encoder
+from frankensearch_tpu.rerank.encoder import random_transformer_embedder
+from frankensearch_tpu.rerank.pipeline import CombineStrategy, rerank_step
+from frankensearch_tpu.rerank.tokenizer import WordPieceTokenizer, tiny_test_vocab
+
+WORDS = ["search", "vector", "lexical", "rust", "python", "tpu", "index", "query"]
+
+
+class TestWordPiece:
+    def test_roundtrip_known_words(self):
+        vocab = tiny_test_vocab(WORDS)
+        tok = WordPieceTokenizer(vocab)
+        e = tok.encode("search vector")
+        assert e.input_ids[0] == vocab["[CLS]"]
+        assert e.input_ids[-1] == vocab["[SEP]"]
+        assert vocab["search"] in e.input_ids
+        assert vocab["vector"] in e.input_ids
+
+    def test_subword_fallback(self):
+        vocab = tiny_test_vocab(WORDS)
+        tok = WordPieceTokenizer(vocab)
+        # "searches" is not a whole word in vocab -> decomposes to subwords
+        ids = tok.encode_text("searches")
+        assert len(ids) >= 2
+
+    def test_pair_encoding_type_ids(self):
+        vocab = tiny_test_vocab(WORDS)
+        tok = WordPieceTokenizer(vocab)
+        e = tok.encode_pair("query", "vector index search")
+        assert 0 in e.token_type_ids and 1 in e.token_type_ids
+        assert len(e.input_ids) == len(e.token_type_ids) == len(e.attention_mask)
+
+
+class TestTransformerEmbedder:
+    def test_unit_norm_and_shape(self):
+        emb = random_transformer_embedder(WORDS)
+        out = emb.embed_batch(["search vector index", "rust python"])
+        assert out.shape == (2, 64)
+        np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-5)
+
+    def test_deterministic(self):
+        emb = random_transformer_embedder(WORDS)
+        a = emb.embed_batch(["tpu query search"])
+        b = emb.embed_batch(["tpu query search"])
+        np.testing.assert_array_equal(a, b)
+
+    def test_padding_invariance(self):
+        # same text embedded alone vs alongside a longer text must agree:
+        # masked mean-pool + additive attention mask ignore pad positions
+        emb = random_transformer_embedder(WORDS)
+        alone = emb.embed_batch(["rust index"])
+        batched = emb.embed_batch(["rust index", "search vector lexical python tpu " * 3])
+        np.testing.assert_allclose(alone[0], batched[0], atol=1e-4)
+
+    def test_int8_preserves_neighbor_ranking(self):
+        emb32 = random_transformer_embedder(WORDS)
+        emb8 = random_transformer_embedder(WORDS, int8=True)
+        texts = [
+            "search vector index",
+            "vector search query",
+            "rust python tpu",
+            "lexical index rust",
+            "tpu tpu tpu",
+        ]
+        q32 = emb32.embed_batch(texts)
+        q8 = emb8.embed_batch(texts)
+        # cosine similarity structure should largely survive int8
+        s32 = q32 @ q32.T
+        s8 = q8 @ q8.T
+        # compare nearest-neighbor (excluding self) per row
+        nn32 = np.argsort(-s32 + np.eye(5) * 10, axis=1)[:, 1]
+        nn8 = np.argsort(-s8 + np.eye(5) * 10, axis=1)[:, 1]
+        assert (nn32 == nn8).mean() >= 0.6
+
+
+class TestCrossEncoder:
+    def test_scores_in_unit_interval(self):
+        ce = random_cross_encoder(WORDS)
+        scores = ce.score_pairs(
+            "vector search", [("d1", "vector search index"), ("d2", "rust python")]
+        )
+        assert len(scores) == 2
+        for s in scores:
+            assert 0.0 <= s.score <= 1.0
+
+    def test_token_budget_chunking(self):
+        ce = random_cross_encoder(WORDS)
+        ce.max_batch_tokens = 64  # force chunking
+        docs = [(f"d{i}", "search vector lexical " * 5) for i in range(8)]
+        scores = ce.score_pairs("query", docs)
+        assert [s.doc_id for s in scores] == [f"d{i}" for i in range(8)]
+
+    def test_deterministic(self):
+        ce = random_cross_encoder(WORDS)
+        a = ce.score_pairs("q", [("d", "search vector")])
+        b = ce.score_pairs("q", [("d", "search vector")])
+        assert a[0].score == b[0].score
+
+    def test_int8_runs(self):
+        ce = random_cross_encoder(WORDS, int8=True)
+        scores = ce.score_pairs("vector", [("d1", "vector index")])
+        assert 0.0 <= scores[0].score <= 1.0
+
+
+class TestRerankPipeline:
+    def _results(self):
+        return [
+            ScoredResult(doc_id="a", score=0.03),
+            ScoredResult(doc_id="b", score=0.02),
+            ScoredResult(doc_id="c", score=0.01),
+        ]
+
+    def test_rank_only_reorders(self):
+        class FakeReranker:
+            def score_pairs(self, query, docs):
+                from frankensearch_tpu.rerank.cross_encoder import RerankScore
+
+                return [RerankScore(d, {"a": 0.1, "b": 0.9, "c": 0.5}[d]) for d, _ in docs]
+
+        out = rerank_step(
+            FakeReranker(), "q", self._results(), lambda d: f"text {d}",
+            combine=CombineStrategy.RANK_ONLY,
+        )
+        assert [r.doc_id for r in out.results] == ["b", "c", "a"]
+        assert out.reranked_count == 3
+
+    def test_missing_text_graceful_skip(self):
+        class FakeReranker:
+            def score_pairs(self, query, docs):
+                raise AssertionError("should not be called")
+
+        out = rerank_step(FakeReranker(), "q", self._results(), lambda d: None)
+        assert out.skipped and out.skip_reason == "no_text"
+        assert [r.doc_id for r in out.results] == ["a", "b", "c"]
+
+    def test_reranker_error_graceful(self):
+        class Exploding:
+            def score_pairs(self, query, docs):
+                raise RuntimeError("boom")
+
+        out = rerank_step(Exploding(), "q", self._results(), lambda d: "t")
+        assert out.skipped and out.skip_reason == "rerank_error"
+
+    def test_tail_preserved(self):
+        class FakeReranker:
+            def score_pairs(self, query, docs):
+                from frankensearch_tpu.rerank.cross_encoder import RerankScore
+
+                return [RerankScore(d, 0.5) for d, _ in docs]
+
+        results = self._results() + [ScoredResult(doc_id="tail", score=0.001)]
+        out = rerank_step(FakeReranker(), "q", results, lambda d: "t", top_n=3)
+        assert out.results[-1].doc_id == "tail"
+
+
+class TestSearcherPhase3:
+    def test_reranked_phase_emitted(self, tmp_path):
+        from frankensearch_tpu.core.config import TwoTierConfig
+        from frankensearch_tpu.core.types import IndexableDocument, PhaseKind
+        from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+        from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+        from frankensearch_tpu.index.two_tier import TwoTierIndex
+        from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+
+        corpus = {
+            "d1": "vector search with embeddings",
+            "d2": "lexical search with rust",
+            "d3": "python tpu index query",
+        }
+        fe = HashEmbedder(dim=64)
+        ids = list(corpus)
+        vecs = fe.embed_batch(list(corpus.values()))
+        index = TwoTierIndex.create(
+            str(tmp_path / "ix"), vecs, ids, fe.identity(), use_pallas=False
+        )
+        lexical = MemoryLexicalIndex()
+        for d, text in corpus.items():
+            lexical.add_document(IndexableDocument(doc_id=d, content=text))
+        lexical.commit()
+        ce = random_cross_encoder(WORDS)
+        searcher = TwoTierSearcher(
+            index, fe, lexical=lexical, reranker=ce,
+            config=TwoTierConfig(rerank_enabled=True, fast_only=True),
+        )
+        out = searcher.search("vector search", k=3, text_fn=lambda d: corpus.get(d))
+        kinds = [p.kind for p in out.phases]
+        assert PhaseKind.RERANKED in kinds
+        assert any(r.rerank_score is not None for r in out.results)
