@@ -3,19 +3,24 @@ recall@10 parity.
 
 Baseline (BASELINE.md): the reference's Rust SIMD f16 scan does 10K docs
 top-10 in ~2 ms on one CPU core => ~5M docs/s => ~5 QPS on a 1M-doc
-corpus. vs_baseline = measured QPS / 5.
+corpus. vs_baseline = measured QPS / baseline QPS.
 
-Method: batched queries (amortizing the per-dispatch tunnel RPC floor),
-pipelined dispatch (async JAX), median of timed rounds, recall@10
-measured against an exact f32 scan of the same corpus.
+Timing methodology (the TPU here sits behind an RPC tunnel where
+``block_until_ready`` does not synchronize and each dispatch costs
+hundreds of ms): run R data-dependent chained scans inside ONE jitted
+program (fori_loop; each iteration's query depends on the previous
+iteration's scores, so XLA can neither CSE nor DCE the scans), force
+completion with a host transfer of the carry, and report the *marginal*
+per-scan time between two repeat counts — subtracting dispatch/RPC
+overhead exactly.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
 
+import functools
 import json
-import sys
 import time
 
 import numpy as np
@@ -25,7 +30,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from frankensearch_tpu.ops.topk_scan import scan_topk_pallas, scan_topk_xla
+    from frankensearch_tpu.ops.topk_scan import scan_topk_xla
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
@@ -38,7 +43,6 @@ def main() -> None:
     n_pad = (n_docs + tile_n - 1) // tile_n * tile_n
 
     rng = np.random.default_rng(0)
-    # build in chunks to bound host memory
     slab = np.empty((n_pad, dim), dtype=np.float32)
     chunk = 131_072
     for start in range(0, n_pad, chunk):
@@ -56,49 +60,54 @@ def main() -> None:
     mask_dev = jnp.asarray(mask)
     q_dev = jnp.asarray(queries)
 
-    # choose the faster path on this chip (pallas fused vs XLA)
-    candidates = {}
-    runner_specs = {
-        "pallas_fused": lambda: scan_topk_pallas(slab_dev, q_dev, k, mask_dev, tile_n=tile_n),
-        "xla": lambda: scan_topk_xla(slab_dev, q_dev, k, mask_dev),
-    }
-    if not on_tpu:
-        runner_specs.pop("pallas_fused")  # interpret-only on CPU; too slow
-    for name, fn in runner_specs.items():
-        try:
-            res = fn()
-            res.scores.block_until_ready()
-        except Exception as e:  # pragma: no cover
-            print(f"# {name} failed: {e}", file=sys.stderr)
-            continue
-        # timed: pipeline 8 dispatches per round to amortize RPC, 5 rounds
-        per_round = 8
-        times = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            outs = [fn() for _ in range(per_round)]
-            outs[-1].scores.block_until_ready()
-            times.append((time.perf_counter() - t0) / per_round)
-        candidates[name] = (float(np.median(times)), res)
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def scan_chain(slab, mask, q, reps: int):
+        """reps chained scans; the tiny carry perturbation (1e-6 * mean of
+        the previous top scores) forces sequential execution without
+        changing the workload."""
 
-    if not candidates:
-        print(json.dumps({"metric": "scan_qps_1M_bf16", "value": 0.0, "unit": "qps/chip", "vs_baseline": 0.0, "error": "no runner"}))
-        return
+        def body(i, carry):
+            qq, acc = carry
+            scores = jax.lax.dot_general(
+                qq.astype(slab.dtype), slab,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            scores = scores + mask[None, :]
+            top_s, top_i = jax.lax.top_k(scores, k)
+            delta = 1e-6 * jnp.mean(top_s)
+            return (q + delta, acc + jnp.sum(top_s) + jnp.sum(top_i).astype(jnp.float32))
 
-    best_name = min(candidates, key=lambda n: candidates[n][0])
-    best_time, best_res = candidates[best_name]
-    qps = batch / best_time
+        (_, acc) = jax.lax.fori_loop(0, reps, body, (q, jnp.float32(0.0)))
+        return acc
 
-    # recall@10 vs exact f32 ground truth (device f32 scan in row chunks)
+    def timed(reps: int) -> float:
+        t0 = time.perf_counter()
+        acc = scan_chain(slab_dev, mask_dev, q_dev, reps=reps)
+        float(acc)  # host transfer forces completion through the tunnel
+        return time.perf_counter() - t0
+
+    r_lo, r_hi = (8, 40) if on_tpu else (2, 6)
+    timed(r_lo)  # warm both compilations
+    timed(r_hi)
+    samples = []
+    for _ in range(3):
+        t_lo = timed(r_lo)
+        t_hi = timed(r_hi)
+        samples.append((t_hi - t_lo) / (r_hi - r_lo))
+    per_scan = float(np.median(samples))
+    qps = batch / per_scan
+
+    # recall@10 parity of the bf16 kernel vs exact f32 ground truth
+    res = scan_topk_xla(slab_dev, q_dev, k, mask_dev)
     truth = scan_topk_xla(
         jnp.asarray(slab, dtype=jnp.float32), q_dev, k, mask_dev, precise=True
     )
+    bi = np.asarray(res.indices)
     ti = np.asarray(truth.indices)
-    bi = np.asarray(best_res.indices)
     recall = float(np.mean([len(set(bi[b]) & set(ti[b])) / k for b in range(batch)]))
 
-    # reference scan rate: 10K docs / 2ms => 5e6 docs/s => on this corpus:
-    baseline_qps = 5e6 / n_docs
+    baseline_qps = 5e6 / n_docs  # reference: 5M docs/s on one CPU core
     print(
         json.dumps(
             {
@@ -107,8 +116,8 @@ def main() -> None:
                 "unit": "qps/chip",
                 "vs_baseline": round(qps / baseline_qps, 2),
                 "recall_at_10": round(recall, 4),
-                "kernel": best_name,
-                "p50_batch_ms": round(best_time * 1e3, 3),
+                "per_scan_ms": round(per_scan * 1e3, 4),
+                "docs_per_s": round(n_docs * qps, 0),
                 "platform": platform,
             }
         )

@@ -1,0 +1,281 @@
+"""Facade: fluent IndexBuilder + open_hybrid.
+
+Parity target: reference frankensearch/src/index_builder.rs:184 —
+``IndexBuilder``: auto-detect embedder stack (degraded-stack warning:
+hash-built generations are permanently non-semantic, :311-323), batch
+embed fast + quality with per-doc failure recording, build vector
+artifacts + lexical arm, return ``IndexBuildStats`` with per-arm
+accounting; ``open_hybrid`` opens every arm + the active lexical reader.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Iterable, Sequence
+
+import numpy as np
+
+from frankensearch_tpu.core.canonicalize import DefaultCanonicalizer
+from frankensearch_tpu.core.config import TwoTierConfig
+from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.embed.base import Embedder
+from frankensearch_tpu.embed.stack import EmbedderStack
+from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+from frankensearch_tpu.index.two_tier import TwoTierIndex
+from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+from frankensearch_tpu.lexical.persist import load_lexical, save_lexical
+from frankensearch_tpu.storage.store import Storage, content_hash
+
+
+@dataclass
+class IndexSizeBreakdown:
+    """Per-arm byte accounting (index_builder.rs:60-80)."""
+
+    fast_vector_bytes: int = 0
+    quality_vector_bytes: int = 0
+    lexical_bytes: int = 0
+    storage_bytes: int = 0
+
+    @property
+    def total_bytes(self) -> int:
+        return (
+            self.fast_vector_bytes
+            + self.quality_vector_bytes
+            + self.lexical_bytes
+            + self.storage_bytes
+        )
+
+
+@dataclass
+class IndexBuildStats:
+    doc_count: int = 0
+    error_count: int = 0
+    skipped_low_signal: int = 0
+    duration_ms: float = 0.0
+    warnings: list[str] = field(default_factory=list)
+    per_doc_errors: dict[str, str] = field(default_factory=dict)
+    sizes: IndexSizeBreakdown = field(default_factory=IndexSizeBreakdown)
+    semantic: bool = True
+
+
+class IndexBuilder:
+    """Fluent corpus -> hybrid index builder."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self._docs: list[IndexableDocument] = []
+        self._stack: EmbedderStack | None = None
+        self._config = TwoTierConfig()
+        self._batch_size = 64
+        self._with_lexical = True
+        self._with_storage = True
+        self._canonicalizer = DefaultCanonicalizer()
+
+    # fluent config ---------------------------------------------------------
+
+    def with_documents(self, docs: Iterable[IndexableDocument]) -> "IndexBuilder":
+        self._docs.extend(docs)
+        return self
+
+    def add_document(self, doc: IndexableDocument) -> "IndexBuilder":
+        self._docs.append(doc)
+        return self
+
+    def with_embedder_stack(self, stack: EmbedderStack) -> "IndexBuilder":
+        self._stack = stack
+        return self
+
+    def with_config(self, config: TwoTierConfig) -> "IndexBuilder":
+        self._config = config.validate()
+        return self
+
+    def with_batch_size(self, n: int) -> "IndexBuilder":
+        self._batch_size = max(1, n)
+        return self
+
+    def without_lexical(self) -> "IndexBuilder":
+        self._with_lexical = False
+        return self
+
+    def without_storage(self) -> "IndexBuilder":
+        self._with_storage = False
+        return self
+
+    # build --------------------------------------------------------------------
+
+    def build(self) -> IndexBuildStats:
+        t0 = time.monotonic()
+        stats = IndexBuildStats()
+        stack = self._stack or EmbedderStack.auto_detect(self.root)
+        stats.warnings.extend(stack.availability.warnings)
+        stats.semantic = stack.fast.is_semantic
+        if not stack.fast.is_semantic:
+            stats.warnings.append(
+                "building with a non-semantic (hash) fast embedder: this "
+                "generation is permanently non-semantic (index_builder.rs:311)"
+            )
+        os.makedirs(self.root, exist_ok=True)
+
+        # canonicalize + filter
+        kept: list[tuple[IndexableDocument, str]] = []
+        for doc in self._docs:
+            canonical, cstats = self._canonicalizer.canonicalize_document_with_stats(
+                doc.content
+            )
+            if cstats.low_signal:
+                stats.skipped_low_signal += 1
+                continue
+            kept.append((doc, canonical))
+
+        # embed in batches with per-doc failure recording
+        fast_vecs: list[np.ndarray] = []
+        quality_vecs: list[np.ndarray] = []
+        good: list[tuple[IndexableDocument, str]] = []
+        for start in range(0, len(kept), self._batch_size):
+            batch = kept[start : start + self._batch_size]
+            texts = [c for _, c in batch]
+            try:
+                fv = stack.fast.embed_batch(texts)
+            except Exception as e:
+                for doc, _ in batch:
+                    stats.per_doc_errors[doc.doc_id] = f"fast: {type(e).__name__}"
+                    stats.error_count += 1
+                continue
+            qv = None
+            if stack.has_quality:
+                try:
+                    qv = stack.quality.embed_batch(texts)
+                except Exception as e:
+                    stats.warnings.append(f"quality embed failed: {type(e).__name__}: {e}")
+            for i, (doc, canonical) in enumerate(batch):
+                fast_vecs.append(fv[i])
+                if qv is not None:
+                    quality_vecs.append(qv[i])
+                good.append((doc, canonical))
+
+        doc_ids = [d.doc_id for d, _ in good]
+        stats.doc_count = len(doc_ids)
+
+        fast_arr = (
+            np.stack(fast_vecs) if fast_vecs else np.zeros((0, stack.fast.dim), np.float32)
+        )
+        q_arr = np.stack(quality_vecs) if quality_vecs and len(quality_vecs) == len(good) else None
+        TwoTierIndex.create(
+            self.root,
+            fast_arr,
+            doc_ids,
+            stack.fast.identity(),
+            quality_vectors=q_arr,
+            quality_identity=stack.quality.identity() if (q_arr is not None and stack.quality) else None,
+            slab_dtype=self._config.slab_dtype if self._config.slab_dtype != "int8" else "bf16",
+            tile_n=self._config.scan_tile_docs,
+            use_pallas=self._config.use_pallas,
+        )
+
+        # lexical arm (embed-independent: all kept docs, index_builder.rs:474)
+        if self._with_lexical:
+            lexical = MemoryLexicalIndex()
+            for doc, canonical in kept:
+                lexical.add_document(
+                    IndexableDocument(
+                        doc_id=doc.doc_id, content=canonical,
+                        title=doc.title, metadata=doc.metadata,
+                    )
+                )
+            lexical.commit()
+            save_lexical(lexical, self.root)
+
+        # storage arm
+        if self._with_storage:
+            storage = Storage(os.path.join(self.root, "metadata.db"))
+            for doc, canonical in kept:
+                storage.upsert_document(
+                    doc.doc_id, canonical, title=doc.title, metadata=doc.metadata
+                )
+                storage.mark_embedded(
+                    doc.doc_id, stack.fast.embedder_id, content_hash(canonical)
+                )
+            stats.duration_ms = (time.monotonic() - t0) * 1000.0
+            storage.record_build(
+                stats.doc_count, stats.error_count, stats.duration_ms,
+                detail={"semantic": stats.semantic},
+            )
+            storage.close()
+
+        stats.sizes = _measure_sizes(self.root)
+        stats.duration_ms = (time.monotonic() - t0) * 1000.0
+        return stats
+
+
+def _measure_sizes(root: str) -> IndexSizeBreakdown:
+    def size_of(path: str) -> int:
+        return os.path.getsize(path) if os.path.exists(path) else 0
+
+    lexical_bytes = 0
+    lex_root = os.path.join(root, "lexical")
+    if os.path.isdir(lex_root):
+        for dirpath, _, files in os.walk(lex_root):
+            lexical_bytes += sum(size_of(os.path.join(dirpath, f)) for f in files)
+    return IndexSizeBreakdown(
+        fast_vector_bytes=size_of(os.path.join(root, "vector.fast.idx")),
+        quality_vector_bytes=size_of(os.path.join(root, "vector.quality.idx")),
+        lexical_bytes=lexical_bytes,
+        storage_bytes=size_of(os.path.join(root, "metadata.db")),
+    )
+
+
+@dataclass
+class HybridHandle:
+    """Everything open_hybrid opened (index_builder.rs open_hybrid)."""
+
+    index: TwoTierIndex
+    lexical: MemoryLexicalIndex | None
+    storage: Storage | None
+    searcher: TwoTierSearcher
+
+
+def open_hybrid(
+    root: str,
+    fast_embedder: Embedder | None = None,
+    quality_embedder: Embedder | None = None,
+    *,
+    config: TwoTierConfig | None = None,
+    **searcher_kwargs,
+) -> HybridHandle:
+    """Open all arms at ``root`` and assemble a ready searcher.
+
+    When no fast embedder is supplied, a stack is auto-detected against
+    the root; identity admission in the searcher stays fail-closed.
+    """
+    cfg = (config or TwoTierConfig.from_env()).validate()
+    index = TwoTierIndex.open(
+        root, tile_n=cfg.scan_tile_docs, slab_dtype=cfg.slab_dtype
+        if cfg.slab_dtype != "int8" else "bf16", use_pallas=cfg.use_pallas,
+    )
+    if fast_embedder is None:
+        stack = EmbedderStack.auto_detect(root)
+        fast_embedder = stack.fast
+        quality_embedder = quality_embedder or stack.quality
+        # auto-detected hash embedder must match the index identity dims
+        if (
+            not fast_embedder.is_semantic
+            and index.fast.identity.embedder_id.startswith("hash-")
+            and fast_embedder.dim != index.fast.identity.dim
+        ):
+            from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+
+            fast_embedder = HashEmbedder(dim=index.fast.identity.dim)
+    lexical = load_lexical(root)
+    db_path = os.path.join(root, "metadata.db")
+    storage = Storage(db_path) if os.path.exists(db_path) else None
+    searcher = TwoTierSearcher(
+        index,
+        fast_embedder,
+        lexical=lexical,
+        quality_embedder=quality_embedder,
+        config=cfg,
+        **searcher_kwargs,
+    )
+    return HybridHandle(index=index, lexical=lexical, storage=storage, searcher=searcher)

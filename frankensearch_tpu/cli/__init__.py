@@ -1,0 +1,1 @@
+"""CLI product surface (the reference's ``fsfs`` binary analog)."""

@@ -1,0 +1,3 @@
+from frankensearch_tpu.cli.main import main
+
+raise SystemExit(main())

@@ -1,0 +1,430 @@
+"""fsfs-equivalent CLI.
+
+Parity target: reference crates/frankensearch-fsfs/src/adapters/cli.rs
+(:110-152, 20 commands) + runtime.rs dispatch. Implemented commands:
+
+    index         build a hybrid index from a corpus dir / JSONL file
+    search        two-tier progressive search (--fast-only, --explain)
+    status        index + storage status (doc counts, staleness, arms)
+    doctor        environment/device diagnostics with typed findings
+    explain       per-result score decomposition
+    append-batch  WAL append of new documents without rebuild
+    delete        tombstone documents
+    compact       fold WAL + tombstones into the base artifacts
+    history       recent searches (storage arm)
+    config        show effective TwoTierConfig (env overrides applied)
+    serve         NDJSON query server over stdin/stdout
+    version       version + device report
+
+Formats: table | json | jsonl | csv (output_schema.rs envelope).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Iterable
+
+from frankensearch_tpu.cli.output import ENVELOPE_VERSION, envelope, error_envelope, render
+from frankensearch_tpu.core.errors import SearchError
+from frankensearch_tpu.core.types import IndexableDocument, PhaseKind
+
+
+def _iter_corpus(path: str) -> Iterable[IndexableDocument]:
+    """Corpus loader: a JSONL file ({id|doc_id, content|text, title?,
+    metadata?}) or a directory tree of text files (doc_id = relpath)."""
+    if os.path.isfile(path):
+        with open(path, encoding="utf-8") as f:
+            for i, line in enumerate(f):
+                line = line.strip()
+                if not line:
+                    continue
+                d = json.loads(line)
+                yield IndexableDocument(
+                    doc_id=str(d.get("id") or d.get("doc_id") or f"line-{i}"),
+                    content=str(d.get("content") or d.get("text") or ""),
+                    title=d.get("title"),
+                    metadata=d.get("metadata"),
+                )
+        return
+    exts = {".txt", ".md", ".rst", ".py", ".rs", ".c", ".cc", ".cpp", ".h", ".js", ".ts", ".json", ".toml", ".yaml", ".yml"}
+    for dirpath, _, files in os.walk(path):
+        for name in sorted(files):
+            full = os.path.join(dirpath, name)
+            if os.path.splitext(name)[1].lower() not in exts:
+                continue
+            try:
+                if os.path.getsize(full) > 2_000_000:
+                    continue  # giant-file skip heuristic (fsfs file_classification)
+                with open(full, encoding="utf-8", errors="ignore") as f:
+                    content = f.read()
+            except OSError:
+                continue
+            rel = os.path.relpath(full, path)
+            yield IndexableDocument(doc_id=rel, content=content, title=name)
+
+
+def _result_rows(results) -> list[dict]:
+    return [r.to_dict() for r in results]
+
+
+def cmd_index(args) -> dict:
+    from frankensearch_tpu.builder import IndexBuilder
+    from frankensearch_tpu.core.config import TwoTierConfig
+    from frankensearch_tpu.embed.stack import EmbedderStack
+
+    docs = list(_iter_corpus(args.corpus))
+    stack = EmbedderStack.auto_detect(args.root, fast_dim=args.hash_dim)
+    stats = (
+        IndexBuilder(args.root)
+        .with_documents(docs)
+        .with_embedder_stack(stack)
+        .with_config(TwoTierConfig.from_env())
+        .build()
+    )
+    return envelope(
+        {
+            "root": args.root,
+            "doc_count": stats.doc_count,
+            "error_count": stats.error_count,
+            "skipped_low_signal": stats.skipped_low_signal,
+            "duration_ms": round(stats.duration_ms, 1),
+            "semantic": stats.semantic,
+            "sizes": {
+                "fast_vector_bytes": stats.sizes.fast_vector_bytes,
+                "quality_vector_bytes": stats.sizes.quality_vector_bytes,
+                "lexical_bytes": stats.sizes.lexical_bytes,
+                "storage_bytes": stats.sizes.storage_bytes,
+            },
+        },
+        warnings=stats.warnings,
+    )
+
+
+def _open(args):
+    from frankensearch_tpu.builder import open_hybrid
+    from frankensearch_tpu.core.config import TwoTierConfig
+
+    cfg = TwoTierConfig.from_env()
+    if getattr(args, "fast_only", False):
+        cfg.fast_only = True
+    if getattr(args, "explain", False):
+        cfg.explain = True
+    return open_hybrid(args.root, config=cfg)
+
+
+def cmd_search(args) -> dict:
+    handle = _open(args)
+    phases_seen: list[str] = []
+    t0 = time.monotonic()
+    out = handle.searcher.search(
+        args.query, k=args.k, on_phase=lambda p: phases_seen.append(p.kind.value)
+    )
+    latency = (time.monotonic() - t0) * 1000.0
+    if handle.storage is not None:
+        handle.storage.record_search(
+            args.query, args.k, len(out.results),
+            out.results[0].doc_id if out.results else None, latency,
+        )
+    data = _result_rows(out.results)
+    env = envelope(data)
+    env["meta"] = {
+        "phases": phases_seen,
+        "query_class": out.metrics.query_class,
+        "total_ms": round(out.metrics.total_ms, 2),
+        "phase2_skip_reason": out.metrics.phase2_skip_reason,
+        "device": out.metrics.device_kind,
+    }
+    return env
+
+
+def cmd_status(args) -> dict:
+    from frankensearch_tpu.index.two_tier import TwoTierIndex
+    from frankensearch_tpu.storage.store import Storage
+
+    data: dict = {"root": args.root}
+    try:
+        index = TwoTierIndex.open(args.root, use_pallas=False)
+        data["vector"] = {
+            "doc_count": index.doc_count(),
+            "fast_records": index.fast.record_count,
+            "fast_dim": index.fast.dim,
+            "fast_embedder": index.fast.identity.embedder_id,
+            "quality_tier": index.has_quality_tier,
+        }
+        if index.quality is not None:
+            data["vector"]["quality_dim"] = index.quality.dim
+            data["vector"]["quality_embedder"] = index.quality.identity.embedder_id
+    except SearchError as e:
+        data["vector"] = {"error": str(e)}
+    db = os.path.join(args.root, "metadata.db")
+    if os.path.exists(db):
+        storage = Storage(db)
+        data["storage"] = {"doc_count": storage.doc_count()}
+        fast_id = data.get("vector", {}).get("fast_embedder")
+        if fast_id:
+            s = storage.staleness(fast_id)
+            data["storage"]["staleness"] = {
+                "pending": s.pending, "stale": s.stale, "fresh": s.is_fresh,
+            }
+        storage.close()
+    from frankensearch_tpu.lexical.persist import list_generations
+
+    data["lexical"] = {"generations": list_generations(args.root)}
+    return envelope(data)
+
+
+def cmd_doctor(args) -> dict:
+    """Environment diagnostics (fsfs doctor)."""
+    findings: list[dict] = []
+
+    def check(name: str, ok: bool, detail: str) -> None:
+        findings.append({"check": name, "ok": ok, "detail": detail})
+
+    try:
+        import jax
+
+        devices = jax.devices()
+        check("jax", True, f"jax {jax.__version__}, devices: {[str(d) for d in devices]}")
+        check("tpu", devices[0].platform == "tpu", f"platform={devices[0].platform}")
+    except Exception as e:
+        check("jax", False, f"{type(e).__name__}: {e}")
+    root = args.root
+    check("root", os.path.isdir(root), root)
+    fast_idx = os.path.join(root, "vector.fast.idx")
+    check("fast_artifact", os.path.exists(fast_idx), fast_idx)
+    if os.path.exists(fast_idx):
+        try:
+            from frankensearch_tpu.index.fsvi import FtviFile
+
+            f = FtviFile(fast_idx, verify_slab=args.verify)
+            check(
+                "fast_artifact_integrity", True,
+                f"{f.record_count} records, dim {f.dim}, dtype {f.header.dtype}"
+                + (" (slab CRC verified)" if args.verify else " (header CRC only)"),
+            )
+        except SearchError as e:
+            check("fast_artifact_integrity", False, str(e))
+    wal = fast_idx + ".wal"
+    if os.path.exists(wal):
+        from frankensearch_tpu.index.wal import WriteAheadLog
+
+        st = WriteAheadLog(wal).replay()
+        check(
+            "wal", st.bytes_discarded == 0,
+            f"{st.batches_read} batches, {len(st.live)} live, "
+            f"{len(st.tombstones)} tombstones, {st.bytes_discarded} bytes discarded",
+        )
+    ok = all(f["ok"] for f in findings if f["check"] in ("jax", "root", "fast_artifact"))
+    return envelope({"findings": findings, "healthy": ok})
+
+
+def cmd_explain(args) -> dict:
+    os.environ.setdefault("FRANKENSEARCH_EXPLAIN", "1")
+    handle = _open(args)
+    handle.searcher.config.explain = True
+    out = handle.searcher.search(args.query, k=args.k)
+    rows = []
+    for rank, r in enumerate(out.results):
+        rows.append(
+            {
+                "rank": rank,
+                "doc_id": r.doc_id,
+                "fused_score": r.score,
+                "lexical_score": r.lexical_score,
+                "fast_score": r.fast_score,
+                "quality_score": r.quality_score,
+                "rerank_score": r.rerank_score,
+                "sources": str(r.sources),
+            }
+        )
+    return envelope(rows)
+
+
+def cmd_append_batch(args) -> dict:
+    from frankensearch_tpu.builder import open_hybrid
+
+    handle = open_hybrid(args.root)
+    docs = list(_iter_corpus(args.corpus))
+    texts = [d.content for d in docs]
+    ids = [d.doc_id for d in docs]
+    vecs = handle.searcher.fast_embedder.embed_batch(texts)
+    handle.index.append_fast(ids, vecs)
+    if handle.lexical is not None:
+        for d in docs:
+            handle.lexical.add_document(d)
+        handle.lexical.commit()
+        from frankensearch_tpu.lexical.persist import save_lexical
+
+        save_lexical(handle.lexical, args.root)
+    return envelope({"appended": len(ids), "doc_count": handle.index.doc_count()})
+
+
+def cmd_delete(args) -> dict:
+    from frankensearch_tpu.index.two_tier import TwoTierIndex
+
+    index = TwoTierIndex.open(args.root, use_pallas=False)
+    index.delete(args.doc_ids)
+    return envelope({"deleted": len(args.doc_ids), "doc_count": index.doc_count()})
+
+
+def cmd_compact(args) -> dict:
+    from frankensearch_tpu.index.two_tier import TwoTierIndex
+
+    index = TwoTierIndex.open(args.root, use_pallas=False)
+    before = index.fast.record_count
+    compacted = index.compact()
+    return envelope(
+        {"records_before": before, "records_after": compacted.fast.record_count}
+    )
+
+
+def cmd_history(args) -> dict:
+    from frankensearch_tpu.storage.store import Storage
+
+    db = os.path.join(args.root, "metadata.db")
+    if not os.path.exists(db):
+        return error_envelope("no_storage", f"no metadata.db under {args.root}")
+    storage = Storage(db)
+    rows = storage.recent_searches(args.limit)
+    storage.close()
+    return envelope(rows)
+
+
+def cmd_config(args) -> dict:
+    from frankensearch_tpu.core.config import TwoTierConfig
+
+    return envelope(TwoTierConfig.from_env().to_dict())
+
+
+def cmd_version(args) -> dict:
+    import jax
+
+    import frankensearch_tpu
+
+    return envelope(
+        {
+            "frankensearch_tpu": frankensearch_tpu.__version__,
+            "jax": jax.__version__,
+            "devices": [str(d) for d in jax.devices()],
+            "envelope_version": ENVELOPE_VERSION,
+        }
+    )
+
+
+def cmd_serve(args) -> dict | None:
+    """NDJSON query server on stdin/stdout (runtime.rs:5338 serve mode).
+    Request:  {"op": "search", "query": "...", "k": 10}
+              {"op": "status"} | {"op": "ping"} | {"op": "shutdown"}
+    Response: one envelope per line."""
+    handle = _open(args)
+    out = sys.stdout
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+        except json.JSONDecodeError as e:
+            print(json.dumps(error_envelope("bad_request", str(e))), file=out, flush=True)
+            continue
+        op = req.get("op")
+        if op == "shutdown":
+            print(json.dumps(envelope({"op": "shutdown"})), file=out, flush=True)
+            break
+        if op == "ping":
+            print(json.dumps(envelope({"op": "pong"})), file=out, flush=True)
+            continue
+        if op == "search":
+            try:
+                res = handle.searcher.search(str(req.get("query", "")), k=int(req.get("k", 10)))
+                print(
+                    json.dumps(envelope(_result_rows(res.results)), default=str),
+                    file=out, flush=True,
+                )
+            except Exception as e:
+                print(
+                    json.dumps(error_envelope(type(e).__name__, str(e))), file=out, flush=True
+                )
+            continue
+        print(json.dumps(error_envelope("unknown_op", str(op))), file=out, flush=True)
+    return None
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="frankensearch-tpu", description=__doc__)
+    p.add_argument("--format", choices=["table", "json", "jsonl", "csv"], default="table")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def add(name, fn, **kw):
+        sp = sub.add_parser(name, **kw)
+        sp.set_defaults(fn=fn)
+        sp.add_argument("--root", default=os.environ.get("FRANKENSEARCH_ROOT", ".fsindex"))
+        return sp
+
+    sp = add("index", cmd_index, help="build a hybrid index from a corpus")
+    sp.add_argument("corpus", help="corpus dir or JSONL file")
+    sp.add_argument("--hash-dim", type=int, default=256)
+
+    sp = add("search", cmd_search, help="two-tier progressive search")
+    sp.add_argument("query")
+    sp.add_argument("-k", type=int, default=10)
+    sp.add_argument("--fast-only", action="store_true")
+    sp.add_argument("--explain", action="store_true")
+
+    add("status", cmd_status, help="index + storage status")
+
+    sp = add("doctor", cmd_doctor, help="environment diagnostics")
+    sp.add_argument("--verify", action="store_true", help="verify slab CRCs")
+
+    sp = add("explain", cmd_explain, help="score decomposition for a query")
+    sp.add_argument("query")
+    sp.add_argument("-k", type=int, default=10)
+
+    sp = add("append-batch", cmd_append_batch, help="WAL append without rebuild")
+    sp.add_argument("corpus")
+
+    sp = add("delete", cmd_delete, help="tombstone documents")
+    sp.add_argument("doc_ids", nargs="+")
+
+    add("compact", cmd_compact, help="fold WAL + tombstones into the base")
+
+    sp = add("history", cmd_history, help="recent searches")
+    sp.add_argument("--limit", type=int, default=20)
+
+    add("config", cmd_config, help="effective configuration")
+    add("version", cmd_version, help="version + devices")
+
+    sp = add("serve", cmd_serve, help="NDJSON query server on stdin/stdout")
+    sp.add_argument("--fast-only", action="store_true")
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    # Honor an explicit JAX_PLATFORMS even when a platform plugin's
+    # sitecustomize pre-initialized jax (the axon TPU tunnel does this);
+    # jax.config wins over plugin registration.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat and "," not in plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    args = build_parser().parse_args(argv)
+    try:
+        env = args.fn(args)
+    except SearchError as e:
+        env = error_envelope(e.code, str(e))
+    except FileNotFoundError as e:
+        env = error_envelope("not_found", str(e))
+    if env is None:  # serve mode writes its own output
+        return 0
+    print(render(env, args.format))
+    return 0 if env.get("ok") else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,88 @@
+"""Versioned CLI output envelopes + renderers.
+
+Parity target: reference crates/frankensearch-fsfs/src/output_schema.rs —
+``OutputEnvelope`` ``{v, ok, data, error, warnings}`` with table / json /
+jsonl / csv render modes (cli.rs output formats).
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+from typing import Any, Sequence
+
+ENVELOPE_VERSION = 1
+
+
+def envelope(
+    data: Any, ok: bool = True, error: dict | None = None, warnings: Sequence[str] = ()
+) -> dict:
+    return {
+        "v": ENVELOPE_VERSION,
+        "ok": ok,
+        "data": data,
+        "error": error,
+        "warnings": list(warnings),
+    }
+
+
+def error_envelope(code: str, message: str, warnings: Sequence[str] = ()) -> dict:
+    return envelope(None, ok=False, error={"code": code, "message": message}, warnings=warnings)
+
+
+def render(env: dict, fmt: str, table_fields: Sequence[str] | None = None) -> str:
+    if fmt == "json":
+        return json.dumps(env, indent=2, default=str)
+    if fmt == "jsonl":
+        data = env.get("data")
+        rows = data if isinstance(data, list) else [env]
+        return "\n".join(json.dumps(r, default=str) for r in rows)
+    if fmt == "csv":
+        data = env.get("data") or []
+        if not isinstance(data, list) or not data:
+            return ""
+        fields = table_fields or sorted({k for row in data for k in row})
+        buf = io.StringIO()
+        w = csv.DictWriter(buf, fieldnames=fields, extrasaction="ignore")
+        w.writeheader()
+        for row in data:
+            w.writerow(row)
+        return buf.getvalue().rstrip("\n")
+    return _render_table(env, table_fields)
+
+
+def _render_table(env: dict, table_fields: Sequence[str] | None) -> str:
+    lines: list[str] = []
+    if not env.get("ok"):
+        err = env.get("error") or {}
+        lines.append(f"error [{err.get('code', '?')}]: {err.get('message', '')}")
+    data = env.get("data")
+    if isinstance(data, list) and data and isinstance(data[0], dict):
+        fields = list(table_fields or data[0].keys())
+        widths = {
+            f: max(len(str(f)), *(len(_cell(row.get(f))) for row in data)) for f in fields
+        }
+        header = "  ".join(str(f).ljust(widths[f]) for f in fields)
+        lines.append(header)
+        lines.append("  ".join("-" * widths[f] for f in fields))
+        for row in data:
+            lines.append("  ".join(_cell(row.get(f)).ljust(widths[f]) for f in fields))
+    elif isinstance(data, dict):
+        for k, v in data.items():
+            lines.append(f"{k}: {_cell(v)}")
+    elif data is not None:
+        lines.append(str(data))
+    for w in env.get("warnings", []):
+        lines.append(f"warning: {w}")
+    return "\n".join(lines)
+
+
+def _cell(v: Any) -> str:
+    if v is None:
+        return ""
+    if isinstance(v, float):
+        return f"{v:.4f}"
+    if isinstance(v, (dict, list)):
+        return json.dumps(v, default=str)
+    return str(v)

@@ -1,0 +1,107 @@
+"""Lexical index persistence: FLEX v1 JSON artifact.
+
+The reference's Quill engine persists FSLX segments + a Keeper MANIFEST
+with blue-green CURRENT publication (quill/src/keeper.rs). This module
+provides the same *contract* at framework scale — atomic publication of
+an immutable lexical snapshot next to the vector artifacts — with a
+simple JSON container (the postings layout is small next to the vector
+slab; a packed binary/segment format is a later optimization).
+
+Layout:  <root>/lexical/<generation>/index.flex.json
+         <root>/lexical/CURRENT   (text file: generation name; atomic swap)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex, _DocEntry, _FieldStats
+
+FLEX_VERSION = 1
+
+
+def save_lexical(index: MemoryLexicalIndex, root: str) -> str:
+    """Write an immutable snapshot + atomically publish CURRENT.
+    Returns the generation name."""
+    postings, field_stats, docs = index.snapshot_postings()
+    generation = f"gen-{int(time.time() * 1000):013d}"
+    gen_dir = os.path.join(root, "lexical", generation)
+    os.makedirs(gen_dir, exist_ok=True)
+    payload = {
+        "version": FLEX_VERSION,
+        "field_stats": {
+            f: {"total_tokens": s.total_tokens, "doc_count": s.doc_count}
+            for f, s in field_stats.items()
+        },
+        "docs": {
+            d: {
+                "title": e.title,
+                "metadata": dict(e.metadata) if e.metadata else None,
+                "preview": e.content_preview,
+                "fieldnorm_id": e.fieldnorm_id,
+                "token_counts": e.token_counts,
+            }
+            for d, e in docs.items()
+        },
+        "postings": {
+            f: {term: plist for term, plist in terms.items()}
+            for f, terms in postings.items()
+        },
+    }
+    path = os.path.join(gen_dir, "index.flex.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(payload, f, separators=(",", ":"))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    # blue-green CURRENT pointer (keeper.rs publish_current parity)
+    current = os.path.join(root, "lexical", "CURRENT")
+    fd, tmp_cur = tempfile.mkstemp(dir=os.path.dirname(current))
+    with os.fdopen(fd, "w") as f:
+        f.write(generation)
+    os.replace(tmp_cur, current)
+    return generation
+
+
+def load_lexical(root: str) -> MemoryLexicalIndex | None:
+    """Resolve CURRENT and load that generation; None when absent."""
+    current = os.path.join(root, "lexical", "CURRENT")
+    if not os.path.exists(current):
+        return None
+    with open(current) as f:
+        generation = f.read().strip()
+    path = os.path.join(root, "lexical", generation, "index.flex.json")
+    with open(path, encoding="utf-8") as f:
+        payload = json.load(f)
+    if payload.get("version") != FLEX_VERSION:
+        raise ValueError(f"unsupported FLEX version {payload.get('version')}")
+    index = MemoryLexicalIndex()
+    for fname, s in payload["field_stats"].items():
+        index._field_stats[fname] = _FieldStats(
+            total_tokens=s["total_tokens"], doc_count=s["doc_count"]
+        )
+    for doc_id, d in payload["docs"].items():
+        index._docs[doc_id] = _DocEntry(
+            doc_id=doc_id,
+            title=d["title"],
+            metadata=d["metadata"],
+            content_preview=d["preview"],
+            fieldnorm_id={k: int(v) for k, v in d["fieldnorm_id"].items()},
+            token_counts={k: int(v) for k, v in d.get("token_counts", {}).items()},
+        )
+    for fname, terms in payload["postings"].items():
+        for term, plist in terms.items():
+            index._postings[fname][term] = {d: int(tf) for d, tf in plist.items()}
+    index._generation = 1
+    return index
+
+
+def list_generations(root: str) -> list[str]:
+    lex_root = os.path.join(root, "lexical")
+    if not os.path.isdir(lex_root):
+        return []
+    return sorted(g for g in os.listdir(lex_root) if g.startswith("gen-"))

@@ -1,0 +1,145 @@
+"""CLI end-to-end contract tests — spawn the real CLI process.
+
+Parity model: reference fsfs cli_e2e_contract.rs / e2e_recall.rs (tests
+exec the real binary with std::process::Command).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*argv, input_text=None, env_extra=None):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env["FRANKENSEARCH_USE_PALLAS"] = "false"
+    if env_extra:
+        env.update(env_extra)
+    return subprocess.run(
+        [sys.executable, "-m", "frankensearch_tpu.cli", *argv],
+        capture_output=True, text=True, input=input_text, env=env, timeout=180,
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("corpus") / "docs.jsonl"
+    docs = [
+        {"id": "rust-1", "title": "Rust Book", "content": "rust ownership borrowing lifetimes"},
+        {"id": "jax-1", "title": "JAX Docs", "content": "jax jit tpu compilation acceleration"},
+        {"id": "sql-1", "title": "SQL Guide", "content": "sqlite btree transactions write ahead log"},
+        {"id": "vec-1", "title": "Vectors", "content": "vector embeddings cosine similarity search"},
+    ]
+    p.write_text("\n".join(json.dumps(d) for d in docs))
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def index_root(tmp_path_factory, corpus_file):
+    root = str(tmp_path_factory.mktemp("ix"))
+    r = run_cli("--format", "json", "index", corpus_file, "--root", root)
+    assert r.returncode == 0, r.stderr
+    return root
+
+
+class TestCliContract:
+    def test_index_envelope(self, corpus_file, tmp_path):
+        r = run_cli("--format", "json", "index", corpus_file, "--root", str(tmp_path / "ix"))
+        assert r.returncode == 0, r.stderr
+        env = json.loads(r.stdout)
+        assert env["v"] == 1 and env["ok"]
+        assert env["data"]["doc_count"] == 4
+        assert env["data"]["semantic"] is False  # hash stack warning path
+        assert any("non-semantic" in w or "hash" in w for w in env["warnings"])
+
+    def test_search_finds_doc(self, index_root):
+        r = run_cli("--format", "json", "search", "sqlite transactions", "--root", index_root)
+        assert r.returncode == 0, r.stderr
+        env = json.loads(r.stdout)
+        assert env["ok"]
+        assert env["data"][0]["doc_id"] == "sql-1"
+
+    def test_search_table_format(self, index_root):
+        r = run_cli("search", "rust ownership", "--root", index_root)
+        assert r.returncode == 0, r.stderr
+        assert "rust-1" in r.stdout
+
+    def test_status(self, index_root):
+        r = run_cli("--format", "json", "status", "--root", index_root)
+        env = json.loads(r.stdout)
+        assert env["data"]["vector"]["doc_count"] == 4
+        assert env["data"]["storage"]["doc_count"] == 4
+        assert len(env["data"]["lexical"]["generations"]) >= 1
+
+    def test_doctor(self, index_root):
+        r = run_cli("--format", "json", "doctor", "--root", index_root, "--verify")
+        env = json.loads(r.stdout)
+        checks = {f["check"]: f["ok"] for f in env["data"]["findings"]}
+        assert checks["fast_artifact_integrity"]
+        assert env["data"]["healthy"]
+
+    def test_explain(self, index_root):
+        r = run_cli("--format", "json", "explain", "vector similarity", "--root", index_root)
+        env = json.loads(r.stdout)
+        assert env["ok"] and env["data"]
+        assert "lexical_score" in env["data"][0]
+
+    def test_append_delete_compact_cycle(self, index_root, tmp_path):
+        extra = tmp_path / "extra.jsonl"
+        extra.write_text(json.dumps({"id": "new-1", "content": "fresh appended document about quantum"}))
+        r = run_cli("--format", "json", "append-batch", str(extra), "--root", index_root)
+        assert json.loads(r.stdout)["data"]["appended"] == 1
+        r = run_cli("--format", "json", "search", "quantum", "--root", index_root)
+        assert json.loads(r.stdout)["data"][0]["doc_id"] == "new-1"
+        r = run_cli("--format", "json", "delete", "new-1", "--root", index_root)
+        assert json.loads(r.stdout)["ok"]
+        r = run_cli("--format", "json", "compact", "--root", index_root)
+        env = json.loads(r.stdout)
+        assert env["data"]["records_after"] == env["data"]["records_before"] - 1 + 1 - 1 or env["data"]["records_after"] == 4
+
+    def test_history_recorded(self, index_root):
+        run_cli("search", "rust", "--root", index_root)
+        r = run_cli("--format", "json", "history", "--root", index_root)
+        env = json.loads(r.stdout)
+        assert env["ok"] and len(env["data"]) >= 1
+
+    def test_config_shows_env_override(self, index_root):
+        r = run_cli(
+            "--format", "json", "config", "--root", index_root,
+            env_extra={"FRANKENSEARCH_RRF_K": "42"},
+        )
+        assert json.loads(r.stdout)["data"]["rrf_k"] == 42
+
+    def test_version(self):
+        r = run_cli("--format", "json", "version", "--root", "/tmp")
+        env = json.loads(r.stdout)
+        assert env["data"]["frankensearch_tpu"]
+
+    def test_missing_index_error_envelope(self, tmp_path):
+        r = run_cli("--format", "json", "search", "x", "--root", str(tmp_path / "nope"))
+        assert r.returncode == 1
+        env = json.loads(r.stdout)
+        assert not env["ok"]
+        assert env["error"]["code"] == "index_not_found"
+
+    def test_serve_ndjson(self, index_root):
+        reqs = "\n".join(
+            [
+                json.dumps({"op": "ping"}),
+                json.dumps({"op": "search", "query": "jax tpu", "k": 2}),
+                json.dumps({"op": "nope"}),
+                json.dumps({"op": "shutdown"}),
+            ]
+        )
+        r = run_cli("serve", "--root", index_root, input_text=reqs)
+        lines = [json.loads(line) for line in r.stdout.strip().splitlines()]
+        assert lines[0]["data"]["op"] == "pong"
+        assert lines[1]["ok"] and lines[1]["data"][0]["doc_id"] == "jax-1"
+        assert lines[2]["error"]["code"] == "unknown_op"
+        assert lines[3]["data"]["op"] == "shutdown"

@@ -1,0 +1,187 @@
+"""Storage layer tests: store, job queue, ingest pipeline, builder facade."""
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu.builder import IndexBuilder, open_hybrid
+from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+from frankensearch_tpu.embed.stack import EmbedderStack, TwoTierAvailability
+from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+from frankensearch_tpu.lexical.persist import load_lexical, save_lexical
+from frankensearch_tpu.storage.job_queue import PersistentJobQueue
+from frankensearch_tpu.storage.pipeline import IngestPipeline, StorageBackedJobRunner
+from frankensearch_tpu.storage.store import Storage
+
+
+class TestStorage:
+    def test_upsert_dedup(self):
+        s = Storage()
+        changed, h1 = s.upsert_document("a", "hello world")
+        assert changed
+        changed, h2 = s.upsert_document("a", "hello world")
+        assert not changed and h1 == h2
+        changed, h3 = s.upsert_document("a", "hello there")
+        assert changed and h3 != h1
+
+    def test_staleness(self):
+        s = Storage()
+        s.upsert_document("a", "text a")
+        _, hb = s.upsert_document("b", "text b")
+        rep = s.staleness("emb-1")
+        assert rep.pending == 2 and not rep.is_fresh
+        s.mark_embedded("b", "emb-1", hb)
+        rep = s.staleness("emb-1")
+        assert rep.pending == 1
+        s.upsert_document("b", "text b CHANGED")
+        rep = s.staleness("emb-1")
+        assert rep.stale == 1
+
+    def test_history_and_bookmarks(self):
+        s = Storage()
+        s.record_search("q1", 10, 5, "doc-x", 12.0)
+        assert s.recent_searches()[0]["query"] == "q1"
+        s.add_bookmark("doc-x", "important")
+        assert s.bookmarks() == [("doc-x", "important")]
+
+    def test_delete_soft(self):
+        s = Storage()
+        s.upsert_document("a", "x")
+        assert s.delete_document("a")
+        assert s.doc_count() == 0
+        assert s.doc_count(include_deleted=True) == 1
+
+    def test_build_history_capped(self):
+        s = Storage()
+        for i in range(110):
+            s.record_build(i, 0)
+        hist = s.build_history()
+        assert len(hist) == 100
+        assert hist[0]["doc_count"] == 109
+
+
+class TestJobQueue:
+    def test_claim_complete(self):
+        q = PersistentJobQueue()
+        jid = q.enqueue("embed", {"doc_id": "a"})
+        job = q.claim("w1")
+        assert job.job_id == jid and job.attempts == 1
+        assert q.claim("w2") is None  # leased
+        assert q.complete(jid, "w1")
+        assert q.counts().get("done") == 1
+
+    def test_retry_until_failed(self):
+        q = PersistentJobQueue()
+        q.enqueue("embed", {"doc_id": "a"}, max_attempts=2)
+        j1 = q.claim("w1")
+        assert q.fail(j1.job_id, "w1", "boom") == "pending"
+        j2 = q.claim("w1")
+        assert j2.attempts == 2
+        assert q.fail(j2.job_id, "w1", "boom2") == "failed"
+        assert q.claim("w1") is None
+
+    def test_lease_expiry_reclaim(self):
+        q = PersistentJobQueue(lease_s=0.0)
+        q.enqueue("embed", {"doc_id": "a"})
+        q.claim("w1")
+        job = q.claim("w2")  # lease instantly expired
+        assert job is not None and job.attempts == 2
+
+
+class TestIngestPipeline:
+    def test_ingest_dedup_and_jobs(self):
+        storage = Storage()
+        jobs = PersistentJobQueue()
+        pipe = IngestPipeline(storage=storage, jobs=jobs)
+        doc = IndexableDocument(doc_id="a", content="meaningful text content here")
+        assert pipe.ingest(doc)
+        assert not pipe.ingest(doc)  # dedup
+        assert pipe.stats.deduped == 1
+        assert jobs.pending_count() == 1
+
+    def test_low_signal_skipped(self):
+        pipe = IngestPipeline(storage=Storage())
+        assert not pipe.ingest(IndexableDocument(doc_id="x", content="!!! ###"))
+        assert pipe.stats.low_signal == 1
+
+    def test_job_runner_embeds_into_sink(self):
+        storage = Storage()
+        jobs = PersistentJobQueue()
+        pipe = IngestPipeline(storage=storage, jobs=jobs)
+        for i in range(5):
+            pipe.ingest(IndexableDocument(doc_id=f"d{i}", content=f"document number {i} text"))
+        emb = HashEmbedder(dim=32)
+        sunk = {}
+        runner = StorageBackedJobRunner(
+            jobs=jobs, storage=storage, embedder=emb,
+            sink=lambda ids, vecs: sunk.update(zip(ids, vecs)),
+        )
+        n = runner.drain()
+        assert n == 5 and len(sunk) == 5
+        assert storage.staleness(emb.embedder_id).pending == 0
+
+
+class TestLexicalPersist:
+    def test_roundtrip(self, tmp_path):
+        ix = MemoryLexicalIndex()
+        ix.add_document(IndexableDocument(doc_id="a", content="rust async futures", title="Rust"))
+        ix.add_document(IndexableDocument(doc_id="b", content="python jax arrays"))
+        ix.commit()
+        gen = save_lexical(ix, str(tmp_path))
+        loaded = load_lexical(str(tmp_path))
+        assert loaded.doc_count() == 2
+        orig = ix.search_candidates("rust futures", 5)
+        got = loaded.search_candidates("rust futures", 5)
+        assert [(c.doc_id, pytest.approx(c.score)) for c in got] == [
+            (c.doc_id, pytest.approx(c.score)) for c in orig
+        ]
+
+    def test_blue_green_publication(self, tmp_path):
+        ix = MemoryLexicalIndex()
+        ix.add_document(IndexableDocument(doc_id="a", content="first generation"))
+        ix.commit()
+        g1 = save_lexical(ix, str(tmp_path))
+        ix.add_document(IndexableDocument(doc_id="b", content="second generation"))
+        ix.commit()
+        g2 = save_lexical(ix, str(tmp_path))
+        assert g1 != g2
+        loaded = load_lexical(str(tmp_path))
+        assert loaded.doc_count() == 2  # CURRENT points at g2
+
+
+class TestBuilderFacade:
+    def test_build_and_open_hybrid(self, tmp_path):
+        docs = [
+            IndexableDocument(doc_id=f"d{i}", content=f"document about topic {i} with content words")
+            for i in range(10)
+        ]
+        stack = EmbedderStack(
+            fast=HashEmbedder(dim=64),
+            availability=TwoTierAvailability(True, False, "hash", None),
+        )
+        stats = (
+            IndexBuilder(str(tmp_path / "ix"))
+            .with_documents(docs)
+            .with_embedder_stack(stack)
+            .build()
+        )
+        assert stats.doc_count == 10
+        assert stats.sizes.fast_vector_bytes > 0
+        assert stats.sizes.lexical_bytes > 0
+        handle = open_hybrid(str(tmp_path / "ix"), fast_embedder=HashEmbedder(dim=64))
+        out = handle.searcher.search("topic 3", k=3)
+        assert out.results
+        assert handle.lexical is not None and handle.storage is not None
+
+    def test_low_signal_docs_skipped(self, tmp_path):
+        stack = EmbedderStack(fast=HashEmbedder(dim=32))
+        stats = (
+            IndexBuilder(str(tmp_path / "ix"))
+            .with_documents([
+                IndexableDocument(doc_id="junk", content="### !!!"),
+                IndexableDocument(doc_id="good", content="real document content"),
+            ])
+            .with_embedder_stack(stack)
+            .build()
+        )
+        assert stats.doc_count == 1 and stats.skipped_low_signal == 1
