@@ -1,0 +1,212 @@
+"""Generation manifests: versioned, content-addressed index generations.
+
+Parity target: reference crates/frankensearch-core/src/generation.rs —
+``GenerationManifest`` (artifact list + hashes), embedding identity
+bundles, activation invariants with anti-rollback floors, golden-vector
+conformance certificates, quantization format tags. The reference's
+distributed Native Mode replicates these manifests; on TPU the same
+schema versions sharded-array checkpoints (SURVEY §5 checkpoint notes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Mapping, Sequence
+
+from frankensearch_tpu.core.errors import IndexCorrupted
+
+MANIFEST_VERSION = 1
+MANIFEST_FILE = "MANIFEST.json"
+
+
+def sha256_file(path: str, chunk: int = 1 << 20) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(chunk)
+            if not b:
+                break
+            h.update(b)
+    return h.hexdigest()
+
+
+@dataclass(frozen=True)
+class ArtifactEntry:
+    name: str  # path relative to the generation root
+    sha256: str
+    bytes: int
+
+    def to_dict(self) -> dict:
+        return {"name": self.name, "sha256": self.sha256, "bytes": self.bytes}
+
+
+@dataclass(frozen=True)
+class GoldenVectorCertificate:
+    """Conformance certificate: hash of expected vectors for sampled doc
+    ids, proving an embedder produces the same space as at build time
+    (generation.rs golden-vector certificates)."""
+
+    embedder_id: str
+    doc_ids: tuple[str, ...]
+    vectors_sha256: str
+
+    def to_dict(self) -> dict:
+        return {
+            "embedder_id": self.embedder_id,
+            "doc_ids": list(self.doc_ids),
+            "vectors_sha256": self.vectors_sha256,
+        }
+
+    @staticmethod
+    def compute(embedder_id: str, doc_ids: Sequence[str], vectors) -> "GoldenVectorCertificate":
+        import numpy as np
+
+        arr = np.ascontiguousarray(np.asarray(vectors, dtype=np.float32))
+        return GoldenVectorCertificate(
+            embedder_id=embedder_id,
+            doc_ids=tuple(doc_ids),
+            vectors_sha256=hashlib.sha256(arr.tobytes()).hexdigest(),
+        )
+
+
+@dataclass
+class GenerationManifest:
+    generation_id: str
+    commit_seq: int
+    created_at: float
+    artifacts: list[ArtifactEntry] = field(default_factory=list)
+    embedders: dict[str, Mapping] = field(default_factory=dict)  # tier -> identity dict
+    quantization: str = "bf16"
+    doc_count: int = 0
+    golden: list[GoldenVectorCertificate] = field(default_factory=list)
+    extra: dict = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": MANIFEST_VERSION,
+                "generation_id": self.generation_id,
+                "commit_seq": self.commit_seq,
+                "created_at": self.created_at,
+                "artifacts": [a.to_dict() for a in self.artifacts],
+                "embedders": {k: dict(v) for k, v in self.embedders.items()},
+                "quantization": self.quantization,
+                "doc_count": self.doc_count,
+                "golden": [g.to_dict() for g in self.golden],
+                "extra": self.extra,
+            },
+            indent=2,
+        )
+
+    @staticmethod
+    def from_json(raw: str) -> "GenerationManifest":
+        d = json.loads(raw)
+        if d.get("version") != MANIFEST_VERSION:
+            raise IndexCorrupted(f"unsupported manifest version {d.get('version')}")
+        return GenerationManifest(
+            generation_id=d["generation_id"],
+            commit_seq=d["commit_seq"],
+            created_at=d["created_at"],
+            artifacts=[ArtifactEntry(**a) for a in d["artifacts"]],
+            embedders=d.get("embedders", {}),
+            quantization=d.get("quantization", "bf16"),
+            doc_count=d.get("doc_count", 0),
+            golden=[
+                GoldenVectorCertificate(
+                    embedder_id=g["embedder_id"],
+                    doc_ids=tuple(g["doc_ids"]),
+                    vectors_sha256=g["vectors_sha256"],
+                )
+                for g in d.get("golden", [])
+            ],
+            extra=d.get("extra", {}),
+        )
+
+
+def build_manifest(
+    gen_dir: str,
+    generation_id: str,
+    commit_seq: int,
+    *,
+    embedders: Mapping[str, Mapping] | None = None,
+    doc_count: int = 0,
+    quantization: str = "bf16",
+    golden: Sequence[GoldenVectorCertificate] = (),
+) -> GenerationManifest:
+    """Hash every file under gen_dir (except the manifest itself)."""
+    artifacts = []
+    for dirpath, _, files in os.walk(gen_dir):
+        for name in sorted(files):
+            if name == MANIFEST_FILE or name.endswith(".tmp"):
+                continue
+            full = os.path.join(dirpath, name)
+            rel = os.path.relpath(full, gen_dir)
+            artifacts.append(
+                ArtifactEntry(name=rel, sha256=sha256_file(full), bytes=os.path.getsize(full))
+            )
+    return GenerationManifest(
+        generation_id=generation_id,
+        commit_seq=commit_seq,
+        created_at=time.time(),
+        artifacts=artifacts,
+        embedders=dict(embedders or {}),
+        quantization=quantization,
+        doc_count=doc_count,
+        golden=list(golden),
+    )
+
+
+def write_manifest(gen_dir: str, manifest: GenerationManifest) -> str:
+    path = os.path.join(gen_dir, MANIFEST_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(manifest.to_json())
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    return path
+
+
+def read_manifest(gen_dir: str) -> GenerationManifest:
+    path = os.path.join(gen_dir, MANIFEST_FILE)
+    if not os.path.exists(path):
+        raise IndexCorrupted(f"no manifest in {gen_dir}")
+    with open(path, encoding="utf-8") as f:
+        return GenerationManifest.from_json(f.read())
+
+
+@dataclass(frozen=True)
+class VerificationReport:
+    ok: bool
+    missing: tuple[str, ...] = ()
+    corrupted: tuple[str, ...] = ()
+    unexpected: tuple[str, ...] = ()
+
+
+def verify_generation(gen_dir: str, manifest: GenerationManifest) -> VerificationReport:
+    """Verify every artifact hash (fail-closed activation precondition)."""
+    missing, corrupted = [], []
+    expected = set()
+    for a in manifest.artifacts:
+        expected.add(a.name)
+        full = os.path.join(gen_dir, a.name)
+        if not os.path.exists(full):
+            missing.append(a.name)
+        elif sha256_file(full) != a.sha256:
+            corrupted.append(a.name)
+    unexpected = []
+    for dirpath, _, files in os.walk(gen_dir):
+        for name in files:
+            rel = os.path.relpath(os.path.join(dirpath, name), gen_dir)
+            if rel != MANIFEST_FILE and not rel.endswith(".tmp") and rel not in expected:
+                unexpected.append(rel)
+    return VerificationReport(
+        ok=not missing and not corrupted,
+        missing=tuple(missing),
+        corrupted=tuple(corrupted),
+        unexpected=tuple(unexpected),
+    )

@@ -204,6 +204,14 @@ class TwoTierSearcher:
             )
             metrics.phase2_ms = (time.monotonic() - t2) * 1000.0
             if refined is not None:
+                if self.config.explain:
+                    initial_rank = {r.doc_id: i for i, r in enumerate(initial_results)}
+                    for rank, r in enumerate(refined):
+                        if r.explanation is None:
+                            fh = FusedHit(doc_id=r.doc_id, score=r.score)
+                            r.explanation = self._build_explanation(fh, rank, r)
+                        r.explanation.rank_before = initial_rank.get(r.doc_id)
+                        r.explanation.rank_after = rank
                 results = refined
                 emit(
                     SearchPhase(
@@ -377,23 +385,51 @@ class TwoTierSearcher:
         lex_by_doc = {r.doc_id: r for r in lexical_pool}
         fast_by_doc = {h.doc_id: h for h in fast_hits}
         out: list[ScoredResult] = []
-        for h in fused:
+        for rank, h in enumerate(fused):
             lex = lex_by_doc.get(h.doc_id)
             fast = fast_by_doc.get(h.doc_id)
             if parsed.has_negations and self._negation_excludes(h.doc_id, lex, text_fn, parsed):
                 continue
-            out.append(
-                ScoredResult(
-                    doc_id=h.doc_id,
-                    score=h.score,
-                    lexical_score=lex.score if lex else None,
-                    fast_score=fast.score if fast else None,
-                    sources=h.sources,
-                    title=lex.title if lex else None,
-                    metadata=lex.metadata if lex else None,
-                )
+            result = ScoredResult(
+                doc_id=h.doc_id,
+                score=h.score,
+                lexical_score=lex.score if lex else None,
+                fast_score=fast.score if fast else None,
+                sources=h.sources,
+                title=lex.title if lex else None,
+                metadata=lex.metadata if lex else None,
             )
+            if self.config.explain:
+                result.explanation = self._build_explanation(h, rank, result)
+            out.append(result)
         return out
+
+    def _build_explanation(self, fused: FusedHit, rank: int, result: ScoredResult):
+        """Per-hit score decomposition (core explanation.rs; emitted only
+        when config.explain is on, searcher.rs explanation builder)."""
+        from frankensearch_tpu.core.types import HitExplanation
+
+        components: dict[str, float] = {"rrf_fused": fused.score}
+        ranks: dict[str, int] = {"fused": rank}
+        if result.lexical_score is not None:
+            components["lexical_bm25"] = result.lexical_score
+        if fused.lexical_rank is not None:
+            ranks["lexical"] = fused.lexical_rank
+        if result.fast_score is not None:
+            components["fast_cosine"] = result.fast_score
+        if fused.fast_rank is not None:
+            ranks["fast_vector"] = fused.fast_rank
+        if result.quality_score is not None:
+            components["quality_cosine"] = result.quality_score
+        notes = [f"fusion={self.config.fusion_strategy.value}", f"rrf_k={self.config.rrf_k}"]
+        return HitExplanation(
+            doc_id=result.doc_id,
+            fused_score=fused.score,
+            components=components,
+            ranks=ranks,
+            rank_after=rank,
+            notes=notes,
+        )
 
     def _negation_excludes(
         self,

@@ -1,0 +1,180 @@
+"""Device-side BM25 scoring: postings as a device-resident sparse matmul.
+
+Parity target: the scoring half of the reference's Quill engine
+(crates/frankensearch-quill/src/argus.rs exhaustive scorer tree) recast
+for TPU per SURVEY.md §7.6: BM25 is a sparse (query x vocab) . (vocab x
+doc) product. Instead of a scorer tree walking postings cursors, the
+whole postings set lives in HBM as three flat arrays
+
+    post_term (P,) i32   term id of posting p
+    post_doc  (P,) i32   doc row of posting p
+    post_tf   (P,) f32   PRECOMPUTED tf-side score:
+                         boost * (k1+1) * tf / (tf + norm_cache[normid[doc]])
+
+and a batched query becomes
+
+    q_idf (B, V)  : idf weights of query terms (0 elsewhere)
+    contrib (P, B) = post_tf[p] * q_idf[b, post_term[p]]
+    scores (N, B)  = segment_sum(contrib, post_doc)
+    top-k over docs
+
+which is dense, static-shaped, and exact to f32 summation order. The
+tf-side score folds the per-field fieldnorm cache (the same 256-entry
+table as the CPU oracle) at build time, so the hot loop has zero lookups.
+
+Differential conformance vs the CPU oracle (MemoryLexicalIndex) is the
+quill-gauntlet idea (SURVEY §4.8) carried over: tests assert rank
+agreement within f32 tie tolerance.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frankensearch_tpu.lexical.base import LexicalCandidate, LexicalRead
+from frankensearch_tpu.lexical.bm25 import BM25_K1, idf, tf_norm_cache
+from frankensearch_tpu.lexical.memory_index import _BOOSTS, _FIELDS, MemoryLexicalIndex
+from frankensearch_tpu.lexical.tokenizer import simple_tokenize
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("n_docs", "k"))
+def _device_bm25(
+    post_term: jax.Array,  # (P,) i32
+    post_doc: jax.Array,  # (P,) i32
+    post_tf: jax.Array,  # (P,) f32
+    q_idf: jax.Array,  # (B, V) f32
+    *,
+    n_docs: int,
+    k: int,
+):
+    contrib = post_tf[:, None] * jnp.take(q_idf, post_term, axis=1).T  # (P, B)
+    scores = jax.ops.segment_sum(contrib, post_doc, num_segments=n_docs)  # (N, B)
+    scores = scores.T  # (B, N)
+    kk = min(k, n_docs)
+    top_s, top_i = jax.lax.top_k(scores, kk)
+    return top_s, top_i
+
+
+@dataclass
+class _FieldArm:
+    term_ids: dict[str, int]
+    idf_host: np.ndarray  # (V_field,) f32, indexed by (tid - base)
+    boost: np.float32
+    base: int = 0
+
+
+class DeviceBm25Index(LexicalRead):
+    """Immutable device-side snapshot of a committed lexical index."""
+
+    def __init__(self, mem: MemoryLexicalIndex) -> None:
+        postings, field_stats, docs = mem.snapshot_postings()
+        self._source = mem
+        self.doc_ids = sorted(docs.keys())
+        self._row_of = {d: i for i, d in enumerate(self.doc_ids)}
+        n = len(self.doc_ids)
+        self.n_docs = n
+
+        self._arms: dict[str, _FieldArm] = {}
+        terms_all: list[int] = []
+        docs_all: list[int] = []
+        tf_all: list[float] = []
+        vocab_offset = 0
+        for fname in _FIELDS:
+            stats = field_stats[fname]
+            field_postings = postings[fname]
+            vocab = sorted(field_postings.keys())
+            term_ids = {t: vocab_offset + i for i, t in enumerate(vocab)}
+            cache = tf_norm_cache(stats.avgdl)
+            boost = _BOOSTS[fname]
+            idf_host = np.zeros(len(vocab), dtype=np.float32)
+            for i, term in enumerate(vocab):
+                plist = field_postings[term]
+                idf_host[i] = idf(n, len(plist))
+                for doc_id, tf in plist.items():
+                    fid = docs[doc_id].fieldnorm_id.get(fname, 0)
+                    tf32 = np.float32(tf)
+                    tf_side = float(
+                        np.float32(boost)
+                        * (BM25_K1 + np.float32(1.0))
+                        * tf32
+                        / (tf32 + cache[fid])
+                    )
+                    terms_all.append(term_ids[term])
+                    docs_all.append(self._row_of[doc_id])
+                    tf_all.append(tf_side)
+            self._arms[fname] = _FieldArm(
+                term_ids=term_ids, idf_host=idf_host, boost=boost, base=vocab_offset
+            )
+            vocab_offset += len(vocab)
+
+        self.vocab_size = vocab_offset
+        p = len(terms_all)
+        p_pad = max(_round_up(max(p, 1), 128), 128)
+        pt = np.zeros(p_pad, dtype=np.int32)
+        pd = np.zeros(p_pad, dtype=np.int32)
+        pf = np.zeros(p_pad, dtype=np.float32)  # padded postings score 0
+        pt[:p] = terms_all
+        pd[:p] = docs_all
+        pf[:p] = tf_all
+        self._post_term = jnp.asarray(pt)
+        self._post_doc = jnp.asarray(pd)
+        self._post_tf = jnp.asarray(pf)
+        self.posting_count = p
+
+    # -- LexicalRead -------------------------------------------------------
+
+    def doc_count(self) -> int:
+        return self.n_docs
+
+    def _query_idf_rows(self, queries: list[str]) -> np.ndarray:
+        v_pad = max(_round_up(max(self.vocab_size, 1), 128), 128)
+        q = np.zeros((len(queries), v_pad), dtype=np.float32)
+        for b, query in enumerate(queries):
+            terms = simple_tokenize(query)
+            for fname, arm in self._arms.items():
+                seen: set[str] = set()
+                for t in terms:
+                    if t in seen:
+                        continue
+                    seen.add(t)
+                    tid = arm.term_ids.get(t)
+                    if tid is not None:
+                        q[b, tid] = arm.idf_host[tid - arm.base]
+        return q
+
+    def search_candidates_batch(
+        self, queries: list[str], budget: int
+    ) -> list[list[LexicalCandidate]]:
+        if self.n_docs == 0 or not queries:
+            return [[] for _ in queries]
+        q_idf = jnp.asarray(self._query_idf_rows(queries))
+        top_s, top_i = _device_bm25(
+            self._post_term, self._post_doc, self._post_tf, q_idf,
+            n_docs=self.n_docs, k=min(budget, self.n_docs),
+        )
+        s = np.asarray(top_s)
+        i = np.asarray(top_i)
+        out: list[list[LexicalCandidate]] = []
+        for b in range(len(queries)):
+            hits = [
+                LexicalCandidate(doc_id=self.doc_ids[int(i[b, j])], score=float(s[b, j]))
+                for j in range(s.shape[1])
+                if s[b, j] > 0.0
+            ]
+            out.append(hits)
+        return out
+
+    def search_candidates(self, query: str, budget: int) -> list[LexicalCandidate]:
+        return self.search_candidates_batch([query], budget)[0]
+
+    def hydrate_candidates(self, doc_ids):
+        return self._source.hydrate_candidates(doc_ids)

@@ -1,0 +1,5 @@
+"""Product runtime: filesystem watching, indexing orchestration, serving.
+
+Parity target: crates/frankensearch-fsfs runtime internals (watcher.rs,
+orchestration.rs, lifecycle.rs).
+"""

@@ -1,0 +1,161 @@
+"""Filesystem watcher: poll -> debounce -> classify -> batch.
+
+Parity target: reference crates/frankensearch-fsfs/src/watcher.rs —
+notify-based FS events with 500 ms debounce, discovery-policy
+classification, pressure-adaptive batching, and snapshot diff for crash
+catch-up (:1-8). This implementation polls mtimes (no inotify dependency)
+and persists a JSON snapshot so a restart emits exactly the changes that
+happened while it was down.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Iterable
+
+DEFAULT_DEBOUNCE_S = 0.5
+
+_TEXT_EXTS = {
+    ".txt", ".md", ".rst", ".py", ".rs", ".c", ".cc", ".cpp", ".h", ".hpp",
+    ".js", ".ts", ".tsx", ".go", ".java", ".rb", ".toml", ".yaml", ".yml", ".json",
+}
+_SKIP_DIRS = {".git", ".hg", "__pycache__", "node_modules", ".venv", "target"}
+MAX_FILE_BYTES = 2_000_000  # giant-file skip (fsfs file_classification.rs)
+
+
+@dataclass(frozen=True)
+class FileChange:
+    path: str
+    kind: str  # "created" | "modified" | "deleted"
+    size: int = 0
+    mtime: float = 0.0
+
+
+@dataclass(frozen=True)
+class SkipReason:
+    path: str
+    reason: str  # "binary_ext" | "too_large" | "unreadable" | "symlink"
+
+
+@dataclass
+class ScanResult:
+    changes: list[FileChange] = field(default_factory=list)
+    skipped: list[SkipReason] = field(default_factory=list)
+
+
+def _classify(path: str) -> str | None:
+    """None = indexable, else a skip reason (discovery policy)."""
+    if os.path.islink(path):
+        return "symlink"
+    ext = os.path.splitext(path)[1].lower()
+    if ext not in _TEXT_EXTS:
+        return "binary_ext"
+    try:
+        if os.path.getsize(path) > MAX_FILE_BYTES:
+            return "too_large"
+    except OSError:
+        return "unreadable"
+    return None
+
+
+class SnapshotWatcher:
+    """Polling watcher with a persistent snapshot for crash catch-up."""
+
+    def __init__(
+        self,
+        roots: Iterable[str],
+        snapshot_path: str,
+        *,
+        debounce_s: float = DEFAULT_DEBOUNCE_S,
+        clock: Callable[[], float] = time.monotonic,
+    ) -> None:
+        self.roots = [os.path.abspath(r) for r in roots]
+        self.snapshot_path = snapshot_path
+        self.debounce_s = debounce_s
+        self.clock = clock
+        self._snapshot: dict[str, tuple[float, int]] = {}
+        self._pending: dict[str, FileChange] = {}
+        self._pending_since: float = 0.0
+        self._load_snapshot()
+
+    # -- snapshot persistence (crash catch-up) ------------------------------
+
+    def _load_snapshot(self) -> None:
+        if os.path.exists(self.snapshot_path):
+            try:
+                with open(self.snapshot_path, encoding="utf-8") as f:
+                    raw = json.load(f)
+                self._snapshot = {k: (v[0], v[1]) for k, v in raw.items()}
+            except (json.JSONDecodeError, OSError):
+                self._snapshot = {}
+
+    def persist_snapshot(self) -> None:
+        tmp = self.snapshot_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({k: list(v) for k, v in self._snapshot.items()}, f)
+        os.replace(tmp, self.snapshot_path)
+
+    # -- scanning ---------------------------------------------------------------
+
+    def scan(self) -> ScanResult:
+        """One poll cycle: diff the filesystem against the snapshot."""
+        result = ScanResult()
+        seen: set[str] = set()
+        for root in self.roots:
+            for dirpath, dirnames, files in os.walk(root):
+                dirnames[:] = [d for d in dirnames if d not in _SKIP_DIRS]
+                for name in files:
+                    full = os.path.join(dirpath, name)
+                    reason = _classify(full)
+                    if reason is not None:
+                        if full in self._snapshot:
+                            # previously indexed, now unreadable/oversized
+                            result.changes.append(FileChange(path=full, kind="deleted"))
+                            del self._snapshot[full]
+                        else:
+                            result.skipped.append(SkipReason(path=full, reason=reason))
+                        continue
+                    seen.add(full)
+                    try:
+                        st = os.stat(full)
+                    except OSError:
+                        continue
+                    prev = self._snapshot.get(full)
+                    cur = (st.st_mtime, st.st_size)
+                    if prev is None:
+                        result.changes.append(
+                            FileChange(full, "created", st.st_size, st.st_mtime)
+                        )
+                        self._snapshot[full] = cur
+                    elif prev != cur:
+                        result.changes.append(
+                            FileChange(full, "modified", st.st_size, st.st_mtime)
+                        )
+                        self._snapshot[full] = cur
+        for path in list(self._snapshot):
+            if path not in seen and any(path.startswith(r + os.sep) for r in self.roots):
+                result.changes.append(FileChange(path=path, kind="deleted"))
+                del self._snapshot[path]
+        return result
+
+    # -- debounced batching ------------------------------------------------------
+
+    def poll(self) -> list[FileChange] | None:
+        """Scan and debounce: changes are held for debounce_s of quiet
+        before being released as one batch (watcher.rs 500 ms debounce)."""
+        now = self.clock()
+        result = self.scan()
+        for c in result.changes:
+            self._pending[c.path] = c  # latest change per path wins
+            self._pending_since = now
+        if not self._pending:
+            return None
+        if now - self._pending_since >= self.debounce_s or not result.changes:
+            batch = list(self._pending.values())
+            self._pending.clear()
+            self.persist_snapshot()
+            return batch
+        return None

@@ -1,0 +1,97 @@
+"""Differential conformance: device BM25 vs the CPU oracle.
+
+Parity model: the reference's quill-gauntlet (SURVEY §4.8) — deterministic
+corpus/query generators, rank comparison against the pinned oracle.
+"""
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.lexical.device_bm25 import DeviceBm25Index
+from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+
+WORDS = (
+    "search index vector lexical rust python jax tpu kernel matrix "
+    "query document score rank fusion tier fast quality embed token"
+).split()
+
+
+def deterministic_corpus(n_docs=60, seed=3):
+    rng = np.random.default_rng(seed)
+    docs = []
+    for i in range(n_docs):
+        length = int(rng.integers(5, 60))
+        words = rng.choice(WORDS, size=length)
+        title = " ".join(rng.choice(WORDS, size=2)) if i % 3 == 0 else None
+        docs.append(
+            IndexableDocument(doc_id=f"doc-{i:03d}", content=" ".join(words), title=title)
+        )
+    return docs
+
+
+@pytest.fixture(scope="module")
+def oracle_and_device():
+    mem = MemoryLexicalIndex()
+    for d in deterministic_corpus():
+        mem.add_document(d)
+    mem.commit()
+    return mem, DeviceBm25Index(mem)
+
+
+QUERIES = [
+    "search vector",
+    "rust",
+    "quality tier fusion",
+    "tpu kernel matrix query",
+    "nonexistent-term",
+    "token token token",  # duplicate terms deduplicate (Should union)
+]
+
+
+class TestDifferentialConformance:
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_scores_match_oracle(self, oracle_and_device, query):
+        mem, dev = oracle_and_device
+        oracle = mem.search_candidates(query, 20)
+        device = dev.search_candidates(query, 20)
+        o_scores = {c.doc_id: c.score for c in oracle}
+        d_scores = {c.doc_id: c.score for c in device}
+        assert set(o_scores) == set(d_scores), query
+        for doc_id, s in o_scores.items():
+            assert d_scores[doc_id] == pytest.approx(s, rel=1e-4), (query, doc_id)
+
+    def test_rank_agreement_top10(self, oracle_and_device):
+        mem, dev = oracle_and_device
+        for query in QUERIES[:4]:
+            oracle = [c.doc_id for c in mem.search_candidates(query, 10)]
+            device = [c.doc_id for c in dev.search_candidates(query, 10)]
+            # f32 summation order may swap exact ties; require set equality
+            # and >= 80% positional agreement
+            assert set(oracle) == set(device)
+            agree = sum(1 for a, b in zip(oracle, device) if a == b)
+            assert agree >= int(0.8 * len(oracle)), query
+
+    def test_batched_matches_single(self, oracle_and_device):
+        _, dev = oracle_and_device
+        batch = dev.search_candidates_batch(QUERIES[:3], 10)
+        for q, got in zip(QUERIES[:3], batch):
+            single = dev.search_candidates(q, 10)
+            assert [(c.doc_id, c.score) for c in got] == [
+                (c.doc_id, c.score) for c in single
+            ]
+
+    def test_empty_and_miss(self, oracle_and_device):
+        _, dev = oracle_and_device
+        assert dev.search_candidates("nonexistent-term", 10) == []
+        assert dev.search_candidates("", 10) == []
+
+    def test_title_boost_carries_over(self, oracle_and_device):
+        mem, dev = oracle_and_device
+        # pick a title word from the corpus and verify ranking parity
+        titled = [d for d in deterministic_corpus() if d.title]
+        word = titled[0].title.split()[0]
+        oracle = mem.search_candidates(word, 5)
+        device = dev.search_candidates(word, 5)
+        assert oracle and device
+        assert oracle[0].score == pytest.approx(device[0].score, rel=1e-4)

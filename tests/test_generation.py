@@ -1,0 +1,216 @@
+"""Generation lifecycle tests: manifest, activation, time travel, repair,
+commit replay, telemetry collectors.
+
+Parity model: reference's pure data-model distributed tests (SURVEY §4.7).
+"""
+
+import os
+import time
+
+import pytest
+
+from frankensearch_tpu.core.activation import (
+    ActivationInvariants,
+    GenerationController,
+)
+from frankensearch_tpu.core.collectors import (
+    LiveSearchStreamEmitter,
+    RuntimeMetricsCollector,
+)
+from frankensearch_tpu.core.commit_replay import CommitLog, CommitOp, OpKind, replay
+from frankensearch_tpu.core.generation import (
+    GoldenVectorCertificate,
+    build_manifest,
+    read_manifest,
+    verify_generation,
+    write_manifest,
+)
+from frankensearch_tpu.core.repair import RepairOrchestrator, ServiceState
+from frankensearch_tpu.core.time_travel import GenerationHistory, RetentionPolicy
+
+
+def make_generation(root, gen_id, commit_seq, content=b"data", embedders=None):
+    ctl = GenerationController(root)
+    gdir = ctl.generation_dir(gen_id)
+    os.makedirs(gdir, exist_ok=True)
+    with open(os.path.join(gdir, "vector.fast.idx"), "wb") as f:
+        f.write(content)
+    m = build_manifest(
+        gdir, gen_id, commit_seq,
+        embedders=embedders or {"fast": {"embedder_id": "m2v", "is_semantic": True}},
+        doc_count=1,
+    )
+    write_manifest(gdir, m)
+    return ctl, gdir, m
+
+
+class TestManifest:
+    def test_build_verify_roundtrip(self, tmp_path):
+        ctl, gdir, m = make_generation(str(tmp_path), "gen-1", 10)
+        loaded = read_manifest(gdir)
+        assert loaded.generation_id == "gen-1"
+        assert verify_generation(gdir, loaded).ok
+
+    def test_verify_detects_corruption(self, tmp_path):
+        ctl, gdir, m = make_generation(str(tmp_path), "gen-1", 10)
+        with open(os.path.join(gdir, "vector.fast.idx"), "wb") as f:
+            f.write(b"tampered")
+        report = verify_generation(gdir, read_manifest(gdir))
+        assert not report.ok and "vector.fast.idx" in report.corrupted
+
+    def test_golden_certificate(self):
+        import numpy as np
+
+        vecs = np.ones((2, 4), dtype=np.float32)
+        c1 = GoldenVectorCertificate.compute("emb", ["a", "b"], vecs)
+        c2 = GoldenVectorCertificate.compute("emb", ["a", "b"], vecs)
+        c3 = GoldenVectorCertificate.compute("emb", ["a", "b"], vecs * 2)
+        assert c1.vectors_sha256 == c2.vectors_sha256 != c3.vectors_sha256
+
+
+class TestActivation:
+    def test_activate_swaps_pointer_and_raises_floor(self, tmp_path):
+        ctl, _, _ = make_generation(str(tmp_path), "gen-1", 10)
+        res = ctl.activate("gen-1")
+        assert res.activated
+        assert ctl.current_generation() == "gen-1"
+        assert ctl.commit_floor() == 10
+
+    def test_anti_rollback(self, tmp_path):
+        ctl, _, _ = make_generation(str(tmp_path), "gen-2", 20)
+        make_generation(str(tmp_path), "gen-1", 10)
+        assert ctl.activate("gen-2").activated
+        res = ctl.rollback("gen-1")  # below floor 20
+        assert not res.activated
+        assert any("anti-rollback" in v for v in res.violations)
+        assert ctl.current_generation() == "gen-2"
+
+    def test_corrupted_generation_refused(self, tmp_path):
+        ctl, gdir, _ = make_generation(str(tmp_path), "gen-1", 10)
+        with open(os.path.join(gdir, "vector.fast.idx"), "wb") as f:
+            f.write(b"x")
+        res = ctl.activate("gen-1")
+        assert not res.activated and not res.verification_ok
+
+    def test_embedder_invariant(self, tmp_path):
+        ctl, _, _ = make_generation(
+            str(tmp_path), "gen-1", 10,
+            embedders={"fast": {"embedder_id": "hash", "is_semantic": False}},
+        )
+        res = ctl.activate(
+            "gen-1", ActivationInvariants(require_semantic=True)
+        )
+        assert not res.activated
+        assert any("non-semantic" in v for v in res.violations)
+
+
+class TestTimeTravel:
+    def test_at_commit_seq(self, tmp_path):
+        ctl, _, _ = make_generation(str(tmp_path), "gen-a", 10)
+        make_generation(str(tmp_path), "gen-b", 20)
+        make_generation(str(tmp_path), "gen-c", 30)
+        hist = GenerationHistory(ctl)
+        assert hist.at_commit_seq(25).generation_id == "gen-b"
+        assert hist.at_commit_seq(5) is None
+        assert hist.latest().generation_id == "gen-c"
+
+    def test_prune_keeps_current_and_latest(self, tmp_path):
+        ctl, _, _ = make_generation(str(tmp_path), "gen-a", 10)
+        for i, seq in enumerate([20, 30, 40, 50]):
+            make_generation(str(tmp_path), f"gen-{chr(98 + i)}", seq)
+        ctl.activate("gen-b")
+        hist = GenerationHistory(ctl)
+        deleted = hist.prune(
+            RetentionPolicy(keep_latest=2, keep_days=0.0),
+            now=time.time() + 10 * 86400,
+        )
+        remaining = ctl.list_generations()
+        assert "gen-b" in remaining  # CURRENT survives
+        assert "gen-d" in remaining and "gen-e" in remaining  # latest 2
+        assert "gen-a" in deleted
+
+
+class TestRepair:
+    def test_degraded_then_healthy(self):
+        fixed = {"n": 0}
+
+        def fix():
+            fixed["n"] += 1
+            return True
+
+        orch = RepairOrchestrator(repair_actions={"vector.idx": fix})
+        assert orch.report_corruption("vector.idx") is ServiceState.DEGRADED
+        assert orch.attempt_repair("vector.idx")
+        assert orch.state is ServiceState.HEALTHY
+
+    def test_suspended_after_exhausted_attempts(self):
+        orch = RepairOrchestrator(
+            repair_actions={"x": lambda: False}, max_attempts_per_artifact=2
+        )
+        orch.report_corruption("x")
+        orch.attempt_repair("x")
+        assert orch.state is ServiceState.DEGRADED
+        orch.attempt_repair("x")
+        assert orch.state is ServiceState.SUSPENDED
+        assert not orch.attempt_repair("x")  # exhausted
+
+
+class TestCommitReplay:
+    def test_replay_idempotent(self):
+        ops = [
+            CommitOp(1, OpKind.UPSERT, "a", "v1"),
+            CommitOp(2, OpKind.UPSERT, "b", "v1"),
+            CommitOp(3, OpKind.UPSERT, "a", "v2"),
+            CommitOp(4, OpKind.DELETE, "b"),
+        ]
+        st = replay(ops)
+        assert st.applied_seq == 4
+        assert st.docs["a"].content == "v2"
+        assert "b" not in st.docs
+        st2 = replay(ops, from_state=st)  # replaying again is a no-op
+        assert st2.applied_seq == 4 and st2.docs["a"].content == "v2"
+        assert st2.skipped_stale + st2.skipped_duplicate == 4
+
+    def test_up_to_seq_time_travel(self):
+        ops = [
+            CommitOp(1, OpKind.UPSERT, "a", "v1"),
+            CommitOp(2, OpKind.DELETE, "a"),
+        ]
+        st = replay(ops, up_to_seq=1)
+        assert "a" in st.docs
+
+    def test_commit_log_roundtrip(self, tmp_path):
+        log = CommitLog(str(tmp_path / "commits.jsonl"))
+        log.append(OpKind.UPSERT, "a", "content a")
+        log.append(OpKind.DELETE, "a")
+        log2 = CommitLog(str(tmp_path / "commits.jsonl"))
+        op = log2.append(OpKind.UPSERT, "b", "content b")
+        assert op.seq == 3  # seq continues across reopen
+        st = replay(log2.read())
+        assert set(st.docs) == {"b"}
+
+
+class TestCollectors:
+    def test_no_sink_zero_overhead(self):
+        c = RuntimeMetricsCollector()
+        c.record("search", {"ms": 1.0})
+        assert c.flush() is None
+
+    def test_envelope_batching(self):
+        got = []
+        c = RuntimeMetricsCollector(sink=got.append, cadence_ms=1e9)
+        c.record("a", {"x": 1}, correlation_id="c1")
+        c.record("b", {"y": 2})
+        env = c.flush()
+        assert env.v == 1 and len(env.events) == 2
+        assert got[0].events[0].correlation_id == "c1"
+
+    def test_stream_ring_bounded(self):
+        em = LiveSearchStreamEmitter(capacity=3)
+        for i in range(5):
+            em.emit("phase", {"i": i})
+        frames = em.drain()
+        assert len(frames) == 3
+        assert em.dropped == 2
+        assert frames[-1].seq == 5
+        assert "fs.stream.query.v1" in frames[0].to_json()

@@ -1,0 +1,129 @@
+"""Quality harness + shadow lexical tests.
+
+The harness drives the REAL hybrid stack over a synthetic corpus with
+known relevance structure, asserting hybrid >= max(single-tier) quality —
+the reference's measured RRF finding (BASELINE.md BEIR rows).
+"""
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu.core.shadow import ShadowLexical
+from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+from frankensearch_tpu.index.two_tier import TwoTierIndex
+from frankensearch_tpu.lexical.device_bm25 import DeviceBm25Index
+from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+from frankensearch_tpu.utils.quality_harness import (
+    EvalQuery,
+    compare_systems,
+    evaluate,
+)
+
+TOPICS = {
+    "net": "network sockets tcp http protocol routing packets",
+    "db": "database transactions btree index sql query storage",
+    "ml": "model training gradient neural embedding tensor loss",
+    "fs": "filesystem inode directory mount journal blocks sync",
+}
+
+
+def build_corpus(rng, docs_per_topic=8):
+    docs, qrels_by_topic = [], {}
+    for topic, words in TOPICS.items():
+        word_list = words.split()
+        relevant = []
+        for i in range(docs_per_topic):
+            sampled = rng.choice(word_list, size=12)
+            doc_id = f"{topic}-{i}"
+            docs.append(IndexableDocument(doc_id=doc_id, content=" ".join(sampled)))
+            relevant.append(doc_id)
+        qrels_by_topic[topic] = {d: 1.0 for d in relevant}
+    return docs, qrels_by_topic
+
+
+@pytest.fixture(scope="module")
+def harness_stack(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    docs, qrels_by_topic = build_corpus(rng)
+    fe = HashEmbedder(dim=128)
+    texts = [d.content for d in docs]
+    index = TwoTierIndex.create(
+        str(tmp_path_factory.mktemp("hx")), fe.embed_batch(texts),
+        [d.doc_id for d in docs], fe.identity(), use_pallas=False,
+    )
+    lexical = MemoryLexicalIndex()
+    for d in docs:
+        lexical.add_document(d)
+    lexical.commit()
+    queries = [
+        EvalQuery(query_id=t, text=" ".join(words.split()[:3]), qrels=qrels_by_topic[t])
+        for t, words in TOPICS.items()
+    ]
+    return index, lexical, fe, queries
+
+
+class TestQualityHarness:
+    def test_hybrid_beats_or_matches_single_tiers(self, harness_stack):
+        index, lexical, fe, queries = harness_stack
+        hybrid = TwoTierSearcher(index, fe, lexical=lexical)
+        lex_only = lexical  # LexicalRead.search returns ScoredResults
+
+        hybrid_report = evaluate(
+            lambda q, k: hybrid.search(q, k=k).results, queries, k=8, system="hybrid"
+        )
+        lex_report = evaluate(
+            lambda q, k: lex_only.search(q, k), queries, k=8, system="lexical"
+        )
+        assert hybrid_report.ndcg.mean >= lex_report.ndcg.mean - 0.05
+        assert hybrid_report.recall.mean >= 0.5
+        assert hybrid_report.n_queries == 4
+        assert hybrid_report.per_class  # query-class slices populated
+
+    def test_report_is_machine_readable(self, harness_stack):
+        index, lexical, fe, queries = harness_stack
+        s = TwoTierSearcher(index, fe, lexical=lexical)
+        report = evaluate(lambda q, k: s.search(q, k=k).results, queries, k=5)
+        d = report.to_dict()
+        assert d["v"] == 2
+        assert set(d["ndcg_at_k"]) == {"mean", "lo", "hi"}
+
+    def test_compare_systems_paired(self, harness_stack):
+        index, lexical, fe, queries = harness_stack
+        s = TwoTierSearcher(index, fe, lexical=lexical)
+        r1 = evaluate(lambda q, k: s.search(q, k=k).results, queries, k=5, system="a")
+        r2 = evaluate(lambda q, k: s.search(q, k=k).results, queries, k=5, system="b")
+        cmp = compare_systems(r1, r2)
+        assert cmp.better == "tie"  # identical system -> no significance
+
+
+class TestShadowLexical:
+    def test_device_shadow_agrees_with_oracle(self, harness_stack):
+        _, lexical, _, queries = harness_stack
+        device = DeviceBm25Index(lexical)
+        shadow = ShadowLexical(lexical, device, score_rel_tolerance=1e-3)
+        for q in queries:
+            shadow.search_candidates(q.text, 10)
+        assert shadow.report.queries == 4
+        assert shadow.report.agreement_rate >= 0.75  # f32 tie swaps only
+        assert shadow.report.shadow_errors == 0
+
+    def test_shadow_error_does_not_break_primary(self, harness_stack):
+        _, lexical, _, queries = harness_stack
+
+        class Exploding:
+            def search_candidates(self, q, b):
+                raise RuntimeError("shadow down")
+
+            def hydrate_candidates(self, ids):
+                return {}
+
+            def doc_count(self):
+                return 0
+
+        shadow = ShadowLexical(lexical, Exploding())
+        out = shadow.search_candidates("database transactions", 5)
+        assert out  # primary results intact
+        assert shadow.report.shadow_errors == 1
+        assert shadow.report.divergences[0].kind == "shadow_error"

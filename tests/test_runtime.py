@@ -1,0 +1,153 @@
+"""Runtime tests: pressure state machine, watcher, orchestration."""
+
+import os
+
+import pytest
+
+from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.ops.pressure import (
+    DegradationStateMachine,
+    PressureSignals,
+    PressureState,
+    ResourcePressureGovernor,
+    sense_host_memory,
+)
+from frankensearch_tpu.runtime.orchestration import (
+    IndexingOrchestrator,
+    IndexingPhase,
+    ResumeToken,
+)
+from frankensearch_tpu.runtime.watcher import SnapshotWatcher
+
+
+class TestPressure:
+    def test_escalation_immediate(self):
+        t = [0.0]
+        m = DegradationStateMachine(min_dwell_s=5, clock=lambda: t[0])
+        assert m.observe(PressureSignals(host_mem_used_frac=0.5)) is PressureState.NORMAL
+        assert m.observe(PressureSignals(host_mem_used_frac=0.9)) is PressureState.DEGRADED
+        assert m.observe(PressureSignals(host_mem_used_frac=0.96)) is PressureState.EMERGENCY
+
+    def test_deescalation_requires_dwell(self):
+        t = [0.0]
+        m = DegradationStateMachine(min_dwell_s=5, clock=lambda: t[0])
+        m.observe(PressureSignals(queue_pressure=0.9))
+        assert m.state is PressureState.DEGRADED
+        m.observe(PressureSignals(queue_pressure=0.1))
+        assert m.state is PressureState.DEGRADED  # not yet: dwell
+        t[0] = 6.0
+        m.observe(PressureSignals(queue_pressure=0.1))
+        assert m.state is PressureState.NORMAL
+
+    def test_anti_flap_hysteresis(self):
+        t = [0.0]
+        m = DegradationStateMachine(min_dwell_s=5, clock=lambda: t[0])
+        m.observe(PressureSignals(queue_pressure=0.86))
+        assert m.state is PressureState.DEGRADED
+        # hovering just below the enter threshold but above exit: stays
+        for i in range(10):
+            t[0] += 2.0
+            m.observe(PressureSignals(queue_pressure=0.82))
+        assert m.state is PressureState.DEGRADED
+
+    def test_governor_gates(self):
+        g = ResourcePressureGovernor()
+        g.observe(PressureSignals(queue_pressure=0.9))
+        assert not g.allow_quality_tier
+        assert not g.allow_rerank
+        assert g.ingest_batch_scale == 0.25
+
+    def test_host_memory_sense(self):
+        frac = sense_host_memory()
+        assert 0.0 <= frac <= 1.0
+
+
+class TestWatcher:
+    def test_create_modify_delete_cycle(self, tmp_path):
+        t = [0.0]
+        root = tmp_path / "src"
+        root.mkdir()
+        w = SnapshotWatcher([str(root)], str(tmp_path / "snap.json"),
+                            debounce_s=0.5, clock=lambda: t[0])
+        f = root / "a.txt"
+        f.write_text("hello")
+        t[0] = 1.0
+        batch = w.poll()  # change detected; next quiet poll releases
+        if batch is None:
+            t[0] = 2.0
+            batch = w.poll()
+        assert [c.kind for c in batch] == ["created"]
+        # modify
+        f.write_text("hello world")
+        os.utime(f, (100, 100))
+        t[0] = 3.0
+        batch = w.poll() or (t.__setitem__(0, 4.0) or w.poll())
+        assert batch[0].kind == "modified"
+        # delete
+        f.unlink()
+        t[0] = 5.0
+        batch = w.poll() or (t.__setitem__(0, 6.0) or w.poll())
+        assert batch[0].kind == "deleted"
+
+    def test_crash_catch_up_via_snapshot(self, tmp_path):
+        t = [0.0]
+        root = tmp_path / "src"
+        root.mkdir()
+        (root / "a.py").write_text("x = 1")
+        w1 = SnapshotWatcher([str(root)], str(tmp_path / "snap.json"),
+                             debounce_s=0.0, clock=lambda: t[0])
+        assert [c.kind for c in w1.poll()] == ["created"]
+        # "crash": new watcher instance; file changed while down
+        (root / "a.py").write_text("x = 2  # changed while watcher down")
+        os.utime(root / "a.py", (200, 200))
+        (root / "b.py").write_text("new file")
+        w2 = SnapshotWatcher([str(root)], str(tmp_path / "snap.json"),
+                             debounce_s=0.0, clock=lambda: t[0])
+        kinds = {c.path.split(os.sep)[-1]: c.kind for c in w2.poll()}
+        assert kinds == {"a.py": "modified", "b.py": "created"}
+
+    def test_classification_skips(self, tmp_path):
+        root = tmp_path / "src"
+        root.mkdir()
+        (root / "image.png").write_bytes(b"\x89PNG")
+        (root / "ok.md").write_text("text")
+        w = SnapshotWatcher([str(root)], str(tmp_path / "snap.json"), debounce_s=0.0)
+        res = w.scan()
+        assert [c.path.endswith("ok.md") for c in res.changes] == [True]
+        assert any(s.reason == "binary_ext" for s in res.skipped)
+
+
+class TestOrchestration:
+    def test_resume_after_crash_mid_backfill(self, tmp_path):
+        docs = {
+            f"doc-{i:02d}": IndexableDocument(doc_id=f"doc-{i:02d}", content=f"text {i}")
+            for i in range(10)
+        }
+        token_path = str(tmp_path / "resume.json")
+        processed: list[str] = []
+
+        class Boom(Exception):
+            pass
+
+        def crashy(batch):
+            if len(processed) >= 4:
+                raise Boom()
+            processed.extend(d.doc_id for d in batch)
+
+        orch = IndexingOrchestrator(token_path, batch_size=2)
+        with pytest.raises(Boom):
+            orch.run_bootstrap(docs, crashy)
+        assert len(processed) == 4  # two batches done before crash
+
+        # restart: fresh orchestrator resumes from the persisted cursor
+        orch2 = IndexingOrchestrator(token_path, batch_size=2)
+        assert orch2.token.processed == 4
+        rest: list[str] = []
+        orch2.run_bootstrap(docs, lambda batch: rest.extend(d.doc_id for d in batch))
+        assert sorted(processed + rest) == sorted(docs.keys())
+        assert orch2.token.phase is IndexingPhase.STEADY
+
+    def test_token_roundtrip(self):
+        t = ResumeToken(phase=IndexingPhase.BACKFILL, cursor="doc-5", processed=6)
+        t2 = ResumeToken.from_json(t.to_json())
+        assert t2.phase is IndexingPhase.BACKFILL and t2.cursor == "doc-5"
