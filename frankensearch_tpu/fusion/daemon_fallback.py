@@ -1,0 +1,76 @@
+"""Daemon-first embedding with bounded-retry local fallback.
+
+Parity target: reference crates/frankensearch-fusion/src/daemon_fallback.rs
+(:1-4) — try the warm daemon first; on failure fall back to the local
+embedder; remember daemon health with a cooldown so a dead daemon isn't
+re-probed on every query.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import numpy as np
+
+from frankensearch_tpu.core.daemon import DaemonClient
+from frankensearch_tpu.core.errors import SubsystemError
+from frankensearch_tpu.embed.base import Embedder
+
+
+@dataclass
+class FallbackStats:
+    daemon_hits: int = 0
+    local_fallbacks: int = 0
+    daemon_marked_down_at: float | None = None
+
+
+class DaemonFallbackEmbedder(Embedder):
+    def __init__(
+        self,
+        client: DaemonClient,
+        local: Embedder,
+        *,
+        down_cooldown_s: float = 10.0,
+        clock=time.monotonic,
+    ) -> None:
+        self.client = client
+        self.local = local
+        self.down_cooldown_s = down_cooldown_s
+        self.clock = clock
+        self.stats = FallbackStats()
+
+    @property
+    def dim(self) -> int:
+        return self.local.dim
+
+    @property
+    def embedder_id(self) -> str:
+        return self.local.embedder_id
+
+    @property
+    def revision(self) -> str:
+        return self.local.revision
+
+    @property
+    def is_semantic(self) -> bool:
+        return self.local.is_semantic
+
+    def _daemon_usable(self) -> bool:
+        down_at = self.stats.daemon_marked_down_at
+        if down_at is None:
+            return True
+        return self.clock() - down_at >= self.down_cooldown_s
+
+    def embed_batch(self, texts: Sequence[str]) -> np.ndarray:
+        if self._daemon_usable():
+            try:
+                vectors = self.client.embed(list(texts))
+                self.stats.daemon_hits += 1
+                self.stats.daemon_marked_down_at = None
+                return np.asarray(vectors, dtype=np.float32)
+            except SubsystemError:
+                self.stats.daemon_marked_down_at = self.clock()
+        self.stats.local_fallbacks += 1
+        return self.local.embed_batch(texts)

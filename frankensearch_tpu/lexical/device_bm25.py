@@ -178,3 +178,118 @@ class DeviceBm25Index(LexicalRead):
 
     def hydrate_candidates(self, doc_ids):
         return self._source.hydrate_candidates(doc_ids)
+
+
+class BulkDeviceBm25Index(LexicalRead):
+    """Device BM25 built straight from the native ingest kernel's flat
+    arrays — no per-posting Python loop, no dict postings.
+
+    This is the high-throughput bulk-build lane (Quill's >=20k docs/s
+    ingest contract, SURVEY §6): tokenize+accumulate in C++
+    (native/fs_native.cc), then vectorized numpy for idf / fieldnorm /
+    tf-side folding, then one HBM upload.
+    """
+
+    def __init__(self, docs, *, preview_chars: int = 240) -> None:
+        import numpy as _np
+
+        from frankensearch_tpu import native
+        from frankensearch_tpu.lexical.fieldnorm import field_norms_table
+
+        # row order == doc_id order so the device top_k's first-index
+        # tiebreak reproduces the oracle's (score desc, doc_id asc) contract
+        docs = sorted(docs, key=lambda d: d.doc_id)
+        self.doc_ids = [d.doc_id for d in docs]
+        self.n_docs = len(docs)
+        self._meta = {
+            d.doc_id: {
+                "title": d.title,
+                "metadata": d.metadata,
+                "preview": d.content[:preview_chars],
+            }
+            for d in docs
+        }
+
+        norm_table = _np.asarray(field_norms_table(), dtype=_np.int64)
+        field_texts = {
+            "content": [d.content for d in docs],
+            "title": [(d.title or "") for d in docs],
+        }
+        all_term_ids: dict[str, _FieldArm] = {}
+        parts_term, parts_doc, parts_tf = [], [], []
+        vocab_offset = 0
+        for fname in _FIELDS:
+            bp = native.build_postings_native(field_texts[fname])
+            if bp is None:
+                raise RuntimeError(
+                    "native kernel unavailable or non-ASCII corpus; use "
+                    "DeviceBm25Index(MemoryLexicalIndex.bulk_build(docs)) instead"
+                )
+            counts = bp.doc_token_counts.astype(_np.int64)
+            with_tokens = counts > 0
+            n_field_docs = int(with_tokens.sum())
+            if n_field_docs == 0:
+                all_term_ids[fname] = _FieldArm({}, _np.zeros(0, _np.float32), _BOOSTS[fname], vocab_offset)
+                continue
+            avgdl = counts.sum() / n_field_docs
+            # vectorized fieldnorm id: floor bucket via searchsorted
+            fieldnorm_ids = _np.searchsorted(norm_table, counts, side="right") - 1
+            cache = tf_norm_cache(avgdl)
+            # idf per term: one posting per (term, doc) => bincount = df
+            n_terms = len(bp.terms)
+            df = _np.bincount(bp.post_term, minlength=n_terms).astype(_np.float32)
+            big_n = _np.float32(self.n_docs)
+            idf_host = _np.log1p(
+                (big_n - df + _np.float32(0.5)) / (df + _np.float32(0.5))
+            ).astype(_np.float32)
+            boost = _BOOSTS[fname]
+            tf32 = bp.post_tf.astype(_np.float32)
+            norms = cache[fieldnorm_ids[bp.post_doc]]
+            tf_side = (
+                _np.float32(boost) * (BM25_K1 + _np.float32(1.0)) * tf32 / (tf32 + norms)
+            ).astype(_np.float32)
+            parts_term.append(bp.post_term.astype(_np.int64) + vocab_offset)
+            parts_doc.append(bp.post_doc.astype(_np.int64))
+            parts_tf.append(tf_side)
+            all_term_ids[fname] = _FieldArm(
+                term_ids={t: vocab_offset + i for i, t in enumerate(bp.terms)},
+                idf_host=idf_host,
+                boost=boost,
+                base=vocab_offset,
+            )
+            vocab_offset += n_terms
+        self._arms = all_term_ids
+        self.vocab_size = vocab_offset
+        if parts_term:
+            terms_all = _np.concatenate(parts_term)
+            docs_all = _np.concatenate(parts_doc)
+            tf_all = _np.concatenate(parts_tf)
+        else:
+            terms_all = _np.zeros(0, _np.int64)
+            docs_all = _np.zeros(0, _np.int64)
+            tf_all = _np.zeros(0, _np.float32)
+        p = len(terms_all)
+        p_pad = max(_round_up(max(p, 1), 128), 128)
+        pt = _np.zeros(p_pad, dtype=_np.int32)
+        pd = _np.zeros(p_pad, dtype=_np.int32)
+        pf = _np.zeros(p_pad, dtype=_np.float32)
+        pt[:p] = terms_all
+        pd[:p] = docs_all
+        pf[:p] = tf_all
+        self._post_term = jnp.asarray(pt)
+        self._post_doc = jnp.asarray(pd)
+        self._post_tf = jnp.asarray(pf)
+        self.posting_count = p
+
+    # share query/scoring machinery with DeviceBm25Index
+    _query_idf_rows = DeviceBm25Index._query_idf_rows
+    search_candidates_batch = DeviceBm25Index.search_candidates_batch
+
+    def search_candidates(self, query: str, budget: int) -> list[LexicalCandidate]:
+        return self.search_candidates_batch([query], budget)[0]
+
+    def doc_count(self) -> int:
+        return self.n_docs
+
+    def hydrate_candidates(self, doc_ids):
+        return {d: self._meta[d] for d in doc_ids if d in self._meta}

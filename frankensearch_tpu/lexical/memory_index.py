@@ -174,6 +174,63 @@ class MemoryLexicalIndex(LexicalRead, LexicalWrite):
                 }
         return out
 
+    # -- bulk ingest (native fast path) -----------------------------------------
+
+    @classmethod
+    def bulk_build(
+        cls, docs: Sequence[IndexableDocument], preview_chars: int = 240
+    ) -> "MemoryLexicalIndex":
+        """Build a committed index from a corpus in one pass.
+
+        ASCII corpora run through the native C++ tokenizer/accumulator
+        (native/fs_native.cc, the Quill scribe role); anything else falls
+        back to the per-doc Python path. Both produce identical state —
+        asserted by the differential tests.
+        """
+        from frankensearch_tpu import native
+
+        index = cls(preview_chars=preview_chars)
+        docs = list(docs)
+        field_texts = {
+            "content": [d.content for d in docs],
+            "title": [(d.title or "") for d in docs],
+        }
+        built: dict[str, "native.BulkPostings | None"] = {}
+        for fname in _FIELDS:
+            built[fname] = native.build_postings_native(field_texts[fname])
+        if any(b is None for b in built.values()):
+            # fallback: per-doc python path
+            for d in docs:
+                index.add_document(d)
+            index.commit()
+            return index
+
+        for i, d in enumerate(docs):
+            entry = _DocEntry(
+                doc_id=d.doc_id,
+                title=d.title,
+                metadata=d.metadata,
+                content_preview=d.content[:preview_chars],
+            )
+            index._docs[d.doc_id] = entry
+        for fname in _FIELDS:
+            bp = built[fname]
+            stats = index._field_stats[fname]
+            for i, d in enumerate(docs):
+                count = int(bp.doc_token_counts[i])
+                if count > 0:
+                    stats.total_tokens += count
+                    stats.doc_count += 1
+                    index._docs[d.doc_id].fieldnorm_id[fname] = fieldnorm_to_id(count)
+                    index._docs[d.doc_id].token_counts[fname] = count
+            field_postings = index._postings[fname]
+            for p in range(len(bp.post_term)):
+                term = bp.terms[int(bp.post_term[p])]
+                doc_id = docs[int(bp.post_doc[p])].doc_id
+                field_postings[term][doc_id] = int(bp.post_tf[p])
+        index._generation = 1
+        return index
+
     # -- introspection (device scorer + gauntlet) ------------------------------
 
     @property

@@ -1,0 +1,147 @@
+"""ctypes bindings for the native C++ ingest kernel.
+
+The shared library is built from /native (``make``); :func:`ensure_built`
+compiles it on first use when a toolchain is present. Every entry point
+has a pure-Python fallback, so the package works without a compiler —
+the native path is a throughput optimization (reference parity: Quill's
+scribe ingest contract, >=20k docs/s).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from dataclasses import dataclass
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libfs_native.so")
+
+_lib: ctypes.CDLL | None = None
+_load_attempted = False
+
+
+class _BuildResult(ctypes.Structure):
+    _fields_ = [
+        ("n_terms", ctypes.c_uint64),
+        ("n_postings", ctypes.c_uint64),
+        ("term_blob", ctypes.POINTER(ctypes.c_char)),
+        ("term_blob_len", ctypes.c_uint64),
+        ("term_offsets", ctypes.POINTER(ctypes.c_uint64)),
+        ("post_term", ctypes.POINTER(ctypes.c_uint32)),
+        ("post_doc", ctypes.POINTER(ctypes.c_uint32)),
+        ("post_tf", ctypes.POINTER(ctypes.c_uint32)),
+        ("doc_token_counts", ctypes.POINTER(ctypes.c_uint32)),
+    ]
+
+
+def ensure_built() -> bool:
+    """Build the shared library if missing; True when loadable."""
+    global _lib, _load_attempted
+    if _lib is not None:
+        return True
+    if _load_attempted and not os.path.exists(_LIB_PATH):
+        return False
+    _load_attempted = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                check=True, capture_output=True, timeout=120,
+            )
+        except (subprocess.SubprocessError, FileNotFoundError):
+            return False
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return False
+    lib.fs_build_postings.restype = ctypes.c_int
+    lib.fs_build_postings.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_uint64,
+        ctypes.POINTER(_BuildResult),
+    ]
+    lib.fs_free_build.argtypes = [ctypes.POINTER(_BuildResult)]
+    lib.fs_hash64.restype = ctypes.c_uint64
+    lib.fs_hash64.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64]
+    _lib = lib
+    return True
+
+
+def is_available() -> bool:
+    return ensure_built()
+
+
+@dataclass
+class BulkPostings:
+    """Flat postings build output (term-major, doc-sorted within term)."""
+
+    terms: list[str]
+    post_term: np.ndarray  # (P,) u32
+    post_doc: np.ndarray  # (P,) u32
+    post_tf: np.ndarray  # (P,) u32
+    doc_token_counts: np.ndarray  # (n_docs,) u32
+
+
+def build_postings_native(texts: list[str]) -> BulkPostings | None:
+    """Native bulk tokenize+accumulate; None if unavailable or any text is
+    non-ASCII (those route to the Python tokenizer for exact parity)."""
+    if not ensure_built():
+        return None
+    if not all(t.isascii() for t in texts):
+        return None
+    assert _lib is not None
+    blob = b"".join(t.encode("ascii") for t in texts)
+    offsets = np.zeros(len(texts) + 1, dtype=np.uint64)
+    pos = 0
+    for i, t in enumerate(texts):
+        offsets[i] = pos
+        pos += len(t)
+    offsets[len(texts)] = pos
+
+    result = _BuildResult()
+    rc = _lib.fs_build_postings(
+        blob,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(texts),
+        ctypes.byref(result),
+    )
+    if rc != 0:
+        return None
+    try:
+        n_terms = result.n_terms
+        n_post = result.n_postings
+        term_offsets = np.ctypeslib.as_array(result.term_offsets, shape=(n_terms + 1,)).copy()
+        term_blob = ctypes.string_at(result.term_blob, result.term_blob_len)
+        terms = [
+            term_blob[int(term_offsets[i]) : int(term_offsets[i + 1])].decode("ascii")
+            for i in range(n_terms)
+        ]
+        shape = (max(int(n_post), 1),)
+        post_term = np.ctypeslib.as_array(result.post_term, shape=shape)[:n_post].copy()
+        post_doc = np.ctypeslib.as_array(result.post_doc, shape=shape)[:n_post].copy()
+        post_tf = np.ctypeslib.as_array(result.post_tf, shape=shape)[:n_post].copy()
+        doc_counts = np.ctypeslib.as_array(
+            result.doc_token_counts, shape=(max(len(texts), 1),)
+        )[: len(texts)].copy()
+    finally:
+        _lib.fs_free_build(ctypes.byref(result))
+    return BulkPostings(
+        terms=terms, post_term=post_term, post_doc=post_doc,
+        post_tf=post_tf, doc_token_counts=doc_counts,
+    )
+
+
+def hash64(data: bytes, seed: int = 0) -> int:
+    if ensure_built():
+        assert _lib is not None
+        return int(_lib.fs_hash64(data, len(data), seed))
+    # Python fallback: FNV-1a 64
+    h = 0xCBF29CE484222325 ^ seed
+    for b in data:
+        h ^= b
+        h = (h * 0x100000001B3) & ((1 << 64) - 1)
+    return h

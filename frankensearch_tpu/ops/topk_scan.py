@@ -213,6 +213,111 @@ def scan_topk_pallas(
 
 
 # --------------------------------------------------------------------------
+# Hierarchical fused path (group-max kernel + group gather + exact rescore)
+# --------------------------------------------------------------------------
+
+
+def _group_max_kernel(q_ref, slab_ref, mask_ref, out_ref, *, group: int):
+    """One grid step: score a (TILE_N, D) tile and emit per-group maxima.
+
+    VPU cost is ONE max-reduce pass over the scores (vs k passes for the
+    iterative top-k kernel), which moves the whole scan from VPU-bound to
+    HBM-bandwidth-bound.
+    """
+    tile_n = slab_ref.shape[0]
+    scores = jax.lax.dot_general(
+        q_ref[:].astype(slab_ref.dtype),
+        slab_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores + mask_ref[0].astype(jnp.float32)
+    b = scores.shape[0]
+    grouped = scores.reshape(b, tile_n // group, group)
+    out_ref[0] = jnp.transpose(jnp.max(grouped, axis=2), (1, 0))  # (G_tile, B)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "group", "interpret"))
+def scan_topk_hierarchical(
+    slab: jax.Array,
+    queries: jax.Array,
+    k: int,
+    mask: jax.Array | None = None,
+    *,
+    tile_n: int = 8192,
+    group: int = 128,
+    interpret: bool = False,
+) -> TopKResult:
+    """Exact top-k via group-max pruning.
+
+    Theorem (group-max coverage): if the doc axis is cut into groups of
+    size R and x is a global top-k element, then x's group is among the
+    top-k groups ranked by group max — otherwise >= k groups each hold an
+    element > x, contradicting x in top-k. So gathering the top-k groups
+    (k*R rows) and rescoring exactly recovers the exact global top-k.
+
+    Pipeline: fused Pallas scan -> (B, N/R) group maxes (one VPU pass) ->
+    lax.top_k over group maxes (tiny) -> gather k groups' rows -> exact
+    f32 rescore -> final top-k. HBM traffic ~= slab + B*k*R rows.
+    """
+    n, d = slab.shape
+    b = queries.shape[0]
+    if n % tile_n != 0 or tile_n % group != 0:
+        raise ValueError(f"need n % tile_n == 0 and tile_n % group == 0; got {n}, {tile_n}, {group}")
+    num_tiles = n // tile_n
+    n_groups = n // group
+    kk_groups = min(k, n_groups)
+
+    if mask is None:
+        mask = jnp.zeros((n,), dtype=jnp.float32)
+    mask2d = mask.reshape(num_tiles, 1, tile_n)
+
+    kernel = functools.partial(_group_max_kernel, group=group)
+    gmax = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i: (0, 0)),
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1, tile_n), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n // group, b), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, tile_n // group, b), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * d * n,
+            bytes_accessed=n * d * slab.dtype.itemsize + n_groups * b * 4,
+            transcendentals=0,
+        ),
+    )(queries, slab, mask2d)
+    gmax = jnp.transpose(gmax.reshape(n_groups, b), (1, 0))  # (B, N/R)
+
+    _, top_groups = jax.lax.top_k(gmax, kk_groups)  # (B, kk_groups)
+
+    # gather candidate rows: (B, kk_groups*R) global row ids
+    # gather whole GROUPS as contiguous (group*D)-wide rows: each gathered
+    # row is one 64KB-class DMA instead of `group` scattered row gathers
+    top_groups = jnp.sort(top_groups, axis=1)  # row-ascending tiebreak
+    slab_grouped = slab.reshape(n_groups, group * d)
+    cand = jnp.take(slab_grouped, top_groups.reshape(-1), axis=0)
+    cand = cand.reshape(b, kk_groups * group, d).astype(jnp.float32)  # (B, C, D)
+    row_offsets = jax.lax.broadcasted_iota(jnp.int32, (1, 1, group), 2)
+    cand_rows = (top_groups[:, :, None] * group + row_offsets).reshape(b, kk_groups * group)
+    exact = jnp.einsum(
+        "bd,bcd->bc", queries.astype(jnp.float32), cand, preferred_element_type=jnp.float32
+    )
+    exact = exact + jnp.take(mask, cand_rows)
+    kk = min(k, exact.shape[1])
+    top_scores, pos = jax.lax.top_k(exact, kk)
+    top_idx = jnp.take_along_axis(cand_rows, pos, axis=1)
+    if kk < k:
+        pad = k - kk
+        top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        top_idx = jnp.pad(top_idx, ((0, 0), (0, pad)), constant_values=-1)
+    return _finalize(top_scores, top_idx, k)
+
+
+# --------------------------------------------------------------------------
 # int8 two-pass (quantized pass-1 + exact rescore pass-2)
 # --------------------------------------------------------------------------
 

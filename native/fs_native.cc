@@ -1,0 +1,199 @@
+// Native bulk-ingest kernel for the lexical engine.
+//
+// Role parity: crates/frankensearch-quill/src/scribe.rs — the
+// allocation-reusing tokenizer + ColumnarAccumulator that gives the
+// reference its >=20k docs/s ingest contract. This C++ core tokenizes an
+// ASCII corpus blob (alphanumeric runs, lowercased, 40-char cap — the
+// same SimpleTokenizer+LowerCaser semantics as the Python tokenizer),
+// interns terms, accumulates (term, doc, tf) postings, and returns flat
+// arrays ready for the device BM25 layout. Unicode documents take the
+// Python slow path (the wrapper routes only isascii() docs here), so the
+// two tokenizers can never diverge on what they both handle.
+//
+// C ABI only (loaded via ctypes; no pybind11 in this image).
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <string_view>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr size_t kMaxTokenLen = 40;
+
+struct BuildResult {
+  uint64_t n_terms = 0;
+  uint64_t n_postings = 0;
+  char* term_blob = nullptr;
+  uint64_t term_blob_len = 0;
+  uint64_t* term_offsets = nullptr;  // n_terms + 1
+  uint32_t* post_term = nullptr;     // n_postings, sorted by (term, doc)
+  uint32_t* post_doc = nullptr;
+  uint32_t* post_tf = nullptr;
+  uint32_t* doc_token_counts = nullptr;  // n_docs
+};
+
+inline bool is_alnum_ascii(unsigned char c) {
+  return (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') ||
+         (c >= 'A' && c <= 'Z');
+}
+
+inline char lower_ascii(char c) {
+  return (c >= 'A' && c <= 'Z') ? static_cast<char>(c + 32) : c;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Tokenize + accumulate postings over a concatenated UTF-8/ASCII blob.
+// doc_offsets has n_docs + 1 entries delimiting each document's bytes.
+// Returns 0 on success. Caller must fs_free_build() the result.
+int fs_build_postings(const char* blob, const uint64_t* doc_offsets,
+                      uint64_t n_docs, BuildResult* out) {
+  if (blob == nullptr || doc_offsets == nullptr || out == nullptr) return 1;
+
+  std::unordered_map<std::string, uint32_t> intern;
+  std::vector<std::string> terms;
+  // per-term postings: (doc, tf) appended in doc order (docs processed in
+  // ascending order, and a doc contributes one posting per distinct term)
+  std::vector<std::vector<std::pair<uint32_t, uint32_t>>> postings;
+  std::vector<uint32_t> doc_tokens(n_docs, 0);
+
+  std::string token;
+  token.reserve(64);
+  // per-doc term frequency scratch, reused across docs
+  std::unordered_map<uint32_t, uint32_t> tf_scratch;
+
+  for (uint64_t d = 0; d < n_docs; ++d) {
+    const char* begin = blob + doc_offsets[d];
+    const char* end = blob + doc_offsets[d + 1];
+    tf_scratch.clear();
+    uint32_t count = 0;
+    const char* p = begin;
+    while (p < end) {
+      unsigned char c = static_cast<unsigned char>(*p);
+      if (is_alnum_ascii(c)) {
+        const char* tok_start = p;
+        while (p < end && is_alnum_ascii(static_cast<unsigned char>(*p))) ++p;
+        size_t len = static_cast<size_t>(p - tok_start);
+        if (len > kMaxTokenLen) continue;  // RemoveLongFilter(40) parity
+        token.assign(tok_start, len);
+        for (char& ch : token) ch = lower_ascii(ch);
+        ++count;
+        auto it = intern.find(token);
+        uint32_t tid;
+        if (it == intern.end()) {
+          tid = static_cast<uint32_t>(terms.size());
+          intern.emplace(token, tid);
+          terms.push_back(token);
+          postings.emplace_back();
+        } else {
+          tid = it->second;
+        }
+        ++tf_scratch[tid];
+      } else {
+        ++p;
+      }
+    }
+    doc_tokens[d] = count;
+    for (const auto& [tid, tf] : tf_scratch) {
+      postings[tid].emplace_back(static_cast<uint32_t>(d), tf);
+    }
+  }
+
+  // NOTE: postings[tid] entries are appended in doc-ascending order only
+  // if tf_scratch iteration per doc touches each tid once — true: one
+  // entry per (doc, tid). Docs processed ascending => doc-sorted lists.
+
+  uint64_t n_postings = 0;
+  uint64_t blob_len = 0;
+  for (const auto& t : terms) blob_len += t.size();
+  for (const auto& pl : postings) n_postings += pl.size();
+
+  out->n_terms = terms.size();
+  out->n_postings = n_postings;
+  out->term_blob = static_cast<char*>(std::malloc(blob_len ? blob_len : 1));
+  out->term_offsets =
+      static_cast<uint64_t*>(std::malloc((terms.size() + 1) * sizeof(uint64_t)));
+  out->post_term =
+      static_cast<uint32_t*>(std::malloc((n_postings ? n_postings : 1) * sizeof(uint32_t)));
+  out->post_doc =
+      static_cast<uint32_t*>(std::malloc((n_postings ? n_postings : 1) * sizeof(uint32_t)));
+  out->post_tf =
+      static_cast<uint32_t*>(std::malloc((n_postings ? n_postings : 1) * sizeof(uint32_t)));
+  out->doc_token_counts =
+      static_cast<uint32_t*>(std::malloc((n_docs ? n_docs : 1) * sizeof(uint32_t)));
+  if (!out->term_blob || !out->term_offsets || !out->post_term ||
+      !out->post_doc || !out->post_tf || !out->doc_token_counts) {
+    return 2;
+  }
+  out->term_blob_len = blob_len;
+
+  uint64_t off = 0;
+  for (size_t i = 0; i < terms.size(); ++i) {
+    out->term_offsets[i] = off;
+    std::memcpy(out->term_blob + off, terms[i].data(), terms[i].size());
+    off += terms[i].size();
+  }
+  out->term_offsets[terms.size()] = off;
+
+  uint64_t pos = 0;
+  for (size_t tid = 0; tid < postings.size(); ++tid) {
+    for (const auto& [doc, tf] : postings[tid]) {
+      out->post_term[pos] = static_cast<uint32_t>(tid);
+      out->post_doc[pos] = doc;
+      out->post_tf[pos] = tf;
+      ++pos;
+    }
+  }
+  std::memcpy(out->doc_token_counts, doc_tokens.data(),
+              n_docs * sizeof(uint32_t));
+  return 0;
+}
+
+void fs_free_build(BuildResult* r) {
+  if (r == nullptr) return;
+  std::free(r->term_blob);
+  std::free(r->term_offsets);
+  std::free(r->post_term);
+  std::free(r->post_doc);
+  std::free(r->post_tf);
+  std::free(r->doc_token_counts);
+  std::memset(r, 0, sizeof(BuildResult));
+}
+
+// xxh64-inspired fast hash for doc-id hashing (not the reference xxh3;
+// our FTVI format hashes with its own seed domain).
+uint64_t fs_hash64(const void* data, uint64_t len, uint64_t seed) {
+  const uint64_t kPrime1 = 11400714785074694791ULL;
+  const uint64_t kPrime2 = 14029467366897019727ULL;
+  const uint64_t kPrime3 = 1609587929392839161ULL;
+  const unsigned char* p = static_cast<const unsigned char*>(data);
+  uint64_t h = seed ^ (len * kPrime1);
+  while (len >= 8) {
+    uint64_t v;
+    std::memcpy(&v, p, 8);
+    h ^= v * kPrime2;
+    h = (h << 31) | (h >> 33);
+    h *= kPrime1;
+    p += 8;
+    len -= 8;
+  }
+  while (len > 0) {
+    h ^= static_cast<uint64_t>(*p) * kPrime3;
+    h = (h << 11) | (h >> 53);
+    h *= kPrime1;
+    ++p;
+    --len;
+  }
+  h ^= h >> 29;
+  h *= kPrime2;
+  h ^= h >> 32;
+  return h;
+}
+
+}  // extern "C"

@@ -1,0 +1,226 @@
+"""Aux subsystem tests: P2 stats, snippets, warmup, recall certificates,
+model manifests, daemon protocol + fallback."""
+
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu.core.daemon import (
+    Attestation,
+    DaemonClient,
+    DaemonServer,
+)
+from frankensearch_tpu.core.metrics import P2Quantile, StreamingStats
+from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+from frankensearch_tpu.embed.model_manifest import (
+    ModelManifest,
+    build_model_manifest,
+    promote_staged_model,
+    verify_model_dir,
+    write_model_manifest,
+)
+from frankensearch_tpu.fusion.daemon_fallback import DaemonFallbackEmbedder
+from frankensearch_tpu.index.recall_certificate import (
+    calibrate_minimal_parameter,
+    certify_recall,
+    per_query_recall,
+)
+from frankensearch_tpu.index.warmup import WarmupStrategy, warm_index
+from frankensearch_tpu.lexical.snippet import generate_snippet
+from tests.conftest import make_unit_rows
+
+
+class TestP2:
+    def test_quantile_accuracy(self, rng):
+        q = P2Quantile(0.95)
+        data = rng.standard_normal(20000)
+        for x in data:
+            q.observe(float(x))
+        true = np.quantile(data, 0.95)
+        assert q.value == pytest.approx(true, abs=0.06)
+
+    def test_streaming_stats(self, rng):
+        s = StreamingStats()
+        data = rng.exponential(10.0, 5000)
+        for x in data:
+            s.observe(float(x))
+        d = s.to_dict()
+        assert d["count"] == 5000
+        assert d["mean"] == pytest.approx(data.mean(), rel=0.01)
+        assert d["p50"] == pytest.approx(np.quantile(data, 0.5), rel=0.1)
+        assert d["p99"] == pytest.approx(np.quantile(data, 0.99), rel=0.15)
+
+    def test_small_sample(self):
+        q = P2Quantile(0.5)
+        for x in [3.0, 1.0, 2.0]:
+            q.observe(x)
+        assert 1.0 <= q.value <= 3.0
+
+
+class TestSnippet:
+    TEXT = (
+        "The quick brown fox jumps over the lazy dog. "
+        "Later, the fox returned to the henhouse where the quick hens lived. "
+        "Nothing else of note happened that day in the forest."
+    )
+
+    def test_highlights_terms(self):
+        s = generate_snippet(self.TEXT, "quick fox", max_chars=80)
+        assert s.highlights
+        for start, end in s.highlights:
+            assert s.text[start:end].lower() in ("quick", "fox")
+
+    def test_picks_dense_window(self):
+        s = generate_snippet(self.TEXT, "fox henhouse", max_chars=80)
+        assert "henhouse" in s.text
+
+    def test_no_match_falls_back_to_head(self):
+        s = generate_snippet(self.TEXT, "zebra", max_chars=40)
+        assert s.text.startswith("The quick")
+        assert s.highlights == ()
+
+    def test_html(self):
+        s = generate_snippet("alpha beta gamma", "beta")
+        assert "<b>beta</b>" in s.to_html()
+
+
+class TestWarmup:
+    def test_full_warmup(self, rng):
+        from frankensearch_tpu.index.device_index import DeviceVectorIndex
+        from frankensearch_tpu.index.fsvi import EmbeddingIdentity
+
+        idx = DeviceVectorIndex(
+            make_unit_rows(rng, 20, 32), [f"d{i}" for i in range(20)],
+            EmbeddingIdentity(embedder_id="t", dim=32), use_pallas=False,
+        )
+        report = warm_index(idx, strategy=WarmupStrategy.FULL, batch_sizes=(1, 4))
+        assert report.shapes_compiled == [(1, 10), (4, 10)]
+        assert report.upload_ms >= 0
+
+
+class TestRecallCertificate:
+    def test_perfect_recall_certifies_high(self):
+        exact = np.tile(np.arange(10), (50, 1))
+        cert = certify_recall(
+            per_query_recall(exact, exact),
+            parameter_name="multiplier", parameter_value=4, k=10,
+        )
+        assert cert.certified_recall == 1.0
+
+    def test_calibrate_minimal_parameter(self, rng):
+        # synthetic: parameter v yields recall ~ v/4 capped at 1
+        exact = np.tile(np.arange(10), (100, 1))
+
+        def run_approx(v):
+            out = exact.copy()
+            n_wrong = int(max(0.0, (1.0 - v / 4.0)) * 10)
+            if n_wrong:
+                out[:, :n_wrong] = -1
+            return out
+
+        cert = calibrate_minimal_parameter(
+            run_approx, exact, [1, 2, 3, 4], parameter_name="mult", k=10,
+            target_recall=0.9,
+        )
+        assert cert is not None and cert.parameter_value == 4
+
+
+class TestModelManifest:
+    def _make_model(self, d):
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "model.safetensors"), "wb") as f:
+            f.write(b"fake-weights")
+        with open(os.path.join(d, "tokenizer.json"), "w") as f:
+            f.write("{}")
+
+    def test_build_verify_roundtrip(self, tmp_path):
+        d = str(tmp_path / "m")
+        self._make_model(d)
+        m = build_model_manifest(d, "test-model", "rev1", 64, "model2vec")
+        write_model_manifest(d, m)
+        assert verify_model_dir(d).ok
+        loaded = ModelManifest.from_json(m.to_json())
+        assert loaded.model_id == "test-model"
+
+    def test_corruption_fails_closed(self, tmp_path):
+        d = str(tmp_path / "m")
+        self._make_model(d)
+        write_model_manifest(d, build_model_manifest(d, "m", "r", 64, "model2vec"))
+        with open(os.path.join(d, "model.safetensors"), "wb") as f:
+            f.write(b"tampered!")
+        v = verify_model_dir(d)
+        assert not v.ok and "model.safetensors" in v.corrupted
+
+    def test_promote_staged(self, tmp_path):
+        staging = str(tmp_path / "staging")
+        final = str(tmp_path / "final")
+        self._make_model(staging)
+        write_model_manifest(staging, build_model_manifest(staging, "m", "r", 64, "model2vec"))
+        promote_staged_model(staging, final)
+        assert verify_model_dir(final).ok
+        assert not os.path.exists(staging)
+
+    def test_promote_refuses_corrupt(self, tmp_path):
+        staging = str(tmp_path / "staging")
+        self._make_model(staging)
+        write_model_manifest(staging, build_model_manifest(staging, "m", "r", 64, "model2vec"))
+        with open(os.path.join(staging, "model.safetensors"), "wb") as f:
+            f.write(b"bad")
+        from frankensearch_tpu.core.errors import EmbeddingFailed
+
+        with pytest.raises(EmbeddingFailed):
+            promote_staged_model(staging, str(tmp_path / "final"))
+
+
+class TestDaemon:
+    def test_attestation_verify(self):
+        att = Attestation.compute("nonce1", "emb", "r1", 64)
+        assert att.verify("nonce1", "emb", "r1", 64)
+        assert not att.verify("nonce2", "emb", "r1", 64)
+        assert not att.verify("nonce1", "other", "r1", 64)
+
+    def test_roundtrip_over_socket(self, tmp_path):
+        sock = str(tmp_path / "d.sock")
+        emb = HashEmbedder(dim=32)
+        with DaemonServer(sock, emb) as server:
+            t = threading.Thread(target=lambda: [server.serve_one() for _ in range(2)])
+            t.start()
+            client = DaemonClient(
+                sock, expect_embedder_id=emb.embedder_id,
+                expect_revision=emb.revision, expect_dim=32,
+            )
+            vecs = client.embed(["hello world"])
+            t.join(timeout=10)
+        expected = emb.embed_batch(["hello world"])
+        np.testing.assert_allclose(np.asarray(vecs, dtype=np.float32), expected, atol=1e-6)
+
+    def test_wrong_identity_refused(self, tmp_path):
+        sock = str(tmp_path / "d.sock")
+        emb = HashEmbedder(dim=32)
+        with DaemonServer(sock, emb) as server:
+            t = threading.Thread(target=server.serve_one)
+            t.start()
+            client = DaemonClient(
+                sock, expect_embedder_id="different-model", expect_dim=32,
+                retry=__import__("frankensearch_tpu.core.daemon", fromlist=["RetryPolicy"]).RetryPolicy(max_attempts=1),
+            )
+            # identity mismatch fails closed immediately (no retry)
+            from frankensearch_tpu.core.errors import EmbeddingFailed
+
+            with pytest.raises(EmbeddingFailed):
+                client.embed(["x"])
+            t.join(timeout=10)
+
+    def test_fallback_to_local(self, tmp_path):
+        emb = HashEmbedder(dim=32)
+        client = DaemonClient(str(tmp_path / "missing.sock"), timeout_s=0.2)
+        client.retry.max_attempts = 1
+        fb = DaemonFallbackEmbedder(client, emb)
+        out = fb.embed_batch(["text"])
+        np.testing.assert_allclose(out, emb.embed_batch(["text"]))
+        assert fb.stats.local_fallbacks == 1
+        # daemon marked down: second call skips the socket entirely
+        fb.embed_batch(["more"])
+        assert fb.stats.local_fallbacks == 2

@@ -1,0 +1,99 @@
+"""Native C++ ingest kernel: availability, parity with the Python path,
+throughput sanity."""
+
+import time
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu import native
+from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+
+pytestmark = pytest.mark.skipif(
+    not native.is_available(), reason="native toolchain unavailable"
+)
+
+
+def corpus(n=50, seed=5):
+    rng = np.random.default_rng(seed)
+    words = "alpha beta gamma delta epsilon zeta eta theta IOTA Kappa42".split()
+    docs = []
+    for i in range(n):
+        body = " ".join(rng.choice(words, size=int(rng.integers(4, 40))))
+        docs.append(
+            IndexableDocument(
+                doc_id=f"d{i}", content=body,
+                title="alpha title" if i % 4 == 0 else None,
+            )
+        )
+    return docs
+
+
+class TestNativeBuild:
+    def test_postings_parity_with_python(self):
+        docs = corpus()
+        py = MemoryLexicalIndex()
+        for d in docs:
+            py.add_document(d)
+        py.commit()
+        nat = MemoryLexicalIndex.bulk_build(docs)
+
+        p_post, p_stats, p_docs = py.snapshot_postings()
+        n_post, n_stats, n_docs = nat.snapshot_postings()
+        for fname in ("content", "title"):
+            assert dict(p_post[fname]) == dict(n_post[fname]), fname
+            assert p_stats[fname].total_tokens == n_stats[fname].total_tokens
+            assert p_stats[fname].doc_count == n_stats[fname].doc_count
+        for doc_id in p_docs:
+            assert p_docs[doc_id].fieldnorm_id == n_docs[doc_id].fieldnorm_id
+
+    def test_search_parity(self):
+        docs = corpus()
+        py = MemoryLexicalIndex()
+        for d in docs:
+            py.add_document(d)
+        py.commit()
+        nat = MemoryLexicalIndex.bulk_build(docs)
+        for q in ("alpha beta", "kappa42", "iota", "zeta eta theta"):
+            a = [(c.doc_id, pytest.approx(c.score)) for c in py.search_candidates(q, 10)]
+            b = [(c.doc_id, pytest.approx(c.score)) for c in nat.search_candidates(q, 10)]
+            assert a == b, q
+
+    def test_unicode_falls_back(self):
+        docs = [IndexableDocument(doc_id="u", content="héllo wörld unicode text")]
+        idx = MemoryLexicalIndex.bulk_build(docs)  # python fallback path
+        assert idx.doc_count() == 1
+        assert idx.search_candidates("unicode", 5)
+
+    def test_long_token_dropped(self):
+        long_tok = "x" * 41
+        docs = [IndexableDocument(doc_id="a", content=f"short {long_tok} words")]
+        nat = MemoryLexicalIndex.bulk_build(docs)
+        py = MemoryLexicalIndex()
+        py.add_document(docs[0])
+        py.commit()
+        assert nat.search_candidates(long_tok[:40], 5) == py.search_candidates(long_tok[:40], 5)
+        n_post, _, _ = nat.snapshot_postings()
+        assert long_tok not in n_post["content"]
+
+    def test_hash64(self):
+        h1 = native.hash64(b"hello")
+        h2 = native.hash64(b"hello")
+        h3 = native.hash64(b"hellp")
+        assert h1 == h2 != h3
+
+    def test_throughput_sanity(self):
+        # bulk path should beat the per-doc python path on a larger corpus
+        docs = corpus(n=2000, seed=9)
+        t0 = time.monotonic()
+        MemoryLexicalIndex.bulk_build(docs)
+        native_s = time.monotonic() - t0
+        t0 = time.monotonic()
+        py = MemoryLexicalIndex()
+        for d in docs:
+            py.add_document(d)
+        py.commit()
+        python_s = time.monotonic() - t0
+        # informational bound: native shouldn't be slower than 2x python
+        assert native_s < python_s * 2.0

@@ -128,6 +128,63 @@ class TestScanPallasInterpret:
             scan_topk_pallas(jnp.asarray(slab), jnp.asarray(queries), 5, tile_n=64, interpret=True)
 
 
+class TestHierarchical:
+    def test_matches_xla_exactly(self, rng):
+        slab = make_unit_rows(rng, 1024, 64)
+        queries = make_unit_rows(rng, 6, 64)
+        from frankensearch_tpu.ops.topk_scan import scan_topk_hierarchical
+
+        res_h = scan_topk_hierarchical(
+            jnp.asarray(slab), jnp.asarray(queries), 10,
+            tile_n=256, group=32, interpret=True,
+        )
+        res_x = scan_topk_xla(jnp.asarray(slab), jnp.asarray(queries), 10, precise=True)
+        np.testing.assert_array_equal(np.asarray(res_h.indices), np.asarray(res_x.indices))
+        np.testing.assert_allclose(
+            np.asarray(res_h.scores), np.asarray(res_x.scores), atol=1e-5
+        )
+
+    def test_mask_and_clustered_topk_in_one_group(self, rng):
+        # adversarial: all top-k in a single group (group-max coverage proof)
+        slab = make_unit_rows(rng, 512, 32) * 0.1
+        q = make_unit_rows(rng, 1, 32)
+        # plant 8 near-duplicates of the query inside rows 64..71 (one group)
+        for i in range(8):
+            slab[64 + i] = q[0] * (1.0 - 0.001 * i)
+        from frankensearch_tpu.ops.topk_scan import scan_topk_hierarchical
+
+        res = scan_topk_hierarchical(
+            jnp.asarray(slab), jnp.asarray(q), 8, tile_n=128, group=32, interpret=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.indices)[0], np.arange(64, 72)
+        )
+
+    def test_masked_rows_never_win(self, rng):
+        slab = make_unit_rows(rng, 256, 32)
+        q = jnp.asarray(slab[:2])
+        valid = np.arange(256) < 100
+        from frankensearch_tpu.ops.topk_scan import scan_topk_hierarchical
+
+        res = scan_topk_hierarchical(
+            jnp.asarray(slab), q, 20, additive_mask(jnp.asarray(valid)),
+            tile_n=128, group=32, interpret=True,
+        )
+        idx = np.asarray(res.indices)
+        assert idx[idx >= 0].max() < 100
+
+    def test_tiebreak_prefers_lower_row(self):
+        row = np.zeros((1, 32), dtype=np.float32)
+        row[0, 0] = 1.0
+        slab = np.tile(row, (128, 1))
+        from frankensearch_tpu.ops.topk_scan import scan_topk_hierarchical
+
+        res = scan_topk_hierarchical(
+            jnp.asarray(slab), jnp.asarray(row), 5, tile_n=128, group=32, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(res.indices)[0], [0, 1, 2, 3, 4])
+
+
 class TestInt8TwoPass:
     def test_recall_at_equal_k(self, rng):
         slab = make_unit_rows(rng, 1000, 64)
