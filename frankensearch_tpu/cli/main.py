@@ -282,6 +282,78 @@ def cmd_compact(args) -> dict:
     )
 
 
+def cmd_watch(args) -> dict:
+    """Watch a corpus dir; ingest changed files incrementally
+    (fsfs watch: debounce -> classify -> batch -> append, watcher.rs)."""
+    from frankensearch_tpu.builder import open_hybrid
+    from frankensearch_tpu.lexical.persist import save_lexical
+    from frankensearch_tpu.runtime.watcher import SnapshotWatcher
+
+    handle = open_hybrid(args.root)
+    snapshot = os.path.join(args.root, "watch_snapshot.json")
+    watcher = SnapshotWatcher([args.corpus], snapshot, debounce_s=args.debounce)
+    cycles = 0
+    batches: list[dict] = []
+    while True:
+        batch = watcher.poll()
+        if batch:
+            created_or_modified = [c for c in batch if c.kind != "deleted"]
+            deleted = [c for c in batch if c.kind == "deleted"]
+            docs = []
+            for c in created_or_modified:
+                try:
+                    with open(c.path, encoding="utf-8", errors="ignore") as f:
+                        content = f.read()
+                except OSError:
+                    continue
+                rel = os.path.relpath(c.path, args.corpus)
+                docs.append(IndexableDocument(doc_id=rel, content=content))
+            if docs:
+                vecs = handle.searcher.fast_embedder.embed_batch([d.content for d in docs])
+                handle.index.append_fast([d.doc_id for d in docs], vecs)
+                if handle.lexical is not None:
+                    for d in docs:
+                        handle.lexical.add_document(d)
+                    handle.lexical.commit()
+                    save_lexical(handle.lexical, args.root)
+            if deleted:
+                handle.index.delete(
+                    [os.path.relpath(c.path, args.corpus) for c in deleted]
+                )
+            batches.append({"ingested": len(docs), "deleted": len(deleted)})
+        cycles += 1
+        if args.once and cycles >= args.cycles:
+            break
+        if not args.once:
+            time.sleep(args.interval)
+    return envelope({"cycles": cycles, "batches": batches,
+                     "doc_count": handle.index.doc_count()})
+
+
+def cmd_daemon(args) -> dict:
+    """Warm-embedding daemon over a unix socket (core/daemon.rs protocol:
+    challenge/attestation + NDJSON embed requests)."""
+    from frankensearch_tpu.builder import open_hybrid
+    from frankensearch_tpu.core.daemon import DaemonServer
+
+    handle = open_hybrid(args.root)
+    embedder = handle.searcher.fast_embedder
+    served = 0
+    idle_s = 0.0
+    with DaemonServer(args.socket, embedder) as server:
+        if not args.quiet:
+            print(f"# daemon serving {embedder.embedder_id} on {args.socket}", file=sys.stderr)
+        while args.max_requests <= 0 or served < args.max_requests:
+            if server.serve_one(timeout_s=args.accept_timeout):
+                served = server.requests_served
+                idle_s = 0.0
+            else:
+                idle_s += args.accept_timeout
+                if args.idle_timeout > 0 and idle_s >= args.idle_timeout:
+                    break
+    return envelope({"requests_served": served, "socket": args.socket})
+
+
 def cmd_history(args) -> dict:
     from frankensearch_tpu.storage.store import Storage
 
@@ -391,6 +463,21 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("doc_ids", nargs="+")
 
     add("compact", cmd_compact, help="fold WAL + tombstones into the base")
+
+    sp = add("watch", cmd_watch, help="watch a corpus dir; ingest changes")
+    sp.add_argument("corpus")
+    sp.add_argument("--debounce", type=float, default=0.5)
+    sp.add_argument("--interval", type=float, default=1.0)
+    sp.add_argument("--once", action="store_true", help="run N poll cycles then exit")
+    sp.add_argument("--cycles", type=int, default=2)
+
+    sp = add("daemon", cmd_daemon, help="warm-embedding daemon on a unix socket")
+    sp.add_argument("--socket", default="/tmp/frankensearch-tpu.sock")
+    sp.add_argument("--max-requests", type=int, default=0, help="0 = serve forever")
+    sp.add_argument("--accept-timeout", type=float, default=5.0)
+    sp.add_argument("--idle-timeout", type=float, default=0.0,
+                    help="exit after this many idle seconds (0 = never)")
+    sp.add_argument("--quiet", action="store_true")
 
     sp = add("history", cmd_history, help="recent searches")
     sp.add_argument("--limit", type=int, default=20)

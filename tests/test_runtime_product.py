@@ -1,0 +1,124 @@
+"""Product-runtime tests: layered config, redaction, agent ergonomics,
+repro packs."""
+
+import json
+import os
+
+import pytest
+
+from frankensearch_tpu.core.types import ScoredResult
+from frankensearch_tpu.runtime.agent_ergonomics import (
+    QUERY_TEMPLATES,
+    ResultRegistry,
+    compact_results,
+    render_template,
+)
+from frankensearch_tpu.runtime.config import load_layered_config
+from frankensearch_tpu.runtime.redaction import (
+    STRICT_POLICY,
+    FieldAction,
+    RedactionPolicy,
+)
+from frankensearch_tpu.runtime.repro import ReproPack
+
+
+class TestLayeredConfig:
+    def test_precedence(self, tmp_path, monkeypatch):
+        user_dir = tmp_path / "usercfg"
+        (user_dir / "frankensearch-tpu").mkdir(parents=True)
+        (user_dir / "frankensearch-tpu" / "config.json").write_text(
+            json.dumps({"rrf_k": 30, "quality_weight": 0.5})
+        )
+        project = tmp_path / "proj"
+        project.mkdir()
+        (project / ".frankensearch.json").write_text(json.dumps({"rrf_k": 40}))
+        monkeypatch.setenv("FRANKENSEARCH_RRF_K", "20")
+        monkeypatch.setenv("FRANKENSEARCH_CANDIDATE_MULTIPLIER", "5")
+        lc = load_layered_config(
+            cli_overrides={"rrf_k": 50},
+            project_dir=str(project),
+            user_config_dir=str(user_dir),
+        )
+        assert lc.config.rrf_k == 50  # CLI wins
+        assert lc.sources["rrf_k"] == "cli"
+        assert lc.config.quality_weight == 0.5  # user file beats default
+        assert lc.sources["quality_weight"] == "user_file"
+        assert lc.config.candidate_multiplier == 5  # env beats default
+        assert lc.sources["candidate_multiplier"] == "env"
+
+    def test_project_beats_user_and_env(self, tmp_path, monkeypatch):
+        project = tmp_path / "proj"
+        project.mkdir()
+        (project / ".frankensearch.json").write_text(json.dumps({"rrf_k": 40}))
+        monkeypatch.setenv("FRANKENSEARCH_RRF_K", "20")
+        lc = load_layered_config(project_dir=str(project), user_config_dir=str(tmp_path / "none"))
+        assert lc.config.rrf_k == 40
+        assert lc.sources["rrf_k"] == "project_file"
+
+    def test_unknown_key_warns(self, tmp_path):
+        project = tmp_path / "proj"
+        project.mkdir()
+        (project / ".frankensearch.json").write_text(json.dumps({"mystery_knob": 1}))
+        lc = load_layered_config(project_dir=str(project), user_config_dir=str(tmp_path / "n"))
+        assert any(w.key == "mystery_knob" for w in lc.warnings)
+        assert lc.product["mystery_knob"] == 1
+
+    def test_bad_file_degrades(self, tmp_path):
+        project = tmp_path / "proj"
+        project.mkdir()
+        (project / ".frankensearch.json").write_text("{not json")
+        lc = load_layered_config(project_dir=str(project), user_config_dir=str(tmp_path / "n"))
+        assert lc.config.rrf_k == 60  # defaults intact
+        assert lc.warnings
+
+
+class TestRedaction:
+    def test_sensitive_fields_hashed_deterministically(self):
+        p = RedactionPolicy()
+        a = p.redact({"query": "secret terms", "latency_ms": 12})
+        b = p.redact({"query": "secret terms", "latency_ms": 12})
+        assert a == b
+        assert a["query"].startswith("redacted:")
+        assert a["latency_ms"] == 12
+
+    def test_nested_and_drop(self):
+        p = RedactionPolicy(rules={"internal": FieldAction.DROP})
+        out = p.redact({"internal": "x", "nested": {"path": "/home/user/doc"}})
+        assert "internal" not in out
+        assert out["nested"]["path"].startswith("redacted:")
+
+    def test_strict_policy_defaults_to_hash(self):
+        out = STRICT_POLICY.redact({"anything": "value", "kind": "search"})
+        assert out["anything"].startswith("redacted:")
+        assert out["kind"] == "search"
+
+
+class TestAgentErgonomics:
+    def test_registry_and_compact(self):
+        results = [
+            ScoredResult(doc_id="path/to/very/long/doc.md", score=0.5, title="Doc"),
+            ScoredResult(doc_id="other.md", score=0.4),
+        ]
+        reg = ResultRegistry()
+        rows = compact_results(results, registry=reg)
+        assert rows[0]["h"] == "r1" and rows[0]["id"].endswith("doc.md")
+        assert reg.resolve("r2") == "other.md"
+        assert reg.resolve("unknown") == "unknown"
+
+    def test_templates(self):
+        q = render_template("find_definition", symbol="TwoTierSearcher")
+        assert "TwoTierSearcher" in q
+        assert set(QUERY_TEMPLATES)  # non-empty
+
+
+class TestReproPack:
+    def test_write_load_roundtrip(self, tmp_path):
+        pack = ReproPack(root=str(tmp_path / "pack"), config={"rrf_k": 60})
+        pack.record_event("search", {"query_hash": "abc", "k": 10})
+        pack.attach_manifest("generation", json.dumps({"generation_id": "g1"}))
+        root = pack.write()
+        assert os.path.exists(os.path.join(root, "INDEX.json"))
+        loaded = ReproPack.load(root)
+        assert loaded.events[0]["kind"] == "search"
+        assert loaded.config["rrf_k"] == 60
+        assert json.loads(loaded.manifests["generation"])["generation_id"] == "g1"
