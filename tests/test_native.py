@@ -83,17 +83,20 @@ class TestNativeBuild:
         h3 = native.hash64(b"hellp")
         assert h1 == h2 != h3
 
-    def test_throughput_sanity(self):
-        # bulk path should beat the per-doc python path on a larger corpus
-        docs = corpus(n=2000, seed=9)
-        t0 = time.monotonic()
-        MemoryLexicalIndex.bulk_build(docs)
-        native_s = time.monotonic() - t0
-        t0 = time.monotonic()
+    def test_bulk_device_lane_parity(self):
+        # the flat-array fast path (no dict materialization) must match
+        # the oracle rank-for-rank; timing is covered by bench, not CI
+        from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
+
+        docs = corpus(n=200, seed=9)
         py = MemoryLexicalIndex()
         for d in docs:
             py.add_document(d)
         py.commit()
-        python_s = time.monotonic() - t0
-        # informational bound: native shouldn't be slower than 2x python
-        assert native_s < python_s * 2.0
+        bulk = BulkDeviceBm25Index(docs)
+        for q in ("alpha beta", "kappa42 iota", "zeta"):
+            a = [(c.doc_id, pytest.approx(c.score, rel=1e-4)) for c in py.search_candidates(q, 10)]
+            b = [(c.doc_id, pytest.approx(c.score, rel=1e-4)) for c in bulk.search_candidates(q, 10)]
+            assert a == b, q
+        hyd = bulk.hydrate_candidates([docs[0].doc_id])
+        assert docs[0].doc_id in hyd
