@@ -1,0 +1,142 @@
+"""Core schema modules: recovery plan, decision plane, host adapter,
+e2e artifacts."""
+
+import pytest
+
+from frankensearch_tpu.core.decision_plane import (
+    Decision,
+    LossVector,
+    PipelineAction,
+    ReasonCode,
+    ResourceBudget,
+)
+from frankensearch_tpu.core.e2e_artifact import (
+    E2eArtifactWriter,
+    E2eManifest,
+    OracleReport,
+    SnapshotDiff,
+    validate_artifact,
+)
+from frankensearch_tpu.core.host_adapter import HostAdapter, run_adapter_conformance
+from frankensearch_tpu.core.recovery_plan import (
+    IndexState,
+    ModelAcquisitionAuthorization,
+    ModelState,
+    NextAction,
+    SearchMode,
+    plan_recovery,
+)
+
+
+class TestRecoveryPlan:
+    def test_healthy_full_serves(self):
+        p = plan_recovery(
+            SearchMode.FULL,
+            fast_model=ModelState.PRESENT_VERIFIED,
+            quality_model=ModelState.PRESENT_VERIFIED,
+            index=IndexState.READY_SEMANTIC,
+        )
+        assert p.action is NextAction.SERVE and p.effective_mode is SearchMode.FULL
+
+    def test_missing_quality_degrades_to_fast(self):
+        p = plan_recovery(
+            SearchMode.FULL,
+            fast_model=ModelState.PRESENT_VERIFIED,
+            quality_model=ModelState.MISSING,
+            index=IndexState.READY_SEMANTIC,
+        )
+        assert p.action is NextAction.SERVE_DEGRADED
+        assert p.effective_mode is SearchMode.FAST_ONLY
+
+    def test_hash_generation_degrades_to_lexical(self):
+        p = plan_recovery(
+            SearchMode.FULL,
+            fast_model=ModelState.PRESENT_VERIFIED,
+            quality_model=ModelState.PRESENT_VERIFIED,
+            index=IndexState.READY_NON_SEMANTIC,
+        )
+        assert p.effective_mode is SearchMode.LEXICAL_ONLY
+        assert "non-semantic" in p.reasons[0]
+
+    def test_missing_model_requires_authorization(self):
+        p = plan_recovery(
+            SearchMode.FAST_ONLY,
+            fast_model=ModelState.MISSING,
+            quality_model=ModelState.MISSING,
+            index=IndexState.READY_SEMANTIC,
+        )
+        assert p.action is NextAction.REFUSE and p.requires_authorization
+        p2 = plan_recovery(
+            SearchMode.FAST_ONLY,
+            fast_model=ModelState.MISSING,
+            quality_model=ModelState.MISSING,
+            index=IndexState.READY_SEMANTIC,
+            authorization=ModelAcquisitionAuthorization("m", "r", "operator"),
+        )
+        assert p2.action is NextAction.ACQUIRE_MODEL
+
+    def test_corrupt_index_repairs(self):
+        p = plan_recovery(
+            SearchMode.LEXICAL_ONLY,
+            fast_model=ModelState.PRESENT_VERIFIED,
+            quality_model=ModelState.MISSING,
+            index=IndexState.CORRUPT,
+        )
+        assert p.action is NextAction.REPAIR_INDEX and not p.can_serve
+
+
+class TestDecisionPlane:
+    def test_budget_exhaustion(self):
+        b = ResourceBudget(wall_ms=10.0)
+        assert b.charge(LossVector(latency_ms=6.0))
+        assert not b.charge(LossVector(latency_ms=6.0))
+        assert b.exhausted
+
+    def test_loss_domination(self):
+        slow = LossVector(latency_ms=10, quality_delta=0.1)
+        fast_better = LossVector(latency_ms=5, quality_delta=0.2)
+        assert slow.dominated_by(fast_better)
+        assert not fast_better.dominated_by(slow)
+
+    def test_decision_serializes(self):
+        d = Decision(PipelineAction.SKIP_QUALITY, ReasonCode.CIRCUIT_OPEN, {"trips": 2})
+        assert d.to_dict()["reason"] == "circuit_open"
+
+
+class TestHostAdapter:
+    def test_conformance_passes_default_policy(self):
+        adapter = HostAdapter(name="test", sink=lambda d: None)
+        result = run_adapter_conformance(adapter)
+        assert result.passed, result.failures
+
+    def test_detached_drops(self):
+        import time
+
+        from frankensearch_tpu.core.collectors import TelemetryEnvelope, TelemetryEvent
+
+        got = []
+        adapter = HostAdapter(name="t", sink=got.append)
+        env = TelemetryEnvelope(
+            v=1, source="s", emitted_at=time.time(),
+            events=(TelemetryEvent("k", {}, time.time(), "c"),),
+        )
+        adapter.deliver(env)
+        assert not got and adapter.dropped_while_detached == 1
+
+
+class TestE2eArtifacts:
+    def test_writer_roundtrip_and_validation(self, tmp_path):
+        w = E2eArtifactWriter(str(tmp_path / "artifacts.jsonl"))
+        w.write(E2eManifest(run_id="r1", lane="cli"))
+        w.write(OracleReport(run_id="r1", oracle="memory-bm25", cases=10, agreements=10))
+        w.write(SnapshotDiff(run_id="r1", subject="index-dir"))
+        rows = w.read_all()
+        assert [r["kind"] for r in rows] == ["manifest", "oracle_report", "snapshot_diff"]
+        for r in rows:
+            assert validate_artifact(r) == []
+        assert rows[1]["agreement_rate"] == 1.0
+        assert rows[2]["clean"] is True
+
+    def test_validation_catches_bad(self):
+        assert validate_artifact({"v": 99}) != []
+        assert "missing run_id" in validate_artifact({"v": 1, "kind": "manifest"})
