@@ -372,6 +372,57 @@ def cmd_config(args) -> dict:
     return envelope(TwoTierConfig.from_env().to_dict())
 
 
+def cmd_tui(args) -> dict | None:
+    """Text TUI over stdin: lines are queries; ':status'/':metrics'
+    switch screens, ':q' quits. Frames stream to stdout (tui/shell.py,
+    deterministic + replayable)."""
+    from frankensearch_tpu.builder import open_hybrid
+    from frankensearch_tpu.core.metrics import StreamingStats
+    from frankensearch_tpu.tui.screens import MetricsScreen, SearchScreen, StatusScreen
+    from frankensearch_tpu.tui.shell import AppShell, InputEvent
+
+    handle = _open(args)
+    latency = StreamingStats()
+
+    def search_fn(q, k):
+        out = handle.searcher.search(q, k=k)
+        latency.observe(out.metrics.total_ms)
+        return out
+
+    def status_fn():
+        return {
+            "root": args.root,
+            "docs": handle.index.doc_count(),
+            "quality_tier": handle.index.has_quality_tier,
+            "lexical": handle.lexical is not None,
+        }
+
+    shell = AppShell(width=args.width)
+    shell.register(SearchScreen(search_fn=search_fn))
+    shell.register(StatusScreen(status_fn=status_fn))
+    shell.register(MetricsScreen(stats_fn=lambda: {"search_ms": latency.to_dict()}))
+    out = sys.stdout
+    print(shell.render(), file=out, flush=True)
+    for line in sys.stdin:
+        line = line.rstrip("\n")
+        if line == ":q":
+            break
+        if line.startswith(":"):
+            name = line[1:] or "search"
+            try:
+                frame = shell.feed(InputEvent("key", f"screen:{name}"))
+            except KeyError:
+                frame = f"unknown screen {name!r}"
+        else:
+            shell.feed(InputEvent("text", line))
+            frame = shell.feed(InputEvent("key", "enter"))
+        print(frame, file=out, flush=True)
+    if args.evidence:
+        with open(args.evidence, "w", encoding="utf-8") as f:
+            f.write(shell.evidence.to_jsonl())
+    return None
+
+
 def cmd_version(args) -> dict:
     import jax
 
@@ -484,6 +535,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     add("config", cmd_config, help="effective configuration")
     add("version", cmd_version, help="version + devices")
+
+    sp = add("tui", cmd_tui, help="interactive text UI on stdin/stdout")
+    sp.add_argument("--width", type=int, default=80)
+    sp.add_argument("--fast-only", action="store_true")
+    sp.add_argument("--explain", action="store_true")
+    sp.add_argument("--evidence", default="", help="write JSONL evidence here")
 
     sp = add("serve", cmd_serve, help="NDJSON query server on stdin/stdout")
     sp.add_argument("--fast-only", action="store_true")

@@ -1,0 +1,90 @@
+"""Built-in screens: search, status, metrics dashboard.
+
+Parity target: the fsfs TUI dashboards (runtime.rs TUI paths) and the
+explainability screen (fsfs/explainability_screen.rs) at text-frame
+fidelity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from frankensearch_tpu.core.types import ScoredResult, SearchPhase
+from frankensearch_tpu.tui.shell import AppShell, InputEvent, Screen
+
+
+def _bar(value: float, max_value: float, width: int) -> str:
+    if max_value <= 0:
+        return ""
+    n = int(round(min(value / max_value, 1.0) * width))
+    return "█" * n + "░" * (width - n)
+
+
+@dataclass
+class SearchScreen(Screen):
+    """Interactive query + progressive results (types text, sees phases)."""
+
+    search_fn: Callable[[str, int], object]  # -> SearchOutcome
+    name: str = "search"
+    query: str = ""
+    results: list[ScoredResult] = field(default_factory=list)
+    phases: list[str] = field(default_factory=list)
+    status: str = "type a query, press enter"
+    k: int = 8
+
+    def handle(self, event: InputEvent, shell: AppShell) -> None:
+        if event.kind == "text":
+            self.query = event.value
+        elif event.kind == "key" and event.value == "enter":
+            if not self.query.strip():
+                self.status = "empty query"
+                return
+            self.phases = []
+            outcome = self.search_fn(self.query, self.k)
+            self.results = list(outcome.results)
+            self.phases = [p.kind.value for p in outcome.phases]
+            self.status = f"{len(self.results)} results ({' -> '.join(self.phases)})"
+        elif event.kind == "key" and event.value == "clear":
+            self.query, self.results, self.status = "", [], "cleared"
+
+    def render(self, width: int) -> str:
+        lines = [f"query> {self.query}", self.status, "─" * width]
+        max_score = max((r.score for r in self.results), default=0.0)
+        for i, r in enumerate(self.results, 1):
+            bar = _bar(r.score, max_score, 12)
+            title = (r.title or r.doc_id)[: width - 30]
+            lines.append(f"{i:>2}. {bar} {r.score:>8.4f}  {title}")
+        return "\n".join(lines)
+
+
+@dataclass
+class StatusScreen(Screen):
+    """Index/arm status (fsfs status dashboard)."""
+
+    status_fn: Callable[[], dict]
+    name: str = "status"
+
+    def render(self, width: int) -> str:
+        lines = []
+        for key, value in sorted(self.status_fn().items()):
+            lines.append(f"{key:<28} {value}")
+        return "\n".join(lines) or "(no status)"
+
+
+@dataclass
+class MetricsScreen(Screen):
+    """Latency dashboard over StreamingStats."""
+
+    stats_fn: Callable[[], dict]  # name -> StreamingStats.to_dict()
+    name: str = "metrics"
+
+    def render(self, width: int) -> str:
+        lines = [f"{'metric':<20}{'count':>8}{'mean':>10}{'p50':>10}{'p95':>10}{'p99':>10}"]
+        for name, s in sorted(self.stats_fn().items()):
+            lines.append(
+                f"{name:<20}{s.get('count', 0):>8}"
+                f"{s.get('mean', 0.0):>10.2f}{s.get('p50', 0.0):>10.2f}"
+                f"{s.get('p95', 0.0):>10.2f}{s.get('p99', 0.0):>10.2f}"
+            )
+        return "\n".join(lines)

@@ -1,0 +1,116 @@
+"""TUI deterministic replay + fleet console tests.
+
+Parity model: reference deluxe_tui_e2e.rs (deterministic replay frames),
+ops data_pipeline_integration.rs + soak_tests.rs (simulator -> store).
+"""
+
+import pytest
+
+from frankensearch_tpu.core.types import PhaseKind, ScoredResult, SearchPhase
+from frankensearch_tpu.fleet.datasource import FleetSimulator, MockDataSource, NodeInfo
+from frankensearch_tpu.fleet.storage import FleetStore
+from frankensearch_tpu.tui.determinism import DeterministicRng, TickClock
+from frankensearch_tpu.tui.screens import MetricsScreen, SearchScreen, StatusScreen
+from frankensearch_tpu.tui.shell import AppShell, InputEvent, replay
+
+
+class FakeOutcome:
+    def __init__(self, results):
+        self.results = results
+        self.phases = [SearchPhase(PhaseKind.INITIAL, results, 1.0)]
+
+
+def make_shell():
+    shell = AppShell(seed=7, width=60)
+    shell.register(
+        SearchScreen(
+            search_fn=lambda q, k: FakeOutcome(
+                [ScoredResult(doc_id=f"{q}-{i}", score=1.0 / (i + 1)) for i in range(3)]
+            )
+        )
+    )
+    shell.register(StatusScreen(status_fn=lambda: {"docs": 42, "tier": "fast"}))
+    shell.register(MetricsScreen(stats_fn=lambda: {"search": {"count": 5, "mean": 2.0, "p50": 1.5, "p95": 4.0, "p99": 9.0}}))
+    return shell
+
+
+SESSION = [
+    InputEvent("text", "vector"),
+    InputEvent("key", "enter"),
+    InputEvent("tick"),
+    InputEvent("key", "screen:status"),
+    InputEvent("tick"),
+    InputEvent("key", "screen:metrics"),
+    InputEvent("key", "screen:search"),
+    InputEvent("key", "clear"),
+]
+
+
+class TestTui:
+    def test_search_screen_shows_results(self):
+        shell = make_shell()
+        shell.feed(InputEvent("text", "vector"))
+        frame = shell.feed(InputEvent("key", "enter"))
+        assert "vector-0" in frame
+        assert "3 results" in frame
+
+    def test_deterministic_replay_frame_identical(self):
+        a = replay(make_shell, SESSION)
+        b = replay(make_shell, SESSION)
+        assert a.frames == b.frames
+        assert a.evidence.to_jsonl() == b.evidence.to_jsonl()
+
+    def test_screen_switching_and_clock(self):
+        shell = make_shell()
+        for e in SESSION:
+            shell.feed(e)
+        assert shell.active == "search"
+        assert shell.clock.ticks == 2
+        assert any("docs" in f for f in shell.frames)
+
+    def test_tick_clock(self):
+        c = TickClock(tick_ms=50)
+        c.tick(3)
+        assert c.now_ms() == 150 and c.ticks == 3
+
+    def test_rng_fork_stability(self):
+        a = DeterministicRng(1).fork("x").random()
+        b = DeterministicRng(1).fork("x").random()
+        c = DeterministicRng(1).fork("y").random()
+        assert a == b != c
+
+
+class TestFleet:
+    def test_simulator_deterministic(self):
+        s1 = FleetSimulator(n_nodes=3, seed=5)
+        s2 = FleetSimulator(n_nodes=3, seed=5)
+        b1 = [s1.step() for _ in range(10)]
+        b2 = [s2.step() for _ in range(10)]
+        assert b1 == b2
+
+    def test_incident_drops_node(self):
+        sim = FleetSimulator(n_nodes=2, seed=1, incidents={"node-1": (2, 5)})
+        for _ in range(2):
+            sim.step()
+        nodes = {n.node_id: n.healthy for n in sim.nodes()}
+        assert nodes["node-1"] is False and nodes["node-0"] is True
+        batch = sim.step()
+        assert all(s.node_id != "node-1" for s in batch)
+        for _ in range(3):
+            sim.step()
+        assert {n.node_id: n.healthy for n in sim.nodes()}["node-1"] is True
+
+    def test_store_rollups(self):
+        sim = FleetSimulator(n_nodes=2, seed=3)
+        store = FleetStore()
+        for _ in range(20):
+            store.ingest(sim.step())
+        rollups = store.rollups()
+        assert len(rollups) == 2
+        assert all(r.samples == 20 for r in rollups)
+        assert store.fleet_qps() > 0
+
+    def test_mock_datasource(self):
+        m = MockDataSource()
+        m.add_node(NodeInfo("n1", "h", "g", True, 0.0))
+        assert m.nodes()[0].node_id == "n1"
