@@ -60,46 +60,70 @@ def main() -> None:
     mask_dev = jnp.asarray(mask)
     q_dev = jnp.asarray(queries)
 
-    @functools.partial(jax.jit, static_argnames=("reps",))
-    def scan_chain(slab, mask, q, reps: int):
+    from frankensearch_tpu.ops.topk_scan import scan_topk_hierarchical
+
+    tile_hier = 8192
+    n_pad_h = (n_docs + tile_hier - 1) // tile_hier * tile_hier
+    if n_pad_h != n_pad:
+        extra = np.zeros((n_pad_h - n_pad, dim), dtype=np.float32)
+        slab = np.concatenate([slab, extra], axis=0)
+        mask = np.concatenate([mask, np.full(n_pad_h - n_pad, -np.inf, np.float32)])
+        n_pad = n_pad_h
+        slab_dev = jnp.asarray(slab, dtype=jnp.bfloat16)
+        mask_dev = jnp.asarray(mask)
+
+    @functools.partial(jax.jit, static_argnames=("reps", "kernel"))
+    def scan_chain(slab, mask, q, reps: int, kernel: str):
         """reps chained scans; the tiny carry perturbation (1e-6 * mean of
         the previous top scores) forces sequential execution without
         changing the workload."""
 
-        def body(i, carry):
-            qq, acc = carry
+        def one_scan(qq):
+            if kernel == "hierarchical":
+                r = scan_topk_hierarchical(
+                    slab, qq, k, mask, tile_n=tile_hier, group=128
+                )
+                return r.scores, r.indices
             scores = jax.lax.dot_general(
                 qq.astype(slab.dtype), slab,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             scores = scores + mask[None, :]
-            top_s, top_i = jax.lax.top_k(scores, k)
+            return jax.lax.top_k(scores, k)
+
+        def body(i, carry):
+            qq, acc = carry
+            top_s, top_i = one_scan(qq)
             delta = 1e-6 * jnp.mean(top_s)
             return (q + delta, acc + jnp.sum(top_s) + jnp.sum(top_i).astype(jnp.float32))
 
         (_, acc) = jax.lax.fori_loop(0, reps, body, (q, jnp.float32(0.0)))
         return acc
 
-    def timed(reps: int) -> float:
+    def timed(reps: int, kernel: str) -> float:
         t0 = time.perf_counter()
-        acc = scan_chain(slab_dev, mask_dev, q_dev, reps=reps)
+        acc = scan_chain(slab_dev, mask_dev, q_dev, reps=reps, kernel=kernel)
         float(acc)  # host transfer forces completion through the tunnel
         return time.perf_counter() - t0
 
+    kernel = "hierarchical" if on_tpu else "xla"
     r_lo, r_hi = (8, 40) if on_tpu else (2, 6)
-    timed(r_lo)  # warm both compilations
-    timed(r_hi)
+    timed(r_lo, kernel)  # warm both compilations
+    timed(r_hi, kernel)
     samples = []
     for _ in range(3):
-        t_lo = timed(r_lo)
-        t_hi = timed(r_hi)
+        t_lo = timed(r_lo, kernel)
+        t_hi = timed(r_hi, kernel)
         samples.append((t_hi - t_lo) / (r_hi - r_lo))
     per_scan = float(np.median(samples))
     qps = batch / per_scan
 
-    # recall@10 parity of the bf16 kernel vs exact f32 ground truth
-    res = scan_topk_xla(slab_dev, q_dev, k, mask_dev)
+    # recall@10 parity of the measured kernel vs exact f32 ground truth
+    if kernel == "hierarchical":
+        res = scan_topk_hierarchical(slab_dev, q_dev, k, mask_dev, tile_n=tile_hier, group=128)
+    else:
+        res = scan_topk_xla(slab_dev, q_dev, k, mask_dev)
     truth = scan_topk_xla(
         jnp.asarray(slab, dtype=jnp.float32), q_dev, k, mask_dev, precise=True
     )
@@ -116,6 +140,7 @@ def main() -> None:
                 "unit": "qps/chip",
                 "vs_baseline": round(qps / baseline_qps, 2),
                 "recall_at_10": round(recall, 4),
+                "kernel": kernel,
                 "per_scan_ms": round(per_scan * 1e3, 4),
                 "docs_per_s": round(n_docs * qps, 0),
                 "platform": platform,

@@ -120,9 +120,25 @@ def cmd_search(args) -> dict:
     handle = _open(args)
     phases_seen: list[str] = []
     t0 = time.monotonic()
-    out = handle.searcher.search(
-        args.query, k=args.k, on_phase=lambda p: phases_seen.append(p.kind.value)
-    )
+    if getattr(args, "expand", False):
+        from frankensearch_tpu.runtime.query_expansion import QueryExpander
+
+        expander = QueryExpander()
+        results = expander.search_expanded(
+            lambda q, k: handle.searcher.search(q, k=k).results, args.query, k=args.k
+        )
+
+        class _Out:
+            pass
+
+        out = _Out()
+        out.results = results
+        out.metrics = handle.searcher.search(args.query, k=1).metrics  # classify/device info
+        phases_seen.append("expanded")
+    else:
+        out = handle.searcher.search(
+            args.query, k=args.k, on_phase=lambda p: phases_seen.append(p.kind.value)
+        )
     latency = (time.monotonic() - t0) * 1000.0
     if handle.storage is not None:
         handle.storage.record_search(
@@ -497,6 +513,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-k", type=int, default=10)
     sp.add_argument("--fast-only", action="store_true")
     sp.add_argument("--explain", action="store_true")
+    sp.add_argument("--expand", action="store_true",
+                    help="multi-query expansion fused with RRF")
 
     add("status", cmd_status, help="index + storage status")
 

@@ -265,7 +265,12 @@ class DeviceVectorIndex:
         mask = self._effective_mask(search_filter, metadata)
 
         if mode == "auto":
-            mode = "pallas" if (self.use_pallas and _on_tpu()) else "xla"
+            if self.use_pallas and _on_tpu():
+                # hierarchical group-max kernel is the fastest exact path
+                # measured on hardware (bench.py); it needs group | tile_n
+                mode = "hierarchical" if self.n_pad % 8192 == 0 else "pallas"
+            else:
+                mode = "xla"
         if mode == "mrl" or (mode == "auto" and mrl_search_dims):
             return topk_scan.scan_topk_mrl(
                 self.slab, q_dev, k, mask,
@@ -277,6 +282,10 @@ class DeviceVectorIndex:
             return topk_scan.scan_topk_int8_two_pass(
                 q8[0], q8[1], self.slab, q_dev, k, mask,
                 candidate_multiplier=int8_candidate_multiplier,
+            )
+        if mode == "hierarchical":
+            return topk_scan.scan_topk_hierarchical(
+                self.slab, q_dev, k, mask, tile_n=8192, group=128
             )
         if mode == "pallas":
             return topk_scan.scan_topk_pallas(self.slab, q_dev, k, mask, tile_n=self.tile_n)

@@ -1,0 +1,98 @@
+"""Gated/transport-injected features: API embedder, query expansion."""
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu.core.errors import EmbeddingFailed
+from frankensearch_tpu.core.types import ScoredResult
+from frankensearch_tpu.embed.api_embedder import (
+    ApiEmbedder,
+    ApiEmbedderConfig,
+    RateLimited,
+)
+from frankensearch_tpu.runtime.query_expansion import (
+    QueryExpander,
+    rule_based_variants,
+)
+
+
+class TestApiEmbedder:
+    def test_no_transport_fails_closed(self):
+        with pytest.raises(EmbeddingFailed):
+            ApiEmbedder(ApiEmbedderConfig(dim=4)).embed_batch(["x"])
+
+    def test_fake_transport_roundtrip(self):
+        def transport(payload):
+            return {"embeddings": [[1.0, 2.0, 2.0, 0.0] for _ in payload["input"]]}
+
+        emb = ApiEmbedder(ApiEmbedderConfig(dim=4), transport)
+        out = emb.embed_batch(["a", "b"])
+        assert out.shape == (2, 4)
+        np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-6)
+
+    def test_rate_limit_retry(self):
+        calls = {"n": 0}
+        slept = []
+
+        def transport(payload):
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise RateLimited(retry_after_s=0.01)
+            return {"embeddings": [[1.0, 0.0]]}
+
+        emb = ApiEmbedder(
+            ApiEmbedderConfig(dim=2, max_retries=3), transport, clock_sleep=slept.append
+        )
+        out = emb.embed_batch(["x"])
+        assert out.shape == (1, 2) and emb.retries == 2
+        assert len(slept) == 2
+
+    def test_wrong_count_fails(self):
+        emb = ApiEmbedder(
+            ApiEmbedderConfig(dim=2), lambda p: {"embeddings": [[1.0, 0.0]]}
+        )
+        with pytest.raises(EmbeddingFailed):
+            emb.embed_batch(["a", "b"])
+
+    def test_batch_limit_chunks(self):
+        sizes = []
+
+        def transport(payload):
+            sizes.append(len(payload["input"]))
+            return {"embeddings": [[1.0, 0.0]] * len(payload["input"])}
+
+        emb = ApiEmbedder(ApiEmbedderConfig(dim=2, batch_limit=2), transport)
+        emb.embed_batch(["a", "b", "c", "d", "e"])
+        assert sizes == [2, 2, 1]
+
+
+class TestQueryExpansion:
+    def test_rule_based_variants(self):
+        vs = rule_based_variants("vector search engine")
+        assert '"vector search engine"' in vs
+        assert all(v.lower() != "vector search engine" for v in vs)
+        assert rule_based_variants("") == []
+
+    def test_llm_variants_with_fallback(self):
+        exp = QueryExpander(llm=lambda prompt: ["semantic retrieval", "ANN search"])
+        assert exp.variants("vector search") == ["semantic retrieval", "ANN search"]
+        assert exp.used_llm
+
+        def broken(prompt):
+            raise ConnectionError("no egress")
+
+        exp2 = QueryExpander(llm=broken)
+        vs = exp2.variants("vector search engine")
+        assert vs and not exp2.used_llm  # deterministic fallback
+
+    def test_fused_expansion_boosts_consensus(self):
+        def search_fn(q, k):
+            # doc "both" appears for every variant; others are per-variant
+            return [
+                ScoredResult(doc_id="both", score=0.5),
+                ScoredResult(doc_id=f"only-{q[:8]}", score=0.9),
+            ]
+
+        exp = QueryExpander(llm=lambda p: ["variant one", "variant two"])
+        out = exp.search_expanded(search_fn, "original query", k=3)
+        assert out[0].doc_id == "both"  # consensus across pools wins

@@ -1,0 +1,60 @@
+"""Interaction-matrix composition tests over the real searcher.
+
+Parity model: reference fusion interaction_integration.rs (lane catalog x
+oracle matrix) — every feature combination must preserve the invariants.
+"""
+
+import pytest
+
+from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+from frankensearch_tpu.fusion.interaction_oracles import (
+    LANE_CATALOG,
+    run_interaction_matrix,
+)
+from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+from frankensearch_tpu.index.two_tier import TwoTierIndex
+from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+
+CORPUS = [
+    ("d1", "rust async futures and executors"),
+    ("d2", "jax tpu jit compilation pipeline"),
+    ("d3", "bm25 lexical ranking basics"),
+    ("d4", "vector cosine similarity search"),
+    ("d5", "sqlite write ahead logging"),
+    ("d6", "gradient descent model training"),
+]
+
+QUERIES = ["vector search", "rust futures", "tpu jit", "x_y_z_missing", "sqlite"]
+
+
+@pytest.fixture(scope="module")
+def stack(tmp_path_factory):
+    fe = HashEmbedder(dim=64)
+    qe = HashEmbedder(dim=96)
+    texts = [b for _, b in CORPUS]
+    index = TwoTierIndex.create(
+        str(tmp_path_factory.mktemp("imx")),
+        fe.embed_batch(texts), [d for d, _ in CORPUS], fe.identity(),
+        quality_vectors=qe.embed_batch(texts), quality_identity=qe.identity(),
+        use_pallas=False,
+    )
+    lexical = MemoryLexicalIndex()
+    for d, b in CORPUS:
+        lexical.add_document(IndexableDocument(doc_id=d, content=b))
+    lexical.commit()
+    return index, lexical, fe, qe
+
+
+class TestInteractionMatrix:
+    def test_all_lanes_hold_all_oracles(self, stack):
+        index, lexical, fe, qe = stack
+
+        def make_searcher(cfg):
+            return TwoTierSearcher(
+                index, fe, lexical=lexical, quality_embedder=qe, config=cfg
+            )
+
+        report = run_interaction_matrix(make_searcher, QUERIES, lanes=LANE_CATALOG)
+        assert report.checked == len(LANE_CATALOG) * len(QUERIES) * 5
+        assert report.ok, report.violations
