@@ -1,0 +1,8 @@
+"""Differential conformance gauntlet + perf ratchet.
+
+Parity target: crates/frankensearch-quill-gauntlet (reference) —
+deterministic corpus/query generators, differential campaign runner
+(candidate engine vs pinned oracle), metamorphic maintenance laws, and a
+perf ratchet with A/A null controls. Here the oracle is the CPU
+MemoryLexicalIndex (for BM25) and the f32 XLA scan (for vector kernels).
+"""

@@ -1,0 +1,146 @@
+"""Artifact durability: checksum sidecars, verify-on-open, quarantine.
+
+Parity target: crates/frankensearch-durability (reference) —
+``FileProtector``/``FsviProtector`` write FEC sidecars and repair
+corruption via RaptorQ. Per SURVEY §7 the TPU build does not port
+fountain codes (artifacts live in replicated storage); what carries over
+is the *contract*: cheap verify-on-open via sidecar digests (the
+reference's xxh3 fast path), protect-on-commit, atomic sidecar swap, and
+quarantine-instead-of-serve on mismatch, with repair delegated to a
+re-fetch/rebuild callback through the RepairOrchestrator.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+from frankensearch_tpu.core.errors import IndexCorrupted
+
+SIDECAR_SUFFIX = ".fsum"
+SIDECAR_VERSION = 1
+
+
+def _digest_file(path: str, chunk: int = 1 << 20) -> str:
+    h = hashlib.blake2b(digest_size=16)
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(chunk)
+            if not b:
+                break
+            h.update(b)
+    return h.hexdigest()
+
+
+@dataclass(frozen=True)
+class ProtectionReceipt:
+    path: str
+    sidecar: str
+    digest: str
+    bytes: int
+
+
+class FileProtector:
+    """Protect-on-commit + verify-on-open for a single artifact file."""
+
+    @staticmethod
+    def protect(path: str) -> ProtectionReceipt:
+        digest = _digest_file(path)
+        sidecar = path + SIDECAR_SUFFIX
+        payload = {
+            "v": SIDECAR_VERSION,
+            "algo": "blake2b-128",
+            "digest": digest,
+            "bytes": os.path.getsize(path),
+        }
+        tmp = sidecar + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, sidecar)  # atomic sidecar swap
+        return ProtectionReceipt(path=path, sidecar=sidecar, digest=digest,
+                                 bytes=payload["bytes"])
+
+    @staticmethod
+    def verify(path: str, *, fast: bool = True) -> bool:
+        """fast=True checks size first (the <1ms fast path); full digest
+        only when sizes match."""
+        sidecar = path + SIDECAR_SUFFIX
+        if not os.path.exists(sidecar):
+            return False
+        with open(sidecar, encoding="utf-8") as f:
+            payload = json.load(f)
+        if payload.get("v") != SIDECAR_VERSION:
+            return False
+        if not os.path.exists(path):
+            return False
+        if os.path.getsize(path) != payload["bytes"]:
+            return False
+        if fast and os.path.getsize(path) == payload["bytes"]:
+            # size matched; full digest confirms
+            pass
+        return _digest_file(path) == payload["digest"]
+
+    @staticmethod
+    def is_protected(path: str) -> bool:
+        return os.path.exists(path + SIDECAR_SUFFIX)
+
+
+@dataclass
+class QuarantineResult:
+    quarantined_to: str
+
+
+class ProtectedArtifactStore:
+    """Directory-level protect/verify/quarantine (FsviProtector role)."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.quarantine_dir = os.path.join(root, ".quarantine")
+
+    def protect_all(self, names: list[str] | None = None) -> list[ProtectionReceipt]:
+        receipts = []
+        for name in names or self._artifact_names():
+            path = os.path.join(self.root, name)
+            if os.path.isfile(path):
+                receipts.append(FileProtector.protect(path))
+        return receipts
+
+    def _artifact_names(self) -> list[str]:
+        return [
+            n for n in sorted(os.listdir(self.root))
+            if os.path.isfile(os.path.join(self.root, n))
+            and not n.endswith(SIDECAR_SUFFIX)
+            and not n.endswith(".tmp")
+        ]
+
+    def verify_all(self) -> dict[str, bool]:
+        out = {}
+        for name in self._artifact_names():
+            path = os.path.join(self.root, name)
+            if FileProtector.is_protected(path):
+                out[name] = FileProtector.verify(path)
+        return out
+
+    def quarantine(self, name: str) -> QuarantineResult:
+        """Move a corrupt artifact aside instead of serving it."""
+        os.makedirs(self.quarantine_dir, exist_ok=True)
+        src = os.path.join(self.root, name)
+        dst = os.path.join(self.quarantine_dir, name)
+        shutil.move(src, dst)
+        sidecar = src + SIDECAR_SUFFIX
+        if os.path.exists(sidecar):
+            shutil.move(sidecar, dst + SIDECAR_SUFFIX)
+        return QuarantineResult(quarantined_to=dst)
+
+    def open_verified(self, name: str) -> str:
+        """Verify-then-open: returns the path, or quarantines + raises."""
+        path = os.path.join(self.root, name)
+        if FileProtector.is_protected(path) and not FileProtector.verify(path):
+            self.quarantine(name)
+            raise IndexCorrupted(f"{name} failed durability verification; quarantined")
+        return path

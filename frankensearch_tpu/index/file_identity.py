@@ -1,0 +1,71 @@
+"""Stable file identity + confined path admission.
+
+Parity targets (reference crates/frankensearch-index):
+- src/file_identity.rs — stable identity as (device, inode), surviving
+  renames and detecting replaced-under-us files;
+- src/generation_root.rs — descriptor-relative admission of generation
+  roots: every artifact path must resolve INSIDE the root with no
+  symlink escape (capability-style confinement; openat semantics
+  approximated with realpath containment checks).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from frankensearch_tpu.core.errors import SearchError
+
+
+class PathEscape(SearchError):
+    code = "path_escape"
+
+
+@dataclass(frozen=True)
+class FileIdentity:
+    device: int
+    inode: int
+    size: int
+    mtime_ns: int
+
+    @staticmethod
+    def of(path: str) -> "FileIdentity":
+        st = os.stat(path)
+        return FileIdentity(
+            device=st.st_dev, inode=st.st_ino, size=st.st_size, mtime_ns=st.st_mtime_ns
+        )
+
+    def same_file(self, other: "FileIdentity") -> bool:
+        """Same underlying file object (rename-stable)."""
+        return self.device == other.device and self.inode == other.inode
+
+    def unchanged(self, other: "FileIdentity") -> bool:
+        return self.same_file(other) and self.size == other.size and self.mtime_ns == other.mtime_ns
+
+
+class ConfinedRoot:
+    """Admits only paths that resolve inside the root (no symlink escape,
+    no .. traversal). All artifact opens in a generation go through this."""
+
+    def __init__(self, root: str) -> None:
+        self.root = os.path.realpath(root)
+        if not os.path.isdir(self.root):
+            raise SearchError(f"confined root is not a directory: {root}")
+
+    def resolve(self, relative: str) -> str:
+        if os.path.isabs(relative):
+            raise PathEscape(f"absolute path not admitted: {relative}")
+        candidate = os.path.realpath(os.path.join(self.root, relative))
+        if candidate != self.root and not candidate.startswith(self.root + os.sep):
+            raise PathEscape(f"path escapes generation root: {relative}")
+        return candidate
+
+    def open_bytes(self, relative: str) -> bytes:
+        with open(self.resolve(relative), "rb") as f:
+            return f.read()
+
+    def exists(self, relative: str) -> bool:
+        try:
+            return os.path.exists(self.resolve(relative))
+        except PathEscape:
+            return False

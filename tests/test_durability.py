@@ -1,0 +1,112 @@
+"""Durability sidecars, file identity, confined-root admission."""
+
+import os
+
+import pytest
+
+from frankensearch_tpu.core.errors import IndexCorrupted
+from frankensearch_tpu.index.durability import (
+    FileProtector,
+    ProtectedArtifactStore,
+)
+from frankensearch_tpu.index.file_identity import (
+    ConfinedRoot,
+    FileIdentity,
+    PathEscape,
+)
+
+
+class TestFileProtector:
+    def test_protect_verify(self, tmp_path):
+        p = tmp_path / "vector.idx"
+        p.write_bytes(b"slab data" * 100)
+        FileProtector.protect(str(p))
+        assert FileProtector.verify(str(p))
+
+    def test_corruption_detected(self, tmp_path):
+        p = tmp_path / "vector.idx"
+        p.write_bytes(b"slab data" * 100)
+        FileProtector.protect(str(p))
+        with open(p, "r+b") as f:
+            f.seek(10)
+            f.write(b"XX")
+        assert not FileProtector.verify(str(p))
+
+    def test_size_fast_path(self, tmp_path):
+        p = tmp_path / "a.idx"
+        p.write_bytes(b"12345")
+        FileProtector.protect(str(p))
+        p.write_bytes(b"123456")  # size changed
+        assert not FileProtector.verify(str(p))
+
+
+class TestProtectedStore:
+    def test_open_verified_quarantines_corrupt(self, tmp_path):
+        store = ProtectedArtifactStore(str(tmp_path))
+        f = tmp_path / "vector.fast.idx"
+        f.write_bytes(b"good bytes here")
+        store.protect_all()
+        # corrupt it
+        f.write_bytes(b"BAD bytes here!")
+        with pytest.raises(IndexCorrupted):
+            store.open_verified("vector.fast.idx")
+        assert not f.exists()  # moved to quarantine
+        assert os.path.exists(tmp_path / ".quarantine" / "vector.fast.idx")
+
+    def test_verify_all(self, tmp_path):
+        store = ProtectedArtifactStore(str(tmp_path))
+        (tmp_path / "a.idx").write_bytes(b"aaa")
+        (tmp_path / "b.idx").write_bytes(b"bbb")
+        store.protect_all()
+        (tmp_path / "b.idx").write_bytes(b"tampered")
+        report = store.verify_all()
+        assert report == {"a.idx": True, "b.idx": False}
+
+
+class TestFileIdentity:
+    def test_rename_stable(self, tmp_path):
+        p = tmp_path / "f1"
+        p.write_text("x")
+        before = FileIdentity.of(str(p))
+        new = tmp_path / "f2"
+        os.rename(p, new)
+        after = FileIdentity.of(str(new))
+        assert before.same_file(after)
+
+    def test_replace_detected(self, tmp_path):
+        p = tmp_path / "f"
+        p.write_text("x")
+        before = FileIdentity.of(str(p))
+        # replacement created while the original still exists, so the
+        # filesystem cannot reuse the original's inode
+        repl = tmp_path / "f.new"
+        repl.write_text("x")  # same content, different inode
+        os.replace(repl, p)
+        after = FileIdentity.of(str(p))
+        assert not before.same_file(after)
+
+
+class TestConfinedRoot:
+    def test_admits_inside(self, tmp_path):
+        (tmp_path / "sub").mkdir()
+        (tmp_path / "sub" / "a.idx").write_text("x")
+        root = ConfinedRoot(str(tmp_path))
+        assert root.exists("sub/a.idx")
+        assert root.open_bytes("sub/a.idx") == b"x"
+
+    def test_rejects_traversal_and_absolute(self, tmp_path):
+        root = ConfinedRoot(str(tmp_path))
+        with pytest.raises(PathEscape):
+            root.resolve("../outside")
+        with pytest.raises(PathEscape):
+            root.resolve("/etc/passwd")
+
+    def test_rejects_symlink_escape(self, tmp_path):
+        outside = tmp_path.parent / "outside-secret"
+        outside.write_text("secret")
+        inner = tmp_path / "jail"
+        inner.mkdir()
+        os.symlink(outside, inner / "link")
+        root = ConfinedRoot(str(inner))
+        with pytest.raises(PathEscape):
+            root.resolve("link")

@@ -1,0 +1,135 @@
+"""Gauntlet tests: differential campaign (device BM25 vs oracle over
+generated corpora), metamorphic maintenance laws on the vector index,
+perf ratchet semantics."""
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+from frankensearch_tpu.gauntlet.generator import (
+    CorpusSpec,
+    QuerySpec,
+    generate_corpus,
+    generate_queries,
+)
+from frankensearch_tpu.gauntlet.perf_ratchet import (
+    BenchLedger,
+    RatchetGate,
+    RatchetOutcome,
+    run_ratchet,
+)
+from frankensearch_tpu.gauntlet.runner import (
+    check_maintenance_laws,
+    run_differential_campaign,
+)
+from frankensearch_tpu.index.two_tier import TwoTierIndex
+from frankensearch_tpu.lexical.device_bm25 import DeviceBm25Index
+from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+
+
+class TestGenerators:
+    def test_deterministic(self):
+        a = generate_corpus(CorpusSpec(seed=3))
+        b = generate_corpus(CorpusSpec(seed=3))
+        assert [d.content for d in a] == [d.content for d in b]
+        qa = generate_queries(QuerySpec(seed=3), a)
+        qb = generate_queries(QuerySpec(seed=3), b)
+        assert qa == qb
+
+    def test_fingerprint_changes_with_spec(self):
+        assert CorpusSpec(seed=1).fingerprint() != CorpusSpec(seed=2).fingerprint()
+
+
+class TestDifferentialCampaign:
+    def test_device_bm25_vs_oracle_full_campaign(self):
+        spec = CorpusSpec(n_docs=120, seed=7)
+        corpus = generate_corpus(spec)
+        mem = MemoryLexicalIndex()
+        for d in corpus:
+            mem.add_document(d)
+        mem.commit()
+        dev = DeviceBm25Index(mem)
+        report = run_differential_campaign(
+            mem.search_candidates, dev.search_candidates,
+            corpus_spec=spec, corpus=corpus, k=10,
+        )
+        assert report.ok, report.divergences[:3]
+        assert report.cases == 50
+        assert report.agreement_rate > 0.8  # most cases exact, rest tie swaps
+
+    def test_campaign_catches_a_broken_candidate(self):
+        spec = CorpusSpec(n_docs=40, seed=2)
+        corpus = generate_corpus(spec)
+        mem = MemoryLexicalIndex()
+        for d in corpus:
+            mem.add_document(d)
+        mem.commit()
+
+        def broken(query, k):  # drops the top hit
+            return mem.search_candidates(query, k + 1)[1:]
+
+        report = run_differential_campaign(
+            mem.search_candidates, broken, corpus_spec=spec, corpus=corpus
+        )
+        assert not report.ok
+
+
+class TestMaintenanceLaws:
+    def test_vector_compaction_is_search_invariant(self, tmp_path, rng):
+        fe = HashEmbedder(dim=64)
+
+        def build(corpus):
+            vecs = fe.embed_batch([d.content for d in corpus])
+            return TwoTierIndex.create(
+                str(tmp_path / "gx"), vecs, [d.doc_id for d in corpus],
+                fe.identity(), use_pallas=False,
+            )
+
+        def search(index, q, k):
+            hits = index.search_fast_classified(fe.embed(q), k)
+            return list(hits.hits)
+
+        def maintain(index):
+            # append + delete the same doc, then compact: net no-op
+            v = fe.embed_batch(["transient maintenance doc"])
+            index.append_fast(["transient-doc"], v)
+            index.delete(["transient-doc"])
+            return index.compact()
+
+        violations = check_maintenance_laws(
+            build, search, maintain, law="append-delete-compact-invariance"
+        )
+        assert violations == [], violations[:3]
+
+
+class TestPerfRatchet:
+    def test_pass_within_ratchet(self):
+        incumbent = [1.0 + 0.01 * i for i in range(7)]
+        candidate = [1.05 + 0.01 * i for i in range(7)]
+        out = run_ratchet(RatchetGate("QG-test"), incumbent, candidate, incumbent)
+        assert out.passed
+
+    def test_regression_fails(self):
+        incumbent = [1.0, 1.01, 0.99, 1.0, 1.02, 1.0, 0.98]
+        candidate = [1.5, 1.52, 1.49, 1.51, 1.5, 1.48, 1.53]
+        out = run_ratchet(RatchetGate("QG-test"), incumbent, candidate, incumbent)
+        assert not out.passed and "regression" in out.reason
+
+    def test_unstable_measurement_refused(self):
+        incumbent = [1.0, 5.0, 0.1, 9.0, 2.0, 7.0, 0.5]
+        out = run_ratchet(RatchetGate("QG-test"), incumbent, incumbent)
+        assert not out.passed and not out.stable
+
+    def test_aa_null_control(self):
+        incumbent = [1.0] * 7
+        null_run = [2.0] * 7  # measurement harness is broken: A != A
+        candidate = [1.0] * 7
+        out = run_ratchet(RatchetGate("QG-test"), incumbent, candidate, null_run)
+        assert not out.passed and not out.aa_null_ok
+
+    def test_ledger_roundtrip(self, tmp_path):
+        ledger = BenchLedger(str(tmp_path / ".bench-history"))
+        out = RatchetOutcome(gate="QG-1", passed=True, reason="ok", ratio=0.9)
+        ledger.record(out, context={"machine": "tpu-v5e"})
+        latest = ledger.latest("QG-1")
+        assert latest["passed"] and latest["context"]["machine"] == "tpu-v5e"
