@@ -1,0 +1,90 @@
+"""Benchmark regression lane over a REAL measured workload profile.
+
+Parity model: reference benchmark_baseline_matrix.rs — golden fixture,
+measured samples, stability pre-gate, bootstrap regression verdict.
+"""
+
+import json
+import os
+
+import pytest
+
+from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+from frankensearch_tpu.gauntlet.generator import CorpusSpec, generate_corpus
+from frankensearch_tpu.index.two_tier import TwoTierIndex
+from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+from frankensearch_tpu.utils.bench_regression import (
+    GoldenProfile,
+    check_regression,
+    load_golden,
+    measure_profile,
+    save_golden,
+)
+
+
+class TestRegressionGate:
+    def test_within_gate_passes(self):
+        golden = GoldenProfile("tiny", 100, {"search_p50_ms": 10.0, "index_docs_per_s": 1000.0})
+        report = check_regression(
+            golden,
+            {"search_p50_ms": [10.5] * 6, "index_docs_per_s": [990.0] * 6},
+        )
+        assert report.passed
+
+    def test_latency_regression_fails(self):
+        golden = GoldenProfile("tiny", 100, {"search_p50_ms": 10.0})
+        report = check_regression(golden, {"search_p50_ms": [14.0, 14.1, 13.9, 14.0, 14.2, 14.05]})
+        assert not report.passed
+        assert report.verdicts[0].regressed
+
+    def test_throughput_direction(self):
+        golden = GoldenProfile("tiny", 100, {"docs_per_s": 1000.0})
+        report = check_regression(
+            golden, {"docs_per_s": [700.0, 705.0, 702.0, 698.0, 703.0, 701.0]},
+            lower_is_better={"docs_per_s": False},
+        )
+        assert not report.passed
+
+    def test_unstable_measurement_never_fails_gate(self):
+        golden = GoldenProfile("tiny", 100, {"search_p50_ms": 10.0})
+        report = check_regression(golden, {"search_p50_ms": [5.0, 50.0, 1.0, 90.0, 3.0]})
+        assert report.passed  # inadmissible, so no verdict against it
+        assert not report.verdicts[0].admissible
+
+    def test_golden_roundtrip(self, tmp_path):
+        g = GoldenProfile("small", 400, {"m": 1.0}, replay_command="pytest -k profile")
+        path = str(tmp_path / "golden" / "small.json")
+        save_golden(path, g)
+        assert load_golden(path).metrics == {"m": 1.0}
+
+
+class TestMeasuredProfile:
+    def test_real_tiny_profile_measurement(self, tmp_path):
+        """Measure the real pipeline and self-compare: a profile measured
+        against a golden derived from itself must pass."""
+        import time
+
+        corpus = generate_corpus(CorpusSpec(n_docs=80, seed=13))
+        fe = HashEmbedder(dim=64)
+        index = TwoTierIndex.create(
+            str(tmp_path / "bx"), fe.embed_batch([d.content for d in corpus]),
+            [d.doc_id for d in corpus], fe.identity(), use_pallas=False,
+        )
+        lexical = MemoryLexicalIndex()
+        for d in corpus:
+            lexical.add_document(d)
+        lexical.commit()
+        searcher = TwoTierSearcher(index, fe, lexical=lexical)
+
+        def run_once():
+            t0 = time.perf_counter()
+            searcher.search("alpha bravo search", k=10)
+            return {"search_p50_ms": (time.perf_counter() - t0) * 1e3}
+
+        samples = measure_profile(run_once, samples=7, warmup=2)
+        mean = sum(samples["search_p50_ms"]) / len(samples["search_p50_ms"])
+        golden = GoldenProfile("self", 80, {"search_p50_ms": mean})
+        report = check_regression(golden, samples, max_cv=0.6)
+        assert report.passed, report.to_dict()

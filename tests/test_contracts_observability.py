@@ -1,0 +1,69 @@
+"""Contract lockstep, observability lint, distributed lifecycle events."""
+
+import pytest
+
+from frankensearch_tpu.core.contract_sanity import (
+    check_schema_lockstep,
+    lint_evidence_stream,
+)
+from frankensearch_tpu.core.distributed_observability import (
+    GenerationEventKind,
+    GenerationLifecycleEmitter,
+    validate_lifecycle,
+)
+
+
+class TestContractSanity:
+    def test_schema_lockstep_holds(self):
+        report = check_schema_lockstep()
+        assert report.ok, report.violations
+        assert report.checked >= 7
+
+    def test_lint_clean_stream(self):
+        records = [
+            {"kind": "search", "seq": 1, "at": 10.0, "correlation_id": "c",
+             "payload": {"query": "redacted:abcd", "latency_ms": 2.0}},
+            {"kind": "search", "seq": 2, "at": 11.0, "correlation_id": "c",
+             "payload": {"latency_ms": 3.0}},
+        ]
+        assert lint_evidence_stream(records) == []
+
+    def test_lint_catches_violations(self):
+        records = [
+            {"seq": 5, "at": 10.0},  # missing kind
+            {"kind": "x", "seq": 4, "at": 9.0, "correlation_id": "c",
+             "payload": {"query": "raw user query"}},  # seq down, time back, unredacted
+        ]
+        v = lint_evidence_stream(records)
+        assert any("R1" in s for s in v)
+        assert any("seq" in s for s in v)
+        assert any("backwards" in s for s in v)
+        assert any("unredacted" in s for s in v)
+
+
+class TestDistributedObservability:
+    def test_lifecycle_emission_and_validation(self):
+        from frankensearch_tpu.core.collectors import RuntimeMetricsCollector
+
+        sunk = []
+        collector = RuntimeMetricsCollector(sink=sunk.append, cadence_ms=0)
+        em = GenerationLifecycleEmitter(node_id="n1", collector=collector)
+        em.emit(GenerationEventKind.BUILD_STARTED, "g1")
+        em.emit(GenerationEventKind.BUILD_COMPLETED, "g1", commit_seq=5)
+        em.emit(GenerationEventKind.VERIFICATION_PASSED, "g1", commit_seq=5)
+        em.emit(GenerationEventKind.ACTIVATED, "g1", commit_seq=5)
+        assert validate_lifecycle(em.lifecycle_of("g1")) == []
+        assert sunk  # flushed through the collector
+        kinds = [e.kind for env in sunk for e in env.events]
+        assert "generation.activated" in kinds
+
+    def test_validation_catches_bad_order(self):
+        em = GenerationLifecycleEmitter(node_id="n1")
+        em.emit(GenerationEventKind.ACTIVATED, "g2")
+        em.emit(GenerationEventKind.ROLLBACK, "g3")
+        assert validate_lifecycle(em.lifecycle_of("g2")) == [
+            "activated without a verification pass"
+        ]
+        assert validate_lifecycle(em.lifecycle_of("g3")) == [
+            "rollback without a prior activation"
+        ]

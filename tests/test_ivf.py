@@ -1,0 +1,83 @@
+"""IVF index: recall vs exact scan, balanced buckets, certificates."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from frankensearch_tpu.index.ivf import IvfIndex, IvfParams, balanced_assign, kmeans
+from frankensearch_tpu.index.recall_certificate import (
+    calibrate_minimal_parameter,
+    per_query_recall,
+)
+from frankensearch_tpu.ops.topk_scan import scan_topk_xla
+from tests.conftest import make_unit_rows
+
+
+def clustered_corpus(rng, n_clusters=8, per_cluster=64, d=64, spread=0.25):
+    centers = make_unit_rows(rng, n_clusters, d)
+    rows = []
+    for c in centers:
+        pts = c[None, :] + spread * rng.standard_normal((per_cluster, d)).astype(np.float32)
+        rows.append(pts)
+    x = np.concatenate(rows)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x
+
+
+class TestKmeans:
+    def test_centroids_unit_norm(self, rng):
+        x = clustered_corpus(rng)
+        c = kmeans(x, 8, iters=5)
+        np.testing.assert_allclose(np.linalg.norm(c, axis=1), 1.0, atol=1e-5)
+
+    def test_balanced_assign_respects_cap(self, rng):
+        x = clustered_corpus(rng, n_clusters=4, per_cluster=50)
+        c = kmeans(x, 4, iters=5)
+        cap = 80
+        assign = balanced_assign(x, c, cap)
+        counts = np.bincount(assign, minlength=4)
+        assert counts.max() <= cap
+        assert counts.sum() == len(x)
+
+
+class TestIvfSearch:
+    def test_high_recall_on_clustered_data(self, rng):
+        x = clustered_corpus(rng, n_clusters=8, per_cluster=64)
+        ivf = IvfIndex(x, IvfParams(n_clusters=16, seed=1), dtype=jnp.float32)
+        queries = x[::37][:8] + 0.05 * rng.standard_normal((8, 64)).astype(np.float32)
+        queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+        approx = ivf.search_batch(queries, k=10, nprobe=4)
+        exact = scan_topk_xla(jnp.asarray(x), jnp.asarray(queries), 10, precise=True)
+        recalls = per_query_recall(np.asarray(approx.indices), np.asarray(exact.indices))
+        assert recalls.mean() >= 0.85
+        assert ivf.scanned_fraction(nprobe=4) < 0.6
+
+    def test_full_probe_is_exact(self, rng):
+        x = clustered_corpus(rng, n_clusters=4, per_cluster=32)
+        ivf = IvfIndex(x, IvfParams(n_clusters=8, seed=2), dtype=jnp.float32)
+        q = x[:4]
+        approx = ivf.search_batch(q, k=5, nprobe=ivf.n_clusters)
+        exact = scan_topk_xla(jnp.asarray(x), jnp.asarray(q), 5, precise=True)
+        for b in range(4):
+            assert set(np.asarray(approx.indices)[b]) == set(np.asarray(exact.indices)[b])
+
+    def test_nprobe_calibration_with_certificate(self, rng):
+        x = clustered_corpus(rng, n_clusters=8, per_cluster=64)
+        ivf = IvfIndex(x, IvfParams(n_clusters=16, seed=3), dtype=jnp.float32)
+        queries = make_unit_rows(rng, 40, 64) * 0.3 + x[::13][:40] * 0.7
+        queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+        exact = np.asarray(
+            scan_topk_xla(jnp.asarray(x), jnp.asarray(queries), 10, precise=True).indices
+        )
+        cert = calibrate_minimal_parameter(
+            lambda v: np.asarray(ivf.search_batch(queries, 10, nprobe=int(v)).indices),
+            exact,
+            [2, 4, 8, 16],
+            parameter_name="nprobe",
+            k=10,
+            target_recall=0.8,
+            confidence=0.9,
+        )
+        assert cert is not None
+        assert cert.certified_recall >= 0.8
