@@ -204,6 +204,15 @@ class IndexBuilder:
             )
             storage.close()
 
+        # durability: protect-on-commit checksum sidecars (durability.rs
+        # protect-on-commit contract; verified by `doctor --verify`)
+        from frankensearch_tpu.index.durability import FileProtector
+
+        for fname in ("vector.fast.idx", "vector.quality.idx"):
+            path = os.path.join(self.root, fname)
+            if os.path.exists(path):
+                FileProtector.protect(path)
+
         stats.sizes = _measure_sizes(self.root)
         stats.duration_ms = (time.monotonic() - t0) * 1000.0
         return stats

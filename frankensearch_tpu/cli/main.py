@@ -224,6 +224,12 @@ def cmd_doctor(args) -> dict:
             )
         except SearchError as e:
             check("fast_artifact_integrity", False, str(e))
+    sidecar = fast_idx + ".fsum"
+    if os.path.exists(sidecar):
+        from frankensearch_tpu.index.durability import FileProtector
+
+        ok = FileProtector.verify(fast_idx)
+        check("durability_sidecar", ok, "checksum sidecar " + ("verified" if ok else "MISMATCH"))
     wal = fast_idx + ".wal"
     if os.path.exists(wal):
         from frankensearch_tpu.index.wal import WriteAheadLog
@@ -386,6 +392,83 @@ def cmd_config(args) -> dict:
     from frankensearch_tpu.core.config import TwoTierConfig
 
     return envelope(TwoTierConfig.from_env().to_dict())
+
+
+def cmd_flush(args) -> dict:
+    """Drain pending embedding jobs into the index (fsfs flush)."""
+    from frankensearch_tpu.builder import open_hybrid
+    from frankensearch_tpu.storage.job_queue import PersistentJobQueue
+    from frankensearch_tpu.storage.pipeline import StorageBackedJobRunner
+    from frankensearch_tpu.storage.store import Storage
+
+    jobs_db = os.path.join(args.root, "jobs.db")
+    meta_db = os.path.join(args.root, "metadata.db")
+    if not os.path.exists(jobs_db):
+        return envelope({"drained": 0, "note": "no job queue present"})
+    handle = open_hybrid(args.root)
+    jobs = PersistentJobQueue(jobs_db)
+    storage = Storage(meta_db)
+    runner = StorageBackedJobRunner(
+        jobs=jobs, storage=storage, embedder=handle.searcher.fast_embedder,
+        sink=lambda ids, vecs: handle.index.append_fast(ids, vecs),
+    )
+    drained = runner.drain()
+    storage.close()
+    return envelope({"drained": drained, "pending": jobs.pending_count()})
+
+
+def cmd_download(args) -> dict:
+    """Model acquisition front-door (fsfs download). This build is
+    offline: without --authorize it refuses (the recovery_plan
+    authorization contract); with it, it stages/verifies a local source
+    dir and atomically promotes it."""
+    from frankensearch_tpu.embed.model_manifest import (
+        promote_staged_model,
+        verify_model_dir,
+    )
+
+    if not args.authorize:
+        return error_envelope(
+            "acquisition_not_authorized",
+            "model acquisition requires --authorize <who> (downloads are never implicit)",
+        )
+    if not args.from_dir:
+        return error_envelope(
+            "offline_build",
+            "this build has no network transport; provide --from-dir with a staged model",
+        )
+    verification = verify_model_dir(args.from_dir)
+    if not verification.ok:
+        return error_envelope(
+            "model_verification_failed",
+            f"missing={list(verification.missing)} corrupted={list(verification.corrupted)}",
+        )
+    dest = os.path.join(args.root, "models", args.name)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    promote_staged_model(args.from_dir, dest)
+    return envelope({"promoted": dest, "authorized_by": args.authorize})
+
+
+def cmd_completions(args) -> dict | None:
+    """Emit a bash completion script (fsfs completions)."""
+    commands = sorted(
+        {"index", "search", "status", "doctor", "explain", "append-batch",
+         "delete", "compact", "watch", "daemon", "history", "config",
+         "version", "serve", "tui", "flush", "download", "completions"}
+    )
+    script = f"""# bash completion for frankensearch-tpu
+_frankensearch_tpu() {{
+    local cur=${{COMP_WORDS[COMP_CWORD]}}
+    if [ $COMP_CWORD -eq 1 ]; then
+        COMPREPLY=( $(compgen -W "{' '.join(commands)}" -- "$cur") )
+    else
+        COMPREPLY=( $(compgen -W "--root --format -k --fast-only --explain --expand" -- "$cur") )
+    fi
+}}
+complete -F _frankensearch_tpu frankensearch-tpu
+"""
+    print(script)
+    return None
 
 
 def cmd_tui(args) -> dict | None:
@@ -553,6 +636,15 @@ def build_parser() -> argparse.ArgumentParser:
 
     add("config", cmd_config, help="effective configuration")
     add("version", cmd_version, help="version + devices")
+
+    add("flush", cmd_flush, help="drain pending embedding jobs")
+
+    sp = add("download", cmd_download, help="stage + promote a model (offline)")
+    sp.add_argument("name")
+    sp.add_argument("--from-dir", default="")
+    sp.add_argument("--authorize", default="", help="who authorizes acquisition")
+
+    sp = add("completions", cmd_completions, help="emit bash completions")
 
     sp = add("tui", cmd_tui, help="interactive text UI on stdin/stdout")
     sp.add_argument("--width", type=int, default=80)
