@@ -27,6 +27,7 @@ from frankensearch_tpu.core.errors import SearchError
 from frankensearch_tpu.core.types import (
     FusedHit,
     IndexableDocument,
+    PhaseKind,
     ScoredResult,
     SearchPhase,
     VectorHit,
@@ -39,7 +40,44 @@ __all__ = [
     "ScoredResult",
     "VectorHit",
     "SearchPhase",
+    "PhaseKind",
     "FusedHit",
     "IndexableDocument",
+    "IndexBuilder",
+    "open_hybrid",
+    "TwoTierSearcher",
+    "TwoTierIndex",
+    "HashEmbedder",
+    "EmbedderStack",
+    "MemoryLexicalIndex",
     "__version__",
 ]
+
+
+def __getattr__(name):
+    """Lazy facade re-exports (avoid importing jax for type-only users)."""
+    if name in ("IndexBuilder", "open_hybrid"):
+        from frankensearch_tpu import builder
+
+        return getattr(builder, name)
+    if name == "TwoTierSearcher":
+        from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+
+        return TwoTierSearcher
+    if name == "TwoTierIndex":
+        from frankensearch_tpu.index.two_tier import TwoTierIndex
+
+        return TwoTierIndex
+    if name == "HashEmbedder":
+        from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+
+        return HashEmbedder
+    if name == "EmbedderStack":
+        from frankensearch_tpu.embed.stack import EmbedderStack
+
+        return EmbedderStack
+    if name == "MemoryLexicalIndex":
+        from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+
+        return MemoryLexicalIndex
+    raise AttributeError(name)

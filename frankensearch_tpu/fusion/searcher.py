@@ -95,6 +95,7 @@ class TwoTierSearcher:
         hubness=None,  # fusion.hubness.HubnessCorrector | None
         smoother=None,  # fusion.smooth.ScoreSmoother | None
         nqc=None,  # fusion.normalize.NqcDownweight | None
+        governor=None,  # ops.pressure.ResourcePressureGovernor | None
         cache_query_embeddings: bool = True,
     ) -> None:
         self.index = index
@@ -119,6 +120,7 @@ class TwoTierSearcher:
         self.hubness = hubness
         self.smoother = smoother
         self.nqc = nqc
+        self.governor = governor
         self.canonicalizer = DefaultCanonicalizer()
         self._pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=4, thread_name_prefix="fs-searcher"
@@ -234,8 +236,12 @@ class TwoTierSearcher:
                 )
 
         # 4. Phase 3 rerank (searcher.rs:1219, :2477)
+        rerank_allowed = self.governor is None or self.governor.allow_rerank
+        if not rerank_allowed and self.config.rerank_enabled:
+            metrics.phase3_skip_reason = "pressure"
         if (
-            self.config.rerank_enabled
+            rerank_allowed
+            and self.config.rerank_enabled
             and self.reranker is not None
             and results
             and text_fn is not None
@@ -466,6 +472,8 @@ class TwoTierSearcher:
             return "no_candidates"
         if not fast_hits:
             return "no_semantic_candidates"
+        if self.governor is not None and not self.governor.allow_quality_tier:
+            return "pressure"  # governor gate (fsfs pressure.rs:1181)
         if self.circuit_breaker is not None and self.circuit_breaker.should_skip_quality():
             return "circuit_open"
         if self.phase_gate is not None and self.phase_gate.should_skip_quality():

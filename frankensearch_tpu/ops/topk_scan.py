@@ -62,6 +62,29 @@ def _finalize(scores: jax.Array, indices: jax.Array, k: int) -> TopKResult:
     return TopKResult(scores.astype(jnp.float32), indices.astype(jnp.int32))
 
 
+def iter_topk(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k of (B, N) by k argmax passes (first-index tiebreak,
+    same contract as lax.top_k). For small k this is O(k*N) VPU work vs
+    lax.top_k's sort-based lowering — measured faster on TPU for the
+    candidate-merge shapes this module produces."""
+    b, n = x.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+
+    def body(j, carry):
+        xx, scores, idxs = carry
+        best = jnp.max(xx, axis=1)
+        bi = jnp.argmax(xx, axis=1).astype(jnp.int32)
+        xx = jnp.where(col == bi[:, None], NEG_INF, xx)
+        scores = jax.lax.dynamic_update_slice(scores, best[:, None], (0, j))
+        idxs = jax.lax.dynamic_update_slice(idxs, bi[:, None], (0, j))
+        return xx, scores, idxs
+
+    scores0 = jnp.full((b, k), NEG_INF, dtype=x.dtype)
+    idxs0 = jnp.zeros((b, k), dtype=jnp.int32)
+    _, scores, idxs = jax.lax.fori_loop(0, k, body, (x, scores0, idxs0))
+    return scores, idxs
+
+
 # --------------------------------------------------------------------------
 # XLA path
 # --------------------------------------------------------------------------
@@ -292,23 +315,27 @@ def scan_topk_hierarchical(
     )(queries, slab, mask2d)
     gmax = jnp.transpose(gmax.reshape(n_groups, b), (1, 0))  # (B, N/R)
 
-    _, top_groups = jax.lax.top_k(gmax, kk_groups)  # (B, kk_groups)
+    # k argmax passes beat lax.top_k's sort lowering at this shape
+    _, top_groups = iter_topk(gmax, kk_groups)  # (B, kk_groups)
 
-    # gather candidate rows: (B, kk_groups*R) global row ids
     # gather whole GROUPS as contiguous (group*D)-wide rows: each gathered
     # row is one 64KB-class DMA instead of `group` scattered row gathers
     top_groups = jnp.sort(top_groups, axis=1)  # row-ascending tiebreak
     slab_grouped = slab.reshape(n_groups, group * d)
     cand = jnp.take(slab_grouped, top_groups.reshape(-1), axis=0)
-    cand = cand.reshape(b, kk_groups * group, d).astype(jnp.float32)  # (B, C, D)
+    # rescore in the slab dtype (bf16 x bf16 -> f32 accumulation): the
+    # same arithmetic as the scan itself, and half the gather traffic of
+    # materializing f32 candidates
+    cand = cand.reshape(b, kk_groups * group, d)
     row_offsets = jax.lax.broadcasted_iota(jnp.int32, (1, 1, group), 2)
     cand_rows = (top_groups[:, :, None] * group + row_offsets).reshape(b, kk_groups * group)
     exact = jnp.einsum(
-        "bd,bcd->bc", queries.astype(jnp.float32), cand, preferred_element_type=jnp.float32
+        "bd,bcd->bc", queries.astype(slab.dtype), cand,
+        preferred_element_type=jnp.float32,
     )
     exact = exact + jnp.take(mask, cand_rows)
     kk = min(k, exact.shape[1])
-    top_scores, pos = jax.lax.top_k(exact, kk)
+    top_scores, pos = iter_topk(exact, kk)
     top_idx = jnp.take_along_axis(cand_rows, pos, axis=1)
     if kk < k:
         pad = k - kk
@@ -373,6 +400,58 @@ def scan_topk_int8_two_pass(
     cand_rows = jnp.take(slab_exact, cand_idx, axis=0).astype(jnp.float32)  # (B, pool, D)
     exact = jnp.einsum(
         "bd,bpd->bp", queries.astype(jnp.float32), cand_rows,
+        preferred_element_type=jnp.float32,
+    )
+    if mask is not None:
+        exact = exact + jnp.take(mask, cand_idx).astype(jnp.float32)
+    kk = min(k, pool)
+    top_scores, pos = jax.lax.top_k(exact, kk)
+    top_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
+    if kk < k:
+        pad = k - kk
+        top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        top_idx = jnp.pad(top_idx, ((0, 0), (0, pad)), constant_values=-1)
+    return _finalize(top_scores, top_idx, k)
+
+
+# --------------------------------------------------------------------------
+# packed 4-bit two-pass (nibble-packed pass-1 + exact rescore)
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "candidate_multiplier"))
+def scan_topk_int4_two_pass(
+    slab_packed: jax.Array,  # (N, D//2) uint8, low nibble = even dim
+    slab_scale: jax.Array,  # (D,) f32
+    slab_exact: jax.Array,  # (N, D) exact-dtype slab
+    queries: jax.Array,  # (B, D) f32
+    k: int,
+    mask: jax.Array | None = None,
+    *,
+    candidate_multiplier: int = 6,
+) -> TopKResult:
+    """Packed 4-bit two-pass (parity: index/src/search.rs:876 + the
+    prepared-query packed kernels in simd.rs): the slab lives nibble-
+    packed in HBM (4x smaller than bf16), is unpacked on the fly, and a
+    wider candidate pool than int8 compensates the coarser pass-1."""
+    from frankensearch_tpu.ops.quantize import unpack_int4_device
+
+    n = slab_packed.shape[0]
+    pool = min(max(k * candidate_multiplier, k), n)
+    unpacked = unpack_int4_device(slab_packed)  # (N, D) int8 in [-8, 7]
+    q_prepared = queries.astype(jnp.float32) * slab_scale.astype(jnp.float32)
+    qmax = jnp.maximum(jnp.max(jnp.abs(q_prepared), axis=1, keepdims=True), 1e-6)
+    q_i8 = jnp.clip(jnp.round(q_prepared / qmax * 127.0), -127, 127).astype(jnp.int8)
+    rough = jax.lax.dot_general(
+        q_i8, unpacked,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    rough = _apply_additive_mask(rough, mask)
+    _, cand_idx = jax.lax.top_k(rough, pool)
+    cand_rows = jnp.take(slab_exact, cand_idx, axis=0)
+    exact = jnp.einsum(
+        "bd,bpd->bp", queries.astype(slab_exact.dtype), cand_rows,
         preferred_element_type=jnp.float32,
     )
     if mask is not None:

@@ -1,0 +1,102 @@
+"""Facade-level e2e: full-book corpus through the top-level package API.
+
+Parity model: reference frankensearch/tests/treasure_island_e2e.rs —
+index a whole book (chapter chunks), search it through the facade, check
+known-answer queries, int4 scan variant, pressure gating.
+"""
+
+import numpy as np
+import pytest
+
+import frankensearch_tpu as fs
+
+
+def make_book():
+    """A deterministic 'book': themed chapters with distinctive vocab."""
+    themes = {
+        "ch01-voyage": "ship voyage harbor sailors compass storm rigging deck",
+        "ch02-island": "island lagoon palm sand treasure map buried chest",
+        "ch03-mutiny": "mutiny captain crew pistol quarrel loyalty brig",
+        "ch04-cave": "cave torch shadows echo bats underground passage",
+        "ch05-rescue": "rescue signal fire longboat tide homeward journey",
+    }
+    rng = np.random.default_rng(99)
+    docs = []
+    for doc_id, vocab in themes.items():
+        words = vocab.split()
+        body = " ".join(rng.choice(words, size=400))
+        docs.append(fs.IndexableDocument(doc_id=doc_id, content=body, title=doc_id))
+    return docs
+
+
+class TestFacadeE2e:
+    def test_book_roundtrip(self, tmp_path):
+        stack = fs.EmbedderStack(fast=fs.HashEmbedder(dim=128))
+        stats = (
+            fs.IndexBuilder(str(tmp_path / "book"))
+            .with_documents(make_book())
+            .with_embedder_stack(stack)
+            .build()
+        )
+        assert stats.doc_count == 5
+        handle = fs.open_hybrid(str(tmp_path / "book"), fast_embedder=fs.HashEmbedder(dim=128))
+        cases = {
+            "buried treasure map": "ch02-island",
+            "mutiny on the ship captain": "ch03-mutiny",
+            "torch in the underground cave": "ch04-cave",
+        }
+        for query, expected in cases.items():
+            out = handle.searcher.search(query, k=3)
+            assert out.results[0].doc_id == expected, (query, out.results[:2])
+
+    def test_pressure_governor_gates_quality(self, tmp_path):
+        from frankensearch_tpu.ops.pressure import (
+            PressureSignals,
+            ResourcePressureGovernor,
+        )
+
+        fe, qe = fs.HashEmbedder(dim=64), fs.HashEmbedder(dim=96)
+        docs = make_book()
+        texts = [d.content for d in docs]
+        index = fs.TwoTierIndex.create(
+            str(tmp_path / "px"), fe.embed_batch(texts), [d.doc_id for d in docs],
+            fe.identity(), quality_vectors=qe.embed_batch(texts),
+            quality_identity=qe.identity(), use_pallas=False,
+        )
+        lexical = fs.MemoryLexicalIndex()
+        for d in docs:
+            lexical.add_document(d)
+        lexical.commit()
+        governor = ResourcePressureGovernor()
+        governor.observe(PressureSignals(queue_pressure=0.9))  # DEGRADED
+        searcher = fs.TwoTierSearcher(
+            index, fe, lexical=lexical, quality_embedder=qe, governor=governor
+        )
+        out = searcher.search("treasure map island", k=3)
+        assert out.metrics.phase2_skip_reason == "pressure"
+        assert out.results  # Phase-1 results still served
+
+
+class TestInt4Scan:
+    def test_int4_two_pass_recall(self, rng):
+        from frankensearch_tpu.ops.quantize import calibrate_int4
+        from frankensearch_tpu.ops.topk_scan import (
+            scan_topk_int4_two_pass,
+            scan_topk_xla,
+        )
+        import jax.numpy as jnp
+        from tests.conftest import make_unit_rows
+
+        slab = make_unit_rows(rng, 800, 64)
+        queries = make_unit_rows(rng, 6, 64)
+        q4 = calibrate_int4(slab)
+        res = scan_topk_int4_two_pass(
+            jnp.asarray(q4.packed), jnp.asarray(q4.scale), jnp.asarray(slab),
+            jnp.asarray(queries), 10, candidate_multiplier=8,
+        )
+        exact = scan_topk_xla(jnp.asarray(slab), jnp.asarray(queries), 10, precise=True)
+        for b in range(6):
+            overlap = len(
+                set(np.asarray(res.indices)[b]) & set(np.asarray(exact.indices)[b])
+            )
+            assert overlap >= 7, f"query {b}: {overlap}"
