@@ -1,0 +1,78 @@
+"""JSON-schema contract tests: real producer outputs validate against the
+committed schemas; invalid fixtures are rejected.
+
+Parity model: reference /schemas/*.schema.json with valid + invalid
+fixtures enforced by lint gates (SURVEY §4.3).
+"""
+
+import json
+import os
+import time
+
+import jsonschema
+import pytest
+
+SCHEMA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "schemas")
+
+
+def load(name):
+    with open(os.path.join(SCHEMA_DIR, name), encoding="utf-8") as f:
+        return json.load(f)
+
+
+class TestOutputEnvelope:
+    schema = staticmethod(lambda: load("output-envelope-v1.schema.json"))
+
+    def test_real_producer_validates(self):
+        from frankensearch_tpu.cli.output import envelope, error_envelope
+
+        jsonschema.validate(envelope({"x": 1}, warnings=["w"]), self.schema())
+        jsonschema.validate(error_envelope("code", "msg"), self.schema())
+
+    def test_invalid_rejected(self):
+        bad = {"v": 2, "ok": True, "data": None, "error": None, "warnings": []}
+        with pytest.raises(jsonschema.ValidationError):
+            jsonschema.validate(bad, self.schema())
+        bad2 = {"v": 1, "ok": False, "data": None, "error": {"code": ""}, "warnings": []}
+        with pytest.raises(jsonschema.ValidationError):
+            jsonschema.validate(bad2, self.schema())
+
+
+class TestStreamFrame:
+    def test_real_producer_validates(self):
+        from frankensearch_tpu.core.collectors import LiveSearchStreamEmitter
+
+        em = LiveSearchStreamEmitter()
+        frame = em.emit("phase", {"kind": "initial"})
+        jsonschema.validate(json.loads(frame.to_json()), load("stream-frame-v1.schema.json"))
+
+    def test_invalid_kind_rejected(self):
+        bad = {"v": 1, "frame": "fs.stream.query.v1", "seq": 1, "kind": "bogus", "payload": {}}
+        with pytest.raises(jsonschema.ValidationError):
+            jsonschema.validate(bad, load("stream-frame-v1.schema.json"))
+
+
+class TestTelemetryEnvelope:
+    def test_real_producer_validates(self):
+        from frankensearch_tpu.core.collectors import RuntimeMetricsCollector
+
+        got = []
+        c = RuntimeMetricsCollector(sink=got.append, cadence_ms=1e9)
+        c.record("search", {"latency_ms": 1.0})
+        env = c.flush()
+        jsonschema.validate(
+            json.loads(env.to_json()), load("telemetry-envelope-v1.schema.json")
+        )
+
+
+class TestGoldenProfile:
+    def test_real_producer_validates(self):
+        from frankensearch_tpu.utils.bench_regression import GoldenProfile
+
+        g = GoldenProfile("tiny", 100, {"search_p50_ms": 5.0}, replay_command="pytest")
+        jsonschema.validate(g.to_dict(), load("golden-profile-v1.schema.json"))
+
+    def test_empty_metrics_rejected(self):
+        bad = {"v": 1, "name": "x", "n_docs": 1, "metrics": {}}
+        with pytest.raises(jsonschema.ValidationError):
+            jsonschema.validate(bad, load("golden-profile-v1.schema.json"))
