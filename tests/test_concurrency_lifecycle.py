@@ -1,0 +1,154 @@
+"""Lock ordering, access matrix, publication leases, health checks,
+concurrency stress.
+
+Parity model: reference fsfs concurrency.rs + lifecycle.rs +
+concurrency_stress.rs.
+"""
+
+import json
+import os
+import threading
+import time
+
+import pytest
+
+from frankensearch_tpu.runtime.concurrency import (
+    AccessViolation,
+    LockLevel,
+    LockOrderViolation,
+    OrderedLock,
+    check_access,
+    single_writer_resources,
+)
+from frankensearch_tpu.runtime.lifecycle import (
+    HealthCheck,
+    LeaseHeld,
+    PidFile,
+    PublicationLease,
+    run_health_checks,
+)
+
+
+class TestLockOrder:
+    def test_increasing_order_ok(self):
+        a = OrderedLock(LockLevel.CATALOG)
+        b = OrderedLock(LockLevel.VECTOR_WRITER)
+        with a, b:
+            pass
+
+    def test_decreasing_order_raises(self):
+        a = OrderedLock(LockLevel.VECTOR_WRITER)
+        b = OrderedLock(LockLevel.CATALOG)
+        with a:
+            with pytest.raises(LockOrderViolation):
+                b.__enter__()
+
+    def test_same_level_raises(self):
+        a = OrderedLock(LockLevel.CATALOG, "a")
+        b = OrderedLock(LockLevel.CATALOG, "b")
+        with a:
+            with pytest.raises(LockOrderViolation):
+                b.__enter__()
+
+    def test_contention_metrics(self):
+        lock = OrderedLock(LockLevel.TELEMETRY)
+        hits = []
+
+        def worker():
+            with lock:
+                hits.append(1)
+                time.sleep(0.01)
+
+        threads = [threading.Thread(target=worker) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert lock.stats.acquisitions == 4
+        assert lock.stats.contended >= 1
+
+
+class TestAccessMatrix:
+    def test_allowed(self):
+        check_access("searcher", "vector_read")
+        check_access("refresh_worker", "vector_write")
+
+    def test_violations(self):
+        with pytest.raises(AccessViolation):
+            check_access("searcher", "vector_write")
+        with pytest.raises(AccessViolation):
+            check_access("nobody", "vector_read")
+
+    def test_single_writer_discipline(self):
+        singles = single_writer_resources()
+        assert "lexical_write" in singles  # only the refresh worker writes
+        assert "publication" in singles  # only the compactor publishes
+
+
+class TestPublicationLease:
+    def test_exclusive(self, tmp_path):
+        path = str(tmp_path / "lease")
+        with PublicationLease(path):
+            with pytest.raises(LeaseHeld):
+                PublicationLease(path).acquire()
+        # released: acquirable again
+        with PublicationLease(path):
+            pass
+
+    def test_stale_lease_reclaimed(self, tmp_path):
+        path = str(tmp_path / "lease")
+        with open(path, "w") as f:
+            json.dump({"pid": os.getpid(), "at": time.time() - 3600}, f)
+        lease = PublicationLease(path, stale_after_s=60)
+        lease.acquire()  # reclaims the stale lease
+        lease.release()
+
+    def test_dead_holder_reclaimed(self, tmp_path):
+        path = str(tmp_path / "lease")
+        with open(path, "w") as f:
+            json.dump({"pid": 2**22 + 12345, "at": time.time()}, f)  # unlikely pid
+        lease = PublicationLease(path)
+        lease.acquire()
+        lease.release()
+
+    def test_concurrent_acquire_single_winner(self, tmp_path):
+        path = str(tmp_path / "lease")
+        winners = []
+
+        def worker():
+            try:
+                lease = PublicationLease(path).acquire()
+                winners.append(lease)
+                time.sleep(0.05)
+                lease.release()
+            except LeaseHeld:
+                pass
+
+        threads = [threading.Thread(target=worker) for _ in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert 1 <= len(winners) <= 6
+        # the lease file is gone at the end (all released)
+        assert not os.path.exists(path)
+
+
+class TestPidHealth:
+    def test_pidfile(self, tmp_path):
+        pf = PidFile(str(tmp_path / "d.pid"))
+        pf.write()
+        assert pf.read() == os.getpid()
+        assert pf.is_running()
+        pf.remove()
+        assert pf.read() is None
+
+    def test_health_checks(self):
+        report = run_health_checks(
+            [
+                HealthCheck("ok", lambda: (True, "fine")),
+                HealthCheck("explodes", lambda: 1 / 0),
+            ]
+        )
+        assert not report["healthy"]
+        assert report["checks"][0]["ok"] and not report["checks"][1]["ok"]
