@@ -63,26 +63,20 @@ def _finalize(scores: jax.Array, indices: jax.Array, k: int) -> TopKResult:
 
 
 def iter_topk(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
-    """Exact top-k of (B, N) by k argmax passes (first-index tiebreak,
-    same contract as lax.top_k). For small k this is O(k*N) VPU work vs
-    lax.top_k's sort-based lowering — measured faster on TPU for the
-    candidate-merge shapes this module produces."""
+    """Exact top-k of (B, N) by k unrolled argmax passes (first-index
+    tiebreak, same contract as lax.top_k). For small k this is O(k*N)
+    VPU work vs lax.top_k's sort-based lowering; unrolled (k is static)
+    so the XLA graph stays flat and compile-friendly."""
     b, n = x.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
-
-    def body(j, carry):
-        xx, scores, idxs = carry
-        best = jnp.max(xx, axis=1)
-        bi = jnp.argmax(xx, axis=1).astype(jnp.int32)
-        xx = jnp.where(col == bi[:, None], NEG_INF, xx)
-        scores = jax.lax.dynamic_update_slice(scores, best[:, None], (0, j))
-        idxs = jax.lax.dynamic_update_slice(idxs, bi[:, None], (0, j))
-        return xx, scores, idxs
-
-    scores0 = jnp.full((b, k), NEG_INF, dtype=x.dtype)
-    idxs0 = jnp.zeros((b, k), dtype=jnp.int32)
-    _, scores, idxs = jax.lax.fori_loop(0, k, body, (x, scores0, idxs0))
-    return scores, idxs
+    scores, idxs = [], []
+    for _ in range(k):
+        best = jnp.max(x, axis=1)
+        bi = jnp.argmax(x, axis=1).astype(jnp.int32)
+        scores.append(best)
+        idxs.append(bi)
+        x = jnp.where(col == bi[:, None], NEG_INF, x)
+    return jnp.stack(scores, axis=1), jnp.stack(idxs, axis=1)
 
 
 # --------------------------------------------------------------------------

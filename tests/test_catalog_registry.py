@@ -1,0 +1,100 @@
+"""Catalog replay classification + model registry receipts."""
+
+import os
+import time
+
+import pytest
+
+from frankensearch_tpu.embed.model_manifest import (
+    build_model_manifest,
+    write_model_manifest,
+)
+from frankensearch_tpu.embed.model_registry import ModelRegistry
+from frankensearch_tpu.runtime.catalog import (
+    IndexCatalog,
+    ReplayDecision,
+)
+
+
+class TestCatalog:
+    def test_dirty_then_indexed_is_clean(self, tmp_path):
+        f = tmp_path / "a.txt"
+        f.write_text("hello")
+        st = os.stat(f)
+        cat = IndexCatalog()
+        cat.log_dirty(str(f), st.st_mtime, st.st_size)
+        items = cat.replay()
+        assert items[0].decision is ReplayDecision.REINDEX
+        cat.mark_indexed(str(f), st.st_mtime, st.st_size)
+        assert cat.replay() == []  # applied entries drop out
+
+    def test_clean_classification(self, tmp_path):
+        f = tmp_path / "a.txt"
+        f.write_text("hello")
+        st = os.stat(f)
+        cat = IndexCatalog()
+        cat.mark_indexed(str(f), st.st_mtime, st.st_size)
+        cat.log_dirty(str(f), st.st_mtime, st.st_size)  # spurious event
+        items = cat.replay()
+        assert items[0].decision is ReplayDecision.CLEAN
+
+    def test_superseded_and_tombstone(self, tmp_path):
+        f = tmp_path / "a.txt"
+        f.write_text("v1")
+        st = os.stat(f)
+        cat = IndexCatalog()
+        cat.log_dirty(str(f), st.st_mtime, st.st_size)
+        cat.log_tombstone(str(f))
+        decisions = {i.seq: i.decision for i in cat.replay()}
+        assert list(decisions.values()) == [ReplayDecision.SUPERSEDED, ReplayDecision.TOMBSTONE]
+
+    def test_vanished(self, tmp_path):
+        cat = IndexCatalog()
+        cat.log_dirty(str(tmp_path / "gone.txt"), 1.0, 10)
+        assert cat.replay()[0].decision is ReplayDecision.VANISHED
+
+    def test_dirty_set_crash_recovery(self, tmp_path):
+        """Crash between log_dirty and mark_indexed: replay finds it."""
+        db = str(tmp_path / "catalog.db")
+        f = tmp_path / "doc.md"
+        f.write_text("content")
+        st = os.stat(f)
+        cat1 = IndexCatalog(db)
+        cat1.log_dirty(str(f), st.st_mtime, st.st_size)
+        # "crash" — new process
+        cat2 = IndexCatalog(db)
+        assert cat2.dirty_set() == [str(f)]
+
+
+class TestModelRegistry:
+    def _stage(self, root, name):
+        d = root / "models" / name
+        d.mkdir(parents=True)
+        (d / "model.safetensors").write_bytes(b"weights-" + name.encode())
+        (d / "tokenizer.json").write_text("{}")
+        write_model_manifest(str(d), build_model_manifest(str(d), name, "r1", 64, "model2vec"))
+        return d
+
+    def test_verify_and_receipt_freshness(self, tmp_path):
+        self._stage(tmp_path, "potion-test")
+        reg = ModelRegistry(str(tmp_path / "models"))
+        first = reg.verify("potion-test")
+        assert first.verified and not first.receipt_fresh
+        second = reg.verify("potion-test")
+        assert second.verified and second.receipt_fresh  # receipt short-circuit
+
+    def test_corruption_invalidates(self, tmp_path):
+        d = self._stage(tmp_path, "m1")
+        reg = ModelRegistry(str(tmp_path / "models"))
+        reg.verify("m1")
+        (d / "model.safetensors").write_bytes(b"tampered")
+        # receipt still matches the manifest, so force a re-verify
+        result = reg.verify("m1", force=True)
+        assert not result.verified
+
+    def test_list_models(self, tmp_path):
+        self._stage(tmp_path, "a-model")
+        self._stage(tmp_path, "b-model")
+        reg = ModelRegistry(str(tmp_path / "models"))
+        assert reg.list_models() == ["a-model", "b-model"]
+        assert all(m.verified for m in reg.verified_models())
