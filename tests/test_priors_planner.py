@@ -1,0 +1,92 @@
+"""Ranking priors + query planner tests."""
+
+import pytest
+
+from frankensearch_tpu.core.decision_plane import PipelineAction, ReasonCode, ResourceBudget
+from frankensearch_tpu.core.types import ScoredResult
+from frankensearch_tpu.fusion.priors import RankingPriors
+from frankensearch_tpu.runtime.query_planner import (
+    LatencyDecomposition,
+    QueryIntent,
+    classify_intent,
+    plan_query,
+)
+
+
+def sr(doc_id, score, **kw):
+    return ScoredResult(doc_id=doc_id, score=score, **kw)
+
+
+class TestRankingPriors:
+    def test_recency_boost_reorders_near_ties(self):
+        t = [1_000_000.0]
+        priors = RankingPriors(clock=lambda: t[0])
+        fresh = sr("fresh.md", 0.50, metadata={"mtime": t[0] - 3600})
+        stale = sr("stale.md", 0.505, metadata={"mtime": t[0] - 365 * 86400})
+        out = priors.apply([stale, fresh], "some query")
+        assert out[0].doc_id == "fresh.md"
+
+    def test_boost_cannot_overturn_clear_win(self):
+        t = [1_000_000.0]
+        priors = RankingPriors(clock=lambda: t[0])
+        strong = sr("strong.md", 1.0, metadata={"mtime": 0})
+        weak = sr("weak.md", 0.5, metadata={"mtime": t[0]})
+        out = priors.apply([strong, weak], "query")
+        assert out[0].doc_id == "strong.md"
+
+    def test_path_proximity(self):
+        priors = RankingPriors(working_path="src/fusion")
+        near = sr("src/fusion/rrf.py", 0.5)
+        far = sr("docs/readme.md", 0.5)
+        out = priors.apply([far, near], "query words")
+        assert out[0].doc_id == "src/fusion/rrf.py"
+
+    def test_symbol_boost_for_identifier_queries(self):
+        priors = RankingPriors(symbols={"a.py": ["TwoTierSearcher"], "b.py": ["Other"]})
+        out = priors.apply(
+            [sr("b.py", 0.5), sr("a.py", 0.5)], "TwoTierSearcher"
+        )
+        assert out[0].doc_id == "a.py"
+
+    def test_disabled_under_pressure(self):
+        class Gov:
+            allow_ranking_priors = False
+
+        t = [1_000_000.0]
+        priors = RankingPriors(governor=Gov(), clock=lambda: t[0])
+        stale = sr("stale.md", 0.505, metadata={"mtime": 0})
+        fresh = sr("fresh.md", 0.50, metadata={"mtime": t[0]})
+        out = priors.apply([stale, fresh], "query")
+        assert out[0].doc_id == "stale.md"  # untouched order by score
+
+
+class TestQueryPlanner:
+    def test_intent_classification(self):
+        assert classify_intent("src/main.rs") is QueryIntent.LOOKUP
+        assert classify_intent("error handling") is QueryIntent.KEYWORD
+        assert classify_intent("how does the fused scan work") is QueryIntent.EXPLORATORY
+        assert classify_intent("  ") is QueryIntent.EMPTY
+
+    def test_lookup_plan_skips_quality(self):
+        plan = plan_query("bd-123", budget=ResourceBudget(wall_ms=100))
+        assert plan.stage("quality").enabled is False
+        assert plan.stage("lexical").budget_ms == pytest.approx(50.0)
+
+    def test_exploratory_enables_rerank_when_present(self):
+        plan = plan_query("how does it work exactly", has_reranker=True)
+        assert plan.stage("rerank").enabled
+        plan2 = plan_query("how does it work exactly", has_reranker=False)
+        assert not plan2.stage("rerank").enabled
+        assert plan2.stage("rerank").reason == "no reranker"
+
+    def test_latency_decomposition_and_budget_decision(self):
+        plan = plan_query("how does it work exactly", budget=ResourceBudget(wall_ms=100))
+        dec = LatencyDecomposition(plan=plan)
+        dec.record("lexical", 5.0)
+        dec.record("fast_vector", 30.0)  # over its 20ms stage budget
+        assert dec.over_budget_stages() == ["fast_vector"]
+        d = dec.decision_for("quality")
+        assert d.action is PipelineAction.RUN_FULL
+        dec.record("quality", 80.0)  # blows the total budget
+        d2 = dec.decision_for("rerank")
+        assert d2.reason is ReasonCode.BUDGET_EXHAUSTED
