@@ -1,0 +1,102 @@
+"""Sync searcher parity (vs async searcher) + index cache staleness.
+
+Parity model: reference fusion/tests/searcher_parity_conformance.rs
+(async vs sync parity) and cache.rs staleness tests.
+"""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu.core.types import IndexableDocument, PhaseKind
+from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+from frankensearch_tpu.fusion.index_cache import IndexCache, SentinelFileDetector
+from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+from frankensearch_tpu.fusion.sync_searcher import SyncTwoTierSearcher
+from frankensearch_tpu.index.two_tier import TwoTierIndex
+from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+
+CORPUS = [
+    ("d1", "rust async futures executors"),
+    ("d2", "jax tpu jit compilation"),
+    ("d3", "bm25 lexical ranking scores"),
+    ("d4", "vector cosine similarity search"),
+    ("d5", "sqlite btree write ahead log"),
+]
+
+
+@pytest.fixture()
+def stack(tmp_path):
+    fe, qe = HashEmbedder(dim=64), HashEmbedder(dim=96)
+    texts = [b for _, b in CORPUS]
+    index = TwoTierIndex.create(
+        str(tmp_path / "sx"), fe.embed_batch(texts), [d for d, _ in CORPUS],
+        fe.identity(), quality_vectors=qe.embed_batch(texts),
+        quality_identity=qe.identity(), use_pallas=False,
+    )
+    lexical = MemoryLexicalIndex()
+    for d, b in CORPUS:
+        lexical.add_document(IndexableDocument(doc_id=d, content=b))
+    lexical.commit()
+    return index, lexical, fe, qe
+
+
+class TestSyncParity:
+    def test_matches_async_searcher_ranking(self, stack):
+        """The sync searcher over precomputed vectors must produce the
+        same refined ranking as the async searcher (parity conformance)."""
+        index, lexical, fe, qe = stack
+        async_s = TwoTierSearcher(
+            index, fe, lexical=lexical, quality_embedder=qe,
+            cache_query_embeddings=False,
+        )
+        sync_s = SyncTwoTierSearcher(index, lexical=lexical)
+        for query in ("vector search", "rust futures", "sqlite log"):
+            a = async_s.search(query, k=5)
+            s = sync_s.search(query, fe.embed(query), qe.embed(query), k=5)
+            assert [r.doc_id for r in a.results] == [r.doc_id for r in s.results], query
+            a_scores = [round(r.score, 6) for r in a.results]
+            s_scores = [round(r.score, 6) for r in s.results]
+            assert a_scores == s_scores
+
+    def test_phases_emitted(self, stack):
+        index, lexical, fe, qe = stack
+        s = SyncTwoTierSearcher(index, lexical=lexical)
+        out = s.search("vector search", fe.embed("vector search"), qe.embed("vector search"), k=3)
+        assert [p.kind for p in out.phases] == [PhaseKind.INITIAL, PhaseKind.REFINED]
+        assert out.kendall_tau is not None
+
+    def test_fast_only_no_quality_vec(self, stack):
+        index, lexical, fe, _ = stack
+        s = SyncTwoTierSearcher(index, lexical=lexical)
+        out = s.search("vector search", fe.embed("vector search"), None, k=3)
+        assert [p.kind for p in out.phases] == [PhaseKind.INITIAL]
+
+
+class TestIndexCache:
+    def test_reload_on_sentinel_change(self, stack, tmp_path):
+        index, lexical, fe, qe = stack
+        root = index.root
+        cache = IndexCache.for_root(root, use_pallas=False)
+        first = cache.get()
+        assert cache.get() is first  # no change -> same object
+        assert cache.reloads == 0
+        # append through a separate handle (touches the WAL sentinel)
+        other = TwoTierIndex.open(root, use_pallas=False)
+        other.append_fast(["fresh"], fe.embed_batch(["fresh appended doc"]))
+        reloaded = cache.get()
+        assert reloaded is not first
+        assert cache.reloads == 1
+        assert reloaded.doc_count() == first.doc_count() + 1
+
+    def test_detector_fingerprint(self, tmp_path):
+        f = tmp_path / "sentinel"
+        f.write_text("a")
+        det = SentinelFileDetector([str(f)])
+        s1 = det.snapshot()
+        assert det.snapshot() == s1
+        time.sleep(0.01)
+        f.write_text("ab")
+        assert det.snapshot() != s1
