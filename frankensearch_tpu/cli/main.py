@@ -562,11 +562,43 @@ def cmd_serve(args) -> dict | None:
             continue
         if op == "search":
             try:
-                res = handle.searcher.search(str(req.get("query", "")), k=int(req.get("k", 10)))
-                print(
-                    json.dumps(envelope(_result_rows(res.results)), default=str),
-                    file=out, flush=True,
-                )
+                stream = bool(req.get("stream", args.stream))
+                if stream:
+                    # versioned stream frames per phase
+                    # (stream_protocol.rs fsfs.stream.query.v1 analog)
+                    from frankensearch_tpu.core.collectors import StreamFrame
+
+                    seq = [0]
+
+                    def emit_frame(kind, payload):
+                        seq[0] += 1
+                        print(
+                            StreamFrame(seq=seq[0], kind=kind, payload=payload).to_json(),
+                            file=out, flush=True,
+                        )
+
+                    res = handle.searcher.search(
+                        str(req.get("query", "")),
+                        k=int(req.get("k", 10)),
+                        on_phase=lambda p: emit_frame(
+                            "phase",
+                            {
+                                "phase": p.kind.value,
+                                "latency_ms": round(p.latency_ms, 2),
+                                "results": [r.to_dict() for r in p.results],
+                            },
+                        ),
+                    )
+                    emit_frame("metrics", res.metrics.to_dict())
+                    emit_frame("end", {"result_count": len(res.results)})
+                else:
+                    res = handle.searcher.search(
+                        str(req.get("query", "")), k=int(req.get("k", 10))
+                    )
+                    print(
+                        json.dumps(envelope(_result_rows(res.results)), default=str),
+                        file=out, flush=True,
+                    )
             except Exception as e:
                 print(
                     json.dumps(error_envelope(type(e).__name__, str(e))), file=out, flush=True
@@ -654,6 +686,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = add("serve", cmd_serve, help="NDJSON query server on stdin/stdout")
     sp.add_argument("--fast-only", action="store_true")
+    sp.add_argument("--stream", action="store_true",
+                    help="emit per-phase stream frames (fs.stream.query.v1)")
 
     return p
 
