@@ -269,6 +269,128 @@ class TwoTierSearcher:
         self._export(metrics, t_start)
         return SearchOutcome(results=results, phases=phases, metrics=metrics)
 
+    # ------------------------------------------------------------------ batch
+
+    def search_batch(
+        self,
+        queries: Sequence[str],
+        k: int = 10,
+        *,
+        search_filter=None,
+    ) -> list[SearchOutcome]:
+        """Batched multi-query search — the TPU-native throughput path.
+
+        No reference analog (the reference optimizes single-query p50;
+        SURVEY §7 'small-batch latency vs batched throughput'): all
+        queries embed in ONE device call and scan in ONE batched device
+        program; per-query fusion/hydration stays host-side. Phase-2
+        quality rescoring batches the same way. Results are identical to
+        per-query search() for the same config (asserted by tests);
+        phase callbacks/timeouts are not supported here — batch mode is
+        for offline/agent workloads, not progressive UI.
+        """
+        queries = list(queries)
+        outcomes: list[SearchOutcome] = [SearchOutcome(results=[]) for _ in queries]
+        if not queries:
+            return outcomes
+        cfg = self.config
+
+        parsed_list = [ParsedQuery.parse(self.canonicalizer.canonicalize_query(q)) for q in queries]
+        classes = [QueryClass.classify(p.positive or q) for p, q in zip(parsed_list, queries)]
+        live = [
+            i for i, qc in enumerate(classes) if qc is not QueryClass.EMPTY
+        ]
+        for i, qc in enumerate(classes):
+            outcomes[i].metrics.query_class = qc.value
+        if not live:
+            return outcomes
+
+        # one device call for all fast embeddings
+        fast_vecs = None
+        if self._semantic_admitted:
+            try:
+                fast_vecs = self.fast_embedder.embed_batch(
+                    [parsed_list[i].positive for i in live]
+                )
+            except Exception:
+                fast_vecs = None
+
+        # one batched scan
+        hits_per_query: dict[int, list[VectorHit]] = {}
+        if fast_vecs is not None:
+            sem_budget = max(
+                int(candidate_count(k, 0, cfg.candidate_multiplier)
+                    * max(classes[i].semantic_budget_multiplier() for i in live)),
+                k,
+            )
+            res = self.index.fast.search_batch(
+                fast_vecs, sem_budget, search_filter=search_filter
+            )
+            hydrated = self.index.fast.hydrate(res)
+            for j, i in enumerate(live):
+                hits_per_query[i] = hydrated[j]
+
+        # batched quality rescore over the union of hit rows
+        qscores_per_query: dict[int, dict[str, float]] = {}
+        if (
+            not cfg.fast_only
+            and self.quality_embedder is not None
+            and self.index.has_quality_tier
+            and hits_per_query
+        ):
+            try:
+                q_vecs = self.quality_embedder.embed_batch(
+                    [parsed_list[i].positive for i in live]
+                )
+                for j, i in enumerate(live):
+                    hits = hits_per_query.get(i, [])
+                    if hits:
+                        qscores_per_query[i] = self.index.quality_scores_for_hits(
+                            q_vecs[j], hits
+                        )
+            except Exception:
+                qscores_per_query = {}
+
+        # per-query host-side fusion (identical contract to search())
+        for i in live:
+            parsed, qclass = parsed_list[i], classes[i]
+            lexical_pool: list[ScoredResult] = []
+            if self.lexical is not None:
+                lex_budget = max(
+                    int(candidate_count(k, 0, cfg.candidate_multiplier)
+                        * qclass.lexical_budget_multiplier()),
+                    k,
+                )
+                try:
+                    lexical_pool = self.lexical.search(parsed.positive, lex_budget)
+                except Exception:
+                    lexical_pool = []
+            fast_hits = hits_per_query.get(i, [])
+            rrf_cfg = RrfConfig(
+                k=self._effective_rrf_k(qclass),
+                lexical_weight=cfg.lexical_rrf_weight,
+                semantic_weight=self._effective_semantic_weight(lexical_pool, parsed),
+                tiebreak=cfg.tiebreak,
+            )
+            qscores = qscores_per_query.get(i)
+            if qscores:
+                aligned = [qscores.get(h.doc_id) for h in fast_hits]
+                blended = blend_two_tier_aligned(fast_hits, aligned, cfg.quality_weight)
+                fused = fuse_by_strategy(cfg.fusion_strategy, lexical_pool, blended, k, 0, rrf_cfg)
+            else:
+                fused = fuse_by_strategy(cfg.fusion_strategy, lexical_pool, fast_hits, k, 0, rrf_cfg)
+            results = self._fused_to_results(fused, lexical_pool, fast_hits, None, parsed)
+            if qscores:
+                for r in results:
+                    if r.doc_id in qscores:
+                        r.quality_score = qscores[r.doc_id]
+                        r.sources |= SearchSource.QUALITY_VECTOR
+            outcomes[i].results = results[:k]
+            outcomes[i].metrics.fast_candidates = len(fast_hits)
+            outcomes[i].metrics.lexical_candidates = len(lexical_pool)
+            outcomes[i].metrics.quality_candidates = len(qscores or {})
+        return outcomes
+
     # ------------------------------------------------------------------ phase 1
 
     def _run_phase1(

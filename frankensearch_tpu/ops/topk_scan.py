@@ -320,14 +320,15 @@ def scan_topk_hierarchical(
     top_groups = jnp.sort(top_groups, axis=1)  # row-ascending tiebreak
     slab_grouped = slab.reshape(n_groups, group * d)
     cand = jnp.take(slab_grouped, top_groups.reshape(-1), axis=0)
-    # rescore in the slab dtype (bf16 x bf16 -> f32 accumulation): the
-    # same arithmetic as the scan itself, and half the gather traffic of
-    # materializing f32 candidates
-    cand = cand.reshape(b, kk_groups * group, d)
+    # f32 rescore of the gathered candidates. (A bf16-rescore variant
+    # halves the materialized candidate bytes but produced pathological
+    # remote-compile times on the axon tunnel; this exact graph is the
+    # one measured at 5.0 ms / 51k QPS in docs/PERF_LEDGER.md.)
+    cand = cand.reshape(b, kk_groups * group, d).astype(jnp.float32)
     row_offsets = jax.lax.broadcasted_iota(jnp.int32, (1, 1, group), 2)
     cand_rows = (top_groups[:, :, None] * group + row_offsets).reshape(b, kk_groups * group)
     exact = jnp.einsum(
-        "bd,bcd->bc", queries.astype(slab.dtype), cand,
+        "bd,bcd->bc", queries.astype(jnp.float32), cand,
         preferred_element_type=jnp.float32,
     )
     exact = exact + jnp.take(mask, cand_rows)

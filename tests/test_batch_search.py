@@ -1,0 +1,70 @@
+"""Batched multi-query search parity with per-query search."""
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu.core.config import TwoTierConfig
+from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+from frankensearch_tpu.index.two_tier import TwoTierIndex
+from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+
+CORPUS = [
+    ("d1", "rust async futures executors"),
+    ("d2", "jax tpu jit compilation pipeline"),
+    ("d3", "bm25 lexical ranking scores"),
+    ("d4", "vector cosine similarity search"),
+    ("d5", "sqlite btree write ahead log"),
+    ("d6", "gradient descent training loop"),
+]
+
+QUERIES = ["vector search", "rust futures", "", "sqlite log", "training gradient"]
+
+
+@pytest.fixture()
+def searcher(tmp_path):
+    fe, qe = HashEmbedder(dim=64), HashEmbedder(dim=96)
+    texts = [b for _, b in CORPUS]
+    index = TwoTierIndex.create(
+        str(tmp_path / "bx"), fe.embed_batch(texts), [d for d, _ in CORPUS],
+        fe.identity(), quality_vectors=qe.embed_batch(texts),
+        quality_identity=qe.identity(), use_pallas=False,
+    )
+    lexical = MemoryLexicalIndex()
+    for d, b in CORPUS:
+        lexical.add_document(IndexableDocument(doc_id=d, content=b))
+    lexical.commit()
+    return TwoTierSearcher(
+        index, fe, lexical=lexical, quality_embedder=qe, cache_query_embeddings=False
+    )
+
+
+class TestBatchSearch:
+    def test_matches_per_query_results(self, searcher):
+        batch = searcher.search_batch(QUERIES, k=4)
+        assert len(batch) == len(QUERIES)
+        for q, out in zip(QUERIES, batch):
+            single = searcher.search(q, k=4)
+            assert [r.doc_id for r in out.results] == [r.doc_id for r in single.results], q
+            # quality evidence carried over in batch mode too
+            if single.results and single.results[0].quality_score is not None:
+                assert out.results[0].quality_score is not None
+
+    def test_empty_query_in_batch(self, searcher):
+        batch = searcher.search_batch(["", "vector search"], k=3)
+        assert batch[0].results == []
+        assert batch[0].metrics.query_class == "empty"
+        assert batch[1].results
+
+    def test_empty_batch(self, searcher):
+        assert searcher.search_batch([], k=3) == []
+
+    def test_fast_only_batch(self, searcher):
+        searcher.config.fast_only = True
+        try:
+            batch = searcher.search_batch(["vector search"], k=3)
+            assert batch[0].results
+            assert all(r.quality_score is None for r in batch[0].results)
+        finally:
+            searcher.config.fast_only = False
