@@ -1,0 +1,77 @@
+"""Mesh-sharded DeviceVectorIndex: the multi-chip product path.
+
+Drops into TwoTierIndex as the fast (or quality) tier: identical host
+interface to DeviceVectorIndex, but the slab rows are sharded over a
+``Mesh("d")`` and every batched search runs the shard_map scan with the
+device-side all_gather top-k merge (parallel/sharded_scan.py). This is
+the BASELINE.json "10M docs sharded across TPU cores" configuration as
+a first-class index type rather than a raw op.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from frankensearch_tpu.index.device_index import NEG_INF, DeviceVectorIndex
+from frankensearch_tpu.index.fsvi import EmbeddingIdentity
+from frankensearch_tpu.ops import topk_scan
+from frankensearch_tpu.parallel.mesh import make_mesh
+from frankensearch_tpu.parallel.sharded_scan import sharded_scan_topk
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+class ShardedDeviceVectorIndex(DeviceVectorIndex):
+    """DeviceVectorIndex whose slab/mask live row-sharded on a mesh."""
+
+    def __init__(
+        self,
+        vectors: np.ndarray,
+        doc_ids: Sequence[str],
+        identity: EmbeddingIdentity,
+        *,
+        mesh: Mesh | None = None,
+        axis: str = "d",
+        **kwargs,
+    ) -> None:
+        self.mesh = mesh or make_mesh(axes=(axis,))
+        self.axis = axis
+        n_dev = self.mesh.shape[axis]
+        # pad rows so every shard is equal + sublane aligned
+        tile_n = kwargs.pop("tile_n", 8)
+        tile_n = _round_up(max(tile_n, 8), 8) * n_dev
+        super().__init__(vectors, doc_ids, identity, tile_n=tile_n, **kwargs)
+        # re-place the padded slab + mask with row sharding
+        slab_sharding = NamedSharding(self.mesh, P(axis, None))
+        mask_sharding = NamedSharding(self.mesh, P(axis))
+        self.slab = jax.device_put(self.slab, slab_sharding)
+        self.base_mask = jax.device_put(self.base_mask, mask_sharding)
+
+    def search_batch(
+        self,
+        queries: np.ndarray | jax.Array,
+        k: int,
+        *,
+        search_filter=None,
+        metadata=None,
+        mode: str = "auto",
+        **_unused,
+    ) -> topk_scan.TopKResult:
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.d_pad:
+            q = np.pad(q, ((0, 0), (0, self.d_pad - q.shape[1])))
+        mask = self._effective_mask(search_filter, metadata)
+        # mask may have been rebuilt host-side by filters: re-shard it
+        mask = jax.device_put(mask, NamedSharding(self.mesh, P(self.axis)))
+        return sharded_scan_topk(
+            self.slab, mask, jnp.asarray(q), k, mesh=self.mesh, axis=self.axis
+        )

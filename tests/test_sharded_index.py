@@ -1,0 +1,77 @@
+"""Mesh-sharded index as the fast tier of the full product stack."""
+
+import jax
+import numpy as np
+import pytest
+
+from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+from frankensearch_tpu.index.device_index import DeviceVectorIndex
+from frankensearch_tpu.index.two_tier import TwoTierIndex
+from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+from frankensearch_tpu.parallel.sharded_index import ShardedDeviceVectorIndex
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multi-device platform"
+)
+
+CORPUS = [
+    (f"d{i}", f"document number {i} about topic {i % 5} words content")
+    for i in range(40)
+]
+
+
+class TestShardedIndex:
+    def _build(self, fe):
+        texts = [b for _, b in CORPUS]
+        vecs = fe.embed_batch(texts)
+        ids = [d for d, _ in CORPUS]
+        sharded = ShardedDeviceVectorIndex(
+            vecs, ids, fe.identity(), slab_dtype="f32", use_pallas=False
+        )
+        single = DeviceVectorIndex(
+            vecs, ids, fe.identity(), slab_dtype="f32", use_pallas=False
+        )
+        return sharded, single
+
+    def test_matches_single_device(self):
+        fe = HashEmbedder(dim=64)
+        sharded, single = self._build(fe)
+        q = fe.embed_batch(["topic 3 words", "document number"])
+        rs = sharded.search_batch(q, 8)
+        r1 = single.search_batch(q, 8, mode="xla")
+        for b in range(2):
+            assert set(np.asarray(rs.indices)[b]) == set(np.asarray(r1.indices)[b])
+
+    def test_tombstones_respected(self):
+        fe = HashEmbedder(dim=64)
+        texts = [b for _, b in CORPUS]
+        vecs = fe.embed_batch(texts)
+        ids = [d for d, _ in CORPUS]
+        sharded = ShardedDeviceVectorIndex(
+            vecs, ids, fe.identity(), slab_dtype="f32", use_pallas=False,
+            tombstoned=np.array([i == 7 for i in range(len(ids))]),
+        )
+        res = sharded.search_batch(fe.embed_batch([texts[7]]), 5)
+        idx = np.asarray(res.indices)[0]
+        assert 7 not in idx[idx >= 0]
+
+    def test_full_stack_with_sharded_fast_tier(self):
+        """TwoTierIndex + searcher over a sharded fast tier: the multi-chip
+        product path end-to-end."""
+        fe = HashEmbedder(dim=64)
+        texts = [b for _, b in CORPUS]
+        sharded = ShardedDeviceVectorIndex(
+            fe.embed_batch(texts), [d for d, _ in CORPUS], fe.identity(),
+            slab_dtype="f32", use_pallas=False,
+        )
+        index = TwoTierIndex(fast=sharded)
+        lexical = MemoryLexicalIndex()
+        for d, b in CORPUS:
+            lexical.add_document(IndexableDocument(doc_id=d, content=b))
+        lexical.commit()
+        searcher = TwoTierSearcher(index, fe, lexical=lexical)
+        out = searcher.search("topic 2 words content", k=5)
+        assert out.results
+        assert out.metrics.fast_candidates > 0
