@@ -1,0 +1,90 @@
+"""Deterministic pressure-scenario harness with golden transitions.
+
+Parity model: reference fsfs pressure_simulation_harness.rs — synthetic
+pressure scenarios drive the degradation state machine; the transition
+sequences are golden-pinned; a long soak checks anti-flap drift bounds.
+"""
+
+import math
+
+import pytest
+
+from frankensearch_tpu.ops.pressure import (
+    DegradationStateMachine,
+    PressureSignals,
+    PressureState,
+    ResourcePressureGovernor,
+)
+
+
+def run_scenario(samples, min_dwell_s=5.0):
+    """samples: list of (t, worst_signal). Returns transition list."""
+    t_holder = [0.0]
+    m = DegradationStateMachine(min_dwell_s=min_dwell_s, clock=lambda: t_holder[0])
+    for t, worst in samples:
+        t_holder[0] = t
+        m.observe(PressureSignals(queue_pressure=worst))
+    return [(t, s.name) for t, s in m.transitions]
+
+
+class TestGoldenScenarios:
+    def test_spike_and_recover(self):
+        # 0-10s calm, spike at 11-13s, recovery after
+        samples = [(float(t), 0.2) for t in range(0, 11)]
+        samples += [(11.0, 0.9), (12.0, 0.92), (13.0, 0.9)]
+        samples += [(float(t), 0.2) for t in range(14, 25)]
+        golden = [(11.0, "DEGRADED"), (19.0, "NORMAL")]
+        assert run_scenario(samples) == golden
+
+    def test_staircase_escalation(self):
+        samples = [(0.0, 0.5), (1.0, 0.72), (2.0, 0.87), (3.0, 0.96)]
+        golden = [(1.0, "ELEVATED"), (2.0, "DEGRADED"), (3.0, "EMERGENCY")]
+        assert run_scenario(samples) == golden
+
+    def test_flapping_signal_does_not_flap_state(self):
+        # oscillate just around the DEGRADED enter threshold
+        samples = []
+        for t in range(40):
+            worst = 0.86 if t % 2 == 0 else 0.83
+            samples.append((float(t), worst))
+        transitions = run_scenario(samples)
+        # one escalation, zero de-escalations (hysteresis holds state)
+        assert transitions == [(0.0, "DEGRADED")]
+
+    def test_sine_soak_bounded_transitions(self):
+        """Soak: 1000 samples of a slow sine across thresholds; anti-flap
+        must keep transition count near the number of threshold crossings,
+        not the sample count."""
+        samples = []
+        for i in range(1000):
+            t = float(i)
+            worst = 0.55 + 0.45 * (0.5 + 0.5 * math.sin(2 * math.pi * i / 200.0))
+            samples.append((t, worst))
+        transitions = run_scenario(samples, min_dwell_s=5.0)
+        # 5 periods x up to 6 threshold crossings each (3 up, 3 down) + init;
+        # the point: transitions track crossings (~31), not samples (1000)
+        assert 5 <= len(transitions) <= 35
+        # never two consecutive identical states
+        states = [s for _, s in transitions]
+        assert all(a != b for a, b in zip(states, states[1:]))
+
+    def test_governor_scenario_gates_follow_state(self):
+        t = [0.0]
+        gov = ResourcePressureGovernor()
+        gov.machine.clock = lambda: t[0]
+        timeline = []
+        for step, worst in [(0, 0.2), (1, 0.75), (2, 0.9), (3, 0.97), (4, 0.2), (12, 0.2)]:
+            t[0] = float(step)
+            gov.observe(PressureSignals(host_mem_used_frac=worst))
+            timeline.append(
+                (step, gov.state.name, gov.allow_quality_tier, gov.allow_rerank)
+            )
+        golden = [
+            (0, "NORMAL", True, True),
+            (1, "ELEVATED", True, False),
+            (2, "DEGRADED", False, False),
+            (3, "EMERGENCY", False, False),
+            (4, "EMERGENCY", False, False),  # dwell pending
+            (12, "NORMAL", True, True),
+        ]
+        assert timeline == golden
