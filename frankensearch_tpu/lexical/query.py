@@ -1,0 +1,253 @@
+"""Engine-neutral boolean query trees + lenient parser.
+
+Parity target: reference crates/frankensearch-quill/src/query.rs —
+engine-neutral query trees (term / phrase / AND / OR / NOT), a lenient
+default parser (bad syntax degrades to terms instead of erroring),
+canonicalization diagnostics, and MAX_QUERY_DEPTH/LENGTH guards.
+
+Evaluation here runs against any LexicalRead-style postings source via
+a document-predicate compilation (the scorer-tree role of argus.rs is
+already covered by the BM25 scorers; the boolean tree FILTERS the
+candidate set and phrase terms feed scoring).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from frankensearch_tpu.lexical.tokenizer import simple_tokenize
+
+MAX_QUERY_LENGTH = 1024
+MAX_QUERY_DEPTH = 16
+
+
+@dataclass(frozen=True)
+class Term:
+    text: str
+
+
+@dataclass(frozen=True)
+class Phrase:
+    terms: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class And:
+    children: tuple["Node", ...]
+
+
+@dataclass(frozen=True)
+class Or:
+    children: tuple["Node", ...]
+
+
+@dataclass(frozen=True)
+class Not:
+    child: "Node"
+
+
+Node = Term | Phrase | And | Or | Not
+
+
+@dataclass
+class ParseDiagnostics:
+    warnings: list[str] = field(default_factory=list)
+    truncated: bool = False
+    depth_clamped: bool = False
+
+
+@dataclass(frozen=True)
+class ParsedBooleanQuery:
+    root: Node | None
+    diagnostics: ParseDiagnostics
+
+    def positive_terms(self) -> list[str]:
+        """Terms usable for scoring (everything not under a NOT)."""
+        out: list[str] = []
+
+        def walk(node: Node, negated: bool) -> None:
+            if isinstance(node, Term):
+                if not negated:
+                    out.append(node.text)
+            elif isinstance(node, Phrase):
+                if not negated:
+                    out.extend(node.terms)
+            elif isinstance(node, (And, Or)):
+                for c in node.children:
+                    walk(c, negated)
+            elif isinstance(node, Not):
+                walk(node.child, not negated)
+
+        if self.root is not None:
+            walk(self.root, False)
+        return out
+
+
+class _Tokens:
+    def __init__(self, items: list[str]) -> None:
+        self.items = items
+        self.pos = 0
+
+    def peek(self) -> str | None:
+        return self.items[self.pos] if self.pos < len(self.items) else None
+
+    def next(self) -> str | None:
+        tok = self.peek()
+        if tok is not None:
+            self.pos += 1
+        return tok
+
+
+def _lex(raw: str, diag: ParseDiagnostics) -> list[str]:
+    out: list[str] = []
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i]
+        if c.isspace():
+            i += 1
+        elif c in "()":
+            out.append(c)
+            i += 1
+        elif c == '"':
+            j = raw.find('"', i + 1)
+            if j < 0:
+                diag.warnings.append("unterminated phrase quote; treating as terms")
+                i += 1
+            else:
+                out.append(raw[i : j + 1])
+                i = j + 1
+        else:
+            j = i
+            while j < n and not raw[j].isspace() and raw[j] not in '()"':
+                j += 1
+            out.append(raw[i:j])
+            i = j
+    return out
+
+
+def parse_query(raw: str) -> ParsedBooleanQuery:
+    """Lenient recursive-descent parse of ``a AND (b OR "c d") NOT e``.
+    Bare adjacency is OR (the default Should union, matching the
+    reference's lenient parser)."""
+    diag = ParseDiagnostics()
+    if len(raw) > MAX_QUERY_LENGTH:
+        raw = raw[:MAX_QUERY_LENGTH]
+        diag.truncated = True
+    tokens = _Tokens(_lex(raw, diag))
+
+    def parse_group(depth: int) -> Node | None:
+        if depth > MAX_QUERY_DEPTH:
+            diag.depth_clamped = True
+            # swallow until matching close paren
+            while tokens.peek() not in (None, ")"):
+                tokens.next()
+            return None
+        items: list[Node] = []
+        op: str | None = None
+        pending_not = False
+        while True:
+            tok = tokens.peek()
+            if tok is None or tok == ")":
+                break
+            tokens.next()
+            if tok.upper() in ("AND", "OR"):
+                if not items:
+                    diag.warnings.append(f"leading {tok.upper()} ignored")
+                    continue
+                if op is not None and op != tok.upper():
+                    diag.warnings.append(
+                        f"mixed AND/OR without parens; keeping {op}"
+                    )
+                    continue
+                op = tok.upper()
+                continue
+            if tok.upper() == "NOT" or tok == "-":
+                pending_not = True
+                continue
+            node: Node | None
+            if tok == "(":
+                node = parse_group(depth + 1)
+                if tokens.peek() == ")":
+                    tokens.next()
+                else:
+                    diag.warnings.append("unbalanced parenthesis")
+            elif tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
+                terms = tuple(simple_tokenize(tok[1:-1]))
+                node = Phrase(terms) if terms else None
+            elif tok.startswith("-") and len(tok) > 1:
+                inner = simple_tokenize(tok[1:])
+                node = Not(Term(inner[0])) if inner else None
+                if node is not None:
+                    items.append(node)
+                continue
+            else:
+                terms = simple_tokenize(tok)
+                node = Term(terms[0]) if terms else None
+                if node is not None and len(terms) > 1:
+                    node = And(tuple(Term(t) for t in terms))
+            if node is None:
+                pending_not = False
+                continue
+            if pending_not:
+                node = Not(node)
+                pending_not = False
+            items.append(node)
+        if not items:
+            return None
+        if len(items) == 1:
+            return items[0]
+        return And(tuple(items)) if op == "AND" else Or(tuple(items))
+
+    root = parse_group(0)
+    return ParsedBooleanQuery(root=root, diagnostics=diag)
+
+
+# --- evaluation --------------------------------------------------------------
+
+
+def matches(node: Node, doc_tokens: Sequence[str]) -> bool:
+    """Evaluate a query tree against a tokenized document (phrase = exact
+    consecutive token run)."""
+    token_set = set(doc_tokens)
+    if isinstance(node, Term):
+        return node.text in token_set
+    if isinstance(node, Phrase):
+        k = len(node.terms)
+        if k == 0:
+            return True
+        target = tuple(node.terms)
+        return any(
+            tuple(doc_tokens[i : i + k]) == target
+            for i in range(len(doc_tokens) - k + 1)
+        )
+    if isinstance(node, And):
+        return all(matches(c, doc_tokens) for c in node.children)
+    if isinstance(node, Or):
+        return any(matches(c, doc_tokens) for c in node.children)
+    if isinstance(node, Not):
+        return not matches(node.child, doc_tokens)
+    return False
+
+
+def filter_and_score(
+    query: ParsedBooleanQuery,
+    lexical,  # LexicalRead with hydrate/search over positive terms
+    budget: int,
+):
+    """Boolean retrieval: BM25-score the positive terms, then filter the
+    pool by the full tree against hydrated previews."""
+    if query.root is None:
+        return []
+    positive = " ".join(query.positive_terms())
+    candidates = lexical.search_candidates(positive, budget * 3) if positive else []
+    out = []
+    meta = lexical.hydrate_candidates([c.doc_id for c in candidates])
+    for c in candidates:
+        preview = str((meta.get(c.doc_id) or {}).get("preview", ""))
+        doc_tokens = simple_tokenize(preview)
+        if matches(query.root, doc_tokens):
+            out.append(c)
+        if len(out) >= budget:
+            break
+    return out

@@ -1,0 +1,90 @@
+"""Boolean query tree parsing + evaluation + lenient degradation."""
+
+import pytest
+
+from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+from frankensearch_tpu.lexical.query import (
+    And,
+    Not,
+    Or,
+    Phrase,
+    Term,
+    filter_and_score,
+    matches,
+    parse_query,
+)
+
+
+class TestParse:
+    def test_simple_terms_default_or(self):
+        q = parse_query("alpha beta")
+        assert isinstance(q.root, Or)
+        assert q.root.children == (Term("alpha"), Term("beta"))
+
+    def test_and_or_not_phrase(self):
+        q = parse_query('alpha AND (beta OR "gamma delta") NOT epsilon')
+        root = q.root
+        assert isinstance(root, And)
+        assert root.children[0] == Term("alpha")
+        inner = root.children[1]
+        assert isinstance(inner, Or)
+        assert inner.children[1] == Phrase(("gamma", "delta"))
+        assert root.children[2] == Not(Term("epsilon"))
+
+    def test_minus_negation(self):
+        q = parse_query("alpha -beta")
+        assert Not(Term("beta")) in q.root.children
+
+    def test_lenient_bad_syntax(self):
+        q = parse_query('AND alpha (beta "unterminated')
+        assert q.root is not None  # degraded, not an error
+        assert q.diagnostics.warnings
+
+    def test_length_guard(self):
+        q = parse_query("word " * 1000)
+        assert q.diagnostics.truncated
+
+    def test_depth_guard(self):
+        q = parse_query("(" * 40 + "alpha" + ")" * 40)
+        assert q.diagnostics.depth_clamped
+
+    def test_positive_terms_skips_negated(self):
+        q = parse_query("alpha NOT beta gamma")
+        assert q.positive_terms() == ["alpha", "gamma"]
+
+
+class TestMatches:
+    DOC = "the quick brown fox jumps over the lazy dog".split()
+
+    def test_term_and_phrase(self):
+        assert matches(Term("fox"), self.DOC)
+        assert matches(Phrase(("quick", "brown")), self.DOC)
+        assert not matches(Phrase(("brown", "quick")), self.DOC)
+
+    def test_boolean_combos(self):
+        assert matches(And((Term("fox"), Term("dog"))), self.DOC)
+        assert not matches(And((Term("fox"), Term("cat"))), self.DOC)
+        assert matches(Or((Term("cat"), Term("dog"))), self.DOC)
+        assert matches(Not(Term("cat")), self.DOC)
+
+
+class TestFilterAndScore:
+    def test_boolean_retrieval(self):
+        ix = MemoryLexicalIndex(preview_chars=500)
+        ix.add_document(IndexableDocument(doc_id="a", content="rust async runtime with tokio"))
+        ix.add_document(IndexableDocument(doc_id="b", content="rust async runtime without frameworks"))
+        ix.add_document(IndexableDocument(doc_id="c", content="python async event loop"))
+        ix.commit()
+        q = parse_query("rust AND async NOT tokio")
+        hits = filter_and_score(q, ix, budget=10)
+        assert [h.doc_id for h in hits] == ["b"]
+
+    def test_phrase_retrieval(self):
+        ix = MemoryLexicalIndex(preview_chars=500)
+        ix.add_document(IndexableDocument(doc_id="a", content="write ahead log recovery"))
+        ix.add_document(IndexableDocument(doc_id="b", content="log write behind ahead"))
+        ix.commit()
+        q = parse_query('"write ahead log"')
+        hits = filter_and_score(q, ix, budget=10)
+        assert [h.doc_id for h in hits] == ["a"]
