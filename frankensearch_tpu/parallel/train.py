@@ -130,3 +130,75 @@ def make_train_step(cfg: BertConfig, mesh: Mesh, optimizer):
         )
 
     return step
+
+
+def finetune_quality_tier(
+    embedder,  # rerank.encoder.TransformerEmbedder
+    pairs: list[tuple[str, str]],
+    *,
+    steps: int = 50,
+    batch_size: int = 8,
+    learning_rate: float = 1e-4,
+    seed: int = 0,
+    mesh: Mesh | None = None,
+):
+    """Contrastive fine-tuning of a TransformerEmbedder on (query, doc)
+    pairs. Returns (new TransformerEmbedder with trained params, losses).
+
+    This is the practical wrapper over the sharded train step — the lever
+    behind the reference's measured +33% recall from a retrieval-tuned
+    fast model (docs/SEARCH_QUALITY_FINDINGS.md). With a mesh, the step
+    runs dp/tp-sharded; without, single-device.
+    """
+    import numpy as np
+
+    from frankensearch_tpu.rerank.encoder import TransformerEmbedder
+
+    cfg = embedder.cfg
+    tok = embedder.tokenizer
+    optimizer = optax.adamw(learning_rate, weight_decay=0.01)
+    params = embedder.params
+    if mesh is not None:
+        params = shard_params(params, mesh, cfg)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, q_ids, q_mask, d_ids, d_mask):
+        loss, grads = jax.value_and_grad(info_nce_loss)(
+            params, q_ids, q_mask, d_ids, d_mask, cfg=cfg
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def encode_batch(texts, t_pad=32):
+        ids = np.zeros((len(texts), t_pad), dtype=np.int32)
+        mask = np.zeros((len(texts), t_pad), dtype=np.int32)
+        for i, t in enumerate(texts):
+            e = tok.encode(t, max_len=t_pad)
+            n = min(len(e.input_ids), t_pad)
+            ids[i, :n] = e.input_ids[:n]
+            mask[i, :n] = e.attention_mask[:n]
+        return ids, mask
+
+    rng = np.random.default_rng(seed)
+    losses: list[float] = []
+    for step_i in range(steps):
+        batch_idx = rng.choice(len(pairs), size=min(batch_size, len(pairs)), replace=False)
+        qs = [pairs[i][0] for i in batch_idx]
+        ds = [pairs[i][1] for i in batch_idx]
+        q_ids, q_mask = encode_batch(qs)
+        d_ids, d_mask = encode_batch(ds)
+        params, opt_state, loss = train_step(
+            params, opt_state,
+            jnp.asarray(q_ids), jnp.asarray(q_mask),
+            jnp.asarray(d_ids), jnp.asarray(d_mask),
+        )
+        losses.append(float(loss))
+    tuned = TransformerEmbedder(
+        params, cfg, tok,
+        embedder_id=embedder.embedder_id + "-tuned",
+        revision=embedder.revision + "+ft",
+        max_tokens=embedder.max_tokens,
+    )
+    return tuned, losses

@@ -1,0 +1,51 @@
+"""Fine-tuning the quality tier: loss decreases, retrieval improves."""
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu.parallel.train import finetune_quality_tier
+from frankensearch_tpu.rerank.encoder import random_transformer_embedder
+
+WORDS = ["red", "blue", "green", "cat", "dog", "bird", "fast", "slow", "big", "small"]
+
+# paired structure: query mentions a color+animal, doc repeats them
+PAIRS = [
+    ("red cat", "the red cat sat"),
+    ("blue dog", "a blue dog ran"),
+    ("green bird", "green bird flying high"),
+    ("fast cat", "fast cat chasing"),
+    ("slow dog", "slow dog sleeping"),
+    ("big bird", "big bird watching"),
+    ("small cat", "small cat hiding"),
+    ("red dog", "red dog barking"),
+]
+
+
+class TestFinetune:
+    def test_loss_decreases_and_retrieval_improves(self):
+        base = random_transformer_embedder(
+            WORDS + ["the", "sat", "a", "ran", "flying", "high", "chasing",
+                     "sleeping", "watching", "hiding", "barking"],
+            hidden=32, layers=1, heads=2, seed=4,
+        )
+        tuned, losses = finetune_quality_tier(
+            base, PAIRS, steps=60, batch_size=8, learning_rate=3e-3, seed=0
+        )
+        head = sum(losses[:5]) / 5
+        tail = sum(losses[-5:]) / 5
+        assert tail < head * 0.9, (head, tail)
+        assert tuned.embedder_id.endswith("-tuned")
+
+        # retrieval check: tuned embeddings should align queries with their
+        # paired docs better than random-init embeddings
+        queries = [q for q, _ in PAIRS]
+        docs = [d for _, d in PAIRS]
+
+        def accuracy(emb):
+            qv = emb.embed_batch(queries)
+            dv = emb.embed_batch(docs)
+            sims = qv @ dv.T
+            return float(np.mean(np.argmax(sims, axis=1) == np.arange(len(PAIRS))))
+
+        assert accuracy(tuned) >= accuracy(base)
+        assert accuracy(tuned) >= 0.5
