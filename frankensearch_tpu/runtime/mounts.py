@@ -1,0 +1,68 @@
+"""Mount-aware indexing policies.
+
+Parity target: reference crates/frankensearch-fsfs/src/mount_info.rs —
+classify the filesystem under each corpus root (/proc/mounts) and apply
+policy: network filesystems (NFS/SSHFS/FUSE) default to skip-or-warn
+(watch polling over them is expensive and lossy), pseudo filesystems are
+always skipped.
+"""
+
+from __future__ import annotations
+
+import enum
+import os
+from dataclasses import dataclass
+
+_NETWORK_FS = {"nfs", "nfs4", "cifs", "smbfs", "sshfs", "fuse.sshfs", "9p", "glusterfs", "ceph"}
+_PSEUDO_FS = {"proc", "sysfs", "devtmpfs", "devpts", "cgroup", "cgroup2", "tmpfs-run",
+              "debugfs", "tracefs", "securityfs", "bpf", "mqueue", "hugetlbfs"}
+
+
+class MountPolicy(enum.Enum):
+    INDEX = "index"
+    WARN = "warn"  # indexable but with a performance warning
+    SKIP = "skip"
+
+
+@dataclass(frozen=True)
+class MountInfo:
+    mount_point: str
+    fs_type: str
+    policy: MountPolicy
+    reason: str = ""
+
+
+def _read_mounts(path: str = "/proc/mounts") -> list[tuple[str, str]]:
+    out = []
+    try:
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 3:
+                    out.append((parts[1], parts[2]))  # (mount_point, fs_type)
+    except OSError:
+        pass
+    return out
+
+
+def classify_fs(fs_type: str) -> tuple[MountPolicy, str]:
+    base = fs_type.split(".")[0]
+    if fs_type in _PSEUDO_FS or base in _PSEUDO_FS:
+        return MountPolicy.SKIP, f"pseudo filesystem {fs_type}"
+    if fs_type in _NETWORK_FS or base in _NETWORK_FS:
+        return MountPolicy.WARN, f"network filesystem {fs_type}: polling is expensive"
+    if base == "fuse" or fs_type.startswith("fuse."):
+        return MountPolicy.WARN, f"FUSE filesystem {fs_type}"
+    return MountPolicy.INDEX, ""
+
+
+def mount_info_for(path: str, mounts: list[tuple[str, str]] | None = None) -> MountInfo:
+    """Policy for the mount containing ``path`` (longest-prefix match)."""
+    path = os.path.realpath(path)
+    mounts = mounts if mounts is not None else _read_mounts()
+    best: tuple[str, str] = ("/", "unknown")
+    for mp, fs in mounts:
+        if (path == mp or path.startswith(mp.rstrip("/") + "/")) and len(mp) >= len(best[0]):
+            best = (mp, fs)
+    policy, reason = classify_fs(best[1])
+    return MountInfo(mount_point=best[0], fs_type=best[1], policy=policy, reason=reason)

