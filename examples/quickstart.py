@@ -1,0 +1,76 @@
+"""Quickstart: build a hybrid index, search it progressively, rerank.
+
+Run:  JAX_PLATFORMS=cpu python examples/quickstart.py
+(on a TPU host just drop the env var)
+"""
+
+import os
+import tempfile
+
+# force CPU for the demo so it runs anywhere; set FS_EXAMPLE_TPU=1 on a
+# TPU host to use the accelerator
+if not os.environ.get("FS_EXAMPLE_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import frankensearch_tpu as fs
+
+DOCS = [
+    fs.IndexableDocument(
+        doc_id="scan-kernel.md",
+        title="The fused scan",
+        content="The corpus lives in HBM as a bf16 matrix; a fused Pallas "
+                "kernel streams tiles through VMEM and keeps only per-group "
+                "maxima, so exact top-k costs one bandwidth pass.",
+    ),
+    fs.IndexableDocument(
+        doc_id="two-tier.md",
+        title="Two tiers",
+        content="A fast static-embedding tier answers in milliseconds while "
+                "a transformer quality tier refines the ranking in the "
+                "background; reciprocal rank fusion merges both with BM25.",
+    ),
+    fs.IndexableDocument(
+        doc_id="degradation.md",
+        title="Graceful degradation",
+        content="Timeouts, circuit breakers and pressure governors skip the "
+                "quality tier with typed reasons; phase one results always "
+                "stand.",
+    ),
+]
+
+
+def main() -> None:
+    root = tempfile.mkdtemp(prefix="fs-quickstart-")
+
+    # 1. build: hash fast tier auto-detected (ship real models for quality)
+    stats = fs.IndexBuilder(root).with_documents(DOCS).build()
+    print(f"indexed {stats.doc_count} docs "
+          f"({stats.sizes.total_bytes} bytes across arms); "
+          f"semantic={stats.semantic}")
+
+    # 2. progressive search with phase callbacks
+    handle = fs.open_hybrid(root)
+    outcome = handle.searcher.search(
+        "how does the fused kernel scan the corpus",
+        k=3,
+        on_phase=lambda p: print(f"  phase={p.kind.value:<9} "
+                                 f"{len(p.results)} results "
+                                 f"@ {p.latency_ms:.1f} ms"),
+    )
+    for rank, r in enumerate(outcome.results, 1):
+        print(f"{rank}. {r.doc_id:<18} score={r.score:.4f} "
+              f"(lexical={r.lexical_score}, fast={r.fast_score})")
+
+    # 3. batched multi-query (the TPU throughput path)
+    batch = handle.searcher.search_batch(
+        ["fusion of rankings", "typed skip reasons", "bf16 matrix"], k=1
+    )
+    for q, out in zip(["fusion", "skips", "matrix"], batch):
+        print(f"batch[{q}] -> {out.results[0].doc_id if out.results else None}")
+
+
+if __name__ == "__main__":
+    main()

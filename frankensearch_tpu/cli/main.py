@@ -300,7 +300,18 @@ def cmd_compact(args) -> dict:
     before = index.fast.record_count
     compacted = index.compact()
     return envelope(
-        {"records_before": before, "records_after": compacted.fast.record_count}
+        {
+            "records_before": before,
+            "records_after": compacted.fast.record_count,
+            "vacuum": {
+                name: {
+                    "tombstones_folded": s.tombstones_folded,
+                    "wal_bytes_folded": s.wal_bytes_folded,
+                    "bytes_reclaimed": s.bytes_reclaimed,
+                }
+                for name, s in compacted.last_vacuum_stats.items()
+            },
+        }
     )
 
 

@@ -166,7 +166,19 @@ class DeviceVectorIndex:
                 row = base_rows.get(doc_id)
                 if row is not None:
                     tomb[row] = True
-        return cls(vectors, doc_ids, f.header.identity, tombstoned=tomb, **kwargs)
+        index = cls(vectors, doc_ids, f.header.identity, tombstoned=tomb, **kwargs)
+        if f.header.dtype == "int8" and f.scale is not None and not (
+            wal is not None and (wal.live or wal.tombstones)
+        ):
+            # artifact already carries the int8 arm: preload it so mode
+            # 'int8' skips recalibration (FSVI quantization parity)
+            padded_i8 = np.zeros((index.n_pad, index.d_pad), dtype=np.int8)
+            padded_i8[: index.n_rows, : index.dim] = np.asarray(f.slab)
+            scale = np.zeros(index.d_pad, dtype=np.float32)
+            scale[: index.dim] = np.asarray(f.scale)
+            scale[index.dim :] = 1.0
+            index._int8 = (jnp.asarray(padded_i8), jnp.asarray(scale))
+        return index
 
     def with_appended(
         self, doc_ids: Sequence[str], vectors: np.ndarray

@@ -30,6 +30,22 @@ FAST_FALLBACK_FILE = "vector.idx"
 QUALITY_FILE = "vector.quality.idx"
 
 
+@dataclass(frozen=True)
+class VacuumStats:
+    """Compaction accounting (parity: index/src/lib.rs:703 VacuumStats)."""
+
+    records_before: int
+    records_after: int
+    tombstones_folded: int
+    bytes_before: int
+    bytes_after: int
+    wal_bytes_folded: int
+
+    @property
+    def bytes_reclaimed(self) -> int:
+        return max(self.bytes_before - self.bytes_after, 0)
+
+
 @dataclass
 class TwoTierPaths:
     root: str
@@ -63,6 +79,7 @@ class TwoTierIndex:
         self.fast = fast
         self.quality = quality
         self.root = root
+        self.last_vacuum_stats: dict[str, VacuumStats] = {}
         # quality-tier row aligned to fast-tier row (or -1 when the doc
         # has no quality vector) — the aligned-rescore fast path.
         if quality is not None:
@@ -121,32 +138,40 @@ class TwoTierIndex:
     ) -> "TwoTierIndex":
         os.makedirs(root, exist_ok=True)
         paths = TwoTierPaths(root)
-        write_ftvi(
-            os.path.join(root, FAST_FILE),
-            np.asarray(fast_vectors, dtype=np.float32),
-            doc_ids,
-            fast_identity,
-            dtype=slab_dtype if slab_dtype != "int8" else "f16",
-        )
+
+        def write_tier(path: str, vectors: np.ndarray, identity: EmbeddingIdentity):
+            vectors = np.asarray(vectors, dtype=np.float32)
+            if slab_dtype == "int8":
+                # normalized rows quantized per-dimension; the scale block
+                # rides in the artifact (FSVI quantization field parity)
+                from frankensearch_tpu.ops.quantize import calibrate_int8
+
+                norms = np.linalg.norm(vectors, axis=1, keepdims=True)
+                vectors = np.where(norms > 1e-12, vectors / np.maximum(norms, 1e-12), vectors)
+                q = calibrate_int8(vectors)
+                write_ftvi(path, q.values, doc_ids, identity, dtype="int8", scale=q.scale)
+            else:
+                write_ftvi(path, vectors, doc_ids, identity, dtype=slab_dtype)
+
+        write_tier(os.path.join(root, FAST_FILE), fast_vectors, fast_identity)
         if quality_vectors is not None:
             if quality_identity is None:
                 raise ValueError("quality_vectors requires quality_identity")
-            write_ftvi(
-                paths.quality,
-                np.asarray(quality_vectors, dtype=np.float32),
-                doc_ids,
-                quality_identity,
-                dtype=slab_dtype if slab_dtype != "int8" else "f16",
-            )
-        return cls.open(root, tile_n=tile_n, slab_dtype=slab_dtype, use_pallas=use_pallas)
+            write_tier(paths.quality, quality_vectors, quality_identity)
+        return cls.open(
+            root, tile_n=tile_n,
+            slab_dtype="bf16" if slab_dtype == "int8" else slab_dtype,
+            use_pallas=use_pallas,
+        )
 
     def compact(self) -> "TwoTierIndex":
         """Fold WAL + tombstones back into the base artifacts (vacuum).
         Parity: index vacuum/compaction (lib.rs:703 VacuumStats) + WAL
-        compaction (wal.rs)."""
+        compaction (wal.rs). Per-tier stats land in ``last_vacuum_stats``."""
         if self.root is None:
             raise ValueError("compact requires a rooted index")
         paths = TwoTierPaths(self.root)
+        stats: dict[str, VacuumStats] = {}
         for tier, fname in ((self.fast, FAST_FILE), (self.quality, QUALITY_FILE)):
             if tier is None:
                 continue
@@ -154,9 +179,22 @@ class TwoTierIndex:
             vecs = tier._vectors_f32[live]
             ids = [d for d, ok in zip(tier.doc_ids, live) if ok]
             path = os.path.join(self.root, fname)
+            bytes_before = os.path.getsize(path) if os.path.exists(path) else 0
+            wal_path = paths.wal_for(path)
+            wal_bytes = os.path.getsize(wal_path) if os.path.exists(wal_path) else 0
             write_ftvi(path, vecs, ids, tier.identity, dtype="bf16")
-            WriteAheadLog(paths.wal_for(path)).truncate()
-        return TwoTierIndex.open(self.root)
+            WriteAheadLog(wal_path).truncate()
+            stats[fname] = VacuumStats(
+                records_before=tier.n_rows,
+                records_after=len(ids),
+                tombstones_folded=int((~live).sum()),
+                bytes_before=bytes_before + wal_bytes,
+                bytes_after=os.path.getsize(path),
+                wal_bytes_folded=wal_bytes,
+            )
+        compacted = TwoTierIndex.open(self.root)
+        compacted.last_vacuum_stats = stats
+        return compacted
 
     # -- appends (WAL path) ---------------------------------------------------
 
