@@ -126,8 +126,11 @@ class TwoTierSearcher:
             max_workers=4, thread_name_prefix="fs-searcher"
         )
         # fail-closed semantic admission, decided once (searcher.rs:780-792):
-        # the fast embedder identity must match the index identity.
+        # the fast embedder identity must match the index identity; same
+        # check for the quality pair (owner-backed admission, :4437-4500:
+        # a foreign space is refused BEFORE any embedding runs).
         self._semantic_admitted = self._admit_semantic()
+        self._quality_admitted = self._admit_quality()
 
     def _admit_semantic(self) -> bool:
         try:
@@ -136,6 +139,23 @@ class TwoTierSearcher:
             return False
         mine = self.fast_embedder.identity()
         idx = self.index.fast.identity
+        if idx.embedder_id and mine.embedder_id != idx.embedder_id:
+            return False
+        if (
+            idx.embedder_revision
+            and mine.embedder_revision
+            and mine.embedder_revision != idx.embedder_revision
+        ):
+            return False
+        if idx.dim and mine.dim and idx.dim != mine.dim:
+            return False
+        return True
+
+    def _admit_quality(self) -> bool:
+        if self.quality_embedder is None or self.index.quality is None:
+            return False
+        mine = self.quality_embedder.identity()
+        idx = self.index.quality.identity
         if idx.embedder_id and mine.embedder_id != idx.embedder_id:
             return False
         if (
@@ -336,6 +356,7 @@ class TwoTierSearcher:
             not cfg.fast_only
             and self.quality_embedder is not None
             and self.index.has_quality_tier
+            and self._quality_admitted
             and hits_per_query
         ):
             try:
@@ -590,6 +611,8 @@ class TwoTierSearcher:
             return "no_quality_embedder"
         if not self.index.has_quality_tier:
             return "no_quality_tier"
+        if not self._quality_admitted:
+            return "quality_identity_mismatch"  # fail-closed, pre-embed
         if not initial:
             return "no_candidates"
         if not fast_hits:

@@ -224,3 +224,32 @@ class TestLexicalOnlyIdentifierLane:
         # identifier query + hash (non-semantic) stack with lexical evidence
         assert out.metrics.query_class == "identifier"
         assert out.results
+
+
+class TestQualityAdmission:
+    def test_foreign_quality_space_refused_before_embed(self, stack):
+        """Owner-backed admission: a quality embedder from a different
+        space is refused BEFORE any quality inference (searcher.rs
+        :4437-4500)."""
+        index, lexical, fast_emb, _ = stack
+
+        class CountingForeign(HashEmbedder):
+            embeds = 0
+
+            @property
+            def embedder_id(self):
+                return "foreign-quality-space"
+
+            def embed_batch(self, texts):
+                CountingForeign.embeds += 1
+                return super().embed_batch(texts)
+
+        foreign = CountingForeign(dim=128)  # same dim, different space
+        searcher = TwoTierSearcher(
+            index, fast_emb, lexical=lexical, quality_embedder=foreign,
+            cache_query_embeddings=False,
+        )
+        out = searcher.search("vector search cosine", k=3)
+        assert out.metrics.phase2_skip_reason == "quality_identity_mismatch"
+        assert CountingForeign.embeds == 0  # refused before any inference
+        assert out.results  # Phase-1 results stand
