@@ -485,7 +485,6 @@ class TwoTierSearcher:
                     fast_hits = self.hubness.apply(fast_hits)
                 if self.smoother is not None:
                     fast_hits = self.smoother.apply(fast_hits)
-                self._stash_query_vec = query_vec
         elif fast_future is not None:
             fast_future.cancel()
         metrics.fast_candidates = len(fast_hits)
