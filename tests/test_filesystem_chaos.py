@@ -1,0 +1,89 @@
+"""Filesystem chaos: symlink loops, permission-denied, binary blobs,
+giant logs — typed skip reasons, no crashes.
+
+Parity model: reference fsfs tests/filesystem_chaos.rs.
+"""
+
+import os
+import stat
+
+import pytest
+
+from frankensearch_tpu.runtime.watcher import SnapshotWatcher
+
+
+@pytest.fixture
+def chaos_root(tmp_path):
+    root = tmp_path / "chaos"
+    root.mkdir()
+    return root
+
+
+class TestFilesystemChaos:
+    def test_symlink_loop_does_not_hang(self, chaos_root, tmp_path):
+        (chaos_root / "real.md").write_text("fine")
+        # directory symlink loop
+        loop_dir = chaos_root / "loop"
+        loop_dir.mkdir()
+        os.symlink(chaos_root, loop_dir / "back", target_is_directory=True)
+        # file symlink
+        os.symlink(chaos_root / "real.md", chaos_root / "link.md")
+        w = SnapshotWatcher([str(chaos_root)], str(tmp_path / "snap.json"), debounce_s=0.0)
+        res = w.scan()  # must terminate
+        changed = {os.path.basename(c.path) for c in res.changes}
+        assert "real.md" in changed
+        skip_reasons = {os.path.basename(s.path): s.reason for s in res.skipped}
+        assert skip_reasons.get("link.md") == "symlink"
+
+    def test_permission_denied_is_skipped_with_reason(self, chaos_root, tmp_path):
+        locked = chaos_root / "locked.md"
+        locked.write_text("secret")
+        os.chmod(locked, 0)
+        try:
+            if os.access(locked, os.R_OK):
+                pytest.skip("running as root: permission bits not enforced")
+            w = SnapshotWatcher([str(chaos_root)], str(tmp_path / "s.json"), debounce_s=0.0)
+            res = w.scan()
+            reasons = {os.path.basename(s.path): s.reason for s in res.skipped}
+            assert reasons.get("locked.md") == "unreadable"
+        finally:
+            os.chmod(locked, stat.S_IRUSR | stat.S_IWUSR)
+
+    def test_binary_blob_and_giant_log_skipped(self, chaos_root, tmp_path):
+        (chaos_root / "image.png").write_bytes(b"\x89PNG" + b"\x00" * 100)
+        big = chaos_root / "giant.md"
+        with open(big, "wb") as f:
+            f.seek(2_500_000)
+            f.write(b"x")
+        (chaos_root / "ok.md").write_text("normal doc")
+        w = SnapshotWatcher([str(chaos_root)], str(tmp_path / "s.json"), debounce_s=0.0)
+        res = w.scan()
+        reasons = {os.path.basename(s.path): s.reason for s in res.skipped}
+        assert reasons.get("image.png") == "binary_ext"
+        assert reasons.get("giant.md") == "too_large"
+        assert [os.path.basename(c.path) for c in res.changes] == ["ok.md"]
+
+    def test_file_replaced_by_directory(self, chaos_root, tmp_path):
+        f = chaos_root / "thing.md"
+        f.write_text("was a file")
+        w = SnapshotWatcher([str(chaos_root)], str(tmp_path / "s.json"), debounce_s=0.0)
+        w.scan()
+        f.unlink()
+        f.mkdir()
+        (f / "inner.md").write_text("now nested")
+        res = w.scan()
+        kinds = {os.path.basename(c.path): c.kind for c in res.changes}
+        assert kinds.get("thing.md") == "deleted"
+        assert kinds.get("inner.md") == "created"
+
+    def test_ingest_pipeline_survives_binary_content(self):
+        """Binary-ish content through the full ingest path: low-signal
+        filter catches it, no exception."""
+        from frankensearch_tpu.core.types import IndexableDocument
+        from frankensearch_tpu.storage.pipeline import IngestPipeline
+        from frankensearch_tpu.storage.store import Storage
+
+        pipe = IngestPipeline(storage=Storage())
+        garbage = "\x00\x01\x02" * 200
+        assert not pipe.ingest(IndexableDocument(doc_id="bin", content=garbage))
+        assert pipe.stats.low_signal == 1

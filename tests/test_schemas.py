@@ -76,3 +76,14 @@ class TestGoldenProfile:
         bad = {"v": 1, "name": "x", "n_docs": 1, "metrics": {}}
         with pytest.raises(jsonschema.ValidationError):
             jsonschema.validate(bad, load("golden-profile-v1.schema.json"))
+
+
+class TestConfigSchema:
+    def test_default_config_validates(self):
+        from frankensearch_tpu.core.config import TwoTierConfig
+
+        jsonschema.validate(TwoTierConfig().to_dict(), load("fs-config-v1.schema.json"))
+
+    def test_bad_strategy_rejected(self):
+        with pytest.raises(jsonschema.ValidationError):
+            jsonschema.validate({"fusion_strategy": "bogus"}, load("fs-config-v1.schema.json"))
