@@ -30,7 +30,7 @@ from typing import Iterable
 
 from frankensearch_tpu.cli.output import ENVELOPE_VERSION, envelope, error_envelope, render
 from frankensearch_tpu.core.errors import SearchError
-from frankensearch_tpu.core.types import IndexableDocument, PhaseKind
+from frankensearch_tpu.core.types import IndexableDocument
 
 
 def _iter_corpus(path: str) -> Iterable[IndexableDocument]:

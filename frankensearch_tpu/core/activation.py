@@ -13,7 +13,6 @@ import os
 import tempfile
 from dataclasses import dataclass, field
 
-from frankensearch_tpu.core.errors import IndexCorrupted, InvalidConfig
 from frankensearch_tpu.core.generation import (
     GenerationManifest,
     read_manifest,

@@ -10,7 +10,7 @@ consent).
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 class SearchMode(enum.Enum):

@@ -7,7 +7,6 @@ retention policy deciding which old generations to keep.
 
 from __future__ import annotations
 
-import os
 import shutil
 from dataclasses import dataclass
 

@@ -15,7 +15,6 @@ import json
 import os
 import shutil
 from dataclasses import dataclass, field
-from typing import Mapping
 
 from frankensearch_tpu.core.errors import EmbeddingFailed
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 import concurrent.futures
 import time
 from dataclasses import dataclass, field
-from typing import Callable, Mapping, Sequence
+from typing import Callable, Sequence
 
 import numpy as np
 
@@ -39,7 +39,7 @@ from frankensearch_tpu.core.config import (
 )
 from frankensearch_tpu.core.parsed_query import ParsedQuery
 from frankensearch_tpu.core.query_class import QueryClass
-from frankensearch_tpu.core.types import (
+from frankensearch_tpu.core.types import (  # noqa: F401
     ClassifiedHits,
     FusedHit,
     PhaseKind,
@@ -50,12 +50,7 @@ from frankensearch_tpu.core.types import (
 )
 from frankensearch_tpu.embed.base import Embedder
 from frankensearch_tpu.embed.cached import CachedEmbedder
-from frankensearch_tpu.fusion.blend import (
-    blend_two_tier,
-    blend_two_tier_aligned,
-    kendall_tau,
-    rank_changes,
-)
+from frankensearch_tpu.fusion.blend import blend_two_tier_aligned, kendall_tau
 from frankensearch_tpu.fusion.circuit_breaker import CircuitBreaker, Phase2Outcome
 from frankensearch_tpu.fusion.phase_gate import PhaseGate
 from frankensearch_tpu.fusion.rrf import RrfConfig, candidate_count, fuse_by_strategy

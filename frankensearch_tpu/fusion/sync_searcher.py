@@ -22,7 +22,6 @@ from frankensearch_tpu.core.types import (
     ScoredResult,
     SearchPhase,
     SearchSource,
-    VectorHit,
 )
 from frankensearch_tpu.fusion.blend import blend_two_tier_aligned, kendall_tau
 from frankensearch_tpu.fusion.rrf import RrfConfig, fuse_by_strategy

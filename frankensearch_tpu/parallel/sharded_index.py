@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from frankensearch_tpu.index.device_index import NEG_INF, DeviceVectorIndex
+from frankensearch_tpu.index.device_index import DeviceVectorIndex
 from frankensearch_tpu.index.fsvi import EmbeddingIdentity
 from frankensearch_tpu.ops import topk_scan
 from frankensearch_tpu.parallel.mesh import make_mesh

@@ -13,7 +13,7 @@ from dataclasses import dataclass, field
 from typing import Callable, Sequence
 
 from frankensearch_tpu.core.types import ScoredResult
-from frankensearch_tpu.fusion.rrf import RrfConfig, _rank_contribution, _sanitize_k
+from frankensearch_tpu.fusion.rrf import _rank_contribution, _sanitize_k
 
 #: llm(prompt) -> list of variant strings
 LlmTransport = Callable[[str], Sequence[str]]

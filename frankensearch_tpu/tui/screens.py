@@ -10,7 +10,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable
 
-from frankensearch_tpu.core.types import ScoredResult, SearchPhase
+from frankensearch_tpu.core.types import ScoredResult
 from frankensearch_tpu.tui.shell import AppShell, InputEvent, Screen
 
 
