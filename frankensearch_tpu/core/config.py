@@ -134,6 +134,29 @@ class TwoTierConfig:
             out[f.name] = v.value if isinstance(v, enum.Enum) else v
         return out
 
+    @classmethod
+    def optimized(cls, path: str = "data/optimized_params.json") -> "TwoTierConfig":
+        """Load tuned parameters produced by tools/optimize_params.py
+        (parity: config.rs ``optimized()`` reading
+        data/optimized_params.toml from the CMA-ES tuner). Missing file
+        falls back to defaults; env overrides still apply on top."""
+        import json
+        import os
+
+        base = cls()
+        if os.path.exists(path):
+            try:
+                with open(path, encoding="utf-8") as f:
+                    tuned = json.load(f).get("params", {})
+                merged = {fld.name: getattr(base, fld.name) for fld in fields(cls)}
+                for key, value in tuned.items():
+                    if key in merged:
+                        merged[key] = _parse_env_value(key, str(value), merged[key])
+                base = cls(**merged).validate()
+            except (json.JSONDecodeError, OSError, InvalidConfig):
+                base = cls()
+        return cls.from_env(base)
+
 
 def _parse_env_value(name: str, raw: str, current: Any) -> Any:
     try:

@@ -1,0 +1,164 @@
+"""Hyperparameter tuner for fusion parameters.
+
+Parity target: reference tools/optimize_params (CMA-ES over fusion
+hyperparameters, producing data/optimized_params.toml consumed by
+``TwoTierConfig::optimized()``). This implementation uses a (mu, lambda)
+evolution strategy with Gaussian perturbations — the same black-box
+optimization shape as CMA-ES without the covariance adaptation, which is
+plenty at 3-5 dimensions.
+
+Library use:
+    best, history = optimize(eval_fn, generations=10)
+where eval_fn(config: TwoTierConfig) -> float (higher is better, e.g.
+mean nDCG@10 from utils.quality_harness.evaluate).
+
+CLI use runs a self-contained demo over a generated corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, replace
+from typing import Callable
+
+import numpy as np
+
+from frankensearch_tpu.core.config import TwoTierConfig
+
+#: tunable dimensions: (name, lo, hi, is_int)
+SEARCH_SPACE = [
+    ("rrf_k", 10.0, 120.0, True),
+    ("quality_weight", 0.3, 0.95, False),
+    ("candidate_multiplier", 1.0, 8.0, True),
+    ("lexical_rrf_weight", 0.5, 2.0, False),
+    ("fast_rrf_weight", 0.5, 2.0, False),
+]
+
+
+@dataclass
+class TuneResult:
+    params: dict
+    score: float
+    history: list[tuple[int, float]]
+
+
+def _to_config(x: np.ndarray) -> TwoTierConfig:
+    kwargs = {}
+    for (name, lo, hi, is_int), v in zip(SEARCH_SPACE, x):
+        v = float(np.clip(v, lo, hi))
+        kwargs[name] = int(round(v)) if is_int else v
+    return replace(TwoTierConfig(), **kwargs)
+
+
+def optimize(
+    eval_fn: Callable[[TwoTierConfig], float],
+    *,
+    generations: int = 10,
+    population: int = 8,
+    elite: int = 2,
+    sigma: float = 0.25,
+    seed: int = 0,
+) -> TuneResult:
+    rng = np.random.default_rng(seed)
+    lo = np.array([s[1] for s in SEARCH_SPACE])
+    hi = np.array([s[2] for s in SEARCH_SPACE])
+    span = hi - lo
+    # initialize at defaults
+    defaults = TwoTierConfig()
+    mean = np.array(
+        [float(getattr(defaults, s[0])) for s in SEARCH_SPACE], dtype=np.float64
+    )
+    mean = np.clip(mean, lo, hi)
+    best_x, best_score = mean.copy(), eval_fn(_to_config(mean))
+    history = [(0, best_score)]
+    step = sigma * span
+    for gen in range(1, generations + 1):
+        pop = mean[None, :] + rng.standard_normal((population, len(SEARCH_SPACE))) * step
+        pop = np.clip(pop, lo, hi)
+        scores = np.array([eval_fn(_to_config(x)) for x in pop])
+        order = np.argsort(-scores)
+        elites = pop[order[:elite]]
+        if scores[order[0]] > best_score:
+            best_score = float(scores[order[0]])
+            best_x = pop[order[0]].copy()
+        mean = elites.mean(axis=0)
+        step *= 0.9  # anneal
+        history.append((gen, best_score))
+    cfg = _to_config(best_x)
+    params = {name: getattr(cfg, name) for name, *_ in SEARCH_SPACE}
+    return TuneResult(params=params, score=best_score, history=history)
+
+
+def write_optimized(result: TuneResult, path: str = "data/optimized_params.json") -> str:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(
+            {"v": 1, "score": result.score, "params": result.params,
+             "history": result.history},
+            f, indent=2,
+        )
+    return path
+
+
+def _demo_eval_fn(tmp_root: str):
+    """Self-contained eval: generated corpus, synthetic qrels (docs sharing
+    the query's dominant terms are relevant), hybrid nDCG@10."""
+    from frankensearch_tpu.core.types import IndexableDocument  # noqa: F401
+    from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+    from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+    from frankensearch_tpu.gauntlet.generator import CorpusSpec, generate_corpus
+    from frankensearch_tpu.index.two_tier import TwoTierIndex
+    from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+    from frankensearch_tpu.utils.quality_harness import EvalQuery, evaluate
+
+    corpus = generate_corpus(CorpusSpec(n_docs=120, seed=5))
+    fe = HashEmbedder(dim=128)
+    index = TwoTierIndex.create(
+        tmp_root, fe.embed_batch([d.content for d in corpus]),
+        [d.doc_id for d in corpus], fe.identity(), use_pallas=False,
+    )
+    lexical = MemoryLexicalIndex()
+    for d in corpus:
+        lexical.add_document(d)
+    lexical.commit()
+    queries = []
+    for i, d in enumerate(corpus[:20]):
+        terms = d.content.split()[:3]
+        qrels = {
+            other.doc_id: 1.0
+            for other in corpus
+            if sum(t in other.content.split() for t in terms) >= 2
+        }
+        queries.append(EvalQuery(query_id=f"q{i}", text=" ".join(terms), qrels=qrels))
+
+    def eval_fn(cfg: TwoTierConfig) -> float:
+        searcher = TwoTierSearcher(index, fe, lexical=lexical, config=cfg)
+        report = evaluate(
+            lambda q, k: searcher.search(q, k=k).results, queries, k=10,
+            n_resamples=50,
+        )
+        return report.ndcg.mean
+
+    return eval_fn
+
+
+def main() -> int:
+    import argparse
+    import tempfile
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--generations", type=int, default=5)
+    p.add_argument("--population", type=int, default=6)
+    p.add_argument("--out", default="data/optimized_params.json")
+    args = p.parse_args()
+    eval_fn = _demo_eval_fn(tempfile.mkdtemp())
+    result = optimize(eval_fn, generations=args.generations, population=args.population)
+    path = write_optimized(result, args.out)
+    print(f"best nDCG@10 {result.score:.4f} -> {path}")
+    print(json.dumps(result.params, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,60 @@
+"""Prepare a local model directory for the registry.
+
+Usage:
+    python tools/prepare_model.py <model_dir> --kind model2vec --dim 256 \
+        --model-id potion-multilingual-128M --revision main
+
+Writes model_manifest.json (file hashes + preprocessing contract) so
+EmbedderStack.auto_detect / ModelRegistry can verify and load it.
+Deployments stage model files out-of-band (this build is zero-egress);
+this tool replaces the reference's downloader for the manifest/verify
+half of the contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("model_dir")
+    p.add_argument("--model-id", required=True)
+    p.add_argument("--revision", default="local")
+    p.add_argument("--dim", type=int, required=True)
+    p.add_argument(
+        "--kind", choices=["model2vec", "bert-embedder", "cross-encoder"], required=True
+    )
+    p.add_argument("--tokenizer", default="wordpiece")
+    p.add_argument("--pooling", default="mean", choices=["mean", "cls"])
+    p.add_argument("--max-tokens", type=int, default=512)
+    p.add_argument("--verify", action="store_true", help="verify after writing")
+    args = p.parse_args(argv)
+
+    from frankensearch_tpu.embed.model_manifest import (
+        PreprocessingContract,
+        build_model_manifest,
+        verify_model_dir,
+        write_model_manifest,
+    )
+
+    manifest = build_model_manifest(
+        args.model_dir, args.model_id, args.revision, args.dim, args.kind,
+        preprocessing=PreprocessingContract(
+            tokenizer=args.tokenizer, pooling=args.pooling, max_tokens=args.max_tokens
+        ),
+    )
+    path = write_model_manifest(args.model_dir, manifest)
+    print(f"wrote {path} ({len(manifest.files)} files)")
+    if args.verify:
+        v = verify_model_dir(args.model_dir)
+        if not v.ok:
+            print(f"VERIFY FAILED: missing={v.missing} corrupted={v.corrupted}", file=sys.stderr)
+            return 1
+        print("verify OK")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
