@@ -331,7 +331,12 @@ def scan_topk_hierarchical(
         "bd,bcd->bc", queries.astype(jnp.float32), cand,
         preferred_element_type=jnp.float32,
     )
-    exact = exact + jnp.take(mask, cand_rows)
+    # mask gathered by GROUP rows (contiguous 128-wide), not per element —
+    # a per-candidate jnp.take(mask, cand_rows) lowers to ~B*k*R scattered
+    # scalar gathers and costs more than the whole scan (measured ~2.4 ms)
+    mask_grouped = mask.reshape(n_groups, group)
+    mask_cand = jnp.take(mask_grouped, top_groups.reshape(-1), axis=0)
+    exact = exact + mask_cand.reshape(b, kk_groups * group)
     kk = min(k, exact.shape[1])
     top_scores, pos = jax.lax.top_k(exact, kk)
     top_idx = jnp.take_along_axis(cand_rows, pos, axis=1)
