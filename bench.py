@@ -81,7 +81,8 @@ def main() -> None:
         def one_scan(qq):
             if kernel == "hierarchical":
                 r = scan_topk_hierarchical(
-                    slab, qq, k, mask, tile_n=tile_hier, group=128
+                    slab, qq, k, mask, tile_n=tile_hier, group=128,
+                    rescore="pallas",
                 )
                 return r.scores, r.indices
             scores = jax.lax.dot_general(
@@ -121,7 +122,9 @@ def main() -> None:
 
     # recall@10 parity of the measured kernel vs exact f32 ground truth
     if kernel == "hierarchical":
-        res = scan_topk_hierarchical(slab_dev, q_dev, k, mask_dev, tile_n=tile_hier, group=128)
+        res = scan_topk_hierarchical(
+            slab_dev, q_dev, k, mask_dev, tile_n=tile_hier, group=128, rescore="pallas"
+        )
     else:
         res = scan_topk_xla(slab_dev, q_dev, k, mask_dev)
     truth = scan_topk_xla(

@@ -297,7 +297,8 @@ class DeviceVectorIndex:
             )
         if mode == "hierarchical":
             return topk_scan.scan_topk_hierarchical(
-                self.slab, q_dev, k, mask, tile_n=8192, group=128
+                self.slab, q_dev, k, mask, tile_n=8192, group=128,
+                rescore="pallas",
             )
         if mode == "pallas":
             return topk_scan.scan_topk_pallas(self.slab, q_dev, k, mask, tile_n=self.tile_n)

@@ -254,7 +254,105 @@ def _group_max_kernel(q_ref, slab_ref, mask_ref, out_ref, *, group: int):
     out_ref[0] = jnp.transpose(jnp.max(grouped, axis=2), (1, 0))  # (G_tile, B)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_n", "group", "interpret"))
+_RESCORE_QB = 8  # queries per grid step (sublane-aligned block)
+
+
+def _gather_rescore_kernel(
+    groups_ref,  # scalar-prefetch: (B, KK) i32 group ids (SMEM)
+    q_ref,  # (QB, D) this step's queries (VMEM)
+    slab_hbm,  # (N, D) slab left in HBM/ANY
+    out_ref,  # (QB, KK*GROUP) f32 scores
+    scratch,  # VMEM (QB, KK*GROUP, D) slab dtype
+    sems,  # DMA semaphores (QB, KK)
+    *,
+    group: int,
+    kk: int,
+):
+    """One grid step = QB queries: DMA each query's kk candidate groups
+    from HBM into VMEM (contiguous group-row copies), then QB GEMVs.
+
+    This replaces the XLA `jnp.take` + einsum merge stage: the gathers
+    become explicit contiguous DMAs and the rescore runs entirely from
+    VMEM (PrefetchScalarGridSpec delivers the group ids before the body
+    runs, so all QB*kk DMAs are in flight before any compute).
+    """
+    step = pl.program_id(0)
+
+    def dma(qi, j):
+        gid = groups_ref[step * _RESCORE_QB + qi, j]
+        row0 = pl.multiple_of(gid * group, group)
+        return pltpu.make_async_copy(
+            slab_hbm.at[pl.ds(row0, group), :],
+            scratch.at[qi, pl.ds(j * group, group), :],
+            sems.at[qi, j],
+        )
+
+    def start_all(qi, _):
+        def start_one(j, _):
+            dma(qi, j).start()
+            return 0
+
+        return jax.lax.fori_loop(0, kk, start_one, 0)
+
+    jax.lax.fori_loop(0, _RESCORE_QB, start_all, 0)
+
+    def wait_all(qi, _):
+        def wait_one(j, _):
+            dma(qi, j).wait()
+            return 0
+
+        return jax.lax.fori_loop(0, kk, wait_one, 0)
+
+    jax.lax.fori_loop(0, _RESCORE_QB, wait_all, 0)
+
+    for qi in range(_RESCORE_QB):  # static unroll: QB small GEMVs
+        out_ref[qi, :] = jax.lax.dot_general(
+            q_ref[pl.ds(qi, 1), :].astype(scratch.dtype),
+            scratch[qi],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[0]
+
+
+def _gather_rescore_pallas(
+    slab: jax.Array, queries: jax.Array, top_groups: jax.Array,
+    *, group: int, kk: int, interpret: bool = False,
+) -> jax.Array:
+    """(B, kk) group ids -> (B, kk*group) exact scores, fused DMA+GEMV.
+    Requires B % _RESCORE_QB == 0 (the caller pads queries)."""
+    b, d = queries.shape
+    if b % _RESCORE_QB != 0:
+        raise ValueError(f"batch {b} not a multiple of {_RESCORE_QB}")
+    kernel = functools.partial(_gather_rescore_kernel, group=group, kk=kk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // _RESCORE_QB,),
+        in_specs=[
+            pl.BlockSpec((_RESCORE_QB, d), lambda i, *_: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # slab stays in HBM
+        ],
+        out_specs=pl.BlockSpec((_RESCORE_QB, kk * group), lambda i, *_: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((_RESCORE_QB, kk * group, d), slab.dtype),
+            pltpu.SemaphoreType.DMA((_RESCORE_QB, kk)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, kk * group), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * kk * group * d,
+            bytes_accessed=b * kk * group * d * slab.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(top_groups, queries, slab)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_n", "group", "interpret", "rescore")
+)
 def scan_topk_hierarchical(
     slab: jax.Array,
     queries: jax.Array,
@@ -264,6 +362,7 @@ def scan_topk_hierarchical(
     tile_n: int = 8192,
     group: int = 128,
     interpret: bool = False,
+    rescore: str = "xla",  # "xla" (take+einsum) | "pallas" (fused DMA+GEMV)
 ) -> TopKResult:
     """Exact top-k via group-max pruning.
 
@@ -318,19 +417,20 @@ def scan_topk_hierarchical(
     # gather whole GROUPS as contiguous (group*D)-wide rows: each gathered
     # row is one 64KB-class DMA instead of `group` scattered row gathers
     top_groups = jnp.sort(top_groups, axis=1)  # row-ascending tiebreak
-    slab_grouped = slab.reshape(n_groups, group * d)
-    cand = jnp.take(slab_grouped, top_groups.reshape(-1), axis=0)
-    # f32 rescore of the gathered candidates. (A bf16-rescore variant
-    # halves the materialized candidate bytes but produced pathological
-    # remote-compile times on the axon tunnel; this exact graph is the
-    # one measured at 5.0 ms / 51k QPS in docs/PERF_LEDGER.md.)
-    cand = cand.reshape(b, kk_groups * group, d).astype(jnp.float32)
     row_offsets = jax.lax.broadcasted_iota(jnp.int32, (1, 1, group), 2)
     cand_rows = (top_groups[:, :, None] * group + row_offsets).reshape(b, kk_groups * group)
-    exact = jnp.einsum(
-        "bd,bcd->bc", queries.astype(jnp.float32), cand,
-        preferred_element_type=jnp.float32,
-    )
+    if rescore == "pallas" and b % _RESCORE_QB == 0:
+        exact = _gather_rescore_pallas(
+            slab, queries, top_groups, group=group, kk=kk_groups, interpret=interpret
+        )
+    else:
+        slab_grouped = slab.reshape(n_groups, group * d)
+        cand = jnp.take(slab_grouped, top_groups.reshape(-1), axis=0)
+        cand = cand.reshape(b, kk_groups * group, d).astype(jnp.float32)
+        exact = jnp.einsum(
+            "bd,bcd->bc", queries.astype(jnp.float32), cand,
+            preferred_element_type=jnp.float32,
+        )
     # mask gathered by GROUP rows (contiguous 128-wide), not per element —
     # a per-candidate jnp.take(mask, cand_rows) lowers to ~B*k*R scattered
     # scalar gathers and costs more than the whole scan (measured ~2.4 ms)
