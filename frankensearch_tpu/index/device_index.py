@@ -84,7 +84,11 @@ class DeviceVectorIndex:
             vectors = _l2_normalize_rows(vectors)
         self._vectors_f32 = vectors  # host copy for rescore/compaction
 
-        n_pad = max(_round_up(max(n, 1), tile_n), tile_n)
+        # pad to the hierarchical kernel's tile when pallas is enabled so
+        # auto mode can always pick the fastest path (8192 rows of padding
+        # is ~4 MB at dim 256 — irrelevant next to the slab)
+        pad_unit = max(tile_n, 8192) if use_pallas else tile_n
+        n_pad = max(_round_up(max(n, 1), pad_unit), pad_unit)
         d_pad = _round_up(max(d, 1), 128)
         padded = np.zeros((n_pad, d_pad), dtype=np.float32)
         if n:
