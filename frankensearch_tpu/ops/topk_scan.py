@@ -419,7 +419,14 @@ def scan_topk_hierarchical(
     top_groups = jnp.sort(top_groups, axis=1)  # row-ascending tiebreak
     row_offsets = jax.lax.broadcasted_iota(jnp.int32, (1, 1, group), 2)
     cand_rows = (top_groups[:, :, None] * group + row_offsets).reshape(b, kk_groups * group)
-    if rescore == "pallas" and b % _RESCORE_QB == 0:
+    # fused rescore needs (QB, kk*group, d) of VMEM scratch; larger k
+    # budgets (e.g. candidate_multiplier pools) fall back to the XLA merge
+    rescore_scratch = _RESCORE_QB * kk_groups * group * d * slab.dtype.itemsize
+    if (
+        rescore == "pallas"
+        and b % _RESCORE_QB == 0
+        and rescore_scratch <= 12 * 1024 * 1024
+    ):
         exact = _gather_rescore_pallas(
             slab, queries, top_groups, group=group, kk=kk_groups, interpret=interpret
         )
