@@ -367,11 +367,40 @@ class TwoTierSearcher:
             except Exception:
                 qscores_per_query = {}
 
+        # lexical pools: one batched device call when the backend supports
+        # it (device BM25 exposes search_candidates_batch), else per query
+        lexical_pools: dict[int, list[ScoredResult]] = {}
+        if self.lexical is not None:
+            lex_budget_all = max(
+                int(candidate_count(k, 0, cfg.candidate_multiplier)
+                    * max(classes[i].lexical_budget_multiplier() for i in live)),
+                k,
+            )
+            batch_api = getattr(self.lexical, "search_candidates_batch", None)
+            if callable(batch_api):
+                try:
+                    cand_lists = batch_api(
+                        [parsed_list[i].positive for i in live], lex_budget_all
+                    )
+                    for j, i in enumerate(live):
+                        cands = cand_lists[j]
+                        meta = self.lexical.hydrate_candidates([c.doc_id for c in cands])
+                        lexical_pools[i] = [
+                            ScoredResult(
+                                doc_id=c.doc_id, score=c.score, lexical_score=c.score,
+                                title=(meta.get(c.doc_id) or {}).get("title"),
+                                metadata=(meta.get(c.doc_id) or {}).get("metadata"),
+                            )
+                            for c in cands
+                        ]
+                except Exception:
+                    lexical_pools = {}
+
         # per-query host-side fusion (identical contract to search())
         for i in live:
             parsed, qclass = parsed_list[i], classes[i]
-            lexical_pool: list[ScoredResult] = []
-            if self.lexical is not None:
+            lexical_pool: list[ScoredResult] = lexical_pools.get(i, [])
+            if self.lexical is not None and i not in lexical_pools:
                 lex_budget = max(
                     int(candidate_count(k, 0, cfg.candidate_multiplier)
                         * qclass.lexical_budget_multiplier()),
