@@ -91,6 +91,7 @@ class TwoTierSearcher:
         smoother=None,  # fusion.smooth.ScoreSmoother | None
         nqc=None,  # fusion.normalize.NqcDownweight | None
         governor=None,  # ops.pressure.ResourcePressureGovernor | None
+        graph_ranker=None,  # fusion.graph_rank.GraphRanker | None
         cache_query_embeddings: bool = True,
     ) -> None:
         self.index = index
@@ -116,6 +117,7 @@ class TwoTierSearcher:
         self.smoother = smoother
         self.nqc = nqc
         self.governor = governor
+        self.graph_ranker = graph_ranker
         self.canonicalizer = DefaultCanonicalizer()
         self._pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=4, thread_name_prefix="fs-searcher"
@@ -513,7 +515,8 @@ class TwoTierSearcher:
             fast_future.cancel()
         metrics.fast_candidates = len(fast_hits)
 
-        # fuse (searcher.rs:1760-1825)
+        # fuse (searcher.rs:1760-1825); optional graph source feeds RRF as
+        # a third arm (GraphRanker at :1730 -> rrf_fuse_with_graph)
         t_fuse = time.monotonic()
         rrf_cfg = RrfConfig(
             k=self._effective_rrf_k(qclass),
@@ -521,9 +524,21 @@ class TwoTierSearcher:
             semantic_weight=self._effective_semantic_weight(lexical_pool, parsed),
             tiebreak=cfg.tiebreak,
         )
-        fused = fuse_by_strategy(
-            cfg.fusion_strategy, lexical_pool, fast_hits, k, 0, rrf_cfg
-        )
+        if self.graph_ranker is not None and cfg.graph_rrf_weight > 0.0:
+            from frankensearch_tpu.fusion.rrf import rrf_fuse_with_graph
+
+            seeds = lexical_pool or [
+                ScoredResult(doc_id=h.doc_id, score=h.score) for h in fast_hits
+            ]
+            graph_pool = self.graph_ranker.rank(seeds, limit=k * cfg.candidate_multiplier)
+            fused = rrf_fuse_with_graph(
+                lexical_pool, fast_hits, graph_pool, cfg.graph_rrf_weight,
+                k, 0, rrf_cfg,
+            )
+        else:
+            fused = fuse_by_strategy(
+                cfg.fusion_strategy, lexical_pool, fast_hits, k, 0, rrf_cfg
+            )
         results = self._fused_to_results(fused, lexical_pool, fast_hits, text_fn, parsed)
         metrics.fusion_ms = (time.monotonic() - t_fuse) * 1000.0
         metrics.fused_candidates = len(results)

@@ -1,0 +1,57 @@
+"""Migration compatibility: committed on-disk v1 snapshots must keep
+opening and searching identically as the code evolves.
+
+Parity model: reference fsfs tests/migration_compat_corpus.rs with
+fixtures under tests/fixtures/migration-snapshots. The fixture was
+written by the v1 code (hash-jl-32 fast tier, one WAL append, one
+tombstone, one lexical generation, a generation MANIFEST) and is NEVER
+regenerated — regenerating it would defeat the test.
+"""
+
+import os
+
+import pytest
+
+from frankensearch_tpu.core.generation import read_manifest, verify_generation
+from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+from frankensearch_tpu.index.two_tier import TwoTierIndex
+from frankensearch_tpu.lexical.persist import load_lexical
+
+FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "migration-snapshots", "v1"
+)
+
+
+@pytest.mark.skipif(not os.path.isdir(FIXTURE), reason="fixture missing")
+class TestV1Snapshot:
+    def test_vector_artifact_opens_with_wal_and_tombstone(self):
+        ix = TwoTierIndex.open(FIXTURE, use_pallas=False)
+        # 3 base docs + 1 WAL append - 1 tombstone
+        assert ix.doc_count() == 3
+        ids = set(ix.fast.doc_ids)
+        assert {"alpha-doc", "beta-doc", "gamma-doc", "delta-doc"} == ids
+        fe = HashEmbedder(dim=32)
+        hits = ix.search_fast_classified(fe.embed("delta appended later"), 2)
+        assert hits.hits[0].doc_id == "delta-doc"  # WAL row searchable
+        hits2 = ix.search_fast_classified(fe.embed("beta content other words"), 4)
+        assert all(h.doc_id != "beta-doc" for h in hits2.hits)  # tombstoned
+
+    def test_lexical_generation_loads(self):
+        lex = load_lexical(FIXTURE)
+        assert lex is not None and lex.doc_count() == 3
+        hits = lex.search_candidates("gamma third", 5)
+        assert hits[0].doc_id == "gamma-doc"
+
+    def test_generation_manifest_verifies(self):
+        m = read_manifest(FIXTURE)
+        assert m.generation_id == "fixture-gen-1" and m.commit_seq == 4
+        report = verify_generation(FIXTURE, m)
+        assert report.ok, (report.missing, report.corrupted)
+
+    def test_full_searcher_over_snapshot(self):
+        ix = TwoTierIndex.open(FIXTURE, use_pallas=False)
+        lex = load_lexical(FIXTURE)
+        s = TwoTierSearcher(ix, HashEmbedder(dim=32), lexical=lex)
+        out = s.search("gamma third document", k=3)
+        assert out.results[0].doc_id == "gamma-doc"

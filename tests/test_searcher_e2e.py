@@ -253,3 +253,29 @@ class TestQualityAdmission:
         assert out.metrics.phase2_skip_reason == "quality_identity_mismatch"
         assert CountingForeign.embeds == 0  # refused before any inference
         assert out.results  # Phase-1 results stand
+
+
+class TestGraphSource:
+    def test_graph_arm_boosts_linked_docs(self, stack):
+        from frankensearch_tpu.core.graph import DocumentGraph
+        from frankensearch_tpu.fusion.graph_rank import GraphRanker
+
+        index, lexical, fast_emb, _ = stack
+        g = DocumentGraph()
+        # db-sqlite links strongly to db-postgres
+        g.add_edge("db-sqlite", "db-postgres", 1.0)
+        searcher = TwoTierSearcher(
+            index, fast_emb, lexical=lexical, quality_embedder=None,
+            graph_ranker=GraphRanker(g),
+            config=TwoTierConfig(graph_rrf_weight=1.0),
+        )
+        out = searcher.search("sqlite write ahead log", k=5)
+        ids = [r.doc_id for r in out.results]
+        assert "db-postgres" in ids  # pulled in via the graph arm
+        baseline = TwoTierSearcher(
+            index, fast_emb, lexical=lexical, quality_embedder=None
+        ).search("sqlite write ahead log", k=5)
+        base_rank = {r.doc_id: i for i, r in enumerate(baseline.results)}
+        graph_rank = {r.doc_id: i for i, r in enumerate(out.results)}
+        if "db-postgres" in base_rank:
+            assert graph_rank["db-postgres"] <= base_rank["db-postgres"]
