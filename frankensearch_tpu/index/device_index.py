@@ -300,8 +300,13 @@ class DeviceVectorIndex:
                 candidate_multiplier=int8_candidate_multiplier,
             )
         if mode == "hierarchical":
+            # the scan kernel holds a (B, tile) f32 score block in VMEM;
+            # shrink the tile for big batches to stay under ~8 MB
+            tile = 8192
+            while q_dev.shape[0] * tile * 4 > 8 * 1024 * 1024 and tile > 1024:
+                tile //= 2
             return topk_scan.scan_topk_hierarchical(
-                self.slab, q_dev, k, mask, tile_n=8192, group=128,
+                self.slab, q_dev, k, mask, tile_n=tile, group=128,
                 rescore="pallas",
             )
         if mode == "pallas":
