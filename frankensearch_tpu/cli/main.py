@@ -533,6 +533,38 @@ def cmd_tui(args) -> dict | None:
     return None
 
 
+def cmd_fleet(args) -> dict | None:
+    """Fleet console over the deterministic simulator (frankensearch-ops):
+    runs N ticks, materializes telemetry, renders the fleet screen."""
+    from frankensearch_tpu.fleet.datasource import FleetSimulator
+    from frankensearch_tpu.fleet.storage import FleetStore
+    from frankensearch_tpu.tui.screens import FleetScreen
+
+    incidents = {}
+    if args.incident:
+        incidents[args.incident] = (args.ticks // 3, 2 * args.ticks // 3)
+    sim = FleetSimulator(n_nodes=args.nodes, seed=args.seed, incidents=incidents)
+    store = FleetStore()
+    for _ in range(args.ticks):
+        store.ingest(sim.step())
+    screen = FleetScreen(nodes_fn=sim.nodes, rollups_fn=store.rollups)
+    if args.format == "table":
+        print(screen.render(100))
+        return None
+    return envelope(
+        {
+            "nodes": [n.node_id for n in sim.nodes()],
+            "rollups": [
+                {"node": r.node_id, "samples": r.samples,
+                 "mean_qps": round(r.mean_qps, 1), "max_p99_ms": round(r.max_p99_ms, 1),
+                 "errors": r.total_errors}
+                for r in store.rollups()
+            ],
+            "fleet_qps": round(store.fleet_qps(), 1),
+        }
+    )
+
+
 def cmd_version(args) -> dict:
     import jax
 
@@ -679,6 +711,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     add("config", cmd_config, help="effective configuration")
     add("version", cmd_version, help="version + devices")
+
+    sp = add("fleet", cmd_fleet, help="fleet console (deterministic simulator)")
+    sp.add_argument("--nodes", type=int, default=4)
+    sp.add_argument("--ticks", type=int, default=30)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--incident", default="", help="node id to take down mid-run")
 
     add("flush", cmd_flush, help="drain pending embedding jobs")
 

@@ -73,6 +73,35 @@ class StatusScreen(Screen):
 
 
 @dataclass
+class FleetScreen(Screen):
+    """Fleet console: node health + rollups (frankensearch-ops screens)."""
+
+    nodes_fn: Callable[[], list]  # -> list[NodeInfo]
+    rollups_fn: Callable[[], list]  # -> list[NodeRollup]
+    name: str = "fleet"
+
+    def render(self, width: int) -> str:
+        lines = [
+            f"{'node':<12}{'health':<9}{'gen':<10}{'samples':>8}{'qps':>10}{'p99ms':>9}{'errors':>8}"
+        ]
+        rollups = {r.node_id: r for r in self.rollups_fn()}
+        for n in self.nodes_fn():
+            r = rollups.get(n.node_id)
+            lines.append(
+                f"{n.node_id:<12}{'up' if n.healthy else 'DOWN':<9}{n.generation_id:<10}"
+                + (
+                    f"{r.samples:>8}{r.mean_qps:>10.1f}{r.max_p99_ms:>9.1f}{r.total_errors:>8}"
+                    if r
+                    else f"{'-':>8}{'-':>10}{'-':>9}{'-':>8}"
+                )
+            )
+        total = sum(r.mean_qps for r in rollups.values())
+        lines.append("─" * width)
+        lines.append(f"fleet qps ~ {total:.0f}")
+        return "\n".join(lines)
+
+
+@dataclass
 class MetricsScreen(Screen):
     """Latency dashboard over StreamingStats."""
 
