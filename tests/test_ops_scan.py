@@ -262,3 +262,38 @@ class TestQuantize:
         dev = np.asarray(unpack_int4_device(jnp.asarray(q.packed)))
         host_int = np.round(unpack_int4(q) / q.scale).astype(np.int8)
         np.testing.assert_array_equal(dev, host_int)
+
+
+class TestHierarchicalInt8:
+    def test_recall_and_mask(self, rng):
+        from frankensearch_tpu.ops.quantize import calibrate_int8
+        from frankensearch_tpu.ops.topk_scan import scan_topk_hierarchical_int8
+
+        slab = make_unit_rows(rng, 2048, 64)
+        q8 = calibrate_int8(slab)
+        queries = make_unit_rows(rng, 8, 64)
+        valid = np.arange(2048) < 1900
+        mask = additive_mask(jnp.asarray(valid))
+        res = scan_topk_hierarchical_int8(
+            jnp.asarray(q8.values), jnp.asarray(q8.scale), jnp.asarray(queries),
+            10, mask, tile_n=256, group=128, interpret=True,
+        )
+        exact = scan_topk_xla(jnp.asarray(slab), jnp.asarray(queries), 10, mask, precise=True)
+        ih, ix = np.asarray(res.indices), np.asarray(exact.indices)
+        rec = np.mean([len(set(ih[b]) & set(ix[b])) / 10 for b in range(8)])
+        assert rec >= 0.85
+        assert (ih[ih >= 0] < 1900).all()
+
+    def test_planted_neighbor_found(self, rng):
+        from frankensearch_tpu.ops.quantize import calibrate_int8
+        from frankensearch_tpu.ops.topk_scan import scan_topk_hierarchical_int8
+
+        slab = make_unit_rows(rng, 1024, 64) * 0.3
+        q = make_unit_rows(rng, 1, 64)
+        slab[777] = q[0]
+        q8 = calibrate_int8(slab)
+        res = scan_topk_hierarchical_int8(
+            jnp.asarray(q8.values), jnp.asarray(q8.scale), jnp.asarray(q),
+            5, tile_n=256, group=128, interpret=True,
+        )
+        assert np.asarray(res.indices)[0, 0] == 777
