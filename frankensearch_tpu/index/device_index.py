@@ -295,6 +295,12 @@ class DeviceVectorIndex:
             )
         if mode == "int8":
             q8 = self._int8_arm()
+            if self.use_pallas and _on_tpu() and self.n_pad % 8192 == 0:
+                # capacity lane at fused speed (2x docs/chip): int8
+                # group-max kernel + dequantized group rescore
+                return topk_scan.scan_topk_hierarchical_int8(
+                    q8[0], q8[1], q_dev, k, mask, tile_n=8192, group=128
+                )
             return topk_scan.scan_topk_int8_two_pass(
                 q8[0], q8[1], self.slab, q_dev, k, mask,
                 candidate_multiplier=int8_candidate_multiplier,
