@@ -274,7 +274,7 @@ def _group_max_int8_kernel(q_ref, slab_ref, mask_ref, out_ref, *, group: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile_n", "group", "interpret")
+    jax.jit, static_argnames=("k", "tile_n", "group", "interpret", "group_overfetch")
 )
 def scan_topk_hierarchical_int8(
     slab_i8: jax.Array,  # (N, D) int8
@@ -286,6 +286,7 @@ def scan_topk_hierarchical_int8(
     tile_n: int = 8192,
     group: int = 128,
     interpret: bool = False,
+    group_overfetch: int = 1,  # recall knob: rescore k*this groups
 ) -> TopKResult:
     """Capacity lane at fused speed: the ONLY slab in HBM is int8 (2x the
     docs per chip vs bf16). Pass 1 = int8 group-max kernel with the
@@ -297,7 +298,10 @@ def scan_topk_hierarchical_int8(
         raise ValueError(f"need n % tile_n == 0 and tile_n % group == 0; got {n}, {tile_n}, {group}")
     num_tiles = n // tile_n
     n_groups = n // group
-    kk_groups = min(k, n_groups)
+    # int8 pass-1 ranks are approximate, so coverage of the exact top-k is
+    # probabilistic; group_overfetch widens the rescored pool (the recall
+    # knob calibrated by index/recall_certificate.py)
+    kk_groups = min(max(k * group_overfetch, k), n_groups)
     if mask is None:
         mask = jnp.zeros((n,), dtype=jnp.float32)
     mask2d = mask.reshape(num_tiles, 1, tile_n)

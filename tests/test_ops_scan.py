@@ -297,3 +297,23 @@ class TestHierarchicalInt8:
             5, tile_n=256, group=128, interpret=True,
         )
         assert np.asarray(res.indices)[0, 0] == 777
+
+    def test_group_overfetch_raises_recall(self, rng):
+        from frankensearch_tpu.ops.quantize import calibrate_int8
+        from frankensearch_tpu.ops.topk_scan import scan_topk_hierarchical_int8
+
+        slab = make_unit_rows(rng, 4096, 64)
+        q8 = calibrate_int8(slab)
+        queries = make_unit_rows(rng, 8, 64)
+        exact = scan_topk_xla(jnp.asarray(slab), jnp.asarray(queries), 10, precise=True)
+
+        def recall(overfetch):
+            res = scan_topk_hierarchical_int8(
+                jnp.asarray(q8.values), jnp.asarray(q8.scale), jnp.asarray(queries),
+                10, tile_n=512, group=128, interpret=True, group_overfetch=overfetch,
+            )
+            ih, ix = np.asarray(res.indices), np.asarray(exact.indices)
+            return np.mean([len(set(ih[b]) & set(ix[b])) / 10 for b in range(8)])
+
+        assert recall(3) >= recall(1)
+        assert recall(3) >= 0.95
