@@ -12,6 +12,7 @@ Parity target: reference crates/frankensearch-fsfs/src/adapters/cli.rs
     delete        tombstone documents
     compact       fold WAL + tombstones into the base artifacts
     history       recent searches (storage arm)
+    bookmark      add / list bookmarked documents (storage arm)
     config        show effective TwoTierConfig (env overrides applied)
     serve         NDJSON query server over stdin/stdout
     version       version + device report
@@ -399,6 +400,20 @@ def cmd_history(args) -> dict:
     return envelope(rows)
 
 
+def cmd_bookmark(args) -> dict:
+    from frankensearch_tpu.storage.store import Storage
+
+    db = os.path.join(args.root, "metadata.db")
+    if not os.path.exists(db):
+        return error_envelope("no_storage", f"no metadata.db under {args.root}")
+    storage = Storage(db)
+    if args.doc_id:
+        storage.add_bookmark(args.doc_id, args.note or None)
+    rows = [{"doc_id": d, "note": n} for d, n in storage.bookmarks()]
+    storage.close()
+    return envelope(rows)
+
+
 def cmd_config(args) -> dict:
     from frankensearch_tpu.core.config import TwoTierConfig
 
@@ -708,6 +723,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = add("history", cmd_history, help="recent searches")
     sp.add_argument("--limit", type=int, default=20)
+
+    sp = add("bookmark", cmd_bookmark, help="add/list bookmarks")
+    sp.add_argument("doc_id", nargs="?", default="")
+    sp.add_argument("--note", default="")
 
     add("config", cmd_config, help="effective configuration")
     add("version", cmd_version, help="version + devices")

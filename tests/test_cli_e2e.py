@@ -109,6 +109,15 @@ class TestCliContract:
         env = json.loads(r.stdout)
         assert env["ok"] and len(env["data"]) >= 1
 
+    def test_bookmark_add_and_list(self, index_root):
+        r = run_cli("--format", "json", "bookmark", "doc-1", "--note", "keep", "--root", index_root)
+        env = json.loads(r.stdout)
+        assert env["ok"]
+        assert {"doc_id": "doc-1", "note": "keep"} in env["data"]
+        # list-only invocation (no doc_id) returns the same rows
+        r = run_cli("--format", "json", "bookmark", "--root", index_root)
+        assert json.loads(r.stdout)["data"] == env["data"]
+
     def test_config_shows_env_override(self, index_root):
         r = run_cli(
             "--format", "json", "config", "--root", index_root,

@@ -1,0 +1,101 @@
+"""Concurrency stress: readers racing the single-writer refresh loop.
+
+Parity model: reference concurrency_stress.rs — concurrent searches must
+never crash or observe a half-swapped index while the refresh worker
+appends; functional index updates guarantee each search sees a coherent
+snapshot.
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+from frankensearch_tpu.fusion.queue import EmbeddingQueue
+from frankensearch_tpu.fusion.refresh import RefreshWorker
+from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+from frankensearch_tpu.index.two_tier import TwoTierIndex
+from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+
+
+class TestConcurrencyStress:
+    def test_search_during_refresh(self, tmp_path):
+        fe = HashEmbedder(dim=64)
+        base_docs = [f"seed document number {i} words" for i in range(20)]
+        index = TwoTierIndex.create(
+            str(tmp_path / "cx"), fe.embed_batch(base_docs),
+            [f"seed-{i}" for i in range(20)], fe.identity(), use_pallas=False,
+        )
+        lexical = MemoryLexicalIndex()
+        for i, text in enumerate(base_docs):
+            lexical.add_document(IndexableDocument(doc_id=f"seed-{i}", content=text))
+        lexical.commit()
+        searcher = TwoTierSearcher(index, fe, lexical=lexical, cache_query_embeddings=False)
+
+        queue = EmbeddingQueue(capacity=512)
+        worker = RefreshWorker(queue, index, fe, max_batch=8, poll_interval_s=0.005)
+        worker.start()
+
+        errors: list[Exception] = []
+        results_seen: list[int] = []
+        stop = threading.Event()
+
+        def reader():
+            while not stop.is_set():
+                try:
+                    out = searcher.search("document number words", k=5)
+                    # coherence: every returned doc must hydrate to a known id
+                    for r in out.results:
+                        assert r.doc_id.startswith(("seed-", "new-")), r.doc_id
+                    results_seen.append(len(out.results))
+                except Exception as e:  # pragma: no cover
+                    errors.append(e)
+                    break
+
+        readers = [threading.Thread(target=reader) for _ in range(4)]
+        for t in readers:
+            t.start()
+        # writer: push 60 new docs through the queue while readers run
+        for i in range(60):
+            queue.push(f"new-{i:03d}", f"fresh appended doc {i} words content")
+            time.sleep(0.002)
+        deadline = time.time() + 10
+        while worker.stats.docs_embedded < 60 and time.time() < deadline:
+            time.sleep(0.01)
+        stop.set()
+        for t in readers:
+            t.join(timeout=10)
+        worker.stop()
+
+        assert not errors, errors[:2]
+        assert worker.stats.docs_embedded == 60
+        assert worker.stats.errors == 0
+        # the property under test is coherence (no crash, no phantom ids),
+        # not reader throughput on a loaded CPU box
+        assert len(results_seen) >= 3
+        # final state: all appends visible
+        assert index.doc_count() == 80
+
+    def test_concurrent_appends_serialized_by_writer_lock(self, tmp_path):
+        fe = HashEmbedder(dim=32)
+        index = TwoTierIndex.create(
+            str(tmp_path / "wx"), fe.embed_batch(["base"]), ["base"],
+            fe.identity(), use_pallas=False,
+        )
+        queue = EmbeddingQueue()
+        worker = RefreshWorker(queue, index, fe, max_batch=4)
+        # two threads draining through the same worker lock
+        for i in range(40):
+            queue.push(f"d{i:02d}", f"content {i}")
+        threads = [threading.Thread(target=worker.process_once) for _ in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        while len(queue):
+            worker.process_once()
+        assert index.doc_count() == 41
+        assert len(set(index.fast.doc_ids)) == 41  # no duplicated rows
