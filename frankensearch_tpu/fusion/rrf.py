@@ -90,6 +90,10 @@ def rrf_fuse(
     return rrf_fuse_with_graph(lexical, semantic, (), 0.0, limit, offset, config)
 
 
+_POS_INF = float("inf")
+_DEFAULT_CFG = RrfConfig()
+
+
 def rrf_fuse_with_graph(
     lexical: Sequence[ScoredResult],
     semantic: Sequence[VectorHit],
@@ -99,72 +103,91 @@ def rrf_fuse_with_graph(
     offset: int = 0,
     config: RrfConfig | None = None,
 ) -> list[FusedHit]:
-    cfg = config or RrfConfig()
+    # Hot path: this runs once per query (twice with phase-2 lexical
+    # re-fusion) and is the host-side throughput ceiling for batched
+    # search, so the per-doc scratch is a plain list, not an object
+    # (measured ~4x: the dataclass-per-doc variant cost ~174us/fusion).
+    # Slots: [rrf, lex_rank, lex_score, sem_rank, graph_rank]
+    cfg = config or _DEFAULT_CFG
     k = _sanitize_k(cfg.k)
     lw = _sanitize_weight(cfg.lexical_weight)
     sw = _sanitize_weight(cfg.semantic_weight)
     gw = _sanitize_graph_weight(graph_weight)
 
-    hits: dict[str, _Scratch] = {}
+    hits: dict[str, list] = {}
+    get = hits.get
+    base = k + 1.0
 
     for rank, result in enumerate(lexical):
-        h = hits.get(result.doc_id)
+        doc_id = result.doc_id
+        h = get(doc_id)
         if h is None:
-            h = _Scratch(doc_id=result.doc_id)
-            hits[result.doc_id] = h
-        elif h.lexical_rank is not None:
-            continue  # first (best) occurrence wins
-        h.rrf_score += _rank_contribution(k, rank) * lw
-        h.lexical_rank = rank
-        h.lexical_score = result.score
-        if h.semantic_rank is not None:
-            h.in_both_sources = True
+            hits[doc_id] = [1.0 / (base + rank) * lw, rank, result.score, None, None]
+        elif h[1] is None:  # first (best) occurrence per source wins
+            h[0] += 1.0 / (base + rank) * lw
+            h[1] = rank
+            h[2] = result.score
 
     for rank, vh in enumerate(semantic):
-        h = hits.get(vh.doc_id)
+        doc_id = vh.doc_id
+        h = get(doc_id)
         if h is None:
-            h = _Scratch(doc_id=vh.doc_id)
-            hits[vh.doc_id] = h
-        elif h.semantic_rank is not None:
-            continue
-        h.rrf_score += _rank_contribution(k, rank) * sw
-        h.semantic_rank = rank
-        h.semantic_score = vh.score
-        h.semantic_row = vh.row
-        if h.lexical_rank is not None:
-            h.in_both_sources = True
+            hits[doc_id] = [1.0 / (base + rank) * sw, None, None, rank, None]
+        elif h[3] is None:
+            h[0] += 1.0 / (base + rank) * sw
+            h[3] = rank
 
     if gw > 0.0:
         for rank, result in enumerate(graph):
-            h = hits.get(result.doc_id)
+            doc_id = result.doc_id
+            h = get(doc_id)
             if h is None:
-                h = _Scratch(doc_id=result.doc_id)
-                hits[result.doc_id] = h
-            elif h.graph_rank is not None:
-                continue
-            h.rrf_score += _rank_contribution(k, rank) * gw
-            h.graph_rank = rank
-            h.graph_score = result.score
+                hits[doc_id] = [1.0 / (base + rank) * gw, None, None, None, rank]
+            elif h[4] is None:
+                h[0] += 1.0 / (base + rank) * gw
+                h[4] = rank
 
-    ordered = sorted(hits.values(), key=lambda h: _sort_key(h, cfg.tiebreak))
+    # exact 4-level ordering (rrf.rs :51-64): score desc, in-both
+    # preferred, tiebreak (lexical score desc / FNV hash asc), id asc
+    if cfg.tiebreak is TiebreakStrategy.NEUTRAL_HASH:
+        def keyf(item):
+            doc_id, h = item
+            return (
+                -h[0],
+                h[1] is None or h[3] is None,
+                fnv1a_64(doc_id.encode("utf-8")),
+                doc_id,
+            )
+    else:
+        def keyf(item):
+            doc_id, h = item
+            lex = h[2]
+            return (
+                -h[0],
+                h[1] is None or h[3] is None,
+                -lex if lex is not None else _POS_INF,
+                doc_id,
+            )
+
+    ordered = sorted(hits.items(), key=keyf)
     window = ordered[offset : offset + limit]
     out: list[FusedHit] = []
-    for h in window:
+    for doc_id, h in window:
         sources = SearchSource.NONE
-        if h.lexical_rank is not None:
+        if h[1] is not None:
             sources |= SearchSource.LEXICAL
-        if h.semantic_rank is not None:
+        if h[3] is not None:
             sources |= SearchSource.FAST_VECTOR
-        if h.graph_rank is not None:
+        if h[4] is not None:
             sources |= SearchSource.GRAPH
         out.append(
             FusedHit(
-                doc_id=h.doc_id,
-                score=h.rrf_score,
+                doc_id=doc_id,
+                score=h[0],
                 sources=sources,
-                lexical_rank=h.lexical_rank,
-                fast_rank=h.semantic_rank,
-                graph_rank=h.graph_rank,
+                lexical_rank=h[1],
+                fast_rank=h[3],
+                graph_rank=h[4],
             )
         )
     return out

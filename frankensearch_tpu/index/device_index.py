@@ -299,7 +299,8 @@ class DeviceVectorIndex:
                 # capacity lane at fused speed (2x docs/chip): int8
                 # group-max kernel + dequantized group rescore
                 return topk_scan.scan_topk_hierarchical_int8(
-                    q8[0], q8[1], q_dev, k, mask, tile_n=8192, group=128
+                    q8[0], q8[1], q_dev, k, mask, tile_n=8192, group=128,
+                    rescore="pallas",
                 )
             return topk_scan.scan_topk_int8_two_pass(
                 q8[0], q8[1], self.slab, q_dev, k, mask,

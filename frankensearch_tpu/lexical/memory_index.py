@@ -70,6 +70,14 @@ class MemoryLexicalIndex(LexicalRead, LexicalWrite):
         }
         self._field_stats: dict[str, _FieldStats] = {f: _FieldStats() for f in _FIELDS}
         self._generation = 0
+        # lazy per-generation vectorized-scoring state (see _ensure_score_state)
+        self._score_cache_gen = -1
+        self._ids: list[str] = []
+        self._row_of: dict[str, int] = {}
+        self._doc_rank: np.ndarray | None = None
+        self._fid: dict[str, np.ndarray] = {}
+        self._norm_cache: dict[str, np.ndarray] = {}
+        self._term_arrays: dict[tuple[str, str], tuple] = {}
 
     # -- LexicalWrite --------------------------------------------------------
 
@@ -134,33 +142,80 @@ class MemoryLexicalIndex(LexicalRead, LexicalWrite):
     def doc_count(self) -> int:
         return len(self._docs)
 
+    def _ensure_score_state(self) -> None:
+        """(Re)build the vectorized scoring state for this generation:
+        doc-row mapping, string-order rank per row (for the doc_id-asc
+        tiebreak via lexsort), per-field fieldnorm-id arrays and norm
+        caches. Posting arrays materialize lazily per queried term."""
+        if self._score_cache_gen == self._generation:
+            return
+        ids = list(self._docs.keys())
+        self._ids = ids
+        self._row_of = {d: i for i, d in enumerate(ids)}
+        order = sorted(range(len(ids)), key=lambda i: ids[i])
+        rank = np.empty(len(ids), dtype=np.int64)
+        rank[order] = np.arange(len(ids), dtype=np.int64)
+        self._doc_rank = rank
+        self._fid = {
+            f: np.array(
+                [self._docs[d].fieldnorm_id.get(f, 0) for d in ids], dtype=np.int64
+            )
+            for f in _FIELDS
+        }
+        self._norm_cache = {
+            f: tf_norm_cache(self._field_stats[f].avgdl) for f in _FIELDS
+        }
+        self._term_arrays = {}
+        self._score_cache_gen = self._generation
+
+    def _posting_arrays(self, fname: str, term: str):
+        key = (fname, term)
+        cached = self._term_arrays.get(key)
+        if cached is None:
+            plist = self._postings[fname].get(term)
+            if not plist:
+                cached = (None, None)
+            else:
+                row_of = self._row_of
+                rows = np.array([row_of[d] for d in plist], dtype=np.int64)
+                tf = np.array(list(plist.values()), dtype=np.float32)
+                cached = (rows, tf)
+            self._term_arrays[key] = cached
+        return cached
+
     def search_candidates(self, query: str, budget: int) -> list[LexicalCandidate]:
+        # Vectorized per term: each doc appears at most once in a posting
+        # list, so the fancy-index `scores[rows] += boost*s` performs the
+        # SAME f32 add sequence per doc as the scalar accumulation the
+        # device scorer is differentially pinned against.
         terms = simple_tokenize(query)
         if not terms or not self._docs or budget <= 0:
             return []
+        self._ensure_score_state()
         n_docs = len(self._docs)
-        scores: dict[str, np.float32] = defaultdict(lambda: np.float32(0.0))
+        scores = np.zeros(n_docs, dtype=np.float32)
         for fname in _FIELDS:
-            stats = self._field_stats[fname]
-            if stats.doc_count == 0:
+            if self._field_stats[fname].doc_count == 0:
                 continue
-            cache = tf_norm_cache(stats.avgdl)
+            cache = self._norm_cache[fname]
             boost = _BOOSTS[fname]
+            fid = self._fid[fname]
             seen_terms: set[str] = set()
             for term in terms:
                 if term in seen_terms:
                     continue  # Tantivy's Should union deduplicates terms
                 seen_terms.add(term)
-                plist = self._postings[fname].get(term)
-                if not plist:
+                rows, tf = self._posting_arrays(fname, term)
+                if rows is None:
                     continue
-                term_idf = idf(n_docs, len(plist))
-                for doc_id, tf in plist.items():
-                    fid = self._docs[doc_id].fieldnorm_id.get(fname, 0)
-                    s = bm25_term_score(np.float32(tf), fid, term_idf, cache)
-                    scores[doc_id] = np.float32(scores[doc_id] + boost * s)
-        ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
-        return [LexicalCandidate(doc_id=d, score=float(s)) for d, s in ranked[:budget]]
+                term_idf = idf(n_docs, len(rows))
+                s = bm25_term_score(tf, fid[rows], term_idf, cache)
+                scores[rows] += boost * s
+        touched = np.nonzero(scores)[0]
+        order = np.lexsort((self._doc_rank[touched], -scores[touched]))
+        top = touched[order[: max(budget, 0)]]
+        ids = self._ids
+        return [LexicalCandidate(doc_id=ids[i], score=float(scores[i])) for i in top]
 
     def hydrate_candidates(self, doc_ids: Sequence[str]) -> dict[str, Mapping]:
         out: dict[str, Mapping] = {}

@@ -274,7 +274,8 @@ def _group_max_int8_kernel(q_ref, slab_ref, mask_ref, out_ref, *, group: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile_n", "group", "interpret", "group_overfetch")
+    jax.jit,
+    static_argnames=("k", "tile_n", "group", "interpret", "group_overfetch", "rescore"),
 )
 def scan_topk_hierarchical_int8(
     slab_i8: jax.Array,  # (N, D) int8
@@ -287,6 +288,7 @@ def scan_topk_hierarchical_int8(
     group: int = 128,
     interpret: bool = False,
     group_overfetch: int = 1,  # recall knob: rescore k*this groups
+    rescore: str = "xla",  # "xla" (take+einsum) | "pallas" (fused DMA+GEMV)
 ) -> TopKResult:
     """Capacity lane at fused speed: the ONLY slab in HBM is int8 (2x the
     docs per chip vs bf16). Pass 1 = int8 group-max kernel with the
@@ -334,14 +336,30 @@ def scan_topk_hierarchical_int8(
     top_groups = jnp.sort(top_groups, axis=1)
     row_offsets = jax.lax.broadcasted_iota(jnp.int32, (1, 1, group), 2)
     cand_rows = (top_groups[:, :, None] * group + row_offsets).reshape(b, kk_groups * group)
-    # rescore: gather int8 groups contiguously, dequantize, f32 dot
-    slab_grouped = slab_i8.reshape(n_groups, group * d)
-    cand = jnp.take(slab_grouped, top_groups.reshape(-1), axis=0)
-    cand = cand.reshape(b, kk_groups * group, d).astype(jnp.float32) * slab_scale
-    exact = jnp.einsum(
-        "bd,bcd->bc", queries.astype(jnp.float32), cand,
-        preferred_element_type=jnp.float32,
-    )
+    # rescore: dequantized int8 candidates against the f32 query. The
+    # fused Pallas path folds the per-dim scale into the query — exactly
+    # (q*scale)·c == q·(c*scale) — so the kernel DMAs raw int8 groups
+    # (half the VMEM of bf16) and GEMVs after a VPU cast. The XLA path
+    # materializes dequantized candidates and einsums.
+    rescore_scratch = _RESCORE_QB * kk_groups * group * d * slab_i8.dtype.itemsize
+    if (
+        rescore == "pallas"
+        and b % _RESCORE_QB == 0
+        and rescore_scratch <= 12 * 1024 * 1024
+    ):
+        q_scaled = queries.astype(jnp.float32) * slab_scale.astype(jnp.float32)
+        exact = _gather_rescore_pallas(
+            slab_i8, q_scaled, top_groups,
+            group=group, kk=kk_groups, interpret=interpret, compute_f32=True,
+        )
+    else:
+        slab_grouped = slab_i8.reshape(n_groups, group * d)
+        cand = jnp.take(slab_grouped, top_groups.reshape(-1), axis=0)
+        cand = cand.reshape(b, kk_groups * group, d).astype(jnp.float32) * slab_scale
+        exact = jnp.einsum(
+            "bd,bcd->bc", queries.astype(jnp.float32), cand,
+            preferred_element_type=jnp.float32,
+        )
     mask_grouped = mask.reshape(n_groups, group)
     mask_cand = jnp.take(mask_grouped, top_groups.reshape(-1), axis=0)
     exact = exact + mask_cand.reshape(b, kk_groups * group)
@@ -368,6 +386,7 @@ def _gather_rescore_kernel(
     *,
     group: int,
     kk: int,
+    compute_f32: bool = False,
 ):
     """One grid step = QB queries: DMA each query's kk candidate groups
     from HBM into VMEM (contiguous group-row copies), then QB GEMVs.
@@ -376,6 +395,11 @@ def _gather_rescore_kernel(
     become explicit contiguous DMAs and the rescore runs entirely from
     VMEM (PrefetchScalarGridSpec delivers the group ids before the body
     runs, so all QB*kk DMAs are in flight before any compute).
+
+    compute_f32=True is the int8 lane: the candidate block is cast up to
+    f32 on the VPU and the GEMV runs f32xf32 — the caller folds the
+    per-dim dequant scale into the query (q*scale)·c_i8 == q·(c_i8*scale),
+    so dequantization costs nothing beyond the cast.
     """
     step = pl.program_id(0)
 
@@ -407,9 +431,15 @@ def _gather_rescore_kernel(
     jax.lax.fori_loop(0, _RESCORE_QB, wait_all, 0)
 
     for qi in range(_RESCORE_QB):  # static unroll: QB small GEMVs
+        if compute_f32:
+            qrow = q_ref[pl.ds(qi, 1), :].astype(jnp.float32)
+            cand = scratch[qi].astype(jnp.float32)
+        else:
+            qrow = q_ref[pl.ds(qi, 1), :].astype(scratch.dtype)
+            cand = scratch[qi]
         out_ref[qi, :] = jax.lax.dot_general(
-            q_ref[pl.ds(qi, 1), :].astype(scratch.dtype),
-            scratch[qi],
+            qrow,
+            cand,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )[0]
@@ -417,14 +447,16 @@ def _gather_rescore_kernel(
 
 def _gather_rescore_pallas(
     slab: jax.Array, queries: jax.Array, top_groups: jax.Array,
-    *, group: int, kk: int, interpret: bool = False,
+    *, group: int, kk: int, interpret: bool = False, compute_f32: bool = False,
 ) -> jax.Array:
     """(B, kk) group ids -> (B, kk*group) exact scores, fused DMA+GEMV.
     Requires B % _RESCORE_QB == 0 (the caller pads queries)."""
     b, d = queries.shape
     if b % _RESCORE_QB != 0:
         raise ValueError(f"batch {b} not a multiple of {_RESCORE_QB}")
-    kernel = functools.partial(_gather_rescore_kernel, group=group, kk=kk)
+    kernel = functools.partial(
+        _gather_rescore_kernel, group=group, kk=kk, compute_f32=compute_f32
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b // _RESCORE_QB,),

@@ -298,6 +298,52 @@ class TestHierarchicalInt8:
         )
         assert np.asarray(res.indices)[0, 0] == 777
 
+    def test_fused_rescore_matches_xla_merge(self, rng):
+        """The Pallas DMA+GEMV rescore (scale folded into the query) must
+        agree with the XLA dequantize+einsum merge: same doc sets, scores
+        equal to f32 rounding."""
+        from frankensearch_tpu.ops.quantize import calibrate_int8
+        from frankensearch_tpu.ops.topk_scan import scan_topk_hierarchical_int8
+
+        slab = make_unit_rows(rng, 2048, 64)
+        q8 = calibrate_int8(slab)
+        queries = make_unit_rows(rng, 8, 64)
+        valid = np.arange(2048) < 1900
+        mask = additive_mask(jnp.asarray(valid))
+        kwargs = dict(tile_n=256, group=128, interpret=True, group_overfetch=2)
+        a = scan_topk_hierarchical_int8(
+            jnp.asarray(q8.values), jnp.asarray(q8.scale), jnp.asarray(queries),
+            10, mask, rescore="pallas", **kwargs,
+        )
+        b = scan_topk_hierarchical_int8(
+            jnp.asarray(q8.values), jnp.asarray(q8.scale), jnp.asarray(queries),
+            10, mask, rescore="xla", **kwargs,
+        )
+        ia, ib = np.asarray(a.indices), np.asarray(b.indices)
+        for row in range(8):
+            assert set(ia[row]) == set(ib[row]), row
+        np.testing.assert_allclose(
+            np.sort(np.asarray(a.scores), axis=1),
+            np.sort(np.asarray(b.scores), axis=1),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_fused_rescore_batch_not_multiple_falls_back(self, rng):
+        """B=3 (not a multiple of the QB block) must silently take the XLA
+        merge and still return correct results."""
+        from frankensearch_tpu.ops.quantize import calibrate_int8
+        from frankensearch_tpu.ops.topk_scan import scan_topk_hierarchical_int8
+
+        slab = make_unit_rows(rng, 1024, 64) * 0.3
+        q = make_unit_rows(rng, 3, 64)
+        slab[777] = q[1]
+        q8 = calibrate_int8(slab)
+        res = scan_topk_hierarchical_int8(
+            jnp.asarray(q8.values), jnp.asarray(q8.scale), jnp.asarray(q),
+            5, tile_n=256, group=128, interpret=True, rescore="pallas",
+        )
+        assert np.asarray(res.indices)[1, 0] == 777
+
     def test_group_overfetch_raises_recall(self, rng):
         from frankensearch_tpu.ops.quantize import calibrate_int8
         from frankensearch_tpu.ops.topk_scan import scan_topk_hierarchical_int8
