@@ -1,0 +1,48 @@
+import numpy as np, time
+import sys; sys.path.insert(0, "/root/repo")
+import jax
+from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.embed.model2vec import random_model2vec
+from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+from frankensearch_tpu.index.device_index import DeviceVectorIndex
+from frankensearch_tpu.index.two_tier import TwoTierIndex
+from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
+print("platform:", jax.devices()[0].platform, flush=True)
+rng = np.random.default_rng(5)
+vocab = [f"w{i}" for i in range(2000)]
+N = 100_000
+emb = random_model2vec(vocab, dim=256, seed=1)
+texts = [" ".join(rng.choice(vocab, size=40)) for _ in range(N)]
+print("corpus built", flush=True)
+t0=time.monotonic()
+vecs = np.concatenate([emb.embed_batch(texts[s:s+2048]) for s in range(0, N, 2048)])
+t1=time.monotonic()
+print(f"embed corpus: {N/(t1-t0):.0f} docs/s", flush=True)
+ids = [f"d{i:06d}" for i in range(N)]
+fast = DeviceVectorIndex(vecs, ids, emb.identity(), use_pallas=True)
+index = TwoTierIndex(fast=fast)
+docs = [IndexableDocument(doc_id=ids[i], content=texts[i]) for i in range(N)]
+t0=time.monotonic()
+lex = BulkDeviceBm25Index(docs)
+t1=time.monotonic()
+print(f"lexical bulk build: {N/(t1-t0):.0f} docs/s", flush=True)
+
+s = TwoTierSearcher(index, emb, lexical=None, cache_query_embeddings=False)
+queries = [" ".join(rng.choice(vocab, size=4)) for _ in range(256)]
+# warm compile
+outs = s.search_batch(queries, k=10)
+t0=time.monotonic()
+R = 5
+for _ in range(R):
+    outs = s.search_batch(queries, k=10)
+t1=time.monotonic()
+qps = 256*R/(t1-t0)
+print(f"RESULT e2e hybrid-vector batch: {qps:.0f} QPS (embed+scan+fuse, no lexical)", flush=True)
+# with device lexical arm (scored per query host-side fusion)
+s2 = TwoTierSearcher(index, emb, lexical=lex, cache_query_embeddings=False)
+outs = s2.search_batch(queries, k=10)
+t0=time.monotonic()
+for _ in range(R):
+    outs = s2.search_batch(queries, k=10)
+t1=time.monotonic()
+print(f"RESULT e2e full hybrid batch (incl. per-query lexical): {256*R/(t1-t0):.0f} QPS", flush=True)

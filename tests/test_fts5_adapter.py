@@ -1,0 +1,168 @@
+"""FTS5 lexical backend conformance.
+
+Parity model: reference storage/src/fts5_adapter.rs — the FTS5 arm must
+satisfy the same LexicalRead/LexicalWrite contract as the oracle and the
+device scorer (match-set agreement on Should-union queries, title boost,
+snapshot commit semantics), while its BM25 scores are engine-native.
+"""
+
+import pytest
+
+from frankensearch_tpu.core.errors import InvalidConfig
+from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.lexical.fts5_adapter import Fts5LexicalIndex, fts5_available
+from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+
+pytestmark = pytest.mark.skipif(not fts5_available(), reason="sqlite without fts5")
+
+
+def _doc(i, content, title=None, metadata=None):
+    return IndexableDocument(doc_id=f"d{i:03d}", content=content, title=title, metadata=metadata)
+
+
+@pytest.fixture
+def index():
+    ix = Fts5LexicalIndex()
+    docs = [
+        _doc(0, "rust memory safety borrow checker", title="rust guide"),
+        _doc(1, "python dynamic typing ecosystem"),
+        _doc(2, "rust zero cost abstractions performance", metadata={"lang": "rs"}),
+        _doc(3, "garbage collection pause latency"),
+        _doc(4, "the rust book teaches ownership", title="book"),
+    ]
+    for d in docs:
+        ix.add_document(d)
+    ix.commit()
+    yield ix
+    ix.close()
+
+
+class TestFts5Contract:
+    def test_search_and_ordering(self, index):
+        cands = index.search_candidates("rust", 10)
+        ids = [c.doc_id for c in cands]
+        assert set(ids) == {"d000", "d002", "d004"}
+        scores = [c.score for c in cands]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
+
+    def test_title_boost(self):
+        ix = Fts5LexicalIndex()
+        ix.add_document(_doc(0, "unrelated words entirely", title="quantum"))
+        ix.add_document(_doc(1, "quantum words entirely", title=None))
+        ix.commit()
+        cands = ix.search_candidates("quantum", 10)
+        assert [c.doc_id for c in cands][0] == "d000"  # title hit outranks content hit
+        ix.close()
+
+    def test_match_set_agrees_with_oracle(self, index):
+        oracle = MemoryLexicalIndex()
+        for i, (content, title) in enumerate(
+            [
+                ("rust memory safety borrow checker", "rust guide"),
+                ("python dynamic typing ecosystem", None),
+                ("rust zero cost abstractions performance", None),
+                ("garbage collection pause latency", None),
+                ("the rust book teaches ownership", "book"),
+            ]
+        ):
+            oracle.add_document(_doc(i, content, title=title))
+        oracle.commit()
+        for q in ("rust", "python ecosystem", "rust performance", "nonexistentterm"):
+            a = {c.doc_id for c in index.search_candidates(q, 50)}
+            b = {c.doc_id for c in oracle.search_candidates(q, 50)}
+            assert a == b, q
+
+    def test_staging_invisible_until_commit(self, index):
+        index.add_document(_doc(9, "fresh rust content"))
+        assert "d009" not in {c.doc_id for c in index.search_candidates("rust", 10)}
+        index.commit()
+        assert "d009" in {c.doc_id for c in index.search_candidates("rust", 10)}
+
+    def test_delete_and_replace(self, index):
+        index.delete_document("d000")
+        index.commit()
+        assert "d000" not in {c.doc_id for c in index.search_candidates("rust", 10)}
+        assert index.doc_count() == 4
+        # replace: re-add same id with new content (count unchanged)
+        index.add_document(_doc(2, "completely different ocean text"))
+        index.commit()
+        assert index.doc_count() == 4
+        assert "d002" not in {c.doc_id for c in index.search_candidates("rust", 10)}
+        assert "d002" in {c.doc_id for c in index.search_candidates("ocean", 10)}
+
+    def test_hydrate_and_search_wrapper(self, index):
+        meta = index.hydrate_candidates(["d002", "d000", "missing"])
+        assert meta["d002"]["metadata"] == {"lang": "rs"}
+        assert meta["d000"]["title"] == "rust guide"
+        assert "missing" not in meta
+        results = index.search("rust", 3)
+        assert results[0].lexical_score == results[0].score
+        assert any(r.title == "rust guide" for r in results)
+
+    def test_snippet_highlights(self, index):
+        snip = index.snippet("borrow checker", "d000")
+        assert snip is not None and "[borrow]" in snip and "[checker]" in snip
+
+    def test_empty_query_and_budget(self, index):
+        assert index.search_candidates("", 10) == []
+        assert index.search_candidates("!!!", 10) == []
+        assert index.search_candidates("rust", 0) == []
+
+    def test_query_with_fts5_metachars_is_safe(self, index):
+        # quotes/operators in raw queries must not inject FTS5 syntax
+        for q in ('rust " OR " python', "rust AND NOT", 'a"b', "NEAR(rust python)"):
+            index.search_candidates(q, 10)  # must not raise
+
+    def test_persistent_roundtrip(self, tmp_path):
+        p = str(tmp_path / "lex.db")
+        ix = Fts5LexicalIndex(p)
+        ix.add_document(_doc(0, "persisted rust content"))
+        ix.commit()
+        ix.close()
+        ix2 = Fts5LexicalIndex(p)
+        assert ix2.doc_count() == 1
+        assert [c.doc_id for c in ix2.search_candidates("rust", 5)] == ["d000"]
+        ix2.close()
+
+
+class TestContentless:
+    def test_search_works_delete_fails_typed(self):
+        ix = Fts5LexicalIndex(content_mode="contentless")
+        ix.add_document(_doc(0, "rust contentless row"))
+        ix.commit()
+        assert [c.doc_id for c in ix.search_candidates("rust", 5)] == ["d000"]
+        with pytest.raises(InvalidConfig):
+            ix.delete_document("d000")
+        assert ix.snippet("rust", "d000") is None
+        ix.close()
+
+    def test_invalid_mode_rejected(self):
+        with pytest.raises(InvalidConfig):
+            Fts5LexicalIndex(content_mode="external")
+
+
+class TestFts5InSearcher:
+    def test_hybrid_search_with_fts5_arm(self, tmp_path):
+        from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+        from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+        from frankensearch_tpu.index.two_tier import TwoTierIndex
+
+        texts = [
+            "rust memory safety", "python typing", "rust performance",
+            "garbage collection", "rust ownership",
+        ]
+        fe = HashEmbedder(dim=64)
+        index = TwoTierIndex.create(
+            str(tmp_path / "v"), fe.embed_batch(texts),
+            [f"d{i:03d}" for i in range(5)], fe.identity(), use_pallas=False,
+        )
+        lex = Fts5LexicalIndex()
+        for i, t in enumerate(texts):
+            lex.add_document(_doc(i, t))
+        lex.commit()
+        s = TwoTierSearcher(index, fe, lexical=lex, cache_query_embeddings=False)
+        out = s.search("rust memory safety", k=3)
+        assert out.results
+        assert out.results[0].doc_id == "d000"
+        lex.close()
