@@ -100,6 +100,44 @@ def load_lexical(root: str) -> MemoryLexicalIndex | None:
     return index
 
 
+def save_packed_lexical(device_index, root: str, generation: str | None = None) -> str:
+    """Write a FLXB packed segment (lexical/flexb.py) for the device BM25
+    arm. With ``generation=None`` a new generation is created and
+    published via CURRENT (blue-green, keeper.rs parity); otherwise the
+    segment is written alongside an existing generation's artifacts."""
+    from frankensearch_tpu.lexical.flexb import save_packed
+
+    publish = generation is None
+    if generation is None:
+        generation = f"gen-{int(time.time() * 1000):013d}"
+    gen_dir = os.path.join(root, "lexical", generation)
+    os.makedirs(gen_dir, exist_ok=True)
+    save_packed(device_index, os.path.join(gen_dir, "index.flexb"))
+    if publish:
+        current = os.path.join(root, "lexical", "CURRENT")
+        fd, tmp_cur = tempfile.mkstemp(dir=os.path.dirname(current))
+        with os.fdopen(fd, "w") as f:
+            f.write(generation)
+        os.replace(tmp_cur, current)
+    return generation
+
+
+def load_packed_lexical(root: str):
+    """Load the CURRENT generation's FLXB segment as a ready
+    BulkDeviceBm25Index; None when absent."""
+    from frankensearch_tpu.lexical.flexb import load_packed
+
+    current = os.path.join(root, "lexical", "CURRENT")
+    if not os.path.exists(current):
+        return None
+    with open(current) as f:
+        generation = f.read().strip()
+    path = os.path.join(root, "lexical", generation, "index.flexb")
+    if not os.path.exists(path):
+        return None
+    return load_packed(path)
+
+
 def list_generations(root: str) -> list[str]:
     lex_root = os.path.join(root, "lexical")
     if not os.path.isdir(lex_root):

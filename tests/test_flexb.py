@@ -1,0 +1,131 @@
+"""FLXB packed lexical segment: container discipline + search parity.
+
+Parity model: reference quill segment.rs (FSLX framing: named sections,
+64-B alignment, checksums, version gate) and quiver.rs (postings persist
+without rebase); here the payload is the device scorer's flat arrays so
+load is zero-parse.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.lexical import flexb
+from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
+from frankensearch_tpu.lexical.flexb import (
+    FlexbCorrupted,
+    load_packed,
+    read_sections,
+    save_packed,
+    write_sections,
+)
+from frankensearch_tpu.lexical.persist import load_packed_lexical, save_packed_lexical
+
+
+def _corpus(n=40):
+    rng = np.random.default_rng(7)
+    vocab = [f"term{i:02d}" for i in range(50)]
+    return [
+        IndexableDocument(
+            doc_id=f"doc-{i:03d}",
+            content=" ".join(rng.choice(vocab, size=20)),
+            title=f"title {vocab[i % 50]}" if i % 3 == 0 else None,
+            metadata={"n": i} if i % 5 == 0 else None,
+        )
+        for i in range(n)
+    ]
+
+
+class TestContainer:
+    def test_roundtrip_and_alignment(self, tmp_path):
+        p = str(tmp_path / "x.flexb")
+        write_sections(p, {"alpha": b"abc", "beta": b"x" * 100, "gamma": b""})
+        out = read_sections(p)
+        assert out == {"alpha": b"abc", "beta": b"x" * 100, "gamma": b""}
+        # 64-byte alignment of section starts
+        raw = open(p, "rb").read()
+        nsec = 3
+        table_end = flexb._HEADER.size + nsec * flexb._SECTION.size
+        for i in range(nsec):
+            _, off, _ = flexb._SECTION.unpack_from(raw, flexb._HEADER.size + i * flexb._SECTION.size)
+            assert off % 64 == 0
+
+    def test_crc_detects_corruption(self, tmp_path):
+        p = str(tmp_path / "x.flexb")
+        write_sections(p, {"alpha": b"hello world payload"})
+        raw = bytearray(open(p, "rb").read())
+        raw[-3] ^= 0xFF  # flip a payload byte
+        open(p, "wb").write(raw)
+        with pytest.raises(FlexbCorrupted, match="CRC"):
+            read_sections(p)
+
+    def test_bad_magic_and_version(self, tmp_path):
+        p = str(tmp_path / "x.flexb")
+        write_sections(p, {"a": b"1"})
+        raw = bytearray(open(p, "rb").read())
+        raw[:4] = b"NOPE"
+        open(p, "wb").write(raw)
+        with pytest.raises(FlexbCorrupted, match="magic"):
+            read_sections(p)
+        write_sections(p, {"a": b"1"})
+        raw = bytearray(open(p, "rb").read())
+        raw[4] = 99
+        open(p, "wb").write(raw)
+        with pytest.raises(FlexbCorrupted, match="version"):
+            read_sections(p)
+
+    def test_truncation_detected(self, tmp_path):
+        p = str(tmp_path / "x.flexb")
+        write_sections(p, {"a": b"z" * 200})
+        raw = open(p, "rb").read()
+        open(p, "wb").write(raw[: len(raw) - 50])
+        with pytest.raises(FlexbCorrupted):
+            read_sections(p)
+
+
+class TestPackedIndex:
+    def test_search_parity_after_roundtrip(self, tmp_path):
+        docs = _corpus()
+        built = BulkDeviceBm25Index(docs)
+        p = str(tmp_path / "lex.flexb")
+        save_packed(built, p)
+        loaded = load_packed(p)
+        assert loaded.doc_ids == built.doc_ids
+        assert loaded.posting_count == built.posting_count
+        assert loaded.vocab_size == built.vocab_size
+        for q in ("term00", "term07 term31", "title term12", "missingterm"):
+            a = built.search_candidates(q, 15)
+            b = loaded.search_candidates(q, 15)
+            assert [c.doc_id for c in a] == [c.doc_id for c in b], q
+            np.testing.assert_allclose(
+                [c.score for c in a], [c.score for c in b], rtol=0, atol=0
+            )
+
+    def test_hydration_survives(self, tmp_path):
+        docs = _corpus(10)
+        built = BulkDeviceBm25Index(docs)
+        p = str(tmp_path / "lex.flexb")
+        save_packed(built, p)
+        loaded = load_packed(p)
+        meta = loaded.hydrate_candidates(["doc-000", "doc-005"])
+        assert meta["doc-005"]["metadata"] == {"n": 5}
+        assert meta["doc-000"]["title"].startswith("title ")
+        assert meta["doc-000"]["preview"]
+
+    def test_generation_publish_and_load(self, tmp_path):
+        root = str(tmp_path / "root")
+        built = BulkDeviceBm25Index(_corpus(12))
+        gen = save_packed_lexical(built, root)
+        assert open(os.path.join(root, "lexical", "CURRENT")).read().strip() == gen
+        loaded = load_packed_lexical(root)
+        assert loaded is not None and loaded.n_docs == 12
+        # blue-green: publishing a second generation atomically supersedes
+        built2 = BulkDeviceBm25Index(_corpus(13))
+        gen2 = save_packed_lexical(built2, root)
+        assert gen2 != gen
+        assert load_packed_lexical(root).n_docs == 13
+
+    def test_load_absent_returns_none(self, tmp_path):
+        assert load_packed_lexical(str(tmp_path)) is None
