@@ -321,11 +321,19 @@ def cmd_watch(args) -> dict:
     (fsfs watch: debounce -> classify -> batch -> append, watcher.rs)."""
     from frankensearch_tpu.builder import open_hybrid
     from frankensearch_tpu.lexical.persist import save_lexical
+    from frankensearch_tpu.runtime.mounts import MountTable
     from frankensearch_tpu.runtime.watcher import SnapshotWatcher
 
     handle = open_hybrid(args.root)
     snapshot = os.path.join(args.root, "watch_snapshot.json")
-    watcher = SnapshotWatcher([args.corpus], snapshot, debounce_s=args.debounce)
+    watcher = SnapshotWatcher(
+        [args.corpus], snapshot, debounce_s=args.debounce,
+        mount_table=MountTable.system(),
+    )
+    for warning in watcher.mount_warnings:
+        print(f"warning: {warning}", file=sys.stderr)
+    if not watcher.roots:
+        return error_envelope("mount_disabled", "all corpus roots are on disabled/unavailable mounts")
     cycles = 0
     batches: list[dict] = []
     while True:

@@ -71,6 +71,7 @@ class SnapshotWatcher:
         *,
         debounce_s: float = DEFAULT_DEBOUNCE_S,
         clock: Callable[[], float] = time.monotonic,
+        mount_table=None,
     ) -> None:
         self.roots = [os.path.abspath(r) for r in roots]
         self.snapshot_path = snapshot_path
@@ -79,6 +80,37 @@ class SnapshotWatcher:
         self._snapshot: dict[str, tuple[float, int]] = {}
         self._pending: dict[str, FileChange] = {}
         self._pending_since: float = 0.0
+        # per-mount policy (mount_info.rs): roots on disabled mounts are
+        # dropped with a warning; the slowest root's poll interval is the
+        # recommended cadence for the caller's loop
+        self.mount_warnings: list[str] = []
+        self.recommended_poll_s: float | None = None
+        if mount_table is not None:
+            kept = []
+            for root in self.roots:
+                hit = mount_table.lookup(root)
+                if hit is None:
+                    kept.append(root)
+                    continue
+                entry, policy = hit
+                if not policy.enabled or not policy.available:
+                    self.mount_warnings.append(
+                        f"skipping {root}: {entry.fstype} mount "
+                        f"{entry.mount_point} is "
+                        f"{'disabled' if not policy.enabled else 'unavailable'}"
+                    )
+                    continue
+                if entry.category.is_network:
+                    self.mount_warnings.append(
+                        f"{root} is on a network mount ({entry.fstype}): "
+                        f"polling every {policy.poll_interval_s:.0f}s"
+                    )
+                if policy.change_detection.value == "poll":
+                    self.recommended_poll_s = max(
+                        self.recommended_poll_s or 0.0, policy.poll_interval_s
+                    )
+                kept.append(root)
+            self.roots = kept
         self._load_snapshot()
 
     # -- snapshot persistence (crash catch-up) ------------------------------

@@ -47,3 +47,158 @@ class TestTracing:
         assert not logging.getLogger().handlers or True  # root untouched
         child = get_logger("searcher")
         assert child.name.endswith(".searcher")
+
+
+class TestFullMountModel:
+    """mount_info.rs parity: category taxonomy, per-category policy
+    defaults, overrides, longest-prefix lookup, availability, probing."""
+
+    def test_classify_fstype_taxonomy(self):
+        from frankensearch_tpu.runtime.mounts import FsCategory, classify_fstype
+
+        assert classify_fstype("ext4") is FsCategory.LOCAL
+        assert classify_fstype("apfs") is FsCategory.LOCAL
+        assert classify_fstype("nfs4") is FsCategory.NFS
+        assert classify_fstype("cifs") is FsCategory.CIFS
+        assert classify_fstype("fuse.sshfs") is FsCategory.SSHFS
+        assert classify_fstype("fuse.rclone") is FsCategory.FUSE
+        assert classify_fstype("tmpfs") is FsCategory.MEMORY
+        assert classify_fstype("overlay") is FsCategory.VIRTUAL
+        assert classify_fstype("proc") is FsCategory.VIRTUAL
+        assert classify_fstype("weirdfs") is FsCategory.UNKNOWN
+        assert FsCategory.NFS.is_network and not FsCategory.LOCAL.is_network
+        assert FsCategory.LOCAL.supports_reliable_watch
+        assert not FsCategory.SSHFS.supports_reliable_watch
+
+    def test_policy_defaults_per_category(self):
+        from frankensearch_tpu.runtime.mounts import (
+            ChangeDetection,
+            FsCategory,
+            FullMountPolicy,
+        )
+
+        local = FullMountPolicy.for_category(FsCategory.LOCAL)
+        assert local.change_detection is ChangeDetection.WATCH
+        assert local.max_concurrent_io == 64 and local.enabled
+        nfs = FullMountPolicy.for_category(FsCategory.NFS)
+        assert nfs.change_detection is ChangeDetection.POLL
+        assert nfs.max_concurrent_io == 8
+        virt = FullMountPolicy.for_category(FsCategory.VIRTUAL)
+        assert not virt.enabled and virt.change_detection is ChangeDetection.STATIC
+        unknown = FullMountPolicy.for_category(FsCategory.UNKNOWN)
+        assert unknown.max_concurrent_io == 4  # conservative FUSE defaults
+
+    def test_proc_mounts_parse_with_octal_escapes(self):
+        from frankensearch_tpu.runtime.mounts import FsCategory, parse_proc_mounts
+
+        content = (
+            "/dev/sda1 / ext4 rw,relatime 0 0\n"
+            "host:/export /mnt/nfs nfs4 rw 0 0\n"
+            "tmpfs /tmp/with\\040space tmpfs rw 0 0\n"
+            "# comment\n"
+            "short line\n"
+        )
+        entries = parse_proc_mounts(content)
+        assert len(entries) == 3
+        assert entries[0].category is FsCategory.LOCAL
+        assert entries[1].device == "host:/export"
+        assert entries[2].mount_point == "/tmp/with space"
+
+    def test_table_lookup_longest_prefix_and_overrides(self):
+        from frankensearch_tpu.runtime.mounts import (
+            ChangeDetection,
+            FsCategory,
+            MountEntry,
+            MountOverride,
+            MountTable,
+            classify_fstype,
+        )
+
+        def entry(dev, mp, fs):
+            return MountEntry(dev, mp, fs, classify_fstype(fs))
+
+        entries = [
+            entry("/dev/sda1", "/", "ext4"),
+            entry("host:/export", "/mnt/nfs", "nfs4"),
+            entry("host:/export/deep", "/mnt/nfs/deep", "nfs4"),
+        ]
+        table = MountTable(
+            entries,
+            overrides={
+                "/mnt/nfs/deep": MountOverride(
+                    change_detection=ChangeDetection.STATIC, max_concurrent_io=2
+                )
+            },
+        )
+        e, p = table.lookup("/mnt/nfs/deep/file.txt")
+        assert e.mount_point == "/mnt/nfs/deep"
+        assert p.change_detection is ChangeDetection.STATIC
+        assert p.max_concurrent_io == 2
+        e, p = table.lookup("/mnt/nfs/other.txt")
+        assert e.mount_point == "/mnt/nfs"
+        e, _ = table.lookup("/home/u/x")
+        assert e.mount_point == "/"
+        assert [m.mount_point for m in table.network_mounts()] == ["/mnt/nfs", "/mnt/nfs/deep"]
+        # category override re-derives the default policy
+        t2 = MountTable(entries, overrides={"/mnt/nfs": MountOverride(category=FsCategory.LOCAL)})
+        _, p2 = t2.lookup("/mnt/nfs/x")
+        assert p2.change_detection is ChangeDetection.WATCH
+
+    def test_availability_marking(self):
+        from frankensearch_tpu.runtime.mounts import MountEntry, MountTable, classify_fstype
+
+        table = MountTable([MountEntry("d", "/m", "nfs4", classify_fstype("nfs4"))])
+        assert len(table.enabled_mounts()) == 1
+        assert table.mark_unavailable("/m")
+        assert table.enabled_mounts() == []
+        assert table.mark_available("/m")
+        assert len(table.enabled_mounts()) == 1
+        assert not table.mark_unavailable("/nope")
+
+    def test_probe_and_error_class(self, tmp_path):
+        from frankensearch_tpu.runtime.mounts import (
+            IoErrorClass,
+            classify_io_error,
+            probe_mount,
+        )
+
+        ok = probe_mount(str(tmp_path), timeout_s=5.0)
+        assert ok.available and ok.error is None
+        missing = probe_mount(str(tmp_path / "gone"), timeout_s=5.0)
+        assert not missing.available and "permanent" in missing.error
+        slow = probe_mount(str(tmp_path), timeout_s=0.0)
+        assert not slow.available and "exceeds timeout" in slow.error
+        assert classify_io_error(FileNotFoundError()) is IoErrorClass.PERMANENT
+        assert classify_io_error(TimeoutError()) is IoErrorClass.TRANSIENT
+
+    def test_watcher_respects_mount_policy(self, tmp_path):
+        from frankensearch_tpu.runtime.mounts import (
+            FsCategory,
+            MountEntry,
+            MountTable,
+            MountOverride,
+        )
+        from frankensearch_tpu.runtime.watcher import SnapshotWatcher
+
+        root = tmp_path / "corpus"
+        root.mkdir()
+        (root / "a.txt").write_text("hello")
+        table = MountTable(
+            [MountEntry("dev", str(tmp_path), "nfs4", FsCategory.NFS)],
+        )
+        w = SnapshotWatcher(
+            [str(root)], str(tmp_path / "snap.json"), mount_table=table
+        )
+        assert w.roots == [str(root)]
+        assert w.recommended_poll_s == 60.0
+        assert any("network mount" in m for m in w.mount_warnings)
+        # disabled mount -> root dropped with a warning
+        table2 = MountTable(
+            [MountEntry("dev", str(tmp_path), "nfs4", FsCategory.NFS)],
+            overrides={str(tmp_path): MountOverride(enabled=False)},
+        )
+        w2 = SnapshotWatcher(
+            [str(root)], str(tmp_path / "snap2.json"), mount_table=table2
+        )
+        assert w2.roots == []
+        assert any("disabled" in m for m in w2.mount_warnings)
