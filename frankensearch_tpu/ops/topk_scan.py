@@ -421,16 +421,15 @@ def _gather_rescore_kernel(
 
     jax.lax.fori_loop(0, _RESCORE_QB, start_all, 0)
 
-    def wait_all(qi, _):
+    # wait per query, not for all QB*kk copies: query qi's GEMV runs while
+    # queries qi+1.. are still streaming in (DMAs were issued in qi order,
+    # so the front of the queue lands first)
+    for qi in range(_RESCORE_QB):  # static unroll: QB small GEMVs
         def wait_one(j, _):
             dma(qi, j).wait()
             return 0
 
-        return jax.lax.fori_loop(0, kk, wait_one, 0)
-
-    jax.lax.fori_loop(0, _RESCORE_QB, wait_all, 0)
-
-    for qi in range(_RESCORE_QB):  # static unroll: QB small GEMVs
+        jax.lax.fori_loop(0, kk, wait_one, 0)
         if compute_f32:
             qrow = q_ref[pl.ds(qi, 1), :].astype(jnp.float32)
             cand = scratch[qi].astype(jnp.float32)
