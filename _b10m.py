@@ -1,0 +1,43 @@
+import functools, json, time
+import numpy as np
+import jax, jax.numpy as jnp
+from frankensearch_tpu.ops.topk_scan import scan_topk_hierarchical
+
+assert jax.devices()[0].platform == "tpu"
+n_docs, dim, batch, k, tile = 10_000_000, 256, 256, 10, 8192
+n_pad = (n_docs + tile - 1) // tile * tile
+rng = np.random.default_rng(0)
+slab = np.empty((n_pad, dim), dtype=np.float32)
+for s in range(0, n_pad, 262_144):
+    e = min(s + 262_144, n_pad)
+    blk = rng.standard_normal((e - s, dim)).astype(np.float32)
+    blk /= np.maximum(np.linalg.norm(blk, axis=1, keepdims=True), 1e-12)
+    slab[s:e] = blk
+mask = np.zeros(n_pad, dtype=np.float32); mask[n_docs:] = -np.inf
+q = rng.standard_normal((batch, dim)).astype(np.float32)
+q /= np.linalg.norm(q, axis=1, keepdims=True)
+slab_dev = jnp.asarray(slab, dtype=jnp.bfloat16)
+del slab
+mask_dev = jnp.asarray(mask); q_dev = jnp.asarray(q)
+
+@functools.partial(jax.jit, static_argnames=("reps",))
+def chain(slab, mask, qq, reps: int):
+    def body(i, carry):
+        qc, acc = carry
+        r = scan_topk_hierarchical(slab, qc, k, mask, tile_n=tile, group=128, rescore="pallas")
+        return (qq + 1e-6 * jnp.mean(r.scores), acc + jnp.sum(r.scores))
+    (_, acc) = jax.lax.fori_loop(0, reps, body, (qq, jnp.float32(0.0)))
+    return acc
+
+def timed(reps):
+    t0 = time.perf_counter()
+    acc = chain(slab_dev, mask_dev, q_dev, reps=reps)
+    float(acc)
+    return time.perf_counter() - t0
+
+print("compiling...", flush=True)
+timed(2); timed(10)
+samples = [(timed(10) - timed(2)) / 8 for _ in range(3)]
+per = float(np.median(samples))
+print(json.dumps({"metric": "scan_10m_bf16_batch256", "per_scan_ms": round(per*1e3,3),
+                  "qps": round(batch/per,0), "bw_gbs": round(n_pad*dim*2/per/1e9,0)}), flush=True)

@@ -1,0 +1,120 @@
+"""Bulk corpus embedding via the native tokenizer — the ingest fast lane.
+
+Parity target: the reference's corpus-side embed throughput story
+(model2vec_embedder.rs:1-90 rayon batching; SURVEY §6 ingest contract).
+
+TPU-native insight: static-embedding mean pooling is ORDER-INVARIANT —
+``mean(emb[tok] for tok in doc) == sum(tf_t * emb[t]) / sum(tf_t)`` —
+so corpus embedding is the same sparse shape as device BM25: native C++
+tokenize+accumulate to flat postings (term, doc, tf), one vocabulary
+remap, then a device segment-sum of tf-weighted embedding rows. No
+Python-per-token work and no (B, T) padding waste; the device does a
+dense gather + one segment_sum per chunk.
+
+Scope: word-level tokenizers (SimpleWordTokenizer-class vocabularies)
+over ASCII corpora — the native kernel's domain. BPE models use the
+tokenizer's Rust ``encode_batch`` path in ``Model2VecEmbedder`` instead.
+Docs longer than the embedder's ``max_tokens`` differ from the padded
+path only in that the bag uses ALL tokens (no truncation).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frankensearch_tpu.embed.model2vec import Model2VecEmbedder, SimpleWordTokenizer
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("n_docs",))
+def _bag_pool(emb, term_ids, doc_ids, tf, *, n_docs: int):
+    rows = jnp.take(emb, term_ids, axis=0).astype(jnp.float32) * tf[:, None]
+    pooled = jax.ops.segment_sum(rows, doc_ids, num_segments=n_docs)
+    counts = jax.ops.segment_sum(tf, doc_ids, num_segments=n_docs)
+    pooled = pooled / jnp.maximum(counts, 1.0)[:, None]
+    norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+    return jnp.where(norm > 1e-12, pooled / norm, pooled)
+
+
+def bag_embed_corpus(
+    embedder: Model2VecEmbedder,
+    texts: Sequence[str],
+    *,
+    chunk_docs: int = 65_536,
+) -> np.ndarray | None:
+    """Embed a corpus through the native bag-of-words lane.
+
+    Returns None when the lane does not apply (non-word tokenizer, no
+    native kernel, non-ASCII corpus) — the caller falls back to
+    ``embed_batch``. Rows with zero in-vocabulary tokens come back as
+    zero vectors, matching ``embed_batch``.
+    """
+    tok = embedder._tokenizer
+    if not isinstance(tok, SimpleWordTokenizer):
+        return None
+    from frankensearch_tpu import native
+
+    texts = list(texts)
+    if not texts:
+        return np.zeros((0, embedder.dim), dtype=np.float32)
+
+    out = np.zeros((len(texts), embedder.dim), dtype=np.float32)
+    vocab_get = tok.vocab.get
+    unk = tok.unk_id if tok.unk_id is not None else -1
+    for start in range(0, len(texts), chunk_docs):
+        chunk = texts[start : start + chunk_docs]
+        if tok.lowercase:
+            chunk = [t.lower() for t in chunk]
+        bp = native.build_postings_native(chunk)
+        if bp is None:
+            return None
+        # one vocabulary remap per unique term in the chunk
+        term_vocab = np.fromiter(
+            (vocab_get(t, unk) for t in bp.terms), dtype=np.int64, count=len(bp.terms)
+        )
+        vids = term_vocab[bp.post_term]
+        keep = vids >= 0
+        vids = vids[keep]
+        docs = bp.post_doc[keep].astype(np.int32)
+        tf = bp.post_tf[keep].astype(np.float32)
+        p = len(vids)
+        p_pad = max(_round_up(max(p, 1), 1024), 1024)
+        term_pad = np.zeros(p_pad, dtype=np.int32)
+        doc_pad = np.full(p_pad, len(chunk), dtype=np.int32)  # pad rows -> sink doc
+        tf_pad = np.zeros(p_pad, dtype=np.float32)
+        term_pad[:p] = vids
+        doc_pad[:p] = docs
+        tf_pad[:p] = tf
+        pooled = _bag_pool(
+            embedder._emb,
+            jnp.asarray(term_pad),
+            jnp.asarray(doc_pad),
+            jnp.asarray(tf_pad),
+            n_docs=len(chunk) + 1,  # +1 sink row for padding
+        )
+        out[start : start + len(chunk)] = np.asarray(pooled, dtype=np.float32)[: len(chunk)]
+    return out
+
+
+def embed_corpus(embedder, texts: Sequence[str], *, batch: int = 2048) -> np.ndarray:
+    """Fastest valid corpus-embed lane: native bag-of-words when the
+    embedder/corpus qualify, else chunked ``embed_batch``."""
+    if isinstance(embedder, Model2VecEmbedder):
+        via_bag = bag_embed_corpus(embedder, texts)
+        if via_bag is not None:
+            return via_bag
+    texts = list(texts)
+    if not texts:
+        return np.zeros((0, embedder.dim), dtype=np.float32)
+    parts = [
+        embedder.embed_batch(texts[s : s + batch]) for s in range(0, len(texts), batch)
+    ]
+    return np.concatenate(parts, axis=0)

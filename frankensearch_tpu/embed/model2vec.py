@@ -75,6 +75,9 @@ class SimpleWordTokenizer:
                 ids.append(i)
         return ids
 
+    def encode_batch(self, texts: Sequence[str]) -> list[list[int]]:
+        return [self.encode(t) for t in texts]
+
 
 class HfTokenizerWrapper:
     """Adapter over the ``tokenizers`` package (no specials, as model2vec)."""
@@ -86,6 +89,12 @@ class HfTokenizerWrapper:
 
     def encode(self, text: str) -> list[int]:
         return self._tok.encode(text, add_special_tokens=False).ids
+
+    def encode_batch(self, texts: Sequence[str]) -> list[list[int]]:
+        """Rust-parallel batch tokenization — the corpus-embed fast path."""
+        return [
+            e.ids for e in self._tok.encode_batch(list(texts), add_special_tokens=False)
+        ]
 
 
 class Model2VecEmbedder(Embedder):
@@ -160,7 +169,11 @@ class Model2VecEmbedder(Embedder):
     def embed_batch(self, texts: Sequence[str]) -> np.ndarray:
         if not texts:
             return np.zeros((0, self._dim), dtype=np.float32)
-        encoded = [self._tokenizer.encode(t)[: self.max_tokens] for t in texts]
+        batch_encode = getattr(self._tokenizer, "encode_batch", None)
+        if batch_encode is not None:
+            encoded = [e[: self.max_tokens] for e in batch_encode(texts)]
+        else:
+            encoded = [self._tokenizer.encode(t)[: self.max_tokens] for t in texts]
         max_len = max((len(e) for e in encoded), default=1)
         t_pad = _bucket_len(max(max_len, 1))
         ids = np.zeros((len(texts), t_pad), dtype=np.int32)

@@ -1,0 +1,90 @@
+"""Bulk corpus-embed lanes: bag-of-words parity + dispatch selection.
+
+Parity model: reference model2vec_embedder.rs batch loops (SURVEY §6
+ingest). The bag lane must be numerically interchangeable with the
+padded embed_batch path (mean pooling is order-invariant)."""
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu.embed.bulk import bag_embed_corpus, embed_corpus
+from frankensearch_tpu.embed.model2vec import (
+    HfTokenizerWrapper,
+    Model2VecEmbedder,
+    SimpleWordTokenizer,
+    random_model2vec,
+)
+from frankensearch_tpu import native
+
+needs_native = pytest.mark.skipif(
+    native.build_postings_native(["probe text"]) is None,
+    reason="native kernel unavailable",
+)
+
+
+@pytest.fixture
+def m2v():
+    return random_model2vec([f"w{i}" for i in range(300)], dim=64, seed=2)
+
+
+@needs_native
+class TestBagLane:
+    def test_parity_with_embed_batch(self, m2v):
+        rng = np.random.default_rng(0)
+        texts = [
+            " ".join(rng.choice([f"w{i}" for i in range(300)], size=25))
+            for _ in range(200)
+        ]
+        ref = m2v.embed_batch(texts)
+        bag = bag_embed_corpus(m2v, texts)
+        assert bag is not None
+        cos = np.sum(ref * bag, axis=1)
+        assert cos.min() > 0.99999
+        # unit rows
+        np.testing.assert_allclose(np.linalg.norm(bag, axis=1), 1.0, atol=1e-5)
+
+    def test_zero_token_and_oov_rows(self, m2v):
+        out = bag_embed_corpus(m2v, ["", "w5 w6 w7", "zzz qqq", "!!!"])
+        norms = np.linalg.norm(out, axis=1)
+        assert norms[1] == pytest.approx(1.0, abs=1e-5)
+        assert norms[0] == norms[2] == norms[3] == 0.0  # empty / OOV-only
+
+    def test_duplicate_tokens_weighted_by_tf(self, m2v):
+        a = bag_embed_corpus(m2v, ["w1 w1 w1 w2"])
+        b = m2v.embed_batch(["w1 w1 w1 w2"])
+        assert float(np.sum(a * b)) > 0.99999
+
+    def test_lowercase_honored(self, m2v):
+        a = bag_embed_corpus(m2v, ["W1 W2"])
+        b = bag_embed_corpus(m2v, ["w1 w2"])
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_chunking_matches_single_shot(self, m2v):
+        rng = np.random.default_rng(1)
+        texts = [
+            " ".join(rng.choice([f"w{i}" for i in range(300)], size=10))
+            for _ in range(50)
+        ]
+        whole = bag_embed_corpus(m2v, texts)
+        chunked = bag_embed_corpus(m2v, texts, chunk_docs=7)
+        np.testing.assert_allclose(whole, chunked, atol=1e-6)
+
+
+class TestDispatch:
+    def test_embed_corpus_falls_back_for_non_word_tokenizer(self, m2v, tmp_path):
+        class FakeBpe:
+            def encode(self, text):
+                return [1, 2]
+
+        bpe_emb = Model2VecEmbedder(
+            np.eye(8, 4, dtype=np.float32), FakeBpe(), embedder_id="bpe-test"
+        )
+        out = embed_corpus(bpe_emb, ["anything at all"])
+        assert out.shape == (1, 4)
+
+    def test_embed_corpus_empty(self, m2v):
+        assert embed_corpus(m2v, []).shape == (0, 64)
+
+    def test_simple_tokenizer_encode_batch(self):
+        tok = SimpleWordTokenizer({"a": 0, "b": 1})
+        assert tok.encode_batch(["a b", "b zzz"]) == [[0, 1], [1]]
