@@ -119,6 +119,107 @@ def sharded_scan_topk(
     return TopKResult(out_s.astype(jnp.float32), out_i.astype(jnp.int32))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "axis", "mesh", "candidate_multiplier")
+)
+def sharded_scan_topk_int8(
+    slab_i8: jax.Array,  # (N, D) int8, row-sharded
+    slab_scale: jax.Array,  # (D,) f32, replicated
+    mask: jax.Array,  # (N,) f32 additive, row-sharded
+    queries: jax.Array,  # (B, D) f32, replicated
+    k: int,
+    *,
+    mesh: Mesh,
+    axis: str = "d",
+    candidate_multiplier: int = 4,
+) -> TopKResult:
+    """Multi-chip capacity lane: int8 row shards (2x docs per chip) with
+    the single-chip two-pass contract applied PER SHARD — the rough int8
+    pass and the exact dequantized rescore both stay shard-local (no
+    cross-device row gathers), and only the exact-scored (B, k) heaps
+    cross ICI in one all_gather. Mirrors ops/topk_scan.py
+    scan_topk_int8_two_pass (index/src/search.rs:514 lineage).
+    """
+    n_dev = mesh.shape[axis]
+    local_rows = slab_i8.shape[0] // n_dev
+
+    def local_scan(slab_l, scale_g, mask_l, q):
+        shard_id = jax.lax.axis_index(axis)
+        # prepared query: fold per-dim scale, per-query symmetric int8
+        q_prep = q.astype(jnp.float32) * scale_g.astype(jnp.float32)
+        qmax = jnp.maximum(jnp.max(jnp.abs(q_prep), axis=1, keepdims=True), 1e-6)
+        q_i8 = jnp.clip(jnp.round(q_prep / qmax * 127.0), -127, 127).astype(jnp.int8)
+        rough = jax.lax.dot_general(
+            q_i8, slab_l,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        rough = rough + mask_l[None, :]
+        kc = min(max(k * candidate_multiplier, k), local_rows)
+        _, cand_rows = jax.lax.top_k(rough, kc)  # (B, kc) local rows
+        # exact rescore against dequantized local rows
+        cand = jnp.take(slab_l, cand_rows.reshape(-1), axis=0).astype(jnp.float32)
+        cand = (cand * scale_g).reshape(q.shape[0], kc, -1)
+        exact = jnp.einsum(
+            "bd,bcd->bc", q.astype(jnp.float32), cand,
+            preferred_element_type=jnp.float32,
+        )
+        exact = exact + jnp.take(mask_l, cand_rows)
+        kk = min(k, kc)
+        top_s, pos = jax.lax.top_k(exact, kk)
+        top_i = jnp.take_along_axis(cand_rows, pos, axis=1) + shard_id * local_rows
+        all_s = jax.lax.all_gather(top_s, axis)
+        all_i = jax.lax.all_gather(top_i, axis)
+        b = q.shape[0]
+        cand_s = jnp.transpose(all_s, (1, 0, 2)).reshape(b, n_dev * kk)
+        cand_i = jnp.transpose(all_i, (1, 0, 2)).reshape(b, n_dev * kk)
+        kk_final = min(k, cand_s.shape[1])
+        out_s, mpos = jax.lax.top_k(cand_s, kk_final)
+        out_i = jnp.take_along_axis(cand_i, mpos, axis=1)
+        if kk_final < k:
+            pad = k - kk_final
+            out_s = jnp.pad(out_s, ((0, 0), (0, pad)), constant_values=NEG_INF)
+            out_i = jnp.pad(out_i, ((0, 0), (0, pad)), constant_values=-1)
+        return out_s, out_i
+
+    import inspect
+
+    sm_kwargs = {}
+    sig = inspect.signature(shard_map).parameters
+    if "check_vma" in sig:
+        sm_kwargs["check_vma"] = False
+    elif "check_rep" in sig:
+        sm_kwargs["check_rep"] = False
+    out_s, out_i = shard_map(
+        local_scan,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None), P(axis), P(None, None)),
+        out_specs=(P(None, None), P(None, None)),
+        **sm_kwargs,
+    )(slab_i8, slab_scale, mask, queries)
+    out_i = jnp.where(jnp.isfinite(out_s), out_i, -1)
+    return TopKResult(out_s.astype(jnp.float32), out_i.astype(jnp.int32))
+
+
+def shard_slab_int8(
+    q8_values: np.ndarray, mesh: Mesh, *, axis: str = "d"
+) -> tuple[jax.Array, jax.Array]:
+    """Row-shard an int8-quantized slab; padding rows score 0 and are
+    masked out by the returned additive mask."""
+    n, d = q8_values.shape
+    n_dev = mesh.shape[axis]
+    n_pad = _round_up(max(n, 1), n_dev * 8)
+    padded = np.zeros((n_pad, d), dtype=np.int8)
+    padded[:n] = q8_values
+    mask = np.full(n_pad, NEG_INF, dtype=np.float32)
+    mask[:n] = 0.0
+    sharding = NamedSharding(mesh, P(axis, None))
+    mask_sharding = NamedSharding(mesh, P(axis))
+    slab_dev = jax.device_put(jnp.asarray(padded), sharding)
+    mask_dev = jax.device_put(jnp.asarray(mask), mask_sharding)
+    return slab_dev, mask_dev
+
+
 class ShardedVectorScan:
     """Convenience wrapper: host slab -> mesh-sharded scan service."""
 

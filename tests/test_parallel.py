@@ -57,6 +57,53 @@ class TestShardedScan:
         assert len(set(idx[idx >= 0])) == len(slab)  # every live row returned
 
 
+class TestShardedInt8Scan:
+    def test_recall_vs_exact_and_capacity_contract(self, rng):
+        from frankensearch_tpu.ops.quantize import calibrate_int8
+        from frankensearch_tpu.parallel.sharded_scan import (
+            shard_slab_int8,
+            sharded_scan_topk_int8,
+        )
+
+        mesh = make_mesh(axes=("d",))
+        slab = make_unit_rows(rng, 512, 64)
+        q8 = calibrate_int8(slab)
+        queries = make_unit_rows(rng, 6, 64)
+        slab_dev, mask_dev = shard_slab_int8(q8.values, mesh)
+        res = sharded_scan_topk_int8(
+            slab_dev, jnp.asarray(q8.scale), mask_dev, jnp.asarray(queries),
+            10, mesh=mesh,
+        )
+        ref = scan_topk_xla(jnp.asarray(slab), jnp.asarray(queries), 10, precise=True)
+        ri, xi = np.asarray(res.indices), np.asarray(ref.indices)
+        rec = np.mean([len(set(ri[b]) & set(xi[b])) / 10 for b in range(6)])
+        assert rec >= 0.9  # int8 rough pass + exact per-shard rescore
+        assert (ri[ri >= 0] < 512).all()  # padding rows never win
+
+    def test_planted_neighbor_crosses_shards(self, rng):
+        from frankensearch_tpu.ops.quantize import calibrate_int8
+        from frankensearch_tpu.parallel.sharded_scan import (
+            shard_slab_int8,
+            sharded_scan_topk_int8,
+        )
+
+        mesh = make_mesh(axes=("d",))
+        n_dev = len(jax.devices())
+        slab = make_unit_rows(rng, n_dev * 16, 32) * 0.3
+        q = make_unit_rows(rng, n_dev, 32)
+        # plant one exact neighbor in EVERY shard's row range
+        for s in range(n_dev):
+            slab[s * 16 + 3] = q[s]
+        q8 = calibrate_int8(slab)
+        slab_dev, mask_dev = shard_slab_int8(q8.values, mesh)
+        res = sharded_scan_topk_int8(
+            slab_dev, jnp.asarray(q8.scale), mask_dev, jnp.asarray(q), 3, mesh=mesh
+        )
+        idx = np.asarray(res.indices)
+        for s in range(n_dev):
+            assert idx[s, 0] == s * 16 + 3, f"query {s} missed its shard-{s} neighbor"
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import sys
