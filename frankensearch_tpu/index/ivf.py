@@ -36,20 +36,31 @@ def _l2n(x: np.ndarray) -> np.ndarray:
 
 
 def kmeans(
-    vectors: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 0
+    vectors: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 0,
+    train_sample: int = 262_144,
 ) -> np.ndarray:
-    """Spherical k-means (cosine) on device; returns (C, D) unit centroids."""
+    """Spherical k-means (cosine) on device; returns (C, D) unit centroids.
+
+    Trains on a uniform subsample when the (N, C) similarity matrix would
+    blow device memory — centroid quality is sample-stable and the full
+    corpus is still assigned exactly (chunked) afterwards."""
     n, d = vectors.shape
     rng = np.random.default_rng(seed)
+    if n > train_sample:
+        vectors = vectors[rng.choice(n, size=train_sample, replace=False)]
+        n = train_sample
     init = vectors[rng.choice(n, size=n_clusters, replace=False)]
     x = jnp.asarray(_l2n(vectors))
 
+    # x is a jit ARGUMENT, never a closure capture — captured arrays ship
+    # as serialized constants to remote compilers (PERF_LEDGER negative
+    # results: 268 MB capture = HTTP 413 through the tunnel)
     @jax.jit
-    def step(centroids):
-        sims = jnp.dot(x, centroids.T, preferred_element_type=jnp.float32)
+    def step(xa, centroids):
+        sims = jnp.dot(xa, centroids.T, preferred_element_type=jnp.float32)
         assign = jnp.argmax(sims, axis=1)
         one_hot = jax.nn.one_hot(assign, n_clusters, dtype=jnp.float32)
-        sums = jnp.dot(one_hot.T, x, preferred_element_type=jnp.float32)
+        sums = jnp.dot(one_hot.T, xa, preferred_element_type=jnp.float32)
         counts = jnp.sum(one_hot, axis=0)[:, None]
         new = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), centroids)
         norms = jnp.linalg.norm(new, axis=1, keepdims=True)
@@ -57,7 +68,7 @@ def kmeans(
 
     c = jnp.asarray(_l2n(init))
     for _ in range(iters):
-        c = step(c)
+        c = step(x, c)
     return np.asarray(c)
 
 
@@ -115,6 +126,193 @@ def _ivf_search(
         top_i = jnp.pad(top_i, ((0, 0), (0, pad)), constant_values=-1)
     top_i = jnp.where(jnp.isfinite(top_s), top_i, -1)
     return TopKResult(top_s.astype(jnp.float32), top_i.astype(jnp.int32))
+
+
+def _prefs_device(vectors: np.ndarray, centroids: np.ndarray, *, top: int = 4,
+                  chunk: int = 131_072) -> tuple[np.ndarray, np.ndarray]:
+    """Top-``top`` centroid preferences + assignment margin per doc,
+    computed on device in chunks (never materializes (N, C) on host)."""
+    cents = jnp.asarray(centroids)
+
+    @jax.jit
+    def one(xc, ca):
+        sims = jnp.dot(xc, ca.T, preferred_element_type=jnp.float32)
+        s, i = jax.lax.top_k(sims, min(top, ca.shape[0]))
+        margin = s[:, 0] - (s[:, 1] if s.shape[1] > 1 else 0.0)
+        return i, margin
+
+    prefs, margins = [], []
+    for s in range(0, len(vectors), chunk):
+        i, m = one(jnp.asarray(vectors[s : s + chunk]), cents)
+        prefs.append(np.asarray(i))
+        margins.append(np.asarray(m))
+    return np.concatenate(prefs), np.concatenate(margins)
+
+
+def spill_assign(prefs: np.ndarray, margins: np.ndarray, n_clusters: int,
+                 cap: int) -> np.ndarray:
+    """Greedy capacity-constrained assignment over top-preference lists,
+    in confidence (margin) order; docs whose listed preferences are all
+    full land in the first cluster with space (rare, lowest-margin)."""
+    order = np.argsort(-margins, kind="stable")
+    counts = np.zeros(n_clusters, dtype=np.int64)
+    assign = np.full(len(prefs), -1, dtype=np.int64)
+    spill: list[int] = []
+    for doc in order:
+        placed = False
+        for c in prefs[doc]:
+            if counts[c] < cap:
+                assign[doc] = c
+                counts[c] += 1
+                placed = True
+                break
+        if not placed:
+            spill.append(doc)
+    if spill:
+        open_clusters = np.flatnonzero(counts < cap).tolist()
+        ci = 0
+        for doc in spill:
+            while counts[open_clusters[ci]] >= cap:
+                ci += 1
+            c = open_clusters[ci]
+            assign[doc] = c
+            counts[c] += 1
+    assert (assign >= 0).all(), "cap too small for corpus"
+    return assign
+
+
+class IvfDeviceIndex:
+    """Scale-ready IVF: the slab is SORTED by cluster so every bucket is a
+    run of contiguous 128-row groups — probing becomes exactly the fused
+    gather+rescore kernel's job (ops/topk_scan._gather_rescore_pallas),
+    with an XLA take+einsum fallback off-TPU.
+
+    This is the small-batch/low-latency lane: batched brute force reads
+    the slab once per BATCH, so IVF wins when batch * probed_rows << N
+    (single-query probes read ~nprobe*cap rows instead of N). Recall is
+    tunable by nprobe and certifiable via recall_certificate.py — the
+    TPU answer to the reference's HNSW minimal-ef calibration
+    (index/src/hnsw.rs, recall_certificate.rs).
+    """
+
+    GROUP = 128
+
+    def __init__(
+        self,
+        vectors: np.ndarray,
+        n_clusters: int | None = None,
+        *,
+        dtype=jnp.bfloat16,
+        seed: int = 0,
+        kmeans_iters: int = 10,
+        capacity_slack: float = 1.5,
+    ) -> None:
+        vectors = _l2n(np.asarray(vectors, dtype=np.float32))
+        n, d = vectors.shape
+        c = n_clusters or max(min(int(np.sqrt(n * 4)), n // 8 or 1), 1)
+        cents = kmeans(vectors, c, iters=kmeans_iters, seed=seed)
+        prefs, margins = _prefs_device(vectors, cents)
+        cap = int(np.ceil(n / c * capacity_slack))
+        cap = max(((cap + self.GROUP - 1) // self.GROUP) * self.GROUP, self.GROUP)
+        assign = spill_assign(prefs, margins, c, cap)
+
+        # vectorized sorted-slab build: stable sort by cluster, then each
+        # doc's slot is cluster*cap + within-cluster position
+        order = np.argsort(assign, kind="stable")
+        sizes = np.bincount(assign, minlength=c)
+        starts = np.zeros(c, dtype=np.int64)
+        np.cumsum(sizes[:-1], out=starts[1:])
+        within = np.arange(n, dtype=np.int64) - starts[assign[order]]
+        slots = assign[order] * cap + within
+        slab = np.zeros((c * cap, d), dtype=np.float32)
+        row_map = np.full(c * cap, -1, dtype=np.int64)
+        slab[slots] = vectors[order]
+        row_map[slots] = order
+        mask = np.where(row_map >= 0, 0.0, NEG_INF).astype(np.float32)
+
+        self.n_docs = n
+        self.dim = d
+        self.n_clusters = c
+        self.cap = cap
+        self.groups_per_cluster = cap // self.GROUP
+        self.centroids = jnp.asarray(cents)
+        self.slab = jnp.asarray(slab, dtype=dtype)
+        self.mask = jnp.asarray(mask)
+        self._row_map = row_map
+
+    def scanned_fraction(self, nprobe: int = 8) -> float:
+        return min(nprobe, self.n_clusters) * self.cap / max(self.n_docs, 1)
+
+    def search_batch(
+        self, queries: np.ndarray, k: int, *, nprobe: int = 8
+    ) -> TopKResult:
+        q = jnp.asarray(np.asarray(queries, dtype=np.float32))
+        if q.ndim == 1:
+            q = q[None, :]
+        nprobe = min(nprobe, self.n_clusters)
+        s, pos = _ivf_probe_rescore(
+            self.centroids, self.slab, self.mask, q,
+            nprobe=nprobe, k=k, gpc=self.groups_per_cluster,
+        )
+        pos_np = np.asarray(pos)
+        s_np = np.asarray(s)
+        rows = np.where(pos_np >= 0, self._row_map[np.maximum(pos_np, 0)], -1)
+        rows = np.where(np.isfinite(s_np), rows, -1)
+        return TopKResult(jnp.asarray(s_np), jnp.asarray(rows.astype(np.int32)))
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "k", "gpc"))
+def _ivf_probe_rescore(
+    centroids: jax.Array,  # (C, D) f32
+    slab: jax.Array,  # (C*cap, D) sorted by cluster
+    mask: jax.Array,  # (C*cap,) f32 additive
+    queries: jax.Array,  # (B, D) f32
+    *,
+    nprobe: int,
+    k: int,
+    gpc: int,  # groups (of 128 rows) per cluster
+):
+    from frankensearch_tpu.ops import topk_scan
+
+    group = IvfDeviceIndex.GROUP
+    b, d = queries.shape
+    csims = jnp.dot(queries, centroids.T, preferred_element_type=jnp.float32)
+    _, probe = jax.lax.top_k(csims, nprobe)  # (B, nprobe)
+    goff = jax.lax.broadcasted_iota(jnp.int32, (1, 1, gpc), 2)
+    group_ids = (probe[:, :, None] * gpc + goff).reshape(b, nprobe * gpc)
+    group_ids = jnp.sort(group_ids, axis=1)  # row-ascending determinism
+    kk = nprobe * gpc
+    scratch = topk_scan._RESCORE_QB * kk * group * d * slab.dtype.itemsize
+    if (
+        b % topk_scan._RESCORE_QB == 0
+        and scratch <= 12 * 1024 * 1024
+        and jax.devices()[0].platform == "tpu"
+    ):
+        exact = topk_scan._gather_rescore_pallas(
+            slab, queries, group_ids, group=group, kk=kk
+        )
+    else:
+        n_groups = slab.shape[0] // group
+        slab_grouped = slab.reshape(n_groups, group * d)
+        cand = jnp.take(slab_grouped, group_ids.reshape(-1), axis=0)
+        cand = cand.reshape(b, kk * group, d).astype(jnp.float32)
+        exact = jnp.einsum(
+            "bd,bcd->bc", queries, cand, preferred_element_type=jnp.float32
+        )
+    mask_grouped = mask.reshape(-1, group)
+    mask_cand = jnp.take(mask_grouped, group_ids.reshape(-1), axis=0)
+    exact = exact + mask_cand.reshape(b, kk * group)
+    row_offsets = jax.lax.broadcasted_iota(jnp.int32, (1, 1, group), 2)
+    cand_pos = (group_ids[:, :, None] * group + row_offsets).reshape(b, kk * group)
+    kk_final = min(k, exact.shape[1])
+    top_s, sel = jax.lax.top_k(exact, kk_final)
+    top_pos = jnp.take_along_axis(cand_pos, sel, axis=1)
+    if kk_final < k:
+        pad = k - kk_final
+        top_s = jnp.pad(top_s, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        top_pos = jnp.pad(top_pos, ((0, 0), (0, pad)), constant_values=-1)
+    top_pos = jnp.where(jnp.isfinite(top_s), top_pos, -1)
+    return top_s.astype(jnp.float32), top_pos.astype(jnp.int32)
 
 
 @dataclass

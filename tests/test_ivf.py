@@ -81,3 +81,68 @@ class TestIvfSearch:
         )
         assert cert is not None
         assert cert.certified_recall >= 0.8
+
+
+class TestIvfDeviceIndex:
+    """Sorted-slab IVF (group-DMA probing lane)."""
+
+    def test_recall_vs_exact(self, rng):
+        from frankensearch_tpu.index.ivf import IvfDeviceIndex
+        from frankensearch_tpu.ops.topk_scan import scan_topk_xla
+        import jax.numpy as jnp
+
+        x = make_unit_rows(rng, 4096, 64)
+        ivf = IvfDeviceIndex(x, n_clusters=32, dtype=jnp.float32, seed=3)
+        queries = make_unit_rows(rng, 8, 64)
+        res = ivf.search_batch(queries, k=10, nprobe=8)
+        exact = scan_topk_xla(jnp.asarray(x), jnp.asarray(queries), 10, precise=True)
+        ri, xi = np.asarray(res.indices), np.asarray(exact.indices)
+        rec = np.mean([len(set(ri[b]) & set(xi[b])) / 10 for b in range(8)])
+        assert rec >= 0.7
+        # full probe == exact (every cluster scanned)
+        res_full = ivf.search_batch(queries, k=10, nprobe=32)
+        rf = np.asarray(res_full.indices)
+        for b in range(8):
+            assert set(rf[b]) == set(xi[b])
+
+    def test_row_mapping_and_padding(self, rng):
+        from frankensearch_tpu.index.ivf import IvfDeviceIndex
+        import jax.numpy as jnp
+
+        x = make_unit_rows(rng, 300, 32)  # forces intra-bucket padding
+        ivf = IvfDeviceIndex(x, n_clusters=4, dtype=jnp.float32)
+        q = make_unit_rows(rng, 4, 32)
+        res = ivf.search_batch(q, k=20, nprobe=4)
+        idx = np.asarray(res.indices)
+        valid = idx[idx >= 0]
+        assert valid.max() < 300  # padded slots never surface
+        assert len(valid) > 0
+
+    def test_planted_neighbor(self, rng):
+        from frankensearch_tpu.index.ivf import IvfDeviceIndex
+        import jax.numpy as jnp
+
+        x = make_unit_rows(rng, 2048, 32) * 0.3
+        q = make_unit_rows(rng, 1, 32)
+        x[777] = q[0]
+        ivf = IvfDeviceIndex(x, n_clusters=16, dtype=jnp.float32, seed=1)
+        res = ivf.search_batch(q, k=5, nprobe=4)
+        assert np.asarray(res.indices)[0, 0] == 777
+
+    def test_scanned_fraction_scales_with_nprobe(self, rng):
+        from frankensearch_tpu.index.ivf import IvfDeviceIndex
+        import jax.numpy as jnp
+
+        x = make_unit_rows(rng, 4096, 32)
+        ivf = IvfDeviceIndex(x, n_clusters=32, dtype=jnp.float32)
+        assert ivf.scanned_fraction(4) < ivf.scanned_fraction(16) <= 1.5
+        assert ivf.scanned_fraction(4) < 0.35
+
+    def test_spill_assign_respects_cap(self, rng):
+        from frankensearch_tpu.index.ivf import spill_assign
+
+        prefs = np.array([[0, 1], [0, 1], [0, 1], [0, 1]])
+        margins = np.array([0.9, 0.5, 0.8, 0.1])
+        assign = spill_assign(prefs, margins, n_clusters=2, cap=2)
+        counts = np.bincount(assign, minlength=2)
+        assert (counts <= 2).all() and counts.sum() == 4
