@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from frankensearch_tpu.core.errors import DimensionMismatch
+from frankensearch_tpu.core.errors import DimensionMismatch, InvalidConfig
 from frankensearch_tpu.core.filter import SearchFilter
 from frankensearch_tpu.core.types import ClassifiedHits, VectorHit, ZeroSignalReason
 from frankensearch_tpu.index.fsvi import EmbeddingIdentity, FtviFile
@@ -113,6 +113,8 @@ class DeviceVectorIndex:
 
         # int8 arm (lazy): quantized slab for the two-pass scan
         self._int8 = None
+        self._ivf = None
+        self._ivf_built_rows = -1
         self.n_rows = n
         self.n_pad = n_pad
         self.d_pad = d_pad
@@ -263,10 +265,11 @@ class DeviceVectorIndex:
         *,
         search_filter: SearchFilter | None = None,
         metadata: Sequence[Mapping | None] | None = None,
-        mode: str = "auto",  # "auto" | "pallas" | "xla" | "int8" | "mrl"
+        mode: str = "auto",  # "auto" | "pallas" | "xla" | "int8" | "mrl" | "ivf"
         mrl_search_dims: int | None = None,
         mrl_rescore_top_k: int = 30,
         int8_candidate_multiplier: int = 4,
+        nprobe: int = 8,
     ) -> topk_scan.TopKResult:
         """Batched scan; returns device (scores, indices). Rows are slab
         rows; use :meth:`hydrate` to map to doc ids."""
@@ -292,6 +295,17 @@ class DeviceVectorIndex:
                 self.slab, q_dev, k, mask,
                 search_dims=mrl_search_dims or 64,
                 rescore_top_k=mrl_rescore_top_k,
+            )
+        if mode == "ivf":
+            # latency lane: approximate probe over the cluster-sorted arm
+            # (enable_ivf builds it); tombstones/filters pass through as an
+            # additive mask permuted into the arm's row order
+            if self._ivf is None or self._ivf_built_rows != self.n_rows:
+                raise InvalidConfig(
+                    "ivf arm not built for the current rows; call enable_ivf()"
+                )
+            return self._ivf.search_batch(
+                q[:, : self.dim], k, nprobe=nprobe, extra_row_mask=mask
             )
         if mode == "int8":
             q8 = self._int8_arm()
@@ -319,6 +333,18 @@ class DeviceVectorIndex:
         if mode == "pallas":
             return topk_scan.scan_topk_pallas(self.slab, q_dev, k, mask, tile_n=self.tile_n)
         return topk_scan.scan_topk_xla(self.slab, q_dev, k, mask)
+
+    def enable_ivf(self, n_clusters: int | None = None, **kwargs) -> None:
+        """Build the IVF latency arm over the live rows (explicit because
+        k-means is an expensive build step). The arm snapshots the current
+        rows; appends invalidate it (mode='ivf' raises until rebuilt) —
+        tombstones/filters stay live via the additive-mask pass-through."""
+        from frankensearch_tpu.index.ivf import IvfDeviceIndex
+
+        self._ivf = IvfDeviceIndex(
+            self._vectors_f32[: self.n_rows], n_clusters, **kwargs
+        )
+        self._ivf_built_rows = self.n_rows
 
     def _int8_arm(self):
         if self._int8 is None:

@@ -244,14 +244,26 @@ class IvfDeviceIndex:
         return min(nprobe, self.n_clusters) * self.cap / max(self.n_docs, 1)
 
     def search_batch(
-        self, queries: np.ndarray, k: int, *, nprobe: int = 8
+        self,
+        queries: np.ndarray,
+        k: int,
+        *,
+        nprobe: int = 8,
+        extra_row_mask: jax.Array | None = None,
     ) -> TopKResult:
+        """``extra_row_mask`` is an additive mask over ORIGINAL row ids
+        (e.g. the owning DeviceVectorIndex's tombstone/filter mask); it is
+        permuted into sorted-slab order on device."""
         q = jnp.asarray(np.asarray(queries, dtype=np.float32))
         if q.ndim == 1:
             q = q[None, :]
         nprobe = min(nprobe, self.n_clusters)
+        mask = self.mask
+        if extra_row_mask is not None:
+            safe_map = jnp.asarray(np.maximum(self._row_map, 0))
+            mask = mask + jnp.take(extra_row_mask, safe_map)
         s, pos = _ivf_probe_rescore(
-            self.centroids, self.slab, self.mask, q,
+            self.centroids, self.slab, mask, q,
             nprobe=nprobe, k=k, gpc=self.groups_per_cluster,
         )
         pos_np = np.asarray(pos)
@@ -259,6 +271,36 @@ class IvfDeviceIndex:
         rows = np.where(pos_np >= 0, self._row_map[np.maximum(pos_np, 0)], -1)
         rows = np.where(np.isfinite(s_np), rows, -1)
         return TopKResult(jnp.asarray(s_np), jnp.asarray(rows.astype(np.int32)))
+
+
+def calibrate_nprobe(
+    ivf: "IvfDeviceIndex",
+    queries: np.ndarray,
+    exact_idx: np.ndarray,
+    *,
+    k: int,
+    target_recall: float = 0.95,
+    confidence: float = 0.95,
+    candidates: tuple[int, ...] = (1, 2, 4, 8, 16, 32),
+):
+    """Certified minimal nprobe for a recall target — the TPU analog of
+    the reference's certified minimal-ef HNSW calibration
+    (index/src/recall_certificate.rs lineage)."""
+    from frankensearch_tpu.index.recall_certificate import calibrate_minimal_parameter
+
+    def run(v: float) -> np.ndarray:
+        res = ivf.search_batch(queries, k, nprobe=int(v))
+        return np.asarray(res.indices)
+
+    return calibrate_minimal_parameter(
+        run,
+        np.asarray(exact_idx),
+        [c for c in candidates if c <= ivf.n_clusters],
+        parameter_name="nprobe",
+        k=k,
+        target_recall=target_recall,
+        confidence=confidence,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("nprobe", "k", "gpc"))
@@ -286,6 +328,7 @@ def _ivf_probe_rescore(
     if (
         b % topk_scan._RESCORE_QB == 0
         and scratch <= 12 * 1024 * 1024
+        and d % 128 == 0
         and jax.devices()[0].platform == "tpu"
     ):
         exact = topk_scan._gather_rescore_pallas(

@@ -146,3 +146,72 @@ class TestIvfDeviceIndex:
         assign = spill_assign(prefs, margins, n_clusters=2, cap=2)
         counts = np.bincount(assign, minlength=2)
         assert (counts <= 2).all() and counts.sum() == 4
+
+
+class TestIvfArmInDeviceIndex:
+    def test_mode_ivf_with_tombstones_and_filters(self, rng):
+        import jax.numpy as jnp
+        from frankensearch_tpu.core.errors import InvalidConfig
+        from frankensearch_tpu.index.device_index import DeviceVectorIndex
+        from frankensearch_tpu.index.fsvi import EmbeddingIdentity
+
+        x = make_unit_rows(rng, 1024, 32)
+        q = make_unit_rows(rng, 4, 32)
+        x[500] = q[0]  # planted best hit
+        x[501] = q[0] * 0.99 + x[501] * 0.01  # runner-up, to be tombstoned
+        ident = EmbeddingIdentity(embedder_id="t", embedder_revision="r", dim=32)
+        tomb = np.zeros(1024, dtype=bool)
+        tomb[500] = True  # tombstone the best hit
+        index = DeviceVectorIndex(
+            x, [f"d{i}" for i in range(1024)], ident,
+            tombstoned=tomb, use_pallas=False, slab_dtype="f32",
+        )
+        with pytest.raises(InvalidConfig):
+            index.search_batch(q, 5, mode="ivf")  # arm not built yet
+        index.enable_ivf(n_clusters=8, dtype=jnp.float32, seed=0)
+        res = index.search_batch(q, 5, mode="ivf", nprobe=8)
+        idx = np.asarray(res.indices)
+        assert 500 not in idx[0]  # tombstone honored through the arm
+        assert (idx[idx >= 0] < 1024).all()
+        hits = index.hydrate(res)[0]
+        assert hits and hits[0].doc_id.startswith("d")
+
+    def test_append_invalidates_arm(self, rng):
+        import jax.numpy as jnp
+        from frankensearch_tpu.core.errors import InvalidConfig
+        from frankensearch_tpu.index.device_index import DeviceVectorIndex
+        from frankensearch_tpu.index.fsvi import EmbeddingIdentity
+
+        x = make_unit_rows(rng, 256, 32)
+        ident = EmbeddingIdentity(embedder_id="t", embedder_revision="r", dim=32)
+        index = DeviceVectorIndex(
+            x, [f"d{i}" for i in range(256)], ident, use_pallas=False, slab_dtype="f32"
+        )
+        index.enable_ivf(n_clusters=4, dtype=jnp.float32)
+        index.search_batch(make_unit_rows(rng, 2, 32), 3, mode="ivf")  # works
+        index2 = index.with_appended(["new"], make_unit_rows(rng, 1, 32))
+        with pytest.raises(InvalidConfig):
+            index2.search_batch(make_unit_rows(rng, 2, 32), 3, mode="ivf")
+
+    def test_calibrate_nprobe_certificate(self, rng):
+        import jax.numpy as jnp
+        from frankensearch_tpu.index.ivf import IvfDeviceIndex, calibrate_nprobe
+        from frankensearch_tpu.ops.topk_scan import scan_topk_xla
+
+        # clustered corpus so small nprobe certifies
+        centers = make_unit_rows(rng, 32, 32)
+        assign = rng.integers(0, 32, size=2048)
+        x = centers[assign] + 0.05 * rng.standard_normal((2048, 32)).astype(np.float32)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        queries = centers[rng.integers(0, 32, size=32)] + 0.05 * rng.standard_normal((32, 32)).astype(np.float32)
+        queries /= np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+        ivf = IvfDeviceIndex(x, n_clusters=32, dtype=jnp.float32, seed=0)
+        exact = scan_topk_xla(jnp.asarray(x), jnp.asarray(queries), 10, precise=True)
+        cert = calibrate_nprobe(
+            ivf, queries, np.asarray(exact.indices), k=10,
+            target_recall=0.8, confidence=0.9,
+        )
+        assert cert is not None
+        assert cert.parameter_name == "nprobe"
+        assert cert.certified_recall >= 0.8
+        assert cert.parameter_value <= 32
