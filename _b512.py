@@ -1,0 +1,38 @@
+import functools, json, time
+import numpy as np
+import jax, jax.numpy as jnp
+from frankensearch_tpu.ops.topk_scan import scan_topk_hierarchical
+
+assert jax.devices()[0].platform == "tpu"
+n, d, k = 1_000_000, 256, 10
+rng = np.random.default_rng(0)
+slab = np.empty(((n + 8191) // 8192 * 8192, d), dtype=np.float32)
+for s in range(0, len(slab), 131_072):
+    e = min(s + 131_072, len(slab))
+    blk = rng.standard_normal((e - s, d)).astype(np.float32)
+    blk /= np.maximum(np.linalg.norm(blk, axis=1, keepdims=True), 1e-12)
+    slab[s:e] = blk
+mask = np.zeros(len(slab), dtype=np.float32); mask[n:] = -np.inf
+slab_dev = jnp.asarray(slab, dtype=jnp.bfloat16); mask_dev = jnp.asarray(mask)
+
+@functools.partial(jax.jit, static_argnames=("reps", "tile"))
+def chain(slb, msk, q, reps: int, tile: int):
+    def body(i, carry):
+        qq, acc = carry
+        r = scan_topk_hierarchical(slb, qq, k, msk, tile_n=tile, group=128, rescore="pallas")
+        return (q + 1e-6 * jnp.mean(r.scores), acc + jnp.sum(r.scores))
+    (_, acc) = jax.lax.fori_loop(0, reps, body, (q, jnp.float32(0.0)))
+    return acc
+
+def slope(b, tile, lo=4, hi=24):
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    qd = jnp.asarray(q)
+    def t(r):
+        t0 = time.perf_counter(); float(chain(slab_dev, mask_dev, qd, reps=r, tile=tile)); return time.perf_counter() - t0
+    t(lo); t(hi)
+    per = float(np.median([(t(hi) - t(lo)) / (hi - lo) for _ in range(3)]))
+    print(json.dumps({"b": b, "tile": tile, "ms": round(per*1e3,3), "qps": round(b/per,0)}), flush=True)
+
+slope(512, 4096)
+slope(1024, 2048)

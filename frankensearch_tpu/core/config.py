@@ -87,6 +87,13 @@ class TwoTierConfig:
     slab_dtype: str = "bf16"
     #: use fused Pallas scan kernel when available (else pure-XLA path)
     use_pallas: bool = True
+    #: scan lane: "auto" (fastest exact) | "int8" (capacity, 2x docs/chip)
+    #: | "ivf" (latency; needs enable_ivf on the fast index) | "mrl"
+    #: | "hierarchical" | "pallas" | "xla"
+    scan_mode: str = "auto"
+    #: clusters probed per query in the ivf lane (recall knob; certify
+    #: with index/ivf.calibrate_nprobe)
+    ivf_nprobe: int = 8
 
     def validate(self) -> "TwoTierConfig":
         if not (0.0 <= self.quality_weight <= 1.0):
@@ -101,6 +108,10 @@ class TwoTierConfig:
             raise InvalidConfig(f"unknown slab_dtype {self.slab_dtype!r}")
         if self.mrl_search_dims is not None and self.mrl_search_dims <= 0:
             raise InvalidConfig("mrl_search_dims must be positive when set")
+        if self.scan_mode not in ("auto", "int8", "ivf", "mrl", "hierarchical", "pallas", "xla"):
+            raise InvalidConfig(f"unknown scan_mode {self.scan_mode!r}")
+        if self.ivf_nprobe <= 0:
+            raise InvalidConfig("ivf_nprobe must be positive")
         return self
 
     @classmethod

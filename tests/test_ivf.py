@@ -215,3 +215,43 @@ class TestIvfArmInDeviceIndex:
         assert cert.parameter_name == "nprobe"
         assert cert.certified_recall >= 0.8
         assert cert.parameter_value <= 32
+
+
+class TestScanModeConfig:
+    def test_env_override_and_validation(self, monkeypatch):
+        from frankensearch_tpu.core.config import TwoTierConfig
+        from frankensearch_tpu.core.errors import InvalidConfig
+
+        monkeypatch.setenv("FRANKENSEARCH_SCAN_MODE", "ivf")
+        monkeypatch.setenv("FRANKENSEARCH_IVF_NPROBE", "4")
+        cfg = TwoTierConfig.from_env()
+        assert cfg.scan_mode == "ivf" and cfg.ivf_nprobe == 4
+        with pytest.raises(InvalidConfig):
+            TwoTierConfig(scan_mode="warp").validate()
+        with pytest.raises(InvalidConfig):
+            TwoTierConfig(ivf_nprobe=0).validate()
+
+    def test_searcher_uses_ivf_lane(self, rng, tmp_path):
+        import jax.numpy as jnp
+        from frankensearch_tpu.core.config import TwoTierConfig
+        from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+        from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+        from frankensearch_tpu.index.two_tier import TwoTierIndex
+
+        fe = HashEmbedder(dim=64)
+        texts = [f"document number {i} about topic {i % 7}" for i in range(64)]
+        index = TwoTierIndex.create(
+            str(tmp_path / "v"), fe.embed_batch(texts),
+            [f"d{i:03d}" for i in range(64)], fe.identity(),
+            use_pallas=False, slab_dtype="f32",
+        )
+        index.fast.enable_ivf(n_clusters=4, dtype=jnp.float32)
+        cfg = TwoTierConfig(scan_mode="ivf", ivf_nprobe=4)
+        s = TwoTierSearcher(index, fe, config=cfg, cache_query_embeddings=False)
+        out = s.search("document number 12 about topic", k=5)
+        assert out.results
+        # parity vs auto lane at full probe
+        cfg2 = TwoTierConfig(scan_mode="auto")
+        s2 = TwoTierSearcher(index, fe, config=cfg2, cache_query_embeddings=False)
+        out2 = s2.search("document number 12 about topic", k=5)
+        assert {r.doc_id for r in out.results} & {r.doc_id for r in out2.results}
