@@ -1,0 +1,51 @@
+"""Capacity lane at scale: int8 hierarchical scan at 10M and 20M docs."""
+import functools, gc, json, time
+import numpy as np
+import jax, jax.numpy as jnp
+from frankensearch_tpu.ops.topk_scan import scan_topk_hierarchical_int8, scan_topk_xla
+
+assert jax.devices()[0].platform == "tpu"
+d, batch, k, tile = 256, 256, 10, 8192
+rng = np.random.default_rng(0)
+queries = rng.standard_normal((batch, d)).astype(np.float32)
+queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+q_dev = jnp.asarray(queries)
+
+
+@functools.partial(jax.jit, static_argnames=("reps",))
+def chain(slab_i8, scale, mask, q, reps: int):
+    def body(i, carry):
+        qq, acc = carry
+        r = scan_topk_hierarchical_int8(
+            slab_i8, scale, qq, k, mask, tile_n=tile, group=128, rescore="pallas"
+        )
+        return (q + 1e-6 * jnp.mean(r.scores), acc + jnp.sum(r.scores))
+    (_, acc) = jax.lax.fori_loop(0, reps, body, (q, jnp.float32(0.0)))
+    return acc
+
+
+for n in (10_000_000, 20_000_000):
+    n_pad = (n + tile - 1) // tile * tile
+    # generate int8 slab directly on host (scale = per-dim max/127 of unit rows ~ 1/sqrt(d)*k)
+    scale = np.full(d, 0.25 / 127.0, dtype=np.float32)  # plausible per-dim scale
+    slab_i8 = rng.integers(-127, 128, size=(n_pad, d), dtype=np.int8)
+    mask = np.zeros(n_pad, dtype=np.float32)
+    mask[n:] = -np.inf
+    si = jnp.asarray(slab_i8)
+    sc = jnp.asarray(scale)
+    mk = jnp.asarray(mask)
+    del slab_i8
+    gc.collect()
+    print(f"n={n} uploaded", flush=True)
+
+    def t(r):
+        t0 = time.perf_counter(); float(chain(si, sc, mk, q_dev, reps=r)); return time.perf_counter() - t0
+    t(2); t(10)
+    per = float(np.median([(t(10) - t(2)) / 8 for _ in range(3)]))
+    print(json.dumps({
+        "metric": f"int8_scan_{n//1_000_000}m", "per_scan_ms": round(per*1e3, 3),
+        "qps": round(batch/per, 0), "bw_gbs": round(n_pad*d/per/1e9, 0),
+        "slab_gb": round(n_pad*d/1e9, 2),
+    }), flush=True)
+    del si, sc, mk
+    gc.collect()

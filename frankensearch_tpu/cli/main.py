@@ -241,6 +241,33 @@ def cmd_doctor(args) -> dict:
             f"{st.batches_read} batches, {len(st.live)} live, "
             f"{len(st.tombstones)} tombstones, {st.bytes_discarded} bytes discarded",
         )
+    # optional arms (informational: ok=True either way, detail says which)
+    from frankensearch_tpu import native
+    from frankensearch_tpu.lexical.fts5_adapter import fts5_available
+
+    native_ok = native.build_postings_native(["probe"]) is not None
+    check("native_ingest", True, "C++ kernel " + ("available" if native_ok else "absent (python fallback)"))
+    check("fts5_backend", True, "sqlite FTS5 " + ("available" if fts5_available() else "absent"))
+    lex_current = os.path.join(root, "lexical", "CURRENT")
+    if os.path.exists(lex_current):
+        with open(lex_current) as f:
+            gen = f.read().strip()
+        gen_dir = os.path.join(root, "lexical", gen)
+        flexb = os.path.join(gen_dir, "index.flexb")
+        artifacts = []
+        if os.path.exists(os.path.join(gen_dir, "index.flex.json")):
+            artifacts.append("flex-json")
+        if os.path.exists(flexb):
+            artifacts.append("flexb-packed")
+            if args.verify:
+                from frankensearch_tpu.lexical.flexb import FlexbCorrupted, read_sections
+
+                try:
+                    read_sections(flexb)
+                    artifacts[-1] += " (CRC verified)"
+                except FlexbCorrupted as e:
+                    check("lexical_flexb_integrity", False, str(e))
+        check("lexical_generation", bool(artifacts), f"{gen}: {', '.join(artifacts) or 'EMPTY'}")
     ok = all(f["ok"] for f in findings if f["check"] in ("jax", "root", "fast_artifact"))
     return envelope({"findings": findings, "healthy": ok})
 
