@@ -1,0 +1,173 @@
+"""Pipeline parallelism for the transformer encoder (GPipe schedule).
+
+No reference analog (the reference is single-node CPU; SURVEY §2.11) —
+this is the TPU scale-out lane for encoders too large for one chip's
+HBM: layers shard over a ``"pp"`` mesh axis, activations flow stage to
+stage over ICI via ``ppermute``, and microbatching fills the pipeline
+(bubble fraction (S-1)/(M+S-1), the scaling-book pipelining recipe).
+
+Mechanics: the stacked per-layer parameter pytree shards leaf-wise as
+P("pp", ...) so each device holds L/S contiguous layers. Inside
+``shard_map`` every device runs the same tick loop: ingest (stage 0),
+apply local layers (``lax.scan`` over the local stack — the SAME
+``transformer_layer`` math as the sequential encoder), emit (last
+stage), rotate buffers with ``ppermute``. Parity with the sequential
+encoder is exact and tested on the virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from frankensearch_tpu.rerank.bert import (
+    BertConfig,
+    embed_tokens,
+    transformer_layer,
+)
+
+
+def stack_layer_params(layers: list[dict]) -> dict:
+    """[{leaf: (..)}, ...] L dicts -> {leaf: (L, ..)} stacked pytree."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def shard_stacked_layers(stacked: dict, mesh: Mesh) -> dict:
+    """Shard the stacked layer pytree's leading (L) axis over "pp"."""
+    return jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P("pp", *([None] * (x.ndim - 1))))
+        ),
+        stacked,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "mesh", "microbatches", "n_stages")
+)
+def pipeline_encoder_forward(
+    params,  # full param pytree; params["layers"] ignored in favor of stacked
+    stacked_layers,  # stacked layer pytree, leading axis L sharded over "pp"
+    input_ids: jax.Array,  # (B, T)
+    attention_mask: jax.Array,  # (B, T)
+    *,
+    cfg: BertConfig,
+    mesh: Mesh,
+    microbatches: int,
+    n_stages: int,
+) -> jax.Array:
+    """(B, T, H) hidden states == sequential encoder_forward, computed
+    with layers pipelined over the "pp" axis. B % microbatches == 0."""
+    b, t = input_ids.shape
+    m = microbatches
+    if b % m != 0:
+        raise ValueError(f"batch {b} not divisible by microbatches {m}")
+    mb = b // m
+    s_count = n_stages
+
+    # pre-pipeline stage (embeddings; tiny, replicated)
+    x = embed_tokens(params, input_ids, None, cfg=cfg)
+    neg = jnp.asarray(-1e9, dtype=jnp.float32)
+    amask = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)
+    x_mb = x.reshape(m, mb, t, cfg.hidden)
+    amask_mb = amask.reshape(m, mb, 1, 1, t)
+
+    def stage_program(layers_local, x_all, amask_all):
+        stage = jax.lax.axis_index("pp")
+
+        def apply_local(buf, buf_amask):
+            def body(h, layer):
+                return transformer_layer(h, layer, buf_amask, cfg=cfg), None
+
+            out, _ = jax.lax.scan(body, buf, layers_local)
+            return out
+
+        def tick(tk, carry):
+            buf, buf_amask, outputs = carry
+            # stage 0 ingests microbatch tk while tk < m
+            inject_idx = jnp.clip(tk, 0, m - 1)
+            inject = jax.lax.dynamic_index_in_dim(x_all, inject_idx, 0, keepdims=False)
+            inject_mask = jax.lax.dynamic_index_in_dim(
+                amask_all, inject_idx, 0, keepdims=False
+            )
+            take = jnp.logical_and(stage == 0, tk < m)
+            buf = jnp.where(take, inject, buf)
+            buf_amask = jnp.where(take, inject_mask, buf_amask)
+            buf = apply_local(buf, buf_amask)
+            # last stage emits microbatch tk - (S-1)
+            out_idx = tk - (s_count - 1)
+            emit = jnp.logical_and(stage == s_count - 1, out_idx >= 0)
+            safe_idx = jnp.clip(out_idx, 0, m - 1)
+            current = jax.lax.dynamic_index_in_dim(outputs, safe_idx, 0, keepdims=False)
+            outputs = jax.lax.dynamic_update_index_in_dim(
+                outputs, jnp.where(emit, buf, current), safe_idx, 0
+            )
+            # rotate activations (and their masks) to the next stage
+            perm = [(i, (i + 1) % s_count) for i in range(s_count)]
+            buf = jax.lax.ppermute(buf, "pp", perm)
+            buf_amask = jax.lax.ppermute(buf_amask, "pp", perm)
+            return buf, buf_amask, outputs
+
+        buf0 = jnp.zeros((mb, t, cfg.hidden), dtype=jnp.float32)
+        amask0 = jnp.zeros((mb, 1, 1, t), dtype=jnp.float32)
+        outputs0 = jnp.zeros((m, mb, t, cfg.hidden), dtype=jnp.float32)
+        _, _, outputs = jax.lax.fori_loop(
+            0, m + s_count - 1, tick, (buf0, amask0, outputs0)
+        )
+        # result lives on the last stage; broadcast via masked psum
+        outputs = jax.lax.psum(
+            jnp.where(stage == s_count - 1, outputs, 0.0), "pp"
+        )
+        return outputs
+
+    import inspect
+
+    sm_kwargs = {}
+    sig = inspect.signature(shard_map).parameters
+    if "check_vma" in sig:
+        sm_kwargs["check_vma"] = False
+    elif "check_rep" in sig:
+        sm_kwargs["check_rep"] = False
+    layer_specs = jax.tree.map(
+        lambda x: P("pp", *([None] * (x.ndim - 1))), stacked_layers
+    )
+    outputs = shard_map(
+        stage_program,
+        mesh=mesh,
+        in_specs=(layer_specs, P(), P()),
+        out_specs=P(),
+        **sm_kwargs,
+    )(stacked_layers, x_mb, amask_mb)
+    return outputs.reshape(b, t, cfg.hidden)
+
+
+def pipeline_embed_forward(
+    params,
+    stacked_layers,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    *,
+    cfg: BertConfig,
+    mesh: Mesh,
+    microbatches: int = 4,
+) -> jax.Array:
+    """Mean-pool + L2 head over the pipelined encoder (embed_forward
+    parity)."""
+    hidden = pipeline_encoder_forward(
+        params, stacked_layers, input_ids, attention_mask,
+        cfg=cfg, mesh=mesh, microbatches=microbatches,
+        n_stages=mesh.shape["pp"],
+    )
+    m = attention_mask.astype(jnp.float32)[..., None]
+    pooled = jnp.sum(hidden * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1e-9)
+    norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+    return jnp.where(norm > 1e-12, pooled / norm, pooled)

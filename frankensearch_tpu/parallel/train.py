@@ -83,10 +83,13 @@ def info_nce_loss(
     *,
     cfg: BertConfig,
     temperature: float = 0.05,
+    activation_spec=None,  # sequence-parallel residual-stream spec
 ) -> jax.Array:
     """Symmetric in-batch InfoNCE: row i's positive is column i."""
-    q = embed_forward(params, q_ids, q_mask, cfg=cfg)  # (B, H), unit rows
-    d = embed_forward(params, d_ids, d_mask, cfg=cfg)
+    q = embed_forward(
+        params, q_ids, q_mask, cfg=cfg, activation_spec=activation_spec
+    )  # (B, H), unit rows
+    d = embed_forward(params, d_ids, d_mask, cfg=cfg, activation_spec=activation_spec)
     logits = jnp.dot(q, d.T, preferred_element_type=jnp.float32) / temperature
     labels = jnp.arange(logits.shape[0])
     loss_qd = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
@@ -110,14 +113,21 @@ def make_train_state(
     return params, opt_state, optimizer
 
 
-def make_train_step(cfg: BertConfig, mesh: Mesh, optimizer):
-    """jit a full (fwd + bwd + update) step with dp/tp shardings."""
+def make_train_step(cfg: BertConfig, mesh: Mesh, optimizer, *, sequence_parallel: bool = True):
+    """jit a full (fwd + bwd + update) step with dp/tp(+sp) shardings.
+
+    sequence_parallel=True applies the Megatron SP recipe: the residual
+    stream's T axis shards over the SAME axis as tensor parallelism at
+    block boundaries (activation memory / T_tp per device; XLA inserts
+    the all-gather/reduce-scatter pairs around the tp matmuls)."""
     batch_sharding = NamedSharding(mesh, P("dp", None))
+    act_spec = P("dp", "tp", None) if sequence_parallel and "tp" in mesh.shape else None
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, q_ids, q_mask, d_ids, d_mask):
         loss, grads = jax.value_and_grad(info_nce_loss)(
-            params, q_ids, q_mask, d_ids, d_mask, cfg=cfg
+            params, q_ids, q_mask, d_ids, d_mask, cfg=cfg,
+            activation_spec=act_spec,
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

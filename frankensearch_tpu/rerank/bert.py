@@ -141,16 +141,49 @@ def _exact_gelu(x: jax.Array) -> jax.Array:
     return x * 0.5 * (1.0 + jax.lax.erf(x / math.sqrt(2.0)))
 
 
-def encoder_forward(
-    params: dict[str, Any],
-    input_ids: jax.Array,  # (B, T) i32
-    attention_mask: jax.Array,  # (B, T) i32/bool
-    token_type_ids: jax.Array | None = None,
+def transformer_layer(
+    x: jax.Array,  # (B, T, H)
+    layer: dict[str, Any],
+    amask: jax.Array,  # (B, 1, 1, T) additive
     *,
     cfg: BertConfig,
 ) -> jax.Array:
-    """Token-level hidden states (B, T, H), f32."""
-    b, t = input_ids.shape
+    """One post-LN transformer block — the unit both the sequential
+    encoder and the pipeline-parallel stages apply (identical math)."""
+    b, t = x.shape[0], x.shape[1]
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    q = _linear(x, layer["q"]).reshape(b, t, cfg.heads, cfg.head_dim)
+    k = _linear(x, layer["k"]).reshape(b, t, cfg.heads, cfg.head_dim)
+    v = _linear(x, layer["v"]).reshape(b, t, cfg.heads, cfg.head_dim)
+    logits = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale + amask
+    probs = jax.nn.softmax(logits, axis=-1)
+    ctx = jnp.einsum("bhts,bshd->bthd", probs, v, preferred_element_type=jnp.float32)
+    ctx = ctx.reshape(b, t, cfg.hidden)
+    x = _layer_norm(
+        x + _linear(ctx, layer["attn_out"]),
+        layer["attn_ln_scale"],
+        layer["attn_ln_bias"],
+        cfg.ln_eps,
+    )
+    h = _exact_gelu(_linear(x, layer["ffn_in"]))
+    return _layer_norm(
+        x + _linear(h, layer["ffn_out"]),
+        layer["ffn_ln_scale"],
+        layer["ffn_ln_bias"],
+        cfg.ln_eps,
+    )
+
+
+def embed_tokens(
+    params: dict[str, Any],
+    input_ids: jax.Array,
+    token_type_ids: jax.Array | None,
+    *,
+    cfg: BertConfig,
+) -> jax.Array:
+    """Embedding sum + LN — the pre-pipeline stage."""
+    t = input_ids.shape[1]
     emb = params["embeddings"]
     positions = jnp.arange(t)[None, :]
     if token_type_ids is None:
@@ -160,49 +193,56 @@ def encoder_forward(
         + jnp.take(emb["position"], positions, axis=0)
         + jnp.take(emb["token_type"], token_type_ids, axis=0)
     ).astype(jnp.float32)
-    x = _layer_norm(x, emb["ln_scale"], emb["ln_bias"], cfg.ln_eps)
+    return _layer_norm(x, emb["ln_scale"], emb["ln_bias"], cfg.ln_eps)
+
+
+def encoder_forward(
+    params: dict[str, Any],
+    input_ids: jax.Array,  # (B, T) i32
+    attention_mask: jax.Array,  # (B, T) i32/bool
+    token_type_ids: jax.Array | None = None,
+    *,
+    cfg: BertConfig,
+    activation_spec=None,  # PartitionSpec for the (B, T, H) residual stream
+) -> jax.Array:
+    """Token-level hidden states (B, T, H), f32.
+
+    ``activation_spec`` enables sequence parallelism the Megatron way:
+    the residual stream is constrained to e.g. P("dp", "tp", None) at
+    block boundaries — the T axis rides the SAME mesh axis as tensor
+    parallelism, and XLA inserts the all-gather / reduce-scatter pairs
+    around the tp matmuls (scaling-book SP recipe).
+    """
+
+    def constrain(h):
+        if activation_spec is None:
+            return h
+        return jax.lax.with_sharding_constraint(h, activation_spec)
+
+    x = constrain(embed_tokens(params, input_ids, token_type_ids, cfg=cfg))
 
     # additive attention mask: (B, 1, 1, T)
     neg = jnp.asarray(-1e9, dtype=jnp.float32)
     amask = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)
 
-    scale = 1.0 / math.sqrt(cfg.head_dim)
     for layer in params["layers"]:
-        q = _linear(x, layer["q"]).reshape(b, t, cfg.heads, cfg.head_dim)
-        k = _linear(x, layer["k"]).reshape(b, t, cfg.heads, cfg.head_dim)
-        v = _linear(x, layer["v"]).reshape(b, t, cfg.heads, cfg.head_dim)
-        # (B, heads, T, T)
-        logits = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
-        logits = logits * scale + amask
-        probs = jax.nn.softmax(logits, axis=-1)
-        ctx = jnp.einsum("bhts,bshd->bthd", probs, v, preferred_element_type=jnp.float32)
-        ctx = ctx.reshape(b, t, cfg.hidden)
-        x = _layer_norm(
-            x + _linear(ctx, layer["attn_out"]),
-            layer["attn_ln_scale"],
-            layer["attn_ln_bias"],
-            cfg.ln_eps,
-        )
-        h = _exact_gelu(_linear(x, layer["ffn_in"]))
-        x = _layer_norm(
-            x + _linear(h, layer["ffn_out"]),
-            layer["ffn_ln_scale"],
-            layer["ffn_ln_bias"],
-            cfg.ln_eps,
-        )
+        x = constrain(transformer_layer(x, layer, amask, cfg=cfg))
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "activation_spec"))
 def embed_forward(
     params: dict[str, Any],
     input_ids: jax.Array,
     attention_mask: jax.Array,
     *,
     cfg: BertConfig,
+    activation_spec=None,
 ) -> jax.Array:
     """Mean-pool + L2 head (native_embedder.rs / MiniLM embedder)."""
-    hidden = encoder_forward(params, input_ids, attention_mask, cfg=cfg)
+    hidden = encoder_forward(
+        params, input_ids, attention_mask, cfg=cfg, activation_spec=activation_spec
+    )
     m = attention_mask.astype(jnp.float32)[..., None]
     pooled = jnp.sum(hidden * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1e-9)
     norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)

@@ -122,3 +122,80 @@ class TestGraftEntry:
         from __graft_entry__ import dryrun_multichip
 
         dryrun_multichip(len(jax.devices()))
+
+
+class TestPipelineParallel:
+    def test_pipeline_matches_sequential_encoder(self, rng):
+        from frankensearch_tpu.parallel.pipeline import (
+            pipeline_embed_forward,
+            pipeline_encoder_forward,
+            shard_stacked_layers,
+            stack_layer_params,
+        )
+        from frankensearch_tpu.rerank.bert import (
+            BertConfig,
+            embed_forward,
+            encoder_forward,
+            init_params,
+        )
+
+        n_dev = len(jax.devices())
+        mesh = make_mesh(axes=("pp",))
+        cfg = BertConfig(
+            vocab_size=128, hidden=32, layers=n_dev, heads=2,
+            intermediate=64, max_position=16,
+        )
+        params = init_params(cfg, seed=0)
+        stacked = shard_stacked_layers(stack_layer_params(params["layers"]), mesh)
+        b, t = 8, 16
+        ids = jnp.asarray(rng.integers(0, 128, size=(b, t)), dtype=jnp.int32)
+        mask = jnp.asarray((rng.random((b, t)) > 0.2).astype(np.int32))
+        mask = mask.at[:, 0].set(1)  # at least one live token per row
+        with mesh:
+            piped = pipeline_encoder_forward(
+                params, stacked, ids, mask, cfg=cfg, mesh=mesh,
+                microbatches=4, n_stages=n_dev,
+            )
+        ref = encoder_forward(params, ids, mask, cfg=cfg)
+        np.testing.assert_allclose(np.asarray(piped), np.asarray(ref), atol=2e-5)
+        # pooled head parity too
+        with mesh:
+            pe = pipeline_embed_forward(
+                params, stacked, ids, mask, cfg=cfg, mesh=mesh, microbatches=4
+            )
+        ref_e = embed_forward(params, ids, mask, cfg=cfg)
+        np.testing.assert_allclose(np.asarray(pe), np.asarray(ref_e), atol=2e-5)
+
+    def test_pipeline_multiple_layers_per_stage(self, rng):
+        from frankensearch_tpu.parallel.pipeline import (
+            pipeline_encoder_forward,
+            shard_stacked_layers,
+            stack_layer_params,
+        )
+        from frankensearch_tpu.rerank.bert import BertConfig, encoder_forward, init_params
+        from frankensearch_tpu.parallel.mesh import make_mesh as mm
+
+        n_dev = len(jax.devices())
+        if n_dev % 4 == 0 and n_dev > 4:
+            # use a 4-stage pipeline on a subset-shaped mesh: fold the
+            # extra devices into a dummy replica axis
+            mesh = mm(axes=("pp", "r"), shape=(4, n_dev // 4))
+            pp = 4
+        else:
+            mesh = make_mesh(axes=("pp",))
+            pp = n_dev
+        cfg = BertConfig(
+            vocab_size=64, hidden=32, layers=pp * 2, heads=2,
+            intermediate=64, max_position=8,
+        )
+        params = init_params(cfg, seed=1)
+        stacked = shard_stacked_layers(stack_layer_params(params["layers"]), mesh)
+        ids = jnp.asarray(rng.integers(0, 64, size=(4, 8)), dtype=jnp.int32)
+        mask = jnp.ones((4, 8), dtype=jnp.int32)
+        with mesh:
+            piped = pipeline_encoder_forward(
+                params, stacked, ids, mask, cfg=cfg, mesh=mesh,
+                microbatches=2, n_stages=pp,
+            )
+        ref = encoder_forward(params, ids, mask, cfg=cfg)
+        np.testing.assert_allclose(np.asarray(piped), np.asarray(ref), atol=2e-5)
