@@ -35,3 +35,38 @@ def _default_shape(n: int, ndim: int) -> tuple[int, ...]:
         tp = 2 if n % 2 == 0 and n >= 2 else 1
         return (n // tp, tp)
     raise ValueError(f"unsupported mesh ndim {ndim}")
+
+
+def make_hybrid_mesh(
+    slice_axes: tuple[str, ...] = ("d",),
+    dcn_axis: str = "slice",
+) -> Mesh:
+    """Multi-slice mesh: the leading axis spans slices over DCN, the
+    trailing axes span chips within a slice over ICI.
+
+    The scaling-book rule this encodes: lay shardings out so the chatty
+    collectives (tp all-reduces, the scan's all_gather merge) ride ICI
+    axes, and only coarse-grained work (dp gradient sums, per-slice
+    document shards) crosses the slower DCN axis. Falls back to a
+    single-slice mesh when the runtime exposes no slice_index (CPU
+    virtual devices, single-slice TPU).
+    """
+    devices = jax.devices()
+    slice_ids = sorted({getattr(d, "slice_index", 0) or 0 for d in devices})
+    n_slices = len(slice_ids)
+    if n_slices <= 1:
+        inner = make_mesh(axes=slice_axes)
+        dev_array = inner.devices.reshape((1,) + inner.devices.shape)
+        return Mesh(dev_array, (dcn_axis,) + slice_axes)
+    per_slice = [
+        [d for d in devices if (getattr(d, "slice_index", 0) or 0) == s]
+        for s in slice_ids
+    ]
+    width = min(len(p) for p in per_slice)
+    inner_shape = (
+        (width,) if len(slice_axes) == 1 else _default_shape(width, len(slice_axes))
+    )
+    dev_array = np.array(
+        [np.array(p[:width]).reshape(inner_shape) for p in per_slice]
+    )
+    return Mesh(dev_array, (dcn_axis,) + slice_axes)

@@ -199,3 +199,25 @@ class TestPipelineParallel:
             )
         ref = encoder_forward(params, ids, mask, cfg=cfg)
         np.testing.assert_allclose(np.asarray(piped), np.asarray(ref), atol=2e-5)
+
+
+class TestHybridMesh:
+    def test_single_slice_fallback_shape(self):
+        from frankensearch_tpu.parallel.mesh import make_hybrid_mesh
+
+        mesh = make_hybrid_mesh(slice_axes=("d",))
+        assert mesh.axis_names == ("slice", "d")
+        assert mesh.shape["slice"] == 1
+        assert mesh.shape["d"] == len(jax.devices())
+
+    def test_hybrid_mesh_usable_for_sharded_scan(self, rng):
+        from frankensearch_tpu.parallel.mesh import make_hybrid_mesh
+
+        mesh = make_hybrid_mesh(slice_axes=("d",))
+        slab = make_unit_rows(rng, 128, 32)
+        slab_dev, mask_dev = shard_slab(slab, mesh, axis="d", dtype=jnp.float32)
+        res = sharded_scan_topk(
+            slab_dev, mask_dev, jnp.asarray(make_unit_rows(rng, 2, 32)), 5, mesh=mesh
+        )
+        idx = np.asarray(res.indices)
+        assert (idx[idx >= 0] < 128).all()
