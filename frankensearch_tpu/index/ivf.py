@@ -239,6 +239,7 @@ class IvfDeviceIndex:
         self.slab = jnp.asarray(slab, dtype=dtype)
         self.mask = jnp.asarray(mask)
         self._row_map = row_map
+        self._safe_map_dev = None
 
     def scanned_fraction(self, nprobe: int = 8) -> float:
         return min(nprobe, self.n_clusters) * self.cap / max(self.n_docs, 1)
@@ -260,8 +261,9 @@ class IvfDeviceIndex:
         nprobe = min(nprobe, self.n_clusters)
         mask = self.mask
         if extra_row_mask is not None:
-            safe_map = jnp.asarray(np.maximum(self._row_map, 0))
-            mask = mask + jnp.take(extra_row_mask, safe_map)
+            if self._safe_map_dev is None:  # cache: one upload, not per search
+                self._safe_map_dev = jnp.asarray(np.maximum(self._row_map, 0))
+            mask = mask + jnp.take(extra_row_mask, self._safe_map_dev)
         s, pos = _ivf_probe_rescore(
             self.centroids, self.slab, mask, q,
             nprobe=nprobe, k=k, gpc=self.groups_per_cluster,
