@@ -176,16 +176,32 @@ class IndexBuilder:
 
         # lexical arm (embed-independent: all kept docs, index_builder.rs:474)
         if self._with_lexical:
-            lexical = MemoryLexicalIndex()
-            for doc, canonical in kept:
-                lexical.add_document(
-                    IndexableDocument(
-                        doc_id=doc.doc_id, content=canonical,
-                        title=doc.title, metadata=doc.metadata,
-                    )
+            lex_docs = [
+                IndexableDocument(
+                    doc_id=doc.doc_id, content=canonical,
+                    title=doc.title, metadata=doc.metadata,
                 )
+                for doc, canonical in kept
+            ]
+            lexical = MemoryLexicalIndex()
+            for d in lex_docs:
+                lexical.add_document(d)
             lexical.commit()
-            save_lexical(lexical, self.root)
+            generation = save_lexical(lexical, self.root)
+            # packed device arm (FLXB) alongside the oracle snapshot:
+            # open_hybrid prefers it for the read path (zero-parse load,
+            # batched device BM25); build failures (no native kernel,
+            # non-ASCII corpus) degrade to the JSON arm with a warning
+            try:
+                from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
+                from frankensearch_tpu.lexical.persist import save_packed_lexical
+
+                bulk = BulkDeviceBm25Index(lex_docs)
+                save_packed_lexical(bulk, self.root, generation=generation)
+            except Exception as e:
+                stats.warnings.append(
+                    f"packed lexical arm skipped: {type(e).__name__}: {e}"
+                )
 
         # storage arm
         if self._with_storage:
@@ -277,12 +293,18 @@ def open_hybrid(
 
             fast_embedder = HashEmbedder(dim=index.fast.identity.dim)
     lexical = load_lexical(root)
+    # prefer the packed FLXB device arm for the searcher's read path
+    # (zero-parse load + batched device scoring); the oracle arm stays
+    # the writable handle for append/compact flows
+    from frankensearch_tpu.lexical.persist import load_packed_lexical
+
+    packed = load_packed_lexical(root)
     db_path = os.path.join(root, "metadata.db")
     storage = Storage(db_path) if os.path.exists(db_path) else None
     searcher = TwoTierSearcher(
         index,
         fast_embedder,
-        lexical=lexical,
+        lexical=packed if packed is not None else lexical,
         quality_embedder=quality_embedder,
         config=cfg,
         **searcher_kwargs,
