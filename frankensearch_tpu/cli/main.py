@@ -307,9 +307,9 @@ def cmd_append_batch(args) -> dict:
         for d in docs:
             handle.lexical.add_document(d)
         handle.lexical.commit()
-        from frankensearch_tpu.lexical.persist import save_lexical
+        from frankensearch_tpu.lexical.persist import republish_lexical
 
-        save_lexical(handle.lexical, args.root)
+        republish_lexical(handle.lexical, args.root)
     return envelope({"appended": len(ids), "doc_count": handle.index.doc_count()})
 
 
@@ -347,7 +347,7 @@ def cmd_watch(args) -> dict:
     """Watch a corpus dir; ingest changed files incrementally
     (fsfs watch: debounce -> classify -> batch -> append, watcher.rs)."""
     from frankensearch_tpu.builder import open_hybrid
-    from frankensearch_tpu.lexical.persist import save_lexical
+    from frankensearch_tpu.lexical.persist import republish_lexical
     from frankensearch_tpu.runtime.mounts import MountTable
     from frankensearch_tpu.runtime.watcher import SnapshotWatcher
 
@@ -384,7 +384,7 @@ def cmd_watch(args) -> dict:
                     for d in docs:
                         handle.lexical.add_document(d)
                     handle.lexical.commit()
-                    save_lexical(handle.lexical, args.root)
+                    republish_lexical(handle.lexical, args.root)
             if deleted:
                 handle.index.delete(
                     [os.path.relpath(c.path, args.corpus) for c in deleted]

@@ -138,6 +138,22 @@ def load_packed_lexical(root: str):
     return load_packed(path)
 
 
+def republish_lexical(index: MemoryLexicalIndex, root: str) -> str:
+    """Publish a new generation carrying BOTH artifacts: the FLEX JSON
+    oracle snapshot and the FLXB packed device arm (derived from the
+    oracle's committed postings, so append/compact flows keep the fast
+    read path). Packed failures degrade to JSON-only silently — the
+    reader falls back the same way."""
+    generation = save_lexical(index, root)
+    try:
+        from frankensearch_tpu.lexical.device_bm25 import DeviceBm25Index
+
+        save_packed_lexical(DeviceBm25Index(index), root, generation=generation)
+    except Exception:
+        pass
+    return generation
+
+
 def list_generations(root: str) -> list[str]:
     lex_root = os.path.join(root, "lexical")
     if not os.path.isdir(lex_root):
