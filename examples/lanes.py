@@ -1,0 +1,66 @@
+"""Scan-lane tour: exact / capacity / latency on one DeviceVectorIndex.
+
+Run on any platform (CPU works; lanes auto-fallback):
+
+    python examples/lanes.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", jax.default_backend())
+
+from frankensearch_tpu.index.device_index import DeviceVectorIndex  # noqa: E402
+from frankensearch_tpu.index.fsvi import EmbeddingIdentity  # noqa: E402
+from frankensearch_tpu.index.ivf import calibrate_nprobe  # noqa: E402
+from frankensearch_tpu.ops.topk_scan import scan_topk_xla  # noqa: E402
+
+
+def main() -> None:
+    rng = np.random.default_rng(0)
+    # clustered corpus (IVF needs structure; real embeddings have it)
+    centers = rng.standard_normal((64, 128)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    n = 8192
+    x = centers[rng.integers(0, 64, n)] + 0.03 * rng.standard_normal((n, 128)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)  # cosine contract: unit rows
+
+    index = DeviceVectorIndex(
+        x, [f"doc-{i:05d}" for i in range(n)],
+        EmbeddingIdentity(embedder_id="demo", embedder_revision="1", dim=128),
+        slab_dtype="f32", use_pallas=False,
+    )
+    q = x[123:131]  # 8 queries with known best hits
+
+    # 1. exact lane (auto picks the fastest exact path for the platform)
+    exact = index.search_batch(q, k=5, mode="auto")
+    print("exact   :", index.hydrate(exact)[0][0].doc_id)
+
+    # 2. capacity lane: int8 slab, 2x docs per chip
+    int8 = index.search_batch(q, k=5, mode="int8")
+    print("int8    :", index.hydrate(int8)[0][0].doc_id)
+
+    # 3. latency lane: cluster-sorted IVF probes
+    index.enable_ivf(n_clusters=32)
+    ivf = index.search_batch(q, k=5, mode="ivf", nprobe=4)
+    print("ivf     :", index.hydrate(ivf)[0][0].doc_id)
+
+    # certify the probe count for a recall target
+    import jax.numpy as jnp
+
+    qc = x[:64]  # calibration set: more queries -> tighter certified bound
+    truth = scan_topk_xla(jnp.asarray(x), jnp.asarray(qc), 5, precise=True)
+    cert = calibrate_nprobe(
+        index._ivf, qc, np.asarray(truth.indices), k=5, target_recall=0.9
+    )
+    if cert:
+        print(f"certified: nprobe={cert.parameter_value} -> recall>={cert.certified_recall:.3f} @ {cert.confidence:.0%}")
+
+
+if __name__ == "__main__":
+    main()

@@ -187,6 +187,10 @@ class IvfDeviceIndex:
     gather+rescore kernel's job (ops/topk_scan._gather_rescore_pallas),
     with an XLA take+einsum fallback off-TPU.
 
+    Scoring contract: rows are L2-normalized at build (cosine == dot),
+    matching DeviceVectorIndex's default — compare against exact scans
+    over the SAME normalized rows.
+
     This is the small-batch/low-latency lane: batched brute force reads
     the slab once per BATCH, so IVF wins when batch * probed_rows << N
     (single-query probes read ~nprobe*cap rows instead of N). Recall is
