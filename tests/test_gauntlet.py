@@ -133,3 +133,46 @@ class TestPerfRatchet:
         ledger.record(out, context={"machine": "tpu-v5e"})
         latest = ledger.latest("QG-1")
         assert latest["passed"] and latest["context"]["machine"] == "tpu-v5e"
+
+
+class TestCrossBackendConformance:
+    """All lexical backends must agree on the MATCH SET for Should-union
+    queries (scores are engine-scoped: oracle/device/packed share the
+    Tantivy-pinned arithmetic; FTS5 is rank-compatible, score-native)."""
+
+    def test_four_backend_match_sets(self, tmp_path):
+        from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
+        from frankensearch_tpu.lexical.flexb import load_packed, save_packed
+        from frankensearch_tpu.lexical.fts5_adapter import Fts5LexicalIndex, fts5_available
+
+        spec = CorpusSpec(n_docs=100, seed=11)
+        corpus = generate_corpus(spec)
+        mem = MemoryLexicalIndex()
+        fts = Fts5LexicalIndex() if fts5_available() else None
+        for d in corpus:
+            mem.add_document(d)
+            if fts is not None:
+                fts.add_document(d)
+        mem.commit()
+        if fts is not None:
+            fts.commit()
+        bulk = BulkDeviceBm25Index(corpus)
+        p = str(tmp_path / "seg.flexb")
+        save_packed(bulk, p)
+        packed = load_packed(p)
+
+        from frankensearch_tpu.gauntlet.generator import QuerySpec, generate_queries
+
+        queries = generate_queries(QuerySpec(n_queries=30, seed=3), corpus)
+        budget = len(corpus)
+        exact_backends = {"device": bulk, "packed": packed}
+        for q in queries:
+            want = {c.doc_id for c in mem.search_candidates(q, budget)}
+            for name, backend in exact_backends.items():
+                got = {c.doc_id for c in backend.search_candidates(q, budget)}
+                assert got == want, (name, q, got ^ want)
+            if fts is not None:
+                got = {c.doc_id for c in fts.search_candidates(q, budget)}
+                assert got == want, ("fts5", q, got ^ want)
+        if fts is not None:
+            fts.close()
