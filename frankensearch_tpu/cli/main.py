@@ -697,6 +697,30 @@ def cmd_serve(args) -> dict | None:
                     json.dumps(error_envelope(type(e).__name__, str(e))), file=out, flush=True
                 )
             continue
+        if op == "search_batch":
+            # the TPU-native throughput path at the product surface: all
+            # queries embed in one device call and scan in one batched
+            # program (agent/offline workloads; parity with search())
+            try:
+                queries = [str(q) for q in req.get("queries", [])]
+                outs = handle.searcher.search_batch(queries, k=int(req.get("k", 10)))
+                print(
+                    json.dumps(
+                        envelope(
+                            [
+                                {"query": q, "results": _result_rows(o.results)}
+                                for q, o in zip(queries, outs)
+                            ]
+                        ),
+                        default=str,
+                    ),
+                    file=out, flush=True,
+                )
+            except Exception as e:
+                print(
+                    json.dumps(error_envelope(type(e).__name__, str(e))), file=out, flush=True
+                )
+            continue
         print(json.dumps(error_envelope("unknown_op", str(op))), file=out, flush=True)
     return None
 

@@ -152,3 +152,19 @@ class TestCliContract:
         assert lines[1]["ok"] and lines[1]["data"][0]["doc_id"] == "jax-1"
         assert lines[2]["error"]["code"] == "unknown_op"
         assert lines[3]["data"]["op"] == "shutdown"
+
+    def test_serve_search_batch_parity(self, index_root):
+        reqs = "\n".join(
+            [
+                json.dumps({"op": "search_batch", "queries": ["jax tpu", "rust", ""], "k": 2}),
+                json.dumps({"op": "search", "query": "jax tpu", "k": 2}),
+                json.dumps({"op": "shutdown"}),
+            ]
+        )
+        r = run_cli("serve", "--root", index_root, input_text=reqs)
+        lines = [json.loads(line) for line in r.stdout.strip().splitlines()]
+        batch, single = lines[0], lines[1]
+        assert batch["ok"]
+        rows = {row["query"]: [h["doc_id"] for h in row["results"]] for row in batch["data"]}
+        assert rows[""] == []  # empty query degrades cleanly inside a batch
+        assert rows["jax tpu"] == [h["doc_id"] for h in single["data"]]  # parity
