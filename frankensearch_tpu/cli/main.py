@@ -1,20 +1,27 @@
 """fsfs-equivalent CLI.
 
 Parity target: reference crates/frankensearch-fsfs/src/adapters/cli.rs
-(:110-152, 20 commands) + runtime.rs dispatch. Implemented commands:
+(:110-152, 20 commands) + runtime.rs dispatch. 20 commands implemented:
 
     index         build a hybrid index from a corpus dir / JSONL file
-    search        two-tier progressive search (--fast-only, --explain)
+    search        two-tier progressive search (--fast-only/--explain/--expand)
     status        index + storage status (doc counts, staleness, arms)
-    doctor        environment/device diagnostics with typed findings
+    doctor        environment/device diagnostics (--verify checks CRCs)
     explain       per-result score decomposition
     append-batch  WAL append of new documents without rebuild
     delete        tombstone documents
     compact       fold WAL + tombstones into the base artifacts
+    watch         poll a corpus dir; debounce -> classify -> ingest
+    daemon        unix-socket query daemon (challenge/attestation)
     history       recent searches (storage arm)
     bookmark      add / list bookmarked documents (storage arm)
+    fleet         fleet status rollup (ops console data source)
+    flush         drain pending embedding jobs
+    download      model acquisition (manifest-verified)
+    completions   shell completion script
+    tui           terminal dashboard (deterministic replay capable)
     config        show effective TwoTierConfig (env overrides applied)
-    serve         NDJSON query server over stdin/stdout
+    serve         NDJSON server (search / search_batch / status / ping)
     version       version + device report
 
 Formats: table | json | jsonl | csv (output_schema.rs envelope).
