@@ -1,0 +1,155 @@
+"""Sharding-aware training checkpoint/resume (orbax) with manifest binding.
+
+The reference's durability story covers INDEX artifacts (generation
+manifests, anti-rollback floors — core/generation.py carries that over);
+training state is new surface for the TPU framework: fine-tuning the
+quality tier (parallel/train.py) needs crash-safe save/resume that
+restores the SAME mesh shardings it saved with.
+
+Design: orbax StandardCheckpointer for the (params, opt_state) pytrees
+(it records and restores shardings natively), plus a small JSON manifest
+binding step number, BertConfig, mesh layout, and a pytree fingerprint —
+so resume fails CLOSED on config/mesh drift instead of silently
+reinterpreting arrays (the same fail-closed admission discipline as the
+index artifacts, fsvi.py identity binding)."""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+
+import jax
+import numpy as np
+
+from frankensearch_tpu.core.errors import InvalidConfig
+from frankensearch_tpu.rerank.bert import BertConfig
+
+MANIFEST = "train_manifest.json"
+
+
+def _tree_fingerprint(tree) -> str:
+    """Order-stable structural fingerprint: paths + shapes + dtypes."""
+    h = hashlib.sha256()
+    for path, leaf in sorted(
+        jax.tree_util.tree_flatten_with_path(tree)[0], key=lambda kv: str(kv[0])
+    ):
+        h.update(str(path).encode())
+        h.update(str(getattr(leaf, "shape", ())).encode())
+        h.update(str(getattr(leaf, "dtype", type(leaf).__name__)).encode())
+    return h.hexdigest()[:32]
+
+
+def _mesh_layout(mesh) -> dict:
+    return {"axes": list(mesh.axis_names), "shape": [int(mesh.shape[a]) for a in mesh.axis_names]}
+
+
+def save_train_state(
+    directory: str,
+    params,
+    opt_state,
+    *,
+    step: int,
+    cfg: BertConfig,
+    mesh=None,
+) -> str:
+    """Write an atomic training checkpoint; returns the checkpoint path."""
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    ckpt_path = os.path.join(directory, f"step_{step:08d}")
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(ckpt_path + ".params", params, force=True)
+        ckptr.save(ckpt_path + ".opt", opt_state, force=True)
+    manifest = {
+        "step": step,
+        "config": dataclasses.asdict(cfg),
+        "mesh": _mesh_layout(mesh) if mesh is not None else None,
+        "params_fingerprint": _tree_fingerprint(params),
+        "opt_fingerprint": _tree_fingerprint(opt_state),
+    }
+    tmp = os.path.join(directory, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(directory, MANIFEST))
+    return ckpt_path
+
+
+def restore_train_state(
+    directory: str,
+    params_like,
+    opt_state_like,
+    *,
+    cfg: BertConfig,
+    mesh=None,
+):
+    """Restore (params, opt_state, step). ``*_like`` are abstract targets
+    (e.g. freshly built state) carrying the shardings to restore onto.
+
+    Fails closed: config mismatch, mesh-layout mismatch, or pytree
+    fingerprint drift is a typed error, never a silent reinterpretation.
+    """
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    mpath = os.path.join(directory, MANIFEST)
+    if not os.path.exists(mpath):
+        raise InvalidConfig(f"no training manifest under {directory}")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    if manifest["config"] != dataclasses.asdict(cfg):
+        raise InvalidConfig(
+            "checkpoint config mismatch: "
+            f"saved {manifest['config']} vs requested {dataclasses.asdict(cfg)}"
+        )
+    if mesh is not None and manifest["mesh"] is not None:
+        if manifest["mesh"] != _mesh_layout(mesh):
+            raise InvalidConfig(
+                f"mesh layout mismatch: saved {manifest['mesh']} vs {_mesh_layout(mesh)}"
+            )
+    if manifest["params_fingerprint"] != _tree_fingerprint(params_like):
+        raise InvalidConfig("params pytree drift vs checkpoint fingerprint")
+    step = manifest["step"]
+    ckpt_path = os.path.join(directory, f"step_{step:08d}")
+    with ocp.StandardCheckpointer() as ckptr:
+        params = ckptr.restore(ckpt_path + ".params", params_like)
+        opt_state = ckptr.restore(ckpt_path + ".opt", opt_state_like)
+
+    # restored scalar/replicated leaves come back COMMITTED to one device,
+    # which then conflicts with mesh-sharded arguments inside jit. Re-place
+    # each leaf: mesh-aware target shardings are kept; anything else (fresh
+    # uncommitted scalars like optimizer step counts) goes mesh-replicated.
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    replicated = NamedSharding(mesh, PartitionSpec()) if mesh is not None else None
+
+    def placement_for(t):
+        s = getattr(t, "sharding", None)
+        if isinstance(s, NamedSharding):
+            return s
+        return replicated
+
+    def replace_like(restored, like):
+        return jax.tree.map(
+            lambda r, t: (
+                jax.device_put(r, placement_for(t))
+                if placement_for(t) is not None and hasattr(r, "shape")
+                else r
+            ),
+            restored,
+            like,
+        )
+
+    return replace_like(params, params_like), replace_like(opt_state, opt_state_like), step
+
+
+def latest_step(directory: str) -> int | None:
+    mpath = os.path.join(directory, MANIFEST)
+    if not os.path.exists(mpath):
+        return None
+    with open(mpath) as f:
+        return json.load(f)["step"]

@@ -84,12 +84,15 @@ def info_nce_loss(
     cfg: BertConfig,
     temperature: float = 0.05,
     activation_spec=None,  # sequence-parallel residual-stream spec
+    remat: bool = False,  # rematerialize blocks in the backward pass
 ) -> jax.Array:
     """Symmetric in-batch InfoNCE: row i's positive is column i."""
     q = embed_forward(
-        params, q_ids, q_mask, cfg=cfg, activation_spec=activation_spec
+        params, q_ids, q_mask, cfg=cfg, activation_spec=activation_spec, remat=remat
     )  # (B, H), unit rows
-    d = embed_forward(params, d_ids, d_mask, cfg=cfg, activation_spec=activation_spec)
+    d = embed_forward(
+        params, d_ids, d_mask, cfg=cfg, activation_spec=activation_spec, remat=remat
+    )
     logits = jnp.dot(q, d.T, preferred_element_type=jnp.float32) / temperature
     labels = jnp.arange(logits.shape[0])
     loss_qd = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
@@ -113,7 +116,10 @@ def make_train_state(
     return params, opt_state, optimizer
 
 
-def make_train_step(cfg: BertConfig, mesh: Mesh, optimizer, *, sequence_parallel: bool = True):
+def make_train_step(
+    cfg: BertConfig, mesh: Mesh, optimizer, *,
+    sequence_parallel: bool = True, remat: bool = True,
+):
     """jit a full (fwd + bwd + update) step with dp/tp(+sp) shardings.
 
     sequence_parallel=True applies the Megatron SP recipe: the residual
@@ -127,7 +133,7 @@ def make_train_step(cfg: BertConfig, mesh: Mesh, optimizer, *, sequence_parallel
     def train_step(params, opt_state, q_ids, q_mask, d_ids, d_mask):
         loss, grads = jax.value_and_grad(info_nce_loss)(
             params, q_ids, q_mask, d_ids, d_mask, cfg=cfg,
-            activation_spec=act_spec,
+            activation_spec=act_spec, remat=remat,
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -204,6 +204,7 @@ def encoder_forward(
     *,
     cfg: BertConfig,
     activation_spec=None,  # PartitionSpec for the (B, T, H) residual stream
+    remat: bool = False,  # rematerialize blocks (training memory lever)
 ) -> jax.Array:
     """Token-level hidden states (B, T, H), f32.
 
@@ -225,12 +226,22 @@ def encoder_forward(
     neg = jnp.asarray(-1e9, dtype=jnp.float32)
     amask = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)
 
+    block = transformer_layer
+    if remat:
+        # trade FLOPs for activation memory: recompute each block in the
+        # backward pass instead of saving its internals (jax.checkpoint)
+        block = jax.checkpoint(
+            functools.partial(transformer_layer, cfg=cfg), static_argnums=()
+        )
     for layer in params["layers"]:
-        x = constrain(transformer_layer(x, layer, amask, cfg=cfg))
+        if remat:
+            x = constrain(block(x, layer, amask))
+        else:
+            x = constrain(block(x, layer, amask, cfg=cfg))
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "activation_spec"))
+@functools.partial(jax.jit, static_argnames=("cfg", "activation_spec", "remat"))
 def embed_forward(
     params: dict[str, Any],
     input_ids: jax.Array,
@@ -238,10 +249,12 @@ def embed_forward(
     *,
     cfg: BertConfig,
     activation_spec=None,
+    remat: bool = False,
 ) -> jax.Array:
     """Mean-pool + L2 head (native_embedder.rs / MiniLM embedder)."""
     hidden = encoder_forward(
-        params, input_ids, attention_mask, cfg=cfg, activation_spec=activation_spec
+        params, input_ids, attention_mask, cfg=cfg,
+        activation_spec=activation_spec, remat=remat,
     )
     m = attention_mask.astype(jnp.float32)[..., None]
     pooled = jnp.sum(hidden * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1e-9)

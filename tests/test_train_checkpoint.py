@@ -1,0 +1,84 @@
+"""Training checkpoint/resume: sharded save/restore with fail-closed
+manifest binding (fsvi.py identity-binding discipline applied to train
+state) + rematerialized backward parity."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from frankensearch_tpu.core.errors import InvalidConfig
+from frankensearch_tpu.parallel.checkpoint import (
+    latest_step,
+    restore_train_state,
+    save_train_state,
+)
+from frankensearch_tpu.parallel.mesh import make_mesh
+from frankensearch_tpu.parallel.train import make_train_state, make_train_step
+from frankensearch_tpu.rerank.bert import BertConfig
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multi-device platform"
+)
+
+CFG = BertConfig(vocab_size=64, hidden=32, layers=2, heads=2, intermediate=64, max_position=16)
+
+
+def _batch(rng, b=4, t=8):
+    ids = rng.integers(0, 64, size=(b, t)).astype(np.int32)
+    return ids, np.ones((b, t), dtype=np.int32)
+
+
+class TestTrainCheckpoint:
+    def test_save_restore_resume_bitwise(self, tmp_path, rng):
+        mesh = make_mesh(axes=("dp", "tp"))
+        with mesh:
+            params, opt_state, optimizer = make_train_state(CFG, mesh)
+            step = make_train_step(CFG, mesh, optimizer)
+            ids, m = _batch(rng)
+            params, opt_state, _ = step(params, opt_state, ids, m, ids, m)
+            save_train_state(str(tmp_path), params, opt_state, step=1, cfg=CFG, mesh=mesh)
+            # continue training -> reference trajectory
+            ids2, m2 = _batch(rng)
+            p_ref, _, loss_ref = step(params, opt_state, ids2, m2, ids2, m2)
+
+            # fresh state restores the checkpoint and replays the same step
+            params2, opt2, _ = make_train_state(CFG, mesh, seed=99)
+            params2, opt2, at = restore_train_state(
+                str(tmp_path), params2, opt2, cfg=CFG, mesh=mesh
+            )
+            assert at == 1
+            p_res, _, loss_res = step(params2, opt2, ids2, m2, ids2, m2)
+        assert float(loss_ref) == float(loss_res)  # exact resume
+        ref_leaf = np.asarray(jax.tree_util.tree_leaves(p_ref)[0])
+        res_leaf = np.asarray(jax.tree_util.tree_leaves(p_res)[0])
+        np.testing.assert_array_equal(ref_leaf, res_leaf)
+        assert latest_step(str(tmp_path)) == 1
+
+    def test_fail_closed_on_config_and_mesh_drift(self, tmp_path, rng):
+        mesh = make_mesh(axes=("dp", "tp"))
+        with mesh:
+            params, opt_state, optimizer = make_train_state(CFG, mesh)
+            save_train_state(str(tmp_path), params, opt_state, step=3, cfg=CFG, mesh=mesh)
+            other_cfg = dataclasses.replace(CFG, hidden=64, intermediate=128)
+            with pytest.raises(InvalidConfig, match="config mismatch"):
+                restore_train_state(str(tmp_path), params, opt_state, cfg=other_cfg, mesh=mesh)
+            d_mesh = make_mesh(axes=("d",))
+            with pytest.raises(InvalidConfig, match="mesh layout"):
+                restore_train_state(str(tmp_path), params, opt_state, cfg=CFG, mesh=d_mesh)
+        with pytest.raises(InvalidConfig, match="no training manifest"):
+            restore_train_state(str(tmp_path / "empty"), params, opt_state, cfg=CFG)
+
+    def test_remat_matches_unremat_gradients(self, rng):
+        from frankensearch_tpu.parallel.train import info_nce_loss
+        from frankensearch_tpu.rerank.bert import init_params
+
+        params = init_params(CFG, seed=0)
+        ids, m = _batch(rng)
+        args = (jnp.asarray(ids), jnp.asarray(m), jnp.asarray(ids), jnp.asarray(m))
+        g_plain = jax.grad(info_nce_loss)(params, *args, cfg=CFG, remat=False)
+        g_remat = jax.grad(info_nce_loss)(params, *args, cfg=CFG, remat=True)
+        for a, b in zip(jax.tree_util.tree_leaves(g_plain), jax.tree_util.tree_leaves(g_remat)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
