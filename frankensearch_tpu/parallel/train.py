@@ -157,6 +157,8 @@ def finetune_quality_tier(
     learning_rate: float = 1e-4,
     seed: int = 0,
     mesh: Mesh | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 25,
 ):
     """Contrastive fine-tuning of a TransformerEmbedder on (query, doc)
     pairs. Returns (new TransformerEmbedder with trained params, losses).
@@ -164,7 +166,9 @@ def finetune_quality_tier(
     This is the practical wrapper over the sharded train step — the lever
     behind the reference's measured +33% recall from a retrieval-tuned
     fast model (docs/SEARCH_QUALITY_FINDINGS.md). With a mesh, the step
-    runs dp/tp-sharded; without, single-device.
+    runs dp/tp-sharded; without, single-device. With ``checkpoint_dir``,
+    state persists every ``checkpoint_every`` steps and a restart resumes
+    from the latest checkpoint (crash-safe fine-tuning).
     """
     import numpy as np
 
@@ -177,6 +181,17 @@ def finetune_quality_tier(
     if mesh is not None:
         params = shard_params(params, mesh, cfg)
     opt_state = optimizer.init(params)
+    start_step = 0
+    if checkpoint_dir is not None:
+        from frankensearch_tpu.parallel.checkpoint import (
+            latest_step,
+            restore_train_state,
+        )
+
+        if latest_step(checkpoint_dir) is not None:
+            params, opt_state, start_step = restore_train_state(
+                checkpoint_dir, params, opt_state, cfg=cfg, mesh=mesh
+            )
 
     @jax.jit
     def train_step(params, opt_state, q_ids, q_mask, d_ids, d_mask):
@@ -197,10 +212,16 @@ def finetune_quality_tier(
             mask[i, :n] = e.attention_mask[:n]
         return ids, mask
 
-    rng = np.random.default_rng(seed)
     losses: list[float] = []
     for step_i in range(steps):
-        batch_idx = rng.choice(len(pairs), size=min(batch_size, len(pairs)), replace=False)
+        # the batch schedule is a pure function of (seed, step index), so
+        # a resumed run replays the exact remaining trajectory
+        step_rng = np.random.default_rng([seed, step_i])
+        batch_idx = step_rng.choice(
+            len(pairs), size=min(batch_size, len(pairs)), replace=False
+        )
+        if step_i < start_step:
+            continue
         qs = [pairs[i][0] for i in batch_idx]
         ds = [pairs[i][1] for i in batch_idx]
         q_ids, q_mask = encode_batch(qs)
@@ -211,6 +232,13 @@ def finetune_quality_tier(
             jnp.asarray(d_ids), jnp.asarray(d_mask),
         )
         losses.append(float(loss))
+        if checkpoint_dir is not None and (step_i + 1) % checkpoint_every == 0:
+            from frankensearch_tpu.parallel.checkpoint import save_train_state
+
+            save_train_state(
+                checkpoint_dir, params, opt_state,
+                step=step_i + 1, cfg=cfg, mesh=mesh,
+            )
     tuned = TransformerEmbedder(
         params, cfg, tok,
         embedder_id=embedder.embedder_id + "-tuned",

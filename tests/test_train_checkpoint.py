@@ -82,3 +82,28 @@ class TestTrainCheckpoint:
         g_remat = jax.grad(info_nce_loss)(params, *args, cfg=CFG, remat=True)
         for a, b in zip(jax.tree_util.tree_leaves(g_plain), jax.tree_util.tree_leaves(g_remat)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestFinetuneResume:
+    def test_finetune_resumes_exact_trajectory(self, tmp_path, rng):
+        from frankensearch_tpu.parallel.train import finetune_quality_tier
+        from frankensearch_tpu.rerank.encoder import random_transformer_embedder
+
+        words = ["query", "document", "alpha", "beta"] + [str(i) for i in range(16)]
+        emb = random_transformer_embedder(words, hidden=32, layers=2, heads=2, seed=0)
+        pairs = [(f"query {i} alpha", f"document {i} alpha beta") for i in range(16)]
+        ck = str(tmp_path / "ck")
+        # uninterrupted 6-step reference run (no checkpointing)
+        _, ref_losses = finetune_quality_tier(emb, pairs, steps=6, batch_size=4, seed=5)
+        # run 1: checkpoint at step 3, stop
+        finetune_quality_tier(
+            emb, pairs, steps=3, batch_size=4, seed=5,
+            checkpoint_dir=ck, checkpoint_every=3,
+        )
+        # run 2: resume and finish to step 6
+        _, tail_losses = finetune_quality_tier(
+            emb, pairs, steps=6, batch_size=4, seed=5,
+            checkpoint_dir=ck, checkpoint_every=3,
+        )
+        assert len(tail_losses) == 3
+        np.testing.assert_allclose(tail_losses, ref_losses[3:], rtol=1e-6)
