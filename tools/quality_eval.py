@@ -1,0 +1,246 @@
+"""Controlled search-quality experiment across lanes and fusion configs.
+
+The analog of the reference's docs/SEARCH_QUALITY_FINDINGS.md method:
+a synthetic corpus with KNOWN graded relevance, evaluated with nDCG@10 /
+MRR / recall@10 and bootstrap CIs (core/metrics_eval.py) so every claim
+in docs/SEARCH_QUALITY_FINDINGS.md is replayable from this script.
+
+Corpus model (seeded, deterministic):
+- T topics; each topic has a canonical vocabulary and a SYNONYM table.
+- Per topic: graded-relevant docs (grade 3: exact terms; grade 2:
+  paraphrase — synonyms substituted; grade 1: partial overlap) plus
+  distractors sharing surface terms with other topics.
+- Queries use each topic's exact canonical terms.
+- FAST tier: term-identity embeddings (synonyms are different vectors).
+- QUALITY tier: synonym-aware embeddings (synonym groups share vectors)
+  — strictly more semantic, like a retrieval-tuned model vs a static one.
+
+Lanes measured: lexical-only, fast-vector-only, hybrid RRF (phase 1),
+full two-tier (quality rescore + blend), pool-minmax fusion, and the
+hybrid with NQC downweight.
+
+Run:  JAX_PLATFORMS=cpu python tools/quality_eval.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+from frankensearch_tpu.core.config import FusionStrategy, TwoTierConfig  # noqa: E402
+from frankensearch_tpu.core.metrics_eval import (  # noqa: E402
+    bootstrap_ci,
+    mrr,
+    ndcg_at_k,
+    recall_at_k,
+)
+from frankensearch_tpu.core.types import IndexableDocument  # noqa: E402
+from frankensearch_tpu.embed.model2vec import Model2VecEmbedder, SimpleWordTokenizer  # noqa: E402
+from frankensearch_tpu.fusion.searcher import TwoTierSearcher  # noqa: E402
+from frankensearch_tpu.index.two_tier import TwoTierIndex  # noqa: E402
+from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex  # noqa: E402
+
+K = 10
+
+
+def build_world(n_topics=120, seed=7):
+    rng = np.random.default_rng(seed)
+    topics = []
+    vocab: list[str] = []
+    syn_of: dict[str, str] = {}
+    for t in range(n_topics):
+        canon = [f"t{t}w{j}" for j in range(4)]
+        syns = [f"t{t}s{j}" for j in range(4)]  # paraphrase vocabulary
+        for c, s in zip(canon, syns):
+            syn_of[s] = c
+        vocab.extend(canon)
+        vocab.extend(syns)
+        topics.append((canon, syns))
+    filler = [f"f{i}" for i in range(300)]
+    vocab.extend(filler)
+
+    docs: list[IndexableDocument] = []
+    qrels: list[dict[str, float]] = []
+    queries: list[str] = []
+    for t, (canon, syns) in enumerate(topics):
+        rel: dict[str, float] = {}
+        pad = lambda: " ".join(rng.choice(filler, size=6))
+        # grade 3: exact canonical terms
+        d = f"topic-{t}-exact"
+        docs.append(IndexableDocument(doc_id=d, content=" ".join(canon) + " " + pad()))
+        rel[d] = 3.0
+        # grade 2: full paraphrase (synonyms only — invisible to lexical
+        # and to the term-identity fast tier)
+        d = f"topic-{t}-para"
+        docs.append(IndexableDocument(doc_id=d, content=" ".join(syns) + " " + pad()))
+        rel[d] = 2.0
+        # grade 1: partial overlap
+        d = f"topic-{t}-part"
+        docs.append(
+            IndexableDocument(doc_id=d, content=" ".join(canon[:2]) + " " + pad())
+        )
+        rel[d] = 1.0
+        # distractor: one canonical term of ANOTHER topic
+        other = topics[(t + 1) % n_topics][0]
+        docs.append(
+            IndexableDocument(doc_id=f"topic-{t}-noise", content=other[0] + " " + pad())
+        )
+        queries.append(" ".join(canon))
+        qrels.append(rel)
+
+    # fast tier: term-identity vectors; quality tier: synonym-aware
+    dim = 128
+    base = {}
+    for w in vocab:
+        canon_w = syn_of.get(w, w)
+        if canon_w not in base:
+            v = rng.standard_normal(dim).astype(np.float32)
+            base[canon_w] = v / np.linalg.norm(v)
+    fast_emb = np.stack(
+        [
+            base[w] if w not in syn_of else _fresh(rng, dim)  # synonyms distinct
+            for w in vocab
+        ]
+    )
+    quality_emb = np.stack([base[syn_of.get(w, w)] for w in vocab])
+    word_ids = {w: i for i, w in enumerate(vocab)}
+    fast = Model2VecEmbedder(
+        fast_emb, SimpleWordTokenizer(word_ids), embedder_id="fast-term", revision="q1"
+    )
+    quality = Model2VecEmbedder(
+        quality_emb, SimpleWordTokenizer(word_ids), embedder_id="quality-syn", revision="q1"
+    )
+    return docs, queries, qrels, fast, quality
+
+
+def _fresh(rng, dim):
+    v = rng.standard_normal(dim).astype(np.float32)
+    return v / np.linalg.norm(v)
+
+
+def evaluate(searcher, queries, qrels):
+    per_q_ndcg, per_q_mrr, per_q_rec = [], [], []
+    for q, rel in zip(queries, qrels):
+        out = searcher.search(q, k=K)
+        ids = [r.doc_id for r in out.results]
+        per_q_ndcg.append(ndcg_at_k(ids, rel, K))
+        per_q_mrr.append(mrr(ids, rel))
+        per_q_rec.append(recall_at_k(ids, rel, K))
+    ci = bootstrap_ci(per_q_ndcg, n_resamples=2000, seed=1)
+    return {
+        "ndcg@10": round(float(np.mean(per_q_ndcg)), 4),
+        "ndcg_ci95": [round(ci.lo, 4), round(ci.hi, 4)],
+        "mrr": round(float(np.mean(per_q_mrr)), 4),
+        "recall@10": round(float(np.mean(per_q_rec)), 4),
+    }
+
+
+def main():
+    import tempfile
+
+    docs, queries, qrels, fast, quality = build_world()
+    root = tempfile.mkdtemp()
+    texts = [d.content for d in docs]
+    ids = [d.doc_id for d in docs]
+    index = TwoTierIndex.create(
+        root, fast.embed_batch(texts), ids, fast.identity(),
+        quality_vectors=quality.embed_batch(texts), quality_identity=quality.identity(),
+        use_pallas=False,
+    )
+    lex = MemoryLexicalIndex()
+    for d in docs:
+        lex.add_document(d)
+    lex.commit()
+
+    def searcher(cfg=None, with_lex=True, with_quality=True):
+        return TwoTierSearcher(
+            index, fast,
+            lexical=lex if with_lex else None,
+            quality_embedder=quality if with_quality else None,
+            config=cfg or TwoTierConfig(),
+            cache_query_embeddings=False,
+        )
+
+    rows = {}
+    rows["lexical_only"] = _lexical_only(lex, queries, qrels)
+    rows["fast_vector_only"] = evaluate(
+        searcher(TwoTierConfig(fast_only=True), with_lex=False, with_quality=False),
+        queries, qrels,
+    )
+    rows["hybrid_rrf_phase1"] = evaluate(
+        searcher(TwoTierConfig(fast_only=True)), queries, qrels
+    )
+    rows["two_tier_full"] = evaluate(searcher(), queries, qrels)
+    rows["pool_minmax"] = evaluate(
+        searcher(TwoTierConfig(fusion_strategy=FusionStrategy.POOL_MINMAX)),
+        queries, qrels,
+    )
+    rows["two_tier_nqc"] = evaluate(
+        searcher(TwoTierConfig(nqc_downweight=True)), queries, qrels
+    )
+
+    # retrieval-tuned FAST tier (the synonym-aware model serves phase 1):
+    # paraphrase docs become reachable candidates — the reference's
+    # "+33% recall from a retrieval-tuned fast model" lever, which is the
+    # finetune_quality_tier training target here
+    root2 = tempfile.mkdtemp()
+    TwoTierIndex.create(
+        root2, quality.embed_batch(texts), ids, quality.identity(),
+        use_pallas=False,
+    )
+    index2 = TwoTierIndex.open(root2, use_pallas=False)
+    tuned = TwoTierSearcher(
+        index2, quality, lexical=lex, config=TwoTierConfig(fast_only=True),
+        cache_query_embeddings=False,
+    )
+    rows["hybrid_tuned_fast"] = evaluate(tuned, queries, qrels)
+
+    # paired significance: two-tier rescoring vs phase-1 hybrid
+    from frankensearch_tpu.core.metrics_eval import bootstrap_compare
+
+    def per_query_ndcg(s):
+        return [
+            ndcg_at_k([r.doc_id for r in s.search(q, k=K).results], rel, K)
+            for q, rel in zip(queries, qrels)
+        ]
+
+    cmp = bootstrap_compare(
+        per_query_ndcg(searcher(TwoTierConfig(fast_only=True))),
+        per_query_ndcg(searcher()),
+        seed=2,
+    )
+    rows["two_tier_vs_phase1"] = {
+        "ndcg_delta": round(cmp.mean_delta, 4),
+        "ci95": [round(cmp.lo, 4), round(cmp.hi, 4)],
+        "significant": cmp.significant,
+    }
+    print(json.dumps(rows, indent=1))
+
+
+def _lexical_only(lex, queries, qrels):
+    per_q_ndcg, per_q_mrr, per_q_rec = [], [], []
+    for q, rel in zip(queries, qrels):
+        ids = [r.doc_id for r in lex.search(q, K)]
+        per_q_ndcg.append(ndcg_at_k(ids, rel, K))
+        per_q_mrr.append(mrr(ids, rel))
+        per_q_rec.append(recall_at_k(ids, rel, K))
+    ci = bootstrap_ci(per_q_ndcg, n_resamples=2000, seed=1)
+    return {
+        "ndcg@10": round(float(np.mean(per_q_ndcg)), 4),
+        "ndcg_ci95": [round(ci.lo, 4), round(ci.hi, 4)],
+        "mrr": round(float(np.mean(per_q_mrr)), 4),
+        "recall@10": round(float(np.mean(per_q_rec)), 4),
+    }
+
+
+if __name__ == "__main__":
+    main()
