@@ -94,6 +94,11 @@ class TwoTierConfig:
     #: clusters probed per query in the ivf lane (recall knob; certify
     #: with index/ivf.calibrate_nprobe)
     ivf_nprobe: int = 8
+    #: phase 2 EXPANDS the candidate pool with a full quality-tier scan
+    #: (a ~1 device-ms op on TPU; no reference analog — the CPU reference
+    #: can only rescore phase-1 candidates). Off by default: it changes
+    #: the candidate-pool contract, not just ordering.
+    quality_rescan: bool = False
 
     def validate(self) -> "TwoTierConfig":
         if not (0.0 <= self.quality_weight <= 1.0):

@@ -50,7 +50,7 @@ from frankensearch_tpu.core.types import (  # noqa: F401
 )
 from frankensearch_tpu.embed.base import Embedder
 from frankensearch_tpu.embed.cached import CachedEmbedder
-from frankensearch_tpu.fusion.blend import blend_two_tier_aligned, kendall_tau
+from frankensearch_tpu.fusion.blend import blend_two_tier, blend_two_tier_aligned, kendall_tau
 from frankensearch_tpu.fusion.circuit_breaker import CircuitBreaker, Phase2Outcome
 from frankensearch_tpu.fusion.phase_gate import PhaseGate
 from frankensearch_tpu.fusion.rrf import RrfConfig, candidate_count, fuse_by_strategy
@@ -744,7 +744,40 @@ class TwoTierSearcher:
         metrics.quality_candidates = sum(1 for s in aligned if s is not None)
 
         t2 = time.monotonic()
-        blended = blend_two_tier_aligned(fast_hits, aligned, self.config.quality_weight)
+        if self.config.quality_rescan and self.index.quality is not None:
+            # TPU-native pool EXPANSION (no reference analog): a full
+            # quality-tier scan is ~1 device-ms here, so phase 2 can
+            # surface docs the fast tier cannot see (measured: closes the
+            # paraphrase recall gap, docs/SEARCH_QUALITY_FINDINGS.md)
+            sem_budget = max(
+                int(
+                    candidate_count(k, 0, self.config.candidate_multiplier)
+                    * qclass.semantic_budget_multiplier()
+                ),
+                k,
+            )
+            res = self.index.quality.search_batch(quality_vec, sem_budget)
+            scan_hits = self.index.quality.hydrate(res)[0]
+            if self.calibrator is not None:
+                scan_hits = [
+                    VectorHit(h.doc_id, self.calibrator(h.score), h.row)
+                    for h in scan_hits
+                ]
+            qpool: dict[str, VectorHit] = {h.doc_id: h for h in scan_hits}
+            fast_rows = {h.doc_id: h.row for h in fast_hits}
+            for d, s in qscores.items():
+                if d not in qpool:
+                    qpool[d] = VectorHit(doc_id=d, score=s, row=fast_rows.get(d, -1))
+            for h in scan_hits:  # expanded docs carry quality scores too
+                qscores.setdefault(h.doc_id, h.score)
+            metrics.quality_candidates = len(qpool)
+            blended = blend_two_tier(
+                fast_hits, list(qpool.values()), self.config.quality_weight
+            )
+        else:
+            blended = blend_two_tier_aligned(
+                fast_hits, aligned, self.config.quality_weight
+            )
         metrics.blend_ms = (time.monotonic() - t2) * 1000.0
 
         tau = kendall_tau(fast_hits, blended)

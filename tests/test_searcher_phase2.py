@@ -1,0 +1,70 @@
+
+
+class TestQualityRescan:
+    """Phase-2 pool expansion via a full quality-tier scan (TPU-native;
+    measured in docs/SEARCH_QUALITY_FINDINGS.md)."""
+
+    def _world(self, tmp_path):
+        import numpy as np
+
+        from frankensearch_tpu.embed.model2vec import Model2VecEmbedder, SimpleWordTokenizer
+        from frankensearch_tpu.index.two_tier import TwoTierIndex
+
+        rng = np.random.default_rng(0)
+        vocab = ["alpha", "beta", "syn_alpha", "syn_beta"] + [f"f{i}" for i in range(20)]
+        ids = {w: i for i, w in enumerate(vocab)}
+        dim = 32
+        base = {w: rng.standard_normal(dim).astype(np.float32) for w in vocab}
+        for w in base:
+            base[w] /= np.linalg.norm(base[w])
+        # fast: synonyms unrelated; quality: synonyms share vectors
+        fast_rows = np.stack([base[w] for w in vocab])
+        syn = {"syn_alpha": "alpha", "syn_beta": "beta"}
+        q_rows = np.stack([base[syn.get(w, w)] for w in vocab])
+        fast = Model2VecEmbedder(fast_rows, SimpleWordTokenizer(ids), embedder_id="f", revision="1")
+        quality = Model2VecEmbedder(q_rows, SimpleWordTokenizer(ids), embedder_id="q", revision="1")
+        docs = {
+            "exact": "alpha beta f0 f1",
+            "paraphrase": "syn_alpha syn_beta f2 f3",  # invisible to fast tier
+        }
+        # enough partially-matching docs that the fast pool (budget
+        # k*multiplier) never reaches the paraphrase doc
+        for i in range(40):
+            docs[f"partial-{i:02d}"] = f"alpha f{i % 20} f{(i + 1) % 20}"
+        texts = list(docs.values())
+        index = TwoTierIndex.create(
+            str(tmp_path / "qr"), fast.embed_batch(texts), list(docs.keys()),
+            fast.identity(), quality_vectors=quality.embed_batch(texts),
+            quality_identity=quality.identity(), use_pallas=False,
+        )
+        return index, fast, quality
+
+    def test_rescan_surfaces_fast_invisible_doc(self, tmp_path):
+        from frankensearch_tpu.core.config import TwoTierConfig
+        from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+
+        index, fast, quality = self._world(tmp_path)
+        base_cfg = TwoTierConfig(quality_timeout_ms=0)  # no timeout in tests
+        off = TwoTierSearcher(
+            index, fast, quality_embedder=quality,
+            config=base_cfg, cache_query_embeddings=False,
+        )
+        out_off = off.search("alpha beta", k=3)
+        assert "paraphrase" not in {r.doc_id for r in out_off.results}
+
+        on_cfg = TwoTierConfig(quality_timeout_ms=0, quality_rescan=True)
+        on = TwoTierSearcher(
+            index, fast, quality_embedder=quality,
+            config=on_cfg, cache_query_embeddings=False,
+        )
+        out_on = on.search("alpha beta", k=3)
+        ids = {r.doc_id for r in out_on.results}
+        assert "paraphrase" in ids, out_on.results
+        para = next(r for r in out_on.results if r.doc_id == "paraphrase")
+        assert para.quality_score is not None
+        # sources flag records the quality arm for the expanded doc
+        from frankensearch_tpu.core.types import SearchSource
+
+        assert para.sources & SearchSource.QUALITY_VECTOR
+        # pool expansion is visible in the metrics
+        assert out_on.metrics.quality_candidates > out_off.metrics.quality_candidates

@@ -187,6 +187,9 @@ def main():
     rows["two_tier_nqc"] = evaluate(
         searcher(TwoTierConfig(nqc_downweight=True)), queries, qrels
     )
+    rows["two_tier_quality_rescan"] = evaluate(
+        searcher(TwoTierConfig(quality_rescan=True)), queries, qrels
+    )
 
     # retrieval-tuned FAST tier (the synonym-aware model serves phase 1):
     # paraphrase docs become reachable candidates — the reference's
