@@ -352,6 +352,7 @@ class TwoTierSearcher:
 
         # batched quality rescore over the union of hit rows
         qscores_per_query: dict[int, dict[str, float]] = {}
+        scan_per_query: dict[int, list[VectorHit]] = {}
         if (
             not cfg.fast_only
             and self.quality_embedder is not None
@@ -369,8 +370,25 @@ class TwoTierSearcher:
                         qscores_per_query[i] = self.index.quality_scores_for_hits(
                             q_vecs[j], hits
                         )
+                if cfg.quality_rescan and self.index.quality is not None:
+                    # pool expansion, batched: ONE quality-tier scan for
+                    # all queries (parity with search()'s quality_rescan)
+                    q_budget = max(
+                        int(candidate_count(k, 0, cfg.candidate_multiplier)
+                            * max(classes[i].semantic_budget_multiplier() for i in live)),
+                        k,
+                    )
+                    qres = self.index.quality.search_batch(q_vecs, q_budget)
+                    qhydrated = self.index.quality.hydrate(qres)
+                    for j, i in enumerate(live):
+                        scan_hits = qhydrated[j]
+                        scan_per_query.setdefault(i, []).extend(scan_hits)
+                        qd = qscores_per_query.setdefault(i, {})
+                        for h in scan_hits:
+                            qd.setdefault(h.doc_id, h.score)
             except Exception:
                 qscores_per_query = {}
+                scan_per_query = {}
 
         # lexical pools: one batched device call when the backend supports
         # it (device BM25 exposes search_candidates_batch), else per query
@@ -423,7 +441,16 @@ class TwoTierSearcher:
                 tiebreak=cfg.tiebreak,
             )
             qscores = qscores_per_query.get(i)
-            if qscores:
+            if qscores and i in scan_per_query:
+                # expanded pool (quality_rescan): generic two-pool blend
+                qpool: dict[str, VectorHit] = {h.doc_id: h for h in scan_per_query[i]}
+                fast_rows = {h.doc_id: h.row for h in fast_hits}
+                for d, s in qscores.items():
+                    if d not in qpool:
+                        qpool[d] = VectorHit(doc_id=d, score=s, row=fast_rows.get(d, -1))
+                blended = blend_two_tier(fast_hits, list(qpool.values()), cfg.quality_weight)
+                fused = fuse_by_strategy(cfg.fusion_strategy, lexical_pool, blended, k, 0, rrf_cfg)
+            elif qscores:
                 aligned = [qscores.get(h.doc_id) for h in fast_hits]
                 blended = blend_two_tier_aligned(fast_hits, aligned, cfg.quality_weight)
                 fused = fuse_by_strategy(cfg.fusion_strategy, lexical_pool, blended, k, 0, rrf_cfg)

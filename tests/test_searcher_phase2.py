@@ -68,3 +68,19 @@ class TestQualityRescan:
         assert para.sources & SearchSource.QUALITY_VECTOR
         # pool expansion is visible in the metrics
         assert out_on.metrics.quality_candidates > out_off.metrics.quality_candidates
+
+    def test_batch_parity_with_rescan(self, tmp_path):
+        from frankensearch_tpu.core.config import TwoTierConfig
+        from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+
+        index, fast, quality = self._world(tmp_path)
+        cfg = TwoTierConfig(quality_timeout_ms=0, quality_rescan=True)
+        s = TwoTierSearcher(
+            index, fast, quality_embedder=quality,
+            config=cfg, cache_query_embeddings=False,
+        )
+        queries = ["alpha beta", "alpha f3", "beta"]
+        batch = s.search_batch(queries, k=4)
+        for q, b in zip(queries, batch):
+            single = s.search(q, k=4)
+            assert [r.doc_id for r in b.results] == [r.doc_id for r in single.results], q
