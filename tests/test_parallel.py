@@ -221,3 +221,27 @@ class TestHybridMesh:
         )
         idx = np.asarray(res.indices)
         assert (idx[idx >= 0] < 128).all()
+
+
+class TestPipelineFaults:
+    def test_batch_not_divisible_by_microbatches(self, rng):
+        from frankensearch_tpu.parallel.pipeline import (
+            pipeline_encoder_forward,
+            shard_stacked_layers,
+            stack_layer_params,
+        )
+        from frankensearch_tpu.rerank.bert import BertConfig, init_params
+
+        n_dev = len(jax.devices())
+        mesh = make_mesh(axes=("pp",))
+        cfg = BertConfig(vocab_size=32, hidden=32, layers=n_dev, heads=2,
+                         intermediate=64, max_position=8)
+        params = init_params(cfg, seed=0)
+        stacked = shard_stacked_layers(stack_layer_params(params["layers"]), mesh)
+        ids = jnp.zeros((5, 8), dtype=jnp.int32)  # 5 % 2 != 0
+        mask = jnp.ones((5, 8), dtype=jnp.int32)
+        with mesh, pytest.raises(ValueError, match="divisible"):
+            pipeline_encoder_forward(
+                params, stacked, ids, mask, cfg=cfg, mesh=mesh,
+                microbatches=2, n_stages=n_dev,
+            )

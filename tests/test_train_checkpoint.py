@@ -107,3 +107,21 @@ class TestFinetuneResume:
         )
         assert len(tail_losses) == 3
         np.testing.assert_allclose(tail_losses, ref_losses[3:], rtol=1e-6)
+
+
+class TestCheckpointFaults:
+    def test_corrupt_manifest_fails_closed(self, tmp_path, rng):
+        import json
+        import os
+
+        mesh = make_mesh(axes=("dp", "tp"))
+        with mesh:
+            params, opt_state, optimizer = make_train_state(CFG, mesh)
+            save_train_state(str(tmp_path), params, opt_state, step=1, cfg=CFG, mesh=mesh)
+            # truncate a manifest field -> fingerprint mismatch is typed
+            mpath = os.path.join(str(tmp_path), "train_manifest.json")
+            m = json.load(open(mpath))
+            m["params_fingerprint"] = "deadbeef"
+            json.dump(m, open(mpath, "w"))
+            with pytest.raises(InvalidConfig, match="drift"):
+                restore_train_state(str(tmp_path), params, opt_state, cfg=CFG, mesh=mesh)
