@@ -189,15 +189,59 @@ class DeviceVectorIndex:
     def with_appended(
         self, doc_ids: Sequence[str], vectors: np.ndarray
     ) -> "DeviceVectorIndex":
-        """Functional append -> new index (delta-slab story)."""
+        """Functional append -> new index (delta-slab story).
+
+        Fast path: when every new doc is genuinely new and fits in the
+        slab's existing padding rows, the new index SHARES the device
+        slab updated in place on device (`.at[rows].set` — an HBM copy,
+        not a host re-upload) — this is what makes the refresh worker's
+        update->searchable latency O(batch), not O(corpus). Supersessions
+        or exhausted capacity fall back to the full rebuild (which mints
+        fresh padding).
+        """
         vecs = np.asarray(vectors, dtype=np.float32)
+        new_ids = list(doc_ids)
+        fresh = all(d not in self._row_of for d in new_ids)
+        if fresh and self.n_rows + len(new_ids) <= self.n_pad and len(new_ids):
+            norm_vecs = _l2_normalize_rows(vecs)
+            rows = np.arange(self.n_rows, self.n_rows + len(new_ids))
+            padded = np.zeros((len(new_ids), self.d_pad), dtype=np.float32)
+            padded[:, : self.dim] = norm_vecs
+            clone = object.__new__(DeviceVectorIndex)
+            clone.__dict__.update(self.__dict__)
+            # rows are contiguous -> dynamic_update_slice (a block copy),
+            # not a scatter (slow for bf16 on CPU backends)
+            clone.slab = jax.lax.dynamic_update_slice(
+                self.slab,
+                jnp.asarray(padded, dtype=self.slab.dtype),
+                (self.n_rows, 0),
+            )
+            clone.base_mask = jax.lax.dynamic_update_slice(
+                self.base_mask,
+                jnp.zeros(len(new_ids), dtype=self.base_mask.dtype),
+                (self.n_rows,),
+            )
+            clone._vectors_f32 = np.concatenate([self._vectors_f32, norm_vecs], axis=0) if self.n_rows else norm_vecs
+            clone.doc_ids = self.doc_ids + new_ids
+            clone._row_of = dict(self._row_of)
+            for r, d in zip(rows, new_ids):
+                clone._row_of[d] = int(r)
+            valid = self._valid_host.copy()
+            valid[rows] = True
+            clone._valid_host = valid
+            clone.live_count = self.live_count + len(new_ids)
+            clone.n_rows = self.n_rows + len(new_ids)
+            clone._int8 = None  # quantized arm no longer matches
+            clone._ivf = None
+            clone._ivf_built_rows = -1
+            return clone
         base = self._vectors_f32
         keep_ids = list(self.doc_ids)
         tomb = ~self._valid_host[: self.n_rows]
         superseded = {d: i for i, d in enumerate(keep_ids)}
         new_base = base.copy()
         extra_ids, extra_rows = [], []
-        for i, doc_id in enumerate(doc_ids):
+        for i, doc_id in enumerate(new_ids):
             row = superseded.get(doc_id)
             v = _l2_normalize_rows(vecs[i : i + 1])[0]
             if row is not None:
