@@ -1,0 +1,159 @@
+"""Direct coverage for prf / mmr / batch coalescer / cached embedder /
+vector_math — reference-parity components previously tested only via the
+searcher's composition paths.
+
+Parity models: prf.rs (Rocchio interpolation), mmr.rs (lambda-weighted
+diversification), batch_coalescer.rs (deadline-aware flush), and
+cached_embedder.rs (query cache)."""
+
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from frankensearch_tpu.core.types import ScoredResult, VectorHit
+from frankensearch_tpu.embed.cached import CachedEmbedder
+from frankensearch_tpu.embed.coalescer import BatchCoalescer, Priority
+from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+from frankensearch_tpu.fusion.mmr import MmrDiversifier
+from frankensearch_tpu.fusion.prf import RocchioPrf
+from frankensearch_tpu.index.fsvi import EmbeddingIdentity
+from frankensearch_tpu.index.two_tier import TwoTierIndex
+from tests.conftest import make_unit_rows
+
+
+@pytest.fixture
+def tiny_index(tmp_path, rng):
+    vecs = make_unit_rows(rng, 16, 32)
+    index = TwoTierIndex.create(
+        str(tmp_path / "aux"), vecs, [f"d{i:02d}" for i in range(16)],
+        EmbeddingIdentity(embedder_id="t", embedder_revision="r", dim=32),
+        use_pallas=False,
+    )
+    return index, vecs
+
+
+class TestRocchioPrf:
+    def test_moves_query_toward_top_doc_centroid(self, tiny_index, rng):
+        index, vecs = tiny_index
+        q = make_unit_rows(rng, 1, 32)[0]
+        hits = [VectorHit(doc_id="d03", score=0.9, row=3), VectorHit(doc_id="d07", score=0.8, row=7)]
+        out = RocchioPrf(alpha=0.5, beta=0.5, top_k=2).expand(q, hits, index)
+        centroid = (vecs[3] + vecs[7]) / 2
+        # expanded query is closer to the centroid than the original
+        assert np.dot(out, centroid) > np.dot(q, centroid)
+        np.testing.assert_allclose(np.linalg.norm(out), 1.0, atol=1e-6)
+
+    def test_no_hits_is_identity(self, tiny_index, rng):
+        index, _ = tiny_index
+        q = make_unit_rows(rng, 1, 32)[0]
+        out = RocchioPrf().expand(q, [], index)
+        np.testing.assert_array_equal(out, q)
+
+    def test_unknown_doc_ids_fail_open(self, tiny_index, rng):
+        index, _ = tiny_index
+        q = make_unit_rows(rng, 1, 32)[0]
+        out = RocchioPrf().expand(q, [VectorHit(doc_id="nope", score=1.0, row=-1)], index)
+        np.testing.assert_array_equal(out, q)
+
+
+class TestMmr:
+    def test_near_duplicates_demoted(self, tmp_path, rng):
+        # three near-identical docs + two distinct ones
+        base = make_unit_rows(rng, 3, 32)
+        dup = base[0] + 0.01 * make_unit_rows(rng, 3, 32)
+        dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+        vecs = np.concatenate([dup, base[1:3]])
+        index = TwoTierIndex.create(
+            str(tmp_path / "mmr"), vecs, [f"m{i}" for i in range(5)],
+            EmbeddingIdentity(embedder_id="t", embedder_revision="r", dim=32),
+            use_pallas=False,
+        )
+        results = [
+            ScoredResult(doc_id=f"m{i}", score=1.0 - 0.01 * i) for i in range(5)
+        ]
+        out = MmrDiversifier(lambda_relevance=0.5, pool_size=5).apply(results, index)
+        # the two distinct docs must appear in the top 3 despite lower
+        # relevance; duplicates of m0 get pushed down
+        top3 = {r.doc_id for r in out[:3]}
+        assert "m3" in top3 and "m4" in top3
+        assert out[0].doc_id == "m0"  # most relevant stays first
+
+    def test_small_pools_untouched(self, tiny_index):
+        index, _ = tiny_index
+        results = [ScoredResult(doc_id="d00", score=1.0), ScoredResult(doc_id="d01", score=0.9)]
+        assert MmrDiversifier().apply(results, index) == results
+
+
+class TestBatchCoalescer:
+    def test_coalesces_and_matches_direct(self):
+        inner = HashEmbedder(dim=32)
+        co = BatchCoalescer(inner, max_batch=16, max_wait_ms=20)
+        texts = [f"doc {i}" for i in range(12)]
+        futures = [co.submit(t, Priority.BACKGROUND) for t in texts]
+        got = np.stack([f.result(timeout=5) for f in futures])
+        np.testing.assert_allclose(got, inner.embed_batch(texts), atol=1e-6)
+        assert co.stats.items == 12
+        assert co.stats.batches <= 12  # some coalescing happened
+        co.close()
+
+    def test_interactive_flushes_early(self):
+        inner = HashEmbedder(dim=16)
+        co = BatchCoalescer(inner, max_batch=1024, max_wait_ms=500)
+        t0 = time.perf_counter()
+        co.embed("urgent", Priority.INTERACTIVE)
+        elapsed = time.perf_counter() - t0
+        # interactive deadline is max_wait/2 = 250ms, not the full 500ms
+        assert elapsed < 0.45
+        co.close()
+
+    def test_closed_rejects(self):
+        co = BatchCoalescer(HashEmbedder(dim=16))
+        co.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            co.submit("x")
+
+
+class TestCachedEmbedder:
+    def test_hits_skip_inner(self):
+        calls = []
+
+        class Spy(HashEmbedder):
+            def embed_batch(self, texts):
+                calls.append(list(texts))
+                return super().embed_batch(texts)
+
+        # capacity must give the S3-FIFO Small queue >= 2 slots (it is
+        # 10% of capacity); tiny capacities evict one-hit keys to Ghost
+        # immediately, which is the algorithm working as designed
+        ce = CachedEmbedder(Spy(dim=16), capacity=32)
+        a = ce.embed_batch(["alpha", "beta"])
+        b = ce.embed_batch(["alpha", "beta", "gamma"])
+        np.testing.assert_allclose(a, b[:2], atol=0)
+        assert calls == [["alpha", "beta"], ["gamma"]]  # cached pair skipped
+        assert ce.dim == 16 and not ce.is_semantic
+
+    def test_identity_passthrough(self):
+        inner = HashEmbedder(dim=16)
+        ce = CachedEmbedder(inner)
+        assert ce.embedder_id == inner.embedder_id
+        assert ce.identity().dim == 16
+
+
+class TestVectorMath:
+    def test_ops(self, rng):
+        from frankensearch_tpu.ops.vector_math import cosine_matrix, l2_normalize, mean_pool
+
+        x = jnp.asarray(rng.standard_normal((4, 8)).astype(np.float32))
+        n = np.asarray(l2_normalize(x))
+        np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-5)
+        c = np.asarray(cosine_matrix(x, x))
+        np.testing.assert_allclose(np.diag(c), 1.0, atol=1e-5)
+        toks = jnp.asarray(rng.standard_normal((2, 3, 8)).astype(np.float32))
+        mask = jnp.asarray(np.array([[1, 1, 0], [1, 0, 0]], dtype=np.int32))
+        pooled = np.asarray(mean_pool(toks, mask))
+        np.testing.assert_allclose(
+            pooled[0], np.asarray(toks)[0, :2].mean(axis=0), atol=1e-5
+        )
+        np.testing.assert_allclose(pooled[1], np.asarray(toks)[1, 0], atol=1e-5)
