@@ -557,11 +557,22 @@ def cmd_tui(args) -> dict | None:
         return out
 
     def status_fn():
+        from frankensearch_tpu.lexical.persist import list_generations
+
+        fast = handle.index.fast
+        lexical_kind = type(handle.searcher.lexical).__name__ if handle.searcher.lexical else None
         return {
             "root": args.root,
             "docs": handle.index.doc_count(),
+            "live_rows": fast.live_count,
+            "slab": f"{fast.n_pad}x{fast.d_pad} {fast.slab_dtype}",
+            "scan_mode": handle.searcher.config.scan_mode,
             "quality_tier": handle.index.has_quality_tier,
-            "lexical": handle.lexical is not None,
+            "quality_rescan": handle.searcher.config.quality_rescan,
+            "lexical_arm": lexical_kind,
+            "lexical_generations": len(list_generations(args.root)),
+            "int8_arm": fast._int8 is not None,
+            "ivf_arm": fast._ivf is not None,
         }
 
     shell = AppShell(width=args.width)
