@@ -87,19 +87,19 @@ class BulkPostings:
 
 
 def build_postings_native(texts: list[str]) -> BulkPostings | None:
-    """Native bulk tokenize+accumulate; None if unavailable or any text is
-    non-ASCII (those route to the Python tokenizer for exact parity)."""
+    """Native bulk tokenize+accumulate over UTF-8; None if the kernel is
+    unavailable. Tokenization is CPython-exact (generated Unicode tables
+    incl. Final_Sigma), differentially pinned against the Python
+    tokenizer."""
     if not ensure_built():
         return None
-    if not all(t.isascii() for t in texts):
-        return None
     assert _lib is not None
-    blob = b"".join(t.encode("ascii") for t in texts)
+    blob = b"".join(t.encode("utf-8") for t in texts)
     offsets = np.zeros(len(texts) + 1, dtype=np.uint64)
     pos = 0
     for i, t in enumerate(texts):
         offsets[i] = pos
-        pos += len(t)
+        pos += len(t.encode("utf-8"))  # BYTE offsets into the utf-8 blob
     offsets[len(texts)] = pos
 
     result = _BuildResult()
@@ -117,7 +117,7 @@ def build_postings_native(texts: list[str]) -> BulkPostings | None:
         term_offsets = np.ctypeslib.as_array(result.term_offsets, shape=(n_terms + 1,)).copy()
         term_blob = ctypes.string_at(result.term_blob, result.term_blob_len)
         terms = [
-            term_blob[int(term_offsets[i]) : int(term_offsets[i + 1])].decode("ascii")
+            term_blob[int(term_offsets[i]) : int(term_offsets[i + 1])].decode("utf-8")
             for i in range(n_terms)
         ]
         shape = (max(int(n_post), 1),)

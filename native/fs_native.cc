@@ -2,13 +2,15 @@
 //
 // Role parity: crates/frankensearch-quill/src/scribe.rs — the
 // allocation-reusing tokenizer + ColumnarAccumulator that gives the
-// reference its >=20k docs/s ingest contract. This C++ core tokenizes an
-// ASCII corpus blob (alphanumeric runs, lowercased, 40-char cap — the
-// same SimpleTokenizer+LowerCaser semantics as the Python tokenizer),
-// interns terms, accumulates (term, doc, tf) postings, and returns flat
-// arrays ready for the device BM25 layout. Unicode documents take the
-// Python slow path (the wrapper routes only isascii() docs here), so the
-// two tokenizers can never diverge on what they both handle.
+// reference its >=20k docs/s ingest contract. This C++ core tokenizes a
+// UTF-8 corpus blob with CPython-exact semantics (a token is a maximal
+// run of `str.isalnum()` codepoints, `str.lower()`-cased including the
+// Final_Sigma context rule, dropped past 40 codepoints — the same
+// SimpleTokenizer+LowerCaser contract as the Python tokenizer), interns
+// terms, accumulates (term, doc, tf) postings, and returns flat arrays
+// ready for the device BM25 layout. The Unicode membership/case tables
+// are GENERATED from the running CPython (tools/gen_unicode_tables.py),
+// so the two tokenizers cannot drift; parity is differentially tested.
 //
 // C ABI only (loaded via ctypes; no pybind11 in this image).
 
@@ -20,9 +22,11 @@
 #include <unordered_map>
 #include <vector>
 
+#include "unicode_tables.h"
+
 namespace {
 
-constexpr size_t kMaxTokenLen = 40;
+constexpr size_t kMaxTokenLen = 40;  // codepoints, not bytes
 
 struct BuildResult {
   uint64_t n_terms = 0;
@@ -45,6 +49,113 @@ inline char lower_ascii(char c) {
   return (c >= 'A' && c <= 'Z') ? static_cast<char>(c + 32) : c;
 }
 
+inline bool in_ranges(uint32_t cp, const uint32_t (*ranges)[2], uint32_t n) {
+  uint32_t lo = 0, hi = n;
+  while (lo < hi) {
+    uint32_t mid = (lo + hi) / 2;
+    if (cp < ranges[mid][0]) hi = mid;
+    else if (cp > ranges[mid][1]) lo = mid + 1;
+    else return true;
+  }
+  return false;
+}
+
+inline bool is_alnum_cp(uint32_t cp) {
+  if (cp < 128) return is_alnum_ascii(static_cast<unsigned char>(cp));
+  return in_ranges(cp, kAlnumRanges, kNumAlnumRanges);
+}
+
+inline bool is_cased_cp(uint32_t cp) {
+  if (cp < 128) return (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z');
+  return in_ranges(cp, kCasedRanges, kNumCasedRanges);
+}
+
+// lowercase one codepoint into up to 3 (CPython str.lower mapping table);
+// returns the count written
+inline int lower_cp(uint32_t cp, uint32_t out[3]) {
+  if (cp < 128) {
+    out[0] = (cp >= 'A' && cp <= 'Z') ? cp + 32 : cp;
+    return 1;
+  }
+  uint32_t lo = 0, hi = kNumLowerEntries;
+  while (lo < hi) {
+    uint32_t mid = (lo + hi) / 2;
+    if (kLowerMap[mid][0] < cp) lo = mid + 1;
+    else hi = mid;
+  }
+  if (lo < kNumLowerEntries && kLowerMap[lo][0] == cp) {
+    int n = 0;
+    for (int i = 1; i <= 3; ++i) {
+      if (kLowerMap[lo][i]) out[n++] = kLowerMap[lo][i];
+    }
+    return n ? n : 1;
+  }
+  out[0] = cp;
+  return 1;
+}
+
+constexpr uint32_t kSigmaUpper = 0x03A3;  // Σ
+constexpr uint32_t kSigmaFinal = 0x03C2;  // ς
+
+// decode one UTF-8 codepoint at p (p < end); returns codepoint and
+// advances p. Invalid bytes decode as 0xFFFD and advance one byte
+// (0xFFFD is not alnum -> acts as a separator, like Python would never
+// see such input since str is already valid).
+inline uint32_t next_cp(const char*& p, const char* end) {
+  unsigned char c0 = static_cast<unsigned char>(*p);
+  if (c0 < 0x80) { ++p; return c0; }
+  int extra; uint32_t cp;
+  if ((c0 & 0xE0) == 0xC0) { extra = 1; cp = c0 & 0x1F; }
+  else if ((c0 & 0xF0) == 0xE0) { extra = 2; cp = c0 & 0x0F; }
+  else if ((c0 & 0xF8) == 0xF0) { extra = 3; cp = c0 & 0x07; }
+  else { ++p; return 0xFFFD; }
+  if (end - p < extra + 1) { ++p; return 0xFFFD; }
+  for (int i = 1; i <= extra; ++i) {
+    unsigned char cc = static_cast<unsigned char>(p[i]);
+    if ((cc & 0xC0) != 0x80) { ++p; return 0xFFFD; }
+    cp = (cp << 6) | (cc & 0x3F);
+  }
+  p += extra + 1;
+  return cp;
+}
+
+inline void append_utf8(std::string& s, uint32_t cp) {
+  if (cp < 0x80) {
+    s.push_back(static_cast<char>(cp));
+  } else if (cp < 0x800) {
+    s.push_back(static_cast<char>(0xC0 | (cp >> 6)));
+    s.push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  } else if (cp < 0x10000) {
+    s.push_back(static_cast<char>(0xE0 | (cp >> 12)));
+    s.push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+    s.push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  } else {
+    s.push_back(static_cast<char>(0xF0 | (cp >> 18)));
+    s.push_back(static_cast<char>(0x80 | ((cp >> 12) & 0x3F)));
+    s.push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+    s.push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  }
+}
+
+// lowercase a codepoint run into UTF-8, applying Final_Sigma: Σ -> ς iff
+// the previous codepoint is cased and the next is not (CPython behavior
+// verified on token-shaped strings)
+inline void lower_run_utf8(const std::vector<uint32_t>& run, std::string& out) {
+  out.clear();
+  uint32_t buf[3];
+  for (size_t i = 0; i < run.size(); ++i) {
+    uint32_t cp = run[i];
+    if (cp == kSigmaUpper) {
+      bool prev_cased = i > 0 && is_cased_cp(run[i - 1]);
+      bool next_cased = i + 1 < run.size() && is_cased_cp(run[i + 1]);
+      append_utf8(out, (prev_cased && !next_cased) ? kSigmaFinal : 0x03C3);
+      continue;
+    }
+    int n = lower_cp(cp, buf);
+    for (int j = 0; j < n; ++j) append_utf8(out, buf[j]);
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -65,6 +176,8 @@ int fs_build_postings(const char* blob, const uint64_t* doc_offsets,
 
   std::string token;
   token.reserve(64);
+  std::vector<uint32_t> run;
+  run.reserve(64);
   // per-doc term frequency scratch, reused across docs
   std::unordered_map<uint32_t, uint32_t> tf_scratch;
 
@@ -75,14 +188,18 @@ int fs_build_postings(const char* blob, const uint64_t* doc_offsets,
     uint32_t count = 0;
     const char* p = begin;
     while (p < end) {
-      unsigned char c = static_cast<unsigned char>(*p);
-      if (is_alnum_ascii(c)) {
-        const char* tok_start = p;
-        while (p < end && is_alnum_ascii(static_cast<unsigned char>(*p))) ++p;
-        size_t len = static_cast<size_t>(p - tok_start);
-        if (len > kMaxTokenLen) continue;  // RemoveLongFilter(40) parity
-        token.assign(tok_start, len);
-        for (char& ch : token) ch = lower_ascii(ch);
+      uint32_t cp = next_cp(p, end);
+      if (is_alnum_cp(cp)) {
+        run.clear();
+        run.push_back(cp);
+        while (p < end) {
+          const char* save = p;
+          uint32_t nxt = next_cp(p, end);
+          if (!is_alnum_cp(nxt)) { p = save; break; }
+          run.push_back(nxt);
+        }
+        if (run.size() > kMaxTokenLen) continue;  // RemoveLongFilter(40), codepoints
+        lower_run_utf8(run, token);
         ++count;
         auto it = intern.find(token);
         uint32_t tid;
@@ -95,9 +212,8 @@ int fs_build_postings(const char* blob, const uint64_t* doc_offsets,
           tid = it->second;
         }
         ++tf_scratch[tid];
-      } else {
-        ++p;
       }
+      // non-alnum codepoints were already consumed by next_cp above
     }
     doc_tokens[d] = count;
     for (const auto& [tid, tf] : tf_scratch) {

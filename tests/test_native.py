@@ -60,11 +60,61 @@ class TestNativeBuild:
             b = [(c.doc_id, pytest.approx(c.score)) for c in nat.search_candidates(q, 10)]
             assert a == b, q
 
-    def test_unicode_falls_back(self):
+    def test_unicode_handled_natively(self):
         docs = [IndexableDocument(doc_id="u", content="héllo wörld unicode text")]
-        idx = MemoryLexicalIndex.bulk_build(docs)  # python fallback path
+        idx = MemoryLexicalIndex.bulk_build(docs)  # native UTF-8 path
         assert idx.doc_count() == 1
         assert idx.search_candidates("unicode", 5)
+        assert idx.search_candidates("wörld", 5)  # accents survive natively
+
+    def test_utf8_tokenizer_parity_curated(self):
+        """CPython-exact Unicode semantics: generated tables + Final_Sigma
+        (native/unicode_tables.h from tools/gen_unicode_tables.py)."""
+        from frankensearch_tpu import native
+        from frankensearch_tpu.lexical.tokenizer import simple_tokenize
+
+        texts = [
+            "Grüße aus München — ÄÖÜ straße",
+            "ΑΣ ΣΑ ΑΣΒ Α3Σ ΣΙΣΥΦΟΣ ὈΔΥΣΣΕΥΣ",  # final-sigma contexts
+            "日本語のテキスト 検索エンジン 漢字123",
+            "İstanbul DİYARBAKIR ıi",  # 1:2 lowercase expansion (İ)
+            "emoji 😀 inside 🎉 text",
+            "ß STRASSE Straße",
+            "x" * 41 + " short öö" + "y" * 40,  # 40-codepoint drop rule
+        ]
+        bp = native.build_postings_native(texts)
+        if bp is None:
+            pytest.skip("native kernel unavailable")
+        for d, t in enumerate(texts):
+            py = simple_tokenize(t)
+            tf = {}
+            for tok in py:
+                tf[tok] = tf.get(tok, 0) + 1
+            nat = {}
+            for p in range(len(bp.post_term)):
+                if bp.post_doc[p] == d:
+                    nat[bp.terms[bp.post_term[p]]] = int(bp.post_tf[p])
+            assert nat == tf, (t, nat, tf)
+            assert int(bp.doc_token_counts[d]) == len(py)
+
+    def test_utf8_tokenizer_parity_fuzz(self):
+        import random
+
+        from frankensearch_tpu import native
+        from frankensearch_tpu.lexical.tokenizer import simple_tokenize
+
+        random.seed(7)
+        pools = ["abc XYZ 123 ", "Σσς ΑΒΓ αβγ ", "äöü ÄÖÜ ß İ ı ",
+                 "日本 漢字 ", "привет МИР ", "!@#,.  ", "😀🎉 "]
+        fuzz = [
+            "".join(random.choice(random.choice(pools)) for _ in range(random.randrange(0, 150)))
+            for _ in range(150)
+        ]
+        bp = native.build_postings_native(fuzz)
+        if bp is None:
+            pytest.skip("native kernel unavailable")
+        for d, t in enumerate(fuzz):
+            assert int(bp.doc_token_counts[d]) == len(simple_tokenize(t)), repr(t)
 
     def test_long_token_dropped(self):
         long_tok = "x" * 41
