@@ -231,8 +231,23 @@ class DeviceVectorIndex:
             clone._valid_host = valid
             clone.live_count = self.live_count + len(new_ids)
             clone.n_rows = self.n_rows + len(new_ids)
-            clone._int8 = None  # quantized arm no longer matches
-            clone._ivf = None
+            if self._int8 is not None:
+                # incremental int8: quantize new rows with the EXISTING
+                # per-dim scale (fixed at calibration) — new rows outside
+                # the old range clip, which the recall certificates and
+                # compaction (full recalibration) cover
+                i8_slab, scale = self._int8
+                scale_np = np.asarray(scale)
+                q = np.clip(
+                    np.round(padded / np.maximum(scale_np, 1e-12)), -127, 127
+                ).astype(np.int8)
+                clone._int8 = (
+                    jax.lax.dynamic_update_slice(
+                        i8_slab, jnp.asarray(q), (self.n_rows, 0)
+                    ),
+                    scale,
+                )
+            clone._ivf = None  # cluster assignment requires a rebuild
             clone._ivf_built_rows = -1
             return clone
         base = self._vectors_f32

@@ -255,3 +255,25 @@ class TestScanModeConfig:
         s2 = TwoTierSearcher(index, fe, config=cfg2, cache_query_embeddings=False)
         out2 = s2.search("document number 12 about topic", k=5)
         assert {r.doc_id for r in out.results} & {r.doc_id for r in out2.results}
+
+
+class TestIncrementalArms:
+    def test_int8_arm_survives_fast_append(self, rng):
+        import jax.numpy as jnp
+        from frankensearch_tpu.index.device_index import DeviceVectorIndex
+        from frankensearch_tpu.index.fsvi import EmbeddingIdentity
+
+        x = make_unit_rows(rng, 512, 32)
+        ident = EmbeddingIdentity(embedder_id="t", embedder_revision="r", dim=32)
+        index = DeviceVectorIndex(
+            x, [f"d{i}" for i in range(512)], ident, use_pallas=False, slab_dtype="f32"
+        )
+        index._int8_arm()  # materialize the quantized arm
+        planted = make_unit_rows(rng, 1, 32)
+        idx2 = index.with_appended(["fresh"], planted)
+        assert idx2._int8 is not None  # arm carried incrementally
+        res = idx2.search_batch(planted, 3, mode="int8")
+        hits = idx2.hydrate(res)[0]
+        assert hits[0].doc_id == "fresh"  # appended row findable via int8 lane
+        # original index untouched (functional contract)
+        assert index.n_rows == 512 and index._int8 is not None
