@@ -200,6 +200,8 @@ class DeviceVectorIndex:
         fresh padding).
         """
         vecs = np.asarray(vectors, dtype=np.float32)
+        if vecs.size and vecs.shape[1] != self.dim:
+            raise DimensionMismatch(self.dim, vecs.shape[1])
         new_ids = list(doc_ids)
         fresh = all(d not in self._row_of for d in new_ids)
         if fresh and self.n_rows + len(new_ids) <= self.n_pad and len(new_ids):

@@ -71,6 +71,10 @@ def pipeline_encoder_forward(
     m = microbatches
     if b % m != 0:
         raise ValueError(f"batch {b} not divisible by microbatches {m}")
+    if n_stages != mesh.shape["pp"]:
+        raise ValueError(
+            f"n_stages {n_stages} != mesh pp axis {mesh.shape['pp']}"
+        )
     mb = b // m
     s_count = n_stages
 
