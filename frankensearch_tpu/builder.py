@@ -172,6 +172,7 @@ class IndexBuilder:
             slab_dtype=self._config.slab_dtype if self._config.slab_dtype != "int8" else "bf16",
             tile_n=self._config.scan_tile_docs,
             use_pallas=self._config.use_pallas,
+            mesh_shards=self._config.mesh_shards,
         )
 
         # lexical arm (embed-independent: all kept docs, index_builder.rs:474)
@@ -278,6 +279,7 @@ def open_hybrid(
     index = TwoTierIndex.open(
         root, tile_n=cfg.scan_tile_docs, slab_dtype=cfg.slab_dtype
         if cfg.slab_dtype != "int8" else "bf16", use_pallas=cfg.use_pallas,
+        mesh_shards=cfg.mesh_shards,
     )
     if fast_embedder is None:
         stack = EmbedderStack.auto_detect(root)

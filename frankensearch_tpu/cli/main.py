@@ -121,6 +121,8 @@ def _open(args):
         cfg.fast_only = True
     if getattr(args, "explain", False):
         cfg.explain = True
+    if getattr(args, "shards", 0):
+        cfg.mesh_shards = args.shards
     return open_hybrid(args.root, config=cfg)
 
 
@@ -752,6 +754,11 @@ def build_parser() -> argparse.ArgumentParser:
         sp = sub.add_parser(name, **kw)
         sp.set_defaults(fn=fn)
         sp.add_argument("--root", default=os.environ.get("FRANKENSEARCH_ROOT", ".fsindex"))
+        sp.add_argument(
+            "--shards", type=int, default=0, metavar="N",
+            help="shard the fast-tier slab over an N-device mesh "
+            "(0 = single device; requires N visible devices)",
+        )
         return sp
 
     sp = add("index", cmd_index, help="build a hybrid index from a corpus")

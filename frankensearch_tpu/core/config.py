@@ -99,6 +99,12 @@ class TwoTierConfig:
     #: can only rescore phase-1 candidates). Off by default: it changes
     #: the candidate-pool contract, not just ordering.
     quality_rescan: bool = False
+    #: shard the fast-tier slab rows over a device mesh of this many chips
+    #: (0 = single device). The BASELINE "10M docs sharded across TPU
+    #: cores" config: every batched scan runs the shard_map local-scan +
+    #: all_gather top-k merge (parallel/sharded_scan.py), bit-identical
+    #: ordering to single-device. Requires that many visible devices.
+    mesh_shards: int = 0
 
     def validate(self) -> "TwoTierConfig":
         if not (0.0 <= self.quality_weight <= 1.0):
@@ -117,6 +123,8 @@ class TwoTierConfig:
             raise InvalidConfig(f"unknown scan_mode {self.scan_mode!r}")
         if self.ivf_nprobe <= 0:
             raise InvalidConfig("ivf_nprobe must be positive")
+        if self.mesh_shards < 0:
+            raise InvalidConfig("mesh_shards must be >= 0 (0 = single device)")
         return self
 
     @classmethod

@@ -252,6 +252,26 @@ class DeviceVectorIndex:
             clone._ivf = None  # cluster assignment requires a rebuild
             clone._ivf_built_rows = -1
             return clone
+        all_vecs, all_ids, all_tomb = self._merged_host(new_ids, vecs)
+        return DeviceVectorIndex(
+            all_vecs,
+            all_ids,
+            self.identity,
+            tombstoned=all_tomb,
+            tile_n=self.tile_n,
+            slab_dtype=self.slab_dtype,
+            use_pallas=self.use_pallas,
+            normalize=False,
+        )
+
+    def _merged_host(
+        self, new_ids: list[str], vecs: np.ndarray
+    ) -> tuple[np.ndarray, list[str], np.ndarray]:
+        """Host-side append merge with the reference's supersession rules
+        (search.rs:276-300): same-id appends overwrite in place and clear
+        the tombstone; new ids extend the row space. Returns normalized
+        (vectors, doc_ids, tombstoned) ready for (re)construction —
+        subclasses (the mesh-sharded index) rebuild from this directly."""
         base = self._vectors_f32
         keep_ids = list(self.doc_ids)
         tomb = ~self._valid_host[: self.n_rows]
@@ -274,16 +294,7 @@ class DeviceVectorIndex:
             all_tomb = np.concatenate([tomb, np.zeros(len(extra_ids), dtype=bool)])
         else:
             all_vecs, all_ids, all_tomb = new_base, keep_ids, tomb
-        return DeviceVectorIndex(
-            all_vecs,
-            all_ids,
-            self.identity,
-            tombstoned=all_tomb,
-            tile_n=self.tile_n,
-            slab_dtype=self.slab_dtype,
-            use_pallas=self.use_pallas,
-            normalize=False,
-        )
+        return all_vecs, all_ids, all_tomb
 
     def with_tombstones(self, doc_ids: Sequence[str]) -> "DeviceVectorIndex":
         tomb = (~self._valid_host[: self.n_rows]).copy()

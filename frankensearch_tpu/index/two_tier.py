@@ -79,6 +79,7 @@ class TwoTierIndex:
         self.fast = fast
         self.quality = quality
         self.root = root
+        self.mesh_shards = 0
         self.last_vacuum_stats: dict[str, VacuumStats] = {}
         # quality-tier row aligned to fast-tier row (or -1 when the doc
         # has no quality vector) — the aligned-rescore fast path.
@@ -104,15 +105,36 @@ class TwoTierIndex:
         slab_dtype: str = "bf16",
         use_pallas: bool = True,
         verify: bool = False,
+        mesh_shards: int = 0,
     ) -> "TwoTierIndex":
+        """Open the on-disk tiers.
+
+        ``mesh_shards > 0`` shards the fast-tier slab rows over that many
+        devices (ShardedDeviceVectorIndex; exact all_gather merge keeps
+        single-device result parity). The quality tier stays single-device:
+        its hot path is the O(k) aligned rescore, not an O(corpus) scan.
+        """
         paths = TwoTierPaths(root)
         if not os.path.exists(paths.fast):
             raise IndexNotFound(f"no fast-tier artifact under {root}")
         fast_file = FtviFile(paths.fast, verify_slab=verify)
         fast_wal = WriteAheadLog(paths.wal_for(paths.fast)).replay()
-        fast = DeviceVectorIndex.from_ftvi(
-            fast_file, fast_wal, tile_n=tile_n, slab_dtype=slab_dtype, use_pallas=use_pallas
-        )
+        if mesh_shards > 0:
+            from frankensearch_tpu.parallel.mesh import make_mesh
+            from frankensearch_tpu.parallel.sharded_index import (
+                ShardedDeviceVectorIndex,
+            )
+
+            mesh = make_mesh(mesh_shards, axes=("d",))
+            fast = ShardedDeviceVectorIndex.from_ftvi(
+                fast_file, fast_wal, mesh=mesh,
+                slab_dtype=slab_dtype, use_pallas=use_pallas,
+            )
+        else:
+            fast = DeviceVectorIndex.from_ftvi(
+                fast_file, fast_wal, tile_n=tile_n, slab_dtype=slab_dtype,
+                use_pallas=use_pallas,
+            )
         quality = None
         if os.path.exists(paths.quality):
             q_file = FtviFile(paths.quality, verify_slab=verify)
@@ -120,7 +142,9 @@ class TwoTierIndex:
             quality = DeviceVectorIndex.from_ftvi(
                 q_file, q_wal, tile_n=tile_n, slab_dtype=slab_dtype, use_pallas=use_pallas
             )
-        return cls(fast, quality, root=root)
+        idx = cls(fast, quality, root=root)
+        idx.mesh_shards = mesh_shards
+        return idx
 
     @classmethod
     def create(
@@ -135,6 +159,7 @@ class TwoTierIndex:
         slab_dtype: str = "bf16",
         tile_n: int = 2048,
         use_pallas: bool = True,
+        mesh_shards: int = 0,
     ) -> "TwoTierIndex":
         os.makedirs(root, exist_ok=True)
         paths = TwoTierPaths(root)
@@ -161,7 +186,7 @@ class TwoTierIndex:
         return cls.open(
             root, tile_n=tile_n,
             slab_dtype="bf16" if slab_dtype == "int8" else slab_dtype,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, mesh_shards=mesh_shards,
         )
 
     def compact(self) -> "TwoTierIndex":
@@ -192,7 +217,7 @@ class TwoTierIndex:
                 bytes_after=os.path.getsize(path),
                 wal_bytes_folded=wal_bytes,
             )
-        compacted = TwoTierIndex.open(self.root)
+        compacted = TwoTierIndex.open(self.root, mesh_shards=self.mesh_shards)
         compacted.last_vacuum_stats = stats
         return compacted
 

@@ -5,7 +5,15 @@ interface to DeviceVectorIndex, but the slab rows are sharded over a
 ``Mesh("d")`` and every batched search runs the shard_map scan with the
 device-side all_gather top-k merge (parallel/sharded_scan.py). This is
 the BASELINE.json "10M docs sharded across TPU cores" configuration as
-a first-class index type rather than a raw op.
+a first-class index type rather than a raw op — reachable from the
+product surface via ``TwoTierConfig.mesh_shards`` / ``--shards``
+(parity: the reference's federated fan-out,
+crates/frankensearch-fusion/src/federated.rs:197-259, as an index type).
+
+Modes: ``auto``/``xla`` run the exact bf16 sharded scan; ``int8`` runs
+the sharded two-pass capacity lane (2x docs/chip, shard-local rescore,
+parallel/sharded_scan.py:125). Other single-chip lanes (ivf/mrl/
+hierarchical) are not sharded yet and fall back to the exact scan.
 """
 
 from __future__ import annotations
@@ -20,8 +28,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from frankensearch_tpu.index.device_index import DeviceVectorIndex
 from frankensearch_tpu.index.fsvi import EmbeddingIdentity
 from frankensearch_tpu.ops import topk_scan
+from frankensearch_tpu.ops.quantize import calibrate_int8
 from frankensearch_tpu.parallel.mesh import make_mesh
-from frankensearch_tpu.parallel.sharded_scan import sharded_scan_topk
+from frankensearch_tpu.parallel.sharded_scan import (
+    sharded_scan_topk,
+    sharded_scan_topk_int8,
+)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -54,6 +66,56 @@ class ShardedDeviceVectorIndex(DeviceVectorIndex):
         self.slab = jax.device_put(self.slab, slab_sharding)
         self.base_mask = jax.device_put(self.base_mask, mask_sharding)
 
+    # -- updates (rebuild sharded; the in-padding fast path is single-chip) --
+
+    def with_appended(
+        self, doc_ids: Sequence[str], vectors: np.ndarray
+    ) -> "ShardedDeviceVectorIndex":
+        from frankensearch_tpu.core.errors import DimensionMismatch
+
+        vecs = np.asarray(vectors, dtype=np.float32)
+        if vecs.size and vecs.shape[1] != self.dim:
+            raise DimensionMismatch(self.dim, vecs.shape[1])
+        all_vecs, all_ids, all_tomb = self._merged_host(list(doc_ids), vecs)
+        return ShardedDeviceVectorIndex(
+            all_vecs, all_ids, self.identity, tombstoned=all_tomb,
+            mesh=self.mesh, axis=self.axis, slab_dtype=self.slab_dtype,
+            use_pallas=self.use_pallas, normalize=False,
+        )
+
+    def with_tombstones(
+        self, doc_ids: Sequence[str]
+    ) -> "ShardedDeviceVectorIndex":
+        tomb = (~self._valid_host[: self.n_rows]).copy()
+        for doc_id in doc_ids:
+            row = self._row_of.get(doc_id)
+            if row is not None:
+                tomb[row] = True
+        return ShardedDeviceVectorIndex(
+            self._vectors_f32, self.doc_ids, self.identity, tombstoned=tomb,
+            mesh=self.mesh, axis=self.axis, slab_dtype=self.slab_dtype,
+            use_pallas=self.use_pallas, normalize=False,
+        )
+
+    # -- search --------------------------------------------------------------
+
+    def _int8_arm_sharded(self):
+        """Lazy sharded int8 arm: per-dim calibration on the host (same
+        contract as the single-chip arm), values row-sharded, scale
+        replicated."""
+        if self._int8 is None:
+            padded = np.zeros((self.n_pad, self.d_pad), dtype=np.float32)
+            padded[: self.n_rows, : self.dim] = self._vectors_f32
+            q = calibrate_int8(padded)
+            values = jax.device_put(
+                jnp.asarray(q.values), NamedSharding(self.mesh, P(self.axis, None))
+            )
+            scale = jax.device_put(
+                jnp.asarray(q.scale), NamedSharding(self.mesh, P())
+            )
+            self._int8 = (values, scale)
+        return self._int8
+
     def search_batch(
         self,
         queries: np.ndarray | jax.Array,
@@ -62,6 +124,7 @@ class ShardedDeviceVectorIndex(DeviceVectorIndex):
         search_filter=None,
         metadata=None,
         mode: str = "auto",
+        int8_candidate_multiplier: int = 4,
         **_unused,
     ) -> topk_scan.TopKResult:
         q = np.asarray(queries, dtype=np.float32)
@@ -72,6 +135,13 @@ class ShardedDeviceVectorIndex(DeviceVectorIndex):
         mask = self._effective_mask(search_filter, metadata)
         # mask may have been rebuilt host-side by filters: re-shard it
         mask = jax.device_put(mask, NamedSharding(self.mesh, P(self.axis)))
+        if mode == "int8":
+            values, scale = self._int8_arm_sharded()
+            return sharded_scan_topk_int8(
+                values, scale, mask, jnp.asarray(q), k,
+                mesh=self.mesh, axis=self.axis,
+                candidate_multiplier=int8_candidate_multiplier,
+            )
         return sharded_scan_topk(
             self.slab, mask, jnp.asarray(q), k, mesh=self.mesh, axis=self.axis
         )

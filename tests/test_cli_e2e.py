@@ -70,6 +70,30 @@ class TestCliContract:
         assert r.returncode == 0, r.stderr
         assert "rust-1" in r.stdout
 
+    def test_search_sharded_matches_single_device(self, index_root):
+        """--shards N runs the mesh-sharded fast tier from the CLI alone
+        and returns the same ranking as the single-device path (the
+        conftest's 8 virtual CPU devices are inherited via XLA_FLAGS)."""
+        env_extra = {
+            "XLA_FLAGS": (
+                os.environ.get("XLA_FLAGS", "")
+                + " --xla_force_host_platform_device_count=8"
+            ).strip()
+        }
+        r1 = run_cli(
+            "--format", "json", "search", "sqlite transactions",
+            "--root", index_root, env_extra=env_extra,
+        )
+        r8 = run_cli(
+            "--format", "json", "search", "sqlite transactions",
+            "--root", index_root, "--shards", "8", env_extra=env_extra,
+        )
+        assert r8.returncode == 0, r8.stderr
+        one = json.loads(r1.stdout)["data"]
+        sharded = json.loads(r8.stdout)["data"]
+        assert [d["doc_id"] for d in sharded] == [d["doc_id"] for d in one]
+        assert sharded[0]["doc_id"] == "sql-1"
+
     def test_status(self, index_root):
         r = run_cli("--format", "json", "status", "--root", index_root)
         env = json.loads(r.stdout)

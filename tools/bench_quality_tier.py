@@ -1,0 +1,117 @@
+"""Quality-tier bench at REAL MiniLM shape (VERDICT r1 item 2).
+
+Measures the BERT embedder / cross-encoder forward at the reference's
+production shape — 6 layers, H=384, 12 heads, intermediate 1536,
+vocab 30522, T<=512 — on the real TPU. Weight *values* don't affect
+throughput, so random init stands in for the (zero-egress-unavailable)
+MiniLM checkpoint; the shapes, dtypes and graph are exactly what
+load_hf_bert would produce.
+
+Reference numbers to compare (BASELINE.md / reference README.md:523,
+crates/frankensearch-embed/src/batch_coalescer.rs:22-26):
+  - MiniLM-L6 embed: ~128 ms single text, ~4.4 ms/text batched (CPU)
+  - int8 cross-encoder: crates/frankensearch-rerank/src/native.rs
+
+Timing: slope method (docs/PERF_LEDGER.md) — R data-dependent chained
+forwards inside ONE jit (carry perturbs an LN bias so XLA can't CSE),
+host transfer forces completion, report (t_hi - t_lo)/(R_hi - R_lo).
+
+Usage: python tools/bench_quality_tier.py B T PATH [r_lo r_hi]
+  PATH in {f32, int8, xenc_f32, xenc_int8}
+Prints ONE JSON line. Run from /root/repo without PYTHONPATH (axon).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    b = int(sys.argv[1])
+    t = int(sys.argv[2])
+    path = sys.argv[3]
+    r_lo = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    r_hi = int(sys.argv[5]) if len(sys.argv) > 5 else 24
+
+    import jax
+    import jax.numpy as jnp
+
+    from frankensearch_tpu.rerank.bert import (
+        BertConfig,
+        cross_encoder_forward,
+        embed_forward,
+        init_params,
+        quantize_linear_weights,
+    )
+
+    platform = jax.devices()[0].platform
+    cfg = BertConfig()  # real MiniLM-L6 shape: 6L/H384/12h/i1536/v30522
+    params = init_params(cfg, seed=0)
+    if path.endswith("int8"):
+        params = quantize_linear_weights(params)
+    xenc = path.startswith("xenc")
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(b, t)), jnp.int32)
+    mask = jnp.ones((b, t), jnp.int32)
+    ttype = jnp.asarray(
+        (np.arange(t)[None, :] >= t // 2).astype(np.int32).repeat(b, axis=0)
+    )
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def chain(params, ids, mask, ttype, reps: int):
+        def fwd(p):
+            if xenc:
+                return cross_encoder_forward(p, ids, mask, ttype, cfg=cfg)
+            return embed_forward(p, ids, mask, cfg=cfg)
+
+        def body(i, carry):
+            bias, acc = carry
+            p = dict(params)
+            emb = dict(p["embeddings"])
+            emb["ln_bias"] = bias
+            p["embeddings"] = emb
+            out = fwd(p)
+            delta = 1e-7 * jnp.mean(out)
+            return (bias + delta, acc + jnp.sum(out))
+
+        bias0 = params["embeddings"]["ln_bias"]
+        _, acc = jax.lax.fori_loop(0, reps, body, (bias0, jnp.float32(0.0)))
+        return acc
+
+    def timed(reps: int) -> float:
+        t0 = time.perf_counter()
+        acc = chain(params, ids, mask, ttype, reps=reps)
+        float(acc)  # host transfer: the only real sync through the tunnel
+        return time.perf_counter() - t0
+
+    timed(r_lo)  # warm compiles
+    timed(r_hi)
+    samples = []
+    for _ in range(3):
+        samples.append((timed(r_hi) - timed(r_lo)) / (r_hi - r_lo))
+    per_fwd = float(np.median(samples))
+
+    print(
+        json.dumps(
+            {
+                "metric": f"bert_minilm_{path}_b{b}_t{t}",
+                "value": round(per_fwd * 1e3, 4),
+                "unit": "ms/forward",
+                "ms_per_text": round(per_fwd * 1e3 / b, 4),
+                "texts_per_s": round(b / per_fwd, 1),
+                "platform": platform,
+                "samples_ms": [round(s * 1e3, 4) for s in samples],
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
