@@ -64,6 +64,183 @@ def _device_bm25(
     return top_s, top_i
 
 
+# Postings budget above which the dense one-shot kernel would materialize
+# a (P, B) contrib matrix too large for HBM; the blocked streaming kernel
+# takes over. 2M postings * B=64 * 4B = 512 MB — the crossover point.
+BLOCKED_THRESHOLD_POSTINGS = 1 << 21
+#: static postings per block in the streaming kernel (contrib slab per
+#: scan step = P_BLK * B * 4 bytes: 64 MB at B=64)
+DEFAULT_BLOCK_POSTINGS = 1 << 18
+
+
+@functools.partial(jax.jit, static_argnames=("k", "d_blk", "v_pad"))
+def _device_bm25_blocked(
+    blk_term: jax.Array,  # (n_blk, P_blk) i32
+    blk_doc: jax.Array,  # (n_blk, P_blk) i32 block-local doc, d_blk = trash
+    blk_tf: jax.Array,  # (n_blk, P_blk) f32 (0 on padding)
+    blk_base: jax.Array,  # (n_blk,) i32 global doc row of local doc 0
+    q_ids: jax.Array,  # (B, T) i32 query term ids (0-padded)
+    q_w: jax.Array,  # (B, T) f32 idf weights (0 on padding)
+    *,
+    v_pad: int,
+    k: int,
+    d_blk: int,
+):
+    """Streaming exact BM25 over doc-blocked postings (the 1M-doc lane).
+
+    The scaling answer to the reference's block-max metadata
+    (crates/frankensearch-quill/src/argus.rs:1-8): instead of pruning
+    cursor walks, the TPU streams fixed-size postings blocks through a
+    per-block segment-sum and merges each block's (B, k) candidates into
+    a running heap inside one lax.scan — peak memory is one (P_blk, B)
+    contrib slab + the (B, k) carry, never (P, B) or (N, B). Exact to
+    f32: every posting is scored; determinism (score desc, row asc) holds
+    because blocks ascend by doc row and the carry-first concat wins ties.
+    """
+    b = q_ids.shape[0]
+    # sparse -> dense query idf rows ON DEVICE (host transfers only the
+    # (B, T) sparse form; duplicates are impossible per query, padding
+    # adds 0.0 which is a no-op under .add)
+    q_idf = (
+        jnp.zeros((b, v_pad), jnp.float32)
+        .at[jnp.arange(b)[:, None], q_ids]
+        .add(q_w)
+    )
+
+    def step(carry, blk):
+        top_s, top_i = carry
+        t, d, f, base = blk
+        contrib = f[:, None] * jnp.take(q_idf, t, axis=1).T  # (P_blk, B)
+        scores = jax.ops.segment_sum(
+            contrib, d, num_segments=d_blk + 1, indices_are_sorted=True
+        )[:d_blk].T  # (B, d_blk); trash row d_blk dropped
+        kk = min(k, d_blk)
+        s2, i2 = jax.lax.top_k(scores, kk)
+        i2 = i2 + base
+        merged_s = jnp.concatenate([top_s, s2], axis=1)
+        merged_i = jnp.concatenate([top_i, i2], axis=1)
+        s3, pos = jax.lax.top_k(merged_s, top_s.shape[1])
+        i3 = jnp.take_along_axis(merged_i, pos, axis=1)
+        return (s3, i3), None
+
+    init = (
+        jnp.full((b, k), -jnp.inf, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+    (top_s, top_i), _ = jax.lax.scan(
+        step, init, (blk_term, blk_doc, blk_tf, blk_base)
+    )
+    return top_s, top_i
+
+
+@dataclass
+class _BlockedPostings:
+    """Doc-blocked device postings for the streaming kernel."""
+
+    blk_term: jax.Array  # (n_blk, P_blk)
+    blk_doc: jax.Array
+    blk_tf: jax.Array
+    blk_base: jax.Array  # (n_blk,)
+    d_blk: int
+    v_pad: int
+
+
+def _build_blocked(
+    terms_all: np.ndarray,
+    docs_all: np.ndarray,
+    tf_all: np.ndarray,
+    *,
+    n_docs: int,
+    vocab_size: int,
+    block_postings: int | None = None,
+) -> _BlockedPostings:
+    """Sort postings doc-major and pack fixed-size blocks that never split
+    a doc. Host-side, vectorized (one searchsorted per block)."""
+    if block_postings is None:
+        block_postings = DEFAULT_BLOCK_POSTINGS  # read at call time (testable)
+    p = len(terms_all)
+    order = np.argsort(docs_all, kind="stable")
+    terms = np.ascontiguousarray(terms_all[order]).astype(np.int32)
+    docs = np.ascontiguousarray(docs_all[order]).astype(np.int64)
+    tfs = np.ascontiguousarray(tf_all[order]).astype(np.float32)
+
+    counts = np.bincount(docs, minlength=n_docs)
+    p_blk = int(max(block_postings, counts.max() if n_docs else 1))
+    csum = np.concatenate([[0], np.cumsum(counts)])  # (n_docs+1,)
+
+    # greedy doc-boundary split: each block takes the longest doc prefix
+    # whose postings fit p_blk
+    starts_doc: list[int] = []
+    ends_doc: list[int] = []
+    d0 = 0
+    while d0 < n_docs:
+        d1 = int(np.searchsorted(csum, csum[d0] + p_blk, side="right")) - 1
+        d1 = max(d1, d0 + 1)
+        starts_doc.append(d0)
+        ends_doc.append(min(d1, n_docs))
+        d0 = min(d1, n_docs)
+    n_blk = max(len(starts_doc), 1)
+    if not starts_doc:
+        starts_doc, ends_doc = [0], [0]
+    d_blk = max(int(max(e - s for s, e in zip(starts_doc, ends_doc))), 1)
+
+    bt = np.zeros((n_blk, p_blk), dtype=np.int32)
+    bd = np.full((n_blk, p_blk), d_blk, dtype=np.int32)  # pad -> trash row
+    bf = np.zeros((n_blk, p_blk), dtype=np.float32)
+    bb = np.zeros(n_blk, dtype=np.int32)
+    for i, (s_doc, e_doc) in enumerate(zip(starts_doc, ends_doc)):
+        lo, hi = int(csum[s_doc]), int(csum[e_doc])
+        m = hi - lo
+        bt[i, :m] = terms[lo:hi]
+        bd[i, :m] = (docs[lo:hi] - s_doc).astype(np.int32)
+        bf[i, :m] = tfs[lo:hi]
+        bb[i] = s_doc
+    del p  # doc accounting only
+    v_pad = max(_round_up(max(vocab_size, 1), 128), 128)
+    return _BlockedPostings(
+        blk_term=jnp.asarray(bt),
+        blk_doc=jnp.asarray(bd),
+        blk_tf=jnp.asarray(bf),
+        blk_base=jnp.asarray(bb),
+        d_blk=d_blk,
+        v_pad=v_pad,
+    )
+
+
+def _upload_postings(
+    index, terms_all: np.ndarray, docs_all: np.ndarray, tf_all: np.ndarray
+) -> None:
+    """Finalize postings onto the device: dense flat arrays for small
+    corpora, doc-blocked streaming layout above BLOCKED_THRESHOLD_POSTINGS
+    (the (P, B) contrib slab would no longer fit HBM)."""
+    p = len(terms_all)
+    index.posting_count = p
+    # unpadded host copies: the FLXB serialization source (flexb.save_packed)
+    index._post_host = (
+        terms_all.astype(np.int32),
+        docs_all.astype(np.int32),
+        tf_all.astype(np.float32),
+    )
+    if p >= BLOCKED_THRESHOLD_POSTINGS:
+        index._blocked = _build_blocked(
+            terms_all, docs_all, tf_all,
+            n_docs=index.n_docs, vocab_size=index.vocab_size,
+        )
+        index._post_term = index._post_doc = index._post_tf = None
+        return
+    index._blocked = None
+    p_pad = max(_round_up(max(p, 1), 128), 128)
+    pt = np.zeros(p_pad, dtype=np.int32)
+    pd = np.zeros(p_pad, dtype=np.int32)
+    pf = np.zeros(p_pad, dtype=np.float32)  # padded postings score 0
+    pt[:p] = terms_all
+    pd[:p] = docs_all
+    pf[:p] = tf_all
+    index._post_term = jnp.asarray(pt)
+    index._post_doc = jnp.asarray(pd)
+    index._post_tf = jnp.asarray(pf)
+
+
 @dataclass
 class _FieldArm:
     term_ids: dict[str, int]
@@ -117,50 +294,78 @@ class DeviceBm25Index(LexicalRead):
             vocab_offset += len(vocab)
 
         self.vocab_size = vocab_offset
-        p = len(terms_all)
-        p_pad = max(_round_up(max(p, 1), 128), 128)
-        pt = np.zeros(p_pad, dtype=np.int32)
-        pd = np.zeros(p_pad, dtype=np.int32)
-        pf = np.zeros(p_pad, dtype=np.float32)  # padded postings score 0
-        pt[:p] = terms_all
-        pd[:p] = docs_all
-        pf[:p] = tf_all
-        self._post_term = jnp.asarray(pt)
-        self._post_doc = jnp.asarray(pd)
-        self._post_tf = jnp.asarray(pf)
-        self.posting_count = p
+        _upload_postings(
+            self,
+            np.asarray(terms_all, dtype=np.int64),
+            np.asarray(docs_all, dtype=np.int64),
+            np.asarray(tf_all, dtype=np.float32),
+        )
 
     # -- LexicalRead -------------------------------------------------------
 
     def doc_count(self) -> int:
         return self.n_docs
 
+    def _query_terms(self, query: str) -> list[tuple[int, float]]:
+        """Resolve a query's (term id, idf weight) pairs across all
+        field arms (dedup per field)."""
+        terms = simple_tokenize(query)
+        out: list[tuple[int, float]] = []
+        for arm in self._arms.values():
+            seen: set[str] = set()
+            for t in terms:
+                if t in seen:
+                    continue
+                seen.add(t)
+                tid = arm.term_ids.get(t)
+                if tid is not None:
+                    out.append((tid, float(arm.idf_host[tid - arm.base])))
+        return out
+
     def _query_idf_rows(self, queries: list[str]) -> np.ndarray:
         v_pad = max(_round_up(max(self.vocab_size, 1), 128), 128)
         q = np.zeros((len(queries), v_pad), dtype=np.float32)
         for b, query in enumerate(queries):
-            terms = simple_tokenize(query)
-            for fname, arm in self._arms.items():
-                seen: set[str] = set()
-                for t in terms:
-                    if t in seen:
-                        continue
-                    seen.add(t)
-                    tid = arm.term_ids.get(t)
-                    if tid is not None:
-                        q[b, tid] = arm.idf_host[tid - arm.base]
+            for tid, w in self._query_terms(query):
+                q[b, tid] = w
         return q
+
+    def _query_sparse_rows(
+        self, queries: list[str]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(B, T) term ids + weights, T rounded up to bound jit variants.
+        Padding is (id 0, weight 0.0) — a no-op under the device scatter-add."""
+        per_q = [self._query_terms(q) for q in queries]
+        t_max = max(max((len(p) for p in per_q), default=1), 1)
+        t_pad = max(_round_up(t_max, 16), 16)
+        ids = np.zeros((len(queries), t_pad), dtype=np.int32)
+        w = np.zeros((len(queries), t_pad), dtype=np.float32)
+        for b, pairs in enumerate(per_q):
+            for j, (tid, weight) in enumerate(pairs):
+                ids[b, j] = tid
+                w[b, j] = weight
+        return ids, w
 
     def search_candidates_batch(
         self, queries: list[str], budget: int
     ) -> list[list[LexicalCandidate]]:
         if self.n_docs == 0 or not queries:
             return [[] for _ in queries]
-        q_idf = jnp.asarray(self._query_idf_rows(queries))
-        top_s, top_i = _device_bm25(
-            self._post_term, self._post_doc, self._post_tf, q_idf,
-            n_docs=self.n_docs, k=min(budget, self.n_docs),
-        )
+        k = min(budget, self.n_docs)
+        if self._blocked is not None:
+            ids, w = self._query_sparse_rows(queries)
+            top_s, top_i = _device_bm25_blocked(
+                self._blocked.blk_term, self._blocked.blk_doc,
+                self._blocked.blk_tf, self._blocked.blk_base,
+                jnp.asarray(ids), jnp.asarray(w),
+                v_pad=self._blocked.v_pad, k=k, d_blk=self._blocked.d_blk,
+            )
+        else:
+            q_idf = jnp.asarray(self._query_idf_rows(queries))
+            top_s, top_i = _device_bm25(
+                self._post_term, self._post_doc, self._post_tf, q_idf,
+                n_docs=self.n_docs, k=k,
+            )
         s = np.asarray(top_s)
         i = np.asarray(top_i)
         out: list[list[LexicalCandidate]] = []
@@ -268,21 +473,12 @@ class BulkDeviceBm25Index(LexicalRead):
             terms_all = _np.zeros(0, _np.int64)
             docs_all = _np.zeros(0, _np.int64)
             tf_all = _np.zeros(0, _np.float32)
-        p = len(terms_all)
-        p_pad = max(_round_up(max(p, 1), 128), 128)
-        pt = _np.zeros(p_pad, dtype=_np.int32)
-        pd = _np.zeros(p_pad, dtype=_np.int32)
-        pf = _np.zeros(p_pad, dtype=_np.float32)
-        pt[:p] = terms_all
-        pd[:p] = docs_all
-        pf[:p] = tf_all
-        self._post_term = jnp.asarray(pt)
-        self._post_doc = jnp.asarray(pd)
-        self._post_tf = jnp.asarray(pf)
-        self.posting_count = p
+        _upload_postings(self, terms_all, docs_all, tf_all)
 
     # share query/scoring machinery with DeviceBm25Index
+    _query_terms = DeviceBm25Index._query_terms
     _query_idf_rows = DeviceBm25Index._query_idf_rows
+    _query_sparse_rows = DeviceBm25Index._query_sparse_rows
     search_candidates_batch = DeviceBm25Index.search_candidates_batch
 
     def search_candidates(self, query: str, budget: int) -> list[LexicalCandidate]:

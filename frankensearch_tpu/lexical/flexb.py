@@ -148,9 +148,12 @@ def save_packed(index, path: str) -> None:
     sections["manifest"] = json.dumps(manifest, separators=(",", ":")).encode()
     sections["ids_blob"] = ids_blob
     sections["ids_off"] = ids_off.tobytes()
-    sections["pterm"] = np.asarray(index._post_term, np.int32).tobytes()
-    sections["pdoc"] = np.asarray(index._post_doc, np.int32).tobytes()
-    sections["ptf"] = np.asarray(index._post_tf, np.float32).tobytes()
+    pterm, pdoc, ptf = getattr(index, "_post_host", None) or (
+        index._post_term, index._post_doc, index._post_tf
+    )
+    sections["pterm"] = np.ascontiguousarray(np.asarray(pterm), np.int32).tobytes()
+    sections["pdoc"] = np.ascontiguousarray(np.asarray(pdoc), np.int32).tobytes()
+    sections["ptf"] = np.ascontiguousarray(np.asarray(ptf), np.float32).tobytes()
     sections["docmeta"] = json.dumps(meta, separators=(",", ":")).encode()
     write_sections(path, sections)
 
@@ -158,8 +161,6 @@ def save_packed(index, path: str) -> None:
 def load_packed(path: str):
     """Load a FLXB segment into a ready BulkDeviceBm25Index (no corpus,
     no tokenizer run — byte-copies + one HBM upload)."""
-    import jax.numpy as jnp
-
     from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index, _FieldArm
     from frankensearch_tpu.lexical.memory_index import _BOOSTS
 
@@ -169,11 +170,18 @@ def load_packed(path: str):
     ids_off = np.frombuffer(sec["ids_off"], dtype=np.int64)
     index.doc_ids = _read_string_table(sec["ids_blob"], ids_off)
     index.n_docs = manifest["n_docs"]
-    index.posting_count = manifest["posting_count"]
     index.vocab_size = manifest["vocab_size"]
-    index._post_term = jnp.asarray(np.frombuffer(sec["pterm"], dtype=np.int32))
-    index._post_doc = jnp.asarray(np.frombuffer(sec["pdoc"], dtype=np.int32))
-    index._post_tf = jnp.asarray(np.frombuffer(sec["ptf"], dtype=np.float32))
+    p = manifest["posting_count"]
+    from frankensearch_tpu.lexical.device_bm25 import _upload_postings
+
+    # legacy segments carry padded arrays; trim to the true posting count,
+    # then the shared finalizer picks dense vs doc-blocked layout
+    _upload_postings(
+        index,
+        np.frombuffer(sec["pterm"], dtype=np.int32)[:p].astype(np.int64),
+        np.frombuffer(sec["pdoc"], dtype=np.int32)[:p].astype(np.int64),
+        np.frombuffer(sec["ptf"], dtype=np.float32)[:p],
+    )
     index._arms = {}
     for fname, finfo in manifest["fields"].items():
         to = np.frombuffer(sec[f"to_{fname}"], dtype=np.int64)

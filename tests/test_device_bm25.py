@@ -95,3 +95,81 @@ class TestDifferentialConformance:
         device = dev.search_candidates(word, 5)
         assert oracle and device
         assert oracle[0].score == pytest.approx(device[0].score, rel=1e-4)
+
+
+class TestBlockedStreamingKernel:
+    """The 1M-doc lane: doc-blocked streaming BM25 must match the dense
+    kernel and the CPU oracle exactly (VERDICT r1 item 4 — bounded
+    intermediates; no (P,B)/(N,B) materialization)."""
+
+    @pytest.fixture(scope="class")
+    def blocked_and_oracle(self):
+        import frankensearch_tpu.lexical.device_bm25 as mod
+
+        mem = MemoryLexicalIndex()
+        for d in deterministic_corpus(n_docs=300, seed=7):
+            mem.add_document(d)
+        mem.commit()
+        dense = DeviceBm25Index(mem)
+        assert dense._blocked is None  # small corpus -> dense lane
+        old_thresh, old_blk = mod.BLOCKED_THRESHOLD_POSTINGS, mod.DEFAULT_BLOCK_POSTINGS
+        mod.BLOCKED_THRESHOLD_POSTINGS = 1  # force the streaming lane
+        mod.DEFAULT_BLOCK_POSTINGS = 256  # many blocks, doc-split coverage
+        try:
+            blocked = DeviceBm25Index(mem)
+        finally:
+            mod.BLOCKED_THRESHOLD_POSTINGS = old_thresh
+            mod.DEFAULT_BLOCK_POSTINGS = old_blk
+        assert blocked._blocked is not None
+        assert blocked._blocked.blk_term.shape[0] > 3  # really multi-block
+        return mem, dense, blocked
+
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_blocked_matches_dense_and_oracle(self, blocked_and_oracle, query):
+        mem, dense, blocked = blocked_and_oracle
+        o = {c.doc_id: c.score for c in mem.search_candidates(query, 25)}
+        d = {c.doc_id: c.score for c in dense.search_candidates(query, 25)}
+        b = {c.doc_id: c.score for c in blocked.search_candidates(query, 25)}
+        assert set(b) == set(d) == set(o), query
+        for doc_id, s in o.items():
+            assert b[doc_id] == pytest.approx(s, rel=1e-4), (query, doc_id)
+
+    def test_blocked_rank_and_tie_order(self, blocked_and_oracle):
+        mem, dense, blocked = blocked_and_oracle
+        for query in QUERIES[:4]:
+            d = dense.search_candidates(query, 40)
+            b = blocked.search_candidates(query, 40)
+            assert [c.doc_id for c in b] == [c.doc_id for c in d], query
+
+    def test_blocked_batched_matches_single(self, blocked_and_oracle):
+        _, _, blocked = blocked_and_oracle
+        batch = blocked.search_candidates_batch(list(QUERIES[:4]), 15)
+        for q, got in zip(QUERIES[:4], batch):
+            solo = blocked.search_candidates(q, 15)
+            assert [(c.doc_id, c.score) for c in got] == [
+                (c.doc_id, c.score) for c in solo
+            ]
+
+    def test_flexb_roundtrip_reenters_blocked_lane(self, blocked_and_oracle, tmp_path):
+        """A packed segment big enough for the streaming lane must come
+        back blocked after load (load_packed routes through the shared
+        finalizer)."""
+        import frankensearch_tpu.lexical.device_bm25 as mod
+        from frankensearch_tpu.lexical.flexb import load_packed, save_packed
+
+        mem, dense, _ = blocked_and_oracle
+        path = str(tmp_path / "seg.flxb")
+        save_packed(dense, path)
+        old_thresh, old_blk = mod.BLOCKED_THRESHOLD_POSTINGS, mod.DEFAULT_BLOCK_POSTINGS
+        mod.BLOCKED_THRESHOLD_POSTINGS = 1
+        mod.DEFAULT_BLOCK_POSTINGS = 256
+        try:
+            loaded = load_packed(path)
+        finally:
+            mod.BLOCKED_THRESHOLD_POSTINGS = old_thresh
+            mod.DEFAULT_BLOCK_POSTINGS = old_blk
+        assert loaded._blocked is not None
+        for query in QUERIES[:3]:
+            want = [(c.doc_id, round(c.score, 4)) for c in dense.search_candidates(query, 20)]
+            got = [(c.doc_id, round(c.score, 4)) for c in loaded.search_candidates(query, 20)]
+            assert got == want, query
