@@ -26,7 +26,7 @@ from frankensearch_tpu.fusion.searcher import TwoTierSearcher
 from frankensearch_tpu.index.two_tier import TwoTierIndex
 from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
 from frankensearch_tpu.lexical.persist import load_lexical, save_lexical
-from frankensearch_tpu.storage.store import Storage, content_hash
+from frankensearch_tpu.storage.store import Storage
 
 
 @dataclass
@@ -129,38 +129,74 @@ class IndexBuilder:
                 continue
             kept.append((doc, canonical))
 
-        # embed in batches with per-doc failure recording
+        # embed: whole-corpus bulk lane first (one device program per big
+        # chunk — native bag-of-words or Rust encode_batch; the ingest
+        # fast path), with the per-batch loop as the failure-isolating
+        # fallback that records per-doc errors (index_builder.rs:351-420)
+        texts_all = [c for _, c in kept]
         fast_vecs: list[np.ndarray] = []
         quality_vecs: list[np.ndarray] = []
         good: list[tuple[IndexableDocument, str]] = []
-        for start in range(0, len(kept), self._batch_size):
-            batch = kept[start : start + self._batch_size]
-            texts = [c for _, c in batch]
+        fast_arr: np.ndarray | None = None
+        if kept:
             try:
-                fv = stack.fast.embed_batch(texts)
+                from frankensearch_tpu.embed.bulk import embed_corpus
+
+                fast_arr = embed_corpus(stack.fast, texts_all)
             except Exception as e:
-                for doc, _ in batch:
-                    stats.per_doc_errors[doc.doc_id] = f"fast: {type(e).__name__}"
-                    stats.error_count += 1
-                continue
-            qv = None
+                stats.warnings.append(
+                    f"bulk embed lane failed: {type(e).__name__}: {e}; "
+                    "falling back to per-batch embedding"
+                )
+        if fast_arr is not None:
+            good = list(kept)
             if stack.has_quality:
                 try:
-                    qv = stack.quality.embed_batch(texts)
+                    for start in range(0, len(texts_all), self._batch_size):
+                        quality_vecs.extend(
+                            stack.quality.embed_batch(
+                                texts_all[start : start + self._batch_size]
+                            )
+                        )
                 except Exception as e:
-                    stats.warnings.append(f"quality embed failed: {type(e).__name__}: {e}")
-            for i, (doc, canonical) in enumerate(batch):
-                fast_vecs.append(fv[i])
-                if qv is not None:
-                    quality_vecs.append(qv[i])
-                good.append((doc, canonical))
+                    quality_vecs = []
+                    stats.warnings.append(
+                        f"quality embed failed: {type(e).__name__}: {e}"
+                    )
+        else:
+            for start in range(0, len(kept), self._batch_size):
+                batch = kept[start : start + self._batch_size]
+                texts = [c for _, c in batch]
+                try:
+                    fv = stack.fast.embed_batch(texts)
+                except Exception as e:
+                    for doc, _ in batch:
+                        stats.per_doc_errors[doc.doc_id] = f"fast: {type(e).__name__}"
+                        stats.error_count += 1
+                    continue
+                qv = None
+                if stack.has_quality:
+                    try:
+                        qv = stack.quality.embed_batch(texts)
+                    except Exception as e:
+                        stats.warnings.append(
+                            f"quality embed failed: {type(e).__name__}: {e}"
+                        )
+                for i, (doc, canonical) in enumerate(batch):
+                    fast_vecs.append(fv[i])
+                    if qv is not None:
+                        quality_vecs.append(qv[i])
+                    good.append((doc, canonical))
+            fast_arr = (
+                np.stack(fast_vecs)
+                if fast_vecs
+                else np.zeros((0, stack.fast.dim), np.float32)
+            )
 
+        if fast_arr is None:  # empty corpus
+            fast_arr = np.zeros((0, stack.fast.dim), np.float32)
         doc_ids = [d.doc_id for d, _ in good]
         stats.doc_count = len(doc_ids)
-
-        fast_arr = (
-            np.stack(fast_vecs) if fast_vecs else np.zeros((0, stack.fast.dim), np.float32)
-        )
         q_arr = np.stack(quality_vecs) if quality_vecs and len(quality_vecs) == len(good) else None
         TwoTierIndex.create(
             self.root,
@@ -207,13 +243,13 @@ class IndexBuilder:
         # storage arm
         if self._with_storage:
             storage = Storage(os.path.join(self.root, "metadata.db"))
-            for doc, canonical in kept:
-                storage.upsert_document(
-                    doc.doc_id, canonical, title=doc.title, metadata=doc.metadata
-                )
-                storage.mark_embedded(
-                    doc.doc_id, stack.fast.embedder_id, content_hash(canonical)
-                )
+            storage.upsert_documents_bulk(
+                (
+                    (doc.doc_id, canonical, doc.title, doc.metadata)
+                    for doc, canonical in kept
+                ),
+                embedder_id=stack.fast.embedder_id,
+            )
             stats.duration_ms = (time.monotonic() - t0) * 1000.0
             storage.record_build(
                 stats.doc_count, stats.error_count, stats.duration_ms,

@@ -11,9 +11,10 @@ remap, then a device segment-sum of tf-weighted embedding rows. No
 Python-per-token work and no (B, T) padding waste; the device does a
 dense gather + one segment_sum per chunk.
 
-Scope: word-level tokenizers (SimpleWordTokenizer-class vocabularies)
-over ASCII corpora — the native kernel's domain. BPE models use the
-tokenizer's Rust ``encode_batch`` path in ``Model2VecEmbedder`` instead.
+Scope: word-level tokenizers (SimpleWordTokenizer-class vocabularies);
+the native kernel is full-UTF-8 (CPython-exact lowercase/word classes,
+fuzz-pinned). BPE models use the tokenizer's Rust ``encode_batch`` path
+in ``Model2VecEmbedder`` instead.
 Docs longer than the embedder's ``max_tokens`` differ from the padded
 path only in that the bag uses ALL tokens (no truncation).
 """

@@ -156,6 +156,51 @@ class Storage:
             )
             return True, h
 
+    def upsert_documents_bulk(
+        self,
+        rows: Iterable[tuple[str, str, str | None, Mapping | None]],
+        *,
+        embedder_id: str | None = None,
+        preview_chars: int = 240,
+    ) -> int:
+        """Bulk ingest lane: upsert (doc_id, content, title, metadata)
+        rows — and optionally their embedding status — in ONE transaction
+        (one fsync instead of one per doc; the >=10k docs/s ingest
+        contract needs this). Returns the row count."""
+        now = time.time()
+        doc_rows = []
+        emb_rows = []
+        for doc_id, content, title, metadata in rows:
+            h = content_hash(content)
+            doc_rows.append(
+                (
+                    doc_id, h, content[:preview_chars], title,
+                    json.dumps(dict(metadata)) if metadata else None, now, now,
+                )
+            )
+            if embedder_id is not None:
+                emb_rows.append((doc_id, embedder_id, h, now))
+        with self._lock, self._conn:
+            self._conn.executemany(
+                """INSERT INTO documents
+                   (doc_id, content_hash, preview, title, metadata_json, created_at, updated_at, deleted)
+                   VALUES (?, ?, ?, ?, ?, ?, ?, 0)
+                   ON CONFLICT(doc_id) DO UPDATE SET
+                     content_hash=excluded.content_hash, preview=excluded.preview,
+                     title=excluded.title, metadata_json=excluded.metadata_json,
+                     updated_at=excluded.updated_at, deleted=0""",
+                doc_rows,
+            )
+            if emb_rows:
+                self._conn.executemany(
+                    """INSERT INTO embedding_status (doc_id, embedder_id, content_hash, embedded_at)
+                       VALUES (?, ?, ?, ?)
+                       ON CONFLICT(doc_id, embedder_id) DO UPDATE SET
+                         content_hash=excluded.content_hash, embedded_at=excluded.embedded_at""",
+                    emb_rows,
+                )
+        return len(doc_rows)
+
     def delete_document(self, doc_id: str) -> bool:
         with self._lock, self._conn:
             cur = self._conn.execute(

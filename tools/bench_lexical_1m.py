@@ -1,0 +1,114 @@
+"""Device BM25 at 1M docs — the blocked streaming kernel on real TPU.
+
+VERDICT r1 item 4: no measurement of the lexical arm above 100k docs
+existed. This synthesizes a zipf postings set at corpus scale (the
+kernel's cost depends on posting counts/shapes, not on text), builds the
+doc-blocked layout, and slope-times the streaming kernel
+(lexical/device_bm25.py:_device_bm25_blocked).
+
+Usage: python -m tools.bench_lexical_1m [n_docs] [batch] [r_lo r_hi]
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    r_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    r_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+
+    import jax
+    import jax.numpy as jnp
+
+    from frankensearch_tpu.lexical.device_bm25 import (
+        _build_blocked,
+        _device_bm25_blocked,
+    )
+
+    platform = jax.devices()[0].platform
+    rng = np.random.default_rng(0)
+    per_doc = 120
+    vocab = 400_000
+    p = n_docs * per_doc
+    t0 = time.perf_counter()
+    docs_all = np.repeat(np.arange(n_docs, dtype=np.int64), per_doc)
+    terms_all = (rng.zipf(1.3, size=p) - 1) % vocab
+    tf_all = rng.integers(1, 5, size=p).astype(np.float32) * 0.37
+    synth_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    blocked = _build_blocked(
+        terms_all, docs_all, tf_all, n_docs=n_docs, vocab_size=vocab
+    )
+    build_s = time.perf_counter() - t0
+    n_blk, p_blk = blocked.blk_term.shape
+
+    # query batch: term ids drawn from the corpus distribution, idf-like
+    # weights; chained with a tiny carry perturbation for slope timing
+    t_q = 16
+    q_ids = jnp.asarray(((rng.zipf(1.3, size=(batch, t_q)) - 1) % vocab).astype(np.int32))
+    q_w = jnp.asarray(rng.uniform(0.5, 6.0, size=(batch, t_q)).astype(np.float32))
+    k = 100
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def chain(bt, bd, bf, bb, q_ids, q_w, reps: int):
+        def body(i, carry):
+            w, acc = carry
+            top_s, top_i = _device_bm25_blocked(
+                bt, bd, bf, bb, q_ids, w,
+                v_pad=blocked.v_pad, k=k, d_blk=blocked.d_blk,
+            )
+            delta = 1e-7 * jnp.mean(top_s)
+            return (q_w + delta, acc + jnp.sum(top_s) + jnp.sum(top_i).astype(jnp.float32))
+
+        _, acc = jax.lax.fori_loop(0, reps, body, (q_w, jnp.float32(0.0)))
+        return acc
+
+    def timed(reps: int) -> float:
+        t0 = time.perf_counter()
+        acc = chain(
+            blocked.blk_term, blocked.blk_doc, blocked.blk_tf, blocked.blk_base,
+            q_ids, q_w, reps=reps,
+        )
+        float(acc)
+        return time.perf_counter() - t0
+
+    timed(r_lo)
+    timed(r_hi)
+    samples = [
+        (timed(r_hi) - timed(r_lo)) / (r_hi - r_lo) for _ in range(3)
+    ]
+    per_batch = float(np.median(samples))
+
+    print(
+        json.dumps(
+            {
+                "metric": f"bm25_blocked_{n_docs // 1000}k_b{batch}",
+                "value": round(per_batch * 1e3, 3),
+                "unit": "ms/batch",
+                "qps": round(batch / per_batch, 1),
+                "postings": p,
+                "n_blocks": int(n_blk),
+                "p_blk": int(p_blk),
+                "d_blk": int(blocked.d_blk),
+                "host_build_s": round(build_s, 2),
+                "synth_s": round(synth_s, 2),
+                "platform": platform,
+                "samples_ms": [round(s * 1e3, 3) for s in samples],
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
