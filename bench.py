@@ -37,7 +37,10 @@ def main() -> None:
 
     n_docs = 1_000_000 if on_tpu else 65_536
     dim = 256
-    batch = 256
+    # Measured-optimal operating point (docs/PERF_LEDGER.md batch curve):
+    # B=512 at tile 4096 is the QPS peak (205,816 on v5e); B>256 at tile
+    # 8192 exceeds the kernel's scoped-VMEM score block.
+    batch = 512 if on_tpu else 256
     k = 10
     tile_n = 2048
     n_pad = (n_docs + tile_n - 1) // tile_n * tile_n
@@ -62,7 +65,7 @@ def main() -> None:
 
     from frankensearch_tpu.ops.topk_scan import scan_topk_hierarchical
 
-    tile_hier = 8192
+    tile_hier = 4096 if batch > 256 else 8192
     n_pad_h = (n_docs + tile_hier - 1) // tile_hier * tile_hier
     if n_pad_h != n_pad:
         extra = np.zeros((n_pad_h - n_pad, dim), dtype=np.float32)

@@ -19,6 +19,7 @@ import numpy as np
 
 from frankensearch_tpu.core.canonicalize import DefaultCanonicalizer
 from frankensearch_tpu.core.config import TwoTierConfig
+from frankensearch_tpu.core.errors import IndexCorrupted
 from frankensearch_tpu.core.types import IndexableDocument
 from frankensearch_tpu.embed.base import Embedder
 from frankensearch_tpu.embed.stack import EmbedderStack
@@ -257,14 +258,23 @@ class IndexBuilder:
             )
             storage.close()
 
-        # durability: protect-on-commit checksum sidecars (durability.rs
-        # protect-on-commit contract; verified by `doctor --verify`)
-        from frankensearch_tpu.index.durability import FileProtector
+        # durability: protect-on-commit — checksum sidecar (verify fast
+        # path) + XOR parity-stripe sidecar (repair-on-open), covering the
+        # FTVI tiers and the packed FLXB lexical arm
+        # (fsvi_protector.rs / tantivy_wrapper.rs protect-on-commit roles)
+        from frankensearch_tpu.index.durability import protect_artifact
 
         for fname in ("vector.fast.idx", "vector.quality.idx"):
             path = os.path.join(self.root, fname)
             if os.path.exists(path):
-                FileProtector.protect(path)
+                protect_artifact(path)
+        lex_current = os.path.join(self.root, "lexical", "CURRENT")
+        if os.path.exists(lex_current):
+            with open(lex_current) as f:
+                gen = f.read().strip()
+            flexb = os.path.join(self.root, "lexical", gen, "index.flexb")
+            if os.path.exists(flexb):
+                protect_artifact(flexb)
 
         stats.sizes = _measure_sizes(self.root)
         stats.duration_ms = (time.monotonic() - t0) * 1000.0
@@ -312,11 +322,33 @@ def open_hybrid(
     the root; identity admission in the searcher stays fail-closed.
     """
     cfg = (config or TwoTierConfig.from_env()).validate()
-    index = TwoTierIndex.open(
-        root, tile_n=cfg.scan_tile_docs, slab_dtype=cfg.slab_dtype
-        if cfg.slab_dtype != "int8" else "bf16", use_pallas=cfg.use_pallas,
-        mesh_shards=cfg.mesh_shards,
-    )
+
+    def _open_index() -> TwoTierIndex:
+        return TwoTierIndex.open(
+            root, tile_n=cfg.scan_tile_docs, slab_dtype=cfg.slab_dtype
+            if cfg.slab_dtype != "int8" else "bf16", use_pallas=cfg.use_pallas,
+            mesh_shards=cfg.mesh_shards,
+        )
+
+    try:
+        index = _open_index()
+    except IndexCorrupted:
+        # durability ladder, last rung: parity repair already failed
+        # inside open — quarantine the corrupt artifact and rebuild a
+        # servable fast tier from WAL + storage (reingest jobs for docs
+        # whose vectors are unrecoverable). index/rebuild.py docstring
+        # explains why this is the truthful recovery, not re-embedding.
+        from frankensearch_tpu.index.durability import ProtectedArtifactStore
+        from frankensearch_tpu.index.rebuild import rebuild_fast_tier_from_wal
+        from frankensearch_tpu.index.two_tier import TwoTierPaths
+
+        fast_path = TwoTierPaths(root).fast
+        store = ProtectedArtifactStore(root)
+        store.quarantine(os.path.basename(fast_path))
+        report = rebuild_fast_tier_from_wal(root, artifact=fast_path)
+        if not report.rebuilt:
+            raise
+        index = _open_index()
     if fast_embedder is None:
         stack = EmbedderStack.auto_detect(root)
         fast_embedder = stack.fast

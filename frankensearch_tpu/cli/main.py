@@ -240,6 +240,17 @@ def cmd_doctor(args) -> dict:
 
         ok = FileProtector.verify(fast_idx)
         check("durability_sidecar", ok, "checksum sidecar " + ("verified" if ok else "MISMATCH"))
+    if getattr(args, "repair", False):
+        from frankensearch_tpu.index.durability import ProtectedArtifactStore
+
+        reports = ProtectedArtifactStore(root).repair_all()
+        for name, rep in reports.items():
+            check(
+                f"parity_repair:{name}", rep.ok,
+                f"{rep.scanned_stripes} stripes, {len(rep.bad_stripes)} bad, "
+                f"{len(rep.repaired_stripes)} repaired"
+                + (f"; {rep.detail}" if rep.detail else ""),
+            )
     wal = fast_idx + ".wal"
     if os.path.exists(wal):
         from frankensearch_tpu.index.wal import WriteAheadLog
@@ -777,6 +788,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = add("doctor", cmd_doctor, help="environment diagnostics")
     sp.add_argument("--verify", action="store_true", help="verify slab CRCs")
+    sp.add_argument(
+        "--repair", action="store_true",
+        help="parity-repair any corrupt protected artifacts in place",
+    )
 
     sp = add("explain", cmd_explain, help="score decomposition for a query")
     sp.add_argument("query")

@@ -257,6 +257,17 @@ def write_ftvi(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+    # a rewrite invalidates any durability sidecars describing the OLD
+    # bytes — refresh them, or stale parity would "repair" the new
+    # artifact back to its previous content (resurrecting e.g. docs a
+    # compaction just tombstone-folded)
+    from frankensearch_tpu.index.durability import PARITY_SUFFIX, SIDECAR_SUFFIX
+
+    path = str(path)
+    if os.path.exists(path + SIDECAR_SUFFIX) or os.path.exists(path + PARITY_SUFFIX):
+        from frankensearch_tpu.index.durability import protect_artifact
+
+        protect_artifact(path)
     return header
 
 

