@@ -1,0 +1,131 @@
+"""E2E search with Refined + Reranked phases at REAL MiniLM shape on TPU.
+
+VERDICT r1 item 2 "done" criterion: e2e search exercising Phase 2
+(quality rescore with a real-shape 6L/H384/vocab-30522 BERT embedder)
+and Phase 3 (real-shape cross-encoder rerank) on the TPU. Random init
+stands in for the zero-egress-unavailable MiniLM weights — throughput
+is weight-value-independent.
+
+Reports warm per-phase wall latencies (tunnel-bound: each device
+dispatch costs ~300-400 ms RPC here; device compute for these shapes is
+measured separately by tools/bench_quality_tier.py slope rows).
+
+Usage: python -m tools.bench_e2e_phases [n_docs] [n_queries]
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+
+    import jax
+
+    from frankensearch_tpu.core.config import TwoTierConfig
+    from frankensearch_tpu.core.types import IndexableDocument, PhaseKind
+    from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+    from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+    from frankensearch_tpu.index.fsvi import EmbeddingIdentity
+    from frankensearch_tpu.index.two_tier import TwoTierIndex
+    from frankensearch_tpu.rerank.bert import BertConfig, init_params
+    from frankensearch_tpu.rerank.cross_encoder import CrossEncoderReranker
+    from frankensearch_tpu.rerank.encoder import TransformerEmbedder
+    from frankensearch_tpu.rerank.tokenizer import WordPieceTokenizer, tiny_test_vocab
+
+    platform = jax.devices()[0].platform
+    rng = np.random.default_rng(0)
+    words = [
+        "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+        "iota", "kappa", "lambda", "sigma", "search", "vector", "index",
+        "query", "document", "ranking", "fusion", "tensor",
+    ]
+    vocab = tiny_test_vocab(words + ["topic"])
+    tok = WordPieceTokenizer(vocab)
+
+    cfg = BertConfig()  # REAL shape: 6L / H384 / 12 heads / vocab 30522
+    params = init_params(cfg, seed=0)
+    quality = TransformerEmbedder(
+        params, cfg, tok, embedder_id="minilm-l6-realshape", max_tokens=256
+    )
+    reranker = CrossEncoderReranker(params, cfg, tok, reranker_id="xenc-realshape")
+
+    fast = HashEmbedder(dim=256)
+    docs = []
+    texts = {}
+    for i in range(n_docs):
+        body = " ".join(rng.choice(words, size=24)) + f" topic {i}"
+        docs.append(body)
+        texts[f"d{i}"] = body
+    doc_ids = [f"d{i}" for i in range(n_docs)]
+
+    t0 = time.monotonic()
+    fast_vecs = fast.embed_batch(docs)
+    # quality tier vectors: real-shape forward over the corpus, batched
+    q_chunks = []
+    for s in range(0, n_docs, 256):
+        q_chunks.append(quality.embed_batch(docs[s:s + 256]))
+    quality_vecs = np.concatenate(q_chunks, axis=0)
+    embed_s = time.monotonic() - t0
+
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="e2e_phases_")
+    index = TwoTierIndex.create(
+        root, fast_vecs, doc_ids, fast.identity(),
+        quality_vectors=quality_vecs,
+        quality_identity=EmbeddingIdentity(
+            embedder_id="minilm-l6-realshape", dim=cfg.hidden
+        ),
+    )
+
+    config = TwoTierConfig(rerank_enabled=True, rerank_top_n=20)
+    searcher = TwoTierSearcher(
+        index, fast, quality_embedder=quality, reranker=reranker, config=config,
+    )
+
+    def text_fn(doc_id: str) -> str:
+        return texts.get(doc_id, "")
+
+    # warm every shape
+    searcher.search("alpha beta search topic", k=10, text_fn=text_fn)
+
+    lat: dict[str, list[float]] = {"initial": [], "refined": [], "reranked": [], "total": []}
+    phases_seen: set[str] = set()
+    for qi in range(n_queries):
+        q = " ".join(rng.choice(words, size=4)) + " topic"
+        t0 = time.monotonic()
+        out = searcher.search(q, k=10, text_fn=text_fn)
+        lat["total"].append((time.monotonic() - t0) * 1e3)
+        for ph in out.phases:
+            phases_seen.add(ph.kind.value)
+        m = out.metrics
+        lat["initial"].append(m.phase1_ms)
+        lat["refined"].append(m.phase2_ms)
+        lat["reranked"].append(m.phase3_ms)
+        assert out.results, f"empty results for {q!r}"
+
+    assert {"initial"} <= phases_seen, phases_seen
+    med = {k: round(float(np.median(v)), 2) for k, v in lat.items()}
+    print(json.dumps({
+        "metric": f"e2e_phases_realshape_{n_docs // 1000}k",
+        "value": med["total"],
+        "unit": "ms/query (warm, tunnel-bound)",
+        "phase_ms": med,
+        "phases_seen": sorted(phases_seen),
+        "corpus_quality_embed_s": round(embed_s, 1),
+        "corpus_quality_docs_per_s": round(n_docs / embed_s, 1),
+        "platform": platform,
+        "n_queries": n_queries,
+    }))
+
+
+if __name__ == "__main__":
+    main()
