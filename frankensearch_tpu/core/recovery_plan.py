@@ -67,6 +67,18 @@ class RecoveryPlan:
     def can_serve(self) -> bool:
         return self.action in (NextAction.SERVE, NextAction.SERVE_DEGRADED)
 
+    def to_dict(self) -> dict:
+        """Wire form (schemas/recovery-plan-v1.schema.json)."""
+        return {
+            "v": 1,
+            "requested_mode": self.requested_mode.value,
+            "effective_mode": self.effective_mode.value if self.effective_mode else None,
+            "action": self.action.value,
+            "reasons": list(self.reasons),
+            "requires_authorization": self.requires_authorization,
+            "can_serve": self.can_serve,
+        }
+
 
 def plan_recovery(
     requested: SearchMode,

@@ -58,7 +58,7 @@ class ReproPack:
             json.dump(env, f, indent=2)
         index = {
             "v": 1,
-            "files": sorted(os.listdir(self.root)),
+            "files": sorted(set(os.listdir(self.root)) | {"INDEX.json"}),
             "event_count": len(self.events),
         }
         with open(os.path.join(self.root, "INDEX.json"), "w", encoding="utf-8") as f:

@@ -87,3 +87,203 @@ class TestConfigSchema:
     def test_bad_strategy_rejected(self):
         with pytest.raises(jsonschema.ValidationError):
             jsonschema.validate({"fusion_strategy": "bogus"}, load("fs-config-v1.schema.json"))
+
+
+class TestExplanationPayload:
+    def test_real_producer_validates(self, tmp_path):
+        # drive the REAL explain path: searcher with explain=True
+        import numpy as np
+
+        from frankensearch_tpu.core.config import TwoTierConfig
+        from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+        from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+        from frankensearch_tpu.index.two_tier import TwoTierIndex
+
+        emb = HashEmbedder(dim=64)
+        docs = [f"alpha beta doc {i}" for i in range(20)]
+        vecs = emb.embed_batch(docs)
+        idx = TwoTierIndex.create(
+            str(tmp_path / "ix"), vecs, [f"d{i}" for i in range(20)],
+            emb.identity(), use_pallas=False,
+        )
+        s = TwoTierSearcher(idx, emb, config=TwoTierConfig(explain=True))
+        out = s.search("alpha beta doc", k=5)
+        schema = load("explanation-payload-v1.schema.json")
+        assert out.results and out.results[0].explanation is not None
+        for r in out.results:
+            jsonschema.validate(r.explanation.to_dict(), schema)
+
+    def test_invalid_rejected(self):
+        schema = load("explanation-payload-v1.schema.json")
+        with pytest.raises(jsonschema.ValidationError):
+            jsonschema.validate({"doc_id": "", "fused_score": 1.0,
+                                 "components": {}, "ranks": {}}, schema)
+        with pytest.raises(jsonschema.ValidationError):
+            jsonschema.validate({"doc_id": "d", "fused_score": "high",
+                                 "components": {}, "ranks": {}}, schema)
+
+
+class TestReproBundle:
+    def test_real_producer_validates(self, tmp_path):
+        from frankensearch_tpu.runtime.repro import ReproPack
+
+        pack = ReproPack(root=str(tmp_path / "pack"))
+        pack.record_event("search", {"query": "x"})
+        pack.write()
+        with open(tmp_path / "pack" / "INDEX.json") as f:
+            index = json.load(f)
+        jsonschema.validate(index, load("repro-bundle-v1.schema.json"))
+
+    def test_missing_evidence_rejected(self):
+        bad = {"v": 1, "files": ["environment.json", "INDEX.json"], "event_count": 0}
+        with pytest.raises(jsonschema.ValidationError):
+            jsonschema.validate(bad, load("repro-bundle-v1.schema.json"))
+
+
+class TestGenerationManifest:
+    def test_real_producer_validates(self):
+        import numpy as np
+
+        from frankensearch_tpu.core.generation import (
+            ArtifactEntry,
+            GenerationManifest,
+            GoldenVectorCertificate,
+        )
+
+        cert = GoldenVectorCertificate.compute(
+            "hash-64", ["d0", "d1"], np.ones((2, 64), np.float32)
+        )
+        m = GenerationManifest(
+            generation_id="gen-1", commit_seq=3, created_at=time.time(),
+            artifacts=[ArtifactEntry("vector.fast.idx", "0" * 64, 1024)],
+            embedders={"fast": {"embedder_id": "hash-64", "dim": 64}},
+            doc_count=2, golden=[cert],
+        )
+        jsonschema.validate(json.loads(m.to_json()), load("generation-manifest-v1.schema.json"))
+
+    def test_bad_sha_rejected(self):
+        schema = load("generation-manifest-v1.schema.json")
+        bad = {
+            "version": 1, "generation_id": "g", "commit_seq": 0, "created_at": 0.0,
+            "artifacts": [{"name": "a", "sha256": "nothex", "bytes": 1}],
+            "embedders": {}, "quantization": "bf16", "doc_count": 0,
+        }
+        with pytest.raises(jsonschema.ValidationError):
+            jsonschema.validate(bad, schema)
+
+
+class TestRecoveryPlan:
+    def test_real_producer_validates(self):
+        from frankensearch_tpu.core.recovery_plan import (
+            IndexState,
+            ModelState,
+            SearchMode,
+            plan_recovery,
+        )
+
+        schema = load("recovery-plan-v1.schema.json")
+        for index_state in IndexState:
+            plan = plan_recovery(
+                SearchMode.FULL,
+                fast_model=ModelState.PRESENT_VERIFIED,
+                quality_model=ModelState.MISSING,
+                index=index_state,
+            )
+            jsonschema.validate(plan.to_dict(), schema)
+
+    def test_bad_action_rejected(self):
+        bad = {"v": 1, "requested_mode": "full", "effective_mode": None,
+               "action": "panic", "reasons": [], "requires_authorization": False,
+               "can_serve": False}
+        with pytest.raises(jsonschema.ValidationError):
+            jsonschema.validate(bad, load("recovery-plan-v1.schema.json"))
+
+
+class TestDoctorFindings:
+    def test_real_producer_validates(self, tmp_path):
+        import argparse
+
+        from frankensearch_tpu.cli.main import cmd_doctor
+
+        args = argparse.Namespace(root=str(tmp_path), verify=False, repair=False)
+        out = cmd_doctor(args)
+        jsonschema.validate(out["data"], load("doctor-findings-v1.schema.json"))
+
+    def test_empty_findings_rejected(self):
+        with pytest.raises(jsonschema.ValidationError):
+            jsonschema.validate({"findings": [], "healthy": True},
+                                load("doctor-findings-v1.schema.json"))
+
+
+class TestFleetSample:
+    def test_real_producer_validates(self):
+        import dataclasses
+
+        from frankensearch_tpu.fleet.datasource import FleetSimulator
+
+        src = FleetSimulator(n_nodes=2, seed=7)
+        src.step()
+        src.step()
+        schema = load("fleet-sample-v1.schema.json")
+        samples = list(src.samples())
+        assert samples
+        for s in samples:
+            jsonschema.validate(dataclasses.asdict(s), schema)
+
+    def test_out_of_range_rejected(self):
+        bad = {"node_id": "n", "at_s": 0, "qps": 1, "p50_ms": 1, "p99_ms": 2,
+               "hbm_used_frac": 1.7, "queue_pressure": 0.1, "doc_count": 1, "errors": 0}
+        with pytest.raises(jsonschema.ValidationError):
+            jsonschema.validate(bad, load("fleet-sample-v1.schema.json"))
+
+
+class TestRepairReport:
+    def test_real_producer_validates(self, tmp_path):
+        import dataclasses
+        import os as _os
+
+        from frankensearch_tpu.index.durability import ParityProtector
+
+        p = tmp_path / "a.bin"
+        p.write_bytes(_os.urandom(100_000))
+        ParityProtector.protect(str(p), stripe=4096, group=4)
+        with open(p, "r+b") as f:
+            f.seek(10_000)
+            f.write(b"\xff\xff\xff\xff")
+        report = ParityProtector.verify_and_repair(str(p))
+        wire = json.loads(json.dumps(dataclasses.asdict(report)))
+        jsonschema.validate(wire, load("repair-report-v1.schema.json"))
+
+    def test_invalid_rejected(self):
+        with pytest.raises(jsonschema.ValidationError):
+            jsonschema.validate({"ok": "yes", "scanned_stripes": 0, "bad_stripes": [],
+                                 "repaired_stripes": [], "unrepairable_groups": [],
+                                 "detail": ""}, load("repair-report-v1.schema.json"))
+
+
+class TestStreamQueryFrame:
+    def test_valid_frames(self):
+        schema = load("stream-query-frame-v1.schema.json")
+        for frame in (
+            {"op": "search", "query": "alpha", "k": 5},
+            {"op": "search_batch", "queries": ["a", "b"]},
+            {"op": "status"},
+            {"op": "ping"},
+            {"op": "shutdown"},
+        ):
+            jsonschema.validate(frame, schema)
+
+    def test_search_without_query_rejected(self):
+        schema = load("stream-query-frame-v1.schema.json")
+        with pytest.raises(jsonschema.ValidationError):
+            jsonschema.validate({"op": "search", "k": 5}, schema)
+        with pytest.raises(jsonschema.ValidationError):
+            jsonschema.validate({"op": "search_batch"}, schema)
+        with pytest.raises(jsonschema.ValidationError):
+            jsonschema.validate({"op": "explode"}, schema)
+
+
+def test_schema_suite_breadth():
+    """The contract floor: >=10 pinned payload schemas with fixtures."""
+    names = [n for n in os.listdir(SCHEMA_DIR) if n.endswith(".schema.json")]
+    assert len(names) >= 10, names
