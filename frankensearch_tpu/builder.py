@@ -276,6 +276,38 @@ class IndexBuilder:
             if os.path.exists(flexb):
                 protect_artifact(flexb)
 
+        # generation manifest: artifact census + embedder identities +
+        # golden-vector conformance certificates (generation.rs:1-6), so
+        # a drop-in embedder claiming the same id is verifiable to
+        # produce the same space before it serves (quality parity
+        # turnkey: real weights validate on arrival, VERDICT r1 item 5)
+        try:
+            from frankensearch_tpu.core.generation import (
+                EmbedderConformanceCertificate,
+                build_manifest,
+                write_manifest,
+            )
+
+            certs = {"fast": EmbedderConformanceCertificate.compute(stack.fast).to_dict()}
+            embedder_ids = {"fast": stack.fast.identity().to_dict()}
+            if stack.has_quality and stack.quality is not None:
+                certs["quality"] = EmbedderConformanceCertificate.compute(
+                    stack.quality
+                ).to_dict()
+                embedder_ids["quality"] = stack.quality.identity().to_dict()
+            manifest = build_manifest(
+                self.root,
+                generation_id=f"gen-{int(time.time() * 1000):013d}",
+                commit_seq=int(time.time() * 1000),
+                embedders=embedder_ids,
+                doc_count=stats.doc_count,
+                quantization=self._config.slab_dtype,
+            )
+            manifest.extra["conformance"] = certs
+            write_manifest(self.root, manifest)
+        except Exception as e:
+            stats.warnings.append(f"manifest skipped: {type(e).__name__}: {e}")
+
         stats.sizes = _measure_sizes(self.root)
         stats.duration_ms = (time.monotonic() - t0) * 1000.0
         return stats
@@ -306,6 +338,43 @@ class HybridHandle:
     lexical: MemoryLexicalIndex | None
     storage: Storage | None
     searcher: TwoTierSearcher
+    #: lease-bounded searchable-before-seal write path (quill delta.rs);
+    #: writers go through this so appends are visible WITHOUT a
+    #: per-batch packed republish — seal() folds them into a fresh
+    #: FLXB generation when the lease budget trips or at flow exit
+    delta: "DeltaLexicalIndex | None" = None
+
+
+def _verify_embedder_conformance(root: str, *, fast, quality) -> None:
+    from frankensearch_tpu.core.errors import IdentityMismatch
+    from frankensearch_tpu.core.generation import (
+        MANIFEST_FILE,
+        EmbedderConformanceCertificate,
+        read_manifest,
+    )
+
+    if not os.path.exists(os.path.join(root, MANIFEST_FILE)):
+        return
+    try:
+        manifest = read_manifest(root)
+    except Exception:
+        return  # artifact census problems surface through durability, not here
+    certs = manifest.extra.get("conformance", {})
+    for tier, emb in (("fast", fast), ("quality", quality)):
+        raw = certs.get(tier)
+        if emb is None or raw is None:
+            continue
+        cert = EmbedderConformanceCertificate.from_dict(raw)
+        if cert.embedder_id != emb.embedder_id:
+            continue  # different identity: the searcher's admission handles it
+        ok, worst = cert.verify(emb)
+        if not ok:
+            raise IdentityMismatch(
+                f"{tier} embedder {emb.embedder_id!r} fails golden-vector "
+                f"conformance (worst probe cosine {worst:.4f} < "
+                f"{cert.min_cosine}): same id, different space — refusing "
+                "to serve a silently wrong semantic lane"
+            )
 
 
 def open_hybrid(
@@ -362,21 +431,34 @@ def open_hybrid(
             from frankensearch_tpu.embed.hash_embedder import HashEmbedder
 
             fast_embedder = HashEmbedder(dim=index.fast.identity.dim)
+    # golden-vector conformance (fail-closed admission): an embedder
+    # claiming the build-time identity must reproduce the pinned probe
+    # space — catches same-id-different-weights drift that identity-id
+    # admission alone cannot (generation.rs golden-vector certificates)
+    _verify_embedder_conformance(root, fast=fast_embedder, quality=quality_embedder)
     lexical = load_lexical(root)
-    # prefer the packed FLXB device arm for the searcher's read path
-    # (zero-parse load + batched device scoring); the oracle arm stays
-    # the writable handle for append/compact flows
+    # read path: the packed FLXB device arm (zero-parse load + batched
+    # device scoring) wrapped in the lease-bounded delta (quill delta.rs)
+    # so writes through handle.delta are searchable BEFORE the next
+    # packed seal; the oracle arm remains the snapshot of record
+    from frankensearch_tpu.lexical.delta import DeltaLexicalIndex
     from frankensearch_tpu.lexical.persist import load_packed_lexical
 
     packed = load_packed_lexical(root)
+    delta = None
+    if lexical is not None:
+        delta = DeltaLexicalIndex(lexical, sealed=packed, root=root)
     db_path = os.path.join(root, "metadata.db")
     storage = Storage(db_path) if os.path.exists(db_path) else None
     searcher = TwoTierSearcher(
         index,
         fast_embedder,
-        lexical=packed if packed is not None else lexical,
+        lexical=delta if delta is not None else packed,
         quality_embedder=quality_embedder,
         config=cfg,
         **searcher_kwargs,
     )
-    return HybridHandle(index=index, lexical=lexical, storage=storage, searcher=searcher)
+    return HybridHandle(
+        index=index, lexical=lexical, storage=storage, searcher=searcher,
+        delta=delta,
+    )

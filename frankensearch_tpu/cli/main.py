@@ -323,13 +323,13 @@ def cmd_append_batch(args) -> dict:
     ids = [d.doc_id for d in docs]
     vecs = handle.searcher.fast_embedder.embed_batch(texts)
     handle.index.append_fast(ids, vecs)
-    if handle.lexical is not None:
+    if handle.delta is not None:
+        # write through the lease-bounded delta, then seal: a one-shot
+        # append is a complete batch, so the freeze boundary lands here
         for d in docs:
-            handle.lexical.add_document(d)
-        handle.lexical.commit()
-        from frankensearch_tpu.lexical.persist import republish_lexical
-
-        republish_lexical(handle.lexical, args.root)
+            handle.delta.add_document(d)
+        handle.delta.commit()
+        handle.delta.seal()
     return envelope({"appended": len(ids), "doc_count": handle.index.doc_count()})
 
 
@@ -367,7 +367,6 @@ def cmd_watch(args) -> dict:
     """Watch a corpus dir; ingest changed files incrementally
     (fsfs watch: debounce -> classify -> batch -> append, watcher.rs)."""
     from frankensearch_tpu.builder import open_hybrid
-    from frankensearch_tpu.lexical.persist import republish_lexical
     from frankensearch_tpu.runtime.mounts import MountTable
     from frankensearch_tpu.runtime.watcher import SnapshotWatcher
 
@@ -400,11 +399,14 @@ def cmd_watch(args) -> dict:
             if docs:
                 vecs = handle.searcher.fast_embedder.embed_batch([d.content for d in docs])
                 handle.index.append_fast([d.doc_id for d in docs], vecs)
-                if handle.lexical is not None:
+                if handle.delta is not None:
+                    # searchable before seal: the delta serves these
+                    # immediately; the lease auto-seals into a packed
+                    # generation when its budget trips (delta.rs role —
+                    # no per-batch full republish)
                     for d in docs:
-                        handle.lexical.add_document(d)
-                    handle.lexical.commit()
-                    republish_lexical(handle.lexical, args.root)
+                        handle.delta.add_document(d)
+                    handle.delta.commit()
             if deleted:
                 handle.index.delete(
                     [os.path.relpath(c.path, args.corpus) for c in deleted]
@@ -415,6 +417,8 @@ def cmd_watch(args) -> dict:
             break
         if not args.once:
             time.sleep(args.interval)
+    if handle.delta is not None:
+        handle.delta.seal()  # freeze boundary at watch exit
     return envelope({"cycles": cycles, "batches": batches,
                      "doc_count": handle.index.doc_count()})
 

@@ -127,6 +127,91 @@ class GenerationManifest:
         )
 
 
+#: deterministic probe texts for embedder conformance — chosen to cover
+#: short keywords, natural language, numerals and mixed case
+CONFORMANCE_PROBES = (
+    "alpha",
+    "the quick brown fox jumps over the lazy dog",
+    "vector index search quality",
+    "error 404 not found",
+    "Mixed Case Query Terms",
+    "durability repair parity stripe",
+    "a b c d e f g",
+    "progressive two tier fusion",
+)
+
+
+@dataclass(frozen=True)
+class EmbedderConformanceCertificate:
+    """Golden-vector conformance with a tolerance: pins f16-quantized
+    probe vectors so a drop-in embedder claiming the same identity can
+    be verified to produce the SAME SPACE (generation.rs golden-vector
+    certificates). Cosine tolerance (not an exact hash) because the
+    same weights produce slightly different floats across CPU/TPU
+    backends — wrong weights score ~0, right weights ~1.
+    """
+
+    embedder_id: str
+    probes: tuple[str, ...]
+    #: f16-quantized probe embeddings, row-major
+    vectors_f16: tuple[float, ...]
+    dim: int
+    min_cosine: float = 0.999
+
+    def to_dict(self) -> dict:
+        return {
+            "embedder_id": self.embedder_id,
+            "probes": list(self.probes),
+            "vectors_f16": list(self.vectors_f16),
+            "dim": self.dim,
+            "min_cosine": self.min_cosine,
+        }
+
+    @staticmethod
+    def from_dict(d: Mapping) -> "EmbedderConformanceCertificate":
+        return EmbedderConformanceCertificate(
+            embedder_id=d["embedder_id"],
+            probes=tuple(d["probes"]),
+            vectors_f16=tuple(d["vectors_f16"]),
+            dim=int(d["dim"]),
+            min_cosine=float(d.get("min_cosine", 0.999)),
+        )
+
+    @staticmethod
+    def compute(embedder, probes: Sequence[str] = CONFORMANCE_PROBES,
+                min_cosine: float = 0.999) -> "EmbedderConformanceCertificate":
+        import numpy as np
+
+        vecs = np.asarray(embedder.embed_batch(list(probes)), dtype=np.float16)
+        return EmbedderConformanceCertificate(
+            embedder_id=embedder.embedder_id,
+            probes=tuple(probes),
+            vectors_f16=tuple(float(x) for x in vecs.reshape(-1)),
+            dim=int(vecs.shape[1]),
+            min_cosine=min_cosine,
+        )
+
+    def verify(self, embedder) -> tuple[bool, float]:
+        """Returns (conformant, worst probe cosine)."""
+        import numpy as np
+
+        if embedder.embedder_id != self.embedder_id:
+            return False, 0.0
+        got = np.asarray(embedder.embed_batch(list(self.probes)), dtype=np.float32)
+        if got.shape != (len(self.probes), self.dim):
+            return False, 0.0
+        want = np.asarray(self.vectors_f16, dtype=np.float32).reshape(
+            len(self.probes), self.dim
+        )
+
+        def norm(a):
+            return a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+
+        cos = np.sum(norm(got) * norm(want), axis=1)
+        worst = float(np.min(cos))
+        return worst >= self.min_cosine, worst
+
+
 def build_manifest(
     gen_dir: str,
     generation_id: str,

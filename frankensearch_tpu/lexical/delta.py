@@ -1,0 +1,180 @@
+"""Lease-bounded searchable-before-seal lexical delta.
+
+Parity target: reference crates/frankensearch-quill/src/delta.rs:1-6 —
+a lease-bounded mutable delta segment that is SEARCHABLE BEFORE SEAL,
+with an immutable freeze boundary. The r1 WAL-staging approximation
+made appends durable but reads only saw them after a full republish;
+this arm closes that gap with the TPU-shaped split:
+
+- **sealed**: the packed FLXB device arm (immutable; batched device
+  BM25 — the performance path),
+- **delta**: the mutable in-memory oracle holding ALL docs (sealed +
+  unsealed). While any unsealed docs exist, reads serve from the oracle
+  (host-side, rank-exact over the full corpus — BM25 stats from two
+  disjoint segments are not mergeable without shared idf/avgdl, so this
+  is the correct-by-construction choice; the delta window is small by
+  lease), then ``seal()`` folds everything into a fresh packed
+  generation and the device arm takes back over.
+- **lease**: a writer budget (max unsealed docs + max window age).
+  Exceeding it either auto-seals (default) or refuses the append
+  (``auto_seal=False``), matching the reference's lease-expiry
+  semantics (delta.rs lease bounds).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Mapping, Sequence
+
+from frankensearch_tpu.core.errors import InvalidConfig, SubsystemError
+from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.lexical.base import LexicalCandidate, LexicalRead
+from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+
+
+class LeaseExceeded(SubsystemError):
+    """The delta writer lease budget is exhausted and auto_seal=False."""
+
+
+@dataclass
+class DeltaLease:
+    """Writer budget for the unsealed window (delta.rs lease bounds)."""
+
+    max_docs: int = 4096
+    max_age_s: float = 60.0
+    acquired_at: float | None = None
+    docs_written: int = 0
+
+    def acquire(self, now: float) -> None:
+        if self.acquired_at is None:
+            self.acquired_at = now
+
+    def exceeded(self, now: float) -> str | None:
+        if self.acquired_at is None:
+            return None
+        if self.docs_written >= self.max_docs:
+            return f"doc budget exhausted ({self.docs_written}/{self.max_docs})"
+        if now - self.acquired_at >= self.max_age_s:
+            return f"window aged out ({now - self.acquired_at:.1f}s >= {self.max_age_s}s)"
+        return None
+
+    def reset(self) -> None:
+        self.acquired_at = None
+        self.docs_written = 0
+
+
+@dataclass
+class SealReceipt:
+    generation: str
+    docs_sealed: int
+    sealed_at: float
+
+
+class DeltaLexicalIndex(LexicalRead):
+    """Sealed packed device arm + lease-bounded searchable delta."""
+
+    def __init__(
+        self,
+        oracle: MemoryLexicalIndex,
+        *,
+        sealed: LexicalRead | None = None,
+        root: str | None = None,
+        lease: DeltaLease | None = None,
+        auto_seal: bool = True,
+        clock=time.monotonic,
+    ) -> None:
+        if oracle is None:
+            raise InvalidConfig("DeltaLexicalIndex requires the oracle arm")
+        self.oracle = oracle
+        self.sealed = sealed
+        self.root = root
+        self.lease = lease or DeltaLease()
+        self.auto_seal = auto_seal
+        self.clock = clock
+        self._delta_count = 0
+        self.seal_history: list[SealReceipt] = []
+
+    # -- write path (lease-bounded) -----------------------------------------
+
+    @property
+    def unsealed_docs(self) -> int:
+        return self._delta_count
+
+    def add_document(self, doc: IndexableDocument) -> None:
+        now = self.clock()
+        reason = self.lease.exceeded(now)
+        if reason is not None:
+            if not self.auto_seal:
+                raise LeaseExceeded(f"delta lease: {reason}; seal() required")
+            self.seal()
+        self.lease.acquire(self.clock())
+        self.oracle.add_document(doc)
+        self.lease.docs_written += 1
+        self._delta_count += 1
+
+    def delete_document(self, doc_id: str) -> None:
+        # deletes ride the same lease window (tombstone folds at seal)
+        self.lease.acquire(self.clock())
+        self.oracle.delete_document(doc_id)
+        self._delta_count += 1
+
+    def commit(self) -> None:
+        """Make pending delta writes searchable (NOT a seal — the
+        searchable-before-seal point of this arm)."""
+        self.oracle.commit()
+
+    def seal(self) -> SealReceipt | None:
+        """Freeze boundary: fold the delta into a fresh packed
+        generation (blue-green publish) and hand reads back to the
+        device arm. No-op when nothing is unsealed."""
+        if self._delta_count == 0:
+            self.lease.reset()
+            return None
+        self.oracle.commit()
+        generation = ""
+        if self.root is not None:
+            from frankensearch_tpu.lexical.persist import (
+                load_packed_lexical,
+                republish_lexical,
+            )
+
+            generation = republish_lexical(self.oracle, self.root)
+            packed = load_packed_lexical(self.root)
+            if packed is not None:
+                self.sealed = packed
+        else:
+            # in-memory only: the oracle IS the sealed arm
+            self.sealed = self.oracle
+        receipt = SealReceipt(
+            generation=generation,
+            docs_sealed=self._delta_count,
+            sealed_at=self.clock(),
+        )
+        self.seal_history.append(receipt)
+        self._delta_count = 0
+        self.lease.reset()
+        return receipt
+
+    # -- read path (searchable before seal) ----------------------------------
+
+    def _read_arm(self) -> LexicalRead:
+        if self._delta_count > 0 or self.sealed is None:
+            return self.oracle
+        return self.sealed
+
+    def search_candidates(self, query: str, budget: int) -> list[LexicalCandidate]:
+        return self._read_arm().search_candidates(query, budget)
+
+    def search_candidates_batch(self, queries: Sequence[str], budget: int):
+        arm = self._read_arm()
+        if hasattr(arm, "search_candidates_batch"):
+            return arm.search_candidates_batch(queries, budget)
+        return [arm.search_candidates(q, budget) for q in queries]
+
+    def hydrate_candidates(self, doc_ids: Sequence[str]) -> dict[str, Mapping]:
+        # the oracle always holds the superset snapshot
+        return self.oracle.hydrate_candidates(doc_ids)
+
+    def doc_count(self) -> int:
+        return self.oracle.doc_count()

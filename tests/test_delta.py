@@ -1,0 +1,127 @@
+"""Lease-bounded searchable-before-seal lexical delta (quill delta.rs)."""
+
+import pytest
+
+from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.lexical.delta import (
+    DeltaLease,
+    DeltaLexicalIndex,
+    LeaseExceeded,
+)
+from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+
+
+def _doc(i, text):
+    return IndexableDocument(doc_id=f"d{i}", content=text)
+
+
+def _seed_oracle(n=6):
+    oracle = MemoryLexicalIndex()
+    for i in range(n):
+        oracle.add_document(_doc(i, f"alpha beta sealed doc {i}"))
+    oracle.commit()
+    return oracle
+
+
+class TestSearchableBeforeSeal:
+    def test_delta_docs_visible_without_seal(self):
+        arm = DeltaLexicalIndex(_seed_oracle())
+        arm.add_document(_doc(100, "zeppelin fresh unsealed document"))
+        arm.commit()
+        hits = arm.search_candidates("zeppelin fresh", 5)
+        assert hits and hits[0].doc_id == "d100"  # visible pre-seal
+        assert arm.unsealed_docs == 1
+
+    def test_reads_route_to_sealed_arm_when_clean(self):
+        oracle = _seed_oracle()
+
+        class Marker(MemoryLexicalIndex):
+            pass
+
+        sealed = Marker()
+        for i in range(6):
+            sealed.add_document(_doc(i, f"alpha beta sealed doc {i}"))
+        sealed.commit()
+        arm = DeltaLexicalIndex(oracle, sealed=sealed)
+        assert arm._read_arm() is sealed  # clean: device arm serves
+        arm.add_document(_doc(100, "new doc"))
+        assert arm._read_arm() is oracle  # dirty: exact oracle serves
+        arm.seal()
+        assert arm.unsealed_docs == 0
+
+    def test_seal_publishes_packed_generation(self, tmp_path):
+        import os
+
+        oracle = _seed_oracle()
+        arm = DeltaLexicalIndex(oracle, root=str(tmp_path))
+        arm.add_document(_doc(100, "brand new delta doc"))
+        receipt = arm.seal()
+        assert receipt is not None and receipt.docs_sealed == 1
+        assert os.path.exists(tmp_path / "lexical" / "CURRENT")
+        # after seal the packed device arm serves (root-backed)
+        assert arm.sealed is not None
+        hits = arm.search_candidates("delta doc", 5)
+        assert any(h.doc_id == "d100" for h in hits)
+
+    def test_seal_noop_when_clean(self):
+        arm = DeltaLexicalIndex(_seed_oracle())
+        assert arm.seal() is None
+
+
+class TestLease:
+    def test_doc_budget_auto_seals(self):
+        arm = DeltaLexicalIndex(
+            _seed_oracle(), lease=DeltaLease(max_docs=3, max_age_s=1e9)
+        )
+        for i in range(10):
+            arm.add_document(_doc(100 + i, f"doc {i}"))
+        # every 3 docs the lease trips and the arm seals
+        assert len(arm.seal_history) >= 2
+        assert arm.unsealed_docs < 3 + 1
+
+    def test_refuses_when_auto_seal_off(self):
+        arm = DeltaLexicalIndex(
+            _seed_oracle(), lease=DeltaLease(max_docs=2, max_age_s=1e9),
+            auto_seal=False,
+        )
+        arm.add_document(_doc(100, "a"))
+        arm.add_document(_doc(101, "b"))
+        with pytest.raises(LeaseExceeded, match="doc budget"):
+            arm.add_document(_doc(102, "c"))
+
+    def test_age_expiry_auto_seals(self):
+        t = [0.0]
+        arm = DeltaLexicalIndex(
+            _seed_oracle(), lease=DeltaLease(max_docs=1000, max_age_s=5.0),
+            clock=lambda: t[0],
+        )
+        arm.add_document(_doc(100, "a"))
+        t[0] = 10.0  # window aged out
+        arm.add_document(_doc(101, "b"))
+        assert len(arm.seal_history) == 1
+        assert arm.seal_history[0].docs_sealed == 1
+
+    def test_lease_resets_after_seal(self):
+        arm = DeltaLexicalIndex(
+            _seed_oracle(), lease=DeltaLease(max_docs=2, max_age_s=1e9)
+        )
+        arm.add_document(_doc(100, "a"))
+        arm.seal()
+        assert arm.lease.docs_written == 0 and arm.lease.acquired_at is None
+
+
+class TestRankParity:
+    def test_oracle_and_sealed_agree_after_seal(self, tmp_path):
+        """Freeze boundary correctness: post-seal packed reads match the
+        oracle's exact ranks (the gauntlet contract carried to delta)."""
+        oracle = _seed_oracle(12)
+        arm = DeltaLexicalIndex(oracle, root=str(tmp_path))
+        arm.add_document(_doc(100, "alpha beta gamma extra"))
+        arm.add_document(_doc(101, "alpha gamma gamma gamma"))
+        arm.seal()
+        if arm.sealed is oracle:  # packed build unavailable on this host
+            pytest.skip("packed arm not built")
+        for q in ("alpha beta", "gamma", "sealed doc"):
+            got = [(c.doc_id, round(c.score, 4)) for c in arm.search_candidates(q, 8)]
+            want = [(c.doc_id, round(c.score, 4)) for c in oracle.search_candidates(q, 8)]
+            assert [g[0] for g in got] == [w[0] for w in want], (q, got, want)

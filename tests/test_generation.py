@@ -214,3 +214,95 @@ class TestCollectors:
         assert em.dropped == 2
         assert frames[-1].seq == 5
         assert "fs.stream.query.v1" in frames[0].to_json()
+
+
+class TestEmbedderConformance:
+    """Golden-vector conformance certificates (generation.rs:1-6):
+    same-id-different-weights drift is caught fail-closed at open."""
+
+    def test_certificate_roundtrip_and_verify(self):
+        from frankensearch_tpu.core.generation import EmbedderConformanceCertificate
+        from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+
+        emb = HashEmbedder(dim=64)
+        cert = EmbedderConformanceCertificate.compute(emb)
+        ok, worst = cert.verify(emb)
+        assert ok and worst > 0.999
+        # dict roundtrip preserves verification
+        cert2 = EmbedderConformanceCertificate.from_dict(cert.to_dict())
+        assert cert2.verify(emb)[0]
+
+    def test_wrong_space_same_id_rejected(self):
+        from frankensearch_tpu.core.generation import EmbedderConformanceCertificate
+        from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+
+        emb = HashEmbedder(dim=64)
+        cert = EmbedderConformanceCertificate.compute(emb)
+
+        class Impostor(HashEmbedder):
+            def embed_batch(self, texts):
+                import numpy as np
+
+                out = super().embed_batch(texts)
+                return np.roll(out, 7, axis=1)  # same id, rotated space
+
+        ok, worst = cert.verify(Impostor(dim=64))
+        assert not ok and worst < 0.9
+
+    def test_open_hybrid_fail_closed_on_drifted_embedder(self, tmp_path):
+        import numpy as np
+        import pytest
+
+        import frankensearch_tpu as fs
+        from frankensearch_tpu.core.errors import IdentityMismatch
+        from frankensearch_tpu.core.types import IndexableDocument
+
+        root = str(tmp_path / "ix")
+        b = fs.IndexBuilder(root).with_embedder_stack(
+            fs.EmbedderStack(fast=fs.HashEmbedder(dim=64))
+        )
+        for i in range(8):
+            b.add_document(IndexableDocument(doc_id=f"d{i}", content=f"alpha doc {i}"))
+        b.build()
+
+        # same embedder: opens fine
+        fs.open_hybrid(root, fast_embedder=fs.HashEmbedder(dim=64))
+
+        class Impostor(fs.HashEmbedder):
+            def embed_batch(self, texts):
+                return np.roll(super().embed_batch(texts), 5, axis=1)
+
+            def embed(self, text):
+                return np.roll(super().embed(text), 5)
+
+        with pytest.raises(IdentityMismatch, match="golden-vector"):
+            fs.open_hybrid(root, fast_embedder=Impostor(dim=64))
+
+    def test_builder_writes_manifest_with_conformance(self, tmp_path):
+        import json
+        import os
+
+        import frankensearch_tpu as fs
+        from frankensearch_tpu.core.generation import read_manifest
+        from frankensearch_tpu.core.types import IndexableDocument
+
+        root = str(tmp_path / "ix")
+        b = fs.IndexBuilder(root).with_embedder_stack(
+            fs.EmbedderStack(fast=fs.HashEmbedder(dim=32))
+        )
+        b.add_document(IndexableDocument(doc_id="d0", content="alpha beta gamma"))
+        stats = b.build()
+        assert not [w for w in stats.warnings if "manifest" in w]
+        m = read_manifest(root)
+        assert m.doc_count == 1
+        assert "fast" in m.extra["conformance"]
+        assert any(a.name == "vector.fast.idx" for a in m.artifacts)
+        # manifest itself validates against the pinned schema
+        import jsonschema
+
+        schema_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "schemas", "generation-manifest-v1.schema.json",
+        )
+        with open(schema_path) as f:
+            jsonschema.validate(json.loads(m.to_json()), json.load(f))

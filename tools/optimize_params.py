@@ -143,6 +143,104 @@ def _demo_eval_fn(tmp_root: str):
     return eval_fn
 
 
+def _world_eval_fn(n_topics: int, seed: int):
+    """One controlled world (tools/quality_eval.build_world) -> eval_fn.
+    Distinct seeds produce distinct vocabularies/synonym tables/docs —
+    genuinely different retrieval worlds for held-out validation."""
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from frankensearch_tpu.core.metrics_eval import ndcg_at_k
+    from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+    from frankensearch_tpu.index.two_tier import TwoTierIndex
+    from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+    from tools.quality_eval import build_world
+
+    docs, queries, qrels, fast, quality = build_world(n_topics=n_topics, seed=seed)
+    texts = [d.content for d in docs]
+    index = TwoTierIndex.create(
+        tempfile.mkdtemp(), fast.embed_batch(texts), [d.doc_id for d in docs],
+        fast.identity(), quality_vectors=quality.embed_batch(texts),
+        quality_identity=quality.identity(), use_pallas=False,
+    )
+    lexical = MemoryLexicalIndex()
+    for d in docs:
+        lexical.add_document(d)
+    lexical.commit()
+
+    def eval_fn(cfg: TwoTierConfig) -> float:
+        searcher = TwoTierSearcher(
+            index, fast, lexical=lexical, quality_embedder=quality, config=cfg,
+            cache_query_embeddings=False,
+        )
+        scores = [
+            ndcg_at_k([r.doc_id for r in searcher.search(q, k=10).results], rel, 10)
+            for q, rel in zip(queries, qrels)
+        ]
+        return float(np.mean(scores))
+
+    return eval_fn
+
+
+def tune_cv(
+    *,
+    n_folds: int = 5,
+    n_topics: int = 40,
+    generations: int = 4,
+    population: int = 6,
+    base_seed: int = 7,
+) -> dict:
+    """K-fold cross-validated tuning (the reference's
+    tools/optimize_params methodology: data/optimized_params.toml notes
+    CV variance). Tune on K-1 worlds, score on the held-out world;
+    report the held-out mean as the honest generalization estimate,
+    then fit final params on ALL worlds."""
+    worlds = [_world_eval_fn(n_topics, base_seed + i) for i in range(n_folds)]
+
+    def mean_over(idxs):
+        def fn(cfg):
+            return float(np.mean([worlds[i](cfg) for i in idxs]))
+        return fn
+
+    fold_rows = []
+    for held_out in range(n_folds):
+        train = [i for i in range(n_folds) if i != held_out]
+        res = optimize(mean_over(train), generations=generations, population=population)
+        held_score = worlds[held_out](_to_config(
+            np.array([res.params[name] for name, *_ in SEARCH_SPACE])
+        ))
+        fold_rows.append({
+            "fold": held_out,
+            "train_score": round(res.score, 4),
+            "heldout_score": round(held_score, 4),
+            "params": res.params,
+        })
+    heldout = [r["heldout_score"] for r in fold_rows]
+    default_heldout = [
+        w(TwoTierConfig()) for w in worlds
+    ]
+    final = optimize(mean_over(list(range(n_folds))),
+                     generations=generations, population=population)
+    return {
+        "params": final.params,
+        "score_ndcg10": round(float(np.mean(heldout)), 4),
+        "score_is_heldout": True,
+        "heldout_per_fold": heldout,
+        "heldout_std": round(float(np.std(heldout)), 4),
+        "default_config_heldout": round(float(np.mean(default_heldout)), 4),
+        "folds": fold_rows,
+        "method": (
+            f"tools/optimize_params.py --cv: {n_folds}-fold CV over distinct "
+            f"controlled worlds (build_world n_topics={n_topics}, seeds "
+            f"{base_seed}..{base_seed + n_folds - 1}); score_ndcg10 is the "
+            "HELD-OUT mean (params never saw the scoring world); final "
+            "params fit on all folds"
+        ),
+        "history": final.history,
+    }
+
+
 def main() -> int:
     import argparse
     import tempfile
@@ -150,8 +248,24 @@ def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--generations", type=int, default=5)
     p.add_argument("--population", type=int, default=6)
+    p.add_argument("--cv", action="store_true",
+                   help="5-fold cross-validated tuning over controlled worlds")
+    p.add_argument("--folds", type=int, default=5)
+    p.add_argument("--topics", type=int, default=40)
     p.add_argument("--out", default="data/optimized_params.json")
     args = p.parse_args()
+    if args.cv:
+        payload = tune_cv(n_folds=args.folds, n_topics=args.topics,
+                          generations=args.generations, population=args.population)
+        tmp = args.out + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(payload, f, indent=1)
+        os.replace(tmp, args.out)
+        print(f"held-out nDCG@10 {payload['score_ndcg10']:.4f} "
+              f"(± {payload['heldout_std']:.4f}; default config "
+              f"{payload['default_config_heldout']:.4f}) -> {args.out}")
+        print(json.dumps(payload["params"], indent=2))
+        return 0
     eval_fn = _demo_eval_fn(tempfile.mkdtemp())
     result = optimize(eval_fn, generations=args.generations, population=args.population)
     path = write_optimized(result, args.out)

@@ -245,5 +245,158 @@ def _lexical_only(lex, queries, qrels):
     }
 
 
+def load_beir_dir(beir_dir: str, split: str = "test", max_queries: int | None = None):
+    """Load a BEIR-format dataset directory (the reference's
+    docs/quality_harness/beir_eval.py input layout):
+
+        corpus.jsonl            {"_id", "title", "text"}
+        queries.jsonl           {"_id", "text"}
+        qrels/<split>.tsv       query-id \\t corpus-id \\t score   (header row)
+
+    Returns (docs, queries, qrels) in this tool's native shapes.
+    """
+    corpus_path = os.path.join(beir_dir, "corpus.jsonl")
+    queries_path = os.path.join(beir_dir, "queries.jsonl")
+    qrels_path = os.path.join(beir_dir, "qrels", f"{split}.tsv")
+    docs = []
+    with open(corpus_path, encoding="utf-8") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            d = json.loads(line)
+            docs.append(
+                IndexableDocument(
+                    doc_id=str(d["_id"]),
+                    content=((d.get("title") or "") + " " + (d.get("text") or "")).strip(),
+                    title=d.get("title"),
+                )
+            )
+    query_text = {}
+    with open(queries_path, encoding="utf-8") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            d = json.loads(line)
+            query_text[str(d["_id"])] = d["text"]
+    rels: dict[str, dict[str, float]] = {}
+    with open(qrels_path, encoding="utf-8") as f:
+        header = f.readline()  # "query-id\tcorpus-id\tscore"
+        assert "query" in header.lower(), f"unexpected qrels header: {header!r}"
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 3:
+                continue
+            qid, did, score = parts[0], parts[1], float(parts[2])
+            if score > 0:
+                rels.setdefault(qid, {})[did] = score
+    qids = [q for q in rels if q in query_text]
+    if max_queries:
+        qids = qids[:max_queries]
+    queries = [query_text[q] for q in qids]
+    qrels = [rels[q] for q in qids]
+    return docs, queries, qrels
+
+
+def run_beir(args) -> None:
+    """Turnkey BEIR evaluation (VERDICT r1 item 5): real-model quality
+    parity is one artifact-drop away — mount a BEIR dataset dir and the
+    model dirs, no code changes.
+
+    Baseline to beat (reference docs/quality_harness/README.md:24-36,
+    scifact): dense 0.6331 / BM25 0.6523 / RRF hybrid 0.6695 nDCG@10.
+    """
+    docs, queries, qrels = load_beir_dir(
+        args.beir_dir, split=args.split, max_queries=args.max_queries
+    )
+    print(
+        f"# {len(docs)} docs, {len(queries)} queries from {args.beir_dir}",
+        file=sys.stderr,
+    )
+    if args.fast_model_dir:
+        fast = Model2VecEmbedder.from_dir(args.fast_model_dir)
+    else:
+        # no semantic model mounted: hash embeddings are explicitly
+        # non-semantic (reference hash_embedder.rs contract) — the dense
+        # lanes below then measure plumbing, not quality; lexical is the
+        # meaningful lane. Stated in the output.
+        from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+
+        fast = HashEmbedder(dim=256)
+    quality = None
+    if args.quality_model_dir:
+        from frankensearch_tpu.rerank.encoder import TransformerEmbedder
+
+        quality = TransformerEmbedder.from_dir(args.quality_model_dir)
+
+    import tempfile
+
+    texts = [d.content for d in docs]
+    ids = [d.doc_id for d in docs]
+    root = tempfile.mkdtemp(prefix="beir_eval_")
+    fast_vecs = np.concatenate(
+        [np.asarray(fast.embed_batch(texts[s:s + 512])) for s in range(0, len(texts), 512)]
+    ) if texts else np.zeros((0, fast.dim), np.float32)
+    q_vecs = None
+    if quality is not None:
+        q_vecs = np.concatenate(
+            [np.asarray(quality.embed_batch(texts[s:s + 128]))
+             for s in range(0, len(texts), 128)]
+        )
+    index = TwoTierIndex.create(
+        root, fast_vecs, ids, fast.identity(),
+        quality_vectors=q_vecs,
+        quality_identity=quality.identity() if quality is not None else None,
+        use_pallas=False,
+    )
+    lex = MemoryLexicalIndex()
+    for d in docs:
+        lex.add_document(d)
+    lex.commit()
+
+    def searcher(cfg=None, with_lex=True, with_quality=True):
+        return TwoTierSearcher(
+            index, fast,
+            lexical=lex if with_lex else None,
+            quality_embedder=quality if (with_quality and quality is not None) else None,
+            config=cfg or TwoTierConfig(),
+            cache_query_embeddings=False,
+        )
+
+    rows = {
+        "dataset": os.path.basename(os.path.normpath(args.beir_dir)),
+        "n_docs": len(docs),
+        "n_queries": len(queries),
+        "fast_semantic": fast.is_semantic,
+        "quality_tier": quality is not None,
+    }
+    rows["lexical_bm25"] = _lexical_only(lex, queries, qrels)
+    rows["dense_fast"] = evaluate(
+        searcher(TwoTierConfig(fast_only=True), with_lex=False, with_quality=False),
+        queries, qrels,
+    )
+    rows["hybrid_rrf"] = evaluate(searcher(TwoTierConfig(fast_only=True)), queries, qrels)
+    if quality is not None:
+        rows["two_tier_full"] = evaluate(searcher(), queries, qrels)
+    if not fast.is_semantic:
+        rows["note"] = (
+            "no --fast-model-dir: dense lanes used NON-semantic hash "
+            "embeddings (plumbing check only); mount model dirs for "
+            "quality parity numbers"
+        )
+    print(json.dumps(rows, indent=1))
+
+
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--beir-dir", help="BEIR-format dataset dir (corpus.jsonl, queries.jsonl, qrels/)")
+    ap.add_argument("--split", default="test")
+    ap.add_argument("--max-queries", type=int, default=None)
+    ap.add_argument("--fast-model-dir", help="Model2Vec dir (safetensors + tokenizer)")
+    ap.add_argument("--quality-model-dir", help="HF BERT dir for the quality tier")
+    cli_args = ap.parse_args()
+    if cli_args.beir_dir:
+        run_beir(cli_args)
+    else:
+        main()
