@@ -143,7 +143,10 @@ class IndexBuilder:
             try:
                 from frankensearch_tpu.embed.bulk import embed_corpus
 
-                fast_arr = embed_corpus(stack.fast, texts_all)
+                fast_arr = embed_corpus(
+                    stack.fast, texts_all,
+                    wire_dtype="bf16" if self._config.slab_dtype == "bf16" else "f32",
+                )
             except Exception as e:
                 stats.warnings.append(
                     f"bulk embed lane failed: {type(e).__name__}: {e}; "

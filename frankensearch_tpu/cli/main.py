@@ -267,6 +267,15 @@ def cmd_doctor(args) -> dict:
 
     native_ok = native.build_postings_native(["probe"]) is not None
     check("native_ingest", True, "C++ kernel " + ("available" if native_ok else "absent (python fallback)"))
+    if os.path.isdir(root):
+        from frankensearch_tpu.index.file_identity import filesystem_policy
+
+        pol = filesystem_policy(root)
+        check(
+            "filesystem_policy", pol.durable_rename,
+            f"{pol.fs_type} (local={pol.local}, flock={pol.flock_reliable})"
+            + (f": {pol.advice}" if pol.advice else ""),
+        )
     check("fts5_backend", True, "sqlite FTS5 " + ("available" if fts5_available() else "absent"))
     lex_current = os.path.join(root, "lexical", "CURRENT")
     if os.path.exists(lex_current):
@@ -665,21 +674,108 @@ def cmd_version(args) -> dict:
     )
 
 
+def _serve_flush_searches(handle, reqs: list[dict], out) -> None:
+    """Execute coalesced search requests as ONE batched device program
+    and reply in request order (dispatch pipelining: N queued requests
+    cost one RPC dispatch instead of N — the tunnel-bound serve path's
+    amortization, PERF_LEDGER 'warm serve-mode latency')."""
+    if not reqs:
+        return
+    try:
+        if len(reqs) == 1:
+            res = handle.searcher.search(
+                str(reqs[0].get("query", "")), k=int(reqs[0].get("k", 10))
+            )
+            print(json.dumps(envelope(_result_rows(res.results)), default=str),
+                  file=out, flush=True)
+            return
+        queries = [str(r.get("query", "")) for r in reqs]
+        ks = [int(r.get("k", 10)) for r in reqs]
+        outs = handle.searcher.search_batch(queries, k=max(ks))
+        for r, k, o in zip(reqs, ks, outs):
+            env = envelope(_result_rows(o.results[:k]))
+            env["meta"] = {"coalesced": len(reqs)}
+            print(json.dumps(env, default=str), file=out, flush=True)
+    except Exception as e:
+        for _ in reqs:
+            print(json.dumps(error_envelope(type(e).__name__, str(e))),
+                  file=out, flush=True)
+
+
 def cmd_serve(args) -> dict | None:
     """NDJSON query server on stdin/stdout (runtime.rs:5338 serve mode).
     Request:  {"op": "search", "query": "...", "k": 10}
               {"op": "status"} | {"op": "ping"} | {"op": "shutdown"}
-    Response: one envelope per line."""
+    Response: one envelope per line, in request order.
+
+    Dispatch pipelining: consecutive non-stream ``search`` requests
+    already waiting on stdin are coalesced into one batched device
+    program (greedy drain — a lone request fires immediately, so
+    singleton latency is unchanged; pipelined clients get N-for-1
+    dispatch amortization). ``--coalesce-ms`` optionally waits that long
+    for stragglers before flushing (background/bulk workloads)."""
+    import queue as _queue
+    import threading
+
     handle = _open(args)
     out = sys.stdout
-    for line in sys.stdin:
-        line = line.strip()
-        if not line:
-            continue
+    inbox: _queue.Queue = _queue.Queue()
+
+    def _reader() -> None:
+        for raw in sys.stdin:
+            inbox.put(raw)
+        inbox.put(None)  # EOF sentinel
+
+    threading.Thread(target=_reader, daemon=True).start()
+    max_batch = getattr(args, "serve_max_batch", 64)
+    coalesce_s = max(getattr(args, "coalesce_ms", 0.0), 0.0) / 1e3
+
+    def _parse(raw: str) -> dict | None:
+        raw = raw.strip()
+        if not raw:
+            return None
         try:
-            req = json.loads(line)
+            return json.loads(raw)
         except json.JSONDecodeError as e:
             print(json.dumps(error_envelope("bad_request", str(e))), file=out, flush=True)
+            return None
+
+    def _is_batchable(req: dict) -> bool:
+        return req.get("op") == "search" and not bool(req.get("stream", args.stream))
+
+    eof = False
+    carry: dict | None = None  # a non-batchable request seen mid-drain
+    while not eof:
+        if carry is not None:
+            req, carry = carry, None
+        else:
+            raw = inbox.get()
+            if raw is None:
+                break
+            req = _parse(raw)
+            if req is None:
+                continue
+        if _is_batchable(req):
+            batch = [req]
+            deadline = time.monotonic() + coalesce_s
+            while len(batch) < max_batch:
+                try:
+                    timeout = deadline - time.monotonic()
+                    raw = inbox.get(block=timeout > 0, timeout=max(timeout, 1e-9))
+                except _queue.Empty:
+                    break
+                if raw is None:
+                    eof = True
+                    break
+                nxt = _parse(raw)
+                if nxt is None:
+                    continue
+                if _is_batchable(nxt):
+                    batch.append(nxt)
+                else:
+                    carry = nxt  # flush first: replies stay in order
+                    break
+            _serve_flush_searches(handle, batch, out)
             continue
         op = req.get("op")
         if op == "shutdown":
@@ -859,6 +955,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--fast-only", action="store_true")
     sp.add_argument("--stream", action="store_true",
                     help="emit per-phase stream frames (fs.stream.query.v1)")
+    sp.add_argument("--coalesce-ms", type=float, default=0.0,
+                    help="wait this long for more search requests before "
+                         "flushing a coalesced batch (0 = greedy drain only)")
+    sp.add_argument("--serve-max-batch", type=int, default=64,
+                    help="max coalesced search requests per device dispatch")
 
     return p
 

@@ -35,21 +35,26 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("n_docs",))
-def _bag_pool(emb, term_ids, doc_ids, tf, *, n_docs: int):
+@functools.partial(jax.jit, static_argnames=("n_docs", "out_dtype"))
+def _bag_pool(emb, term_ids, doc_ids, tf, *, n_docs: int, out_dtype: str = "f32"):
     rows = jnp.take(emb, term_ids, axis=0).astype(jnp.float32) * tf[:, None]
     pooled = jax.ops.segment_sum(rows, doc_ids, num_segments=n_docs)
     counts = jax.ops.segment_sum(tf, doc_ids, num_segments=n_docs)
     pooled = pooled / jnp.maximum(counts, 1.0)[:, None]
     norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
-    return jnp.where(norm > 1e-12, pooled / norm, pooled)
+    pooled = jnp.where(norm > 1e-12, pooled / norm, pooled)
+    # bf16 on the wire halves the device->host transfer (the ingest lane
+    # is transfer-bound through the tunnel); the slab stores bf16 anyway,
+    # so this is the same rounding the artifact write would apply
+    return pooled.astype(jnp.bfloat16) if out_dtype == "bf16" else pooled
 
 
 def bag_embed_corpus(
     embedder: Model2VecEmbedder,
     texts: Sequence[str],
     *,
-    chunk_docs: int = 65_536,
+    chunk_docs: int = 16_384,
+    wire_dtype: str = "f32",
 ) -> np.ndarray | None:
     """Embed a corpus through the native bag-of-words lane.
 
@@ -57,6 +62,12 @@ def bag_embed_corpus(
     native kernel, non-ASCII corpus) — the caller falls back to
     ``embed_batch``. Rows with zero in-vocabulary tokens come back as
     zero vectors, matching ``embed_batch``.
+
+    Dispatch-pipelined: every chunk's device program is LAUNCHED before
+    any result is collected (JAX async dispatch), so chunk i+1's host
+    tokenization + upload overlaps chunk i's compute + download — the
+    tunnel-bound lane's amortization. ``wire_dtype="bf16"`` halves the
+    result transfer (identical bits to the slab's own quantization).
     """
     tok = embedder._tokenizer
     if not isinstance(tok, SimpleWordTokenizer):
@@ -70,6 +81,7 @@ def bag_embed_corpus(
     out = np.zeros((len(texts), embedder.dim), dtype=np.float32)
     vocab_get = tok.vocab.get
     unk = tok.unk_id if tok.unk_id is not None else -1
+    pending: list[tuple[int, int, object]] = []  # (start, n, device result)
     for start in range(0, len(texts), chunk_docs):
         chunk = texts[start : start + chunk_docs]
         if tok.lowercase:
@@ -100,16 +112,24 @@ def bag_embed_corpus(
             jnp.asarray(doc_pad),
             jnp.asarray(tf_pad),
             n_docs=len(chunk) + 1,  # +1 sink row for padding
+            out_dtype=wire_dtype,
         )
-        out[start : start + len(chunk)] = np.asarray(pooled, dtype=np.float32)[: len(chunk)]
+        pending.append((start, len(chunk), pooled))  # no sync: keep dispatching
+    for start, n, pooled in pending:
+        out[start : start + n] = np.asarray(pooled, dtype=np.float32)[:n]
     return out
 
 
-def embed_corpus(embedder, texts: Sequence[str], *, batch: int = 2048) -> np.ndarray:
+def embed_corpus(
+    embedder, texts: Sequence[str], *, batch: int = 2048, wire_dtype: str = "f32"
+) -> np.ndarray:
     """Fastest valid corpus-embed lane: native bag-of-words when the
-    embedder/corpus qualify, else chunked ``embed_batch``."""
+    embedder/corpus qualify, else chunked ``embed_batch``.
+
+    ``wire_dtype="bf16"`` halves the device->host transfer; pass it when
+    the destination slab is bf16 (same rounding the artifact applies)."""
     if isinstance(embedder, Model2VecEmbedder):
-        via_bag = bag_embed_corpus(embedder, texts)
+        via_bag = bag_embed_corpus(embedder, texts, wire_dtype=wire_dtype)
         if via_bag is not None:
             return via_bag
     texts = list(texts)

@@ -25,7 +25,19 @@ FLEX_VERSION = 1
 
 def save_lexical(index: MemoryLexicalIndex, root: str) -> str:
     """Write an immutable snapshot + atomically publish CURRENT.
-    Returns the generation name."""
+    Returns the generation name.
+
+    Publication is guarded by the cross-process flock WriterLock
+    (keeper.rs WRITER_LOCK role): two writers racing a blue-green
+    publish would otherwise interleave CURRENT swaps."""
+    from frankensearch_tpu.index.file_identity import WriterLock
+
+    os.makedirs(os.path.join(root, "lexical"), exist_ok=True)
+    with WriterLock(os.path.join(root, "lexical", ".writer.lock")):
+        return _save_lexical_locked(index, root)
+
+
+def _save_lexical_locked(index: MemoryLexicalIndex, root: str) -> str:
     postings, field_stats, docs = index.snapshot_postings()
     generation = f"gen-{int(time.time() * 1000):013d}"
     gen_dir = os.path.join(root, "lexical", generation)

@@ -375,6 +375,43 @@ def scan_topk_hierarchical_int8(
 
 _RESCORE_QB = 8  # queries per grid step (sublane-aligned block)
 
+#: chunk width for the two-stage group top-k (lane-aligned)
+_GROUP_TOPK_CHUNK = 128
+
+
+def _topk_groups_two_stage(gmax: jax.Array, kk: int) -> jax.Array:
+    """Exact top-kk group selection in two stages.
+
+    MEASURED NEGATIVE (kept for the ledger's A/B honesty): at 1M docs /
+    B=512 / tile 4096 on v5e this is SLOWER than one ``lax.top_k`` over
+    the full (512, 7813) gmax — 3.28 vs 2.76 ms end-to-end
+    (PERF_LEDGER "two-stage group top-k"). XLA's top_k lowering is
+    bandwidth-bound, not sort-bound, at this shape; the extra
+    pad/reshape/gather passes cost more than the narrower sorts save.
+    Not wired into the scan lanes; retained as a tested primitive for
+    shapes where n_groups is far larger (10M+ docs).
+
+    Exact by the standard argument: a global top-kk element is a
+    top-kk element of its own chunk. Tie behavior matches single-stage
+    (lowest group id wins). Returns (B, kk) group ids, unsorted.
+    """
+    b, n_groups = gmax.shape
+    chunk = _GROUP_TOPK_CHUNK
+    if n_groups <= 2 * chunk or kk >= chunk:
+        _, top = jax.lax.top_k(gmax, kk)
+        return top
+    n_chunks = (n_groups + chunk - 1) // chunk
+    pad = n_chunks * chunk - n_groups
+    if pad:
+        gmax = jnp.pad(gmax, ((0, 0), (0, pad)), constant_values=NEG_INF)
+    per_chunk = gmax.reshape(b, n_chunks, chunk)
+    s1, i1 = jax.lax.top_k(per_chunk, kk)  # (B, n_chunks, kk)
+    base = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[None, :, None]
+    ids1 = (i1.astype(jnp.int32) + base).reshape(b, n_chunks * kk)
+    s1 = s1.reshape(b, n_chunks * kk)
+    _, pos = jax.lax.top_k(s1, kk)
+    return jnp.take_along_axis(ids1, pos, axis=1)
+
 
 def _gather_rescore_kernel(
     groups_ref,  # scalar-prefetch: (B, KK) i32 group ids (SMEM)

@@ -192,3 +192,26 @@ class TestCliContract:
         rows = {row["query"]: [h["doc_id"] for h in row["results"]] for row in batch["data"]}
         assert rows[""] == []  # empty query degrades cleanly inside a batch
         assert rows["jax tpu"] == [h["doc_id"] for h in single["data"]]  # parity
+
+    def test_serve_coalesces_pipelined_searches(self, index_root):
+        # 6 search requests piped at once: the greedy drain coalesces
+        # them into ONE batched device dispatch; replies arrive in
+        # request order with per-request k honored
+        reqs = "\n".join(
+            [json.dumps({"op": "search", "query": "jax tpu", "k": 1 + (i % 3)})
+             for i in range(6)]
+            + [json.dumps({"op": "ping"}), json.dumps({"op": "shutdown"})]
+        )
+        r = run_cli("serve", "--coalesce-ms", "50", "--root", index_root,
+                    input_text=reqs)
+        lines = [json.loads(line) for line in r.stdout.strip().splitlines()]
+        assert len(lines) == 8
+        search_replies = lines[:6]
+        assert all(env["ok"] for env in search_replies)
+        # coalescing engaged (>1 request per dispatch)
+        assert max(env.get("meta", {}).get("coalesced", 1) for env in search_replies) > 1
+        for i, env in enumerate(search_replies):
+            assert len(env["data"]) == 1 + (i % 3)  # per-request k
+            assert env["data"][0]["doc_id"] == "jax-1"
+        assert lines[6]["data"]["op"] == "pong"  # order preserved across ops
+        assert lines[7]["data"]["op"] == "shutdown"

@@ -173,3 +173,72 @@ class TestBlockedStreamingKernel:
             want = [(c.doc_id, round(c.score, 4)) for c in dense.search_candidates(query, 20)]
             got = [(c.doc_id, round(c.score, 4)) for c in loaded.search_candidates(query, 20)]
             assert got == want, query
+
+
+class TestBlockMaxPruning:
+    """Block-max pruning (argus.rs:1-8 TPU analog): exact skipping."""
+
+    def _blocked_index(self, docs):
+        import frankensearch_tpu.lexical.device_bm25 as mod
+        from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+
+        mem = MemoryLexicalIndex()
+        for d in docs:
+            mem.add_document(d)
+        mem.commit()
+        old_thresh, old_blk = mod.BLOCKED_THRESHOLD_POSTINGS, mod.DEFAULT_BLOCK_POSTINGS
+        mod.BLOCKED_THRESHOLD_POSTINGS = 1
+        mod.DEFAULT_BLOCK_POSTINGS = 128
+        try:
+            dev = mod.DeviceBm25Index(mem)
+        finally:
+            mod.BLOCKED_THRESHOLD_POSTINGS = old_thresh
+            mod.DEFAULT_BLOCK_POSTINGS = old_blk
+        return mem, dev
+
+    def _corpus(self):
+        from frankensearch_tpu.core.types import IndexableDocument
+
+        docs = []
+        # high-tf docs sort FIRST (row order == doc_id order), so the
+        # carry's kth fills high early and later blocks become prunable
+        for i in range(120):
+            tf = max(1, 12 - i // 10)
+            docs.append(
+                IndexableDocument(
+                    doc_id=f"d{i:04d}",
+                    content=("alpha " * tf) + f"filler{i} beta gamma",
+                )
+            )
+        return docs
+
+    def test_blocks_actually_skipped(self):
+        _, dev = self._blocked_index(self._corpus())
+        assert dev._blocked is not None and dev._blocked.n_blk > 3
+        dev.search_candidates("alpha", 5)
+        assert dev.last_blocks_skipped > 0
+
+    def test_pruned_ranks_match_oracle_exactly(self):
+        mem, dev = self._blocked_index(self._corpus())
+        for q in ("alpha", "alpha beta", "beta gamma", "filler7", "nosuchterm"):
+            got = [(c.doc_id, round(c.score, 5)) for c in dev.search_candidates(q, 10)]
+            want = [(c.doc_id, round(c.score, 5)) for c in mem.search_candidates(q, 10)]
+            assert got == want, (q, got, want)
+
+    def test_bounds_are_true_upper_bounds(self):
+        import numpy as np
+
+        _, dev = self._blocked_index(self._corpus())
+        blocked = dev._blocked
+        ids, w = dev._query_sparse_rows(["alpha beta"])
+        bounds = blocked.query_bounds(ids, w)  # (n_blk, 1)
+        # exhaustive check: every doc's true score <= its block's bound
+        mem_scores = {
+            c.doc_id: c.score
+            for c in dev._source.search_candidates("alpha beta", 200)
+        }
+        base = np.asarray(blocked.blk_base)
+        for doc_id, score in mem_scores.items():
+            row = dev.doc_ids.index(doc_id)
+            blk = int(np.searchsorted(base, row, side="right")) - 1
+            assert score <= bounds[blk, 0] * (1 + 1e-6) + 1e-6, (doc_id, score, bounds[blk, 0])

@@ -120,3 +120,101 @@ class TestConfinedRoot:
         root = ConfinedRoot(str(inner))
         with pytest.raises(PathEscape):
             root.resolve("link")
+
+
+class TestCapabilityOpens:
+    """Descriptor-relative confinement (generation_root.rs openat)."""
+
+    def test_open_fd_reads_nested(self, tmp_path):
+        (tmp_path / "gen" / "sub").mkdir(parents=True)
+        (tmp_path / "gen" / "sub" / "a.bin").write_bytes(b"payload")
+        root = ConfinedRoot(str(tmp_path / "gen"))
+        assert root.open_bytes("sub/a.bin") == b"payload"
+        root.close()
+
+    def test_symlink_at_any_depth_refused(self, tmp_path):
+        import os as _os
+
+        (tmp_path / "gen" / "sub").mkdir(parents=True)
+        (tmp_path / "secret").write_bytes(b"outside")
+        _os.symlink(str(tmp_path / "secret"), str(tmp_path / "gen" / "sub" / "leak"))
+        _os.symlink(str(tmp_path), str(tmp_path / "gen" / "updir"))
+        root = ConfinedRoot(str(tmp_path / "gen"))
+        with pytest.raises(PathEscape):
+            root.open_bytes("sub/leak")  # symlinked file
+        with pytest.raises(PathEscape):
+            root.open_bytes("updir/secret")  # symlinked dir component
+        root.close()
+
+    def test_dotdot_refused_even_if_resolving_inside(self, tmp_path):
+        (tmp_path / "gen" / "sub").mkdir(parents=True)
+        (tmp_path / "gen" / "a.bin").write_bytes(b"x")
+        root = ConfinedRoot(str(tmp_path / "gen"))
+        with pytest.raises(PathEscape):
+            root.open_fd("sub/../a.bin")
+        root.close()
+
+
+class TestWriterLock:
+    def test_exclusive_across_handles(self, tmp_path):
+        from frankensearch_tpu.index.file_identity import LockHeld, WriterLock
+
+        path = str(tmp_path / "w.lock")
+        with WriterLock(path):
+            with pytest.raises(LockHeld, match="pid="):
+                WriterLock(path).acquire()
+        # released: acquirable again
+        WriterLock(path).acquire().release()
+
+    def test_lock_dies_with_process(self, tmp_path):
+        import subprocess
+        import sys
+
+        path = str(tmp_path / "w.lock")
+        # child takes the lock and EXITS WITHOUT releasing: flock must
+        # vanish with the process (no stale window)
+        subprocess.run(
+            [sys.executable, "-c",
+             "import sys; sys.path.insert(0, '/root/repo');"
+             "from frankensearch_tpu.index.file_identity import WriterLock;"
+             f"WriterLock({path!r}).acquire()"],
+            check=True, capture_output=True,
+        )
+        from frankensearch_tpu.index.file_identity import WriterLock
+
+        WriterLock(path).acquire().release()  # no LockHeld
+
+    def test_guards_lexical_publication(self, tmp_path):
+        from frankensearch_tpu.core.types import IndexableDocument
+        from frankensearch_tpu.index.file_identity import LockHeld, WriterLock
+        from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+        from frankensearch_tpu.lexical.persist import save_lexical
+
+        idx = MemoryLexicalIndex()
+        idx.add_document(IndexableDocument(doc_id="d", content="alpha"))
+        idx.commit()
+        os.makedirs(tmp_path / "lexical", exist_ok=True)
+        with WriterLock(str(tmp_path / "lexical" / ".writer.lock")):
+            with pytest.raises(LockHeld):
+                save_lexical(idx, str(tmp_path))
+        gen = save_lexical(idx, str(tmp_path))  # lock released -> publishes
+        assert gen
+
+
+class TestFilesystemPolicy:
+    def test_local_fs_is_durable(self, tmp_path):
+        from frankensearch_tpu.index.file_identity import filesystem_policy
+
+        pol = filesystem_policy(str(tmp_path))
+        assert pol.durable_rename and pol.local
+
+    def test_network_fs_types_flagged(self):
+        from frankensearch_tpu.index.file_identity import (
+            _NETWORK_FS,
+            FilesystemPolicy,
+        )
+
+        assert "nfs" in _NETWORK_FS  # classification table pins the contract
+        pol = FilesystemPolicy(fs_type="nfs", local=False,
+                               durable_rename=False, flock_reliable=False)
+        assert not pol.durable_rename

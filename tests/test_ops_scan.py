@@ -363,3 +363,33 @@ class TestHierarchicalInt8:
 
         assert recall(3) >= recall(1)
         assert recall(3) >= 0.95
+
+
+class TestTwoStageGroupTopk:
+    """Exactness of the two-stage primitive (measured slower than
+    lax.top_k at serving shapes — PERF_LEDGER — but kept for 10M+)."""
+
+    def test_matches_lax_topk_including_ties(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from frankensearch_tpu.ops.topk_scan import _topk_groups_two_stage
+
+        rng = np.random.default_rng(3)
+        gmax = rng.standard_normal((4, 1000)).astype(np.float32)
+        gmax[:, 500] = gmax[:, 100]  # cross-chunk tie
+        got = np.sort(np.asarray(_topk_groups_two_stage(jnp.asarray(gmax), 13)), axis=1)
+        import jax
+
+        _, want = jax.lax.top_k(jnp.asarray(gmax), 13)
+        assert np.array_equal(got, np.sort(np.asarray(want), axis=1))
+
+    def test_small_input_falls_back(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from frankensearch_tpu.ops.topk_scan import _topk_groups_two_stage
+
+        gmax = jnp.asarray(np.arange(24, dtype=np.float32)[None, :])
+        got = np.asarray(_topk_groups_two_stage(gmax, 3))
+        assert set(got[0]) == {23, 22, 21}

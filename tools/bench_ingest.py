@@ -1,0 +1,86 @@
+"""Corpus-embed ingest throughput (VERDICT r1 item 6: >=10k docs/s).
+
+Measures the two fast-tier corpus lanes at 100k docs x ~40 tokens
+(Model2Vec 256d, synthetic vocab): the native bag-of-words device lane
+(embed/bulk.py, dispatch-pipelined, bf16 wire) and the padded
+embed_batch path. End-to-end wall time including tokenization, uploads
+and the result download.
+
+Usage: python -m tools.bench_ingest [n_docs] [chunk_docs]
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 16_384
+
+    import jax
+
+    from frankensearch_tpu.embed.bulk import bag_embed_corpus
+    from frankensearch_tpu.embed.model2vec import (
+        Model2VecEmbedder,
+        SimpleWordTokenizer,
+    )
+
+    platform = jax.devices()[0].platform
+    rng = np.random.default_rng(0)
+    vocab_words = [f"w{i:05d}" for i in range(30_000)]
+    vocab = {w: i for i, w in enumerate(vocab_words)}
+    emb_matrix = rng.standard_normal((len(vocab), 256)).astype(np.float32)
+    embedder = Model2VecEmbedder(
+        emb_matrix, SimpleWordTokenizer(vocab), embedder_id="m2v-bench"
+    )
+
+    t0 = time.perf_counter()
+    word_idx = rng.integers(0, len(vocab_words), size=(n_docs, 40))
+    texts = [" ".join(vocab_words[j] for j in row) for row in word_idx]
+    gen_s = time.perf_counter() - t0
+
+    # warm compile of both chunk shapes (full + tail)
+    bag_embed_corpus(embedder, texts[: min(chunk + 7, len(texts))], chunk_docs=chunk)
+
+    t0 = time.perf_counter()
+    bag = bag_embed_corpus(embedder, texts, chunk_docs=chunk)
+    bag_s = time.perf_counter() - t0
+    assert bag is not None, "bag lane unavailable"
+
+    # padded comparison lane on a 20k slice (extrapolated; it is the slow lane)
+    slice_n = min(20_000, n_docs)
+    embedder.embed_batch(texts[:512])  # warm
+    t0 = time.perf_counter()
+    parts = [
+        embedder.embed_batch(texts[s : min(s + 2048, slice_n)])
+        for s in range(0, slice_n, 2048)
+    ]
+    padded_s = time.perf_counter() - t0
+    padded = np.concatenate(parts, axis=0)[:slice_n]
+
+    # numerical parity between the lanes (bf16 wire tolerance)
+    a = bag[:slice_n] / np.maximum(np.linalg.norm(bag[:slice_n], axis=1, keepdims=True), 1e-12)
+    b = padded / np.maximum(np.linalg.norm(padded, axis=1, keepdims=True), 1e-12)
+    min_cos = float(np.min(np.sum(a * b, axis=1)))
+
+    print(json.dumps({
+        "metric": f"ingest_bag_{n_docs // 1000}k",
+        "value": round(n_docs / bag_s, 1),
+        "unit": "docs/s",
+        "bag_s": round(bag_s, 2),
+        "padded_docs_per_s": round(slice_n / padded_s, 1),
+        "chunk_docs": chunk,
+        "min_cos_vs_padded": round(min_cos, 6),
+        "corpus_gen_s": round(gen_s, 1),
+        "platform": platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()

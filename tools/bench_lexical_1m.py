@@ -55,16 +55,21 @@ def main() -> None:
     # query batch: term ids drawn from the corpus distribution, idf-like
     # weights; chained with a tiny carry perturbation for slope timing
     t_q = 16
-    q_ids = jnp.asarray(((rng.zipf(1.3, size=(batch, t_q)) - 1) % vocab).astype(np.int32))
-    q_w = jnp.asarray(rng.uniform(0.5, 6.0, size=(batch, t_q)).astype(np.float32))
+    q_ids_np = ((rng.zipf(1.3, size=(batch, t_q)) - 1) % vocab).astype(np.int32)
+    q_w_np = rng.uniform(0.5, 6.0, size=(batch, t_q)).astype(np.float32)
+    q_ids = jnp.asarray(q_ids_np)
+    q_w = jnp.asarray(q_w_np)
     k = 100
+    t0 = time.perf_counter()
+    bounds = jnp.asarray(blocked.query_bounds(q_ids_np, q_w_np))
+    bounds_s = time.perf_counter() - t0
 
     @functools.partial(jax.jit, static_argnames=("reps",))
-    def chain(bt, bd, bf, bb, q_ids, q_w, reps: int):
+    def chain(bt, bd, bf, bb, bounds, q_ids, q_w, reps: int):
         def body(i, carry):
             w, acc = carry
-            top_s, top_i = _device_bm25_blocked(
-                bt, bd, bf, bb, q_ids, w,
+            top_s, top_i, skipped = _device_bm25_blocked(
+                bt, bd, bf, bb, bounds, q_ids, w,
                 v_pad=blocked.v_pad, k=k, d_blk=blocked.d_blk,
             )
             delta = 1e-7 * jnp.mean(top_s)
@@ -77,11 +82,16 @@ def main() -> None:
         t0 = time.perf_counter()
         acc = chain(
             blocked.blk_term, blocked.blk_doc, blocked.blk_tf, blocked.blk_base,
-            q_ids, q_w, reps=reps,
+            bounds, q_ids, q_w, reps=reps,
         )
         float(acc)
         return time.perf_counter() - t0
 
+    _, _, skipped0 = _device_bm25_blocked(
+        blocked.blk_term, blocked.blk_doc, blocked.blk_tf, blocked.blk_base,
+        bounds, q_ids, q_w, v_pad=blocked.v_pad, k=k, d_blk=blocked.d_blk,
+    )
+    skipped0 = int(skipped0)
     timed(r_lo)
     timed(r_hi)
     samples = [
@@ -101,6 +111,8 @@ def main() -> None:
                 "p_blk": int(p_blk),
                 "d_blk": int(blocked.d_blk),
                 "host_build_s": round(build_s, 2),
+                "bounds_ms": round(bounds_s * 1e3, 2),
+                "blocks_skipped": skipped0,
                 "synth_s": round(synth_s, 2),
                 "platform": platform,
                 "samples_ms": [round(s * 1e3, 3) for s in samples],
