@@ -205,7 +205,10 @@ class _BlockedPostings:
             pos = lo[j_of] + offset
             contrib = flat_w[j_of] * self.bm_max[pos]
             key = self.bm_blk[pos].astype(np.int64) * b + flat_q[j_of]
-            np.add.at(bound, key, contrib)
+            # bincount is ~10x np.add.at for this scatter-add shape
+            bound = np.bincount(
+                key, weights=contrib.astype(np.float64), minlength=self.n_blk * b
+            ).astype(np.float32)
         return bound.reshape(self.n_blk, b)
 
 

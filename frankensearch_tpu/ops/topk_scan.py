@@ -520,7 +520,8 @@ def _gather_rescore_pallas(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile_n", "group", "interpret", "rescore")
+    jax.jit,
+    static_argnames=("k", "tile_n", "group", "interpret", "rescore", "group_select"),
 )
 def scan_topk_hierarchical(
     slab: jax.Array,
@@ -532,6 +533,7 @@ def scan_topk_hierarchical(
     group: int = 128,
     interpret: bool = False,
     rescore: str = "xla",  # "xla" (take+einsum) | "pallas" (fused DMA+GEMV)
+    group_select: str = "sort",  # "sort" (lax.top_k) | "iter" (k argmax passes)
 ) -> TopKResult:
     """Exact top-k via group-max pruning.
 
@@ -577,11 +579,14 @@ def scan_topk_hierarchical(
     )(queries, slab, mask2d)
     gmax = jnp.transpose(gmax.reshape(n_groups, b), (1, 0))  # (B, N/R)
 
-    # NOTE: iter_topk (k argmax passes) is cheaper on paper here, but its
-    # unrolled graph inflates the serialized HLO enough to break remote-
-    # compile size limits when this op is chained; lax.top_k keeps the
-    # graph compact (measured 5.0 ms end-to-end at 1M docs).
-    _, top_groups = jax.lax.top_k(gmax, kk_groups)  # (B, kk_groups)
+    # group_select="iter" runs k unrolled argmax passes (VPU reads, no
+    # sort); inside a fori_loop-chained bench the body traces ONCE so the
+    # earlier HLO-inflation concern doesn't apply. "sort" (lax.top_k)
+    # stays the default pending an on-hardware win (tools/bench_groupsel).
+    if group_select == "iter":
+        _, top_groups = iter_topk(gmax, kk_groups)
+    else:
+        _, top_groups = jax.lax.top_k(gmax, kk_groups)  # (B, kk_groups)
 
     # gather whole GROUPS as contiguous (group*D)-wide rows: each gathered
     # row is one 64KB-class DMA instead of `group` scattered row gathers

@@ -393,3 +393,26 @@ class TestTwoStageGroupTopk:
         gmax = jnp.asarray(np.arange(24, dtype=np.float32)[None, :])
         got = np.asarray(_topk_groups_two_stage(gmax, 3))
         assert set(got[0]) == {23, 22, 21}
+
+
+def test_hierarchical_group_select_iter_parity():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from frankensearch_tpu.ops.topk_scan import scan_topk_hierarchical
+
+    rng = np.random.default_rng(11)
+    n, d, b, k = 4096, 128, 8, 10
+    slab = rng.standard_normal((n, d)).astype(np.float32)
+    slab /= np.linalg.norm(slab, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    sd, qd = jnp.asarray(slab, jnp.bfloat16), jnp.asarray(q)
+    it = scan_topk_hierarchical(sd, qd, k, tile_n=1024, group=128,
+                                group_select="iter", interpret=True)
+    # control: the SAME pipeline with the sort selector — only the group
+    # selection stage differs, so results must be bit-identical
+    want = scan_topk_hierarchical(sd, qd, k, tile_n=1024, group=128,
+                                  group_select="sort", interpret=True)
+    assert np.array_equal(np.asarray(it.indices), np.asarray(want.indices))
+    assert np.array_equal(np.asarray(it.scores), np.asarray(want.scores))

@@ -1,0 +1,72 @@
+"""A/B the hierarchical scan's group-selection stage on hardware:
+lax.top_k sort vs k unrolled argmax passes (iter_topk).
+
+Usage: python -m tools.bench_groupsel [B] [tile]
+Prints ONE JSON line per variant.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    tile = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+
+    import jax
+    import jax.numpy as jnp
+
+    from frankensearch_tpu.ops.topk_scan import scan_topk_hierarchical
+
+    n_docs, dim, k = 1_000_000, 256, 10
+    n_pad = (n_docs + tile - 1) // tile * tile
+    rng = np.random.default_rng(0)
+    slab = np.empty((n_pad, dim), dtype=np.float32)
+    for s in range(0, n_pad, 131072):
+        e = min(s + 131072, n_pad)
+        blk = rng.standard_normal((e - s, dim)).astype(np.float32)
+        slab[s:e] = blk / np.maximum(np.linalg.norm(blk, axis=1, keepdims=True), 1e-12)
+    mask = np.zeros(n_pad, np.float32)
+    mask[n_docs:] = -np.inf
+    q = rng.standard_normal((b, dim)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    slab_d = jnp.asarray(slab, jnp.bfloat16)
+    mask_d = jnp.asarray(mask)
+    q_d = jnp.asarray(q)
+
+    @functools.partial(jax.jit, static_argnames=("reps", "sel"))
+    def chain(slab, mask, qq, reps: int, sel: str):
+        def body(i, carry):
+            cur, acc = carry
+            r = scan_topk_hierarchical(
+                slab, cur, k, mask, tile_n=tile, group=128,
+                rescore="pallas", group_select=sel,
+            )
+            return (qq + 1e-6 * jnp.mean(r.scores),
+                    acc + jnp.sum(r.scores) + jnp.sum(r.indices).astype(jnp.float32))
+        _, acc = jax.lax.fori_loop(0, reps, body, (qq, jnp.float32(0.0)))
+        return acc
+
+    def timed(reps, sel):
+        t0 = time.perf_counter()
+        acc = chain(slab_d, mask_d, q_d, reps=reps, sel=sel)
+        float(acc)
+        return time.perf_counter() - t0
+
+    for sel in ("sort", "iter"):
+        timed(8, sel)
+        timed(40, sel)
+        samples = [(timed(40, sel) - timed(8, sel)) / 32 for _ in range(3)]
+        per = float(np.median(samples))
+        print(json.dumps({"variant": sel, "B": b, "tile": tile,
+                          "per_scan_ms": round(per * 1e3, 4),
+                          "qps": round(b / per, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""1M-doc HYBRID e2e throughput on TPU (VERDICT r1 item 4 done-criterion).
+
+The full product pipeline at corpus scale: Model2Vec fast tier (bag
+ingest lane), device BM25 lexical arm (blocked streaming kernel with
+block-max pruning), RRF fusion on host — measured through
+``TwoTierSearcher.search_batch`` exactly as open_hybrid serves it.
+
+Synthetic-but-real text corpus (zipf vocab): the native tokenizer,
+postings build, device kernels and fusion all do their real work.
+
+Usage: python -m tools.bench_hybrid_1m [n_docs] [batch] [n_batches]
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    n_batches = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+
+    import jax
+
+    from frankensearch_tpu.core.config import TwoTierConfig
+    from frankensearch_tpu.core.types import IndexableDocument
+    from frankensearch_tpu.embed.bulk import bag_embed_corpus
+    from frankensearch_tpu.embed.model2vec import (
+        Model2VecEmbedder,
+        SimpleWordTokenizer,
+    )
+    from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+    from frankensearch_tpu.index.two_tier import TwoTierIndex
+    from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
+
+    platform = jax.devices()[0].platform
+    rng = np.random.default_rng(0)
+    t_all = time.perf_counter()
+
+    # corpus: zipf word draws over a 50k vocab, ~14 words/doc
+    vocab_words = [f"w{i:05d}" for i in range(50_000)]
+    t0 = time.perf_counter()
+    word_idx = (rng.zipf(1.35, size=(n_docs, 14)) - 1) % len(vocab_words)
+    texts = [" ".join(vocab_words[j] for j in row) for row in word_idx]
+    gen_s = time.perf_counter() - t0
+
+    emb_matrix = rng.standard_normal((len(vocab_words), 256)).astype(np.float32)
+    m2v = Model2VecEmbedder(
+        emb_matrix, SimpleWordTokenizer({w: i for i, w in enumerate(vocab_words)}),
+        embedder_id="m2v-hybrid-bench",
+    )
+
+    t0 = time.perf_counter()
+    fast_vecs = bag_embed_corpus(m2v, texts, wire_dtype="bf16")
+    embed_s = time.perf_counter() - t0
+    assert fast_vecs is not None
+
+    t0 = time.perf_counter()
+    root = tempfile.mkdtemp(prefix="hybrid1m_")
+    doc_ids = [f"d{i:07d}" for i in range(n_docs)]
+    index = TwoTierIndex.create(root, fast_vecs, doc_ids, m2v.identity())
+    index_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    docs = [
+        IndexableDocument(doc_id=doc_ids[i], content=texts[i])
+        for i in range(n_docs)
+    ]
+    lexical = BulkDeviceBm25Index(docs)
+    lex_s = time.perf_counter() - t0
+
+    searcher = TwoTierSearcher(
+        index, m2v, lexical=lexical,
+        config=TwoTierConfig(fast_only=True),
+        cache_query_embeddings=False,
+    )
+
+    # queries: 3 corpus words each (mid-frequency band for selectivity)
+    def make_queries(seed):
+        r = np.random.default_rng(seed)
+        qs = []
+        for _ in range(batch):
+            ws = (r.zipf(1.35, size=3) - 1) % len(vocab_words)
+            qs.append(" ".join(vocab_words[j] for j in ws))
+        return qs
+
+    warm = searcher.search_batch(make_queries(99), k=10)
+    assert any(o.results for o in warm)
+
+    times = []
+    for bi in range(n_batches):
+        qs = make_queries(bi)
+        t0 = time.perf_counter()
+        outs = searcher.search_batch(qs, k=10)
+        times.append(time.perf_counter() - t0)
+        assert sum(1 for o in outs if o.results) > batch // 2
+    per_batch = float(np.median(times))
+    skipped = getattr(lexical, "last_blocks_skipped", None)
+
+    print(json.dumps({
+        "metric": f"hybrid_e2e_{n_docs // 1000}k",
+        "value": round(batch / per_batch, 1),
+        "unit": "qps (hybrid, fused RRF, host fusion incl.)",
+        "per_batch_s": round(per_batch, 3),
+        "batch": batch,
+        "setup_s": {
+            "corpus_gen": round(gen_s, 1),
+            "fast_embed": round(embed_s, 1),
+            "index_build": round(index_s, 1),
+            "lexical_build": round(lex_s, 1),
+            "total": round(time.perf_counter() - t_all, 1),
+        },
+        "lexical_blocks_skipped": skipped,
+        "platform": platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()
