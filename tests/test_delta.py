@@ -125,3 +125,61 @@ class TestRankParity:
             got = [(c.doc_id, round(c.score, 4)) for c in arm.search_candidates(q, 8)]
             want = [(c.doc_id, round(c.score, 4)) for c in oracle.search_candidates(q, 8)]
             assert [g[0] for g in got] == [w[0] for w in want], (q, got, want)
+
+
+class TestSealInvarianceLaw:
+    """Metamorphic maintenance law (gauntlet discipline): sealing must
+    not change the result set for any query over committed docs."""
+
+    def test_results_identical_across_the_freeze_boundary(self, tmp_path):
+        oracle = _seed_oracle(20)
+        arm = DeltaLexicalIndex(oracle, root=str(tmp_path))
+        for i in range(5):
+            arm.add_document(_doc(200 + i, f"quartz onyx mineral {i}"))
+        arm.commit()
+        queries = ["quartz onyx", "alpha beta", "sealed doc", "mineral 3"]
+        before = {q: [(c.doc_id, round(c.score, 5))
+                      for c in arm.search_candidates(q, 10)] for q in queries}
+        arm.seal()
+        for q in queries:
+            after = [(c.doc_id, round(c.score, 5))
+                     for c in arm.search_candidates(q, 10)]
+            assert [d for d, _ in after] == [d for d, _ in before[q]], (q, before[q], after)
+
+
+class TestDeltaConcurrency:
+    def test_concurrent_writers_and_readers(self):
+        import threading
+
+        arm = DeltaLexicalIndex(
+            _seed_oracle(), lease=DeltaLease(max_docs=50, max_age_s=1e9)
+        )
+        errors: list[Exception] = []
+
+        def writer(base):
+            try:
+                for i in range(40):
+                    arm.add_document(_doc(base + i, f"thread doc {base + i} xylophone"))
+                    arm.commit()
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        def reader():
+            try:
+                for _ in range(60):
+                    arm.search_candidates("xylophone", 5)
+                    arm.search_candidates("sealed doc", 5)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=writer, args=(1000,)),
+                   threading.Thread(target=writer, args=(2000,)),
+                   threading.Thread(target=reader), threading.Thread(target=reader)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        arm.seal()
+        hits = arm.search_candidates("xylophone", 100)
+        assert len(hits) == 80  # every concurrent append survived

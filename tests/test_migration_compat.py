@@ -55,3 +55,48 @@ class TestV1Snapshot:
         s = TwoTierSearcher(ix, HashEmbedder(dim=32), lexical=lex)
         out = s.search("gamma third document", k=3)
         assert out.results[0].doc_id == "gamma-doc"
+
+
+class TestSidecarBackCompat:
+    def test_index_without_parity_sidecars_still_opens(self, tmp_path):
+        """Pre-round-2 artifacts have no .fspar/.fsum: open must not
+        demand them (migration compatibility)."""
+        import os
+
+        import numpy as np
+
+        from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+        from frankensearch_tpu.index.two_tier import TwoTierIndex
+
+        emb = HashEmbedder(dim=32)
+        vecs = emb.embed_batch([f"doc {i}" for i in range(8)])
+        idx = TwoTierIndex.create(
+            str(tmp_path), vecs, [f"d{i}" for i in range(8)], emb.identity(),
+            use_pallas=False,
+        )
+        # strip every durability sidecar (simulates an r1-era index)
+        for name in os.listdir(tmp_path):
+            if name.endswith((".fsum", ".fspar")):
+                os.remove(tmp_path / name)
+        reopened = TwoTierIndex.open(str(tmp_path), use_pallas=False)
+        assert reopened.doc_count() == 8
+
+    def test_fsum_only_index_verifies_without_fspar(self, tmp_path):
+        """An index protected by r1 (digest sidecar only, no parity)
+        verifies clean and degrades to quarantine (not crash) on
+        corruption."""
+        import os
+
+        from frankensearch_tpu.index.durability import (
+            FileProtector,
+            ensure_artifact,
+        )
+
+        p = tmp_path / "vector.fast.idx"
+        p.write_bytes(os.urandom(4096))
+        FileProtector.protect(str(p))  # r1 path: digest only
+        assert ensure_artifact(str(p))
+        with open(p, "r+b") as f:
+            f.seek(100)
+            f.write(b"\xff\xff")
+        assert not ensure_artifact(str(p))  # detected, no parity -> False

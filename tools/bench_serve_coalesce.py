@@ -1,0 +1,100 @@
+"""Warm serve-mode throughput with dispatch coalescing (TPU).
+
+The r1 ledger row measured ~113 ms/query warm singleton serve — all
+tunnel RPC. This measures the same NDJSON serve surface with N search
+requests pipelined at once: the greedy-drain coalescer folds them into
+one batched device program, amortizing the dispatch.
+
+Usage: python -m tools.bench_serve_coalesce [n_docs] [n_queries]
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+
+    rng = np.random.default_rng(0)
+    words = [f"w{i:04d}" for i in range(3000)]
+    root = tempfile.mkdtemp(prefix="serve_bench_")
+    corpus = os.path.join(root, "c.jsonl")
+    with open(corpus, "w") as f:
+        for i in range(n_docs):
+            body = " ".join(rng.choice(words, size=14))
+            f.write(json.dumps({"id": f"d{i}", "content": body}) + "\n")
+    ix = os.path.join(root, "ix")
+    t0 = time.perf_counter()
+    subprocess.run(
+        [sys.executable, "-m", "frankensearch_tpu.cli", "--format", "json",
+         "index", corpus, "--root", ix],
+        check=True, capture_output=True, cwd="/root/repo",
+    )
+    index_s = time.perf_counter() - t0
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "frankensearch_tpu.cli", "serve",
+         "--root", ix, "--coalesce-ms", "30", "--serve-max-batch", "128"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+        cwd="/root/repo",
+    )
+
+    def send(line: str) -> None:
+        proc.stdin.write(line + "\n")
+        proc.stdin.flush()
+
+    def recv() -> dict:
+        return json.loads(proc.stdout.readline())
+
+    # warm: compile every shape once
+    send(json.dumps({"op": "search", "query": "w0001 w0002", "k": 10}))
+    recv()
+    qs = [" ".join(rng.choice(words, size=3)) for _ in range(n_queries)]
+    warm_batch = "\n".join(json.dumps({"op": "search", "query": q, "k": 10}) for q in qs)
+    send(warm_batch)
+    for _ in range(n_queries):
+        recv()
+
+    # singleton warm latency (3 samples)
+    singles = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        send(json.dumps({"op": "search", "query": qs[i], "k": 10}))
+        recv()
+        singles.append(time.perf_counter() - t0)
+
+    # pipelined: all queries at once
+    t0 = time.perf_counter()
+    send(warm_batch)
+    replies = [recv() for _ in range(n_queries)]
+    pipelined_s = time.perf_counter() - t0
+    coalesced = max(r.get("meta", {}).get("coalesced", 1) for r in replies)
+    assert all(r["ok"] for r in replies)
+
+    send(json.dumps({"op": "shutdown"}))
+    proc.wait(timeout=30)
+
+    print(json.dumps({
+        "metric": f"serve_coalesced_{n_docs // 1000}k",
+        "value": round(n_queries / pipelined_s, 1),
+        "unit": "qps (warm NDJSON serve, pipelined client)",
+        "ms_per_query_pipelined": round(pipelined_s / n_queries * 1e3, 2),
+        "ms_per_query_singleton": round(float(np.median(singles)) * 1e3, 1),
+        "max_coalesced": coalesced,
+        "n_queries": n_queries,
+        "index_build_s": round(index_s, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
