@@ -52,6 +52,15 @@ class Embedder(abc.ABC):
     def embed(self, text: str) -> np.ndarray:
         return self.embed_batch([text])[0]
 
+    def embed_prefetch(self, text: str):
+        """Start the embedding NOW (device dispatch) and return a
+        zero-arg collector. Device embedders override this so the
+        forward runs while the caller does host work (e.g. Phase 2's
+        query embed overlapping Phase 1's fusion + delivery — SURVEY §7
+        'overlapping Phase-2 compute with Phase-1 result return').
+        Default: lazy (no early dispatch)."""
+        return lambda: self.embed(text)
+
 
 def l2_normalize_rows(x: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(x, axis=1, keepdims=True)

@@ -199,6 +199,23 @@ class TwoTierSearcher:
             self._export(metrics, t_start)
             return outcome
 
+        # Phase-2 query-embed PREFETCH: dispatch the quality forward
+        # BEFORE phase 1 so the device program (and its tunnel RPC)
+        # overlaps phase 1's scan + host fusion + Initial delivery
+        # (SURVEY §7 progressive-overlap hard part). Wasted only when a
+        # phase-2 gate later skips — one ~0.05 ms device forward.
+        phase2_prefetch = None
+        if (
+            not self.config.fast_only
+            and self.quality_embedder is not None
+            and self.index.has_quality_tier
+            and self._quality_admitted
+        ):
+            try:
+                phase2_prefetch = self.quality_embedder.embed_prefetch(parsed.positive)
+            except Exception:
+                phase2_prefetch = None
+
         # 2. Phase 1
         initial_results, fast_hits, lexical_pool = self._run_phase1(
             parsed, qclass, k, metrics, search_filter, text_fn
@@ -219,7 +236,8 @@ class TwoTierSearcher:
         else:
             t2 = time.monotonic()
             refined, failure = self._run_phase2_with_timeout(
-                parsed, qclass, k, fast_hits, lexical_pool, initial_results, metrics, text_fn
+                parsed, qclass, k, fast_hits, lexical_pool, initial_results, metrics, text_fn,
+                quality_prefetch=phase2_prefetch,
             )
             metrics.phase2_ms = (time.monotonic() - t2) * 1000.0
             if refined is not None:
@@ -704,10 +722,12 @@ class TwoTierSearcher:
         initial: list[ScoredResult],
         metrics: TwoTierMetrics,
         text_fn: TextFn | None,
+        quality_prefetch=None,
     ) -> tuple[list[ScoredResult] | None, str | None]:
         timeout_s = self.config.quality_timeout_ms / 1000.0
         future = self._pool.submit(
-            self._run_phase2, parsed, qclass, k, fast_hits, lexical_pool, metrics, text_fn
+            self._run_phase2, parsed, qclass, k, fast_hits, lexical_pool, metrics, text_fn,
+            quality_prefetch,
         )
         t0 = time.monotonic()
         try:
@@ -752,10 +772,15 @@ class TwoTierSearcher:
         lexical_pool: list[ScoredResult],
         metrics: TwoTierMetrics,
         text_fn: TextFn | None,
+        quality_prefetch=None,
     ) -> list[ScoredResult]:
         assert self.quality_embedder is not None
         t0 = time.monotonic()
-        quality_vec = self.quality_embedder.embed(parsed.positive)
+        if quality_prefetch is not None:
+            # collect the forward dispatched before phase 1 (overlap)
+            quality_vec = quality_prefetch()
+        else:
+            quality_vec = self.quality_embedder.embed(parsed.positive)
         metrics.quality_embed_ms = (time.monotonic() - t0) * 1000.0
 
         # PRF: Rocchio interpolation with Phase-1 top doc centroids (prf.rs)

@@ -101,6 +101,21 @@ class TransformerEmbedder(Embedder):
         )
         return np.asarray(out, dtype=np.float32)
 
+    def embed_prefetch(self, text: str):
+        """Dispatch the forward immediately; collection transfers later.
+        JAX async dispatch lets the device (and, on a remote tunnel, the
+        RPC round-trip) run concurrently with the caller's host work."""
+        enc = self.tokenizer.encode(text, max_len=self.max_tokens)
+        t_pad = _bucket(len(enc.input_ids))
+        ids = np.zeros((1, t_pad), dtype=np.int32)
+        mask = np.zeros((1, t_pad), dtype=np.int32)
+        ids[0, : len(enc.input_ids)] = enc.input_ids
+        mask[0, : len(enc.attention_mask)] = enc.attention_mask
+        out = embed_forward(
+            self.params, jnp.asarray(ids), jnp.asarray(mask), cfg=self.cfg
+        )  # dispatched, not synced
+        return lambda: np.asarray(out, dtype=np.float32)[0]
+
 
 def load_encoder_embedder(model_dir: str, **kw) -> TransformerEmbedder:
     """Entry point used by EmbedderStack.auto_detect."""

@@ -275,3 +275,65 @@ class TestFingerprint:
         a = DocumentFingerprint.of(base + "end")
         b = DocumentFingerprint.of(base + "end2")
         assert not ReembedPolicy().should_reembed(a, b)
+
+
+class TestPhase2Prefetch:
+    """Phase-2 query embed is dispatched BEFORE phase 1 (overlap) and
+    collected inside phase 2 — results identical, embed() not re-run."""
+
+    def test_prefetch_collector_used(self, tmp_path):
+        import numpy as np
+
+        from frankensearch_tpu.core.config import TwoTierConfig
+        from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+        from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+        from frankensearch_tpu.index.two_tier import TwoTierIndex
+
+        class CountingEmbedder(HashEmbedder):
+            def __init__(self, **kw):
+                super().__init__(**kw)
+                self.prefetches = 0
+                self.embeds = 0
+
+            def embed_prefetch(self, text):
+                self.prefetches += 1
+                vec = self.embed_batch([text])[0]
+                return lambda: vec
+
+            def embed(self, text):
+                self.embeds += 1
+                return super().embed(text)
+
+        fast = HashEmbedder(dim=32)
+        quality = CountingEmbedder(dim=32)
+        docs = [f"alpha beta doc {i}" for i in range(24)]
+        idx = TwoTierIndex.create(
+            str(tmp_path), fast.embed_batch(docs), [f"d{i}" for i in range(24)],
+            fast.identity(), quality_vectors=quality.embed_batch(docs),
+            quality_identity=quality.identity(), use_pallas=False,
+        )
+        quality.embeds = 0  # reset after corpus embedding
+        s = TwoTierSearcher(
+            idx, fast, quality_embedder=quality, config=TwoTierConfig(),
+            cache_query_embeddings=False,
+        )
+        out = s.search("alpha beta doc", k=5)
+        kinds = [p.kind.value for p in out.phases]
+        assert "refined" in kinds
+        assert quality.prefetches == 1
+        assert quality.embeds == 0  # collected from the prefetch, not re-embedded
+
+    def test_transformer_prefetch_matches_embed(self):
+        import numpy as np
+
+        from frankensearch_tpu.rerank.bert import BertConfig, init_params
+        from frankensearch_tpu.rerank.encoder import TransformerEmbedder
+        from frankensearch_tpu.rerank.tokenizer import WordPieceTokenizer, tiny_test_vocab
+
+        cfg = BertConfig(vocab_size=128, hidden=32, layers=1, heads=2,
+                         intermediate=64, max_position=32)
+        tok = WordPieceTokenizer(tiny_test_vocab(["alpha", "beta", "query"]))
+        emb = TransformerEmbedder(init_params(cfg, seed=0), cfg, tok, max_tokens=16)
+        collect = emb.embed_prefetch("alpha beta query")
+        want = emb.embed("alpha beta query")
+        assert np.allclose(collect(), want, atol=1e-6)
