@@ -209,7 +209,7 @@ class IndexBuilder:
             stack.fast.identity(),
             quality_vectors=q_arr,
             quality_identity=stack.quality.identity() if (q_arr is not None and stack.quality) else None,
-            slab_dtype=self._config.slab_dtype if self._config.slab_dtype != "int8" else "bf16",
+            slab_dtype=self._config.slab_dtype,  # create() quantizes int8 itself
             tile_n=self._config.scan_tile_docs,
             use_pallas=self._config.use_pallas,
             mesh_shards=self._config.mesh_shards,

@@ -86,11 +86,14 @@ def cmd_index(args) -> dict:
 
     docs = list(_iter_corpus(args.corpus))
     stack = EmbedderStack.auto_detect(args.root, fast_dim=args.hash_dim)
+    cfg = TwoTierConfig.from_env()
+    if getattr(args, "slab_dtype", None):
+        cfg.slab_dtype = args.slab_dtype
     stats = (
         IndexBuilder(args.root)
         .with_documents(docs)
         .with_embedder_stack(stack)
-        .with_config(TwoTierConfig.from_env())
+        .with_config(cfg)
         .build()
     )
     return envelope(
@@ -875,6 +878,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("index", cmd_index, help="build a hybrid index from a corpus")
     sp.add_argument("corpus", help="corpus dir or JSONL file")
     sp.add_argument("--hash-dim", type=int, default=256)
+    sp.add_argument("--slab-dtype", choices=["bf16", "f16", "f32", "int8"],
+                    default=None,
+                    help="vector slab dtype (int8 = capacity lane: 2x docs/"
+                         "chip, two-pass rescore; default bf16)")
 
     sp = add("search", cmd_search, help="two-tier progressive search")
     sp.add_argument("query")

@@ -215,3 +215,41 @@ class TestCliContract:
             assert env["data"][0]["doc_id"] == "jax-1"
         assert lines[6]["data"]["op"] == "pong"  # order preserved across ops
         assert lines[7]["data"]["op"] == "shutdown"
+
+    def test_doctor_repair_recovers_corrupt_slab(self, tmp_path):
+        corpus = tmp_path / "c.jsonl"
+        with open(corpus, "w") as f:
+            for i in range(20):
+                f.write(json.dumps({"id": f"d{i}", "content": f"alpha beta doc {i}"}) + "\n")
+        root = str(tmp_path / "ix")
+        run_cli("--format", "json", "index", str(corpus), "--root", root)
+        fast = os.path.join(root, "vector.fast.idx")
+        size = os.path.getsize(fast)
+        with open(fast, "r+b") as f:
+            f.seek(size - 200)
+            f.write(b"\xde\xad\xbe\xef")
+        r = run_cli("--format", "json", "doctor", "--root", root, "--repair")
+        env = json.loads(r.stdout)
+        repairs = [c for c in env["data"]["findings"] if c["check"].startswith("parity_repair")]
+        assert repairs and all(c["ok"] for c in repairs)
+        assert any("repaired" in c["detail"] for c in repairs
+                   if c["check"] == "parity_repair:vector.fast.idx")
+        # artifact restored: search serves normally
+        r2 = run_cli("--format", "json", "search", "alpha beta", "--root", root, "-k", "3")
+        assert json.loads(r2.stdout)["ok"]
+
+    def test_index_slab_dtype_flag_int8(self, tmp_path):
+        corpus = tmp_path / "c.jsonl"
+        with open(corpus, "w") as f:
+            for i in range(30):
+                f.write(json.dumps({"id": f"d{i}", "content": f"gamma delta doc {i}"}) + "\n")
+        root = str(tmp_path / "ix8")
+        r = run_cli("--format", "json", "index", str(corpus), "--root", root,
+                    "--slab-dtype", "int8")
+        assert json.loads(r.stdout)["ok"]
+        from frankensearch_tpu.index.fsvi import FtviFile
+
+        assert FtviFile(os.path.join(root, "vector.fast.idx")).header.dtype == "int8"
+        r2 = run_cli("--format", "json", "search", "gamma delta", "--root", root, "-k", "3")
+        env = json.loads(r2.stdout)
+        assert env["ok"] and env["data"]
