@@ -67,8 +67,55 @@ def ensure_built() -> bool:
     lib.fs_free_build.argtypes = [ctypes.POINTER(_BuildResult)]
     lib.fs_hash64.restype = ctypes.c_uint64
     lib.fs_hash64.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64]
+    if hasattr(lib, "fs_bm25_bounds"):  # absent in pre-r2 builds of the .so
+        lib.fs_bm25_bounds.restype = None
+        lib.fs_bm25_bounds.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_uint64,
+        ]
     _lib = lib
     return True
+
+
+def bm25_bounds_native(
+    flat_ids: np.ndarray,  # (n_pairs,) i64 term ids
+    flat_w: np.ndarray,  # (n_pairs,) f32 weights
+    flat_q: np.ndarray,  # (n_pairs,) i64 query index
+    bm_ptr: np.ndarray,  # (V+1,) i64
+    bm_blk: np.ndarray,  # (nnz,) i32
+    bm_max: np.ndarray,  # (nnz,) f32
+    n_blk: int,
+    b: int,
+) -> np.ndarray | None:
+    """Block-max bound accumulation in C++; None when unavailable."""
+    if not ensure_built() or not hasattr(_lib, "fs_bm25_bounds"):
+        return None
+    flat_ids = np.ascontiguousarray(flat_ids, dtype=np.int64)
+    flat_w = np.ascontiguousarray(flat_w, dtype=np.float32)
+    flat_q = np.ascontiguousarray(flat_q, dtype=np.int64)
+    bm_ptr = np.ascontiguousarray(bm_ptr, dtype=np.int64)
+    bm_blk = np.ascontiguousarray(bm_blk, dtype=np.int32)
+    bm_max = np.ascontiguousarray(bm_max, dtype=np.float32)
+    bound = np.zeros(n_blk * b, dtype=np.float32)
+    _lib.fs_bm25_bounds(
+        flat_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        flat_w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        flat_q.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_uint64(len(flat_ids)),
+        bm_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        bm_blk.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        bm_max.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        bound.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_uint64(b),
+    )
+    return bound.reshape(n_blk, b)
 
 
 def is_available() -> bool:

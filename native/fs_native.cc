@@ -279,7 +279,35 @@ void fs_free_build(BuildResult* r) {
   std::free(r->post_doc);
   std::free(r->post_tf);
   std::free(r->doc_token_counts);
-  std::memset(r, 0, sizeof(BuildResult));
+  *r = BuildResult{};
+}
+
+// Block-max bound accumulation for the device BM25's pruning stage
+// (lexical/device_bm25.py _BlockedPostings.query_bounds): for every
+// active (query, term) pair, add w * blockmax over the term's CSR span.
+// bound is (n_blk, b) row-major, zero-initialized by the caller.
+// flat numpy loops cost ~15 ms per 64-query batch at 1M docs; this is
+// the same arithmetic as one fused pass (<1 ms).
+void fs_bm25_bounds(const int64_t* q_ids,    // (n_pairs,) term ids
+                    const float* q_w,        // (n_pairs,) idf weights
+                    const int64_t* q_of,     // (n_pairs,) query index
+                    uint64_t n_pairs,
+                    const int64_t* bm_ptr,   // (V+1,) CSR pointers
+                    const int32_t* bm_blk,   // (nnz,) block ids
+                    const float* bm_max,     // (nnz,) per-block max tf
+                    float* bound,            // (n_blk * b,) out
+                    uint64_t b) {
+  for (uint64_t j = 0; j < n_pairs; ++j) {
+    const float w = q_w[j];
+    if (w <= 0.0f) continue;
+    const int64_t t = q_ids[j];
+    const int64_t q = q_of[j];
+    const int64_t lo = bm_ptr[t];
+    const int64_t hi = bm_ptr[t + 1];
+    for (int64_t p = lo; p < hi; ++p) {
+      bound[static_cast<uint64_t>(bm_blk[p]) * b + q] += w * bm_max[p];
+    }
+  }
 }
 
 // xxh64-inspired fast hash for doc-id hashing (not the reference xxh3;

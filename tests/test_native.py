@@ -150,3 +150,41 @@ class TestNativeBuild:
             assert a == b, q
         hyd = bulk.hydrate_candidates([docs[0].doc_id])
         assert docs[0].doc_id in hyd
+
+
+class TestNativeBounds:
+    def test_matches_numpy_fallback(self):
+        import numpy as np
+
+        import frankensearch_tpu.native as nat
+        from frankensearch_tpu.lexical.device_bm25 import _build_blocked
+
+        if not nat.is_available():
+            import pytest
+
+            pytest.skip("native kernel unavailable")
+        rng = np.random.default_rng(5)
+        n_docs, vocab = 5000, 800
+        docs_all = np.repeat(np.arange(n_docs, dtype=np.int64), 20)
+        terms_all = (rng.zipf(1.4, size=n_docs * 20) - 1) % vocab
+        tf_all = rng.integers(1, 4, size=n_docs * 20).astype(np.float32)
+        import frankensearch_tpu.lexical.device_bm25 as mod
+
+        old = mod.DEFAULT_BLOCK_POSTINGS
+        mod.DEFAULT_BLOCK_POSTINGS = 4096
+        try:
+            bl = _build_blocked(terms_all, docs_all, tf_all,
+                                n_docs=n_docs, vocab_size=vocab)
+        finally:
+            mod.DEFAULT_BLOCK_POSTINGS = old
+        ids = ((rng.zipf(1.4, size=(8, 6)) - 1) % vocab).astype(np.int32)
+        w = rng.uniform(0.5, 4.0, size=(8, 6)).astype(np.float32)
+        got = bl.query_bounds(ids, w)  # native lane
+        real = nat.bm25_bounds_native
+        nat.bm25_bounds_native = lambda *a, **k: None
+        try:
+            want = bl.query_bounds(ids, w)  # numpy fallback
+        finally:
+            nat.bm25_bounds_native = real
+        assert got.shape == want.shape
+        assert np.allclose(got, want, rtol=1e-5, atol=1e-4)
