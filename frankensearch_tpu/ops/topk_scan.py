@@ -373,7 +373,7 @@ def scan_topk_hierarchical_int8(
     return _finalize(top_scores, top_idx, k)
 
 
-_RESCORE_QB = 8  # queries per grid step (sublane-aligned block)
+_RESCORE_QB = 8  # queries per grid step (sublane-aligned block; 16 A/Bd 2026-08-16: +1% at B>=256, noise-level, and it breaks the b=8 fused small-batch path)
 
 #: chunk width for the two-stage group top-k (lane-aligned)
 _GROUP_TOPK_CHUNK = 128
