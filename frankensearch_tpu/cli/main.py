@@ -510,8 +510,21 @@ def cmd_flush(args) -> dict:
         sink=lambda ids, vecs: handle.index.append_fast(ids, vecs),
     )
     drained = runner.drain()
+    # reingest jobs (enqueued by the durability rebuild for docs whose
+    # vectors died with the slab) cannot be completed from storage —
+    # it keeps previews, not full text. Surface them as the truthful
+    # operator action instead of silently leaving them pending.
+    reingest = [p.get("doc_id", "?") for p in jobs.pending_payloads("reingest")]
     storage.close()
-    return envelope({"drained": drained, "pending": jobs.pending_count()})
+    out = {"drained": drained, "pending": jobs.pending_count()}
+    if reingest:
+        out["reingest_required"] = reingest[:50]
+        out["reingest_count"] = len(reingest)
+        out["note"] = (
+            "these docs lost their vectors in a slab rebuild; re-run "
+            "'index'/'append-batch' over their sources to restore them"
+        )
+    return envelope(out)
 
 
 def cmd_download(args) -> dict:

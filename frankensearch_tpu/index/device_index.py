@@ -455,8 +455,11 @@ class DeviceVectorIndex:
         array (C-speed, native scalars) instead of per-element numpy
         scalar conversions — measured ~4x on the host fusion path.
         """
-        scores = np.asarray(result.scores).tolist()
-        indices = np.asarray(result.indices).tolist()
+        # ONE fetch for both arrays: through a remote-dispatch tunnel
+        # every separate np.asarray is its own round trip
+        scores_a, indices_a = jax.device_get((result.scores, result.indices))
+        scores = np.asarray(scores_a).tolist()
+        indices = np.asarray(indices_a).tolist()
         doc_ids = self.doc_ids
         isfinite = math.isfinite
         out: list[list[VectorHit]] = []

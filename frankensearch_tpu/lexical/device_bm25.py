@@ -475,8 +475,8 @@ class DeviceBm25Index(LexicalRead):
                 self._post_term, self._post_doc, self._post_tf, q_idf,
                 n_docs=self.n_docs, k=k,
             )
-        s = np.asarray(top_s)
-        i = np.asarray(top_i)
+        # one batched fetch (remote tunnels pay per transfer round trip)
+        s, i = (np.asarray(x) for x in jax.device_get((top_s, top_i)))
         out: list[list[LexicalCandidate]] = []
         for b in range(len(queries)):
             hits = [

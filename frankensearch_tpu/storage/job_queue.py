@@ -120,3 +120,20 @@ class PersistentJobQueue:
 
     def pending_count(self) -> int:
         return self.counts().get("pending", 0)
+
+    def pending_payloads(self, kind: str, limit: int = 1000) -> list[Mapping[str, Any]]:
+        """Pending payloads of one kind (e.g. 'reingest' jobs surfaced by
+        flush as operator actions)."""
+        with self._lock:
+            rows = self._conn.execute(
+                "SELECT payload_json FROM jobs WHERE kind=? AND state='pending' "
+                "ORDER BY id LIMIT ?",
+                (kind, limit),
+            ).fetchall()
+        out = []
+        for (payload,) in rows:
+            try:
+                out.append(json.loads(payload))
+            except ValueError:
+                continue
+        return out

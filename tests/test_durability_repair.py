@@ -210,3 +210,28 @@ class TestEndToEndRepair:
         arm = load_packed_lexical(str(root))
         assert arm is not None  # repaired, not degraded
         assert FileProtector.verify(flexb)
+
+    def test_flush_surfaces_reingest_jobs(self, tmp_path):
+        """After a WAL rebuild, flush reports the docs needing re-ingest
+        (the truthful operator action; storage keeps previews only)."""
+        import argparse
+
+        import frankensearch_tpu as fs
+        from frankensearch_tpu.index.rebuild import rebuild_fast_tier_from_wal
+        from frankensearch_tpu.index.wal import WriteAheadLog
+        from frankensearch_tpu.storage.job_queue import PersistentJobQueue
+
+        root = _build_index(tmp_path / "idx", n=6, dim=32)
+        fast = os.path.join(root, "vector.fast.idx")
+        emb = fs.HashEmbedder(dim=32)
+        WriteAheadLog(fast + ".wal").append(["wal-0"], emb.embed("x")[None, :])
+        PersistentJobQueue(os.path.join(root, "jobs.db"))  # create the queue db
+        os.remove(fast)
+        report = rebuild_fast_tier_from_wal(str(root))
+        assert report.reingest_jobs_enqueued == 6
+
+        from frankensearch_tpu.cli.main import cmd_flush
+
+        out = cmd_flush(argparse.Namespace(root=str(root)))
+        assert out["data"]["reingest_count"] == 6
+        assert all(d.startswith("doc-") for d in out["data"]["reingest_required"])
