@@ -1,0 +1,73 @@
+"""Lifecycle tour: searchable-before-seal delta, corruption repair,
+golden-vector conformance.
+
+Run on any platform (CPU works):
+
+    python examples/lifecycle.py
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import frankensearch_tpu as fs  # noqa: E402
+from frankensearch_tpu.core.types import IndexableDocument  # noqa: E402
+
+root = os.path.join(tempfile.mkdtemp(), "ix")
+
+# 1. build ------------------------------------------------------------------
+builder = fs.IndexBuilder(root).with_embedder_stack(
+    fs.EmbedderStack(fast=fs.HashEmbedder(dim=128))
+)
+for i in range(50):
+    builder.add_document(
+        IndexableDocument(doc_id=f"doc-{i:03d}", content=f"alpha beta gamma topic {i}")
+    )
+stats = builder.build()
+print(f"built {stats.doc_count} docs; artifacts protected with digest+parity sidecars")
+
+# 2. searchable before seal --------------------------------------------------
+handle = fs.open_hybrid(root, fast_embedder=fs.HashEmbedder(dim=128))
+handle.index.append_fast(
+    ["fresh-1"], fs.HashEmbedder(dim=128).embed_batch(["zeppelin fresh appended doc"])
+)
+handle.delta.add_document(IndexableDocument(doc_id="fresh-1", content="zeppelin fresh appended doc"))
+handle.delta.commit()
+hits = handle.searcher.search("zeppelin fresh", k=3).results
+print(f"pre-seal search sees the append: top hit = {hits[0].doc_id}")
+receipt = handle.delta.seal()
+print(f"sealed {receipt.docs_sealed} doc(s) into packed generation {receipt.generation!r}")
+
+# 3. corruption -> automatic repair on open ----------------------------------
+fast = os.path.join(root, "vector.fast.idx")
+size = os.path.getsize(fast)
+with open(fast, "r+b") as f:
+    f.seek(size - 300)
+    f.write(b"\xde\xad\xbe\xef" * 4)
+print("corrupted 16 bytes deep in the slab...")
+handle2 = fs.open_hybrid(root, fast_embedder=fs.HashEmbedder(dim=128))
+hits2 = handle2.searcher.search("alpha topic", k=3).results
+print(f"open repaired it in place (parity stripes); search serves: {hits2[0].doc_id}")
+
+# 4. golden-vector conformance: same id, wrong space -> refused --------------
+import numpy as np  # noqa: E402
+
+from frankensearch_tpu.core.errors import IdentityMismatch  # noqa: E402
+
+
+class Impostor(fs.HashEmbedder):
+    def embed_batch(self, texts):
+        return np.roll(super().embed_batch(texts), 7, axis=1)
+
+
+try:
+    fs.open_hybrid(root, fast_embedder=Impostor(dim=128))
+except IdentityMismatch as e:
+    print(f"impostor embedder refused: {type(e).__name__}: golden-vector conformance")

@@ -143,7 +143,7 @@ def _prefs_device(vectors: np.ndarray, centroids: np.ndarray, *, top: int = 4,
 
     prefs, margins = [], []
     for s in range(0, len(vectors), chunk):
-        i, m = one(jnp.asarray(vectors[s : s + chunk]), cents)
+        i, m = jax.device_get(one(jnp.asarray(vectors[s : s + chunk]), cents))
         prefs.append(np.asarray(i))
         margins.append(np.asarray(m))
     return np.concatenate(prefs), np.concatenate(margins)
@@ -272,8 +272,7 @@ class IvfDeviceIndex:
             self.centroids, self.slab, mask, q,
             nprobe=nprobe, k=k, gpc=self.groups_per_cluster,
         )
-        pos_np = np.asarray(pos)
-        s_np = np.asarray(s)
+        pos_np, s_np = (np.asarray(x) for x in jax.device_get((pos, s)))
         rows = np.where(pos_np >= 0, self._row_map[np.maximum(pos_np, 0)], -1)
         rows = np.where(np.isfinite(s_np), rows, -1)
         return TopKResult(jnp.asarray(s_np), jnp.asarray(rows.astype(np.int32)))
