@@ -735,6 +735,18 @@ def cmd_serve(args) -> dict | None:
 
     handle = _open(args)
     out = sys.stdout
+    if getattr(args, "warmup", False):
+        # precompile the serve shapes before accepting traffic (cold
+        # first-query remote compile can take minutes on a fresh shape;
+        # PERF_LEDGER serve section) — singleton + the coalesced batch
+        try:
+            handle.searcher.search("warmup probe", k=10)
+            handle.searcher.search_batch(
+                ["warmup probe"] * max(getattr(args, "serve_max_batch", 64), 2), k=10
+            )
+            print(json.dumps(envelope({"op": "warmup", "ok": True})), file=out, flush=True)
+        except Exception as e:
+            print(json.dumps(error_envelope("warmup_failed", str(e))), file=out, flush=True)
     inbox: _queue.Queue = _queue.Queue()
 
     def _reader() -> None:
@@ -980,6 +992,8 @@ def build_parser() -> argparse.ArgumentParser:
                          "flushing a coalesced batch (0 = greedy drain only)")
     sp.add_argument("--serve-max-batch", type=int, default=64,
                     help="max coalesced search requests per device dispatch")
+    sp.add_argument("--warmup", action="store_true",
+                    help="precompile singleton + batch shapes before serving")
 
     return p
 

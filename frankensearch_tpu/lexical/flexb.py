@@ -45,8 +45,13 @@ _HEADER = struct.Struct("<4sII I Q 8x")  # magic, version, nsec, crc, payload_le
 _SECTION = struct.Struct("<16sQQ")
 
 
-class FlexbCorrupted(Exception):
-    pass
+from frankensearch_tpu.core.errors import IndexCorrupted
+
+
+class FlexbCorrupted(IndexCorrupted):
+    """FLXB framing/CRC violation — part of the typed SearchError
+    taxonomy so the durability ladder and product surfaces can catch it
+    uniformly (was a bare Exception until the r2 fuzz suite)."""
 
 
 def _pad(n: int) -> int:
@@ -110,9 +115,17 @@ def read_sections(path: str) -> dict[str, bytes]:
     if zlib.crc32(payload) != crc:
         raise FlexbCorrupted("payload CRC mismatch")
     out: dict[str, bytes] = {}
+    if len(raw) < table_end:
+        raise FlexbCorrupted("truncated section table")
     for i in range(nsec):
         name_b, off, ln = _SECTION.unpack_from(raw, _HEADER.size + i * _SECTION.size)
-        name = name_b.rstrip(b"\x00").decode("ascii")
+        try:
+            # the section table sits outside the payload CRC (it locates
+            # the payload), so a flipped byte here must still surface as
+            # a TYPED corruption, not a UnicodeDecodeError
+            name = name_b.rstrip(b"\x00").decode("ascii")
+        except UnicodeDecodeError:
+            raise FlexbCorrupted(f"undecodable section name {name_b!r}") from None
         if off + ln > payload_len:
             raise FlexbCorrupted(f"section {name} out of bounds")
         out[name] = payload[off : off + ln]
@@ -165,7 +178,10 @@ def load_packed(path: str):
     from frankensearch_tpu.lexical.memory_index import _BOOSTS
 
     sec = read_sections(path)
-    manifest = json.loads(sec["manifest"])
+    try:
+        manifest = json.loads(sec["manifest"])
+    except (KeyError, ValueError) as e:
+        raise FlexbCorrupted(f"manifest unreadable: {e}") from None
     index = BulkDeviceBm25Index.__new__(BulkDeviceBm25Index)
     ids_off = np.frombuffer(sec["ids_off"], dtype=np.int64)
     index.doc_ids = _read_string_table(sec["ids_blob"], ids_off)

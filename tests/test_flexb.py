@@ -129,3 +129,86 @@ class TestPackedIndex:
 
     def test_load_absent_returns_none(self, tmp_path):
         assert load_packed_lexical(str(tmp_path)) is None
+
+
+class TestFlxbFuzz:
+    """Corrupted/garbage FLXB bytes must raise typed errors, never crash
+    or return wrong data silently (segment framing contract)."""
+
+    def _packed_path(self, tmp_path):
+        from frankensearch_tpu.core.types import IndexableDocument
+        from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
+        from frankensearch_tpu.lexical.flexb import save_packed
+
+        docs = [IndexableDocument(doc_id=f"d{i}", content=f"alpha beta doc {i}")
+                for i in range(20)]
+        idx = BulkDeviceBm25Index(docs)
+        path = str(tmp_path / "x.flexb")
+        save_packed(idx, path)
+        return path
+
+    def test_random_flips_detected(self, tmp_path):
+        import os
+
+        import numpy as np
+        import pytest
+
+        from frankensearch_tpu.core.errors import SearchError
+        from frankensearch_tpu.lexical.flexb import load_packed
+
+        path = self._packed_path(tmp_path)
+        size = os.path.getsize(path)
+        rng = np.random.default_rng(0)
+        detected = 0
+        for trial in range(12):
+            with open(path, "rb") as f:
+                orig = f.read()
+            off = int(rng.integers(0, size))
+            corrupted = bytearray(orig)
+            corrupted[off] ^= 0xFF
+            with open(path, "wb") as f:
+                f.write(bytes(corrupted))
+            try:
+                load_packed(path)  # either loads identically-framed data...
+            except SearchError:
+                detected += 1  # ...or raises a TYPED error — never segfault/ValueError
+            except Exception as e:  # pragma: no cover
+                pytest.fail(f"untyped failure {type(e).__name__} at offset {off}: {e}")
+            finally:
+                with open(path, "wb") as f:
+                    f.write(orig)
+        assert detected >= 6  # CRC catches most single-byte flips
+
+    def test_truncations_detected(self, tmp_path):
+        import os
+
+        import pytest
+
+        from frankensearch_tpu.core.errors import SearchError
+        from frankensearch_tpu.lexical.flexb import load_packed
+
+        path = self._packed_path(tmp_path)
+        size = os.path.getsize(path)
+        with open(path, "rb") as f:
+            orig = f.read()
+        for frac in (0.1, 0.5, 0.9, 0.99):
+            with open(path, "wb") as f:
+                f.write(orig[: int(size * frac)])
+            with pytest.raises(SearchError):
+                load_packed(path)
+        with open(path, "wb") as f:
+            f.write(orig)
+
+    def test_garbage_file_detected(self, tmp_path):
+        import os
+
+        import pytest
+
+        from frankensearch_tpu.core.errors import SearchError
+        from frankensearch_tpu.lexical.flexb import load_packed
+
+        p = str(tmp_path / "junk.flexb")
+        with open(p, "wb") as f:
+            f.write(os.urandom(4096))
+        with pytest.raises(SearchError):
+            load_packed(p)
