@@ -294,11 +294,28 @@ class FtviFile:
             offsets = np.frombuffer(f.read((h.record_count + 1) * 8), dtype=np.uint64)
             f.seek(h.flags_offset)
             self.flags = np.frombuffer(f.read(h.record_count), dtype=np.uint8).copy()
-        self.doc_ids: list[str] = [
-            blob[int(offsets[i]) : int(offsets[i + 1])].decode("utf-8")
-            for i in range(h.record_count)
-        ]
+        try:
+            # the doc-id blob has no per-section CRC; a flipped byte must
+            # still surface typed, not as a raw UnicodeDecodeError
+            self.doc_ids: list[str] = [
+                blob[int(offsets[i]) : int(offsets[i + 1])].decode("utf-8")
+                for i in range(h.record_count)
+            ]
+        except (UnicodeDecodeError, IndexError, OverflowError) as e:
+            raise IndexCorrupted(f"doc-id table unreadable in {self.path}: {e}") from None
         np_dtype = _np_dtype(h.dtype)
+        # validate byte extents BEFORE memmap: a truncated file would
+        # otherwise surface as an untyped 'mmap length is greater than
+        # file size' ValueError (caught by the fuzz suite)
+        slab_bytes = h.record_count * h.dim * np.dtype(np_dtype).itemsize
+        file_size = os.path.getsize(self.path)
+        need = h.slab_offset + slab_bytes
+        if h.dtype == "int8" and h.scale_offset:
+            need = max(need, h.scale_offset + h.dim * 4)
+        if file_size < need:
+            raise IndexCorrupted(
+                f"{self.path} truncated: {file_size} bytes < {need} expected"
+            )
         self.slab = np.memmap(
             self.path,
             dtype=np_dtype,

@@ -214,3 +214,74 @@ class TestTwoTier:
         assert compacted.doc_count() == 8
         assert compacted.fast.record_count == 8  # physically removed
         assert not os.path.exists(str(tmp_path / "ix" / "vector.fast.idx.wal"))
+
+
+class TestFtviFuzz:
+    """Byte-flip/truncation fuzzing of the FTVI loader: every corruption
+    must raise a TYPED SearchError, never an untyped crash (the
+    reference's fsvi_v2_corruption_matrix discipline)."""
+
+    def _artifact(self, tmp_path):
+        import numpy as np
+
+        from frankensearch_tpu.index.fsvi import EmbeddingIdentity, write_ftvi
+
+        rng = np.random.default_rng(0)
+        v = rng.standard_normal((40, 64)).astype(np.float32)
+        path = str(tmp_path / "a.idx")
+        write_ftvi(path, v, [f"d{i}" for i in range(40)],
+                   EmbeddingIdentity(embedder_id="t", dim=64))
+        return path
+
+    def test_random_flips_typed(self, tmp_path):
+        import os
+
+        import numpy as np
+        import pytest
+
+        from frankensearch_tpu.core.errors import SearchError
+        from frankensearch_tpu.index.fsvi import FtviFile
+
+        path = self._artifact(tmp_path)
+        size = os.path.getsize(path)
+        with open(path, "rb") as f:
+            orig = f.read()
+        rng = np.random.default_rng(1)
+        for _ in range(16):
+            off = int(rng.integers(0, size))
+            bad = bytearray(orig)
+            bad[off] ^= 0xFF
+            with open(path, "wb") as f:
+                f.write(bytes(bad))
+            try:
+                FtviFile(path, verify_slab=True)
+            except SearchError:
+                pass  # typed: good
+            except Exception as e:  # pragma: no cover
+                pytest.fail(f"untyped failure {type(e).__name__} at {off}: {e}")
+        with open(path, "wb") as f:
+            f.write(orig)
+
+    def test_truncations_typed(self, tmp_path):
+        import os
+
+        import pytest
+
+        from frankensearch_tpu.core.errors import SearchError
+        from frankensearch_tpu.index.fsvi import FtviFile
+
+        path = self._artifact(tmp_path)
+        with open(path, "rb") as f:
+            orig = f.read()
+        for frac in (0.01, 0.3, 0.7, 0.95):
+            with open(path, "wb") as f:
+                f.write(orig[: int(len(orig) * frac)])
+            try:
+                FtviFile(path, verify_slab=True)
+                pytest.fail(f"truncation to {frac} not detected")
+            except SearchError:
+                pass
+            except Exception as e:  # pragma: no cover
+                pytest.fail(f"untyped failure {type(e).__name__} at frac {frac}: {e}")
+        with open(path, "wb") as f:
+            f.write(orig)
