@@ -435,12 +435,48 @@ def cmd_watch(args) -> dict:
                      "doc_count": handle.index.doc_count()})
 
 
+def _wal_poll_daemon(args) -> dict:
+    """WAL-polling compaction daemon (SURVEY §3.5 / runtime.rs:8663):
+    acquire a PublicationLease (single compactor across processes), poll
+    the WAL sidecar size every --poll-ms, fold WAL + tombstones into the
+    base artifact when it crosses --wal-threshold-bytes. Sidecar
+    durability protection refreshes automatically (write_ftvi)."""
+    from frankensearch_tpu.index.two_tier import TwoTierIndex, TwoTierPaths
+    from frankensearch_tpu.runtime.lifecycle import PublicationLease
+
+    wal_path = TwoTierPaths(args.root).fast + ".wal"
+    lease_path = os.path.join(args.root, ".publication.lease")
+    cycles = 0
+    compactions = 0
+    folded_bytes = 0
+    with PublicationLease(lease_path):
+        while args.cycles <= 0 or cycles < args.cycles:
+            cycles += 1
+            size = os.path.getsize(wal_path) if os.path.exists(wal_path) else 0
+            if size >= args.wal_threshold_bytes and size > 0:
+                index = TwoTierIndex.open(args.root, use_pallas=False)
+                index.compact()
+                compactions += 1
+                folded_bytes += size
+            if args.cycles <= 0 or cycles < args.cycles:
+                time.sleep(args.poll_ms / 1000.0)
+    return envelope({
+        "mode": "wal-poll",
+        "cycles": cycles,
+        "compactions": compactions,
+        "wal_bytes_folded": folded_bytes,
+    })
+
+
 def cmd_daemon(args) -> dict:
     """Warm-embedding daemon over a unix socket (core/daemon.rs protocol:
-    challenge/attestation + NDJSON embed requests)."""
+    challenge/attestation + NDJSON embed requests); ``--wal-poll`` runs
+    the WAL-compaction daemon instead (SURVEY §3.5)."""
     from frankensearch_tpu.builder import open_hybrid
     from frankensearch_tpu.core.daemon import DaemonServer
 
+    if getattr(args, "wal_poll", False):
+        return _wal_poll_daemon(args)
     handle = open_hybrid(args.root)
     embedder = handle.searcher.fast_embedder
     served = 0
@@ -951,6 +987,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--idle-timeout", type=float, default=0.0,
                     help="exit after this many idle seconds (0 = never)")
     sp.add_argument("--quiet", action="store_true")
+    sp.add_argument("--wal-poll", action="store_true",
+                    help="run the WAL-polling compaction daemon instead")
+    sp.add_argument("--poll-ms", type=float, default=1000.0)
+    sp.add_argument("--wal-threshold-bytes", type=int, default=1 << 20)
+    sp.add_argument("--cycles", type=int, default=0, help="0 = poll forever")
 
     sp = add("history", cmd_history, help="recent searches")
     sp.add_argument("--limit", type=int, default=20)

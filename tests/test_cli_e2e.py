@@ -253,3 +253,34 @@ class TestCliContract:
         r2 = run_cli("--format", "json", "search", "gamma delta", "--root", root, "-k", "3")
         env = json.loads(r2.stdout)
         assert env["ok"] and env["data"]
+
+    def test_wal_poll_daemon_compacts(self, tmp_path):
+        """SURVEY §3.5: append-batch writes WAL; the wal-poll daemon
+        folds it into the base artifact under a PublicationLease."""
+        corpus = tmp_path / "c.jsonl"
+        with open(corpus, "w") as f:
+            for i in range(10):
+                f.write(json.dumps({"id": f"d{i}", "content": f"alpha doc {i}"}) + "\n")
+        root = str(tmp_path / "ix")
+        run_cli("--format", "json", "index", str(corpus), "--root", root)
+        more = tmp_path / "more.jsonl"
+        with open(more, "w") as f:
+            f.write(json.dumps({"id": "extra-1", "content": "zeppelin extra doc"}) + "\n")
+        # append via the WAL fast path (delta seals lexical; vector rides WAL
+        # only when the padding rows are exhausted — force WAL presence)
+        run_cli("--format", "json", "append-batch", str(more), "--root", root)
+        from frankensearch_tpu.index.wal import WriteAheadLog
+
+        wal = os.path.join(root, "vector.fast.idx.wal")
+        if not os.path.exists(wal):
+            import numpy as np
+
+            WriteAheadLog(wal).append(["wal-x"], np.ones((1, 256), np.float32))
+        r = run_cli("--format", "json", "daemon", "--root", root,
+                    "--wal-poll", "--cycles", "2", "--poll-ms", "10",
+                    "--wal-threshold-bytes", "1")
+        env = json.loads(r.stdout)
+        assert env["ok"] and env["data"]["compactions"] >= 1
+        assert not os.path.exists(wal) or os.path.getsize(wal) == 0
+        r2 = run_cli("--format", "json", "search", "alpha doc", "--root", root, "-k", "2")
+        assert json.loads(r2.stdout)["ok"]

@@ -285,3 +285,40 @@ class TestFtviFuzz:
                 pytest.fail(f"untyped failure {type(e).__name__} at frac {frac}: {e}")
         with open(path, "wb") as f:
             f.write(orig)
+
+
+class TestWalFuzz:
+    def test_every_byte_flip_salvages_or_types(self, tmp_path):
+        """Replay must salvage the valid prefix (CRC catches the batch)
+        or raise typed in strict mode — never untyped-crash."""
+        import numpy as np
+        import pytest
+
+        from frankensearch_tpu.core.errors import SearchError
+        from frankensearch_tpu.index.wal import WriteAheadLog
+
+        path = tmp_path / "v.idx.wal"
+        wal = WriteAheadLog(path)
+        rng = np.random.default_rng(0)
+        wal.append(["a", "b"], rng.standard_normal((2, 8)).astype(np.float32))
+        wal.append(["c"], rng.standard_normal((1, 8)).astype(np.float32))
+        wal.tombstone(["a"])
+        orig = path.read_bytes()
+        for off in range(len(orig)):
+            bad = bytearray(orig)
+            bad[off] ^= 0xFF
+            path.write_bytes(bytes(bad))
+            try:
+                st = WriteAheadLog(path).replay()  # lenient: salvage prefix
+                assert st.batches_read <= 3
+            except SearchError:
+                pass
+            except Exception as e:  # pragma: no cover
+                pytest.fail(f"untyped failure {type(e).__name__} at byte {off}: {e}")
+            try:
+                WriteAheadLog(path).replay(strict=True)
+            except SearchError:
+                pass
+            except Exception as e:  # pragma: no cover
+                pytest.fail(f"untyped strict failure {type(e).__name__} at {off}: {e}")
+        path.write_bytes(orig)
