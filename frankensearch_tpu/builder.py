@@ -448,6 +448,20 @@ def open_hybrid(
     from frankensearch_tpu.lexical.persist import load_packed_lexical
 
     packed = load_packed_lexical(root)
+    if packed is not None and cfg.mesh_shards > 0:
+        # mesh configured: the lexical arm shards its postings blocks
+        # over the same device set as the vector slab (sharded_bm25.py)
+        try:
+            from frankensearch_tpu.parallel.mesh import make_mesh
+            from frankensearch_tpu.parallel.sharded_bm25 import (
+                ShardedBulkDeviceBm25Index,
+            )
+
+            packed = ShardedBulkDeviceBm25Index(
+                packed, make_mesh(cfg.mesh_shards, axes=("d",))
+            )
+        except Exception:
+            pass  # single-device packed arm still serves
     delta = None
     if lexical is not None:
         delta = DeltaLexicalIndex(lexical, sealed=packed, root=root)

@@ -73,6 +73,55 @@ BLOCKED_THRESHOLD_POSTINGS = 1 << 21
 DEFAULT_BLOCK_POSTINGS = 1 << 18
 
 
+def _blocked_scan_body(
+    blk_term, blk_doc, blk_tf, blk_base, blk_bound, q_idf, *, k: int, d_blk: int
+):
+    """The pruned streaming scan over one set of blocks — shared by the
+    single-device jit wrapper and the shard_map local body
+    (parallel/sharded_bm25.py). Returns ((B, k) scores, rows, skipped)."""
+    b = q_idf.shape[0]
+
+    def score_block(carry, t, d, f, base):
+        top_s, top_i = carry
+        contrib = f[:, None] * jnp.take(q_idf, t, axis=1).T  # (P_blk, B)
+        scores = jax.ops.segment_sum(
+            contrib, d, num_segments=d_blk + 1, indices_are_sorted=True
+        )[:d_blk].T  # (B, d_blk); trash row d_blk dropped
+        kk = min(k, d_blk)
+        s2, i2 = jax.lax.top_k(scores, kk)
+        i2 = i2 + base
+        merged_s = jnp.concatenate([top_s, s2], axis=1)
+        merged_i = jnp.concatenate([top_i, i2], axis=1)
+        s3, pos = jax.lax.top_k(merged_s, top_s.shape[1])
+        i3 = jnp.take_along_axis(merged_i, pos, axis=1)
+        return s3, i3
+
+    def step(carry, blk):
+        top_s, top_i, skipped = carry
+        t, d, f, base, bound = blk
+        kth = top_s[:, -1]  # current k-th best per query
+        # f32 slack guard: the bound and the real sum round differently
+        safe_bound = bound * jnp.float32(1.0 + 1e-6) + jnp.float32(1e-6)
+        skip = jnp.all(safe_bound < kth)
+        top_s, top_i = jax.lax.cond(
+            skip,
+            lambda c: c,
+            lambda c: score_block(c, t, d, f, base),
+            (top_s, top_i),
+        )
+        return (top_s, top_i, skipped + skip.astype(jnp.int32)), None
+
+    init = (
+        jnp.full((b, k), -jnp.inf, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+        jnp.int32(0),
+    )
+    (top_s, top_i, skipped), _ = jax.lax.scan(
+        step, init, (blk_term, blk_doc, blk_tf, blk_base, blk_bound)
+    )
+    return top_s, top_i, skipped
+
+
 @functools.partial(jax.jit, static_argnames=("k", "d_blk", "v_pad"))
 def _device_bm25_blocked(
     blk_term: jax.Array,  # (n_blk, P_blk) i32
@@ -116,46 +165,9 @@ def _device_bm25_blocked(
         .at[jnp.arange(b)[:, None], q_ids]
         .add(q_w)
     )
-
-    def score_block(carry, t, d, f, base):
-        top_s, top_i = carry
-        contrib = f[:, None] * jnp.take(q_idf, t, axis=1).T  # (P_blk, B)
-        scores = jax.ops.segment_sum(
-            contrib, d, num_segments=d_blk + 1, indices_are_sorted=True
-        )[:d_blk].T  # (B, d_blk); trash row d_blk dropped
-        kk = min(k, d_blk)
-        s2, i2 = jax.lax.top_k(scores, kk)
-        i2 = i2 + base
-        merged_s = jnp.concatenate([top_s, s2], axis=1)
-        merged_i = jnp.concatenate([top_i, i2], axis=1)
-        s3, pos = jax.lax.top_k(merged_s, top_s.shape[1])
-        i3 = jnp.take_along_axis(merged_i, pos, axis=1)
-        return s3, i3
-
-    def step(carry, blk):
-        top_s, top_i, skipped = carry
-        t, d, f, base, bound = blk
-        kth = top_s[:, -1]  # current k-th best per query
-        # f32 slack guard: the bound and the real sum round differently
-        safe_bound = bound * jnp.float32(1.0 + 1e-6) + jnp.float32(1e-6)
-        skip = jnp.all(safe_bound < kth)
-        top_s, top_i = jax.lax.cond(
-            skip,
-            lambda c: c,
-            lambda c: score_block(c, t, d, f, base),
-            (top_s, top_i),
-        )
-        return (top_s, top_i, skipped + skip.astype(jnp.int32)), None
-
-    init = (
-        jnp.full((b, k), -jnp.inf, jnp.float32),
-        jnp.full((b, k), -1, jnp.int32),
-        jnp.int32(0),
+    return _blocked_scan_body(
+        blk_term, blk_doc, blk_tf, blk_base, blk_bound, q_idf, k=k, d_blk=d_blk
     )
-    (top_s, top_i, skipped), _ = jax.lax.scan(
-        step, init, (blk_term, blk_doc, blk_tf, blk_base, blk_bound)
-    )
-    return top_s, top_i, skipped
 
 
 @dataclass

@@ -1,0 +1,234 @@
+"""Block-axis sharded device BM25 with device-side top-k merge.
+
+Completes the multi-chip story for the LEXICAL arm (the vector arm
+shards in parallel/sharded_scan.py): the doc-blocked postings layout
+(lexical/device_bm25.py) shards naturally on the block axis — each
+device streams its block range through the same pruned scan body
+(_blocked_scan_body, including block-max skipping), then the per-device
+(B, k) heaps merge with one ``all_gather`` over ICI + a final top-k.
+
+Determinism: global blocks ascend by doc row and devices hold contiguous
+block ranges, so the shard-major candidate layout preserves the
+(score desc, row asc) tie-break; BM25 scores are >= 0, so the padding
+blocks (tf 0 => scores 0 on doc row 0) can never displace a real hit
+and the host-side ``score > 0`` filter drops them.
+
+Reference analog: fusion/src/federated.rs fan-out/merge (the lexical
+half), recast as one SPMD program.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from frankensearch_tpu.lexical.base import LexicalCandidate, LexicalRead
+from frankensearch_tpu.lexical.device_bm25 import (
+    _blocked_scan_body,
+    _BlockedPostings,
+    _build_blocked,
+)
+
+
+def _sm_kwargs():
+    import inspect
+
+    sig = inspect.signature(shard_map).parameters
+    if "check_vma" in sig:
+        return {"check_vma": False}
+    if "check_rep" in sig:  # pragma: no cover - older jax
+        return {"check_rep": False}
+    return {}  # pragma: no cover
+
+
+@dataclass
+class _ShardedBlocks:
+    blk_term: jax.Array  # (n_blk_pad, P_blk) block-sharded
+    blk_doc: jax.Array
+    blk_tf: jax.Array
+    blk_base: jax.Array  # (n_blk_pad,)
+    n_blk_pad: int
+    d_blk: int
+    v_pad: int
+
+
+def shard_blocked(
+    blocked: _BlockedPostings, mesh: Mesh, *, axis: str = "d"
+) -> _ShardedBlocks:
+    """Pad the block axis to the mesh size and place block-sharded."""
+    n_dev = mesh.shape[axis]
+    n_blk = blocked.blk_term.shape[0]
+    n_pad = (n_blk + n_dev - 1) // n_dev * n_dev
+    extra = n_pad - n_blk
+
+    def pad_rows(arr, fill):
+        host = np.asarray(arr)
+        if extra == 0:
+            return host
+        pad_shape = (extra,) + host.shape[1:]
+        return np.concatenate([host, np.full(pad_shape, fill, host.dtype)])
+
+    # padding blocks: term 0, every posting on the TRASH row (d_blk) with
+    # tf 0 — they contribute nothing and their (0-score, row base) top-k
+    # entries are dropped by the host's score>0 filter
+    term = pad_rows(blocked.blk_term, 0)
+    doc = pad_rows(blocked.blk_doc, blocked.d_blk)
+    tf = pad_rows(blocked.blk_tf, 0.0)
+    base = pad_rows(blocked.blk_base, 0)
+    sharding = NamedSharding(mesh, P(axis, None))
+    vec_sharding = NamedSharding(mesh, P(axis))
+    return _ShardedBlocks(
+        blk_term=jax.device_put(jnp.asarray(term), sharding),
+        blk_doc=jax.device_put(jnp.asarray(doc), sharding),
+        blk_tf=jax.device_put(jnp.asarray(tf), sharding),
+        blk_base=jax.device_put(jnp.asarray(base), vec_sharding),
+        n_blk_pad=n_pad,
+        d_blk=blocked.d_blk,
+        v_pad=blocked.v_pad,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "d_blk", "v_pad", "mesh", "axis"))
+def sharded_bm25_topk(
+    blk_term: jax.Array,
+    blk_doc: jax.Array,
+    blk_tf: jax.Array,
+    blk_base: jax.Array,
+    blk_bound: jax.Array,  # (n_blk_pad, B) block-sharded
+    q_ids: jax.Array,  # (B, T) replicated
+    q_w: jax.Array,  # (B, T) replicated
+    *,
+    k: int,
+    d_blk: int,
+    v_pad: int,
+    mesh: Mesh,
+    axis: str = "d",
+):
+    """SPMD pruned BM25: local streaming scan per device, one all_gather
+    merge. Returns ((B, k) scores, global doc rows, blocks skipped)."""
+    b = q_ids.shape[0]
+
+    def local(bt, bd, bf, bb, bound, ids, w):
+        q_idf = (
+            jnp.zeros((b, v_pad), jnp.float32)
+            .at[jnp.arange(b)[:, None], ids]
+            .add(w)
+        )
+        top_s, top_i, skipped = _blocked_scan_body(
+            bt, bd, bf, bb, bound, q_idf, k=k, d_blk=d_blk
+        )
+        all_s = jax.lax.all_gather(top_s, axis)  # (n_dev, B, k)
+        all_i = jax.lax.all_gather(top_i, axis)
+        n_dev = all_s.shape[0]
+        cand_s = jnp.transpose(all_s, (1, 0, 2)).reshape(b, n_dev * k)
+        cand_i = jnp.transpose(all_i, (1, 0, 2)).reshape(b, n_dev * k)
+        out_s, pos = jax.lax.top_k(cand_s, k)
+        out_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        total_skipped = jax.lax.psum(skipped, axis)
+        return out_s, out_i, total_skipped
+
+    out_s, out_i, skipped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None), P(axis, None), P(axis, None), P(axis),
+            P(axis, None), P(None, None), P(None, None),
+        ),
+        out_specs=(P(None, None), P(None, None), P()),
+        **_sm_kwargs(),
+    )(blk_term, blk_doc, blk_tf, blk_base, blk_bound, q_ids, q_w)
+    return out_s, out_i, skipped
+
+
+class ShardedBulkDeviceBm25Index(LexicalRead):
+    """A BulkDeviceBm25Index whose postings blocks live sharded on a mesh.
+
+    Wraps a built single-device index: forces the doc-blocked layout
+    (even under the dense-lane threshold) and re-places it block-sharded.
+    Query/bound/hydration machinery is shared with the wrapped index.
+    """
+
+    def __init__(
+        self,
+        inner,
+        mesh: Mesh,
+        *,
+        axis: str = "d",
+        block_postings: int | None = None,
+    ) -> None:
+        self.inner = inner
+        self.mesh = mesh
+        self.axis = axis
+        self.doc_ids = inner.doc_ids
+        self.n_docs = inner.n_docs
+        blocked = getattr(inner, "_blocked", None)
+        if blocked is None:
+            terms, docs, tfs = inner._post_host
+            n_dev = mesh.shape[axis]
+            if block_postings is None:
+                # small corpora: aim for >= one block per device
+                block_postings = max(len(terms) // max(n_dev, 1), 128)
+            blocked = _build_blocked(
+                terms.astype(np.int64), docs.astype(np.int64), tfs,
+                n_docs=inner.n_docs, vocab_size=inner.vocab_size,
+                block_postings=block_postings,
+            )
+        self._blocked_host = blocked
+        self._sharded = shard_blocked(blocked, mesh, axis=axis)
+        self.last_blocks_skipped = 0
+
+    # -- LexicalRead ---------------------------------------------------------
+
+    def search_candidates_batch(self, queries, budget: int):
+        if self.n_docs == 0 or not queries:
+            return [[] for _ in queries]
+        k = min(budget, self.n_docs)
+        ids, w = self.inner._query_sparse_rows(list(queries))
+        bounds = self._blocked_host.query_bounds(ids, w)
+        sb = self._sharded
+        pad = sb.n_blk_pad - bounds.shape[0]
+        if pad:
+            bounds = np.concatenate(
+                [bounds, np.zeros((pad, bounds.shape[1]), np.float32)]
+            )
+        bounds_dev = jax.device_put(
+            jnp.asarray(bounds), NamedSharding(self.mesh, P(self.axis, None))
+        )
+        top_s, top_i, skipped = sharded_bm25_topk(
+            sb.blk_term, sb.blk_doc, sb.blk_tf, sb.blk_base, bounds_dev,
+            jnp.asarray(ids), jnp.asarray(w),
+            k=k, d_blk=sb.d_blk, v_pad=sb.v_pad, mesh=self.mesh, axis=self.axis,
+        )
+        s, i, skipped_n = jax.device_get((top_s, top_i, skipped))
+        self.last_blocks_skipped = int(skipped_n)
+        s = np.asarray(s)
+        i = np.asarray(i)
+        out = []
+        for qb in range(len(queries)):
+            out.append(
+                [
+                    LexicalCandidate(doc_id=self.doc_ids[int(i[qb, j])], score=float(s[qb, j]))
+                    for j in range(s.shape[1])
+                    if s[qb, j] > 0.0
+                ]
+            )
+        return out
+
+    def search_candidates(self, query: str, budget: int):
+        return self.search_candidates_batch([query], budget)[0]
+
+    def hydrate_candidates(self, doc_ids):
+        return self.inner.hydrate_candidates(doc_ids)
+
+    def doc_count(self) -> int:
+        return self.n_docs

@@ -167,3 +167,87 @@ class TestShardedProductSurface:
         assert isinstance(compacted.fast, ShardedDeviceVectorIndex)
         assert compacted.fast.row_for("d3") is None
         assert compacted.fast.row_for("new-doc") is not None
+
+
+class TestShardedBm25:
+    """Block-axis sharded lexical arm: exact parity with single-device."""
+
+    def _corpus(self, n=200):
+        import numpy as np
+
+        from frankensearch_tpu.core.types import IndexableDocument
+
+        rng = np.random.default_rng(4)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "omicron"]
+        return [
+            IndexableDocument(
+                doc_id=f"d{i:04d}",
+                content=" ".join(rng.choice(words, size=12)) + f" tag{i % 17}",
+            )
+            for i in range(n)
+        ]
+
+    def test_parity_with_single_device(self):
+        from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
+        from frankensearch_tpu.parallel.mesh import make_mesh
+        from frankensearch_tpu.parallel.sharded_bm25 import ShardedBulkDeviceBm25Index
+
+        docs = self._corpus()
+        single = BulkDeviceBm25Index(docs)
+        mesh = make_mesh(len(jax.devices()), axes=("d",))
+        sharded = ShardedBulkDeviceBm25Index(BulkDeviceBm25Index(docs), mesh)
+        queries = ["alpha beta", "gamma tag3", "epsilon zeta omicron", "nosuchword"]
+        got = sharded.search_candidates_batch(queries, 10)
+        want = single.search_candidates_batch(queries, 10)
+        for q, g, w in zip(queries, got, want):
+            assert [(c.doc_id, round(c.score, 5)) for c in g] == \
+                   [(c.doc_id, round(c.score, 5)) for c in w], q
+
+    def test_pruning_engages_sharded(self):
+        from frankensearch_tpu.core.types import IndexableDocument
+        from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
+        from frankensearch_tpu.parallel.mesh import make_mesh
+        from frankensearch_tpu.parallel.sharded_bm25 import ShardedBulkDeviceBm25Index
+
+        # pruning is per-device (each shard's running k-th sees only
+        # local candidates), so alternate tf per ~block-sized window:
+        # with 2 postings/doc and block_postings=96, a block spans ~48
+        # docs; every device gets a high-tf block then a lower one whose
+        # bound its local k-th strictly beats
+        docs = []
+        for i in range(768):
+            tf = 12 if (i // 48) % 2 == 0 else 6
+            docs.append(IndexableDocument(
+                doc_id=f"d{i:04d}", content=("alpha " * tf) + f"filler{i}",
+            ))
+        mesh = make_mesh(len(jax.devices()), axes=("d",))
+        arm = ShardedBulkDeviceBm25Index(
+            BulkDeviceBm25Index(docs), mesh, block_postings=96,
+        )
+        hits = arm.search_candidates("alpha", 5)
+        assert hits and hits[0].doc_id == "d0000"
+        assert arm.last_blocks_skipped > 0  # block-max pruning crossed shards
+
+    def test_searcher_integration(self, tmp_path):
+        import numpy as np
+
+        from frankensearch_tpu.core.config import TwoTierConfig
+        from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+        from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+        from frankensearch_tpu.index.two_tier import TwoTierIndex
+        from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
+        from frankensearch_tpu.parallel.mesh import make_mesh
+        from frankensearch_tpu.parallel.sharded_bm25 import ShardedBulkDeviceBm25Index
+
+        docs = self._corpus(80)
+        emb = HashEmbedder(dim=64)
+        idx = TwoTierIndex.create(
+            str(tmp_path), emb.embed_batch([d.content for d in docs]),
+            [d.doc_id for d in docs], emb.identity(), use_pallas=False,
+            mesh_shards=len(jax.devices()),
+        )
+        mesh = make_mesh(len(jax.devices()), axes=("d",))
+        lex = ShardedBulkDeviceBm25Index(BulkDeviceBm25Index(docs), mesh)
+        s = TwoTierSearcher(idx, emb, lexical=lex, config=TwoTierConfig(fast_only=True))
+        out = s.search("alpha beta tag3", k=5)
+        assert out.results  # BOTH arms served from the mesh
