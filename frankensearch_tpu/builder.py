@@ -347,6 +347,21 @@ class HybridHandle:
     #: FLXB generation when the lease budget trips or at flow exit
     delta: "DeltaLexicalIndex | None" = None
 
+    def delete(self, doc_ids) -> None:
+        """Tombstone docs across EVERY arm: vector tiers (durable via
+        WAL), lexical (through the delta so the removal is searchable
+        before the next seal), and storage. The searcher additionally
+        enforces cross-arm supersession, so even a stale lexical
+        generation cannot resurface a vector-tombstoned doc."""
+        self.index.delete(list(doc_ids))
+        if self.delta is not None:
+            for doc_id in doc_ids:
+                self.delta.delete_document(doc_id)
+            self.delta.commit()
+        if self.storage is not None:
+            for doc_id in doc_ids:
+                self.storage.delete_document(doc_id)
+
 
 def _verify_embedder_conformance(root: str, *, fast, quality) -> None:
     from frankensearch_tpu.core.errors import IdentityMismatch

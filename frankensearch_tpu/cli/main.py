@@ -346,11 +346,15 @@ def cmd_append_batch(args) -> dict:
 
 
 def cmd_delete(args) -> dict:
-    from frankensearch_tpu.index.two_tier import TwoTierIndex
+    from frankensearch_tpu.builder import open_hybrid
 
-    index = TwoTierIndex.open(args.root, use_pallas=False)
-    index.delete(args.doc_ids)
-    return envelope({"deleted": len(args.doc_ids), "doc_count": index.doc_count()})
+    # every arm: vector tombstones (WAL-durable), lexical through the
+    # delta (searchable-before-seal), storage census
+    handle = open_hybrid(args.root)
+    handle.delete(args.doc_ids)
+    if handle.delta is not None:
+        handle.delta.seal()  # one-shot command: publish the removal now
+    return envelope({"deleted": len(args.doc_ids), "doc_count": handle.index.doc_count()})
 
 
 def cmd_compact(args) -> dict:

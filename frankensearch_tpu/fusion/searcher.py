@@ -165,6 +165,19 @@ class TwoTierSearcher:
             return False
         return True
 
+    def _drop_superseded(self, pool):
+        """Cross-arm supersession (search.rs:276-300): a doc tombstoned
+        in the vector index must not resurface through the lexical arm —
+        deletes land in the vector tiers durably (WAL) even when the
+        lexical generation has not yet resealed."""
+        try:
+            dead = self.index.fast.tombstoned_ids()
+        except AttributeError:  # arm without tombstone accounting
+            return pool
+        if not dead:
+            return pool
+        return [r for r in pool if r.doc_id not in dead]
+
     # ------------------------------------------------------------------ search
 
     def search(
@@ -434,6 +447,7 @@ class TwoTierSearcher:
                             )
                             for c in cands
                         ]
+                        lexical_pools[i] = self._drop_superseded(lexical_pools[i])
                 except Exception:
                     lexical_pools = {}
 
@@ -448,7 +462,9 @@ class TwoTierSearcher:
                     k,
                 )
                 try:
-                    lexical_pool = self.lexical.search(parsed.positive, lex_budget)
+                    lexical_pool = self._drop_superseded(
+                        self.lexical.search(parsed.positive, lex_budget)
+                    )
                 except Exception:
                     lexical_pool = []
             fast_hits = hits_per_query.get(i, [])
@@ -515,7 +531,9 @@ class TwoTierSearcher:
         if self.lexical is not None:
             t_lex = time.monotonic()
             try:
-                lexical_pool = self.lexical.search(parsed.positive, lex_budget)
+                lexical_pool = self._drop_superseded(
+                    self.lexical.search(parsed.positive, lex_budget)
+                )
             except Exception:
                 lexical_pool = []
             metrics.lexical_ms = (time.monotonic() - t_lex) * 1000.0

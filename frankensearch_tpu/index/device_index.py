@@ -296,6 +296,21 @@ class DeviceVectorIndex:
             all_vecs, all_ids, all_tomb = new_base, keep_ids, tomb
         return all_vecs, all_ids, all_tomb
 
+    def tombstoned_ids(self) -> frozenset:
+        """Doc ids masked out of this index (lazy, cached — the instance
+        is immutable; deletes mint a new index via with_tombstones).
+        Drives the searcher's cross-arm supersession: a vector tombstone
+        must also kill the doc's lexical hits (search.rs:276-300)."""
+        cached = getattr(self, "_tombstoned_ids", None)
+        if cached is None:
+            cached = frozenset(
+                self.doc_ids[i]
+                for i in range(self.n_rows)
+                if not self._valid_host[i]
+            )
+            self._tombstoned_ids = cached
+        return cached
+
     def with_tombstones(self, doc_ids: Sequence[str]) -> "DeviceVectorIndex":
         tomb = (~self._valid_host[: self.n_rows]).copy()
         for doc_id in doc_ids:

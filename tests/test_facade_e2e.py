@@ -100,3 +100,48 @@ class TestInt4Scan:
                 set(np.asarray(res.indices)[b]) & set(np.asarray(exact.indices)[b])
             )
             assert overlap >= 7, f"query {b}: {overlap}"
+
+
+class TestDeleteAllArms:
+    def test_deleted_doc_gone_from_every_arm(self, tmp_path):
+        import frankensearch_tpu as fs
+        from frankensearch_tpu.core.types import IndexableDocument
+
+        root = str(tmp_path / "ix")
+        b = fs.IndexBuilder(root).with_embedder_stack(
+            fs.EmbedderStack(fast=fs.HashEmbedder(dim=32))
+        )
+        for i in range(10):
+            b.add_document(IndexableDocument(doc_id=f"d{i}", content=f"alpha beta doc {i}"))
+        b.add_document(IndexableDocument(doc_id="target", content="zeppelin unique document"))
+        b.build()
+
+        handle = fs.open_hybrid(root, fast_embedder=fs.HashEmbedder(dim=32))
+        assert handle.searcher.search("zeppelin unique", k=3).results[0].doc_id == "target"
+        handle.delete(["target"])
+        got = [r.doc_id for r in handle.searcher.search("zeppelin unique", k=3).results]
+        assert "target" not in got  # lexical hits superseded too
+
+        # durable: a fresh open (stale packed lexical or not) stays clean
+        handle2 = fs.open_hybrid(root, fast_embedder=fs.HashEmbedder(dim=32))
+        got2 = [r.doc_id for r in handle2.searcher.search("zeppelin unique", k=3).results]
+        assert "target" not in got2
+
+    def test_vector_only_tombstone_still_superseded(self, tmp_path):
+        """Even if only the vector arm was tombstoned (stale lexical
+        generation), the searcher's supersession filter hides the doc."""
+        import frankensearch_tpu as fs
+        from frankensearch_tpu.core.types import IndexableDocument
+
+        root = str(tmp_path / "ix")
+        b = fs.IndexBuilder(root).with_embedder_stack(
+            fs.EmbedderStack(fast=fs.HashEmbedder(dim=32))
+        )
+        for i in range(6):
+            b.add_document(IndexableDocument(doc_id=f"d{i}", content=f"alpha doc {i}"))
+        b.add_document(IndexableDocument(doc_id="target", content="zeppelin unique document"))
+        b.build()
+        handle = fs.open_hybrid(root, fast_embedder=fs.HashEmbedder(dim=32))
+        handle.index.delete(["target"])  # vector only — lexical untouched
+        got = [r.doc_id for r in handle.searcher.search("zeppelin unique", k=3).results]
+        assert "target" not in got
