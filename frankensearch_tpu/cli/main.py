@@ -96,6 +96,17 @@ def cmd_index(args) -> dict:
         .with_config(cfg)
         .build()
     )
+    if os.path.isdir(args.corpus):
+        # seed the watch snapshot with the just-indexed state so a later
+        # `watch` emits exactly the delta since THIS build — including
+        # deletions that happen while no watcher is running (the crash
+        # catch-up contract, watcher.rs snapshot diff)
+        from frankensearch_tpu.runtime.watcher import SnapshotWatcher
+
+        SnapshotWatcher(
+            [args.corpus], os.path.join(args.root, "watch_snapshot.json"),
+            debounce_s=0.0,
+        ).poll()
     return envelope(
         {
             "root": args.root,
@@ -424,7 +435,9 @@ def cmd_watch(args) -> dict:
                         handle.delta.add_document(d)
                     handle.delta.commit()
             if deleted:
-                handle.index.delete(
+                # every arm (vector WAL tombstone + lexical delta +
+                # storage) — same contract as `fsfs delete`
+                handle.delete(
                     [os.path.relpath(c.path, args.corpus) for c in deleted]
                 )
             batches.append({"ingested": len(docs), "deleted": len(deleted)})

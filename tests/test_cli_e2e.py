@@ -284,3 +284,25 @@ class TestCliContract:
         assert not os.path.exists(wal) or os.path.getsize(wal) == 0
         r2 = run_cli("--format", "json", "search", "alpha doc", "--root", root, "-k", "2")
         assert json.loads(r2.stdout)["ok"]
+
+    def test_watch_ingests_and_deletes_across_arms(self, tmp_path):
+        corpus = tmp_path / "corpus"
+        corpus.mkdir()
+        (corpus / "a.txt").write_text("alpha beta document one")
+        (corpus / "b.txt").write_text("zeppelin unique document")
+        root = str(tmp_path / "ix")
+        run_cli("--format", "json", "index", str(corpus), "--root", root)
+        r = run_cli("--format", "json", "search", "zeppelin unique", "--root", root, "-k", "2")
+        assert json.loads(r.stdout)["data"][0]["doc_id"] == "b.txt"
+
+        os.remove(corpus / "b.txt")
+        (corpus / "c.txt").write_text("quartz onyx new document")
+        r = run_cli("--format", "json", "watch", str(corpus), "--root", root,
+                    "--once", "--cycles", "2", "--debounce", "0")
+        assert json.loads(r.stdout)["ok"]
+
+        # the new file is searchable; the deleted one is gone from EVERY arm
+        r2 = run_cli("--format", "json", "search", "quartz onyx", "--root", root, "-k", "2")
+        assert json.loads(r2.stdout)["data"][0]["doc_id"] == "c.txt"
+        r3 = run_cli("--format", "json", "search", "zeppelin unique", "--root", root, "-k", "3")
+        assert all(d["doc_id"] != "b.txt" for d in json.loads(r3.stdout)["data"])
