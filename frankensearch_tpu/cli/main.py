@@ -353,6 +353,13 @@ def cmd_append_batch(args) -> dict:
             handle.delta.add_document(d)
         handle.delta.commit()
         handle.delta.seal()
+    if handle.storage is not None:
+        # keep the census + content hashes current, or staleness()
+        # reports drift for docs this very command just re-embedded
+        handle.storage.upsert_documents_bulk(
+            ((d.doc_id, d.content, d.title, d.metadata) for d in docs),
+            embedder_id=handle.searcher.fast_embedder.embedder_id,
+        )
     return envelope({"appended": len(ids), "doc_count": handle.index.doc_count()})
 
 
