@@ -245,6 +245,29 @@ def build_manifest(
     )
 
 
+def refresh_manifest(gen_dir: str) -> "GenerationManifest | None":
+    """Re-census the artifacts after a mutating flow (compaction, seal,
+    WAL rebuild): hashes are recomputed, identities/conformance/extra
+    carry over, commit_seq bumps monotonically (anti-rollback floors
+    keep holding). No-op when the dir has no manifest."""
+    path = os.path.join(gen_dir, MANIFEST_FILE)
+    if not os.path.exists(path):
+        return None
+    old = read_manifest(gen_dir)
+    fresh = build_manifest(
+        gen_dir,
+        generation_id=old.generation_id,
+        commit_seq=old.commit_seq + 1,
+        embedders=old.embedders,
+        doc_count=old.doc_count,
+        quantization=old.quantization,
+        golden=old.golden,
+    )
+    fresh.extra = dict(old.extra)
+    write_manifest(gen_dir, fresh)
+    return fresh
+
+
 def write_manifest(gen_dir: str, manifest: GenerationManifest) -> str:
     path = os.path.join(gen_dir, MANIFEST_FILE)
     tmp = path + ".tmp"

@@ -92,6 +92,9 @@ def rebuild_fast_tier_from_wal(root: str, artifact: str | None = None) -> Rebuil
     identity = _salvage_identity(path, dim=vectors.shape[1])
     write_ftvi(path, vectors, doc_ids, identity, dtype="f32")
     protect_artifact(path)
+    from frankensearch_tpu.core.generation import refresh_manifest
+
+    refresh_manifest(root)  # census changed under the rebuild
     # the artifact now owns these vectors; fold the WAL away so replay
     # doesn't double-apply
     wal.truncate()

@@ -245,6 +245,11 @@ class TwoTierIndex:
                 bytes_after=os.path.getsize(path),
                 wal_bytes_folded=wal_bytes,
             )
+        # the artifact census changed: refresh the generation manifest so
+        # its hashes stay truthful (commit_seq bumps; identities carry)
+        from frankensearch_tpu.core.generation import refresh_manifest
+
+        refresh_manifest(self.root)
         compacted = TwoTierIndex.open(self.root, mesh_shards=self.mesh_shards)
         compacted.last_vacuum_stats = stats
         return compacted

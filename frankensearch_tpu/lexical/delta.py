@@ -143,6 +143,9 @@ class DeltaLexicalIndex(LexicalRead):
             packed = load_packed_lexical(self.root)
             if packed is not None:
                 self.sealed = packed
+            from frankensearch_tpu.core.generation import refresh_manifest
+
+            refresh_manifest(self.root)  # new lexical generation in the census
         else:
             # in-memory only: the oracle IS the sealed arm
             self.sealed = self.oracle

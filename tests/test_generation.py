@@ -306,3 +306,31 @@ class TestEmbedderConformance:
         )
         with open(schema_path) as f:
             jsonschema.validate(json.loads(m.to_json()), json.load(f))
+
+
+class TestManifestRefresh:
+    def test_compact_and_seal_keep_manifest_truthful(self, tmp_path):
+        import os
+
+        import frankensearch_tpu as fs
+        from frankensearch_tpu.core.generation import read_manifest, sha256_file
+        from frankensearch_tpu.core.types import IndexableDocument
+
+        root = str(tmp_path / "ix")
+        b = fs.IndexBuilder(root).with_embedder_stack(
+            fs.EmbedderStack(fast=fs.HashEmbedder(dim=32))
+        )
+        for i in range(8):
+            b.add_document(IndexableDocument(doc_id=f"d{i}", content=f"alpha doc {i}"))
+        b.build()
+        seq0 = read_manifest(root).commit_seq
+
+        handle = fs.open_hybrid(root, fast_embedder=fs.HashEmbedder(dim=32))
+        handle.delete(["d3"])
+        handle.index.compact()
+        m = read_manifest(root)
+        assert m.commit_seq > seq0  # anti-rollback floor keeps rising
+        for a in m.artifacts:
+            full = os.path.join(root, a.name)
+            assert sha256_file(full) == a.sha256, a.name  # census truthful
+        assert "conformance" in m.extra  # certificates carried over
