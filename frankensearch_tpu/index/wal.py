@@ -91,15 +91,24 @@ class WriteAheadLog:
         self._write_batch(payload)
 
     def _write_batch(self, payload: bytes) -> None:
-        new = not os.path.exists(self.path)
         with open(self.path, "ab") as f:
-            if new:
-                f.write(WAL_MAGIC)
-            f.write(BATCH_MAGIC)
-            f.write(struct.pack("<II", len(payload), zlib.crc32(payload)))
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
+            # cross-process exclusion for the multi-write batch frame:
+            # two unlocked appenders interleave magic/header/payload and
+            # poison the log from that offset (generation_root.rs flock
+            # guard discipline; the lock dies with its holder)
+            import fcntl
+
+            fcntl.flock(f.fileno(), fcntl.LOCK_EX)
+            try:
+                if f.tell() == 0 and os.path.getsize(self.path) == 0:
+                    f.write(WAL_MAGIC)
+                f.write(BATCH_MAGIC)
+                f.write(struct.pack("<II", len(payload), zlib.crc32(payload)))
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            finally:
+                fcntl.flock(f.fileno(), fcntl.LOCK_UN)
 
     def replay(self, strict: bool = False) -> WalState:
         """Read all intact batches; a torn/corrupt tail is discarded

@@ -322,3 +322,37 @@ class TestWalFuzz:
             except Exception as e:  # pragma: no cover
                 pytest.fail(f"untyped strict failure {type(e).__name__} at {off}: {e}")
         path.write_bytes(orig)
+
+
+class TestWalConcurrentAppend:
+    def test_two_processes_append_without_interleaving(self, tmp_path):
+        """Concurrent appenders must not poison the log: the batch frame
+        spans multiple writes, so it is flock-guarded (found by seam
+        probing; unlocked interleave CRC-fails every batch after the
+        first collision)."""
+        import subprocess
+        import sys
+
+        import numpy as np
+
+        from frankensearch_tpu.index.wal import WriteAheadLog
+
+        path = str(tmp_path / "v.idx.wal")
+        worker = (
+            "import sys; sys.path.insert(0, '/root/repo')\n"
+            "import numpy as np\n"
+            "from frankensearch_tpu.index.wal import WriteAheadLog\n"
+            "wal = WriteAheadLog(sys.argv[1])\n"
+            "tag = sys.argv[2]\n"
+            "for i in range(40):\n"
+            "    wal.append([f'{tag}-{i}'], np.full((1, 64), float(i), np.float32))\n"
+        )
+        procs = [
+            subprocess.Popen([sys.executable, "-c", worker, path, tag])
+            for tag in ("a", "b")
+        ]
+        for p in procs:
+            assert p.wait(timeout=120) == 0
+        st = WriteAheadLog(path).replay()
+        assert st.bytes_discarded == 0
+        assert len(st.live) == 80  # every batch from both writers intact
