@@ -73,14 +73,20 @@ class FileProtector:
     """Protect-on-commit + verify-on-open for a single artifact file."""
 
     @staticmethod
-    def protect(path: str) -> ProtectionReceipt:
-        digest = _digest_file(path)
+    def protect(path: str, *, source: str | None = None) -> ProtectionReceipt:
+        """``source`` lets a publisher compute the digest from a staged
+        tmp file while naming the sidecar for the final path — the
+        artifact + sidecar swaps then happen back to back (microsecond
+        inconsistency window instead of the digest-computation seconds a
+        racing reader could otherwise observe)."""
+        src = source or path
+        digest = _digest_file(src)
         sidecar = path + SIDECAR_SUFFIX
         payload = {
             "v": SIDECAR_VERSION,
             "algo": "crc32",
             "digest": digest,
-            "bytes": os.path.getsize(path),
+            "bytes": os.path.getsize(src),
         }
         tmp = sidecar + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
@@ -141,11 +147,13 @@ class ParityProtector:
     """
 
     @staticmethod
-    def protect(path: str, *, stripe: int = 1 << 16, group: int = 16) -> str:
-        size = os.path.getsize(path)
+    def protect(path: str, *, stripe: int = 1 << 16, group: int = 16,
+                source: str | None = None) -> str:
+        src = source or path
+        size = os.path.getsize(src)
         digests: list[str] = []
         parity_blocks: list[bytes] = []
-        with open(path, "rb") as f:
+        with open(src, "rb") as f:
             acc: np.ndarray | None = None
             in_group = 0
             while True:
@@ -279,10 +287,12 @@ class ParityProtector:
         )
 
 
-def protect_artifact(path: str) -> ProtectionReceipt:
-    """Protect-on-commit: write BOTH sidecars (digest + parity)."""
-    receipt = FileProtector.protect(path)
-    ParityProtector.protect(path)
+def protect_artifact(path: str, *, source: str | None = None) -> ProtectionReceipt:
+    """Protect-on-commit: write BOTH sidecars (digest + parity).
+    ``source`` stages the computation against a tmp file (see
+    FileProtector.protect)."""
+    receipt = FileProtector.protect(path, source=source)
+    ParityProtector.protect(path, source=source)
     return receipt
 
 

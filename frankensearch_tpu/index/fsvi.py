@@ -256,18 +256,23 @@ def write_ftvi(
             f.write(np.asarray(scale, dtype=np.float32).tobytes())
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, path)
     # a rewrite invalidates any durability sidecars describing the OLD
     # bytes — refresh them, or stale parity would "repair" the new
     # artifact back to its previous content (resurrecting e.g. docs a
-    # compaction just tombstone-folded)
+    # compaction just tombstone-folded). Sidecars are computed from the
+    # STAGED tmp file BEFORE the artifact swap, so the artifact+sidecar
+    # replaces land back to back (a racing reader's inconsistency window
+    # is microseconds, not the digest-computation seconds).
     from frankensearch_tpu.index.durability import PARITY_SUFFIX, SIDECAR_SUFFIX
 
     path = str(path)
     if os.path.exists(path + SIDECAR_SUFFIX) or os.path.exists(path + PARITY_SUFFIX):
         from frankensearch_tpu.index.durability import protect_artifact
 
-        protect_artifact(path)
+        protect_artifact(path, source=tmp)
+        os.replace(tmp, path)
+    else:
+        os.replace(tmp, path)
     return header
 
 
