@@ -1,0 +1,119 @@
+"""Grand composition test: every major subsystem on at once.
+
+The reference certifies feature composition through the interaction
+matrix (fusion/interaction_oracles.rs) and composition_harness.rs; this
+is the e2e analog — one index driven through build -> three-phase search
+with rerank -> delta append -> delete -> corruption+repair -> compact ->
+reopen, asserting the cross-feature invariants hold at every step.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import frankensearch_tpu as fs
+from frankensearch_tpu.core.config import TwoTierConfig
+from frankensearch_tpu.core.types import IndexableDocument
+
+
+@pytest.fixture()
+def world(tmp_path):
+    rng = np.random.default_rng(0)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "theta"]
+    docs = []
+    for i in range(60):
+        body = " ".join(rng.choice(words, size=10)) + f" topic{i % 9}"
+        docs.append(IndexableDocument(doc_id=f"d{i:03d}", content=body))
+    docs.append(IndexableDocument(doc_id="needle", content="zeppelin quartz unique needle"))
+    root = str(tmp_path / "ix")
+    b = fs.IndexBuilder(root).with_embedder_stack(
+        fs.EmbedderStack(fast=fs.HashEmbedder(dim=64))
+    )
+    for d in docs:
+        b.add_document(d)
+    b.build()
+    return root, {d.doc_id: d.content for d in docs}
+
+
+class FakeReranker:
+    """Deterministic reranker double: boosts docs containing the query's
+    rarest term (pipeline contract only; scores in [0,1])."""
+
+    reranker_id = "fake-reranker"
+
+    def score_pairs(self, query, docs):
+        from frankensearch_tpu.rerank.cross_encoder import RerankScore
+
+        q_terms = set(query.split())
+        return [
+            RerankScore(doc_id=doc_id, score=min(1.0, len(q_terms & set(text.split())) / 3))
+            for doc_id, text in docs
+        ]
+
+
+def test_full_lifecycle_composition(world):
+    root, texts = world
+    emb = fs.HashEmbedder(dim=64)
+    cfg = TwoTierConfig(rerank_enabled=True, rerank_top_n=10)
+    handle = fs.open_hybrid(root, fast_embedder=emb, config=cfg)
+    handle.searcher.reranker = FakeReranker()
+
+    # 1. three-phase search with rerank + explanation
+    handle.searcher.config.explain = True
+    out = handle.searcher.search(
+        "zeppelin quartz needle", k=5, text_fn=lambda d: texts.get(d, "")
+    )
+    kinds = [p.kind.value for p in out.phases]
+    assert "initial" in kinds and ("reranked" in kinds or "refined" in kinds)
+    assert out.results[0].doc_id == "needle"
+    assert out.results[0].explanation is not None
+
+    # 2. delta append: searchable before seal, batch parity
+    handle.delta.add_document(
+        IndexableDocument(doc_id="fresh", content="xylophone brand new entry")
+    )
+    handle.delta.commit()
+    handle.index.append_fast(["fresh"], emb.embed_batch(["xylophone brand new entry"]))
+    texts["fresh"] = "xylophone brand new entry"
+    hit = handle.searcher.search("xylophone brand", k=3)
+    assert hit.results and hit.results[0].doc_id == "fresh"
+    batch = handle.searcher.search_batch(["xylophone brand", "zeppelin quartz needle"], k=3)
+    assert batch[0].results[0].doc_id == "fresh"
+    assert batch[1].results[0].doc_id == "needle"
+
+    # 3. delete kills the doc in every arm, even pre-seal
+    handle.delete(["needle"])
+    gone = handle.searcher.search("zeppelin quartz needle", k=5)
+    assert all(r.doc_id != "needle" for r in gone.results)
+
+    # 4. seal the delta, corrupt the slab, reopen: parity repair + state
+    handle.delta.seal()
+    fast_path = os.path.join(root, "vector.fast.idx")
+    size = os.path.getsize(fast_path)
+    with open(fast_path, "r+b") as f:
+        f.seek(size - 700)
+        f.write(b"\xff" * 24)
+
+    handle2 = fs.open_hybrid(root, fast_embedder=emb, config=cfg)
+    again = handle2.searcher.search("xylophone brand", k=3)
+    assert again.results and again.results[0].doc_id == "fresh"
+    assert all(
+        r.doc_id != "needle"
+        for r in handle2.searcher.search("zeppelin quartz needle", k=5).results
+    )
+
+    # 5. compact folds the WAL + tombstones; manifest census stays true
+    compacted = handle2.index.compact()
+    assert compacted.fast.row_for("needle") is None
+    from frankensearch_tpu.core.generation import read_manifest, sha256_file
+
+    m = read_manifest(root)
+    for a in m.artifacts:
+        assert sha256_file(os.path.join(root, a.name)) == a.sha256, a.name
+
+    # 6. final reopen: everything consistent from disk alone
+    handle3 = fs.open_hybrid(root, fast_embedder=emb)
+    final = handle3.searcher.search("xylophone brand", k=3)
+    assert final.results and final.results[0].doc_id == "fresh"
+    assert handle3.index.fast.row_for("needle") is None
