@@ -41,6 +41,23 @@ class CachedEmbedder(Embedder):
     def stats(self):
         return self._cache.stats
 
+    def embed_prefetch(self, text: str):
+        """Pass the prefetch THROUGH to the inner embedder on a miss —
+        without this override the base-class lazy fallback silently
+        disabled the phase-2 overlap for the default (cached) searcher
+        wiring. The collected vector lands in the cache."""
+        hit = self._cache.get(text)
+        if hit is not None:
+            return lambda: hit
+        collect = self.inner.embed_prefetch(text)
+
+        def collect_and_cache():
+            vec = collect()
+            self._cache.put(text, vec)
+            return vec
+
+        return collect_and_cache
+
     def embed_batch(self, texts: Sequence[str]) -> np.ndarray:
         out = np.zeros((len(texts), self.dim), dtype=np.float32)
         missing: list[int] = []

@@ -337,3 +337,32 @@ class TestPhase2Prefetch:
         collect = emb.embed_prefetch("alpha beta query")
         want = emb.embed("alpha beta query")
         assert np.allclose(collect(), want, atol=1e-6)
+
+    def test_cached_wrapper_passes_prefetch_through(self):
+        """Default searcher wiring wraps the quality embedder in
+        CachedEmbedder — the prefetch must reach the device embedder
+        through it (it silently degraded to lazy before this test)."""
+        import numpy as np
+
+        from frankensearch_tpu.embed.cached import CachedEmbedder
+        from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+
+        class Counting(HashEmbedder):
+            def __init__(self, **kw):
+                super().__init__(**kw)
+                self.prefetches = 0
+
+            def embed_prefetch(self, text):
+                self.prefetches += 1
+                vec = self.embed_batch([text])[0]
+                return lambda: vec
+
+        inner = Counting(dim=16)
+        cached = CachedEmbedder(inner)
+        c1 = cached.embed_prefetch("query one")
+        v1 = c1()
+        assert inner.prefetches == 1  # reached the device embedder
+        # second prefetch of the same text: cache hit, no re-dispatch
+        c2 = cached.embed_prefetch("query one")
+        assert inner.prefetches == 1
+        assert np.array_equal(c2(), v1)
