@@ -165,6 +165,105 @@ class TwoTierSearcher:
             return False
         return True
 
+    def _fused_phase1_batch(self, fast_vecs, queries, sem_budget: int, lex_budget: int):
+        """Run phase 1's vector scan + device BM25 as ONE device program
+        (ops/hybrid_phase1.py). Returns (hydrated vector hits per query,
+        lexical candidate lists per query) or None when either arm is
+        ineligible (sharded/filtered/non-device lanes fall back)."""
+        import numpy as np
+
+        from frankensearch_tpu.index.device_index import DeviceVectorIndex, _on_tpu
+        from frankensearch_tpu.lexical.base import LexicalCandidate
+        from frankensearch_tpu.lexical.delta import DeltaLexicalIndex
+        from frankensearch_tpu.lexical.device_bm25 import (
+            BulkDeviceBm25Index,
+            DeviceBm25Index,
+        )
+        from frankensearch_tpu.ops.hybrid_phase1 import (
+            fused_phase1_blocked,
+            fused_phase1_dense,
+        )
+
+        if self.config.mrl_search_dims or self.config.scan_mode != "auto":
+            return None
+        fast = self.index.fast
+        if type(fast) is not DeviceVectorIndex:
+            return None
+        arm = self.lexical
+        if isinstance(arm, DeltaLexicalIndex):
+            arm = arm._read_arm()
+        if not isinstance(arm, (DeviceBm25Index, BulkDeviceBm25Index)):
+            return None
+        if arm.n_docs == 0:
+            return None
+
+        q = np.asarray(fast_vecs, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != fast.dim:
+            return None
+        if q.shape[1] != fast.d_pad:
+            q = np.pad(q, ((0, 0), (0, fast.d_pad - q.shape[1])))
+        import jax
+        import jax.numpy as jnp
+
+        mask = fast._effective_mask(None, None)
+        if self.config.use_pallas and _on_tpu() and fast.n_pad % 8192 == 0:
+            scan_mode, tile_n = "hierarchical", 8192
+        elif self.config.use_pallas and _on_tpu():
+            scan_mode, tile_n = "pallas", fast.tile_n
+        else:
+            scan_mode, tile_n = "xla", fast.tile_n
+        k_vec = min(sem_budget, fast.n_rows) or 1
+        k_lex = min(lex_budget, arm.n_docs)
+
+        if arm._blocked is not None:
+            ids, w = arm._query_sparse_rows(list(queries))
+            bounds = arm._blocked.query_bounds(ids, w)
+            vec_s, vec_i, lex_s, lex_i = fused_phase1_blocked(
+                fast.slab, mask, jnp.asarray(q),
+                arm._blocked.blk_term, arm._blocked.blk_doc, arm._blocked.blk_tf,
+                arm._blocked.blk_base, jnp.asarray(bounds),
+                jnp.asarray(ids), jnp.asarray(w),
+                k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode, tile_n=tile_n,
+                d_blk=arm._blocked.d_blk, v_pad=arm._blocked.v_pad,
+            )
+        else:
+            q_idf = jnp.asarray(arm._query_idf_rows(list(queries)))
+            vec_s, vec_i, lex_s, lex_i = fused_phase1_dense(
+                fast.slab, mask, jnp.asarray(q),
+                arm._post_term, arm._post_doc, arm._post_tf, q_idf,
+                k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode, tile_n=tile_n,
+                n_docs_lex=arm.n_docs,
+            )
+        # ONE fetch for all four result arrays
+        vec_s, vec_i, lex_s, lex_i = jax.device_get((vec_s, vec_i, lex_s, lex_i))
+        from frankensearch_tpu.ops.topk_scan import TopKResult
+
+        hydrated = fast.hydrate(TopKResult(np.asarray(vec_s), np.asarray(vec_i)))
+        s_np = np.asarray(lex_s)
+        i_np = np.asarray(lex_i)
+        lex_lists = []
+        for b in range(len(queries)):
+            lex_lists.append([
+                LexicalCandidate(doc_id=arm.doc_ids[int(i_np[b, j])], score=float(s_np[b, j]))
+                for j in range(s_np.shape[1])
+                if s_np[b, j] > 0.0
+            ])
+        return hydrated, lex_lists
+
+    @staticmethod
+    def _apply_filter_to_pool(pool, search_filter):
+        """Search-time filters admit results from EVERY arm, not just the
+        vector scan (filter.rs contract: the filter decides membership of
+        the result set; found violated for lexical hits by probing)."""
+        if search_filter is None or not pool:
+            return pool
+        return [
+            r for r in pool
+            if search_filter.admit(r.doc_id, r.metadata)
+        ]
+
     def _drop_superseded(self, pool):
         """Cross-arm supersession (search.rs:276-300): a doc tombstoned
         in the vector index must not resurface through the lexical arm —
@@ -363,9 +462,46 @@ class TwoTierSearcher:
             except Exception:
                 fast_vecs = None
 
-        # one batched scan
+        # one batched scan — FUSED with the device BM25 arm when both
+        # qualify (ops/hybrid_phase1.py: one dispatch + one fetch for
+        # phase 1 instead of two of each; bit-identical results)
         hits_per_query: dict[int, list[VectorHit]] = {}
-        if fast_vecs is not None:
+        lexical_pools: dict[int, list[ScoredResult]] = {}
+        fused_done = False
+        if fast_vecs is not None and self.lexical is not None and search_filter is None:
+            sem_budget_f = max(
+                int(candidate_count(k, 0, cfg.candidate_multiplier)
+                    * max(classes[i].semantic_budget_multiplier() for i in live)),
+                k,
+            )
+            lex_budget_f = max(
+                int(candidate_count(k, 0, cfg.candidate_multiplier)
+                    * max(classes[i].lexical_budget_multiplier() for i in live)),
+                k,
+            )
+            try:
+                fused = self._fused_phase1_batch(
+                    fast_vecs, [parsed_list[i].positive for i in live],
+                    sem_budget_f, lex_budget_f,
+                )
+            except Exception:
+                fused = None
+            if fused is not None:
+                vec_hydrated, lex_lists = fused
+                for j, i in enumerate(live):
+                    hits_per_query[i] = vec_hydrated[j]
+                    cands = lex_lists[j]
+                    meta = self.lexical.hydrate_candidates([c.doc_id for c in cands])
+                    lexical_pools[i] = self._drop_superseded([
+                        ScoredResult(
+                            doc_id=c.doc_id, score=c.score, lexical_score=c.score,
+                            title=(meta.get(c.doc_id) or {}).get("title"),
+                            metadata=(meta.get(c.doc_id) or {}).get("metadata"),
+                        )
+                        for c in cands
+                    ])
+                fused_done = True
+        if fast_vecs is not None and not fused_done:
             sem_budget = max(
                 int(candidate_count(k, 0, cfg.candidate_multiplier)
                     * max(classes[i].semantic_budget_multiplier() for i in live)),
@@ -423,8 +559,7 @@ class TwoTierSearcher:
 
         # lexical pools: one batched device call when the backend supports
         # it (device BM25 exposes search_candidates_batch), else per query
-        lexical_pools: dict[int, list[ScoredResult]] = {}
-        if self.lexical is not None:
+        if self.lexical is not None and not fused_done:
             lex_budget_all = max(
                 int(candidate_count(k, 0, cfg.candidate_multiplier)
                     * max(classes[i].lexical_budget_multiplier() for i in live)),
@@ -447,7 +582,9 @@ class TwoTierSearcher:
                             )
                             for c in cands
                         ]
-                        lexical_pools[i] = self._drop_superseded(lexical_pools[i])
+                        lexical_pools[i] = self._apply_filter_to_pool(
+                            self._drop_superseded(lexical_pools[i]), search_filter
+                        )
                 except Exception:
                     lexical_pools = {}
 
@@ -462,8 +599,11 @@ class TwoTierSearcher:
                     k,
                 )
                 try:
-                    lexical_pool = self._drop_superseded(
-                        self.lexical.search(parsed.positive, lex_budget)
+                    lexical_pool = self._apply_filter_to_pool(
+                        self._drop_superseded(
+                            self.lexical.search(parsed.positive, lex_budget)
+                        ),
+                        search_filter,
                     )
                 except Exception:
                     lexical_pool = []
@@ -531,8 +671,11 @@ class TwoTierSearcher:
         if self.lexical is not None:
             t_lex = time.monotonic()
             try:
-                lexical_pool = self._drop_superseded(
-                    self.lexical.search(parsed.positive, lex_budget)
+                lexical_pool = self._apply_filter_to_pool(
+                    self._drop_superseded(
+                        self.lexical.search(parsed.positive, lex_budget)
+                    ),
+                    search_filter,
                 )
             except Exception:
                 lexical_pool = []

@@ -1,0 +1,72 @@
+"""Fused Phase-1: vector scan + device BM25 in ONE device program.
+
+The batched hybrid path previously dispatched two device programs per
+batch (scan, then BM25) and fetched their results separately — on a
+remote-dispatch transport every dispatch and every fetch is a round
+trip. Fusing both arms into one jit halves the Phase-1 round trips and
+lets XLA schedule the two workloads back to back on-device.
+
+Used by TwoTierSearcher.search_batch when both arms qualify (exact
+single-device lanes, no filters); any ineligibility falls back to the
+two-program path. Results are bit-identical to the separate calls —
+the fused graph calls the same jitted kernels (nested jit inlines).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from frankensearch_tpu.lexical.device_bm25 import _blocked_scan_body
+from frankensearch_tpu.ops import topk_scan
+
+
+def _vector_arm(slab, mask, q, *, k, scan_mode, tile_n):
+    if scan_mode == "hierarchical":
+        return topk_scan.scan_topk_hierarchical(
+            slab, q, k, mask, tile_n=tile_n, group=128, rescore="pallas"
+        )
+    if scan_mode == "pallas":
+        return topk_scan.scan_topk_pallas(slab, q, k, mask, tile_n=tile_n)
+    return topk_scan.scan_topk_xla(slab, q, k, mask)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_vec", "k_lex", "scan_mode", "tile_n", "d_blk", "v_pad"),
+)
+def fused_phase1_blocked(
+    slab, mask, q_vecs,
+    blk_term, blk_doc, blk_tf, blk_base, blk_bound, q_ids, q_w,
+    *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int, d_blk: int, v_pad: int,
+):
+    vec = _vector_arm(slab, mask, q_vecs, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
+    b = q_ids.shape[0]
+    q_idf = (
+        jnp.zeros((b, v_pad), jnp.float32)
+        .at[jnp.arange(b)[:, None], q_ids]
+        .add(q_w)
+    )
+    lex_s, lex_i, _skipped = _blocked_scan_body(
+        blk_term, blk_doc, blk_tf, blk_base, blk_bound, q_idf, k=k_lex, d_blk=d_blk
+    )
+    return vec.scores, vec.indices, lex_s, lex_i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_vec", "k_lex", "scan_mode", "tile_n", "n_docs_lex"),
+)
+def fused_phase1_dense(
+    slab, mask, q_vecs,
+    post_term, post_doc, post_tf, q_idf,
+    *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int, n_docs_lex: int,
+):
+    vec = _vector_arm(slab, mask, q_vecs, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
+    contrib = post_tf[:, None] * jnp.take(q_idf, post_term, axis=1).T  # (P, B)
+    scores = jax.ops.segment_sum(contrib, post_doc, num_segments=n_docs_lex).T
+    kk = min(k_lex, n_docs_lex)
+    lex_s, lex_i = jax.lax.top_k(scores, kk)
+    return vec.scores, vec.indices, lex_s, lex_i

@@ -68,3 +68,95 @@ class TestBatchSearch:
             assert all(r.quality_score is None for r in batch[0].results)
         finally:
             searcher.config.fast_only = False
+
+
+class TestFusedPhase1:
+    """search_batch's fused scan+BM25 device program: engages for
+    eligible arms and stays bit-identical to the two-program path."""
+
+    def _stack(self, tmp_path, n=60, force_blocked=False):
+        import numpy as np
+
+        import frankensearch_tpu as fs
+        import frankensearch_tpu.lexical.device_bm25 as mod
+        from frankensearch_tpu.core.config import TwoTierConfig
+        from frankensearch_tpu.core.types import IndexableDocument
+        from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+        from frankensearch_tpu.index.two_tier import TwoTierIndex
+
+        rng = np.random.default_rng(2)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+        docs = [
+            IndexableDocument(
+                doc_id=f"d{i:03d}",
+                content=" ".join(rng.choice(words, size=9)) + f" tag{i % 11}",
+            )
+            for i in range(n)
+        ]
+        emb = fs.HashEmbedder(dim=32)
+        idx = TwoTierIndex.create(
+            str(tmp_path), emb.embed_batch([d.content for d in docs]),
+            [d.doc_id for d in docs], emb.identity(), use_pallas=False,
+        )
+        if force_blocked:
+            old_t, old_b = mod.BLOCKED_THRESHOLD_POSTINGS, mod.DEFAULT_BLOCK_POSTINGS
+            mod.BLOCKED_THRESHOLD_POSTINGS, mod.DEFAULT_BLOCK_POSTINGS = 1, 128
+            try:
+                lex = mod.BulkDeviceBm25Index(docs)
+            finally:
+                mod.BLOCKED_THRESHOLD_POSTINGS, mod.DEFAULT_BLOCK_POSTINGS = old_t, old_b
+        else:
+            lex = mod.BulkDeviceBm25Index(docs)
+        return TwoTierSearcher(idx, emb, lexical=lex,
+                               config=TwoTierConfig(fast_only=True))
+
+    def _assert_fused_and_parity(self, s, variant):
+        import frankensearch_tpu.ops.hybrid_phase1 as hp
+
+        calls = {"n": 0}
+        orig = getattr(hp, variant)
+
+        def spy(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        setattr(hp, variant, spy)
+        try:
+            queries = ["alpha beta", "gamma tag3", "epsilon delta"]
+            outs = s.search_batch(queries, k=6)
+        finally:
+            setattr(hp, variant, orig)
+        assert calls["n"] == 1  # the fused program actually ran
+        for q, o in zip(queries, outs):
+            single = [r.doc_id for r in s.search(q, k=6).results]
+            assert [r.doc_id for r in o.results] == single, q
+
+    def test_dense_lane_fused_parity(self, tmp_path):
+        self._assert_fused_and_parity(self._stack(tmp_path), "fused_phase1_dense")
+
+    def test_blocked_lane_fused_parity(self, tmp_path):
+        self._assert_fused_and_parity(
+            self._stack(tmp_path, n=200, force_blocked=True), "fused_phase1_blocked"
+        )
+
+    def test_filter_falls_back_to_two_programs(self, tmp_path):
+        import frankensearch_tpu.ops.hybrid_phase1 as hp
+
+        from frankensearch_tpu.core.filter import BitsetFilter
+
+        s = self._stack(tmp_path)
+        calls = {"n": 0}
+        orig = hp.fused_phase1_dense
+
+        def spy(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        hp.fused_phase1_dense = spy
+        try:
+            flt = BitsetFilter({"d001", "d002", "d003"})
+            outs = s.search_batch(["alpha beta"], k=3, search_filter=flt)
+        finally:
+            hp.fused_phase1_dense = orig
+        assert calls["n"] == 0  # filters take the separate-program path
+        assert all(r.doc_id in {"d001", "d002", "d003"} for r in outs[0].results)

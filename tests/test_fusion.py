@@ -212,3 +212,35 @@ class TestPhaseGate:
         assert gate.proven_unhelpful
         skipped = [gate.should_skip_quality() for _ in range(12)]
         assert False in skipped  # periodic probe admitted
+
+
+class TestFilterAdmitsEveryArm:
+    def test_bitset_filter_excludes_lexical_hits_too(self, tmp_path):
+        """filter.rs contract: the filter decides membership of the
+        RESULT SET — lexical hits outside the set must not surface
+        (found violated by probing: vector scan filtered, lexical not)."""
+        import numpy as np
+
+        import frankensearch_tpu as fs
+        from frankensearch_tpu.core.config import TwoTierConfig
+        from frankensearch_tpu.core.filter import BitsetFilter
+        from frankensearch_tpu.core.types import IndexableDocument
+        from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+        from frankensearch_tpu.index.two_tier import TwoTierIndex
+        from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
+
+        emb = fs.HashEmbedder(dim=32)
+        docs = [IndexableDocument(doc_id=f"d{i:03d}", content=f"alpha beta doc {i}")
+                for i in range(30)]
+        idx = TwoTierIndex.create(
+            str(tmp_path), emb.embed_batch([d.content for d in docs]),
+            [d.doc_id for d in docs], emb.identity(), use_pallas=False,
+        )
+        s = TwoTierSearcher(idx, emb, lexical=BulkDeviceBm25Index(docs),
+                            config=TwoTierConfig(fast_only=True))
+        flt = BitsetFilter(frozenset({"d001", "d002"}))
+        single = s.search("alpha beta", k=5, search_filter=flt)
+        assert {r.doc_id for r in single.results} <= {"d001", "d002"}
+        batch = s.search_batch(["alpha beta", "doc 7"], k=5, search_filter=flt)
+        for o in batch:
+            assert {r.doc_id for r in o.results} <= {"d001", "d002"}
