@@ -166,9 +166,10 @@ class Model2VecEmbedder(Embedder):
 
     # -- embedding --
 
-    def embed_batch(self, texts: Sequence[str]) -> np.ndarray:
-        if not texts:
-            return np.zeros((0, self._dim), dtype=np.float32)
+    def tokenize_batch(self, texts: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Host-side half of embed_batch: (B, T) padded token ids + mask.
+        Exposed so fused device programs (ops/hybrid_phase1.py) can run
+        the gather-pool INSIDE a larger jit."""
         batch_encode = getattr(self._tokenizer, "encode_batch", None)
         if batch_encode is not None:
             encoded = [e[: self.max_tokens] for e in batch_encode(texts)]
@@ -182,6 +183,12 @@ class Model2VecEmbedder(Embedder):
             if e:
                 ids[i, : len(e)] = e
                 mask[i, : len(e)] = 1
+        return ids, mask
+
+    def embed_batch(self, texts: Sequence[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self._dim), dtype=np.float32)
+        ids, mask = self.tokenize_batch(texts)
         out = _gather_pool_normalize(self._emb, jnp.asarray(ids), jnp.asarray(mask))
         result = np.asarray(out, dtype=np.float32)
         # rows with zero tokens stay zero vectors (caller treats as degenerate)

@@ -166,10 +166,13 @@ class TwoTierSearcher:
         return True
 
     def _fused_phase1_batch(self, fast_vecs, queries, sem_budget: int, lex_budget: int):
-        """Run phase 1's vector scan + device BM25 as ONE device program
-        (ops/hybrid_phase1.py). Returns (hydrated vector hits per query,
-        lexical candidate lists per query) or None when either arm is
-        ineligible (sharded/filtered/non-device lanes fall back)."""
+        """Run phase 1's (embed +) vector scan + device BM25 as ONE
+        device program (ops/hybrid_phase1.py). With ``fast_vecs=None``
+        and a Model2Vec-class fast embedder, the gather-pool embed fuses
+        in too — phase 1 is one dispatch + one fetch. Returns (hydrated
+        vector hits per query, lexical candidate lists per query) or
+        None when any arm is ineligible (sharded/filtered/non-device
+        lanes fall back)."""
         import numpy as np
 
         from frankensearch_tpu.index.device_index import DeviceVectorIndex, _on_tpu
@@ -179,10 +182,7 @@ class TwoTierSearcher:
             BulkDeviceBm25Index,
             DeviceBm25Index,
         )
-        from frankensearch_tpu.ops.hybrid_phase1 import (
-            fused_phase1_blocked,
-            fused_phase1_dense,
-        )
+        from frankensearch_tpu.ops import hybrid_phase1 as hp
 
         if self.config.mrl_search_dims or self.config.scan_mode != "auto":
             return None
@@ -197,15 +197,28 @@ class TwoTierSearcher:
         if arm.n_docs == 0:
             return None
 
-        q = np.asarray(fast_vecs, dtype=np.float32)
-        if q.ndim == 1:
-            q = q[None, :]
-        if q.shape[1] != fast.dim:
-            return None
-        if q.shape[1] != fast.d_pad:
-            q = np.pad(q, ((0, 0), (0, fast.d_pad - q.shape[1])))
         import jax
         import jax.numpy as jnp
+
+        embed_args = None
+        if fast_vecs is None:
+            from frankensearch_tpu.embed.model2vec import Model2VecEmbedder
+
+            emb = self.fast_embedder
+            inner = getattr(emb, "inner", emb)  # unwrap CachedEmbedder
+            if not isinstance(inner, Model2VecEmbedder) or inner.dim != fast.dim:
+                return None
+            tok_ids, tok_mask = inner.tokenize_batch(list(queries))
+            embed_args = (inner._emb, jnp.asarray(tok_ids), jnp.asarray(tok_mask))
+            q = None
+        else:
+            q = np.asarray(fast_vecs, dtype=np.float32)
+            if q.ndim == 1:
+                q = q[None, :]
+            if q.shape[1] != fast.dim:
+                return None
+            if q.shape[1] != fast.d_pad:
+                q = np.pad(q, ((0, 0), (0, fast.d_pad - q.shape[1])))
 
         mask = fast._effective_mask(None, None)
         if self.config.use_pallas and _on_tpu() and fast.n_pad % 8192 == 0:
@@ -220,22 +233,39 @@ class TwoTierSearcher:
         if arm._blocked is not None:
             ids, w = arm._query_sparse_rows(list(queries))
             bounds = arm._blocked.query_bounds(ids, w)
-            vec_s, vec_i, lex_s, lex_i = fused_phase1_blocked(
-                fast.slab, mask, jnp.asarray(q),
+            lex_args = (
                 arm._blocked.blk_term, arm._blocked.blk_doc, arm._blocked.blk_tf,
                 arm._blocked.blk_base, jnp.asarray(bounds),
                 jnp.asarray(ids), jnp.asarray(w),
-                k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode, tile_n=tile_n,
-                d_blk=arm._blocked.d_blk, v_pad=arm._blocked.v_pad,
             )
+            lex_statics = dict(d_blk=arm._blocked.d_blk, v_pad=arm._blocked.v_pad)
+            if embed_args is not None:
+                vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_embed_blocked(
+                    *embed_args, fast.slab, mask, *lex_args,
+                    k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode, tile_n=tile_n,
+                    d_pad=fast.d_pad, **lex_statics,
+                )
+            else:
+                vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_blocked(
+                    fast.slab, mask, jnp.asarray(q), *lex_args,
+                    k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode, tile_n=tile_n,
+                    **lex_statics,
+                )
         else:
             q_idf = jnp.asarray(arm._query_idf_rows(list(queries)))
-            vec_s, vec_i, lex_s, lex_i = fused_phase1_dense(
-                fast.slab, mask, jnp.asarray(q),
-                arm._post_term, arm._post_doc, arm._post_tf, q_idf,
-                k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode, tile_n=tile_n,
-                n_docs_lex=arm.n_docs,
-            )
+            lex_args = (arm._post_term, arm._post_doc, arm._post_tf, q_idf)
+            if embed_args is not None:
+                vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_embed_dense(
+                    *embed_args, fast.slab, mask, *lex_args,
+                    k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode, tile_n=tile_n,
+                    n_docs_lex=arm.n_docs, d_pad=fast.d_pad,
+                )
+            else:
+                vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_dense(
+                    fast.slab, mask, jnp.asarray(q), *lex_args,
+                    k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode, tile_n=tile_n,
+                    n_docs_lex=arm.n_docs,
+                )
         # ONE fetch for all four result arrays
         vec_s, vec_i, lex_s, lex_i = jax.device_get((vec_s, vec_i, lex_s, lex_i))
         from frankensearch_tpu.ops.topk_scan import TopKResult
@@ -263,6 +293,21 @@ class TwoTierSearcher:
             r for r in pool
             if search_filter.admit(r.doc_id, r.metadata)
         ]
+
+    def _fill_fused(self, fused, live, hits_per_query, lexical_pools) -> None:
+        vec_hydrated, lex_lists = fused
+        for j, i in enumerate(live):
+            hits_per_query[i] = vec_hydrated[j]
+            cands = lex_lists[j]
+            meta = self.lexical.hydrate_candidates([c.doc_id for c in cands])
+            lexical_pools[i] = self._drop_superseded([
+                ScoredResult(
+                    doc_id=c.doc_id, score=c.score, lexical_score=c.score,
+                    title=(meta.get(c.doc_id) or {}).get("title"),
+                    metadata=(meta.get(c.doc_id) or {}).get("metadata"),
+                )
+                for c in cands
+            ])
 
     def _drop_superseded(self, pool):
         """Cross-arm supersession (search.rs:276-300): a doc tombstoned
@@ -452,9 +497,36 @@ class TwoTierSearcher:
         if not live:
             return outcomes
 
+        # FULLY-fused lane first: Model2Vec embed + scan + BM25 as one
+        # device program (one dispatch + one fetch for all of phase 1)
+        hits_per_query: dict[int, list[VectorHit]] = {}
+        lexical_pools: dict[int, list[ScoredResult]] = {}
+        fused_done = False
+        if self._semantic_admitted and self.lexical is not None and search_filter is None:
+            sem_budget_f = max(
+                int(candidate_count(k, 0, cfg.candidate_multiplier)
+                    * max(classes[i].semantic_budget_multiplier() for i in live)),
+                k,
+            )
+            lex_budget_f = max(
+                int(candidate_count(k, 0, cfg.candidate_multiplier)
+                    * max(classes[i].lexical_budget_multiplier() for i in live)),
+                k,
+            )
+            try:
+                fused = self._fused_phase1_batch(
+                    None, [parsed_list[i].positive for i in live],
+                    sem_budget_f, lex_budget_f,
+                )
+            except Exception:
+                fused = None
+            if fused is not None:
+                self._fill_fused(fused, live, hits_per_query, lexical_pools)
+                fused_done = True
+
         # one device call for all fast embeddings
         fast_vecs = None
-        if self._semantic_admitted:
+        if self._semantic_admitted and not fused_done:
             try:
                 fast_vecs = self.fast_embedder.embed_batch(
                     [parsed_list[i].positive for i in live]
@@ -462,13 +534,9 @@ class TwoTierSearcher:
             except Exception:
                 fast_vecs = None
 
-        # one batched scan — FUSED with the device BM25 arm when both
-        # qualify (ops/hybrid_phase1.py: one dispatch + one fetch for
-        # phase 1 instead of two of each; bit-identical results)
-        hits_per_query: dict[int, list[VectorHit]] = {}
-        lexical_pools: dict[int, list[ScoredResult]] = {}
-        fused_done = False
-        if fast_vecs is not None and self.lexical is not None and search_filter is None:
+        # scan+BM25 fused lane for non-Model2Vec embedders (query vecs
+        # already computed; still one dispatch + one fetch for the arms)
+        if fast_vecs is not None and not fused_done and self.lexical is not None and search_filter is None:
             sem_budget_f = max(
                 int(candidate_count(k, 0, cfg.candidate_multiplier)
                     * max(classes[i].semantic_budget_multiplier() for i in live)),
@@ -487,19 +555,7 @@ class TwoTierSearcher:
             except Exception:
                 fused = None
             if fused is not None:
-                vec_hydrated, lex_lists = fused
-                for j, i in enumerate(live):
-                    hits_per_query[i] = vec_hydrated[j]
-                    cands = lex_lists[j]
-                    meta = self.lexical.hydrate_candidates([c.doc_id for c in cands])
-                    lexical_pools[i] = self._drop_superseded([
-                        ScoredResult(
-                            doc_id=c.doc_id, score=c.score, lexical_score=c.score,
-                            title=(meta.get(c.doc_id) or {}).get("title"),
-                            metadata=(meta.get(c.doc_id) or {}).get("metadata"),
-                        )
-                        for c in cands
-                    ])
+                self._fill_fused(fused, live, hits_per_query, lexical_pools)
                 fused_done = True
         if fast_vecs is not None and not fused_done:
             sem_budget = max(

@@ -1,15 +1,19 @@
-"""Fused Phase-1: vector scan + device BM25 in ONE device program.
+"""Fused Phase-1: (embed +) vector scan + device BM25 in ONE device program.
 
-The batched hybrid path previously dispatched two device programs per
-batch (scan, then BM25) and fetched their results separately — on a
-remote-dispatch transport every dispatch and every fetch is a round
-trip. Fusing both arms into one jit halves the Phase-1 round trips and
-lets XLA schedule the two workloads back to back on-device.
+The batched hybrid path originally dispatched three device programs per
+batch (fast embed, scan, BM25) and fetched each result separately — on
+a remote-dispatch transport every dispatch and every fetch is a round
+trip. These fusions collapse Phase 1:
 
-Used by TwoTierSearcher.search_batch when both arms qualify (exact
-single-device lanes, no filters); any ineligibility falls back to the
-two-program path. Results are bit-identical to the separate calls —
-the fused graph calls the same jitted kernels (nested jit inlines).
+- ``fused_phase1_{dense,blocked}``: scan + BM25 in one jit (query
+  vectors already computed — hash or API embedders);
+- ``fused_phase1_embed_{dense,blocked}``: Model2Vec gather-pool embed
+  + scan + BM25 in one jit — Phase 1 becomes ONE dispatch + ONE fetch.
+
+Used by TwoTierSearcher.search_batch when the arms qualify (exact
+single-device lanes, no filters); any ineligibility falls back. Results
+are bit-identical to the separate calls — the fused graphs call the
+same kernel bodies (nested jit inlines).
 """
 
 from __future__ import annotations
@@ -19,6 +23,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from frankensearch_tpu.embed.model2vec import _gather_pool_normalize
 from frankensearch_tpu.lexical.device_bm25 import _blocked_scan_body
 from frankensearch_tpu.ops import topk_scan
 
@@ -33,6 +38,34 @@ def _vector_arm(slab, mask, q, *, k, scan_mode, tile_n):
     return topk_scan.scan_topk_xla(slab, q, k, mask)
 
 
+def _lex_blocked(blk_term, blk_doc, blk_tf, blk_base, blk_bound, q_ids, q_w,
+                 *, k_lex, d_blk, v_pad):
+    b = q_ids.shape[0]
+    q_idf = (
+        jnp.zeros((b, v_pad), jnp.float32)
+        .at[jnp.arange(b)[:, None], q_ids]
+        .add(q_w)
+    )
+    lex_s, lex_i, _skipped = _blocked_scan_body(
+        blk_term, blk_doc, blk_tf, blk_base, blk_bound, q_idf, k=k_lex, d_blk=d_blk
+    )
+    return lex_s, lex_i
+
+
+def _lex_dense(post_term, post_doc, post_tf, q_idf, *, k_lex, n_docs_lex):
+    contrib = post_tf[:, None] * jnp.take(q_idf, post_term, axis=1).T  # (P, B)
+    scores = jax.ops.segment_sum(contrib, post_doc, num_segments=n_docs_lex).T
+    kk = min(k_lex, n_docs_lex)
+    return jax.lax.top_k(scores, kk)
+
+
+def _pad_q(q, d_pad: int):
+    d = q.shape[1]
+    if d == d_pad:
+        return q
+    return jnp.pad(q, ((0, 0), (0, d_pad - d)))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k_vec", "k_lex", "scan_mode", "tile_n", "d_blk", "v_pad"),
@@ -43,14 +76,9 @@ def fused_phase1_blocked(
     *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int, d_blk: int, v_pad: int,
 ):
     vec = _vector_arm(slab, mask, q_vecs, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
-    b = q_ids.shape[0]
-    q_idf = (
-        jnp.zeros((b, v_pad), jnp.float32)
-        .at[jnp.arange(b)[:, None], q_ids]
-        .add(q_w)
-    )
-    lex_s, lex_i, _skipped = _blocked_scan_body(
-        blk_term, blk_doc, blk_tf, blk_base, blk_bound, q_idf, k=k_lex, d_blk=d_blk
+    lex_s, lex_i = _lex_blocked(
+        blk_term, blk_doc, blk_tf, blk_base, blk_bound, q_ids, q_w,
+        k_lex=k_lex, d_blk=d_blk, v_pad=v_pad,
     )
     return vec.scores, vec.indices, lex_s, lex_i
 
@@ -65,8 +93,44 @@ def fused_phase1_dense(
     *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int, n_docs_lex: int,
 ):
     vec = _vector_arm(slab, mask, q_vecs, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
-    contrib = post_tf[:, None] * jnp.take(q_idf, post_term, axis=1).T  # (P, B)
-    scores = jax.ops.segment_sum(contrib, post_doc, num_segments=n_docs_lex).T
-    kk = min(k_lex, n_docs_lex)
-    lex_s, lex_i = jax.lax.top_k(scores, kk)
+    lex_s, lex_i = _lex_dense(post_term, post_doc, post_tf, q_idf,
+                              k_lex=k_lex, n_docs_lex=n_docs_lex)
+    return vec.scores, vec.indices, lex_s, lex_i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k_vec", "k_lex", "scan_mode", "tile_n", "d_blk", "v_pad", "d_pad",
+    ),
+)
+def fused_phase1_embed_blocked(
+    emb, tok_ids, tok_mask, slab, mask,
+    blk_term, blk_doc, blk_tf, blk_base, blk_bound, q_ids, q_w,
+    *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int, d_blk: int,
+    v_pad: int, d_pad: int,
+):
+    q = _pad_q(_gather_pool_normalize(emb, tok_ids, tok_mask), d_pad)
+    vec = _vector_arm(slab, mask, q, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
+    lex_s, lex_i = _lex_blocked(
+        blk_term, blk_doc, blk_tf, blk_base, blk_bound, q_ids, q_w,
+        k_lex=k_lex, d_blk=d_blk, v_pad=v_pad,
+    )
+    return vec.scores, vec.indices, lex_s, lex_i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_vec", "k_lex", "scan_mode", "tile_n", "n_docs_lex", "d_pad"),
+)
+def fused_phase1_embed_dense(
+    emb, tok_ids, tok_mask, slab, mask,
+    post_term, post_doc, post_tf, q_idf,
+    *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int, n_docs_lex: int,
+    d_pad: int,
+):
+    q = _pad_q(_gather_pool_normalize(emb, tok_ids, tok_mask), d_pad)
+    vec = _vector_arm(slab, mask, q, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
+    lex_s, lex_i = _lex_dense(post_term, post_doc, post_tf, q_idf,
+                              k_lex=k_lex, n_docs_lex=n_docs_lex)
     return vec.scores, vec.indices, lex_s, lex_i

@@ -160,3 +160,50 @@ class TestFusedPhase1:
             hp.fused_phase1_dense = orig
         assert calls["n"] == 0  # filters take the separate-program path
         assert all(r.doc_id in {"d001", "d002", "d003"} for r in outs[0].results)
+
+    def test_embed_fused_lane_parity_with_model2vec(self, tmp_path):
+        """With a Model2Vec fast tier, phase 1 runs embed+scan+BM25 as
+        ONE device program — results identical to per-query search()."""
+        import numpy as np
+
+        import frankensearch_tpu.ops.hybrid_phase1 as hp
+        from frankensearch_tpu.core.config import TwoTierConfig
+        from frankensearch_tpu.core.types import IndexableDocument
+        from frankensearch_tpu.embed.model2vec import random_model2vec
+        from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+        from frankensearch_tpu.index.two_tier import TwoTierIndex
+        from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
+
+        rng = np.random.default_rng(3)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+        m2v = random_model2vec(words + ["tag%d" % i for i in range(12)], dim=48)
+        docs = [
+            IndexableDocument(
+                doc_id=f"d{i:03d}",
+                content=" ".join(rng.choice(words, size=8)) + f" tag{i % 12}",
+            )
+            for i in range(70)
+        ]
+        idx = TwoTierIndex.create(
+            str(tmp_path), m2v.embed_batch([d.content for d in docs]),
+            [d.doc_id for d in docs], m2v.identity(), use_pallas=False,
+        )
+        s = TwoTierSearcher(idx, m2v, lexical=BulkDeviceBm25Index(docs),
+                            config=TwoTierConfig(fast_only=True))
+        calls = {"n": 0}
+        orig = hp.fused_phase1_embed_dense
+
+        def spy(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        hp.fused_phase1_embed_dense = spy
+        try:
+            queries = ["alpha beta", "gamma tag3", "zeta epsilon"]
+            outs = s.search_batch(queries, k=6)
+        finally:
+            hp.fused_phase1_embed_dense = orig
+        assert calls["n"] == 1  # the embed-fused program ran once
+        for q, o in zip(queries, outs):
+            single = [r.doc_id for r in s.search(q, k=6).results]
+            assert [r.doc_id for r in o.results] == single, q
