@@ -719,6 +719,56 @@ class TwoTierSearcher:
             k,
         )
 
+        # fully-fused singleton lane: with a Model2Vec fast tier and a
+        # device lexical arm, phase 1's embed + scan + BM25 run as ONE
+        # device program (ops/hybrid_phase1.py) — the dominant cost of a
+        # single query on a remote-dispatch transport. Gated off when
+        # any per-hit control that the classified path applies is
+        # configured (calibrator/hubness/smoother/filters/mrl/ivf), and
+        # falls back when the fused result is empty so the zero-signal
+        # taxonomy still classifies genuinely-empty lanes.
+        fused_single = None
+        if (
+            self._semantic_admitted
+            and self.lexical is not None
+            and search_filter is None
+            and self.calibrator is None
+            and self.hubness is None
+            and self.smoother is None
+        ):
+            try:
+                t_f = time.monotonic()
+                fused_single = self._fused_phase1_batch(
+                    None, [parsed.positive], sem_budget, lex_budget
+                )
+            except Exception:
+                fused_single = None
+        if fused_single is not None:
+            hydrated, lex_lists = fused_single
+            if hydrated[0]:
+                fast_hits = hydrated[0]
+                cands = lex_lists[0]
+                meta = self.lexical.hydrate_candidates([c.doc_id for c in cands])
+                lexical_pool = self._drop_superseded([
+                    ScoredResult(
+                        doc_id=c.doc_id, score=c.score, lexical_score=c.score,
+                        title=(meta.get(c.doc_id) or {}).get("title"),
+                        metadata=(meta.get(c.doc_id) or {}).get("metadata"),
+                    )
+                    for c in cands
+                ])
+                elapsed_ms = (time.monotonic() - t_f) * 1000.0
+                metrics.fast_embed_ms = 0.0  # fused into the scan dispatch
+                metrics.vector_scan_ms = elapsed_ms
+                metrics.lexical_ms = 0.0
+                metrics.lexical_candidates = len(lexical_pool)
+                metrics.scan_docs = self.index.fast.live_count
+                metrics.fast_candidates = len(fast_hits)
+                return self._phase1_fuse(
+                    parsed, qclass, k, metrics, text_fn, lexical_pool, fast_hits
+                )
+            fused_single = None  # empty: classified path owns zero-signal
+
         # concurrent fast embed + lexical search (searcher.rs:1536 rayon::join)
         fast_future = None
         if self._semantic_admitted:
@@ -780,7 +830,14 @@ class TwoTierSearcher:
         elif fast_future is not None:
             fast_future.cancel()
         metrics.fast_candidates = len(fast_hits)
+        return self._phase1_fuse(
+            parsed, qclass, k, metrics, text_fn, lexical_pool, fast_hits
+        )
 
+    def _phase1_fuse(
+        self, parsed, qclass, k, metrics, text_fn, lexical_pool, fast_hits
+    ):
+        cfg = self.config
         # fuse (searcher.rs:1760-1825); optional graph source feeds RRF as
         # a third arm (GraphRanker at :1730 -> rrf_fuse_with_graph)
         t_fuse = time.monotonic()

@@ -207,3 +207,55 @@ class TestFusedPhase1:
         for q, o in zip(queries, outs):
             single = [r.doc_id for r in s.search(q, k=6).results]
             assert [r.doc_id for r in o.results] == single, q
+
+    def test_single_query_fused_lane_engages_and_matches_gated(self, tmp_path):
+        """search() (singleton) also runs the fully-fused program when
+        eligible; results identical to the unfused path (forced by
+        configuring a no-op calibrator, which gates fusion off)."""
+        import numpy as np
+
+        import frankensearch_tpu.ops.hybrid_phase1 as hp
+        from frankensearch_tpu.core.config import TwoTierConfig
+        from frankensearch_tpu.core.types import IndexableDocument
+        from frankensearch_tpu.embed.model2vec import random_model2vec
+        from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+        from frankensearch_tpu.index.two_tier import TwoTierIndex
+        from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
+
+        rng = np.random.default_rng(5)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+        m2v = random_model2vec(words + ["tag%d" % i for i in range(8)], dim=32)
+        docs = [
+            IndexableDocument(
+                doc_id=f"d{i:03d}",
+                content=" ".join(rng.choice(words, size=7)) + f" tag{i % 8}",
+            )
+            for i in range(50)
+        ]
+        idx = TwoTierIndex.create(
+            str(tmp_path), m2v.embed_batch([d.content for d in docs]),
+            [d.doc_id for d in docs], m2v.identity(), use_pallas=False,
+        )
+        lex = BulkDeviceBm25Index(docs)
+        fused_s = TwoTierSearcher(idx, m2v, lexical=lex,
+                                  config=TwoTierConfig(fast_only=True))
+        gated_s = TwoTierSearcher(idx, m2v, lexical=lex,
+                                  config=TwoTierConfig(fast_only=True),
+                                  calibrator=lambda x: x)  # gates fusion off
+
+        calls = {"n": 0}
+        orig = hp.fused_phase1_embed_dense
+
+        def spy(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        hp.fused_phase1_embed_dense = spy
+        try:
+            for q in ("alpha beta", "gamma tag3", "epsilon delta tag1"):
+                got = [r.doc_id for r in fused_s.search(q, k=6).results]
+                want = [r.doc_id for r in gated_s.search(q, k=6).results]
+                assert got == want, q
+        finally:
+            hp.fused_phase1_embed_dense = orig
+        assert calls["n"] == 3  # fused lane ran for every single query
