@@ -741,6 +741,13 @@ class TwoTierSearcher:
                 fused_single = self._fused_phase1_batch(
                     None, [parsed.positive], sem_budget, lex_budget
                 )
+                if fused_single is None:
+                    # non-Model2Vec fast tier: embed first (hash embeds
+                    # are host-side anyway), then still fuse scan+BM25
+                    vec = self.fast_embedder.embed(parsed.positive)
+                    fused_single = self._fused_phase1_batch(
+                        vec[None, :], [parsed.positive], sem_budget, lex_budget
+                    )
             except Exception:
                 fused_single = None
         if fused_single is not None:
