@@ -24,7 +24,7 @@ this arm closes that gap with the TPU-shaped split:
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Mapping, Sequence
 
 from frankensearch_tpu.core.errors import InvalidConfig, SubsystemError
