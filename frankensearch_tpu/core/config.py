@@ -233,6 +233,9 @@ class TwoTierMetrics:
     zero_signal: str | None = None
     #: device dispatch metadata (TPU-native)
     device_kind: str = ""
+    #: phase 1 served by the fused embed+scan+BM25 device program
+    #: (ops/hybrid_phase1.py) — observability for the lane choice
+    phase1_fused: bool = False
     scan_docs: int = 0
 
     def to_dict(self) -> dict[str, Any]:

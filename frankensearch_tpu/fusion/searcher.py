@@ -522,6 +522,8 @@ class TwoTierSearcher:
                 fused = None
             if fused is not None:
                 self._fill_fused(fused, live, hits_per_query, lexical_pools)
+                for i in live:
+                    outcomes[i].metrics.phase1_fused = True
                 fused_done = True
 
         # one device call for all fast embeddings
@@ -556,6 +558,8 @@ class TwoTierSearcher:
                 fused = None
             if fused is not None:
                 self._fill_fused(fused, live, hits_per_query, lexical_pools)
+                for i in live:
+                    outcomes[i].metrics.phase1_fused = True
                 fused_done = True
         if fast_vecs is not None and not fused_done:
             sem_budget = max(
@@ -771,6 +775,7 @@ class TwoTierSearcher:
                 metrics.lexical_candidates = len(lexical_pool)
                 metrics.scan_docs = self.index.fast.live_count
                 metrics.fast_candidates = len(fast_hits)
+                metrics.phase1_fused = True
                 return self._phase1_fuse(
                     parsed, qclass, k, metrics, text_fn, lexical_pool, fast_hits
                 )
