@@ -192,7 +192,15 @@ class EmbedderConformanceCertificate:
         )
 
     def verify(self, embedder) -> tuple[bool, float]:
-        """Returns (conformant, worst probe cosine)."""
+        """Returns (conformant, worst probe cosine).
+
+        Degenerate probes: an embedder may map a probe to the zero
+        vector (e.g. a word-level Model2Vec whose vocabulary contains
+        none of the probe's tokens). Zero-at-build AND zero-at-verify is
+        AGREEMENT (same tokenizer behavior — cosine forced to 1), while
+        zero on exactly one side is a space mismatch (0). Without this,
+        a valid embedder over a narrow vocabulary would fail its own
+        certificate at open (found by cross-backend probing)."""
         import numpy as np
 
         if embedder.embedder_id != self.embedder_id:
@@ -204,10 +212,17 @@ class EmbedderConformanceCertificate:
             len(self.probes), self.dim
         )
 
+        got_n = np.linalg.norm(got, axis=1)
+        want_n = np.linalg.norm(want, axis=1)
+        both_zero = (got_n < 1e-6) & (want_n < 1e-6)
+        one_zero = ((got_n < 1e-6) | (want_n < 1e-6)) & ~both_zero
+
         def norm(a):
             return a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
 
         cos = np.sum(norm(got) * norm(want), axis=1)
+        cos = np.where(both_zero, 1.0, cos)
+        cos = np.where(one_zero, 0.0, cos)
         worst = float(np.min(cos))
         return worst >= self.min_cosine, worst
 

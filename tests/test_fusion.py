@@ -244,3 +244,61 @@ class TestFilterAdmitsEveryArm:
         batch = s.search_batch(["alpha beta", "doc 7"], k=5, search_filter=flt)
         for o in batch:
             assert {r.doc_id for r in o.results} <= {"d001", "d002"}
+
+
+class TestRrfOrderingFuzz:
+    """The exact 4-level ordering contract (rrf.rs:51-64), fuzzed
+    against an independent naive reimplementation."""
+
+    def _naive(self, lexical, semantic, limit, cfg):
+        from frankensearch_tpu.fusion.rrf import TiebreakStrategy, fnv1a_64
+
+        base = cfg.k + 1.0
+        acc = {}
+        for rank, r in enumerate(lexical):
+            if r.doc_id not in acc or acc[r.doc_id]["lr"] is None:
+                e = acc.setdefault(r.doc_id, {"s": 0.0, "lr": None, "ls": None, "fr": None})
+                if e["lr"] is None:
+                    e["s"] += cfg.lexical_weight / (base + rank)
+                    e["lr"], e["ls"] = rank, r.score
+        for rank, h in enumerate(semantic):
+            e = acc.setdefault(h.doc_id, {"s": 0.0, "lr": None, "ls": None, "fr": None})
+            if e["fr"] is None:
+                e["s"] += cfg.semantic_weight / (base + rank)
+                e["fr"] = rank
+        if cfg.tiebreak is TiebreakStrategy.NEUTRAL_HASH:
+            key = lambda kv: (-kv[1]["s"], kv[1]["lr"] is None or kv[1]["fr"] is None,
+                              fnv1a_64(kv[0].encode()), kv[0])
+        else:
+            key = lambda kv: (-kv[1]["s"], kv[1]["lr"] is None or kv[1]["fr"] is None,
+                              -kv[1]["ls"] if kv[1]["ls"] is not None else float("inf"), kv[0])
+        return [d for d, _ in sorted(acc.items(), key=key)[:limit]]
+
+    def test_fuzz_against_naive(self):
+        import numpy as np
+
+        from frankensearch_tpu.core.types import ScoredResult, VectorHit
+        from frankensearch_tpu.fusion.rrf import RrfConfig, TiebreakStrategy, rrf_fuse
+
+        rng = np.random.default_rng(9)
+        for trial in range(60):
+            n_docs = int(rng.integers(3, 40))
+            docs = [f"doc{i:03d}" for i in range(n_docs)]
+            nl = int(rng.integers(0, n_docs + 1))
+            ns = int(rng.integers(0, n_docs + 1))
+            # quantized scores force plenty of exact ties
+            lex = [ScoredResult(doc_id=d, score=float(rng.integers(0, 4)))
+                   for d in rng.permutation(docs)[:nl]]
+            sem = [VectorHit(doc_id=d, score=float(rng.integers(0, 4)) / 4, row=i)
+                   for i, d in enumerate(rng.permutation(docs)[:ns])]
+            for tb in (TiebreakStrategy.LEXICAL_THEN_ID, TiebreakStrategy.NEUTRAL_HASH):
+                cfg = RrfConfig(
+                    k=float(rng.integers(5, 80)),
+                    lexical_weight=float(rng.uniform(0.5, 2.0)),
+                    semantic_weight=float(rng.uniform(0.5, 2.0)),
+                    tiebreak=tb,
+                )
+                limit = int(rng.integers(1, n_docs + 2))
+                got = [h.doc_id for h in rrf_fuse(lex, sem, limit, 0, cfg)]
+                want = self._naive(lex, sem, limit, cfg)
+                assert got == want, (trial, tb, got, want)

@@ -334,3 +334,28 @@ class TestManifestRefresh:
             full = os.path.join(root, a.name)
             assert sha256_file(full) == a.sha256, a.name  # census truthful
         assert "conformance" in m.extra  # certificates carried over
+
+    def test_zero_vector_probes_are_agreement_not_failure(self):
+        """A Model2Vec over a narrow vocabulary embeds every conformance
+        probe to zero — the SAME degenerate behavior at build and open
+        must pass, while one-sided zeros must fail (cross-backend
+        probing found a valid embedder refusing its own index)."""
+        from frankensearch_tpu.core.generation import EmbedderConformanceCertificate
+        from frankensearch_tpu.embed.model2vec import random_model2vec
+
+        m2v = random_model2vec([f"w{i}" for i in range(100)], dim=32, seed=3)
+        cert = EmbedderConformanceCertificate.compute(m2v)  # all-zero probes
+        ok, worst = cert.verify(m2v)
+        assert ok and worst == 1.0  # zero==zero is agreement
+
+        class NonZero(type(m2v)):
+            def embed_batch(self, texts):
+                import numpy as np
+
+                out = super().embed_batch(texts)
+                out[out.sum(axis=1) == 0.0] = 1.0 / np.sqrt(out.shape[1])
+                return out
+
+        imp = NonZero(m2v._emb, m2v._tokenizer, embedder_id=m2v.embedder_id)
+        ok2, worst2 = cert.verify(imp)
+        assert not ok2  # one-sided zero = space mismatch
