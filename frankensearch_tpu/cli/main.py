@@ -793,7 +793,21 @@ def cmd_serve(args) -> dict | None:
     import queue as _queue
     import threading
 
+    from frankensearch_tpu.fusion.index_cache import SentinelFileDetector
+    from frankensearch_tpu.index.two_tier import TwoTierPaths
+
     handle = _open(args)
+    # hot reload on generation change (runtime.rs:12073 'rebind on
+    # generation change'): an external append-batch / wal-poll daemon /
+    # re-index moves the sentinels; the serve loop reopens the handle
+    # before the next request instead of serving a stale index forever
+    _paths = TwoTierPaths(args.root)
+    _sentinels = SentinelFileDetector([
+        _paths.fast, _paths.wal_for(_paths.fast),
+        os.path.join(args.root, "lexical", "CURRENT"),
+    ])
+    _sentinel_state = _sentinels.snapshot()
+    _reloads = 0
     out = sys.stdout
     if getattr(args, "warmup", False):
         # precompile the serve shapes before accepting traffic (cold
@@ -843,6 +857,15 @@ def cmd_serve(args) -> dict | None:
             req = _parse(raw)
             if req is None:
                 continue
+        current_state = _sentinels.snapshot()
+        if current_state != _sentinel_state:
+            try:
+                handle = _open(args)
+                _sentinel_state = current_state
+                _reloads += 1
+            except Exception as e:
+                print(json.dumps(error_envelope("reload_failed", str(e))),
+                      file=out, flush=True)
         if _is_batchable(req):
             batch = [req]
             deadline = time.monotonic() + coalesce_s

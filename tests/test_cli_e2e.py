@@ -306,3 +306,46 @@ class TestCliContract:
         assert json.loads(r2.stdout)["data"][0]["doc_id"] == "c.txt"
         r3 = run_cli("--format", "json", "search", "zeppelin unique", "--root", root, "-k", "3")
         assert all(d["doc_id"] != "b.txt" for d in json.loads(r3.stdout)["data"])
+
+    def test_serve_hot_reloads_on_external_append(self, tmp_path):
+        """A long-lived serve must rebind when another process moves the
+        generation (runtime.rs:12073) — found serving a stale index
+        forever before this."""
+        import subprocess
+        import sys as _sys
+        import time as _time
+
+        corpus = tmp_path / "c.jsonl"
+        with open(corpus, "w") as f:
+            for i in range(10):
+                f.write(json.dumps({"id": f"d{i}", "content": f"alpha beta doc {i}"}) + "\n")
+        root = str(tmp_path / "ix")
+        run_cli("--format", "json", "index", str(corpus), "--root", root)
+
+        proc = subprocess.Popen(
+            [_sys.executable, "-m", "frankensearch_tpu.cli", "serve", "--root", root],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+            cwd="/root/repo", env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+
+        def ask(q):
+            proc.stdin.write(json.dumps({"op": "search", "query": q, "k": 3}) + "\n")
+            proc.stdin.flush()
+            return json.loads(proc.stdout.readline())
+
+        before = ask("zeppelin fresh")
+        assert all(r["doc_id"] != "new-1" for r in before["data"])
+
+        # external append from ANOTHER process
+        more = tmp_path / "more.jsonl"
+        with open(more, "w") as f:
+            f.write(json.dumps({"id": "new-1", "content": "zeppelin fresh external doc"}) + "\n")
+        run_cli("--format", "json", "append-batch", str(more), "--root", root)
+        _time.sleep(0.2)
+
+        after = ask("zeppelin fresh")
+        assert after["ok"] and after["data"] and after["data"][0]["doc_id"] == "new-1"
+
+        proc.stdin.write(json.dumps({"op": "shutdown"}) + "\n")
+        proc.stdin.flush()
+        proc.wait(timeout=60)
