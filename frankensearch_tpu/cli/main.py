@@ -650,11 +650,32 @@ def cmd_tui(args) -> dict | None:
     from frankensearch_tpu.tui.screens import MetricsScreen, SearchScreen, StatusScreen
     from frankensearch_tpu.tui.shell import AppShell, InputEvent
 
+    from frankensearch_tpu.fusion.index_cache import SentinelFileDetector
+    from frankensearch_tpu.index.two_tier import TwoTierPaths
+
     handle = _open(args)
     latency = StreamingStats()
+    _paths = TwoTierPaths(args.root)
+    _sentinels = SentinelFileDetector([
+        _paths.fast, _paths.wal_for(_paths.fast),
+        os.path.join(args.root, "lexical", "CURRENT"),
+    ])
+    _state = [_sentinels.snapshot()]
+
+    def _fresh_handle():
+        # rebind on generation change, same contract as serve
+        nonlocal handle
+        cur = _sentinels.snapshot()
+        if cur != _state[0]:
+            try:
+                handle = _open(args)
+                _state[0] = cur
+            except Exception:
+                pass  # keep serving the previous generation
+        return handle
 
     def search_fn(q, k):
-        out = handle.searcher.search(q, k=k)
+        out = _fresh_handle().searcher.search(q, k=k)
         latency.observe(out.metrics.total_ms)
         return out
 
