@@ -33,7 +33,9 @@ import numpy as np
 
 from frankensearch_tpu.core.canonicalize import DefaultCanonicalizer
 from frankensearch_tpu.core.config import (
+    FusionStrategy,
     MetricsExporter,
+    TiebreakStrategy,
     TwoTierConfig,
     TwoTierMetrics,
 )
@@ -280,7 +282,11 @@ class TwoTierSearcher:
                 for j in range(s_np.shape[1])
                 if s_np[b, j] > 0.0
             ])
-        return hydrated, lex_lists
+        raw = {
+            "vec_rows": np.asarray(vec_i), "lex_rows": i_np, "lex_scores": s_np,
+            "arm": arm,
+        }
+        return hydrated, lex_lists, raw
 
     @staticmethod
     def _apply_filter_to_pool(pool, search_filter):
@@ -294,8 +300,68 @@ class TwoTierSearcher:
             if search_filter.admit(r.doc_id, r.metadata)
         ]
 
+    def _vectorized_batch_fuse(self, raw, live, classes, k):
+        """Batch RRF over row ids (fusion/rrf_batch.py). Returns
+        {outcome index -> FusedHit list} or None when the row space
+        can't be joined (docs missing from an arm, tombstones)."""
+        import numpy as np
+
+        from frankensearch_tpu.fusion.rrf_batch import (
+            rows_to_fused_hits,
+            rrf_fuse_batch_rows,
+        )
+
+        arm = raw["arm"]
+        fast = self.index.fast
+        if fast.tombstoned_ids():
+            return None  # supersession pruning is per-doc: scalar path
+        row_map = self._vecrow_to_lexrow(fast, arm)
+        if row_map is None:
+            return None
+        cfg = self.config
+        vec_rows = np.asarray(raw["vec_rows"], dtype=np.int64)
+        vec_lexrows = np.where(
+            vec_rows >= 0, row_map[np.maximum(vec_rows, 0)], -1
+        )
+        lex_rows = np.asarray(raw["lex_rows"], dtype=np.int64)
+        lex_scores = np.asarray(raw["lex_scores"], dtype=np.float32)
+        lex_rows = np.where(lex_scores > 0.0, lex_rows, -1)
+        k_arr = np.array(
+            [classes[i].rrf_k_adjustment(cfg.rrf_k) for i in live], dtype=np.float64
+        )
+        sem_w = np.full(len(live), cfg.fast_rrf_weight, dtype=np.float64)
+        entries = rrf_fuse_batch_rows(
+            lex_rows, lex_scores, vec_lexrows, k, k_arr,
+            cfg.lexical_rrf_weight, sem_w, arm.n_docs,
+        )
+        doc_ids = arm.doc_ids
+        return {
+            i: rows_to_fused_hits(entries[j], doc_ids)
+            for j, i in enumerate(live)
+        }
+
+    def _vecrow_to_lexrow(self, fast, arm):
+        """Vector-slab row -> lexical-arm row (cached per index pair);
+        None when any doc is missing from the lexical arm."""
+        import numpy as np
+
+        key = (id(fast), id(arm))
+        cached = getattr(self, "_row_map_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        lex_row_of = {d: i for i, d in enumerate(arm.doc_ids)}
+        out = np.empty(len(fast.doc_ids), dtype=np.int64)
+        for i, d in enumerate(fast.doc_ids):
+            r = lex_row_of.get(d)
+            if r is None:
+                self._row_map_cache = (key, None)
+                return None
+            out[i] = r
+        self._row_map_cache = (key, out)
+        return out
+
     def _fill_fused(self, fused, live, hits_per_query, lexical_pools) -> None:
-        vec_hydrated, lex_lists = fused
+        vec_hydrated, lex_lists, _raw = fused
         for j, i in enumerate(live):
             hits_per_query[i] = vec_hydrated[j]
             cands = lex_lists[j]
@@ -502,6 +568,7 @@ class TwoTierSearcher:
         hits_per_query: dict[int, list[VectorHit]] = {}
         lexical_pools: dict[int, list[ScoredResult]] = {}
         fused_done = False
+        fused_raw = None
         if self._semantic_admitted and self.lexical is not None and search_filter is None:
             sem_budget_f = max(
                 int(candidate_count(k, 0, cfg.candidate_multiplier)
@@ -524,6 +591,7 @@ class TwoTierSearcher:
                 self._fill_fused(fused, live, hits_per_query, lexical_pools)
                 for i in live:
                     outcomes[i].metrics.phase1_fused = True
+                fused_raw = fused[2]
                 fused_done = True
 
         # one device call for all fast embeddings
@@ -560,6 +628,7 @@ class TwoTierSearcher:
                 self._fill_fused(fused, live, hits_per_query, lexical_pools)
                 for i in live:
                     outcomes[i].metrics.phase1_fused = True
+                fused_raw = fused[2]
                 fused_done = True
         if fast_vecs is not None and not fused_done:
             sem_budget = max(
@@ -648,6 +717,26 @@ class TwoTierSearcher:
                 except Exception:
                     lexical_pools = {}
 
+        # vectorized batch RRF (fusion/rrf_batch.py): replaces the
+        # per-query dict fusion when the exactness gates hold — bitwise
+        # identical (fuzzed vs the scalar path)
+        batch_fused = None
+        if (
+            fused_raw is not None
+            and not qscores_per_query
+            and not scan_per_query
+            and cfg.fusion_strategy is FusionStrategy.RRF
+            and cfg.tiebreak is TiebreakStrategy.LEXICAL_THEN_ID
+            and self.nqc is None
+            and self.graph_ranker is None
+        ):
+            try:
+                batch_fused = self._vectorized_batch_fuse(
+                    fused_raw, live, classes, k
+                )
+            except Exception:
+                batch_fused = None
+
         # per-query host-side fusion (identical contract to search())
         for i in live:
             parsed, qclass = parsed_list[i], classes[i]
@@ -688,6 +777,8 @@ class TwoTierSearcher:
                 aligned = [qscores.get(h.doc_id) for h in fast_hits]
                 blended = blend_two_tier_aligned(fast_hits, aligned, cfg.quality_weight)
                 fused = fuse_by_strategy(cfg.fusion_strategy, lexical_pool, blended, k, 0, rrf_cfg)
+            elif batch_fused is not None and i in batch_fused:
+                fused = batch_fused[i]
             else:
                 fused = fuse_by_strategy(cfg.fusion_strategy, lexical_pool, fast_hits, k, 0, rrf_cfg)
             results = self._fused_to_results(fused, lexical_pool, fast_hits, None, parsed)
@@ -755,7 +846,7 @@ class TwoTierSearcher:
             except Exception:
                 fused_single = None
         if fused_single is not None:
-            hydrated, lex_lists = fused_single
+            hydrated, lex_lists, _raw1 = fused_single
             if hydrated[0]:
                 fast_hits = hydrated[0]
                 cands = lex_lists[0]

@@ -259,3 +259,90 @@ class TestFusedPhase1:
         finally:
             hp.fused_phase1_embed_dense = orig
         assert calls["n"] == 3  # fused lane ran for every single query
+
+    def test_vectorized_batch_fusion_engages_with_parity(self, tmp_path):
+        """The numpy batch RRF replaces per-query fusion when the gates
+        hold — ids AND scores identical to search()."""
+        import numpy as np
+
+        import frankensearch_tpu.fusion.rrf_batch as rb
+        from frankensearch_tpu.core.config import TwoTierConfig
+        from frankensearch_tpu.core.types import IndexableDocument
+        from frankensearch_tpu.embed.model2vec import random_model2vec
+        from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+        from frankensearch_tpu.index.two_tier import TwoTierIndex
+        from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
+
+        rng = np.random.default_rng(2)
+        words = ["alpha", "beta", "gamma", "delta"]
+        m2v = random_model2vec(words + [f"tag{i}" for i in range(9)], dim=32)
+        docs = [
+            IndexableDocument(
+                doc_id=f"d{i:03d}",
+                content=" ".join(rng.choice(words, size=6)) + f" tag{i % 9}",
+            )
+            for i in range(80)
+        ]
+        idx = TwoTierIndex.create(
+            str(tmp_path), m2v.embed_batch([d.content for d in docs]),
+            [d.doc_id for d in docs], m2v.identity(), use_pallas=False,
+        )
+        s = TwoTierSearcher(idx, m2v, lexical=BulkDeviceBm25Index(docs),
+                            config=TwoTierConfig(fast_only=True))
+        calls = {"n": 0}
+        orig = rb.rrf_fuse_batch_rows
+
+        def spy(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        rb.rrf_fuse_batch_rows = spy
+        try:
+            queries = ["alpha beta", "gamma tag3", "delta", "nosuchterm"]
+            outs = s.search_batch(queries, k=6)
+        finally:
+            rb.rrf_fuse_batch_rows = orig
+        assert calls["n"] == 1
+        for q, o in zip(queries, outs):
+            single = [(r.doc_id, r.score) for r in s.search(q, k=6).results]
+            assert [(r.doc_id, r.score) for r in o.results] == single, q
+
+    def test_vectorized_fusion_gated_off_by_tombstones(self, tmp_path):
+        """Tombstone supersession is per-doc work the vectorized fusion
+        can't see — it must fall back (and results stay clean)."""
+        import numpy as np
+
+        import frankensearch_tpu.fusion.rrf_batch as rb
+        from frankensearch_tpu.core.config import TwoTierConfig
+        from frankensearch_tpu.core.types import IndexableDocument
+        from frankensearch_tpu.embed.model2vec import random_model2vec
+        from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+        from frankensearch_tpu.index.two_tier import TwoTierIndex
+        from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
+
+        words = ["alpha", "beta"]
+        m2v = random_model2vec(words + ["zeppelin", "unique"], dim=32)
+        docs = [IndexableDocument(doc_id=f"d{i}", content=f"alpha beta {i}")
+                for i in range(20)]
+        docs.append(IndexableDocument(doc_id="target", content="zeppelin unique"))
+        idx = TwoTierIndex.create(
+            str(tmp_path), m2v.embed_batch([d.content for d in docs]),
+            [d.doc_id for d in docs], m2v.identity(), use_pallas=False,
+        )
+        s = TwoTierSearcher(idx, m2v, lexical=BulkDeviceBm25Index(docs),
+                            config=TwoTierConfig(fast_only=True))
+        idx.delete(["target"])
+        calls = {"n": 0}
+        orig = rb.rrf_fuse_batch_rows
+
+        def spy(*a, **k):  # pragma: no cover - must not run
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        rb.rrf_fuse_batch_rows = spy
+        try:
+            outs = s.search_batch(["zeppelin unique"], k=5)
+        finally:
+            rb.rrf_fuse_batch_rows = orig
+        assert calls["n"] == 0  # gated off
+        assert all(r.doc_id != "target" for r in outs[0].results)

@@ -302,3 +302,62 @@ class TestRrfOrderingFuzz:
                 got = [h.doc_id for h in rrf_fuse(lex, sem, limit, 0, cfg)]
                 want = self._naive(lex, sem, limit, cfg)
                 assert got == want, (trial, tb, got, want)
+
+
+class TestBatchRrfExactness:
+    """rrf_fuse_batch_rows must reproduce rrf_fuse bitwise: scores AND
+    the full 4-level tie order, fuzzed over tie-heavy inputs."""
+
+    def test_fuzz_vs_scalar(self):
+        import numpy as np
+
+        from frankensearch_tpu.core.types import ScoredResult, VectorHit
+        from frankensearch_tpu.fusion.rrf import RrfConfig, rrf_fuse
+        from frankensearch_tpu.fusion.rrf_batch import (
+            rows_to_fused_hits,
+            rrf_fuse_batch_rows,
+        )
+
+        rng = np.random.default_rng(17)
+        for trial in range(40):
+            n_ids = int(rng.integers(4, 60))
+            doc_ids = [f"doc{i:03d}" for i in range(n_ids)]  # sorted == id asc
+            b = int(rng.integers(1, 6))
+            kl = int(rng.integers(1, min(n_ids, 12) + 1))
+            kv = int(rng.integers(1, min(n_ids, 12) + 1))
+            limit = int(rng.integers(1, n_ids + 2))
+            lex_w = float(rng.uniform(0.5, 2.0))
+            k_arr = rng.integers(5, 80, size=b).astype(np.float64)
+            sem_w = rng.uniform(0.5, 2.0, size=b)
+
+            lex_rows = np.full((b, kl), -1, np.int64)
+            lex_scores = np.zeros((b, kl), np.float32)
+            vec_rows = np.full((b, kv), -1, np.int64)
+            for qb in range(b):
+                nl = int(rng.integers(0, kl + 1))
+                lex_rows[qb, :nl] = rng.choice(n_ids, size=nl, replace=False)
+                lex_scores[qb, :nl] = rng.integers(0, 4, size=nl)  # forced ties
+                nv = int(rng.integers(0, kv + 1))
+                vec_rows[qb, :nv] = rng.choice(n_ids, size=nv, replace=False)
+
+            got = rrf_fuse_batch_rows(
+                lex_rows, lex_scores, vec_rows, limit, k_arr, lex_w, sem_w, n_ids
+            )
+            for qb in range(b):
+                lex = [
+                    ScoredResult(doc_id=doc_ids[r], score=float(s), lexical_score=float(s))
+                    for r, s in zip(lex_rows[qb], lex_scores[qb]) if r >= 0
+                ]
+                sem = [VectorHit(doc_id=doc_ids[r], score=0.5, row=int(r))
+                       for r in vec_rows[qb] if r >= 0]
+                cfg = RrfConfig(k=float(k_arr[qb]), lexical_weight=lex_w,
+                                semantic_weight=float(sem_w[qb]))
+                want = rrf_fuse(lex, sem, limit, 0, cfg)
+                got_hits = rows_to_fused_hits(got[qb], doc_ids)
+                assert [h.doc_id for h in got_hits] == [h.doc_id for h in want], (
+                    trial, qb, [h.doc_id for h in got_hits], [h.doc_id for h in want])
+                for g, w in zip(got_hits, want):
+                    assert g.score == w.score, (trial, qb, g.doc_id)  # bitwise
+                    assert g.lexical_rank == w.lexical_rank
+                    assert g.fast_rank == w.fast_rank
+                    assert g.sources == w.sources
