@@ -884,6 +884,10 @@ def cmd_serve(args) -> dict | None:
                 handle = _open(args)
                 _sentinel_state = current_state
                 _reloads += 1
+                if getattr(args, "warmup", False):
+                    # re-warm the serve shapes against the new generation
+                    # so the next real query doesn't pay the compile
+                    handle.searcher.search("warmup probe", k=10)
             except Exception as e:
                 print(json.dumps(error_envelope("reload_failed", str(e))),
                       file=out, flush=True)
