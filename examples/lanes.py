@@ -10,6 +10,11 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# CPU by default so the tour runs anywhere quickly; FS_EXAMPLE_TPU=1
+# opts into the accelerator (remote compiles can take minutes)
+if not os.environ.get("FS_EXAMPLE_TPU"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
 

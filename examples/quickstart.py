@@ -5,7 +5,10 @@ Run:  JAX_PLATFORMS=cpu python examples/quickstart.py
 """
 
 import os
+import sys
 import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 # force CPU for the demo so it runs anywhere; set FS_EXAMPLE_TPU=1 on a
 # TPU host to use the accelerator
