@@ -816,8 +816,30 @@ def cmd_serve(args) -> dict | None:
 
     from frankensearch_tpu.fusion.index_cache import SentinelFileDetector
     from frankensearch_tpu.index.two_tier import TwoTierPaths
+    from frankensearch_tpu.ops.pressure import (
+        PressureSignals,
+        ResourcePressureGovernor,
+        sense_device_hbm,
+        sense_host_memory,
+    )
 
     handle = _open(args)
+    # pressure-governed serving (fsfs pressure.rs ladder): host memory +
+    # HBM occupancy gate the quality tier / rerank / priors under load;
+    # the governor rides into the searcher and is observed per request
+    governor = ResourcePressureGovernor()
+    handle.searcher.governor = governor
+
+    def _observe_pressure() -> None:
+        try:
+            governor.observe(PressureSignals(
+                host_mem_used_frac=sense_host_memory(),
+                device_hbm_used_frac=sense_device_hbm(),
+            ))
+        except Exception:
+            pass
+
+    _observe_pressure()
     # hot reload on generation change (runtime.rs:12073 'rebind on
     # generation change'): an external append-batch / wal-poll daemon /
     # re-index moves the sentinels; the serve loop reopens the handle
@@ -878,10 +900,12 @@ def cmd_serve(args) -> dict | None:
             req = _parse(raw)
             if req is None:
                 continue
+        _observe_pressure()
         current_state = _sentinels.snapshot()
         if current_state != _sentinel_state:
             try:
                 handle = _open(args)
+                handle.searcher.governor = governor
                 _sentinel_state = current_state
                 _reloads += 1
                 if getattr(args, "warmup", False):
