@@ -498,7 +498,7 @@ def _gather_rescore_pallas(
         grid=(b // _RESCORE_QB,),
         in_specs=[
             pl.BlockSpec((_RESCORE_QB, d), lambda i, *_: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # slab stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # slab stays in HBM
         ],
         out_specs=pl.BlockSpec((_RESCORE_QB, kk * group), lambda i, *_: (i, 0)),
         scratch_shapes=[
