@@ -454,7 +454,13 @@ def open_hybrid(
     # space — catches same-id-different-weights drift that identity-id
     # admission alone cannot (generation.rs golden-vector certificates)
     _verify_embedder_conformance(root, fast=fast_embedder, quality=quality_embedder)
-    lexical = load_lexical(root)
+    try:
+        lexical = load_lexical(root)
+    except IndexCorrupted:
+        # degradation ladder: a corrupt lexical oracle snapshot must not
+        # kill the open — the vector arms (and the packed lexical arm,
+        # which verifies independently) keep serving
+        lexical = None
     # read path: the packed FLXB device arm (zero-parse load + batched
     # device scoring) wrapped in the lease-bounded delta (quill delta.rs)
     # so writes through handle.delta are searchable BEFORE the next

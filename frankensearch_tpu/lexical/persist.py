@@ -80,17 +80,26 @@ def _save_lexical_locked(index: MemoryLexicalIndex, root: str) -> str:
 
 
 def load_lexical(root: str) -> MemoryLexicalIndex | None:
-    """Resolve CURRENT and load that generation; None when absent."""
+    """Resolve CURRENT and load that generation; None when absent.
+    Corruption raises TYPED ``IndexCorrupted`` (never a raw decode
+    error), so callers can take the degradation ladder."""
+    from frankensearch_tpu.core.errors import IndexCorrupted
+
     current = os.path.join(root, "lexical", "CURRENT")
     if not os.path.exists(current):
         return None
     with open(current) as f:
         generation = f.read().strip()
     path = os.path.join(root, "lexical", generation, "index.flex.json")
-    with open(path, encoding="utf-8") as f:
-        payload = json.load(f)
+    try:
+        with open(path, encoding="utf-8") as f:
+            payload = json.load(f)
+    except FileNotFoundError:
+        return None
+    except (ValueError, UnicodeDecodeError) as e:
+        raise IndexCorrupted(f"FLEX snapshot unreadable at {path}: {e}") from None
     if payload.get("version") != FLEX_VERSION:
-        raise ValueError(f"unsupported FLEX version {payload.get('version')}")
+        raise IndexCorrupted(f"unsupported FLEX version {payload.get('version')}")
     index = MemoryLexicalIndex()
     for fname, s in payload["field_stats"].items():
         index._field_stats[fname] = _FieldStats(

@@ -87,3 +87,34 @@ class TestFilesystemChaos:
         garbage = "\x00\x01\x02" * 200
         assert not pipe.ingest(IndexableDocument(doc_id="bin", content=garbage))
         assert pipe.stats.low_signal == 1
+
+
+class TestLexicalSnapshotChaos:
+    def test_garbage_flex_snapshot_is_typed_and_degrades(self, tmp_path):
+        import os
+
+        import pytest
+
+        import frankensearch_tpu as fs
+        from frankensearch_tpu.core.errors import IndexCorrupted
+        from frankensearch_tpu.core.types import IndexableDocument
+        from frankensearch_tpu.lexical.persist import load_lexical
+
+        root = str(tmp_path / "ix")
+        b = fs.IndexBuilder(root).with_embedder_stack(
+            fs.EmbedderStack(fast=fs.HashEmbedder(dim=32))
+        )
+        for i in range(8):
+            b.add_document(IndexableDocument(doc_id=f"d{i}", content=f"alpha doc {i}"))
+        b.build()
+        with open(os.path.join(root, "lexical", "CURRENT")) as f:
+            gen = f.read().strip()
+        snap = os.path.join(root, "lexical", gen, "index.flex.json")
+        with open(snap, "wb") as f:
+            f.write(b"{garbage" + os.urandom(64))
+        with pytest.raises(IndexCorrupted):  # typed, not UnicodeDecodeError
+            load_lexical(root)
+        # open degrades: vector (and packed arm, separately verified) serve
+        handle = fs.open_hybrid(root, fast_embedder=fs.HashEmbedder(dim=32))
+        out = handle.searcher.search("alpha doc", k=3)
+        assert out.results
