@@ -189,13 +189,27 @@ class TwoTierSearcher:
         if self.config.mrl_search_dims or self.config.scan_mode != "auto":
             return None
         fast = self.index.fast
-        if type(fast) is not DeviceVectorIndex:
-            return None
         arm = self.lexical
         if isinstance(arm, DeltaLexicalIndex):
             arm = arm._read_arm()
-        if not isinstance(arm, (DeviceBm25Index, BulkDeviceBm25Index)):
-            return None
+        sharded = False
+        if type(fast) is DeviceVectorIndex:
+            if not isinstance(arm, (DeviceBm25Index, BulkDeviceBm25Index)):
+                return None
+        else:
+            from frankensearch_tpu.parallel.sharded_bm25 import (
+                ShardedBulkDeviceBm25Index,
+            )
+            from frankensearch_tpu.parallel.sharded_index import (
+                ShardedDeviceVectorIndex,
+            )
+
+            if not (
+                isinstance(fast, ShardedDeviceVectorIndex)
+                and isinstance(arm, ShardedBulkDeviceBm25Index)
+            ):
+                return None
+            sharded = True
         if arm.n_docs == 0:
             return None
 
@@ -204,6 +218,8 @@ class TwoTierSearcher:
 
         embed_args = None
         if fast_vecs is None:
+            if sharded:
+                return None  # sharded lane takes query vecs (2nd attempt)
             from frankensearch_tpu.embed.model2vec import Model2VecEmbedder
 
             emb = self.fast_embedder
@@ -221,6 +237,50 @@ class TwoTierSearcher:
                 return None
             if q.shape[1] != fast.d_pad:
                 q = np.pad(q, ((0, 0), (0, fast.d_pad - q.shape[1])))
+
+        if sharded:
+            import numpy as np
+
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            k_vec_s = min(sem_budget, fast.n_rows) or 1
+            k_lex_s = min(lex_budget, arm.n_docs)
+            inner = arm.inner
+            ids, w = inner._query_sparse_rows(list(queries))
+            bounds = arm._blocked_host.query_bounds(ids, w)
+            sb = arm._sharded
+            pad_blk = sb.n_blk_pad - bounds.shape[0]
+            if pad_blk:
+                bounds = np.concatenate(
+                    [bounds, np.zeros((pad_blk, bounds.shape[1]), np.float32)]
+                )
+            bounds_dev = jax.device_put(
+                jnp.asarray(bounds), NamedSharding(arm.mesh, P(arm.axis, None))
+            )
+            vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_sharded(
+                fast.slab, fast.base_mask, jnp.asarray(q),
+                sb.blk_term, sb.blk_doc, sb.blk_tf, sb.blk_base, bounds_dev,
+                jnp.asarray(ids), jnp.asarray(w),
+                k_vec=k_vec_s, k_lex=k_lex_s, d_blk=sb.d_blk, v_pad=sb.v_pad,
+                mesh=arm.mesh, axis=arm.axis,
+            )
+            vec_s, vec_i, lex_s, lex_i = jax.device_get((vec_s, vec_i, lex_s, lex_i))
+            from frankensearch_tpu.ops.topk_scan import TopKResult
+
+            hydrated = fast.hydrate(TopKResult(np.asarray(vec_s), np.asarray(vec_i)))
+            s_np = np.asarray(lex_s)
+            i_np = np.asarray(lex_i)
+            lex_lists = []
+            for bq in range(len(queries)):
+                lex_lists.append([
+                    LexicalCandidate(doc_id=arm.doc_ids[int(i_np[bq, j])],
+                                     score=float(s_np[bq, j]))
+                    for j in range(s_np.shape[1])
+                    if s_np[bq, j] > 0.0
+                ])
+            raw = {"vec_rows": np.asarray(vec_i), "lex_rows": i_np,
+                   "lex_scores": s_np, "arm": arm}
+            return hydrated, lex_lists, raw
 
         mask = fast._effective_mask(None, None)
         if self.config.use_pallas and _on_tpu() and fast.n_pad % 8192 == 0:

@@ -134,3 +134,38 @@ def fused_phase1_embed_dense(
     lex_s, lex_i = _lex_dense(post_term, post_doc, post_tf, q_idf,
                               k_lex=k_lex, n_docs_lex=n_docs_lex)
     return vec.scores, vec.indices, lex_s, lex_i
+
+
+def fused_phase1_sharded(
+    slab, mask, q_vecs,
+    blk_term, blk_doc, blk_tf, blk_base, blk_bound, q_ids, q_w,
+    *, k_vec: int, k_lex: int, d_blk: int, v_pad: int, mesh, axis: str = "d",
+):
+    """Multi-chip phase 1 in one dispatch: the document-sharded vector
+    scan and the block-sharded BM25 arm both run (each a shard_map over
+    the same mesh) inside one jitted program — the mesh analog of the
+    single-device fusions above. Nested jits inline, so results are
+    bit-identical to the separate sharded kernels."""
+    import functools as _ft
+
+    from frankensearch_tpu.parallel.sharded_bm25 import sharded_bm25_topk
+    from frankensearch_tpu.parallel.sharded_scan import sharded_scan_topk
+
+    @_ft.partial(
+        jax.jit,
+        static_argnames=("k_vec", "k_lex", "d_blk", "v_pad", "mesh", "axis"),
+    )
+    def _run(slab, mask, q_vecs, bt, bd, bf, bb, bound, ids, w,
+             *, k_vec, k_lex, d_blk, v_pad, mesh, axis):
+        vec = sharded_scan_topk(slab, mask, q_vecs, k_vec, mesh=mesh, axis=axis)
+        lex_s, lex_i, skipped = sharded_bm25_topk(
+            bt, bd, bf, bb, bound, ids, w,
+            k=k_lex, d_blk=d_blk, v_pad=v_pad, mesh=mesh, axis=axis,
+        )
+        return vec.scores, vec.indices, lex_s, lex_i
+
+    return _run(
+        slab, mask, q_vecs, blk_term, blk_doc, blk_tf, blk_base, blk_bound,
+        q_ids, q_w,
+        k_vec=k_vec, k_lex=k_lex, d_blk=d_blk, v_pad=v_pad, mesh=mesh, axis=axis,
+    )

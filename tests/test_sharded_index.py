@@ -251,3 +251,63 @@ class TestShardedBm25:
         s = TwoTierSearcher(idx, emb, lexical=lex, config=TwoTierConfig(fast_only=True))
         out = s.search("alpha beta tag3", k=5)
         assert out.results  # BOTH arms served from the mesh
+
+
+class TestShardedFusedPhase1:
+    def test_sharded_fused_engages_with_parity(self, tmp_path):
+        """Under --shards both arms run in ONE device program
+        (fused_phase1_sharded); results identical to the per-arm path."""
+        import numpy as np
+
+        import frankensearch_tpu.ops.hybrid_phase1 as hp
+        from frankensearch_tpu.core.config import TwoTierConfig
+        from frankensearch_tpu.core.types import IndexableDocument
+        from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+        from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+        from frankensearch_tpu.index.two_tier import TwoTierIndex
+        from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
+        from frankensearch_tpu.parallel.mesh import make_mesh
+        from frankensearch_tpu.parallel.sharded_bm25 import ShardedBulkDeviceBm25Index
+
+        rng = np.random.default_rng(6)
+        words = ["alpha", "beta", "gamma", "delta"]
+        docs = [
+            IndexableDocument(
+                doc_id=f"d{i:03d}",
+                content=" ".join(rng.choice(words, size=7)) + f" tag{i % 10}",
+            )
+            for i in range(96)
+        ]
+        emb = HashEmbedder(dim=64)
+        n_dev = len(jax.devices())
+        idx = TwoTierIndex.create(
+            str(tmp_path), emb.embed_batch([d.content for d in docs]),
+            [d.doc_id for d in docs], emb.identity(), use_pallas=False,
+            mesh_shards=n_dev,
+        )
+        mesh = make_mesh(n_dev, axes=("d",))
+        lex = ShardedBulkDeviceBm25Index(BulkDeviceBm25Index(docs), mesh)
+        fused_s = TwoTierSearcher(idx, emb, lexical=lex,
+                                  config=TwoTierConfig(fast_only=True))
+        # control: single-device arms over the same corpus
+        idx1 = TwoTierIndex.open(str(tmp_path), use_pallas=False)
+        plain_s = TwoTierSearcher(idx1, emb, lexical=BulkDeviceBm25Index(docs),
+                                  config=TwoTierConfig(fast_only=True))
+
+        calls = {"n": 0}
+        orig = hp.fused_phase1_sharded
+
+        def spy(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        hp.fused_phase1_sharded = spy
+        try:
+            queries = ["alpha beta", "gamma tag3", "delta tag7"]
+            outs = fused_s.search_batch(queries, k=6)
+        finally:
+            hp.fused_phase1_sharded = orig
+        assert calls["n"] == 1  # one mesh dispatch for both arms
+        for q, o in zip(queries, outs):
+            want = [r.doc_id for r in plain_s.search(q, k=6).results]
+            assert [r.doc_id for r in o.results] == want, q
