@@ -163,3 +163,63 @@ class TestVectorHelpers:
     def test_document_requires_id(self):
         with pytest.raises(ValueError):
             IndexableDocument(doc_id="", content="x")
+
+
+class TestTextFrontDoorFuzz:
+    """The canonicalizer / parser / classifier / tokenizer front door
+    must never crash on arbitrary unicode (queries come from users)."""
+
+    def test_unicode_garbage_never_crashes(self):
+        import random
+
+        from frankensearch_tpu.core.canonicalize import DefaultCanonicalizer
+        from frankensearch_tpu.core.parsed_query import ParsedQuery
+        from frankensearch_tpu.core.query_class import QueryClass
+        from frankensearch_tpu.lexical.tokenizer import simple_tokenize
+
+        rng = random.Random(13)
+        canon = DefaultCanonicalizer()
+        corpus_chars = (
+            "abcXYZ 0123 -_.:/\\\"'`!?()[]{}<>|&^%$#@~*+=\n\t"
+            "äöüßçñé ΣςσΩμ 中文字符 🤖🔥💯 ​‮﻿\x00\x1b"
+        )
+        for _ in range(300):
+            n = rng.randint(0, 64)
+            text = "".join(rng.choice(corpus_chars) for _ in range(n))
+            c = canon.canonicalize_query(text)
+            assert isinstance(c, str)
+            parsed = ParsedQuery.parse(c)
+            QueryClass.classify(parsed.positive or c)
+            simple_tokenize(text)
+            doc_c, stats = canon.canonicalize_document_with_stats(text * 3)
+            assert isinstance(doc_c, str) and len(doc_c) <= 2100
+
+    def test_front_door_through_the_searcher(self, tmp_path):
+        import random
+
+        import frankensearch_tpu as fs
+        from frankensearch_tpu.core.config import TwoTierConfig
+        from frankensearch_tpu.core.types import IndexableDocument
+        from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+        from frankensearch_tpu.index.two_tier import TwoTierIndex
+        from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+
+        emb = fs.HashEmbedder(dim=32)
+        docs = [IndexableDocument(doc_id=f"d{i}", content=f"alpha beta {i}")
+                for i in range(10)]
+        idx = TwoTierIndex.create(
+            str(tmp_path), emb.embed_batch([d.content for d in docs]),
+            [d.doc_id for d in docs], emb.identity(), use_pallas=False,
+        )
+        lex = MemoryLexicalIndex()
+        for d in docs:
+            lex.add_document(d)
+        lex.commit()
+        s = TwoTierSearcher(idx, emb, lexical=lex, config=TwoTierConfig(fast_only=True))
+        rng = random.Random(7)
+        nasty = ["", " ", "\x00", "🤖" * 40, "-", "NOT \"", "‮ rtl", "中 文",
+                 "a" * 3000, "-alpha -beta -gamma", "\"unterminated", "\t\n\r"]
+        for q in nasty + ["".join(rng.choice("ab -\"🤖​") for _ in range(30))
+                          for _ in range(40)]:
+            out = s.search(q, k=3)  # must never raise
+            assert out.metrics.query_class
