@@ -880,10 +880,17 @@ def cmd_serve(args) -> dict | None:
         if not raw:
             return None
         try:
-            return json.loads(raw)
+            req = json.loads(raw)
         except json.JSONDecodeError as e:
             print(json.dumps(error_envelope("bad_request", str(e))), file=out, flush=True)
             return None
+        if not isinstance(req, dict):
+            # valid JSON but not an object frame (e.g. a bare array) —
+            # typed error instead of an AttributeError killing the server
+            print(json.dumps(error_envelope("bad_request", "frame must be a JSON object")),
+                  file=out, flush=True)
+            return None
+        return req
 
     def _is_batchable(req: dict) -> bool:
         return req.get("op") == "search" and not bool(req.get("stream", args.stream))

@@ -349,3 +349,30 @@ class TestCliContract:
         proc.stdin.write(json.dumps({"op": "shutdown"}) + "\n")
         proc.stdin.flush()
         proc.wait(timeout=60)
+
+    def test_serve_protocol_fuzz_never_kills_the_server(self, index_root):
+        """Malformed NDJSON frames must produce typed error envelopes and
+        leave the server serving (protocol robustness)."""
+        nasty = [
+            "not json at all",
+            "{\"op\": 42}",
+            "{\"op\": \"search\"}",  # no query
+            "{\"op\": \"search\", \"query\": null, \"k\": \"ten\"}",
+            "{\"op\": \"search_batch\", \"queries\": \"notalist\"}",
+            "{}",
+            "[1,2,3]",
+            "{\"op\": \"search\", \"query\": \"x\", \"k\": -5}",
+            "{\"op\": \"search\", \"query\": \"" + "A" * 5000 + "\", \"k\": 2}",
+        ]
+        reqs = "\n".join(nasty + [
+            json.dumps({"op": "search", "query": "jax tpu", "k": 2}),
+            json.dumps({"op": "shutdown"}),
+        ])
+        r = run_cli("serve", "--root", index_root, input_text=reqs)
+        lines = [json.loads(line) for line in r.stdout.strip().splitlines()]
+        assert r.returncode == 0
+        # every nasty frame got SOME envelope (ok or typed error)...
+        assert len(lines) == len(nasty) + 2
+        # ...and the server still answered the real query afterwards
+        assert lines[-2]["ok"] and lines[-2]["data"][0]["doc_id"] == "jax-1"
+        assert lines[-1]["data"]["op"] == "shutdown"
