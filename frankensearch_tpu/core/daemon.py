@@ -205,7 +205,12 @@ class DaemonServer:
                     f.write(json.dumps({"ok": False, "error": "unknown op"}) + "\n")
                 f.flush()
                 self.requests_served += 1
-            except (json.JSONDecodeError, KeyError, OSError) as e:
+            except (json.JSONDecodeError, KeyError, OSError,
+                    TypeError, AttributeError, ValueError) as e:
+                # TypeError/AttributeError: valid JSON that is not the
+                # expected object shape (e.g. an array challenge) must
+                # not kill the daemon — same protocol-fuzz class as the
+                # NDJSON serve fix
                 try:
                     f.write(json.dumps({"ok": False, "error": str(e)}) + "\n")
                     f.flush()

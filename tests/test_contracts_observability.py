@@ -67,3 +67,56 @@ class TestDistributedObservability:
         assert validate_lifecycle(em.lifecycle_of("g3")) == [
             "rollback without a prior activation"
         ]
+
+
+class TestDaemonProtocolFuzz:
+    def test_malformed_frames_do_not_kill_the_daemon(self, tmp_path):
+        import json
+        import socket
+        import threading
+
+        from frankensearch_tpu.core.daemon import DaemonServer
+        from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+
+        sock_path = str(tmp_path / "d.sock")
+        server = DaemonServer(sock_path, HashEmbedder(dim=16))
+        stop = threading.Event()
+
+        def run():
+            with server:
+                while not stop.is_set():
+                    server.serve_one(timeout_s=0.2)
+
+        t = threading.Thread(target=run)
+        t.start()
+        try:
+            import time
+
+            time.sleep(0.3)
+            for payload in (b"[1,2,3]\n", b"42\n", b"not json\n",
+                            b'{"no_nonce": true}\n', b"\n"):
+                c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+                c.settimeout(5.0)
+                c.connect(sock_path)
+                c.sendall(payload)
+                try:
+                    c.recv(4096)  # error line or close — either is fine
+                except OSError:
+                    pass
+                c.close()
+            # the daemon still serves a REAL request afterwards
+            c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            c.settimeout(5.0)
+            c.connect(sock_path)
+            f = c.makefile("rw", encoding="utf-8")
+            f.write(json.dumps({"nonce": "abc"}) + "\n")
+            f.flush()
+            att = json.loads(f.readline())
+            assert att["embedder_id"].startswith("hash-")
+            f.write(json.dumps({"op": "ping"}) + "\n")
+            f.flush()
+            assert json.loads(f.readline())["ok"]
+            c.close()
+        finally:
+            stop.set()
+            t.join(timeout=10)
