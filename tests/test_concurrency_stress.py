@@ -99,3 +99,71 @@ class TestConcurrencyStress:
             worker.process_once()
         assert index.doc_count() == 41
         assert len(set(index.fast.doc_ids)) == 41  # no duplicated rows
+
+
+class TestFusedLaneUnderMutation:
+    def test_readers_race_appends_seals_deletes_compactions(self, tmp_path):
+        """search()/search_batch() (fused lanes included) racing a
+        writer doing append -> seal -> delete -> compact must never
+        raise and must converge to a consistent final state."""
+        import threading
+
+        import numpy as np
+
+        import frankensearch_tpu as fs
+        from frankensearch_tpu.core.types import IndexableDocument
+
+        root = str(tmp_path / "ix")
+        b = fs.IndexBuilder(root).with_embedder_stack(
+            fs.EmbedderStack(fast=fs.HashEmbedder(dim=32))
+        )
+        for i in range(40):
+            b.add_document(IndexableDocument(doc_id=f"d{i:03d}", content=f"alpha beta doc {i}"))
+        b.build()
+        handle = fs.open_hybrid(root, fast_embedder=fs.HashEmbedder(dim=32))
+        emb = fs.HashEmbedder(dim=32)
+        errors: list[Exception] = []
+        stop = threading.Event()
+
+        def reader():
+            try:
+                while not stop.is_set():
+                    out = handle.searcher.search("alpha beta", k=5)
+                    assert out.metrics.query_class
+                    outs = handle.searcher.search_batch(["alpha doc", "beta"], k=4)
+                    assert len(outs) == 2
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        def writer():
+            try:
+                for i in range(12):
+                    did = f"w{i:03d}"
+                    handle.index.append_fast([did], emb.embed_batch([f"gamma new {i}"]))
+                    handle.delta.add_document(
+                        IndexableDocument(doc_id=did, content=f"gamma new {i}")
+                    )
+                    handle.delta.commit()
+                    if i % 4 == 3:
+                        handle.delta.seal()
+                        handle.delete([f"d{i:03d}"])
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=reader) for _ in range(3)]
+        wt = threading.Thread(target=writer)
+        for t in threads:
+            t.start()
+        wt.start()
+        wt.join(timeout=120)
+        stop.set()
+        for t in threads:
+            t.join(timeout=30)
+        assert not errors, errors[:2]
+        # converged state: new docs searchable, deleted docs gone
+        final = handle.searcher.search("gamma new", k=5)
+        assert final.results and final.results[0].doc_id.startswith("w")
+        assert all(
+            r.doc_id != "d003"
+            for r in handle.searcher.search("alpha beta doc", k=20).results
+        )
