@@ -120,3 +120,47 @@ class TestDaemonProtocolFuzz:
         finally:
             stop.set()
             t.join(timeout=10)
+
+
+class TestMetricsWireContract:
+    def test_two_tier_metrics_to_dict_covers_every_field(self):
+        """TwoTierMetrics.to_dict is the telemetry wire form — every
+        dataclass field must serialize (new fields like phase1_fused
+        ride along automatically; this pins it)."""
+        from dataclasses import fields
+
+        from frankensearch_tpu.core.config import TwoTierMetrics
+
+        m = TwoTierMetrics()
+        d = m.to_dict()
+        for f in fields(TwoTierMetrics):
+            assert f.name in d, f.name
+        assert d["phase1_fused"] is False
+
+    def test_fused_flag_reaches_the_exporter(self, tmp_path):
+        import frankensearch_tpu as fs
+        from frankensearch_tpu.core.config import TwoTierConfig
+        from frankensearch_tpu.core.types import IndexableDocument
+        from frankensearch_tpu.embed.model2vec import random_model2vec
+        from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+        from frankensearch_tpu.index.two_tier import TwoTierIndex
+        from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
+
+        m2v = random_model2vec(["alpha", "beta", "gamma"], dim=32)
+        docs = [IndexableDocument(doc_id=f"d{i}", content=f"alpha beta {i}")
+                for i in range(12)]
+        idx = TwoTierIndex.create(
+            str(tmp_path), m2v.embed_batch([d.content for d in docs]),
+            [d.doc_id for d in docs], m2v.identity(), use_pallas=False,
+        )
+        seen = []
+
+        class Exporter:
+            def export(self, metrics):
+                seen.append(metrics)
+
+        s = TwoTierSearcher(idx, m2v, lexical=BulkDeviceBm25Index(docs),
+                            config=TwoTierConfig(fast_only=True),
+                            metrics_exporter=Exporter())
+        s.search("alpha beta", k=3)
+        assert seen and seen[-1].phase1_fused is True
