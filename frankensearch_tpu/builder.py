@@ -347,6 +347,19 @@ class HybridHandle:
     #: FLXB generation when the lease budget trips or at flow exit
     delta: "DeltaLexicalIndex | None" = None
 
+    def close(self) -> None:
+        """Release process-local resources (worker pool, sqlite handle).
+        Artifacts/indices stay valid on disk."""
+        self.searcher.close()
+        if self.storage is not None:
+            self.storage.close()
+
+    def __enter__(self) -> "HybridHandle":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     def delete(self, doc_ids) -> None:
         """Tombstone docs across EVERY arm: vector tiers (durable via
         WAL), lexical (through the delta so the removal is searchable

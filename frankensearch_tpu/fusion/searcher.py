@@ -131,6 +131,11 @@ class TwoTierSearcher:
         self._semantic_admitted = self._admit_semantic()
         self._quality_admitted = self._admit_quality()
 
+    def close(self) -> None:
+        """Release the phase-2 worker pool (long-lived embedders/indexes
+        are owned by the caller)."""
+        self._pool.shutdown(wait=False, cancel_futures=True)
+
     def _admit_semantic(self) -> bool:
         try:
             self.index.fast.identity  # noqa: B018

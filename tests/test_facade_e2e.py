@@ -145,3 +145,23 @@ class TestDeleteAllArms:
         handle.index.delete(["target"])  # vector only — lexical untouched
         got = [r.doc_id for r in handle.searcher.search("zeppelin unique", k=3).results]
         assert "target" not in got
+
+
+class TestHandleLifetime:
+    def test_context_manager_closes_resources(self, tmp_path):
+        import frankensearch_tpu as fs
+        from frankensearch_tpu.core.types import IndexableDocument
+
+        root = str(tmp_path / "ix")
+        b = fs.IndexBuilder(root).with_embedder_stack(
+            fs.EmbedderStack(fast=fs.HashEmbedder(dim=32))
+        )
+        b.add_document(IndexableDocument(doc_id="d0", content="alpha beta"))
+        b.build()
+        with fs.open_hybrid(root, fast_embedder=fs.HashEmbedder(dim=32)) as handle:
+            assert handle.searcher.search("alpha", k=1).results
+        # closed: the phase-2 pool refuses new work
+        import pytest
+
+        with pytest.raises(RuntimeError):
+            handle.searcher._pool.submit(lambda: None)
