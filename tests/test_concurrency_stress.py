@@ -167,3 +167,43 @@ class TestFusedLaneUnderMutation:
             r.doc_id != "d003"
             for r in handle.searcher.search("alpha beta doc", k=20).results
         )
+
+
+class TestJobQueueContention:
+    def test_each_job_claimed_exactly_once_across_workers(self, tmp_path):
+        import threading
+
+        from frankensearch_tpu.storage.job_queue import PersistentJobQueue
+
+        q = PersistentJobQueue(str(tmp_path / "jobs.db"))
+        n_jobs = 200
+        for i in range(n_jobs):
+            q.enqueue("embed", {"doc_id": f"d{i}"})
+        claimed: dict[str, list[int]] = {}
+        lock = threading.Lock()
+        errors: list[Exception] = []
+
+        def worker(wid):
+            try:
+                mine = []
+                while True:
+                    job = q.claim(f"w{wid}", kinds=["embed"])
+                    if job is None:
+                        break
+                    mine.append(job.job_id)
+                    q.complete(job.job_id, f"w{wid}")
+                with lock:
+                    claimed[f"w{wid}"] = mine
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors
+        all_ids = [j for ids in claimed.values() for j in ids]
+        assert len(all_ids) == n_jobs  # nothing lost
+        assert len(set(all_ids)) == n_jobs  # nothing double-claimed
+        assert q.pending_count() == 0
