@@ -895,6 +895,14 @@ class TwoTierSearcher:
             and self.calibrator is None
             and self.hubness is None
             and self.smoother is None
+            # identifier short-circuit contract (searcher.rs:1451,1641):
+            # a non-semantic stack must not fuse hash-vector noise into
+            # identifier queries — that lane decides AFTER seeing the
+            # lexical pool, so it stays on the classic path
+            and not (
+                qclass is QueryClass.IDENTIFIER
+                and not self.fast_embedder.is_semantic
+            )
         ):
             try:
                 t_f = time.monotonic()

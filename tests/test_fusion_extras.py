@@ -366,3 +366,29 @@ class TestPhase2Prefetch:
         c2 = cached.embed_prefetch("query one")
         assert inner.prefetches == 1
         assert np.array_equal(c2(), v1)
+
+    def test_identifier_short_circuit_survives_the_fused_lane(self, tmp_path):
+        """Identifier queries on a NON-semantic (hash) stack take the
+        lexical short-circuit, not the fused scan (searcher.rs:1451)."""
+        import frankensearch_tpu as fs
+        from frankensearch_tpu.core.config import TwoTierConfig
+        from frankensearch_tpu.core.types import IndexableDocument, SearchSource
+        from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+        from frankensearch_tpu.index.two_tier import TwoTierIndex
+        from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
+
+        emb = fs.HashEmbedder(dim=32)
+        docs = [IndexableDocument(doc_id=f"d{i}", content=f"get_user_token_{i} alpha")
+                for i in range(12)]
+        idx = TwoTierIndex.create(
+            str(tmp_path), emb.embed_batch([d.content for d in docs]),
+            [d.doc_id for d in docs], emb.identity(), use_pallas=False,
+        )
+        s = TwoTierSearcher(idx, emb, lexical=BulkDeviceBm25Index(docs),
+                            config=TwoTierConfig(fast_only=True))
+        out = s.search("get_user_token_3", k=5)
+        assert out.metrics.query_class == "identifier"
+        assert out.results
+        # short-circuit: results are lexical-only, no hash-vector noise
+        for r in out.results:
+            assert not (r.sources & SearchSource.FAST_VECTOR), r.doc_id
