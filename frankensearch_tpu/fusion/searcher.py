@@ -822,6 +822,15 @@ class TwoTierSearcher:
                 except Exception:
                     lexical_pool = []
             fast_hits = hits_per_query.get(i, [])
+            if (
+                qclass is QueryClass.IDENTIFIER
+                and not self.fast_embedder.is_semantic
+                and len(lexical_pool) >= k
+            ):
+                # identifier short-circuit (searcher.rs:1451,1641): a
+                # non-semantic stack with enough lexical evidence skips
+                # the hash-vector arm — parity with search()
+                fast_hits = []
             rrf_cfg = RrfConfig(
                 k=self._effective_rrf_k(qclass),
                 lexical_weight=cfg.lexical_rrf_weight,
@@ -842,7 +851,7 @@ class TwoTierSearcher:
                 aligned = [qscores.get(h.doc_id) for h in fast_hits]
                 blended = blend_two_tier_aligned(fast_hits, aligned, cfg.quality_weight)
                 fused = fuse_by_strategy(cfg.fusion_strategy, lexical_pool, blended, k, 0, rrf_cfg)
-            elif batch_fused is not None and i in batch_fused:
+            elif batch_fused is not None and i in batch_fused and fast_hits:
                 fused = batch_fused[i]
             else:
                 fused = fuse_by_strategy(cfg.fusion_strategy, lexical_pool, fast_hits, k, 0, rrf_cfg)

@@ -346,3 +346,25 @@ class TestFusedPhase1:
             rb.rrf_fuse_batch_rows = orig
         assert calls["n"] == 0  # gated off
         assert all(r.doc_id != "target" for r in outs[0].results)
+
+    def test_batch_identifier_short_circuit_parity(self, tmp_path):
+        import frankensearch_tpu as fs
+        from frankensearch_tpu.core.config import TwoTierConfig
+        from frankensearch_tpu.core.types import IndexableDocument, SearchSource
+        from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+        from frankensearch_tpu.index.two_tier import TwoTierIndex
+        from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
+
+        emb = fs.HashEmbedder(dim=32)
+        docs = [IndexableDocument(doc_id=f"d{i}", content=f"get_user_token_{i} alpha")
+                for i in range(12)]
+        idx = TwoTierIndex.create(
+            str(tmp_path), emb.embed_batch([d.content for d in docs]),
+            [d.doc_id for d in docs], emb.identity(), use_pallas=False,
+        )
+        s = TwoTierSearcher(idx, emb, lexical=BulkDeviceBm25Index(docs),
+                            config=TwoTierConfig(fast_only=True))
+        single = s.search("get_user_token_3", k=5)
+        batch = s.search_batch(["get_user_token_3", "alpha"], k=5)[0]
+        assert [r.doc_id for r in batch.results] == [r.doc_id for r in single.results]
+        assert all(not (r.sources & SearchSource.FAST_VECTOR) for r in batch.results)
