@@ -728,8 +728,12 @@ class TwoTierSearcher:
                 for j, i in enumerate(live):
                     hits = hits_per_query.get(i, [])
                     if hits:
+                        q_vec_i = q_vecs[j]
+                        if self.prf is not None:
+                            # Rocchio PRF, same as the single path
+                            q_vec_i = self.prf.expand(q_vec_i, hits, self.index)
                         qscores_per_query[i] = self.index.quality_scores_for_hits(
-                            q_vecs[j], hits
+                            q_vec_i, hits
                         )
                 if cfg.quality_rescan and self.index.quality is not None:
                     # pool expansion, batched: ONE quality-tier scan for

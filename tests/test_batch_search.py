@@ -368,3 +368,33 @@ class TestFusedPhase1:
         batch = s.search_batch(["get_user_token_3", "alpha"], k=5)[0]
         assert [r.doc_id for r in batch.results] == [r.doc_id for r in single.results]
         assert all(not (r.sources & SearchSource.FAST_VECTOR) for r in batch.results)
+
+    def test_batch_applies_prf_like_single(self, tmp_path):
+        import numpy as np
+
+        import frankensearch_tpu as fs
+        from frankensearch_tpu.core.config import TwoTierConfig
+        from frankensearch_tpu.core.types import IndexableDocument
+        from frankensearch_tpu.fusion.prf import RocchioPrf
+        from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+        from frankensearch_tpu.index.two_tier import TwoTierIndex
+
+        fast = fs.HashEmbedder(dim=32)
+        quality = fs.HashEmbedder(dim=48)
+        docs = [f"alpha beta doc {i}" for i in range(24)]
+        idx = TwoTierIndex.create(
+            str(tmp_path), fast.embed_batch(docs), [f"d{i}" for i in range(24)],
+            fast.identity(), quality_vectors=quality.embed_batch(docs),
+            quality_identity=quality.identity(), use_pallas=False,
+        )
+        s = TwoTierSearcher(
+            idx, fast, quality_embedder=quality, config=TwoTierConfig(),
+            prf=RocchioPrf(), cache_query_embeddings=False,
+        )
+        single = s.search("alpha beta doc", k=6)
+        batch = s.search_batch(["alpha beta doc"], k=6)[0]
+        assert [r.doc_id for r in batch.results] == [r.doc_id for r in single.results]
+        for b, a in zip(batch.results, single.results):
+            if a.quality_score is not None:
+                assert b.quality_score is not None
+                assert abs(b.quality_score - a.quality_score) < 1e-6
