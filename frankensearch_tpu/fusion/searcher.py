@@ -732,9 +732,10 @@ class TwoTierSearcher:
                         if self.prf is not None:
                             # Rocchio PRF, same as the single path
                             q_vec_i = self.prf.expand(q_vec_i, hits, self.index)
-                        qscores_per_query[i] = self.index.quality_scores_for_hits(
-                            q_vec_i, hits
-                        )
+                        qs = self.index.quality_scores_for_hits(q_vec_i, hits)
+                        if self.calibrator is not None:
+                            qs = {d: self.calibrator(v) for d, v in qs.items()}
+                        qscores_per_query[i] = qs
                 if cfg.quality_rescan and self.index.quality is not None:
                     # pool expansion, batched: ONE quality-tier scan for
                     # all queries (parity with search()'s quality_rescan)
@@ -835,6 +836,16 @@ class TwoTierSearcher:
                 # non-semantic stack with enough lexical evidence skips
                 # the hash-vector arm — parity with search()
                 fast_hits = []
+            # per-hit controls, same order as the single path
+            if self.calibrator is not None and fast_hits:
+                fast_hits = [
+                    VectorHit(h.doc_id, self.calibrator(h.score), h.row)
+                    for h in fast_hits
+                ]
+            if self.hubness is not None and fast_hits:
+                fast_hits = self.hubness.apply(fast_hits)
+            if self.smoother is not None and fast_hits:
+                fast_hits = self.smoother.apply(fast_hits)
             rrf_cfg = RrfConfig(
                 k=self._effective_rrf_k(qclass),
                 lexical_weight=cfg.lexical_rrf_weight,
@@ -857,6 +868,19 @@ class TwoTierSearcher:
                 fused = fuse_by_strategy(cfg.fusion_strategy, lexical_pool, blended, k, 0, rrf_cfg)
             elif batch_fused is not None and i in batch_fused and fast_hits:
                 fused = batch_fused[i]
+            elif self.graph_ranker is not None and cfg.graph_rrf_weight > 0.0:
+                from frankensearch_tpu.fusion.rrf import rrf_fuse_with_graph
+
+                seeds = lexical_pool or [
+                    ScoredResult(doc_id=h.doc_id, score=h.score) for h in fast_hits
+                ]
+                graph_pool = self.graph_ranker.rank(
+                    seeds, limit=k * cfg.candidate_multiplier
+                )
+                fused = rrf_fuse_with_graph(
+                    lexical_pool, fast_hits, graph_pool, cfg.graph_rrf_weight,
+                    k, 0, rrf_cfg,
+                )
             else:
                 fused = fuse_by_strategy(cfg.fusion_strategy, lexical_pool, fast_hits, k, 0, rrf_cfg)
             results = self._fused_to_results(fused, lexical_pool, fast_hits, None, parsed)
@@ -865,6 +889,8 @@ class TwoTierSearcher:
                     if r.doc_id in qscores:
                         r.quality_score = qscores[r.doc_id]
                         r.sources |= SearchSource.QUALITY_VECTOR
+            if self.feedback is not None and results:
+                results = self.feedback.apply(results)
             outcomes[i].results = results[:k]
             outcomes[i].metrics.fast_candidates = len(fast_hits)
             outcomes[i].metrics.lexical_candidates = len(lexical_pool)

@@ -398,3 +398,48 @@ class TestFusedPhase1:
             if a.quality_score is not None:
                 assert b.quality_score is not None
                 assert abs(b.quality_score - a.quality_score) < 1e-6
+
+    def test_batch_applies_all_ranking_controls_like_single(self, tmp_path):
+        """calibrator + hubness + smoother + feedback + graph parity:
+        batch results equal single results with every control on."""
+        import numpy as np
+
+        import frankensearch_tpu as fs
+        from frankensearch_tpu.core.config import TwoTierConfig
+        from frankensearch_tpu.core.graph import DocumentGraph
+        from frankensearch_tpu.core.types import IndexableDocument
+        from frankensearch_tpu.fusion.feedback import FeedbackBooster
+        from frankensearch_tpu.fusion.graph_rank import GraphRanker
+        from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+        from frankensearch_tpu.index.two_tier import TwoTierIndex
+        from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
+
+        emb = fs.HashEmbedder(dim=32)
+        docs = [IndexableDocument(doc_id=f"d{i:02d}", content=f"alpha beta doc {i}")
+                for i in range(20)]
+        idx = TwoTierIndex.create(
+            str(tmp_path), emb.embed_batch([d.content for d in docs]),
+            [d.doc_id for d in docs], emb.identity(), use_pallas=False,
+        )
+        graph = DocumentGraph()
+        for i in range(19):
+            graph.add_edge(f"d{i:02d}", f"d{i + 1:02d}", weight=0.5)
+        feedback = FeedbackBooster()
+        feedback.record_click("d05")
+        kwargs = dict(
+            lexical=BulkDeviceBm25Index(docs),
+            config=TwoTierConfig(fast_only=True, graph_rrf_weight=0.3),
+            calibrator=lambda x: x * 0.5 + 0.1,
+            feedback=feedback,
+            graph_ranker=GraphRanker(graph),
+            cache_query_embeddings=False,
+        )
+        s = TwoTierSearcher(idx, emb, **kwargs)
+        for q in ("alpha beta", "doc 7"):
+            single = s.search(q, k=6).results
+            batch = s.search_batch([q, "beta"], k=6)[0].results
+            assert [r.doc_id for r in batch] == [r.doc_id for r in single], q
+            for b, a in zip(batch, single):
+                # scores agree to float32 precision (1-ulp pairing noise
+                # between the two phase-1 lanes is rank-invisible)
+                assert abs(b.score - a.score) < 1e-7, (q, b.doc_id)
