@@ -54,6 +54,7 @@ class IndexBuildStats:
     doc_count: int = 0
     error_count: int = 0
     skipped_low_signal: int = 0
+    superseded_duplicates: int = 0
     duration_ms: float = 0.0
     warnings: list[str] = field(default_factory=list)
     per_doc_errors: dict[str, str] = field(default_factory=dict)
@@ -119,8 +120,12 @@ class IndexBuilder:
             )
         os.makedirs(self.root, exist_ok=True)
 
-        # canonicalize + filter
-        kept: list[tuple[IndexableDocument, str]] = []
+        # canonicalize + filter; duplicate doc_ids within one build are
+        # an UPSERT (last occurrence wins — index_builder.rs upsert
+        # semantics). Without this, the positional bulk lanes (fast slab
+        # rows, BulkDeviceBm25Index postings) would keep BOTH versions
+        # live and stale terms would still match.
+        kept_by_id: dict[str, tuple[IndexableDocument, str]] = {}
         for doc in self._docs:
             canonical, cstats = self._canonicalizer.canonicalize_document_with_stats(
                 doc.content
@@ -128,7 +133,10 @@ class IndexBuilder:
             if cstats.low_signal:
                 stats.skipped_low_signal += 1
                 continue
-            kept.append((doc, canonical))
+            if doc.doc_id in kept_by_id:
+                stats.superseded_duplicates += 1
+            kept_by_id[doc.doc_id] = (doc, canonical)
+        kept: list[tuple[IndexableDocument, str]] = list(kept_by_id.values())
 
         # embed: whole-corpus bulk lane first (one device program per big
         # chunk — native bag-of-words or Rust encode_batch; the ingest

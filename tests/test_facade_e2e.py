@@ -102,6 +102,42 @@ class TestInt4Scan:
             assert overlap >= 7, f"query {b}: {overlap}"
 
 
+class TestDuplicateIdUpsert:
+    def test_duplicate_ids_in_one_build_are_upserts(self, tmp_path):
+        """Two records with the same doc_id in one ingest batch: the LAST
+        wins everywhere (fast slab, both lexical arms, storage). Before
+        the fix, the positional bulk lanes kept BOTH versions live and the
+        stale version's terms still matched (found by CLI probing)."""
+        import frankensearch_tpu as fs
+        from frankensearch_tpu.core.types import IndexableDocument
+
+        root = str(tmp_path / "ix")
+        b = fs.IndexBuilder(root).with_embedder_stack(
+            fs.EmbedderStack(fast=fs.HashEmbedder(dim=32))
+        )
+        b.add_document(IndexableDocument(doc_id="a", content="alpha bravo obsolete"))
+        b.add_document(IndexableDocument(doc_id="b", content="charlie delta"))
+        b.add_document(IndexableDocument(doc_id="a", content="alpha updated fresh"))
+        stats = b.build()
+        assert stats.doc_count == 2
+        assert stats.superseded_duplicates == 1
+
+        handle = fs.open_hybrid(root, fast_embedder=fs.HashEmbedder(dim=32))
+        try:
+            # stale version's unique term must NOT match any arm
+            got = [r.doc_id for r in handle.searcher.search("obsolete", k=5).results
+                   if r.lexical_score is not None]
+            assert "a" not in got, got
+            # new version's unique term matches
+            res = handle.searcher.search("fresh", k=5).results
+            assert any(r.doc_id == "a" and r.lexical_score is not None for r in res)
+            # no duplicate rows surfaced
+            all_ids = [r.doc_id for r in handle.searcher.search("alpha", k=5).results]
+            assert len(all_ids) == len(set(all_ids))
+        finally:
+            handle.close()
+
+
 class TestDeleteAllArms:
     def test_deleted_doc_gone_from_every_arm(self, tmp_path):
         import frankensearch_tpu as fs
