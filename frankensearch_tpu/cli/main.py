@@ -113,6 +113,7 @@ def cmd_index(args) -> dict:
             "doc_count": stats.doc_count,
             "error_count": stats.error_count,
             "skipped_low_signal": stats.skipped_low_signal,
+            "superseded_duplicates": stats.superseded_duplicates,
             "duration_ms": round(stats.duration_ms, 1),
             "semantic": stats.semantic,
             "sizes": {
