@@ -203,6 +203,15 @@ class DeviceVectorIndex:
         if vecs.size and vecs.shape[1] != self.dim:
             raise DimensionMismatch(self.dim, vecs.shape[1])
         new_ids = list(doc_ids)
+        if len(set(new_ids)) != len(new_ids):
+            # in-batch duplicates are upserts (last occurrence wins):
+            # without this both the fast path and _merged_host would
+            # append a second live row for the same doc_id, leaving a
+            # stale vector forever matchable in scans
+            last = {d: i for i, d in enumerate(new_ids)}
+            keep = sorted(last.values())
+            new_ids = [new_ids[i] for i in keep]
+            vecs = vecs[keep]
         fresh = all(d not in self._row_of for d in new_ids)
         if fresh and self.n_rows + len(new_ids) <= self.n_pad and len(new_ids):
             norm_vecs = _l2_normalize_rows(vecs)

@@ -137,6 +137,43 @@ class TestDuplicateIdUpsert:
         finally:
             handle.close()
 
+    def test_append_batch_duplicates_are_upserts(self, tmp_path):
+        """The append lane (cmd_append_batch flow): replacing an existing
+        doc AND duplicating an id within one batch both resolve last-wins
+        in every arm — probed green via the CLI, codified here."""
+        import frankensearch_tpu as fs
+        from frankensearch_tpu.core.types import IndexableDocument
+
+        root = str(tmp_path / "ix")
+        b = fs.IndexBuilder(root).with_embedder_stack(
+            fs.EmbedderStack(fast=fs.HashEmbedder(dim=32))
+        )
+        b.add_document(IndexableDocument(doc_id="a", content="alpha bravo obsolete"))
+        b.add_document(IndexableDocument(doc_id="b", content="charlie delta"))
+        b.build()
+
+        with fs.open_hybrid(root, fast_embedder=fs.HashEmbedder(dim=32)) as h:
+            docs = [
+                IndexableDocument(doc_id="a", content="alpha updated fresh"),
+                IndexableDocument(doc_id="c", content="echo foxtrot old"),
+                IndexableDocument(doc_id="c", content="echo foxtrot new"),
+            ]
+            vecs = h.searcher.fast_embedder.embed_batch([d.content for d in docs])
+            h.index.append_fast([d.doc_id for d in docs], vecs)
+            if h.delta is not None:
+                for d in docs:
+                    h.delta.add_document(d)
+                h.delta.commit()
+                h.delta.seal()
+            assert h.index.doc_count() == 3
+            for q, doc, want in [("obsolete", "a", False), ("fresh", "a", True),
+                                 ("old", "c", False), ("new", "c", True)]:
+                res = h.searcher.search(q, k=6).results
+                got = any(r.doc_id == doc and r.lexical_score is not None for r in res)
+                assert got == want, (q, doc, [(r.doc_id, r.lexical_score) for r in res])
+                ids = [r.doc_id for r in res]
+                assert len(ids) == len(set(ids))
+
 
 class TestDeleteAllArms:
     def test_deleted_doc_gone_from_every_arm(self, tmp_path):
