@@ -779,25 +779,34 @@ def _serve_flush_searches(handle, reqs: list[dict], out) -> None:
     amortization, PERF_LEDGER 'warm serve-mode latency')."""
     if not reqs:
         return
+    # per-frame arg validation FIRST: a malformed frame (k="three")
+    # must error alone — before this, it poisoned the whole coalesced
+    # batch and every neighbor got ITS error (found by protocol fuzz)
+    parsed: list[tuple[int, str, int]] = []
+    replies: list[dict | None] = [None] * len(reqs)
+    for i, r in enumerate(reqs):
+        try:
+            parsed.append((i, str(r.get("query", "")), max(0, int(r.get("k", 10)))))
+        except Exception as e:
+            replies[i] = error_envelope(type(e).__name__, str(e))
     try:
-        if len(reqs) == 1:
-            res = handle.searcher.search(
-                str(reqs[0].get("query", "")), k=int(reqs[0].get("k", 10))
-            )
-            print(json.dumps(envelope(_result_rows(res.results)), default=str),
-                  file=out, flush=True)
-            return
-        queries = [str(r.get("query", "")) for r in reqs]
-        ks = [int(r.get("k", 10)) for r in reqs]
-        outs = handle.searcher.search_batch(queries, k=max(ks))
-        for r, k, o in zip(reqs, ks, outs):
-            env = envelope(_result_rows(o.results[:k]))
-            env["meta"] = {"coalesced": len(reqs)}
-            print(json.dumps(env, default=str), file=out, flush=True)
+        if len(parsed) == 1:
+            i, q, k = parsed[0]
+            replies[i] = envelope(_result_rows(handle.searcher.search(q, k=k).results))
+        elif parsed:
+            queries = [q for _, q, _ in parsed]
+            ks = [k for _, _, k in parsed]
+            outs = handle.searcher.search_batch(queries, k=max(ks))
+            for (i, _, k), o in zip(parsed, outs):
+                env = envelope(_result_rows(o.results[:k]))
+                env["meta"] = {"coalesced": len(parsed)}
+                replies[i] = env
     except Exception as e:
-        for _ in reqs:
-            print(json.dumps(error_envelope(type(e).__name__, str(e))),
-                  file=out, flush=True)
+        for i, _, _ in parsed:
+            if replies[i] is None:
+                replies[i] = error_envelope(type(e).__name__, str(e))
+    for env in replies:
+        print(json.dumps(env, default=str), file=out, flush=True)
 
 
 def cmd_serve(args) -> dict | None:

@@ -376,3 +376,21 @@ class TestCliContract:
         # ...and the server still answered the real query afterwards
         assert lines[-2]["ok"] and lines[-2]["data"][0]["doc_id"] == "jax-1"
         assert lines[-1]["data"]["op"] == "shutdown"
+
+    def test_serve_bad_frame_does_not_poison_coalesced_batch(self, index_root):
+        """One malformed frame inside a coalesced batch errors ALONE;
+        pipelined neighbors still get real results (before the fix the
+        whole batch got the bad frame's error — found by fuzz)."""
+        reqs = "\n".join([
+            json.dumps({"op": "search", "query": "jax tpu", "k": 2}),
+            json.dumps({"op": "search", "query": "jax tpu", "k": "three"}),
+            json.dumps({"op": "search", "query": "jax tpu", "k": 2}),
+            json.dumps({"op": "shutdown"}),
+        ])
+        r = run_cli("serve", "--root", index_root, input_text=reqs)
+        lines = [json.loads(line) for line in r.stdout.strip().splitlines()]
+        assert r.returncode == 0
+        assert len(lines) == 4
+        assert lines[0]["ok"] and lines[0]["data"][0]["doc_id"] == "jax-1"
+        assert not lines[1]["ok"] and "three" in lines[1]["error"]["message"]
+        assert lines[2]["ok"] and lines[2]["data"][0]["doc_id"] == "jax-1"
