@@ -961,6 +961,24 @@ def cmd_serve(args) -> dict | None:
         if op == "ping":
             print(json.dumps(envelope({"op": "pong"})), file=out, flush=True)
             continue
+        if op == "status":
+            # in-process view of the LIVE handle (cmd_status reopens
+            # from disk; serve reports what it is actually serving)
+            try:
+                payload = {
+                    "op": "status",
+                    "doc_count": handle.index.doc_count(),
+                    "fast_embedder": handle.index.fast.identity.embedder_id,
+                    "quality_tier": handle.index.has_quality_tier,
+                    "lexical": handle.lexical is not None,
+                    "reloads": _reloads,
+                    "pressure": governor.state.name,
+                }
+                print(json.dumps(envelope(payload), default=str), file=out, flush=True)
+            except Exception as e:
+                print(json.dumps(error_envelope(type(e).__name__, str(e))),
+                      file=out, flush=True)
+            continue
         if op == "search":
             try:
                 stream = bool(req.get("stream", args.stream))

@@ -394,3 +394,16 @@ class TestCliContract:
         assert lines[0]["ok"] and lines[0]["data"][0]["doc_id"] == "jax-1"
         assert not lines[1]["ok"] and "three" in lines[1]["error"]["message"]
         assert lines[2]["ok"] and lines[2]["data"][0]["doc_id"] == "jax-1"
+
+    def test_serve_status_op(self, index_root):
+        """The documented {"op":"status"} frame reports the LIVE handle
+        (doc_count, tiers, reloads, pressure) — it was promised by the
+        serve docstring but unimplemented until the fuzz pass caught it."""
+        reqs = "\n".join([json.dumps({"op": "status"}),
+                          json.dumps({"op": "shutdown"})])
+        r = run_cli("serve", "--root", index_root, input_text=reqs)
+        lines = [json.loads(line) for line in r.stdout.strip().splitlines()]
+        assert lines[0]["ok"]
+        d = lines[0]["data"]
+        assert d["op"] == "status" and d["doc_count"] > 0
+        assert d["pressure"] == "NORMAL" and d["reloads"] == 0
