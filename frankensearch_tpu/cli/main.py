@@ -62,7 +62,17 @@ def _iter_corpus(path: str) -> Iterable[IndexableDocument]:
     for dirpath, _, files in os.walk(path):
         for name in sorted(files):
             full = os.path.join(dirpath, name)
-            if os.path.splitext(name)[1].lower() not in exts:
+            ext = os.path.splitext(name)[1].lower()
+            if ext in (".jsonl", ".ndjson"):
+                # NDJSON corpus batches inside a watched/indexed tree
+                # explode into per-record docs (same as file-mode and
+                # cmd_watch — one consistent contract)
+                try:
+                    yield from _iter_corpus(full)
+                except (OSError, ValueError):
+                    continue
+                continue
+            if ext not in exts:
                 continue
             try:
                 if os.path.getsize(full) > 2_000_000:
@@ -107,6 +117,24 @@ def cmd_index(args) -> dict:
             [args.corpus], os.path.join(args.root, "watch_snapshot.json"),
             debounce_s=0.0,
         ).poll()
+        # membership seed for NDJSON batches: a later watch must know
+        # which record ids each file contributed so a modify/delete can
+        # tombstone exactly the records that vanished
+        members: dict[str, list[str]] = {}
+        for dirpath, _, files in os.walk(args.corpus):
+            for name in files:
+                if os.path.splitext(name)[1].lower() not in (".jsonl", ".ndjson"):
+                    continue
+                full = os.path.join(dirpath, name)
+                try:
+                    ids = [d.doc_id for d in _iter_corpus(full)]
+                except (OSError, ValueError):
+                    continue
+                members[os.path.relpath(full, args.corpus)] = ids
+        if members:
+            with open(os.path.join(args.root, "watch_members.json"), "w",
+                      encoding="utf-8") as f:
+                json.dump(members, f)
     return envelope(
         {
             "root": args.root,
@@ -417,19 +445,42 @@ def cmd_watch(args) -> dict:
         return error_envelope("mount_disabled", "all corpus roots are on disabled/unavailable mounts")
     cycles = 0
     batches: list[dict] = []
+    # per-file record membership: NDJSON corpus files explode into
+    # per-record docs, so file modify/delete must tombstone the records
+    # that vanished — tracked in a sidecar keyed by relpath
+    members_path = os.path.join(args.root, "watch_members.json")
+    try:
+        with open(members_path, encoding="utf-8") as f:
+            members: dict[str, list[str]] = json.load(f)
+    except (OSError, ValueError):
+        members = {}
     while True:
         batch = watcher.poll()
         if batch:
             created_or_modified = [c for c in batch if c.kind != "deleted"]
             deleted = [c for c in batch if c.kind == "deleted"]
             docs = []
+            gone_ids: list[str] = []
             for c in created_or_modified:
+                rel = os.path.relpath(c.path, args.corpus)
+                if os.path.splitext(c.path)[1].lower() in (".jsonl", ".ndjson"):
+                    try:
+                        recs = list(_iter_corpus(c.path))
+                    except (OSError, ValueError) as e:
+                        print(f"warning: skipping {rel}: {e}", file=sys.stderr)
+                        continue
+                    new_ids = [d.doc_id for d in recs]
+                    gone_ids.extend(
+                        i for i in members.get(rel, []) if i not in set(new_ids)
+                    )
+                    members[rel] = new_ids
+                    docs.extend(recs)
+                    continue
                 try:
                     with open(c.path, encoding="utf-8", errors="ignore") as f:
                         content = f.read()
                 except OSError:
                     continue
-                rel = os.path.relpath(c.path, args.corpus)
                 docs.append(IndexableDocument(doc_id=rel, content=content))
             if docs:
                 vecs = handle.searcher.fast_embedder.embed_batch([d.content for d in docs])
@@ -442,13 +493,20 @@ def cmd_watch(args) -> dict:
                     for d in docs:
                         handle.delta.add_document(d)
                     handle.delta.commit()
-            if deleted:
+            for c in deleted:
+                rel = os.path.relpath(c.path, args.corpus)
+                # NDJSON file: its member records die with it
+                gone_ids.extend(members.pop(rel, None) or [rel])
+            if gone_ids:
                 # every arm (vector WAL tombstone + lexical delta +
                 # storage) — same contract as `fsfs delete`
-                handle.delete(
-                    [os.path.relpath(c.path, args.corpus) for c in deleted]
-                )
-            batches.append({"ingested": len(docs), "deleted": len(deleted)})
+                handle.delete(gone_ids)
+            if docs or gone_ids:
+                tmp = members_path + ".tmp"
+                with open(tmp, "w", encoding="utf-8") as f:
+                    json.dump(members, f)
+                os.replace(tmp, members_path)
+            batches.append({"ingested": len(docs), "deleted": len(gone_ids)})
         cycles += 1
         if args.once and cycles >= args.cycles:
             break

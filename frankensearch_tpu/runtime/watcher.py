@@ -21,6 +21,9 @@ DEFAULT_DEBOUNCE_S = 0.5
 _TEXT_EXTS = {
     ".txt", ".md", ".rst", ".py", ".rs", ".c", ".cc", ".cpp", ".h", ".hpp",
     ".js", ".ts", ".tsx", ".go", ".java", ".rb", ".toml", ".yaml", ".yml", ".json",
+    # NDJSON corpus batches: the CLI's own `index` format must be
+    # watchable too (cmd_watch explodes these into per-record docs)
+    ".jsonl", ".ndjson",
 }
 _SKIP_DIRS = {".git", ".hg", "__pycache__", "node_modules", ".venv", "target"}
 MAX_FILE_BYTES = 2_000_000  # giant-file skip (fsfs file_classification.rs)

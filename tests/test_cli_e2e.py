@@ -307,6 +307,46 @@ class TestCliContract:
         r3 = run_cli("--format", "json", "search", "zeppelin unique", "--root", root, "-k", "3")
         assert all(d["doc_id"] != "b.txt" for d in json.loads(r3.stdout)["data"])
 
+    def test_watch_ndjson_record_level_lifecycle(self, tmp_path):
+        """NDJSON corpus batches are watchable at RECORD granularity:
+        modify upserts changed records and tombstones vanished ones;
+        deleting the file tombstones all its members. Before the fix,
+        .jsonl wasn't even in the watcher's indexable extensions, so the
+        CLI's own corpus format was silently unwatchable."""
+        corpus = tmp_path / "corpus"
+        corpus.mkdir()
+        (corpus / "batch.jsonl").write_text(
+            '{"id":"r1","content":"kilo lima"}\n'
+            '{"id":"r2","content":"mike november"}\n'
+        )
+        root = str(tmp_path / "ix")
+        run_cli("--format", "json", "index", str(corpus), "--root", root)
+
+        # modify: r1 updated, r2 removed, r3 added
+        (corpus / "batch.jsonl").write_text(
+            '{"id":"r1","content":"kilo lima updated quebec"}\n'
+            '{"id":"r3","content":"romeo sierra"}\n'
+        )
+        r = run_cli("--format", "json", "watch", str(corpus), "--root", root,
+                    "--once", "--cycles", "2", "--debounce", "0")
+        d = json.loads(r.stdout)["data"]
+        assert d["batches"] == [{"ingested": 2, "deleted": 1}]
+        got = json.loads(run_cli("--format", "json", "search", "quebec",
+                                 "--root", root, "-k", "3").stdout)["data"]
+        assert got[0]["doc_id"] == "r1" and got[0].get("lexical_score") is not None
+        got = json.loads(run_cli("--format", "json", "search", "november",
+                                 "--root", root, "-k", "3").stdout)["data"]
+        assert all(h.get("lexical_score") is None for h in got)  # r2 gone
+
+        # delete the file: all member records die with it
+        os.remove(corpus / "batch.jsonl")
+        r = run_cli("--format", "json", "watch", str(corpus), "--root", root,
+                    "--once", "--cycles", "2", "--debounce", "0")
+        assert json.loads(r.stdout)["data"]["batches"] == [{"ingested": 0, "deleted": 2}]
+        got = json.loads(run_cli("--format", "json", "search", "romeo",
+                                 "--root", root, "-k", "3").stdout)["data"]
+        assert all(h["doc_id"] != "r3" for h in got)
+
     def test_serve_hot_reloads_on_external_append(self, tmp_path):
         """A long-lived serve must rebind when another process moves the
         generation (runtime.rs:12073) — found serving a stale index
