@@ -101,6 +101,37 @@ class TestMaintenanceLaws:
         )
         assert violations == [], violations[:3]
 
+    def test_duplicate_ingest_equals_deduped_ingest(self, tmp_path):
+        """Upsert-equivalence law: building from a corpus where some docs
+        appear twice (stale version first) must equal building from the
+        final deduped corpus — every arm, every query (codifies the
+        round-2 duplicate-upsert fixes at the gauntlet level)."""
+        import frankensearch_tpu as fs
+        from frankensearch_tpu.core.types import IndexableDocument
+
+        corpus = generate_corpus(CorpusSpec(n_docs=40))
+        queries = generate_queries(QuerySpec(n_queries=15), corpus)
+        stale = [
+            IndexableDocument(doc_id=d.doc_id, content=d.content + " staleterm")
+            for d in corpus[:10]
+        ]
+
+        def build(root, docs):
+            b = fs.IndexBuilder(root).with_embedder_stack(
+                fs.EmbedderStack(fast=fs.HashEmbedder(dim=64))
+            )
+            for d in docs:
+                b.add_document(d)
+            b.build()
+            return fs.open_hybrid(root, fast_embedder=fs.HashEmbedder(dim=64))
+
+        with build(str(tmp_path / "dup"), stale + list(corpus)) as ha, \
+             build(str(tmp_path / "ded"), list(corpus)) as hb:
+            for q in queries + ["staleterm"]:
+                ra = [(r.doc_id, round(r.score, 6)) for r in ha.searcher.search(q, k=10).results]
+                rb = [(r.doc_id, round(r.score, 6)) for r in hb.searcher.search(q, k=10).results]
+                assert ra == rb, (q, ra[:3], rb[:3])
+
 
 class TestPerfRatchet:
     def test_pass_within_ratchet(self):
