@@ -47,7 +47,7 @@ def render(env: dict, fmt: str, table_fields: Sequence[str] | None = None) -> st
         w = csv.DictWriter(buf, fieldnames=fields, extrasaction="ignore")
         w.writeheader()
         for row in data:
-            w.writerow(row)
+            w.writerow({k: _csv_guard(v) for k, v in row.items()})
         return buf.getvalue().rstrip("\n")
     return _render_table(env, table_fields)
 
@@ -85,4 +85,24 @@ def _cell(v: Any) -> str:
         return f"{v:.4f}"
     if isinstance(v, (dict, list)):
         return json.dumps(v, default=str)
-    return str(v)
+    # doc ids/content come from UNTRUSTED corpora: raw C0 control chars
+    # in a terminal table are an escape-injection vector (ANSI sequences
+    # can retitle/rewrite the terminal) and newlines break row framing —
+    # render them as visible escapes instead
+    s = str(v)
+    if any(ord(c) < 0x20 or ord(c) == 0x7F for c in s):
+        s = "".join(
+            c if (ord(c) >= 0x20 and ord(c) != 0x7F) else repr(c)[1:-1]
+            for c in s
+        )
+    return s
+
+
+def _csv_guard(v: Any):
+    """Spreadsheet formula-injection guard (untrusted doc ids/snippets):
+    cells starting with = + - @ or a control char get a leading ' so
+    Excel/Sheets treat them as text (the csv module already quotes
+    delimiters/newlines)."""
+    if isinstance(v, str) and v and (v[0] in "=+-@" or ord(v[0]) < 0x20):
+        return "'" + v
+    return v

@@ -37,6 +37,26 @@ class TestOutputEnvelope:
         with pytest.raises(jsonschema.ValidationError):
             jsonschema.validate(bad2, self.schema())
 
+    def test_hostile_ids_hardened_in_renderers(self):
+        """Untrusted doc ids: CSV cells that would execute as spreadsheet
+        formulas get a leading ', and terminal-table cells render control
+        chars as visible escapes (ANSI-injection guard)."""
+        from frankensearch_tpu.cli.output import envelope, render
+
+        rows = [
+            {"doc_id": "=cmd(1)", "score": 1.0},
+            {"doc_id": "a\nb\x1b]0;evil\x07", "score": 0.5},
+            {"doc_id": "+SUM(A1)", "score": 0.25},
+        ]
+        out_csv = render(envelope(rows), "csv")
+        assert "'=cmd(1)" in out_csv and "'+SUM(A1)" in out_csv
+        out_tbl = render(envelope(rows), "table")
+        assert "\x1b" not in out_tbl and "\x07" not in out_tbl
+        assert "a\\nb" in out_tbl
+        # json stays byte-faithful (machine surface, no mangling)
+        out_json = render(envelope(rows), "json")
+        assert "=cmd(1)" in out_json and "'=cmd(1)" not in out_json
+
 
 class TestStreamFrame:
     def test_real_producer_validates(self):
