@@ -53,7 +53,13 @@ class SearchScreen(Screen):
         max_score = max((r.score for r in self.results), default=0.0)
         for i, r in enumerate(self.results, 1):
             bar = _bar(r.score, max_score, 12)
-            title = (r.title or r.doc_id)[: width - 30]
+            # untrusted titles/ids: control chars become visible escapes
+            # (terminal ANSI-injection guard, same as the table renderer)
+            raw = (r.title or r.doc_id)[: width - 30]
+            title = "".join(
+                c if (ord(c) >= 0x20 and ord(c) != 0x7F) else repr(c)[1:-1]
+                for c in raw
+            )
             lines.append(f"{i:>2}. {bar} {r.score:>8.4f}  {title}")
         return "\n".join(lines)
 

@@ -54,6 +54,18 @@ class TestTui:
         assert "vector-0" in frame
         assert "3 results" in frame
 
+    def test_hostile_ids_never_emit_raw_escapes(self):
+        """Doc ids from untrusted corpora must not inject terminal
+        escapes into TUI frames (same guard as the table renderer)."""
+        shell = AppShell(seed=7, width=60)
+        shell.register(SearchScreen(search_fn=lambda q, k: FakeOutcome(
+            [ScoredResult(doc_id="e\x1b]0;evil\x07sc", score=1.0)]
+        )))
+        shell.feed(InputEvent("text", "x"))
+        frame = shell.feed(InputEvent("key", "enter"))
+        assert "\x1b" not in frame and "\x07" not in frame
+        assert "evil" in frame  # content visible, escapes neutralized
+
     def test_deterministic_replay_frame_identical(self):
         a = replay(make_shell, SESSION)
         b = replay(make_shell, SESSION)
