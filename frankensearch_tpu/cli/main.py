@@ -287,6 +287,22 @@ def cmd_doctor(args) -> dict:
         from frankensearch_tpu.index.durability import ProtectedArtifactStore
 
         reports = ProtectedArtifactStore(root).repair_all()
+        # protected artifacts in lexical generation dirs too (the packed
+        # FLXB segments live one level down from the repair_all sweep)
+        from frankensearch_tpu.index.durability import ParityProtector
+
+        lex_root = os.path.join(root, "lexical")
+        if os.path.isdir(lex_root):
+            for gen in sorted(os.listdir(lex_root)):
+                gen_dir = os.path.join(lex_root, gen)
+                if not os.path.isdir(gen_dir):
+                    continue
+                for n in sorted(os.listdir(gen_dir)):
+                    p = os.path.join(gen_dir, n)
+                    if ParityProtector.is_protected(p):
+                        reports[f"lexical/{gen}/{n}"] = (
+                            ParityProtector.verify_and_repair(p)
+                        )
         for name, rep in reports.items():
             check(
                 f"parity_repair:{name}", rep.ok,

@@ -133,7 +133,17 @@ def save_packed_lexical(device_index, root: str, generation: str | None = None) 
         generation = f"gen-{int(time.time() * 1000):013d}"
     gen_dir = os.path.join(root, "lexical", generation)
     os.makedirs(gen_dir, exist_ok=True)
-    save_packed(device_index, os.path.join(gen_dir, "index.flexb"))
+    packed_path = os.path.join(gen_dir, "index.flexb")
+    save_packed(device_index, packed_path)
+    # protect-on-commit (tantivy_wrapper.rs per-segment .fec parity):
+    # sidecars make single-burst damage REPAIRABLE at open — without
+    # them the in-file CRC can only detect, not heal
+    try:
+        from frankensearch_tpu.index.durability import protect_artifact
+
+        protect_artifact(packed_path)
+    except OSError:
+        pass  # unprotected segment still loads; repair ladder degrades
     if publish:
         current = os.path.join(root, "lexical", "CURRENT")
         fd, tmp_cur = tempfile.mkstemp(dir=os.path.dirname(current))
@@ -159,11 +169,17 @@ def load_packed_lexical(root: str):
     # verify-then-repair-on-open (tantivy_wrapper.rs per-segment .fec
     # parity); an unrepairable packed arm degrades to None — the JSON
     # oracle arm keeps serving (graceful-degradation ladder)
+    from frankensearch_tpu.core.errors import IndexCorrupted
     from frankensearch_tpu.index.durability import ensure_artifact
 
     if not ensure_artifact(path):
         return None
-    return load_packed(path)
+    try:
+        return load_packed(path)
+    except IndexCorrupted:
+        # damage the sidecars could not heal (or a pre-sidecar segment):
+        # degrade to the JSON oracle arm rather than killing the open
+        return None
 
 
 def republish_lexical(index: MemoryLexicalIndex, root: str) -> str:

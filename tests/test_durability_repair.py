@@ -211,6 +211,53 @@ class TestEndToEndRepair:
         assert arm is not None  # repaired, not degraded
         assert FileProtector.verify(flexb)
 
+    def test_sealed_generation_flexb_is_protected_and_repairs(self, tmp_path):
+        """The delta SEAL path (append-batch flow) must protect its
+        packed segment too — before the fix only the cold build did, so
+        a sealed generation's FLXB was detect-only (found by corrupting
+        a post-append index end to end)."""
+        import frankensearch_tpu as fs
+        from frankensearch_tpu.core.types import IndexableDocument
+        from frankensearch_tpu.lexical.persist import load_packed_lexical
+
+        root = _build_index(tmp_path / "idx", n=16, dim=32)
+        with fs.open_hybrid(str(root), fast_embedder=fs.HashEmbedder(dim=32)) as h:
+            docs = [IndexableDocument(doc_id="sealed-1", content="omega sealed doc")]
+            vecs = h.searcher.fast_embedder.embed_batch([d.content for d in docs])
+            h.index.append_fast([d.doc_id for d in docs], vecs)
+            assert h.delta is not None
+            for d in docs:
+                h.delta.add_document(d)
+            h.delta.commit()
+            h.delta.seal()
+        with open(os.path.join(root, "lexical", "CURRENT")) as f:
+            gen = f.read().strip()
+        flexb = os.path.join(root, "lexical", gen, "index.flexb")
+        assert os.path.exists(flexb), "seal did not publish a packed segment"
+        assert ParityProtector.is_protected(flexb)
+        _flip(flexb, os.path.getsize(flexb) // 2, n=8)
+        assert load_packed_lexical(str(root)) is not None  # self-heals
+
+    def test_unrepairable_flexb_degrades_to_oracle_arm(self, tmp_path):
+        """Damage beyond the sidecars' reach (or a pre-sidecar segment):
+        load degrades to None and open_hybrid serves lexical hits via
+        the JSON oracle instead of dying with IndexCorrupted."""
+        import frankensearch_tpu as fs
+        from frankensearch_tpu.lexical.persist import load_packed_lexical
+
+        root = _build_index(tmp_path / "idx", n=16, dim=32)
+        with open(os.path.join(root, "lexical", "CURRENT")) as f:
+            gen = f.read().strip()
+        flexb = os.path.join(root, "lexical", gen, "index.flexb")
+        for suffix in (".fsum", ".fspar"):
+            if os.path.exists(flexb + suffix):
+                os.remove(flexb + suffix)  # simulate a pre-sidecar segment
+        _flip(flexb, os.path.getsize(flexb) // 2, n=8)
+        assert load_packed_lexical(str(root)) is None
+        with fs.open_hybrid(str(root), fast_embedder=fs.HashEmbedder(dim=32)) as h:
+            res = h.searcher.search("alpha beta", k=5).results
+            assert any(r.lexical_score is not None for r in res)
+
     def test_flush_surfaces_reingest_jobs(self, tmp_path):
         """After a WAL rebuild, flush reports the docs needing re-ingest
         (the truthful operator action; storage keeps previews only)."""
