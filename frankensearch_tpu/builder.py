@@ -251,6 +251,9 @@ class IndexBuilder:
                 stats.warnings.append(
                     f"packed lexical arm skipped: {type(e).__name__}: {e}"
                 )
+            from frankensearch_tpu.lexical.persist import prune_generations
+
+            prune_generations(self.root)  # blue-green retention (keep 2)
 
         # storage arm
         if self._with_storage:

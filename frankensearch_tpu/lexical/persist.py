@@ -195,7 +195,37 @@ def republish_lexical(index: MemoryLexicalIndex, root: str) -> str:
         save_packed_lexical(DeviceBm25Index(index), root, generation=generation)
     except Exception:
         pass
+    prune_generations(root)
     return generation
+
+
+def prune_generations(root: str, keep: int = 2) -> list[str]:
+    """Blue-green retention (keeper.rs GC): drop all but the ``keep``
+    newest generations — never the one CURRENT points to. The previous
+    generation survives as a grace window for in-flight readers; without
+    this a sealing daemon leaks a full snapshot per seal, unbounded.
+    Returns the removed generation names."""
+    import shutil
+
+    lex_root = os.path.join(root, "lexical")
+    try:
+        with open(os.path.join(lex_root, "CURRENT")) as f:
+            current = f.read().strip()
+    except OSError:
+        return []
+    gens = sorted(g for g in os.listdir(lex_root) if g.startswith("gen-"))
+    if len(gens) <= keep:
+        return []
+    removed = []
+    for g in gens[:-keep]:
+        if g == current:
+            continue
+        try:
+            shutil.rmtree(os.path.join(lex_root, g))
+            removed.append(g)
+        except OSError:
+            continue
+    return removed
 
 
 def list_generations(root: str) -> list[str]:

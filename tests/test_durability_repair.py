@@ -238,6 +238,31 @@ class TestEndToEndRepair:
         _flip(flexb, os.path.getsize(flexb) // 2, n=8)
         assert load_packed_lexical(str(root)) is not None  # self-heals
 
+    def test_generation_gc_keeps_current_plus_previous(self, tmp_path):
+        """Every seal republishes a full snapshot; blue-green retention
+        must prune old generations (keep CURRENT + one grace gen) or a
+        sealing daemon leaks disk without bound."""
+        import frankensearch_tpu as fs
+        from frankensearch_tpu.core.types import IndexableDocument
+        from frankensearch_tpu.lexical.persist import list_generations
+
+        root = _build_index(tmp_path / "idx", n=8, dim=32)
+        for i in range(4):
+            with fs.open_hybrid(str(root), fast_embedder=fs.HashEmbedder(dim=32)) as h:
+                doc = IndexableDocument(doc_id=f"extra-{i}", content=f"seal round {i}")
+                h.index.append_fast([doc.doc_id], h.searcher.fast_embedder.embed_batch([doc.content]))
+                h.delta.add_document(doc)
+                h.delta.commit()
+                h.delta.seal()
+        gens = list_generations(str(root))
+        assert len(gens) == 2, gens
+        with open(os.path.join(root, "lexical", "CURRENT")) as f:
+            assert f.read().strip() == gens[-1]
+        # everything still searchable after pruning
+        with fs.open_hybrid(str(root), fast_embedder=fs.HashEmbedder(dim=32)) as h:
+            res = h.searcher.search("seal round", k=8).results
+            assert any(r.doc_id == "extra-3" and r.lexical_score is not None for r in res)
+
     def test_unrepairable_flexb_degrades_to_oracle_arm(self, tmp_path):
         """Damage beyond the sidecars' reach (or a pre-sidecar segment):
         load degrades to None and open_hybrid serves lexical hits via
