@@ -37,9 +37,22 @@ def save_lexical(index: MemoryLexicalIndex, root: str) -> str:
         return _save_lexical_locked(index, root)
 
 
+def _new_generation_name(root: str) -> str:
+    """Millisecond stamps COLLIDE for back-to-back publishes (a tiny
+    snapshot saves in <1 ms), and a colliding name silently writes into
+    the live generation's directory — bump until unused (publishers hold
+    the WriterLock, so the existence check is race-free)."""
+    base = int(time.time() * 1000)
+    while True:
+        name = f"gen-{base:013d}"
+        if not os.path.exists(os.path.join(root, "lexical", name)):
+            return name
+        base += 1
+
+
 def _save_lexical_locked(index: MemoryLexicalIndex, root: str) -> str:
     postings, field_stats, docs = index.snapshot_postings()
-    generation = f"gen-{int(time.time() * 1000):013d}"
+    generation = _new_generation_name(root)
     gen_dir = os.path.join(root, "lexical", generation)
     os.makedirs(gen_dir, exist_ok=True)
     payload = {
@@ -130,7 +143,7 @@ def save_packed_lexical(device_index, root: str, generation: str | None = None) 
 
     publish = generation is None
     if generation is None:
-        generation = f"gen-{int(time.time() * 1000):013d}"
+        generation = _new_generation_name(root)
     gen_dir = os.path.join(root, "lexical", generation)
     os.makedirs(gen_dir, exist_ok=True)
     packed_path = os.path.join(gen_dir, "index.flexb")

@@ -148,6 +148,19 @@ class TestLexicalPersist:
         loaded = load_lexical(str(tmp_path))
         assert loaded.doc_count() == 2  # CURRENT points at g2
 
+    def test_rapid_publishes_never_collide(self, tmp_path):
+        """Generation names are ms stamps; back-to-back publishes land in
+        the same ms and used to collide (silently writing into the live
+        generation's directory — surfaced as full-suite flakiness)."""
+        ix = MemoryLexicalIndex()
+        gens = []
+        for i in range(6):
+            ix.add_document(IndexableDocument(doc_id=f"d{i}", content=f"doc {i}"))
+            ix.commit()
+            gens.append(save_lexical(ix, str(tmp_path)))
+        assert len(set(gens)) == 6, gens
+        assert load_lexical(str(tmp_path)).doc_count() == 6
+
 
 class TestBuilderFacade:
     def test_build_and_open_hybrid(self, tmp_path):
