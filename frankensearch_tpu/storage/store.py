@@ -291,6 +291,8 @@ class Storage:
 
     # -- history / bookmarks ----------------------------------------------------
 
+    HISTORY_RETAIN = 10_000
+
     def record_search(
         self, query: str, k: int, result_count: int,
         top_doc_id: str | None = None, latency_ms: float | None = None,
@@ -301,6 +303,17 @@ class Storage:
                 " VALUES (?, ?, ?, ?, ?, ?)",
                 (query, k, result_count, top_doc_id, latency_ms, time.time()),
             )
+            # bounded history (history.rs retention contract): without a
+            # cap a serving daemon grows metadata.db forever; amortized
+            # prune every 512 inserts keeps the hot path one INSERT
+            self._history_since_prune = getattr(self, "_history_since_prune", 0) + 1
+            if self._history_since_prune >= 512:
+                self._history_since_prune = 0
+                self._conn.execute(
+                    "DELETE FROM search_history WHERE id NOT IN ("
+                    " SELECT id FROM search_history ORDER BY id DESC LIMIT ?)",
+                    (self.HISTORY_RETAIN,),
+                )
 
     def recent_searches(self, limit: int = 50) -> list[dict[str, Any]]:
         with self._lock:

@@ -51,6 +51,17 @@ class TestStorage:
         assert s.doc_count() == 0
         assert s.doc_count(include_deleted=True) == 1
 
+    def test_search_history_bounded(self):
+        """Search history must not grow without bound (history.rs
+        retention): the amortized prune keeps <= RETAIN + prune window."""
+        s = Storage()
+        s.HISTORY_RETAIN = 100
+        for i in range(1200):
+            s.record_search(f"q{i}", 10, 3)
+        rows = s._conn.execute("SELECT COUNT(*) FROM search_history").fetchone()[0]
+        assert rows <= 100 + 512
+        assert s.recent_searches(limit=1)[0]["query"] == "q1199"
+
     def test_build_history_capped(self):
         s = Storage()
         for i in range(110):
