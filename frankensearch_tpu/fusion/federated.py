@@ -65,6 +65,10 @@ class FederatedSearcher:
     max_workers: int = 8
 
     def add_shard(self, name: str, searcher) -> None:
+        if any(n == name for n, _ in self.shards):
+            # per-shard results are keyed by name: a duplicate would
+            # silently overwrite the other shard's hits in the merge
+            raise ValueError(f"duplicate shard name {name!r}")
         self.shards.append((name, searcher))
 
     def search(self, query: str, k: int = 10, **kwargs) -> FederatedResult:

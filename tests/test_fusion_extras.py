@@ -161,6 +161,12 @@ class TestFederated:
         assert out.coverage.complete
         assert out.results[0].doc_id == "b"  # in both shards
 
+    def test_duplicate_shard_name_rejected(self):
+        fed = FederatedSearcher()
+        fed.add_shard("s1", FakeSearcher([sr("a", 1.0)]))
+        with pytest.raises(ValueError, match="duplicate shard name"):
+            fed.add_shard("s1", FakeSearcher([sr("b", 1.0)]))
+
     def test_shard_error_is_partial_not_fatal(self):
         class Exploding:
             def search(self, *a, **k):
