@@ -376,7 +376,10 @@ def cmd_explain(args) -> dict:
                 "fast_score": r.fast_score,
                 "quality_score": r.quality_score,
                 "rerank_score": r.rerank_score,
-                "sources": str(r.sources),
+                # stable wire names, not the Python enum repr
+                "sources": [
+                    f.name.lower() for f in type(r.sources) if f.value and f in r.sources
+                ],
             }
         )
     return envelope(rows)
