@@ -616,11 +616,15 @@ def cmd_bookmark(args) -> dict:
     if not os.path.exists(db):
         return error_envelope("no_storage", f"no metadata.db under {args.root}")
     storage = Storage(db)
+    warnings = []
     if args.doc_id:
+        if storage.get_document(args.doc_id) is None:
+            # still allowed (the doc may arrive via a later watch/append)
+            warnings.append(f"doc {args.doc_id!r} is not in the storage census")
         storage.add_bookmark(args.doc_id, args.note or None)
     rows = [{"doc_id": d, "note": n} for d, n in storage.bookmarks()]
     storage.close()
-    return envelope(rows)
+    return envelope(rows, warnings=warnings)
 
 
 def cmd_config(args) -> dict:

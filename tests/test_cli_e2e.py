@@ -141,6 +141,10 @@ class TestCliContract:
         # list-only invocation (no doc_id) returns the same rows
         r = run_cli("--format", "json", "bookmark", "--root", index_root)
         assert json.loads(r.stdout)["data"] == env["data"]
+        # bookmarking a doc outside the census warns but still records
+        r = run_cli("--format", "json", "bookmark", "ghost-doc", "--root", index_root)
+        env = json.loads(r.stdout)
+        assert env["ok"] and any("census" in w for w in env["warnings"])
 
     def test_config_shows_env_override(self, index_root):
         r = run_cli(
