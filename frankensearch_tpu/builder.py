@@ -512,6 +512,21 @@ def open_hybrid(
         delta = DeltaLexicalIndex(lexical, sealed=packed, root=root)
     db_path = os.path.join(root, "metadata.db")
     storage = Storage(db_path) if os.path.exists(db_path) else None
+    if storage is not None and "text_fn" not in searcher_kwargs:
+        # storage-backed doc text (preview+title): powers the negation
+        # exclusion filter ("alpha -fresh") and phase-3 rerank without
+        # the caller threading a text_fn per search() call. Previews
+        # truncate long docs — negation terms beyond the preview window
+        # are invisible to the filter (the documented "available text"
+        # contract).
+        def _storage_text(doc_id: str, _s=storage) -> str | None:
+            row = _s.get_document(doc_id)
+            if row is None:
+                return None
+            parts = [p for p in (row.title, row.preview) if p]
+            return " ".join(parts) or None
+
+        searcher_kwargs["text_fn"] = _storage_text
     searcher = TwoTierSearcher(
         index,
         fast_embedder,

@@ -95,7 +95,9 @@ class TwoTierSearcher:
         governor=None,  # ops.pressure.ResourcePressureGovernor | None
         graph_ranker=None,  # fusion.graph_rank.GraphRanker | None
         cache_query_embeddings: bool = True,
+        text_fn: TextFn | None = None,  # default doc-text source (storage preview)
     ) -> None:
+        self.default_text_fn = text_fn
         self.index = index
         self.config = (config or TwoTierConfig()).validate()
         self.fast_embedder = (
@@ -465,6 +467,10 @@ class TwoTierSearcher:
         search_filter=None,
     ) -> SearchOutcome:
         t_start = time.monotonic()
+        if text_fn is None:
+            # handle-level default (storage preview): keeps negation
+            # filters + phase-3 live when the caller passes no text_fn
+            text_fn = self.default_text_fn
         metrics = TwoTierMetrics()
         phases: list[SearchPhase] = []
 
@@ -883,7 +889,9 @@ class TwoTierSearcher:
                 )
             else:
                 fused = fuse_by_strategy(cfg.fusion_strategy, lexical_pool, fast_hits, k, 0, rrf_cfg)
-            results = self._fused_to_results(fused, lexical_pool, fast_hits, None, parsed)
+            results = self._fused_to_results(
+                fused, lexical_pool, fast_hits, self.default_text_fn, parsed
+            )
             if qscores:
                 for r in results:
                     if r.doc_id in qscores:

@@ -175,6 +175,32 @@ class TestDuplicateIdUpsert:
                 assert len(ids) == len(set(ids))
 
 
+class TestNegationViaStorageText:
+    def test_negation_excludes_through_open_hybrid(self, tmp_path):
+        """open_hybrid wires a storage-backed text_fn, so "-term" queries
+        exclude matching docs at the product surface (before the fix the
+        packed lexical arm carried no preview and negation no-opped)."""
+        import frankensearch_tpu as fs
+        from frankensearch_tpu.core.types import IndexableDocument
+
+        root = str(tmp_path / "ix")
+        b = fs.IndexBuilder(root).with_embedder_stack(
+            fs.EmbedderStack(fast=fs.HashEmbedder(dim=32))
+        )
+        b.add_document(IndexableDocument(doc_id="a", content="alpha updated fresh"))
+        b.add_document(IndexableDocument(doc_id="b", content="alpha charlie delta"))
+        b.build()
+        with fs.open_hybrid(root, fast_embedder=fs.HashEmbedder(dim=32)) as h:
+            ids = [r.doc_id for r in h.searcher.search("alpha -fresh", k=5).results]
+            assert "a" not in ids and "b" in ids, ids
+            ids = [r.doc_id for r in h.searcher.search("alpha", k=5).results]
+            assert set(ids) == {"a", "b"}
+            # batch path applies the same default text source
+            outs = h.searcher.search_batch(["alpha -fresh", "alpha"], k=5)
+            assert [r.doc_id for r in outs[0].results] == ["b"]
+            assert {r.doc_id for r in outs[1].results} == {"a", "b"}
+
+
 class TestDeleteAllArms:
     def test_deleted_doc_gone_from_every_arm(self, tmp_path):
         import frankensearch_tpu as fs
