@@ -140,24 +140,42 @@ def fused_phase1_sharded(
     slab, mask, q_vecs,
     blk_term, blk_doc, blk_tf, blk_base, blk_bound, q_ids, q_w,
     *, k_vec: int, k_lex: int, d_blk: int, v_pad: int, mesh, axis: str = "d",
+    scan_mode: str = "xla", tile_n: int = 8192, interpret: bool = False,
 ):
     """Multi-chip phase 1 in one dispatch: the document-sharded vector
     scan and the block-sharded BM25 arm both run (each a shard_map over
     the same mesh) inside one jitted program — the mesh analog of the
     single-device fusions above. Nested jits inline, so results are
-    bit-identical to the separate sharded kernels."""
+    bit-identical to the separate sharded kernels.
+
+    ``scan_mode="hier"`` runs the flagship hierarchical group-max Pallas
+    body per shard (sharded_scan_topk_hier — needs 8192-aligned shards);
+    ``"xla"`` is the plain exact sharded scan for CPU meshes."""
     import functools as _ft
 
     from frankensearch_tpu.parallel.sharded_bm25 import sharded_bm25_topk
-    from frankensearch_tpu.parallel.sharded_scan import sharded_scan_topk
+    from frankensearch_tpu.parallel.sharded_scan import (
+        sharded_scan_topk,
+        sharded_scan_topk_hier,
+    )
 
     @_ft.partial(
         jax.jit,
-        static_argnames=("k_vec", "k_lex", "d_blk", "v_pad", "mesh", "axis"),
+        static_argnames=(
+            "k_vec", "k_lex", "d_blk", "v_pad", "mesh", "axis",
+            "scan_mode", "tile_n", "interpret",
+        ),
     )
     def _run(slab, mask, q_vecs, bt, bd, bf, bb, bound, ids, w,
-             *, k_vec, k_lex, d_blk, v_pad, mesh, axis):
-        vec = sharded_scan_topk(slab, mask, q_vecs, k_vec, mesh=mesh, axis=axis)
+             *, k_vec, k_lex, d_blk, v_pad, mesh, axis, scan_mode, tile_n,
+             interpret):
+        if scan_mode == "hier":
+            vec = sharded_scan_topk_hier(
+                slab, mask, q_vecs, k_vec, mesh=mesh, axis=axis,
+                tile_n=tile_n, group=128, rescore="pallas", interpret=interpret,
+            )
+        else:
+            vec = sharded_scan_topk(slab, mask, q_vecs, k_vec, mesh=mesh, axis=axis)
         lex_s, lex_i, skipped = sharded_bm25_topk(
             bt, bd, bf, bb, bound, ids, w,
             k=k_lex, d_blk=d_blk, v_pad=v_pad, mesh=mesh, axis=axis,
@@ -168,4 +186,5 @@ def fused_phase1_sharded(
         slab, mask, q_vecs, blk_term, blk_doc, blk_tf, blk_base, blk_bound,
         q_ids, q_w,
         k_vec=k_vec, k_lex=k_lex, d_blk=d_blk, v_pad=v_pad, mesh=mesh, axis=axis,
+        scan_mode=scan_mode, tile_n=tile_n, interpret=interpret,
     )

@@ -1,0 +1,147 @@
+"""Real-TPU ledger row for VERDICT r2 task 1(b): the sharded lane running
+the FLAGSHIP hierarchical Pallas body on a 1-device mesh must be within
+~10% of the single-chip hierarchical path — proving the shard_map wrapper
+(all_gather merge over one device = a no-op collective) costs nothing.
+
+Timing: chained in-graph repetitions (same slope methodology as bench.py;
+`block_until_ready` does not synchronize through the tunnel).
+
+Usage: python tools/bench_sharded_hier.py [n_docs] (default 1M on TPU)
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# runnable from any cwd (background launchers don't inherit the repo root);
+# sys.path bootstrap instead of PYTHONPATH because the env var breaks the
+# axon TPU plugin registration (see .claude/skills/verify/SKILL.md)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from frankensearch_tpu.ops.topk_scan import scan_topk_hierarchical
+    from frankensearch_tpu.parallel.mesh import make_mesh
+    from frankensearch_tpu.parallel.sharded_scan import (
+        shard_slab,
+        sharded_scan_topk_hier,
+    )
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else (1_000_000 if on_tpu else 65_536)
+    dim = 256
+    batch, k = 256, 10
+    tile = 8192 if on_tpu else 256
+    group = 128
+
+    rng = np.random.default_rng(0)
+    n_pad = (n_docs + tile - 1) // tile * tile
+    slab = np.empty((n_pad, dim), dtype=np.float32)
+    chunk = 131_072
+    for start in range(0, n_pad, chunk):
+        end = min(start + chunk, n_pad)
+        block = rng.standard_normal((end - start, dim)).astype(np.float32)
+        block /= np.maximum(np.linalg.norm(block, axis=1, keepdims=True), 1e-12)
+        slab[start:end] = block
+    queries = rng.standard_normal((batch, dim)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    mesh = make_mesh(axes=("d",))
+    n_dev = mesh.shape["d"]
+    slab_sharded, mask_sharded = shard_slab(slab, mesh, local_multiple=tile)
+    slab_single = jnp.asarray(slab, dtype=jnp.bfloat16)
+    mask_single = jnp.zeros(n_pad, dtype=jnp.float32)
+    q_dev = jnp.asarray(queries)
+    interpret = not on_tpu
+
+    @functools.partial(jax.jit, static_argnames=("reps", "lane"))
+    def scan_chain(slab_a, mask_a, q, reps: int, lane: str):
+        def one_scan(qq):
+            if lane == "sharded":
+                r = sharded_scan_topk_hier(
+                    slab_a, mask_a, qq, k, mesh=mesh, axis="d",
+                    tile_n=tile, group=group, rescore="pallas",
+                    interpret=interpret,
+                )
+            else:
+                r = scan_topk_hierarchical(
+                    slab_a, qq, k, mask_a, tile_n=tile, group=group,
+                    rescore="pallas", interpret=interpret,
+                )
+            return r.scores, r.indices
+
+        def body(i, carry):
+            qq, acc = carry
+            top_s, top_i = one_scan(qq)
+            delta = 1e-6 * jnp.mean(top_s)
+            return (q + delta, acc + jnp.sum(top_s) + jnp.sum(top_i).astype(jnp.float32))
+
+        (_, acc) = jax.lax.fori_loop(0, reps, body, (q, jnp.float32(0.0)))
+        return acc
+
+    r_lo, r_hi = (8, 40) if on_tpu else (2, 6)
+
+    def measure(lane: str, slab_a, mask_a) -> float:
+        def timed(reps: int) -> float:
+            t0 = time.perf_counter()
+            acc = scan_chain(slab_a, mask_a, q_dev, reps=reps, lane=lane)
+            float(acc)
+            return time.perf_counter() - t0
+
+        timed(r_lo)
+        timed(r_hi)
+        samples = []
+        for _ in range(3):
+            t_lo = timed(r_lo)
+            t_hi = timed(r_hi)
+            samples.append((t_hi - t_lo) / (r_hi - r_lo))
+        return float(np.median(samples))
+
+    t_single = measure("single", slab_single, mask_single)
+    t_sharded = measure("sharded", slab_sharded, mask_sharded)
+
+    # correctness cross-check on the same data
+    r_sh = sharded_scan_topk_hier(
+        slab_sharded, mask_sharded, q_dev, k, mesh=mesh, axis="d",
+        tile_n=tile, group=group, rescore="pallas", interpret=interpret,
+    )
+    r_si = scan_topk_hierarchical(
+        slab_single, q_dev, k, mask_single, tile_n=tile, group=group,
+        rescore="pallas", interpret=interpret,
+    )
+    bit_equal = bool(
+        np.array_equal(np.asarray(r_sh.indices), np.asarray(r_si.indices))
+        and np.array_equal(np.asarray(r_sh.scores), np.asarray(r_si.scores))
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "sharded_hier_vs_single_chip",
+                "n_docs": n_docs,
+                "n_devices": n_dev,
+                "batch": batch,
+                "single_ms": round(t_single * 1e3, 4),
+                "sharded_ms": round(t_sharded * 1e3, 4),
+                "overhead_pct": round((t_sharded / t_single - 1) * 100, 2),
+                "single_qps": round(batch / t_single, 1),
+                "sharded_qps": round(batch / t_sharded, 1),
+                "bit_equal": bit_equal,
+                "platform": platform,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
