@@ -527,6 +527,15 @@ def open_hybrid(
             return " ".join(parts) or None
 
         searcher_kwargs["text_fn"] = _storage_text
+    if "control_plane" not in searcher_kwargs:
+        # adaptive/conformal/calibration controls demanded by the config
+        # (fusion/control_plane.py); state persists under the root so CLI
+        # feedback accumulates across invocations
+        from frankensearch_tpu.fusion.control_plane import build_control_plane
+
+        cp = build_control_plane(cfg, root)
+        if cp is not None:
+            searcher_kwargs["control_plane"] = cp
     searcher = TwoTierSearcher(
         index,
         fast_embedder,

@@ -1,10 +1,12 @@
 """fsfs-equivalent CLI.
 
 Parity target: reference crates/frankensearch-fsfs/src/adapters/cli.rs
-(:110-152, 20 commands) + runtime.rs dispatch. 20 commands implemented:
+(:110-152, 20 commands) + runtime.rs dispatch. 21 commands implemented:
 
     index         build a hybrid index from a corpus dir / JSONL file
-    search        two-tier progressive search (--fast-only/--explain/--expand)
+    search        two-tier progressive search (--fast-only/--explain/--expand
+                  /--adaptive: learned fusion params from recorded feedback)
+    feedback      record a click/skip outcome for the adaptive control plane
     status        index + storage status (doc counts, staleness, arms)
     doctor        environment/device diagnostics (--verify checks CRCs)
     explain       per-result score decomposition
@@ -166,7 +168,45 @@ def _open(args):
         cfg.explain = True
     if getattr(args, "shards", 0):
         cfg.mesh_shards = args.shards
+    if getattr(args, "adaptive", False):
+        cfg.adaptive_fusion = True
     return open_hybrid(args.root, config=cfg)
+
+
+def cmd_feedback(args) -> dict:
+    """Record one implicit-feedback outcome into the control plane state
+    under the index root (fusion/control_plane.py). Subsequent
+    ``search --adaptive`` runs use the learned arms and click boosts."""
+    from frankensearch_tpu.core.config import TwoTierConfig
+    from frankensearch_tpu.fusion.control_plane import build_control_plane
+
+    if not os.path.isdir(args.root):
+        return error_envelope("not_found", f"index root {args.root} not found")
+    cfg = TwoTierConfig.from_env()
+    cfg.adaptive_fusion = True  # recording feedback implies learning is on
+    cp = build_control_plane(cfg, args.root)
+    success = not args.negative
+    if success and not args.doc_id:
+        return error_envelope(
+            "invalid_request", "positive feedback needs a doc_id (or pass --negative)"
+        )
+    cp.record(
+        args.query,
+        args.doc_id or None,
+        success=success,
+        rank=args.rank or None,
+        requested_k=args.k,
+        dwell_s=args.dwell or None,
+    )
+    out = {
+        "recorded": "click" if success else "abandonment",
+        "query": args.query,
+        "doc_id": args.doc_id or None,
+        "state_path": cp.state_path,
+    }
+    if cp.conformal is not None:
+        out["conformal_required_k"] = cp.conformal.required_k()
+    return envelope(out)
 
 
 def cmd_search(args) -> dict:
@@ -193,6 +233,10 @@ def cmd_search(args) -> dict:
             args.query, k=args.k, on_phase=lambda p: phases_seen.append(p.kind.value)
         )
     latency = (time.monotonic() - t0) * 1000.0
+    if handle.searcher.control_plane is not None:
+        # persist the Thompson arms this search CHOSE so a later
+        # `feedback` invocation (separate process) credits them
+        handle.searcher.control_plane.save()
     if handle.storage is not None:
         handle.storage.record_search(
             args.query, args.k, len(out.results),
@@ -1163,6 +1207,24 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--explain", action="store_true")
     sp.add_argument("--expand", action="store_true",
                     help="multi-query expansion fused with RRF")
+    sp.add_argument("--adaptive", action="store_true",
+                    help="use learned per-query-class fusion params "
+                         "(state from `feedback`, control_plane.json)")
+
+    sp = add("feedback", cmd_feedback,
+             help="record a search outcome (click/skip) for the adaptive "
+                  "control plane")
+    sp.add_argument("query")
+    sp.add_argument("doc_id", nargs="?", default="",
+                    help="clicked doc id (omit with --negative)")
+    sp.add_argument("--rank", type=int, default=0,
+                    help="1-based rank the doc appeared at")
+    sp.add_argument("-k", type=int, default=10,
+                    help="k that was requested for the search")
+    sp.add_argument("--negative", action="store_true",
+                    help="record an abandonment (no useful result)")
+    sp.add_argument("--dwell", type=float, default=0.0,
+                    help="seconds the user dwelled on the doc")
 
     add("status", cmd_status, help="index + storage status")
 

@@ -106,6 +106,20 @@ class TwoTierConfig:
     #: ordering to single-device. Requires that many visible devices.
     mesh_shards: int = 0
 
+    # --- adaptive control plane (searcher.rs:312-868 with_* surface) ---
+    #: learn per-query-class rrf_k / blend from recorded feedback
+    #: (Thompson sampling, fusion/adaptive.py); state persists in the
+    #: index root's control_plane.json so CLI feedback survives restarts
+    adaptive_fusion: bool = False
+    adaptive_seed: int = 0
+    #: distribution-free required-k coverage (fusion/conformal.py):
+    #: when set, search() widens k to the split-conformal quantile for
+    #: coverage 1 - alpha (needs calibration via feedback ranks)
+    conformal_alpha: float | None = None
+    #: score-calibration preset applied pre-fusion (fusion/calibration.py):
+    #: "temperature:<t>" | "platt:<a>,<b>" | "" (off)
+    calibration: str = ""
+
     def validate(self) -> "TwoTierConfig":
         if not (0.0 <= self.quality_weight <= 1.0):
             raise InvalidConfig(f"quality_weight must be in [0,1], got {self.quality_weight}")
@@ -125,6 +139,14 @@ class TwoTierConfig:
             raise InvalidConfig("ivf_nprobe must be positive")
         if self.mesh_shards < 0:
             raise InvalidConfig("mesh_shards must be >= 0 (0 = single device)")
+        if self.conformal_alpha is not None and not (0.0 < self.conformal_alpha < 1.0):
+            raise InvalidConfig(
+                f"conformal_alpha must be in (0,1), got {self.conformal_alpha}"
+            )
+        if self.calibration:
+            from frankensearch_tpu.fusion.control_plane import parse_calibrator
+
+            parse_calibrator(self.calibration)  # raises InvalidConfig on bad spec
         return self
 
     @classmethod
@@ -196,6 +218,8 @@ def _parse_env_value(name: str, raw: str, current: Any) -> Any:
             return float(raw)
         if current is None and name == "mrl_search_dims":
             return int(raw)
+        if current is None and name == "conformal_alpha":
+            return float(raw)
         return raw
     except ValueError as e:
         raise InvalidConfig(f"bad env value for {name}: {raw!r}") from e

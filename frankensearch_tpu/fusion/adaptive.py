@@ -71,3 +71,41 @@ class AdaptiveFusion:
         arms = self._arms(self._k_arms, qclass, len(_RRF_K_ARMS))
         idx = max(range(len(arms)), key=lambda i: arms[i].alpha / (arms[i].alpha + arms[i].beta))
         return _RRF_K_ARMS[idx]
+
+    # -- persistence (CLI feedback must survive process restarts) --------
+
+    def to_state(self) -> dict:
+        def dump(store: dict[str, list[_Beta]]) -> dict:
+            return {
+                cls: [[a.alpha, a.beta] for a in arms]
+                for cls, arms in store.items()
+            }
+
+        return {
+            "seed": self.seed,
+            "k_arms": dump(self._k_arms),
+            "blend_arms": dump(self._blend_arms),
+            # last-chosen arm per class: feedback for a query served by a
+            # PREVIOUS process (CLI search -> CLI feedback) must credit
+            # the arm that actually produced that ranking
+            "last_k": dict(self._last_k),
+            "last_blend": dict(self._last_blend),
+        }
+
+    @classmethod
+    def from_state(cls, state: dict) -> "AdaptiveFusion":
+        self = cls(seed=int(state.get("seed", 0)))
+
+        def load(raw: dict) -> dict[str, list[_Beta]]:
+            return {
+                c: [_Beta(alpha=float(a), beta=float(b)) for a, b in arms]
+                for c, arms in raw.items()
+            }
+
+        self._k_arms = load(state.get("k_arms", {}))
+        self._blend_arms = load(state.get("blend_arms", {}))
+        self._last_k = {c: int(i) for c, i in state.get("last_k", {}).items()}
+        self._last_blend = {
+            c: int(i) for c, i in state.get("last_blend", {}).items()
+        }
+        return self

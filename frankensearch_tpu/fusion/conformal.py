@@ -50,3 +50,33 @@ class ConformalK:
     @property
     def empirical_coverage_target(self) -> float:
         return 1.0 - (self._alpha_t if self._alpha_t is not None else self.alpha)
+
+    def add_rank(self, rank: int) -> None:
+        """Online calibration: fold one observed first-relevant rank into
+        the calibration set (the CLI feedback path records these)."""
+        import bisect
+
+        bisect.insort(self._calibration_ranks, min(max(rank, 1), self.max_k + 1))
+        if self._alpha_t is None:
+            self._alpha_t = self.alpha
+
+    def to_state(self) -> dict:
+        return {
+            "alpha": self.alpha,
+            "max_k": self.max_k,
+            "gamma": self.gamma,
+            "ranks": list(self._calibration_ranks),
+            "alpha_t": self._alpha_t,
+        }
+
+    @classmethod
+    def from_state(cls, state: dict) -> "ConformalK":
+        self = cls(
+            alpha=float(state.get("alpha", 0.1)),
+            max_k=int(state.get("max_k", 100)),
+            gamma=float(state.get("gamma", 0.02)),
+        )
+        self._calibration_ranks = sorted(int(r) for r in state.get("ranks", []))
+        at = state.get("alpha_t")
+        self._alpha_t = float(at) if at is not None else None
+        return self

@@ -45,6 +45,18 @@ class FeedbackBooster:
             total += strength * math.pow(0.5, age / self.half_life_s)
         return min(1.0 + total, self.max_boost)
 
+    def to_state(self) -> dict:
+        return {"signals": {d: [[t, s] for t, s in sig] for d, sig in self._signals.items()}}
+
+    @classmethod
+    def from_state(cls, state: dict, **kwargs) -> "FeedbackBooster":
+        self = cls(**kwargs)
+        self._signals = {
+            d: [(float(t), float(s)) for t, s in sig]
+            for d, sig in state.get("signals", {}).items()
+        }
+        return self
+
     def apply(self, results: Sequence[ScoredResult]) -> list[ScoredResult]:
         out = []
         for r in results:

@@ -94,9 +94,26 @@ class TwoTierSearcher:
         nqc=None,  # fusion.normalize.NqcDownweight | None
         governor=None,  # ops.pressure.ResourcePressureGovernor | None
         graph_ranker=None,  # fusion.graph_rank.GraphRanker | None
+        adaptive=None,  # fusion.adaptive.AdaptiveFusion | None
+        conformal=None,  # fusion.conformal.ConformalK | None
+        control_plane=None,  # fusion.control_plane.ControlPlane | None
         cache_query_embeddings: bool = True,
         text_fn: TextFn | None = None,  # default doc-text source (storage preview)
     ) -> None:
+        # a constructed control plane (fusion/control_plane.py, built by
+        # open_hybrid from TwoTierConfig.adaptive_fusion/conformal_alpha/
+        # calibration) supplies any component not explicitly overridden —
+        # the product path for searcher.rs:312-868's with_* options
+        self.control_plane = control_plane
+        if control_plane is not None:
+            adaptive = adaptive if adaptive is not None else control_plane.adaptive
+            conformal = conformal if conformal is not None else control_plane.conformal
+            feedback = feedback if feedback is not None else control_plane.feedback
+            calibrator = (
+                calibrator if calibrator is not None else control_plane.calibrator
+            )
+        self.adaptive = adaptive
+        self.conformal = conformal
         self.default_text_fn = text_fn
         self.index = index
         self.config = (config or TwoTierConfig()).validate()
@@ -264,12 +281,19 @@ class TwoTierSearcher:
             bounds_dev = jax.device_put(
                 jnp.asarray(bounds), NamedSharding(arm.mesh, P(arm.axis, None))
             )
+            # flagship per-shard body when the shards are hier-aligned and
+            # we're on real TPU hardware; exact XLA body otherwise
+            hier_tile = fast._hier_tile(q.shape[0])
+            if hier_tile and self.config.use_pallas and _on_tpu():
+                s_mode, s_tile = "hier", hier_tile
+            else:
+                s_mode, s_tile = "xla", 8192
             vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_sharded(
                 fast.slab, fast.base_mask, jnp.asarray(q),
                 sb.blk_term, sb.blk_doc, sb.blk_tf, sb.blk_base, bounds_dev,
                 jnp.asarray(ids), jnp.asarray(w),
                 k_vec=k_vec_s, k_lex=k_lex_s, d_blk=sb.d_blk, v_pad=sb.v_pad,
-                mesh=arm.mesh, axis=arm.axis,
+                mesh=arm.mesh, axis=arm.axis, scan_mode=s_mode, tile_n=s_tile,
             )
             vec_s, vec_i, lex_s, lex_i = jax.device_get((vec_s, vec_i, lex_s, lex_i))
             from frankensearch_tpu.ops.topk_scan import TopKResult
@@ -394,7 +418,7 @@ class TwoTierSearcher:
         lex_scores = np.asarray(raw["lex_scores"], dtype=np.float32)
         lex_rows = np.where(lex_scores > 0.0, lex_rows, -1)
         k_arr = np.array(
-            [classes[i].rrf_k_adjustment(cfg.rrf_k) for i in live], dtype=np.float64
+            [self._effective_rrf_k(classes[i]) for i in live], dtype=np.float64
         )
         sem_w = np.full(len(live), cfg.fast_rrf_weight, dtype=np.float64)
         entries = rrf_fuse_batch_rows(
@@ -492,6 +516,13 @@ class TwoTierSearcher:
             emit(SearchPhase(PhaseKind.INITIAL, [], 0.0, metrics=metrics))
             self._export(metrics, t_start)
             return outcome
+
+        # conformal required-k (fusion/conformal.py; parity: conformal.rs):
+        # widen k so the calibrated 1-alpha coverage target holds —
+        # "return enough results that the relevant one is inside" as a
+        # distribution-free guarantee, never narrowing what was asked for
+        if self.conformal is not None:
+            k = max(k, self.conformal.required_k())
 
         # Phase-2 query-embed PREFETCH: dispatch the quality forward
         # BEFORE phase 1 so the device program (and its tunnel RPC)
@@ -866,11 +897,16 @@ class TwoTierSearcher:
                 for d, s in qscores.items():
                     if d not in qpool:
                         qpool[d] = VectorHit(doc_id=d, score=s, row=fast_rows.get(d, -1))
-                blended = blend_two_tier(fast_hits, list(qpool.values()), cfg.quality_weight)
+                blended = blend_two_tier(
+                    fast_hits, list(qpool.values()),
+                    self._effective_quality_weight(qclass),
+                )
                 fused = fuse_by_strategy(cfg.fusion_strategy, lexical_pool, blended, k, 0, rrf_cfg)
             elif qscores:
                 aligned = [qscores.get(h.doc_id) for h in fast_hits]
-                blended = blend_two_tier_aligned(fast_hits, aligned, cfg.quality_weight)
+                blended = blend_two_tier_aligned(
+                    fast_hits, aligned, self._effective_quality_weight(qclass)
+                )
                 fused = fuse_by_strategy(cfg.fusion_strategy, lexical_pool, blended, k, 0, rrf_cfg)
             elif batch_fused is not None and i in batch_fused and fast_hits:
                 fused = batch_fused[i]
@@ -1097,7 +1133,47 @@ class TwoTierSearcher:
         return vec
 
     def _effective_rrf_k(self, qclass: QueryClass) -> float:
+        if self.adaptive is not None:
+            # Thompson-sampled per-class arm (fusion/adaptive.py; parity:
+            # adaptive.rs) — learned from record_feedback outcomes
+            return float(self.adaptive.choose_rrf_k(qclass))
         return float(qclass.rrf_k_adjustment(self.config.rrf_k))
+
+    def _effective_quality_weight(self, qclass: QueryClass) -> float:
+        if self.adaptive is not None:
+            return float(self.adaptive.choose_blend(qclass))
+        return self.config.quality_weight
+
+    def record_feedback(
+        self,
+        query: str,
+        doc_id: str | None = None,
+        *,
+        success: bool = True,
+        rank: int | None = None,
+        requested_k: int | None = None,
+        dwell_s: float | None = None,
+    ) -> None:
+        """Record one implicit-feedback outcome against this searcher's
+        control plane (adaptive arms, click boosts, conformal coverage).
+        No-op when no controls are attached."""
+        if self.control_plane is not None:
+            self.control_plane.record(
+                query, doc_id, success=success, rank=rank,
+                requested_k=requested_k, dwell_s=dwell_s,
+            )
+            return
+        from frankensearch_tpu.core.query_class import QueryClass as _QC
+
+        qclass = _QC.classify(query)
+        if self.adaptive is not None:
+            self.adaptive.update(qclass, success)
+        if self.feedback is not None and doc_id and success:
+            self.feedback.record_click(doc_id)
+        if self.conformal is not None and requested_k is not None:
+            self.conformal.observe(
+                success and rank is not None and rank <= requested_k
+            )
 
     def _effective_semantic_weight(
         self, lexical_pool: list[ScoredResult], parsed: ParsedQuery
@@ -1321,11 +1397,12 @@ class TwoTierSearcher:
                 qscores.setdefault(h.doc_id, h.score)
             metrics.quality_candidates = len(qpool)
             blended = blend_two_tier(
-                fast_hits, list(qpool.values()), self.config.quality_weight
+                fast_hits, list(qpool.values()),
+                self._effective_quality_weight(qclass),
             )
         else:
             blended = blend_two_tier_aligned(
-                fast_hits, aligned, self.config.quality_weight
+                fast_hits, aligned, self._effective_quality_weight(qclass)
             )
         metrics.blend_ms = (time.monotonic() - t2) * 1000.0
 

@@ -451,3 +451,53 @@ class TestCliContract:
         d = lines[0]["data"]
         assert d["op"] == "status" and d["doc_count"] > 0
         assert d["pressure"] == "NORMAL" and d["reloads"] == 0
+
+
+class TestCliFeedbackLoop:
+    """VERDICT r2 task 5 done-criterion: recorded feedback measurably
+    changes ranking through the CLI surface (each step a real process;
+    state flows via <root>/control_plane.json)."""
+
+    def test_feedback_then_adaptive_search_reranks(self, corpus_file, tmp_path):
+        root = str(tmp_path / "ix")
+        r = run_cli("--format", "json", "index", corpus_file, "--root", root)
+        assert r.returncode == 0, r.stderr
+
+        query = "rust jax vector search"
+        r = run_cli("--format", "json", "search", query, "-k", "4",
+                    "--adaptive", "--root", root)
+        assert r.returncode == 0, r.stderr
+        base = json.loads(r.stdout)["data"]
+        assert len(base) >= 3
+        # click the 3rd-ranked doc: the multiplicative boost is capped at
+        # 1.5x (feedback.rs contract), which re-ranks near-ties but must
+        # NOT be able to promote an arbitrarily bad match
+        base_rank = 2
+        target = base[base_rank]["doc_id"]
+        assert os.path.exists(os.path.join(root, "control_plane.json"))
+
+        for _ in range(6):  # separate processes: state must persist
+            r = run_cli("--format", "json", "feedback", query, target,
+                        "--rank", str(base_rank + 1), "-k", "4", "--root", root)
+            assert r.returncode == 0, r.stderr
+            assert json.loads(r.stdout)["data"]["recorded"] == "click"
+
+        r = run_cli("--format", "json", "search", query, "-k", "4",
+                    "--adaptive", "--root", root)
+        assert r.returncode == 0, r.stderr
+        after = json.loads(r.stdout)["data"]
+        ids = [row["doc_id"] for row in after]
+        assert target in ids
+        assert ids.index(target) < base_rank  # the clicked doc moved up
+
+    def test_feedback_requires_doc_or_negative(self, corpus_file, tmp_path):
+        root = str(tmp_path / "ix")
+        r = run_cli("--format", "json", "index", corpus_file, "--root", root)
+        assert r.returncode == 0, r.stderr
+        r = run_cli("--format", "json", "feedback", "some query", "--root", root)
+        assert r.returncode != 0
+        assert not json.loads(r.stdout)["ok"]
+        # abandonment needs no doc id
+        r = run_cli("--format", "json", "feedback", "some query",
+                    "--negative", "--root", root)
+        assert r.returncode == 0, r.stderr

@@ -1,0 +1,170 @@
+"""Adaptive control plane: config -> constructed controls -> product
+behavior (VERDICT r2 task 5). The library pieces (adaptive/conformal/
+calibration) were already unit-tested; these tests prove the WIRING:
+TwoTierConfig keys reach TwoTierSearcher, feedback changes ranking, and
+state persists across reopens."""
+
+import os
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu.core.config import TwoTierConfig
+from frankensearch_tpu.core.errors import InvalidConfig
+from frankensearch_tpu.core.query_class import QueryClass
+from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.embed.hash_embedder import HashEmbedder
+from frankensearch_tpu.fusion.control_plane import (
+    ControlPlane,
+    build_control_plane,
+    parse_calibrator,
+)
+
+CORPUS = [
+    (f"d{i}", f"document number {i} about topic {i % 5} words content")
+    for i in range(40)
+]
+
+
+def _handle(tmp_path, cfg=None, **kw):
+    from frankensearch_tpu.builder import IndexBuilder, open_hybrid
+    from frankensearch_tpu.embed.stack import EmbedderStack
+
+    fe = HashEmbedder(dim=64)
+    root = str(tmp_path / "ix")
+    if not os.path.isdir(root):
+        (
+            IndexBuilder(root)
+            .with_documents(
+                IndexableDocument(doc_id=d, content=b) for d, b in CORPUS
+            )
+            .with_embedder_stack(EmbedderStack(fast=fe))
+            .with_config(TwoTierConfig(use_pallas=False))
+            .build()
+        )
+    return open_hybrid(root, fe, config=cfg, **kw)
+
+
+class TestParseCalibrator:
+    def test_temperature(self):
+        c = parse_calibrator("temperature:2.0")
+        assert c(1.0) == 0.5
+
+    def test_platt(self):
+        c = parse_calibrator("platt:1.0,0.0")
+        assert abs(c(0.0) - 0.5) < 1e-9
+
+    @pytest.mark.parametrize("bad", ["", "nope:1", "temperature:-1",
+                                     "temperature:x", "platt:a,b"])
+    def test_bad_specs_raise(self, bad):
+        with pytest.raises(InvalidConfig):
+            parse_calibrator(bad)
+
+    def test_config_validate_rejects_bad_spec(self):
+        with pytest.raises(InvalidConfig):
+            TwoTierConfig(calibration="bogus:1").validate()
+        TwoTierConfig(calibration="temperature:1.5").validate()
+
+
+class TestBuildControlPlane:
+    def test_all_off_returns_none(self):
+        assert build_control_plane(TwoTierConfig()) is None
+
+    def test_adaptive_builds_and_persists(self, tmp_path):
+        cfg = TwoTierConfig(adaptive_fusion=True)
+        cp = build_control_plane(cfg, str(tmp_path))
+        assert cp.adaptive is not None and cp.feedback is not None
+        # the Thompson protocol: a search CHOOSES an arm, feedback later
+        # credits it (possibly from a different process -> via the state file)
+        qc = QueryClass.classify("some words query")
+        cp.adaptive.choose_rrf_k(qc)
+        cp.save()
+        cp_mid = build_control_plane(cfg, str(tmp_path))  # new "process"
+        cp_mid.record("some words query", "d3", rank=2, requested_k=10)
+        assert os.path.exists(os.path.join(str(tmp_path), "control_plane.json"))
+        cp2 = build_control_plane(cfg, str(tmp_path))
+        arms = cp2.adaptive._k_arms[qc.value]
+        assert sum(a.alpha for a in arms) > len(arms)  # one success credited
+        assert cp2.feedback.boost_for("d3") > 1.0
+
+    def test_conformal_required_k_from_feedback_ranks(self, tmp_path):
+        cfg = TwoTierConfig(conformal_alpha=0.2)
+        cp = build_control_plane(cfg, str(tmp_path))
+        assert cp.conformal is not None and cp.adaptive is None
+        for rank in [1, 2, 2, 3, 3, 3, 4, 5, 8, 9]:
+            cp.record("q words", "d1", rank=rank, requested_k=10)
+        req = cp.conformal.required_k()
+        assert 5 <= req <= 9  # 80% quantile of the recorded ranks
+        cp2 = build_control_plane(cfg, str(tmp_path))
+        assert cp2.conformal.required_k() == req
+
+    def test_corrupt_state_restarts_learning(self, tmp_path):
+        p = os.path.join(str(tmp_path), "control_plane.json")
+        with open(p, "w") as f:
+            f.write("{not json")
+        cp = build_control_plane(
+            TwoTierConfig(adaptive_fusion=True), str(tmp_path)
+        )
+        assert cp.adaptive is not None  # fresh, not a crash
+
+
+class TestSearcherWiring:
+    def test_open_hybrid_attaches_control_plane(self, tmp_path):
+        h = _handle(tmp_path, TwoTierConfig(
+            use_pallas=False, adaptive_fusion=True, conformal_alpha=0.1,
+            calibration="temperature:1.0",
+        ))
+        s = h.searcher
+        assert s.adaptive is not None
+        assert s.conformal is not None
+        assert s.feedback is not None
+        assert s.calibrator is not None
+        assert s.control_plane.state_path.endswith("control_plane.json")
+
+    def test_plain_config_attaches_nothing(self, tmp_path):
+        h = _handle(tmp_path, TwoTierConfig(use_pallas=False))
+        assert h.searcher.control_plane is None
+        assert h.searcher.adaptive is None
+
+    def test_adaptive_rrf_k_is_learned_arm(self, tmp_path):
+        h = _handle(tmp_path, TwoTierConfig(use_pallas=False, adaptive_fusion=True))
+        s = h.searcher
+        k = s._effective_rrf_k(QueryClass.NATURAL_LANGUAGE)
+        from frankensearch_tpu.fusion.adaptive import _RRF_K_ARMS
+
+        assert k in [float(a) for a in _RRF_K_ARMS]
+
+    def test_conformal_widens_k(self, tmp_path):
+        cfg = TwoTierConfig(use_pallas=False, conformal_alpha=0.1)
+        h = _handle(tmp_path, cfg)
+        # calibrate: relevant doc typically appears around rank 7
+        for _ in range(20):
+            h.searcher.record_feedback(
+                "topic words", "d7", rank=7, requested_k=10
+            )
+        out = h.searcher.search("topic 2 words content", k=3)
+        assert len(out.results) >= 7  # widened beyond the asked-for 3
+
+    def test_feedback_changes_ranking_via_click_boost(self, tmp_path):
+        cfg = TwoTierConfig(use_pallas=False, adaptive_fusion=True)
+        h = _handle(tmp_path, cfg)
+        base = h.searcher.search("topic 2 words content", k=10)
+        assert base.results
+        # pick the last result and click it repeatedly
+        target = base.results[-1].doc_id
+        base_rank = [r.doc_id for r in base.results].index(target)
+        for _ in range(10):
+            h.searcher.record_feedback(
+                "topic 2 words content", target, rank=base_rank + 1,
+                requested_k=10,
+            )
+        # a FRESH open (state reloaded from disk) ranks the clicked doc higher
+        h2 = _handle(tmp_path, cfg)
+        out = h2.searcher.search("topic 2 words content", k=10)
+        ids = [r.doc_id for r in out.results]
+        assert target in ids
+        assert ids.index(target) < base_rank
+
+    def test_record_feedback_without_controls_is_noop(self, tmp_path):
+        h = _handle(tmp_path, TwoTierConfig(use_pallas=False))
+        h.searcher.record_feedback("topic words", "d1", rank=1, requested_k=10)
