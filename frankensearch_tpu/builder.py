@@ -435,11 +435,13 @@ def open_hybrid(
     cfg = (config or TwoTierConfig.from_env()).validate()
 
     def _open_index() -> TwoTierIndex:
-        return TwoTierIndex.open(
+        idx = TwoTierIndex.open(
             root, tile_n=cfg.scan_tile_docs, slab_dtype=cfg.slab_dtype
             if cfg.slab_dtype != "int8" else "bf16", use_pallas=cfg.use_pallas,
             mesh_shards=cfg.mesh_shards,
         )
+        idx.wal_sync = cfg.wal_sync
+        return idx
 
     try:
         index = _open_index()

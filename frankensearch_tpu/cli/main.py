@@ -497,6 +497,11 @@ def cmd_watch(args) -> dict:
     from frankensearch_tpu.runtime.watcher import SnapshotWatcher
 
     handle = open_hybrid(args.root)
+    window = getattr(args, "durability_window", 0.0) or 0.0
+    if window > 0:
+        # group commit: appends ride the page cache; one fsync per window
+        handle.index.wal_sync = "deferred"
+    last_sync = time.monotonic()
     snapshot = os.path.join(args.root, "watch_snapshot.json")
     watcher = SnapshotWatcher(
         [args.corpus], snapshot, debounce_s=args.debounce,
@@ -570,11 +575,16 @@ def cmd_watch(args) -> dict:
                     json.dump(members, f)
                 os.replace(tmp, members_path)
             batches.append({"ingested": len(docs), "deleted": len(gone_ids)})
+        if window > 0 and time.monotonic() - last_sync >= window:
+            handle.index.sync_wal()
+            last_sync = time.monotonic()
         cycles += 1
         if args.once and cycles >= args.cycles:
             break
         if not args.once:
             time.sleep(args.interval)
+    if window > 0:
+        handle.index.sync_wal()  # exit is a commit point
     if handle.delta is not None:
         handle.delta.seal()  # freeze boundary at watch exit
     return envelope({"cycles": cycles, "batches": batches,
@@ -1253,6 +1263,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--interval", type=float, default=1.0)
     sp.add_argument("--once", action="store_true", help="run N poll cycles then exit")
     sp.add_argument("--cycles", type=int, default=2)
+    sp.add_argument(
+        "--durability-window", type=float, default=0.0, metavar="SECONDS",
+        help="group-commit WAL fsyncs: at most one fsync per this many "
+             "seconds (0 = fsync every append batch). Power loss can drop "
+             "up to one window of tail updates; process crash cannot.",
+    )
 
     sp = add("daemon", cmd_daemon, help="warm-embedding daemon on a unix socket")
     sp.add_argument("--socket", default="/tmp/frankensearch-tpu.sock")

@@ -105,6 +105,11 @@ class TwoTierConfig:
     #: all_gather top-k merge (parallel/sharded_scan.py), bit-identical
     #: ordering to single-device. Requires that many visible devices.
     mesh_shards: int = 0
+    #: WAL durability policy for live updates: "always" fsyncs every
+    #: append batch; "deferred" group-commits (one fsync per watch poll
+    #: cycle / durability window via TwoTierIndex.sync_wal) — the quill
+    #: watch-contract throughput knob (>=5k updates/s, BASELINE.md:34-37).
+    wal_sync: str = "always"
 
     # --- adaptive control plane (searcher.rs:312-868 with_* surface) ---
     #: learn per-query-class rrf_k / blend from recorded feedback
@@ -139,6 +144,8 @@ class TwoTierConfig:
             raise InvalidConfig("ivf_nprobe must be positive")
         if self.mesh_shards < 0:
             raise InvalidConfig("mesh_shards must be >= 0 (0 = single device)")
+        if self.wal_sync not in ("always", "deferred"):
+            raise InvalidConfig(f"unknown wal_sync {self.wal_sync!r}")
         if self.conformal_alpha is not None and not (0.0 < self.conformal_alpha < 1.0):
             raise InvalidConfig(
                 f"conformal_alpha must be in (0,1), got {self.conformal_alpha}"

@@ -108,6 +108,10 @@ class TwoTierIndex:
         self.quality = quality
         self.root = root
         self.mesh_shards = 0
+        #: WAL durability policy for appends/tombstones: "always" fsyncs
+        #: per batch; "deferred" group-commits — callers fsync once per
+        #: poll cycle via sync_wal() (quill watch-contract throughput)
+        self.wal_sync: str = "always"
         self.last_vacuum_stats: dict[str, VacuumStats] = {}
         # quality-tier row aligned to fast-tier row (or -1 when the doc
         # has no quality vector) — the aligned-rescore fast path.
@@ -260,7 +264,9 @@ class TwoTierIndex:
         """Durable append via WAL + in-memory functional update."""
         if self.root is not None:
             paths = TwoTierPaths(self.root)
-            WriteAheadLog(paths.wal_for(paths.fast)).append(doc_ids, vectors)
+            WriteAheadLog(paths.wal_for(paths.fast), sync=self.wal_sync).append(
+                doc_ids, vectors
+            )
         self.fast = self.fast.with_appended(doc_ids, vectors)
         self._realign()
 
@@ -269,7 +275,9 @@ class TwoTierIndex:
             raise ValueError("index has no quality tier")
         if self.root is not None:
             paths = TwoTierPaths(self.root)
-            WriteAheadLog(paths.wal_for(paths.quality)).append(doc_ids, vectors)
+            WriteAheadLog(paths.wal_for(paths.quality), sync=self.wal_sync).append(
+                doc_ids, vectors
+            )
         self.quality = self.quality.with_appended(doc_ids, vectors)
         self._realign()
 
@@ -277,13 +285,23 @@ class TwoTierIndex:
         """Tombstone docs in both tiers (durable via WAL)."""
         if self.root is not None:
             paths = TwoTierPaths(self.root)
-            WriteAheadLog(paths.wal_for(paths.fast)).tombstone(doc_ids)
+            WriteAheadLog(paths.wal_for(paths.fast), sync=self.wal_sync).tombstone(doc_ids)
             if self.quality is not None:
-                WriteAheadLog(paths.wal_for(paths.quality)).tombstone(doc_ids)
+                WriteAheadLog(paths.wal_for(paths.quality), sync=self.wal_sync).tombstone(doc_ids)
         self.fast = self.fast.with_tombstones(doc_ids)
         if self.quality is not None:
             self.quality = self.quality.with_tombstones(doc_ids)
         self._realign()
+
+    def sync_wal(self) -> None:
+        """Group-commit point under ``wal_sync == "deferred"``: fsync both
+        tiers' WAL sidecars. No-op when nothing was deferred."""
+        if self.root is None:
+            return
+        paths = TwoTierPaths(self.root)
+        WriteAheadLog(paths.wal_for(paths.fast)).sync()
+        if self.quality is not None:
+            WriteAheadLog(paths.wal_for(paths.quality)).sync()
 
     def _realign(self) -> None:
         if self.quality is not None:

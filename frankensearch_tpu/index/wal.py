@@ -57,13 +57,40 @@ class WalState:
 
 
 class WriteAheadLog:
-    """Append-only WAL over a file path; safe against torn tails."""
+    """Append-only WAL over a file path; safe against torn tails.
 
-    def __init__(self, path: str | os.PathLike) -> None:
+    ``sync`` policy (group commit, parity: quill watch contract — the
+    reference sustains >=5k updates/s by amortizing durability over a
+    poll cycle, BASELINE.md:34-37):
+
+    - ``"always"`` (default): fsync inside every ``append``/``tombstone``
+      — each batch is durable against power loss before the call returns.
+    - ``"deferred"``: batches are written + flushed to the OS page cache
+      (safe against *process* crash — the frame is already in the kernel)
+      but fsync is left to an explicit ``sync()``. Callers group-commit:
+      one ``sync()`` per poll cycle / durability window. A power loss
+      inside the window can drop up to one window of tail batches; the
+      CRC framing guarantees replay stops cleanly at the torn tail.
+    """
+
+    def __init__(self, path: str | os.PathLike, *, sync: str = "always") -> None:
+        if sync not in ("always", "deferred"):
+            raise ValueError(f"unknown WAL sync policy {sync!r}")
         self.path = str(path)
+        self.sync_policy = sync
 
     def exists(self) -> bool:
         return os.path.exists(self.path)
+
+    def sync(self) -> None:
+        """Group-commit point: fsync everything appended so far."""
+        if not os.path.exists(self.path):
+            return
+        fd = os.open(self.path, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
 
     def append(self, doc_ids: Sequence[str], vectors: np.ndarray) -> None:
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
@@ -106,7 +133,8 @@ class WriteAheadLog:
                 f.write(struct.pack("<II", len(payload), zlib.crc32(payload)))
                 f.write(payload)
                 f.flush()
-                os.fsync(f.fileno())
+                if self.sync_policy == "always":
+                    os.fsync(f.fileno())
             finally:
                 fcntl.flock(f.fileno(), fcntl.LOCK_UN)
 

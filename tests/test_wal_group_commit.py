@@ -1,0 +1,72 @@
+"""WAL group-commit policy (quill watch-contract throughput knob).
+
+Parity target: the reference sustains >=5,000 updates/s on the watch
+path (BASELINE.md:34-37) by not paying a durability fsync per append
+batch. `WriteAheadLog(sync="deferred")` + `TwoTierIndex.sync_wal()`
+group-commit one fsync per poll cycle; `fsfs watch --durability-window`
+is the product surface. tools/bench_live_update.py carries the numbers.
+"""
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu.core.config import TwoTierConfig
+from frankensearch_tpu.core.errors import InvalidConfig
+from frankensearch_tpu.index.fsvi import EmbeddingIdentity
+from frankensearch_tpu.index.two_tier import TwoTierIndex
+from frankensearch_tpu.index.wal import WriteAheadLog
+
+from conftest import make_unit_rows
+
+IDENT = EmbeddingIdentity(embedder_id="hash-test", dim=32)
+
+
+class TestDeferredWal:
+    def test_bad_policy_rejected(self, tmp_path):
+        with pytest.raises(ValueError):
+            WriteAheadLog(str(tmp_path / "x.wal"), sync="sometimes")
+
+    def test_deferred_append_replays(self, rng, tmp_path):
+        wal = WriteAheadLog(str(tmp_path / "a.wal"), sync="deferred")
+        vecs = make_unit_rows(rng, 3, 8)
+        wal.append(["a", "b", "c"], vecs)
+        wal.append(["d"], make_unit_rows(rng, 1, 8))
+        wal.sync()  # group-commit point
+        state = wal.replay(strict=True)
+        assert set(state.live) == {"a", "b", "c", "d"}
+        assert state.batches_read == 2
+
+    def test_sync_on_missing_file_is_noop(self, tmp_path):
+        WriteAheadLog(str(tmp_path / "missing.wal"), sync="deferred").sync()
+
+    def test_two_tier_policy_plumbs(self, rng, tmp_path):
+        fast = make_unit_rows(rng, 10, 32)
+        ids = [f"doc-{i}" for i in range(10)]
+        idx = TwoTierIndex.create(str(tmp_path / "ix"), fast, ids, IDENT, use_pallas=False)
+        idx.wal_sync = "deferred"
+        new = make_unit_rows(rng, 2, 32)
+        idx.append_fast(["x1", "x2"], new)
+        idx.delete(["doc-0"])
+        idx.sync_wal()
+        reopened = TwoTierIndex.open(str(tmp_path / "ix"), use_pallas=False)
+        assert reopened.doc_count() == 11  # 10 + 2 - 1
+        hits = reopened.search_fast_classified(new[0], 1)
+        assert hits.hits[0].doc_id == "x1"
+
+    def test_config_knob_validates_and_wires(self, tmp_path):
+        with pytest.raises(InvalidConfig):
+            TwoTierConfig(wal_sync="nope").validate()
+        import frankensearch_tpu as fs
+
+        root = str(tmp_path / "w")
+        fe = fs.HashEmbedder(dim=32)
+        docs = [fs.IndexableDocument(doc_id=f"d{i}", content=f"text {i}")
+                for i in range(4)]
+        fs.IndexBuilder(root).with_documents(docs).with_embedder_stack(
+            fs.EmbedderStack(fast=fe)
+        ).build()
+        cfg = TwoTierConfig(wal_sync="deferred")
+        handle = fs.open_hybrid(root, fast_embedder=fe, config=cfg)
+        assert handle.index.wal_sync == "deferred"
+        handle.index.append_fast(["late"], fe.embed_batch(["late doc"]))
+        handle.index.sync_wal()

@@ -1,0 +1,111 @@
+"""Live-update (watch) contract bench — VERDICT r2 task 6.
+
+The reference's Quill watch contract: >= 5,000 updates/s sustained,
+update -> searchable p95 <= 25 ms (BASELINE.md:34-37, measured 5,462/s).
+Round 2 measured 1.3-4.9k/s here, WAL-fsync-bound: every append batch
+paid its own fsync. This bench measures the group-commit fix
+(WriteAheadLog sync="deferred" + one sync_wal() per poll cycle — the
+`fsfs watch --durability-window` knob) against the per-batch policy.
+
+Runs on the CPU host (the update path is host-side: WAL write + O(batch)
+device slab update; same venue as the r2 row). Prints JSON lines:
+
+  {"metric": "live_update_throughput", "policy": ..., "value": updates/s}
+  {"metric": "update_searchable_latency", "p50_ms": ..., "p95_ms": ...}
+
+Usage: python -m tools.bench_live_update [n_base] [batch] [n_batches]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np
+
+
+def _unit_rows(rng: np.random.Generator, n: int, d: int) -> np.ndarray:
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return x
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from frankensearch_tpu.index.fsvi import EmbeddingIdentity
+    from frankensearch_tpu.index.two_tier import TwoTierIndex
+
+    n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    n_batches = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+    dim = 256
+    rng = np.random.default_rng(7)
+    ident = EmbeddingIdentity(embedder_id="bench-hash", dim=dim)
+
+    import tempfile
+
+    results = []
+    for policy in ("always", "deferred"):
+        with tempfile.TemporaryDirectory(prefix=f"live_update_{policy}_") as root:
+            base = _unit_rows(rng, n_base, dim)
+            ids = [f"doc-{i:06d}" for i in range(n_base)]
+            idx = TwoTierIndex.create(root, base, ids, ident, use_pallas=False)
+            idx.wal_sync = policy
+            # pre-generate the update stream so generation cost is excluded
+            new_vecs = [_unit_rows(rng, batch, dim) for _ in range(n_batches)]
+            new_ids = [
+                [f"new-{b:04d}-{i:04d}" for i in range(batch)]
+                for b in range(n_batches)
+            ]
+            # warm the with_appended compile path
+            idx.append_fast(["warm-0"], _unit_rows(rng, 1, dim))
+
+            # update -> searchable latency on the 10k-doc index (r2
+            # methodology) — measured BEFORE the bulk stream so slab
+            # regrow boundaries don't pollute the tail
+            lat = []
+            for i in range(50):
+                v = _unit_rows(rng, 1, dim)
+                t0 = time.perf_counter()
+                idx.append_fast([f"lat-{i}"], v)
+                hits = idx.search_fast_classified(v[0], 1)
+                assert hits.hits[0].doc_id == f"lat-{i}"
+                lat.append((time.perf_counter() - t0) * 1000)
+            lat.sort()
+            print(json.dumps({
+                "metric": "update_searchable_latency",
+                "policy": policy,
+                "p50_ms": round(lat[len(lat) // 2], 2),
+                "p95_ms": round(lat[int(len(lat) * 0.95)], 2),
+                "contract_25ms": lat[int(len(lat) * 0.95)] <= 25.0,
+            }), flush=True)
+
+            t0 = time.perf_counter()
+            for b in range(n_batches):
+                idx.append_fast(new_ids[b], new_vecs[b])
+            if policy == "deferred":
+                idx.sync_wal()  # one group-commit point for the cycle
+            elapsed = time.perf_counter() - t0
+            ups = batch * n_batches / elapsed
+            results.append((policy, ups))
+            print(json.dumps({
+                "metric": "live_update_throughput",
+                "policy": policy,
+                "value": round(ups, 1),
+                "unit": "updates/s",
+                "batch": batch,
+                "n_batches": n_batches,
+                "elapsed_s": round(elapsed, 3),
+                "contract_5k": ups >= 5000,
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
