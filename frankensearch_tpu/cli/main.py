@@ -561,6 +561,15 @@ def cmd_watch(args) -> dict:
                     for d in docs:
                         handle.delta.add_document(d)
                     handle.delta.commit()
+                if handle.storage is not None:
+                    # census parity with append-batch: watch-ingested docs
+                    # must be visible to staleness/bookmark/negation/
+                    # phrase filters and phase-3 text (seam bug: they
+                    # were storage-invisible before r3)
+                    handle.storage.upsert_documents_bulk(
+                        ((d.doc_id, d.content, d.title, d.metadata) for d in docs),
+                        embedder_id=handle.searcher.fast_embedder.embedder_id,
+                    )
             for c in deleted:
                 rel = os.path.relpath(c.path, args.corpus)
                 # NDJSON file: its member records die with it

@@ -30,6 +30,11 @@ class ParsedQuery:
     positive: str
     positive_terms: tuple[str, ...] = ()
     negative_terms: tuple[str, ...] = ()
+    #: boolean/phrase tree (lexical.query.ParsedBooleanQuery) attached by
+    #: the searcher when the raw query carries quoted phrases or explicit
+    #: AND/OR/NOT syntax; None on plain term bags. Excluded from eq/hash
+    #: (a derived view of the same raw string, not identity).
+    boolean_query: object | None = field(default=None, compare=False)
 
     @property
     def has_negations(self) -> bool:

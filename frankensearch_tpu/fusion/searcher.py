@@ -507,6 +507,7 @@ class TwoTierSearcher:
         t0 = time.monotonic()
         canonical = self.canonicalizer.canonicalize_query(query)
         parsed = ParsedQuery.parse(canonical)
+        parsed = self._attach_boolean_tree(parsed, canonical)
         qclass = QueryClass.classify(parsed.positive or canonical)
         metrics.canonicalize_us = (time.monotonic() - t0) * 1e6
         metrics.query_class = qclass.value
@@ -654,6 +655,31 @@ class TwoTierSearcher:
         if not queries:
             return outcomes
         cfg = self.config
+
+        # boolean/phrase queries take the scalar lane (tree retrieval +
+        # per-hit constraint filtering don't batch); the rest stay on the
+        # batched device path. Results match per-query search() either way.
+        if self.lexical is not None:
+            from frankensearch_tpu.lexical.query import is_boolean_syntax
+
+            structured = [
+                i for i, q in enumerate(queries)
+                if is_boolean_syntax(self.canonicalizer.canonicalize_query(q))
+            ]
+            if structured:
+                sset = set(structured)
+                plain = [i for i in range(len(queries)) if i not in sset]
+                for i in structured:
+                    outcomes[i] = self.search(
+                        queries[i], k, search_filter=search_filter
+                    )
+                if plain:
+                    sub = self.search_batch(
+                        [queries[i] for i in plain], k, search_filter=search_filter
+                    )
+                    for j, i in enumerate(plain):
+                        outcomes[i] = sub[j]
+                return outcomes
 
         parsed_list = [ParsedQuery.parse(self.canonicalizer.canonicalize_query(q)) for q in queries]
         classes = [QueryClass.classify(p.positive or q) for p, q in zip(parsed_list, queries)]
@@ -978,6 +1004,9 @@ class TwoTierSearcher:
             and self.calibrator is None
             and self.hubness is None
             and self.smoother is None
+            # boolean-lane queries need tree retrieval + per-hit text
+            # filtering — the classic path owns them
+            and parsed.boolean_query is None
             # identifier short-circuit contract (searcher.rs:1451,1641):
             # a non-semantic stack must not fuse hash-vector noise into
             # identifier queries — that lane decides AFTER seeing the
@@ -1036,11 +1065,18 @@ class TwoTierSearcher:
         if self.lexical is not None:
             t_lex = time.monotonic()
             try:
+                if parsed.boolean_query is not None and hasattr(
+                    self.lexical, "search_boolean"
+                ):
+                    # tree retrieval: exact on the oracle, bag+post-filter
+                    # on device arms, MATCH on FTS5 (quill query.rs role)
+                    pool = self.lexical.search_boolean(
+                        parsed.boolean_query, lex_budget
+                    )
+                else:
+                    pool = self.lexical.search(parsed.positive, lex_budget)
                 lexical_pool = self._apply_filter_to_pool(
-                    self._drop_superseded(
-                        self.lexical.search(parsed.positive, lex_budget)
-                    ),
-                    search_filter,
+                    self._drop_superseded(pool), search_filter,
                 )
             except Exception:
                 lexical_pool = []
@@ -1197,7 +1233,7 @@ class TwoTierSearcher:
         for rank, h in enumerate(fused):
             lex = lex_by_doc.get(h.doc_id)
             fast = fast_by_doc.get(h.doc_id)
-            if parsed.has_negations and self._negation_excludes(h.doc_id, lex, text_fn, parsed):
+            if self._constraint_filtering(parsed) and self._negation_excludes(h.doc_id, lex, text_fn, parsed):
                 continue
             result = ScoredResult(
                 doc_id=h.doc_id,
@@ -1240,6 +1276,28 @@ class TwoTierSearcher:
             notes=notes,
         )
 
+    @staticmethod
+    def _attach_boolean_tree(parsed: ParsedQuery, canonical: str) -> ParsedQuery:
+        """Route quoted-phrase / AND/OR/NOT queries through the boolean
+        lane (quill query.rs trees): parse the tree once and carry it on
+        the ParsedQuery so phase 1 retrieval and both phases' post-filters
+        see the same constraints. Plain bags (incl. bare `-term`
+        negation) pass through unchanged."""
+        from frankensearch_tpu.lexical.query import (
+            has_structure,
+            is_boolean_syntax,
+            parse_query as parse_boolean,
+        )
+
+        if not is_boolean_syntax(canonical):
+            return parsed
+        btree = parse_boolean(canonical)
+        if not has_structure(btree):
+            return parsed
+        import dataclasses
+
+        return dataclasses.replace(parsed, boolean_query=btree)
+
     def _negation_excludes(
         self,
         doc_id: str,
@@ -1247,8 +1305,12 @@ class TwoTierSearcher:
         text_fn: TextFn | None,
         parsed: ParsedQuery,
     ) -> bool:
-        """Post-retrieval negation filter over available text
-        (parsed_query.rs contract; applied in both phases)."""
+        """Post-retrieval constraint filter over available text
+        (parsed_query.rs contract; applied in both phases). Covers the
+        negative-term split AND, for boolean-lane queries, the full tree:
+        a semantic-arm hit whose text provably violates a phrase/NOT/AND
+        constraint is dropped; docs with no available text are kept (the
+        documented bound)."""
         text = None
         if text_fn is not None:
             text = text_fn(doc_id)
@@ -1256,7 +1318,32 @@ class TwoTierSearcher:
             text = str(lex.metadata.get("preview", "")) or None
         if text is None and lex is not None and lex.title:
             text = lex.title
-        return text is not None and parsed.excludes(text)
+        if text is None and self.lexical is not None:
+            # semantic-only hit: the lexical arm may still know the doc
+            # (delta/oracle hydration) — O(1) host lookup, constraint
+            # queries only
+            try:
+                m = self.lexical.hydrate_candidates([doc_id]).get(doc_id)
+            except Exception:
+                m = None
+            if m:
+                parts = [p for p in (m.get("title"), str(m.get("preview", ""))) if p]
+                text = " ".join(parts) or None
+        if text is None:
+            return False
+        if parsed.excludes(text):
+            return True
+        bq = parsed.boolean_query
+        if bq is not None and bq.root is not None:
+            from frankensearch_tpu.lexical.query import field_tokens, matches
+
+            if not matches(bq.root, field_tokens(text)):
+                return True
+        return False
+
+    def _constraint_filtering(self, parsed: ParsedQuery) -> bool:
+        """True when fused results need the per-hit text filter."""
+        return parsed.has_negations or parsed.boolean_query is not None
 
     # ------------------------------------------------------------------ phase 2
 
@@ -1425,7 +1512,7 @@ class TwoTierSearcher:
         out: list[ScoredResult] = []
         for h in fused:
             lex = lex_by_doc.get(h.doc_id)
-            if parsed.has_negations and self._negation_excludes(h.doc_id, lex, text_fn, parsed):
+            if self._constraint_filtering(parsed) and self._negation_excludes(h.doc_id, lex, text_fn, parsed):
                 continue
             out.append(
                 ScoredResult(

@@ -55,6 +55,48 @@ class LexicalRead(abc.ABC):
             )
         return out
 
+    def search_boolean(self, query, limit: int) -> list[ScoredResult]:
+        """Boolean/phrase retrieval (reference quill/src/query.rs trees).
+
+        Default strategy — correct for any backend, and exactly the
+        device-arm contract (VERDICT r2 task 7): BM25-score the bag of
+        positive terms (on-device for the device arms), then post-filter
+        the candidate pool by the full tree against hydrated text
+        (title + preview; the documented "available text" bound, same as
+        the negation filter). Backends with richer access override:
+        the in-memory oracle evaluates the tree exactly over postings +
+        full-content tokens; FTS5 compiles to MATCH syntax.
+
+        ``query`` is a :class:`~frankensearch_tpu.lexical.query.ParsedBooleanQuery`.
+        """
+        from frankensearch_tpu.lexical.query import field_tokens, matches
+
+        if query.root is None or limit <= 0:
+            return []
+        positive = " ".join(query.positive_terms())
+        if not positive:
+            return []  # pure-negative queries retrieve nothing (Must-Not only)
+        cands = self.search_candidates(positive, max(limit * 4, 32))
+        meta = self.hydrate_candidates([c.doc_id for c in cands])
+        out: list[ScoredResult] = []
+        for c in cands:
+            m = meta.get(c.doc_id) or {}
+            tokens = field_tokens(m.get("title"), str(m.get("preview", "")))
+            if not matches(query.root, tokens):
+                continue
+            out.append(
+                ScoredResult(
+                    doc_id=c.doc_id,
+                    score=c.score,
+                    lexical_score=c.score,
+                    title=m.get("title"),
+                    metadata=m.get("metadata"),
+                )
+            )
+            if len(out) >= limit:
+                break
+        return out
+
     @abc.abstractmethod
     def doc_count(self) -> int: ...
 

@@ -169,6 +169,11 @@ class DeltaLexicalIndex(LexicalRead):
     def search_candidates(self, query: str, budget: int) -> list[LexicalCandidate]:
         return self._read_arm().search_candidates(query, budget)
 
+    def search_boolean(self, query, limit: int):
+        # delta window serves from the oracle (exact trees); sealed
+        # window serves the device arm (bag + post-filter default)
+        return self._read_arm().search_boolean(query, limit)
+
     def search_candidates_batch(self, queries: Sequence[str], budget: int):
         arm = self._read_arm()
         if hasattr(arm, "search_candidates_batch"):

@@ -172,6 +172,47 @@ class Fts5LexicalIndex(LexicalRead, LexicalWrite):
             ).fetchall()
         return [LexicalCandidate(doc_id=d, score=float(s)) for d, s in rows]
 
+    def search_boolean(self, query, limit: int):
+        """Tree retrieval via native FTS5 MATCH syntax (fts5_adapter.rs
+        role): phrases map to quoted strings, AND/OR/NOT to operators.
+        Scores are FTS5's own bm25 over the matched set — rank-compatible
+        with the oracle's match set, not score-identical (same contract
+        as the bag lane). Trees FTS5 cannot express (pure-negative roots,
+        NOT under OR) fall back to the bag+post-filter default."""
+        from frankensearch_tpu.core.types import ScoredResult
+        from frankensearch_tpu.lexical.query import to_fts5_match
+
+        if query.root is None or limit <= 0:
+            return []
+        expr = to_fts5_match(query.root)
+        if expr is None:
+            return super().search_boolean(query, limit)
+        sql = (
+            "SELECT dm.doc_id, -bm25(fts, 0.0, ?, ?, 0.0) AS s FROM fts "
+            "JOIN doc_map dm ON dm.rowid_ref = fts.rowid "
+            "WHERE fts MATCH ? ORDER BY s DESC, dm.doc_id ASC LIMIT ?"
+        )
+        try:
+            with self._lock:
+                rows = self._conn.execute(
+                    sql, (TITLE_BOOST, CONTENT_BOOST, expr, limit)
+                ).fetchall()
+        except sqlite3.OperationalError:
+            # lenient contract: a MATCH the engine rejects degrades to
+            # the post-filter lane instead of erroring
+            return super().search_boolean(query, limit)
+        meta = self.hydrate_candidates([d for d, _ in rows])
+        out = []
+        for d, s in rows:
+            m = meta.get(d) or {}
+            out.append(
+                ScoredResult(
+                    doc_id=d, score=float(s), lexical_score=float(s),
+                    title=m.get("title"), metadata=m.get("metadata"),
+                )
+            )
+        return out
+
     def hydrate_candidates(self, doc_ids: Sequence[str]) -> dict[str, Mapping]:
         if not doc_ids:
             return {}

@@ -51,6 +51,10 @@ class _DocEntry:
     title: str | None
     metadata: Mapping | None
     content_preview: str
+    #: full content (string reference, zero-copy) — powers exact phrase
+    #: verification in search_boolean; the oracle is the rank/match
+    #: oracle, so it keeps what exactness needs
+    content_full: str = ""
     fieldnorm_id: dict[str, int] = field(default_factory=dict)
     token_counts: dict[str, int] = field(default_factory=dict)
 
@@ -102,6 +106,7 @@ class MemoryLexicalIndex(LexicalRead, LexicalWrite):
             title=doc.title,
             metadata=doc.metadata,
             content_preview=doc.content[: self.preview_chars],
+            content_full=doc.content,
         )
         for fname in _FIELDS:
             text = doc.content if fname == "content" else (doc.title or "")
@@ -183,15 +188,9 @@ class MemoryLexicalIndex(LexicalRead, LexicalWrite):
             self._term_arrays[key] = cached
         return cached
 
-    def search_candidates(self, query: str, budget: int) -> list[LexicalCandidate]:
-        # Vectorized per term: each doc appears at most once in a posting
-        # list, so the fancy-index `scores[rows] += boost*s` performs the
-        # SAME f32 add sequence per doc as the scalar accumulation the
-        # device scorer is differentially pinned against.
-        terms = simple_tokenize(query)
-        if not terms or not self._docs or budget <= 0:
-            return []
-        self._ensure_score_state()
+    def _bag_scores(self, terms: Sequence[str]) -> np.ndarray:
+        """Per-doc BM25 Should-union scores for a term bag (row-aligned
+        with ``self._ids``; requires ``_ensure_score_state()``)."""
         n_docs = len(self._docs)
         scores = np.zeros(n_docs, dtype=np.float32)
         for fname in _FIELDS:
@@ -211,11 +210,112 @@ class MemoryLexicalIndex(LexicalRead, LexicalWrite):
                 term_idf = idf(n_docs, len(rows))
                 s = bm25_term_score(tf, fid[rows], term_idf, cache)
                 scores[rows] += boost * s
+        return scores
+
+    def search_candidates(self, query: str, budget: int) -> list[LexicalCandidate]:
+        # Vectorized per term: each doc appears at most once in a posting
+        # list, so the fancy-index `scores[rows] += boost*s` performs the
+        # SAME f32 add sequence per doc as the scalar accumulation the
+        # device scorer is differentially pinned against.
+        terms = simple_tokenize(query)
+        if not terms or not self._docs or budget <= 0:
+            return []
+        self._ensure_score_state()
+        scores = self._bag_scores(terms)
         touched = np.nonzero(scores)[0]
         order = np.lexsort((self._doc_rank[touched], -scores[touched]))
         top = touched[order[: max(budget, 0)]]
         ids = self._ids
         return [LexicalCandidate(doc_id=ids[i], score=float(scores[i])) for i in top]
+
+    # -- boolean/phrase (exact oracle lane) ------------------------------------
+
+    def _term_docset(self, term: str) -> set[str]:
+        out: set[str] = set()
+        for fname in _FIELDS:
+            plist = self._postings[fname].get(term)
+            if plist:
+                out.update(plist.keys())
+        return out
+
+    def _eval_docset(self, node) -> set[str]:
+        """Exact boolean set evaluation over committed postings; phrases
+        verify adjacency against full-content (and title) token streams.
+        The scorer-tree role stays with BM25 (argus.rs split: trees decide
+        MEMBERSHIP, Should-union scoring decides ORDER)."""
+        from frankensearch_tpu.lexical import query as q
+
+        if isinstance(node, q.Term):
+            return self._term_docset(node.text)
+        if isinstance(node, q.Phrase):
+            if not node.terms:
+                return set(self._docs.keys())
+            cands = self._term_docset(node.terms[0])
+            for t in node.terms[1:]:
+                cands &= self._term_docset(t)
+                if not cands:
+                    return set()
+            out: set[str] = set()
+            for d in cands:
+                e = self._docs[d]
+                if q.matches(node, q.field_tokens(e.title, e.content_full)):
+                    out.add(d)
+            return out
+        if isinstance(node, q.And):
+            sets = [self._eval_docset(c) for c in node.children]
+            base = min(sets, key=len)
+            for s in sets:
+                base = base & s
+            return base
+        if isinstance(node, q.Or):
+            out = set()
+            for c in node.children:
+                out |= self._eval_docset(c)
+            return out
+        if isinstance(node, q.Not):
+            return set(self._docs.keys()) - self._eval_docset(node.child)
+        return set()
+
+    def search_boolean(self, query, limit: int):
+        """Exact tree retrieval: boolean membership over postings (phrase
+        adjacency verified on full content), BM25 positive-bag ordering.
+        Docs matching only negative branches score 0 and are dropped —
+        the must-match-something-positive contract."""
+        from frankensearch_tpu.core.types import ScoredResult
+
+        if query.root is None or limit <= 0 or not self._docs:
+            return []
+        positive = query.positive_terms()
+        if not positive:
+            return []
+        docset = self._eval_docset(query.root)
+        if not docset:
+            return []
+        self._ensure_score_state()
+        scores = self._bag_scores(positive)
+        mask = np.zeros(len(self._ids), dtype=bool)
+        row_of = self._row_of
+        for d in docset:
+            r = row_of.get(d)
+            if r is not None:
+                mask[r] = True
+        scores = np.where(mask, scores, np.float32(0.0))
+        touched = np.nonzero(scores)[0]
+        order = np.lexsort((self._doc_rank[touched], -scores[touched]))
+        top = touched[order[:limit]]
+        ids = self._ids
+        meta = self.hydrate_candidates([ids[i] for i in top])
+        out = []
+        for i in top:
+            m = meta.get(ids[i]) or {}
+            out.append(
+                ScoredResult(
+                    doc_id=ids[i], score=float(scores[i]),
+                    lexical_score=float(scores[i]),
+                    title=m.get("title"), metadata=m.get("metadata"),
+                )
+            )
+        return out
 
     def hydrate_candidates(self, doc_ids: Sequence[str]) -> dict[str, Mapping]:
         out: dict[str, Mapping] = {}
@@ -266,6 +366,7 @@ class MemoryLexicalIndex(LexicalRead, LexicalWrite):
                 title=d.title,
                 metadata=d.metadata,
                 content_preview=d.content[:preview_chars],
+                content_full=d.content,
             )
             index._docs[d.doc_id] = entry
         for fname in _FIELDS:

@@ -197,13 +197,116 @@ def parse_query(raw: str) -> ParsedBooleanQuery:
             return None
         if len(items) == 1:
             return items[0]
-        return And(tuple(items)) if op == "AND" else Or(tuple(items))
+        if op == "AND":
+            return And(tuple(items))
+        if op is None:
+            # bare adjacency: positives union (Should), but a bare Not is
+            # a Must-Not over the whole group — `alpha -noise` means
+            # (alpha) AND NOT (noise), matching ParsedQuery's negation
+            # contract (parsed_query.rs), not "alpha OR lacks-noise"
+            nots = tuple(n for n in items if isinstance(n, Not))
+            pos = tuple(n for n in items if not isinstance(n, Not))
+            if nots and pos:
+                pos_node: Node = pos[0] if len(pos) == 1 else Or(pos)
+                return And((pos_node,) + nots)
+        return Or(tuple(items))
 
     root = parse_group(0)
     return ParsedBooleanQuery(root=root, diagnostics=diag)
 
 
+_BOOL_SYNTAX = None
+
+
+def is_boolean_syntax(raw: str) -> bool:
+    """Cheap routing check: does the raw query use boolean/phrase syntax
+    (quotes, parens, or uppercase AND/OR/NOT operators)? Plain `-term`
+    negation stays on the classic ParsedQuery lane — its split/filter
+    contract already covers it."""
+    global _BOOL_SYNTAX
+    if _BOOL_SYNTAX is None:
+        import re
+
+        _BOOL_SYNTAX = re.compile(r'"|\(|\)|(?<![\w-])(?:AND|OR|NOT)(?![\w-])')
+    return _BOOL_SYNTAX.search(raw) is not None
+
+
+def has_structure(query: ParsedBooleanQuery) -> bool:
+    """True when the tree carries constraints beyond a bag of terms —
+    phrases, NOTs, or explicit AND groups. Structured queries route
+    through the boolean lane (query.rs trees drive scoring); plain
+    term bags keep the classic Should-union path."""
+
+    def walk(node: Node) -> bool:
+        if isinstance(node, (Phrase, Not)):
+            return True
+        if isinstance(node, And):
+            return True
+        if isinstance(node, Or):
+            return any(walk(c) for c in node.children)
+        return False
+
+    return query.root is not None and walk(query.root)
+
+
+def to_fts5_match(node: Node) -> str | None:
+    """Compile a query tree to FTS5 MATCH syntax, or None when the tree
+    is not expressible (FTS5 NOT is binary: pure-negative roots and NOTs
+    under OR have no MATCH form — callers fall back to post-filtering).
+    """
+
+    def quote(t: str) -> str:
+        return '"' + t.replace('"', '""') + '"'
+
+    def compile_pos(n: Node) -> str | None:
+        """Compile a node that must NOT contain a Not at this level."""
+        if isinstance(n, Term):
+            return quote(n.text)
+        if isinstance(n, Phrase):
+            return quote(" ".join(n.terms)) if n.terms else None
+        if isinstance(n, Or):
+            parts = [compile_pos(c) for c in n.children]
+            if any(p is None for p in parts):
+                return None  # NOT under OR: inexpressible
+            return "(" + " OR ".join(p for p in parts if p) + ")"
+        if isinstance(n, And):
+            pos = [c for c in n.children if not isinstance(c, Not)]
+            neg = [c.child for c in n.children if isinstance(c, Not)]
+            pos_parts = [compile_pos(c) for c in pos]
+            if not pos_parts or any(p is None for p in pos_parts):
+                return None
+            expr = "(" + " AND ".join(pos_parts) + ")"
+            for nchild in neg:
+                nexpr = compile_pos(nchild)
+                if nexpr is None:
+                    return None
+                expr = f"({expr} NOT {nexpr})"
+            return expr
+        return None  # bare Not handled by And; root-level Not → None
+
+    return compile_pos(node)
+
+
 # --- evaluation --------------------------------------------------------------
+
+
+#: field separator token for multi-field match streams — never produced
+#: by the tokenizer, so phrases cannot span a field boundary
+FIELD_SEP = "\x00"
+
+
+def field_tokens(*texts: str | None) -> list[str]:
+    """Tokenize multiple fields into one match stream: term membership is
+    the union of fields; FIELD_SEP blocks cross-field phrase adjacency
+    (the oracle's union-of-fields match-set semantics)."""
+    out: list[str] = []
+    for t in texts:
+        if not t:
+            continue
+        if out:
+            out.append(FIELD_SEP)
+        out.extend(simple_tokenize(t))
+    return out
 
 
 def matches(node: Node, doc_tokens: Sequence[str]) -> bool:

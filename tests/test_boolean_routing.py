@@ -1,0 +1,191 @@
+"""Boolean/phrase queries through the product surface (VERDICT r2 task 7).
+
+Parity target: reference crates/frankensearch-quill/src/query.rs — query
+trees drive retrieval on every lexical arm, and quoted phrases work from
+the `fsfs search` surface. Contract here: the oracle evaluates the tree
+EXACTLY (postings sets + full-content phrase adjacency), the device arm
+scores the positive bag and post-filters phrase/NOT constraints over
+hydrated candidates, FTS5 compiles the tree to native MATCH syntax.
+Parity assertions compare MATCH SETS across arms (scores are
+rank-compatible, not identical, on FTS5 — same as the reference).
+"""
+
+import numpy as np
+import pytest
+
+import frankensearch_tpu as fs
+from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.lexical.device_bm25 import DeviceBm25Index
+from frankensearch_tpu.lexical.fts5_adapter import Fts5LexicalIndex, fts5_available
+from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+from frankensearch_tpu.lexical.query import (
+    And,
+    Not,
+    Or,
+    Phrase,
+    Term,
+    has_structure,
+    is_boolean_syntax,
+    parse_query,
+    to_fts5_match,
+)
+
+DOCS = [
+    IndexableDocument(doc_id="wal", content="write ahead log recovery protocol"),
+    IndexableDocument(doc_id="scrambled", content="log write behind ahead recovery"),
+    IndexableDocument(doc_id="tokio", content="rust async runtime with tokio executor"),
+    IndexableDocument(doc_id="plain", content="rust async runtime without frameworks"),
+    IndexableDocument(doc_id="python", content="python async event loop"),
+    IndexableDocument(doc_id="titled", content="unrelated body text here",
+                      title="write ahead log"),
+]
+
+TREE_QUERIES = [
+    '"write ahead log"',
+    "rust AND async NOT tokio",
+    "rust AND (async OR event)",
+    '"write ahead" AND recovery',
+    "async -tokio",
+    "python OR tokio",
+]
+
+
+def _arms():
+    mem = MemoryLexicalIndex(preview_chars=500)
+    for d in DOCS:
+        mem.add_document(d)
+    mem.commit()
+    arms = {"oracle": mem, "device": DeviceBm25Index(mem)}
+    if fts5_available():
+        f = Fts5LexicalIndex()
+        for d in DOCS:
+            f.add_document(d)
+        f.commit()
+        arms["fts5"] = f
+    return arms
+
+
+class TestRoutingHelpers:
+    def test_is_boolean_syntax(self):
+        assert is_boolean_syntax('"exact phrase"')
+        assert is_boolean_syntax("a AND b")
+        assert is_boolean_syntax("a OR (b c)")
+        assert is_boolean_syntax("NOT noise")
+        assert not is_boolean_syntax("plain term bag")
+        assert not is_boolean_syntax("alpha -noise")  # classic negation lane
+        assert not is_boolean_syntax("hand-made OR-less")  # mid-word ops
+
+    def test_has_structure(self):
+        assert has_structure(parse_query('"a b"'))
+        assert has_structure(parse_query("a AND b"))
+        assert has_structure(parse_query("a NOT b"))
+        assert not has_structure(parse_query("a b c"))
+
+    def test_bare_negation_is_must_not(self):
+        # `alpha -noise` == alpha AND NOT noise (parsed_query.rs contract),
+        # not "alpha OR lacks-noise"
+        q = parse_query("alpha -noise")
+        assert isinstance(q.root, And)
+        assert Not(Term("noise")) in q.root.children
+
+    def test_to_fts5_match(self):
+        assert to_fts5_match(Term("a")) == '"a"'
+        assert to_fts5_match(Phrase(("a", "b"))) == '"a b"'
+        assert (
+            to_fts5_match(And((Term("a"), Not(Term("b")))))
+            == '(("a") NOT "b")'
+        )
+        # NOT under OR / pure-negative roots are inexpressible
+        assert to_fts5_match(Or((Term("a"), Not(Term("b"))))) is None
+        assert to_fts5_match(Not(Term("a"))) is None
+
+
+class TestArmParity:
+    @pytest.mark.parametrize("raw", TREE_QUERIES)
+    def test_match_sets_agree(self, raw):
+        arms = _arms()
+        parsed = parse_query(raw)
+        results = {
+            name: {r.doc_id for r in arm.search_boolean(parsed, 10)}
+            for name, arm in arms.items()
+        }
+        oracle_set = results["oracle"]
+        for name, got in results.items():
+            assert got == oracle_set, (raw, name, got, oracle_set)
+
+    def test_phrase_excludes_scrambled(self):
+        arms = _arms()
+        parsed = parse_query('"write ahead log"')
+        for name, arm in arms.items():
+            ids = {r.doc_id for r in arm.search_boolean(parsed, 10)}
+            assert "wal" in ids, name
+            assert "titled" in ids, name  # phrase matches in the title field
+            assert "scrambled" not in ids, name
+
+    def test_device_scores_match_oracle_on_shared_sets(self):
+        # the device arm's bag scoring is the same pinned BM25 arithmetic
+        arms = _arms()
+        parsed = parse_query("rust AND async NOT tokio")
+        o = {r.doc_id: r.score for r in arms["oracle"].search_boolean(parsed, 10)}
+        d = {r.doc_id: r.score for r in arms["device"].search_boolean(parsed, 10)}
+        assert set(o) == set(d)
+        for doc_id in o:
+            assert o[doc_id] == pytest.approx(d[doc_id], rel=1e-4)
+
+    def test_pure_negative_retrieves_nothing(self):
+        arms = _arms()
+        parsed = parse_query("NOT rust")
+        for name, arm in arms.items():
+            assert arm.search_boolean(parsed, 10) == [], name
+
+    def test_oracle_phrase_beyond_preview_window(self):
+        # exactness: the oracle verifies phrases on FULL content, not the
+        # truncated preview (the device arm's documented bound)
+        mem = MemoryLexicalIndex(preview_chars=16)
+        filler = " ".join(f"pad{i}" for i in range(40))
+        mem.add_document(
+            IndexableDocument(doc_id="deep", content=filler + " hidden exact phrase")
+        )
+        mem.commit()
+        parsed = parse_query('"hidden exact phrase"')
+        assert [r.doc_id for r in mem.search_boolean(parsed, 5)] == ["deep"]
+
+
+class TestSearcherSurface:
+    def _handle(self, tmp_path):
+        root = str(tmp_path / "ix")
+        fe = fs.HashEmbedder(dim=64)
+        fs.IndexBuilder(root).with_documents(DOCS).with_embedder_stack(
+            fs.EmbedderStack(fast=fe)
+        ).build()
+        return fs.open_hybrid(root, fast_embedder=fe)
+
+    def test_phrase_search_end_to_end(self, tmp_path):
+        h = self._handle(tmp_path)
+        out = h.searcher.search('"write ahead log"', k=5)
+        ids = [r.doc_id for r in out.results]
+        assert "wal" in ids
+        assert "scrambled" not in ids
+
+    def test_phrase_with_negation(self, tmp_path):
+        h = self._handle(tmp_path)
+        out = h.searcher.search('"write ahead log" -protocol', k=5)
+        ids = [r.doc_id for r in out.results]
+        assert "wal" not in ids  # contains "protocol"
+        assert "titled" in ids
+
+    def test_and_not_end_to_end(self, tmp_path):
+        h = self._handle(tmp_path)
+        out = h.searcher.search("rust AND async NOT tokio", k=5)
+        ids = [r.doc_id for r in out.results]
+        assert "plain" in ids
+        assert "tokio" not in ids
+
+    def test_batch_routes_structured_queries(self, tmp_path):
+        h = self._handle(tmp_path)
+        queries = ["rust async", '"write ahead log"', "python"]
+        batch = h.searcher.search_batch(queries, k=5)
+        single = [h.searcher.search(q, k=5) for q in queries]
+        for b, s in zip(batch, single):
+            assert [r.doc_id for r in b.results] == [r.doc_id for r in s.results]
+        assert "scrambled" not in [r.doc_id for r in batch[1].results]

@@ -65,6 +65,36 @@ class TestCliContract:
         assert env["ok"]
         assert env["data"][0]["doc_id"] == "sql-1"
 
+    def test_search_quoted_phrase_with_negation(self, index_root):
+        """Boolean lane from the product surface (quill query.rs parity):
+        `search '"write ahead log" -borrowing'` is phrase-correct — docs
+        with the words scrambled or absent don't match, and the negation
+        still excludes."""
+        r = run_cli(
+            "--format", "json", "search", '"write ahead log"',
+            "--root", index_root,
+        )
+        assert r.returncode == 0, r.stderr
+        env = json.loads(r.stdout)
+        ids = [h["doc_id"] for h in env["data"]]
+        assert ids and ids[0] == "sql-1"
+        r2 = run_cli(
+            "--format", "json", "search", '"write ahead log" -transactions',
+            "--root", index_root,
+        )
+        ids2 = [h["doc_id"] for h in json.loads(r2.stdout)["data"]]
+        assert "sql-1" not in ids2  # negated term knocks out the phrase hit
+
+    def test_search_and_not_operators(self, index_root):
+        r = run_cli(
+            "--format", "json", "search", "rust AND ownership NOT sqlite",
+            "--root", index_root,
+        )
+        assert r.returncode == 0, r.stderr
+        ids = [h["doc_id"] for h in json.loads(r.stdout)["data"]]
+        assert "rust-1" in ids
+        assert "sql-1" not in ids
+
     def test_search_table_format(self, index_root):
         r = run_cli("search", "rust ownership", "--root", index_root)
         assert r.returncode == 0, r.stderr
@@ -310,6 +340,31 @@ class TestCliContract:
         assert json.loads(r2.stdout)["data"][0]["doc_id"] == "c.txt"
         r3 = run_cli("--format", "json", "search", "zeppelin unique", "--root", root, "-k", "3")
         assert all(d["doc_id"] != "b.txt" for d in json.loads(r3.stdout)["data"])
+
+    def test_watch_ingested_docs_join_storage_census(self, tmp_path):
+        """Watch-ingested docs must land in the storage census like
+        append-batch's do (seam bug: they were storage-invisible, so
+        negation/phrase filters and phase-3 text couldn't see them)."""
+        corpus = tmp_path / "corpus"
+        corpus.mkdir()
+        (corpus / "a.txt").write_text("alpha beta document")
+        root = str(tmp_path / "ix")
+        run_cli("--format", "json", "index", str(corpus), "--root", root)
+        (corpus / "b.txt").write_text("delta epsilon zeta fresh")
+        r = run_cli("--format", "json", "watch", str(corpus), "--root", root,
+                    "--once", "--cycles", "2", "--debounce", "0")
+        assert json.loads(r.stdout)["ok"]
+        # negation over the watch-ingested doc's text works => storage
+        # (or lexical hydration) sees it
+        got = json.loads(run_cli(
+            "--format", "json", "search", "delta epsilon -fresh",
+            "--root", root, "-k", "3").stdout)["data"]
+        assert all(h["doc_id"] != "b.txt" for h in got)
+        # scrambled phrase over its content is rejected at the surface
+        got = json.loads(run_cli(
+            "--format", "json", "search", '"epsilon delta"',
+            "--root", root, "-k", "3").stdout)["data"]
+        assert all(h["doc_id"] != "b.txt" for h in got)
 
     def test_watch_ndjson_record_level_lifecycle(self, tmp_path):
         """NDJSON corpus batches are watchable at RECORD granularity:
