@@ -73,12 +73,35 @@ BLOCKED_THRESHOLD_POSTINGS = 1 << 21
 DEFAULT_BLOCK_POSTINGS = 1 << 18
 
 
+def _merge_topk_exact(top_s, top_i, s2, i2, k: int):
+    """(score desc, row asc) EXACT merge of two (B, *) candidate sets via
+    a two-key lexicographic sort — unlike carry-first top_k, correct for
+    ANY block processing order (impact ordering interleaves doc rows, so
+    ties must resolve by row, not by arrival)."""
+    merged_s = jnp.concatenate([top_s, s2], axis=1)
+    merged_i = jnp.concatenate([top_i, i2], axis=1)
+    # ascending (-score, row): score desc primary, row asc secondary.
+    # -inf padding becomes +inf and sorts last regardless of its -1 row.
+    sorted_neg, sorted_i = jax.lax.sort((-merged_s, merged_i), num_keys=2)
+    return -sorted_neg[:, :k], sorted_i[:, :k]
+
+
 def _blocked_scan_body(
     blk_term, blk_doc, blk_tf, blk_base, blk_bound, q_idf, *, k: int, d_blk: int
 ):
     """The pruned streaming scan over one set of blocks — shared by the
     single-device jit wrapper and the shard_map local body
-    (parallel/sharded_bm25.py). Returns ((B, k) scores, rows, skipped)."""
+    (parallel/sharded_bm25.py). Returns ((B, k) scores, rows, skipped).
+
+    IMPACT ORDERING (argus.rs block-max discipline, r3): blocks are
+    visited in DESCENDING aggregate-bound order (max over the query
+    batch, computed on device from the precomputed bounds), so the
+    running k-th score rises as early as possible and low-bound tail
+    blocks — including every block containing no query term at all,
+    whose bound is 0 — skip via the block-max check. Processing order no
+    longer matches doc order, so every merge is the two-key exact sort
+    (_merge_topk_exact); result ordering stays bit-identical to the
+    ascending scan."""
     b = q_idf.shape[0]
 
     def score_block(carry, t, d, f, base):
@@ -90,19 +113,25 @@ def _blocked_scan_body(
         kk = min(k, d_blk)
         s2, i2 = jax.lax.top_k(scores, kk)
         i2 = i2 + base
-        merged_s = jnp.concatenate([top_s, s2], axis=1)
-        merged_i = jnp.concatenate([top_i, i2], axis=1)
-        s3, pos = jax.lax.top_k(merged_s, top_s.shape[1])
-        i3 = jnp.take_along_axis(merged_i, pos, axis=1)
-        return s3, i3
+        return _merge_topk_exact(top_s, top_i, s2, i2, top_s.shape[1])
 
-    def step(carry, blk):
+    def step(carry, p):
         top_s, top_i, skipped = carry
-        t, d, f, base, bound = blk
+        t = jnp.take(blk_term, p, axis=0)
+        d = jnp.take(blk_doc, p, axis=0)
+        f = jnp.take(blk_tf, p, axis=0)
+        base = jnp.take(blk_base, p, axis=0)
+        bound = jnp.take(blk_bound, p, axis=0)
         kth = top_s[:, -1]  # current k-th best per query
         # f32 slack guard: the bound and the real sum round differently
         safe_bound = bound * jnp.float32(1.0 + 1e-6) + jnp.float32(1e-6)
-        skip = jnp.all(safe_bound < kth)
+        # a zero-bound block (no query term touches it, for ANY query)
+        # can only yield score-0 docs, which the host's score>0 filter
+        # drops — always skippable, even while the heap still holds 0s
+        # (per-term block skipping, argus.rs Should-union role)
+        skip = jnp.logical_or(
+            jnp.all(safe_bound < kth), jnp.all(bound <= jnp.float32(0.0))
+        )
         top_s, top_i = jax.lax.cond(
             skip,
             lambda c: c,
@@ -111,14 +140,17 @@ def _blocked_scan_body(
         )
         return (top_s, top_i, skipped + skip.astype(jnp.int32)), None
 
+    # visit order: descending per-batch aggregate bound (stable ties keep
+    # doc order); infinite bounds (no block-max metadata) degrade to the
+    # plain ascending scan
+    agg = jnp.max(blk_bound, axis=1)  # (n_blk,)
+    perm = jnp.argsort(-agg, stable=True).astype(jnp.int32)
     init = (
         jnp.full((b, k), -jnp.inf, jnp.float32),
         jnp.full((b, k), -1, jnp.int32),
         jnp.int32(0),
     )
-    (top_s, top_i, skipped), _ = jax.lax.scan(
-        step, init, (blk_term, blk_doc, blk_tf, blk_base, blk_bound)
-    )
+    (top_s, top_i, skipped), _ = jax.lax.scan(step, init, perm)
     return top_s, top_i, skipped
 
 

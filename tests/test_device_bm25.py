@@ -225,6 +225,43 @@ class TestBlockMaxPruning:
             want = [(c.doc_id, round(c.score, 5)) for c in mem.search_candidates(q, 10)]
             assert got == want, (q, got, want)
 
+    def test_rare_term_skips_zero_bound_blocks(self):
+        """r3 per-term skipping: a block no query term touches has bound
+        0 and can ONLY yield score-0 docs (host-filtered) — it skips even
+        while the heap's kth is still 0 (k > total matches). Before r3
+        the additive epsilon guard blocked this (1e-6 < 0 is false), so
+        rare queries with few matches scanned every block."""
+        _, dev = self._blocked_index(self._corpus())
+        n_blk = dev._blocked.n_blk
+        assert n_blk > 3
+        dev.search_candidates("filler7", 10)  # 1 match, budget 10
+        assert dev.last_blocks_skipped == n_blk - 1
+
+    def test_impact_order_preserves_exact_ordering(self):
+        """Impact ordering interleaves doc rows; the two-key sort merge
+        must keep (score desc, row asc) bit-identical to the oracle —
+        including tie classes at the k boundary (equal-score docs must
+        keep the LOWEST rows)."""
+        from frankensearch_tpu.core.types import IndexableDocument
+
+        # 60 identical docs (one tie class) + strong docs at the END so
+        # impact order visits late blocks first
+        docs = [
+            IndexableDocument(doc_id=f"t{i:03d}", content="alpha beta")
+            for i in range(60)
+        ]
+        docs += [
+            IndexableDocument(doc_id=f"z{i:03d}", content="alpha " * 9 + "beta")
+            for i in range(10)
+        ]
+        mem, dev = self._blocked_index(docs)
+        got = [(c.doc_id, round(c.score, 5)) for c in dev.search_candidates("alpha", 20)]
+        want = [(c.doc_id, round(c.score, 5)) for c in mem.search_candidates("alpha", 20)]
+        assert got == want
+        # the tie class fills with the lexicographically-first doc ids
+        tie_ids = [d for d, _ in got if d.startswith("t")]
+        assert tie_ids == [f"t{i:03d}" for i in range(len(tie_ids))]
+
     def test_bounds_are_true_upper_bounds(self):
         import numpy as np
 

@@ -1,0 +1,143 @@
+"""Selectivity-stratified block-max pruning curve (VERDICT r2 task 4).
+
+The r2 ledger honestly recorded "pruning engaged 0 blocks" on the 1M
+hybrid e2e: the skip test is batch-AND (every query in the batch must be
+past the block bound) and blocks were scanned in doc order, so the
+running k-th score rose too late. r3 adds impact ordering (blocks visit
+in descending per-batch aggregate bound) and zero-bound skipping (a
+block none of the batch's terms touch can only yield host-filtered
+score-0 docs). This bench reports the pruning-rate x selectivity curve
+the reference's block-max metadata (quill argus.rs:1-8) is judged by:
+
+- rare:   query terms with df <= ~100 docs (needle queries)
+- mid:    df ~ 1k-10k
+- common: the corpus's head terms (zipf-common; worst case)
+- mixed:  zipf-sampled terms, the 1M-hybrid e2e distribution
+
+For each class: B=64 homogeneous batch and B=1 singleton, pruning rate
+(skipped / total blocks) and kernel ms (slope-timed when on TPU).
+
+Usage: python -m tools.bench_bm25_selectivity [n_docs] [batch]
+Prints one JSON line per (class, batch) cell.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+
+    import jax
+    import jax.numpy as jnp
+
+    from frankensearch_tpu.lexical.device_bm25 import (
+        _build_blocked,
+        _device_bm25_blocked,
+    )
+
+    platform = jax.devices()[0].platform
+    rng = np.random.default_rng(0)
+    per_doc = 120
+    vocab = 400_000
+    p = n_docs * per_doc
+    docs_all = np.repeat(np.arange(n_docs, dtype=np.int64), per_doc)
+    terms_all = (rng.zipf(1.3, size=p) - 1) % vocab
+    tf_all = rng.integers(1, 5, size=p).astype(np.float32) * 0.37
+
+    blocked = _build_blocked(
+        terms_all, docs_all, tf_all, n_docs=n_docs, vocab_size=vocab
+    )
+    n_blk = blocked.n_blk
+    k = 100
+    # ~e2e query shape: the 1M-hybrid bench draws 3 zipf words per query
+    t_q = 4
+
+    # stratify the vocabulary by document frequency
+    df = np.bincount(terms_all, minlength=vocab)
+    classes = {
+        "rare": np.flatnonzero((df >= 1) & (df <= 100)),
+        "mid": np.flatnonzero((df >= 1_000) & (df <= 10_000)),
+        "common": np.argsort(-df)[:64],
+    }
+
+    def make_queries(cls: str, b: int) -> tuple[np.ndarray, np.ndarray]:
+        if cls == "mixed":
+            ids = ((rng.zipf(1.3, size=(b, t_q)) - 1) % vocab).astype(np.int32)
+        else:
+            pool = classes[cls]
+            ids = rng.choice(pool, size=(b, t_q)).astype(np.int32)
+        # idf-like weights from the actual dfs (rare terms weigh more,
+        # like real queries through the idf table)
+        w = np.log1p((n_docs - df[ids] + 0.5) / (df[ids] + 0.5)).astype(np.float32)
+        return ids, w
+
+    def run_cell(cls: str, b: int) -> None:
+        ids_np, w_np = make_queries(cls, b)
+        t0 = time.perf_counter()
+        bounds_np = blocked.query_bounds(ids_np, w_np)
+        bounds_ms = (time.perf_counter() - t0) * 1e3
+        ids, w = jnp.asarray(ids_np), jnp.asarray(w_np)
+        bounds = jnp.asarray(bounds_np)
+
+        top_s, top_i, skipped = _device_bm25_blocked(
+            blocked.blk_term, blocked.blk_doc, blocked.blk_tf,
+            blocked.blk_base, bounds, ids, w,
+            v_pad=blocked.v_pad, k=k, d_blk=blocked.d_blk,
+        )
+        skipped = int(skipped)
+
+        # slope timing via chained reps (tunnel-safe)
+        @functools.partial(jax.jit, static_argnames=("reps",))
+        def chain(bounds, ids, w, reps: int):
+            def body(i, carry):
+                w_c, acc = carry
+                s, _, _ = _device_bm25_blocked(
+                    blocked.blk_term, blocked.blk_doc, blocked.blk_tf,
+                    blocked.blk_base, bounds, ids, w_c,
+                    v_pad=blocked.v_pad, k=k, d_blk=blocked.d_blk,
+                )
+                return (w + 1e-7 * jnp.mean(s), acc + jnp.sum(s))
+
+            _, acc = jax.lax.fori_loop(0, reps, body, (w, jnp.float32(0.0)))
+            return acc
+
+        def timed(reps: int) -> float:
+            t0 = time.perf_counter()
+            float(chain(bounds, ids, w, reps=reps))
+            return time.perf_counter() - t0
+
+        r_lo, r_hi = (2, 8) if platform != "cpu" else (1, 2)
+        timed(r_lo)
+        samples = [
+            (timed(r_hi) - timed(r_lo)) / (r_hi - r_lo) for _ in range(3)
+        ]
+        per_batch = float(np.median(samples))
+        print(json.dumps({
+            "metric": "bm25_pruning_selectivity",
+            "class": cls,
+            "batch": b,
+            "n_docs": n_docs,
+            "n_blocks": n_blk,
+            "blocks_skipped": skipped,
+            "pruning_rate": round(skipped / n_blk, 4),
+            "kernel_ms": round(per_batch * 1e3, 3),
+            "qps": round(b / per_batch, 1),
+            "bounds_ms": round(bounds_ms, 2),
+            "platform": platform,
+        }), flush=True)
+
+    for cls in ("rare", "mid", "common", "mixed"):
+        for b in (1, batch):
+            run_cell(cls, b)
+
+
+if __name__ == "__main__":
+    main()

@@ -10,7 +10,10 @@ Reports warm per-phase wall latencies (tunnel-bound: each device
 dispatch costs ~300-400 ms RPC here; device compute for these shapes is
 measured separately by tools/bench_quality_tier.py slope rows).
 
-Usage: python -m tools.bench_e2e_phases [n_docs] [n_queries]
+Usage: python -m tools.bench_e2e_phases [n_docs] [n_queries] [fast_tier]
+``fast_tier`` is "hash" (default at 10k — the fsfs-parity golden
+profile) or "m2v" (Model2Vec, the BASELINE "100k docs with MiniLM
+rerank" config).
 Prints ONE JSON line.
 """
 
@@ -26,6 +29,7 @@ import numpy as np
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    fast_tier = sys.argv[3] if len(sys.argv) > 3 else "hash"
 
     import jax
 
@@ -57,7 +61,6 @@ def main() -> None:
     )
     reranker = CrossEncoderReranker(params, cfg, tok, reranker_id="xenc-realshape")
 
-    fast = HashEmbedder(dim=256)
     docs = []
     texts = {}
     for i in range(n_docs):
@@ -66,12 +69,27 @@ def main() -> None:
         texts[f"d{i}"] = body
     doc_ids = [f"d{i}" for i in range(n_docs)]
 
+    if fast_tier == "m2v":
+        from frankensearch_tpu.embed.model2vec import (
+            Model2VecEmbedder,
+            SimpleWordTokenizer,
+        )
+
+        m2v_vocab = {w: i for i, w in enumerate(words + ["topic"])}
+        emb_matrix = rng.standard_normal((len(m2v_vocab), 256)).astype(np.float32)
+        fast = Model2VecEmbedder(
+            emb_matrix, SimpleWordTokenizer(m2v_vocab), embedder_id="m2v-e2e"
+        )
+    else:
+        fast = HashEmbedder(dim=256)
+
     t0 = time.monotonic()
-    fast_vecs = fast.embed_batch(docs)
+    fast_vecs = np.asarray(fast.embed_batch(docs))
     # quality tier vectors: real-shape forward over the corpus, batched
+    # (1024-doc chunks: fewer tunnel dispatches at 100k scale)
     q_chunks = []
-    for s in range(0, n_docs, 256):
-        q_chunks.append(quality.embed_batch(docs[s:s + 256]))
+    for s in range(0, n_docs, 1024):
+        q_chunks.append(quality.embed_batch(docs[s:s + 1024]))
     quality_vecs = np.concatenate(q_chunks, axis=0)
     embed_s = time.monotonic() - t0
 
@@ -114,11 +132,20 @@ def main() -> None:
 
     assert {"initial"} <= phases_seen, phases_seen
     med = {k: round(float(np.median(v)), 2) for k, v in lat.items()}
+    pct = {
+        k: {
+            "p50": round(float(np.percentile(v, 50)), 2),
+            "p95": round(float(np.percentile(v, 95)), 2),
+            "p99": round(float(np.percentile(v, 99)), 2),
+        }
+        for k, v in lat.items()
+    }
     print(json.dumps({
-        "metric": f"e2e_phases_realshape_{n_docs // 1000}k",
+        "metric": f"e2e_phases_realshape_{n_docs // 1000}k_{fast_tier}",
         "value": med["total"],
         "unit": "ms/query (warm, tunnel-bound)",
         "phase_ms": med,
+        "percentiles_ms": pct,
         "phases_seen": sorted(phases_seen),
         "corpus_quality_embed_s": round(embed_s, 1),
         "corpus_quality_docs_per_s": round(n_docs / embed_s, 1),

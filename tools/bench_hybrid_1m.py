@@ -8,7 +8,9 @@ block-max pruning), RRF fusion on host — measured through
 Synthetic-but-real text corpus (zipf vocab): the native tokenizer,
 postings build, device kernels and fusion all do their real work.
 
-Usage: python -m tools.bench_hybrid_1m [n_docs] [batch] [n_batches]
+Usage: python -m tools.bench_hybrid_1m [n_docs] [batch] [n_batches] [slab_dtype]
+``slab_dtype=int8`` runs the capacity lane (2x docs/chip; the BASELINE
+"10M docs" config: int8 slab + blocked/pruned BM25 + host fusion).
 Prints ONE JSON line.
 """
 
@@ -26,6 +28,7 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     n_batches = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    slab_dtype = sys.argv[4] if len(sys.argv) > 4 else "bf16"
 
     import jax
 
@@ -65,7 +68,9 @@ def main() -> None:
     t0 = time.perf_counter()
     root = tempfile.mkdtemp(prefix="hybrid1m_")
     doc_ids = [f"d{i:07d}" for i in range(n_docs)]
-    index = TwoTierIndex.create(root, fast_vecs, doc_ids, m2v.identity())
+    index = TwoTierIndex.create(
+        root, fast_vecs, doc_ids, m2v.identity(), slab_dtype=slab_dtype
+    )
     index_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -78,7 +83,10 @@ def main() -> None:
 
     searcher = TwoTierSearcher(
         index, m2v, lexical=lexical,
-        config=TwoTierConfig(fast_only=True),
+        config=TwoTierConfig(
+            fast_only=True,
+            scan_mode="int8" if slab_dtype == "int8" else "auto",
+        ),
         cache_query_embeddings=False,
     )
 
@@ -105,7 +113,8 @@ def main() -> None:
     skipped = getattr(lexical, "last_blocks_skipped", None)
 
     print(json.dumps({
-        "metric": f"hybrid_e2e_{n_docs // 1000}k",
+        "metric": f"hybrid_e2e_{n_docs // 1000}k"
+                  + ("_int8" if slab_dtype == "int8" else ""),
         "value": round(batch / per_batch, 1),
         "unit": "qps (hybrid, fused RRF, host fusion incl.)",
         "per_batch_s": round(per_batch, 3),

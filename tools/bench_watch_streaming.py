@@ -1,0 +1,162 @@
+"""Incremental watch + progressive streaming in ONE run — BASELINE config 5.
+
+The BASELINE rebuild-target matrix's last cell: "incremental watch +
+progressive streaming on a pod slice" — a corpus being updated WHILE the
+same index serves progressive (Initial -> Refined) queries. This runs
+both concurrently against one hybrid handle:
+
+- writer thread: appends batches through the WAL path (group-commit
+  durability window) + the lease-bounded lexical delta, exactly the
+  `fsfs watch --durability-window` composition;
+- searcher thread: streams per-phase results via on_phase callbacks
+  (the serve --stream / stream_protocol path), recording per-phase
+  latency percentiles under concurrent write load;
+- plus update->searchable latency sampled mid-stream.
+
+Usage: python -m tools.bench_watch_streaming [n_base] [n_queries] [upd_batch]
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+
+
+def main() -> None:
+    n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 60
+    upd_batch = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+
+    import jax
+    import tempfile
+
+    import frankensearch_tpu as fs
+    from frankensearch_tpu.core.types import IndexableDocument, PhaseKind
+
+    platform = jax.devices()[0].platform
+    rng = np.random.default_rng(0)
+    words = [f"w{i:04d}" for i in range(3000)]
+
+    def make_doc(i: int) -> IndexableDocument:
+        body = " ".join(rng.choice(words, size=20))
+        return IndexableDocument(doc_id=f"d{i:07d}", content=body)
+
+    root = tempfile.mkdtemp(prefix="watchstream_")
+    base_docs = [make_doc(i) for i in range(n_base)]
+    fe = fs.HashEmbedder(dim=256)
+    qe = fs.HashEmbedder(dim=384)
+    t0 = time.perf_counter()
+    fs.IndexBuilder(root).with_documents(base_docs).with_embedder_stack(
+        fs.EmbedderStack(fast=fe, quality=qe)
+    ).build()
+    build_s = time.perf_counter() - t0
+    handle = fs.open_hybrid(root, fast_embedder=fe, quality_embedder=qe)
+    handle.index.wal_sync = "deferred"  # the durability-window policy
+
+    stop = threading.Event()
+    upd_stats = {"batches": 0, "docs": 0, "searchable_ms": []}
+
+    def writer() -> None:
+        i = n_base
+        while not stop.is_set():
+            batch = [make_doc(i + j) for j in range(upd_batch)]
+            i += upd_batch
+            texts = [d.content for d in batch]
+            ids = [d.doc_id for d in batch]
+            t0 = time.perf_counter()
+            vecs = handle.searcher.fast_embedder.embed_batch(texts)
+            handle.index.append_fast(ids, np.asarray(vecs))
+            if handle.delta is not None:
+                for d in batch:
+                    handle.delta.add_document(d)
+                handle.delta.commit()
+            # update -> searchable probe: the batch's first doc must be
+            # findable through the index NOW
+            hits = handle.index.search_fast_classified(np.asarray(vecs)[0], 1)
+            found = hits.hits and hits.hits[0].doc_id == ids[0]
+            dt = (time.perf_counter() - t0) * 1e3
+            upd_stats["batches"] += 1
+            upd_stats["docs"] += len(batch)
+            if found:
+                upd_stats["searchable_ms"].append(dt)
+            handle.index.sync_wal()  # one group commit per cycle
+            stop.wait(0.02)
+
+    lat: dict[str, list[float]] = {"initial": [], "refined": [], "total": []}
+    queries = [" ".join(rng.choice(words, size=3)) for _ in range(n_queries)]
+    # warm compiles before measurement: the search shapes AND the
+    # append/regrow shapes (first with_appended pays a slab-regrow
+    # compile that is setup, not steady-state)
+    handle.searcher.search(queries[0], k=10)
+    warm_batch = [make_doc(10_000_000 + j) for j in range(upd_batch)]
+    handle.index.append_fast(
+        [d.doc_id for d in warm_batch],
+        np.asarray(handle.searcher.fast_embedder.embed_batch(
+            [d.content for d in warm_batch]
+        )),
+    )
+
+    wt = threading.Thread(target=writer, daemon=True)
+    t_serve0 = time.perf_counter()
+    wt.start()
+    try:
+        for q in queries:
+            phase_at: dict[str, float] = {}
+            t0 = time.perf_counter()
+
+            def on_phase(p, _t0=t0, _d=phase_at):
+                _d[p.kind.value] = (time.perf_counter() - _t0) * 1e3
+
+            out = handle.searcher.search(q, k=10, on_phase=on_phase)
+            lat["total"].append((time.perf_counter() - t0) * 1e3)
+            if PhaseKind.INITIAL.value in phase_at:
+                lat["initial"].append(phase_at[PhaseKind.INITIAL.value])
+            if PhaseKind.REFINED.value in phase_at:
+                lat["refined"].append(phase_at[PhaseKind.REFINED.value])
+            assert out.results is not None
+    finally:
+        stop.set()
+        wt.join(timeout=10)
+    serve_s = time.perf_counter() - t_serve0
+
+    def pct(v):
+        if not v:
+            return None
+        return {
+            "p50": round(float(np.percentile(v, 50)), 2),
+            "p95": round(float(np.percentile(v, 95)), 2),
+        }
+
+    print(json.dumps({
+        "metric": "watch_plus_streaming",
+        "value": round(n_queries / serve_s, 1),
+        "unit": "qps streamed while ingesting",
+        "n_base_docs": n_base,
+        "build_s": round(build_s, 1),
+        "phase_latency_ms": {k: pct(v) for k, v in lat.items()},
+        "concurrent_updates": {
+            "docs": upd_stats["docs"],
+            "updates_per_s": round(upd_stats["docs"] / serve_s, 1),
+            "update_to_searchable_ms": pct(upd_stats["searchable_ms"]),
+        },
+        "doc_count_end": handle.index.doc_count(),
+        "platform": platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()
