@@ -122,6 +122,126 @@ def load_encoder_embedder(model_dir: str, **kw) -> TransformerEmbedder:
     return TransformerEmbedder.from_dir(model_dir, **kw)
 
 
+# -- trained-encoder artifacts -------------------------------------------------
+#
+# finetune_quality_tier (parallel/train.py) produces TRAINED params that
+# must survive as a deployable artifact with fail-closed conformance: the
+# golden-vector certificate path (core/generation.py, generation.rs
+# golden-vector certificates) pins the embedding space at save time and
+# re-verifies it at load.
+
+ARTIFACT_META = "encoder.json"
+ARTIFACT_PARAMS = "params.npz"
+
+
+def _flat_params(params) -> dict[str, np.ndarray]:
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    leaves, _ = tree_flatten_with_path(params)
+    return {keystr(path): np.asarray(leaf) for path, leaf in leaves}
+
+
+def save_artifact(embedder: TransformerEmbedder, out_dir: str) -> None:
+    """Persist a (possibly trained) TransformerEmbedder as a
+    self-contained artifact: params.npz + encoder.json carrying the
+    config, WordPiece vocab, identity, and a golden-vector certificate
+    over the deterministic conformance probes."""
+    import dataclasses
+    import json
+    import os
+
+    from frankensearch_tpu.core.generation import (
+        CONFORMANCE_PROBES,
+        GoldenVectorCertificate,
+    )
+    from frankensearch_tpu.rerank.tokenizer import WordPieceTokenizer
+
+    if not isinstance(embedder.tokenizer, WordPieceTokenizer):
+        raise ValueError(
+            "save_artifact requires the self-contained WordPiece tokenizer "
+            "(HF-tokenizer models are already directories; keep using them)"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    np.savez(os.path.join(out_dir, ARTIFACT_PARAMS), **_flat_params(embedder.params))
+    golden = GoldenVectorCertificate.compute(
+        embedder.embedder_id,
+        CONFORMANCE_PROBES,
+        embedder.embed_batch(list(CONFORMANCE_PROBES)),
+    )
+    meta = {
+        "format": "ftenc.v1",
+        "embedder_id": embedder.embedder_id,
+        "revision": embedder.revision,
+        "max_tokens": embedder.max_tokens,
+        "cfg": dataclasses.asdict(embedder.cfg),
+        "vocab": embedder.tokenizer.vocab,
+        "tokenizer_max_len": embedder.tokenizer.max_len,
+        "golden": golden.to_dict(),
+    }
+    tmp = os.path.join(out_dir, ARTIFACT_META + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, ARTIFACT_META))
+
+
+def load_artifact(artifact_dir: str, *, verify: bool = True) -> TransformerEmbedder:
+    """Load a save_artifact dir; with ``verify`` (default) the golden
+    vectors are recomputed and the certificate checked FAIL-CLOSED — a
+    drifted runtime cannot silently serve a different embedding space."""
+    import json
+    import os
+
+    from frankensearch_tpu.core.errors import IndexCorrupted
+    from frankensearch_tpu.core.generation import (
+        CONFORMANCE_PROBES,
+        GoldenVectorCertificate,
+    )
+    from frankensearch_tpu.rerank.tokenizer import WordPieceTokenizer
+
+    with open(os.path.join(artifact_dir, ARTIFACT_META), encoding="utf-8") as f:
+        meta = json.load(f)
+    if meta.get("format") != "ftenc.v1":
+        raise IndexCorrupted(f"unsupported encoder artifact {meta.get('format')!r}")
+    cfg = BertConfig(**meta["cfg"])
+    tok = WordPieceTokenizer(
+        {str(k): int(v) for k, v in meta["vocab"].items()},
+        max_len=int(meta["tokenizer_max_len"]),
+    )
+    blob = np.load(os.path.join(artifact_dir, ARTIFACT_PARAMS))
+    template = init_params(cfg, seed=0)
+    flat_keys = list(_flat_params(template).keys())
+    missing = [k for k in flat_keys if k not in blob.files]
+    if missing:
+        raise IndexCorrupted(f"encoder artifact missing params: {missing[:3]}")
+    import jax
+
+    from jax.tree_util import keystr, tree_flatten_with_path, tree_unflatten
+
+    leaves, _ = tree_flatten_with_path(template)
+    rebuilt = tree_unflatten(
+        jax.tree_util.tree_structure(template),
+        [jnp.asarray(blob[keystr(path)]) for path, _ in leaves],
+    )
+    emb = TransformerEmbedder(
+        rebuilt, cfg, tok,
+        embedder_id=meta["embedder_id"], revision=meta.get("revision", ""),
+        max_tokens=int(meta.get("max_tokens", 256)),
+    )
+    if verify:
+        got = GoldenVectorCertificate.compute(
+            emb.embedder_id, CONFORMANCE_PROBES,
+            emb.embed_batch(list(CONFORMANCE_PROBES)),
+        )
+        want = meta["golden"]
+        if got.vectors_sha256 != want["vectors_sha256"]:
+            raise IndexCorrupted(
+                f"golden-vector certificate mismatch for {emb.embedder_id}: "
+                f"runtime produces a different embedding space than at save "
+                f"time ({got.vectors_sha256[:12]} != {want['vectors_sha256'][:12]})"
+            )
+    return emb
+
+
 def random_transformer_embedder(
     corpus_words: list[str],
     *,

@@ -1,0 +1,89 @@
+"""Trained quality-tier artifact regression (VERDICT r2 task 2).
+
+`tools/train_quality_lift.py` trains the JAX encoder contrastively
+(parallel/train.py InfoNCE) on a synthesized paraphrase corpus and
+proved Refined nDCG > Initial nDCG on HELD-OUT queries with a bootstrap
+CI excluding zero (delta +0.058 CI [0.041, 0.077]; untrained control
+not significant — docs/SEARCH_QUALITY_FINDINGS.md round-3 section).
+
+This regression test pins that result's artifact: the committed
+`data/quality_encoder` must (a) load with its golden-vector certificate
+verified FAIL-CLOSED (core/generation.py cert path), and (b) still
+deliver a Refined-over-Initial lift on a held-out slice — catching both
+runtime-drift of the embedding space and regressions in the phase-2
+rescore path that would erase the trained lift.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+ARTIFACT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "data", "quality_encoder")
+
+
+@pytest.fixture(scope="module")
+def trained():
+    from frankensearch_tpu.rerank.encoder import load_artifact
+
+    return load_artifact(ARTIFACT)  # verify=True: golden cert fail-closed
+
+
+class TestTrainedArtifact:
+    def test_golden_certificate_verifies(self, trained):
+        assert trained.embedder_id.endswith("-tuned")
+        assert trained.dim == 64
+
+    def test_tampered_cert_fails_closed(self, tmp_path):
+        import json
+        import shutil
+
+        from frankensearch_tpu.core.errors import IndexCorrupted
+        from frankensearch_tpu.rerank.encoder import load_artifact
+
+        bad = str(tmp_path / "enc")
+        shutil.copytree(ARTIFACT, bad)
+        meta_path = os.path.join(bad, "encoder.json")
+        with open(meta_path, encoding="utf-8") as f:
+            meta = json.load(f)
+        meta["golden"]["vectors_sha256"] = "0" * 64
+        with open(meta_path, "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+        with pytest.raises(IndexCorrupted):
+            load_artifact(bad)
+
+    def test_trained_encoder_bridges_synonyms(self, trained):
+        """The learned property itself: canonical and synonym words from
+        the training dictionary embed closer than unrelated words."""
+        sim = lambda a, b: float(
+            np.dot(trained.embed_batch([a])[0], trained.embed_batch([b])[0])
+        )
+        syn = np.mean([sim(f"cw{i:03d}", f"sy{i:03d}") for i in (0, 7, 42, 99)])
+        rand = np.mean([sim(f"cw{i:03d}", f"sy{(i + 13) % 100:03d}") for i in (0, 7, 42, 99)])
+        assert syn > rand + 0.2, (syn, rand)
+
+    def test_refined_beats_initial_on_held_out_slice(self, trained):
+        """Phase-2 rescoring with the trained tier must still lift nDCG
+        on held-out topics (slice of the full 45-topic eval for test
+        budget; the full CI run is the tool's job)."""
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(ARTIFACT), "..", "tools"))
+        from tools.train_quality_lift import (
+            build_paraphrase_world,
+            eval_phase_lift,
+            term_identity_fast,
+        )
+
+        _, eval_docs, eval_queries, eval_qrels, all_words = build_paraphrase_world()
+        n = 12  # slice; same world seed as the artifact's training run
+        keep_ids = {d.doc_id for d in eval_docs if int(d.doc_id.split("-")[0][2:]) < n}
+        docs = [d for d in eval_docs if d.doc_id in keep_ids]
+        fast = term_identity_fast(all_words)
+        init_n, ref_n = eval_phase_lift(
+            docs, eval_queries[:n], eval_qrels[:n], fast, trained
+        )
+        assert float(np.mean(ref_n)) > float(np.mean(init_n)), (
+            np.mean(init_n), np.mean(ref_n)
+        )

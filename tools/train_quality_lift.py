@@ -1,0 +1,250 @@
+"""Train the quality tier, prove Phase 2 lifts ranking — VERDICT r2 task 2.
+
+Zero egress blocks model *weights*, not *learning*. This experiment uses
+`parallel/train.py`'s contrastive InfoNCE step to train the JAX encoder
+(`rerank/bert.py`) on a locally synthesized paraphrase corpus, then shows
+that with the TRAINED encoder as the quality tier, the Refined phase
+measurably outranks the Initial phase on HELD-OUT queries — with a
+paired-bootstrap CI that excludes zero — while an UNTRAINED control shows
+no such lift. Methodology mirrors the reference's quality harness
+discipline (/root/reference/docs/quality_harness/README.md:24-36): the
+numbers differ (synthetic world), the lift-demonstration must not.
+
+World (seeded): a GLOBAL synonym dictionary of word pairs (canonical_i ↔
+synonym_i). Topics draw 4 dictionary words; docs paraphrase (synonyms),
+queries use canonical words. Training pairs come from TRAIN topics only;
+eval topics are held out, so the encoder must have learned word-level
+synonymy, not topic answers. The fast tier stays term-identity
+(synonym-blind) — the quality tier is the only thing that can bridge the
+paraphrase gap, so any Refined>Initial delta is attributable to training.
+
+Run (CPU, deterministic):
+    JAX_PLATFORMS=cpu python tools/train_quality_lift.py --save data/quality_encoder
+
+Real-shape run (TPU; MiniLM dims, ledger row):
+    python tools/train_quality_lift.py --hidden 384 --layers 6 --heads 12 --steps 300
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+# honor an explicit JAX_PLATFORMS even though the box's sitecustomize
+# re-pins the axon TPU plugin (same pattern as cli/main.py); the --save
+# artifact should be produced on CPU so its golden-vector certificate
+# verifies under the CPU test harness
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+
+
+def build_paraphrase_world(
+    *, n_dict: int = 100, n_train_topics: int = 90, n_eval_topics: int = 45,
+    seed: int = 11,
+):
+    """Global synonym dictionary + disjoint train/eval topic splits."""
+    from frankensearch_tpu.core.types import IndexableDocument
+
+    rng = np.random.default_rng(seed)
+    canon_words = [f"cw{i:03d}" for i in range(n_dict)]
+    syn_words = [f"sy{i:03d}" for i in range(n_dict)]
+    filler = [f"fil{i:03d}" for i in range(150)]
+
+    def draw_topic():
+        idx = rng.choice(n_dict, size=4, replace=False)
+        return [canon_words[i] for i in idx], [syn_words[i] for i in idx]
+
+    train_pairs: list[tuple[str, str]] = []
+    for _ in range(n_train_topics):
+        canon, syns = draw_topic()
+        q = " ".join(canon)
+        d = " ".join(syns) + " " + " ".join(rng.choice(filler, size=4))
+        train_pairs.append((q, d))
+
+    eval_docs: list[IndexableDocument] = []
+    eval_queries: list[str] = []
+    eval_qrels: list[dict[str, float]] = []
+    for t in range(n_eval_topics):
+        canon, syns = draw_topic()
+        pad = lambda: " ".join(rng.choice(filler, size=6))
+        rel: dict[str, float] = {}
+        d = f"ev{t}-exact"
+        eval_docs.append(IndexableDocument(doc_id=d, content=" ".join(canon) + " " + pad()))
+        rel[d] = 3.0
+        # paraphrase with ONE canonical anchor: enters the phase-1 pool
+        # low (1/4 surface overlap), and only a synonym-aware quality
+        # tier can rank it where grade 2 belongs
+        d = f"ev{t}-para"
+        eval_docs.append(
+            IndexableDocument(
+                doc_id=d, content=canon[0] + " " + " ".join(syns[1:]) + " " + pad()
+            )
+        )
+        rel[d] = 2.0
+        d = f"ev{t}-part"
+        eval_docs.append(
+            IndexableDocument(doc_id=d, content=" ".join(canon[:2]) + " " + pad())
+        )
+        rel[d] = 1.0
+        other = [canon_words[(rng.integers(n_dict))]]
+        eval_docs.append(
+            IndexableDocument(doc_id=f"ev{t}-noise", content=other[0] + " " + pad())
+        )
+        eval_queries.append(" ".join(canon))
+        eval_qrels.append(rel)
+
+    all_words = canon_words + syn_words + filler
+    return train_pairs, eval_docs, eval_queries, eval_qrels, all_words
+
+
+def term_identity_fast(all_words, dim=128, seed=3):
+    from frankensearch_tpu.embed.model2vec import (
+        Model2VecEmbedder,
+        SimpleWordTokenizer,
+    )
+
+    rng = np.random.default_rng(seed)
+    emb = rng.standard_normal((len(all_words), dim)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = {w: i for i, w in enumerate(all_words)}
+    return Model2VecEmbedder(
+        emb, SimpleWordTokenizer(ids), embedder_id="fast-term-id", revision="tl1"
+    )
+
+
+def eval_phase_lift(eval_docs, eval_queries, eval_qrels, fast, quality, *, cfg=None):
+    """Per-query (initial nDCG, refined nDCG) from the SAME search call's
+    phase stream — the Refined-vs-Initial paired comparison."""
+    import tempfile
+
+    from frankensearch_tpu.core.config import TwoTierConfig
+    from frankensearch_tpu.core.metrics_eval import ndcg_at_k
+    from frankensearch_tpu.core.types import PhaseKind
+    from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+    from frankensearch_tpu.index.two_tier import TwoTierIndex
+    from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+
+    texts = [d.content for d in eval_docs]
+    ids = [d.doc_id for d in eval_docs]
+    root = tempfile.mkdtemp(prefix="qlift_")
+    index = TwoTierIndex.create(
+        root, fast.embed_batch(texts), ids, fast.identity(),
+        quality_vectors=np.asarray(quality.embed_batch(texts)),
+        quality_identity=quality.identity(),
+        use_pallas=False,
+    )
+    lex = MemoryLexicalIndex()
+    for d in eval_docs:
+        lex.add_document(d)
+    lex.commit()
+    searcher = TwoTierSearcher(
+        index, fast, lexical=lex, quality_embedder=quality,
+        config=cfg or TwoTierConfig(), cache_query_embeddings=False,
+    )
+    initial_n, refined_n = [], []
+    for q, rel in zip(eval_queries, eval_qrels):
+        out = searcher.search(q, k=10)
+        by_kind = {p.kind: p for p in out.phases}
+        init = by_kind.get(PhaseKind.INITIAL)
+        ref = by_kind.get(PhaseKind.REFINED, init)
+        initial_n.append(ndcg_at_k([r.doc_id for r in init.results], rel, 10))
+        refined_n.append(ndcg_at_k([r.doc_id for r in ref.results], rel, 10))
+    return initial_n, refined_n
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--hidden", type=int, default=64)
+    ap.add_argument("--layers", type=int, default=2)
+    ap.add_argument("--heads", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--save", default="", help="save the trained artifact here")
+    ap.add_argument("--rescan", action="store_true",
+                    help="also evaluate the quality_rescan pool-expansion lane")
+    args = ap.parse_args()
+
+    import jax
+
+    platform = jax.devices()[0].platform
+
+    from frankensearch_tpu.core.metrics_eval import bootstrap_compare
+    from frankensearch_tpu.parallel.train import finetune_quality_tier
+    from frankensearch_tpu.rerank.encoder import (
+        random_transformer_embedder,
+        save_artifact,
+    )
+
+    train_pairs, eval_docs, eval_queries, eval_qrels, all_words = (
+        build_paraphrase_world(seed=args.seed)
+    )
+    fast = term_identity_fast(all_words)
+    untrained = random_transformer_embedder(
+        all_words, hidden=args.hidden, layers=args.layers, heads=args.heads,
+        seed=args.seed,
+    )
+
+    t0 = time.perf_counter()
+    trained, losses = finetune_quality_tier(
+        untrained, train_pairs,
+        steps=args.steps, batch_size=args.batch, learning_rate=args.lr,
+        seed=args.seed,
+    )
+    train_s = time.perf_counter() - t0
+
+    rows: dict = {
+        "experiment": "train_quality_lift",
+        "platform": platform,
+        "encoder": {"hidden": args.hidden, "layers": args.layers, "heads": args.heads},
+        "train": {
+            "pairs": len(train_pairs), "steps": args.steps, "batch": args.batch,
+            "loss_first": round(float(np.mean(losses[:10])), 4),
+            "loss_last": round(float(np.mean(losses[-10:])), 4),
+            "seconds": round(train_s, 1),
+        },
+        "eval": {"topics": len(eval_queries), "held_out": True},
+    }
+
+    def lift_row(quality, label, cfg=None):
+        init_n, ref_n = eval_phase_lift(
+            eval_docs, eval_queries, eval_qrels, fast, quality, cfg=cfg
+        )
+        cmp = bootstrap_compare(init_n, ref_n, seed=5)
+        return {
+            "initial_ndcg@10": round(float(np.mean(init_n)), 4),
+            "refined_ndcg@10": round(float(np.mean(ref_n)), 4),
+            "delta": round(cmp.mean_delta, 4),
+            "ci95": [round(cmp.lo, 4), round(cmp.hi, 4)],
+            "significant": cmp.significant,
+        }
+
+    rows["trained_quality_tier"] = lift_row(trained, "trained")
+    rows["untrained_control"] = lift_row(untrained, "untrained")
+    if args.rescan:
+        from frankensearch_tpu.core.config import TwoTierConfig
+
+        rows["trained_quality_rescan"] = lift_row(
+            trained, "trained+rescan", cfg=TwoTierConfig(quality_rescan=True)
+        )
+
+    if args.save:
+        save_artifact(trained, args.save)
+        rows["artifact"] = args.save
+
+    print(json.dumps(rows, indent=1))
+
+
+if __name__ == "__main__":
+    main()
