@@ -836,10 +836,65 @@ def cmd_tui(args) -> dict | None:
                 pass  # keep serving the previous generation
         return handle
 
+    # The TUI's query lane is the SYNC searcher over the live in-memory
+    # index (reference sync_searcher.rs:1-5 — the low-latency TUI path:
+    # embed, then a deterministic embedder-free two-phase pass with no
+    # thread pool or timeout machinery), wrapped in the as-you-type
+    # incremental state machine (incremental.rs: prefix extensions
+    # re-rank the cached pool instead of re-running the pipeline).
+    # Structured queries (boolean/phrase/negation) and non-semantic
+    # stacks take the full searcher, which owns those lanes.
+    from frankensearch_tpu.core.parsed_query import ParsedQuery
+    from frankensearch_tpu.core.types import PhaseKind, SearchPhase
+    from frankensearch_tpu.fusion.incremental import IncrementalSearcher
+    from frankensearch_tpu.fusion.sync_searcher import (
+        SyncSearchOutcome,
+        SyncTwoTierSearcher,
+    )
+    from frankensearch_tpu.lexical.query import is_boolean_syntax
+
+    def _sync_pool(q: str, pool_k: int):
+        h = _fresh_handle()
+        s = h.searcher
+        fv = s.fast_embedder.embed(q)
+        qv = None
+        if (
+            s.quality_embedder is not None
+            and h.index.has_quality_tier
+            and getattr(s, "_quality_admitted", False)
+        ):
+            qv = s.quality_embedder.embed(q)
+        sync = SyncTwoTierSearcher(h.index, lexical=s.lexical, config=s.config)
+        return sync.search(q, fv, qv, k=pool_k).results
+
+    def _doc_text(r):
+        # storage-backed text (title+preview) so prefix refinement judges
+        # CONTENT, not just titles — without it the filter dropped
+        # correct docs on title-only evidence
+        tf = handle.searcher.default_text_fn
+        return tf(r.doc_id) if tf is not None else None
+
+    inc = IncrementalSearcher(search_fn=_sync_pool, text_fn=_doc_text)
+
     def search_fn(q, k):
-        out = _fresh_handle().searcher.search(q, k=k)
-        latency.observe(out.metrics.total_ms)
-        return out
+        s = _fresh_handle().searcher
+        if is_boolean_syntax(q) or ParsedQuery.parse(q).has_negations or not getattr(
+            s, "_semantic_admitted", True
+        ):
+            out = s.search(q, k=k)
+            latency.observe(out.metrics.total_ms)
+            return out
+        t0 = time.monotonic()
+        reuses_before = inc.state.pool_reuses
+        results = inc.search(q, k=k)
+        ms = (time.monotonic() - t0) * 1e3
+        latency.observe(ms)
+        reused = inc.state.pool_reuses > reuses_before
+        refined = not reused and handle.index.has_quality_tier
+        kind = PhaseKind.REFINED if refined else PhaseKind.INITIAL
+        return SyncSearchOutcome(
+            results=results, phases=[SearchPhase(kind, list(results), ms)]
+        )
 
     def status_fn():
         from frankensearch_tpu.lexical.persist import list_generations

@@ -33,6 +33,13 @@ class IncrementalSearcher:
     """
 
     search_fn: Callable[[str, int], list[ScoredResult]]
+    #: doc text source for pool refinement (e.g. the searcher's
+    #: storage-backed default_text_fn applied to r.doc_id). Without one,
+    #: only title + metadata preview are visible — results that carry
+    #: neither are UNPROVABLE and kept (the "available text" contract,
+    #: same as the negation filter), found ranking garbage above real
+    #: hits when the filter dropped titled docs on title-only evidence.
+    text_fn: Callable[[ScoredResult], str | None] | None = None
     pool_multiplier: int = 5
     max_pool_age_s: float = 10.0
     min_prefix_len: int = 2
@@ -63,15 +70,27 @@ class IncrementalSearcher:
         st.full_searches += 1
         return pool[:k]
 
-    @staticmethod
-    def _filter_pool(q: str, pool: list[ScoredResult]) -> list[ScoredResult]:
-        """Keep pool docs whose visible text still matches every new term."""
+    def _text_of(self, r: ScoredResult) -> str | None:
+        parts = [r.title or "", str((r.metadata or {}).get("preview", ""))]
+        if self.text_fn is not None:
+            try:
+                parts.append(self.text_fn(r) or "")
+            except Exception:
+                pass
+        hay = " ".join(p for p in parts if p)
+        return hay.lower() or None
+
+    def _filter_pool(self, q: str, pool: list[ScoredResult]) -> list[ScoredResult]:
+        """Keep pool docs whose available text still matches every term;
+        docs with NO available text are unprovable and kept (the
+        documented "available text" bound, same as the negation filter)."""
         terms = q.split()
-        out = []
+        matched, unprovable = [], []
         for r in pool:
-            hay = " ".join(
-                filter(None, [r.title or "", str((r.metadata or {}).get("preview", ""))])
-            ).lower()
-            if not hay or all(t in hay for t in terms):
-                out.append(r)
-        return out
+            hay = self._text_of(r)
+            if hay is None:
+                unprovable.append(r)
+            elif all(t in hay for t in terms):
+                matched.append(r)
+        # proven matches outrank unprovable carries (each keeps pool order)
+        return matched + unprovable

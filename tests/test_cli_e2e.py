@@ -490,6 +490,28 @@ class TestCliContract:
         r = run_cli("--format", "json", "fleet", "--live", fleet_dir)
         assert json.loads(r.stdout)["data"]["nodes"] == []
 
+    def test_tui_sync_lane_and_boolean_fallback(self, index_root):
+        """The TUI's query path is the SYNC searcher (sync_searcher.rs
+        parity — closes r2 weak #8: the parity test guarded a path no
+        product used): plain queries serve sync + incremental prefix
+        reuse; boolean/phrase queries fall back to the full searcher's
+        structured lane and stay phrase-correct."""
+        script = (
+            "sqlite transactions\n"
+            "sqlite transactions write\n"   # prefix extension: pool reuse
+            '"write ahead log"\n'           # boolean lane via full searcher
+            ":q\n"
+        )
+        r = run_cli("tui", "--root", index_root, input_text=script)
+        assert r.returncode == 0, r.stderr
+        frames = r.stdout.split("[search]")
+        # frames[1] is the initial empty render; queries start at [2].
+        # SearchScreen renders the doc TITLE when present.
+        assert "SQL Guide" in frames[2]   # plain query hits (sync lane)
+        assert "SQL Guide" in frames[3]   # prefix extension still hits
+        assert "SQL Guide" in frames[4]   # phrase query phrase-correct
+        assert "results" in r.stdout
+
     def test_serve_protocol_fuzz_never_kills_the_server(self, index_root):
         """Malformed NDJSON frames must produce typed error envelopes and
         leave the server serving (protocol robustness)."""

@@ -209,6 +209,31 @@ class TestIncremental:
         assert len(calls) == 1  # prefix extensions reused the pool
         assert all(r.doc_id != "banana" for r in r3)
 
+    def test_text_fn_refines_on_content_not_just_title(self):
+        """r3 fix (found wiring the TUI): the refinement filter only saw
+        title + metadata preview, so a titled doc whose CONTENT matched
+        the extension was dropped while text-less docs survived above
+        it. With a text_fn (the storage-backed default), content decides,
+        and proven matches outrank unprovable carries."""
+        body = {
+            "sql": "sqlite btree transactions write ahead log",
+            "vec": "vector embeddings cosine similarity",
+        }
+
+        def search_fn(q, k):
+            return [
+                sr("vec", 1.0, title="Vectors"),
+                sr("sql", 0.9, title="SQL Guide"),
+            ]
+
+        inc = IncrementalSearcher(
+            search_fn=search_fn, text_fn=lambda r: body.get(r.doc_id)
+        )
+        inc.search("sqlite transactions", k=1)
+        refined = inc.search("sqlite transactions write", k=1)
+        assert [r.doc_id for r in refined] == ["sql"]  # content match wins
+        assert inc.state.pool_reuses == 1
+
     def test_non_extension_resets(self):
         calls = []
 

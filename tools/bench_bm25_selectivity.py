@@ -94,14 +94,15 @@ def main() -> None:
         )
         skipped = int(skipped)
 
-        # slope timing via chained reps (tunnel-safe)
+        # slope timing via chained reps. The postings arrays MUST be jit
+        # ARGUMENTS: closing over them serializes gigabytes of constants
+        # into the remote-compile request (CLAUDE.md closure-capture trap)
         @functools.partial(jax.jit, static_argnames=("reps",))
-        def chain(bounds, ids, w, reps: int):
+        def chain(bt, bd, bf, bb, bounds, ids, w, reps: int):
             def body(i, carry):
                 w_c, acc = carry
                 s, _, _ = _device_bm25_blocked(
-                    blocked.blk_term, blocked.blk_doc, blocked.blk_tf,
-                    blocked.blk_base, bounds, ids, w_c,
+                    bt, bd, bf, bb, bounds, ids, w_c,
                     v_pad=blocked.v_pad, k=k, d_blk=blocked.d_blk,
                 )
                 return (w + 1e-7 * jnp.mean(s), acc + jnp.sum(s))
@@ -111,7 +112,10 @@ def main() -> None:
 
         def timed(reps: int) -> float:
             t0 = time.perf_counter()
-            float(chain(bounds, ids, w, reps=reps))
+            float(chain(
+                blocked.blk_term, blocked.blk_doc, blocked.blk_tf,
+                blocked.blk_base, bounds, ids, w, reps=reps,
+            ))
             return time.perf_counter() - t0
 
         r_lo, r_hi = (2, 8) if platform != "cpu" else (1, 2)
