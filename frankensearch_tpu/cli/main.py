@@ -469,10 +469,15 @@ def cmd_delete(args) -> dict:
 
 def cmd_compact(args) -> dict:
     from frankensearch_tpu.index.two_tier import TwoTierIndex
+    from frankensearch_tpu.runtime.lifecycle import PublicationLease
 
-    index = TwoTierIndex.open(args.root, use_pallas=False)
-    before = index.fast.record_count
-    compacted = index.compact()
+    # serialize compactors across processes (the wal-poll daemon already
+    # takes this lease): two concurrent folds would each truncate the
+    # other's snapshot boundary
+    with PublicationLease(os.path.join(args.root, ".publication.lease")):
+        index = TwoTierIndex.open(args.root, use_pallas=False)
+        before = index.fast.record_count
+        compacted = index.compact()
     return envelope(
         {
             "records_before": before,

@@ -55,6 +55,16 @@ class NodeRegistrar:
         status_fn: Callable[[], dict] | None = None,
         heartbeat_s: float = 2.0,
     ) -> None:
+        # node_id becomes a FILENAME inside the registry: reject path
+        # separators / traversal so `--node-id ../../x` cannot write
+        # outside the registry dir (generation_root component discipline)
+        if (
+            not node_id
+            or node_id != os.path.basename(node_id)
+            or node_id.startswith(".")
+            or "/" in node_id or "\\" in node_id or "\x00" in node_id
+        ):
+            raise ValueError(f"invalid fleet node_id {node_id!r}")
         os.makedirs(fleet_dir, exist_ok=True)
         self.fleet_dir = fleet_dir
         self.node_id = node_id

@@ -150,22 +150,36 @@ def build_control_plane(config, root: str | None = None) -> ControlPlane | None:
         from frankensearch_tpu.fusion.adaptive import AdaptiveFusion
         from frankensearch_tpu.fusion.feedback import FeedbackBooster
 
+        # typed/shape corruption inside a well-formed JSON must ALSO
+        # restart learning, never block open (found by state-file fuzz:
+        # {"adaptive": "garbage"} crashed open_hybrid before r3)
+        adaptive = None
         if "adaptive" in state:
-            adaptive = AdaptiveFusion.from_state(state["adaptive"])
-        else:
+            try:
+                adaptive = AdaptiveFusion.from_state(state["adaptive"])
+            except Exception:
+                adaptive = None
+        if adaptive is None:
             adaptive = AdaptiveFusion(seed=getattr(config, "adaptive_seed", 0))
+        feedback = None
         if "feedback" in state:
-            feedback = FeedbackBooster.from_state(state["feedback"])
-        else:
+            try:
+                feedback = FeedbackBooster.from_state(state["feedback"])
+            except Exception:
+                feedback = None
+        if feedback is None:
             feedback = FeedbackBooster()
     if alpha is not None:
         from frankensearch_tpu.fusion.conformal import ConformalK
 
-        if "conformal" in state and abs(
-            float(state["conformal"].get("alpha", alpha)) - alpha
-        ) < 1e-9:
-            conformal = ConformalK.from_state(state["conformal"])
-        else:
+        conformal = None
+        if "conformal" in state:
+            try:
+                if abs(float(state["conformal"].get("alpha", alpha)) - alpha) < 1e-9:
+                    conformal = ConformalK.from_state(state["conformal"])
+            except Exception:
+                conformal = None
+        if conformal is None:
             conformal = ConformalK(alpha=alpha)
     calibrator = parse_calibrator(cal_spec) if cal_spec else None
     return ControlPlane(

@@ -95,9 +95,10 @@ def rebuild_fast_tier_from_wal(root: str, artifact: str | None = None) -> Rebuil
     from frankensearch_tpu.core.generation import refresh_manifest
 
     refresh_manifest(root)  # census changed under the rebuild
-    # the artifact now owns these vectors; fold the WAL away so replay
-    # doesn't double-apply
-    wal.truncate()
+    # the artifact now owns these vectors; fold EXACTLY the replayed
+    # prefix away (a writer may still be appending during recovery —
+    # their post-snapshot batches must survive in the tail)
+    wal.truncate(consumed=state.bytes_consumed)
 
     report = RebuildReport(rebuilt=True, docs_recovered=len(doc_ids),
                            detail="rebuilt from WAL")

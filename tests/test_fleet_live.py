@@ -100,3 +100,35 @@ class TestReconciliation:
     def test_missing_dir_is_empty_fleet(self, tmp_path):
         src = LiveDataSource(str(tmp_path / "nope"))
         assert src.nodes() == [] and src.samples() == []
+
+    def test_node_id_path_traversal_rejected(self, tmp_path):
+        import pytest as _pytest
+
+        for bad in ("../../evil", "a/b", "a\\b", ".hidden", "", "x\x00y"):
+            with _pytest.raises(ValueError):
+                NodeRegistrar(str(tmp_path), bad)
+
+    def test_hostile_node_id_neutralized_in_fleet_screen(self, tmp_path):
+        """The registry dir is shared-write: a hostile node file's
+        node_id/generation_id bytes reach the operator's terminal via
+        the fleet table — control chars must render as visible escapes
+        (same ANSI-injection guard as doc titles)."""
+        from frankensearch_tpu.fleet.storage import FleetStore
+        from frankensearch_tpu.tui.screens import FleetScreen
+
+        path = os.path.join(str(tmp_path), "evil.node.json")
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump({
+                "node_id": "ev\x1b[2Jil", "pid": os.getpid(), "host": "h",
+                "generation_id": "g\rX", "at": time.time(), "qps": 1.0,
+                "p50_ms": 1.0, "p99_ms": 2.0, "hbm_used_frac": 0.0,
+                "queue_pressure": 0.0, "doc_count": 1, "errors": 0,
+            }, f)
+        src = LiveDataSource(str(tmp_path))
+        store = FleetStore()
+        store.ingest(list(src.samples()))
+        nodes = src.nodes()
+        screen = FleetScreen(nodes_fn=lambda: nodes, rollups_fn=store.rollups)
+        out = screen.render(100)
+        assert "\x1b" not in out and "\r" not in out
+        assert "\\x1b" in out  # visible escape, not a live control char

@@ -213,7 +213,18 @@ class TestTwoTier:
         compacted = idx.compact()
         assert compacted.doc_count() == 8
         assert compacted.fast.record_count == 8  # physically removed
-        assert not os.path.exists(str(tmp_path / "ix" / "vector.fast.idx.wal"))
+        # r3: compact truncates the WAL to its OPEN-SNAPSHOT boundary
+        # instead of deleting it blind (concurrent-writer safety). This
+        # handle's post-open tombstones therefore remain in the tail as
+        # idempotent re-appliable batches; a second compact from a fresh
+        # open (whose snapshot includes them) folds the WAL empty.
+        TwoTierIndex.open(str(tmp_path / "ix"), use_pallas=False).compact()
+        wal_path = str(tmp_path / "ix" / "vector.fast.idx.wal")
+        if os.path.exists(wal_path):
+            from frankensearch_tpu.index.wal import WriteAheadLog
+
+            st = WriteAheadLog(wal_path).replay()
+            assert st.batches_read == 0 and not st.live and not st.tombstones
 
 
 class TestFtviFuzz:

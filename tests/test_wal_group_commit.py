@@ -53,6 +53,56 @@ class TestDeferredWal:
         hits = reopened.search_fast_classified(new[0], 1)
         assert hits.hits[0].doc_id == "x1"
 
+    def test_truncate_to_consumed_preserves_tail(self, rng, tmp_path):
+        """truncate(consumed=X) cuts exactly the folded prefix; batches
+        appended after the fold snapshot survive and replay cleanly."""
+        wal = WriteAheadLog(str(tmp_path / "t.wal"))
+        wal.append(["a"], make_unit_rows(rng, 1, 8))
+        st1 = wal.replay(strict=True)
+        v_late = make_unit_rows(rng, 1, 8)
+        wal.append(["late"], v_late)  # lands after the fold snapshot
+        wal.truncate(consumed=st1.bytes_consumed)
+        st2 = wal.replay(strict=True)
+        assert set(st2.live) == {"late"}
+        assert np.allclose(st2.live["late"], v_late)
+        # full-cut path: consume past the end -> file empties and the
+        # next append reseeds the magic
+        wal.truncate(consumed=10**9)
+        wal.append(["fresh"], make_unit_rows(rng, 1, 8))
+        assert set(wal.replay(strict=True).live) == {"fresh"}
+
+    def test_compact_racing_writer_loses_nothing(self, rng, tmp_path):
+        """Deterministic form of the race probe that found 345/3623
+        durably-fsynced appends destroyed: a compactor whose snapshot
+        predates another handle's append must NOT wipe that append's WAL
+        batch when it truncates."""
+        fast = make_unit_rows(rng, 10, 32)
+        ids = [f"doc-{i}" for i in range(10)]
+        TwoTierIndex.create(str(tmp_path / "ix"), fast, ids, IDENT, use_pallas=False)
+        compactor = TwoTierIndex.open(str(tmp_path / "ix"), use_pallas=False)
+        writer = TwoTierIndex.open(str(tmp_path / "ix"), use_pallas=False)
+        v = make_unit_rows(rng, 1, 32)
+        writer.append_fast(["raced"], v)  # after the compactor's snapshot
+        compactor.compact()               # folds its snapshot, truncates
+        reopened = TwoTierIndex.open(str(tmp_path / "ix"), use_pallas=False)
+        assert "raced" in set(reopened.fast.doc_ids)
+        hits = reopened.search_fast_classified(v[0], 1)
+        assert hits.hits[0].doc_id == "raced"
+
+    def test_own_postopen_appends_survive_compact(self, rng, tmp_path):
+        """The handle's OWN post-open appends are folded from memory AND
+        left in the WAL tail — replay re-applies them as idempotent
+        upserts (no loss, no duplicates)."""
+        fast = make_unit_rows(rng, 6, 32)
+        ids = [f"doc-{i}" for i in range(6)]
+        idx = TwoTierIndex.create(str(tmp_path / "ix"), fast, ids, IDENT, use_pallas=False)
+        idx.append_fast(["own"], make_unit_rows(rng, 1, 32))
+        compacted = idx.compact()
+        assert compacted.doc_count() == 7
+        reopened = TwoTierIndex.open(str(tmp_path / "ix"), use_pallas=False)
+        assert reopened.doc_count() == 7
+        assert sorted(reopened.fast.doc_ids).count("own") == 1
+
     def test_config_knob_validates_and_wires(self, tmp_path):
         with pytest.raises(InvalidConfig):
             TwoTierConfig(wal_sync="nope").validate()

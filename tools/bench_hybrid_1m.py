@@ -112,6 +112,22 @@ def main() -> None:
     per_batch = float(np.median(times))
     skipped = getattr(lexical, "last_blocks_skipped", None)
 
+    # SINGLETON lane: the product's CLI/TUI path (B=1). Block-max
+    # pruning engages here (impact ordering + zero-bound skipping);
+    # batch-AND defeats it at B>=64 — both facts belong in the ledger.
+    single_qs = make_queries(7)[:12]
+    searcher.search(single_qs[0], k=10)  # warm the B=1 shapes
+    single_times, single_skips = [], []
+    n_blk = getattr(getattr(lexical, "_blocked", None), "n_blk", None)
+    for q in single_qs:
+        t0 = time.perf_counter()
+        out = searcher.search(q, k=10)
+        single_times.append(time.perf_counter() - t0)
+        # pruning stats via the direct lexical arm (the fused program
+        # prunes identically but folds the counter away)
+        lexical.search_candidates(q, 30)
+        single_skips.append(getattr(lexical, "last_blocks_skipped", 0))
+
     print(json.dumps({
         "metric": f"hybrid_e2e_{n_docs // 1000}k"
                   + ("_int8" if slab_dtype == "int8" else ""),
@@ -127,6 +143,12 @@ def main() -> None:
             "total": round(time.perf_counter() - t_all, 1),
         },
         "lexical_blocks_skipped": skipped,
+        "singleton": {
+            "p50_ms": round(float(np.median(single_times)) * 1e3, 1),
+            "qps": round(1.0 / float(np.median(single_times)), 1),
+            "blocks_skipped_p50": float(np.median(single_skips)),
+            "n_blocks": n_blk,
+        },
         "platform": platform,
     }))
 

@@ -1,0 +1,107 @@
+"""Sharded-int8 recall certificate — VERDICT r2 weak #5.
+
+The single-chip int8 lane has a recall row (0.970 with the
+group_overfetch curve); the SHARDED int8 lane was parity-tested for
+plumbing only. The open question: with K candidates chosen SHARD-LOCALLY
+(each shard overfetches its own groups before the exact rescore), does
+the per-shard candidate split change recall vs the single-chip lane at
+the same overfetch?
+
+This measures recall@10 vs the exact f32 oracle for the hierarchical
+int8 lane, single-device vs an 8-shard virtual mesh, across the
+group_overfetch knob — the ledger row that certifies the sharded
+capacity lane's recall contract.
+
+Runs on the virtual CPU mesh by default (shard-structure effects don't
+need real chips): XLA_FLAGS=--xla_force_host_platform_device_count=8
+is set automatically when no real mesh exists.
+
+Usage: [JAX_PLATFORMS=cpu] python -m tools.bench_sharded_int8_recall [n_docs] [batch]
+Prints one JSON line per (lane, overfetch) cell.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    import jax.numpy as jnp
+
+    from frankensearch_tpu.ops import topk_scan
+    from frankensearch_tpu.ops.quantize import calibrate_int8
+    from frankensearch_tpu.parallel.mesh import make_mesh
+    from frankensearch_tpu.parallel.sharded_scan import sharded_scan_topk_hier_int8
+
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 131_072
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    dim, k = 256, 10
+    n_dev = 8
+
+    rng = np.random.default_rng(0)
+    slab = rng.standard_normal((n_docs, dim)).astype(np.float32)
+    slab /= np.linalg.norm(slab, axis=1, keepdims=True)
+    queries = rng.standard_normal((batch, dim)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    # exact f32 oracle
+    exact = slab @ queries.T  # (N, B)
+    oracle = np.argsort(-exact, axis=0)[:k].T  # (B, k)
+    oracle_sets = [set(map(int, row)) for row in oracle]
+
+    q = calibrate_int8(slab)
+    mask = np.zeros(n_docs, np.float32)
+    mesh = make_mesh(n_dev, axes=("d",))
+    platform = jax.devices()[0].platform
+
+    def recall(indices) -> float:
+        got = np.asarray(indices)
+        return float(np.mean([
+            len(oracle_sets[b] & set(map(int, got[b]))) / k for b in range(batch)
+        ]))
+
+    tile_n = 8192
+    for overfetch in (1, 2, 4):
+        single = topk_scan.scan_topk_hierarchical_int8(
+            jnp.asarray(q.values), jnp.asarray(q.scale), jnp.asarray(queries),
+            k, jnp.asarray(mask),
+            tile_n=tile_n, group=128, group_overfetch=overfetch,
+            rescore="xla" if platform == "cpu" else "pallas",
+            interpret=platform == "cpu",
+        )
+        sharded = sharded_scan_topk_hier_int8(
+            jnp.asarray(q.values), jnp.asarray(q.scale), jnp.asarray(mask),
+            jnp.asarray(queries), k,
+            mesh=mesh, tile_n=min(tile_n, n_docs // n_dev), group=128,
+            group_overfetch=overfetch,
+            rescore="xla" if platform == "cpu" else "pallas",
+            interpret=platform == "cpu",
+        )
+        print(json.dumps({
+            "metric": "sharded_int8_recall",
+            "n_docs": n_docs,
+            "batch": batch,
+            "group_overfetch": overfetch,
+            "recall_single_chip": round(recall(single.indices), 4),
+            "recall_8_shards": round(recall(sharded.indices), 4),
+            "platform": platform,
+            "n_devices": n_dev,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

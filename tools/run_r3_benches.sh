@@ -1,0 +1,18 @@
+#!/bin/bash
+# Round-3 real-TPU bench battery, serialized (the tunnel thrashes when
+# two processes compile/dispatch concurrently). Waits for any PID in
+# $1 to exit first.
+cd /root/repo || exit 1
+if [ -n "$1" ] && [ -e "/proc/$1" ]; then
+  echo "waiting for pid $1..."
+  while [ -e "/proc/$1" ]; do sleep 20; done
+fi
+echo "=== e2e phases 100k m2v (BASELINE config 2) ==="
+stdbuf -oL timeout 5400 python -m tools.bench_e2e_phases 100000 24 m2v 2>&1 | tail -4
+echo "=== watch + streaming (BASELINE config 5) ==="
+stdbuf -oL timeout 1800 python -m tools.bench_watch_streaming 10000 120 256 2>&1 | tail -3
+echo "=== hybrid 1M re-measure (impact-order pruning) ==="
+stdbuf -oL timeout 3600 python -m tools.bench_hybrid_1m 1000000 256 4 2>&1 | tail -3
+echo "=== hybrid 10M int8 (BASELINE config 4) ==="
+stdbuf -oL timeout 14400 python -m tools.bench_hybrid_1m 10000000 256 3 int8 2>&1 | tail -3
+echo "ALL_DONE"
