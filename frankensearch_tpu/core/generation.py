@@ -13,6 +13,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Mapping, Sequence
@@ -245,9 +246,17 @@ def build_manifest(
                 continue
             full = os.path.join(dirpath, name)
             rel = os.path.relpath(full, gen_dir)
-            artifacts.append(
-                ArtifactEntry(name=rel, sha256=sha256_file(full), bytes=os.path.getsize(full))
-            )
+            try:
+                artifacts.append(
+                    ArtifactEntry(
+                        name=rel, sha256=sha256_file(full), bytes=os.path.getsize(full)
+                    )
+                )
+            except (FileNotFoundError, OSError):
+                # blue-green GC can reap a superseded generation between
+                # the walk and the hash (found racing seal vs census) —
+                # a vanished file is simply not part of this census
+                continue
     return GenerationManifest(
         generation_id=generation_id,
         commit_seq=commit_seq,
@@ -285,7 +294,11 @@ def refresh_manifest(gen_dir: str) -> "GenerationManifest | None":
 
 def write_manifest(gen_dir: str, manifest: GenerationManifest) -> str:
     path = os.path.join(gen_dir, MANIFEST_FILE)
-    tmp = path + ".tmp"
+    # UNIQUE tmp name: two concurrent refreshers sharing one tmp path
+    # race replace-vs-replace and the loser's os.replace hits a vanished
+    # source (found racing seal against itself); last-writer-wins on the
+    # final replace is fine — both censuses are valid
+    tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp"
     with open(tmp, "w", encoding="utf-8") as f:
         f.write(manifest.to_json())
         f.flush()

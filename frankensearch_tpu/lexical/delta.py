@@ -94,6 +94,15 @@ class DeltaLexicalIndex(LexicalRead):
         self.clock = clock
         self._delta_count = 0
         self.seal_history: list[SealReceipt] = []
+        # in-process write-path mutex: an auto-seal triggered by one
+        # writer thread must not serialize the oracle's postings while
+        # another thread's add/commit mutates them (found: "dictionary
+        # changed size during iteration" inside save_lexical under a
+        # 2-writer + sealer race). Reentrant: add_document's auto-seal
+        # path calls seal() while already holding it.
+        import threading
+
+        self._write_lock = threading.RLock()
 
     # -- write path (lease-bounded) -----------------------------------------
 
@@ -102,62 +111,66 @@ class DeltaLexicalIndex(LexicalRead):
         return self._delta_count
 
     def add_document(self, doc: IndexableDocument) -> None:
-        now = self.clock()
-        reason = self.lease.exceeded(now)
-        if reason is not None:
-            if not self.auto_seal:
-                raise LeaseExceeded(f"delta lease: {reason}; seal() required")
-            self.seal()
-        self.lease.acquire(self.clock())
-        self.oracle.add_document(doc)
-        self.lease.docs_written += 1
-        self._delta_count += 1
+        with self._write_lock:
+            now = self.clock()
+            reason = self.lease.exceeded(now)
+            if reason is not None:
+                if not self.auto_seal:
+                    raise LeaseExceeded(f"delta lease: {reason}; seal() required")
+                self.seal()
+            self.lease.acquire(self.clock())
+            self.oracle.add_document(doc)
+            self.lease.docs_written += 1
+            self._delta_count += 1
 
     def delete_document(self, doc_id: str) -> None:
         # deletes ride the same lease window (tombstone folds at seal)
-        self.lease.acquire(self.clock())
-        self.oracle.delete_document(doc_id)
-        self._delta_count += 1
+        with self._write_lock:
+            self.lease.acquire(self.clock())
+            self.oracle.delete_document(doc_id)
+            self._delta_count += 1
 
     def commit(self) -> None:
         """Make pending delta writes searchable (NOT a seal — the
         searchable-before-seal point of this arm)."""
-        self.oracle.commit()
+        with self._write_lock:
+            self.oracle.commit()
 
     def seal(self) -> SealReceipt | None:
         """Freeze boundary: fold the delta into a fresh packed
         generation (blue-green publish) and hand reads back to the
         device arm. No-op when nothing is unsealed."""
-        if self._delta_count == 0:
-            self.lease.reset()
-            return None
-        self.oracle.commit()
-        generation = ""
-        if self.root is not None:
-            from frankensearch_tpu.lexical.persist import (
-                load_packed_lexical,
-                republish_lexical,
+        with self._write_lock:
+            if self._delta_count == 0:
+                self.lease.reset()
+                return None
+            self.oracle.commit()
+            generation = ""
+            if self.root is not None:
+                from frankensearch_tpu.lexical.persist import (
+                    load_packed_lexical,
+                    republish_lexical,
+                )
+
+                generation = republish_lexical(self.oracle, self.root)
+                packed = load_packed_lexical(self.root)
+                if packed is not None:
+                    self.sealed = packed
+                from frankensearch_tpu.core.generation import refresh_manifest
+
+                refresh_manifest(self.root)  # new lexical generation in the census
+            else:
+                # in-memory only: the oracle IS the sealed arm
+                self.sealed = self.oracle
+            receipt = SealReceipt(
+                generation=generation,
+                docs_sealed=self._delta_count,
+                sealed_at=self.clock(),
             )
-
-            generation = republish_lexical(self.oracle, self.root)
-            packed = load_packed_lexical(self.root)
-            if packed is not None:
-                self.sealed = packed
-            from frankensearch_tpu.core.generation import refresh_manifest
-
-            refresh_manifest(self.root)  # new lexical generation in the census
-        else:
-            # in-memory only: the oracle IS the sealed arm
-            self.sealed = self.oracle
-        receipt = SealReceipt(
-            generation=generation,
-            docs_sealed=self._delta_count,
-            sealed_at=self.clock(),
-        )
-        self.seal_history.append(receipt)
-        self._delta_count = 0
-        self.lease.reset()
-        return receipt
+            self.seal_history.append(receipt)
+            self._delta_count = 0
+            self.lease.reset()
+            return receipt
 
     # -- read path (searchable before seal) ----------------------------------
 

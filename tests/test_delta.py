@@ -183,3 +183,59 @@ class TestDeltaConcurrency:
         arm.seal()
         hits = arm.search_candidates("xylophone", 100)
         assert len(hits) == 80  # every concurrent append survived
+
+    def test_writers_racing_autoseal_and_explicit_seal(self, tmp_path):
+        """r3 fix: seal() serializes the oracle's postings — with no
+        write-path mutex, a concurrent add/commit mutated those dicts
+        mid-serialization ("dictionary changed size during iteration"),
+        refresh_manifest raced itself on a shared tmp name, and the
+        census hashed files blue-green GC was reaping. Two writers with
+        a tiny auto-seal lease + an explicit sealer thread reproduce all
+        three within seconds before the fix."""
+        import threading
+
+        import frankensearch_tpu as fs
+
+        root = str(tmp_path / "ix")
+        fe = fs.HashEmbedder(dim=32)
+        base = [fs.IndexableDocument(doc_id=f"d{i}", content=f"base alpha {i}")
+                for i in range(10)]
+        fs.IndexBuilder(root).with_documents(base).with_embedder_stack(
+            fs.EmbedderStack(fast=fe)
+        ).build()
+        h = fs.open_hybrid(root, fast_embedder=fe)
+        delta = h.delta
+        delta.lease.max_docs = 8  # auto-seal constantly under load
+        delta.lease.max_age_s = 0.05
+        errors: list[str] = []
+        added: list[str] = []
+
+        def writer(tid):
+            for i in range(120):
+                try:
+                    delta.add_document(
+                        fs.IndexableDocument(doc_id=f"w{tid}-{i}",
+                                             content=f"gamma {tid} {i}")
+                    )
+                    delta.commit()
+                    added.append(f"w{tid}-{i}")
+                except Exception as e:
+                    errors.append(f"{type(e).__name__}: {e}")
+
+        def sealer():
+            for _ in range(40):
+                try:
+                    delta.seal()
+                except Exception as e:
+                    errors.append(f"seal {type(e).__name__}: {e}")
+
+        threads = [threading.Thread(target=writer, args=(t,)) for t in (1, 2)]
+        threads.append(threading.Thread(target=sealer))
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors[:3]
+        delta.seal()
+        have = {c.doc_id for c in delta.search_candidates("gamma", 10000)}
+        assert all(d in have for d in added)

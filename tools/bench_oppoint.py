@@ -1,0 +1,126 @@
+"""Operating-point sweep for the flagship hierarchical scan.
+
+Sweeps (batch, tile_n, group) on the real chip with the same chained
+slope methodology as bench.py, at 1M docs bf16, reporting QPS + recall
+per point. group=256 halves the group-max sort (the measured ~0.35 ms
+merge bottleneck) at the cost of 2x rescore rows; larger batches
+amortize the merge further. Winners (recall 1.0 only) feed bench.py's
+operating_points list.
+
+Usage: python -m tools.bench_oppoint [n_docs]
+Prints one JSON line per point.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from frankensearch_tpu.ops.topk_scan import (
+        scan_topk_hierarchical,
+        scan_topk_xla,
+    )
+
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    dim, k = 256, 10
+    platform = jax.devices()[0].platform
+
+    points = [
+        (512, 4096, 128),   # current headline point
+        (512, 4096, 256),
+        (512, 8192, 128),
+        (512, 8192, 256),
+        (1024, 4096, 128),
+        (1024, 4096, 256),
+        (1024, 8192, 256),
+        (256, 8192, 256),
+    ]
+    max_tile = max(t for _, t, _ in points)
+    n_pad = (n_docs + max_tile - 1) // max_tile * max_tile
+
+    rng = np.random.default_rng(0)
+    slab = np.empty((n_pad, dim), dtype=np.float32)
+    for s in range(0, n_pad, 131_072):
+        e = min(s + 131_072, n_pad)
+        blk = rng.standard_normal((e - s, dim)).astype(np.float32)
+        blk /= np.maximum(np.linalg.norm(blk, axis=1, keepdims=True), 1e-12)
+        slab[s:e] = blk
+    mask = np.zeros(n_pad, np.float32)
+    mask[n_docs:] = -np.inf
+    max_b = max(b for b, _, _ in points)
+    queries = rng.standard_normal((max_b, dim)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    slab_dev = jnp.asarray(slab, jnp.bfloat16)
+    mask_dev = jnp.asarray(mask)
+    q_dev = jnp.asarray(queries)
+
+    truth = {}
+
+    @functools.partial(jax.jit, static_argnames=("reps", "tile", "group"))
+    def chain(slab, mask, q, reps: int, tile: int, group: int):
+        def body(i, carry):
+            qq, acc = carry
+            r = scan_topk_hierarchical(
+                slab, qq, k, mask, tile_n=tile, group=group, rescore="pallas"
+            )
+            return (q + 1e-6 * jnp.mean(r.scores),
+                    acc + jnp.sum(r.scores) + jnp.sum(r.indices).astype(jnp.float32))
+
+        (_, acc) = jax.lax.fori_loop(0, reps, body, (q, jnp.float32(0.0)))
+        return acc
+
+    r_lo, r_hi = (8, 40) if platform == "tpu" else (1, 2)
+    for b, tile, group in points:
+        q = q_dev[:b]
+        try:
+            def timed(reps: int) -> float:
+                t0 = time.perf_counter()
+                float(chain(slab_dev, mask_dev, q, reps=reps, tile=tile, group=group))
+                return time.perf_counter() - t0
+
+            timed(r_lo)
+            timed(r_hi)
+            samples = [
+                (timed(r_hi) - timed(r_lo)) / (r_hi - r_lo) for _ in range(3)
+            ]
+            per_scan = float(np.median(samples))
+
+            res = scan_topk_hierarchical(
+                slab_dev, q, k, mask_dev, tile_n=tile, group=group, rescore="pallas"
+            )
+            if b not in truth:
+                truth[b] = np.asarray(scan_topk_xla(
+                    jnp.asarray(slab, jnp.float32), q, k, mask_dev, precise=True
+                ).indices)
+            ti = truth[b]
+            bi = np.asarray(res.indices)
+            recall = float(np.mean([
+                len(set(bi[j]) & set(ti[j])) / k for j in range(b)
+            ]))
+            print(json.dumps({
+                "metric": "oppoint_sweep",
+                "batch": b, "tile_n": tile, "group": group,
+                "qps": round(b / per_scan, 1),
+                "per_scan_ms": round(per_scan * 1e3, 4),
+                "recall_at_10": round(recall, 4),
+                "platform": platform,
+            }), flush=True)
+        except Exception as e:
+            print(json.dumps({
+                "metric": "oppoint_sweep", "batch": b, "tile_n": tile,
+                "group": group, "error": f"{type(e).__name__}: {e}"[:160],
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
