@@ -32,6 +32,9 @@ from frankensearch_tpu.fleet.datasource import DataSource, NodeInfo, NodeSample
 from frankensearch_tpu.runtime.lifecycle import _pid_alive
 
 NODE_SUFFIX = ".node.json"
+#: wire schema of the node heartbeat file (schemas/fleet-node-v1);
+#: registered in core/contract_sanity EXPECTED_VERSIONS
+NODE_SCHEMA_VERSION = 1
 #: rolling window over which qps / latency percentiles are computed
 WINDOW_S = 30.0
 
@@ -123,6 +126,7 @@ class NodeRegistrar:
         with self._lock:
             errors = self._errors
         payload = {
+            "v": NODE_SCHEMA_VERSION,
             "node_id": self.node_id,
             "pid": os.getpid(),
             "host": socket.gethostname(),
@@ -202,6 +206,8 @@ class LiveDataSource(DataSource):
                 continue  # torn/ vanished — skip this cycle
             if not isinstance(rec, dict) or "node_id" not in rec:
                 continue
+            if rec.get("v", 1) != NODE_SCHEMA_VERSION:
+                continue  # foreign/future wire version: not ours to judge
             rec["_alive"] = _pid_alive(int(rec.get("pid", -1)))
             if not rec["_alive"] and self.reap_dead:
                 # crash leftovers: reap so dead nodes age out of the

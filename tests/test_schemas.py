@@ -257,6 +257,33 @@ class TestFleetSample:
             jsonschema.validate(bad, load("fleet-sample-v1.schema.json"))
 
 
+class TestFleetNode:
+    def test_real_producer_validates(self, tmp_path):
+        from frankensearch_tpu.fleet.registry import NodeRegistrar
+
+        reg = NodeRegistrar(str(tmp_path), "n1", root="/ix",
+                            status_fn=lambda: {"doc_count": 3})
+        reg.observe_query(4.2)
+        reg.publish()
+        with open(reg.path, encoding="utf-8") as f:
+            payload = json.load(f)
+        jsonschema.validate(payload, load("fleet-node-v1.schema.json"))
+
+    def test_invalid_rejected(self):
+        schema = load("fleet-node-v1.schema.json")
+        for bad in (
+            {"v": 2, "node_id": "n", "pid": 1, "host": "h", "at": 1.0},
+            {"v": 1, "node_id": "", "pid": 1, "host": "h", "at": 1.0},
+            {"v": 1, "node_id": "n", "pid": 0, "host": "h", "at": 1.0},
+            {"v": 1, "node_id": "n", "pid": 1, "host": "h", "at": 1.0,
+             "hbm_used_frac": 2.0},
+            {"v": 1, "node_id": "n", "pid": 1, "host": "h", "at": 1.0,
+             "surprise": True},
+        ):
+            with pytest.raises(jsonschema.ValidationError):
+                jsonschema.validate(bad, schema)
+
+
 class TestRepairReport:
     def test_real_producer_validates(self, tmp_path):
         import dataclasses
