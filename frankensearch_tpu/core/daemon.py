@@ -20,6 +20,11 @@ import os
 import random
 import socket
 import time
+
+#: request-size caps (local-trust boundary, but a typo'd client must get
+#: a typed error, not an allocation storm)
+MAX_EMBED_TEXTS = 4096
+MAX_TEXT_CHARS = 100_000
 from dataclasses import dataclass
 
 from frankensearch_tpu.core.errors import EmbeddingFailed, SubsystemError
@@ -174,6 +179,12 @@ class DaemonServer:
         except socket.timeout:
             return False
         with conn:
+            # per-connection deadline: a silent/wedged client must not
+            # freeze the single-threaded daemon forever (probe: a
+            # connect-and-send-nothing client hung serve_one past every
+            # idle/max-request bound; socket.timeout is an OSError so the
+            # existing typed-error path drops the connection)
+            conn.settimeout(timeout_s)
             f = conn.makefile("rw", encoding="utf-8")
             try:
                 challenge = json.loads(f.readline())
@@ -197,7 +208,19 @@ class DaemonServer:
                 f.flush()
                 req = json.loads(f.readline())
                 if req.get("op") == "embed":
-                    vecs = self.embedder.embed_batch(req["texts"])
+                    texts = req["texts"]
+                    if not isinstance(texts, list) or len(texts) > MAX_EMBED_TEXTS:
+                        raise ValueError(
+                            f"texts must be a list of <= {MAX_EMBED_TEXTS}"
+                        )
+                    if any(
+                        not isinstance(t, str) or len(t) > MAX_TEXT_CHARS
+                        for t in texts
+                    ):
+                        raise ValueError(
+                            f"each text must be a str of <= {MAX_TEXT_CHARS} chars"
+                        )
+                    vecs = self.embedder.embed_batch(texts)
                     f.write(json.dumps({"ok": True, "vectors": vecs.tolist()}) + "\n")
                 elif req.get("op") == "ping":
                     f.write(json.dumps({"ok": True}) + "\n")

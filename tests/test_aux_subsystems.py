@@ -213,6 +213,56 @@ class TestDaemon:
                 client.embed(["x"])
             t.join(timeout=10)
 
+    def test_silent_client_cannot_wedge_the_daemon(self, tmp_path):
+        """r3 fix: a connect-and-send-nothing client froze the
+        single-threaded daemon FOREVER (readline had no deadline, so
+        idle/max-request bounds never fired). Per-connection timeout now
+        drops it and the next client is served."""
+        import socket as _socket
+        import time as _time
+
+        sock = str(tmp_path / "d.sock")
+        emb = HashEmbedder(dim=32)
+        with DaemonServer(sock, emb) as server:
+            results = []
+            t = threading.Thread(
+                target=lambda: results.extend(
+                    server.serve_one(timeout_s=0.5) for _ in range(3)
+                )
+            )
+            t.start()
+            wedger = _socket.socket(_socket.AF_UNIX, _socket.SOCK_STREAM)
+            wedger.connect(sock)  # ... and say nothing
+            _time.sleep(0.8)
+            client = DaemonClient(sock)
+            vecs = client.embed(["still serving"])
+            wedger.close()
+            t.join(timeout=10)
+            assert not t.is_alive()
+        assert len(vecs) == 1
+
+    def test_oversized_embed_request_typed_error(self, tmp_path):
+        import json as _json
+        import socket as _socket
+
+        sock = str(tmp_path / "d.sock")
+        emb = HashEmbedder(dim=32)
+        with DaemonServer(sock, emb) as server:
+            t = threading.Thread(target=server.serve_one)
+            t.start()
+            c = _socket.socket(_socket.AF_UNIX, _socket.SOCK_STREAM)
+            c.connect(sock)
+            f = c.makefile("rw", encoding="utf-8")
+            f.write(_json.dumps({"nonce": "x"}) + "\n")
+            f.flush()
+            f.readline()  # attestation
+            f.write(_json.dumps({"op": "embed", "texts": ["t"] * 99_999}) + "\n")
+            f.flush()
+            resp = _json.loads(f.readline())
+            assert resp["ok"] is False and "4096" in resp["error"]
+            c.close()
+            t.join(timeout=10)
+
     def test_fallback_to_local(self, tmp_path):
         emb = HashEmbedder(dim=32)
         client = DaemonClient(str(tmp_path / "missing.sock"), timeout_s=0.2)
