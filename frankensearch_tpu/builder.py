@@ -19,7 +19,7 @@ import numpy as np
 
 from frankensearch_tpu.core.canonicalize import DefaultCanonicalizer
 from frankensearch_tpu.core.config import TwoTierConfig
-from frankensearch_tpu.core.errors import IndexCorrupted
+from frankensearch_tpu.core.errors import IndexCorrupted, IndexNotFound
 from frankensearch_tpu.core.types import IndexableDocument
 from frankensearch_tpu.embed.base import Embedder
 from frankensearch_tpu.embed.stack import EmbedderStack
@@ -224,7 +224,25 @@ class IndexBuilder:
         )
 
         # lexical arm (embed-independent: all kept docs, index_builder.rs:474)
-        if self._with_lexical:
+        if self._with_lexical and self._config.lexical_backend == "fts5":
+            # alternative engine (fts5_adapter.rs): ONE sqlite artifact,
+            # MVCC writes, searchable at commit — replaces the
+            # oracle-JSON + packed-FLXB pair entirely
+            from frankensearch_tpu.lexical.fts5_adapter import Fts5LexicalIndex
+
+            lex_dir = os.path.join(self.root, "lexical")
+            os.makedirs(lex_dir, exist_ok=True)
+            fts = Fts5LexicalIndex(os.path.join(lex_dir, "fts5.db"))
+            for doc, canonical in kept:
+                fts.add_document(
+                    IndexableDocument(
+                        doc_id=doc.doc_id, content=canonical,
+                        title=doc.title, metadata=doc.metadata,
+                    )
+                )
+            fts.commit()
+            fts.close()
+        elif self._with_lexical:
             lex_docs = [
                 IndexableDocument(
                     doc_id=doc.doc_id, content=canonical,
@@ -480,6 +498,46 @@ def open_hybrid(
     # space — catches same-id-different-weights drift that identity-id
     # admission alone cannot (generation.rs golden-vector certificates)
     _verify_embedder_conformance(root, fast=fast_embedder, quality=quality_embedder)
+    # alternative FTS5 engine: opened when the build produced it (auto)
+    # or the config demands it; it is LexicalRead+Write with MVCC
+    # commits, so it serves as searcher arm AND its own delta
+    fts5_db = os.path.join(root, "lexical", "fts5.db")
+    if cfg.lexical_backend == "fts5" or (
+        cfg.lexical_backend == "auto" and os.path.exists(fts5_db)
+    ):
+        from frankensearch_tpu.lexical.fts5_adapter import Fts5LexicalIndex
+
+        if not os.path.exists(fts5_db):
+            raise IndexNotFound(
+                f"lexical_backend='fts5' but no {fts5_db}; "
+                f"build with TwoTierConfig(lexical_backend='fts5')"
+            )
+        fts = Fts5LexicalIndex(fts5_db)
+        db_path = os.path.join(root, "metadata.db")
+        storage = Storage(db_path) if os.path.exists(db_path) else None
+        if storage is not None and "text_fn" not in searcher_kwargs:
+            def _storage_text_f(doc_id: str, _s=storage) -> str | None:
+                row = _s.get_document(doc_id)
+                if row is None:
+                    return None
+                parts = [p for p in (row.title, row.preview) if p]
+                return " ".join(parts) or None
+
+            searcher_kwargs["text_fn"] = _storage_text_f
+        if "control_plane" not in searcher_kwargs:
+            from frankensearch_tpu.fusion.control_plane import build_control_plane
+
+            cp = build_control_plane(cfg, root)
+            if cp is not None:
+                searcher_kwargs["control_plane"] = cp
+        searcher = TwoTierSearcher(
+            index, fast_embedder, lexical=fts,
+            quality_embedder=quality_embedder, config=cfg, **searcher_kwargs,
+        )
+        return HybridHandle(
+            index=index, lexical=None, storage=storage, searcher=searcher,
+            delta=fts,
+        )
     try:
         lexical = load_lexical(root)
     except IndexCorrupted:

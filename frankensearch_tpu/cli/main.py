@@ -101,6 +101,8 @@ def cmd_index(args) -> dict:
     cfg = TwoTierConfig.from_env()
     if getattr(args, "slab_dtype", None):
         cfg.slab_dtype = args.slab_dtype
+    if getattr(args, "lexical_backend", None):
+        cfg.lexical_backend = args.lexical_backend
     stats = (
         IndexBuilder(args.root)
         .with_documents(docs)
@@ -1374,6 +1376,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("index", cmd_index, help="build a hybrid index from a corpus")
     sp.add_argument("corpus", help="corpus dir or JSONL file")
     sp.add_argument("--hash-dim", type=int, default=256)
+    sp.add_argument("--lexical-backend", choices=["auto", "fts5", "oracle"],
+                    default="",
+                    help="lexical engine: fts5 = one sqlite .db artifact "
+                         "(MVCC; searchable at commit); default builds the "
+                         "oracle + packed device arm")
     sp.add_argument("--slab-dtype", choices=["bf16", "f16", "f32", "int8"],
                     default=None,
                     help="vector slab dtype (int8 = capacity lane: 2x docs/"

@@ -105,6 +105,12 @@ class TwoTierConfig:
     #: all_gather top-k merge (parallel/sharded_scan.py), bit-identical
     #: ordering to single-device. Requires that many visible devices.
     mesh_shards: int = 0
+    #: lexical engine backend: "auto" opens whatever the build produced
+    #: (FTS5 .db if present, else oracle+packed device arm); "fts5"
+    #: builds/opens the sqlite FTS5 engine (fts5_adapter.rs: one .db
+    #: artifact, MVCC writes searchable at commit); "oracle" forces the
+    #: in-memory+FLXB arms even when an fts5.db exists
+    lexical_backend: str = "auto"
     #: WAL durability policy for live updates: "always" fsyncs every
     #: append batch; "deferred" group-commits (one fsync per watch poll
     #: cycle / durability window via TwoTierIndex.sync_wal) — the quill
@@ -146,6 +152,8 @@ class TwoTierConfig:
             raise InvalidConfig("mesh_shards must be >= 0 (0 = single device)")
         if self.wal_sync not in ("always", "deferred"):
             raise InvalidConfig(f"unknown wal_sync {self.wal_sync!r}")
+        if self.lexical_backend not in ("auto", "fts5", "oracle"):
+            raise InvalidConfig(f"unknown lexical_backend {self.lexical_backend!r}")
         if self.conformal_alpha is not None and not (0.0 < self.conformal_alpha < 1.0):
             raise InvalidConfig(
                 f"conformal_alpha must be in (0,1), got {self.conformal_alpha}"

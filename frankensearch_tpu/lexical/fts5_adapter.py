@@ -232,6 +232,21 @@ class Fts5LexicalIndex(LexicalRead, LexicalWrite):
             for d, title, meta, preview in rows
         }
 
+    # -- delta-compatible write surface -------------------------------------
+    # As a product backend the FTS5 arm serves as its OWN delta: sqlite
+    # commits are transactional and searchable immediately, so the
+    # lease/seal machinery has nothing to fold. Writers (watch /
+    # append-batch / delete) drive the same add/commit/seal calls they
+    # use on DeltaLexicalIndex.
+
+    def seal(self):
+        """No-op freeze boundary: commit IS publication here."""
+        return None
+
+    @property
+    def unsealed_docs(self) -> int:
+        return 0
+
     # -- extras -------------------------------------------------------------
 
     def snippet(self, query: str, doc_id: str, tokens: int = 20) -> str | None:

@@ -1,0 +1,83 @@
+"""FTS5 as a selectable PRODUCT lexical backend (fts5_adapter.rs parity:
+an interchangeable engine, one sqlite artifact, MVCC writes searchable
+at commit). Previously the adapter existed but only doctor knew about
+it; now `lexical_backend="fts5"` builds/opens it end-to-end, and the
+arm serves as its own delta (no lease/seal machinery to fold)."""
+
+import os
+
+import pytest
+
+import frankensearch_tpu as fs
+from frankensearch_tpu.core.config import TwoTierConfig
+from frankensearch_tpu.core.errors import InvalidConfig
+from frankensearch_tpu.lexical.fts5_adapter import fts5_available
+
+pytestmark = pytest.mark.skipif(not fts5_available(), reason="no FTS5 in sqlite")
+
+DOCS = [
+    fs.IndexableDocument(doc_id="a", content="alpha beta write ahead log"),
+    fs.IndexableDocument(doc_id="b", content="delta epsilon log ahead write"),
+    fs.IndexableDocument(doc_id="c", content="gamma zeta unrelated text"),
+]
+
+
+def _build(tmp_path, backend="fts5"):
+    root = str(tmp_path / "ix")
+    fe = fs.HashEmbedder(dim=32)
+    cfg = TwoTierConfig(use_pallas=False, lexical_backend=backend)
+    fs.IndexBuilder(root).with_documents(DOCS).with_embedder_stack(
+        fs.EmbedderStack(fast=fe)
+    ).with_config(cfg).build()
+    return root, fe, cfg
+
+
+class TestFts5Backend:
+    def test_config_validates(self):
+        with pytest.raises(InvalidConfig):
+            TwoTierConfig(lexical_backend="tantivy").validate()
+
+    def test_build_produces_single_artifact(self, tmp_path):
+        root, _, _ = _build(tmp_path)
+        lex = os.listdir(os.path.join(root, "lexical"))
+        assert "fts5.db" in lex
+        assert not any(f.endswith(".flexb") for f in lex)
+
+    def test_auto_mode_opens_fts5(self, tmp_path):
+        root, fe, _ = _build(tmp_path)
+        h = fs.open_hybrid(root, fast_embedder=fe)  # default config: auto
+        from frankensearch_tpu.lexical.fts5_adapter import Fts5LexicalIndex
+
+        assert isinstance(h.searcher.lexical, Fts5LexicalIndex)
+        assert h.delta is h.searcher.lexical  # its own delta
+
+    def test_phrase_search_via_native_match(self, tmp_path):
+        root, fe, cfg = _build(tmp_path)
+        h = fs.open_hybrid(root, fast_embedder=fe, config=cfg)
+        out = h.searcher.search('"write ahead log"', k=3)
+        ids = [r.doc_id for r in out.results]
+        assert "a" in ids and "b" not in ids  # scrambled doc rejected
+
+    def test_append_delete_lifecycle(self, tmp_path):
+        root, fe, cfg = _build(tmp_path)
+        h = fs.open_hybrid(root, fast_embedder=fe, config=cfg)
+        new = fs.IndexableDocument(doc_id="d", content="omega fresh appended")
+        h.index.append_fast(["d"], fe.embed_batch([new.content]))
+        h.delta.add_document(new)
+        h.delta.commit()
+        assert h.delta.seal() is None  # commit IS publication
+        out = h.searcher.search("omega fresh", k=2)
+        top = out.results[0]
+        assert top.doc_id == "d" and top.lexical_score is not None
+        h.delete(["a"])
+        out = h.searcher.search("alpha beta", k=3)
+        assert all(r.doc_id != "a" for r in out.results)
+
+    def test_reopen_sees_committed_writes(self, tmp_path):
+        root, fe, cfg = _build(tmp_path)
+        h = fs.open_hybrid(root, fast_embedder=fe, config=cfg)
+        h.delta.add_document(fs.IndexableDocument(doc_id="e", content="persistent row"))
+        h.delta.commit()
+        h2 = fs.open_hybrid(root, fast_embedder=fe, config=cfg)
+        hits = h2.searcher.lexical.search_candidates("persistent", 5)
+        assert [c.doc_id for c in hits] == ["e"]
