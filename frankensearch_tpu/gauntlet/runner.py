@@ -9,7 +9,7 @@ change search results).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable, Sequence
+from typing import Callable, Mapping, Sequence
 
 from frankensearch_tpu.core.types import IndexableDocument
 from frankensearch_tpu.gauntlet.generator import (
@@ -137,4 +137,70 @@ def check_maintenance_laws(
         after = [(h.doc_id, round(h.score, 5)) for h in search_fn(maintained, q, k)]
         if after != before[q]:
             violations.append(LawViolation(law=law, query=q, detail=f"{before[q][:3]} -> {after[:3]}"))
+    return violations
+
+
+def check_boolean_laws(
+    arms: Mapping[str, object],
+    *,
+    corpus_spec: CorpusSpec | None = None,
+    k: int = 20,
+) -> list[LawViolation]:
+    """Boolean-retrieval laws every lexical arm must satisfy (quill
+    query.rs semantics, r3 product routing):
+
+    - subset:   matches("a AND b") ⊆ matches("a b") per arm
+    - phrase:   matches('"a b"') ⊆ matches("a b") per arm
+    - negation: matches("a NOT b") ∩ matches(bag "b") = ∅ per arm
+    - parity:   AND/phrase/NOT match SETS agree across all arms
+    """
+    from frankensearch_tpu.lexical.query import parse_query
+
+    spec = corpus_spec or CorpusSpec(n_docs=60)
+    corpus = generate_corpus(spec)
+    # derive term pairs from real doc contents so queries actually hit
+    rng_terms: list[tuple[str, str]] = []
+    for d in corpus[:8]:
+        toks = d.content.split()
+        if len(toks) >= 2:
+            rng_terms.append((toks[0], toks[1]))
+    violations: list[LawViolation] = []
+    for a, b in rng_terms[:5]:
+        bag = f"{a} {b}"
+        cases = {
+            "boolean-and-subset": f"{a} AND {b}",
+            "boolean-phrase-subset": f'"{a} {b}"',
+            "boolean-not-disjoint": f"{a} NOT {b}",
+        }
+        per_arm_sets: dict[str, dict[str, set]] = {}
+        for name, arm in arms.items():
+            bag_ids = {c.doc_id for c in arm.search_candidates(bag, k * 4)}
+            b_ids = {c.doc_id for c in arm.search_candidates(b, k * 4)}
+            got: dict[str, set] = {}
+            for law, raw in cases.items():
+                ids = {r.doc_id for r in arm.search_boolean(parse_query(raw), k * 4)}
+                got[law] = ids
+                if law in ("boolean-and-subset", "boolean-phrase-subset"):
+                    if not ids <= bag_ids:
+                        violations.append(LawViolation(
+                            law=law, query=raw,
+                            detail=f"{name}: extra={sorted(ids - bag_ids)[:3]}",
+                        ))
+                else:  # NOT-disjoint
+                    if ids & b_ids:
+                        violations.append(LawViolation(
+                            law=law, query=raw,
+                            detail=f"{name}: leaked={sorted(ids & b_ids)[:3]}",
+                        ))
+            per_arm_sets[name] = got
+        names = list(per_arm_sets)
+        for law in cases:
+            base = per_arm_sets[names[0]][law]
+            for other in names[1:]:
+                if per_arm_sets[other][law] != base:
+                    violations.append(LawViolation(
+                        law="boolean-arm-parity", query=cases[law],
+                        detail=f"{names[0]} vs {other}: "
+                               f"{sorted(base ^ per_arm_sets[other][law])[:3]}",
+                    ))
     return violations

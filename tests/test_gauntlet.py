@@ -207,3 +207,33 @@ class TestCrossBackendConformance:
                 assert got == want, ("fts5", q, got ^ want)
         if fts is not None:
             fts.close()
+
+
+class TestBooleanLaws:
+    def test_boolean_laws_hold_across_all_three_engines(self):
+        """r3 gauntlet law: AND/phrase results are subsets of the bag
+        match set, NOT results are disjoint from the negated term's
+        matches, and the three engines agree on tree match sets."""
+        from frankensearch_tpu.gauntlet.runner import check_boolean_laws
+        from frankensearch_tpu.lexical.fts5_adapter import (
+            Fts5LexicalIndex,
+            fts5_available,
+        )
+        from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+
+        corpus = generate_corpus(CorpusSpec(n_docs=60))
+        mem = MemoryLexicalIndex(preview_chars=10_000)
+        for d in corpus:
+            mem.add_document(d)
+        mem.commit()
+        arms = {"oracle": mem, "device": DeviceBm25Index(mem)}
+        if fts5_available():
+            f = Fts5LexicalIndex()
+            for d in corpus:
+                f.add_document(d)
+            f.commit()
+            arms["fts5"] = f
+        violations = check_boolean_laws(arms)
+        assert violations == [], [
+            (v.law, v.query, v.detail) for v in violations[:4]
+        ]
