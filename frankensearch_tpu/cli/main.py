@@ -828,6 +828,7 @@ def cmd_tui(args) -> dict | None:
     _sentinels = SentinelFileDetector([
         _paths.fast, _paths.wal_for(_paths.fast),
         os.path.join(args.root, "lexical", "CURRENT"),
+        os.path.join(args.root, "lexical", "fts5.db"),
     ])
     _state = [_sentinels.snapshot()]
 
@@ -1116,6 +1117,9 @@ def cmd_serve(args) -> dict | None:
     _sentinels = SentinelFileDetector([
         _paths.fast, _paths.wal_for(_paths.fast),
         os.path.join(args.root, "lexical", "CURRENT"),
+        # fts5 backend has no CURRENT generation file — the .db itself
+        # is the publication artifact, so watch it for external writes
+        os.path.join(args.root, "lexical", "fts5.db"),
     ])
     _sentinel_state = _sentinels.snapshot()
     _reloads = 0

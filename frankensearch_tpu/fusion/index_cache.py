@@ -78,7 +78,9 @@ class IndexCache:
 
         paths = TwoTierPaths(root)
         sentinels = [paths.fast, paths.wal_for(paths.fast),
-                     os.path.join(root, "lexical", "CURRENT")]
+                     os.path.join(root, "lexical", "CURRENT"),
+                     # fts5 backend: the .db IS the publication artifact
+                     os.path.join(root, "lexical", "fts5.db")]
         return cls(
             loader=lambda: TwoTierIndex.open(root, **open_kwargs),
             detector=SentinelFileDetector(sentinels),
