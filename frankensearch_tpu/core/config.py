@@ -108,8 +108,11 @@ class TwoTierConfig:
     #: batched lexical dispatch grouping: selective queries (>= half
     #: their blocks zero-bound) dispatch in small homogeneous sub-batches
     #: so block-max pruning survives batching (the skip test is
-    #: batch-AND). Bit-identical results; extra dispatches only pay off
-    #: on direct-attached hardware (PERF_LEDGER selectivity curve).
+    #: batch-AND). Bit-identical results. MEASURED NEGATIVE for
+    #: throughput on this kernel (PERF_LEDGER: per-block cost is
+    #: B-independent/HBM-bound, so B=8 sub-batches scan blocks 8x less
+    #: efficiently than one B=64 pass); kept as a latency experiment
+    #: knob, off by default.
     lexical_selectivity_grouping: bool = False
     #: lexical engine backend: "auto" opens whatever the build produced
     #: (FTS5 .db if present, else oracle+packed device arm); "fts5"
