@@ -367,7 +367,9 @@ class HybridHandle:
     """Everything open_hybrid opened (index_builder.rs open_hybrid)."""
 
     index: TwoTierIndex
-    lexical: MemoryLexicalIndex | None
+    #: the active lexical arm's snapshot-of-record: the in-memory oracle
+    #: (standard backend) or the FTS5 engine (lexical_backend="fts5")
+    lexical: "MemoryLexicalIndex | object | None"
     storage: Storage | None
     searcher: TwoTierSearcher
     #: lease-bounded searchable-before-seal write path (quill delta.rs);
@@ -535,7 +537,10 @@ def open_hybrid(
             quality_embedder=quality_embedder, config=cfg, **searcher_kwargs,
         )
         return HybridHandle(
-            index=index, lexical=None, storage=storage, searcher=searcher,
+            # the FTS5 engine IS the lexical arm — handle.lexical None
+            # here made serve's status report lexical:false while lexical
+            # results were being served (review finding)
+            index=index, lexical=fts, storage=storage, searcher=searcher,
             delta=fts,
         )
     try:

@@ -189,7 +189,7 @@ class LiveDataSource(DataSource):
         self.stale_after_s = stale_after_s
         self.reap_dead = reap_dead
 
-    def _records(self) -> list[dict]:
+    def _records(self, *, reap: bool = False) -> list[dict]:
         out = []
         try:
             names = sorted(os.listdir(self.fleet_dir))
@@ -208,10 +208,19 @@ class LiveDataSource(DataSource):
                 continue
             if rec.get("v", 1) != NODE_SCHEMA_VERSION:
                 continue  # foreign/future wire version: not ours to judge
-            rec["_alive"] = _pid_alive(int(rec.get("pid", -1)))
-            if not rec["_alive"] and self.reap_dead:
+            # hostile/malformed pid must not crash the listing, and a
+            # MISSING pid must read as dead (os.kill(-1, 0) would probe
+            # the whole process group and report alive forever)
+            try:
+                pid = int(rec.get("pid", 0))
+            except (TypeError, ValueError):
+                pid = 0
+            rec["_alive"] = pid > 0 and _pid_alive(pid)
+            if not rec["_alive"] and reap and self.reap_dead:
                 # crash leftovers: reap so dead nodes age out of the
-                # console after being reported once
+                # console after being reported once. Only nodes() reaps —
+                # samples() reaping first would delete a crashed node
+                # before nodes() ever reported it DOWN (review finding).
                 try:
                     os.remove(path)
                 except OSError:
@@ -222,7 +231,7 @@ class LiveDataSource(DataSource):
     def nodes(self) -> list[NodeInfo]:
         now = time.time()
         out = []
-        for rec in self._records():
+        for rec in self._records(reap=True):
             hb = float(rec.get("at", 0.0))
             healthy = bool(rec["_alive"]) and (now - hb) <= self.stale_after_s
             out.append(

@@ -35,7 +35,10 @@ class ConformalK:
         alpha = min(max(alpha, 1e-6), 1.0)
         n = len(self._calibration_ranks)
         if n == 0:
-            return self.max_k
+            # no calibration data: no coverage guarantee is claimable, so
+            # claim NO widening — returning max_k here silently inflated
+            # every cold-start search to k=100 (review finding)
+            return 0
         q_index = math.ceil((n + 1) * (1.0 - alpha)) - 1
         q_index = min(max(q_index, 0), n - 1)
         return min(self._calibration_ranks[q_index], self.max_k)

@@ -655,6 +655,10 @@ class TwoTierSearcher:
         if not queries:
             return outcomes
         cfg = self.config
+        if self.conformal is not None:
+            # same required-k widening as search(): batched and per-query
+            # results must carry the same coverage guarantee
+            k = max(k, self.conformal.required_k())
 
         # boolean/phrase queries take the scalar lane (tree retrieval +
         # per-hit constraint filtering don't batch); the rest stay on the
@@ -1206,10 +1210,16 @@ class TwoTierSearcher:
             self.adaptive.update(qclass, success)
         if self.feedback is not None and doc_id and success:
             self.feedback.record_click(doc_id)
-        if self.conformal is not None and requested_k is not None:
-            self.conformal.observe(
-                success and rank is not None and rank <= requested_k
-            )
+        if self.conformal is not None:
+            if rank is not None and success:
+                # grow the calibration set exactly like ControlPlane.record
+                # does — observe() alone never calibrates, leaving
+                # required_k() uncomputable forever (review finding)
+                self.conformal.add_rank(rank)
+            if requested_k is not None:
+                self.conformal.observe(
+                    success and rank is not None and rank <= requested_k
+                )
 
     def _effective_semantic_weight(
         self, lexical_pool: list[ScoredResult], parsed: ParsedQuery
@@ -1337,8 +1347,19 @@ class TwoTierSearcher:
         if bq is not None and bq.root is not None:
             from frankensearch_tpu.lexical.query import field_tokens, matches
 
-            if not matches(bq.root, field_tokens(text)):
-                return True
+            tokens = field_tokens(text)
+            if not matches(bq.root, tokens):
+                # Negations drop on PRESENCE (proof). Positive
+                # constraints (phrase adjacency / AND grouping) drop
+                # only on FULL evidence: every positive term must be
+                # visible in the available text — absence may just be
+                # preview truncation, and the exact retrieval lane
+                # (oracle full-content / FTS5 MATCH) already proved the
+                # doc matches (review finding: truncated previews were
+                # silently dropping correct hits).
+                token_set = set(tokens)
+                if all(t in token_set for t in bq.positive_terms()):
+                    return True
         return False
 
     def _constraint_filtering(self, parsed: ParsedQuery) -> bool:

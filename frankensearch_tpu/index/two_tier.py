@@ -257,6 +257,12 @@ class TwoTierIndex:
                 # re-applies as idempotent upserts), never delete blind
                 consumed=getattr(self, "_wal_consumed", {}).get(fname, 0)
             )
+            # the WAL was rewritten: this instance's open-time offset no
+            # longer maps into the file. Reset to 0 so a SECOND compact
+            # on the same object preserves everything instead of cutting
+            # a stale offset into the rewritten bytes (review finding).
+            if hasattr(self, "_wal_consumed"):
+                self._wal_consumed[fname] = 0
             stats[fname] = VacuumStats(
                 records_before=tier.n_rows,
                 records_after=len(ids),

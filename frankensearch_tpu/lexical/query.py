@@ -151,18 +151,23 @@ def parse_query(raw: str) -> ParsedBooleanQuery:
             if tok is None or tok == ")":
                 break
             tokens.next()
-            if tok.upper() in ("AND", "OR"):
+            # operators are UPPERCASE-ONLY, matching is_boolean_syntax's
+            # routing check: lowercase 'and'/'or'/'not' stay ordinary
+            # terms, so a quoted phrase cannot silently promote the rest
+            # of a natural-language query into boolean semantics
+            # (review finding)
+            if tok in ("AND", "OR"):
                 if not items:
-                    diag.warnings.append(f"leading {tok.upper()} ignored")
+                    diag.warnings.append(f"leading {tok} ignored")
                     continue
-                if op is not None and op != tok.upper():
+                if op is not None and op != tok:
                     diag.warnings.append(
                         f"mixed AND/OR without parens; keeping {op}"
                     )
                     continue
-                op = tok.upper()
+                op = tok
                 continue
-            if tok.upper() == "NOT" or tok == "-":
+            if tok == "NOT" or tok == "-":
                 pending_not = True
                 continue
             node: Node | None

@@ -61,6 +61,7 @@ class ShardedDeviceVectorIndex(DeviceVectorIndex):
         *,
         mesh: Mesh | None = None,
         axis: str = "d",
+        hier_align: bool | None = None,
         **kwargs,
     ) -> None:
         self.mesh = mesh or make_mesh(axes=(axis,))
@@ -68,10 +69,19 @@ class ShardedDeviceVectorIndex(DeviceVectorIndex):
         n_dev = self.mesh.shape[axis]
         # pad rows so every shard is equal + aligned for its local body:
         # the flagship hierarchical Pallas body needs local_rows % 8192 == 0
-        # (pallas-enabled), the XLA body only sublane (8) alignment
+        # — by default ONLY on real TPU hardware, where that body can
+        # actually run; on CPU/virtual meshes the auto mode falls back to
+        # the XLA body anyway, and 8192-padding a small test corpus
+        # inflated it ~1000x (review finding). Pass hier_align=True to
+        # force the alignment off-TPU (interpret-mode parity tests). XLA
+        # body needs sublane (8) alignment only.
+        from frankensearch_tpu.index.device_index import _on_tpu
+
         tile_n = kwargs.pop("tile_n", 8)
         use_pallas = kwargs.get("use_pallas", True)
-        per_shard = 8192 if use_pallas else _round_up(max(tile_n, 8), 8)
+        if hier_align is None:
+            hier_align = use_pallas and _on_tpu()
+        per_shard = 8192 if hier_align else _round_up(max(tile_n, 8), 8)
         tile_n = per_shard * n_dev
         super().__init__(vectors, doc_ids, identity, tile_n=tile_n, **kwargs)
         # re-place the padded slab + mask with row sharding

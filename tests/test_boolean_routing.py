@@ -181,6 +181,43 @@ class TestSearcherSurface:
         assert "plain" in ids
         assert "tokio" not in ids
 
+    def test_truncated_preview_does_not_drop_exact_lane_hits(self, tmp_path):
+        """Review fix: the fused-result tree filter must not treat
+        'positive term absent from the 240-char storage preview' as a
+        violation — the exact retrieval lane (oracle full content) just
+        proved the doc matches. Drop only on FULL evidence (all positive
+        terms visible but the structure fails)."""
+        filler = " ".join(f"pad{i:03d}" for i in range(60))  # > 240 chars
+        docs = [
+            fs.IndexableDocument(doc_id="deep",
+                                 content=filler + " hidden exact phrase"),
+            fs.IndexableDocument(doc_id="other", content="unrelated text body"),
+        ]
+        root = str(tmp_path / "ix")
+        fe = fs.HashEmbedder(dim=64)
+        fs.IndexBuilder(root).with_documents(docs).with_embedder_stack(
+            fs.EmbedderStack(fast=fe)
+        ).build()
+        h = fs.open_hybrid(root, fast_embedder=fe)
+        out = h.searcher.search('"hidden exact phrase"', k=5)
+        ids = [r.doc_id for r in out.results]
+        # the exact-lane hit survives despite the truncated preview and
+        # ranks first; docs with NO positive-term evidence are
+        # unprovable and may trail in via the semantic arm
+        assert ids and ids[0] == "deep"
+        # full-evidence violation still drops: scrambled phrase whose
+        # terms ARE in the preview
+        out2 = h.searcher.search('"text unrelated"', k=5)
+        assert all(r.doc_id != "other" for r in out2.results)
+
+    def test_lowercase_operators_stay_terms(self):
+        q = parse_query('"machine learning" and deployment tips')
+        # lowercase 'and' is an ordinary term, not an operator
+        assert not isinstance(q.root, And) or all(
+            not isinstance(c, And) for c in getattr(q.root, "children", ())
+        )
+        assert "and" in q.positive_terms()
+
     def test_batch_routes_structured_queries(self, tmp_path):
         h = self._handle(tmp_path)
         queries = ["rust async", '"write ahead log"', "python"]

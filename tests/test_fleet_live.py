@@ -90,6 +90,32 @@ class TestReconciliation:
         # live pid: the file stays (the process may recover)
         assert len(src.nodes()) == 1
 
+    def test_samples_first_still_reports_dead_node_once(self, tmp_path):
+        """Review fix: samples() must not reap — fleet --live ingests
+        samples BEFORE listing nodes, and reaping there deleted a
+        crashed node before it was ever reported DOWN."""
+        path = self._write_node(tmp_path, "dead", pid=4194303, at=time.time())
+        src = LiveDataSource(str(tmp_path))
+        src.samples()  # the console's first pass
+        assert os.path.exists(path)  # not reaped yet
+        nodes = src.nodes()  # reports DOWN and reaps
+        assert len(nodes) == 1 and not nodes[0].healthy
+        assert not os.path.exists(path)
+
+    def test_malformed_pid_is_dead_not_crash(self, tmp_path):
+        """Review fix: a non-numeric or missing pid must read as DEAD
+        (os.kill(-1, 0) probes the whole process group and reported
+        such nodes alive forever), and must not crash the listing."""
+        path = os.path.join(str(tmp_path), "bad" + NODE_SUFFIX)
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump({"v": 1, "node_id": "bad", "pid": "abc", "host": "h",
+                       "at": time.time()}, f)
+        self._write_node(tmp_path, "ok", pid=os.getpid(), at=time.time())
+        src = LiveDataSource(str(tmp_path))
+        by_id = {n.node_id: n for n in src.nodes()}
+        assert by_id["ok"].healthy
+        assert not by_id["bad"].healthy
+
     def test_torn_json_skipped(self, tmp_path):
         with open(os.path.join(str(tmp_path), "torn" + NODE_SUFFIX), "w") as f:
             f.write('{"node_id": "to')

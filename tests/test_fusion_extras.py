@@ -78,6 +78,12 @@ class TestAdaptive:
 
 
 class TestConformal:
+    def test_uncalibrated_claims_no_widening(self):
+        """Review fix: with zero calibration data no coverage guarantee
+        is claimable — required_k() must be 0, not max_k (which silently
+        inflated every cold-start search to k=100)."""
+        assert ConformalK(alpha=0.1).required_k() == 0
+
     def test_required_k_quantile(self):
         c = ConformalK(alpha=0.1)
         c.calibrate(list(range(1, 101)))  # ranks 1..100

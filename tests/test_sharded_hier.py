@@ -244,8 +244,9 @@ class TestShardedIndexHierMode:
         texts = [f"document number {i} about topic {i % 7}" for i in range(300)]
         vecs = fe.embed_batch(texts)
         ids = [f"d{i}" for i in range(300)]
-        idx = ShardedDeviceVectorIndex(vecs, ids, fe.identity(), slab_dtype="bf16")
-        assert idx._hier_tile(8) > 0  # use_pallas default pads shards to 8192
+        idx = ShardedDeviceVectorIndex(vecs, ids, fe.identity(), slab_dtype="bf16",
+                                       hier_align=True)
+        assert idx._hier_tile(8) > 0  # hier_align pads shards to 8192
         q = fe.embed_batch(["topic 3 document", "topic 5 number"])
         got = idx.search_batch(q, 8, mode="hier")
         want = idx.search_batch(q, 8, mode="xla")
@@ -268,7 +269,8 @@ class TestShardedIndexHierMode:
         texts = [f"text {i} topic {i % 5} words" for i in range(200)]
         vecs = fe.embed_batch(texts)
         ids = [f"d{i}" for i in range(200)]
-        idx = ShardedDeviceVectorIndex(vecs, ids, fe.identity(), slab_dtype="bf16")
+        idx = ShardedDeviceVectorIndex(vecs, ids, fe.identity(), slab_dtype="bf16",
+                                       hier_align=True)
         q = fe.embed_batch(["topic 2 words", "text topic"])
         got = idx.search_batch(q, 8, mode="int8_hier")
         want = idx.search_batch(q, 8, mode="xla")

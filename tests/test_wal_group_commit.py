@@ -89,6 +89,25 @@ class TestDeferredWal:
         hits = reopened.search_fast_classified(v[0], 1)
         assert hits.hits[0].doc_id == "raced"
 
+    def test_second_compact_on_same_instance_loses_nothing(self, rng, tmp_path):
+        """Review fix: after compact() rewrites the WAL, the instance's
+        open-time fold boundary no longer maps into the file — a second
+        compact() on the SAME object must not cut a stale offset into
+        the rewritten bytes (it now resets its boundary to 0)."""
+        fast = make_unit_rows(rng, 10, 32)
+        ids = [f"doc-{i}" for i in range(10)]
+        TwoTierIndex.create(str(tmp_path / "ix"), fast, ids, IDENT, use_pallas=False)
+        compactor = TwoTierIndex.open(str(tmp_path / "ix"), use_pallas=False)
+        writer = TwoTierIndex.open(str(tmp_path / "ix"), use_pallas=False)
+        writer.append_fast(["pre"], make_unit_rows(rng, 1, 32))
+        compactor.compact()  # folds snapshot; 'pre' survives in the tail
+        v = make_unit_rows(rng, 1, 32)
+        writer.append_fast(["raced2"], v)  # lands in the REWRITTEN wal
+        compactor.compact()  # same instance again: must not cut 'raced2'
+        reopened = TwoTierIndex.open(str(tmp_path / "ix"), use_pallas=False)
+        have = set(reopened.fast.doc_ids)
+        assert "pre" in have and "raced2" in have
+
     def test_own_postopen_appends_survive_compact(self, rng, tmp_path):
         """The handle's OWN post-open appends are folded from memory AND
         left in the WAL tail — replay re-applies them as idempotent
