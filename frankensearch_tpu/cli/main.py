@@ -757,35 +757,66 @@ def cmd_flush(args) -> dict:
 
 
 def cmd_download(args) -> dict:
-    """Model acquisition front-door (fsfs download). This build is
-    offline: without --authorize it refuses (the recovery_plan
-    authorization contract); with it, it stages/verifies a local source
-    dir and atomically promotes it."""
-    from frankensearch_tpu.embed.model_manifest import (
-        promote_staged_model,
-        verify_model_dir,
+    """Model acquisition front-door (fsfs download / model_download.rs
+    acquire_frozen_model). Network (--url, loopback/artifact-store) or
+    local bundle (--from-dir); both run the full transaction: advisory
+    lock -> warm-cache reuse -> stage -> manifest verify -> atomic
+    promote with backup -> durable receipt. Never implicit: requires
+    --authorize <who> and a frozen manifest authorizing every byte."""
+    from frankensearch_tpu.core.errors import EmbeddingFailed
+    from frankensearch_tpu.embed.model_download import (
+        DownloadConfig,
+        LocalBundleSource,
+        ModelDownloader,
+        NetworkSource,
+        diagnose_acquisition,
     )
+    from frankensearch_tpu.embed.model_manifest import ModelManifest
 
+    dest = os.path.join(args.root, "models", args.name)
+    if args.diagnose:
+        return envelope(diagnose_acquisition(dest))
     if not args.authorize:
         return error_envelope(
             "acquisition_not_authorized",
             "model acquisition requires --authorize <who> (downloads are never implicit)",
         )
-    if not args.from_dir:
+    manifest_path = args.manifest or (
+        os.path.join(args.from_dir, "model_manifest.json") if args.from_dir else ""
+    )
+    if not manifest_path or not os.path.exists(manifest_path):
         return error_envelope(
-            "offline_build",
-            "this build has no network transport; provide --from-dir with a staged model",
+            "manifest_required",
+            "acquisition needs a frozen manifest: --manifest <path> "
+            "(or --from-dir containing model_manifest.json)",
         )
-    verification = verify_model_dir(args.from_dir)
-    if not verification.ok:
+    with open(manifest_path, encoding="utf-8") as f:
+        manifest = ModelManifest.from_json(f.read())
+    if args.url:
+        source = NetworkSource(base_url=args.url)
+    elif args.from_dir:
+        source = LocalBundleSource(args.from_dir)
+    else:
         return error_envelope(
-            "model_verification_failed",
-            f"missing={list(verification.missing)} corrupted={list(verification.corrupted)}",
+            "source_required", "provide --url <base> or --from-dir <bundle>"
         )
-    dest = os.path.join(args.root, "models", args.name)
-    os.makedirs(os.path.dirname(dest), exist_ok=True)
-    promote_staged_model(args.from_dir, dest)
-    return envelope({"promoted": dest, "authorized_by": args.authorize})
+    progress: list[dict] = []
+    try:
+        receipt = ModelDownloader(
+            DownloadConfig(max_retries=args.max_retries)
+        ).acquire(
+            manifest, source, dest,
+            authorized_by=args.authorize,
+            on_progress=progress.append,
+        )
+    except EmbeddingFailed as exc:
+        return error_envelope("acquisition_failed", str(exc))
+    return envelope({
+        "promoted": dest,
+        "receipt": receipt.to_dict(),
+        "stages": [p["stage"] for p in progress
+                   if p["stage"] != "streaming"],
+    })
 
 
 def cmd_completions(args) -> dict | None:
@@ -1490,10 +1521,17 @@ def build_parser() -> argparse.ArgumentParser:
 
     add("flush", cmd_flush, help="drain pending embedding jobs")
 
-    sp = add("download", cmd_download, help="stage + promote a model (offline)")
+    sp = add("download", cmd_download, help="acquire a model (network or local bundle)")
     sp.add_argument("name")
-    sp.add_argument("--from-dir", default="")
+    sp.add_argument("--from-dir", default="", help="local bundle source")
+    sp.add_argument("--url", default="", help="artifact base URL (network source)")
+    sp.add_argument("--manifest", default="",
+                    help="frozen model_manifest.json authorizing every byte "
+                         "(defaults to <from-dir>/model_manifest.json)")
     sp.add_argument("--authorize", default="", help="who authorizes acquisition")
+    sp.add_argument("--max-retries", type=int, default=3)
+    sp.add_argument("--diagnose", action="store_true",
+                    help="report acquisition recovery state instead of acquiring")
 
     sp = add("completions", cmd_completions, help="emit bash completions")
 

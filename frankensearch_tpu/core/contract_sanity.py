@@ -24,6 +24,7 @@ EXPECTED_VERSIONS = {
     "generation_manifest": 1,
     "flex_lexical": 1,
     "fleet_node": 1,
+    "acquisition_receipt": 1,
 }
 
 
@@ -51,6 +52,7 @@ def check_schema_lockstep() -> ContractReport:
     from frankensearch_tpu.core.collectors import TELEMETRY_SCHEMA_VERSION
     from frankensearch_tpu.core.e2e_artifact import E2E_SCHEMA_VERSION
     from frankensearch_tpu.core.generation import MANIFEST_VERSION
+    from frankensearch_tpu.embed.model_download import RECEIPT_SCHEMA_VERSION
     from frankensearch_tpu.embed.model_manifest import MANIFEST_SCHEMA_VERSION
     from frankensearch_tpu.fleet.registry import NODE_SCHEMA_VERSION
     from frankensearch_tpu.lexical.persist import FLEX_VERSION
@@ -64,6 +66,7 @@ def check_schema_lockstep() -> ContractReport:
     check("generation_manifest", MANIFEST_VERSION)
     check("flex_lexical", FLEX_VERSION)
     check("fleet_node", NODE_SCHEMA_VERSION)
+    check("acquisition_receipt", RECEIPT_SCHEMA_VERSION)
     return report
 
 

@@ -619,3 +619,78 @@ class TestCliFeedbackLoop:
         r = run_cli("--format", "json", "feedback", "some query",
                     "--negative", "--root", root)
         assert r.returncode == 0, r.stderr
+
+
+class TestCliModelAcquisition:
+    """fsfs download through the real CLI: network transport against a
+    loopback origin, warm-cache reuse, and the recovery diagnostics."""
+
+    @pytest.fixture
+    def origin(self, tmp_path):
+        import http.server
+        import threading
+
+        author = tmp_path / "author"
+        author.mkdir()
+        (author / "weights.bin").write_bytes(os.urandom(4096))
+        (author / "vocab.txt").write_bytes(b"alpha\nbeta\n")
+        from frankensearch_tpu.embed.model_manifest import (
+            build_model_manifest,
+            write_model_manifest,
+        )
+
+        man = build_model_manifest(str(author), "m2v-cli", "rev-1", 8, "model2vec")
+        manifest_path = write_model_manifest(str(author), man)
+
+        class H(http.server.SimpleHTTPRequestHandler):
+            def __init__(self, *a, **kw):
+                super().__init__(*a, directory=str(author), **kw)
+
+            def log_message(self, *a):
+                pass
+
+        server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        yield f"http://127.0.0.1:{server.server_port}", manifest_path
+        server.shutdown()
+        server.server_close()
+
+    def test_network_acquire_then_warm_cache_then_diagnose(self, origin, tmp_path):
+        base, manifest_path = origin
+        root = str(tmp_path / "ix")
+        os.makedirs(root, exist_ok=True)
+        r = run_cli("--format", "json", "download", "m2v-cli", "--url", base,
+                    "--manifest", manifest_path, "--authorize", "ops@test",
+                    "--root", root)
+        assert r.returncode == 0, r.stderr
+        out = json.loads(r.stdout)
+        assert out["ok"], out
+        assert out["data"]["receipt"]["outcome"] == "published"
+        assert out["data"]["receipt"]["source"] == "network"
+        assert out["data"]["stages"][-1] == "published"
+        assert os.path.exists(
+            os.path.join(root, "models", "m2v-cli", "weights.bin")
+        )
+        # second run: warm cache, no re-download
+        r = run_cli("--format", "json", "download", "m2v-cli", "--url", base,
+                    "--manifest", manifest_path, "--authorize", "ops@test",
+                    "--root", root)
+        assert r.returncode == 0, r.stderr
+        assert json.loads(r.stdout)["data"]["receipt"]["outcome"] == "verified_warm_cache"
+        # diagnostics see the published generation + receipt, no orphans
+        r = run_cli("--format", "json", "download", "m2v-cli", "--diagnose",
+                    "--root", root)
+        assert r.returncode == 0, r.stderr
+        diag = json.loads(r.stdout)["data"]
+        assert diag["destination_present"] and diag["receipt_present"]
+        assert diag["orphan_staging"] == 0
+
+    def test_unauthorized_refused(self, tmp_path):
+        root = str(tmp_path / "ix")
+        os.makedirs(root, exist_ok=True)
+        r = run_cli("--format", "json", "download", "m", "--url",
+                    "http://127.0.0.1:1/", "--root", root)
+        assert r.returncode != 0
+        out = json.loads(r.stdout)
+        assert not out["ok"]
+        assert out["error"]["code"] == "acquisition_not_authorized"

@@ -1,0 +1,408 @@
+"""Model acquisition transaction against a loopback HTTP origin.
+
+Parity model: reference crates/frankensearch-embed/tests/model_download_tests.rs
+— the downloader is exercised with REAL transport (localhost), fault
+injection (truncation, 5xx, 404, oversize, redirect chains), warm-cache
+reuse, backup preservation, lock exclusion, and cancellation.
+"""
+
+import http.server
+import json
+import os
+import threading
+import time
+
+import pytest
+
+from frankensearch_tpu.core.errors import EmbeddingFailed
+from frankensearch_tpu.embed.model_download import (
+    AcquisitionCancelled,
+    DownloadConfig,
+    LocalBundleSource,
+    ModelDownloader,
+    NetworkSource,
+    diagnose_acquisition,
+    load_receipt,
+    manifest_fingerprint,
+    receipt_path,
+)
+from frankensearch_tpu.embed.model_manifest import (
+    ModelManifest,
+    build_model_manifest,
+    verify_model_dir,
+    write_model_manifest,
+)
+
+FAST_CFG = DownloadConfig(max_retries=3, backoff_base_s=0.01, timeout_s=5.0)
+
+
+class _Origin(http.server.BaseHTTPRequestHandler):
+    """Loopback artifact origin with per-path fault injection."""
+
+    files: dict = {}
+    faults: dict = {}  # path -> list of fault dicts, consumed per request
+    log: list = []
+
+    def log_message(self, *a):  # silence
+        pass
+
+    def do_GET(self):
+        cls = type(self)
+        cls.log.append({"path": self.path,
+                        "range": self.headers.get("Range")})
+        faults = cls.faults.get(self.path)
+        fault = faults.pop(0) if faults else None
+        if fault and "status" in fault:
+            self.send_response(fault["status"])
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        if fault and "redirect" in fault:
+            self.send_response(302)
+            self.send_header("Location", fault["redirect"])
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        body = cls.files.get(self.path)
+        if body is None:
+            self.send_response(404)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        if fault and "extra" in fault:
+            body = body + fault["extra"]  # oversize origin
+        rng = self.headers.get("Range")
+        status, offset = 200, 0
+        if rng and rng.startswith("bytes=") and not (fault and fault.get("no206")):
+            offset = int(rng[6:].rstrip("-"))
+            status = 206
+        payload = body[offset:]
+        truncate = fault.get("truncate") if fault else None
+        self.send_response(status)
+        self.send_header("Content-Length", str(len(payload)))
+        if status == 206:
+            self.send_header(
+                "Content-Range", f"bytes {offset}-{len(body) - 1}/{len(body)}"
+            )
+        self.end_headers()
+        if truncate is not None:
+            self.wfile.write(payload[:truncate])
+            self.wfile.flush()
+            # cut the connection mid-body: client sees IncompleteRead
+            self.connection.close()
+            return
+        self.wfile.write(payload)
+
+
+@pytest.fixture
+def origin():
+    _Origin.files, _Origin.faults, _Origin.log = {}, {}, []
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Origin)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_port}"
+    yield base
+    server.shutdown()
+    server.server_close()
+
+
+def _manifest_for(files: dict[str, bytes], tmp_path, model_id="m2v-test") -> ModelManifest:
+    src = tmp_path / "authoring"
+    src.mkdir(exist_ok=True)
+    for name, body in files.items():
+        (src / name).write_bytes(body)
+    man = build_model_manifest(str(src), model_id, "rev-1", 64, "model2vec")
+    for name, body in files.items():
+        _Origin.files["/" + name] = body
+    return man
+
+
+def _acquire(man, base, dest, cfg=FAST_CFG, **kw):
+    kw.setdefault("authorized_by", "tester")
+    return ModelDownloader(cfg).acquire(man, NetworkSource(base_url=base),
+                                        str(dest), **kw)
+
+
+ARTIFACTS = {
+    "weights.npz": os.urandom(70_000),
+    "vocab.txt": b"alpha\nbeta\ngamma\n",
+}
+
+
+class TestNetworkAcquisition:
+    def test_happy_path_publishes_and_receipts(self, origin, tmp_path):
+        man = _manifest_for(ARTIFACTS, tmp_path)
+        dest = tmp_path / "models" / "m"
+        stages = []
+        receipt = _acquire(man, origin, dest,
+                           on_progress=lambda p: stages.append(p["stage"]))
+        assert receipt.outcome == "published"
+        assert receipt.source == "network"
+        assert receipt.source_hosts == ("127.0.0.1",)
+        assert receipt.bytes_verified == sum(len(b) for b in ARTIFACTS.values())
+        assert receipt.manifest_fingerprint == manifest_fingerprint(man)
+        assert not receipt.prior_generation_preserved
+        # destination is self-describing and verifies fail-closed
+        assert verify_model_dir(str(dest)).ok
+        assert (dest / "weights.npz").read_bytes() == ARTIFACTS["weights.npz"]
+        # durable receipt round-trips
+        assert load_receipt(str(dest)) == receipt
+        # stage ordering: stream -> verified -> published
+        terminal = [s for s in stages if s != "streaming"]
+        assert terminal == ["staged_verified", "published"]
+        # no staging orphans, no lock left behind
+        diag = diagnose_acquisition(str(dest))
+        assert diag["orphan_staging"] == 0
+        assert diag["receipt_present"]
+
+    def test_truncation_resumes_with_range(self, origin, tmp_path):
+        man = _manifest_for(ARTIFACTS, tmp_path)
+        # first response for the big file is cut after 30k bytes
+        _Origin.faults["/weights.npz"] = [{"truncate": 30_000}]
+        dest = tmp_path / "m"
+        receipt = _acquire(man, origin, dest)
+        assert receipt.outcome == "published"
+        assert (dest / "weights.npz").read_bytes() == ARTIFACTS["weights.npz"]
+        # the retry actually RESUMED: second request carried a Range
+        # header at the truncation offset (not a clean restart)
+        reqs = [r for r in _Origin.log if r["path"] == "/weights.npz"]
+        assert len(reqs) == 2
+        assert reqs[1]["range"] == "bytes=30000-"
+
+    def test_origin_refusing_resume_restarts_clean(self, origin, tmp_path):
+        man = _manifest_for(ARTIFACTS, tmp_path)
+        # truncate, then ignore the Range header (200 full-body reply)
+        _Origin.faults["/weights.npz"] = [{"truncate": 10_000}, {"no206": True}]
+        dest = tmp_path / "m"
+        assert _acquire(man, origin, dest).outcome == "published"
+        assert (dest / "weights.npz").read_bytes() == ARTIFACTS["weights.npz"]
+
+    def test_transient_5xx_retried(self, origin, tmp_path):
+        man = _manifest_for(ARTIFACTS, tmp_path)
+        _Origin.faults["/vocab.txt"] = [{"status": 503}, {"status": 502}]
+        dest = tmp_path / "m"
+        assert _acquire(man, origin, dest).outcome == "published"
+        assert len([r for r in _Origin.log if r["path"] == "/vocab.txt"]) == 3
+
+    def test_permanent_404_fails_without_retry(self, origin, tmp_path):
+        man = _manifest_for(ARTIFACTS, tmp_path)
+        del _Origin.files["/vocab.txt"]
+        dest = tmp_path / "m"
+        with pytest.raises(EmbeddingFailed, match="HTTP 404"):
+            _acquire(man, origin, dest)
+        assert not dest.exists()  # never published
+        assert len([r for r in _Origin.log if r["path"] == "/vocab.txt"]) == 1
+        # crash evidence: the orphan staging tree is diagnosable
+        assert diagnose_acquisition(str(dest))["orphan_staging"] == 1
+
+    def test_tampered_bytes_fail_closed(self, origin, tmp_path):
+        man = _manifest_for(dict(ARTIFACTS), tmp_path)
+        bad = bytearray(ARTIFACTS["vocab.txt"])
+        bad[0] ^= 0xFF
+        _Origin.files["/vocab.txt"] = bytes(bad)  # same length, wrong hash
+        with pytest.raises(EmbeddingFailed, match="corrupted"):
+            _acquire(man, origin, tmp_path / "m")
+        assert not (tmp_path / "m").exists()
+
+    def test_oversize_stream_aborts_mid_flight(self, origin, tmp_path):
+        man = _manifest_for(ARTIFACTS, tmp_path)
+        _Origin.faults["/vocab.txt"] = [{"extra": b"X" * 64}]
+        with pytest.raises(EmbeddingFailed, match="exceeded its manifest-declared"):
+            _acquire(man, origin, tmp_path / "m")
+
+    def test_declared_size_over_cap_rejected_before_transport(self, origin, tmp_path):
+        man = _manifest_for(ARTIFACTS, tmp_path)
+        cfg = DownloadConfig(max_retries=0, max_artifact_bytes=1000)
+        with pytest.raises(EmbeddingFailed, match="over the configured cap"):
+            _acquire(man, origin, tmp_path / "m", cfg=cfg)
+        # the over-cap artifact was rejected from its declared size,
+        # before a single byte of it was requested
+        assert not [r for r in _Origin.log if r["path"] == "/weights.npz"]
+
+    def test_warm_cache_reuses_without_transport(self, origin, tmp_path):
+        man = _manifest_for(ARTIFACTS, tmp_path)
+        dest = tmp_path / "m"
+        _acquire(man, origin, dest)
+        _Origin.log.clear()
+        probed = []
+        receipt = _acquire(man, origin, dest,
+                           load_self_test=lambda p, m: probed.append(p))
+        assert receipt.outcome == "verified_warm_cache"
+        assert receipt.source == "warm_cache"
+        assert not _Origin.log  # ZERO network requests
+        assert probed == [str(dest)]  # self-test still ran on the cache
+
+    def test_rejected_destination_preserved_as_backup(self, origin, tmp_path):
+        man = _manifest_for(ARTIFACTS, tmp_path)
+        dest = tmp_path / "m"
+        _acquire(man, origin, dest)
+        (dest / "weights.npz").write_bytes(b"corrupted slab")
+        receipt = _acquire(man, origin, dest)
+        assert receipt.outcome == "published"
+        assert receipt.prior_generation_preserved
+        assert verify_model_dir(str(dest)).ok
+        diag = diagnose_acquisition(str(dest))
+        assert diag["preserved_backups"] == 1
+
+    def test_redirect_chain_followed_then_capped(self, origin, tmp_path):
+        man = _manifest_for(ARTIFACTS, tmp_path)
+        # two hops is fine under the default cap
+        _Origin.files["/hop2/vocab.txt"] = ARTIFACTS["vocab.txt"]
+        _Origin.faults["/vocab.txt"] = [{"redirect": f"{origin}/hop2/vocab.txt"}]
+        dest = tmp_path / "m"
+        assert _acquire(man, origin, dest).outcome == "published"
+        # an endless loop trips the cap and fails (transient-classed,
+        # so bound retries to keep the test fast)
+        man2 = _manifest_for(ARTIFACTS, tmp_path, model_id="m2")
+        _Origin.faults["/vocab.txt"] = [
+            {"redirect": f"{origin}/vocab.txt"} for _ in range(40)
+        ]
+        cfg = DownloadConfig(max_retries=0, backoff_base_s=0.01, max_redirects=3)
+        with pytest.raises(EmbeddingFailed):
+            _acquire(man2, origin, tmp_path / "m2", cfg=cfg)
+
+    def test_failed_self_test_blocks_publication(self, origin, tmp_path):
+        man = _manifest_for(ARTIFACTS, tmp_path)
+
+        def boom(path, manifest):
+            raise EmbeddingFailed("model loads but embeds garbage")
+
+        with pytest.raises(EmbeddingFailed, match="embeds garbage"):
+            _acquire(man, origin, tmp_path / "m", load_self_test=boom)
+        assert not (tmp_path / "m").exists()
+
+    def test_cancellation_between_chunks(self, origin, tmp_path):
+        man = _manifest_for(ARTIFACTS, tmp_path)
+        cancel = threading.Event()
+        stages = []
+
+        def cancelling_progress(p):
+            stages.append(p["stage"])
+            if p["stage"] == "streaming" and p["bytes_done"] > 0:
+                cancel.set()
+
+        with pytest.raises(AcquisitionCancelled):
+            _acquire(man, origin, tmp_path / "m", cancel=cancel,
+                     on_progress=cancelling_progress)
+        assert stages[-1] == "cancelled"
+        assert not (tmp_path / "m").exists()
+
+
+class TestTransactionEnvelope:
+    def test_authorization_is_mandatory(self, tmp_path):
+        man = ModelManifest(model_id="m", revision="r", dim=4, kind="model2vec")
+        with pytest.raises(EmbeddingFailed, match="authorization"):
+            ModelDownloader(FAST_CFG).acquire(
+                man, LocalBundleSource(str(tmp_path)), str(tmp_path / "d"),
+                authorized_by="",
+            )
+
+    def test_empty_manifest_rejected(self, tmp_path):
+        man = ModelManifest(model_id="m", revision="r", dim=4, kind="model2vec")
+        with pytest.raises(EmbeddingFailed, match="no artifacts"):
+            ModelDownloader(FAST_CFG).acquire(
+                man, LocalBundleSource(str(tmp_path)), str(tmp_path / "d"),
+                authorized_by="op",
+            )
+
+    def test_concurrent_acquisition_excluded_by_lock(self, origin, tmp_path):
+        from frankensearch_tpu.index.file_identity import WriterLock
+
+        man = _manifest_for(ARTIFACTS, tmp_path)
+        dest = tmp_path / "m"
+        dest.parent.mkdir(exist_ok=True)
+        held = WriterLock(str(tmp_path / ".m.acquisition.lock")).acquire()
+        try:
+            with pytest.raises(EmbeddingFailed, match="already in progress"):
+                _acquire(man, origin, dest)
+        finally:
+            held.release()
+        assert _acquire(man, origin, dest).outcome == "published"
+
+    def test_local_bundle_cannot_smuggle_unlisted_files(self, tmp_path):
+        src = tmp_path / "bundle"
+        src.mkdir()
+        (src / "weights.npz").write_bytes(b"W" * 100)
+        man = build_model_manifest(str(src), "m", "r", 8, "model2vec")
+        (src / "trojan.py").write_text("import os")  # NOT in the manifest
+        dest = tmp_path / "m"
+        receipt = ModelDownloader(FAST_CFG).acquire(
+            man, LocalBundleSource(str(src)), str(dest), authorized_by="op",
+        )
+        assert receipt.source == "local_bundle"
+        assert receipt.source_hosts == ()
+        assert not (dest / "trojan.py").exists()
+        assert verify_model_dir(str(dest)).ok
+
+    def test_local_bundle_missing_artifact(self, tmp_path):
+        src = tmp_path / "bundle"
+        src.mkdir()
+        (src / "weights.npz").write_bytes(b"W" * 100)
+        man = build_model_manifest(str(src), "m", "r", 8, "model2vec")
+        os.remove(src / "weights.npz")
+        with pytest.raises(EmbeddingFailed, match="missing artifact"):
+            ModelDownloader(FAST_CFG).acquire(
+                man, LocalBundleSource(str(src)), str(tmp_path / "m"),
+                authorized_by="op",
+            )
+
+    def test_receipt_rejects_foreign_version(self, tmp_path):
+        from frankensearch_tpu.embed.model_download import AcquisitionReceipt
+
+        with pytest.raises(EmbeddingFailed, match="unsupported receipt"):
+            AcquisitionReceipt.from_dict({"v": 99})
+
+    def test_diagnose_counts_lock(self, tmp_path):
+        from frankensearch_tpu.index.file_identity import WriterLock
+
+        dest = tmp_path / "m"
+        lock = WriterLock(str(tmp_path / ".m.acquisition.lock")).acquire()
+        try:
+            diag = diagnose_acquisition(str(dest))
+        finally:
+            lock.release()
+        assert diag["lock_present"]
+        assert not diag["destination_present"]
+
+
+class TestEndToEndLoad:
+    def test_acquired_model2vec_actually_embeds(self, origin, tmp_path):
+        """The full loop: author a real Model2Vec artifact set, serve it
+        over loopback HTTP, acquire with a load self-test that runs a
+        real forward, then embed through the published generation."""
+        import numpy as np
+        from safetensors.numpy import save_file
+        from tokenizers import Tokenizer
+        from tokenizers.models import WordLevel
+        from tokenizers.pre_tokenizers import Whitespace
+
+        rng = np.random.default_rng(7)
+        vocab = {"alpha": 0, "beta": 1, "gamma": 2, "delta": 3, "[UNK]": 4}
+        emb = rng.standard_normal((len(vocab), 16)).astype(np.float32)
+        author = tmp_path / "author"
+        author.mkdir()
+        save_file({"embeddings": emb}, str(author / "model.safetensors"))
+        tok = Tokenizer(WordLevel(vocab, unk_token="[UNK]"))
+        tok.pre_tokenizer = Whitespace()
+        tok.save(str(author / "tokenizer.json"))
+        (author / "config.json").write_text(
+            json.dumps({"model_revision": "rev-9"})
+        )
+        man = build_model_manifest(str(author), "m2v-mini", "rev-9", 16, "model2vec")
+        for name in ("model.safetensors", "tokenizer.json", "config.json"):
+            _Origin.files["/" + name] = (author / name).read_bytes()
+
+        from frankensearch_tpu.embed.model2vec import Model2VecEmbedder
+
+        def self_test(path, manifest):
+            e = Model2VecEmbedder.from_dir(path)
+            out = e.embed_batch(["alpha beta"])
+            assert out.shape == (1, manifest.dim)
+
+        dest = tmp_path / "models" / "m2v-mini"
+        receipt = _acquire(man, origin, dest, load_self_test=self_test)
+        assert receipt.outcome == "published"
+        e = Model2VecEmbedder.from_dir(str(dest))
+        v = e.embed_batch(["gamma delta alpha"])
+        assert v.shape == (1, 16)
+        assert np.isfinite(np.asarray(v)).all()

@@ -330,6 +330,48 @@ class TestStreamQueryFrame:
             jsonschema.validate({"op": "explode"}, schema)
 
 
+class TestAcquisitionReceipt:
+    def test_real_producer_validates(self, tmp_path):
+        from frankensearch_tpu.embed.model_download import (
+            LocalBundleSource,
+            ModelDownloader,
+            load_receipt,
+        )
+        from frankensearch_tpu.embed.model_manifest import build_model_manifest
+
+        src = tmp_path / "bundle"
+        src.mkdir()
+        (src / "weights.bin").write_bytes(b"W" * 64)
+        man = build_model_manifest(str(src), "m2v", "rev-1", 8, "model2vec")
+        dest = tmp_path / "models" / "m2v"
+        ModelDownloader().acquire(
+            man, LocalBundleSource(str(src)), str(dest), authorized_by="op"
+        )
+        receipt = load_receipt(str(dest))
+        jsonschema.validate(
+            receipt.to_dict(), load("acquisition-receipt-v1.schema.json")
+        )
+
+    def test_invalid_rejected(self):
+        schema = load("acquisition-receipt-v1.schema.json")
+        base = {
+            "v": 1, "model_id": "m", "revision": "r",
+            "manifest_fingerprint": "0" * 64, "source": "network",
+            "source_hosts": [], "outcome": "published", "bytes_verified": 1,
+            "duration_ms": 1, "prior_generation_preserved": False,
+            "authorized_by": "op", "requires_reindex": True,
+        }
+        jsonschema.validate(base, schema)
+        for corrupt in (
+            {"source": "carrier_pigeon"},
+            {"manifest_fingerprint": "nothex"},
+            {"authorized_by": ""},
+            {"v": 2},
+        ):
+            with pytest.raises(jsonschema.ValidationError):
+                jsonschema.validate({**base, **corrupt}, schema)
+
+
 def test_schema_suite_breadth():
     """The contract floor: >=10 pinned payload schemas with fixtures."""
     names = [n for n in os.listdir(SCHEMA_DIR) if n.endswith(".schema.json")]
