@@ -395,6 +395,90 @@ class TestTwoStageGroupTopk:
         assert set(got[0]) == {23, 22, 21}
 
 
+class TestHierarchicalTileTopkEmit:
+    """emit="tile_topk": per-tile top-t candidate emission inside the scan
+    kernel. Must be BIT-equal to the emit="gmax" reference path — same
+    pipeline, only the group-selection input narrows from n_groups to
+    num_tiles*t values (exact by the per-tile coverage argument in the
+    kernel docstring)."""
+
+    def _parity(self, slab, q, k, mask=None, tile_n=512, group=32):
+        import jax.numpy as jnp
+
+        from frankensearch_tpu.ops.topk_scan import scan_topk_hierarchical
+
+        sd, qd = jnp.asarray(slab, jnp.bfloat16), jnp.asarray(q)
+        md = None if mask is None else jnp.asarray(mask)
+        got = scan_topk_hierarchical(
+            sd, qd, k, md, tile_n=tile_n, group=group,
+            emit="tile_topk", interpret=True,
+        )
+        want = scan_topk_hierarchical(
+            sd, qd, k, md, tile_n=tile_n, group=group,
+            emit="gmax", interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got.indices), np.asarray(want.indices))
+        np.testing.assert_array_equal(np.asarray(got.scores), np.asarray(want.scores))
+        return got
+
+    def test_random_bit_parity(self, rng):
+        # tile_n=512/group=32 -> g_tile=16 > t=10: the narrowing branch runs
+        slab = make_unit_rows(rng, 2048, 64)
+        q = make_unit_rows(rng, 8, 64)
+        self._parity(slab, q, 10)
+
+    def test_masked_parity(self, rng):
+        slab = make_unit_rows(rng, 2048, 64)
+        q = make_unit_rows(rng, 4, 64)
+        valid = np.arange(2048) < 1500
+        mask = np.where(valid, 0.0, -np.inf).astype(np.float32)
+        got = self._parity(slab, q, 12, mask=mask)
+        idx = np.asarray(got.indices)
+        assert idx[idx >= 0].max() < 1500
+
+    def test_all_topk_groups_in_one_tile(self, rng):
+        # adversarial: the k winners live in k DIFFERENT groups of the SAME
+        # tile — the tile must emit all t=k of them
+        slab = make_unit_rows(rng, 2048, 64) * 0.1
+        q = make_unit_rows(rng, 1, 64)
+        for i in range(10):
+            slab[512 + i * 32] = q[0] * (1.0 - 0.001 * i)  # tile 1, 10 groups
+        got = self._parity(slab, q, 10)
+        np.testing.assert_array_equal(
+            np.asarray(got.indices)[0], 512 + np.arange(10) * 32
+        )
+
+    def test_tie_heavy_bit_parity(self):
+        # duplicate rows across tiles: tiebreak (lowest row) must match
+        row = np.zeros((1, 64), dtype=np.float32)
+        row[0, 0] = 1.0
+        slab = np.tile(row, (2048, 1))
+        self._parity(slab, row, 10)
+
+    def test_fully_masked_parity(self, rng):
+        slab = make_unit_rows(rng, 1024, 64)
+        q = make_unit_rows(rng, 2, 64)
+        mask = np.full(1024, -np.inf, dtype=np.float32)
+        got = self._parity(slab, q, 5, mask=mask)
+        assert np.all(np.asarray(got.indices) == -1)
+
+    def test_no_narrowing_falls_back(self, rng):
+        # g_tile=8 <= t: num_tiles*t >= n_groups, the gmax path runs and
+        # results are still exact vs XLA
+        import jax.numpy as jnp
+
+        from frankensearch_tpu.ops.topk_scan import scan_topk_hierarchical
+
+        slab = make_unit_rows(rng, 1024, 64)
+        q = make_unit_rows(rng, 3, 64)
+        got = scan_topk_hierarchical(
+            jnp.asarray(slab), jnp.asarray(q), 10,
+            tile_n=256, group=32, emit="tile_topk", interpret=True,
+        )
+        want = scan_topk_xla(jnp.asarray(slab), jnp.asarray(q), 10, precise=True)
+        np.testing.assert_array_equal(np.asarray(got.indices), np.asarray(want.indices))
+
+
 def test_hierarchical_group_select_iter_parity():
     import jax.numpy as jnp
     import numpy as np

@@ -1,0 +1,125 @@
+"""A/B: hierarchical scan emit="gmax" vs emit="tile_topk" on the real chip.
+
+The round-2 two-stage XLA narrowing of the group-max merge measured
+NEGATIVE (PERF_LEDGER "two-stage group top-k"): its pad/reshape/gather
+passes cost more than the narrower sort saved. emit="tile_topk" moves the
+narrowing INSIDE the Pallas scan kernel where the t argmax passes over the
+tiny (B, G_tile) block ride free under the HBM-bound slab reads — the
+host-side merge then sorts num_tiles*t values instead of n_groups
+(e.g. 2,450 vs 7,840 at B=512/tile 4096 on 1M docs).
+
+Same chained-slope methodology as bench.py. One JSON line per point.
+
+Usage: python -m tools.bench_emit [n_docs]
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from frankensearch_tpu.ops.topk_scan import (
+        scan_topk_hierarchical,
+        scan_topk_xla,
+    )
+
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    dim, k = 256, 10
+    platform = jax.devices()[0].platform
+
+    points = [
+        (512, 4096, 128),  # headline point
+        (256, 8192, 128),  # second headline point
+    ]
+    max_tile = max(t for _, t, _ in points)
+    n_pad = (n_docs + max_tile - 1) // max_tile * max_tile
+
+    rng = np.random.default_rng(0)
+    slab = np.empty((n_pad, dim), dtype=np.float32)
+    for s in range(0, n_pad, 131_072):
+        e = min(s + 131_072, n_pad)
+        blk = rng.standard_normal((e - s, dim)).astype(np.float32)
+        blk /= np.maximum(np.linalg.norm(blk, axis=1, keepdims=True), 1e-12)
+        slab[s:e] = blk
+    mask = np.zeros(n_pad, np.float32)
+    mask[n_docs:] = -np.inf
+    max_b = max(b for b, _, _ in points)
+    queries = rng.standard_normal((max_b, dim)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    slab_dev = jnp.asarray(slab, jnp.bfloat16)
+    mask_dev = jnp.asarray(mask)
+    q_dev = jnp.asarray(queries)
+
+    @functools.partial(jax.jit, static_argnames=("reps", "tile", "group", "emit"))
+    def chain(slab, mask, q, reps: int, tile: int, group: int, emit: str):
+        def body(i, carry):
+            qq, acc = carry
+            r = scan_topk_hierarchical(
+                slab, qq, k, mask, tile_n=tile, group=group,
+                rescore="pallas", emit=emit,
+            )
+            return (q + 1e-6 * jnp.mean(r.scores),
+                    acc + jnp.sum(r.scores) + jnp.sum(r.indices).astype(jnp.float32))
+
+        (_, acc) = jax.lax.fori_loop(0, reps, body, (q, jnp.float32(0.0)))
+        return acc
+
+    r_lo, r_hi = (8, 40) if platform == "tpu" else (1, 2)
+    truth = {}
+    for b, tile, group in points:
+        q = q_dev[:b]
+        row = {"metric": "emit_ab", "batch": b, "tile_n": tile,
+               "group": group, "platform": platform}
+        for emit in ("gmax", "tile_topk"):
+            try:
+                def timed(reps: int) -> float:
+                    t0 = time.perf_counter()
+                    float(chain(slab_dev, mask_dev, q, reps=reps,
+                                tile=tile, group=group, emit=emit))
+                    return time.perf_counter() - t0
+
+                timed(r_lo)
+                timed(r_hi)
+                samples = [
+                    (timed(r_hi) - timed(r_lo)) / (r_hi - r_lo) for _ in range(3)
+                ]
+                per_scan = float(np.median(samples))
+                row[f"{emit}_ms"] = round(per_scan * 1e3, 4)
+                row[f"{emit}_qps"] = round(b / per_scan, 1)
+            except Exception as e:  # noqa: BLE001 - report, keep sweeping
+                row[f"{emit}_error"] = f"{type(e).__name__}: {e}"[:160]
+
+        # exactness spot-check on-hardware: tile_topk must match gmax rows
+        try:
+            r_a = scan_topk_hierarchical(
+                slab_dev, q, k, mask_dev, tile_n=tile, group=group,
+                rescore="pallas", emit="gmax")
+            r_b = scan_topk_hierarchical(
+                slab_dev, q, k, mask_dev, tile_n=tile, group=group,
+                rescore="pallas", emit="tile_topk")
+            ia, ib = jax.device_get((r_a.indices, r_b.indices))
+            row["bit_equal"] = bool(np.array_equal(ia, ib))
+            if b not in truth:
+                truth[b] = np.asarray(scan_topk_xla(
+                    jnp.asarray(slab, jnp.float32), q, k, mask_dev, precise=True
+                ).indices)
+            ti = truth[b]
+            row["recall_at_10"] = round(float(np.mean(
+                [len(set(ib[j]) & set(ti[j])) / k for j in range(b)])), 4)
+        except Exception as e:  # noqa: BLE001
+            row["check_error"] = f"{type(e).__name__}: {e}"[:160]
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()
