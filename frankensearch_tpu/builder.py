@@ -445,12 +445,20 @@ def open_hybrid(
     quality_embedder: Embedder | None = None,
     *,
     config: TwoTierConfig | None = None,
+    embedder_wrap=None,
     **searcher_kwargs,
 ) -> HybridHandle:
     """Open all arms at ``root`` and assemble a ready searcher.
 
     When no fast embedder is supplied, a stack is auto-detected against
     the root; identity admission in the searcher stays fail-closed.
+
+    ``embedder_wrap``: optional ``Embedder -> Embedder`` applied to the
+    fast embedder AFTER auto-detection but BEFORE golden-vector
+    conformance — the hook for transport decorators like
+    ``DaemonFallbackEmbedder`` (fusion/daemon_fallback.py; parity:
+    reference daemon_fallback.rs). Conformance runs through the wrapper,
+    so a daemon serving a different model space is caught fail-closed.
     """
     cfg = (config or TwoTierConfig.from_env()).validate()
 
@@ -495,6 +503,8 @@ def open_hybrid(
             from frankensearch_tpu.embed.hash_embedder import HashEmbedder
 
             fast_embedder = HashEmbedder(dim=index.fast.identity.dim)
+    if embedder_wrap is not None:
+        fast_embedder = embedder_wrap(fast_embedder)
     # golden-vector conformance (fail-closed admission): an embedder
     # claiming the build-time identity must reproduce the pinned probe
     # space — catches same-id-different-weights drift that identity-id

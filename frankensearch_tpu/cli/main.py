@@ -159,7 +159,7 @@ def cmd_index(args) -> dict:
     )
 
 
-def _open(args):
+def _open(args, root: str | None = None):
     from frankensearch_tpu.builder import open_hybrid
     from frankensearch_tpu.core.config import TwoTierConfig
 
@@ -172,7 +172,32 @@ def _open(args):
         cfg.mesh_shards = args.shards
     if getattr(args, "adaptive", False):
         cfg.adaptive_fusion = True
-    return open_hybrid(args.root, config=cfg)
+    wrap = None
+    socket_path = getattr(args, "daemon_socket", "")
+    if socket_path:
+        # daemon-first embedding with local fallback (daemon_fallback.rs
+        # parity): the one-shot CLI reuses a warm daemon's embedder and
+        # degrades to in-process embedding when the daemon is absent —
+        # never fails the search over transport
+        from frankensearch_tpu.core.daemon import DaemonClient
+        from frankensearch_tpu.fusion.daemon_fallback import DaemonFallbackEmbedder
+
+        def wrap(local, _sock=socket_path):
+            # pin the daemon to the LOCAL embedder's identity: a daemon
+            # serving a different model attests differently, the client
+            # raises, and the fallback embedder degrades to local — the
+            # search never runs in a silently wrong vector space
+            return DaemonFallbackEmbedder(
+                DaemonClient(
+                    _sock,
+                    expect_embedder_id=local.embedder_id,
+                    expect_revision=local.revision,
+                    expect_dim=local.dim,
+                ),
+                local,
+            )
+
+    return open_hybrid(root or args.root, config=cfg, embedder_wrap=wrap)
 
 
 def cmd_feedback(args) -> dict:
@@ -211,7 +236,75 @@ def cmd_feedback(args) -> dict:
     return envelope(out)
 
 
+def _search_federated(args, extra_roots: list[str]) -> dict:
+    """Fan one query over the primary root + every ``--federate`` root and
+    fuse with RRF (fusion/federated.py; parity: federated.rs :26-259).
+    A shard that fails to OPEN degrades into the coverage receipt like a
+    shard that fails to SEARCH — the query only errors when no shard at
+    all is servable."""
+    from frankensearch_tpu.fusion.federated import FederatedSearcher, ShardError
+
+    roots = [args.root, *extra_roots]
+    if len(set(roots)) != len(roots):
+        return error_envelope(
+            "invalid_request", "duplicate index roots in --federate fan-out"
+        )
+    fed = FederatedSearcher()
+    open_failures: list[ShardError] = []
+    primary_storage = None
+    for root in roots:
+        try:
+            h = _open(args, root=root)
+        except SearchError as e:
+            open_failures.append(ShardError(shard=root, error=str(e)))
+            continue
+        if root == args.root and h.storage is not None:
+            primary_storage = h.storage
+        fed.add_shard(root, h.searcher)
+    if not fed.shards:
+        return error_envelope(
+            "not_found",
+            "no servable shard among "
+            + ", ".join(roots)
+            + " ("
+            + "; ".join(f"{f.shard}: {f.error}" for f in open_failures)
+            + ")",
+        )
+    t0 = time.monotonic()
+    res = fed.search(args.query, k=args.k)
+    latency = (time.monotonic() - t0) * 1000.0
+    if primary_storage is not None:
+        primary_storage.record_search(
+            args.query, args.k, len(res.results),
+            res.results[0].doc_id if res.results else None, latency,
+        )
+    env = envelope(_result_rows(res.results))
+    cov = res.coverage
+    env["meta"] = {
+        "phases": ["federated"],
+        "total_ms": round(res.latency_ms, 2),
+        "coverage": {
+            "total_shards": cov.total_shards + len(open_failures),
+            "responded": cov.responded,
+            "complete": cov.complete and not open_failures,
+            "failed": [
+                {"shard": f.shard, "error": f.error}
+                for f in (*open_failures, *cov.failed)
+            ],
+            "timed_out": list(cov.timed_out),
+        },
+    }
+    if open_failures or cov.failed or cov.timed_out:
+        env["warnings"] = env.get("warnings", []) + [
+            f"partial federated coverage: {cov.responded}/"
+            f"{cov.total_shards + len(open_failures)} shards answered"
+        ]
+    return env
+
+
 def cmd_search(args) -> dict:
+    if getattr(args, "federate", None):
+        return _search_federated(args, list(args.federate))
     handle = _open(args)
     phases_seen: list[str] = []
     t0 = time.monotonic()
@@ -1431,6 +1524,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--adaptive", action="store_true",
                     help="use learned per-query-class fusion params "
                          "(state from `feedback`, control_plane.json)")
+    sp.add_argument("--federate", action="append", default=[], metavar="ROOT",
+                    help="fan the query over additional index roots "
+                         "(repeatable) and fuse with RRF; per-shard "
+                         "failures degrade into a coverage receipt")
+    sp.add_argument("--daemon-socket", default="", metavar="PATH",
+                    help="embed via the warm daemon at this unix socket, "
+                         "falling back to the local embedder if it is "
+                         "down (health remembered with a cooldown)")
 
     sp = add("feedback", cmd_feedback,
              help="record a search outcome (click/skip) for the adaptive "

@@ -15,7 +15,7 @@ from typing import Sequence
 import numpy as np
 
 from frankensearch_tpu.core.daemon import DaemonClient
-from frankensearch_tpu.core.errors import SubsystemError
+from frankensearch_tpu.core.errors import EmbeddingFailed, SubsystemError
 from frankensearch_tpu.embed.base import Embedder
 
 
@@ -70,7 +70,12 @@ class DaemonFallbackEmbedder(Embedder):
                 self.stats.daemon_hits += 1
                 self.stats.daemon_marked_down_at = None
                 return np.asarray(vectors, dtype=np.float32)
-            except SubsystemError:
+            except (SubsystemError, EmbeddingFailed):
+                # EmbeddingFailed here is the client's attestation-mismatch
+                # refusal (daemon serves a DIFFERENT model): falling back
+                # to the local embedder is safe — local IS the correct
+                # space — and the cooldown stops re-probing a daemon that
+                # will keep mismatching
                 self.stats.daemon_marked_down_at = self.clock()
         self.stats.local_fallbacks += 1
         return self.local.embed_batch(texts)

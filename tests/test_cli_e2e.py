@@ -65,6 +65,34 @@ class TestCliContract:
         assert env["ok"]
         assert env["data"][0]["doc_id"] == "sql-1"
 
+    def test_search_federated_coverage(self, index_root, tmp_path):
+        """`search --federate` fans over a second root and reports the
+        coverage receipt (federated.rs parity); an unservable extra root
+        degrades coverage instead of failing the query."""
+        second = tmp_path / "docs2.jsonl"
+        second.write_text(json.dumps(
+            {"id": "py-1", "title": "Py", "content": "python asyncio event loop"}
+        ))
+        root2 = str(tmp_path / "ix2")
+        r = run_cli("--format", "json", "index", str(second), "--root", root2)
+        assert r.returncode == 0, r.stderr
+        r = run_cli(
+            "--format", "json", "search", "python asyncio",
+            "--root", index_root, "--federate", root2,
+        )
+        assert r.returncode == 0, r.stderr
+        env = json.loads(r.stdout)
+        assert env["ok"]
+        assert env["data"][0]["doc_id"] == "py-1"  # hit from the second shard
+        assert env["meta"]["coverage"]["complete"]
+        r = run_cli(
+            "--format", "json", "search", "python",
+            "--root", index_root, "--federate", str(tmp_path / "missing"),
+        )
+        env = json.loads(r.stdout)
+        assert env["ok"] and not env["meta"]["coverage"]["complete"]
+        assert env["meta"]["coverage"]["responded"] == 1
+
     def test_search_quoted_phrase_with_negation(self, index_root):
         """Boolean lane from the product surface (quill query.rs parity):
         `search '"write ahead log" -borrowing'` is phrase-correct — docs
