@@ -240,6 +240,17 @@ class TwoTierSearcher:
         import jax
         import jax.numpy as jnp
 
+        # pad the batch axis to a multiple of 8 by repeating query 0
+        # (padding results sliced off below): bounds the fused program's
+        # jit variants under serve's variable coalesced batch sizes (each
+        # new B is a fresh remote compile on the tunnel), and keeps a
+        # solo query's scores bit-identical to the same query inside any
+        # <=8 batch (the graded einsum's reduction order is
+        # width-dependent; see lexical/device_bm25.py)
+        b_real = len(queries)
+        b_padded = max(-(-b_real // 8) * 8, 8)
+        queries = list(queries) + [queries[0]] * (b_padded - b_real)
+
         embed_args = None
         if fast_vecs is None:
             if sharded:
@@ -261,11 +272,13 @@ class TwoTierSearcher:
                 return None
             if q.shape[1] != fast.d_pad:
                 q = np.pad(q, ((0, 0), (0, fast.d_pad - q.shape[1])))
+            if q.shape[0] != b_padded:
+                q = np.concatenate(
+                    [q, np.repeat(q[:1], b_padded - q.shape[0], axis=0)]
+                )
 
         if sharded:
             import numpy as np
-
-            from jax.sharding import NamedSharding, PartitionSpec as P
 
             k_vec_s = min(sem_budget, fast.n_rows) or 1
             k_lex_s = min(lex_budget, arm.n_docs)
@@ -273,14 +286,7 @@ class TwoTierSearcher:
             ids, w = inner._query_sparse_rows(list(queries))
             bounds = arm._blocked_host.query_bounds(ids, w)
             sb = arm._sharded
-            pad_blk = sb.n_blk_pad - bounds.shape[0]
-            if pad_blk:
-                bounds = np.concatenate(
-                    [bounds, np.zeros((pad_blk, bounds.shape[1]), np.float32)]
-                )
-            bounds_dev = jax.device_put(
-                jnp.asarray(bounds), NamedSharding(arm.mesh, P(arm.axis, None))
-            )
+            bounds_list = arm.place_bounds(bounds)
             # flagship per-shard body when the shards are hier-aligned and
             # we're on real TPU hardware; exact XLA body otherwise
             hier_tile = fast._hier_tile(q.shape[0])
@@ -290,26 +296,28 @@ class TwoTierSearcher:
                 s_mode, s_tile = "xla", 8192
             vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_sharded(
                 fast.slab, fast.base_mask, jnp.asarray(q),
-                sb.blk_term, sb.blk_doc, sb.blk_tf, sb.blk_base, bounds_dev,
+                sb.classes, bounds_list,
                 jnp.asarray(ids), jnp.asarray(w),
-                k_vec=k_vec_s, k_lex=k_lex_s, d_blk=sb.d_blk, v_pad=sb.v_pad,
+                k_vec=k_vec_s, k_lex=k_lex_s, v_pad=sb.v_pad,
                 mesh=arm.mesh, axis=arm.axis, scan_mode=s_mode, tile_n=s_tile,
             )
             vec_s, vec_i, lex_s, lex_i = jax.device_get((vec_s, vec_i, lex_s, lex_i))
             from frankensearch_tpu.ops.topk_scan import TopKResult
 
-            hydrated = fast.hydrate(TopKResult(np.asarray(vec_s), np.asarray(vec_i)))
-            s_np = np.asarray(lex_s)
-            i_np = np.asarray(lex_i)
+            hydrated = fast.hydrate(
+                TopKResult(np.asarray(vec_s)[:b_real], np.asarray(vec_i)[:b_real])
+            )
+            s_np = np.asarray(lex_s)[:b_real]
+            i_np = np.asarray(lex_i)[:b_real]
             lex_lists = []
-            for bq in range(len(queries)):
+            for bq in range(b_real):
                 lex_lists.append([
                     LexicalCandidate(doc_id=arm.doc_ids[int(i_np[bq, j])],
                                      score=float(s_np[bq, j]))
                     for j in range(s_np.shape[1])
                     if s_np[bq, j] > 0.0
                 ])
-            raw = {"vec_rows": np.asarray(vec_i), "lex_rows": i_np,
+            raw = {"vec_rows": np.asarray(vec_i)[:b_real], "lex_rows": i_np,
                    "lex_scores": s_np, "arm": arm}
             return hydrated, lex_lists, raw
 
@@ -327,11 +335,10 @@ class TwoTierSearcher:
             ids, w = arm._query_sparse_rows(list(queries))
             bounds = arm._blocked.query_bounds(ids, w)
             lex_args = (
-                arm._blocked.blk_term, arm._blocked.blk_doc, arm._blocked.blk_tf,
-                arm._blocked.blk_base, jnp.asarray(bounds),
+                arm._blocked.classes, arm._blocked.split_bounds(bounds),
                 jnp.asarray(ids), jnp.asarray(w),
             )
-            lex_statics = dict(d_blk=arm._blocked.d_blk, v_pad=arm._blocked.v_pad)
+            lex_statics = dict(v_pad=arm._blocked.v_pad)
             if embed_args is not None:
                 vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_embed_blocked(
                     *embed_args, fast.slab, mask, *lex_args,
@@ -363,19 +370,21 @@ class TwoTierSearcher:
         vec_s, vec_i, lex_s, lex_i = jax.device_get((vec_s, vec_i, lex_s, lex_i))
         from frankensearch_tpu.ops.topk_scan import TopKResult
 
-        hydrated = fast.hydrate(TopKResult(np.asarray(vec_s), np.asarray(vec_i)))
-        s_np = np.asarray(lex_s)
-        i_np = np.asarray(lex_i)
+        hydrated = fast.hydrate(
+            TopKResult(np.asarray(vec_s)[:b_real], np.asarray(vec_i)[:b_real])
+        )
+        s_np = np.asarray(lex_s)[:b_real]
+        i_np = np.asarray(lex_i)[:b_real]
         lex_lists = []
-        for b in range(len(queries)):
+        for b in range(b_real):
             lex_lists.append([
                 LexicalCandidate(doc_id=arm.doc_ids[int(i_np[b, j])], score=float(s_np[b, j]))
                 for j in range(s_np.shape[1])
                 if s_np[b, j] > 0.0
             ])
         raw = {
-            "vec_rows": np.asarray(vec_i), "lex_rows": i_np, "lex_scores": s_np,
-            "arm": arm,
+            "vec_rows": np.asarray(vec_i)[:b_real], "lex_rows": i_np,
+            "lex_scores": s_np, "arm": arm,
         }
         return hydrated, lex_lists, raw
 

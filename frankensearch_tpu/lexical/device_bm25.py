@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -86,131 +87,149 @@ def _merge_topk_exact(top_s, top_i, s2, i2, k: int):
     return -sorted_neg[:, :k], sorted_i[:, :k]
 
 
-def _blocked_scan_body(
-    blk_term, blk_doc, blk_tf, blk_base, blk_bound, q_idf, *, k: int, d_blk: int
-):
-    """The pruned streaming scan over one set of blocks — shared by the
-    single-device jit wrapper and the shard_map local body
-    (parallel/sharded_bm25.py). Returns ((B, k) scores, rows, skipped).
+class _GradedClass(NamedTuple):
+    """One length class of the graded blocked layout (device arrays).
 
-    IMPACT ORDERING (argus.rs block-max discipline, r3): blocks are
-    visited in DESCENDING aggregate-bound order (max over the query
-    batch, computed on device from the precomputed bounds), so the
-    running k-th score rises as early as possible and low-bound tail
-    blocks — including every block containing no query term at all,
-    whose bound is 0 — skip via the block-max check. Processing order no
-    longer matches doc order, so every merge is the two-key exact sort
-    (_merge_topk_exact); result ordering stays bit-identical to the
-    ascending scan."""
-    b = q_idf.shape[0]
+    All shape information is carried by the arrays: P_blk = term.shape[1],
+    d_blk = doc_map.shape[1], L = P_blk // d_blk."""
 
-    def score_block(carry, t, d, f, base):
-        top_s, top_i = carry
-        contrib = f[:, None] * jnp.take(q_idf, t, axis=1).T  # (P_blk, B)
-        scores = jax.ops.segment_sum(
-            contrib, d, num_segments=d_blk + 1, indices_are_sorted=True
-        )[:d_blk].T  # (B, d_blk); trash row d_blk dropped
-        kk = min(k, d_blk)
-        s2, i2 = jax.lax.top_k(scores, kk)
-        i2 = i2 + base
-        return _merge_topk_exact(top_s, top_i, s2, i2, top_s.shape[1])
+    term: jax.Array  # (n_blk_c, P_blk) i32, doc-major, per-doc L-padded
+    tf: jax.Array  # (n_blk_c, P_blk) f32 tf-side scores (0 on padding)
+    doc_map: jax.Array  # (n_blk_c, d_blk_c) i32 GLOBAL doc rows asc; -1 pad
 
-    def step(carry, p):
-        top_s, top_i, skipped = carry
-        t = jnp.take(blk_term, p, axis=0)
-        d = jnp.take(blk_doc, p, axis=0)
-        f = jnp.take(blk_tf, p, axis=0)
-        base = jnp.take(blk_base, p, axis=0)
-        bound = jnp.take(blk_bound, p, axis=0)
-        kth = top_s[:, -1]  # current k-th best per query
-        # f32 slack guard: the bound and the real sum round differently
-        safe_bound = bound * jnp.float32(1.0 + 1e-6) + jnp.float32(1e-6)
-        # a zero-bound block (no query term touches it, for ANY query)
-        # can only yield score-0 docs, which the host's score>0 filter
-        # drops — always skippable, even while the heap still holds 0s
-        # (per-term block skipping, argus.rs Should-union role)
-        skip = jnp.logical_or(
-            jnp.all(safe_bound < kth), jnp.all(bound <= jnp.float32(0.0))
+
+def _graded_scan_body(classes, bounds_list, q_idf_t, *, k: int):
+    """The pruned streaming scan over the graded length classes — shared
+    by the single-device jit wrapper and the shard_map local body
+    (parallel/sharded_bm25.py). Returns ((B, k) scores, GLOBAL rows,
+    skipped).
+
+    LAYOUT (r3 rework, measured 10.5x): each block stores d_blk docs
+    padded to a uniform L postings (docs are length-graded at build so
+    padding stays small), and the per-block reduction is a fused
+    gather + multiply + sum over the L axis — ``jax.ops.segment_sum``
+    (2.55 of the 2.80 ms block step, tools/bench_bm25_microbench) is
+    gone entirely; nothing (P, B)-shaped touches HBM. ``doc_map``
+    replaces block-local ids + base: top-k local winners gather their
+    global rows directly, padding slots map to row -1 with score 0 and
+    fall to the host's score>0 filter.
+
+    IMPACT ORDERING (argus.rs block-max discipline): within each class,
+    blocks are visited in DESCENDING aggregate-bound order so the
+    running k-th score rises early; zero-bound blocks always skip.
+    Classes run longest-docs-first (their bounds are typically largest);
+    the (B, k) carry flows through every class, so a later class whose
+    blocks are all bounded below the k-th score skips entirely. Every
+    merge is the two-key exact sort (_merge_topk_exact), so result
+    ordering is processing-order independent: (score desc, row asc).
+    """
+    b = q_idf_t.shape[1]
+    top_s = jnp.full((b, k), -jnp.inf, jnp.float32)
+    top_i = jnp.full((b, k), -1, jnp.int32)
+    skipped = jnp.int32(0)
+
+    for cls, bnd in zip(classes, bounds_list):
+        n_c, p_blk = cls.term.shape
+        d_c = cls.doc_map.shape[1]
+        l_c = p_blk // d_c
+        kk = min(k, d_c)
+
+        def score_block(carry, t, f, dmap, d_c=d_c, l_c=l_c, kk=kk):
+            ts, ti = carry
+            w = jnp.take(q_idf_t, t, axis=0).reshape(d_c, l_c, b)
+            scores = jnp.einsum(
+                "dl,dlb->bd", f.reshape(d_c, l_c), w,
+                preferred_element_type=jnp.float32,
+            )
+            s2, i2 = jax.lax.top_k(scores, kk)
+            rows = jnp.take(dmap, i2)  # local winners -> global rows
+            return _merge_topk_exact(ts, ti, s2, rows, ts.shape[1])
+
+        def step(carry, p, cls=cls, bnd=bnd, score_block=score_block):
+            ts, ti, sk = carry
+            t = jnp.take(cls.term, p, axis=0)
+            f = jnp.take(cls.tf, p, axis=0)
+            dmap = jnp.take(cls.doc_map, p, axis=0)
+            bound = jnp.take(bnd, p, axis=0)
+            kth = ts[:, -1]
+            # f32 slack guard: bound and real sum round differently
+            safe_bound = bound * jnp.float32(1.0 + 1e-6) + jnp.float32(1e-6)
+            # zero-bound blocks (no query term present) only yield
+            # score-0 docs the host filter drops — always skippable
+            skip = jnp.logical_or(
+                jnp.all(safe_bound < kth), jnp.all(bound <= jnp.float32(0.0))
+            )
+            ts, ti = jax.lax.cond(
+                skip, lambda c: c, lambda c: score_block(c, t, f, dmap), (ts, ti)
+            )
+            return (ts, ti, sk + skip.astype(jnp.int32)), None
+
+        agg = jnp.max(bnd, axis=1)  # (n_blk_c,)
+        perm = jnp.argsort(-agg, stable=True).astype(jnp.int32)
+        (top_s, top_i, skipped), _ = jax.lax.scan(
+            step, (top_s, top_i, skipped), perm
         )
-        top_s, top_i = jax.lax.cond(
-            skip,
-            lambda c: c,
-            lambda c: score_block(c, t, d, f, base),
-            (top_s, top_i),
-        )
-        return (top_s, top_i, skipped + skip.astype(jnp.int32)), None
-
-    # visit order: descending per-batch aggregate bound (stable ties keep
-    # doc order); infinite bounds (no block-max metadata) degrade to the
-    # plain ascending scan
-    agg = jnp.max(blk_bound, axis=1)  # (n_blk,)
-    perm = jnp.argsort(-agg, stable=True).astype(jnp.int32)
-    init = (
-        jnp.full((b, k), -jnp.inf, jnp.float32),
-        jnp.full((b, k), -1, jnp.int32),
-        jnp.int32(0),
-    )
-    (top_s, top_i, skipped), _ = jax.lax.scan(step, init, perm)
     return top_s, top_i, skipped
 
 
-@functools.partial(jax.jit, static_argnames=("k", "d_blk", "v_pad"))
+def _scatter_query_idf_t(q_ids: jax.Array, q_w: jax.Array, v_pad: int) -> jax.Array:
+    """(B, T) sparse query terms -> (v_pad, B) TRANSPOSED dense idf matrix
+    on device. Transposed so the scan body's per-posting term gather is a
+    row (sublane) gather — the lane-axis gather of the (B, V) layout was
+    measurably slower. Padding (id 0, w 0.0) is a no-op under .add."""
+    b, t = q_ids.shape
+    rows = q_ids.reshape(-1)
+    cols = jnp.repeat(jnp.arange(b, dtype=jnp.int32), t)
+    return (
+        jnp.zeros((v_pad, b), jnp.float32)
+        .at[rows, cols]
+        .add(q_w.reshape(-1))
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("v_pad", "k"))
 def _device_bm25_blocked(
-    blk_term: jax.Array,  # (n_blk, P_blk) i32
-    blk_doc: jax.Array,  # (n_blk, P_blk) i32 block-local doc, d_blk = trash
-    blk_tf: jax.Array,  # (n_blk, P_blk) f32 (0 on padding)
-    blk_base: jax.Array,  # (n_blk,) i32 global doc row of local doc 0
-    blk_bound: jax.Array,  # (n_blk, B) f32 per-block per-query score bound
+    classes,  # tuple[_GradedClass] device arrays
+    bounds_list,  # tuple[(n_blk_c, B) f32] per-class score bounds
     q_ids: jax.Array,  # (B, T) i32 query term ids (0-padded)
     q_w: jax.Array,  # (B, T) f32 idf weights (0 on padding)
     *,
     v_pad: int,
     k: int,
-    d_blk: int,
 ):
-    """Streaming exact BM25 over doc-blocked postings (the 1M-doc lane),
-    with BLOCK-MAX PRUNING.
+    """Streaming exact BM25 over length-graded blocked postings (the
+    1M+/10M-doc lane), with BLOCK-MAX PRUNING.
 
     The TPU recast of the reference's block-max metadata
     (crates/frankensearch-quill/src/argus.rs:1-8): each scan step first
     checks the block's precomputed per-query score upper bound
     Σ_t idf[b,t]·max_tf_side(block, t) against the running k-th score;
     when EVERY query in the batch is already past the bound, a scalar
-    ``lax.cond`` skips the gather + segment-sum + merge for that block
-    entirely. The bound is a true upper bound (monotone per-posting
-    sum), so pruning is EXACT — skipped docs cannot reach the top-k —
-    and a 1-ulp-relative epsilon guards f32 summation-order slack.
-    Tie safety: skip only when bound < kth strictly, so score==kth tie
-    candidates are always processed; blocks ascend by doc row and the
-    carry-first concat keeps the (score desc, row asc) contract.
+    ``lax.cond`` skips the block's work entirely. The bound is a true
+    upper bound, so pruning is EXACT, with a 1-ulp-relative epsilon for
+    f32 summation-order slack; skip only on strict <, so score==kth tie
+    candidates always process.
 
-    Non-skipped steps stream a (P_blk, B) contrib slab into a per-block
-    segment-sum merged into the (B, k) carry — peak memory never
-    reaches (P, B) or (N, B). Also returns the skipped-block count.
+    Scoring is the graded-layout einsum (see _graded_scan_body): the
+    per-block cost is the fused gather+reduce, 10.5x the segment_sum
+    formulation this replaced (tools/bench_bm25_microbench /
+    bench_bm25_graded_probe, v5e). Also returns the skipped-block count.
     """
-    b = q_ids.shape[0]
-    # sparse -> dense query idf rows ON DEVICE (host transfers only the
-    # (B, T) sparse form; duplicates are impossible per query, padding
-    # adds 0.0 which is a no-op under .add)
-    q_idf = (
-        jnp.zeros((b, v_pad), jnp.float32)
-        .at[jnp.arange(b)[:, None], q_ids]
-        .add(q_w)
-    )
-    return _blocked_scan_body(
-        blk_term, blk_doc, blk_tf, blk_base, blk_bound, q_idf, k=k, d_blk=d_blk
-    )
+    q_idf_t = _scatter_query_idf_t(q_ids, q_w, v_pad)
+    return _graded_scan_body(classes, bounds_list, q_idf_t, k=k)
 
 
 @dataclass
 class _BlockedPostings:
-    """Doc-blocked device postings for the streaming kernel."""
+    """Length-graded blocked device postings for the streaming kernel.
 
-    blk_term: jax.Array  # (n_blk, P_blk)
-    blk_doc: jax.Array
-    blk_tf: jax.Array
-    blk_base: jax.Array  # (n_blk,)
-    d_blk: int
+    Blocks are grouped into LENGTH CLASSES (uniform per-doc padded L per
+    class); global block ids are class-major in ``classes`` order —
+    ``class_offsets[c]`` is the first global block id of class c, and the
+    block-max CSR / query_bounds address that global id space."""
+
+    classes: tuple  # tuple[_GradedClass]
+    class_offsets: tuple  # tuple[int], len == len(classes)
     v_pad: int
     n_blk: int = 0
     #: per-term block-max CSR (HOST arrays — bounds are computed host-side
@@ -220,6 +239,16 @@ class _BlockedPostings:
     bm_ptr: np.ndarray | None = None  # (V+1,) i64
     bm_blk: np.ndarray | None = None  # (nnz,) i32
     bm_max: np.ndarray | None = None  # (nnz,) f32
+
+    def split_bounds(self, bounds: np.ndarray) -> tuple:
+        """Host (n_blk, B) bounds -> per-class device arrays, the
+        ``bounds_list`` the graded scan body consumes (class-major global
+        block ids make this a contiguous slice per class)."""
+        out = []
+        for c, cls in enumerate(self.classes):
+            start = self.class_offsets[c]
+            out.append(jnp.asarray(bounds[start : start + cls.term.shape[0]]))
+        return tuple(out)
 
     def query_bounds(self, ids: np.ndarray, w: np.ndarray) -> np.ndarray:
         """(n_blk, B) per-block per-query score upper bounds:
@@ -275,56 +304,107 @@ def _build_blocked(
     vocab_size: int,
     block_postings: int | None = None,
 ) -> _BlockedPostings:
-    """Sort postings doc-major and pack fixed-size blocks that never split
-    a doc. Host-side, vectorized (one searchsorted per block)."""
+    """Length-graded block build (host-side, vectorized per block).
+
+    Docs are ordered by posting count DESCENDING and packed into blocks
+    of ``p_blk`` posting slots where every doc is padded to the block's
+    uniform L (count of the block's longest doc, rounded up to 8). A
+    block closes early when the next doc's count falls under L/2, so
+    padding never exceeds ~2x and is near-zero on smooth distributions.
+    Docs with zero postings are excluded (they can never score > 0).
+    Blocks sharing L form a class; classes order longest-L first, and
+    global block ids are class-major (the id space of the block-max CSR
+    and query_bounds).
+
+    Why this layout: the per-block reduction becomes a reshape +
+    sum-over-L (fused by XLA with the term gather), removing the
+    segment_sum that dominated the doc-major layout's block step
+    (2.55 ms of 2.80 ms, tools/bench_bm25_microbench on v5e).
+    """
     if block_postings is None:
         block_postings = DEFAULT_BLOCK_POSTINGS  # read at call time (testable)
-    p = len(terms_all)
     order = np.argsort(docs_all, kind="stable")
     terms = np.ascontiguousarray(terms_all[order]).astype(np.int32)
     docs = np.ascontiguousarray(docs_all[order]).astype(np.int64)
     tfs = np.ascontiguousarray(tf_all[order]).astype(np.float32)
 
-    counts = np.bincount(docs, minlength=n_docs)
-    p_blk = int(max(block_postings, counts.max() if n_docs else 1))
+    counts = np.bincount(docs, minlength=max(n_docs, 1)).astype(np.int64)
     csum = np.concatenate([[0], np.cumsum(counts)])  # (n_docs+1,)
-
-    # greedy doc-boundary split: each block takes the longest doc prefix
-    # whose postings fit p_blk
-    starts_doc: list[int] = []
-    ends_doc: list[int] = []
-    d0 = 0
-    while d0 < n_docs:
-        d1 = int(np.searchsorted(csum, csum[d0] + p_blk, side="right")) - 1
-        d1 = max(d1, d0 + 1)
-        starts_doc.append(d0)
-        ends_doc.append(min(d1, n_docs))
-        d0 = min(d1, n_docs)
-    n_blk = max(len(starts_doc), 1)
-    if not starts_doc:
-        starts_doc, ends_doc = [0], [0]
-    d_blk = max(int(max(e - s for s, e in zip(starts_doc, ends_doc))), 1)
-
-    bt = np.zeros((n_blk, p_blk), dtype=np.int32)
-    bd = np.full((n_blk, p_blk), d_blk, dtype=np.int32)  # pad -> trash row
-    bf = np.zeros((n_blk, p_blk), dtype=np.float32)
-    bb = np.zeros(n_blk, dtype=np.int32)
-    for i, (s_doc, e_doc) in enumerate(zip(starts_doc, ends_doc)):
-        lo, hi = int(csum[s_doc]), int(csum[e_doc])
-        m = hi - lo
-        bt[i, :m] = terms[lo:hi]
-        bd[i, :m] = (docs[lo:hi] - s_doc).astype(np.int32)
-        bf[i, :m] = tfs[lo:hi]
-        bb[i] = s_doc
-    del p  # doc accounting only
+    max_count = int(counts.max()) if n_docs else 0
+    p_blk = int(max(block_postings, _round_up(max(max_count, 1), 8)))
     v_pad = max(_round_up(max(vocab_size, 1), 128), 128)
 
-    # per-(term, block) max tf-side — the block-max pruning metadata
-    # (argus.rs:1-8). Vectorized: posting -> block id via searchsorted on
-    # block doc starts, then a grouped max over (term, block) keys.
-    doc_starts = np.asarray(starts_doc, dtype=np.int64)
-    post_blk = np.searchsorted(doc_starts, docs, side="right") - 1
-    key = terms.astype(np.int64) * len(starts_doc) + post_blk
+    # grade: count desc, doc id asc among equals; drop empty docs
+    doc_order = np.lexsort((np.arange(len(counts)), -counts))
+    doc_order = doc_order[counts[doc_order] > 0]
+
+    # cut into (docs, L) blocks
+    blocks: list[tuple[np.ndarray, int]] = []
+    i = 0
+    while i < len(doc_order):
+        c0 = int(counts[doc_order[i]])
+        l_blk = max(_round_up(c0, 8), 8)
+        d_cap = max(p_blk // l_blk, 1)
+        j = min(i + d_cap, len(doc_order))
+        if l_blk > 8:
+            # close early once occupancy would halve: next block regrades
+            seg = counts[doc_order[i:j]]
+            brk = np.flatnonzero(seg * 2 < l_blk)
+            if len(brk) and brk[0] > 0:
+                j = i + int(brk[0])
+        blocks.append((np.sort(doc_order[i:j]), l_blk))  # rows asc in-block
+        i = j
+    if not blocks:
+        blocks = [(np.zeros(0, np.int64), 8)]
+
+    # group into classes, longest L first; emit arrays + global block ids
+    from collections import defaultdict
+
+    by_l: dict[int, list[np.ndarray]] = defaultdict(list)
+    for block_docs, l_blk in blocks:
+        by_l[l_blk].append(block_docs)
+    class_ls = sorted(by_l.keys(), reverse=True)
+
+    post_blk = np.zeros(len(terms), dtype=np.int64)  # posting -> global blk
+    classes: list[_GradedClass] = []
+    class_offsets: list[int] = []
+    gid = 0
+    for l_blk in class_ls:
+        blks = by_l[l_blk]
+        d_cap = max(p_blk // l_blk, 1)
+        n_c = len(blks)
+        # class arrays are exactly (d_cap * l_blk) wide so the scan body's
+        # reshape to (d_cap, l_blk) is exact
+        bt = np.zeros((n_c, d_cap * l_blk), dtype=np.int32)
+        bf = np.zeros((n_c, d_cap * l_blk), dtype=np.float32)
+        dm = np.full((n_c, d_cap), -1, dtype=np.int32)
+        class_offsets.append(gid)
+        for r, block_docs in enumerate(blks):
+            nd = len(block_docs)
+            dm[r, :nd] = block_docs
+            lens = counts[block_docs]
+            starts = csum[block_docs]
+            total = int(lens.sum())
+            if total:
+                j_of = np.repeat(np.arange(nd), lens)
+                seg_start = np.concatenate([[0], np.cumsum(lens)[:-1]])
+                off = np.arange(total, dtype=np.int64) - seg_start[j_of]
+                src = starts[j_of] + off
+                dst = j_of * l_blk + off
+                bt[r, dst] = terms[src]
+                bf[r, dst] = tfs[src]
+                post_blk[src] = gid + r
+        classes.append(
+            _GradedClass(
+                term=jnp.asarray(bt), tf=jnp.asarray(bf), doc_map=jnp.asarray(dm)
+            )
+        )
+        gid += n_c
+    n_blk = gid
+
+    # per-(term, global block) max tf-side — the block-max pruning
+    # metadata (argus.rs:1-8); grouped max over (term, block) keys
+    key = terms.astype(np.int64) * n_blk + post_blk
     order_k = np.argsort(key, kind="stable")
     key_s = key[order_k]
     tf_s = tfs[order_k]
@@ -333,8 +413,8 @@ def _build_blocked(
         starts_idx = np.flatnonzero(group_start)
         grp_max = np.maximum.reduceat(tf_s, starts_idx).astype(np.float32)
         grp_key = key_s[starts_idx]
-        grp_term = (grp_key // len(starts_doc)).astype(np.int64)
-        grp_blk = (grp_key % len(starts_doc)).astype(np.int32)
+        grp_term = (grp_key // n_blk).astype(np.int64)
+        grp_blk = (grp_key % n_blk).astype(np.int32)
     else:
         grp_max = np.zeros(0, np.float32)
         grp_term = np.zeros(0, np.int64)
@@ -344,11 +424,8 @@ def _build_blocked(
     bm_ptr = np.cumsum(bm_ptr)
 
     return _BlockedPostings(
-        blk_term=jnp.asarray(bt),
-        blk_doc=jnp.asarray(bd),
-        blk_tf=jnp.asarray(bf),
-        blk_base=jnp.asarray(bb),
-        d_blk=d_blk,
+        classes=tuple(classes),
+        class_offsets=tuple(class_offsets),
         v_pad=v_pad,
         n_blk=n_blk,
         bm_ptr=bm_ptr,
@@ -531,12 +608,10 @@ class DeviceBm25Index(LexicalRead):
                 [idxs, _np.full(pad_to - len(idxs), idxs[0], idxs.dtype)]
             ) if pad_to != len(idxs) else idxs
             s, i, skipped = _device_bm25_blocked(
-                self._blocked.blk_term, self._blocked.blk_doc,
-                self._blocked.blk_tf, self._blocked.blk_base,
-                jnp.asarray(bounds[:, sel]),
+                self._blocked.classes,
+                self._blocked.split_bounds(bounds[:, sel]),
                 jnp.asarray(ids[sel]), jnp.asarray(w[sel]),
                 v_pad=self._blocked.v_pad, k=min(k, self.n_docs),
-                d_blk=self._blocked.d_blk,
             )
             s, i = jax.device_get((s, i))
             out_s[idxs] = _np.asarray(s)[: len(idxs)]
@@ -571,13 +646,27 @@ class DeviceBm25Index(LexicalRead):
                     ]
                     for b in range(len(queries))
                 ]
+            # pad B to a multiple of 8 by repeating query 0 (results
+            # discarded): bounds every small-batch jit variant to one
+            # compiled width, which also keeps the graded einsum's
+            # l-reduction order — and thus scores — bit-identical
+            # between a solo query and the same query inside a batch
+            b_real = len(queries)
+            b_pad = max(_round_up(b_real, 8), 8)
+            if b_pad != b_real:
+                rep = b_pad - b_real
+                ids = np.concatenate([ids, np.repeat(ids[:1], rep, axis=0)])
+                w = np.concatenate([w, np.repeat(w[:1], rep, axis=0)])
+                bounds = np.concatenate(
+                    [bounds, np.repeat(bounds[:, :1], rep, axis=1)], axis=1
+                )
             top_s, top_i, skipped = _device_bm25_blocked(
-                self._blocked.blk_term, self._blocked.blk_doc,
-                self._blocked.blk_tf, self._blocked.blk_base,
-                jnp.asarray(bounds),
+                self._blocked.classes,
+                self._blocked.split_bounds(bounds),
                 jnp.asarray(ids), jnp.asarray(w),
-                v_pad=self._blocked.v_pad, k=k, d_blk=self._blocked.d_blk,
+                v_pad=self._blocked.v_pad, k=k,
             )
+            top_s, top_i = top_s[:b_real], top_i[:b_real]
             self.last_blocks_skipped = int(skipped)
         else:
             q_idf = jnp.asarray(self._query_idf_rows(queries))

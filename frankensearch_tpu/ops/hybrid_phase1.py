@@ -24,7 +24,10 @@ import jax
 import jax.numpy as jnp
 
 from frankensearch_tpu.embed.model2vec import _gather_pool_normalize
-from frankensearch_tpu.lexical.device_bm25 import _blocked_scan_body
+from frankensearch_tpu.lexical.device_bm25 import (
+    _graded_scan_body,
+    _scatter_query_idf_t,
+)
 from frankensearch_tpu.ops import topk_scan
 
 
@@ -38,16 +41,10 @@ def _vector_arm(slab, mask, q, *, k, scan_mode, tile_n):
     return topk_scan.scan_topk_xla(slab, q, k, mask)
 
 
-def _lex_blocked(blk_term, blk_doc, blk_tf, blk_base, blk_bound, q_ids, q_w,
-                 *, k_lex, d_blk, v_pad):
-    b = q_ids.shape[0]
-    q_idf = (
-        jnp.zeros((b, v_pad), jnp.float32)
-        .at[jnp.arange(b)[:, None], q_ids]
-        .add(q_w)
-    )
-    lex_s, lex_i, _skipped = _blocked_scan_body(
-        blk_term, blk_doc, blk_tf, blk_base, blk_bound, q_idf, k=k_lex, d_blk=d_blk
+def _lex_blocked(classes, bounds_list, q_ids, q_w, *, k_lex, v_pad):
+    q_idf_t = _scatter_query_idf_t(q_ids, q_w, v_pad)
+    lex_s, lex_i, _skipped = _graded_scan_body(
+        classes, bounds_list, q_idf_t, k=k_lex
     )
     return lex_s, lex_i
 
@@ -68,17 +65,16 @@ def _pad_q(q, d_pad: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_vec", "k_lex", "scan_mode", "tile_n", "d_blk", "v_pad"),
+    static_argnames=("k_vec", "k_lex", "scan_mode", "tile_n", "v_pad"),
 )
 def fused_phase1_blocked(
     slab, mask, q_vecs,
-    blk_term, blk_doc, blk_tf, blk_base, blk_bound, q_ids, q_w,
-    *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int, d_blk: int, v_pad: int,
+    classes, bounds_list, q_ids, q_w,
+    *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int, v_pad: int,
 ):
     vec = _vector_arm(slab, mask, q_vecs, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
     lex_s, lex_i = _lex_blocked(
-        blk_term, blk_doc, blk_tf, blk_base, blk_bound, q_ids, q_w,
-        k_lex=k_lex, d_blk=d_blk, v_pad=v_pad,
+        classes, bounds_list, q_ids, q_w, k_lex=k_lex, v_pad=v_pad,
     )
     return vec.scores, vec.indices, lex_s, lex_i
 
@@ -101,20 +97,19 @@ def fused_phase1_dense(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k_vec", "k_lex", "scan_mode", "tile_n", "d_blk", "v_pad", "d_pad",
+        "k_vec", "k_lex", "scan_mode", "tile_n", "v_pad", "d_pad",
     ),
 )
 def fused_phase1_embed_blocked(
     emb, tok_ids, tok_mask, slab, mask,
-    blk_term, blk_doc, blk_tf, blk_base, blk_bound, q_ids, q_w,
-    *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int, d_blk: int,
+    classes, bounds_list, q_ids, q_w,
+    *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int,
     v_pad: int, d_pad: int,
 ):
     q = _pad_q(_gather_pool_normalize(emb, tok_ids, tok_mask), d_pad)
     vec = _vector_arm(slab, mask, q, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
     lex_s, lex_i = _lex_blocked(
-        blk_term, blk_doc, blk_tf, blk_base, blk_bound, q_ids, q_w,
-        k_lex=k_lex, d_blk=d_blk, v_pad=v_pad,
+        classes, bounds_list, q_ids, q_w, k_lex=k_lex, v_pad=v_pad,
     )
     return vec.scores, vec.indices, lex_s, lex_i
 
@@ -138,8 +133,8 @@ def fused_phase1_embed_dense(
 
 def fused_phase1_sharded(
     slab, mask, q_vecs,
-    blk_term, blk_doc, blk_tf, blk_base, blk_bound, q_ids, q_w,
-    *, k_vec: int, k_lex: int, d_blk: int, v_pad: int, mesh, axis: str = "d",
+    classes, bounds_list, q_ids, q_w,
+    *, k_vec: int, k_lex: int, v_pad: int, mesh, axis: str = "d",
     scan_mode: str = "xla", tile_n: int = 8192, interpret: bool = False,
 ):
     """Multi-chip phase 1 in one dispatch: the document-sharded vector
@@ -147,6 +142,9 @@ def fused_phase1_sharded(
     the same mesh) inside one jitted program — the mesh analog of the
     single-device fusions above. Nested jits inline, so results are
     bit-identical to the separate sharded kernels.
+
+    ``classes``/``bounds_list`` are the block-axis-sharded graded layout
+    (parallel/sharded_bm25.py shard_blocked/place_bounds).
 
     ``scan_mode="hier"`` runs the flagship hierarchical group-max Pallas
     body per shard (sharded_scan_topk_hier — needs 8192-aligned shards);
@@ -162,12 +160,12 @@ def fused_phase1_sharded(
     @_ft.partial(
         jax.jit,
         static_argnames=(
-            "k_vec", "k_lex", "d_blk", "v_pad", "mesh", "axis",
+            "k_vec", "k_lex", "v_pad", "mesh", "axis",
             "scan_mode", "tile_n", "interpret",
         ),
     )
-    def _run(slab, mask, q_vecs, bt, bd, bf, bb, bound, ids, w,
-             *, k_vec, k_lex, d_blk, v_pad, mesh, axis, scan_mode, tile_n,
+    def _run(slab, mask, q_vecs, classes, bounds_list, ids, w,
+             *, k_vec, k_lex, v_pad, mesh, axis, scan_mode, tile_n,
              interpret):
         if scan_mode == "hier":
             vec = sharded_scan_topk_hier(
@@ -177,14 +175,13 @@ def fused_phase1_sharded(
         else:
             vec = sharded_scan_topk(slab, mask, q_vecs, k_vec, mesh=mesh, axis=axis)
         lex_s, lex_i, skipped = sharded_bm25_topk(
-            bt, bd, bf, bb, bound, ids, w,
-            k=k_lex, d_blk=d_blk, v_pad=v_pad, mesh=mesh, axis=axis,
+            classes, bounds_list, ids, w,
+            k=k_lex, v_pad=v_pad, mesh=mesh, axis=axis,
         )
         return vec.scores, vec.indices, lex_s, lex_i
 
     return _run(
-        slab, mask, q_vecs, blk_term, blk_doc, blk_tf, blk_base, blk_bound,
-        q_ids, q_w,
-        k_vec=k_vec, k_lex=k_lex, d_blk=d_blk, v_pad=v_pad, mesh=mesh, axis=axis,
+        slab, mask, q_vecs, classes, bounds_list, q_ids, q_w,
+        k_vec=k_vec, k_lex=k_lex, v_pad=v_pad, mesh=mesh, axis=axis,
         scan_mode=scan_mode, tile_n=tile_n, interpret=interpret,
     )

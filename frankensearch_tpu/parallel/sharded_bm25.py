@@ -1,17 +1,20 @@
 """Block-axis sharded device BM25 with device-side top-k merge.
 
 Completes the multi-chip story for the LEXICAL arm (the vector arm
-shards in parallel/sharded_scan.py): the doc-blocked postings layout
-(lexical/device_bm25.py) shards naturally on the block axis — each
-device streams its block range through the same pruned scan body
-(_blocked_scan_body, including block-max skipping), then the per-device
-(B, k) heaps merge with one ``all_gather`` over ICI + a final top-k.
+shards in parallel/sharded_scan.py): the length-graded blocked postings
+layout (lexical/device_bm25.py) shards naturally on the block axis —
+each device streams its slice of every length class through the same
+pruned graded scan body (_graded_scan_body, including block-max
+skipping), then the per-device (B, k) heaps merge with one
+``all_gather`` over ICI + an exact two-key sort.
 
-Determinism: global blocks ascend by doc row and devices hold contiguous
-block ranges, so the shard-major candidate layout preserves the
-(score desc, row asc) tie-break; BM25 scores are >= 0, so the padding
-blocks (tf 0 => scores 0 on doc row 0) can never displace a real hit
-and the host-side ``score > 0`` filter drops them.
+Determinism: impact ordering already interleaves block processing order
+arbitrarily, so every merge — local and cross-device — is the two-key
+(-score, row) sort; results are bit-identical to the single-device
+graded kernel regardless of how blocks land on devices. Padding blocks
+(tf 0, doc_map -1, bound 0) always skip via the zero-bound rule and
+could only yield (score 0, row -1) entries the host's score>0 filter
+drops.
 
 Reference analog: fusion/src/federated.rs fan-out/merge (the lexical
 half), recast as one SPMD program.
@@ -34,9 +37,11 @@ except ImportError:  # pragma: no cover - older jax
 
 from frankensearch_tpu.lexical.base import LexicalCandidate, LexicalRead
 from frankensearch_tpu.lexical.device_bm25 import (
-    _blocked_scan_body,
     _BlockedPostings,
+    _GradedClass,
     _build_blocked,
+    _graded_scan_body,
+    _scatter_query_idf_t,
 )
 
 
@@ -53,87 +58,110 @@ def _sm_kwargs():
 
 @dataclass
 class _ShardedBlocks:
-    blk_term: jax.Array  # (n_blk_pad, P_blk) block-sharded
-    blk_doc: jax.Array
-    blk_tf: jax.Array
-    blk_base: jax.Array  # (n_blk_pad,)
-    n_blk_pad: int
-    d_blk: int
+    """The graded blocked layout re-placed block-sharded on a mesh."""
+
+    classes: tuple  # tuple[_GradedClass], each array sharded P(axis, None)
+    n_pad: tuple  # per-class padded block count (multiple of mesh size)
     v_pad: int
 
 
 def shard_blocked(
     blocked: _BlockedPostings, mesh: Mesh, *, axis: str = "d"
 ) -> _ShardedBlocks:
-    """Pad the block axis to the mesh size and place block-sharded."""
+    """Pad each class's block axis to the mesh size and place sharded.
+
+    Padding blocks: term 0, tf 0, doc_map -1 — their query bounds are
+    padded to 0 (place_bounds), so the zero-bound rule always skips them.
+    """
     n_dev = mesh.shape[axis]
-    n_blk = blocked.blk_term.shape[0]
-    n_pad = (n_blk + n_dev - 1) // n_dev * n_dev
-    extra = n_pad - n_blk
-
-    def pad_rows(arr, fill):
-        host = np.asarray(arr)
-        if extra == 0:
-            return host
-        pad_shape = (extra,) + host.shape[1:]
-        return np.concatenate([host, np.full(pad_shape, fill, host.dtype)])
-
-    # padding blocks: term 0, every posting on the TRASH row (d_blk) with
-    # tf 0 — they contribute nothing and their (0-score, row base) top-k
-    # entries are dropped by the host's score>0 filter
-    term = pad_rows(blocked.blk_term, 0)
-    doc = pad_rows(blocked.blk_doc, blocked.d_blk)
-    tf = pad_rows(blocked.blk_tf, 0.0)
-    base = pad_rows(blocked.blk_base, 0)
     sharding = NamedSharding(mesh, P(axis, None))
-    vec_sharding = NamedSharding(mesh, P(axis))
+    out_classes = []
+    n_pads = []
+    for cls in blocked.classes:
+        n_c = cls.term.shape[0]
+        n_pad = max((n_c + n_dev - 1) // n_dev * n_dev, n_dev)
+        extra = n_pad - n_c
+
+        def pad_rows(arr, fill, extra=extra):
+            host = np.asarray(arr)
+            if extra == 0:
+                return host
+            pad_shape = (extra,) + host.shape[1:]
+            return np.concatenate([host, np.full(pad_shape, fill, host.dtype)])
+
+        out_classes.append(
+            _GradedClass(
+                term=jax.device_put(jnp.asarray(pad_rows(cls.term, 0)), sharding),
+                tf=jax.device_put(jnp.asarray(pad_rows(cls.tf, 0.0)), sharding),
+                doc_map=jax.device_put(
+                    jnp.asarray(pad_rows(cls.doc_map, -1)), sharding
+                ),
+            )
+        )
+        n_pads.append(n_pad)
     return _ShardedBlocks(
-        blk_term=jax.device_put(jnp.asarray(term), sharding),
-        blk_doc=jax.device_put(jnp.asarray(doc), sharding),
-        blk_tf=jax.device_put(jnp.asarray(tf), sharding),
-        blk_base=jax.device_put(jnp.asarray(base), vec_sharding),
-        n_blk_pad=n_pad,
-        d_blk=blocked.d_blk,
-        v_pad=blocked.v_pad,
+        classes=tuple(out_classes), n_pad=tuple(n_pads), v_pad=blocked.v_pad
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "d_blk", "v_pad", "mesh", "axis"))
+def place_bounds(
+    blocked: _BlockedPostings,
+    sharded: _ShardedBlocks,
+    bounds: np.ndarray,
+    mesh: Mesh,
+    *,
+    axis: str = "d",
+) -> tuple:
+    """Split host (n_blk, B) query bounds per class, zero-pad each class
+    to its sharded block count, and place block-sharded — the
+    ``bounds_list`` for sharded_bm25_topk / fused_phase1_sharded."""
+    sharding = NamedSharding(mesh, P(axis, None))
+    out = []
+    b = bounds.shape[1]
+    for c, cls in enumerate(blocked.classes):
+        start = blocked.class_offsets[c]
+        chunk = bounds[start : start + cls.term.shape[0]]
+        extra = sharded.n_pad[c] - chunk.shape[0]
+        if extra:
+            chunk = np.concatenate(
+                [chunk, np.zeros((extra, b), np.float32)]
+            )
+        out.append(jax.device_put(jnp.asarray(chunk), sharding))
+    return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "v_pad", "mesh", "axis"))
 def sharded_bm25_topk(
-    blk_term: jax.Array,
-    blk_doc: jax.Array,
-    blk_tf: jax.Array,
-    blk_base: jax.Array,
-    blk_bound: jax.Array,  # (n_blk_pad, B) block-sharded
+    classes,  # tuple[_GradedClass] block-sharded
+    bounds_list,  # tuple[(n_pad_c, B) f32] block-sharded
     q_ids: jax.Array,  # (B, T) replicated
     q_w: jax.Array,  # (B, T) replicated
     *,
     k: int,
-    d_blk: int,
     v_pad: int,
     mesh: Mesh,
     axis: str = "d",
 ):
-    """SPMD pruned BM25: local streaming scan per device, one all_gather
-    merge. Returns ((B, k) scores, global doc rows, blocks skipped)."""
-    b = q_ids.shape[0]
+    """SPMD pruned BM25: local graded streaming scan per device, one
+    all_gather + exact two-key merge. Returns ((B, k) scores, global doc
+    rows, blocks skipped across all devices)."""
 
-    def local(bt, bd, bf, bb, bound, ids, w):
-        q_idf = (
-            jnp.zeros((b, v_pad), jnp.float32)
-            .at[jnp.arange(b)[:, None], ids]
-            .add(w)
-        )
-        top_s, top_i, skipped = _blocked_scan_body(
-            bt, bd, bf, bb, bound, q_idf, k=k, d_blk=d_blk
+    def local(cls_local, bounds_local, ids, w):
+        q_idf_t = _scatter_query_idf_t(ids, w, v_pad)
+        top_s, top_i, skipped = _graded_scan_body(
+            cls_local, bounds_local, q_idf_t, k=k
         )
         all_s = jax.lax.all_gather(top_s, axis)  # (n_dev, B, k)
         all_i = jax.lax.all_gather(top_i, axis)
         n_dev = all_s.shape[0]
+        b = top_s.shape[0]
         cand_s = jnp.transpose(all_s, (1, 0, 2)).reshape(b, n_dev * k)
         cand_i = jnp.transpose(all_i, (1, 0, 2)).reshape(b, n_dev * k)
-        out_s, pos = jax.lax.top_k(cand_s, k)
-        out_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        # exact (score desc, row asc) merge — block placement on devices
+        # must not affect ordering (-inf padding -> +inf sorts last)
+        sorted_neg, sorted_i = jax.lax.sort((-cand_s, cand_i), num_keys=2)
+        out_s = -sorted_neg[:, :k]
+        out_i = sorted_i[:, :k]
         total_skipped = jax.lax.psum(skipped, axis)
         return out_s, out_i, total_skipped
 
@@ -141,19 +169,21 @@ def sharded_bm25_topk(
         local,
         mesh=mesh,
         in_specs=(
-            P(axis, None), P(axis, None), P(axis, None), P(axis),
-            P(axis, None), P(None, None), P(None, None),
+            P(axis, None),  # prefix spec: every class array block-sharded
+            P(axis, None),
+            P(None, None),
+            P(None, None),
         ),
         out_specs=(P(None, None), P(None, None), P()),
         **_sm_kwargs(),
-    )(blk_term, blk_doc, blk_tf, blk_base, blk_bound, q_ids, q_w)
+    )(classes, bounds_list, q_ids, q_w)
     return out_s, out_i, skipped
 
 
 class ShardedBulkDeviceBm25Index(LexicalRead):
     """A BulkDeviceBm25Index whose postings blocks live sharded on a mesh.
 
-    Wraps a built single-device index: forces the doc-blocked layout
+    Wraps a built single-device index: forces the graded blocked layout
     (even under the dense-lane threshold) and re-places it block-sharded.
     Query/bound/hydration machinery is shared with the wrapped index.
     """
@@ -187,6 +217,12 @@ class ShardedBulkDeviceBm25Index(LexicalRead):
         self._sharded = shard_blocked(blocked, mesh, axis=axis)
         self.last_blocks_skipped = 0
 
+    def place_bounds(self, bounds: np.ndarray) -> tuple:
+        """Host (n_blk, B) bounds -> block-sharded per-class device list."""
+        return place_bounds(
+            self._blocked_host, self._sharded, bounds, self.mesh, axis=self.axis
+        )
+
     # -- LexicalRead ---------------------------------------------------------
 
     def search_candidates_batch(self, queries, budget: int):
@@ -196,18 +232,10 @@ class ShardedBulkDeviceBm25Index(LexicalRead):
         ids, w = self.inner._query_sparse_rows(list(queries))
         bounds = self._blocked_host.query_bounds(ids, w)
         sb = self._sharded
-        pad = sb.n_blk_pad - bounds.shape[0]
-        if pad:
-            bounds = np.concatenate(
-                [bounds, np.zeros((pad, bounds.shape[1]), np.float32)]
-            )
-        bounds_dev = jax.device_put(
-            jnp.asarray(bounds), NamedSharding(self.mesh, P(self.axis, None))
-        )
         top_s, top_i, skipped = sharded_bm25_topk(
-            sb.blk_term, sb.blk_doc, sb.blk_tf, sb.blk_base, bounds_dev,
+            sb.classes, self.place_bounds(bounds),
             jnp.asarray(ids), jnp.asarray(w),
-            k=k, d_blk=sb.d_blk, v_pad=sb.v_pad, mesh=self.mesh, axis=self.axis,
+            k=k, v_pad=sb.v_pad, mesh=self.mesh, axis=self.axis,
         )
         s, i, skipped_n = jax.device_get((top_s, top_i, skipped))
         self.last_blocks_skipped = int(skipped_n)

@@ -121,7 +121,7 @@ class TestBlockedStreamingKernel:
             mod.BLOCKED_THRESHOLD_POSTINGS = old_thresh
             mod.DEFAULT_BLOCK_POSTINGS = old_blk
         assert blocked._blocked is not None
-        assert blocked._blocked.blk_term.shape[0] > 3  # really multi-block
+        assert blocked._blocked.n_blk > 3  # really multi-block
         return mem, dense, blocked
 
     @pytest.mark.parametrize("query", QUERIES)
@@ -294,8 +294,15 @@ class TestBlockMaxPruning:
             c.doc_id: c.score
             for c in dev._source.search_candidates("alpha beta", 200)
         }
-        base = np.asarray(blocked.blk_base)
+        # graded layout: recover row -> global block id from doc_map
+        row_to_blk = {}
+        for off, cls in zip(blocked.class_offsets, blocked.classes):
+            dm = np.asarray(cls.doc_map)
+            for r in range(dm.shape[0]):
+                for row in dm[r]:
+                    if row >= 0:
+                        row_to_blk[int(row)] = off + r
         for doc_id, score in mem_scores.items():
             row = dev.doc_ids.index(doc_id)
-            blk = int(np.searchsorted(base, row, side="right")) - 1
+            blk = row_to_blk[row]
             assert score <= bounds[blk, 0] * (1 + 1e-6) + 1e-6, (doc_id, score, bounds[blk, 0])

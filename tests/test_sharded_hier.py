@@ -197,26 +197,16 @@ class TestFusedShardedHierBody:
         arm = ShardedBulkDeviceBm25Index(BulkDeviceBm25Index(docs), mesh)
         inner = arm.inner
         ids, w = inner._query_sparse_rows(["alpha beta"] * 8)
-        bounds = inner._blocked.query_bounds(ids, w) if inner._blocked is not None \
-            else arm._blocked_host.query_bounds(ids, w)
+        bounds = arm._blocked_host.query_bounds(ids, w)
         sb = arm._sharded
-        pad_blk = sb.n_blk_pad - bounds.shape[0]
-        if pad_blk:
-            bounds = np.concatenate(
-                [bounds, np.zeros((pad_blk, bounds.shape[1]), np.float32)]
-            )
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        bounds_dev = jax.device_put(
-            jnp.asarray(bounds), NamedSharding(mesh, P("d", None))
-        )
+        bounds_list = arm.place_bounds(bounds)
         common = dict(
-            k_vec=10, k_lex=8, d_blk=sb.d_blk, v_pad=sb.v_pad,
+            k_vec=10, k_lex=8, v_pad=sb.v_pad,
             mesh=mesh, axis="d",
         )
         args = (
             slab, mask, jnp.asarray(q),
-            sb.blk_term, sb.blk_doc, sb.blk_tf, sb.blk_base, bounds_dev,
+            sb.classes, bounds_list,
             jnp.asarray(ids), jnp.asarray(w),
         )
         h_vs, h_vi, h_ls, h_li = hp.fused_phase1_sharded(

@@ -1,0 +1,109 @@
+"""Probe: can the blocked BM25 reduction beat segment_sum via a
+length-graded doc layout (pad each doc to a uniform L per block, reduce
+with reshape+sum — no scatter)?
+
+Hypothesis from tools/bench_bm25_microbench: segment_sum is 2.55 ms of
+the 2.80 ms block step. If docs are laid out as (d_blk, L) padded slots,
+scores = einsum over the L axis and XLA fuses gather+multiply+reduce
+without a scatter in sight.
+
+Usage: python -m tools.bench_bm25_graded_probe [batch]
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    platform = jax.devices()[0].platform
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+
+    # same 262k-posting block budget as the current kernel, graded layout
+    d_blk, l_pad = 2048, 128  # 262,144 posting slots
+    vocab = 400_000
+    v_pad = (vocab + 127) // 128 * 128
+    k = 100
+
+    rng = np.random.default_rng(0)
+    t_np = ((rng.zipf(1.3, size=(d_blk, l_pad)) - 1) % vocab).astype(np.int32)
+    f_np = (rng.integers(1, 5, size=(d_blk, l_pad)).astype(np.float32)) * 0.37
+    f_np[:, 120:] = 0.0  # ~7% padding slots, like a real graded block
+    q_idf_np = np.zeros((batch, v_pad), np.float32)
+    t_q = 16
+    q_ids = ((rng.zipf(1.3, size=(batch, t_q)) - 1) % vocab)
+    q_w = rng.uniform(0.5, 6.0, size=(batch, t_q)).astype(np.float32)
+    for b in range(batch):
+        q_idf_np[b, q_ids[b]] = q_w[b]
+
+    t_dev = jnp.asarray(t_np)
+    f_dev = jnp.asarray(f_np)
+    qT_dev = jnp.asarray(q_idf_np.T.copy())
+    carry_s = jnp.asarray(
+        np.sort(rng.uniform(0, 50, size=(batch, k)).astype(np.float32))[:, ::-1].copy()
+    )
+    carry_i = jnp.asarray(rng.integers(0, 10**6, size=(batch, k)).astype(np.int32))
+
+    def scores_graded(t, f, qT):
+        # (d_blk, L, B) gather -> weighted sum over L; XLA fuses the
+        # gather+mul+reduce, nothing (P, B)-sized hits HBM
+        w = jnp.take(qT, t.reshape(-1), axis=0).reshape(d_blk, l_pad, batch)
+        return jnp.einsum("dl,dlb->bd", f, w, preferred_element_type=jnp.float32)
+
+    def step_graded(t, f, qT):
+        scores = scores_graded(t, f, qT)
+        s2, i2 = jax.lax.top_k(scores, k)
+        merged_s = jnp.concatenate([carry_s, s2], axis=1)
+        merged_i = jnp.concatenate([carry_i, i2], axis=1)
+        sn, si = jax.lax.sort((-merged_s, merged_i), num_keys=2)
+        return -sn[:, :k], si[:, :k]
+
+    variants = {"scores_graded": scores_graded, "step_graded": step_graded}
+    r_lo, r_hi = (4, 16) if platform == "tpu" else (1, 2)
+
+    for name, fn in variants.items():
+        @functools.partial(jax.jit, static_argnames=("reps",))
+        def chain(t, f, qT, reps: int, _fn=fn):
+            def body(i, carry):
+                fcur, acc = carry
+                out = _fn(t, fcur, qT)
+                if isinstance(out, tuple):
+                    s = sum(jnp.sum(v.astype(jnp.float32)) for v in out)
+                else:
+                    s = jnp.sum(out)
+                return (f + 1e-12 * s, acc + s)
+
+            _, acc = jax.lax.fori_loop(0, reps, body, (f, jnp.float32(0.0)))
+            return acc
+
+        def timed(reps: int) -> float:
+            t0 = time.perf_counter()
+            float(chain(t_dev, f_dev, qT_dev, reps=reps))
+            return time.perf_counter() - t0
+
+        try:
+            timed(r_lo)
+            timed(r_hi)
+            samples = [(timed(r_hi) - timed(r_lo)) / (r_hi - r_lo) for _ in range(3)]
+            per = float(np.median(samples))
+            print(json.dumps({
+                "metric": "bm25_graded_probe", "stage": name, "batch": batch,
+                "per_block_ms": round(per * 1e3, 4), "platform": platform,
+            }), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({
+                "metric": "bm25_graded_probe", "stage": name,
+                "error": f"{type(e).__name__}: {e}"[:200],
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+"""Decompose the blocked BM25 kernel's per-block cost on the real chip.
+
+The exhaustive streaming floor at 1M docs / 120M postings is ~1.9 s per
+64-query batch = ~4.2 ms per 262k-posting block, which is ~12x off the
+HBM traffic of the block's tensors. This bench isolates the block step's
+stages at the real shapes to find where the time goes:
+
+  gather_axis1   jnp.take(q_idf, t, axis=1).T   — current kernel (lane gather)
+  gather_axis0   jnp.take(q_idf_T, t, axis=0)   — row gather (sublane-friendly)
+  segsum         segment_sum(contrib, d, sorted) — the per-block reduction
+  topk_merge     top_k over (B, d_blk) + two-key sort merge
+  step_current   full current block step
+  step_axis0     full step with the row-gather layout
+
+Usage: python -m tools.bench_bm25_microbench [batch]
+One JSON line per variant (slope-timed, chained reps).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    platform = jax.devices()[0].platform
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+
+    # real 1M-doc shapes (bench_lexical_1m): P_blk = 2^18, ~120 postings
+    # per doc -> d_blk ~ 2184, vocab 400k
+    p_blk = 1 << 18
+    d_blk = 2184
+    vocab = 400_000
+    v_pad = (vocab + 127) // 128 * 128
+    k = 100
+
+    rng = np.random.default_rng(0)
+    # doc-sorted postings for one block
+    d_np = np.sort(rng.integers(0, d_blk, size=p_blk)).astype(np.int32)
+    t_np = ((rng.zipf(1.3, size=p_blk) - 1) % vocab).astype(np.int32)
+    f_np = (rng.integers(1, 5, size=p_blk).astype(np.float32)) * 0.37
+    q_idf_np = np.zeros((batch, v_pad), np.float32)
+    t_q = 16
+    q_ids = ((rng.zipf(1.3, size=(batch, t_q)) - 1) % vocab)
+    q_w = rng.uniform(0.5, 6.0, size=(batch, t_q)).astype(np.float32)
+    for b in range(batch):
+        q_idf_np[b, q_ids[b]] = q_w[b]
+
+    t_dev = jnp.asarray(t_np)
+    d_dev = jnp.asarray(d_np)
+    f_dev = jnp.asarray(f_np)
+    q_dev = jnp.asarray(q_idf_np)
+    qT_dev = jnp.asarray(q_idf_np.T.copy())
+    carry_s = jnp.asarray(
+        np.sort(rng.uniform(0, 50, size=(batch, k)).astype(np.float32))[:, ::-1].copy()
+    )
+    carry_i = jnp.asarray(rng.integers(0, 10**6, size=(batch, k)).astype(np.int32))
+
+    def gather_axis1(t, f, q, _d):
+        return f[:, None] * jnp.take(q, t, axis=1).T
+
+    def gather_axis0(t, f, qT, _d):
+        return f[:, None] * jnp.take(qT, t, axis=0)
+
+    def segsum(t, f, _q, d):
+        contrib = f[:, None] * jnp.broadcast_to(t[:, None], (p_blk, batch)).astype(jnp.float32)
+        return jax.ops.segment_sum(
+            contrib, d, num_segments=d_blk + 1, indices_are_sorted=True
+        )[:d_blk]
+
+    def topk_merge(_t, _f, _q, _d, scores):
+        s2, i2 = jax.lax.top_k(scores, k)
+        merged_s = jnp.concatenate([carry_s, s2], axis=1)
+        merged_i = jnp.concatenate([carry_i, i2], axis=1)
+        sn, si = jax.lax.sort((-merged_s, merged_i), num_keys=2)
+        return -sn[:, :k], si[:, :k]
+
+    def step_current(t, f, q, d):
+        contrib = f[:, None] * jnp.take(q, t, axis=1).T
+        scores = jax.ops.segment_sum(
+            contrib, d, num_segments=d_blk + 1, indices_are_sorted=True
+        )[:d_blk].T
+        return topk_merge(t, f, q, d, scores)
+
+    def step_axis0(t, f, qT, d):
+        contrib = f[:, None] * jnp.take(qT, t, axis=0)
+        scores = jax.ops.segment_sum(
+            contrib, d, num_segments=d_blk + 1, indices_are_sorted=True
+        )[:d_blk].T
+        return topk_merge(t, f, qT, d, scores)
+
+    def reduce_any(x):
+        if isinstance(x, tuple):
+            return sum(jnp.sum(v.astype(jnp.float32)) for v in x)
+        return jnp.sum(x.astype(jnp.float32))
+
+    variants = {
+        "gather_axis1": (gather_axis1, q_dev),
+        "gather_axis0": (gather_axis0, qT_dev),
+        "segsum": (segsum, q_dev),
+        "step_current": (step_current, q_dev),
+        "step_axis0": (step_axis0, qT_dev),
+    }
+
+    r_lo, r_hi = (4, 16) if platform == "tpu" else (1, 2)
+
+    # scores input for topk_merge timed separately
+    scores_const = jnp.asarray(rng.uniform(0, 50, size=(batch, d_blk)).astype(np.float32))
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def chain_topk(scores, reps: int):
+        def body(i, carry):
+            s, acc = carry
+            ts, ti = topk_merge(None, None, None, None, s)
+            return (s + 1e-6 * jnp.mean(ts), acc + jnp.sum(ts) + jnp.sum(ti.astype(jnp.float32)))
+
+        _, acc = jax.lax.fori_loop(0, reps, body, (scores, jnp.float32(0.0)))
+        return acc
+
+    def slope(timed):
+        timed(r_lo)
+        timed(r_hi)
+        samples = [(timed(r_hi) - timed(r_lo)) / (r_hi - r_lo) for _ in range(3)]
+        return float(np.median(samples))
+
+    def timed_factory(fn, q_arg):
+        @functools.partial(jax.jit, static_argnames=("reps",))
+        def chain(t, d, f, q, reps: int):
+            def body(i, carry):
+                fcur, acc = carry
+                out = fn(t, fcur, q, d)
+                s = reduce_any(out)
+                return (f + 1e-12 * s, acc + s)
+
+            _, acc = jax.lax.fori_loop(0, reps, body, (f, jnp.float32(0.0)))
+            return acc
+
+        def timed(reps: int) -> float:
+            t0 = time.perf_counter()
+            float(chain(t_dev, d_dev, f_dev, q_arg, reps=reps))
+            return time.perf_counter() - t0
+
+        return timed
+
+    for name, (fn, q_arg) in variants.items():
+        try:
+            per = slope(timed_factory(fn, q_arg))
+            print(json.dumps({
+                "metric": "bm25_block_stage", "stage": name, "batch": batch,
+                "per_block_ms": round(per * 1e3, 4), "platform": platform,
+            }), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({
+                "metric": "bm25_block_stage", "stage": name,
+                "error": f"{type(e).__name__}: {e}"[:200],
+            }), flush=True)
+
+    def timed_topk(reps: int) -> float:
+        t0 = time.perf_counter()
+        float(chain_topk(scores_const, reps=reps))
+        return time.perf_counter() - t0
+
+    try:
+        per = slope(timed_topk)
+        print(json.dumps({
+            "metric": "bm25_block_stage", "stage": "topk_merge", "batch": batch,
+            "per_block_ms": round(per * 1e3, 4), "platform": platform,
+        }), flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({
+            "metric": "bm25_block_stage", "stage": "topk_merge",
+            "error": f"{type(e).__name__}: {e}"[:200],
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

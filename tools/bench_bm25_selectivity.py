@@ -85,12 +85,11 @@ def main() -> None:
         bounds_np = blocked.query_bounds(ids_np, w_np)
         bounds_ms = (time.perf_counter() - t0) * 1e3
         ids, w = jnp.asarray(ids_np), jnp.asarray(w_np)
-        bounds = jnp.asarray(bounds_np)
+        bounds = blocked.split_bounds(bounds_np)
 
         top_s, top_i, skipped = _device_bm25_blocked(
-            blocked.blk_term, blocked.blk_doc, blocked.blk_tf,
-            blocked.blk_base, bounds, ids, w,
-            v_pad=blocked.v_pad, k=k, d_blk=blocked.d_blk,
+            blocked.classes, bounds, ids, w,
+            v_pad=blocked.v_pad, k=k,
         )
         skipped = int(skipped)
 
@@ -98,12 +97,12 @@ def main() -> None:
         # ARGUMENTS: closing over them serializes gigabytes of constants
         # into the remote-compile request (CLAUDE.md closure-capture trap)
         @functools.partial(jax.jit, static_argnames=("reps",))
-        def chain(bt, bd, bf, bb, bounds, ids, w, reps: int):
+        def chain(classes, bounds, ids, w, reps: int):
             def body(i, carry):
                 w_c, acc = carry
                 s, _, _ = _device_bm25_blocked(
-                    bt, bd, bf, bb, bounds, ids, w_c,
-                    v_pad=blocked.v_pad, k=k, d_blk=blocked.d_blk,
+                    classes, bounds, ids, w_c,
+                    v_pad=blocked.v_pad, k=k,
                 )
                 return (w + 1e-7 * jnp.mean(s), acc + jnp.sum(s))
 
@@ -112,10 +111,7 @@ def main() -> None:
 
         def timed(reps: int) -> float:
             t0 = time.perf_counter()
-            float(chain(
-                blocked.blk_term, blocked.blk_doc, blocked.blk_tf,
-                blocked.blk_base, bounds, ids, w, reps=reps,
-            ))
+            float(chain(blocked.classes, bounds, ids, w, reps=reps))
             return time.perf_counter() - t0
 
         r_lo, r_hi = (2, 8) if platform != "cpu" else (1, 2)

@@ -50,7 +50,8 @@ def main() -> None:
         terms_all, docs_all, tf_all, n_docs=n_docs, vocab_size=vocab
     )
     build_s = time.perf_counter() - t0
-    n_blk, p_blk = blocked.blk_term.shape
+    n_blk = blocked.n_blk
+    p_blk = blocked.classes[0].term.shape[1]
 
     # query batch: term ids drawn from the corpus distribution, idf-like
     # weights; chained with a tiny carry perturbation for slope timing
@@ -61,16 +62,16 @@ def main() -> None:
     q_w = jnp.asarray(q_w_np)
     k = 100
     t0 = time.perf_counter()
-    bounds = jnp.asarray(blocked.query_bounds(q_ids_np, q_w_np))
+    bounds = blocked.split_bounds(blocked.query_bounds(q_ids_np, q_w_np))
     bounds_s = time.perf_counter() - t0
 
     @functools.partial(jax.jit, static_argnames=("reps",))
-    def chain(bt, bd, bf, bb, bounds, q_ids, q_w, reps: int):
+    def chain(classes, bounds, q_ids, q_w, reps: int):
         def body(i, carry):
             w, acc = carry
             top_s, top_i, skipped = _device_bm25_blocked(
-                bt, bd, bf, bb, bounds, q_ids, w,
-                v_pad=blocked.v_pad, k=k, d_blk=blocked.d_blk,
+                classes, bounds, q_ids, w,
+                v_pad=blocked.v_pad, k=k,
             )
             delta = 1e-7 * jnp.mean(top_s)
             return (q_w + delta, acc + jnp.sum(top_s) + jnp.sum(top_i).astype(jnp.float32))
@@ -80,16 +81,12 @@ def main() -> None:
 
     def timed(reps: int) -> float:
         t0 = time.perf_counter()
-        acc = chain(
-            blocked.blk_term, blocked.blk_doc, blocked.blk_tf, blocked.blk_base,
-            bounds, q_ids, q_w, reps=reps,
-        )
+        acc = chain(blocked.classes, bounds, q_ids, q_w, reps=reps)
         float(acc)
         return time.perf_counter() - t0
 
     _, _, skipped0 = _device_bm25_blocked(
-        blocked.blk_term, blocked.blk_doc, blocked.blk_tf, blocked.blk_base,
-        bounds, q_ids, q_w, v_pad=blocked.v_pad, k=k, d_blk=blocked.d_blk,
+        blocked.classes, bounds, q_ids, q_w, v_pad=blocked.v_pad, k=k,
     )
     skipped0 = int(skipped0)
     timed(r_lo)
@@ -109,7 +106,7 @@ def main() -> None:
                 "postings": p,
                 "n_blocks": int(n_blk),
                 "p_blk": int(p_blk),
-                "d_blk": int(blocked.d_blk),
+                "n_classes": len(blocked.classes),
                 "host_build_s": round(build_s, 2),
                 "bounds_ms": round(bounds_s * 1e3, 2),
                 "blocks_skipped": skipped0,
