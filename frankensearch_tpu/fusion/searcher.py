@@ -298,7 +298,7 @@ class TwoTierSearcher:
                 fast.slab, fast.base_mask, jnp.asarray(q),
                 sb.classes, bounds_list,
                 jnp.asarray(ids), jnp.asarray(w),
-                k_vec=k_vec_s, k_lex=k_lex_s, v_pad=sb.v_pad,
+                k_vec=k_vec_s, k_lex=k_lex_s,
                 mesh=arm.mesh, axis=arm.axis, scan_mode=s_mode, tile_n=s_tile,
             )
             vec_s, vec_i, lex_s, lex_i = jax.device_get((vec_s, vec_i, lex_s, lex_i))
@@ -338,18 +338,16 @@ class TwoTierSearcher:
                 arm._blocked.classes, arm._blocked.split_bounds(bounds),
                 jnp.asarray(ids), jnp.asarray(w),
             )
-            lex_statics = dict(v_pad=arm._blocked.v_pad)
             if embed_args is not None:
                 vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_embed_blocked(
                     *embed_args, fast.slab, mask, *lex_args,
                     k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode, tile_n=tile_n,
-                    d_pad=fast.d_pad, **lex_statics,
+                    d_pad=fast.d_pad,
                 )
             else:
                 vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_blocked(
                     fast.slab, mask, jnp.asarray(q), *lex_args,
                     k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode, tile_n=tile_n,
-                    **lex_statics,
                 )
         else:
             q_idf = jnp.asarray(arm._query_idf_rows(list(queries)))

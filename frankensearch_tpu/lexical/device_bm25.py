@@ -98,21 +98,32 @@ class _GradedClass(NamedTuple):
     doc_map: jax.Array  # (n_blk_c, d_blk_c) i32 GLOBAL doc rows asc; -1 pad
 
 
-def _graded_scan_body(classes, bounds_list, q_idf_t, *, k: int):
+def _graded_scan_body(classes, bounds_list, q_ids, q_w, *, k: int):
     """The pruned streaming scan over the graded length classes — shared
     by the single-device jit wrapper and the shard_map local body
     (parallel/sharded_bm25.py). Returns ((B, k) scores, GLOBAL rows,
     skipped).
 
-    LAYOUT (r3 rework, measured 10.5x): each block stores d_blk docs
-    padded to a uniform L postings (docs are length-graded at build so
-    padding stays small), and the per-block reduction is a fused
-    gather + multiply + sum over the L axis — ``jax.ops.segment_sum``
-    (2.55 of the 2.80 ms block step, tools/bench_bm25_microbench) is
-    gone entirely; nothing (P, B)-shaped touches HBM. ``doc_map``
-    replaces block-local ids + base: top-k local winners gather their
-    global rows directly, padding slots map to row -1 with score 0 and
-    fall to the host's score>0 filter.
+    LAYOUT: each block stores d_blk docs padded to a uniform L postings
+    (docs are length-graded at build so padding stays small); ``doc_map``
+    carries global rows directly: top-k local winners gather their
+    global rows, padding slots map to row -1 with score 0 and fall to
+    the host's score>0 filter.
+
+    SCORING (r3 second rework, measured 7.1x at the real operating
+    point — tools/bench_bm25_structural, B=64 on v5e: 2.97 -> 0.42
+    ms/block): the per-block step compares the block's term ids against
+    the query's OWN (B, T) sparse term ids and reduces the hits over the
+    L axis into per-(query, term) doc masses, then contracts the T axis
+    with the idf weights at f32 precision. No (v_pad, B) dense query
+    table exists and nothing gathers rows from HBM — the earlier
+    ``take(q_idf_t, t)`` formulation spent ~86% of the block step on
+    that 262k-row random gather (and its einsum rode bf16 MXU inputs,
+    0.46% score error vs the f32 oracle; this path is f32-exact).
+    Per-query work depends only on that query's (ids, weights) row, so
+    solo-vs-batch bit-parity holds by construction at a fixed compiled
+    width. Cost scales with T (padded query terms, multiple of 16) —
+    typical product queries stay in the first bucket.
 
     IMPACT ORDERING (argus.rs block-max discipline): within each class,
     blocks are visited in DESCENDING aggregate-bound order so the
@@ -123,7 +134,7 @@ def _graded_scan_body(classes, bounds_list, q_idf_t, *, k: int):
     merge is the two-key exact sort (_merge_topk_exact), so result
     ordering is processing-order independent: (score desc, row asc).
     """
-    b = q_idf_t.shape[1]
+    b = q_ids.shape[0]
     top_s = jnp.full((b, k), -jnp.inf, jnp.float32)
     top_i = jnp.full((b, k), -1, jnp.int32)
     skipped = jnp.int32(0)
@@ -136,9 +147,18 @@ def _graded_scan_body(classes, bounds_list, q_idf_t, *, k: int):
 
         def score_block(carry, t, f, dmap, d_c=d_c, l_c=l_c, kk=kk):
             ts, ti = carry
-            w = jnp.take(q_idf_t, t, axis=0).reshape(d_c, l_c, b)
+            tb = t.reshape(d_c, l_c)
+            fb = f.reshape(d_c, l_c)
+            # (B, T, d, l) compare fuses into the l-reduction (VPU, f32
+            # exact). Padding terms are (id 0, w 0): id 0 may match real
+            # postings but w=0 zeroes the contribution exactly.
+            hit = tb[None, None, :, :] == q_ids[:, :, None, None]
+            mass = jnp.sum(
+                fb[None, None, :, :] * hit.astype(jnp.float32), axis=-1
+            )  # (B, T, d)
             scores = jnp.einsum(
-                "dl,dlb->bd", f.reshape(d_c, l_c), w,
+                "bj,bjd->bd", q_w, mass,
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             )
             s2, i2 = jax.lax.top_k(scores, kk)
@@ -172,29 +192,13 @@ def _graded_scan_body(classes, bounds_list, q_idf_t, *, k: int):
     return top_s, top_i, skipped
 
 
-def _scatter_query_idf_t(q_ids: jax.Array, q_w: jax.Array, v_pad: int) -> jax.Array:
-    """(B, T) sparse query terms -> (v_pad, B) TRANSPOSED dense idf matrix
-    on device. Transposed so the scan body's per-posting term gather is a
-    row (sublane) gather — the lane-axis gather of the (B, V) layout was
-    measurably slower. Padding (id 0, w 0.0) is a no-op under .add."""
-    b, t = q_ids.shape
-    rows = q_ids.reshape(-1)
-    cols = jnp.repeat(jnp.arange(b, dtype=jnp.int32), t)
-    return (
-        jnp.zeros((v_pad, b), jnp.float32)
-        .at[rows, cols]
-        .add(q_w.reshape(-1))
-    )
-
-
-@functools.partial(jax.jit, static_argnames=("v_pad", "k"))
+@functools.partial(jax.jit, static_argnames=("k",))
 def _device_bm25_blocked(
     classes,  # tuple[_GradedClass] device arrays
     bounds_list,  # tuple[(n_blk_c, B) f32] per-class score bounds
     q_ids: jax.Array,  # (B, T) i32 query term ids (0-padded)
     q_w: jax.Array,  # (B, T) f32 idf weights (0 on padding)
     *,
-    v_pad: int,
     k: int,
 ):
     """Streaming exact BM25 over length-graded blocked postings (the
@@ -210,13 +214,13 @@ def _device_bm25_blocked(
     f32 summation-order slack; skip only on strict <, so score==kth tie
     candidates always process.
 
-    Scoring is the graded-layout einsum (see _graded_scan_body): the
-    per-block cost is the fused gather+reduce, 10.5x the segment_sum
-    formulation this replaced (tools/bench_bm25_microbench /
-    bench_bm25_graded_probe, v5e). Also returns the skipped-block count.
+    Scoring is the gather-free sparse-compare step (see
+    _graded_scan_body): 7.1x the dense-table gather formulation it
+    replaced, which was itself 10.5x the original segment_sum
+    (tools/bench_bm25_structural / bench_bm25_microbench, v5e).
+    Also returns the skipped-block count.
     """
-    q_idf_t = _scatter_query_idf_t(q_ids, q_w, v_pad)
-    return _graded_scan_body(classes, bounds_list, q_idf_t, k=k)
+    return _graded_scan_body(classes, bounds_list, q_ids, q_w, k=k)
 
 
 @dataclass
@@ -611,7 +615,7 @@ class DeviceBm25Index(LexicalRead):
                 self._blocked.classes,
                 self._blocked.split_bounds(bounds[:, sel]),
                 jnp.asarray(ids[sel]), jnp.asarray(w[sel]),
-                v_pad=self._blocked.v_pad, k=min(k, self.n_docs),
+                k=min(k, self.n_docs),
             )
             s, i = jax.device_get((s, i))
             out_s[idxs] = _np.asarray(s)[: len(idxs)]
@@ -648,7 +652,7 @@ class DeviceBm25Index(LexicalRead):
                 ]
             # pad B to a multiple of 8 by repeating query 0 (results
             # discarded): bounds every small-batch jit variant to one
-            # compiled width, which also keeps the graded einsum's
+            # compiled width, which also keeps the sparse-compare step's
             # l-reduction order — and thus scores — bit-identical
             # between a solo query and the same query inside a batch
             b_real = len(queries)
@@ -664,7 +668,7 @@ class DeviceBm25Index(LexicalRead):
                 self._blocked.classes,
                 self._blocked.split_bounds(bounds),
                 jnp.asarray(ids), jnp.asarray(w),
-                v_pad=self._blocked.v_pad, k=k,
+                k=k,
             )
             top_s, top_i = top_s[:b_real], top_i[:b_real]
             self.last_blocks_skipped = int(skipped)

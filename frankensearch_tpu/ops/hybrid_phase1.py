@@ -24,10 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from frankensearch_tpu.embed.model2vec import _gather_pool_normalize
-from frankensearch_tpu.lexical.device_bm25 import (
-    _graded_scan_body,
-    _scatter_query_idf_t,
-)
+from frankensearch_tpu.lexical.device_bm25 import _graded_scan_body
 from frankensearch_tpu.ops import topk_scan
 
 
@@ -41,10 +38,9 @@ def _vector_arm(slab, mask, q, *, k, scan_mode, tile_n):
     return topk_scan.scan_topk_xla(slab, q, k, mask)
 
 
-def _lex_blocked(classes, bounds_list, q_ids, q_w, *, k_lex, v_pad):
-    q_idf_t = _scatter_query_idf_t(q_ids, q_w, v_pad)
+def _lex_blocked(classes, bounds_list, q_ids, q_w, *, k_lex):
     lex_s, lex_i, _skipped = _graded_scan_body(
-        classes, bounds_list, q_idf_t, k=k_lex
+        classes, bounds_list, q_ids, q_w, k=k_lex
     )
     return lex_s, lex_i
 
@@ -65,16 +61,16 @@ def _pad_q(q, d_pad: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_vec", "k_lex", "scan_mode", "tile_n", "v_pad"),
+    static_argnames=("k_vec", "k_lex", "scan_mode", "tile_n"),
 )
 def fused_phase1_blocked(
     slab, mask, q_vecs,
     classes, bounds_list, q_ids, q_w,
-    *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int, v_pad: int,
+    *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int,
 ):
     vec = _vector_arm(slab, mask, q_vecs, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
     lex_s, lex_i = _lex_blocked(
-        classes, bounds_list, q_ids, q_w, k_lex=k_lex, v_pad=v_pad,
+        classes, bounds_list, q_ids, q_w, k_lex=k_lex,
     )
     return vec.scores, vec.indices, lex_s, lex_i
 
@@ -96,20 +92,17 @@ def fused_phase1_dense(
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "k_vec", "k_lex", "scan_mode", "tile_n", "v_pad", "d_pad",
-    ),
+    static_argnames=("k_vec", "k_lex", "scan_mode", "tile_n", "d_pad"),
 )
 def fused_phase1_embed_blocked(
     emb, tok_ids, tok_mask, slab, mask,
     classes, bounds_list, q_ids, q_w,
-    *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int,
-    v_pad: int, d_pad: int,
+    *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int, d_pad: int,
 ):
     q = _pad_q(_gather_pool_normalize(emb, tok_ids, tok_mask), d_pad)
     vec = _vector_arm(slab, mask, q, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
     lex_s, lex_i = _lex_blocked(
-        classes, bounds_list, q_ids, q_w, k_lex=k_lex, v_pad=v_pad,
+        classes, bounds_list, q_ids, q_w, k_lex=k_lex,
     )
     return vec.scores, vec.indices, lex_s, lex_i
 
@@ -134,7 +127,7 @@ def fused_phase1_embed_dense(
 def fused_phase1_sharded(
     slab, mask, q_vecs,
     classes, bounds_list, q_ids, q_w,
-    *, k_vec: int, k_lex: int, v_pad: int, mesh, axis: str = "d",
+    *, k_vec: int, k_lex: int, mesh, axis: str = "d",
     scan_mode: str = "xla", tile_n: int = 8192, interpret: bool = False,
 ):
     """Multi-chip phase 1 in one dispatch: the document-sharded vector
@@ -160,13 +153,12 @@ def fused_phase1_sharded(
     @_ft.partial(
         jax.jit,
         static_argnames=(
-            "k_vec", "k_lex", "v_pad", "mesh", "axis",
+            "k_vec", "k_lex", "mesh", "axis",
             "scan_mode", "tile_n", "interpret",
         ),
     )
     def _run(slab, mask, q_vecs, classes, bounds_list, ids, w,
-             *, k_vec, k_lex, v_pad, mesh, axis, scan_mode, tile_n,
-             interpret):
+             *, k_vec, k_lex, mesh, axis, scan_mode, tile_n, interpret):
         if scan_mode == "hier":
             vec = sharded_scan_topk_hier(
                 slab, mask, q_vecs, k_vec, mesh=mesh, axis=axis,
@@ -176,12 +168,12 @@ def fused_phase1_sharded(
             vec = sharded_scan_topk(slab, mask, q_vecs, k_vec, mesh=mesh, axis=axis)
         lex_s, lex_i, skipped = sharded_bm25_topk(
             classes, bounds_list, ids, w,
-            k=k_lex, v_pad=v_pad, mesh=mesh, axis=axis,
+            k=k_lex, mesh=mesh, axis=axis,
         )
         return vec.scores, vec.indices, lex_s, lex_i
 
     return _run(
         slab, mask, q_vecs, classes, bounds_list, q_ids, q_w,
-        k_vec=k_vec, k_lex=k_lex, v_pad=v_pad, mesh=mesh, axis=axis,
+        k_vec=k_vec, k_lex=k_lex, mesh=mesh, axis=axis,
         scan_mode=scan_mode, tile_n=tile_n, interpret=interpret,
     )

@@ -41,7 +41,6 @@ from frankensearch_tpu.lexical.device_bm25 import (
     _GradedClass,
     _build_blocked,
     _graded_scan_body,
-    _scatter_query_idf_t,
 )
 
 
@@ -130,7 +129,7 @@ def place_bounds(
     return tuple(out)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "v_pad", "mesh", "axis"))
+@functools.partial(jax.jit, static_argnames=("k", "mesh", "axis"))
 def sharded_bm25_topk(
     classes,  # tuple[_GradedClass] block-sharded
     bounds_list,  # tuple[(n_pad_c, B) f32] block-sharded
@@ -138,7 +137,6 @@ def sharded_bm25_topk(
     q_w: jax.Array,  # (B, T) replicated
     *,
     k: int,
-    v_pad: int,
     mesh: Mesh,
     axis: str = "d",
 ):
@@ -147,9 +145,8 @@ def sharded_bm25_topk(
     rows, blocks skipped across all devices)."""
 
     def local(cls_local, bounds_local, ids, w):
-        q_idf_t = _scatter_query_idf_t(ids, w, v_pad)
         top_s, top_i, skipped = _graded_scan_body(
-            cls_local, bounds_local, q_idf_t, k=k
+            cls_local, bounds_local, ids, w, k=k
         )
         all_s = jax.lax.all_gather(top_s, axis)  # (n_dev, B, k)
         all_i = jax.lax.all_gather(top_i, axis)
@@ -235,7 +232,7 @@ class ShardedBulkDeviceBm25Index(LexicalRead):
         top_s, top_i, skipped = sharded_bm25_topk(
             sb.classes, self.place_bounds(bounds),
             jnp.asarray(ids), jnp.asarray(w),
-            k=k, v_pad=sb.v_pad, mesh=self.mesh, axis=self.axis,
+            k=k, mesh=self.mesh, axis=self.axis,
         )
         s, i, skipped_n = jax.device_get((top_s, top_i, skipped))
         self.last_blocks_skipped = int(skipped_n)

@@ -201,7 +201,7 @@ class TestFusedShardedHierBody:
         sb = arm._sharded
         bounds_list = arm.place_bounds(bounds)
         common = dict(
-            k_vec=10, k_lex=8, v_pad=sb.v_pad,
+            k_vec=10, k_lex=8,
             mesh=mesh, axis="d",
         )
         args = (

@@ -88,8 +88,7 @@ def main() -> None:
         bounds = blocked.split_bounds(bounds_np)
 
         top_s, top_i, skipped = _device_bm25_blocked(
-            blocked.classes, bounds, ids, w,
-            v_pad=blocked.v_pad, k=k,
+            blocked.classes, bounds, ids, w, k=k,
         )
         skipped = int(skipped)
 
@@ -101,8 +100,7 @@ def main() -> None:
             def body(i, carry):
                 w_c, acc = carry
                 s, _, _ = _device_bm25_blocked(
-                    classes, bounds, ids, w_c,
-                    v_pad=blocked.v_pad, k=k,
+                    classes, bounds, ids, w_c, k=k,
                 )
                 return (w + 1e-7 * jnp.mean(s), acc + jnp.sum(s))
 

@@ -1,0 +1,216 @@
+"""Structural decomposition of the graded blocked BM25 step (r3).
+
+tools/bench_bm25_graded_probe measured the graded step at 0.267 ms/block
+— but its chained-reps loop kept ``t`` (the term-id block) LOOP-INVARIANT,
+so XLA hoisted the big ``take(q_idf_t, t)`` gather out of the loop and
+the probe timed only einsum+topk+merge. The real scan
+(bm25_pruning_selectivity, unpruned mid/mixed classes) pays ~2.97
+ms/block: the difference is the per-posting random row gather from the
+(v_pad, B) query table (262k rows of 256 B from a 102 MB table).
+
+This probe re-times with the block VARYING per rep (a stack of NBLK
+distinct blocks, dynamically indexed by the loop counter — exactly the
+real scan's access pattern) and compares gather-free reformulations:
+
+  v0_current    take(qT, t) -> einsum('dl,dlb->bd')   [committed kernel]
+  v1a_union_gA  A[d,s] = sum_l f*(t==union[s]); scores = sum_j w * A[d,slot[b,j]]
+                (A exact per posting; per-query fixed-T reduction -> the
+                 solo-vs-batch bitparity contract survives by construction)
+  v1b_union_dot A @ w_small (S,B) via dot precision=HIGHEST
+  v2_direct     sum_l f*(t==ids[b,j]) -> (B,T,d) -> sum_j
+  topk_merge    top_k + exact two-key sort merge alone (cost floor)
+
+Usage: python -m tools.bench_bm25_structural [batch]
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    platform = jax.devices()[0].platform
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+
+    # real 1M-doc shape: one class, d=2184 docs/block, L=120, 458 blocks
+    d_blk, l_pad = 2184, 120
+    vocab = 400_000
+    v_pad = (vocab + 127) // 128 * 128
+    k = 100
+    t_q = 16
+    nblk = 8  # distinct blocks in the rotation (defeats LICM)
+
+    rng = np.random.default_rng(0)
+    t_np = ((rng.zipf(1.3, size=(nblk, d_blk, l_pad)) - 1) % vocab).astype(np.int32)
+    f_np = (rng.integers(1, 5, size=(nblk, d_blk, l_pad)).astype(np.float32)) * 0.37
+    f_np[:, :, 113:] = 0.0  # ~6% padding like the real graded build
+    # real queries are dedup'd per arm (_query_terms): sample WITHOUT
+    # replacement per query — duplicate ids would double-count in the
+    # sum-over-j variants but overwrite in the dense-table variant
+    def draw_query() -> np.ndarray:
+        seen: list[int] = []
+        while len(seen) < t_q:  # zipf draw keeps v0's gather locality real
+            cand = int((rng.zipf(1.3) - 1) % vocab)
+            if cand not in seen:
+                seen.append(cand)
+        return np.sort(np.asarray(seen, np.int32))
+
+    q_ids_np = np.stack([draw_query() for _ in range(batch)])
+    q_w_np = rng.uniform(0.5, 6.0, size=(batch, t_q)).astype(np.float32)
+
+    # (v_pad, B) dense transposed table — v0's input
+    qT_np = np.zeros((v_pad, batch), np.float32)
+    for b in range(batch):
+        qT_np[q_ids_np[b], b] = q_w_np[b]
+
+    # batch-union slot space — v1's input
+    union_np = np.unique(q_ids_np)
+    s_pad = max((len(union_np) + 127) // 128 * 128, 128)
+    union_pad = np.full(s_pad, -1, np.int32)
+    union_pad[: len(union_np)] = union_np
+    slot_np = np.searchsorted(union_np, q_ids_np).astype(np.int32)  # (B, T)
+    w_small_np = np.zeros((s_pad, batch), np.float32)
+    for b in range(batch):
+        w_small_np[slot_np[b], b] = q_w_np[b]
+
+    t_dev = jnp.asarray(t_np)
+    f_dev = jnp.asarray(f_np)
+    qT = jnp.asarray(qT_np)
+    union = jnp.asarray(union_pad)
+    w_small = jnp.asarray(w_small_np)
+    slot = jnp.asarray(slot_np)
+    q_w = jnp.asarray(q_w_np)
+    q_ids = jnp.asarray(q_ids_np)
+    carry_s = jnp.asarray(
+        np.sort(rng.uniform(0, 50, size=(batch, k)).astype(np.float32))[:, ::-1].copy()
+    )
+    carry_i = jnp.asarray(rng.integers(0, 10**6, size=(batch, k)).astype(np.int32))
+
+    def merge(s2, i2):
+        ms = jnp.concatenate([carry_s, s2], axis=1)
+        mi = jnp.concatenate([carry_i, i2], axis=1)
+        sn, si = jax.lax.sort((-ms, mi), num_keys=2)
+        return -sn[:, :k], si[:, :k]
+
+    def v0_current(t, f):
+        w = jnp.take(qT, t.reshape(-1), axis=0).reshape(d_blk, l_pad, batch)
+        scores = jnp.einsum("dl,dlb->bd", f, w, preferred_element_type=jnp.float32)
+        return merge(*jax.lax.top_k(scores, k))
+
+    def _a_matrix(t, f):
+        # (d, S): exact — each (term, doc) posting is unique, so each slot
+        # sums one nonzero among exact zeros
+        hit = t[:, :, None] == union[None, None, :]
+        return jnp.sum(f[:, :, None] * hit.astype(jnp.float32), axis=1)
+
+    def v1a_union_gA(t, f):
+        a = _a_matrix(t, f)  # (d, S)
+        ag = jnp.take(a, slot.reshape(-1), axis=1).reshape(d_blk, batch, t_q)
+        scores = jnp.einsum("bj,dbj->bd", q_w, ag, preferred_element_type=jnp.float32)
+        return merge(*jax.lax.top_k(scores, k))
+
+    def v1b_union_dot(t, f):
+        a = _a_matrix(t, f)
+        scores = jax.lax.dot(
+            w_small.T, a.T, precision=jax.lax.Precision.HIGHEST
+        )  # (B, d)
+        return merge(*jax.lax.top_k(scores, k))
+
+    def v2_direct(t, f):
+        hit = t[None, None] == q_ids[:, :, None, None]  # (B,T,d,l)
+        m = jnp.sum(f[None, None] * hit.astype(jnp.float32), axis=-1)  # (B,T,d)
+        scores = jnp.einsum("bj,bjd->bd", q_w, m, preferred_element_type=jnp.float32)
+        return merge(*jax.lax.top_k(scores, k))
+
+    def topk_merge_only(t, f):
+        # cost floor: the (B, d) scores come from a trivial broadcast so
+        # only top_k + the exact sort merge remain
+        scores = jnp.broadcast_to(f.sum(axis=1)[None, :], (batch, d_blk))
+        return merge(*jax.lax.top_k(scores, k))
+
+    variants = {
+        "topk_merge_only": topk_merge_only,
+        "v0_current": v0_current,
+        "v1a_union_gA": v1a_union_gA,
+        "v1b_union_dot": v1b_union_dot,
+        "v2_direct": v2_direct,
+    }
+
+    # correctness cross-check on block 0. Compare RAW block scores (not
+    # post-top-k arrays: zipf corpora tie thousands of docs at 0 and near
+    # 1e-7 relative score differences swap top-k winners, which made the
+    # first version of this check report 763% "error" on exact variants).
+    def raw_scores(fn):
+        def inner(t, f):
+            s, i = fn(t, f)
+            return s, i
+        return inner
+
+    def v0_raw(t, f):
+        w = jnp.take(qT, t.reshape(-1), axis=0).reshape(d_blk, l_pad, batch)
+        return jnp.einsum("dl,dlb->bd", f, w, preferred_element_type=jnp.float32)
+
+    def v1b_raw(t, f):
+        a = _a_matrix(t, f)
+        return jax.lax.dot(w_small.T, a.T, precision=jax.lax.Precision.HIGHEST)
+
+    def v2_raw(t, f):
+        hit = t[None, None] == q_ids[:, :, None, None]
+        m = jnp.sum(f[None, None] * hit.astype(jnp.float32), axis=-1)
+        return jnp.einsum("bj,bjd->bd", q_w, m, preferred_element_type=jnp.float32)
+
+    ref = jax.device_get(v0_raw(t_dev[0], f_dev[0]))
+    for name, fn in [("v1b_union_dot", v1b_raw), ("v2_direct", v2_raw)]:
+        s = jax.device_get(fn(t_dev[0], f_dev[0]))
+        err = float(np.max(np.abs(s - ref) / np.maximum(np.abs(ref), 1e-9)))
+        print(json.dumps({
+            "metric": "bm25_structural_check", "variant": name,
+            "max_rel_err_raw_scores": round(err, 9),
+        }), flush=True)
+
+    r_lo, r_hi = (8, 32) if platform == "tpu" else (1, 2)
+
+    for name, fn in variants.items():
+        @functools.partial(jax.jit, static_argnames=("reps",))
+        def chain(t8, f8, reps: int, _fn=fn):
+            def body(i, acc):
+                j = jax.lax.rem(i, nblk)
+                t = jax.lax.dynamic_index_in_dim(t8, j, 0, keepdims=False)
+                f = jax.lax.dynamic_index_in_dim(f8, j, 0, keepdims=False)
+                s, _ = _fn(t, f + 1e-12 * acc)  # acc feedback serializes reps
+                return acc + jnp.sum(s)
+
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+        def timed(reps: int) -> float:
+            t0 = time.perf_counter()
+            float(chain(t_dev, f_dev, reps=reps))
+            return time.perf_counter() - t0
+
+        try:
+            timed(r_lo)
+            timed(r_hi)
+            samples = [(timed(r_hi) - timed(r_lo)) / (r_hi - r_lo) for _ in range(3)]
+            per = float(np.median(samples))
+            print(json.dumps({
+                "metric": "bm25_structural", "variant": name, "batch": batch,
+                "s_pad": s_pad, "per_block_ms": round(per * 1e3, 4),
+                "platform": platform,
+            }), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({
+                "metric": "bm25_structural", "variant": name,
+                "error": f"{type(e).__name__}: {e}"[:200],
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -70,8 +70,7 @@ def main() -> None:
         def body(i, carry):
             w, acc = carry
             top_s, top_i, skipped = _device_bm25_blocked(
-                classes, bounds, q_ids, w,
-                v_pad=blocked.v_pad, k=k,
+                classes, bounds, q_ids, w, k=k,
             )
             delta = 1e-7 * jnp.mean(top_s)
             return (q_w + delta, acc + jnp.sum(top_s) + jnp.sum(top_i).astype(jnp.float32))
@@ -86,7 +85,7 @@ def main() -> None:
         return time.perf_counter() - t0
 
     _, _, skipped0 = _device_bm25_blocked(
-        blocked.classes, bounds, q_ids, q_w, v_pad=blocked.v_pad, k=k,
+        blocked.classes, bounds, q_ids, q_w, k=k,
     )
     skipped0 = int(skipped0)
     timed(r_lo)
