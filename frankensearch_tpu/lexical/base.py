@@ -61,11 +61,17 @@ class LexicalRead(abc.ABC):
         Default strategy — correct for any backend, and exactly the
         device-arm contract (VERDICT r2 task 7): BM25-score the bag of
         positive terms (on-device for the device arms), then post-filter
-        the candidate pool by the full tree against hydrated text
-        (title + preview; the documented "available text" bound, same as
-        the negation filter). Backends with richer access override:
-        the in-memory oracle evaluates the tree exactly over postings +
-        full-content tokens; FTS5 compiles to MATCH syntax.
+        the candidate pool by the full tree against hydrated text.
+        When hydration exposes the FULL content (``"content"`` key —
+        oracle-backed arms do), the tree evaluates exactly; when only a
+        truncated preview is available (bulk 1M+ lanes keep previews to
+        bound host memory), a failed match drops the doc only on FULL
+        positive evidence — every positive term visible in the available
+        text — because absence may be preview truncation while the bag
+        retrieval already proved the terms exist (same rule as the fused
+        -result tree filter). Backends with richer access override: the
+        in-memory oracle evaluates the tree over postings + full-content
+        tokens; FTS5 compiles to MATCH syntax.
 
         ``query`` is a :class:`~frankensearch_tpu.lexical.query.ParsedBooleanQuery`.
         """
@@ -76,26 +82,45 @@ class LexicalRead(abc.ABC):
         positive = " ".join(query.positive_terms())
         if not positive:
             return []  # pure-negative queries retrieve nothing (Must-Not only)
-        cands = self.search_candidates(positive, max(limit * 4, 32))
-        meta = self.hydrate_candidates([c.doc_id for c in cands])
-        out: list[ScoredResult] = []
-        for c in cands:
-            m = meta.get(c.doc_id) or {}
-            tokens = field_tokens(m.get("title"), str(m.get("preview", "")))
-            if not matches(query.root, tokens):
-                continue
-            out.append(
-                ScoredResult(
-                    doc_id=c.doc_id,
-                    score=c.score,
-                    lexical_score=c.score,
-                    title=m.get("title"),
-                    metadata=m.get("metadata"),
+        pos_terms = query.positive_terms()
+        # Escalation ladder: the bag ranking can bury every true tree
+        # match below any fixed overfetch (100 word-stuffed docs outrank
+        # the one adjacent-phrase doc — probed, the fixed 4x bound
+        # returned EMPTY while the oracle matched). Widen geometrically
+        # until the pool under-fills (no more docs carry a positive term)
+        # or covers the corpus.
+        budget = max(limit * 4, 32)
+        n_docs = max(self.doc_count(), 1)
+        while True:
+            cands = self.search_candidates(positive, budget)
+            meta = self.hydrate_candidates([c.doc_id for c in cands])
+            out: list[ScoredResult] = []
+            for c in cands:
+                m = meta.get(c.doc_id) or {}
+                full = m.get("content")
+                body = str(full) if full is not None else str(m.get("preview", ""))
+                tokens = field_tokens(m.get("title"), body)
+                if not matches(query.root, tokens):
+                    if full is not None:
+                        continue  # full evidence: the tree truly fails
+                    token_set = set(tokens)
+                    if all(t in token_set for t in pos_terms):
+                        continue  # preview shows every term, tree still fails
+                    # else: keep — truncated text cannot disprove the match
+                out.append(
+                    ScoredResult(
+                        doc_id=c.doc_id,
+                        score=c.score,
+                        lexical_score=c.score,
+                        title=m.get("title"),
+                        metadata=m.get("metadata"),
+                    )
                 )
-            )
-            if len(out) >= limit:
-                break
-        return out
+                if len(out) >= limit:
+                    return out
+            if len(cands) < budget or budget >= n_docs:
+                return out  # pool exhausted: every positive-term doc seen
+            budget = min(budget * 8, n_docs)
 
     @abc.abstractmethod
     def doc_count(self) -> int: ...

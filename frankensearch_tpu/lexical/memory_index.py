@@ -326,6 +326,10 @@ class MemoryLexicalIndex(LexicalRead, LexicalWrite):
                     "title": e.title,
                     "metadata": e.metadata,
                     "preview": e.content_preview,
+                    # zero-copy reference: lets consumers (device-arm
+                    # boolean post-filter) verify phrase adjacency on the
+                    # FULL text instead of the truncated preview
+                    "content": e.content_full,
                 }
         return out
 

@@ -336,26 +336,3 @@ def matches(node: Node, doc_tokens: Sequence[str]) -> bool:
     if isinstance(node, Not):
         return not matches(node.child, doc_tokens)
     return False
-
-
-def filter_and_score(
-    query: ParsedBooleanQuery,
-    lexical,  # LexicalRead with hydrate/search over positive terms
-    budget: int,
-):
-    """Boolean retrieval: BM25-score the positive terms, then filter the
-    pool by the full tree against hydrated previews."""
-    if query.root is None:
-        return []
-    positive = " ".join(query.positive_terms())
-    candidates = lexical.search_candidates(positive, budget * 3) if positive else []
-    out = []
-    meta = lexical.hydrate_candidates([c.doc_id for c in candidates])
-    for c in candidates:
-        preview = str((meta.get(c.doc_id) or {}).get("preview", ""))
-        doc_tokens = simple_tokenize(preview)
-        if matches(query.root, doc_tokens):
-            out.append(c)
-        if len(out) >= budget:
-            break
-    return out

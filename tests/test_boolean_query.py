@@ -10,7 +10,6 @@ from frankensearch_tpu.lexical.query import (
     Or,
     Phrase,
     Term,
-    filter_and_score,
     matches,
     parse_query,
 )
@@ -69,7 +68,15 @@ class TestMatches:
         assert matches(Not(Term("cat")), self.DOC)
 
 
-class TestFilterAndScore:
+class TestDeviceArmBooleanRetrieval:
+    """The generic bag-score + tree-post-filter strategy, via the product
+    surface (LexicalRead.search_boolean on the device arm)."""
+
+    def _device(self, ix):
+        from frankensearch_tpu.lexical.device_bm25 import DeviceBm25Index
+
+        return DeviceBm25Index(ix)
+
     def test_boolean_retrieval(self):
         ix = MemoryLexicalIndex(preview_chars=500)
         ix.add_document(IndexableDocument(doc_id="a", content="rust async runtime with tokio"))
@@ -77,7 +84,7 @@ class TestFilterAndScore:
         ix.add_document(IndexableDocument(doc_id="c", content="python async event loop"))
         ix.commit()
         q = parse_query("rust AND async NOT tokio")
-        hits = filter_and_score(q, ix, budget=10)
+        hits = self._device(ix).search_boolean(q, 10)
         assert [h.doc_id for h in hits] == ["b"]
 
     def test_phrase_retrieval(self):
@@ -86,5 +93,56 @@ class TestFilterAndScore:
         ix.add_document(IndexableDocument(doc_id="b", content="log write behind ahead"))
         ix.commit()
         q = parse_query('"write ahead log"')
-        hits = filter_and_score(q, ix, budget=10)
+        hits = self._device(ix).search_boolean(q, 10)
         assert [h.doc_id for h in hits] == ["a"]
+
+    def test_phrase_past_preview_truncation_found(self):
+        """A phrase whose only occurrence lies PAST the 240-char preview
+        must still be retrieved: hydration exposes full content for
+        oracle-backed arms, and the tree verifies adjacency on it
+        (review finding: the preview-bound filter silently dropped it)."""
+        ix = MemoryLexicalIndex()  # default 240-char preview
+        filler = "alpha beta gamma delta " * 15
+        ix.add_document(IndexableDocument(doc_id="far", content=filler + " zebra quartz valley end"))
+        ix.add_document(IndexableDocument(doc_id="scrambled", content="valley quartz zebra " + filler))
+        ix.add_document(IndexableDocument(doc_id="near", content="zebra quartz valley " + filler))
+        ix.commit()
+        q = parse_query('"zebra quartz valley"')
+        got = [h.doc_id for h in self._device(ix).search_boolean(q, 10)]
+        want = [h.doc_id for h in ix.search_boolean(q, 10)]
+        assert got == want == ["near", "far"]
+
+    def test_preview_only_backend_keeps_unprovable_drops(self):
+        """When hydration has NO full content (bulk 1M+ lanes), a failed
+        tree match drops only on full positive evidence — a phrase past
+        the preview keeps the doc; a scrambled phrase inside it drops."""
+        from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
+
+        filler = "alpha beta gamma delta " * 15
+        docs = [
+            IndexableDocument(doc_id="far", content=filler + " zebra quartz valley end"),
+            IndexableDocument(doc_id="scrambled", content="valley quartz zebra " + filler),
+        ]
+        dev = BulkDeviceBm25Index(docs)
+        assert "content" not in dev.hydrate_candidates(["far"])["far"]
+        got = {h.doc_id for h in dev.search_boolean(parse_query('"zebra quartz valley"'), 10)}
+        # "scrambled" shows every positive term inside its preview and the
+        # tree still fails -> provable drop; "far" is unprovable -> kept
+        assert got == {"far"}
+
+    def test_buried_phrase_escalates_past_overfetch(self):
+        """100 word-stuffed docs outrank the single adjacent-phrase doc
+        in bag scoring; the fixed 4x overfetch returned EMPTY while the
+        oracle matched (probed). The escalation ladder must widen until
+        the true match surfaces."""
+        ix = MemoryLexicalIndex(preview_chars=500)
+        for i in range(100):
+            ix.add_document(IndexableDocument(
+                doc_id=f"s{i:03d}", content="big red apple pie " * 8))
+        ix.add_document(IndexableDocument(
+            doc_id="real", content="visiting the big apple " + "filler " * 60))
+        ix.commit()
+        q = parse_query('"big apple"')
+        want = [h.doc_id for h in ix.search_boolean(q, 5)]
+        got = [h.doc_id for h in self._device(ix).search_boolean(q, 5)]
+        assert got == want == ["real"]
