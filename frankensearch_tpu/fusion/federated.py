@@ -76,9 +76,15 @@ class FederatedSearcher:
         per_shard: dict[str, list[ScoredResult]] = {}
         errors: list[ShardError] = []
         timed_out: list[str] = []
-        with concurrent.futures.ThreadPoolExecutor(
+        # NOT a ``with`` block: executor.__exit__ waits for running
+        # threads, so one hung shard would hold the whole query for its
+        # full duration (probed: 8 s wall against timeout_s=0.3). A
+        # timed-out shard's thread is abandoned to finish in the
+        # background; its result is discarded.
+        pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=min(self.max_workers, max(len(self.shards), 1))
-        ) as pool:
+        )
+        try:
             futures = {
                 pool.submit(self._search_one, s, query, k, kwargs): name
                 for name, s in self.shards
@@ -94,7 +100,8 @@ class FederatedSearcher:
                     errors.append(ShardError(shard=name, error=f"{type(e).__name__}: {e}"))
             for f in pending:
                 timed_out.append(futures[f])
-                f.cancel()
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
 
         merged = self._merge(per_shard, k)
         coverage = FederatedCoverage(

@@ -195,6 +195,29 @@ class TestFederated:
         out = fed.search("q", k=2)
         assert [r.doc_id for r in out.results] == ["a", "b"]
 
+    def test_hung_shard_does_not_hold_the_query(self):
+        """timeout_s must bound the CALL, not just label the shard: the
+        executor used to shut down with wait=True, so one hung shard held
+        the whole query for its full duration (probed: 8 s wall against
+        timeout_s=0.3)."""
+        import time as _time
+
+        class Hung:
+            def search(self, *a, **k):
+                _time.sleep(5.0)
+                return [sr("b", 2.0)]
+
+        fed = FederatedSearcher(
+            shards=[("ok", FakeSearcher([sr("a", 1.0)])), ("hung", Hung())],
+            timeout_s=0.3,
+        )
+        t0 = _time.monotonic()
+        out = fed.search("q", k=3)
+        assert _time.monotonic() - t0 < 2.0
+        assert out.coverage.timed_out == ("hung",)
+        assert not out.coverage.complete
+        assert [r.doc_id for r in out.results] == ["a"]
+
 
 class TestIncremental:
     def test_prefix_reuses_pool(self):
