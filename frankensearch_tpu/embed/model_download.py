@@ -247,6 +247,13 @@ class ModelDownloader:
             )
         if not manifest.files:
             raise EmbeddingFailed("manifest lists no artifacts; nothing to acquire")
+        # defense-in-depth vs from_json's gate: manifests can also be
+        # constructed programmatically, and every staging path below
+        # joins entry.name under a directory
+        from frankensearch_tpu.embed.model_manifest import validate_artifact_name
+
+        for entry in manifest.files:
+            validate_artifact_name(entry.name)
         started = time.monotonic()
         emit = on_progress or (lambda rec: None)
         destination_dir = os.path.abspath(destination_dir)

@@ -21,6 +21,27 @@ from frankensearch_tpu.core.errors import EmbeddingFailed
 MANIFEST_SCHEMA_VERSION = 1
 
 
+def validate_artifact_name(name: str) -> str:
+    """Fail-closed artifact-name gate. Manifests name FLAT files only
+    (build_model_manifest lists a single directory), and every consumer
+    joins the name under a staging/destination/source dir — so any
+    separator, traversal component, or absolute path is an escape
+    attempt, not a layout choice. Probed: a fetched manifest naming
+    ``../escape.txt`` published a file OUTSIDE the model directory
+    before this gate existed."""
+    if (
+        not name
+        or name in (".", "..")
+        or "/" in name
+        or "\\" in name
+        or "\x00" in name
+        or name == "model_manifest.json"  # would collide with the
+        # manifest the promote step writes, corrupting verification
+    ):
+        raise EmbeddingFailed(f"illegal artifact name in model manifest: {name!r}")
+    return name
+
+
 def sha256_file(path: str) -> str:
     h = hashlib.sha256()
     with open(path, "rb") as f:
@@ -95,7 +116,14 @@ class ModelManifest:
             revision=d["revision"],
             dim=d["dim"],
             kind=d["kind"],
-            files=[ModelFileEntry(**f) for f in d["files"]],
+            files=[
+                ModelFileEntry(
+                    name=validate_artifact_name(f["name"]),
+                    sha256=f["sha256"],
+                    bytes=f["bytes"],
+                )
+                for f in d["files"]
+            ],
             preprocessing=PreprocessingContract(**d.get("preprocessing", {})),
             extra=d.get("extra", {}),
         )

@@ -27,6 +27,7 @@ from frankensearch_tpu.embed.model_download import (
     receipt_path,
 )
 from frankensearch_tpu.embed.model_manifest import (
+    ModelFileEntry,
     ModelManifest,
     build_model_manifest,
     verify_model_dir,
@@ -304,6 +305,39 @@ class TestTransactionEnvelope:
                 man, LocalBundleSource(str(tmp_path)), str(tmp_path / "d"),
                 authorized_by="op",
             )
+
+    @pytest.mark.parametrize(
+        "bad",
+        ["../escape.txt", "/abs.txt", "a/b.txt", "a\\b.txt", "..", ".", "",
+         "model_manifest.json", "x\x00y"],
+    )
+    def test_traversal_artifact_names_fail_closed(self, tmp_path, bad):
+        """Probed: a manifest naming ``../escape.txt`` published a file
+        OUTSIDE the model directory. Both the from_json parse gate and
+        the acquire() defense-in-depth gate (programmatic manifests)
+        must reject any non-flat artifact name."""
+        import json as _json
+
+        raw = _json.dumps({
+            "v": 1, "model_id": "m", "revision": "r", "dim": 4,
+            "kind": "model2vec",
+            "files": [{"name": bad, "sha256": "0" * 64, "bytes": 1}],
+        })
+        with pytest.raises(EmbeddingFailed, match="illegal artifact name"):
+            ModelManifest.from_json(raw)
+        man = ModelManifest(
+            model_id="m", revision="r", dim=4, kind="model2vec",
+            files=[ModelFileEntry(name=bad, sha256="0" * 64, bytes=1)],
+        )
+        dest_parent = tmp_path / "models"
+        with pytest.raises(EmbeddingFailed, match="illegal artifact name"):
+            ModelDownloader(FAST_CFG).acquire(
+                man, LocalBundleSource(str(tmp_path)), str(dest_parent / "d"),
+                authorized_by="op",
+            )
+        # fail-closed means NOTHING outside the lock/receipt machinery
+        # appears anywhere near the destination
+        assert not (dest_parent / "d").exists()
 
     def test_concurrent_acquisition_excluded_by_lock(self, origin, tmp_path):
         from frankensearch_tpu.index.file_identity import WriterLock
