@@ -67,15 +67,31 @@ class DaemonFallbackEmbedder(Embedder):
         if self._daemon_usable():
             try:
                 vectors = self.client.embed(list(texts))
+                # Attestation pins identity at the HANDSHAKE; each
+                # response payload still needs validation (probed: a
+                # short vector list silently misaligned queries with
+                # each other's vectors downstream, wrong-dim/NaN rows
+                # flowed into the scan, ragged lists crashed instead of
+                # falling back). Any malformed payload is a daemon
+                # fault: mark down, serve locally.
+                arr = np.asarray(vectors, dtype=np.float32)
+                if arr.shape != (len(texts), self.local.dim) or not np.isfinite(
+                    arr
+                ).all():
+                    raise EmbeddingFailed(
+                        f"daemon returned malformed vectors: shape "
+                        f"{arr.shape}, expected {(len(texts), self.local.dim)}"
+                    )
                 self.stats.daemon_hits += 1
                 self.stats.daemon_marked_down_at = None
-                return np.asarray(vectors, dtype=np.float32)
-            except (SubsystemError, EmbeddingFailed):
+                return arr
+            except (SubsystemError, EmbeddingFailed, ValueError, TypeError):
                 # EmbeddingFailed here is the client's attestation-mismatch
-                # refusal (daemon serves a DIFFERENT model): falling back
-                # to the local embedder is safe — local IS the correct
-                # space — and the cooldown stops re-probing a daemon that
-                # will keep mismatching
+                # refusal (daemon serves a DIFFERENT model) or the payload
+                # validation above; ValueError/TypeError are ragged or
+                # non-numeric payloads. Falling back to the local embedder
+                # is safe — local IS the correct space — and the cooldown
+                # stops re-probing a daemon that will keep misbehaving
                 self.stats.daemon_marked_down_at = self.clock()
         self.stats.local_fallbacks += 1
         return self.local.embed_batch(texts)

@@ -274,3 +274,32 @@ class TestDaemon:
         # daemon marked down: second call skips the socket entirely
         fb.embed_batch(["more"])
         assert fb.stats.local_fallbacks == 2
+
+    @pytest.mark.parametrize(
+        "payload_fn",
+        [
+            lambda n, d: [[0.1] * d] * (n - 1),          # short count
+            lambda n, d: [[0.1] * (d // 2)] * n,          # wrong dim
+            lambda n, d: [[float("nan")] * d] * n,        # non-finite
+            lambda n, d: [[0.1] * d, [0.1] * (d // 2)],   # ragged
+        ],
+        ids=["short_count", "wrong_dim", "nan", "ragged"],
+    )
+    def test_malformed_daemon_payload_falls_back(self, payload_fn):
+        """Attestation pins identity at the handshake; each RESPONSE
+        still needs validation (probed: a short vector list silently
+        misaligned queries with each other's vectors, wrong-dim/NaN rows
+        flowed into the scan, ragged lists crashed instead of falling
+        back)."""
+        emb = HashEmbedder(dim=32)
+
+        class EvilClient:
+            def embed(self, texts):
+                return payload_fn(len(texts), 32)
+
+        fb = DaemonFallbackEmbedder(EvilClient(), emb)
+        texts = ["a", "b"]
+        out = fb.embed_batch(texts)
+        np.testing.assert_allclose(out, emb.embed_batch(texts))
+        assert fb.stats.local_fallbacks == 1
+        assert fb.stats.daemon_marked_down_at is not None
