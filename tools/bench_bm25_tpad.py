@@ -1,0 +1,157 @@
+"""A/B the sparse-compare BM25 step's T axis (r3 follow-up).
+
+The shipped step's compare work is B*T*d*l — linear in the padded query
+-term count T (_query_sparse_rows rounds T up to 16). Two candidate
+wins, both needing a real-TPU slope measurement:
+
+  t16_einsum   shipped: T=16, einsum contraction (HIGHEST)
+  t8_einsum    T=8 padding (halves compare work for <=8-term queries)
+  t16_seq      T=16, SEQUENTIAL T-accumulation (fori-free unrolled sum:
+               bit-identical across padded T widths by construction —
+               would let the product drop the T granularity safely)
+  t8_seq       both
+
+Block shape matches the 1M selectivity corpus (d=2184, L=120); blocks
+vary per rep (defeats LICM, same harness as bench_bm25_structural).
+
+Usage: python -m tools.bench_bm25_tpad [batch]
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    platform = jax.devices()[0].platform
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+
+    d_blk, l_pad = 2184, 120
+    vocab = 400_000
+    k = 100
+    nblk = 8
+    n_terms = 4  # real product queries: ~4 tokens x dedup across fields
+
+    rng = np.random.default_rng(0)
+    t_np = ((rng.zipf(1.3, size=(nblk, d_blk, l_pad)) - 1) % vocab).astype(np.int32)
+    f_np = (rng.integers(1, 5, size=(nblk, d_blk, l_pad)).astype(np.float32)) * 0.37
+    f_np[:, :, 113:] = 0.0
+
+    def draw_query() -> np.ndarray:
+        seen: list[int] = []
+        while len(seen) < n_terms:
+            cand = int((rng.zipf(1.3) - 1) % vocab)
+            if cand not in seen:
+                seen.append(cand)
+        return np.sort(np.asarray(seen, np.int32))
+
+    ids_raw = np.stack([draw_query() for _ in range(batch)])
+    w_raw = rng.uniform(0.5, 6.0, size=(batch, n_terms)).astype(np.float32)
+
+    def padded(t_pad: int):
+        ids = np.zeros((batch, t_pad), np.int32)
+        w = np.zeros((batch, t_pad), np.float32)
+        ids[:, :n_terms] = ids_raw
+        w[:, :n_terms] = w_raw
+        return jnp.asarray(ids), jnp.asarray(w)
+
+    t_dev = jnp.asarray(t_np)
+    f_dev = jnp.asarray(f_np)
+    carry_s = jnp.asarray(
+        np.sort(rng.uniform(0, 50, size=(batch, k)).astype(np.float32))[:, ::-1].copy()
+    )
+    carry_i = jnp.asarray(rng.integers(0, 10**6, size=(batch, k)).astype(np.int32))
+
+    def merge(s2, i2):
+        ms = jnp.concatenate([carry_s, s2], axis=1)
+        mi = jnp.concatenate([carry_i, i2], axis=1)
+        sn, si = jax.lax.sort((-ms, mi), num_keys=2)
+        return -sn[:, :k], si[:, :k]
+
+    def step_einsum(t, f, q_ids, q_w):
+        hit = t[None, None, :, :] == q_ids[:, :, None, None]
+        mass = jnp.sum(f[None, None, :, :] * hit.astype(jnp.float32), axis=-1)
+        scores = jnp.einsum(
+            "bj,bjd->bd", q_w, mass,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return merge(*jax.lax.top_k(scores, k))
+
+    def step_seq(t, f, q_ids, q_w):
+        scores = jnp.zeros((batch, d_blk), jnp.float32)
+        for j in range(q_ids.shape[1]):
+            hit = t[None, :, :] == q_ids[:, j, None, None]
+            mass = jnp.sum(f[None, :, :] * hit.astype(jnp.float32), axis=-1)
+            scores = scores + q_w[:, j, None] * mass
+        return merge(*jax.lax.top_k(scores, k))
+
+    variants = {
+        "t16_einsum": (step_einsum, 16),
+        "t8_einsum": (step_einsum, 8),
+        "t16_seq": (step_seq, 16),
+        "t8_seq": (step_seq, 8),
+    }
+
+    # correctness: all variants agree on raw top-k sets for block 0
+    ref = None
+    for name, (fn, t_pad) in variants.items():
+        ids, w = padded(t_pad)
+        s, i = jax.device_get(fn(t_dev[0], f_dev[0], ids, w))
+        if ref is None:
+            ref = (s, i)
+        else:
+            err = float(np.max(np.abs(s - ref[0]) / np.maximum(np.abs(ref[0]), 1e-9)))
+            print(json.dumps({
+                "metric": "bm25_tpad_check", "variant": name,
+                "max_rel_err_vs_first": round(err, 9),
+            }), flush=True)
+
+    r_lo, r_hi = (8, 32) if platform == "tpu" else (1, 2)
+
+    for name, (fn, t_pad) in variants.items():
+        ids, w = padded(t_pad)
+
+        @functools.partial(jax.jit, static_argnames=("reps",))
+        def chain(t8, f8, ids, w, reps: int, _fn=fn):
+            def body(i, acc):
+                j = jax.lax.rem(i, nblk)
+                t = jax.lax.dynamic_index_in_dim(t8, j, 0, keepdims=False)
+                f = jax.lax.dynamic_index_in_dim(f8, j, 0, keepdims=False)
+                s, _ = _fn(t, f + 1e-12 * acc, ids, w)
+                return acc + jnp.sum(s)
+
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+        def timed(reps: int) -> float:
+            t0 = time.perf_counter()
+            float(chain(t_dev, f_dev, ids, w, reps=reps))
+            return time.perf_counter() - t0
+
+        try:
+            timed(r_lo)
+            timed(r_hi)
+            samples = [(timed(r_hi) - timed(r_lo)) / (r_hi - r_lo) for _ in range(3)]
+            per = float(np.median(samples))
+            print(json.dumps({
+                "metric": "bm25_tpad", "variant": name, "batch": batch,
+                "t_pad": t_pad, "per_block_ms": round(per * 1e3, 4),
+                "platform": platform,
+            }), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({
+                "metric": "bm25_tpad", "variant": name,
+                "error": f"{type(e).__name__}: {e}"[:200],
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
