@@ -1329,23 +1329,34 @@ class TwoTierSearcher:
         constraint is dropped; docs with no available text are kept (the
         documented bound)."""
         text = None
-        if text_fn is not None:
-            text = text_fn(doc_id)
-        if text is None and lex is not None and lex.metadata:
-            text = str(lex.metadata.get("preview", "")) or None
-        if text is None and lex is not None and lex.title:
-            text = lex.title
-        if text is None and self.lexical is not None:
-            # semantic-only hit: the lexical arm may still know the doc
-            # (delta/oracle hydration) — O(1) host lookup, constraint
-            # queries only
+        fields: "tuple | None" = None  # (title, body) when structured
+        authoritative = False  # True when text is the doc's FULL content
+        if self.lexical is not None and (
+            parsed.boolean_query is not None or parsed.has_negations
+        ):
+            # constraint queries: the lexical arm's hydration may carry
+            # the FULL content (oracle-backed roots persist it) — an
+            # O(1) host lookup that upgrades the filter from
+            # "drop only on full evidence" to exact
             try:
                 m = self.lexical.hydrate_candidates([doc_id]).get(doc_id)
             except Exception:
                 m = None
             if m:
-                parts = [p for p in (m.get("title"), str(m.get("preview", ""))) if p]
-                text = " ".join(parts) or None
+                full = m.get("content") or None
+                if full is not None:
+                    fields = (m.get("title"), str(full))
+                    text = " ".join(p for p in fields if p) or None
+                    authoritative = True
+                else:
+                    fields = (m.get("title"), str(m.get("preview", "")))
+                    text = " ".join(p for p in fields if p) or None
+        if text is None and text_fn is not None:
+            text = text_fn(doc_id)
+        if text is None and lex is not None and lex.metadata:
+            text = str(lex.metadata.get("preview", "")) or None
+        if text is None and lex is not None and lex.title:
+            text = lex.title
         if text is None:
             return False
         if parsed.excludes(text):
@@ -1354,8 +1365,12 @@ class TwoTierSearcher:
         if bq is not None and bq.root is not None:
             from frankensearch_tpu.lexical.query import field_tokens, matches
 
-            tokens = field_tokens(text)
+            # structured fields tokenize separately (FIELD_SEP blocks
+            # false cross-field phrase adjacency, oracle semantics)
+            tokens = field_tokens(*fields) if fields else field_tokens(text)
             if not matches(bq.root, tokens):
+                if authoritative:
+                    return True  # full text provably violates the tree
                 # Negations drop on PRESENCE (proof). Positive
                 # constraints (phrase adjacency / AND grouping) drop
                 # only on FULL evidence: every positive term must be

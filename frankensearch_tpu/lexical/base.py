@@ -97,7 +97,7 @@ class LexicalRead(abc.ABC):
             out: list[ScoredResult] = []
             for c in cands:
                 m = meta.get(c.doc_id) or {}
-                full = m.get("content")
+                full = m.get("content") or None  # "" = unknown, not empty doc
                 body = str(full) if full is not None else str(m.get("preview", ""))
                 tokens = field_tokens(m.get("title"), body)
                 if not matches(query.root, tokens):

@@ -144,6 +144,14 @@ def save_packed(index, path: str) -> None:
     """
     ids_blob, ids_off = _string_table(index.doc_ids)
     meta = index.hydrate_candidates(index.doc_ids)
+    # FLXB is the packed 1M+ segment: previews only, by design — carrying
+    # full content would roughly double the artifact (and the loaded
+    # host dict). The boolean post-filter's preview-bound lenient rule
+    # covers FLXB-loaded arms.
+    meta = {
+        d: {k: v for k, v in m.items() if k != "content"}
+        for d, m in meta.items()
+    }
     manifest = {
         "n_docs": index.n_docs,
         "posting_count": index.posting_count,

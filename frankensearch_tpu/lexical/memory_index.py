@@ -258,7 +258,12 @@ class MemoryLexicalIndex(LexicalRead, LexicalWrite):
             out: set[str] = set()
             for d in cands:
                 e = self._docs[d]
-                if q.matches(node, q.field_tokens(e.title, e.content_full)):
+                # content_full may be "" on a pre-r3 snapshot reload:
+                # fall back to the preview bound rather than verifying
+                # adjacency against nothing (which silently failed every
+                # phrase not present in a title — probed post-compact)
+                body = e.content_full or e.content_preview
+                if q.matches(node, q.field_tokens(e.title, body)):
                     out.add(d)
             return out
         if isinstance(node, q.And):
@@ -326,11 +331,14 @@ class MemoryLexicalIndex(LexicalRead, LexicalWrite):
                     "title": e.title,
                     "metadata": e.metadata,
                     "preview": e.content_preview,
-                    # zero-copy reference: lets consumers (device-arm
-                    # boolean post-filter) verify phrase adjacency on the
-                    # FULL text instead of the truncated preview
-                    "content": e.content_full,
                 }
+                # zero-copy reference: lets consumers (device-arm boolean
+                # post-filter) verify phrase adjacency on the FULL text.
+                # Emitted only when actually known — a pre-r3 snapshot
+                # reload has content_full="" and advertising that as full
+                # text would turn "unknown" into "provably absent"
+                if e.content_full:
+                    out[d]["content"] = e.content_full
         return out
 
     # -- bulk ingest (native fast path) -----------------------------------------

@@ -66,6 +66,13 @@ def _save_lexical_locked(index: MemoryLexicalIndex, root: str) -> str:
                 "title": e.title,
                 "metadata": dict(e.metadata) if e.metadata else None,
                 "preview": e.content_preview,
+                # full content: phrase adjacency must stay EXACT across a
+                # reload (probed: a reopened oracle verified phrases
+                # against content_full="" — every phrase not in a TITLE
+                # silently failed post-compact). The oracle snapshot is
+                # the small/medium-corpus lane; bulk 1M+ lanes (FLXB)
+                # deliberately keep previews only.
+                "content": e.content_full,
                 "fieldnorm_id": e.fieldnorm_id,
                 "token_counts": e.token_counts,
             }
@@ -124,6 +131,9 @@ def load_lexical(root: str) -> MemoryLexicalIndex | None:
             title=d["title"],
             metadata=d["metadata"],
             content_preview=d["preview"],
+            # pre-r3 snapshots lack "content": content_full stays empty
+            # and phrase checks fall back to the preview bound
+            content_full=d.get("content", ""),
             fieldnorm_id={k: int(v) for k, v in d["fieldnorm_id"].items()},
             token_counts={k: int(v) for k, v in d.get("token_counts", {}).items()},
         )

@@ -210,6 +210,40 @@ class TestSearcherSurface:
         out2 = h.searcher.search('"text unrelated"', k=5)
         assert all(r.doc_id != "other" for r in out2.results)
 
+    def test_reopened_index_keeps_exact_phrase_semantics(self, tmp_path):
+        """Probed (post-compact TUI regression): the persisted FLEX
+        snapshot dropped content_full, so a REOPENED oracle verified
+        phrase adjacency against "" and every phrase not in a title
+        silently failed; the fused filter then back-filled semantic hits
+        without the phrase. Full content now persists, hydration only
+        advertises it when known, and the fused filter treats known-full
+        text as authoritative."""
+        filler = " ".join(f"pad{i:03d}" for i in range(60))  # > 240 chars
+        docs = [
+            fs.IndexableDocument(doc_id="deep",
+                                 content=filler + " hidden exact phrase"),
+            fs.IndexableDocument(doc_id="noise", content="hidden phrase exact"),
+            fs.IndexableDocument(doc_id="other", content="unrelated text body"),
+        ]
+        root = str(tmp_path / "ix")
+        fe = fs.HashEmbedder(dim=64)
+        fs.IndexBuilder(root).with_documents(docs).with_embedder_stack(
+            fs.EmbedderStack(fast=fe)
+        ).build()
+        # REOPEN: a fresh handle reads the persisted snapshot, exactly
+        # like every separate CLI invocation does
+        h2 = fs.open_hybrid(root, fast_embedder=fe)
+        lex = h2.lexical
+        # the reloaded oracle still knows the full content
+        m = lex.hydrate_candidates(["deep"])["deep"]
+        assert m.get("content", "").endswith("hidden exact phrase")
+        out = h2.searcher.search('"hidden exact phrase"', k=5)
+        ids = [r.doc_id for r in out.results]
+        # exact semantics: ONLY the true phrase doc — scrambled and
+        # unrelated docs are authoritatively excluded, beyond-preview
+        # occurrence still found
+        assert ids == ["deep"], ids
+
     def test_lowercase_operators_stay_terms(self):
         q = parse_query('"machine learning" and deployment tips')
         # lowercase 'and' is an ordinary term, not an operator
