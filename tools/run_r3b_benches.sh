@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# Round-3b real-TPU battery: everything blocked on the tunnel outage of
+# 2026-08-17 evening, serialized so one healthy window captures all of it.
+# Run from the repo root WITHOUT PYTHONPATH (axon plugin registration).
+#
+#   nohup bash tools/run_r3b_benches.sh > /tmp/r3b_bench.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+
+run() {
+  echo "=== $* ($(date -u +%H:%M:%SZ)) ==="
+  timeout 3600 stdbuf -oL "$@"
+  echo "=== rc=$? ==="
+}
+
+# 1. selectivity curve completion (relay died after mid/B=1 on the
+#    gather-free kernel: rare 4.6/128.4 ms, mid-B1 28.9 ms captured)
+run python -m tools.bench_bm25_selectivity 1000000 64
+
+# 2. T-axis A/B for the sparse-compare step (einsum vs sequential
+#    accumulation x T padding 16 vs 8)
+run python -m tools.bench_bm25_tpad 64
+
+# 3. sub-batch grouping re-test (B=8 cells): per-block cost is now
+#    ~linear in B, so selectivity-grouped dispatch may have flipped
+#    from throughput-negative to a win
+run python -m tools.bench_bm25_selectivity 1000000 8
+
+# 4. 1M hybrid e2e with the gather-free lexical arm (was 792 QPS)
+run python -m tools.bench_hybrid_1m 1000000 256 4
+
+# 5. headline (scan QPS/chip; confirms no regression)
+run python bench.py
