@@ -43,16 +43,31 @@ from frankensearch_tpu.core.errors import SearchError
 from frankensearch_tpu.core.types import IndexableDocument
 
 
-def _iter_corpus(path: str) -> Iterable[IndexableDocument]:
+def _iter_corpus(
+    path: str, skips: "list[str] | None" = None
+) -> Iterable[IndexableDocument]:
     """Corpus loader: a JSONL file ({id|doc_id, content|text, title?,
-    metadata?}) or a directory tree of text files (doc_id = relpath)."""
+    metadata?}) or a directory tree of text files (doc_id = relpath).
+
+    Malformed NDJSON lines skip PER RECORD (appended to ``skips`` when
+    given), never the file: one poisoned line used to black out an
+    entire feed including every valid record around it (probed via the
+    watch surface). ``utf-8-sig`` tolerates the BOM Windows tooling
+    prepends — a BOM'd feed previously ingested zero records."""
     if os.path.isfile(path):
-        with open(path, encoding="utf-8") as f:
+        with open(path, encoding="utf-8-sig") as f:
             for i, line in enumerate(f):
                 line = line.strip()
                 if not line:
                     continue
-                d = json.loads(line)
+                try:
+                    d = json.loads(line)
+                    if not isinstance(d, dict):
+                        raise ValueError(f"record is {type(d).__name__}, not an object")
+                except ValueError as e:
+                    if skips is not None:
+                        skips.append(f"{os.path.basename(path)}:{i + 1}: {e}")
+                    continue
                 yield IndexableDocument(
                     doc_id=str(d.get("id") or d.get("doc_id") or f"line-{i}"),
                     content=str(d.get("content") or d.get("text") or ""),
@@ -70,8 +85,8 @@ def _iter_corpus(path: str) -> Iterable[IndexableDocument]:
                 # explode into per-record docs (same as file-mode and
                 # cmd_watch — one consistent contract)
                 try:
-                    yield from _iter_corpus(full)
-                except (OSError, ValueError):
+                    yield from _iter_corpus(full, skips)
+                except OSError:
                     continue
                 continue
             if ext not in exts:
@@ -96,7 +111,8 @@ def cmd_index(args) -> dict:
     from frankensearch_tpu.core.config import TwoTierConfig
     from frankensearch_tpu.embed.stack import EmbedderStack
 
-    docs = list(_iter_corpus(args.corpus))
+    rec_skips: list[str] = []
+    docs = list(_iter_corpus(args.corpus, rec_skips))
     stack = EmbedderStack.auto_detect(args.root, fast_dim=args.hash_dim)
     cfg = TwoTierConfig.from_env()
     if getattr(args, "slab_dtype", None):
@@ -155,7 +171,10 @@ def cmd_index(args) -> dict:
                 "storage_bytes": stats.sizes.storage_bytes,
             },
         },
-        warnings=stats.warnings,
+        warnings=list(stats.warnings)
+        + [f"skipped malformed record {r}" for r in rec_skips[:20]]
+        + ([f"... and {len(rec_skips) - 20} more malformed records"]
+           if len(rec_skips) > 20 else []),
     )
 
 
@@ -528,7 +547,8 @@ def cmd_append_batch(args) -> dict:
     from frankensearch_tpu.builder import open_hybrid
 
     handle = open_hybrid(args.root)
-    docs = list(_iter_corpus(args.corpus))
+    rec_skips: list[str] = []
+    docs = list(_iter_corpus(args.corpus, rec_skips))
     texts = [d.content for d in docs]
     ids = [d.doc_id for d in docs]
     vecs = handle.searcher.fast_embedder.embed_batch(texts)
@@ -547,7 +567,10 @@ def cmd_append_batch(args) -> dict:
             ((d.doc_id, d.content, d.title, d.metadata) for d in docs),
             embedder_id=handle.searcher.fast_embedder.embedder_id,
         )
-    return envelope({"appended": len(ids), "doc_count": handle.index.doc_count()})
+    return envelope(
+        {"appended": len(ids), "doc_count": handle.index.doc_count()},
+        warnings=[f"skipped malformed record {r}" for r in rec_skips[:20]],
+    )
 
 
 def cmd_delete(args) -> dict:
@@ -632,11 +655,15 @@ def cmd_watch(args) -> dict:
             for c in created_or_modified:
                 rel = os.path.relpath(c.path, args.corpus)
                 if os.path.splitext(c.path)[1].lower() in (".jsonl", ".ndjson"):
+                    rec_skips: list[str] = []
                     try:
-                        recs = list(_iter_corpus(c.path))
-                    except (OSError, ValueError) as e:
+                        recs = list(_iter_corpus(c.path, rec_skips))
+                    except OSError as e:
                         print(f"warning: skipping {rel}: {e}", file=sys.stderr)
                         continue
+                    for r in rec_skips[:20]:
+                        print(f"warning: skipped malformed record {r}",
+                              file=sys.stderr)
                     new_ids = [d.doc_id for d in recs]
                     gone_ids.extend(
                         i for i in members.get(rel, []) if i not in set(new_ids)

@@ -122,3 +122,41 @@ class TestReproPack:
         assert loaded.events[0]["kind"] == "search"
         assert loaded.config["rrf_k"] == 60
         assert json.loads(loaded.manifests["generation"])["generation_id"] == "g1"
+
+
+class TestCorpusLoader:
+    """_iter_corpus: per-record fault tolerance (probed via the watch
+    surface: one poisoned NDJSON line blacked out the ENTIRE feed file,
+    and a UTF-8 BOM made a feed ingest zero records)."""
+
+    def _write(self, tmp_path, payload: bytes) -> str:
+        p = tmp_path / "feed.ndjsonl"
+        p.write_bytes(payload)
+        return str(p)
+
+    def test_malformed_lines_skip_per_record(self, tmp_path):
+        from frankensearch_tpu.cli.main import _iter_corpus
+
+        path = self._write(
+            tmp_path,
+            b'{"id":"a","content":"first"}\r\n'
+            b"not json at all\n"
+            b'{"content":"no id"}\n'
+            b"[1,2,3]\n"
+            b'{"id":"b","content":"last"}\n'
+            b'{"id":"partial","content":"unterminated',
+        )
+        skips: list[str] = []
+        docs = list(_iter_corpus(path, skips))
+        assert [d.doc_id for d in docs] == ["a", "line-2", "b"]
+        assert len(skips) == 3  # bad json, non-object, unterminated tail
+        assert all("feed.ndjsonl:" in s for s in skips)
+
+    def test_bom_is_transparent(self, tmp_path):
+        from frankensearch_tpu.cli.main import _iter_corpus
+
+        path = self._write(
+            tmp_path, b'\xef\xbb\xbf{"id":"a","content":"bom survivor"}\n'
+        )
+        docs = list(_iter_corpus(path))
+        assert [d.doc_id for d in docs] == ["a"]
