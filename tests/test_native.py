@@ -81,6 +81,12 @@ class TestNativeBuild:
             "emoji 😀 inside 🎉 text",
             "ß STRASSE Straße",
             "x" * 41 + " short öö" + "y" * 40,  # 40-codepoint drop rule
+            "Ⅷ ⅷ ǅungla ǄUNGLA ǆungla",  # roman numerals, titlecase digraphs
+            "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝕥𝕖𝕩𝕥 𝟙𝟚𝟛",  # math alphanumerics (astral plane)
+            "ᾈᾨ ᾲ ῷ ᾼ",  # titlecase iota subscript
+            "étude åb",  # combining marks
+            "a‍b b​c",  # ZWJ / ZWSP separators
+            "ﬁﬂ ﬀ ﬆ Ꮳ ꮳ Ꭰꭰ",  # ligatures, Cherokee case pairs
         ]
         bp = native.build_postings_native(texts)
         if bp is None:
