@@ -1542,6 +1542,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "chip, two-pass rescore; default bf16)")
 
     sp = add("search", cmd_search, help="two-tier progressive search")
+    sp.epilog = (
+        'queries beginning with "-" (a leading negation) need the '
+        'standard separator AFTER the options: search --root IX -- "-noise term"'
+    )
     sp.add_argument("query")
     sp.add_argument("-k", type=int, default=10)
     sp.add_argument("--fast-only", action="store_true")
