@@ -87,10 +87,16 @@ class LexicalRead(abc.ABC):
         # match below any fixed overfetch (100 word-stuffed docs outrank
         # the one adjacent-phrase doc — probed, the fixed 4x bound
         # returned EMPTY while the oracle matched). Widen geometrically
-        # until the pool under-fills (no more docs carry a positive term)
-        # or covers the corpus.
-        budget = max(limit * 4, 32)
+        # until the pool under-fills (no more docs carry a positive
+        # term), covers the corpus, or hits the device-work cap: the
+        # blocked kernel merges a (B, k) carry per block, so an
+        # unbounded k would let one adversarial query (rare phrase +
+        # common terms) force corpus-wide top-k sorts. Beyond the cap
+        # the result is bag-rank-bounded — the documented limit of the
+        # generic strategy (the oracle/FTS5 overrides stay exact).
         n_docs = max(self.doc_count(), 1)
+        cap = min(n_docs, max(2048, limit * 64))
+        budget = min(max(limit * 4, 32), cap)
         while True:
             cands = self.search_candidates(positive, budget)
             meta = self.hydrate_candidates([c.doc_id for c in cands])
@@ -118,9 +124,11 @@ class LexicalRead(abc.ABC):
                 )
                 if len(out) >= limit:
                     return out
-            if len(cands) < budget or budget >= n_docs:
-                return out  # pool exhausted: every positive-term doc seen
-            budget = min(budget * 8, n_docs)
+            if len(cands) < budget or budget >= cap:
+                # pool exhausted (every positive-term doc seen) or the
+                # device-work cap reached (bag-rank-bounded beyond it)
+                return out
+            budget = min(budget * 8, cap)
 
     @abc.abstractmethod
     def doc_count(self) -> int: ...
