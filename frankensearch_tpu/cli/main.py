@@ -53,9 +53,13 @@ def _iter_corpus(
     given), never the file: one poisoned line used to black out an
     entire feed including every valid record around it (probed via the
     watch surface). ``utf-8-sig`` tolerates the BOM Windows tooling
-    prepends — a BOM'd feed previously ingested zero records."""
+    prepends — a BOM'd feed previously ingested zero records — and
+    ``errors="replace"`` keeps one invalid UTF-8 byte from aborting the
+    whole file mid-iteration (the replacement char either lands inside
+    a string value, ingesting the record, or breaks that line's JSON,
+    skipping exactly that record)."""
     if os.path.isfile(path):
-        with open(path, encoding="utf-8-sig") as f:
+        with open(path, encoding="utf-8-sig", errors="replace") as f:
             for i, line in enumerate(f):
                 line = line.strip()
                 if not line:
@@ -569,7 +573,9 @@ def cmd_append_batch(args) -> dict:
         )
     return envelope(
         {"appended": len(ids), "doc_count": handle.index.doc_count()},
-        warnings=[f"skipped malformed record {r}" for r in rec_skips[:20]],
+        warnings=[f"skipped malformed record {r}" for r in rec_skips[:20]]
+        + ([f"... and {len(rec_skips) - 20} more malformed records"]
+           if len(rec_skips) > 20 else []),
     )
 
 

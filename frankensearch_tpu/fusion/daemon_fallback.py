@@ -64,6 +64,11 @@ class DaemonFallbackEmbedder(Embedder):
         return self.clock() - down_at >= self.down_cooldown_s
 
     def embed_batch(self, texts: Sequence[str]) -> np.ndarray:
+        if not texts:
+            # never probe the daemon with an empty batch: np.asarray([])
+            # has shape (0,), which would fail the (0, dim) payload gate
+            # and mark a HEALTHY daemon down for the cooldown
+            return np.zeros((0, self.local.dim), np.float32)
         if self._daemon_usable():
             try:
                 vectors = self.client.embed(list(texts))

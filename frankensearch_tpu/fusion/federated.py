@@ -13,8 +13,8 @@ artifacts (and, later, separate hosts).
 
 from __future__ import annotations
 
-import concurrent.futures
 import enum
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Sequence
@@ -62,7 +62,10 @@ class FederatedSearcher:
     merge: MergeStrategy = MergeStrategy.RRF
     rrf_k: float = 60.0
     timeout_s: float | None = None
-    max_workers: int = 8
+    #: shard name -> still-running thread from an earlier timed-out call;
+    #: such a shard is reported timed_out again WITHOUT spawning a new
+    #: probe, bounding the leak to one thread per stuck shard
+    _inflight: dict = field(default_factory=dict, repr=False)
 
     def add_shard(self, name: str, searcher) -> None:
         if any(n == name for n, _ in self.shards):
@@ -72,36 +75,59 @@ class FederatedSearcher:
         self.shards.append((name, searcher))
 
     def search(self, query: str, k: int = 10, **kwargs) -> FederatedResult:
+        """Fan out with a HARD latency bound. Design notes (both probed):
+        a ThreadPoolExecutor ``with`` block waits for running threads, so
+        one hung shard held the whole query for its full duration; and
+        its non-daemon workers are joined at interpreter exit, so a
+        permanently hung shard would block a one-shot CLI from ever
+        exiting. Daemon threads + the ``_inflight`` guard give a bounded
+        call, a clean exit, and at most one abandoned thread per stuck
+        shard (a stuck shard is not re-probed while its old probe runs —
+        it keeps appearing in ``timed_out`` until it answers)."""
         t0 = time.monotonic()
         per_shard: dict[str, list[ScoredResult]] = {}
         errors: list[ShardError] = []
         timed_out: list[str] = []
-        # NOT a ``with`` block: executor.__exit__ waits for running
-        # threads, so one hung shard would hold the whole query for its
-        # full duration (probed: 8 s wall against timeout_s=0.3). A
-        # timed-out shard's thread is abandoned to finish in the
-        # background; its result is discarded.
-        pool = concurrent.futures.ThreadPoolExecutor(
-            max_workers=min(self.max_workers, max(len(self.shards), 1))
-        )
-        try:
-            futures = {
-                pool.submit(self._search_one, s, query, k, kwargs): name
-                for name, s in self.shards
-            }
-            done, pending = concurrent.futures.wait(
-                futures, timeout=self.timeout_s
-            )
-            for f in done:
-                name = futures[f]
+        boxes: dict[str, dict] = {}
+        threads: dict[str, threading.Thread] = {}
+        for name, s in self.shards:
+            prev = self._inflight.get(name)
+            if prev is not None and prev.is_alive():
+                timed_out.append(name)  # still stuck from an earlier call
+                continue
+            self._inflight.pop(name, None)
+            box: dict = {}
+
+            def run(s=s, box=box):
                 try:
-                    per_shard[name] = f.result()
-                except Exception as e:
-                    errors.append(ShardError(shard=name, error=f"{type(e).__name__}: {e}"))
-            for f in pending:
-                timed_out.append(futures[f])
-        finally:
-            pool.shutdown(wait=False, cancel_futures=True)
+                    box["result"] = self._search_one(s, query, k, kwargs)
+                except Exception as e:  # noqa: BLE001 - reported per shard
+                    box["error"] = e
+
+            t = threading.Thread(target=run, daemon=True, name=f"fed-{name}")
+            t.start()
+            boxes[name] = box
+            threads[name] = t
+        deadline = (
+            None if self.timeout_s is None else time.monotonic() + self.timeout_s
+        )
+        for name, t in threads.items():
+            t.join(
+                None if deadline is None
+                else max(0.0, deadline - time.monotonic())
+            )
+            if t.is_alive():
+                timed_out.append(name)
+                self._inflight[name] = t  # abandon; result discarded
+                continue
+            box = boxes[name]
+            if "error" in box:
+                e = box["error"]
+                errors.append(
+                    ShardError(shard=name, error=f"{type(e).__name__}: {e}")
+                )
+            else:
+                per_shard[name] = box["result"]
 
         merged = self._merge(per_shard, k)
         coverage = FederatedCoverage(

@@ -1236,6 +1236,18 @@ class TwoTierSearcher:
             w *= self.nqc.semantic_weight_multiplier(lexical_pool)
         return w
 
+
+    def _constraint_meta_cache(self, parsed, fused) -> "dict | None":
+        """ONE batched hydration for the constraint filter instead of a
+        per-hit lookup (review finding: k=100 boolean queries issued
+        ~200 single-row hydrations — one SQLite SELECT each on FTS5)."""
+        if self.lexical is None or not self._constraint_filtering(parsed):
+            return None
+        try:
+            return self.lexical.hydrate_candidates([h.doc_id for h in fused])
+        except Exception:
+            return {}
+
     def _fused_to_results(
         self,
         fused: Sequence[FusedHit],
@@ -1246,11 +1258,14 @@ class TwoTierSearcher:
     ) -> list[ScoredResult]:
         lex_by_doc = {r.doc_id: r for r in lexical_pool}
         fast_by_doc = {h.doc_id: h for h in fast_hits}
+        meta_cache = self._constraint_meta_cache(parsed, fused)
         out: list[ScoredResult] = []
         for rank, h in enumerate(fused):
             lex = lex_by_doc.get(h.doc_id)
             fast = fast_by_doc.get(h.doc_id)
-            if self._constraint_filtering(parsed) and self._negation_excludes(h.doc_id, lex, text_fn, parsed):
+            if self._constraint_filtering(parsed) and self._negation_excludes(
+                h.doc_id, lex, text_fn, parsed, meta_cache
+            ):
                 continue
             result = ScoredResult(
                 doc_id=h.doc_id,
@@ -1321,6 +1336,7 @@ class TwoTierSearcher:
         lex: ScoredResult | None,
         text_fn: TextFn | None,
         parsed: ParsedQuery,
+        meta_cache: "dict | None" = None,
     ) -> bool:
         """Post-retrieval constraint filter over available text
         (parsed_query.rs contract; applied in both phases). Covers the
@@ -1331,6 +1347,7 @@ class TwoTierSearcher:
         text = None
         fields: "tuple | None" = None  # (title, body) when structured
         authoritative = False  # True when text is the doc's FULL content
+        hydrated = None
         if self.lexical is not None and (
             parsed.boolean_query is not None or parsed.has_negations
         ):
@@ -1338,50 +1355,53 @@ class TwoTierSearcher:
             # the FULL content (oracle-backed roots persist it) — an
             # O(1) host lookup that upgrades the filter from
             # "drop only on full evidence" to exact
-            try:
-                m = self.lexical.hydrate_candidates([doc_id]).get(doc_id)
-            except Exception:
-                m = None
-            if m:
-                full = m.get("content") or None
+            if meta_cache is not None:
+                hydrated = meta_cache.get(doc_id)
+            else:
+                try:
+                    hydrated = self.lexical.hydrate_candidates([doc_id]).get(doc_id)
+                except Exception:
+                    hydrated = None
+            if hydrated:
+                full = hydrated.get("content") or None
                 if full is not None:
-                    fields = (m.get("title"), str(full))
+                    fields = (hydrated.get("title"), str(full))
                     text = " ".join(p for p in fields if p) or None
                     authoritative = True
-                else:
-                    fields = (m.get("title"), str(m.get("preview", "")))
-                    text = " ".join(p for p in fields if p) or None
+        # precedence below the authoritative branch is UNCHANGED from
+        # pre-r3: caller text_fn first (it may carry fuller text than
+        # the arm's preview), then result metadata, then hydration
+        # preview as the last resort (review finding: hydration-preview
+        # shadowing text_fn downgraded full-content negation filters)
         if text is None and text_fn is not None:
             text = text_fn(doc_id)
         if text is None and lex is not None and lex.metadata:
             text = str(lex.metadata.get("preview", "")) or None
         if text is None and lex is not None and lex.title:
             text = lex.title
+        if text is None and hydrated:
+            fields = (hydrated.get("title"), str(hydrated.get("preview", "")))
+            text = " ".join(p for p in fields if p) or None
         if text is None:
             return False
         if parsed.excludes(text):
             return True
         bq = parsed.boolean_query
         if bq is not None and bq.root is not None:
-            from frankensearch_tpu.lexical.query import field_tokens, matches
+            from frankensearch_tpu.lexical.query import (
+                field_tokens,
+                tree_drop_verdict,
+            )
 
             # structured fields tokenize separately (FIELD_SEP blocks
-            # false cross-field phrase adjacency, oracle semantics)
+            # false cross-field phrase adjacency, oracle semantics);
+            # ``fields`` is only ever set for the text actually in use
             tokens = field_tokens(*fields) if fields else field_tokens(text)
-            if not matches(bq.root, tokens):
-                if authoritative:
-                    return True  # full text provably violates the tree
-                # Negations drop on PRESENCE (proof). Positive
-                # constraints (phrase adjacency / AND grouping) drop
-                # only on FULL evidence: every positive term must be
-                # visible in the available text — absence may just be
-                # preview truncation, and the exact retrieval lane
-                # (oracle full-content / FTS5 MATCH) already proved the
-                # doc matches (review finding: truncated previews were
-                # silently dropping correct hits).
-                token_set = set(tokens)
-                if all(t in token_set for t in bq.positive_terms()):
-                    return True
+            return tree_drop_verdict(
+                bq.root, tokens,
+                full_known=authoritative,
+                positive_terms=bq.positive_terms(),
+            )
         return False
 
     def _constraint_filtering(self, parsed: ParsedQuery) -> bool:
@@ -1552,10 +1572,13 @@ class TwoTierSearcher:
         )
         fast_by_doc = {h.doc_id: h.score for h in fast_hits}
         lex_by_doc = {r.doc_id: r for r in lexical_pool}
+        meta_cache = self._constraint_meta_cache(parsed, fused)
         out: list[ScoredResult] = []
         for h in fused:
             lex = lex_by_doc.get(h.doc_id)
-            if self._constraint_filtering(parsed) and self._negation_excludes(h.doc_id, lex, text_fn, parsed):
+            if self._constraint_filtering(parsed) and self._negation_excludes(
+                h.doc_id, lex, text_fn, parsed, meta_cache
+            ):
                 continue
             out.append(
                 ScoredResult(

@@ -75,7 +75,7 @@ class LexicalRead(abc.ABC):
 
         ``query`` is a :class:`~frankensearch_tpu.lexical.query.ParsedBooleanQuery`.
         """
-        from frankensearch_tpu.lexical.query import field_tokens, matches
+        from frankensearch_tpu.lexical.query import field_tokens, tree_drop_verdict
 
         if query.root is None or limit <= 0:
             return []
@@ -86,33 +86,38 @@ class LexicalRead(abc.ABC):
         # Escalation ladder: the bag ranking can bury every true tree
         # match below any fixed overfetch (100 word-stuffed docs outrank
         # the one adjacent-phrase doc — probed, the fixed 4x bound
-        # returned EMPTY while the oracle matched). Widen geometrically
-        # until the pool under-fills (no more docs carry a positive
-        # term), covers the corpus, or hits the device-work cap: the
-        # blocked kernel merges a (B, k) carry per block, so an
+        # returned EMPTY while the oracle matched). Widen along FIXED
+        # rungs until the pool under-fills (no more docs carry a
+        # positive term), covers the corpus, or hits the device-work
+        # cap: the blocked kernel merges a (B, k) carry per block, so an
         # unbounded k would let one adversarial query (rare phrase +
-        # common terms) force corpus-wide top-k sorts. Beyond the cap
-        # the result is bag-rank-bounded — the documented limit of the
+        # common terms) force corpus-wide top-k sorts, and each DISTINCT
+        # k compiles its own device program (~15 s per remote compile) —
+        # quantized rungs bound the jit-variant set. Beyond the cap the
+        # result is bag-rank-bounded — the documented limit of the
         # generic strategy (the oracle/FTS5 overrides stay exact).
         n_docs = max(self.doc_count(), 1)
         cap = min(n_docs, max(2048, limit * 64))
-        budget = min(max(limit * 4, 32), cap)
-        while True:
+        rungs = [r for r in (32, 256, 2048, 16384, 131072) if r < cap]
+        rungs.append(cap)
+        start = min(max(limit * 4, 32), cap)
+        ladder = [r for r in rungs if r >= start] or [cap]
+        out: list[ScoredResult] = []
+        for budget in ladder:
             cands = self.search_candidates(positive, budget)
             meta = self.hydrate_candidates([c.doc_id for c in cands])
-            out: list[ScoredResult] = []
+            out = []
             for c in cands:
                 m = meta.get(c.doc_id) or {}
                 full = m.get("content") or None  # "" = unknown, not empty doc
                 body = str(full) if full is not None else str(m.get("preview", ""))
                 tokens = field_tokens(m.get("title"), body)
-                if not matches(query.root, tokens):
-                    if full is not None:
-                        continue  # full evidence: the tree truly fails
-                    token_set = set(tokens)
-                    if all(t in token_set for t in pos_terms):
-                        continue  # preview shows every term, tree still fails
-                    # else: keep — truncated text cannot disprove the match
+                if tree_drop_verdict(
+                    query.root, tokens,
+                    full_known=full is not None,
+                    positive_terms=pos_terms,
+                ):
+                    continue
                 out.append(
                     ScoredResult(
                         doc_id=c.doc_id,
@@ -124,11 +129,9 @@ class LexicalRead(abc.ABC):
                 )
                 if len(out) >= limit:
                     return out
-            if len(cands) < budget or budget >= cap:
-                # pool exhausted (every positive-term doc seen) or the
-                # device-work cap reached (bag-rank-bounded beyond it)
-                return out
-            budget = min(budget * 8, cap)
+            if len(cands) < budget:
+                return out  # pool exhausted: every positive-term doc seen
+        return out
 
     @abc.abstractmethod
     def doc_count(self) -> int: ...

@@ -336,3 +336,26 @@ def matches(node: Node, doc_tokens: Sequence[str]) -> bool:
     if isinstance(node, Not):
         return not matches(node.child, doc_tokens)
     return False
+
+
+def tree_drop_verdict(root, tokens, *, full_known: bool, positive_terms) -> bool:
+    """Shared post-retrieval tree filter: True = DROP the doc.
+
+    One implementation for BOTH consumers (the device-arm
+    ``search_boolean`` post-filter and the fused-result constraint
+    filter) — they drifted once and diverged on identical queries.
+
+    Semantics: a matching tree always keeps. On a failed match,
+    ``full_known=True`` (the tokens came from the doc's complete text)
+    is authoritative — drop. Otherwise the text may be a truncated
+    preview: drop only on FULL positive evidence (every positive term
+    visible yet the structure still fails); absence of a term is
+    unprovable and keeps the doc (the exact retrieval lane may already
+    have proven it matches).
+    """
+    if matches(root, tokens):
+        return False
+    if full_known:
+        return True
+    token_set = set(tokens)
+    return all(t in token_set for t in positive_terms)

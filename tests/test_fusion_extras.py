@@ -217,6 +217,20 @@ class TestFederated:
         assert out.coverage.timed_out == ("hung",)
         assert not out.coverage.complete
         assert [r.doc_id for r in out.results] == ["a"]
+        # inflight guard: the stuck shard is NOT re-probed (no second
+        # abandoned thread), the responsive shard still answers, and the
+        # abandoned probe is a daemon thread (one-shot CLIs exit cleanly)
+        import threading as _threading
+
+        t1 = _time.monotonic()
+        again = fed.search("q", k=3)
+        assert _time.monotonic() - t1 < 0.5
+        assert again.coverage.timed_out == ("hung",)
+        assert [r.doc_id for r in again.results] == ["a"]
+        fed_threads = [
+            t for t in _threading.enumerate() if t.name == "fed-hung"
+        ]
+        assert len(fed_threads) == 1 and fed_threads[0].daemon
 
 
 class TestIncremental:

@@ -148,12 +148,6 @@ def main() -> None:
     # post-top-k arrays: zipf corpora tie thousands of docs at 0 and near
     # 1e-7 relative score differences swap top-k winners, which made the
     # first version of this check report 763% "error" on exact variants).
-    def raw_scores(fn):
-        def inner(t, f):
-            s, i = fn(t, f)
-            return s, i
-        return inner
-
     def v0_raw(t, f):
         w = jnp.take(qT, t.reshape(-1), axis=0).reshape(d_blk, l_pad, batch)
         return jnp.einsum("dl,dlb->bd", f, w, preferred_element_type=jnp.float32)
