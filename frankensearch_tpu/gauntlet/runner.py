@@ -204,3 +204,59 @@ def check_boolean_laws(
                                f"{sorted(base ^ per_arm_sets[other][law])[:3]}",
                     ))
     return violations
+
+def check_reload_law(
+    *,
+    corpus_spec: CorpusSpec | None = None,
+    k: int = 20,
+) -> list[LawViolation]:
+    """Reload-invariance law: for every query class — bag, AND, phrase,
+    NOT — search results over a PERSISTED-then-RELOADED oracle must be
+    identical to the in-memory one. Guards the r3 regression class
+    where the FLEX snapshot dropped full content and a reopened oracle
+    silently failed every phrase not present in a title."""
+    import tempfile
+
+    from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+    from frankensearch_tpu.lexical.persist import load_lexical, save_lexical
+    from frankensearch_tpu.lexical.query import parse_query
+
+    spec = corpus_spec or CorpusSpec(n_docs=60)
+    corpus = generate_corpus(spec)
+    mem = MemoryLexicalIndex()
+    for d in corpus:
+        mem.add_document(d)
+    mem.commit()
+    with tempfile.TemporaryDirectory() as root:
+        save_lexical(mem, root)
+        reloaded = load_lexical(root)
+    violations: list[LawViolation] = []
+    pairs = []
+    for d in corpus[:6]:
+        toks = d.content.split()
+        if len(toks) >= 2:
+            pairs.append((toks[0], toks[1]))
+    for a, b in pairs[:4]:
+        for law, raw in {
+            "reload-bag": f"{a} {b}",
+            "reload-and": f"{a} AND {b}",
+            "reload-phrase": f'"{a} {b}"',
+            "reload-not": f"{a} NOT {b}",
+        }.items():
+            if law == "reload-bag":
+                before = [(c.doc_id, round(c.score, 5))
+                          for c in mem.search_candidates(raw, k)]
+                after = [(c.doc_id, round(c.score, 5))
+                         for c in reloaded.search_candidates(raw, k)]
+            else:
+                q = parse_query(raw)
+                before = [(r.doc_id, round(r.score, 5))
+                          for r in mem.search_boolean(q, k)]
+                after = [(r.doc_id, round(r.score, 5))
+                         for r in reloaded.search_boolean(q, k)]
+            if before != after:
+                violations.append(LawViolation(
+                    law=law, query=raw,
+                    detail=f"{before[:3]} -> {after[:3]}",
+                ))
+    return violations

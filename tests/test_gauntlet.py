@@ -237,3 +237,16 @@ class TestBooleanLaws:
         assert violations == [], [
             (v.law, v.query, v.detail) for v in violations[:4]
         ]
+
+
+class TestReloadLaw:
+    def test_reload_invariance(self):
+        """Persist -> reload must not change ANY query class's results
+        (r3 regression class: the FLEX snapshot dropped full content and
+        a reopened oracle silently failed every phrase not in a title)."""
+        from frankensearch_tpu.gauntlet.runner import check_reload_law
+
+        violations = check_reload_law()
+        assert violations == [], [
+            (v.law, v.query, v.detail) for v in violations[:4]
+        ]
