@@ -203,6 +203,26 @@ class TestShardedBm25:
             assert [(c.doc_id, round(c.score, 5)) for c in g] == \
                    [(c.doc_id, round(c.score, 5)) for c in w], q
 
+    def test_boolean_parity_with_single_device(self):
+        """Tree queries through the generic bag+post-filter strategy must
+        agree between the sharded and single-device arms (the sharded arm
+        inherits LexicalRead.search_boolean; its candidates come from the
+        mesh kernel, hydration from the wrapped index)."""
+        from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
+        from frankensearch_tpu.lexical.query import parse_query
+        from frankensearch_tpu.parallel.mesh import make_mesh
+        from frankensearch_tpu.parallel.sharded_bm25 import ShardedBulkDeviceBm25Index
+
+        docs = self._corpus()
+        single = BulkDeviceBm25Index(docs)
+        mesh = make_mesh(len(jax.devices()), axes=("d",))
+        sharded = ShardedBulkDeviceBm25Index(BulkDeviceBm25Index(docs), mesh)
+        for raw in ("alpha AND beta", '"alpha beta"', "gamma NOT alpha"):
+            q = parse_query(raw)
+            got = [(r.doc_id, round(r.score, 5)) for r in sharded.search_boolean(q, 10)]
+            want = [(r.doc_id, round(r.score, 5)) for r in single.search_boolean(q, 10)]
+            assert got == want, (raw, got, want)
+
     def test_pruning_engages_sharded(self):
         from frankensearch_tpu.core.types import IndexableDocument
         from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
