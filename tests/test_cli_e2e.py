@@ -538,6 +538,12 @@ class TestCliContract:
         assert "SQL Guide" in frames[2]   # plain query hits (sync lane)
         assert "SQL Guide" in frames[3]   # prefix extension still hits
         assert "SQL Guide" in frames[4]   # phrase query phrase-correct
+        # EXACT phrase semantics survive the module's earlier
+        # append/delete/compact (regression: the persisted snapshot
+        # dropped full content, the reopened oracle failed the phrase,
+        # and the lenient fused filter back-filled every semantic hit):
+        # only the one true phrase doc remains
+        assert "1 results" in frames[4]
         assert "results" in r.stdout
 
     def test_serve_protocol_fuzz_never_kills_the_server(self, index_root):
