@@ -82,7 +82,11 @@ def balanced_assign(
     next-nearest centroid with space. Returns (N,) cluster ids.
     """
     sims = _l2n(vectors) @ centroids.T  # (N, C)
-    order = np.argsort(-(np.sort(sims, axis=1)[:, -1] - np.sort(sims, axis=1)[:, -2]))
+    s = np.sort(sims, axis=1)
+    # single-cluster corpora (tiny n clamps c to 1) have no second-best:
+    # margin degenerates to the best sim (probed: [:, -2] raised)
+    margin = s[:, -1] - (s[:, -2] if s.shape[1] > 1 else 0.0)
+    order = np.argsort(-margin)
     prefs = np.argsort(-sims, axis=1)  # (N, C) preference lists
     counts = np.zeros(centroids.shape[0], dtype=np.int64)
     assign = np.full(vectors.shape[0], -1, dtype=np.int64)

@@ -277,3 +277,25 @@ class TestIncrementalArms:
         assert hits[0].doc_id == "fresh"  # appended row findable via int8 lane
         # original index untouched (functional contract)
         assert index.n_rows == 512 and index._int8 is not None
+
+
+class TestDegenerateCorpora:
+    def test_tiny_corpus_clamps_to_single_cluster(self):
+        """n=2 with n_clusters=16 clamps to one cluster; the margin
+        computation has no second-best centroid (probed: [:, -2]
+        raised IndexError and building the index crashed)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from frankensearch_tpu.index.ivf import IvfIndex, IvfParams
+
+        rng = np.random.default_rng(0)
+        v = rng.standard_normal((2, 32)).astype(np.float32)
+        ivf = IvfIndex(v, IvfParams(n_clusters=16, seed=1), dtype=jnp.float32)
+        res = ivf.search_batch(v[:1], k=2, nprobe=4)
+        ids = np.asarray(res.indices)[0].tolist()
+        assert ids[0] == 0 and set(ids) == {0, 1}
+        # one doc total
+        one = IvfIndex(v[:1], IvfParams(n_clusters=4), dtype=jnp.float32)
+        r1 = one.search_batch(v[:1], k=3, nprobe=2)
+        assert np.asarray(r1.indices)[0].tolist()[0] == 0
