@@ -192,7 +192,129 @@ def _graded_scan_body(classes, bounds_list, q_ids, q_w, *, k: int):
     return top_s, top_i, skipped
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+#: Candidate step variants awaiting real-TPU A/B (tools/bench_bm25_tpad);
+#: shipped defaults leave the measured 0.42 ms/block path byte-identical.
+#: MERGE_GROUP: blocks scored per scan step — one batched per-block top_k
+#: + ONE exact merge per group amortizes the merge floor (34% of the
+#: shipped step). SEQ_T_ACCUM: accumulate the T (query-term) axis
+#: sequentially in fixed term order instead of one einsum contraction —
+#: scores become bit-identical across padded T widths by construction,
+#: which makes T_PAD_GRANULE=8 safe (solo vs batch landing in different
+#: width buckets can no longer perturb f32 summation order).
+MERGE_GROUP = 1
+SEQ_T_ACCUM = False
+T_PAD_GRANULE = 16
+
+
+def _group_block_scores(tb, fb, q_ids, q_w, *, seq_t: bool):
+    """(B, G, d) f32 scores for a G-block slab tb/fb of shape (G, d, l).
+
+    The gather-free sparse-compare step (see _graded_scan_body SCORING)
+    lifted over a leading group axis. seq_t picks the fixed-order
+    per-term accumulation; otherwise the T axis contracts in one einsum
+    at HIGHEST precision (the shipped formulation)."""
+    if seq_t:
+        b = q_ids.shape[0]
+        g, d_c, _ = tb.shape
+        scores = jnp.zeros((b, g, d_c), jnp.float32)
+        for j in range(q_ids.shape[1]):
+            hit = tb[None, :, :, :] == q_ids[:, j, None, None, None]
+            mass = jnp.sum(fb[None] * hit.astype(jnp.float32), axis=-1)
+            scores = scores + q_w[:, j, None, None] * mass
+        return scores
+    hit = tb[None, None, :, :, :] == q_ids[:, :, None, None, None]
+    mass = jnp.sum(fb[None, None] * hit.astype(jnp.float32), axis=-1)
+    return jnp.einsum(
+        "bj,bjgd->bgd", q_w, mass,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _graded_scan_body_grouped(
+    classes, bounds_list, q_ids, q_w, *, k: int, group: int, seq_t: bool
+):
+    """Merge-amortized variant of _graded_scan_body: each scan step
+    scores GROUP blocks with one batched per-block top_k and ONE exact
+    two-key merge. Tie-exactness is preserved because top_k runs per
+    block over the last axis of (B, G, d) — the local-index-asc tiebreak
+    is row-asc exactly as in the ungrouped step (doc_map rows ascend
+    in-block) — and the single merge resolves (score desc, row asc)
+    across the group and carry.
+
+    Pruning coarsens to group granularity: a step skips only when EVERY
+    block in the group is individually skippable for EVERY query (bound
+    below the running k-th, or zero-bound). Impact ordering clusters
+    similar-bound blocks, so groups stay mostly homogeneous. The class
+    perm pads to a multiple of ``group`` with -1; padding lanes clamp
+    their gathers to block 0 and mask scores to 0 / rows to -1 (genuine
+    BM25 scores are strictly positive — idf = log1p(x>0) — so masked
+    lanes can never surface past the host's score>0 filter).
+    """
+    b = q_ids.shape[0]
+    top_s = jnp.full((b, k), -jnp.inf, jnp.float32)
+    top_i = jnp.full((b, k), -1, jnp.int32)
+    skipped = jnp.int32(0)
+
+    for cls, bnd in zip(classes, bounds_list):
+        n_c, p_blk = cls.term.shape
+        d_c = cls.doc_map.shape[1]
+        l_c = p_blk // d_c
+        kk = min(k, d_c)
+        g = max(1, min(group, n_c))
+
+        def score_group(carry, t, f, dmap, valid, d_c=d_c, l_c=l_c, kk=kk, g=g):
+            ts, ti = carry
+            tb = t.reshape(g, d_c, l_c)
+            fb = f.reshape(g, d_c, l_c)
+            scores = _group_block_scores(tb, fb, q_ids, q_w, seq_t=seq_t)
+            # padding lanes gathered block 0's real data: zero them out
+            scores = jnp.where(valid[None, :, None], scores, jnp.float32(0.0))
+            s2, loc = jax.lax.top_k(scores, kk)  # (B, g, kk), per-block tiebreak
+            rows = jnp.take_along_axis(dmap[None], loc, axis=2)  # (B, g, kk)
+            rows = jnp.where(valid[None, :, None], rows, jnp.int32(-1))
+            return _merge_topk_exact(
+                ts, ti, s2.reshape(b, g * kk), rows.reshape(b, g * kk), ts.shape[1]
+            )
+
+        def step(carry, p, cls=cls, bnd=bnd, score_group=score_group, g=g):
+            ts, ti, sk = carry
+            valid = p >= 0
+            pidx = jnp.maximum(p, 0)
+            t = jnp.take(cls.term, pidx, axis=0)  # (g, P_blk)
+            f = jnp.take(cls.tf, pidx, axis=0)
+            dmap = jnp.take(cls.doc_map, pidx, axis=0)  # (g, d_c)
+            bound = jnp.take(bnd, pidx, axis=0)  # (g, B)
+            bound = jnp.where(valid[:, None], bound, jnp.float32(0.0))
+            kth = ts[:, -1]
+            safe_bound = bound * jnp.float32(1.0 + 1e-6) + jnp.float32(1e-6)
+            blk_skip = jnp.logical_or(
+                jnp.all(safe_bound < kth[None, :], axis=1),
+                jnp.all(bound <= jnp.float32(0.0), axis=1),
+            )  # (g,) individually skippable
+            skip = jnp.all(blk_skip)
+            ts, ti = jax.lax.cond(
+                skip, lambda c: c,
+                lambda c: score_group(c, t, f, dmap, valid), (ts, ti),
+            )
+            n_real_skipped = jnp.sum(
+                (blk_skip & valid).astype(jnp.int32)
+            ) * skip.astype(jnp.int32)
+            return (ts, ti, sk + n_real_skipped), None
+
+        agg = jnp.max(bnd, axis=1)  # (n_blk_c,)
+        perm = jnp.argsort(-agg, stable=True).astype(jnp.int32)
+        n_grp = -(-n_c // g)
+        pad = n_grp * g - n_c
+        if pad:
+            perm = jnp.concatenate([perm, jnp.full(pad, -1, jnp.int32)])
+        (top_s, top_i, skipped), _ = jax.lax.scan(
+            step, (top_s, top_i, skipped), perm.reshape(n_grp, g)
+        )
+    return top_s, top_i, skipped
+
+
+@functools.partial(jax.jit, static_argnames=("k", "group", "seq_t"))
 def _device_bm25_blocked(
     classes,  # tuple[_GradedClass] device arrays
     bounds_list,  # tuple[(n_blk_c, B) f32] per-class score bounds
@@ -200,6 +322,8 @@ def _device_bm25_blocked(
     q_w: jax.Array,  # (B, T) f32 idf weights (0 on padding)
     *,
     k: int,
+    group: int = 1,
+    seq_t: bool = False,
 ):
     """Streaming exact BM25 over length-graded blocked postings (the
     1M+/10M-doc lane), with BLOCK-MAX PRUNING.
@@ -219,8 +343,16 @@ def _device_bm25_blocked(
     replaced, which was itself 10.5x the original segment_sum
     (tools/bench_bm25_structural / bench_bm25_microbench, v5e).
     Also returns the skipped-block count.
+
+    ``group``/``seq_t`` select the merge-amortized / sequential-T
+    variants (_graded_scan_body_grouped) for A/B benching; the defaults
+    keep the measured shipped path byte-identical.
     """
-    return _graded_scan_body(classes, bounds_list, q_ids, q_w, k=k)
+    if group <= 1 and not seq_t:
+        return _graded_scan_body(classes, bounds_list, q_ids, q_w, k=k)
+    return _graded_scan_body_grouped(
+        classes, bounds_list, q_ids, q_w, k=k, group=group, seq_t=seq_t
+    )
 
 
 @dataclass
@@ -568,7 +700,7 @@ class DeviceBm25Index(LexicalRead):
         Padding is (id 0, weight 0.0) — a no-op under the device scatter-add."""
         per_q = [self._query_terms(q) for q in queries]
         t_max = max(max((len(p) for p in per_q), default=1), 1)
-        t_pad = max(_round_up(t_max, 16), 16)
+        t_pad = max(_round_up(t_max, T_PAD_GRANULE), T_PAD_GRANULE)
         ids = np.zeros((len(queries), t_pad), dtype=np.int32)
         w = np.zeros((len(queries), t_pad), dtype=np.float32)
         for b, pairs in enumerate(per_q):
@@ -615,7 +747,7 @@ class DeviceBm25Index(LexicalRead):
                 self._blocked.classes,
                 self._blocked.split_bounds(bounds[:, sel]),
                 jnp.asarray(ids[sel]), jnp.asarray(w[sel]),
-                k=min(k, self.n_docs),
+                k=min(k, self.n_docs), group=MERGE_GROUP, seq_t=SEQ_T_ACCUM,
             )
             s, i = jax.device_get((s, i))
             out_s[idxs] = _np.asarray(s)[: len(idxs)]
@@ -668,7 +800,7 @@ class DeviceBm25Index(LexicalRead):
                 self._blocked.classes,
                 self._blocked.split_bounds(bounds),
                 jnp.asarray(ids), jnp.asarray(w),
-                k=k,
+                k=k, group=MERGE_GROUP, seq_t=SEQ_T_ACCUM,
             )
             top_s, top_i = top_s[:b_real], top_i[:b_real]
             self.last_blocks_skipped = int(skipped)

@@ -306,3 +306,116 @@ class TestBlockMaxPruning:
             row = dev.doc_ids.index(doc_id)
             blk = row_to_blk[row]
             assert score <= bounds[blk, 0] * (1 + 1e-6) + 1e-6, (doc_id, score, bounds[blk, 0])
+
+
+class TestMergeGroupedVariants:
+    """A/B variants awaiting real-TPU timing (MERGE_GROUP / SEQ_T_ACCUM /
+    T_PAD_GRANULE) must be drop-in EXACT: same (score desc, row asc)
+    results as the shipped ungrouped step on every query mix."""
+
+    def _blocked_index(self, n_docs=150):
+        import frankensearch_tpu.lexical.device_bm25 as mod
+        from frankensearch_tpu.core.types import IndexableDocument
+        from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+
+        rng = __import__("random").Random(7)
+        vocab = [f"w{i}" for i in range(40)]
+        mem = MemoryLexicalIndex()
+        for i in range(n_docs):
+            words = rng.choices(vocab, k=rng.randint(3, 30))
+            if i % 17 == 0:
+                words += ["alpha"] * rng.randint(1, 8)
+            mem.add_document(
+                IndexableDocument(doc_id=f"d{i:04d}", content=" ".join(words))
+            )
+        mem.commit()
+        old = mod.BLOCKED_THRESHOLD_POSTINGS, mod.DEFAULT_BLOCK_POSTINGS
+        mod.BLOCKED_THRESHOLD_POSTINGS = 1
+        mod.DEFAULT_BLOCK_POSTINGS = 128
+        try:
+            dev = mod.DeviceBm25Index(mem)
+        finally:
+            mod.BLOCKED_THRESHOLD_POSTINGS, mod.DEFAULT_BLOCK_POSTINGS = old
+        assert dev._blocked is not None and dev._blocked.n_blk > 4
+        return dev
+
+    QUERIES = ["alpha", "w0 w1 w2", "alpha w5", "w39", "nosuchterm", "w7 w8 w9 w10 w11"]
+
+    def _run(self, dev, *, group, seq_t, t_granule=16):
+        import frankensearch_tpu.lexical.device_bm25 as mod
+
+        old = mod.MERGE_GROUP, mod.SEQ_T_ACCUM, mod.T_PAD_GRANULE
+        mod.MERGE_GROUP, mod.SEQ_T_ACCUM, mod.T_PAD_GRANULE = group, seq_t, t_granule
+        try:
+            return dev.search_candidates_batch(list(self.QUERIES), 12)
+        finally:
+            mod.MERGE_GROUP, mod.SEQ_T_ACCUM, mod.T_PAD_GRANULE = old
+
+    @pytest.mark.parametrize("group", [2, 4, 7, 64])
+    def test_grouped_bit_identical_to_shipped(self, group):
+        dev = self._blocked_index()
+        base = self._run(dev, group=1, seq_t=False)
+        got = self._run(dev, group=group, seq_t=False)
+        for q, a, b in zip(self.QUERIES, base, got):
+            assert [(c.doc_id, c.score) for c in a] == [
+                (c.doc_id, c.score) for c in b
+            ], (q, group)
+
+    @pytest.mark.parametrize("group", [1, 4])
+    def test_seq_t_matches_shipped_ranks_and_tolerance(self, group):
+        """seq_t REORDERS the f32 T-axis summation by design (that's what
+        buys width invariance), so scores agree to ~1 ulp-relative, not
+        bitwise; ranks must agree exactly."""
+        dev = self._blocked_index()
+        base = self._run(dev, group=1, seq_t=False)
+        got = self._run(dev, group=group, seq_t=True)
+        for q, a, b in zip(self.QUERIES, base, got):
+            assert [c.doc_id for c in a] == [c.doc_id for c in b], (q, group)
+            for ca, cb in zip(a, b):
+                assert abs(ca.score - cb.score) <= 1e-5 * max(1.0, abs(ca.score))
+
+    def test_seq_t_invariant_across_padded_widths(self):
+        """SEQ_T_ACCUM's whole point: fixed term-order accumulation makes
+        scores bit-identical whether the query lands in the T=8 or T=32
+        pad bucket, so a finer T_PAD_GRANULE can't break solo-vs-batch
+        parity."""
+        import jax.numpy as jnp
+        import numpy as np
+        import frankensearch_tpu.lexical.device_bm25 as mod
+
+        dev = self._blocked_index()
+        ids8, w8 = dev._query_sparse_rows(["alpha w5 w6"] * 8)
+        assert ids8.shape[1] == 16
+        pad = 32 - ids8.shape[1]
+        ids32 = np.concatenate([ids8, np.zeros((8, pad), np.int32)], axis=1)
+        w32 = np.concatenate([w8, np.zeros((8, pad), np.float32)], axis=1)
+        bounds = dev._blocked.query_bounds(ids8, w8)
+        outs = []
+        for ids, w in ((ids8, w8), (ids32, w32)):
+            s, i, _ = mod._device_bm25_blocked(
+                dev._blocked.classes,
+                dev._blocked.split_bounds(bounds),
+                jnp.asarray(ids), jnp.asarray(w),
+                k=10, group=1, seq_t=True,
+            )
+            outs.append((np.asarray(s), np.asarray(i)))
+        assert (outs[0][0] == outs[1][0]).all()
+        assert (outs[0][1] == outs[1][1]).all()
+
+    def test_grouped_pruning_still_skips(self):
+        """Group-granular pruning must still fire on a prunable corpus
+        (rare term -> zero-bound groups skip) and stay exact."""
+        import frankensearch_tpu.lexical.device_bm25 as mod
+
+        dev = self._blocked_index()
+        old = mod.MERGE_GROUP
+        mod.MERGE_GROUP = 2
+        try:
+            hits = dev.search_candidates("alpha", 10)
+            assert dev.last_blocks_skipped >= 0
+            oracle = dev._source.search_candidates("alpha", 10)
+            assert [(c.doc_id, round(c.score, 5)) for c in hits] == [
+                (c.doc_id, round(c.score, 5)) for c in oracle
+            ]
+        finally:
+            mod.MERGE_GROUP = old
