@@ -217,6 +217,30 @@ class Fts5LexicalIndex(LexicalRead, LexicalWrite):
         if not doc_ids:
             return {}
         qmarks = ",".join("?" for _ in doc_ids)
+        if self.content_mode == "stored":
+            # Surface the FULL content (it is stored in the fts table) so
+            # the generic boolean post-filter (base.search_boolean) runs
+            # in exact mode for trees MATCH cannot express — without this
+            # the fallback judged NOT/phrase on the 240-char preview and
+            # kept false matches leniently (probed: NOT-under-OR trees
+            # returned docs the oracle rejects).
+            with self._lock:
+                rows = self._conn.execute(
+                    f"SELECT dm.doc_id, dm.title, dm.metadata, dm.preview,"
+                    f" f.content FROM doc_map dm"
+                    f" JOIN fts f ON f.rowid = dm.rowid_ref"
+                    f" WHERE dm.doc_id IN ({qmarks})",
+                    list(doc_ids),
+                ).fetchall()
+            return {
+                d: {
+                    "title": title,
+                    "metadata": json.loads(meta) if meta else None,
+                    "preview": preview,
+                    "content": content,
+                }
+                for d, title, meta, preview, content in rows
+            }
         with self._lock:
             rows = self._conn.execute(
                 f"SELECT doc_id, title, metadata, preview FROM doc_map "

@@ -166,3 +166,74 @@ class TestFts5InSearcher:
         assert out.results
         assert out.results[0].doc_id == "d000"
         lex.close()
+
+
+class TestInexpressibleTreeExactness:
+    """Trees MATCH can't express (NOT under OR, pure-negative branches)
+    fall back to base.search_boolean's bag+post-filter — which must run
+    in EXACT mode on the stored backend, judging the full content, not
+    the 240-char preview leniently. Probed 2026-08-18: before hydrate
+    surfaced "content", NOT-under-OR trees returned docs the oracle
+    rejects (a doc containing the negated term was kept because the
+    lenient preview rule only drops on full positive evidence)."""
+
+    def test_not_under_or_matches_oracle_exactly(self):
+        # d000 fails BOTH branches (has gamma; no "alpha zeta" phrase) but
+        # lacks full positive evidence (no zeta) -> the old lenient rule
+        # kept it; exact mode must drop it. d002 legitimately matches via
+        # the NOT branch AND carries positive bag score (the
+        # must-match-something-positive contract all arms share).
+        from frankensearch_tpu.lexical.query import parse_query, to_fts5_match
+
+        mem, f5 = MemoryLexicalIndex(), Fts5LexicalIndex()
+        docs = [
+            _doc(0, "alpha beta gamma"),
+            _doc(1, "alpha zeta quiet"),
+            _doc(2, "alpha beta other"),
+        ]
+        for d in docs:
+            mem.add_document(d)
+            f5.add_document(d)
+        mem.commit()
+        f5.commit()
+        q = parse_query('NOT gamma OR "alpha zeta"')
+        assert to_fts5_match(q.root) is None  # must exercise the fallback
+        oracle = {r.doc_id for r in mem.search_boolean(q, 50)}
+        got = {r.doc_id for r in f5.search_boolean(q, 50)}
+        assert got == oracle == {"d001", "d002"}
+        f5.close()
+
+    def test_negated_term_past_preview_still_drops(self):
+        # the negated term appears only AFTER the 240-char preview: on
+        # preview tokens NOT(gamma) wrongly evaluates true, so the old
+        # preview-bound fallback KEPT the doc; exact mode sees the full
+        # content and drops it
+        from frankensearch_tpu.lexical.query import parse_query, to_fts5_match
+
+        f5 = Fts5LexicalIndex()
+        f5.add_document(_doc(0, "alpha beta " + "filler " * 60 + "gamma"))
+        f5.add_document(_doc(1, "alpha zeta plain"))
+        f5.commit()
+        q = parse_query('NOT gamma OR "alpha zeta"')
+        assert to_fts5_match(q.root) is None
+        got = {r.doc_id for r in f5.search_boolean(q, 10)}
+        assert got == {"d001"}
+        f5.close()
+
+    def test_stored_hydrate_exposes_full_content(self):
+        f5 = Fts5LexicalIndex()
+        body = "alpha " + "x" * 500
+        f5.add_document(_doc(0, body))
+        f5.commit()
+        m = f5.hydrate_candidates(["d000"])["d000"]
+        assert m["content"] == body
+        assert len(m["preview"]) <= 240
+        f5.close()
+
+    def test_contentless_hydrate_stays_preview_only(self):
+        f5 = Fts5LexicalIndex(content_mode="contentless")
+        f5.add_document(_doc(0, "alpha beta"))
+        f5.commit()
+        m = f5.hydrate_candidates(["d000"])["d000"]
+        assert "content" not in m
+        f5.close()
