@@ -462,9 +462,14 @@ def cmd_doctor(args) -> dict:
                 for n in sorted(os.listdir(gen_dir)):
                     p = os.path.join(gen_dir, n)
                     if ParityProtector.is_protected(p):
-                        reports[f"lexical/{gen}/{n}"] = (
-                            ParityProtector.verify_and_repair(p)
+                        from frankensearch_tpu.index.durability import (
+                            artifact_mutation_lock,
                         )
+
+                        with artifact_mutation_lock(p):
+                            reports[f"lexical/{gen}/{n}"] = (
+                                ParityProtector.verify_and_repair(p)
+                            )
         for name, rep in reports.items():
             check(
                 f"parity_repair:{name}", rep.ok,

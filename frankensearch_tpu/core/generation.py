@@ -242,7 +242,9 @@ def build_manifest(
     artifacts = []
     for dirpath, _, files in os.walk(gen_dir):
         for name in sorted(files):
-            if name == MANIFEST_FILE or name.endswith(".tmp"):
+            if name == MANIFEST_FILE or name.endswith((".tmp", ".lock")):
+                # .lock: artifact-mutation flock files (index/durability
+                # .py) are coordination state, not census-able content
                 continue
             full = os.path.join(dirpath, name)
             rel = os.path.relpath(full, gen_dir)
@@ -338,7 +340,8 @@ def verify_generation(gen_dir: str, manifest: GenerationManifest) -> Verificatio
     for dirpath, _, files in os.walk(gen_dir):
         for name in files:
             rel = os.path.relpath(os.path.join(dirpath, name), gen_dir)
-            if rel != MANIFEST_FILE and not rel.endswith(".tmp") and rel not in expected:
+            if (rel != MANIFEST_FILE and not rel.endswith((".tmp", ".lock"))
+                    and rel not in expected):
                 unexpected.append(rel)
     return VerificationReport(
         ok=not missing and not corrupted,

@@ -14,6 +14,14 @@ Parity target: the reference's builder-style options
 crates/frankensearch-fusion/src/searcher.rs:312-868
 (`with_adaptive_fusion`, `with_conformal`, `with_calibration`,
 `with_feedback`).
+
+Concurrency contract: ``save()`` is atomic (tmp + fsync + rename), so
+the state file is never torn — but concurrent recorder PROCESSES are
+last-writer-wins: each loads state at open and persists its own view
+per event, so parallel `feedback` CLI calls can drop each other's
+events (bounded regression of the learning state, never corruption;
+single-process recording, incl. serve, is lossless because every event
+saves). Matches the reference, whose feedback state is in-process only.
 """
 
 from __future__ import annotations

@@ -14,6 +14,8 @@ swap, and quarantine + rebuild-callback when parity can't recover.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import hashlib
 import json
 import os
@@ -29,6 +31,39 @@ SIDECAR_SUFFIX = ".fsum"
 SIDECAR_VERSION = 1
 PARITY_SUFFIX = ".fspar"
 PARITY_VERSION = 1
+LOCK_SUFFIX = ".lock"
+
+
+@contextlib.contextmanager
+def artifact_mutation_lock(path: str):
+    """Cross-process exclusion for mutations of an (artifact, sidecars)
+    pair — publishers (write_ftvi's protect-then-replace) and the parity
+    repairer both hold it. Without it two races exist (probed
+    2026-08-18):
+
+    - mid-publish false corruption: write_ftvi replaces the sidecars
+      (computed from the staged tmp) BEFORE the artifact, so a reader in
+      that window sees NEW digests over OLD bytes, fails verify, and
+      would quarantine/\"repair\" a healthy index;
+    - repair-clobbers-publish: an unlocked repairer that loaded the OLD
+      artifact+parity can os.replace its reconstructed OLD bytes over a
+      concurrently published NEW artifact — silently reverting a
+      compaction (whose WAL fold already discarded the only other copy).
+
+    flock (kernel-owned, vanishes with the holder — WriterLock rationale,
+    file_identity.py:158) on ``<artifact>.lock``; blocking acquire, the
+    publish/repair critical sections are short. ``.lock`` files are
+    coordination artifacts, excluded from the generation census the same
+    way ``.tmp`` staging files are (core/generation.py)."""
+    fd = os.open(path + LOCK_SUFFIX, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+    finally:
+        os.close(fd)
 
 
 def _digest_file(path: str, algo: str = "crc32", chunk: int = 1 << 20) -> str:
@@ -307,8 +342,14 @@ def ensure_artifact(path: str) -> bool:
         return True
     if FileProtector.verify(path):
         return True
-    report = ParityProtector.verify_and_repair(path)
-    return bool(report.repaired_stripes) and FileProtector.verify(path)
+    # A failed verify may be a mid-publish window, not corruption: take
+    # the mutation flock (waits out any in-flight publisher/repairer)
+    # and RE-verify before touching anything (see artifact_mutation_lock)
+    with artifact_mutation_lock(path):
+        if FileProtector.verify(path):
+            return True
+        report = ParityProtector.verify_and_repair(path)
+        return bool(report.repaired_stripes) and FileProtector.verify(path)
 
 
 @dataclass
@@ -399,5 +440,6 @@ class ProtectedArtifactStore:
         for name in self._artifact_names():
             path = os.path.join(self.root, name)
             if ParityProtector.is_protected(path):
-                out[name] = ParityProtector.verify_and_repair(path)
+                with artifact_mutation_lock(path):
+                    out[name] = ParityProtector.verify_and_repair(path)
         return out

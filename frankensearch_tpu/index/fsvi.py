@@ -267,10 +267,17 @@ def write_ftvi(
 
     path = str(path)
     if os.path.exists(path + SIDECAR_SUFFIX) or os.path.exists(path + PARITY_SUFFIX):
-        from frankensearch_tpu.index.durability import protect_artifact
+        from frankensearch_tpu.index.durability import (
+            artifact_mutation_lock,
+            protect_artifact,
+        )
 
-        protect_artifact(path, source=tmp)
-        os.replace(tmp, path)
+        # sidecars-then-artifact under the mutation flock: a concurrent
+        # reader that fails verify mid-publish re-verifies under this
+        # lock instead of "repairing" the healthy pair (durability.py)
+        with artifact_mutation_lock(path):
+            protect_artifact(path, source=tmp)
+            os.replace(tmp, path)
     else:
         os.replace(tmp, path)
     return header

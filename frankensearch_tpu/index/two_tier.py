@@ -50,9 +50,13 @@ def _open_ftvi_repairing(path: str, verify: bool) -> FtviFile:
     try:
         return FtviFile(path, verify_slab=verify)
     except IndexCorrupted:
-        from frankensearch_tpu.index.durability import ParityProtector
+        from frankensearch_tpu.index.durability import (
+            ParityProtector,
+            artifact_mutation_lock,
+        )
 
-        report = ParityProtector.verify_and_repair(path)
+        with artifact_mutation_lock(path):
+            report = ParityProtector.verify_and_repair(path)
         if not report.repaired_stripes:
             raise
         return FtviFile(path, verify_slab=verify)

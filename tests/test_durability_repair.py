@@ -307,3 +307,105 @@ class TestEndToEndRepair:
         out = cmd_flush(argparse.Namespace(root=str(root)))
         assert out["data"]["reingest_count"] == 6
         assert all(d.startswith("doc-") for d in out["data"]["reingest_required"])
+
+
+class TestMutationLockRaces:
+    """Probed 2026-08-18: (a) write_ftvi publishes sidecars BEFORE the
+    artifact, so a reader in that window saw NEW digests over OLD bytes
+    and treated a healthy pair as corruption; (b) an unlocked repairer
+    could os.replace reconstructed OLD bytes over a concurrently
+    published NEW artifact. Both publisher and repairer now hold the
+    per-artifact mutation flock; ensure_artifact re-verifies under it."""
+
+    def _write(self, path, payload):
+        with open(path, "wb") as f:
+            f.write(payload)
+
+    def test_midpublish_window_reverifies_instead_of_failing(self, tmp_path):
+        import threading
+        import time
+
+        from frankensearch_tpu.index.durability import artifact_mutation_lock
+
+        path = str(tmp_path / "art.bin")
+        v1, v2 = b"OLD" * 5000, b"NEWBYTES" * 5000  # size change on purpose
+        self._write(path, v1)
+        protect_artifact(path)
+        assert ensure_artifact(path)
+
+        window_open = threading.Event()
+        proceed = threading.Event()
+
+        def publisher():
+            tmp = path + ".stage"
+            self._write(tmp, v2)
+            with artifact_mutation_lock(path):
+                protect_artifact(path, source=tmp)  # sidecars now v2
+                window_open.set()  # artifact still v1: the bad window
+                proceed.wait(timeout=10)
+                time.sleep(0.2)  # reader must BLOCK on the lock here
+                os.replace(tmp, path)
+
+        t = threading.Thread(target=publisher)
+        t.start()
+        window_open.wait(timeout=10)
+        # unlocked verify sees the mismatch (this is the window)
+        assert not FileProtector.verify(path)
+        proceed.set()
+        # ensure_artifact must wait out the publisher and see a clean v2
+        assert ensure_artifact(path)
+        t.join(timeout=10)
+        with open(path, "rb") as f:
+            assert f.read() == v2
+
+    def test_repair_cannot_clobber_concurrent_publish(self, tmp_path):
+        import threading
+
+        from frankensearch_tpu.index.durability import artifact_mutation_lock
+
+        path = str(tmp_path / "art.bin")
+        v1 = bytes(range(256)) * 1024  # 256 KiB -> multiple stripes
+        self._write(path, v1)
+        protect_artifact(path)
+        _flip(path, 100)  # genuine corruption in v1
+
+        result = {}
+
+        def repairer():
+            result["ok"] = ensure_artifact(path)
+
+        # publisher holds the lock FIRST, then the repairer races in
+        with artifact_mutation_lock(path):
+            t = threading.Thread(target=repairer)
+            t.start()
+            import time
+
+            time.sleep(0.3)  # repairer is blocked on the flock
+            v2 = b"PUBLISHED" * 4096
+            tmp = path + ".stage"
+            self._write(tmp, v2)
+            protect_artifact(path, source=tmp)
+            os.replace(tmp, path)
+        t.join(timeout=15)
+        # the repairer re-verified under the lock: v2 is intact, NOT
+        # reverted to repaired v1 bytes
+        assert result["ok"] is True
+        with open(path, "rb") as f:
+            assert f.read() == v2
+
+    def test_lock_files_excluded_from_generation_census(self, tmp_path):
+        from frankensearch_tpu.core.generation import (
+            build_manifest,
+            verify_generation,
+            write_manifest,
+        )
+
+        gen = str(tmp_path)
+        self._write(os.path.join(gen, "art.bin"), b"payload")
+        m = build_manifest(gen, generation_id="g1", commit_seq=1)
+        write_manifest(gen, m)
+        self._write(os.path.join(gen, "art.bin.lock"), b"")
+        rep = verify_generation(gen, m)
+        assert rep.ok and not rep.unexpected
+        m2 = build_manifest(gen, generation_id="g1", commit_seq=2)
+        assert all(not a.name.endswith(".lock") for a in m2.artifacts)
