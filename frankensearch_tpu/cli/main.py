@@ -59,7 +59,9 @@ def _iter_corpus(
     a string value, ingesting the record, or breaks that line's JSON,
     skipping exactly that record)."""
     if os.path.isfile(path):
-        with open(path, encoding="utf-8-sig", errors="replace") as f:
+        from frankensearch_tpu.runtime.watcher import open_regular_text
+
+        with open_regular_text(path, encoding="utf-8-sig", errors="replace") as f:
             for i, line in enumerate(f):
                 line = line.strip()
                 if not line:
@@ -98,7 +100,11 @@ def _iter_corpus(
             try:
                 if os.path.getsize(full) > 2_000_000:
                     continue  # giant-file skip heuristic (fsfs file_classification)
-                with open(full, encoding="utf-8", errors="ignore") as f:
+                # hang-proof open: a FIFO named *.txt blocks a plain
+                # open() forever (runtime/watcher.open_regular_text)
+                from frankensearch_tpu.runtime.watcher import open_regular_text
+
+                with open_regular_text(full) as f:
                     content = f.read()
             except OSError:
                 continue
@@ -683,7 +689,9 @@ def cmd_watch(args) -> dict:
                     docs.extend(recs)
                     continue
                 try:
-                    with open(c.path, encoding="utf-8", errors="ignore") as f:
+                    from frankensearch_tpu.runtime.watcher import open_regular_text
+
+                    with open_regular_text(c.path) as f:
                         content = f.read()
                 except OSError:
                     continue

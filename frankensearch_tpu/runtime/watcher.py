@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import stat
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Iterable
@@ -40,7 +41,7 @@ class FileChange:
 @dataclass(frozen=True)
 class SkipReason:
     path: str
-    reason: str  # "binary_ext" | "too_large" | "unreadable" | "symlink"
+    reason: str  # "binary_ext"|"too_large"|"unreadable"|"symlink"|"special"
 
 
 @dataclass
@@ -51,17 +52,44 @@ class ScanResult:
 
 def _classify(path: str) -> str | None:
     """None = indexable, else a skip reason (discovery policy)."""
-    if os.path.islink(path):
+    try:
+        st = os.lstat(path)
+    except OSError:
+        return "unreadable"
+    if stat.S_ISLNK(st.st_mode):
         return "symlink"
+    if not stat.S_ISREG(st.st_mode):
+        # FIFOs/sockets/devices: a FIFO named data.txt passes the
+        # extension check and a plain open() for read BLOCKS until a
+        # writer appears — one mkfifo in a watched dir wedged the whole
+        # watch loop forever (probed 2026-08-18)
+        return "special"
     ext = os.path.splitext(path)[1].lower()
     if ext not in _TEXT_EXTS:
         return "binary_ext"
-    try:
-        if os.path.getsize(path) > MAX_FILE_BYTES:
-            return "too_large"
-    except OSError:
-        return "unreadable"
+    if st.st_size > MAX_FILE_BYTES:
+        return "too_large"
     return None
+
+
+def open_regular_text(path: str, *, encoding: str = "utf-8", errors: str = "ignore"):
+    """Open ``path`` for text reading ONLY if it is a regular file,
+    without ever blocking. O_NONBLOCK makes the open itself hang-proof
+    against FIFOs; fstat on the fd (not the path) closes the
+    classify->open TOCTOU — a file swapped for a FIFO after
+    classification still cannot wedge the reader. Reads on regular
+    files ignore O_NONBLOCK, so the returned handle behaves normally.
+    Raises OSError for any non-regular file."""
+    import errno
+
+    fd = os.open(path, os.O_RDONLY | os.O_NONBLOCK)
+    try:
+        if not stat.S_ISREG(os.fstat(fd).st_mode):
+            raise OSError(errno.ESPIPE, "not a regular file", path)
+    except BaseException:
+        os.close(fd)
+        raise
+    return os.fdopen(fd, encoding=encoding, errors=errors)
 
 
 class SnapshotWatcher:

@@ -118,3 +118,52 @@ class TestLexicalSnapshotChaos:
         handle = fs.open_hybrid(root, fast_embedder=fs.HashEmbedder(dim=32))
         out = handle.searcher.search("alpha doc", k=3)
         assert out.results
+
+
+class TestSpecialFiles:
+    """FIFOs/sockets/devices in a watched tree (probed 2026-08-18): a
+    FIFO named data.txt passed the extension check and the downstream
+    plain open() blocked forever with no writer — one mkfifo wedged the
+    whole watch loop. Classification must skip non-regular files and the
+    content reader must be hang-proof even against a post-classify
+    swap."""
+
+    def test_fifo_is_skipped_as_special(self, chaos_root, tmp_path):
+        (chaos_root / "real.txt").write_text("fine")
+        os.mkfifo(chaos_root / "trap.txt")
+        w = SnapshotWatcher(
+            [str(chaos_root)], str(tmp_path / "snap.json"), debounce_s=0.0
+        )
+        res = w.scan()  # must terminate without a FIFO reader hang
+        changed = {os.path.basename(c.path) for c in res.changes}
+        assert changed == {"real.txt"}
+        reasons = {os.path.basename(s.path): s.reason for s in res.skipped}
+        assert reasons.get("trap.txt") == "special"
+
+    def test_open_regular_text_rejects_fifo_without_blocking(self, chaos_root):
+        from frankensearch_tpu.runtime.watcher import open_regular_text
+
+        os.mkfifo(chaos_root / "pipe.txt")
+        with pytest.raises(OSError):
+            open_regular_text(str(chaos_root / "pipe.txt"))  # must NOT hang
+
+    def test_open_regular_text_reads_regular_files_normally(self, chaos_root):
+        from frankensearch_tpu.runtime.watcher import open_regular_text
+
+        (chaos_root / "doc.txt").write_text("hello watcher")
+        with open_regular_text(str(chaos_root / "doc.txt")) as f:
+            assert f.read() == "hello watcher"
+
+    def test_indexed_file_replaced_by_fifo_emits_delete(self, chaos_root, tmp_path):
+        p = chaos_root / "doc.txt"
+        p.write_text("v1")
+        w = SnapshotWatcher(
+            [str(chaos_root)], str(tmp_path / "snap.json"), debounce_s=0.0
+        )
+        assert [c.kind for c in w.scan().changes] == ["created"]
+        p.unlink()
+        os.mkfifo(p)
+        res = w.scan()
+        assert [(os.path.basename(c.path), c.kind) for c in res.changes] == [
+            ("doc.txt", "deleted")
+        ]
