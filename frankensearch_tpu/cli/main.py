@@ -26,7 +26,8 @@ Parity target: reference crates/frankensearch-fsfs/src/adapters/cli.rs
     serve         NDJSON server (search / search_batch / status / ping)
     version       version + device report
 
-Formats: table | json | jsonl | csv (output_schema.rs envelope).
+Formats: table | json | jsonl | csv | toon (output_schema.rs envelope;
+toon = compact agent payloads with r1/r2/... handles, cli.rs toon mode).
 """
 
 from __future__ import annotations
@@ -241,6 +242,12 @@ def cmd_feedback(args) -> dict:
     cfg = TwoTierConfig.from_env()
     cfg.adaptive_fusion = True  # recording feedback implies learning is on
     cp = build_control_plane(cfg, args.root)
+    if args.doc_id:
+        # short handles (r1, r2, ...) from the last search resolve to doc
+        # ids; anything else passes through verbatim
+        from frankensearch_tpu.runtime.agent_ergonomics import load_registry
+
+        args.doc_id = load_registry(args.root).resolve(args.doc_id)
     success = not args.negative
     if success and not args.doc_id:
         return error_envelope(
@@ -332,6 +339,31 @@ def _search_federated(args, extra_roots: list[str]) -> dict:
 
 
 def cmd_search(args) -> dict:
+    if getattr(args, "template", ""):
+        # agent query templates (agent_ergonomics.rs role): every
+        # placeholder defaults to the positional query; --param K=V
+        # overrides individual fields
+        import string as _string
+
+        from frankensearch_tpu.runtime.agent_ergonomics import QUERY_TEMPLATES
+
+        if args.template not in QUERY_TEMPLATES:
+            return error_envelope(
+                "unknown_template",
+                f"{args.template!r} not in {sorted(QUERY_TEMPLATES)}",
+            )
+        tpl = QUERY_TEMPLATES[args.template]
+        fields = {f for _, f, _, _ in _string.Formatter().parse(tpl) if f}
+        params = {f: args.query for f in fields}
+        for kv in getattr(args, "param", []):
+            k, _, v = kv.partition("=")
+            if k not in fields:
+                return error_envelope(
+                    "unknown_template_param",
+                    f"{k!r} not a field of {args.template!r} (has {sorted(fields)})",
+                )
+            params[k] = v
+        args.query = tpl.format(**params)
     if getattr(args, "federate", None):
         return _search_federated(args, list(args.federate))
     handle = _open(args)
@@ -366,7 +398,21 @@ def cmd_search(args) -> dict:
             args.query, args.k, len(out.results),
             out.results[0].doc_id if out.results else None, latency,
         )
-    data = _result_rows(out.results)
+    # persist r1/r2/... handles for follow-up commands in LATER processes
+    # (`feedback r3`; agent_ergonomics.rs result-id registry)
+    from frankensearch_tpu.runtime.agent_ergonomics import (
+        ResultRegistry,
+        compact_results,
+        save_registry,
+    )
+
+    registry = ResultRegistry()
+    compact = compact_results(out.results, registry=registry)
+    try:
+        save_registry(args.root, dict(registry._handles))
+    except OSError:
+        pass  # read-only root: handles are a convenience, never fatal
+    data = compact if args.format == "toon" else _result_rows(out.results)
     env = envelope(data)
     env["meta"] = {
         "phases": phases_seen,
@@ -1533,7 +1579,12 @@ def cmd_serve(args) -> dict | None:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="frankensearch-tpu", description=__doc__)
-    p.add_argument("--format", choices=["table", "json", "jsonl", "csv"], default="table")
+    p.add_argument(
+        "--format", choices=["table", "json", "jsonl", "csv", "toon"],
+        default="table",
+        help="toon = token-budget-friendly agent payloads with r1/r2/... "
+             "result handles (agent_ergonomics.rs / cli.rs toon mode)",
+    )
     sub = p.add_subparsers(dest="command", required=True)
 
     def add(name, fn, **kw):
@@ -1582,6 +1633,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="embed via the warm daemon at this unix socket, "
                          "falling back to the local embedder if it is "
                          "down (health remembered with a cooldown)")
+    sp.add_argument("--template", default="", metavar="NAME",
+                    help="render the query from an agent template "
+                         "(runtime/agent_ergonomics.py QUERY_TEMPLATES); "
+                         "the positional query then supplies {subject}/"
+                         "{symbol}/... as --param overrides it")
+    sp.add_argument("--param", action="append", default=[], metavar="K=V",
+                    help="template parameter (repeatable)")
 
     sp = add("feedback", cmd_feedback,
              help="record a search outcome (click/skip) for the adaptive "

@@ -2,7 +2,8 @@
 
 Parity target: reference crates/frankensearch-fsfs/src/output_schema.rs —
 ``OutputEnvelope`` ``{v, ok, data, error, warnings}`` with table / json /
-jsonl / csv render modes (cli.rs output formats).
+jsonl / csv / toon render modes (cli.rs output formats; toon is the
+token-budget agent mode, agent_ergonomics.rs compact payloads).
 """
 
 from __future__ import annotations
@@ -32,6 +33,8 @@ def error_envelope(code: str, message: str, warnings: Sequence[str] = ()) -> dic
 
 
 def render(env: dict, fmt: str, table_fields: Sequence[str] | None = None) -> str:
+    if fmt == "toon":
+        return _render_toon(env)
     if fmt == "json":
         return json.dumps(env, indent=2, default=str)
     if fmt == "jsonl":
@@ -50,6 +53,50 @@ def render(env: dict, fmt: str, table_fields: Sequence[str] | None = None) -> st
             w.writerow({k: _csv_guard(v) for k, v in row.items()})
         return buf.getvalue().rstrip("\n")
     return _render_table(env, table_fields)
+
+
+def _render_toon(env: dict) -> str:
+    """Token-budget-friendly agent format (cli.rs `toon` mode /
+    agent_ergonomics.rs compact payloads): one `k=v` line per row, no
+    envelope boilerplate, nulls dropped, floats short. Errors render as
+    one `!code message` line so an agent can branch on the first char.
+    Values pass the same control-char escaping as the table renderer
+    (untrusted corpora must not inject terminal escapes)."""
+    if not env.get("ok"):
+        err = env.get("error") or {}
+        return f"!{err.get('code', '?')} {_cell(err.get('message', ''))}"
+    data = env.get("data")
+    lines: list[str] = []
+    if isinstance(data, list):
+        for row in data:
+            if isinstance(row, dict):
+                lines.append(" ".join(
+                    f"{k}={_toon_val(v)}" for k, v in row.items() if v is not None
+                ))
+            else:
+                lines.append(_cell(row))
+    elif isinstance(data, dict):
+        lines.append(" ".join(
+            f"{k}={_toon_val(v)}" for k, v in data.items() if v is not None
+        ))
+    elif data is not None:
+        lines.append(_cell(data))
+    for w in env.get("warnings", []):
+        lines.append(f"~{_cell(w)}")
+    return "\n".join(lines)
+
+
+def _toon_val(v: Any) -> str:
+    if isinstance(v, float):
+        s = f"{v:.4g}"
+    elif isinstance(v, (dict, list)):
+        s = json.dumps(v, separators=(",", ":"), default=str)
+    else:
+        s = _cell(v)
+    # keep one row = one line = whitespace-splittable fields
+    if " " in s or "\t" in s:
+        s = json.dumps(s)
+    return s
 
 
 def _render_table(env: dict, table_fields: Sequence[str] | None) -> str:

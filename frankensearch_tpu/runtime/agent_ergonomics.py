@@ -68,3 +68,44 @@ QUERY_TEMPLATES: dict[str, str] = {
 def render_template(name: str, **kwargs: str) -> str:
     template = QUERY_TEMPLATES[name]
     return template.format(**kwargs)
+
+
+# -- cross-process registry persistence ---------------------------------------
+# The CLI is one process per command, so `search` persists its handle
+# mapping under the index root and a follow-up `feedback r3` (or any
+# command accepting doc ids) resolves it (agent_ergonomics.rs result-id
+# registry role).
+
+REGISTRY_FILE = ".last_results.json"
+
+
+def save_registry(root: str, mapping: dict[str, str]) -> None:
+    import json
+    import os
+    import tempfile
+
+    path = os.path.join(root, REGISTRY_FILE)
+    fd, tmp = tempfile.mkstemp(dir=root, prefix=".last_results.", suffix=".tmp")
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
+        json.dump({"version": 1, "handles": mapping}, f)
+    os.replace(tmp, path)
+
+
+def load_registry(root: str) -> ResultRegistry:
+    """Registry from the last persisted search; empty (handles resolve to
+    themselves) when absent or corrupt — a stale/bad registry must never
+    block a command that was passed a real doc id."""
+    import json
+    import os
+
+    reg = ResultRegistry()
+    path = os.path.join(root, REGISTRY_FILE)
+    try:
+        with open(path, encoding="utf-8") as f:
+            raw = json.load(f)
+        handles = raw.get("handles", {})
+        if isinstance(handles, dict):
+            reg._handles = {str(k): str(v) for k, v in handles.items()}
+    except (OSError, ValueError):
+        pass
+    return reg

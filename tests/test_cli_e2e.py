@@ -728,3 +728,38 @@ class TestCliModelAcquisition:
         out = json.loads(r.stdout)
         assert not out["ok"]
         assert out["error"]["code"] == "acquisition_not_authorized"
+
+
+class TestAgentErgonomicsSurface:
+    """toon format + r1/r2 result handles + query templates through the
+    real CLI (agent_ergonomics.rs: compact payloads, result-id registry,
+    templates — now product-wired, not library-only)."""
+
+    def test_toon_search_then_feedback_by_handle(self, corpus_file, tmp_path):
+        root = str(tmp_path / "ix")
+        r = run_cli("--format", "json", "index", corpus_file, "--root", root)
+        assert r.returncode == 0, r.stderr[-500:]
+        r = run_cli("--format", "toon", "search", "write ahead log",
+                    "--root", root, "-k", "3")
+        assert r.returncode == 0, r.stderr[-500:]
+        lines = [l for l in r.stdout.splitlines() if l.startswith("h=")]
+        assert lines and lines[0].startswith("h=r1 id=")
+        top_id = lines[0].split()[1].split("=", 1)[1]
+        # registry persisted: feedback accepts the short handle
+        r = run_cli("--format", "json", "feedback", "write ahead log", "r1",
+                    "--rank", "1", "--root", root)
+        assert r.returncode == 0, r.stderr[-500:]
+        out = json.loads(r.stdout)
+        assert out["data"]["doc_id"] == top_id != "r1"
+
+    def test_template_search(self, corpus_file, tmp_path):
+        root = str(tmp_path / "ix")
+        run_cli("--format", "json", "index", corpus_file, "--root", root)
+        r = run_cli("--format", "json", "search", "ownership",
+                    "--template", "find_tests", "--root", root, "-k", "2")
+        assert r.returncode == 0, r.stderr[-500:]
+        assert json.loads(r.stdout)["ok"]
+        r = run_cli("--format", "json", "search", "x",
+                    "--template", "nope", "--root", root)
+        body = json.loads(r.stdout)
+        assert not body["ok"] and body["error"]["code"] == "unknown_template"

@@ -376,3 +376,58 @@ def test_schema_suite_breadth():
     """The contract floor: >=10 pinned payload schemas with fixtures."""
     names = [n for n in os.listdir(SCHEMA_DIR) if n.endswith(".schema.json")]
     assert len(names) >= 10, names
+
+
+class TestToonFormat:
+    """toon = the token-budget agent output mode (cli.rs toon format /
+    agent_ergonomics.rs compact payloads): one k=v line per row, nulls
+    dropped, errors as a leading-! line, same escaping hardening as the
+    table renderer."""
+
+    def test_rows_render_one_line_each_nulls_dropped(self):
+        from frankensearch_tpu.cli.output import envelope, render
+
+        rows = [
+            {"h": "r1", "id": "doc1", "s": 0.51234, "t": None},
+            {"h": "r2", "id": "doc2", "s": 0.25, "t": "two words"},
+        ]
+        out = render(envelope(rows), "toon")
+        lines = out.splitlines()
+        assert lines[0] == "h=r1 id=doc1 s=0.5123"
+        assert "t=" not in lines[0]  # null dropped
+        assert lines[1].endswith('t="two words"')  # spaces stay one field
+
+    def test_error_renders_as_bang_line(self):
+        from frankensearch_tpu.cli.output import error_envelope, render
+
+        out = render(error_envelope("not_found", "index root missing"), "toon")
+        assert out.startswith("!not_found ")
+
+    def test_control_chars_escaped(self):
+        from frankensearch_tpu.cli.output import envelope, render
+
+        out = render(envelope([{"id": "a\x1b]0;evil\x07b"}]), "toon")
+        assert "\x1b" not in out and "\x07" not in out
+
+
+class TestResultRegistry:
+    def test_save_load_resolve_roundtrip(self, tmp_path):
+        from frankensearch_tpu.runtime.agent_ergonomics import (
+            load_registry,
+            save_registry,
+        )
+
+        save_registry(str(tmp_path), {"r1": "docA", "r2": "docB"})
+        reg = load_registry(str(tmp_path))
+        assert reg.resolve("r1") == "docA"
+        assert reg.resolve("docZ") == "docZ"  # non-handles pass through
+
+    def test_corrupt_registry_never_blocks(self, tmp_path):
+        from frankensearch_tpu.runtime.agent_ergonomics import (
+            REGISTRY_FILE,
+            load_registry,
+        )
+
+        (tmp_path / REGISTRY_FILE).write_text("{broken json")
+        reg = load_registry(str(tmp_path))
+        assert reg.resolve("r1") == "r1"
