@@ -613,6 +613,52 @@ def open_hybrid(
         cp = build_control_plane(cfg, root)
         if cp is not None:
             searcher_kwargs["control_plane"] = cp
+    # quality rank kernels demanded by the config (searcher.rs:312-868
+    # with_* options; pre-wiring these were tested library code with no
+    # construction path from the product — the VERDICT r2 adaptive gap
+    # class): PRF query expansion, MMR diversification, hubness
+    # correction, PageRank graph source.
+    if cfg.prf_enabled and "prf" not in searcher_kwargs:
+        from frankensearch_tpu.fusion.prf import RocchioPrf
+
+        searcher_kwargs["prf"] = RocchioPrf()
+    if cfg.mmr_lambda is not None and "mmr" not in searcher_kwargs:
+        from frankensearch_tpu.fusion.mmr import MmrDiversifier
+
+        searcher_kwargs["mmr"] = MmrDiversifier(lambda_relevance=cfg.mmr_lambda)
+    if cfg.hubness_beta > 0.0 and "hubness" not in searcher_kwargs:
+        from frankensearch_tpu.fusion.hubness import (
+            HubnessCorrector,
+            build_hubness_scores,
+        )
+
+        n = index.fast.record_count
+        if n <= cfg.hubness_max_docs:
+            searcher_kwargs["hubness"] = HubnessCorrector(
+                beta=cfg.hubness_beta,
+                scores_by_row=build_hubness_scores(index.fast.vectors_f32()),
+            )
+        else:
+            import warnings
+
+            warnings.warn(
+                f"hubness_beta={cfg.hubness_beta} skipped: {n} docs exceeds "
+                f"hubness_max_docs={cfg.hubness_max_docs} (O(N^2) precompute)",
+                stacklevel=2,
+            )
+    if cfg.graph_rank and storage is not None and "graph_ranker" not in searcher_kwargs:
+        from frankensearch_tpu.core.graph import DocumentGraph
+        from frankensearch_tpu.fusion.graph_rank import GraphRanker
+
+        g = DocumentGraph()
+        for row in storage.iter_documents():
+            links = (row.metadata or {}).get("links")
+            if isinstance(links, (list, tuple)):
+                for dst in links:
+                    if isinstance(dst, str) and dst:
+                        g.add_edge(row.doc_id, dst)
+        if g.edge_count() > 0:
+            searcher_kwargs["graph_ranker"] = GraphRanker(g)
     searcher = TwoTierSearcher(
         index,
         fast_embedder,

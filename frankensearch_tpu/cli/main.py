@@ -202,6 +202,12 @@ def _open(args, root: str | None = None):
         cfg.mesh_shards = args.shards
     if getattr(args, "adaptive", False):
         cfg.adaptive_fusion = True
+    if getattr(args, "prf", False):
+        cfg.prf_enabled = True
+    if getattr(args, "mmr", None) is not None:
+        cfg.mmr_lambda = args.mmr
+    if getattr(args, "graph_rank", False):
+        cfg.graph_rank = True
     wrap = None
     socket_path = getattr(args, "daemon_socket", "")
     if socket_path:
@@ -1633,6 +1639,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="embed via the warm daemon at this unix socket, "
                          "falling back to the local embedder if it is "
                          "down (health remembered with a cooldown)")
+    sp.add_argument("--prf", action="store_true",
+                    help="Rocchio pseudo-relevance query expansion from "
+                         "the top fast hits (prf.rs)")
+    sp.add_argument("--mmr", type=float, default=None, metavar="LAMBDA",
+                    help="MMR result diversification; LAMBDA in [0,1] is "
+                         "the relevance weight (mmr.rs)")
+    sp.add_argument("--graph-rank", action="store_true",
+                    help="personalized-PageRank third fusion source over "
+                         "the metadata link graph (graph_rank.rs)")
     sp.add_argument("--template", default="", metavar="NAME",
                     help="render the query from an agent template "
                          "(runtime/agent_ergonomics.py QUERY_TEMPLATES); "

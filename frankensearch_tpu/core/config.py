@@ -72,6 +72,19 @@ class TwoTierConfig:
     smoothing_neighbors: int = 5
     hubness_beta: float = 0.0  # 0.2 measured +0.0033 nDCG@10
     nqc_downweight: bool = False
+    #: pseudo-relevance feedback: Rocchio-expand the query vector from
+    #: the top fast hits before Phase 2 (prf.rs role)
+    prf_enabled: bool = False
+    #: MMR result diversification: None = off, else the relevance-
+    #: diversity tradeoff in [0, 1] (mmr.rs lambda)
+    mmr_lambda: float | None = None
+    #: personalized-PageRank third fusion source over the document link
+    #: graph built from metadata["links"] at open (graph_rank.rs); the
+    #: blend weight is graph_rrf_weight above
+    graph_rank: bool = False
+    #: hubness correction is O(N^2) to precompute: corpora above this
+    #: row count skip it at open (with a warning) rather than stall
+    hubness_max_docs: int = 20_000
 
     # explanations
     explain: bool = False
@@ -171,6 +184,10 @@ class TwoTierConfig:
             from frankensearch_tpu.fusion.control_plane import parse_calibrator
 
             parse_calibrator(self.calibration)  # raises InvalidConfig on bad spec
+        if self.mmr_lambda is not None and not (0.0 <= self.mmr_lambda <= 1.0):
+            raise InvalidConfig(f"mmr_lambda must be in [0,1], got {self.mmr_lambda}")
+        if self.hubness_beta < 0.0:
+            raise InvalidConfig(f"hubness_beta must be >= 0, got {self.hubness_beta}")
         return self
 
     @classmethod

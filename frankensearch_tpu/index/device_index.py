@@ -134,6 +134,12 @@ class DeviceVectorIndex:
     def vector_for_row(self, row: int) -> np.ndarray:
         return self._vectors_f32[row]
 
+    def vectors_f32(self) -> np.ndarray:
+        """All live rows as f32, row-indexed (FtviFile.vectors_f32
+        contract) — consumers like the hubness precompute take the whole
+        slab at once."""
+        return self._vectors_f32[: self.n_rows]
+
     # -- construction helpers --------------------------------------------
 
     @classmethod

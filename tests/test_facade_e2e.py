@@ -264,3 +264,67 @@ class TestHandleLifetime:
 
         with pytest.raises(RuntimeError):
             handle.searcher._pool.submit(lambda: None)
+
+
+class TestQualityKernelsConstructedFromConfig:
+    """prf/mmr/hubness/graph_rank were attachable searcher args with NO
+    construction path from the product (the VERDICT r2 adaptive gap
+    class). open_hybrid must build them when the config demands."""
+
+    def _root(self, tmp_path, docs=None):
+        stack = fs.EmbedderStack(fast=fs.HashEmbedder(dim=128))
+        (
+            fs.IndexBuilder(str(tmp_path / "kx"))
+            .with_documents(docs or make_book())
+            .with_embedder_stack(stack)
+            .build()
+        )
+        return str(tmp_path / "kx")
+
+    def test_config_builds_all_kernels(self, tmp_path):
+        docs = make_book()
+        # link chain in metadata drives the graph source
+        linked = [
+            fs.IndexableDocument(
+                doc_id=d.doc_id, content=d.content, title=d.title,
+                metadata={"links": [docs[(i + 1) % len(docs)].doc_id]},
+            )
+            for i, d in enumerate(docs)
+        ]
+        root = self._root(tmp_path, linked)
+        cfg = fs.TwoTierConfig(
+            prf_enabled=True, mmr_lambda=0.6, hubness_beta=0.2, graph_rank=True,
+            use_pallas=False,
+        )
+        handle = fs.open_hybrid(
+            root, fast_embedder=fs.HashEmbedder(dim=128), config=cfg
+        )
+        s = handle.searcher
+        assert s.prf is not None and s.prf.alpha > 0
+        assert s.mmr is not None and s.mmr.lambda_relevance == 0.6
+        assert s.hubness is not None and s.hubness.beta == 0.2
+        assert s.graph_ranker is not None and s.graph_ranker.graph.edge_count() == 5
+        out = s.search("buried treasure map", k=3)  # kernels run, no crash
+        assert out.results
+
+    def test_defaults_attach_nothing(self, tmp_path):
+        root = self._root(tmp_path)
+        handle = fs.open_hybrid(root, fast_embedder=fs.HashEmbedder(dim=128))
+        s = handle.searcher
+        assert s.prf is None and s.mmr is None
+        assert s.hubness is None and s.graph_ranker is None
+
+    def test_hubness_skips_above_cap_with_warning(self, tmp_path):
+        root = self._root(tmp_path)
+        cfg = fs.TwoTierConfig(hubness_beta=0.2, hubness_max_docs=2, use_pallas=False)
+        with pytest.warns(UserWarning, match="hubness_beta"):
+            handle = fs.open_hybrid(
+                root, fast_embedder=fs.HashEmbedder(dim=128), config=cfg
+            )
+        assert handle.searcher.hubness is None
+
+    def test_mmr_lambda_validated(self):
+        from frankensearch_tpu.core.errors import InvalidConfig
+
+        with pytest.raises(InvalidConfig):
+            fs.TwoTierConfig(mmr_lambda=1.5).validate()
