@@ -191,23 +191,44 @@ def cmd_index(args) -> dict:
 
 def _open(args, root: str | None = None):
     from frankensearch_tpu.builder import open_hybrid
-    from frankensearch_tpu.core.config import TwoTierConfig
 
-    cfg = TwoTierConfig.from_env()
+    # 5-layer config resolution (runtime/config.py; parity fsfs
+    # config.rs): defaults < env < ~/.config user file <
+    # ./.frankensearch.json project file < CLI flags. File-layer
+    # breakage degrades to typed ConfigWarnings (surfaced on the
+    # envelope by main()); CLI-flag values stay FAIL-CLOSED — a bad
+    # --mmr raises typed invalid_config instead of silently reverting
+    # to defaults.
+    from frankensearch_tpu.runtime.config import load_layered_config
+
+    lc = load_layered_config(project_dir=os.getcwd())
+    cfg = lc.config
+    args._layered_config = lc
     if getattr(args, "fast_only", False):
         cfg.fast_only = True
+        lc.sources["fast_only"] = "cli"
     if getattr(args, "explain", False):
         cfg.explain = True
+        lc.sources["explain"] = "cli"
     if getattr(args, "shards", 0):
         cfg.mesh_shards = args.shards
+        lc.sources["mesh_shards"] = "cli"
     if getattr(args, "adaptive", False):
         cfg.adaptive_fusion = True
+        lc.sources["adaptive_fusion"] = "cli"
     if getattr(args, "prf", False):
         cfg.prf_enabled = True
+        lc.sources["prf_enabled"] = "cli"
     if getattr(args, "mmr", None) is not None:
         cfg.mmr_lambda = args.mmr
+        lc.sources["mmr_lambda"] = "cli"
     if getattr(args, "graph_rank", False):
         cfg.graph_rank = True
+        lc.sources["graph_rank"] = "cli"
+    if getattr(args, "plan", False):
+        cfg.query_planning = True
+        lc.sources["query_planning"] = "cli"
+    cfg.validate()
     wrap = None
     socket_path = getattr(args, "daemon_socket", "")
     if socket_path:
@@ -428,6 +449,49 @@ def cmd_search(args) -> dict:
         "device": out.metrics.device_kind,
     }
     return env
+
+
+def cmd_repro(args) -> dict:
+    """Self-contained replay pack for a query (runtime/repro.py; parity
+    fsfs repro.rs): evidence JSONL of every phase + results + metrics,
+    the effective layered config, the generation manifest, and the
+    environment fingerprint — a bug report that replays elsewhere."""
+    from frankensearch_tpu.runtime.repro import ReproPack
+
+    handle = _open(args)
+    lc = getattr(args, "_layered_config", None)
+    pack = ReproPack(args.out, config=lc.config.to_dict() if lc else None)
+    pack.record_event("query", {"query": args.query, "k": args.k})
+    phases: list = []
+    out = handle.searcher.search(args.query, k=args.k, on_phase=phases.append)
+    for p in phases:
+        pack.record_event(
+            "phase",
+            {
+                "kind": p.kind.value,
+                "latency_ms": round(p.latency_ms, 3),
+                "reason": p.reason,
+                "doc_ids": [r.doc_id for r in p.results],
+            },
+        )
+    pack.record_event("metrics", out.metrics.to_dict())
+    pack.record_event("results", {"rows": _result_rows(out.results)})
+    # generation manifest of the CURRENT lexical generation, when present
+    current = os.path.join(args.root, "lexical", "CURRENT")
+    try:
+        with open(current, encoding="utf-8") as f:
+            gen = f.read().strip()
+        with open(
+            os.path.join(args.root, "lexical", gen, "MANIFEST.json"),
+            encoding="utf-8",
+        ) as f:
+            pack.attach_manifest("generation", f.read())
+    except OSError:
+        pass
+    path = pack.write()
+    return envelope(
+        {"pack": path, "events": len(pack.events), "manifests": sorted(pack.manifests)}
+    )
 
 
 def cmd_status(args) -> dict:
@@ -906,9 +970,19 @@ def cmd_bookmark(args) -> dict:
 
 
 def cmd_config(args) -> dict:
-    from frankensearch_tpu.core.config import TwoTierConfig
+    """Effective layered config with per-key source attribution
+    (config.rs 5-level precedence + typed ConfigWarnings)."""
+    from frankensearch_tpu.runtime.config import load_layered_config
 
-    return envelope(TwoTierConfig.from_env().to_dict())
+    lc = load_layered_config(project_dir=os.getcwd())
+    return envelope(
+        {
+            "config": lc.config.to_dict(),
+            "sources": lc.attribution(),
+            "product_keys": lc.product,
+        },
+        warnings=[f"{w.key} [{w.source}]: {w.message}" for w in lc.warnings],
+    )
 
 
 def cmd_flush(args) -> dict:
@@ -1639,6 +1713,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="embed via the warm daemon at this unix socket, "
                          "falling back to the local embedder if it is "
                          "down (health remembered with a cooldown)")
+    sp.add_argument("--plan", action="store_true",
+                    help="intent-aware stage planning: budget-split "
+                         "stages per query intent; lookup queries skip "
+                         "the quality tier (query_planning.rs)")
     sp.add_argument("--prf", action="store_true",
                     help="Rocchio pseudo-relevance query expansion from "
                          "the top fast hits (prf.rs)")
@@ -1670,6 +1748,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="record an abandonment (no useful result)")
     sp.add_argument("--dwell", type=float, default=0.0,
                     help="seconds the user dwelled on the doc")
+
+    sp = add("repro", cmd_repro,
+             help="write a self-contained replay pack for a query")
+    sp.add_argument("query")
+    sp.add_argument("--out", required=True, metavar="DIR",
+                    help="directory the pack is written into")
+    sp.add_argument("-k", type=int, default=10)
 
     add("status", cmd_status, help="index + storage status")
 
@@ -1803,6 +1888,11 @@ def main(argv: list[str] | None = None) -> int:
         env = error_envelope("not_found", str(e))
     if env is None:  # serve mode writes its own output
         return 0
+    lc = getattr(args, "_layered_config", None)
+    if lc is not None and lc.warnings:
+        env.setdefault("warnings", []).extend(
+            f"config: {w.key} [{w.source}]: {w.message}" for w in lc.warnings
+        )
     print(render(env, args.format))
     return 0 if env.get("ok") else 1
 

@@ -85,6 +85,13 @@ class TwoTierConfig:
     #: hubness correction is O(N^2) to precompute: corpora above this
     #: row count skip it at open (with a warning) rather than stall
     hubness_max_docs: int = 20_000
+    #: intent-aware stage planning (runtime/query_planner.py; parity
+    #: fsfs query_planning.rs): classify intent, allocate per-stage
+    #: budgets from query_budget_ms, skip stages the plan disables
+    #: (lookup queries skip the quality tier) and cap the quality
+    #: timeout at the stage budget
+    query_planning: bool = False
+    query_budget_ms: float = 250.0
 
     # explanations
     explain: bool = False
@@ -186,6 +193,8 @@ class TwoTierConfig:
             parse_calibrator(self.calibration)  # raises InvalidConfig on bad spec
         if self.mmr_lambda is not None and not (0.0 <= self.mmr_lambda <= 1.0):
             raise InvalidConfig(f"mmr_lambda must be in [0,1], got {self.mmr_lambda}")
+        if self.query_budget_ms <= 0:
+            raise InvalidConfig(f"query_budget_ms must be > 0, got {self.query_budget_ms}")
         if self.hubness_beta < 0.0:
             raise InvalidConfig(f"hubness_beta must be >= 0, got {self.hubness_beta}")
         return self
@@ -294,6 +303,8 @@ class TwoTierMetrics:
     fused_candidates: int = 0
     phase2_skip_reason: str | None = None
     phase3_skip_reason: str | None = None
+    #: planner intent (query_planning on; runtime/query_planner.py)
+    query_intent: str | None = None
     kendall_tau: float | None = None
     zero_signal: str | None = None
     #: device dispatch metadata (TPU-native)

@@ -525,6 +525,27 @@ class TwoTierSearcher:
             self._export(metrics, t_start)
             return outcome
 
+        # intent-aware stage plan (runtime/query_planner.py; parity fsfs
+        # query_planning.rs): off by default, zero-cost when off
+        plan = None
+        if self.config.query_planning:
+            from frankensearch_tpu.core.decision_plane import ResourceBudget
+            from frankensearch_tpu.runtime.query_planner import plan_query
+
+            plan = plan_query(
+                parsed.positive or canonical,
+                budget=ResourceBudget(wall_ms=self.config.query_budget_ms),
+                has_quality=(
+                    self.quality_embedder is not None
+                    and self.index.has_quality_tier
+                    and self._quality_admitted
+                ),
+                has_reranker=(
+                    self.config.rerank_enabled and self.reranker is not None
+                ),
+            )
+            metrics.query_intent = plan.intent.value
+
         # conformal required-k (fusion/conformal.py; parity: conformal.rs):
         # widen k so the calibrated 1-alpha coverage target holds —
         # "return enough results that the relevant one is inside" as a
@@ -563,14 +584,20 @@ class TwoTierSearcher:
         results = initial_results
 
         # 3. Phase 2 gates (searcher.rs:1080-1094)
-        skip_reason = self._phase2_skip_reason(fast_hits, initial_results)
+        skip_reason = self._phase2_skip_reason(fast_hits, initial_results, plan=plan)
         if skip_reason is not None:
             metrics.phase2_skip_reason = skip_reason
         else:
+            quality_budget_ms = None
+            if plan is not None:
+                stage = plan.stage("quality")
+                if stage is not None and stage.enabled and stage.budget_ms > 0:
+                    quality_budget_ms = stage.budget_ms
             t2 = time.monotonic()
             refined, failure = self._run_phase2_with_timeout(
                 parsed, qclass, k, fast_hits, lexical_pool, initial_results, metrics, text_fn,
                 quality_prefetch=phase2_prefetch,
+                timeout_ms_override=quality_budget_ms,
             )
             metrics.phase2_ms = (time.monotonic() - t2) * 1000.0
             if refined is not None:
@@ -607,6 +634,11 @@ class TwoTierSearcher:
         rerank_allowed = self.governor is None or self.governor.allow_rerank
         if not rerank_allowed and self.config.rerank_enabled:
             metrics.phase3_skip_reason = "pressure"
+        if rerank_allowed and plan is not None and self.config.rerank_enabled:
+            stage = plan.stage("rerank")
+            if stage is None or not stage.enabled:
+                rerank_allowed = False
+                metrics.phase3_skip_reason = f"query_plan:{plan.intent.value}"
         if (
             rerank_allowed
             and self.config.rerank_enabled
@@ -627,7 +659,8 @@ class TwoTierSearcher:
                         metrics=metrics,
                     )
                 )
-        elif self.config.rerank_enabled and self.reranker is not None:
+        elif (self.config.rerank_enabled and self.reranker is not None
+                and metrics.phase3_skip_reason is None):
             metrics.phase3_skip_reason = "no_text_fn"
 
         if self.feedback is not None and results:
@@ -1411,6 +1444,23 @@ class TwoTierSearcher:
     # ------------------------------------------------------------------ phase 2
 
     def _phase2_skip_reason(
+        self,
+        fast_hits: list[VectorHit],
+        initial: list[ScoredResult],
+        plan=None,
+    ) -> str | None:
+        if plan is not None:
+            # intent plan disables the quality stage (lookup queries:
+            # the lexical+fast arms already nail identifiers —
+            # query_planning.rs budget split gives quality 0). When the
+            # stage is off for an environmental reason ("no quality
+            # tier") the static ladder's precise reason wins instead.
+            stage = plan.stage("quality")
+            if (stage is None or not stage.enabled) and not (stage and stage.reason):
+                return f"query_plan:{plan.intent.value}"
+        return self._phase2_skip_reason_static(fast_hits, initial)
+
+    def _phase2_skip_reason_static(
         self, fast_hits: list[VectorHit], initial: list[ScoredResult]
     ) -> str | None:
         if self.config.fast_only:
@@ -1446,8 +1496,14 @@ class TwoTierSearcher:
         metrics: TwoTierMetrics,
         text_fn: TextFn | None,
         quality_prefetch=None,
+        timeout_ms_override: float | None = None,
     ) -> tuple[list[ScoredResult] | None, str | None]:
-        timeout_s = self.config.quality_timeout_ms / 1000.0
+        timeout_ms = self.config.quality_timeout_ms
+        if timeout_ms_override is not None:
+            # the intent plan's stage budget CAPS the configured timeout
+            # (query_planning.rs: budgets bound stages, never extend)
+            timeout_ms = min(timeout_ms, timeout_ms_override)
+        timeout_s = timeout_ms / 1000.0
         future = self._pool.submit(
             self._run_phase2, parsed, qclass, k, fast_hits, lexical_pool, metrics, text_fn,
             quality_prefetch,

@@ -14,7 +14,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_cli(*argv, input_text=None, env_extra=None):
+def run_cli(*argv, input_text=None, env_extra=None, cwd=None):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env["JAX_PLATFORMS"] = "cpu"
@@ -24,6 +24,7 @@ def run_cli(*argv, input_text=None, env_extra=None):
     return subprocess.run(
         [sys.executable, "-m", "frankensearch_tpu.cli", *argv],
         capture_output=True, text=True, input=input_text, env=env, timeout=180,
+        cwd=cwd,
     )
 
 
@@ -763,3 +764,61 @@ class TestAgentErgonomicsSurface:
                     "--template", "nope", "--root", root)
         body = json.loads(r.stdout)
         assert not body["ok"] and body["error"]["code"] == "unknown_template"
+
+
+class TestLayeredConfigSurface:
+    """The 5-level layered config (runtime/config.py; fsfs config.rs)
+    through the real CLI: project file beats env, CLI flags beat the
+    project file, unknown keys surface as typed warnings, `config`
+    shows per-key source attribution."""
+
+    def test_project_file_attribution_and_precedence(self, tmp_path):
+        proj = tmp_path / "proj"
+        proj.mkdir()
+        (proj / ".frankensearch.json").write_text(
+            '{"rrf_k": 33, "mystery": 1}'
+        )
+        r = run_cli("--format", "json", "config", cwd=str(proj),
+                    env_extra={"FRANKENSEARCH_RRF_K": "99"})
+        assert r.returncode == 0, r.stderr[-500:]
+        d = json.loads(r.stdout)
+        assert d["data"]["config"]["rrf_k"] == 33
+        assert d["data"]["sources"]["rrf_k"] == "project_file"
+        assert d["data"]["product_keys"] == {"mystery": 1}
+        assert any("mystery" in w for w in d["warnings"])
+
+    def test_cli_flag_beats_project_file(self, corpus_file, tmp_path):
+        proj = tmp_path / "proj2"
+        proj.mkdir()
+        (proj / ".frankensearch.json").write_text('{"mmr_lambda": 0.3}')
+        root = str(tmp_path / "ix")
+        run_cli("--format", "json", "index", corpus_file, "--root", root)
+        r = run_cli("--format", "json", "search", "rust", "--root", root,
+                    "--mmr", "0.8", cwd=str(proj))
+        assert r.returncode == 0, r.stderr[-500:]
+        assert json.loads(r.stdout)["ok"]
+        # bad CLI value stays fail-closed even with a valid project file
+        r = run_cli("--format", "json", "search", "rust", "--root", root,
+                    "--mmr", "1.5", cwd=str(proj))
+        body = json.loads(r.stdout)
+        assert not body["ok"] and body["error"]["code"] == "invalid_config"
+
+
+class TestReproPack:
+    def test_repro_writes_replayable_pack(self, corpus_file, tmp_path):
+        root = str(tmp_path / "ix")
+        run_cli("--format", "json", "index", corpus_file, "--root", root)
+        out_dir = str(tmp_path / "pack")
+        r = run_cli("--format", "json", "repro", "write ahead log",
+                    "--out", out_dir, "--root", root)
+        assert r.returncode == 0, r.stderr[-500:]
+        body = json.loads(r.stdout)
+        assert body["ok"] and body["data"]["pack"] == out_dir
+        from frankensearch_tpu.runtime.repro import ReproPack
+
+        pack = ReproPack.load(out_dir)
+        kinds = [e["kind"] for e in pack.events]
+        assert kinds[0] == "query" and "phase" in kinds and "results" in kinds
+        assert pack.config and "rrf_k" in pack.config
+        for name in ("INDEX.json", "environment.json", "evidence.jsonl"):
+            assert os.path.exists(os.path.join(out_dir, name))

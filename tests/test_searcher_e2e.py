@@ -279,3 +279,43 @@ class TestGraphSource:
         graph_rank = {r.doc_id: i for i, r in enumerate(out.results)}
         if "db-postgres" in base_rank:
             assert graph_rank["db-postgres"] <= base_rank["db-postgres"]
+
+
+class TestQueryPlanning:
+    """Intent-aware stage planning (runtime/query_planner.py, parity fsfs
+    query_planning.rs) wired into the searcher behind
+    config.query_planning — off by default, zero-cost when off."""
+
+    def test_lookup_intent_skips_quality(self, stack):
+        searcher = make_searcher(stack, config=TwoTierConfig(query_planning=True))
+        out = searcher.search("db_sqlite_v2", k=3)
+        assert out.metrics.query_intent == "lookup"
+        assert out.metrics.phase2_skip_reason == "query_plan:lookup"
+
+    def test_exploratory_intent_runs_quality(self, stack):
+        searcher = make_searcher(stack, config=TwoTierConfig(query_planning=True))
+        out = searcher.search("how do vector engines rank results", k=3)
+        assert out.metrics.query_intent == "exploratory"
+        assert out.metrics.phase2_skip_reason != "query_plan:exploratory"
+
+    def test_off_by_default_no_intent_recorded(self, stack):
+        searcher = make_searcher(stack)
+        out = searcher.search("db_sqlite_v2", k=3)
+        assert out.metrics.query_intent is None
+        assert out.metrics.phase2_skip_reason != "query_plan:lookup"
+
+    def test_keyword_intent_disables_rerank_stage(self, stack):
+        # rerank stage has budget 0 for KEYWORD intent; with rerank
+        # configured the plan records the typed skip reason
+        class _NoopReranker:
+            def rerank(self, query, pairs, top_n):  # pragma: no cover
+                return list(range(len(pairs)))
+
+        searcher = make_searcher(
+            stack,
+            config=TwoTierConfig(query_planning=True, rerank_enabled=True),
+            reranker=_NoopReranker(),
+        )
+        out = searcher.search("database", k=3)
+        assert out.metrics.query_intent == "keyword"
+        assert out.metrics.phase3_skip_reason == "query_plan:keyword"
