@@ -433,6 +433,20 @@ def cmd_search(args) -> dict:
         save_registry,
     )
 
+    # best-window highlight snippets (lexical/snippet.py; parity quill
+    # snippet.rs): filled from the storage text when the arm that
+    # produced the result didn't attach one
+    text_fn = handle.searcher.default_text_fn
+    if text_fn is not None:
+        from frankensearch_tpu.lexical.snippet import generate_snippet
+
+        for r in out.results:
+            if r.snippet is None:
+                text = text_fn(r.doc_id)
+                if text:
+                    snip = generate_snippet(text, args.query)
+                    if snip.text:
+                        r.snippet = snip.text
     registry = ResultRegistry()
     compact = compact_results(out.results, registry=registry)
     try:
@@ -906,6 +920,7 @@ def cmd_daemon(args) -> dict:
         return _wal_poll_daemon(args)
     handle = open_hybrid(args.root)
     embedder = handle.searcher.fast_embedder
+    concurrency = max(getattr(args, "concurrency", 1), 1)
     served = 0
     idle_s = 0.0
     registrar = None
@@ -919,7 +934,17 @@ def cmd_daemon(args) -> dict:
             status_fn=lambda: {"doc_count": handle.index.doc_count()},
         ).start()
     try:
-        with DaemonServer(args.socket, embedder) as server:
+        if concurrency > 1:
+            # multi-connection + coalesced device batches
+            # (batch_coalescer.rs role; embed/coalescer.py)
+            from frankensearch_tpu.core.daemon import ThreadedDaemonServer
+
+            server_cm = ThreadedDaemonServer(
+                args.socket, embedder, concurrency=concurrency,
+            )
+        else:
+            server_cm = DaemonServer(args.socket, embedder)
+        with server_cm as server:
             if not args.quiet:
                 print(f"# daemon serving {embedder.embedder_id} on {args.socket}", file=sys.stderr)
             while args.max_requests <= 0 or served < args.max_requests:
@@ -1423,13 +1448,27 @@ def cmd_serve(args) -> dict | None:
     if getattr(args, "warmup", False):
         # precompile the serve shapes before accepting traffic (cold
         # first-query remote compile can take minutes on a fresh shape;
-        # PERF_LEDGER serve section) — singleton + the coalesced batch
+        # PERF_LEDGER serve section): warm_index forces the HBM upload +
+        # compiles the scan programs per serving shape (index/warmup.py,
+        # parity warmup.rs prefault), then the two searcher drives warm
+        # the full fused phase-1 path (embed+scan+BM25)
         try:
+            from frankensearch_tpu.index.warmup import WarmupStrategy, warm_index
+
+            wrep = warm_index(
+                handle.index,
+                strategy=WarmupStrategy.FULL,
+                batch_sizes=(1, max(getattr(args, "serve_max_batch", 64), 2)),
+            )
             handle.searcher.search("warmup probe", k=10)
             handle.searcher.search_batch(
                 ["warmup probe"] * max(getattr(args, "serve_max_batch", 64), 2), k=10
             )
-            print(json.dumps(envelope({"op": "warmup", "ok": True})), file=out, flush=True)
+            print(json.dumps(envelope({
+                "op": "warmup", "ok": True,
+                "upload_ms": round(wrep.upload_ms, 1),
+                "compile_ms": round(wrep.compile_ms, 1),
+            })), file=out, flush=True)
         except Exception as e:
             print(json.dumps(error_envelope("warmup_failed", str(e))), file=out, flush=True)
     inbox: _queue.Queue = _queue.Queue()
@@ -1796,6 +1835,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--accept-timeout", type=float, default=5.0)
     sp.add_argument("--idle-timeout", type=float, default=0.0,
                     help="exit after this many idle seconds (0 = never)")
+    sp.add_argument("--concurrency", type=int, default=1, metavar="N",
+                    help="handle N connections concurrently, coalescing "
+                         "their embed requests into shared device "
+                         "batches (batch_coalescer.rs role; 1 = the "
+                         "single-threaded protocol-identical default)")
     sp.add_argument("--quiet", action="store_true")
     sp.add_argument("--wal-poll", action="store_true",
                     help="run the WAL-polling compaction daemon instead")

@@ -303,3 +303,53 @@ class TestDaemon:
         np.testing.assert_allclose(out, emb.embed_batch(texts))
         assert fb.stats.local_fallbacks == 1
         assert fb.stats.daemon_marked_down_at is not None
+
+
+class TestThreadedDaemonCoalescing:
+    """ThreadedDaemonServer (daemon --concurrency N): concurrent clients'
+    embed requests funnel through one BatchCoalescer into shared device
+    batches (reference batch_coalescer.rs, 29x MiniLM at batch 32).
+    Protocol and results must be identical to the single-threaded base."""
+
+    def test_concurrent_clients_correct_and_coalesced(self, tmp_path):
+        from frankensearch_tpu.core.daemon import ThreadedDaemonServer
+
+        sock = str(tmp_path / "d.sock")
+        emb = HashEmbedder(dim=32)
+        n_clients = 8
+        results: dict[int, list] = {}
+        with ThreadedDaemonServer(
+            sock, emb, concurrency=n_clients, max_wait_ms=60.0
+        ) as server:
+            stop = threading.Event()
+
+            def accept_loop():
+                while not stop.is_set():
+                    server.serve_one(timeout_s=0.2)
+
+            acceptor = threading.Thread(target=accept_loop)
+            acceptor.start()
+
+            def client(i):
+                c = DaemonClient(
+                    sock, expect_embedder_id=emb.embedder_id,
+                    expect_revision=emb.revision, expect_dim=32, timeout_s=10.0,
+                )
+                results[i] = c.embed([f"text number {i}"])
+
+            threads = [threading.Thread(target=client, args=(i,)) for i in range(n_clients)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=30)
+            stop.set()
+            acceptor.join(timeout=10)
+            assert server.requests_served == n_clients
+            # the whole point: fewer device batches than requests
+            assert server.coalescer.stats.batches < n_clients
+            assert server.coalescer.stats.items == n_clients
+        for i in range(n_clients):
+            expected = emb.embed_batch([f"text number {i}"])
+            np.testing.assert_allclose(
+                np.asarray(results[i], dtype=np.float32), expected, atol=1e-6
+            )
