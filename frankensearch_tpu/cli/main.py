@@ -453,7 +453,10 @@ def cmd_search(args) -> dict:
         save_registry(args.root, dict(registry._handles))
     except OSError:
         pass  # read-only root: handles are a convenience, never fatal
-    data = compact if args.format == "toon" else _result_rows(out.results)
+    data = (
+        compact if getattr(args, "format", "") == "toon"
+        else _result_rows(out.results)
+    )
     env = envelope(data)
     env["meta"] = {
         "phases": phases_seen,
@@ -1923,6 +1926,12 @@ def main(argv: list[str] | None = None) -> int:
         import jax
 
         jax.config.update("jax_platforms", plat)
+    # product entrypoint configures tracing from FRANKENSEARCH_LOG /
+    # FRANKENSEARCH_LOG_FORMAT (utils/tracing.py; tracing_setup.rs role —
+    # the library never touches logging unless the product asks)
+    from frankensearch_tpu.utils.tracing import configure_tracing
+
+    configure_tracing()
     args = build_parser().parse_args(argv)
     try:
         env = args.fn(args)

@@ -1692,6 +1692,19 @@ class TwoTierSearcher:
             metrics.device_kind = "unknown"
         if self.metrics_exporter is not None:
             self.metrics_exporter.export(metrics)
+        import logging
+
+        from frankensearch_tpu.utils.tracing import get_logger
+
+        log = get_logger("searcher")
+        if log.isEnabledFor(logging.DEBUG):  # hot path: format only when on
+            log.debug(
+                "search %s total=%.2fms p1=%.2fms p2=%.2fms skip2=%s skip3=%s",
+                metrics.query_class, metrics.total_ms, metrics.phase1_ms,
+                metrics.phase2_ms, metrics.phase2_skip_reason,
+                metrics.phase3_skip_reason,
+                extra={"fs_extra": metrics.to_dict()},
+            )
 
     def close(self) -> None:
         self._pool.shutdown(wait=False)

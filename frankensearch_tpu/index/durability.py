@@ -311,6 +311,19 @@ class ParityProtector:
                 os.fsync(f.fileno())
             os.replace(tmp, path)
         ok = not unrepairable
+        # operator-visible: silent corruption repair is the one event a
+        # deployment must notice (tracing_config.rs role)
+        from frankensearch_tpu.utils.tracing import get_logger
+
+        get_logger("durability").warning(
+            "parity repair on %s: %d bad stripe(s), %d repaired%s",
+            path, len(bad), len(repaired),
+            "" if ok else f", {len(unrepairable)} group(s) UNREPAIRABLE",
+            extra={"fs_extra": {
+                "artifact": path, "bad": list(bad),
+                "repaired": list(repaired), "unrepairable_groups": list(unrepairable),
+            }},
+        )
         return RepairReport(
             ok=ok,
             scanned_stripes=n_stripes,

@@ -95,6 +95,13 @@ def rebuild_fast_tier_from_wal(root: str, artifact: str | None = None) -> Rebuil
     from frankensearch_tpu.core.generation import refresh_manifest
 
     refresh_manifest(root)  # census changed under the rebuild
+    from frankensearch_tpu.utils.tracing import get_logger
+
+    get_logger("rebuild").warning(
+        "fast tier rebuilt from WAL: %d live vector(s) into %s",
+        len(doc_ids), path,
+        extra={"fs_extra": {"artifact": path, "live": len(doc_ids)}},
+    )
     # the artifact now owns these vectors; fold EXACTLY the replayed
     # prefix away (a writer may still be appending during recovery —
     # their post-snapshot batches must survive in the tail)
