@@ -626,23 +626,41 @@ def open_hybrid(
         from frankensearch_tpu.fusion.mmr import MmrDiversifier
 
         searcher_kwargs["mmr"] = MmrDiversifier(lambda_relevance=cfg.mmr_lambda)
-    if cfg.hubness_beta > 0.0 and "hubness" not in searcher_kwargs:
-        from frankensearch_tpu.fusion.hubness import (
-            HubnessCorrector,
-            build_hubness_scores,
-        )
-
+    if (cfg.hubness_beta > 0.0 and "hubness" not in searcher_kwargs) or (
+        cfg.neighbor_smoothing and "smoother" not in searcher_kwargs
+    ):
+        # both need the O(N^2) all-pairs similarity precompute over the
+        # slab; share the guard (and the vectors) between them
         n = index.fast.record_count
         if n <= cfg.hubness_max_docs:
-            searcher_kwargs["hubness"] = HubnessCorrector(
-                beta=cfg.hubness_beta,
-                scores_by_row=build_hubness_scores(index.fast.vectors_f32()),
-            )
+            vecs = index.fast.vectors_f32()
+            if cfg.hubness_beta > 0.0 and "hubness" not in searcher_kwargs:
+                from frankensearch_tpu.fusion.hubness import (
+                    HubnessCorrector,
+                    build_hubness_scores,
+                )
+
+                searcher_kwargs["hubness"] = HubnessCorrector(
+                    beta=cfg.hubness_beta,
+                    scores_by_row=build_hubness_scores(vecs),
+                )
+            if cfg.neighbor_smoothing and "smoother" not in searcher_kwargs:
+                from frankensearch_tpu.fusion.hubness import (
+                    ScoreSmoother,
+                    build_neighbor_lists,
+                )
+
+                searcher_kwargs["smoother"] = ScoreSmoother(
+                    alpha=cfg.smoothing_alpha,
+                    neighbors_by_row=build_neighbor_lists(
+                        vecs, k=cfg.smoothing_neighbors
+                    ),
+                )
         else:
             import warnings
 
             warnings.warn(
-                f"hubness_beta={cfg.hubness_beta} skipped: {n} docs exceeds "
+                f"hubness/smoothing skipped: {n} docs exceeds "
                 f"hubness_max_docs={cfg.hubness_max_docs} (O(N^2) precompute)",
                 stacklevel=2,
             )

@@ -136,6 +136,14 @@ class TwoTierSearcher:
         self.feedback = feedback
         self.hubness = hubness
         self.smoother = smoother
+        if nqc is None and self.config.nqc_downweight:
+            # config-demanded NQC (normalize.rs): needs no external
+            # resources, so the searcher constructs it directly —
+            # before this the nqc_downweight key (and the interaction
+            # matrix's nqc lane) was silently inert
+            from frankensearch_tpu.fusion.normalize import NqcDownweight
+
+            nqc = NqcDownweight()
         self.nqc = nqc
         self.governor = governor
         self.graph_ranker = graph_ranker

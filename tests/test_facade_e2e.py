@@ -317,7 +317,7 @@ class TestQualityKernelsConstructedFromConfig:
     def test_hubness_skips_above_cap_with_warning(self, tmp_path):
         root = self._root(tmp_path)
         cfg = fs.TwoTierConfig(hubness_beta=0.2, hubness_max_docs=2, use_pallas=False)
-        with pytest.warns(UserWarning, match="hubness_beta"):
+        with pytest.warns(UserWarning, match="hubness"):
             handle = fs.open_hybrid(
                 root, fast_embedder=fs.HashEmbedder(dim=128), config=cfg
             )
@@ -328,3 +328,21 @@ class TestQualityKernelsConstructedFromConfig:
 
         with pytest.raises(InvalidConfig):
             fs.TwoTierConfig(mmr_lambda=1.5).validate()
+
+    def test_nqc_and_smoothing_constructed_from_config(self, tmp_path):
+        root = self._root(tmp_path)
+        cfg = fs.TwoTierConfig(
+            nqc_downweight=True, neighbor_smoothing=True, smoothing_alpha=0.2,
+            smoothing_neighbors=2, use_pallas=False,
+        )
+        handle = fs.open_hybrid(
+            root, fast_embedder=fs.HashEmbedder(dim=128), config=cfg
+        )
+        s = handle.searcher
+        # nqc needs no resources: constructed by the searcher itself
+        assert s.nqc is not None
+        # smoother shares the O(N^2) precompute guard with hubness
+        assert s.smoother is not None and s.smoother.alpha == 0.2
+        assert s.smoother.neighbors_by_row  # 5-doc corpus > k+1? ensure built
+        out = s.search("buried treasure map", k=3)
+        assert out.results
