@@ -468,6 +468,78 @@ def cmd_search(args) -> dict:
     return env
 
 
+def cmd_shadow(args) -> dict:
+    """Lexical-backend migration confidence (core/shadow.py; parity
+    shadow.rs): build the serving oracle AND a candidate backend from
+    the same corpus, run a query set through both, and report rank/
+    score divergences — swap backends only when agreement holds."""
+    from frankensearch_tpu.core.shadow import ShadowLexical
+    from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+
+    if args.candidate == "fts5":
+        from frankensearch_tpu.lexical.fts5_adapter import (
+            Fts5LexicalIndex,
+            fts5_available,
+        )
+
+        if not fts5_available():
+            return error_envelope("unavailable", "sqlite build lacks FTS5")
+        candidate = Fts5LexicalIndex()
+    else:  # "device": the packed scorer lane
+        from frankensearch_tpu.lexical.device_bm25 import DeviceBm25Index
+
+        candidate = None  # built from the oracle below
+    primary = MemoryLexicalIndex()
+    n_docs = 0
+    skips: list[str] = []
+    for doc in _iter_corpus(args.corpus, skips):
+        primary.add_document(doc)
+        if candidate is not None:
+            candidate.add_document(doc)
+        n_docs += 1
+    primary.commit()
+    if candidate is not None:
+        candidate.commit()
+    else:
+        from frankensearch_tpu.lexical.device_bm25 import DeviceBm25Index
+
+        candidate = DeviceBm25Index(primary)
+    if args.queries_file:
+        with open(args.queries_file, encoding="utf-8") as f:
+            queries = [q.strip() for q in f if q.strip()]
+    else:
+        queries = list(args.query)
+    if not queries:
+        return error_envelope("invalid_request", "no queries (--queries-file or -q)")
+    sh = ShadowLexical(
+        primary, candidate, score_rel_tolerance=args.score_tolerance
+    )
+    for q in queries:
+        sh.search_candidates(q, args.k)
+    rep = sh.report
+    by_kind: dict[str, int] = {}
+    for d in rep.divergences:
+        by_kind[d.kind] = by_kind.get(d.kind, 0) + 1
+    return envelope(
+        {
+            "candidate": args.candidate,
+            "docs": n_docs,
+            "queries": rep.queries,
+            "agreement_rate": round(rep.agreement_rate, 4),
+            "divergent_queries": rep.divergent_queries,
+            "shadow_errors": rep.shadow_errors,
+            "divergences_by_kind": by_kind,
+            "primary_ms": round(rep.primary_ms, 1),
+            "shadow_ms": round(rep.shadow_ms, 1),
+            "samples": [
+                {"query": d.query, "kind": d.kind, "doc_id": d.doc_id, "detail": d.detail}
+                for d in rep.divergences[: args.max_samples]
+            ],
+        },
+        warnings=skips[:10],
+    )
+
+
 def cmd_repro(args) -> dict:
     """Self-contained replay pack for a query (runtime/repro.py; parity
     fsfs repro.rs): evidence JSONL of every phase + results + metrics,
@@ -1790,6 +1862,23 @@ def build_parser() -> argparse.ArgumentParser:
                     help="record an abandonment (no useful result)")
     sp.add_argument("--dwell", type=float, default=0.0,
                     help="seconds the user dwelled on the doc")
+
+    sp = add("shadow", cmd_shadow,
+             help="migration confidence: run queries through the oracle "
+                  "and a candidate lexical backend, report divergences")
+    sp.add_argument("corpus", help="corpus dir or JSONL file")
+    sp.add_argument("--candidate", choices=["fts5", "device"], default="fts5")
+    sp.add_argument("-q", "--query", action="append", default=[],
+                    help="query to shadow (repeatable)")
+    sp.add_argument("--queries-file", default="",
+                    help="file with one query per line")
+    sp.add_argument("-k", type=int, default=10)
+    sp.add_argument("--score-tolerance", type=float, default=1e-3,
+                    help="relative score drift below this is agreement "
+                         "(engine-native BM25 differs across backends; "
+                         "use a large value to compare match sets/ranks "
+                         "only)")
+    sp.add_argument("--max-samples", type=int, default=20)
 
     sp = add("repro", cmd_repro,
              help="write a self-contained replay pack for a query")

@@ -822,3 +822,31 @@ class TestReproPack:
         assert pack.config and "rrf_k" in pack.config
         for name in ("INDEX.json", "environment.json", "evidence.jsonl"):
             assert os.path.exists(os.path.join(out_dir, name))
+
+
+class TestShadowCommand:
+    """core/shadow.py (shadow.rs migration-confidence role) through the
+    real CLI: oracle vs candidate backend over one corpus."""
+
+    def test_device_candidate_full_agreement(self, corpus_file):
+        r = run_cli("--format", "json", "shadow", corpus_file,
+                    "--candidate", "device", "-q", "rust ownership",
+                    "-q", "write ahead log", "-k", "5")
+        assert r.returncode == 0, r.stderr[-500:]
+        d = json.loads(r.stdout)["data"]
+        assert d["agreement_rate"] == 1.0 and d["queries"] == 2
+        assert d["shadow_errors"] == 0
+
+    def test_fts5_candidate_scores_drift_ranks_agree(self, corpus_file):
+        # engine-native BM25 -> score drift at tight tolerance...
+        r = run_cli("--format", "json", "shadow", corpus_file,
+                    "--candidate", "fts5", "-q", "rust ownership",
+                    "--score-tolerance", "1e-9")
+        d = json.loads(r.stdout)["data"]
+        assert d["divergences_by_kind"].get("score_drift", 0) > 0
+        # ...but the match set and ranks agree at rank-only tolerance
+        r = run_cli("--format", "json", "shadow", corpus_file,
+                    "--candidate", "fts5", "-q", "rust ownership",
+                    "--score-tolerance", "1e9")
+        d = json.loads(r.stdout)["data"]
+        assert d["agreement_rate"] == 1.0
