@@ -117,6 +117,93 @@ def _result_rows(results) -> list[dict]:
     return [r.to_dict() for r in results]
 
 
+def _seed_watch_state(args) -> None:
+    """Seed watch snapshot + NDJSON membership after a build so a later
+    `watch` emits exactly the delta since THIS build — including
+    deletions that happen while no watcher runs (the crash catch-up
+    contract, watcher.rs snapshot diff)."""
+    if not os.path.isdir(args.corpus):
+        return
+    from frankensearch_tpu.runtime.watcher import SnapshotWatcher
+
+    SnapshotWatcher(
+        [args.corpus], os.path.join(args.root, "watch_snapshot.json"),
+        debounce_s=0.0,
+    ).poll()
+    # membership seed for NDJSON batches: a later watch must know which
+    # record ids each file contributed so a modify/delete can tombstone
+    # exactly the records that vanished
+    members: dict[str, list[str]] = {}
+    for dirpath, _, files in os.walk(args.corpus):
+        for name in files:
+            if os.path.splitext(name)[1].lower() not in (".jsonl", ".ndjson"):
+                continue
+            full = os.path.join(dirpath, name)
+            try:
+                ids = [d.doc_id for d in _iter_corpus(full)]
+            except (OSError, ValueError):
+                continue
+            members[os.path.relpath(full, args.corpus)] = ids
+    if members:
+        with open(os.path.join(args.root, "watch_members.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump(members, f)
+
+
+def _index_resumable(root: str, docs, stack, cfg, *, batch_size: int = 256):
+    """Crash-safe bootstrap (runtime/orchestration.py; parity fsfs
+    orchestration.rs:20-249): the first batch scaffolds the index via
+    IndexBuilder, later batches ride the WAL-append lane, and a
+    ResumeToken persists after every completed batch — an interrupted
+    run re-invoked with the same args resumes at the cursor instead of
+    re-embedding everything. Returns (doc_count, resumed_from)."""
+    from frankensearch_tpu.builder import IndexBuilder, open_hybrid
+    from frankensearch_tpu.runtime.orchestration import IndexingOrchestrator
+
+    orch = IndexingOrchestrator(
+        os.path.join(root, "resume_token.json"), batch_size=batch_size
+    )
+    resumed_from = orch.token.processed
+    docs_by_id = {d.doc_id: d for d in docs}
+    state = {"handle": None}
+
+    def process_batch(batch):
+        if state["handle"] is None and not os.path.exists(
+            os.path.join(root, "vector.fast.idx")
+        ):
+            (
+                IndexBuilder(root)
+                .with_documents(batch)
+                .with_embedder_stack(stack)
+                .with_config(cfg)
+                .build()
+            )
+            return
+        if state["handle"] is None:
+            state["handle"] = open_hybrid(root, fast_embedder=stack.fast, config=cfg)
+        handle = state["handle"]
+        vecs = handle.searcher.fast_embedder.embed_batch(
+            [d.content for d in batch]
+        )
+        handle.index.append_fast([d.doc_id for d in batch], vecs)
+        target = handle.delta if handle.delta is not None else handle.lexical
+        if target is not None:
+            for d in batch:
+                target.add_document(d)
+            target.commit()
+        if handle.storage is not None:
+            handle.storage.upsert_documents_bulk(
+                (d.doc_id, d.content, d.title, d.metadata) for d in batch
+            )
+
+    try:
+        orch.run_bootstrap(docs_by_id, process_batch)
+    finally:
+        if state["handle"] is not None:
+            state["handle"].close()
+    return len(docs_by_id), resumed_from
+
+
 def cmd_index(args) -> dict:
     from frankensearch_tpu.builder import IndexBuilder
     from frankensearch_tpu.core.config import TwoTierConfig
@@ -130,6 +217,22 @@ def cmd_index(args) -> dict:
         cfg.slab_dtype = args.slab_dtype
     if getattr(args, "lexical_backend", None):
         cfg.lexical_backend = args.lexical_backend
+    if getattr(args, "resumable", False):
+        n, resumed_from = _index_resumable(
+            args.root, docs, stack, cfg,
+            batch_size=getattr(args, "resume_batch", 256),
+        )
+        _seed_watch_state(args)
+        warn = [f"skipped malformed record {r}" for r in rec_skips[:20]]
+        if resumed_from:
+            warn.append(
+                f"resumed bootstrap at {resumed_from} already-processed docs"
+            )
+        return envelope(
+            {"root": args.root, "doc_count": n, "resumed_from": resumed_from,
+             "mode": "resumable"},
+            warnings=warn,
+        )
     stats = (
         IndexBuilder(args.root)
         .with_documents(docs)
@@ -137,35 +240,7 @@ def cmd_index(args) -> dict:
         .with_config(cfg)
         .build()
     )
-    if os.path.isdir(args.corpus):
-        # seed the watch snapshot with the just-indexed state so a later
-        # `watch` emits exactly the delta since THIS build — including
-        # deletions that happen while no watcher is running (the crash
-        # catch-up contract, watcher.rs snapshot diff)
-        from frankensearch_tpu.runtime.watcher import SnapshotWatcher
-
-        SnapshotWatcher(
-            [args.corpus], os.path.join(args.root, "watch_snapshot.json"),
-            debounce_s=0.0,
-        ).poll()
-        # membership seed for NDJSON batches: a later watch must know
-        # which record ids each file contributed so a modify/delete can
-        # tombstone exactly the records that vanished
-        members: dict[str, list[str]] = {}
-        for dirpath, _, files in os.walk(args.corpus):
-            for name in files:
-                if os.path.splitext(name)[1].lower() not in (".jsonl", ".ndjson"):
-                    continue
-                full = os.path.join(dirpath, name)
-                try:
-                    ids = [d.doc_id for d in _iter_corpus(full)]
-                except (OSError, ValueError):
-                    continue
-                members[os.path.relpath(full, args.corpus)] = ids
-        if members:
-            with open(os.path.join(args.root, "watch_members.json"), "w",
-                      encoding="utf-8") as f:
-                json.dump(members, f)
+    _seed_watch_state(args)
     return envelope(
         {
             "root": args.root,
@@ -1804,6 +1879,13 @@ def build_parser() -> argparse.ArgumentParser:
                     default=None,
                     help="vector slab dtype (int8 = capacity lane: 2x docs/"
                          "chip, two-pass rescore; default bf16)")
+    sp.add_argument("--resumable", action="store_true",
+                    help="crash-safe bootstrap: a ResumeToken persists "
+                         "after every batch so an interrupted build "
+                         "re-invoked with the same args resumes at the "
+                         "cursor (orchestration.rs)")
+    sp.add_argument("--resume-batch", type=int, default=256, metavar="N",
+                    help="docs per resumable batch (token granularity)")
 
     sp = add("search", cmd_search, help="two-tier progressive search")
     sp.epilog = (

@@ -850,3 +850,45 @@ class TestShadowCommand:
                     "--score-tolerance", "1e9")
         d = json.loads(r.stdout)["data"]
         assert d["agreement_rate"] == 1.0
+
+
+class TestResumableIndex:
+    """index --resumable (runtime/orchestration.py; orchestration.rs
+    ResumeToken): an interrupted bootstrap re-invoked with the same args
+    resumes at the persisted cursor instead of re-embedding everything."""
+
+    def _corpus(self, tmp_path, n, name):
+        p = tmp_path / name
+        p.write_text("\n".join(
+            json.dumps({"id": f"d{i:03d}", "content": f"payload token{i} alpha"})
+            for i in range(n)
+        ))
+        return str(p)
+
+    def test_bootstrap_then_simulated_crash_resumes(self, tmp_path):
+        root = str(tmp_path / "ix")
+        half = self._corpus(tmp_path, 20, "half.jsonl")
+        full = self._corpus(tmp_path, 40, "full.jsonl")
+        r = run_cli("--format", "json", "index", half, "--root", root,
+                    "--resumable", "--resume-batch", "10")
+        assert r.returncode == 0, r.stderr[-500:]
+        assert json.loads(r.stdout)["data"]["doc_count"] == 20
+        tok = json.loads(open(os.path.join(root, "resume_token.json")).read())
+        assert tok["phase"] == "steady" and tok["processed"] == 20
+        # simulate a crash mid-bootstrap of the FULL corpus: the first 20
+        # (sorted) docs completed, cursor at d019
+        with open(os.path.join(root, "resume_token.json"), "w") as f:
+            f.write(json.dumps({"phase": "bootstrap", "cursor": "d019",
+                                "processed": 20, "total_planned": 40}))
+        r = run_cli("--format", "json", "index", full, "--root", root,
+                    "--resumable", "--resume-batch", "10")
+        assert r.returncode == 0, r.stderr[-500:]
+        body = json.loads(r.stdout)
+        assert body["data"]["resumed_from"] == 20
+        assert any("resumed bootstrap" in w for w in body["warnings"])
+        # tail-half docs are searchable; token is steady at 40
+        r = run_cli("--format", "json", "search", "token35", "--root", root, "-k", "2")
+        hits = [h["doc_id"] for h in json.loads(r.stdout)["data"]]
+        assert "d035" in hits
+        tok = json.loads(open(os.path.join(root, "resume_token.json")).read())
+        assert tok["phase"] == "steady" and tok["processed"] == 40
