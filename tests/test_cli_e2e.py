@@ -210,7 +210,11 @@ class TestCliContract:
             "--format", "json", "config", "--root", index_root,
             env_extra={"FRANKENSEARCH_RRF_K": "42"},
         )
-        assert json.loads(r.stdout)["data"]["rrf_k"] == 42
+        d = json.loads(r.stdout)["data"]
+        # layered config (runtime/config.py): payload now nests the
+        # effective config under "config" with per-key attribution
+        assert d["config"]["rrf_k"] == 42
+        assert d["sources"]["rrf_k"] == "env"
 
     def test_version(self):
         r = run_cli("--format", "json", "version", "--root", "/tmp")
