@@ -939,9 +939,18 @@ def cmd_watch(args) -> dict:
     members_path = os.path.join(args.root, "watch_members.json")
     try:
         with open(members_path, encoding="utf-8") as f:
-            members: dict[str, list[str]] = json.load(f)
+            raw_members = json.load(f)
     except (OSError, ValueError):
-        members = {}
+        raw_members = {}
+    # shape-validate: a corrupt sidecar must degrade to re-learning
+    # memberships, never crash the watch (probed: {"f": 123} raised
+    # TypeError mid-cycle; a str value would have iterated CHARS into
+    # garbage tombstones)
+    members: dict[str, list[str]] = {}
+    if isinstance(raw_members, dict):
+        for k, v in raw_members.items():
+            if isinstance(v, (list, tuple)):
+                members[str(k)] = [str(i) for i in v]
     while True:
         batch = watcher.poll()
         if batch:

@@ -896,3 +896,28 @@ class TestResumableIndex:
         assert "d035" in hits
         tok = json.loads(open(os.path.join(root, "resume_token.json")).read())
         assert tok["phase"] == "steady" and tok["processed"] == 40
+
+
+class TestWatchMembersCorruption:
+    def test_shape_corrupt_members_sidecar_never_crashes_watch(self, tmp_path):
+        """Probed: {"f": 123} in watch_members.json raised TypeError mid-
+        cycle (and a str value would iterate CHARS into garbage
+        tombstones) — corruption must degrade to re-learning memberships."""
+        corpus = tmp_path / "docs"
+        corpus.mkdir()
+        (corpus / "feed.jsonl").write_text(
+            json.dumps({"id": "r1", "content": "alpha beta"}) + "\n"
+        )
+        root = str(tmp_path / "ix")
+        r = run_cli("--format", "json", "index", str(corpus), "--root", root)
+        assert r.returncode == 0, r.stderr[-500:]
+        for garbage in ('{"feed.jsonl": 123}', '{"feed.jsonl": "chars"}', "[1,2]"):
+            with open(os.path.join(root, "watch_members.json"), "w") as f:
+                f.write(garbage)
+            (corpus / "feed.jsonl").write_text(
+                json.dumps({"id": "r1", "content": "alpha beta changed"}) + "\n"
+            )
+            r = run_cli("--format", "json", "watch", str(corpus), "--root", root,
+                        "--once", "--cycles", "2", "--debounce", "0")
+            assert r.returncode == 0, (garbage, r.stderr[-500:])
+            assert '"ok": true' in r.stdout, (garbage, r.stdout[-300:])
