@@ -26,8 +26,56 @@ import time
 import numpy as np
 
 
+def _probe_device(timeout_s: float = 240.0) -> str | None:
+    """Bounded platform probe. On the axon remote backend a dead tunnel
+    makes jax.devices() sleep in a reconnect loop FOREVER (it never
+    raises) — probing in a subprocess with a deadline turns an
+    unbounded driver hang into one honest error line."""
+    import os
+    import subprocess
+    import sys
+
+    # honor an explicit single-platform JAX_PLATFORMS even though
+    # sitecustomize re-pins the remote backend (CLAUDE.md gotcha: the
+    # env var alone is not enough; jax.config wins)
+    code = (
+        "import os, jax\n"
+        "p = os.environ.get('JAX_PLATFORMS')\n"
+        "if p and ',' not in p:\n"
+        "    jax.config.update('jax_platforms', p)\n"
+        "print(jax.devices()[0].platform)"
+    )
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout_s,
+            env=dict(os.environ),
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    out = res.stdout.strip().splitlines()
+    return out[-1] if res.returncode == 0 and out else None
+
+
 def main() -> None:
+    if _probe_device() is None:
+        print(json.dumps({
+            "metric": "scan_qps_per_chip",
+            "value": 0,
+            "unit": "qps",
+            "vs_baseline": 0,
+            "error": "device backend unreachable (remote-compile tunnel down); "
+                     "no measurement taken",
+        }))
+        return
+
+    import os
+
     import jax
+
+    plat_env = os.environ.get("JAX_PLATFORMS")
+    if plat_env and "," not in plat_env:
+        jax.config.update("jax_platforms", plat_env)
     import jax.numpy as jnp
 
     from frankensearch_tpu.ops.topk_scan import scan_topk_xla

@@ -37,6 +37,31 @@ def _l2_normalize_rows(x: np.ndarray) -> np.ndarray:
     return np.where(norms > 1e-12, x / np.maximum(norms, 1e-12), x)
 
 
+def _sanitize_rows(x: np.ndarray) -> np.ndarray:
+    """Non-finite rows become zero vectors at admission. A zero row
+    scores 0 against every query and naturally sinks; a NaN row floods
+    lax.top_k (NaN compares as max) and then drops at the host — probed
+    2026-08-18: 10 poisoned rows in a 20-doc corpus starved k=5 to ZERO
+    hits. Poisoned embeddings (broken model batch, bf16 overflow) must
+    degrade to unfindable docs, never to blacked-out search."""
+    if not x.size:
+        return x
+    bad = ~np.isfinite(x).all(axis=1)
+    n_bad = int(bad.sum())
+    if n_bad:
+        x = x.copy()
+        x[bad] = 0.0
+        from frankensearch_tpu.utils.tracing import get_logger
+
+        get_logger("index").warning(
+            "%d non-finite vector row(s) zeroed at admission "
+            "(docs become unfindable instead of starving top-k)",
+            n_bad,
+            extra={"fs_extra": {"non_finite_rows": n_bad}},
+        )
+    return x
+
+
 @dataclass(frozen=True)
 class ScanStats:
     total_rows: int
@@ -68,7 +93,7 @@ class DeviceVectorIndex:
         use_pallas: bool = True,
         normalize: bool = True,
     ) -> None:
-        vectors = np.asarray(vectors, dtype=np.float32)
+        vectors = _sanitize_rows(np.asarray(vectors, dtype=np.float32))
         n, d = vectors.shape if vectors.size else (0, identity.dim or 0)
         if len(doc_ids) != n:
             raise ValueError(f"{n} vectors for {len(doc_ids)} doc ids")
@@ -205,7 +230,7 @@ class DeviceVectorIndex:
         or exhausted capacity fall back to the full rebuild (which mints
         fresh padding).
         """
-        vecs = np.asarray(vectors, dtype=np.float32)
+        vecs = _sanitize_rows(np.asarray(vectors, dtype=np.float32))
         if vecs.size and vecs.shape[1] != self.dim:
             raise DimensionMismatch(self.dim, vecs.shape[1])
         new_ids = list(doc_ids)

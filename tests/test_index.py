@@ -170,6 +170,33 @@ class TestDeviceIndex:
         assert hits[0][0].doc_id == "doc-0"
 
 
+    def test_nonfinite_rows_sanitized_at_admission(self, rng):
+        """Probed 2026-08-18: NaN doc rows flood lax.top_k (NaN compares
+        as max) then drop at the host — 10 poisoned rows in a 20-doc
+        corpus starved k=5 to ZERO hits. Admission zeroes non-finite
+        rows: clean docs always fill the top-k first."""
+        vecs = rng.standard_normal((20, 32)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        vecs[5:15] = np.nan
+        idx = DeviceVectorIndex(
+            vecs, [f"doc-{i}" for i in range(20)], IDENT, use_pallas=False
+        )
+        hits = idx.search_classified(vecs[0], 5).hits
+        assert len(hits) == 5
+        assert hits[0].doc_id == "doc-0"
+        clean = {f"doc-{i}" for i in list(range(5)) + list(range(15, 20))}
+        positive = [h for h in hits if h.score > 0.0]
+        assert positive and all(h.doc_id in clean for h in positive)
+
+    def test_nonfinite_append_sanitized(self, rng):
+        idx, vecs, ids = make_index(rng)
+        bad = np.full((2, 32), np.inf, dtype=np.float32)
+        idx2 = idx.with_appended(["bad-a", "bad-b"], bad)
+        hits = idx2.search_classified(vecs[3], 3).hits
+        assert hits[0].doc_id == "doc-3"
+        assert all(h.score > 0.0 or not h.doc_id.startswith("bad") for h in hits)
+
+
 class TestTwoTier:
     def test_create_open_search(self, rng, tmp_path):
         fast = make_unit_rows(rng, 30, 32)
