@@ -466,3 +466,44 @@ class TestPhase2Prefetch:
         # short-circuit: results are lexical-only, no hash-vector noise
         for r in out.results:
             assert not (r.sources & SearchSource.FAST_VECTOR), r.doc_id
+
+
+class TestFeedbackFolding:
+    """Probed 2026-08-18: _signals grew one event per click per doc
+    FOREVER (persisted into control_plane.json, scanned per boost_for).
+    Exponential decay composes exactly, so one anchored pair per doc
+    replaces the list — same boosts, bounded state."""
+
+    def test_folded_boost_matches_eventwise_math(self):
+        import math
+
+        t = [1000.0]
+        fb = FeedbackBooster(half_life_s=100.0, clock=lambda: t[0])
+        fb.record_click("a")          # at t=1000
+        t[0] = 1050.0
+        fb.record_click("a")          # at t=1050
+        t[0] = 1100.0
+        want = fb.click_boost * math.pow(0.5, 1.0) + fb.click_boost * math.pow(0.5, 0.5)
+        assert fb.boost_for("a") == pytest.approx(1.0 + want, rel=1e-9)
+        assert isinstance(fb._signals["a"], tuple)  # one pair, not a list
+
+    def test_old_eventwise_state_folds_on_load(self):
+        t = [1100.0]
+        old = {"signals": {"a": [[1000.0, 0.1], [1050.0, 0.1]]}}
+        fb = FeedbackBooster.from_state(old, half_life_s=100.0, clock=lambda: t[0])
+        import math
+
+        want = 0.1 * math.pow(0.5, 1.0) + 0.1 * math.pow(0.5, 0.5)
+        assert fb.boost_for("a") == pytest.approx(1.0 + want, rel=1e-9)
+        # round-trips in the compact shape
+        state = fb.to_state()
+        assert state["signals"]["a"][0] == 1050.0
+
+    def test_decayed_and_overflow_docs_pruned(self):
+        t = [0.0]
+        fb = FeedbackBooster(half_life_s=10.0, max_docs=5, clock=lambda: t[0])
+        for i in range(8):
+            fb.record_click(f"d{i}")
+        assert len(fb._signals) <= 5
+        t[0] = 1e6  # every signal fully decayed
+        assert fb.to_state()["signals"] == {}
