@@ -189,3 +189,44 @@ class TestSearcherWiring:
     def test_record_feedback_without_controls_is_noop(self, tmp_path):
         h = _handle(tmp_path, TwoTierConfig(use_pallas=False))
         h.searcher.record_feedback("topic words", "d1", rank=1, requested_k=10)
+
+
+class TestConformalCounts:
+    """Calibration ranks are bounded ints, stored as counts-per-rank: the
+    quantile math is identical to the pre-fold sorted event list, and
+    old persisted states fold exactly on load."""
+
+    def test_quantiles_match_eventwise_definition(self):
+        from frankensearch_tpu.fusion.conformal import ConformalK
+
+        import math
+        ranks = [1, 3, 3, 5, 8, 8, 8, 21, 40, 101]
+        c = ConformalK(alpha=0.2, max_k=100)
+        c.calibrate(ranks)
+        # the reference definition over the explicit sorted list
+        for alpha in (0.05, 0.1, 0.2, 0.5):
+            n = len(ranks)
+            q = min(max(math.ceil((n + 1) * (1.0 - alpha)) - 1, 0), n - 1)
+            want = min(sorted(ranks)[q], 100)
+            assert c.required_k(confidence=1.0 - alpha) == want, alpha
+
+    def test_legacy_event_list_state_folds(self):
+        from frankensearch_tpu.fusion.conformal import ConformalK
+
+        old = {"alpha": 0.1, "max_k": 50, "gamma": 0.02,
+               "ranks": [2, 2, 7, 51, 51], "alpha_t": 0.1}
+        c = ConformalK.from_state(old)
+        assert c._n == 5
+        state = c.to_state()
+        assert state["rank_counts"] == {"2": 2, "7": 1, "51": 2}
+        assert ConformalK.from_state(state).required_k() == c.required_k()
+
+    def test_state_size_constant_in_events(self):
+        from frankensearch_tpu.fusion.conformal import ConformalK
+
+        import json
+        c = ConformalK(max_k=10)
+        for _ in range(10_000):
+            c.add_rank(4)
+        assert len(json.dumps(c.to_state())) < 200
+        assert c.required_k() == 4
