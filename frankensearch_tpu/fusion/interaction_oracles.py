@@ -40,6 +40,9 @@ LANE_CATALOG: tuple[Lane, ...] = (
     Lane("mrl", _with(mrl_search_dims=32)),
     Lane("low_rrf_k", _with(rrf_k=20)),
     Lane("nqc", _with(nqc_downweight=True)),
+    # intent-aware stage planning: budgets + plan-gated phases must hold
+    # every oracle in combination with the rest of the catalog
+    Lane("plan", _with(query_planning=True)),
 )
 
 
