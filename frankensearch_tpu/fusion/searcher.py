@@ -1680,6 +1680,14 @@ class TwoTierSearcher:
                 top_n=min(self.config.rerank_top_n, len(results)),
             )
             metrics.rerank_ms = getattr(reranked, "rerank_ms", 0.0)
+            if getattr(reranked, "skipped", False):
+                # surface the pipeline's skip reason (rerank_error /
+                # no_text / no_input) instead of a silent None — a
+                # raising reranker was invisible in metrics (probed)
+                metrics.phase3_skip_reason = (
+                    getattr(reranked, "skip_reason", None) or "rerank_skipped"
+                )
+                return None
             out = reranked.results if hasattr(reranked, "results") else reranked
             if self.mmr is not None:
                 out = self.mmr.apply(out, self.index)

@@ -68,7 +68,13 @@ def rerank_step(
     except Exception:
         return RerankOutcome(results=results, skipped=True, skip_reason="rerank_error")
     rerank_ms = (time.monotonic() - t0) * 1000.0
-    by_doc = {s.doc_id: s.score for s in scored}
+    # non-finite scores are garbage, not signal: a NaN-scoring reranker
+    # poisoned every result score shown to the user (probed 2026-08-18;
+    # NaN also destabilizes the sort and propagates through feedback
+    # boosts). Unscored docs keep their fused position.
+    import math
+
+    by_doc = {s.doc_id: s.score for s in scored if math.isfinite(s.score)}
 
     # min-max normalize fused scores over the head for WEIGHTED combine
     fused = [r.score for r in head]

@@ -192,3 +192,49 @@ class TestSearcherPhase3:
         kinds = [p.kind for p in out.phases]
         assert PhaseKind.RERANKED in kinds
         assert any(r.rerank_score is not None for r in out.results)
+
+
+class TestRerankHostileScores:
+    """Probed 2026-08-18: a NaN/inf-scoring reranker poisoned every
+    result score shown to the user; a raising reranker skipped silently
+    (no phase-3 reason in metrics)."""
+
+    def _results(self, n=6):
+        from frankensearch_tpu.core.types import ScoredResult
+
+        return [ScoredResult(doc_id=f"d{i}", score=1.0 - i * 0.1) for i in range(n)]
+
+    def test_nonfinite_scores_dropped_doc_keeps_position(self):
+        import math
+        from dataclasses import dataclass
+
+        from frankensearch_tpu.rerank.pipeline import rerank_step
+
+        @dataclass
+        class S:
+            doc_id: str
+            score: float
+
+        class NanRR:
+            def score_pairs(self, query, pairs):
+                return [
+                    S(d, float("nan") if d != "d3" else 9.0) for d, _ in pairs
+                ]
+
+        out = rerank_step(
+            NanRR(), "q", self._results(), lambda d: f"text {d}", top_n=6
+        )
+        assert not out.skipped
+        assert all(math.isfinite(r.score) for r in out.results)
+        assert out.results[0].doc_id == "d3"  # the one finite signal wins
+
+    def test_raising_reranker_reports_typed_skip(self):
+        from frankensearch_tpu.rerank.pipeline import rerank_step
+
+        class Boom:
+            def score_pairs(self, query, pairs):
+                raise RuntimeError("boom")
+
+        out = rerank_step(Boom(), "q", self._results(), lambda d: "t", top_n=6)
+        assert out.skipped and out.skip_reason == "rerank_error"
+        assert [r.doc_id for r in out.results] == [f"d{i}" for i in range(6)]
