@@ -42,9 +42,16 @@ class DefaultCanonicalizer:
     def __init__(self, max_chars: int = MAX_DOCUMENT_CHARS) -> None:
         self.max_chars = max_chars
 
+    #: queries beyond this carry no additional retrieval signal (the
+    #: lexical arms already truncate at 10k, fts5_adapter
+    #: MAX_QUERY_LENGTH); an uncapped query made every arm pay O(len) —
+    #: a 6 MB serve query cost 8.7 s of embed/tokenize work (probed)
+    MAX_QUERY_CHARS = 10_000
+
     def canonicalize_query(self, query: str) -> str:
-        """Queries: NFC normalize + trim only (canonicalize.rs contract)."""
-        return unicodedata.normalize("NFC", query).strip()
+        """Queries: NFC normalize + trim + length cap
+        (canonicalize.rs contract; cap matches the lexical arms')."""
+        return unicodedata.normalize("NFC", query[: self.MAX_QUERY_CHARS]).strip()
 
     def canonicalize_document(self, text: str) -> str:
         return self.canonicalize_document_with_stats(text)[0]

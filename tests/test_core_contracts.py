@@ -91,6 +91,14 @@ class TestCanonicalizer:
     def test_query_nfc_trim_only(self):
         assert self.canon.canonicalize_query("  hello  world  ") == "hello  world"
 
+    def test_query_length_capped(self):
+        # probed: a 6 MB serve query cost 8.7 s of O(len) embed/tokenize
+        # work; beyond the lexical arms' 10k cap there is no signal
+        big = "word " * 1_000_000
+        out = self.canon.canonicalize_query(big)
+        assert len(out) <= DefaultCanonicalizer.MAX_QUERY_CHARS
+        assert out.startswith("word ")
+
     def test_doc_whitespace_collapse(self):
         out = self.canon.canonicalize_document("a   b\t\tc\n\n\n\nd")
         assert out == "a b c\n\nd"
