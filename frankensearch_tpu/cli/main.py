@@ -1010,6 +1010,20 @@ def cmd_watch(args) -> dict:
                 # NDJSON file: its member records die with it
                 gone_ids.extend(members.pop(rel, None) or [rel])
             if gone_ids:
+                # a doc id provided by MULTIPLE files dies only with its
+                # last provider: members is already updated for this
+                # batch, so any id still claimed by a surviving file (or
+                # just re-ingested) must not be tombstoned (probed:
+                # deleting a.jsonl killed a doc b.jsonl still provides)
+                still_provided = {d.doc_id for d in docs}
+                for ids in members.values():
+                    still_provided.update(ids)
+                seen: set[str] = set()
+                gone_ids = [
+                    i for i in gone_ids
+                    if i not in still_provided and not (i in seen or seen.add(i))
+                ]
+            if gone_ids:
                 # every arm (vector WAL tombstone + lexical delta +
                 # storage) — same contract as `fsfs delete`
                 handle.delete(gone_ids)

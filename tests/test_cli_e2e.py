@@ -921,3 +921,37 @@ class TestWatchMembersCorruption:
                         "--once", "--cycles", "2", "--debounce", "0")
             assert r.returncode == 0, (garbage, r.stderr[-500:])
             assert '"ok": true' in r.stdout, (garbage, r.stdout[-300:])
+
+
+class TestSharedDocIdAcrossFiles:
+    def test_doc_dies_only_with_its_last_provider(self, tmp_path):
+        """Probed: a doc id provided by TWO NDJSON files was tombstoned
+        when the FIRST file was deleted, even though the second still
+        provides it. It must die only with its last provider."""
+        corpus = tmp_path / "docs"
+        corpus.mkdir()
+        (corpus / "a.jsonl").write_text(
+            json.dumps({"id": "shared", "content": "alpha shared doc"}) + "\n"
+            + json.dumps({"id": "only-a", "content": "beta only in a"}) + "\n"
+        )
+        (corpus / "b.jsonl").write_text(
+            json.dumps({"id": "shared", "content": "alpha shared doc"}) + "\n"
+        )
+        root = str(tmp_path / "ix")
+        r = run_cli("--format", "json", "index", str(corpus), "--root", root)
+        assert r.returncode == 0, r.stderr[-500:]
+        (corpus / "a.jsonl").unlink()
+        r = run_cli("--format", "json", "watch", str(corpus), "--root", root,
+                    "--once", "--cycles", "2", "--debounce", "0")
+        assert r.returncode == 0, r.stderr[-500:]
+        r = run_cli("--format", "json", "search", "alpha shared", "--root", root)
+        ids = [h["doc_id"] for h in json.loads(r.stdout)["data"]]
+        assert "shared" in ids and "only-a" not in ids
+        # now delete the LAST provider: the doc dies
+        (corpus / "b.jsonl").unlink()
+        r = run_cli("--format", "json", "watch", str(corpus), "--root", root,
+                    "--once", "--cycles", "2", "--debounce", "0")
+        assert r.returncode == 0, r.stderr[-500:]
+        r = run_cli("--format", "json", "search", "alpha shared", "--root", root)
+        ids = [h["doc_id"] for h in json.loads(r.stdout)["data"]]
+        assert "shared" not in ids
