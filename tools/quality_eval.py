@@ -94,7 +94,16 @@ def build_world(n_topics=120, seed=7):
         docs.append(
             IndexableDocument(doc_id=f"topic-{t}-noise", content=other[0] + " " + pad())
         )
-        queries.append(" ".join(canon))
+        # mixed query classes so the per-class slices carry signal
+        # (search_quality_harness.rs report v2 slices): a third full
+        # natural-language, a third 2-term short-keyword, a third the
+        # leading canonical term alone (identifier-ish)
+        if t % 3 == 0:
+            queries.append(" ".join(canon))
+        elif t % 3 == 1:
+            queries.append(" ".join(canon[:2]))
+        else:
+            queries.append(canon[0])
         qrels.append(rel)
 
     # fast tier: term-identity vectors; quality tier: synonym-aware
@@ -128,19 +137,30 @@ def _fresh(rng, dim):
 
 
 def evaluate(searcher, queries, qrels):
+    from frankensearch_tpu.core.query_class import QueryClass
+
     per_q_ndcg, per_q_mrr, per_q_rec = [], [], []
+    by_class: dict[str, list[float]] = {}
     for q, rel in zip(queries, qrels):
         out = searcher.search(q, k=K)
         ids = [r.doc_id for r in out.results]
-        per_q_ndcg.append(ndcg_at_k(ids, rel, K))
+        score = ndcg_at_k(ids, rel, K)
+        per_q_ndcg.append(score)
         per_q_mrr.append(mrr(ids, rel))
         per_q_rec.append(recall_at_k(ids, rel, K))
+        by_class.setdefault(QueryClass.classify(q).value, []).append(score)
     ci = bootstrap_ci(per_q_ndcg, n_resamples=2000, seed=1)
     return {
         "ndcg@10": round(float(np.mean(per_q_ndcg)), 4),
         "ndcg_ci95": [round(ci.lo, 4), round(ci.hi, 4)],
         "mrr": round(float(np.mean(per_q_mrr)), 4),
         "recall@10": round(float(np.mean(per_q_rec)), 4),
+        # per-query-class slices (reference search_quality_harness.rs
+        # report v2): where does each config win or lose?
+        "by_query_class": {
+            c: {"n": len(v), "ndcg@10": round(float(np.mean(v)), 4)}
+            for c, v in sorted(by_class.items())
+        },
     }
 
 
