@@ -18,8 +18,10 @@ run() {
 run python -m tools.bench_bm25_selectivity 1000000 64
 
 # 2. T-axis A/B for the sparse-compare step (einsum vs sequential
-#    accumulation x T padding 16 vs 8)
+#    accumulation x T padding 16 vs 8), at the batch peak AND the
+#    small-batch point where merge amortization matters most
 run python -m tools.bench_bm25_tpad 64
+run python -m tools.bench_bm25_tpad 8
 
 # 3. sub-batch grouping re-test (B=8 cells): per-block cost is now
 #    ~linear in B, so selectivity-grouped dispatch may have flipped
