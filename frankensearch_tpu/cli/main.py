@@ -543,6 +543,19 @@ def cmd_search(args) -> dict:
     return env
 
 
+def cmd_footprint(args) -> dict:
+    """Dry-run index footprint advisor (runtime/footprint.py; parity
+    docs/fsfs-index-footprint-advisor-contract.md): byte census over the
+    five domains + deterministic compact/rebuild/retention/feature
+    recommendations with projected savings, risk labels, and replay
+    commands. Never deletes or rewrites anything."""
+    from frankensearch_tpu.runtime.footprint import measure
+
+    if not os.path.isdir(args.root):
+        return error_envelope("not_found", f"index root {args.root} not found")
+    return envelope(measure(args.root).to_dict())
+
+
 def cmd_shadow(args) -> dict:
     """Lexical-backend migration confidence (core/shadow.py; parity
     shadow.rs): build the serving oracle AND a candidate backend from
@@ -1967,6 +1980,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="record an abandonment (no useful result)")
     sp.add_argument("--dwell", type=float, default=0.0,
                     help="seconds the user dwelled on the doc")
+
+    add("footprint", cmd_footprint,
+        help="dry-run footprint advisor: byte census + compaction/"
+             "retention/feature recommendations (never deletes)")
 
     sp = add("shadow", cmd_shadow,
              help="migration confidence: run queries through the oracle "

@@ -25,6 +25,7 @@ EXPECTED_VERSIONS = {
     "flex_lexical": 1,
     "fleet_node": 1,
     "acquisition_receipt": 1,
+    "footprint_advisor": 1,
 }
 
 
@@ -56,6 +57,7 @@ def check_schema_lockstep() -> ContractReport:
     from frankensearch_tpu.embed.model_manifest import MANIFEST_SCHEMA_VERSION
     from frankensearch_tpu.fleet.registry import NODE_SCHEMA_VERSION
     from frankensearch_tpu.lexical.persist import FLEX_VERSION
+    from frankensearch_tpu.runtime.footprint import ADVISOR_VERSION
     from frankensearch_tpu.utils.bench_regression import GOLDEN_SCHEMA_VERSION
 
     check("telemetry", TELEMETRY_SCHEMA_VERSION)
@@ -67,6 +69,7 @@ def check_schema_lockstep() -> ContractReport:
     check("flex_lexical", FLEX_VERSION)
     check("fleet_node", NODE_SCHEMA_VERSION)
     check("acquisition_receipt", RECEIPT_SCHEMA_VERSION)
+    check("footprint_advisor", ADVISOR_VERSION)
     return report
 
 

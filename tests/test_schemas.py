@@ -431,3 +431,77 @@ class TestResultRegistry:
         (tmp_path / REGISTRY_FILE).write_text("{broken json")
         reg = load_registry(str(tmp_path))
         assert reg.resolve("r1") == "r1"
+
+
+class TestFootprintAdvisor:
+    """Dry-run footprint advisor (runtime/footprint.py; parity
+    fsfs-index-footprint-advisor-contract.md): real producer validates,
+    auto-delete is structurally impossible, thresholds fire
+    deterministically."""
+
+    schema = staticmethod(lambda: load("footprint-advisor-v1.schema.json"))
+
+    def _seed_root(self, tmp_path):
+        root = tmp_path / "ix"
+        (root / "lexical" / "gen-1").mkdir(parents=True)
+        (root / "lexical" / "gen-2").mkdir(parents=True)
+        (root / "lexical" / "gen-3").mkdir(parents=True)
+        for g in ("gen-1", "gen-2", "gen-3"):
+            (root / "lexical" / g / "index.flexb").write_bytes(b"x" * 1000)
+        (root / "vector.fast.idx").write_bytes(b"v" * 4000)
+        (root / "vector.fast.idx.wal").write_bytes(b"w" * 2000)  # 50% of fast
+        (root / "metadata.db").write_bytes(b"m" * 100)
+        (root / ".quarantine").mkdir()
+        (root / ".quarantine" / "old.idx").write_bytes(b"q" * 500)
+        (root / "stale.tmp").write_bytes(b"t" * 64)
+        return str(root)
+
+    def test_real_producer_validates_and_recommends(self, tmp_path):
+        from frankensearch_tpu.runtime.footprint import measure
+
+        report = measure(self._seed_root(tmp_path)).to_dict()
+        jsonschema.validate(report, self.schema())
+        assert report["automatic_deletion_allowed"] is False
+        actions = {(r["domain"], r["action"]) for r in report["recommendations"]}
+        assert ("vector_index", "compact") in actions  # WAL >= 25% of fast
+        assert ("lexical_index", "retention") in actions  # 3 gens > keep 2
+        assert ("artifacts", "retention") in actions  # quarantine + tmp
+        for r in report["recommendations"]:
+            assert r["projected_savings_bytes"] > 0 and r["replay_cmd"]
+        assert report["domains"]["lexical_index"] == 3000
+        assert report["domains"]["vector_index"] == 6000
+        assert report["total_bytes"] == sum(report["domains"].values())
+
+    def test_clean_root_no_recommendations(self, tmp_path):
+        from frankensearch_tpu.runtime.footprint import measure
+
+        root = tmp_path / "clean"
+        root.mkdir()
+        (root / "vector.fast.idx").write_bytes(b"v" * 4000)
+        (root / "vector.fast.idx.wal").write_bytes(b"w" * 10)  # tiny WAL
+        report = measure(str(root)).to_dict()
+        jsonschema.validate(report, self.schema())
+        assert report["recommendations"] == []
+
+    def test_auto_delete_fixture_rejected(self):
+        bad = {
+            "v": 1, "automatic_deletion_allowed": True, "root": "/x",
+            "domains": {"vector_index": 0, "lexical_index": 0, "metadata": 0,
+                        "model_cache": 0, "artifacts": 0},
+            "total_bytes": 0, "recommendations": [],
+        }
+        with pytest.raises(jsonschema.ValidationError):
+            jsonschema.validate(bad, self.schema())
+
+    def test_missing_replay_cmd_rejected(self):
+        bad = {
+            "v": 1, "automatic_deletion_allowed": False, "root": "/x",
+            "domains": {"vector_index": 0, "lexical_index": 0, "metadata": 0,
+                        "model_cache": 0, "artifacts": 0},
+            "total_bytes": 0,
+            "recommendations": [{"domain": "vector_index", "action": "compact",
+                                 "reason": "r", "projected_savings_bytes": 1,
+                                 "risk": "low"}],
+        }
+        with pytest.raises(jsonschema.ValidationError):
+            jsonschema.validate(bad, self.schema())
