@@ -211,6 +211,22 @@ def cmd_index(args) -> dict:
 
     rec_skips: list[str] = []
     docs = list(_iter_corpus(args.corpus, rec_skips))
+    if getattr(args, "preflight", False) or getattr(args, "privacy_enforce", False):
+        # corpus privacy preflight (runtime/preflight.py; parity
+        # fsfs-corpus-privacy-preflight.md): deterministic rule matrix,
+        # redacted evidence only
+        from frankensearch_tpu.runtime.preflight import preflight
+
+        report = preflight(docs)
+        if getattr(args, "preflight", False):  # dry-run: report, no build
+            return envelope(report.to_dict())
+        overrides = frozenset(getattr(args, "privacy_allow", []) or [])
+        excluded = report.excluded_ids(overrides)
+        docs = [d for d in docs if d.doc_id not in excluded]
+        args._privacy_warnings = [
+            f"privacy: excluded {f.doc_id} ({f.reason_code})"
+            for f in report.findings if f.doc_id in excluded
+        ]
     stack = EmbedderStack.auto_detect(args.root, fast_dim=args.hash_dim)
     cfg = TwoTierConfig.from_env()
     if getattr(args, "slab_dtype", None):
@@ -258,6 +274,7 @@ def cmd_index(args) -> dict:
             },
         },
         warnings=list(stats.warnings)
+        + getattr(args, "_privacy_warnings", [])
         + [f"skipped malformed record {r}" for r in rec_skips[:20]]
         + ([f"... and {len(rec_skips) - 20} more malformed records"]
            if len(rec_skips) > 20 else []),
@@ -1915,6 +1932,17 @@ def build_parser() -> argparse.ArgumentParser:
                     default=None,
                     help="vector slab dtype (int8 = capacity lane: 2x docs/"
                          "chip, two-pass rescore; default bf16)")
+    sp.add_argument("--preflight", action="store_true",
+                    help="privacy preflight DRY-RUN: report what would "
+                         "be indexed/skipped/deferred (privacy.* reason "
+                         "codes, redacted evidence) without building")
+    sp.add_argument("--privacy-enforce", action="store_true",
+                    help="apply the preflight decisions during the "
+                         "build: skip/defer findings are excluded")
+    sp.add_argument("--privacy-allow", action="append", default=[],
+                    metavar="CODE",
+                    help="override an overridable privacy rule (e.g. "
+                         "privacy.generated); repeatable")
     sp.add_argument("--resumable", action="store_true",
                     help="crash-safe bootstrap: a ResumeToken persists "
                          "after every batch so an interrupted build "
