@@ -839,8 +839,19 @@ def cmd_doctor(args) -> dict:
                 except FlexbCorrupted as e:
                     check("lexical_flexb_integrity", False, str(e))
         check("lexical_generation", bool(artifacts), f"{gen}: {', '.join(artifacts) or 'EMPTY'}")
+    # model-cache diagnostics (embed/diagnostics.py; parity
+    # fsfs-model-cache-diagnostics.md): warm/cold/missing/unknown with
+    # model_cache.* advice, no raw paths, no network
+    from frankensearch_tpu.embed.diagnostics import model_cache_report
+
+    mc = model_cache_report(root)
+    check(
+        "model_cache", mc.state in ("warm", "missing"),
+        f"{mc.state}: {len(mc.models)} model dir(s)"
+        + ("" if not mc.advice else f"; {mc.advice[0]['code']}"),
+    )
     ok = all(f["ok"] for f in findings if f["check"] in ("jax", "root", "fast_artifact"))
-    return envelope({"findings": findings, "healthy": ok})
+    return envelope({"findings": findings, "healthy": ok, "model_cache": mc.to_dict()})
 
 
 def cmd_explain(args) -> dict:

@@ -353,3 +353,38 @@ class TestThreadedDaemonCoalescing:
             np.testing.assert_allclose(
                 np.asarray(results[i], dtype=np.float32), expected, atol=1e-6
             )
+
+
+class TestModelCacheDiagnostics:
+    """embed/diagnostics.py (fsfs-model-cache-diagnostics.md): warm/
+    cold/missing states, model_cache.* advice, structural no-raw-paths
+    and no-network invariants."""
+
+    def test_missing_then_cold_then_warm(self, tmp_path):
+        import json as _json
+
+        from frankensearch_tpu.embed.diagnostics import model_cache_report
+        from frankensearch_tpu.embed.model_manifest import (
+            build_model_manifest,
+            write_model_manifest,
+        )
+
+        root = str(tmp_path)
+        rep = model_cache_report(root)
+        assert rep.state == "missing"
+        assert rep.advice[0]["code"] == "model_cache.missing"
+        d = tmp_path / "models" / "m2v-stub"
+        d.mkdir(parents=True)
+        (d / "model.safetensors").write_bytes(b"weights")
+        rep = model_cache_report(root)
+        assert rep.state == "cold"
+        assert any(a["code"] == "model_cache.unverified" for a in rep.advice)
+        m = build_model_manifest(str(d), "m2v-stub", "r1", 64, "model2vec")
+        write_model_manifest(str(d), m)
+        rep = model_cache_report(root)
+        assert rep.state == "warm" and rep.models[0]["verified"]
+        payload = rep.to_dict()
+        assert payload["raw_paths_present"] is False
+        assert payload["network_required"] is False
+        assert payload["models"][0]["identity"].startswith("sha256:")
+        assert str(tmp_path) not in _json.dumps(payload)  # no raw paths
