@@ -1498,8 +1498,23 @@ def cmd_fleet(args) -> dict | None:
 
         src = LiveDataSource(args.live, stale_after_s=args.stale_after)
         store = FleetStore()
-        store.ingest(list(src.samples()))
+        samples = list(src.samples())
+        store.ingest(samples)
         nodes = src.nodes()
+        if getattr(args, "slo", False):
+            # SLO error budgets + anomaly payloads over the registry's
+            # sample horizon (fleet/slo.py; parity slo-anomaly-contract)
+            import time as _time
+
+            from frankensearch_tpu.fleet.slo import from_fleet_samples
+
+            report = from_fleet_samples(samples).report(_time.time())
+            report["nodes"] = len(nodes)
+            # drop no-data windows from the wire payload (noise)
+            report["budgets"] = [
+                b for b in report["budgets"] if b["total_events"] > 0
+            ]
+            return envelope(report)
         screen = FleetScreen(nodes_fn=lambda: nodes, rollups_fn=store.rollups)
         if args.format == "table":
             print(screen.render(100))
@@ -2120,6 +2135,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "serve/daemon processes) instead of the simulator")
     sp.add_argument("--stale-after", type=float, default=15.0,
                     help="heartbeats older than this mark the node unhealthy")
+    sp.add_argument("--slo", action="store_true",
+                    help="with --live: SLO error budgets + anomaly "
+                         "payloads over the registry samples "
+                         "(slo-anomaly-contract v1 formulas)")
     sp.add_argument("--nodes", type=int, default=4)
     sp.add_argument("--ticks", type=int, default=30)
     sp.add_argument("--seed", type=int, default=0)

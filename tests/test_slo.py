@@ -1,0 +1,118 @@
+"""SLO error budgets + anomaly payloads (fleet/slo.py).
+
+Parity model: reference docs/slo-anomaly-contract.md — machine-testable
+v1 formulas with deterministic test vectors, the four canonical
+metrics, all seven windows, slo./anomaly. reason codes, and the
+anomaly payload shape (baseline, deviation, suppression, confidence).
+"""
+
+import pytest
+
+from frankensearch_tpu.fleet.slo import (
+    BUDGET_FRACTIONS,
+    METRICS,
+    WINDOWS,
+    SloEvaluator,
+    budget_alert,
+    error_budget,
+    from_fleet_samples,
+)
+
+
+class TestBudgetFormulas:
+    def test_contract_test_vectors(self):
+        # bad_ratio = 5/100 = 0.05; objective 0.05 -> consumed 1.0;
+        # window 1h budget_fraction 0.10 -> burn 10.0
+        b = error_budget(5, 100, metric_id="search_latency_p95", window="1h")
+        assert b["formula_version"] == "v1"
+        assert b["bad_ratio"] == pytest.approx(0.05)
+        assert b["consumed"] == pytest.approx(1.0)
+        assert b["remaining"] == pytest.approx(0.0)
+        assert b["burn_rate"] == pytest.approx(10.0)
+        # zero events: bad_ratio uses max(total,1) -> 0, no consumption
+        b = error_budget(0, 0, metric_id="query_failure_rate", window="1w")
+        assert b["consumed"] == 0.0 and b["remaining"] == 1.0
+        # consumption clamps at 1.0 even when bad_ratio >> objective
+        b = error_budget(50, 100, metric_id="query_failure_rate", window="1m")
+        assert b["consumed"] == 1.0
+        assert b["burn_rate"] == pytest.approx(1.0 / BUDGET_FRACTIONS["1m"])
+
+    def test_registry_shape(self):
+        assert set(METRICS) == {
+            "search_latency_p95", "query_failure_rate",
+            "stale_index_lag", "embedding_backlog_age",
+        }
+        assert set(WINDOWS) == {"1m", "15m", "1h", "6h", "24h", "3d", "1w"}
+        assert all(BUDGET_FRACTIONS[w] > 0 for w in WINDOWS)
+        for spec in METRICS.values():
+            assert 0 < spec["objective_bad_ratio"] <= 1
+            assert spec["unit"] and spec["reason_code_prefix"]
+
+    def test_alert_reason_codes_and_severity(self):
+        hot = error_budget(50, 100, metric_id="query_failure_rate", window="1m")
+        a = budget_alert(hot)
+        assert a["reason_code"] == "slo.query_failure_rate.budget_burn_high"
+        assert a["severity"] == "critical"
+        cool = error_budget(0, 100, metric_id="query_failure_rate", window="1m")
+        assert budget_alert(cool) is None
+
+
+class TestEvaluator:
+    def test_window_bucketing_deterministic(self):
+        ev = SloEvaluator()
+        now = 1_000_000.0
+        # 10 latency events in the last minute: 2 breach 100 ms
+        for i in range(10):
+            ev.record("search_latency_p95", 150.0 if i < 2 else 50.0, now - i)
+        # one ancient breach outside every window except 1w
+        ev.record("search_latency_p95", 900.0, now - WINDOWS["3d"] - 1)
+        budgets = {(b["metric_id"], b["window"]): b for b in ev.budgets(now)}
+        m1 = budgets[("search_latency_p95", "1m")]
+        assert (m1["bad_events"], m1["total_events"]) == (2, 10)
+        w1 = budgets[("search_latency_p95", "1w")]
+        assert (w1["bad_events"], w1["total_events"]) == (3, 11)
+
+    def test_anomaly_payload_contract(self):
+        ev = SloEvaluator()
+        now = 1_000_000.0
+        # stable baseline over 6h, then a spike in the last 15m
+        for i in range(50):
+            ev.record("search_latency_p95", 50.0 + (i % 3), now - 1000 - i * 60)
+        for i in range(10):
+            ev.record("search_latency_p95", 400.0, now - i)
+        anomalies = ev.anomalies(now)
+        assert anomalies, "spike must be detected"
+        a = anomalies[0]
+        assert a["reason_code"] == "anomaly.search_latency_p95.spike"
+        assert a["baseline"]["method"] and a["baseline"]["lookback_points"] >= 5
+        assert a["deviation"]["z_score"] > 3.0
+        assert a["deviation"]["absolute"] > 0
+        assert a["is_suppressed"] is False and a["policy_id"] is None
+        conf = a["confidence"]
+        assert 0.0 <= conf["score"] <= 1.0
+        assert conf["band"] in ("low", "medium", "high")
+        assert conf["evidence_points"] == 10
+
+    def test_quiet_stream_no_anomalies(self):
+        ev = SloEvaluator()
+        now = 5000.0
+        for i in range(60):
+            ev.record("search_latency_p95", 50.0 + (i % 5), now - i * 60)
+        assert ev.anomalies(now) == []
+
+    def test_unknown_metric_rejected(self):
+        with pytest.raises(KeyError):
+            SloEvaluator().record("made_up", 1.0, 0.0)
+
+    def test_fleet_samples_feed(self):
+        from frankensearch_tpu.fleet.datasource import NodeSample
+
+        samples = [
+            NodeSample(node_id="n1", at_s=100.0, qps=10.0, p50_ms=1.0,
+                       p99_ms=250.0, hbm_used_frac=0.1, queue_pressure=0.0,
+                       doc_count=10, errors=1),
+        ]
+        ev = from_fleet_samples(samples)
+        budgets = {(b["metric_id"], b["window"]): b for b in ev.budgets(101.0)}
+        assert budgets[("search_latency_p95", "1m")]["bad_events"] == 1
+        assert budgets[("query_failure_rate", "1m")]["bad_events"] == 1
