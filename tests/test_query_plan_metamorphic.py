@@ -1,0 +1,163 @@
+"""Query-plan metamorphic contract — corpus-independent planner laws.
+
+Parity model: reference docs/fsfs-query-plan-metamorphic-contract.md
+(bd-pkl0.6): deterministic query families exercised directly against
+the planner/canonicalizer/parser, no indexed documents required.
+"""
+
+import random
+
+import pytest
+
+from frankensearch_tpu.core.canonicalize import DefaultCanonicalizer
+from frankensearch_tpu.core.decision_plane import ResourceBudget
+from frankensearch_tpu.core.parsed_query import ParsedQuery
+from frankensearch_tpu.core.query_class import QueryClass
+from frankensearch_tpu.runtime.query_planner import (
+    QueryIntent,
+    classify_intent,
+    plan_query,
+)
+
+CANON = DefaultCanonicalizer()
+
+#: deterministic query families (the contract's generated cases)
+FAMILIES = {
+    "identifier": ["db_sqlite_v2", "HttpClientFactory", "ERR_CONN_RESET",
+                   "libfoo.so.3"],
+    "keyword": ["database", "vector index", "rust async"],
+    "natural_language": [
+        "how does the hierarchical scan merge partial results",
+        "what is the best way to shard a vector slab",
+    ],
+    "empty": ["", "   ", "\t\n"],
+}
+
+
+def _whitespace_mutations(q, seed=0):
+    rng = random.Random(seed)
+    out = [q, f"  {q}", f"{q}   ", f"\t{q}\n"]
+    words = q.split()
+    if len(words) > 1:
+        out.append("  ".join(words))
+        k = rng.randrange(1, len(words))
+        out.append(" ".join(words[:k]) + "   " + " ".join(words[k:]))
+    return out
+
+
+class TestCanonicalizationLaws:
+    @pytest.mark.parametrize("family", sorted(FAMILIES))
+    def test_idempotence(self, family):
+        for q in FAMILIES[family]:
+            once = CANON.canonicalize_query(q)
+            assert CANON.canonicalize_query(once) == once, (family, q)
+
+    def test_whitespace_variants_share_leading_trailing_trim(self):
+        for q in FAMILIES["keyword"] + FAMILIES["natural_language"]:
+            base = CANON.canonicalize_query(q)
+            for m in (f"  {q}", f"{q}  ", f"\t{q}\n"):
+                assert CANON.canonicalize_query(m) == base, (q, repr(m))
+
+
+class TestStableClassification:
+    @pytest.mark.parametrize("family,intent", [
+        ("identifier", QueryIntent.LOOKUP),
+        ("keyword", QueryIntent.KEYWORD),
+        ("natural_language", QueryIntent.EXPLORATORY),
+        ("empty", QueryIntent.EMPTY),
+    ])
+    def test_family_intent_stable_across_whitespace(self, family, intent):
+        for q in FAMILIES[family]:
+            for m in _whitespace_mutations(q):
+                got = classify_intent(CANON.canonicalize_query(m))
+                assert got is intent, (family, repr(m), got)
+
+    def test_query_class_stable_across_whitespace(self):
+        for fam in ("identifier", "keyword", "natural_language"):
+            for q in FAMILIES[fam]:
+                base = QueryClass.classify(CANON.canonicalize_query(q))
+                for m in _whitespace_mutations(q, seed=1):
+                    assert QueryClass.classify(CANON.canonicalize_query(m)) is base
+
+
+class TestBudgetLaws:
+    def test_stage_budgets_safe_and_bounded(self):
+        budget = ResourceBudget(wall_ms=200.0)
+        for fam in ("identifier", "keyword", "natural_language"):
+            for q in FAMILIES[fam]:
+                plan = plan_query(q, budget=budget, has_quality=True,
+                                  has_reranker=True)
+                total = 0.0
+                for s in plan.stages:
+                    assert s.budget_ms >= 0.0, (q, s)
+                    total += s.budget_ms
+                assert total <= plan.total_budget_ms + 1e-9, (q, total)
+
+    def test_empty_query_plans_nothing(self):
+        for q in FAMILIES["empty"]:
+            plan = plan_query(q)
+            assert plan.intent is QueryIntent.EMPTY
+            assert plan.stages == []
+
+    def test_identifier_lexical_biased_quality_off(self):
+        for q in FAMILIES["identifier"]:
+            plan = plan_query(q, has_quality=True, has_reranker=True)
+            lex = plan.stage("lexical")
+            qual = plan.stage("quality")
+            assert lex is not None and lex.enabled
+            assert qual is not None and not qual.enabled
+            assert lex.budget_ms >= max(
+                s.budget_ms for s in plan.stages if s.stage != "lexical"
+            )
+
+    def test_natural_language_semantic_biased(self):
+        for q in FAMILIES["natural_language"]:
+            plan = plan_query(q, has_quality=True, has_reranker=True)
+            qual = plan.stage("quality")
+            assert qual is not None and qual.enabled and qual.budget_ms > 0
+
+    def test_missing_capability_falls_back_with_reason(self):
+        plan = plan_query(FAMILIES["natural_language"][0],
+                          has_quality=False, has_reranker=False)
+        assert not plan.stage("quality").enabled
+        assert plan.stage("quality").reason == "no quality tier"
+        assert not plan.stage("rerank").enabled
+        assert plan.stage("rerank").reason == "no reranker"
+
+
+class TestNegationParsingLaws:
+    @pytest.mark.parametrize("raw,expected_neg", [
+        ("alpha -noise", ["noise"]),
+        ('alpha NOT "exact phrase"', ["exact phrase"]),
+        ("-leading term", ["leading"]),
+    ])
+    def test_negation_families(self, raw, expected_neg):
+        parsed = ParsedQuery.parse(CANON.canonicalize_query(raw))
+        negs = [n.lower() for n in parsed.negative_terms]
+        for want in expected_neg:
+            assert want in negs, (raw, negs)
+
+    def test_negation_stable_across_whitespace(self):
+        for m in _whitespace_mutations("alpha -noise beta", seed=2):
+            parsed = ParsedQuery.parse(CANON.canonicalize_query(m))
+            assert [n.lower() for n in parsed.negative_terms] == ["noise"], repr(m)
+
+
+class TestTieBreakDeterminism:
+    def test_rrf_tie_break_policy_order(self):
+        from frankensearch_tpu.core.config import FusionStrategy
+        from frankensearch_tpu.core.types import ScoredResult, VectorHit
+        from frankensearch_tpu.fusion.rrf import fuse_by_strategy
+
+        lex = [ScoredResult(doc_id=d, score=1.0) for d in ("b", "a", "c")]
+        sem: list[VectorHit] = []
+        out1 = fuse_by_strategy(FusionStrategy.RRF, lex, sem, limit=10)
+        out2 = fuse_by_strategy(FusionStrategy.RRF, list(lex), list(sem),
+                                limit=10)
+        assert [r.doc_id for r in out1] == [r.doc_id for r in out2]
+        # lexical ranks differ (b<a<c by arm order), so fused scores are
+        # strictly ordered; same-rank reruns must be byte-stable, and any
+        # equal-score ties resolve by the documented (score desc, id asc)
+        for prev, cur in zip(out1, out1[1:]):
+            assert (prev.score > cur.score
+                    or (prev.score == cur.score and prev.doc_id < cur.doc_id))
