@@ -1323,13 +1323,72 @@ def cmd_download(args) -> dict:
     })
 
 
+def cmd_update(args) -> dict:
+    """Self-update transaction (fsfs update, runtime.rs:4257): semver
+    gate, --check mode, refuse-unverified-bytes checksum ladder, staged
+    generations with --rollback. The Python package itself stays
+    pip-managed; the staged bundle under <root>/updates is the mutable
+    generation."""
+    from frankensearch_tpu import __version__
+    from frankensearch_tpu.runtime.install import (
+        LocalReleaseDir,
+        NetworkReleaseSource,
+        UpdateError,
+        collect_update_payload,
+        rollback_update,
+    )
+
+    updates_dir = os.path.join(args.root, "updates")
+    try:
+        if args.rollback:
+            return envelope(rollback_update(updates_dir))
+        if args.url:
+            source = NetworkReleaseSource(args.url)
+        elif args.from_dir:
+            source = LocalReleaseDir(args.from_dir)
+        else:
+            return error_envelope(
+                "source_required",
+                "provide --url <base> or --from-dir <release bundle> "
+                "(zero-egress installs use a staged local bundle)",
+            )
+        return envelope(
+            collect_update_payload(
+                __version__, source, updates_dir=updates_dir,
+                check_only=args.check,
+            )
+        )
+    except UpdateError as e:
+        return error_envelope(e.code, str(e))
+
+
+def cmd_uninstall(args) -> dict:
+    """Uninstall transaction (fsfs uninstall, runtime.rs:4640): typed
+    targets, --yes/--dry-run gate, purge-only config/model surfaces,
+    per-entry removed/skipped/error statuses."""
+    from frankensearch_tpu.runtime.install import UpdateError, run_uninstall
+
+    try:
+        return envelope(
+            run_uninstall(
+                args.root,
+                dry_run=args.dry_run,
+                confirmed=args.yes,
+                purge=args.purge,
+            )
+        )
+    except UpdateError as e:
+        return error_envelope(e.code, str(e))
+
+
 def cmd_completions(args) -> dict | None:
     """Emit a bash completion script (fsfs completions)."""
-    commands = sorted(
-        {"index", "search", "status", "doctor", "explain", "append-batch",
-         "delete", "compact", "watch", "daemon", "history", "config",
-         "version", "serve", "tui", "flush", "download", "completions"}
-    )
+    # derive from the live parser so new commands never go stale here
+    sub_actions = [
+        a for a in build_parser()._subparsers._group_actions
+        if hasattr(a, "choices")
+    ]
+    commands = sorted(sub_actions[0].choices) if sub_actions else []
     script = f"""# bash completion for frankensearch-tpu
 _frankensearch_tpu() {{
     local cur=${{COMP_WORDS[COMP_CWORD]}}
@@ -2157,6 +2216,24 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-retries", type=int, default=3)
     sp.add_argument("--diagnose", action="store_true",
                     help="report acquisition recovery state instead of acquiring")
+
+    sp = add("update", cmd_update,
+             help="self-update: staged verified release generations")
+    sp.add_argument("--check", action="store_true",
+                    help="report availability only; apply nothing")
+    sp.add_argument("--from-dir", default="", help="local release bundle dir "
+                    "(release.json + asset + SHA256SUMS)")
+    sp.add_argument("--url", default="", help="release base URL (network)")
+    sp.add_argument("--rollback", action="store_true",
+                    help="restore the previously staged version")
+
+    sp = add("uninstall", cmd_uninstall,
+             help="remove index/config state (requires --yes or --dry-run)")
+    sp.add_argument("--yes", action="store_true", help="confirm removal")
+    sp.add_argument("--dry-run", action="store_true",
+                    help="report what would be removed; delete nothing")
+    sp.add_argument("--purge", action="store_true",
+                    help="also remove purge-only targets (models, config)")
 
     sp = add("completions", cmd_completions, help="emit bash completions")
 

@@ -1,0 +1,258 @@
+"""update/uninstall transactions (runtime/install.py).
+
+Parity model: reference runtime.rs:4257-4460 (update: semver gate,
+check-only, refuse-unverified-bytes, rollback) and :4640-4900
+(uninstall: --yes/--dry-run gate, purge-only targets, entry statuses).
+"""
+
+import argparse
+import hashlib
+import json
+import os
+
+import pytest
+
+from frankensearch_tpu.runtime.install import (
+    LocalReleaseDir,
+    NetworkReleaseSource,
+    SemVer,
+    UpdateError,
+    collect_update_payload,
+    collect_uninstall_targets,
+    rollback_update,
+    run_uninstall,
+)
+
+
+def make_bundle(d, version="9.9.9", asset="fs-tpu.tar.gz",
+                blob=b"new-bytes", checksum=True, sums_file=True):
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "release.json"), "w") as f:
+        json.dump({"version": version, "asset": asset,
+                   "url": "local://bundle"}, f)
+    with open(os.path.join(d, asset), "wb") as f:
+        f.write(blob)
+    digest = hashlib.sha256(blob).hexdigest()
+    if checksum:
+        if sums_file:
+            with open(os.path.join(d, "SHA256SUMS"), "w") as f:
+                f.write(f"{digest}  {asset}\n")
+        else:
+            with open(os.path.join(d, asset + ".sha256"), "w") as f:
+                f.write(f"{digest}  {asset}\n")
+    return digest
+
+
+class TestSemVer:
+    def test_ordering_and_v_prefix(self):
+        assert SemVer.parse("v1.2.3") == SemVer.parse("1.2.3")
+        assert SemVer.parse("1.10.0") > SemVer.parse("1.9.9")
+
+    def test_garbage_rejected(self):
+        with pytest.raises(UpdateError):
+            SemVer.parse("1.2")
+
+
+class TestUpdate:
+    def test_check_only_reports_without_staging(self, tmp_path):
+        bundle = tmp_path / "bundle"
+        make_bundle(str(bundle))
+        out = collect_update_payload(
+            "0.1.0", LocalReleaseDir(str(bundle)),
+            updates_dir=str(tmp_path / "updates"), check_only=True,
+        )
+        assert out["update_available"] and out["check_only"]
+        assert not out["applied"]
+        assert not os.path.exists(tmp_path / "updates")
+
+    def test_apply_verifies_and_stages_with_manifest(self, tmp_path):
+        bundle = tmp_path / "bundle"
+        digest = make_bundle(str(bundle))
+        updates = str(tmp_path / "updates")
+        out = collect_update_payload(
+            "0.1.0", LocalReleaseDir(str(bundle)), updates_dir=updates,
+        )
+        assert out["applied"]
+        assert os.path.isfile(os.path.join(updates, "9.9.9", "fs-tpu.tar.gz"))
+        with open(os.path.join(updates, "install-manifest.json")) as f:
+            manifest = json.load(f)
+        assert manifest["installed"] == "9.9.9"
+        assert manifest["sha256"] == digest
+        assert manifest["previous"] == "0.1.0"
+
+    def test_up_to_date_applies_nothing(self, tmp_path):
+        bundle = tmp_path / "bundle"
+        make_bundle(str(bundle), version="0.0.1")
+        out = collect_update_payload(
+            "0.1.0", LocalReleaseDir(str(bundle)),
+            updates_dir=str(tmp_path / "updates"),
+        )
+        assert not out["update_available"] and not out["applied"]
+
+    def test_unverified_bytes_refused(self, tmp_path):
+        bundle = tmp_path / "bundle"
+        make_bundle(str(bundle), checksum=False)
+        with pytest.raises(UpdateError) as ei:
+            collect_update_payload(
+                "0.1.0", LocalReleaseDir(str(bundle)),
+                updates_dir=str(tmp_path / "updates"),
+            )
+        assert ei.value.code == "unverified_bytes"
+
+    def test_checksum_mismatch_refused(self, tmp_path):
+        bundle = tmp_path / "bundle"
+        make_bundle(str(bundle))
+        with open(bundle / "fs-tpu.tar.gz", "wb") as f:
+            f.write(b"tampered")
+        with pytest.raises(UpdateError) as ei:
+            collect_update_payload(
+                "0.1.0", LocalReleaseDir(str(bundle)),
+                updates_dir=str(tmp_path / "updates"),
+            )
+        assert ei.value.code == "checksum_mismatch"
+
+    def test_sidecar_checksum_accepted(self, tmp_path):
+        bundle = tmp_path / "bundle"
+        make_bundle(str(bundle), sums_file=False)
+        out = collect_update_payload(
+            "0.1.0", LocalReleaseDir(str(bundle)),
+            updates_dir=str(tmp_path / "updates"),
+        )
+        assert out["applied"]
+
+    def test_traversal_asset_name_rejected(self, tmp_path):
+        bundle = tmp_path / "bundle"
+        make_bundle(str(bundle))
+        with open(bundle / "release.json", "w") as f:
+            json.dump({"version": "9.9.9", "asset": "../evil"}, f)
+        with pytest.raises(UpdateError) as ei:
+            collect_update_payload(
+                "0.1.0", LocalReleaseDir(str(bundle)),
+                updates_dir=str(tmp_path / "updates"),
+            )
+        assert ei.value.code == "bad_release"
+
+    def test_rollback_restores_previous(self, tmp_path):
+        bundle = tmp_path / "bundle"
+        make_bundle(str(bundle))
+        updates = str(tmp_path / "updates")
+        collect_update_payload("0.1.0", LocalReleaseDir(str(bundle)),
+                               updates_dir=updates)
+        out = rollback_update(updates)
+        assert out["active_version"] == "0.1.0"
+        with pytest.raises(UpdateError):
+            rollback_update(updates)  # nothing left to roll back
+
+    def test_network_source_typed_error_on_dead_endpoint(self, tmp_path):
+        src = NetworkReleaseSource("http://127.0.0.1:1/rel", timeout_s=0.5)
+        with pytest.raises(UpdateError) as ei:
+            collect_update_payload("0.1.0", src,
+                                   updates_dir=str(tmp_path / "updates"))
+        assert ei.value.code == "network_unreachable"
+
+
+class TestUninstall:
+    def _root(self, tmp_path):
+        root = tmp_path / ".fsindex"
+        (root / "models" / "m1").mkdir(parents=True)
+        (root / "models" / "m1" / "w.bin").write_bytes(b"x")
+        (root / "fast.ftvi").write_bytes(b"y")
+        return str(root)
+
+    def test_requires_confirmation(self, tmp_path):
+        with pytest.raises(UpdateError) as ei:
+            run_uninstall(self._root(tmp_path), dry_run=False,
+                          confirmed=False, purge=False)
+        assert ei.value.code == "confirmation_required"
+
+    def test_dry_run_deletes_nothing(self, tmp_path):
+        root = self._root(tmp_path)
+        out = run_uninstall(root, dry_run=True, confirmed=False, purge=True,
+                            user_config_dir=str(tmp_path / "cfg"),
+                            project_dir=str(tmp_path))
+        assert out["removed"] == 0 and out["failed"] == 0
+        assert os.path.isdir(root)
+        assert any("dry-run" in n for n in out["notes"])
+
+    def test_purge_gate_and_package_never_removed(self, tmp_path):
+        root = self._root(tmp_path)
+        cfg = tmp_path / "cfg" / "frankensearch-tpu"
+        cfg.mkdir(parents=True)
+        out = run_uninstall(root, dry_run=False, confirmed=True, purge=False,
+                            user_config_dir=str(tmp_path / "cfg"),
+                            project_dir=str(tmp_path))
+        by = {e["target"]: e for e in out["entries"]}
+        assert by["index_dir"]["status"] == "removed"
+        assert by["user_config_dir"]["status"] == "skipped"
+        assert "purge_only" in by["user_config_dir"]["reason"]
+        assert by["package"]["status"] == "skipped"
+        assert "pip-managed" in by["package"]["reason"]
+        assert not os.path.isdir(root)
+        assert cfg.is_dir()  # purge-only target survived
+
+    def test_purge_removes_config_surfaces(self, tmp_path):
+        root = self._root(tmp_path)
+        cfg = tmp_path / "cfg" / "frankensearch-tpu"
+        cfg.mkdir(parents=True)
+        proj = tmp_path / ".frankensearch.json"
+        proj.write_text("{}")
+        out = run_uninstall(root, dry_run=False, confirmed=True, purge=True,
+                            user_config_dir=str(tmp_path / "cfg"),
+                            project_dir=str(tmp_path))
+        assert out["failed"] == 0
+        assert not cfg.exists() and not proj.exists()
+
+    def test_target_collection_shapes(self, tmp_path):
+        targets = collect_uninstall_targets(
+            str(tmp_path / "r"), user_config_dir=str(tmp_path / "c"),
+            project_dir=str(tmp_path),
+        )
+        names = [t.target for t in targets]
+        assert names == ["package", "model_dir", "index_dir",
+                         "user_config_dir", "project_config"]
+        # model_dir is applied before index_dir so statuses stay meaningful
+        assert names.index("model_dir") < names.index("index_dir")
+
+
+class TestCliSurface:
+    def test_cmd_update_check_and_uninstall_dry_run(self, tmp_path):
+        from frankensearch_tpu.cli.main import cmd_uninstall, cmd_update
+
+        bundle = tmp_path / "bundle"
+        make_bundle(str(bundle))
+        args = argparse.Namespace(root=str(tmp_path / ".fsindex"), check=True,
+                                  from_dir=str(bundle), url="",
+                                  rollback=False)
+        out = cmd_update(args)
+        assert out["ok"] and out["data"]["update_available"]
+
+        args = argparse.Namespace(root=str(tmp_path / ".fsindex"),
+                                  yes=False, dry_run=True, purge=False)
+        out = cmd_uninstall(args)
+        assert out["ok"] and out["data"]["dry_run"]
+
+    def test_cmd_uninstall_requires_yes(self, tmp_path):
+        from frankensearch_tpu.cli.main import cmd_uninstall
+
+        args = argparse.Namespace(root=str(tmp_path), yes=False,
+                                  dry_run=False, purge=False)
+        out = cmd_uninstall(args)
+        assert not out["ok"]
+        assert out["error"]["code"] == "confirmation_required"
+
+    def test_completions_include_every_command(self):
+        from frankensearch_tpu.cli.main import build_parser, cmd_completions
+
+        emitted = []
+        import builtins
+        real_print = builtins.print
+        try:
+            builtins.print = lambda *a, **k: emitted.append(" ".join(map(str, a)))
+            cmd_completions(argparse.Namespace())
+        finally:
+            builtins.print = real_print
+        script = "\n".join(emitted)
+        sub = [a for a in build_parser()._subparsers._group_actions
+               if hasattr(a, "choices")][0]
+        for name in sub.choices:
+            assert name in script, name
