@@ -45,7 +45,7 @@ from frankensearch_tpu.core.types import IndexableDocument
 
 
 def _iter_corpus(
-    path: str, skips: "list[str] | None" = None
+    path: str, skips: "list[str] | None" = None, high_cost=None
 ) -> Iterable[IndexableDocument]:
     """Corpus loader: a JSONL file ({id|doc_id, content|text, title?,
     metadata?}) or a directory tree of text files (doc_id = relpath).
@@ -110,6 +110,21 @@ def _iter_corpus(
             except OSError:
                 continue
             rel = os.path.relpath(full, path)
+            if high_cost is not None:
+                # high-cost artifact contract (runtime/high_cost.py;
+                # high_cost_artifact.rs): vendor/transient trees skip,
+                # giant/generated files index metadata only — embed
+                # work is the expensive resource being protected
+                d = high_cost.decide(
+                    rel, size_bytes=len(content.encode("utf-8", "ignore")),
+                    content_head=content[:4096],
+                )
+                if d.is_skipped:
+                    # the engine's decision log is the reporting surface;
+                    # `skips` stays malformed-NDJSON-records-only
+                    continue
+                if d.is_metadata_only:
+                    content = name  # path/name metadata only, no body
             yield IndexableDocument(doc_id=rel, content=content, title=name)
 
 
@@ -210,7 +225,26 @@ def cmd_index(args) -> dict:
     from frankensearch_tpu.embed.stack import EmbedderStack
 
     rec_skips: list[str] = []
-    docs = list(_iter_corpus(args.corpus, rec_skips))
+    high_cost = None
+    if os.path.isdir(args.corpus):
+        from frankensearch_tpu.runtime.high_cost import HighCostEngine, OverrideStore
+
+        store = OverrideStore(os.path.join(args.root, "high_cost_overrides.json"))
+        for fi in getattr(args, "force_include", []) or []:
+            # force-include override: reason-required, TTL <= 24 h
+            # (high_cost_artifact.rs OverridePolicy)
+            reason = getattr(args, "force_include_reason", "") or ""
+            try:
+                store.request(fi, reason)
+            except ValueError as e:
+                return error_envelope("override_rejected", f"{fi}: {e}")
+        high_cost = HighCostEngine(overrides=store)
+    docs = list(_iter_corpus(args.corpus, rec_skips, high_cost=high_cost))
+    if high_cost is not None and high_cost.decisions:
+        args._privacy_warnings = getattr(args, "_privacy_warnings", []) + [
+            f"high_cost: {d.final_action} {d.path} ({d.reason_code})"
+            for d in high_cost.decisions
+        ]
     if getattr(args, "preflight", False) or getattr(args, "privacy_enforce", False):
         # corpus privacy preflight (runtime/preflight.py; parity
         # fsfs-corpus-privacy-preflight.md): deterministic rule matrix,
@@ -219,11 +253,14 @@ def cmd_index(args) -> dict:
 
         report = preflight(docs)
         if getattr(args, "preflight", False):  # dry-run: report, no build
-            return envelope(report.to_dict())
+            payload = report.to_dict()
+            if high_cost is not None:
+                payload["high_cost"] = high_cost.report()
+            return envelope(payload)
         overrides = frozenset(getattr(args, "privacy_allow", []) or [])
         excluded = report.excluded_ids(overrides)
         docs = [d for d in docs if d.doc_id not in excluded]
-        args._privacy_warnings = [
+        args._privacy_warnings = getattr(args, "_privacy_warnings", []) + [
             f"privacy: excluded {f.doc_id} ({f.reason_code})"
             for f in report.findings if f.doc_id in excluded
         ]
@@ -2024,6 +2061,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--privacy-enforce", action="store_true",
                     help="apply the preflight decisions during the "
                          "build: skip/defer findings are excluded")
+    sp.add_argument("--force-include", action="append", default=[],
+                    metavar="RELPATH",
+                    help="force-include a path the high-cost artifact "
+                         "contract would skip/downgrade (vendor trees, "
+                         "archives, giant logs); requires "
+                         "--force-include-reason, TTL-bounded to 24h")
+    sp.add_argument("--force-include-reason", default="",
+                    help="why the force-include is justified (required "
+                         "by the override policy)")
     sp.add_argument("--privacy-allow", action="append", default=[],
                     metavar="CODE",
                     help="override an overridable privacy rule (e.g. "

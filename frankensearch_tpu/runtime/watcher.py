@@ -26,7 +26,12 @@ _TEXT_EXTS = {
     # watchable too (cmd_watch explodes these into per-record docs)
     ".jsonl", ".ndjson",
 }
-_SKIP_DIRS = {".git", ".hg", "__pycache__", "node_modules", ".venv", "target"}
+_SKIP_DIRS = {
+    ".git", ".hg", "__pycache__", "node_modules", ".venv", "target",
+    # high-cost artifact contract (runtime/high_cost.py;
+    # high_cost_artifact.rs): vendor + transient build trees skip
+    "vendor", "third_party", ".cargo", "build", "dist", ".cache",
+}
 MAX_FILE_BYTES = 2_000_000  # giant-file skip (fsfs file_classification.rs)
 
 
