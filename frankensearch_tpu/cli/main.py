@@ -1032,10 +1032,55 @@ def cmd_watch(args) -> dict:
     while True:
         batch = watcher.poll()
         if batch:
-            created_or_modified = [c for c in batch if c.kind != "deleted"]
+            created_or_modified = [
+                c for c in batch if c.kind in ("created", "modified")
+            ]
             deleted = [c for c in batch if c.kind == "deleted"]
             docs = []
             gone_ids: list[str] = []
+            renamed = 0
+            rename_from_ids: set[str] = set()
+            # renames preserve identity (incremental_change.rs rename/
+            # move semantics): the content is hash-confirmed unchanged,
+            # so the doc re-keys WITHOUT re-embedding — the old fast/
+            # quality vectors are gathered by row and appended under
+            # the new id; only storage/lexical re-key textually
+            moved_docs: list[IndexableDocument] = []
+            for c in [c for c in batch if c.kind == "renamed"]:
+                rel_from = os.path.relpath(c.rename_from, args.corpus)
+                rel_to = os.path.relpath(c.path, args.corpus)
+                if os.path.splitext(c.path)[1].lower() in (".jsonl", ".ndjson"):
+                    # member records keep their own ids: pure re-key
+                    members[rel_to] = members.pop(rel_from, [])
+                    renamed += 1
+                    continue
+                row = handle.index.fast.row_for(rel_from)
+                if row is None:
+                    created_or_modified.append(c)  # unknown: plain create
+                    continue
+                try:
+                    from frankensearch_tpu.runtime.watcher import open_regular_text
+
+                    with open_regular_text(c.path) as f:
+                        content = f.read()
+                except OSError:
+                    continue
+                handle.index.append_fast(
+                    [rel_to], handle.index.fast.vector_for_row(row)[None, :]
+                )
+                if handle.index.quality is not None:
+                    qrow = handle.index.quality.row_for(rel_from)
+                    if qrow is not None:
+                        handle.index.append_quality(
+                            [rel_to],
+                            handle.index.quality.vector_for_row(qrow)[None, :],
+                        )
+                moved_docs.append(
+                    IndexableDocument(doc_id=rel_to, content=content)
+                )
+                gone_ids.append(rel_from)
+                rename_from_ids.add(rel_from)
+                renamed += 1
             for c in created_or_modified:
                 rel = os.path.relpath(c.path, args.corpus)
                 if os.path.splitext(c.path)[1].lower() in (".jsonl", ".ndjson"):
@@ -1066,6 +1111,8 @@ def cmd_watch(args) -> dict:
             if docs:
                 vecs = handle.searcher.fast_embedder.embed_batch([d.content for d in docs])
                 handle.index.append_fast([d.doc_id for d in docs], vecs)
+            docs = docs + moved_docs  # moved docs re-key text arms only
+            if docs:
                 if handle.delta is not None:
                     # searchable before seal: the delta serves these
                     # immediately; the lease auto-seals into a packed
@@ -1110,7 +1157,11 @@ def cmd_watch(args) -> dict:
                 with open(tmp, "w", encoding="utf-8") as f:
                     json.dump(members, f)
                 os.replace(tmp, members_path)
-            batches.append({"ingested": len(docs), "deleted": len(gone_ids)})
+            batches.append({
+                "ingested": len(docs) - len(moved_docs),
+                "deleted": len([i for i in gone_ids if i not in rename_from_ids]),
+                "renamed": renamed,
+            })
         if window > 0 and time.monotonic() - last_sync >= window:
             handle.index.sync_wal()
             last_sync = time.monotonic()

@@ -36,11 +36,31 @@ MAX_FILE_BYTES = 2_000_000  # giant-file skip (fsfs file_classification.rs)
 
 
 @dataclass(frozen=True)
+class RenameMovePolicy:
+    """Rename/move detection contract (incremental_change.rs:169
+    RenameMovePolicy defaults): identity keys inode + content hash,
+    same-device renames preserve identity, cross-device moves need a
+    hash confirm. The digest is a sha256 over the first 4096 bytes
+    (incremental_change.rs:151 HashPolicy sample_prefix_bytes)."""
+
+    identity_keys: tuple[str, ...] = ("inode", "content_hash")
+    same_device_rename_preserves_identity: bool = True
+    cross_device_move: str = "hash_confirm"
+    sample_prefix_bytes: int = 4096
+
+
+@dataclass(frozen=True)
 class FileChange:
     path: str
-    kind: str  # "created" | "modified" | "deleted"
+    kind: str  # "created" | "modified" | "deleted" | "renamed"
     size: int = 0
     mtime: float = 0.0
+    #: identity evidence for rename pairing (incremental_change.rs)
+    ino: int = -1
+    dev: int = -1
+    digest: str = ""
+    #: set only on kind == "renamed": the old path
+    rename_from: str = ""
 
 
 @dataclass(frozen=True)
@@ -53,6 +73,28 @@ class SkipReason:
 class ScanResult:
     changes: list[FileChange] = field(default_factory=list)
     skipped: list[SkipReason] = field(default_factory=list)
+
+
+RENAME_POLICY = RenameMovePolicy()
+
+
+def _prefix_digest(path: str, n_bytes: int) -> str:
+    """sha256 over the first ``n_bytes`` (HashPolicy sample prefix);
+    hang-proof against FIFOs, "" when unreadable."""
+    import hashlib
+
+    try:
+        fd = os.open(path, os.O_RDONLY | os.O_NONBLOCK)
+    except OSError:
+        return ""
+    try:
+        if not stat.S_ISREG(os.fstat(fd).st_mode):
+            return ""
+        return hashlib.sha256(os.read(fd, n_bytes)).hexdigest()[:16]
+    except OSError:
+        return ""
+    finally:
+        os.close(fd)
 
 
 def _classify(path: str) -> str | None:
@@ -156,8 +198,18 @@ class SnapshotWatcher:
             try:
                 with open(self.snapshot_path, encoding="utf-8") as f:
                     raw = json.load(f)
-                self._snapshot = {k: (v[0], v[1]) for k, v in raw.items()}
-            except (json.JSONDecodeError, OSError):
+                # legacy 2-field [mtime, size] entries upgrade in place:
+                # identity fields refresh on the next stat of each file
+                self._snapshot = {
+                    k: (
+                        v[0], v[1],
+                        int(v[2]) if len(v) > 2 else -1,
+                        int(v[3]) if len(v) > 3 else -1,
+                        str(v[4]) if len(v) > 4 else "",
+                    )
+                    for k, v in raw.items()
+                }
+            except (json.JSONDecodeError, OSError, TypeError, IndexError):
                 self._snapshot = {}
 
     def persist_snapshot(self) -> None:
@@ -192,22 +244,80 @@ class SnapshotWatcher:
                     except OSError:
                         continue
                     prev = self._snapshot.get(full)
-                    cur = (st.st_mtime, st.st_size)
-                    if prev is None:
-                        result.changes.append(
-                            FileChange(full, "created", st.st_size, st.st_mtime)
+                    if prev is None or prev[:2] != (st.st_mtime, st.st_size):
+                        digest = _prefix_digest(full, RENAME_POLICY.sample_prefix_bytes)
+                        change = FileChange(
+                            full,
+                            "created" if prev is None else "modified",
+                            st.st_size, st.st_mtime,
+                            ino=st.st_ino, dev=st.st_dev, digest=digest,
                         )
-                        self._snapshot[full] = cur
-                    elif prev != cur:
-                        result.changes.append(
-                            FileChange(full, "modified", st.st_size, st.st_mtime)
+                        result.changes.append(change)
+                        self._snapshot[full] = (
+                            st.st_mtime, st.st_size, st.st_ino, st.st_dev, digest
                         )
-                        self._snapshot[full] = cur
+                    elif prev[2] == -1:
+                        # legacy snapshot entry: learn identity silently
+                        self._snapshot[full] = (
+                            prev[0], prev[1], st.st_ino, st.st_dev,
+                            _prefix_digest(full, RENAME_POLICY.sample_prefix_bytes),
+                        )
         for path in list(self._snapshot):
             if path not in seen and any(path.startswith(r + os.sep) for r in self.roots):
-                result.changes.append(FileChange(path=path, kind="deleted"))
-                del self._snapshot[path]
+                old = self._snapshot.pop(path)
+                # deleted events carry the old identity so a later-seen
+                # create can pair into a rename (incremental_change.rs)
+                result.changes.append(FileChange(
+                    path=path, kind="deleted", size=old[1],
+                    ino=old[2], dev=old[3], digest=old[4],
+                ))
         return result
+
+    @staticmethod
+    def _pair_renames(batch: list[FileChange]) -> list[FileChange]:
+        """Collapse delete+create pairs with matching identity into one
+        rename event. Same-device: inode match preserves identity
+        (RenameMovePolicy.same_device_rename_preserves_identity);
+        cross-device: size + prefix-hash confirm (cross_device_move =
+        hash_confirm). Content must be unchanged (equal digests) — a
+        move-and-edit stays a delete+create so downstream re-embeds."""
+        deletes = [c for c in batch if c.kind == "deleted"]
+        if not deletes:
+            return batch
+        out: list[FileChange] = []
+        unclaimed = {id(c): c for c in deletes}
+
+        def match(create: FileChange) -> FileChange | None:
+            cands = [
+                d for d in unclaimed.values()
+                if d.digest and d.digest == create.digest and d.size == create.size
+            ]
+            if not cands:
+                return None
+            # prefer the inode-identical candidate (same-device rename);
+            # otherwise any hash-confirmed one, deterministically
+            same = [
+                d for d in cands
+                if d.ino != -1 and d.ino == create.ino and d.dev == create.dev
+            ]
+            return min(same or cands, key=lambda c: c.path)
+
+        for c in batch:
+            if c.kind != "created":
+                continue
+            d = match(c)
+            if d is not None:
+                del unclaimed[id(d)]
+                out.append(FileChange(
+                    path=c.path, kind="renamed", size=c.size, mtime=c.mtime,
+                    ino=c.ino, dev=c.dev, digest=c.digest,
+                    rename_from=d.path,
+                ))
+            else:
+                out.append(c)
+        out.extend(c for c in batch if c.kind == "modified")
+        out.extend(c for c in batch if c.kind == "deleted" and id(c) in unclaimed)
+        return out
 
     # -- debounced batching ------------------------------------------------------
 
@@ -222,7 +332,7 @@ class SnapshotWatcher:
         if not self._pending:
             return None
         if now - self._pending_since >= self.debounce_s or not result.changes:
-            batch = list(self._pending.values())
+            batch = self._pair_renames(list(self._pending.values()))
             self._pending.clear()
             self.persist_snapshot()
             return batch

@@ -422,7 +422,7 @@ class TestCliContract:
         r = run_cli("--format", "json", "watch", str(corpus), "--root", root,
                     "--once", "--cycles", "2", "--debounce", "0")
         d = json.loads(r.stdout)["data"]
-        assert d["batches"] == [{"ingested": 2, "deleted": 1}]
+        assert d["batches"] == [{"ingested": 2, "deleted": 1, "renamed": 0}]
         got = json.loads(run_cli("--format", "json", "search", "quebec",
                                  "--root", root, "-k", "3").stdout)["data"]
         assert got[0]["doc_id"] == "r1" and got[0].get("lexical_score") is not None

@@ -1,0 +1,194 @@
+"""Rename/move detection (runtime/watcher.py _pair_renames).
+
+Parity model: reference crates/frankensearch-fsfs/src/incremental_change.rs
+— RenameMovePolicy (identity keys inode + content hash, same-device
+renames preserve identity, cross-device hash_confirm), HashPolicy 4096-
+byte sample prefix. Downstream: a rename re-keys the doc WITHOUT
+re-embedding (vector row gather + append under the new id).
+"""
+
+import json
+import os
+import shutil
+
+from frankensearch_tpu.runtime.watcher import (
+    RENAME_POLICY,
+    FileChange,
+    SnapshotWatcher,
+)
+
+
+def _watch(tmp_path, name=".snap.json"):
+    return SnapshotWatcher([str(tmp_path / "c")], str(tmp_path / name),
+                           debounce_s=0.0)
+
+
+class TestWatcherRenames:
+    def _setup(self, tmp_path):
+        (tmp_path / "c").mkdir()
+        (tmp_path / "c" / "a.txt").write_text("stable content alpha")
+        w = _watch(tmp_path)
+        first = w.poll()
+        assert [c.kind for c in first] == ["created"]
+        return w
+
+    def test_same_dir_rename_detected(self, tmp_path):
+        w = self._setup(tmp_path)
+        os.rename(tmp_path / "c" / "a.txt", tmp_path / "c" / "b.txt")
+        batch = w.poll()
+        assert len(batch) == 1
+        (ev,) = batch
+        assert ev.kind == "renamed"
+        assert ev.path.endswith("b.txt")
+        assert ev.rename_from.endswith("a.txt")
+
+    def test_move_into_subdir_detected(self, tmp_path):
+        w = self._setup(tmp_path)
+        (tmp_path / "c" / "sub").mkdir()
+        os.rename(tmp_path / "c" / "a.txt", tmp_path / "c" / "sub" / "a.txt")
+        (ev,) = w.poll()
+        assert ev.kind == "renamed"
+        assert os.sep + "sub" + os.sep in ev.path
+
+    def test_move_and_edit_is_not_a_rename(self, tmp_path):
+        w = self._setup(tmp_path)
+        os.rename(tmp_path / "c" / "a.txt", tmp_path / "c" / "b.txt")
+        (tmp_path / "c" / "b.txt").write_text("edited content beta!")
+        kinds = sorted(c.kind for c in w.poll())
+        assert kinds == ["created", "deleted"]
+
+    def test_copy_then_delete_hash_confirms(self, tmp_path):
+        # new inode, same content: the hash_confirm lane still pairs it
+        w = self._setup(tmp_path)
+        shutil.copyfile(tmp_path / "c" / "a.txt", tmp_path / "c" / "b.txt")
+        os.unlink(tmp_path / "c" / "a.txt")
+        (ev,) = w.poll()
+        assert ev.kind == "renamed" and ev.rename_from.endswith("a.txt")
+
+    def test_two_identical_files_pair_deterministically(self, tmp_path):
+        (tmp_path / "c").mkdir()
+        for n in ("x1.txt", "x2.txt"):
+            (tmp_path / "c" / n).write_text("same bytes everywhere")
+        w = _watch(tmp_path)
+        w.poll()
+        os.rename(tmp_path / "c" / "x1.txt", tmp_path / "c" / "y1.txt")
+        os.rename(tmp_path / "c" / "x2.txt", tmp_path / "c" / "y2.txt")
+        batch = w.poll()
+        assert sorted(c.kind for c in batch) == ["renamed", "renamed"]
+        pairs = {os.path.basename(c.rename_from) for c in batch}
+        assert pairs == {"x1.txt", "x2.txt"}  # each delete claimed once
+
+    def test_rename_with_unrelated_create(self, tmp_path):
+        w = self._setup(tmp_path)
+        os.rename(tmp_path / "c" / "a.txt", tmp_path / "c" / "b.txt")
+        (tmp_path / "c" / "new.txt").write_text("unrelated new doc")
+        kinds = sorted(c.kind for c in w.poll())
+        assert kinds == ["created", "renamed"]
+
+    def test_legacy_snapshot_upgrades_then_detects(self, tmp_path):
+        (tmp_path / "c").mkdir()
+        f = tmp_path / "c" / "a.txt"
+        f.write_text("legacy era content")
+        st = os.stat(f)
+        # hand-write a v1 two-field snapshot (pre-rename-detection era)
+        snap = tmp_path / ".snap.json"
+        snap.write_text(json.dumps({str(f): [st.st_mtime, st.st_size]}))
+        w = _watch(tmp_path)
+        assert w.poll() is None  # no spurious modify on upgrade
+        os.rename(f, tmp_path / "c" / "b.txt")
+        (ev,) = w.poll()
+        assert ev.kind == "renamed"  # identity learned on first scan
+
+    def test_policy_defaults_pinned(self):
+        assert RENAME_POLICY.identity_keys == ("inode", "content_hash")
+        assert RENAME_POLICY.same_device_rename_preserves_identity
+        assert RENAME_POLICY.cross_device_move == "hash_confirm"
+        assert RENAME_POLICY.sample_prefix_bytes == 4096
+
+    def test_pair_renames_pure_function_keeps_unmatched(self):
+        batch = [
+            FileChange("old", "deleted", size=5, ino=7, dev=1, digest="d1"),
+            FileChange("new", "created", size=5, ino=7, dev=1, digest="d1"),
+            FileChange("gone", "deleted", size=9, ino=8, dev=1, digest="zz"),
+            FileChange("mod", "modified", size=3),
+        ]
+        out = SnapshotWatcher._pair_renames(batch)
+        kinds = {c.path: c.kind for c in out}
+        assert kinds == {"new": "renamed", "gone": "deleted", "mod": "modified"}
+
+
+class TestWatchRekeyE2E:
+    def test_rename_rekeys_without_reembedding(self, tmp_path, monkeypatch):
+        import argparse
+
+        from frankensearch_tpu.builder import IndexBuilder, open_hybrid
+        from frankensearch_tpu.cli.main import cmd_watch
+        from frankensearch_tpu.core.config import TwoTierConfig
+        from frankensearch_tpu.core.types import IndexableDocument
+        from frankensearch_tpu.embed.stack import EmbedderStack
+
+        corpus = tmp_path / "corpus"
+        corpus.mkdir()
+        (corpus / "keep.txt").write_text("anchor document zeta")
+        (corpus / "old_name.txt").write_text("movable payload omega")
+        root = str(tmp_path / ".ix")
+        stack = EmbedderStack.auto_detect(root, fast_dim=64)
+        docs = [
+            IndexableDocument(doc_id="keep.txt",
+                              content="anchor document zeta"),
+            IndexableDocument(doc_id="old_name.txt",
+                              content="movable payload omega"),
+        ]
+        (IndexBuilder(root).with_embedder_stack(stack)
+         .with_config(TwoTierConfig.from_env())
+         .with_documents(docs).build())
+
+        # seed the watch snapshot so only the rename shows up
+        from frankensearch_tpu.runtime.watcher import SnapshotWatcher
+
+        SnapshotWatcher([str(corpus)],
+                        os.path.join(root, "watch_snapshot.json"),
+                        debounce_s=0.0).poll()
+
+        import numpy as np
+
+        pre = open_hybrid(root)
+        orig_vec = np.array(pre.index.fast.vector_for_row(
+            pre.index.fast.row_for("old_name.txt")))
+        pre.close() if hasattr(pre, "close") else None
+
+        os.rename(corpus / "old_name.txt", corpus / "new_name.txt")
+
+        calls = []
+        import frankensearch_tpu.embed.hash_embedder as he
+
+        real = he.HashEmbedder.embed_batch
+
+        def counting(self, texts):
+            calls.append(list(texts))
+            return real(self, texts)
+
+        monkeypatch.setattr(he.HashEmbedder, "embed_batch", counting)
+
+        args = argparse.Namespace(
+            root=root, corpus=str(corpus), once=True, cycles=2,
+            debounce=0.0, interval=0.0, durability_window=0.0,
+        )
+        out = cmd_watch(args)
+        assert out["ok"], out
+        stats = [b for b in out["data"]["batches"] if b.get("renamed")]
+        assert stats and stats[0]["renamed"] == 1
+        assert stats[0]["ingested"] == 0  # no embed work
+        assert not any("movable payload" in t for batch in calls for t in batch)
+
+        handle = open_hybrid(root)
+        new_row = handle.index.fast.row_for("new_name.txt")
+        assert new_row is not None
+        # the moved vector is BIT-IDENTICAL to the original row (gathered,
+        # not re-embedded)
+        got = np.array(handle.index.fast.vector_for_row(new_row))
+        assert np.array_equal(got, orig_vec)
+        # the old id no longer resolves to a live hit
+        res = handle.index.search_fast_classified(orig_vec, 2)
+        ids = [h.doc_id for h in res.hits]
+        assert "new_name.txt" in ids and "old_name.txt" not in ids
