@@ -434,7 +434,9 @@ class TestCliContract:
         os.remove(corpus / "batch.jsonl")
         r = run_cli("--format", "json", "watch", str(corpus), "--root", root,
                     "--once", "--cycles", "2", "--debounce", "0")
-        assert json.loads(r.stdout)["data"]["batches"] == [{"ingested": 0, "deleted": 2}]
+        assert json.loads(r.stdout)["data"]["batches"] == [
+            {"ingested": 0, "deleted": 2, "renamed": 0}
+        ]
         got = json.loads(run_cli("--format", "json", "search", "romeo",
                                  "--root", root, "-k", "3").stdout)["data"]
         assert all(h["doc_id"] != "r3" for h in got)
