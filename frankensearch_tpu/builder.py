@@ -11,6 +11,7 @@ accounting; ``open_hybrid`` opens every arm + the active lexical reader.
 from __future__ import annotations
 
 import os
+import sqlite3
 import time
 from dataclasses import dataclass, field
 from typing import Iterable
@@ -275,20 +276,33 @@ class IndexBuilder:
 
         # storage arm
         if self._with_storage:
-            storage = Storage(os.path.join(self.root, "metadata.db"))
-            storage.upsert_documents_bulk(
-                (
-                    (doc.doc_id, canonical, doc.title, doc.metadata)
-                    for doc, canonical in kept
-                ),
-                embedder_id=stack.fast.embedder_id,
-            )
-            stats.duration_ms = (time.monotonic() - t0) * 1000.0
-            storage.record_build(
-                stats.doc_count, stats.error_count, stats.duration_ms,
-                detail={"semantic": stats.semantic},
-            )
-            storage.close()
+            try:
+                storage = Storage(os.path.join(self.root, "metadata.db"))
+                storage.upsert_documents_bulk(
+                    (
+                        (doc.doc_id, canonical, doc.title, doc.metadata)
+                        for doc, canonical in kept
+                    ),
+                    embedder_id=stack.fast.embedder_id,
+                )
+                stats.duration_ms = (time.monotonic() - t0) * 1000.0
+                storage.record_build(
+                    stats.doc_count, stats.error_count, stats.duration_ms,
+                    detail={"semantic": stats.semantic},
+                )
+                storage.close()
+            except (sqlite3.OperationalError, OSError) as e:
+                # vector + lexical arms already published good artifacts;
+                # surface the storage failure TYPED (ENOSPC lands here as
+                # a raw sqlite "database or disk is full" otherwise)
+                from frankensearch_tpu.core.errors import SubsystemError
+
+                raise SubsystemError(
+                    f"storage arm failed after vector/lexical publication: "
+                    f"{type(e).__name__}: {e} — index artifacts are "
+                    "servable; free disk space and rebuild to restore "
+                    "metadata"
+                ) from e
 
         # durability: protect-on-commit — checksum sidecar (verify fast
         # path) + XOR parity-stripe sidecar (repair-on-open), covering the
@@ -439,6 +453,29 @@ def _verify_embedder_conformance(root: str, *, fast, quality) -> None:
             )
 
 
+def _open_storage_degraded(db_path: str) -> "Storage | None":
+    """Open the metadata store for serving, degrading instead of failing.
+
+    Storage itself falls back to a read-only handle on a full/read-only
+    filesystem; if even that fails (e.g. the sqlite WAL needs recovery
+    and the disk is full), serving WITHOUT hydration metadata still
+    beats refusing to open — the artifacts are verified independently.
+    (Probed: ENOSPC after a failed rebuild made open_hybrid raise a raw
+    sqlite3.OperationalError with every artifact intact.)"""
+    if not os.path.exists(db_path):
+        return None
+    try:
+        return Storage(db_path)
+    except Exception as e:
+        import logging
+
+        logging.getLogger("frankensearch").warning(
+            "metadata store unopenable (%s: %s) — serving without "
+            "storage-backed hydration/history", type(e).__name__, e
+        )
+        return None
+
+
 def open_hybrid(
     root: str,
     fast_embedder: Embedder | None = None,
@@ -526,7 +563,7 @@ def open_hybrid(
             )
         fts = Fts5LexicalIndex(fts5_db)
         db_path = os.path.join(root, "metadata.db")
-        storage = Storage(db_path) if os.path.exists(db_path) else None
+        storage = _open_storage_degraded(db_path)
         if storage is not None and "text_fn" not in searcher_kwargs:
             def _storage_text_f(doc_id: str, _s=storage) -> str | None:
                 row = _s.get_document(doc_id)
@@ -588,7 +625,7 @@ def open_hybrid(
     if lexical is not None:
         delta = DeltaLexicalIndex(lexical, sealed=packed, root=root)
     db_path = os.path.join(root, "metadata.db")
-    storage = Storage(db_path) if os.path.exists(db_path) else None
+    storage = _open_storage_degraded(db_path)
     if storage is not None and "text_fn" not in searcher_kwargs:
         # storage-backed doc text (preview+title): powers the negation
         # exclusion filter ("alpha -fresh") and phase-3 rerank without

@@ -239,23 +239,33 @@ def write_ftvi(
         raise IndexCorrupted("header overflow")  # pragma: no cover
 
     tmp = str(path) + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(MAGIC)
-        f.write(struct.pack("<II", len(header_json), zlib.crc32(header_json)))
-        f.write(header_json)
-        f.write(b"\x00" * (doc_blob_offset - 16 - len(header_json)))
-        f.write(blob)
-        f.write(b"\x00" * (offsets_offset - doc_blob_offset - len(blob)))
-        f.write(offsets.tobytes())
-        f.write(b"\x00" * (flags_offset - offsets_offset - offsets.nbytes))
-        f.write(flags.tobytes())
-        f.write(b"\x00" * (slab_offset - flags_offset - flags.nbytes))
-        f.write(slab.tobytes())
-        if dtype == "int8":
-            f.write(b"\x00" * (scale_offset - slab_offset - slab.nbytes))
-            f.write(np.asarray(scale, dtype=np.float32).tobytes())
-        f.flush()
-        os.fsync(f.fileno())
+    try:
+        with open(tmp, "wb") as f:
+            f.write(MAGIC)
+            f.write(struct.pack("<II", len(header_json), zlib.crc32(header_json)))
+            f.write(header_json)
+            f.write(b"\x00" * (doc_blob_offset - 16 - len(header_json)))
+            f.write(blob)
+            f.write(b"\x00" * (offsets_offset - doc_blob_offset - len(blob)))
+            f.write(offsets.tobytes())
+            f.write(b"\x00" * (flags_offset - offsets_offset - offsets.nbytes))
+            f.write(flags.tobytes())
+            f.write(b"\x00" * (slab_offset - flags_offset - flags.nbytes))
+            f.write(slab.tobytes())
+            if dtype == "int8":
+                f.write(b"\x00" * (scale_offset - slab_offset - slab.nbytes))
+                f.write(np.asarray(scale, dtype=np.float32).tobytes())
+            f.flush()
+            os.fsync(f.fileno())
+    except BaseException:
+        # ENOSPC mid-stage: the big slab tmp is exactly what wedges
+        # full-disk retries — never leak it (the published artifact is
+        # untouched either way; the rename below never ran)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     # a rewrite invalidates any durability sidecars describing the OLD
     # bytes — refresh them, or stale parity would "repair" the new
     # artifact back to its previous content (resurrecting e.g. docs a

@@ -88,13 +88,22 @@ def write_sections(path: str, sections: dict[str, bytes]) -> None:
         _SECTION.pack(n.encode("ascii").ljust(16, b"\x00"), o, ln) for n, o, ln in table
     )
     tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(header)
-        f.write(body)
-        f.write(payload)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    try:
+        with open(tmp, "wb") as f:
+            f.write(header)
+            f.write(body)
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    except BaseException:
+        # a failed stage (ENOSPC, kill) must not leak the partial tmp:
+        # on a full disk the leak itself wedges every retry
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def read_sections(path: str) -> dict[str, bytes]:

@@ -85,17 +85,27 @@ def _save_lexical_locked(index: MemoryLexicalIndex, root: str) -> str:
     }
     path = os.path.join(gen_dir, "index.flex.json")
     tmp = path + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(payload, f, separators=(",", ":"))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
-    # blue-green CURRENT pointer (keeper.rs publish_current parity)
-    current = os.path.join(root, "lexical", "CURRENT")
-    fd, tmp_cur = tempfile.mkstemp(dir=os.path.dirname(current))
-    with os.fdopen(fd, "w") as f:
-        f.write(generation)
-    os.replace(tmp_cur, current)
+    try:
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(payload, f, separators=(",", ":"))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        # blue-green CURRENT pointer (keeper.rs publish_current parity)
+        current = os.path.join(root, "lexical", "CURRENT")
+        fd, tmp_cur = tempfile.mkstemp(dir=os.path.dirname(current))
+        with os.fdopen(fd, "w") as f:
+            f.write(generation)
+        os.replace(tmp_cur, current)
+    except BaseException:
+        # failed BEFORE publication: this generation dir is ours alone
+        # (we hold the WriterLock and CURRENT never pointed at it) — a
+        # leaked partial generation wedges full-disk retries forever
+        # (prune_generations keeps the newest gens, i.e. exactly these)
+        import shutil
+
+        shutil.rmtree(gen_dir, ignore_errors=True)
+        raise
     return generation
 
 
@@ -155,9 +165,19 @@ def save_packed_lexical(device_index, root: str, generation: str | None = None) 
     if generation is None:
         generation = _new_generation_name(root)
     gen_dir = os.path.join(root, "lexical", generation)
+    created_dir = not os.path.isdir(gen_dir)
     os.makedirs(gen_dir, exist_ok=True)
     packed_path = os.path.join(gen_dir, "index.flexb")
-    save_packed(device_index, packed_path)
+    try:
+        save_packed(device_index, packed_path)
+    except BaseException:
+        if publish and created_dir:
+            # unpublished generation dir of our own making: a failed
+            # stage (ENOSPC) must not leak it — see _save_lexical_locked
+            import shutil
+
+            shutil.rmtree(gen_dir, ignore_errors=True)
+        raise
     # protect-on-commit (tantivy_wrapper.rs per-segment .fec parity):
     # sidecars make single-burst damage REPAIRABLE at open — without
     # them the in-file CRC can only detect, not heal

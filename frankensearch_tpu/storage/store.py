@@ -13,6 +13,7 @@ detail, the dedup contract is what carries over).
 from __future__ import annotations
 
 import hashlib
+import os
 import json
 import sqlite3
 import threading
@@ -102,14 +103,61 @@ class Storage:
     """Thread-safe sqlite-backed metadata store."""
 
     def __init__(self, path: str = ":memory:") -> None:
-        self._conn = sqlite3.connect(path, check_same_thread=False)
-        self._conn.execute("PRAGMA journal_mode=WAL")
         self._lock = threading.RLock()
-        with self._lock, self._conn:
-            self._conn.executescript(_SCHEMA)
-            self._conn.execute(
-                "INSERT OR IGNORE INTO meta (key, value) VALUES ('schema_version', ?)",
-                (str(SCHEMA_VERSION),),
+        self.read_only = False
+        try:
+            self._conn = sqlite3.connect(path, check_same_thread=False)
+            self._conn.execute("PRAGMA journal_mode=WAL")
+            with self._lock, self._conn:
+                self._conn.executescript(_SCHEMA)
+                self._conn.execute(
+                    "INSERT OR IGNORE INTO meta (key, value) VALUES ('schema_version', ?)",
+                    (str(SCHEMA_VERSION),),
+                )
+        except sqlite3.OperationalError:
+            # a FULL or read-only filesystem refuses the WAL/journal
+            # writes even though the db bytes are fine — degrade to a
+            # read-only handle instead of refusing to serve (probed:
+            # ENOSPC made open_hybrid die here with every artifact
+            # intact). Mutations raise SubsystemError; record_search is
+            # best-effort.
+            if path == ":memory:" or not os.path.exists(path):
+                raise
+            try:
+                self._conn.close()
+            except Exception:
+                pass
+            # mode=ro still needs to create the -shm file for a WAL-mode
+            # db; on a READ-ONLY filesystem that fails too, so fall
+            # through to immutable=1 (no locking, no wal replay — may
+            # serve the last checkpointed snapshot, which degraded mode
+            # accepts). sqlite connects lazily: force the open with a
+            # real statement so failures surface HERE, not mid-search.
+            last: Exception | None = None
+            for params in ("mode=ro", "mode=ro&immutable=1"):
+                try:
+                    self._conn = sqlite3.connect(
+                        f"file:{path}?{params}", uri=True, check_same_thread=False
+                    )
+                    self._conn.execute("SELECT 1 FROM sqlite_master LIMIT 1")
+                    break
+                except sqlite3.OperationalError as e2:
+                    last = e2
+                    try:
+                        self._conn.close()
+                    except Exception:
+                        pass
+            else:
+                raise last  # pragma: no cover - both read-only modes failed
+            self.read_only = True
+
+    def _require_writable(self) -> None:
+        if self.read_only:
+            from frankensearch_tpu.core.errors import SubsystemError
+
+            raise SubsystemError(
+                "metadata store is open read-only (disk full or read-only "
+                "filesystem at open time) — reopen after freeing space"
             )
 
     def close(self) -> None:
@@ -128,6 +176,7 @@ class Storage:
     ) -> tuple[bool, str]:
         """Returns (changed, content_hash). Unchanged content is a no-op
         (content-hash dedup, storage/pipeline.rs)."""
+        self._require_writable()
         h = content_hash(content)
         now = time.time()
         with self._lock, self._conn:
@@ -167,6 +216,7 @@ class Storage:
         rows — and optionally their embedding status — in ONE transaction
         (one fsync instead of one per doc; the >=10k docs/s ingest
         contract needs this). Returns the row count."""
+        self._require_writable()
         now = time.time()
         doc_rows = []
         emb_rows = []
@@ -202,6 +252,7 @@ class Storage:
         return len(doc_rows)
 
     def delete_document(self, doc_id: str) -> bool:
+        self._require_writable()
         with self._lock, self._conn:
             cur = self._conn.execute(
                 "UPDATE documents SET deleted = 1, updated_at = ? WHERE doc_id = ?",
@@ -247,6 +298,7 @@ class Storage:
     # -- embedding status ------------------------------------------------------
 
     def mark_embedded(self, doc_id: str, embedder_id: str, hash_value: str) -> None:
+        self._require_writable()
         with self._lock, self._conn:
             self._conn.execute(
                 """INSERT INTO embedding_status (doc_id, embedder_id, content_hash, embedded_at)
@@ -297,6 +349,8 @@ class Storage:
         self, query: str, k: int, result_count: int,
         top_doc_id: str | None = None, latency_ms: float | None = None,
     ) -> None:
+        if self.read_only:
+            return  # best-effort journaling: serving beats history
         with self._lock, self._conn:
             self._conn.execute(
                 "INSERT INTO search_history (query, k, result_count, top_doc_id, latency_ms, searched_at)"
@@ -331,6 +385,7 @@ class Storage:
         ]
 
     def add_bookmark(self, doc_id: str, note: str | None = None) -> None:
+        self._require_writable()
         with self._lock, self._conn:
             self._conn.execute(
                 "INSERT OR REPLACE INTO bookmarks (doc_id, note, created_at) VALUES (?, ?, ?)",
@@ -352,6 +407,7 @@ class Storage:
         self, doc_count: int, error_count: int, duration_ms: float | None = None,
         detail: Mapping | None = None,
     ) -> None:
+        self._require_writable()
         with self._lock, self._conn:
             self._conn.execute(
                 "INSERT INTO index_builds (doc_count, error_count, duration_ms, detail_json, built_at)"

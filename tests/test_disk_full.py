@@ -1,0 +1,148 @@
+"""Disk-full (ENOSPC) fault injection: a failed rebuild must not wedge
+the root, leak staged tmp files, or make the index unopenable.
+
+Parity model: the reference's typed-degradation stance (fsfs pressure /
+graceful-degradation ladder; durability verify-on-open) applied to the
+fault class its chaos suites do not cover: the filesystem filling up
+mid-publish. Probed 2026-08-18: before the fixes, a failed rebuild left
+an 827 KB ``index.flexb.tmp`` on a full disk and ``open_hybrid`` died
+on a raw ``sqlite3.OperationalError`` from ``PRAGMA journal_mode=WAL``
+with every artifact intact.
+
+Requires root + mount(2) for the tiny tmpfs; skips otherwise.
+"""
+
+import os
+import sqlite3
+import subprocess
+
+import numpy as np
+import pytest
+
+import frankensearch_tpu as fs
+from frankensearch_tpu.core.errors import SearchError, SubsystemError
+from frankensearch_tpu.storage.store import Storage
+
+
+def _mount_tmpfs(path: str, size: str) -> bool:
+    os.makedirs(path, exist_ok=True)
+    r = subprocess.run(
+        ["mount", "-t", "tmpfs", "-o", f"size={size}", "tmpfs", path],
+        capture_output=True,
+    )
+    return r.returncode == 0
+
+
+def _umount(path: str) -> None:
+    subprocess.run(["umount", "-l", path], capture_output=True)
+
+
+@pytest.fixture
+def tinyfs(tmp_path):
+    mnt = str(tmp_path / "tinyfs")
+    if not _mount_tmpfs(mnt, "6M"):
+        pytest.skip("cannot mount tmpfs (needs root + mount)")
+    yield mnt
+    _umount(mnt)
+
+
+def _docs(n, seed=7):
+    rng = np.random.default_rng(seed)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    return [
+        fs.IndexableDocument(
+            doc_id=f"doc-{i:05d}",
+            content=" ".join(rng.choice(vocab, size=60)),
+            title=f"t{i}",
+        )
+        for i in range(n)
+    ]
+
+
+def _build(root, n):
+    stack = fs.EmbedderStack(fast=fs.HashEmbedder(dim=64))
+    return (
+        fs.IndexBuilder(root)
+        .with_documents(_docs(n))
+        .with_embedder_stack(stack)
+        .build()
+    )
+
+
+def _tree_usage(root):
+    used, tmps = 0, []
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            used += os.path.getsize(p)
+            if f.endswith(".tmp"):
+                tmps.append(p)
+    return used, tmps
+
+
+class TestDiskFullRebuild:
+    def test_failed_rebuild_keeps_serving_and_leaks_nothing(self, tinyfs):
+        root = os.path.join(tinyfs, "idx")
+        assert _build(root, 10).doc_count == 10
+
+        # rebuild that cannot fit: must raise (typed or ENOSPC), not corrupt
+        with pytest.raises((SearchError, OSError, sqlite3.OperationalError)):
+            _build(root, 5000)
+
+        # the root must still open and serve (storage degrades if needed)
+        h = fs.open_hybrid(root, fast_embedder=fs.HashEmbedder(dim=64))
+        try:
+            out = h.searcher.search("alpha beta", k=3)
+            assert out.results
+        finally:
+            h.close()
+
+        # no staged tmp leftovers anywhere under the root
+        used_1, tmps = _tree_usage(root)
+        assert tmps == [], f"leaked staging files: {tmps}"
+
+        # repeated failed rebuilds must not grow disk usage (retry-safe)
+        for _ in range(2):
+            with pytest.raises((SearchError, OSError, sqlite3.OperationalError)):
+                _build(root, 5000)
+        used_2, tmps = _tree_usage(root)
+        assert tmps == []
+        assert used_2 <= used_1 + 4096  # allow sqlite page noise only
+
+        h = fs.open_hybrid(root, fast_embedder=fs.HashEmbedder(dim=64))
+        try:
+            assert h.searcher.search("alpha beta", k=3).results
+        finally:
+            h.close()
+
+
+class TestReadOnlyStorage:
+    def test_storage_degrades_to_read_only(self, tmp_path):
+        db = str(tmp_path / "ro" / "metadata.db")
+        os.makedirs(os.path.dirname(db))
+        s = Storage(db)
+        s.upsert_document("d1", "hello world", title="t")
+        s.close()
+        mnt = os.path.dirname(db)
+        # remount the directory read-only via a bind mount
+        r = subprocess.run(["mount", "--bind", mnt, mnt], capture_output=True)
+        if r.returncode != 0:
+            pytest.skip("cannot bind-mount (needs root)")
+        try:
+            r = subprocess.run(
+                ["mount", "-o", "remount,ro,bind", mnt], capture_output=True
+            )
+            if r.returncode != 0:
+                pytest.skip("cannot remount read-only")
+            ro = Storage(db)
+            assert ro.read_only
+            row = ro.get_document("d1")
+            assert row is not None and row.title == "t"
+            ro.record_search("q", 5, 1)  # best-effort no-op, must not raise
+            with pytest.raises(SubsystemError):
+                ro.upsert_document("d2", "nope")
+            with pytest.raises(SubsystemError):
+                ro.delete_document("d1")
+            ro.close()
+        finally:
+            _umount(mnt)

@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# Round-3c real-TPU battery: the r3b queue, reordered highest-value-first
+# now that the tunnel is back (2026-08-18). Run from the repo root WITHOUT
+# PYTHONPATH (axon plugin registration).
+#
+#   nohup bash tools/run_r3c_benches.sh > /tmp/r3c_bench.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+
+run() {
+  echo "=== $* ($(date -u +%H:%M:%SZ)) ==="
+  timeout "$T" stdbuf -oL "$@"
+  echo "=== rc=$? ==="
+}
+
+# 1. headline first (fast; confirms no regression after the r3b commits)
+T=1500 run python bench.py
+
+# 2. 1M hybrid e2e with the gather-free lexical arm (was 792 QPS)
+T=2400 run python -m tools.bench_hybrid_1m 1000000 256 4
+
+# 3. T-axis A/B for the sparse-compare step, batch peak + small batch
+T=1200 run python -m tools.bench_bm25_tpad 64
+T=1200 run python -m tools.bench_bm25_tpad 8
+
+# 4. selectivity curve completion on the gather-free kernel
+T=2400 run python -m tools.bench_bm25_selectivity 1000000 64
+
+# 5. sub-batch grouping re-test at B=8 cells
+T=2400 run python -m tools.bench_bm25_selectivity 1000000 8
