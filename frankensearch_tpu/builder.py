@@ -294,7 +294,16 @@ class IndexBuilder:
             except (sqlite3.OperationalError, OSError) as e:
                 # vector + lexical arms already published good artifacts;
                 # surface the storage failure TYPED (ENOSPC lands here as
-                # a raw sqlite "database or disk is full" otherwise)
+                # a raw sqlite "database or disk is full" otherwise).
+                # Best-effort re-census first: the manifest still
+                # describes the PREVIOUS build's artifacts, and a stale
+                # census fails verify_generation on the healthy new ones.
+                try:
+                    from frankensearch_tpu.core.generation import refresh_manifest
+
+                    refresh_manifest(self.root)
+                except Exception:
+                    pass  # full disk: the stale manifest stays; activation flows re-verify
                 from frankensearch_tpu.core.errors import SubsystemError
 
                 raise SubsystemError(

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import contextlib
 import fcntl
+import logging
 import hashlib
 import json
 import os
@@ -26,6 +27,8 @@ from typing import Callable
 import numpy as np
 
 from frankensearch_tpu.core.errors import IndexCorrupted
+
+logger = logging.getLogger("frankensearch.durability")
 
 SIDECAR_SUFFIX = ".fsum"
 SIDECAR_VERSION = 1
@@ -344,12 +347,24 @@ def protect_artifact(path: str, *, source: str | None = None) -> ProtectionRecei
     return receipt
 
 
-def ensure_artifact(path: str) -> bool:
+def ensure_artifact(path: str, intrinsic_check=None) -> bool:
     """Verify-then-repair-on-open for one artifact.
 
     Returns True when the file is intact (possibly after parity repair),
     False when unprotected-and-unverifiable corruption remains. Files
     with no ``.fsum`` sidecar pass trivially (nothing pinned them).
+
+    ``intrinsic_check(path) -> bool``: the artifact format's own in-file
+    integrity validation (FTVI header+slab CRC, FLXB payload CRC). A
+    publisher writes sidecars BEFORE the atomic artifact rename
+    (write_ftvi rationale), so a crash in that window leaves NEW
+    sidecars over the OLD — fully valid — artifact bytes, permanently:
+    without this check a single SIGKILL mid-compact made the root
+    unopenable (kill-fuzz probe, 2026-08-18). Since the rename is
+    atomic the artifact is never half-written, so "digest mismatch but
+    intrinsically valid" means stale sidecars, not damage — regenerate
+    them and serve. (The not-yet-truncated WAL replays the crashed
+    mutation's changes; supersession keeps that idempotent.)
     """
     if not FileProtector.is_protected(path):
         return True
@@ -361,6 +376,19 @@ def ensure_artifact(path: str) -> bool:
     with artifact_mutation_lock(path):
         if FileProtector.verify(path):
             return True
+        if intrinsic_check is not None:
+            try:
+                intact = bool(intrinsic_check(path))
+            except Exception:
+                intact = False
+            if intact:
+                logger.warning(
+                    "%s: digest sidecar mismatch but artifact passes its "
+                    "in-file integrity check — stale sidecars from an "
+                    "interrupted publish; regenerating", path,
+                )
+                protect_artifact(path)
+                return True
         report = ParityProtector.verify_and_repair(path)
         return bool(report.repaired_stripes) and FileProtector.verify(path)
 

@@ -43,7 +43,14 @@ def _open_ftvi_repairing(path: str, verify: bool) -> FtviFile:
     from frankensearch_tpu.core.errors import IndexCorrupted
     from frankensearch_tpu.index.durability import ensure_artifact
 
-    if not ensure_artifact(path):
+    def _ftvi_intrinsic(p: str) -> bool:
+        # full in-file validation (header CRC + slab CRC): distinguishes
+        # "stale sidecars from a publish killed mid-window" (artifact is
+        # a complete, valid FTVI — the rename is atomic) from damage
+        FtviFile(p, verify_slab=True)
+        return True
+
+    if not ensure_artifact(path, intrinsic_check=_ftvi_intrinsic):
         raise IndexCorrupted(
             f"{path} failed durability verification and parity repair"
         )

@@ -192,18 +192,24 @@ def _graded_scan_body(classes, bounds_list, q_ids, q_w, *, k: int):
     return top_s, top_i, skipped
 
 
-#: Candidate step variants awaiting real-TPU A/B (tools/bench_bm25_tpad);
-#: shipped defaults leave the measured 0.42 ms/block path byte-identical.
+#: Candidate step variants, A/B'd on real TPU (tools/bench_bm25_tpad,
+#: 2026-08-18): t8_seq (SEQ_T_ACCUM + T_PAD_GRANULE=8) measured
+#: 0.266 ms/block at B=64 vs the previous t16_einsum 0.466 ms (1.75x)
+#: and won at B=8 too, so it is now the shipped default.
 #: MERGE_GROUP: blocks scored per scan step — one batched per-block top_k
-#: + ONE exact merge per group amortizes the merge floor (34% of the
-#: shipped step). SEQ_T_ACCUM: accumulate the T (query-term) axis
-#: sequentially in fixed term order instead of one einsum contraction —
-#: scores become bit-identical across padded T widths by construction,
-#: which makes T_PAD_GRANULE=8 safe (solo vs batch landing in different
-#: width buckets can no longer perturb f32 summation order).
+#: + ONE exact merge per group amortizes the merge floor (t16_g4
+#: measured 0.364 ms — beats einsum, loses to t8_seq; grouping stays
+#: off pending a seq+grouped A/B). SEQ_T_ACCUM: accumulate the T
+#: (query-term) axis sequentially in fixed term order instead of one
+#: einsum contraction — scores become bit-identical across padded T
+#: widths by construction, which makes T_PAD_GRANULE=8 safe (solo vs
+#: batch landing in different width buckets can no longer perturb f32
+#: summation order; test_seq_t_invariant_across_padded_widths pins it).
+#: Ranks match the einsum step exactly; scores to ~1 ulp-relative
+#: (test_seq_t_matches_shipped_ranks_and_tolerance).
 MERGE_GROUP = 1
-SEQ_T_ACCUM = False
-T_PAD_GRANULE = 16
+SEQ_T_ACCUM = True
+T_PAD_GRANULE = 8
 
 
 def _group_block_scores(tb, fb, q_ids, q_w, *, seq_t: bool):

@@ -215,7 +215,16 @@ def load_packed_lexical(root: str):
     from frankensearch_tpu.core.errors import IndexCorrupted
     from frankensearch_tpu.index.durability import ensure_artifact
 
-    if not ensure_artifact(path):
+    def _flexb_intrinsic(p: str) -> bool:
+        # FLXB payload-CRC validation: a publish killed between the
+        # sidecar refresh and the atomic rename leaves stale sidecars
+        # over a complete valid segment (see durability.ensure_artifact)
+        from frankensearch_tpu.lexical.flexb import read_sections
+
+        read_sections(p)
+        return True
+
+    if not ensure_artifact(path, intrinsic_check=_flexb_intrinsic):
         return None
     try:
         return load_packed(path)

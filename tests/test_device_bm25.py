@@ -385,8 +385,8 @@ class TestMergeGroupedVariants:
 
         dev = self._blocked_index()
         ids8, w8 = dev._query_sparse_rows(["alpha w5 w6"] * 8)
-        assert ids8.shape[1] == 16
-        pad = 32 - ids8.shape[1]
+        assert ids8.shape[1] % mod.T_PAD_GRANULE == 0
+        pad = 16  # compare against a strictly wider pad bucket
         ids32 = np.concatenate([ids8, np.zeros((8, pad), np.int32)], axis=1)
         w32 = np.concatenate([w8, np.zeros((8, pad), np.float32)], axis=1)
         bounds = dev._blocked.query_bounds(ids8, w8)

@@ -409,3 +409,75 @@ class TestMutationLockRaces:
         assert rep.ok and not rep.unexpected
         m2 = build_manifest(gen, generation_id="g1", commit_seq=2)
         assert all(not a.name.endswith(".lock") for a in m2.artifacts)
+
+
+class TestCrashWindowStaleSidecars:
+    """A publisher killed between the sidecar refresh and the atomic
+    artifact rename leaves NEW sidecars over the OLD (fully valid)
+    artifact. Found by kill-fuzzing compact(): one SIGKILL in that
+    window made the root permanently unopenable — parity repair cannot
+    rewrite a wholesale-different file, and the opener declared
+    IndexCorrupted with a bit-perfect FTVI on disk."""
+
+    def _stage_stale_sidecars(self, artifact, other_bytes_path):
+        # sidecars describing DIFFERENT bytes over a valid artifact —
+        # exactly the crash remnant (protect runs source=tmp, then the
+        # kill lands before os.replace)
+        protect_artifact(artifact, source=other_bytes_path)
+        assert not FileProtector.verify(artifact)
+
+    def test_ftvi_stale_sidecar_heals_on_open(self, tmp_path):
+        import frankensearch_tpu as fs
+        from frankensearch_tpu.index.two_tier import TwoTierIndex
+
+        root = _build_index(tmp_path / "idx")
+        fast = os.path.join(root, "vector.fast.idx")
+        other = str(tmp_path / "other.bin")
+        with open(other, "wb") as f:
+            f.write(os.urandom(4096))
+        self._stage_stale_sidecars(fast, other)
+
+        idx = TwoTierIndex.open(str(root))  # must NOT raise
+        assert idx.fast.record_count == 64
+        assert FileProtector.verify(fast)  # sidecars regenerated
+        # and a full handle serves
+        h = fs.open_hybrid(str(root), fast_embedder=fs.HashEmbedder(dim=64))
+        try:
+            assert h.searcher.search("alpha topic", k=5).results
+        finally:
+            h.close()
+        assert not os.path.exists(os.path.join(root, ".quarantine"))
+
+    def test_flexb_stale_sidecar_heals_on_load(self, tmp_path):
+        from frankensearch_tpu.lexical.persist import load_packed_lexical
+
+        root = _build_index(tmp_path / "idx")
+        with open(os.path.join(root, "lexical", "CURRENT")) as f:
+            gen = f.read().strip()
+        flexb = os.path.join(root, "lexical", gen, "index.flexb")
+        assert os.path.exists(flexb)
+        other = str(tmp_path / "other.bin")
+        with open(other, "wb") as f:
+            f.write(os.urandom(4096))
+        self._stage_stale_sidecars(flexb, other)
+
+        packed = load_packed_lexical(str(root))
+        assert packed is not None  # healed, not degraded to the oracle
+        assert FileProtector.verify(flexb)
+
+    def test_truly_corrupt_artifact_still_fails_closed(self, tmp_path):
+        """The intrinsic check must not become a corruption escape:
+        damage that breaks the in-file CRC AND exceeds parity repair
+        still raises for the quarantine ladder."""
+        from frankensearch_tpu.index.two_tier import TwoTierIndex
+
+        # big enough to span >=2 parity stripes (64 KiB each) so two
+        # corrupt stripes land in ONE group — beyond XOR reconstruction
+        root = _build_index(tmp_path / "idx", n=1024, dim=128)
+        fast = os.path.join(root, "vector.fast.idx")
+        size = os.path.getsize(fast)
+        assert size > 2 * (1 << 16)
+        _flip(fast, size - 512, n=64)            # last stripe
+        _flip(fast, size - (1 << 16) - 512, n=64)  # previous stripe
+        with pytest.raises(IndexCorrupted):
+            TwoTierIndex.open(str(root))
