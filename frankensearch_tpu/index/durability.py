@@ -347,6 +347,52 @@ def protect_artifact(path: str, *, source: str | None = None) -> ProtectionRecei
     return receipt
 
 
+def intrinsic_check_for(path: str):
+    """The format-level in-file integrity validator for a known artifact
+    kind, or None. Used to distinguish stale-sidecar publish remnants
+    from real damage (see ensure_artifact)."""
+    name = os.path.basename(path)
+    if name.endswith(".idx"):
+        def _ftvi(p: str) -> bool:
+            from frankensearch_tpu.index.fsvi import FtviFile
+
+            FtviFile(p, verify_slab=True)
+            return True
+
+        return _ftvi
+    if name.endswith(".flexb"):
+        def _flexb(p: str) -> bool:
+            from frankensearch_tpu.lexical.flexb import read_sections
+
+            read_sections(p)
+            return True
+
+        return _flexb
+    return None
+
+
+def heal_stale_sidecars(path: str) -> bool:
+    """If the artifact is intrinsically valid but its digest sidecar
+    disagrees (a publish killed between sidecar refresh and the atomic
+    rename), regenerate the sidecars and return True. Caller must hold
+    the artifact mutation lock."""
+    check = intrinsic_check_for(path)
+    if check is None or FileProtector.verify(path):
+        return False
+    try:
+        if not check(path):
+            return False
+    except Exception:
+        return False
+    logger.warning(
+        "%s: digest sidecar mismatch but artifact passes its in-file "
+        "integrity check — stale sidecars from an interrupted publish; "
+        "regenerating", path,
+    )
+    protect_artifact(path)
+    return True
+
+
 def ensure_artifact(path: str, intrinsic_check=None) -> bool:
     """Verify-then-repair-on-open for one artifact.
 
@@ -476,11 +522,18 @@ class ProtectedArtifactStore:
         )
 
     def repair_all(self) -> dict[str, RepairReport]:
-        """Run parity verify-and-repair over every protected artifact."""
+        """Run parity verify-and-repair over every protected artifact
+        (healing stale-sidecar publish remnants first — doctor --repair
+        must not report a bit-perfect artifact as unrepairable)."""
         out: dict[str, RepairReport] = {}
         for name in self._artifact_names():
             path = os.path.join(self.root, name)
             if ParityProtector.is_protected(path):
                 with artifact_mutation_lock(path):
+                    if heal_stale_sidecars(path):
+                        out[name] = RepairReport(
+                            ok=True, detail="sidecars regenerated (stale publish remnant)"
+                        )
+                        continue
                     out[name] = ParityProtector.verify_and_repair(path)
         return out

@@ -110,12 +110,23 @@ def main() -> None:
         ).reshape(batch, gsz * d_blk)
         return merge(*jax.lax.top_k(scores, k))
 
+    def step_g4_seq(t4, f4, q_ids, q_w):
+        # sequential T accumulation lifted over the group axis — the
+        # t8_seq winner combined with g4 merge amortization
+        scores = jnp.zeros((batch, gsz, d_blk), jnp.float32)
+        for j in range(q_ids.shape[1]):
+            hit = t4[None, :, :, :] == q_ids[:, j, None, None, None]
+            mass = jnp.sum(f4[None] * hit.astype(jnp.float32), axis=-1)
+            scores = scores + q_w[:, j, None, None] * mass
+        return merge(*jax.lax.top_k(scores.reshape(batch, gsz * d_blk), k))
+
     variants = {
         "t16_einsum": (step_einsum, 16),
         "t8_einsum": (step_einsum, 8),
         "t16_seq": (step_seq, 16),
         "t8_seq": (step_seq, 8),
         "t16_g4": (step_g4, 16),
+        "t8_seq_g4": (step_g4_seq, 8),
     }
 
     # correctness: all variants agree on raw top-k scores for block 0

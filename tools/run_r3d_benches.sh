@@ -1,0 +1,20 @@
+#!/usr/bin/env bash
+# Round-3d: measure the newly-shipped t8_seq BM25 step in product context
+# (defaults flipped 2026-08-18) + the t8_seq_g4 combo candidate.
+set -u
+cd "$(dirname "$0")/.."
+
+run() {
+  echo "=== $* ($(date -u +%H:%M:%SZ)) ==="
+  timeout "$T" stdbuf -oL "$@"
+  echo "=== rc=$? ==="
+}
+
+# 1. the seq+grouped combo A/B (new t8_seq_g4 variant)
+T=1500 run python -m tools.bench_bm25_tpad 64
+
+# 2. 1M hybrid e2e with the t8_seq default actually shipped
+T=2400 run python -m tools.bench_hybrid_1m 1000000 256 4
+
+# 3. pruned lexical kernel at 1M with the new step
+T=1800 run python -m tools.bench_lexical_1m 1000000 64
