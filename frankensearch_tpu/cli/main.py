@@ -42,6 +42,7 @@ from typing import Iterable
 from frankensearch_tpu.cli.output import ENVELOPE_VERSION, envelope, error_envelope, render
 from frankensearch_tpu.core.errors import SearchError
 from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.core.atomic_io import atomic_write_text
 
 
 def _iter_corpus(
@@ -1153,10 +1154,7 @@ def cmd_watch(args) -> dict:
                 # storage) — same contract as `fsfs delete`
                 handle.delete(gone_ids)
             if docs or gone_ids:
-                tmp = members_path + ".tmp"
-                with open(tmp, "w", encoding="utf-8") as f:
-                    json.dump(members, f)
-                os.replace(tmp, members_path)
+                atomic_write_text(members_path, json.dumps(members))
             batches.append({
                 "ingested": len(docs) - len(moved_docs),
                 "deleted": len([i for i in gone_ids if i not in rename_from_ids]),

@@ -9,8 +9,9 @@ rollback to any retained generation that still satisfies the floor.
 
 from __future__ import annotations
 
+from frankensearch_tpu.core.atomic_io import atomic_write_text
+
 import os
-import tempfile
 from dataclasses import dataclass, field
 
 from frankensearch_tpu.core.generation import (
@@ -86,10 +87,7 @@ class GenerationController:
 
     def _swap_pointer(self, generation_id: str) -> None:
         path = os.path.join(self.root, CURRENT_POINTER)
-        fd, tmp = tempfile.mkstemp(dir=self.root)
-        with os.fdopen(fd, "w") as f:
-            f.write(generation_id)
-        os.replace(tmp, path)
+        atomic_write_text(path, generation_id)
 
     # -- anti-rollback floor -----------------------------------------------------
 
@@ -104,10 +102,7 @@ class GenerationController:
         if seq <= self.commit_floor():
             return
         path = os.path.join(self.root, FLOOR_FILE)
-        fd, tmp = tempfile.mkstemp(dir=self.root)
-        with os.fdopen(fd, "w") as f:
-            f.write(str(seq))
-        os.replace(tmp, path)
+        atomic_write_text(path, str(seq))
 
     # -- activation -------------------------------------------------------------
 

@@ -10,6 +10,7 @@ schema versions sharded-array checkpoints (SURVEY §5 checkpoint notes).
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import json
 import os
@@ -301,11 +302,18 @@ def write_manifest(gen_dir: str, manifest: GenerationManifest) -> str:
     # source (found racing seal against itself); last-writer-wins on the
     # final replace is fine — both censuses are valid
     tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write(manifest.to_json())
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    try:
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(manifest.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    except BaseException:
+        # disk-full (or any mid-write failure) must not leak the staged
+        # tmp: a partial manifest is garbage, the old one keeps serving
+        with contextlib.suppress(OSError):
+            os.unlink(tmp)
+        raise
     return path
 
 

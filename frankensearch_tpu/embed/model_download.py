@@ -22,6 +22,8 @@ is published until every listed file matches its pinned SHA-256 + size.
 
 from __future__ import annotations
 
+from frankensearch_tpu.core.atomic_io import atomic_write_text
+
 import hashlib
 import http.client
 import json
@@ -385,12 +387,7 @@ class ModelDownloader:
     # ------------------------------------------------------------------
     def _write_receipt(self, destination_dir: str, receipt: AcquisitionReceipt) -> None:
         path = receipt_path(destination_dir)
-        tmp = path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(receipt.to_dict(), f, indent=2)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path)
+        atomic_write_text(path, json.dumps(receipt.to_dict(), indent=2), fsync=True)
 
     # ------------------------------------------------------------------
     def _stage_local(self, manifest, source, staging, emit, cancel, started) -> None:

@@ -17,6 +17,7 @@ import shutil
 from dataclasses import dataclass, field
 
 from frankensearch_tpu.core.errors import EmbeddingFailed
+from frankensearch_tpu.core.atomic_io import atomic_write_text
 
 MANIFEST_SCHEMA_VERSION = 1
 
@@ -149,10 +150,7 @@ def build_model_manifest(
 
 def write_model_manifest(model_dir: str, manifest: ModelManifest) -> str:
     path = os.path.join(model_dir, "model_manifest.json")
-    tmp = path + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write(manifest.to_json())
-    os.replace(tmp, path)
+    atomic_write_text(path, manifest.to_json())
     return path
 
 

@@ -8,6 +8,8 @@ manifest so later opens can skip re-hashing unless the manifest changed.
 
 from __future__ import annotations
 
+from frankensearch_tpu.core.atomic_io import atomic_write_text
+
 import json
 import os
 import time
@@ -83,10 +85,7 @@ class ModelRegistry:
                 "verified_at": time.time(),
                 "manifest_sha256": hashlib.sha256(manifest.to_json().encode()).hexdigest(),
             }
-            tmp = self._receipt_path(name) + ".tmp"
-            with open(tmp, "w", encoding="utf-8") as f:
-                json.dump(receipt, f)
-            os.replace(tmp, self._receipt_path(name))
+            atomic_write_text(self._receipt_path(name), json.dumps(receipt))
         return RegisteredModel(name, path, manifest, result.ok, False)
 
     def verified_models(self) -> list[RegisteredModel]:

@@ -30,6 +30,7 @@ from typing import Callable
 
 from frankensearch_tpu.fleet.datasource import DataSource, NodeInfo, NodeSample
 from frankensearch_tpu.runtime.lifecycle import _pid_alive
+from frankensearch_tpu.core.atomic_io import atomic_write_text
 
 NODE_SUFFIX = ".node.json"
 #: wire schema of the node heartbeat file (schemas/fleet-node-v1);
@@ -142,10 +143,7 @@ class NodeRegistrar:
             "doc_count": int(status.get("doc_count", 0)),
             "errors": errors,
         }
-        tmp = self.path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(payload, f)
-        os.replace(tmp, self.path)
+        atomic_write_text(self.path, json.dumps(payload))
 
     def start(self) -> "NodeRegistrar":
         self.publish()

@@ -24,6 +24,8 @@ import shutil
 from dataclasses import dataclass
 from typing import Callable
 
+from frankensearch_tpu.core.atomic_io import atomic_write_text
+
 import numpy as np
 
 from frankensearch_tpu.core.errors import IndexCorrupted
@@ -126,12 +128,8 @@ class FileProtector:
             "digest": digest,
             "bytes": os.path.getsize(src),
         }
-        tmp = sidecar + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(payload, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, sidecar)  # atomic sidecar swap
+        # atomic sidecar swap; staged tmp cleaned on ENOSPC/kill
+        atomic_write_text(sidecar, json.dumps(payload), fsync=True)
         return ProtectionReceipt(path=path, sidecar=sidecar, digest=digest,
                                  bytes=payload["bytes"])
 
@@ -219,14 +217,19 @@ class ParityProtector:
         }
         sidecar = path + PARITY_SUFFIX
         tmp = sidecar + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(json.dumps(header).encode("utf-8"))
-            f.write(b"\n")
-            for block in parity_blocks:
-                f.write(block)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, sidecar)  # atomic sidecar swap
+        try:
+            with open(tmp, "wb") as f:
+                f.write(json.dumps(header).encode("utf-8"))
+                f.write(b"\n")
+                for block in parity_blocks:
+                    f.write(block)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, sidecar)  # atomic sidecar swap
+        except BaseException:
+            with contextlib.suppress(OSError):
+                os.unlink(tmp)
+            raise
         return sidecar
 
     @staticmethod
@@ -307,12 +310,17 @@ class ParityProtector:
 
         if repaired:
             tmp = path + ".repair.tmp"
-            with open(tmp, "wb") as f:
-                for s in stripes:
-                    f.write(s)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, path)
+            try:
+                with open(tmp, "wb") as f:
+                    for s in stripes:
+                        f.write(s)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, path)
+            except BaseException:
+                with contextlib.suppress(OSError):
+                    os.unlink(tmp)
+                raise
         ok = not unrepairable
         # operator-visible: silent corruption repair is the one event a
         # deployment must notice (tracing_config.rs role)

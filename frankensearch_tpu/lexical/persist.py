@@ -15,10 +15,10 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 import time
 
 from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex, _DocEntry, _FieldStats
+from frankensearch_tpu.core.atomic_io import atomic_write_text
 
 FLEX_VERSION = 1
 
@@ -93,10 +93,7 @@ def _save_lexical_locked(index: MemoryLexicalIndex, root: str) -> str:
         os.replace(tmp, path)
         # blue-green CURRENT pointer (keeper.rs publish_current parity)
         current = os.path.join(root, "lexical", "CURRENT")
-        fd, tmp_cur = tempfile.mkstemp(dir=os.path.dirname(current))
-        with os.fdopen(fd, "w") as f:
-            f.write(generation)
-        os.replace(tmp_cur, current)
+        atomic_write_text(current, generation)
     except BaseException:
         # failed BEFORE publication: this generation dir is ours alone
         # (we hold the WriterLock and CURRENT never pointed at it) — a
@@ -189,10 +186,7 @@ def save_packed_lexical(device_index, root: str, generation: str | None = None) 
         pass  # unprotected segment still loads; repair ladder degrades
     if publish:
         current = os.path.join(root, "lexical", "CURRENT")
-        fd, tmp_cur = tempfile.mkstemp(dir=os.path.dirname(current))
-        with os.fdopen(fd, "w") as f:
-            f.write(generation)
-        os.replace(tmp_cur, current)
+        atomic_write_text(current, generation)
     return generation
 
 

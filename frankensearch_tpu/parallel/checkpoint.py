@@ -25,6 +25,7 @@ import numpy as np
 
 from frankensearch_tpu.core.errors import InvalidConfig
 from frankensearch_tpu.rerank.bert import BertConfig
+from frankensearch_tpu.core.atomic_io import atomic_write_text
 
 MANIFEST = "train_manifest.json"
 
@@ -70,12 +71,10 @@ def save_train_state(
         "params_fingerprint": _tree_fingerprint(params),
         "opt_fingerprint": _tree_fingerprint(opt_state),
     }
-    tmp = os.path.join(directory, MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(directory, MANIFEST))
+    atomic_write_text(
+        os.path.join(directory, MANIFEST), json.dumps(manifest, indent=1),
+        fsync=True,
+    )
     return ckpt_path
 
 

@@ -8,6 +8,8 @@ ONNX quality tier this replaces).
 
 from __future__ import annotations
 
+from frankensearch_tpu.core.atomic_io import atomic_write_text
+
 from typing import Sequence
 
 import jax.numpy as jnp
@@ -178,10 +180,7 @@ def save_artifact(embedder: TransformerEmbedder, out_dir: str) -> None:
         "tokenizer_max_len": embedder.tokenizer.max_len,
         "golden": golden.to_dict(),
     }
-    tmp = os.path.join(out_dir, ARTIFACT_META + ".tmp")
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(out_dir, ARTIFACT_META))
+    atomic_write_text(os.path.join(out_dir, ARTIFACT_META), json.dumps(meta))
 
 
 def load_artifact(artifact_dir: str, *, verify: bool = True) -> TransformerEmbedder:

@@ -82,13 +82,11 @@ REGISTRY_FILE = ".last_results.json"
 def save_registry(root: str, mapping: dict[str, str]) -> None:
     import json
     import os
-    import tempfile
+
+    from frankensearch_tpu.core.atomic_io import atomic_write_text
 
     path = os.path.join(root, REGISTRY_FILE)
-    fd, tmp = tempfile.mkstemp(dir=root, prefix=".last_results.", suffix=".tmp")
-    with os.fdopen(fd, "w", encoding="utf-8") as f:
-        json.dump({"version": 1, "handles": mapping}, f)
-    os.replace(tmp, path)
+    atomic_write_text(path, json.dumps({"version": 1, "handles": mapping}))
 
 
 def load_registry(root: str) -> ResultRegistry:

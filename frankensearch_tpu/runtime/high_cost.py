@@ -20,6 +20,7 @@ import json
 import os
 import time
 from dataclasses import dataclass, field
+from frankensearch_tpu.core.atomic_io import atomic_write_text
 
 __all__ = [
     "CONTRACT_VERSION",
@@ -197,10 +198,9 @@ class OverrideStore:
 
     def _save(self, events: dict[str, dict]) -> None:
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        tmp = self.path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(events, f, indent=2, sort_keys=True)
-        os.replace(tmp, self.path)
+        atomic_write_text(
+            self.path, json.dumps(events, indent=2, sort_keys=True)
+        )
 
     @staticmethod
     def _key(path: str) -> str:

@@ -29,6 +29,7 @@ import time
 import urllib.error
 import urllib.request
 from dataclasses import dataclass, field
+from frankensearch_tpu.core.atomic_io import atomic_write_text, atomic_write_bytes
 
 __all__ = [
     "SemVer",
@@ -195,12 +196,11 @@ def _read_manifest(updates_dir: str) -> dict:
 
 
 def _write_manifest(updates_dir: str, manifest: dict) -> None:
-    tmp = os.path.join(updates_dir, MANIFEST_NAME + ".tmp")
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(updates_dir, MANIFEST_NAME))
+    atomic_write_text(
+        os.path.join(updates_dir, MANIFEST_NAME),
+        json.dumps(manifest, indent=2, sort_keys=True),
+        fsync=True,
+    )
 
 
 def collect_update_payload(
@@ -265,12 +265,7 @@ def collect_update_payload(
     os.makedirs(updates_dir, exist_ok=True)
     staged = os.path.join(updates_dir, str(latest))
     os.makedirs(staged, exist_ok=True)
-    tmp = os.path.join(staged, asset + ".tmp")
-    with open(tmp, "wb") as f:
-        f.write(blob)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(staged, asset))
+    atomic_write_bytes(os.path.join(staged, asset), blob, fsync=True)
 
     prev = _read_manifest(updates_dir)
     manifest = {

@@ -15,6 +15,7 @@ import time
 from dataclasses import dataclass
 
 from frankensearch_tpu.core.errors import SearchError
+from frankensearch_tpu.core.atomic_io import atomic_write_text
 
 
 class LeaseHeld(SearchError):
@@ -116,10 +117,9 @@ class PublicationLease:
 
     def heartbeat(self) -> None:
         if self._held:
-            tmp = self.path + ".hb"
-            with open(tmp, "w", encoding="utf-8") as f:
-                json.dump({"pid": os.getpid(), "at": time.time()}, f)
-            os.replace(tmp, self.path)
+            atomic_write_text(
+                self.path, json.dumps({"pid": os.getpid(), "at": time.time()})
+            )
 
     def release(self) -> None:
         if self._held:

@@ -14,6 +14,7 @@ from dataclasses import dataclass, field
 from typing import Iterable
 
 from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.core.atomic_io import atomic_write_text
 
 
 class IndexingPhase(enum.Enum):
@@ -84,12 +85,7 @@ class IndexingOrchestrator:
         return ResumeToken()
 
     def persist(self) -> None:
-        tmp = self.token_path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(self.token.to_json())
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self.token_path)
+        atomic_write_text(self.token_path, self.token.to_json(), fsync=True)
 
     def plan_bootstrap(self, doc_ids: Iterable[str]) -> list[str]:
         """Docs still to process, honoring the resume cursor over a sorted

@@ -16,6 +16,7 @@ import stat
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Iterable
+from frankensearch_tpu.core.atomic_io import atomic_write_text
 
 DEFAULT_DEBOUNCE_S = 0.5
 
@@ -213,10 +214,10 @@ class SnapshotWatcher:
                 self._snapshot = {}
 
     def persist_snapshot(self) -> None:
-        tmp = self.snapshot_path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump({k: list(v) for k, v in self._snapshot.items()}, f)
-        os.replace(tmp, self.snapshot_path)
+        atomic_write_text(
+            self.snapshot_path,
+            json.dumps({k: list(v) for k, v in self._snapshot.items()}),
+        )
 
     # -- scanning ---------------------------------------------------------------
 

@@ -1,0 +1,71 @@
+"""core.atomic_io: staged writes never leak their tmp.
+
+The disk-full probe (tests/test_disk_full.py) found write_manifest
+leaking `MANIFEST.json.<pid>.<tid>.tmp` on ENOSPC mid-write; the sweep
+converted every small metadata writer to atomic_write_text/bytes. These
+unit tests pin the helper's contract without needing a tiny filesystem.
+"""
+
+import os
+
+import pytest
+
+from frankensearch_tpu.core.atomic_io import atomic_write_bytes, atomic_write_text
+
+
+def _listdir(d):
+    return sorted(os.listdir(d))
+
+
+def test_text_roundtrip(tmp_path):
+    p = str(tmp_path / "x.json")
+    atomic_write_text(p, '{"a": 1}')
+    assert open(p).read() == '{"a": 1}'
+    assert _listdir(tmp_path) == ["x.json"]
+
+
+def test_bytes_roundtrip_fsync(tmp_path):
+    p = str(tmp_path / "blob.bin")
+    atomic_write_bytes(p, b"\x00\x01\x02", fsync=True)
+    assert open(p, "rb").read() == b"\x00\x01\x02"
+    assert _listdir(tmp_path) == ["blob.bin"]
+
+
+def test_overwrite_is_atomic(tmp_path):
+    p = str(tmp_path / "x")
+    atomic_write_text(p, "old")
+    atomic_write_text(p, "new")
+    assert open(p).read() == "new"
+    assert _listdir(tmp_path) == ["x"]
+
+
+def test_failed_write_leaks_nothing(tmp_path, monkeypatch):
+    """A write that dies mid-stage (ENOSPC analogue) unlinks its tmp and
+    leaves any previous artifact untouched."""
+    p = str(tmp_path / "x")
+    atomic_write_text(p, "serving")
+
+    real_replace = os.replace
+
+    def boom(src, dst):
+        raise OSError(28, "No space left on device")
+
+    monkeypatch.setattr(os, "replace", boom)
+    with pytest.raises(OSError):
+        atomic_write_text(p, "partial")
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    assert open(p).read() == "serving"
+    assert _listdir(tmp_path) == ["x"]
+
+
+def test_fsync_failure_leaks_nothing(tmp_path, monkeypatch):
+    p = str(tmp_path / "x")
+
+    def boom(fd):
+        raise OSError(28, "No space left on device")
+
+    monkeypatch.setattr(os, "fsync", boom)
+    with pytest.raises(OSError):
+        atomic_write_text(p, "data", fsync=True)
+    assert _listdir(tmp_path) == []

@@ -1,7 +1,7 @@
 #!/usr/bin/env bash
-# Round-3c real-TPU battery: the r3b queue, reordered highest-value-first
-# now that the tunnel is back (2026-08-18). Run from the repo root WITHOUT
-# PYTHONPATH (axon plugin registration).
+# Round-3c real-TPU battery: the r3b queue (tunnel outage of 2026-08-18)
+# reordered so the highest-value rows land first if the window closes.
+# Run from the repo root WITHOUT PYTHONPATH (axon plugin registration).
 #
 #   nohup bash tools/run_r3c_benches.sh > /tmp/r3c_bench.log 2>&1 &
 set -u
@@ -9,22 +9,26 @@ cd "$(dirname "$0")/.."
 
 run() {
   echo "=== $* ($(date -u +%H:%M:%SZ)) ==="
-  timeout "$T" stdbuf -oL "$@"
+  timeout 3600 stdbuf -oL "$@"
   echo "=== rc=$? ==="
 }
 
-# 1. headline first (fast; confirms no regression after the r3b commits)
-T=1500 run python bench.py
+# 1. 1M hybrid e2e with the gather-free lexical arm (was 792 QPS)
+run python -m tools.bench_hybrid_1m 1000000 256 4
 
-# 2. 1M hybrid e2e with the gather-free lexical arm (was 792 QPS)
-T=2400 run python -m tools.bench_hybrid_1m 1000000 256 4
+# 2. headline (scan QPS/chip; confirms no regression)
+run python bench.py
 
-# 3. T-axis A/B for the sparse-compare step, batch peak + small batch
-T=1200 run python -m tools.bench_bm25_tpad 64
-T=1200 run python -m tools.bench_bm25_tpad 8
+# 3. selectivity curve completion (relay died after mid/B=1 on the
+#    gather-free kernel: rare 4.6/128.4 ms, mid-B1 28.9 ms captured)
+run python -m tools.bench_bm25_selectivity 1000000 64
 
-# 4. selectivity curve completion on the gather-free kernel
-T=2400 run python -m tools.bench_bm25_selectivity 1000000 64
+# 4. T-axis A/B for the sparse-compare step at the batch peak and the
+#    small-batch point where merge amortization matters most
+run python -m tools.bench_bm25_tpad 64
+run python -m tools.bench_bm25_tpad 8
 
-# 5. sub-batch grouping re-test at B=8 cells
-T=2400 run python -m tools.bench_bm25_selectivity 1000000 8
+# 5. sub-batch grouping re-test (B=8 cells): per-block cost is now
+#    ~linear in B, so selectivity-grouped dispatch may have flipped
+#    from throughput-negative to a win
+run python -m tools.bench_bm25_selectivity 1000000 8
