@@ -1740,9 +1740,16 @@ def _serve_flush_searches(handle, reqs: list[dict], out) -> None:
     replies: list[dict | None] = [None] * len(reqs)
     for i, r in enumerate(reqs):
         try:
-            parsed.append((i, str(r.get("query", "")), max(0, int(r.get("k", 10)))))
+            k_i = int(r.get("k", 10))
+            if k_i < 0:
+                # same typed rejection as the direct lane (searcher raises
+                # InvalidConfig): a frame must not behave differently
+                # depending on which serve lane happened to execute it
+                replies[i] = error_envelope("invalid_config", f"k must be >= 0, got {k_i}")
+                continue
+            parsed.append((i, str(r.get("query", "")), k_i))
         except Exception as e:
-            replies[i] = error_envelope(type(e).__name__, str(e))
+            replies[i] = error_envelope(getattr(e, "code", type(e).__name__), str(e))
     try:
         if len(parsed) == 1:
             i, q, k = parsed[0]
@@ -1758,7 +1765,7 @@ def _serve_flush_searches(handle, reqs: list[dict], out) -> None:
     except Exception as e:
         for i, _, _ in parsed:
             if replies[i] is None:
-                replies[i] = error_envelope(type(e).__name__, str(e))
+                replies[i] = error_envelope(getattr(e, "code", type(e).__name__), str(e))
     for env in replies:
         print(json.dumps(env, default=str), file=out, flush=True)
 
@@ -1981,7 +1988,7 @@ def cmd_serve(args) -> dict | None:
                 }
                 print(json.dumps(envelope(payload), default=str), file=out, flush=True)
             except Exception as e:
-                print(json.dumps(error_envelope(type(e).__name__, str(e))),
+                print(json.dumps(error_envelope(getattr(e, "code", type(e).__name__), str(e))),
                       file=out, flush=True)
             continue
         if op == "search":
@@ -2030,7 +2037,7 @@ def cmd_serve(args) -> dict | None:
                 if registrar is not None:
                     registrar.observe_error()
                 print(
-                    json.dumps(error_envelope(type(e).__name__, str(e))), file=out, flush=True
+                    json.dumps(error_envelope(getattr(e, "code", type(e).__name__), str(e))), file=out, flush=True
                 )
             continue
         if op == "search_batch":
@@ -2060,7 +2067,7 @@ def cmd_serve(args) -> dict | None:
                 )
             except Exception as e:
                 print(
-                    json.dumps(error_envelope(type(e).__name__, str(e))), file=out, flush=True
+                    json.dumps(error_envelope(getattr(e, "code", type(e).__name__), str(e))), file=out, flush=True
                 )
             continue
         print(json.dumps(error_envelope("unknown_op", str(op))), file=out, flush=True)

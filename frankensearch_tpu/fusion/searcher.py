@@ -39,6 +39,7 @@ from frankensearch_tpu.core.config import (
     TwoTierConfig,
     TwoTierMetrics,
 )
+from frankensearch_tpu.core.errors import InvalidConfig
 from frankensearch_tpu.core.parsed_query import ParsedQuery
 from frankensearch_tpu.core.query_class import QueryClass
 from frankensearch_tpu.core.types import (  # noqa: F401
@@ -506,6 +507,10 @@ class TwoTierSearcher:
         search_filter=None,
     ) -> SearchOutcome:
         t_start = time.monotonic()
+        if k < 0:
+            # fail-closed typed error: a negative k otherwise escapes as
+            # a raw lax.top_k ValueError from inside the device program
+            raise InvalidConfig(f"k must be >= 0, got {k}")
         if text_fn is None:
             # handle-level default (storage preview): keeps negation
             # filters + phase-3 live when the caller passes no text_fn
@@ -698,6 +703,8 @@ class TwoTierSearcher:
         phase callbacks/timeouts are not supported here — batch mode is
         for offline/agent workloads, not progressive UI.
         """
+        if k < 0:
+            raise InvalidConfig(f"k must be >= 0, got {k}")
         queries = list(queries)
         outcomes: list[SearchOutcome] = [SearchOutcome(results=[]) for _ in queries]
         if not queries:

@@ -598,6 +598,30 @@ class TestCliContract:
         assert not lines[1]["ok"] and "three" in lines[1]["error"]["message"]
         assert lines[2]["ok"] and lines[2]["data"][0]["doc_id"] == "jax-1"
 
+    def test_negative_k_is_typed_in_both_serve_lanes(self, index_root):
+        """k<0 must yield the SAME typed invalid_config error whether the
+        frame executes on the coalesced lane or the direct lane (it
+        previously escaped the direct lane as a raw lax.top_k ValueError
+        and was silently clamped to 0 on the coalesced lane)."""
+        reqs = "\n".join([
+            json.dumps({"op": "search", "query": "jax tpu", "k": -2}),
+            json.dumps({"op": "search", "query": "jax tpu", "k": 2}),
+            json.dumps({"op": "shutdown"}),
+        ])
+        r = run_cli("serve", "--root", index_root, input_text=reqs)
+        lines = [json.loads(line) for line in r.stdout.strip().splitlines()]
+        assert r.returncode == 0
+        assert not lines[0]["ok"]
+        assert lines[0]["error"]["code"] == "invalid_config"
+        assert lines[1]["ok"] and lines[1]["data"]
+
+    def test_search_negative_k_is_typed(self, index_root):
+        r = run_cli("--format", "json", "search", "jax", "--root", index_root,
+                    "-k", "-3")
+        env = json.loads(r.stdout)
+        assert not env["ok"]
+        assert env["error"]["code"] == "invalid_config"
+
     def test_serve_status_op(self, index_root):
         """The documented {"op":"status"} frame reports the LIVE handle
         (doc_count, tiers, reloads, pressure) — it was promised by the
