@@ -59,6 +59,10 @@ class SyncTwoTierSearcher:
         quality_vec: np.ndarray | None = None,
         k: int = 10,
     ) -> SyncSearchOutcome:
+        if k < 0:
+            from frankensearch_tpu.core.errors import InvalidConfig
+
+            raise InvalidConfig(f"k must be >= 0, got {k}")
         cfg = self.config
         phases: list[SearchPhase] = []
 
