@@ -161,9 +161,11 @@ def _seed_watch_state(args) -> None:
                 continue
             members[os.path.relpath(full, args.corpus)] = ids
     if members:
-        with open(os.path.join(args.root, "watch_members.json"), "w",
-                  encoding="utf-8") as f:
-            json.dump(members, f)
+        # same artifact cmd_watch rewrites atomically — seed it atomically
+        # too so a crash mid-write can't leave a truncated file (ADVICE r3)
+        atomic_write_text(
+            os.path.join(args.root, "watch_members.json"), json.dumps(members)
+        )
 
 
 def _index_resumable(root: str, docs, stack, cfg, *, batch_size: int = 256):

@@ -21,11 +21,19 @@ import tempfile
 
 __all__ = ["atomic_write_text", "atomic_write_bytes"]
 
+# mkstemp creates 0600 files; published artifacts (heartbeats, leases,
+# manifests) must keep the umask-default permissions a plain open() gives,
+# or cross-user/cross-process readers lose access (ADVICE r3). Capture the
+# umask once — os.umask is the only query API and it is process-global.
+_UMASK = os.umask(0)
+os.umask(_UMASK)
+
 
 def _publish(path: str, data: bytes, fsync: bool) -> None:
     d = os.path.dirname(os.path.abspath(path))
     fd, tmp = tempfile.mkstemp(dir=d, prefix=".stage.", suffix=".tmp")
     try:
+        os.fchmod(fd, 0o666 & ~_UMASK)
         with os.fdopen(fd, "wb") as f:
             f.write(data)
             if fsync:

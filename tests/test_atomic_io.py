@@ -59,6 +59,19 @@ def test_failed_write_leaks_nothing(tmp_path, monkeypatch):
     assert _listdir(tmp_path) == ["x"]
 
 
+def test_published_files_keep_umask_permissions(tmp_path):
+    """mkstemp stages files 0600; publication must restore the mode a
+    plain open() would give (0666 & ~umask) or cross-process readers of
+    heartbeats/leases/manifests lose access (ADVICE r3)."""
+    p = str(tmp_path / "heartbeat.json")
+    atomic_write_text(p, "{}")
+    mode = os.stat(p).st_mode & 0o777
+    umask = os.umask(0)
+    os.umask(umask)
+    assert mode == (0o666 & ~umask)
+    assert mode != 0o600 or umask in (0o077, 0o177)  # not the mkstemp default
+
+
 def test_fsync_failure_leaks_nothing(tmp_path, monkeypatch):
     p = str(tmp_path / "x")
 
