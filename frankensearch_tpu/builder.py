@@ -614,8 +614,6 @@ def open_hybrid(
     from frankensearch_tpu.lexical.persist import load_packed_lexical
 
     packed = load_packed_lexical(root)
-    if packed is not None and cfg.lexical_selectivity_grouping:
-        packed.selectivity_grouping = True
     if packed is not None and cfg.mesh_shards > 0:
         # mesh configured: the lexical arm shards its postings blocks
         # over the same device set as the vector slab (sharded_bm25.py)

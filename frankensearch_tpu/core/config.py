@@ -125,15 +125,6 @@ class TwoTierConfig:
     #: all_gather top-k merge (parallel/sharded_scan.py), bit-identical
     #: ordering to single-device. Requires that many visible devices.
     mesh_shards: int = 0
-    #: batched lexical dispatch grouping: selective queries (>= half
-    #: their blocks zero-bound) dispatch in small homogeneous sub-batches
-    #: so block-max pruning survives batching (the skip test is
-    #: batch-AND). Bit-identical results. MEASURED NEGATIVE for
-    #: throughput on this kernel (PERF_LEDGER: per-block cost is
-    #: B-independent/HBM-bound, so B=8 sub-batches scan blocks 8x less
-    #: efficiently than one B=64 pass); kept as a latency experiment
-    #: knob, off by default.
-    lexical_selectivity_grouping: bool = False
     #: lexical engine backend: "auto" opens whatever the build produced
     #: (FTS5 .db if present, else oracle+packed device arm); "fts5"
     #: builds/opens the sqlite FTS5 engine (fts5_adapter.rs: one .db

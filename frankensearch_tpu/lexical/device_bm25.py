@@ -715,58 +715,6 @@ class DeviceBm25Index(LexicalRead):
                 w[b, j] = weight
         return ids, w
 
-    #: opt-in batched-dispatch grouping (config lexical_selectivity_grouping):
-    #: the block-max skip is batch-AND, so one broad query pins every
-    #: selective query's blocks. Grouping dispatches selective queries
-    #: (>= half their blocks zero-bound) in small homogeneous sub-batches
-    #: where the zero-bound intersection survives — per-query block work
-    #: drops by the pruned fraction. Results are bit-identical per query
-    #: (pruning is exact); the extra dispatches only pay off on
-    #: direct-attached hardware (a tunnel round trip per dispatch loses).
-    selectivity_grouping: bool = False
-    SELECTIVE_GROUP = 8
-
-    def _grouped_blocked_dispatch(self, ids, w, bounds, k):
-        import numpy as _np
-
-        b = ids.shape[0]
-        zfrac = (bounds <= 0.0).mean(axis=0)  # (B,) zero-bound fraction
-        selective = _np.flatnonzero(zfrac >= 0.5)
-        broad = _np.flatnonzero(zfrac < 0.5)
-        out_s = _np.empty((b, min(k, self.n_docs)), dtype=_np.float32)
-        out_i = _np.empty_like(out_s, dtype=_np.int32)
-        total_skipped = 0
-
-        def run(idxs):
-            nonlocal total_skipped
-            if len(idxs) == 0:
-                return
-            # pad the sub-batch to the group size so jit variants stay
-            # bounded (padding repeats row 0; its results are discarded)
-            pad_to = len(idxs)
-            if len(idxs) < self.SELECTIVE_GROUP and len(idxs) != b:
-                pad_to = self.SELECTIVE_GROUP
-            sel = _np.concatenate(
-                [idxs, _np.full(pad_to - len(idxs), idxs[0], idxs.dtype)]
-            ) if pad_to != len(idxs) else idxs
-            s, i, skipped = _device_bm25_blocked(
-                self._blocked.classes,
-                self._blocked.split_bounds(bounds[:, sel]),
-                jnp.asarray(ids[sel]), jnp.asarray(w[sel]),
-                k=min(k, self.n_docs), group=MERGE_GROUP, seq_t=SEQ_T_ACCUM,
-            )
-            s, i = jax.device_get((s, i))
-            out_s[idxs] = _np.asarray(s)[: len(idxs)]
-            out_i[idxs] = _np.asarray(i)[: len(idxs)]
-            total_skipped += int(skipped)
-
-        g = self.SELECTIVE_GROUP
-        for start in range(0, len(selective), g):
-            run(selective[start:start + g])
-        run(broad)
-        self.last_blocks_skipped = total_skipped
-        return out_s, out_i
-
     def search_candidates_batch(
         self, queries: list[str], budget: int
     ) -> list[list[LexicalCandidate]]:
@@ -776,18 +724,6 @@ class DeviceBm25Index(LexicalRead):
         if self._blocked is not None:
             ids, w = self._query_sparse_rows(queries)
             bounds = self._blocked.query_bounds(ids, w)
-            if self.selectivity_grouping and len(queries) > self.SELECTIVE_GROUP:
-                top_s, top_i = self._grouped_blocked_dispatch(ids, w, bounds, k)
-                s, i = np.asarray(top_s), np.asarray(top_i)
-                return [
-                    [
-                        LexicalCandidate(doc_id=self.doc_ids[int(i[b, j])],
-                                         score=float(s[b, j]))
-                        for j in range(s.shape[1])
-                        if s[b, j] > 0.0
-                    ]
-                    for b in range(len(queries))
-                ]
             # pad B to a multiple of 8 by repeating query 0 (results
             # discarded): bounds every small-batch jit variant to one
             # compiled width, which also keeps the sparse-compare step's
@@ -930,9 +866,6 @@ class BulkDeviceBm25Index(LexicalRead):
     _query_idf_rows = DeviceBm25Index._query_idf_rows
     _query_sparse_rows = DeviceBm25Index._query_sparse_rows
     search_candidates_batch = DeviceBm25Index.search_candidates_batch
-    _grouped_blocked_dispatch = DeviceBm25Index._grouped_blocked_dispatch
-    selectivity_grouping = DeviceBm25Index.selectivity_grouping
-    SELECTIVE_GROUP = DeviceBm25Index.SELECTIVE_GROUP
 
     def search_candidates(self, query: str, budget: int) -> list[LexicalCandidate]:
         return self.search_candidates_batch([query], budget)[0]

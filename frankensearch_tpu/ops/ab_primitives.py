@@ -1,0 +1,318 @@
+"""Measured-negative A/B primitives — tested, NOT product-selectable.
+
+Every primitive here lost an on-hardware A/B against the shipped lane
+and was moved OUT of the product modules (VERDICT r3 weak #6) so
+`ops/topk_scan.py` / `lexical/device_bm25.py` expose only lanes a user
+should pick. They stay importable (their A/B tools and parity tests
+keep running) and each docstring links the ledger row that retired it.
+
+Contents:
+
+- :func:`iter_topk` — k unrolled argmax passes instead of ``lax.top_k``
+  (tools/bench_groupsel: no on-hardware win at product shapes).
+- :func:`topk_groups_two_stage` — chunked two-stage group selection
+  (PERF_LEDGER "two-stage group top-k": 3.28 vs 2.76 ms at 1M/B=512).
+- :func:`scan_topk_hierarchical_ab` — the hierarchical scan with the
+  retired ``emit="tile_topk"`` / ``group_select="iter"`` axes
+  (tools/bench_emit: 10.46 vs 2.79 ms for tile_topk at 1M/B=512).
+- :func:`grouped_blocked_dispatch` — selectivity-grouped BM25 dispatch
+  (PERF_LEDGER: per-block cost is B-independent/HBM-bound, so B=8
+  sub-batches scan blocks 8x less efficiently than one B=64 pass;
+  formerly config ``lexical_selectivity_grouping``).
+
+All remain bit-equal to their product counterparts — the tests in
+tests/test_ops_scan.py / tests/test_device_bm25.py pin that.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from frankensearch_tpu.ops.topk_scan import (
+    NEG_INF,
+    TopKResult,
+    _group_max_kernel,
+    _rescore_groups,
+)
+
+
+def iter_topk(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k of (B, N) by k unrolled argmax passes (first-index
+    tiebreak, same contract as lax.top_k). For small k this is O(k*N)
+    VPU work vs lax.top_k's sort-based lowering; unrolled (k is static)
+    so the XLA graph stays flat and compile-friendly. Retired from the
+    product scan: tools/bench_groupsel found no on-hardware win."""
+    b, n = x.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    scores, idxs = [], []
+    for _ in range(k):
+        best = jnp.max(x, axis=1)
+        bi = jnp.argmax(x, axis=1).astype(jnp.int32)
+        scores.append(best)
+        idxs.append(bi)
+        x = jnp.where(col == bi[:, None], NEG_INF, x)
+    return jnp.stack(scores, axis=1), jnp.stack(idxs, axis=1)
+
+
+#: chunk width for the two-stage group top-k (lane-aligned)
+_GROUP_TOPK_CHUNK = 128
+
+
+def topk_groups_two_stage(gmax: jax.Array, kk: int) -> jax.Array:
+    """Exact top-kk group selection in two stages.
+
+    MEASURED NEGATIVE (kept for the ledger's A/B honesty): at 1M docs /
+    B=512 / tile 4096 on v5e this is SLOWER than one ``lax.top_k`` over
+    the full (512, 7813) gmax — 3.28 vs 2.76 ms end-to-end
+    (PERF_LEDGER "two-stage group top-k"). XLA's top_k lowering is
+    bandwidth-bound, not sort-bound, at this shape; the extra
+    pad/reshape/gather passes cost more than the narrower sorts save.
+
+    Exact by the standard argument: a global top-kk element is a
+    top-kk element of its own chunk. Tie behavior matches single-stage
+    (lowest group id wins). Returns (B, kk) group ids, unsorted.
+    """
+    b, n_groups = gmax.shape
+    chunk = _GROUP_TOPK_CHUNK
+    if n_groups <= 2 * chunk or kk >= chunk:
+        _, top = jax.lax.top_k(gmax, kk)
+        return top
+    n_chunks = (n_groups + chunk - 1) // chunk
+    pad = n_chunks * chunk - n_groups
+    if pad:
+        gmax = jnp.pad(gmax, ((0, 0), (0, pad)), constant_values=NEG_INF)
+    per_chunk = gmax.reshape(b, n_chunks, chunk)
+    s1, i1 = jax.lax.top_k(per_chunk, kk)  # (B, n_chunks, kk)
+    base = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[None, :, None]
+    ids1 = (i1.astype(jnp.int32) + base).reshape(b, n_chunks * kk)
+    s1 = s1.reshape(b, n_chunks * kk)
+    _, pos = jax.lax.top_k(s1, kk)
+    return jnp.take_along_axis(ids1, pos, axis=1)
+
+
+def _group_candidates_kernel(
+    q_ref, slab_ref, mask_ref, out_v_ref, out_g_ref, *, group: int, t: int
+):
+    """One grid step: score a (TILE_N, D) tile, reduce to per-group maxima,
+    and emit the tile's top-``t`` (value, GLOBAL group id) candidates.
+
+    MEASURED NEGATIVE on v5e (tools/bench_emit, 2026-08-17): 10.46 ms vs
+    2.79 ms for emit="gmax" at 1M docs / B=512 / tile 4096 / k=10. The
+    hypothesis was that the ``t`` unrolled argmax passes over the tiny
+    (B, G_tile) group-max block would ride free under the HBM-bound slab
+    reads; in fact Mosaic serializes them after the matmul and each pass
+    costs ~0.77 ms across the grid — an order of magnitude more than the
+    ~0.35 ms host-side merge the narrowing saves. Even t=1 would lose.
+    At tile_n=8192/group=128 (G_tile=64) the kernel additionally fails
+    Mosaic lowering (the (t, B) output block's sublane dim t=k does not
+    divide 8).
+
+    Exactness: the global top-t groups restricted to one tile are at most
+    t groups, each necessarily in that tile's local top-t — so the union
+    of per-tile top-t candidates covers the global top-t groups and the
+    group-max coverage theorem (scan_topk_hierarchical) still applies.
+    """
+    tile_n = slab_ref.shape[0]
+    i = pl.program_id(0)
+    scores = jax.lax.dot_general(
+        q_ref[:].astype(slab_ref.dtype),
+        slab_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores + mask_ref[0].astype(jnp.float32)
+    b = scores.shape[0]
+    g_tile = tile_n // group
+    gm = jnp.max(scores.reshape(b, g_tile, group), axis=2)  # (B, G_tile)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, g_tile), 1)
+    base = (i * g_tile).astype(jnp.int32)
+    vals, gids = [], []
+    for _ in range(t):
+        m = jnp.max(gm, axis=1)  # (B,)
+        # first-index argmax, same tiebreak contract as lax.top_k
+        bi = jnp.min(jnp.where(gm == m[:, None], col, g_tile), axis=1)
+        vals.append(m)
+        gids.append(bi + base)
+        gm = jnp.where(col == bi[:, None], NEG_INF, gm)
+    out_v_ref[0] = jnp.stack(vals, axis=0)  # (t, B)
+    out_g_ref[0] = jnp.stack(gids, axis=0).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "tile_n", "group", "interpret", "rescore", "group_select", "emit",
+    ),
+)
+def scan_topk_hierarchical_ab(
+    slab: jax.Array,
+    queries: jax.Array,
+    k: int,
+    mask: jax.Array | None = None,
+    *,
+    tile_n: int = 8192,
+    group: int = 128,
+    interpret: bool = False,
+    rescore: str = "xla",
+    group_select: str = "sort",  # "sort" (lax.top_k) | "iter" (k argmax passes)
+    emit: str = "gmax",  # "gmax" (all group maxima) | "tile_topk" (per-tile top-t)
+) -> TopKResult:
+    """The hierarchical scan with the retired A/B axes. Bit-equal to
+    ``scan_topk_hierarchical`` (same group-max coverage argument, same
+    tiebreaks); the retired axes only change HOW the top groups are
+    found. See the kernel docstrings above for the measured-negative
+    ledger evidence."""
+    n, d = slab.shape
+    b = queries.shape[0]
+    if n % tile_n != 0 or tile_n % group != 0:
+        raise ValueError(
+            f"need n % tile_n == 0 and tile_n % group == 0; got {n}, {tile_n}, {group}"
+        )
+    num_tiles = n // tile_n
+    n_groups = n // group
+    kk_groups = min(k, n_groups)
+
+    if mask is None:
+        mask = jnp.zeros((n,), dtype=jnp.float32)
+    mask2d = mask.reshape(num_tiles, 1, tile_n)
+
+    g_tile = tile_n // group
+    t = min(kk_groups, g_tile)
+    if emit == "tile_topk" and num_tiles * t < n_groups:
+        # Narrow INSIDE the scan: each tile emits its top-t (value, gid)
+        # candidates, so the host-side merge sorts num_tiles*t values
+        # instead of n_groups. Exact + bit-equal to the gmax path: the
+        # kernel's argmax passes pick lowest gid among equals and tiles
+        # concatenate gid-ascending, so lax.top_k's first-index tiebreak
+        # resolves identically; downstream sorts top_groups anyway.
+        kernel = functools.partial(_group_candidates_kernel, group=group, t=t)
+        cand_v, cand_g = pl.pallas_call(
+            kernel,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec((b, d), lambda i: (0, 0)),
+                pl.BlockSpec((tile_n, d), lambda i: (i, 0)),
+                pl.BlockSpec((1, 1, tile_n), lambda i: (i, 0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, t, b), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, t, b), lambda i: (i, 0, 0)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((num_tiles, t, b), jnp.float32),
+                jax.ShapeDtypeStruct((num_tiles, t, b), jnp.int32),
+            ),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * d * n,
+                bytes_accessed=n * d * slab.dtype.itemsize
+                + 2 * num_tiles * t * b * 4,
+                transcendentals=0,
+            ),
+        )(queries, slab, mask2d)
+        vals = jnp.transpose(cand_v, (2, 0, 1)).reshape(b, num_tiles * t)
+        gids = jnp.transpose(cand_g, (2, 0, 1)).reshape(b, num_tiles * t)
+        _, pos = jax.lax.top_k(vals, kk_groups)
+        top_groups = jnp.take_along_axis(gids, pos, axis=1)
+    else:
+        kernel = functools.partial(_group_max_kernel, group=group)
+        gmax = pl.pallas_call(
+            kernel,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec((b, d), lambda i: (0, 0)),
+                pl.BlockSpec((tile_n, d), lambda i: (i, 0)),
+                pl.BlockSpec((1, 1, tile_n), lambda i: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, tile_n // group, b), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct(
+                (num_tiles, tile_n // group, b), jnp.float32
+            ),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * d * n,
+                bytes_accessed=n * d * slab.dtype.itemsize + n_groups * b * 4,
+                transcendentals=0,
+            ),
+        )(queries, slab, mask2d)
+        gmax = jnp.transpose(gmax.reshape(n_groups, b), (1, 0))  # (B, N/R)
+        if group_select == "iter":
+            _, top_groups = iter_topk(gmax, kk_groups)
+        else:
+            _, top_groups = jax.lax.top_k(gmax, kk_groups)  # (B, kk_groups)
+
+    return _rescore_groups(
+        slab, queries, mask, top_groups,
+        k=k, group=group, rescore=rescore, interpret=interpret,
+    )
+
+
+#: selective sub-batch size for grouped_blocked_dispatch
+SELECTIVE_GROUP = 8
+
+
+def grouped_blocked_dispatch(index, ids, w, bounds, k: int):
+    """Selectivity-grouped BM25 dispatch over a Device BM25 index's
+    blocked layout. The block-max skip is batch-AND, so one broad query
+    pins every selective query's blocks; this dispatches selective
+    queries (>= half their blocks zero-bound) in small homogeneous
+    sub-batches where the zero-bound intersection survives. Results are
+    bit-identical per query (pruning is exact).
+
+    MEASURED NEGATIVE for throughput (PERF_LEDGER "selectivity
+    grouping"): per-block device cost is B-independent/HBM-bound, so
+    B=8 sub-batches scan blocks 8x less efficiently than one B=64
+    pass; the extra dispatches also pay a tunnel round trip each.
+    Formerly product config ``lexical_selectivity_grouping``; retired
+    to this module (VERDICT r3 weak #6). Returns ((B, k) scores, rows)
+    and sets ``index.last_blocks_skipped``.
+    """
+    import numpy as _np
+
+    from frankensearch_tpu.lexical.device_bm25 import (
+        MERGE_GROUP,
+        SEQ_T_ACCUM,
+        _device_bm25_blocked,
+    )
+
+    b = ids.shape[0]
+    zfrac = (bounds <= 0.0).mean(axis=0)  # (B,) zero-bound fraction
+    selective = _np.flatnonzero(zfrac >= 0.5)
+    broad = _np.flatnonzero(zfrac < 0.5)
+    out_s = _np.empty((b, min(k, index.n_docs)), dtype=_np.float32)
+    out_i = _np.empty_like(out_s, dtype=_np.int32)
+    total_skipped = 0
+
+    def run(idxs):
+        nonlocal total_skipped
+        if len(idxs) == 0:
+            return
+        # pad the sub-batch to the group size so jit variants stay
+        # bounded (padding repeats row 0; its results are discarded)
+        pad_to = len(idxs)
+        if len(idxs) < SELECTIVE_GROUP and len(idxs) != b:
+            pad_to = SELECTIVE_GROUP
+        sel = _np.concatenate(
+            [idxs, _np.full(pad_to - len(idxs), idxs[0], idxs.dtype)]
+        ) if pad_to != len(idxs) else idxs
+        s, i, skipped = _device_bm25_blocked(
+            index._blocked.classes,
+            index._blocked.split_bounds(bounds[:, sel]),
+            jnp.asarray(ids[sel]), jnp.asarray(w[sel]),
+            k=min(k, index.n_docs), group=MERGE_GROUP, seq_t=SEQ_T_ACCUM,
+        )
+        s, i = jax.device_get((s, i))
+        out_s[idxs] = _np.asarray(s)[: len(idxs)]
+        out_i[idxs] = _np.asarray(i)[: len(idxs)]
+        total_skipped += int(skipped)
+
+    g = SELECTIVE_GROUP
+    for start in range(0, len(selective), g):
+        run(selective[start:start + g])
+    run(broad)
+    index.last_blocks_skipped = total_skipped
+    return out_s, out_i

@@ -62,23 +62,6 @@ def _finalize(scores: jax.Array, indices: jax.Array, k: int) -> TopKResult:
     return TopKResult(scores.astype(jnp.float32), indices.astype(jnp.int32))
 
 
-def iter_topk(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
-    """Exact top-k of (B, N) by k unrolled argmax passes (first-index
-    tiebreak, same contract as lax.top_k). For small k this is O(k*N)
-    VPU work vs lax.top_k's sort-based lowering; unrolled (k is static)
-    so the XLA graph stays flat and compile-friendly."""
-    b, n = x.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
-    scores, idxs = [], []
-    for _ in range(k):
-        best = jnp.max(x, axis=1)
-        bi = jnp.argmax(x, axis=1).astype(jnp.int32)
-        scores.append(best)
-        idxs.append(bi)
-        x = jnp.where(col == bi[:, None], NEG_INF, x)
-    return jnp.stack(scores, axis=1), jnp.stack(idxs, axis=1)
-
-
 # --------------------------------------------------------------------------
 # XLA path
 # --------------------------------------------------------------------------
@@ -254,55 +237,6 @@ def _group_max_kernel(q_ref, slab_ref, mask_ref, out_ref, *, group: int):
     out_ref[0] = jnp.transpose(jnp.max(grouped, axis=2), (1, 0))  # (G_tile, B)
 
 
-def _group_candidates_kernel(
-    q_ref, slab_ref, mask_ref, out_v_ref, out_g_ref, *, group: int, t: int
-):
-    """One grid step: score a (TILE_N, D) tile, reduce to per-group maxima,
-    and emit the tile's top-``t`` (value, GLOBAL group id) candidates.
-
-    MEASURED NEGATIVE on v5e (tools/bench_emit, 2026-08-17): 10.46 ms vs
-    2.79 ms for emit="gmax" at 1M docs / B=512 / tile 4096 / k=10. The
-    hypothesis was that the ``t`` unrolled argmax passes over the tiny
-    (B, G_tile) group-max block would ride free under the HBM-bound slab
-    reads; in fact Mosaic serializes them after the matmul and each pass
-    costs ~0.77 ms across the grid — an order of magnitude more than the
-    ~0.35 ms host-side merge the narrowing saves. Even t=1 would lose.
-    At tile_n=8192/group=128 (G_tile=64) the kernel additionally fails
-    Mosaic lowering (the (t, B) output block's sublane dim t=k does not
-    divide 8). Kept as a tested, bit-equal primitive for the ledger's A/B
-    honesty; emit="gmax" stays the only product path.
-
-    Exactness: the global top-t groups restricted to one tile are at most
-    t groups, each necessarily in that tile's local top-t — so the union
-    of per-tile top-t candidates covers the global top-t groups and the
-    group-max coverage theorem (scan_topk_hierarchical) still applies.
-    """
-    tile_n = slab_ref.shape[0]
-    i = pl.program_id(0)
-    scores = jax.lax.dot_general(
-        q_ref[:].astype(slab_ref.dtype),
-        slab_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    scores = scores + mask_ref[0].astype(jnp.float32)
-    b = scores.shape[0]
-    g_tile = tile_n // group
-    gm = jnp.max(scores.reshape(b, g_tile, group), axis=2)  # (B, G_tile)
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, g_tile), 1)
-    base = (i * g_tile).astype(jnp.int32)
-    vals, gids = [], []
-    for _ in range(t):
-        m = jnp.max(gm, axis=1)  # (B,)
-        # first-index argmax, same tiebreak contract as lax.top_k
-        bi = jnp.min(jnp.where(gm == m[:, None], col, g_tile), axis=1)
-        vals.append(m)
-        gids.append(bi + base)
-        gm = jnp.where(col == bi[:, None], NEG_INF, gm)
-    out_v_ref[0] = jnp.stack(vals, axis=0)  # (t, B)
-    out_g_ref[0] = jnp.stack(gids, axis=0).astype(jnp.int32)
-
-
 def _group_max_int8_kernel(q_ref, slab_ref, mask_ref, out_ref, *, group: int):
     """int8 variant of the group-max scan: int8 x int8 -> i32 on the MXU,
     then f32 group maxima. The prepared query (per-dim scale folded in,
@@ -424,43 +358,6 @@ def scan_topk_hierarchical_int8(
 
 _RESCORE_QB = 8  # queries per grid step (sublane-aligned block; 16 A/Bd 2026-08-16: +1% at B>=256, noise-level, and it breaks the b=8 fused small-batch path)
 
-#: chunk width for the two-stage group top-k (lane-aligned)
-_GROUP_TOPK_CHUNK = 128
-
-
-def _topk_groups_two_stage(gmax: jax.Array, kk: int) -> jax.Array:
-    """Exact top-kk group selection in two stages.
-
-    MEASURED NEGATIVE (kept for the ledger's A/B honesty): at 1M docs /
-    B=512 / tile 4096 on v5e this is SLOWER than one ``lax.top_k`` over
-    the full (512, 7813) gmax — 3.28 vs 2.76 ms end-to-end
-    (PERF_LEDGER "two-stage group top-k"). XLA's top_k lowering is
-    bandwidth-bound, not sort-bound, at this shape; the extra
-    pad/reshape/gather passes cost more than the narrower sorts save.
-    Not wired into the scan lanes; retained as a tested primitive for
-    shapes where n_groups is far larger (10M+ docs).
-
-    Exact by the standard argument: a global top-kk element is a
-    top-kk element of its own chunk. Tie behavior matches single-stage
-    (lowest group id wins). Returns (B, kk) group ids, unsorted.
-    """
-    b, n_groups = gmax.shape
-    chunk = _GROUP_TOPK_CHUNK
-    if n_groups <= 2 * chunk or kk >= chunk:
-        _, top = jax.lax.top_k(gmax, kk)
-        return top
-    n_chunks = (n_groups + chunk - 1) // chunk
-    pad = n_chunks * chunk - n_groups
-    if pad:
-        gmax = jnp.pad(gmax, ((0, 0), (0, pad)), constant_values=NEG_INF)
-    per_chunk = gmax.reshape(b, n_chunks, chunk)
-    s1, i1 = jax.lax.top_k(per_chunk, kk)  # (B, n_chunks, kk)
-    base = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[None, :, None]
-    ids1 = (i1.astype(jnp.int32) + base).reshape(b, n_chunks * kk)
-    s1 = s1.reshape(b, n_chunks * kk)
-    _, pos = jax.lax.top_k(s1, kk)
-    return jnp.take_along_axis(ids1, pos, axis=1)
-
 
 def _gather_rescore_kernel(
     groups_ref,  # scalar-prefetch: (B, KK) i32 group ids (SMEM)
@@ -568,118 +465,25 @@ def _gather_rescore_pallas(
     )(top_groups, queries, slab)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "k", "tile_n", "group", "interpret", "rescore", "group_select", "emit",
-    ),
-)
-def scan_topk_hierarchical(
+def _rescore_groups(
     slab: jax.Array,
     queries: jax.Array,
-    k: int,
-    mask: jax.Array | None = None,
+    mask: jax.Array,
+    top_groups: jax.Array,  # (B, kk_groups) selected group ids
     *,
-    tile_n: int = 8192,
-    group: int = 128,
-    interpret: bool = False,
-    rescore: str = "xla",  # "xla" (take+einsum) | "pallas" (fused DMA+GEMV)
-    group_select: str = "sort",  # "sort" (lax.top_k) | "iter" (k argmax passes)
-    emit: str = "gmax",  # "gmax" (all group maxima) | "tile_topk" (per-tile top-t)
+    k: int,
+    group: int,
+    rescore: str,
+    interpret: bool,
 ) -> TopKResult:
-    """Exact top-k via group-max pruning.
-
-    Theorem (group-max coverage): if the doc axis is cut into groups of
-    size R and x is a global top-k element, then x's group is among the
-    top-k groups ranked by group max — otherwise >= k groups each hold an
-    element > x, contradicting x in top-k. So gathering the top-k groups
-    (k*R rows) and rescoring exactly recovers the exact global top-k.
-
-    Pipeline: fused Pallas scan -> (B, N/R) group maxes (one VPU pass) ->
-    lax.top_k over group maxes (tiny) -> gather k groups' rows -> exact
-    f32 rescore -> final top-k. HBM traffic ~= slab + B*k*R rows.
-    """
+    """Shared exact-rescore tail of the hierarchical lanes: gather the
+    selected groups' rows, rescore in f32, final top-k. Also used by the
+    retired A/B variants (ops/ab_primitives.py) so their bit-parity with
+    the product lane is structural."""
     n, d = slab.shape
     b = queries.shape[0]
-    if n % tile_n != 0 or tile_n % group != 0:
-        raise ValueError(f"need n % tile_n == 0 and tile_n % group == 0; got {n}, {tile_n}, {group}")
-    num_tiles = n // tile_n
     n_groups = n // group
-    kk_groups = min(k, n_groups)
-
-    if mask is None:
-        mask = jnp.zeros((n,), dtype=jnp.float32)
-    mask2d = mask.reshape(num_tiles, 1, tile_n)
-
-    g_tile = tile_n // group
-    t = min(kk_groups, g_tile)
-    if emit == "tile_topk" and num_tiles * t < n_groups:
-        # Narrow INSIDE the scan: each tile emits its top-t (value, gid)
-        # candidates, so the host-side merge sorts num_tiles*t values
-        # instead of n_groups. Exact + bit-equal to the gmax path: the
-        # kernel's argmax passes pick lowest gid among equals and tiles
-        # concatenate gid-ascending, so lax.top_k's first-index tiebreak
-        # resolves identically; downstream sorts top_groups anyway.
-        # NOT the product path: measured 3.75x SLOWER than gmax on v5e
-        # (see _group_candidates_kernel docstring / PERF_LEDGER).
-        kernel = functools.partial(_group_candidates_kernel, group=group, t=t)
-        cand_v, cand_g = pl.pallas_call(
-            kernel,
-            grid=(num_tiles,),
-            in_specs=[
-                pl.BlockSpec((b, d), lambda i: (0, 0)),
-                pl.BlockSpec((tile_n, d), lambda i: (i, 0)),
-                pl.BlockSpec((1, 1, tile_n), lambda i: (i, 0, 0)),
-            ],
-            out_specs=(
-                pl.BlockSpec((1, t, b), lambda i: (i, 0, 0)),
-                pl.BlockSpec((1, t, b), lambda i: (i, 0, 0)),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((num_tiles, t, b), jnp.float32),
-                jax.ShapeDtypeStruct((num_tiles, t, b), jnp.int32),
-            ),
-            interpret=interpret,
-            cost_estimate=pl.CostEstimate(
-                flops=2 * b * d * n,
-                bytes_accessed=n * d * slab.dtype.itemsize + 2 * num_tiles * t * b * 4,
-                transcendentals=0,
-            ),
-        )(queries, slab, mask2d)
-        vals = jnp.transpose(cand_v, (2, 0, 1)).reshape(b, num_tiles * t)
-        gids = jnp.transpose(cand_g, (2, 0, 1)).reshape(b, num_tiles * t)
-        _, pos = jax.lax.top_k(vals, kk_groups)
-        top_groups = jnp.take_along_axis(gids, pos, axis=1)
-    else:
-        kernel = functools.partial(_group_max_kernel, group=group)
-        gmax = pl.pallas_call(
-            kernel,
-            grid=(num_tiles,),
-            in_specs=[
-                pl.BlockSpec((b, d), lambda i: (0, 0)),
-                pl.BlockSpec((tile_n, d), lambda i: (i, 0)),
-                pl.BlockSpec((1, 1, tile_n), lambda i: (i, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, tile_n // group, b), lambda i: (i, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((num_tiles, tile_n // group, b), jnp.float32),
-            interpret=interpret,
-            cost_estimate=pl.CostEstimate(
-                flops=2 * b * d * n,
-                bytes_accessed=n * d * slab.dtype.itemsize + n_groups * b * 4,
-                transcendentals=0,
-            ),
-        )(queries, slab, mask2d)
-        gmax = jnp.transpose(gmax.reshape(n_groups, b), (1, 0))  # (B, N/R)
-
-        # group_select="iter" runs k unrolled argmax passes (VPU reads, no
-        # sort); inside a fori_loop-chained bench the body traces ONCE so the
-        # earlier HLO-inflation concern doesn't apply. "sort" (lax.top_k)
-        # stays the default pending an on-hardware win (tools/bench_groupsel).
-        if group_select == "iter":
-            _, top_groups = iter_topk(gmax, kk_groups)
-        else:
-            _, top_groups = jax.lax.top_k(gmax, kk_groups)  # (B, kk_groups)
-
+    kk_groups = top_groups.shape[1]
     # gather whole GROUPS as contiguous (group*D)-wide rows: each gathered
     # row is one 64KB-class DMA instead of `group` scattered row gathers
     top_groups = jnp.sort(top_groups, axis=1)  # row-ascending tiebreak
@@ -718,6 +522,76 @@ def scan_topk_hierarchical(
         top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)), constant_values=NEG_INF)
         top_idx = jnp.pad(top_idx, ((0, 0), (0, pad)), constant_values=-1)
     return _finalize(top_scores, top_idx, k)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "tile_n", "group", "interpret", "rescore"),
+)
+def scan_topk_hierarchical(
+    slab: jax.Array,
+    queries: jax.Array,
+    k: int,
+    mask: jax.Array | None = None,
+    *,
+    tile_n: int = 8192,
+    group: int = 128,
+    interpret: bool = False,
+    rescore: str = "xla",  # "xla" (take+einsum) | "pallas" (fused DMA+GEMV)
+) -> TopKResult:
+    """Exact top-k via group-max pruning.
+
+    Theorem (group-max coverage): if the doc axis is cut into groups of
+    size R and x is a global top-k element, then x's group is among the
+    top-k groups ranked by group max — otherwise >= k groups each hold an
+    element > x, contradicting x in top-k. So gathering the top-k groups
+    (k*R rows) and rescoring exactly recovers the exact global top-k.
+
+    Pipeline: fused Pallas scan -> (B, N/R) group maxes (one VPU pass) ->
+    lax.top_k over group maxes (tiny) -> gather k groups' rows -> exact
+    f32 rescore -> final top-k. HBM traffic ~= slab + B*k*R rows.
+
+    Retired A/B axes (``emit="tile_topk"``, ``group_select="iter"``)
+    live in ops/ab_primitives.scan_topk_hierarchical_ab with their
+    measured-negative evidence.
+    """
+    n, d = slab.shape
+    b = queries.shape[0]
+    if n % tile_n != 0 or tile_n % group != 0:
+        raise ValueError(f"need n % tile_n == 0 and tile_n % group == 0; got {n}, {tile_n}, {group}")
+    num_tiles = n // tile_n
+    n_groups = n // group
+    kk_groups = min(k, n_groups)
+
+    if mask is None:
+        mask = jnp.zeros((n,), dtype=jnp.float32)
+    mask2d = mask.reshape(num_tiles, 1, tile_n)
+
+    kernel = functools.partial(_group_max_kernel, group=group)
+    gmax = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i: (0, 0)),
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1, tile_n), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n // group, b), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, tile_n // group, b), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * d * n,
+            bytes_accessed=n * d * slab.dtype.itemsize + n_groups * b * 4,
+            transcendentals=0,
+        ),
+    )(queries, slab, mask2d)
+    gmax = jnp.transpose(gmax.reshape(n_groups, b), (1, 0))  # (B, N/R)
+    _, top_groups = jax.lax.top_k(gmax, kk_groups)  # (B, kk_groups)
+
+    return _rescore_groups(
+        slab, queries, mask, top_groups,
+        k=k, group=group, rescore=rescore, interpret=interpret,
+    )
 
 
 # --------------------------------------------------------------------------

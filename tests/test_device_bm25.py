@@ -263,24 +263,31 @@ class TestBlockMaxPruning:
         assert tie_ids == [f"t{i:03d}" for i in range(len(tie_ids))]
 
     def test_selectivity_grouped_dispatch_bit_identical(self):
-        """The opt-in grouped dispatch (selective queries in homogeneous
-        sub-batches so batch-AND pruning survives) must return results
-        BIT-IDENTICAL to the single-batch path for every query — mixed
-        selective/broad batches, odd group remainders included."""
+        """The retired grouped dispatch (ops/ab_primitives.py: selective
+        queries in homogeneous sub-batches so batch-AND pruning survives)
+        must return results BIT-IDENTICAL to the product single-batch
+        path for every query — mixed selective/broad batches, odd group
+        remainders included."""
+        from frankensearch_tpu.ops.ab_primitives import grouped_blocked_dispatch
+
         _, dev = self._blocked_index(self._corpus())
         # mix: selective (rare one-term) + broad (common-term) queries,
         # 11 selective forces a padded remainder group
         queries = [f"filler{i}" for i in range(11)] + ["alpha beta"] * 3
         base = dev.search_candidates_batch(queries, 10)
-        dev.selectivity_grouping = True
-        try:
-            grouped = dev.search_candidates_batch(queries, 10)
-        finally:
-            dev.selectivity_grouping = False
-        for q, a, b in zip(queries, base, grouped):
-            assert [(c.doc_id, c.score) for c in a] == [
-                (c.doc_id, c.score) for c in b
-            ], q
+        ids, w = dev._query_sparse_rows(queries)
+        bounds = dev._blocked.query_bounds(ids, w)
+        s, i = grouped_blocked_dispatch(dev, ids, w, bounds, min(10, dev.n_docs))
+        grouped = [
+            [
+                (dev.doc_ids[int(i[b, j])], float(s[b, j]))
+                for j in range(s.shape[1])
+                if s[b, j] > 0.0
+            ]
+            for b in range(len(queries))
+        ]
+        for q, a, g in zip(queries, base, grouped):
+            assert [(c.doc_id, c.score) for c in a] == g, q
 
     def test_bounds_are_true_upper_bounds(self):
         import numpy as np

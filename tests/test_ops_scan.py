@@ -367,18 +367,19 @@ class TestHierarchicalInt8:
 
 class TestTwoStageGroupTopk:
     """Exactness of the two-stage primitive (measured slower than
-    lax.top_k at serving shapes — PERF_LEDGER — but kept for 10M+)."""
+    lax.top_k at serving shapes — PERF_LEDGER — retired to
+    ops/ab_primitives.py)."""
 
     def test_matches_lax_topk_including_ties(self):
         import jax.numpy as jnp
         import numpy as np
 
-        from frankensearch_tpu.ops.topk_scan import _topk_groups_two_stage
+        from frankensearch_tpu.ops.ab_primitives import topk_groups_two_stage
 
         rng = np.random.default_rng(3)
         gmax = rng.standard_normal((4, 1000)).astype(np.float32)
         gmax[:, 500] = gmax[:, 100]  # cross-chunk tie
-        got = np.sort(np.asarray(_topk_groups_two_stage(jnp.asarray(gmax), 13)), axis=1)
+        got = np.sort(np.asarray(topk_groups_two_stage(jnp.asarray(gmax), 13)), axis=1)
         import jax
 
         _, want = jax.lax.top_k(jnp.asarray(gmax), 13)
@@ -388,34 +389,34 @@ class TestTwoStageGroupTopk:
         import jax.numpy as jnp
         import numpy as np
 
-        from frankensearch_tpu.ops.topk_scan import _topk_groups_two_stage
+        from frankensearch_tpu.ops.ab_primitives import topk_groups_two_stage
 
         gmax = jnp.asarray(np.arange(24, dtype=np.float32)[None, :])
-        got = np.asarray(_topk_groups_two_stage(gmax, 3))
+        got = np.asarray(topk_groups_two_stage(gmax, 3))
         assert set(got[0]) == {23, 22, 21}
 
 
 class TestHierarchicalTileTopkEmit:
     """emit="tile_topk": per-tile top-t candidate emission inside the scan
-    kernel. Must be BIT-equal to the emit="gmax" reference path — same
-    pipeline, only the group-selection input narrows from n_groups to
-    num_tiles*t values (exact by the per-tile coverage argument in the
-    kernel docstring)."""
+    kernel (retired to ops/ab_primitives.py). Must be BIT-equal to the
+    product scan_topk_hierarchical — same pipeline, only the
+    group-selection input narrows from n_groups to num_tiles*t values
+    (exact by the per-tile coverage argument in the kernel docstring)."""
 
     def _parity(self, slab, q, k, mask=None, tile_n=512, group=32):
         import jax.numpy as jnp
 
+        from frankensearch_tpu.ops.ab_primitives import scan_topk_hierarchical_ab
         from frankensearch_tpu.ops.topk_scan import scan_topk_hierarchical
 
         sd, qd = jnp.asarray(slab, jnp.bfloat16), jnp.asarray(q)
         md = None if mask is None else jnp.asarray(mask)
-        got = scan_topk_hierarchical(
+        got = scan_topk_hierarchical_ab(
             sd, qd, k, md, tile_n=tile_n, group=group,
             emit="tile_topk", interpret=True,
         )
         want = scan_topk_hierarchical(
-            sd, qd, k, md, tile_n=tile_n, group=group,
-            emit="gmax", interpret=True,
+            sd, qd, k, md, tile_n=tile_n, group=group, interpret=True,
         )
         np.testing.assert_array_equal(np.asarray(got.indices), np.asarray(want.indices))
         np.testing.assert_array_equal(np.asarray(got.scores), np.asarray(want.scores))
@@ -467,11 +468,11 @@ class TestHierarchicalTileTopkEmit:
         # results are still exact vs XLA
         import jax.numpy as jnp
 
-        from frankensearch_tpu.ops.topk_scan import scan_topk_hierarchical
+        from frankensearch_tpu.ops.ab_primitives import scan_topk_hierarchical_ab
 
         slab = make_unit_rows(rng, 1024, 64)
         q = make_unit_rows(rng, 3, 64)
-        got = scan_topk_hierarchical(
+        got = scan_topk_hierarchical_ab(
             jnp.asarray(slab), jnp.asarray(q), 10,
             tile_n=256, group=32, emit="tile_topk", interpret=True,
         )
@@ -483,6 +484,7 @@ def test_hierarchical_group_select_iter_parity():
     import jax.numpy as jnp
     import numpy as np
 
+    from frankensearch_tpu.ops.ab_primitives import scan_topk_hierarchical_ab
     from frankensearch_tpu.ops.topk_scan import scan_topk_hierarchical
 
     rng = np.random.default_rng(11)
@@ -492,11 +494,11 @@ def test_hierarchical_group_select_iter_parity():
     q = rng.standard_normal((b, d)).astype(np.float32)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     sd, qd = jnp.asarray(slab, jnp.bfloat16), jnp.asarray(q)
-    it = scan_topk_hierarchical(sd, qd, k, tile_n=1024, group=128,
-                                group_select="iter", interpret=True)
-    # control: the SAME pipeline with the sort selector — only the group
-    # selection stage differs, so results must be bit-identical
+    it = scan_topk_hierarchical_ab(sd, qd, k, tile_n=1024, group=128,
+                                   group_select="iter", interpret=True)
+    # control: the SAME pipeline with the product sort selector — only the
+    # group selection stage differs, so results must be bit-identical
     want = scan_topk_hierarchical(sd, qd, k, tile_n=1024, group=128,
-                                  group_select="sort", interpret=True)
+                                  interpret=True)
     assert np.array_equal(np.asarray(it.indices), np.asarray(want.indices))
     assert np.array_equal(np.asarray(it.scores), np.asarray(want.scores))

@@ -27,10 +27,8 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from frankensearch_tpu.ops.topk_scan import (
-        scan_topk_hierarchical,
-        scan_topk_xla,
-    )
+    from frankensearch_tpu.ops.ab_primitives import scan_topk_hierarchical_ab
+    from frankensearch_tpu.ops.topk_scan import scan_topk_xla
 
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     dim, k = 256, 10
@@ -64,7 +62,7 @@ def main() -> None:
     def chain(slab, mask, q, reps: int, tile: int, group: int, emit: str):
         def body(i, carry):
             qq, acc = carry
-            r = scan_topk_hierarchical(
+            r = scan_topk_hierarchical_ab(
                 slab, qq, k, mask, tile_n=tile, group=group,
                 rescore="pallas", emit=emit,
             )
@@ -101,10 +99,10 @@ def main() -> None:
 
         # exactness spot-check on-hardware: tile_topk must match gmax rows
         try:
-            r_a = scan_topk_hierarchical(
+            r_a = scan_topk_hierarchical_ab(
                 slab_dev, q, k, mask_dev, tile_n=tile, group=group,
                 rescore="pallas", emit="gmax")
-            r_b = scan_topk_hierarchical(
+            r_b = scan_topk_hierarchical_ab(
                 slab_dev, q, k, mask_dev, tile_n=tile, group=group,
                 rescore="pallas", emit="tile_topk")
             ia, ib = jax.device_get((r_a.indices, r_b.indices))

@@ -21,7 +21,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from frankensearch_tpu.ops.topk_scan import scan_topk_hierarchical
+    from frankensearch_tpu.ops.ab_primitives import scan_topk_hierarchical_ab
 
     n_docs, dim, k = 1_000_000, 256, 10
     n_pad = (n_docs + tile - 1) // tile * tile
@@ -43,7 +43,7 @@ def main() -> None:
     def chain(slab, mask, qq, reps: int, sel: str):
         def body(i, carry):
             cur, acc = carry
-            r = scan_topk_hierarchical(
+            r = scan_topk_hierarchical_ab(
                 slab, cur, k, mask, tile_n=tile, group=128,
                 rescore="pallas", group_select=sel,
             )
