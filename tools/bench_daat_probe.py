@@ -1,0 +1,191 @@
+"""Design probe for the term-addressed (DAAT) device BM25 lane.
+
+VERDICT r3 #1 asks for a lane whose cost is ∝ Σ df(query terms) instead
+of ∝ P (total postings). The gathered (doc, val) entries must be
+aggregated per query (same doc hit by several query terms) and top-k'd.
+Candidate device aggregation strategies differ by orders of magnitude on
+TPU, so measure the primitives BEFORE designing:
+
+  sort      batched stable two-array sort (doc keys + val payload) at
+            (B, L) — the sort-then-bounded-run-sum aggregation's core
+  scatter   flat f32 scatter-add of E entries into a (B*Nc) accumulator
+            — jax.ops.segment_sum's core
+  rowgather (M, 128)-row gather from a (P/128, 128) HBM postings table —
+            the span-fetch step shared by every design
+  flatgather E scalar gathers from a flat (P,) array — the naive fetch
+  topk      lax.top_k over (B, L) — the final selection
+
+Slope method per PERF_LEDGER discipline (tunnel dispatch ~300-400 ms,
+block_until_ready is a no-op): each timing is the difference of two
+in-graph chained repetition counts; every iteration feeds the previous
+result back into its inputs so nothing hoists (the LICM confounder).
+
+Usage: python -m tools.bench_daat_probe   (on the real chip; background it)
+One JSON line per point.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# honor an explicit JAX_PLATFORMS even though the box's sitecustomize
+# re-pins the axon TPU plugin (same pattern as cli/main.py)
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+
+
+def _slope(fn, r_lo: int, r_hi: int, n_samples: int = 3) -> float:
+    fn(r_lo)  # compile both variants
+    fn(r_hi)
+    samples = []
+    for _ in range(n_samples):
+        t0 = time.perf_counter()
+        fn(r_lo)
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fn(r_hi)
+        t_hi = time.perf_counter() - t0
+        samples.append((t_hi - t_lo) / (r_hi - r_lo))
+    return float(np.median(samples))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    platform = jax.devices()[0].platform
+    r_lo, r_hi = (4, 20) if platform != "cpu" else (1, 2)
+    smoke = "--smoke" in sys.argv  # tiny shapes: correctness-only CI lane
+    rng = np.random.default_rng(0)
+
+    def shrink(pairs):
+        return tuple((min(b, 4), min(l, 4096)) for b, l in pairs) if smoke else pairs
+
+    # ---- batched stable key+payload sort at (B, L) -----------------------
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def sort_chain(doc, val, reps: int):
+        def body(i, carry):
+            d, v, acc = carry
+            sd, sv = jax.lax.sort((d, v), num_keys=1, is_stable=True)
+            # feed back: next keys depend on this sort's output
+            d2 = (d + (sv[:, :1] > acc).astype(jnp.int32)) % jnp.int32(1 << 20)
+            return (d2, sv, acc + jnp.float32(1e-9) * jnp.sum(sd[:, -1]).astype(jnp.float32))
+        d, v, acc = jax.lax.fori_loop(
+            0, reps, body, (doc, val, jnp.float32(0.0)))
+        return acc + jnp.sum(v[:, -1])
+
+    for b, l in shrink(((1, 32768), (1, 262144), (8, 262144), (64, 32768),
+                        (64, 131072), (64, 262144))):
+        doc = jnp.asarray(rng.integers(0, 1 << 20, (b, l), dtype=np.int32))
+        val = jnp.asarray(rng.random((b, l), dtype=np.float32))
+        per = _slope(lambda r: float(sort_chain(doc, val, reps=r)), r_lo, r_hi)
+        print(json.dumps({"probe": "sort", "B": b, "L": l,
+                          "ms": round(per * 1e3, 4),
+                          "melem_s": round(b * l / per / 1e6, 1)}), flush=True)
+
+    # ---- flat f32 scatter-add (segment_sum core) -------------------------
+    @functools.partial(jax.jit, static_argnames=("reps", "n_out"))
+    def scatter_chain(key, val, reps: int, n_out: int):
+        def body(i, acc_carry):
+            acc, tot = acc_carry
+            out = jnp.zeros((n_out,), jnp.float32).at[key].add(val + acc)
+            return (jnp.float32(1e-9) * out[0], tot + out[-1])
+        _, tot = jax.lax.fori_loop(0, reps, body,
+                                   (jnp.float32(0.0), jnp.float32(0.0)))
+        return tot
+
+    scatter_pts = ((1 << 20, 1 << 20), (1 << 22, 1 << 20), (1 << 22, 1 << 26))
+    if smoke:
+        scatter_pts = ((1 << 12, 1 << 12),)
+    for e, n_out in scatter_pts:
+        key = jnp.asarray(rng.integers(0, n_out, (e,), dtype=np.int32))
+        val = jnp.asarray(rng.random((e,), dtype=np.float32))
+        try:
+            per = _slope(lambda r: float(scatter_chain(key, val, reps=r, n_out=n_out)),
+                         r_lo, r_hi)
+            print(json.dumps({"probe": "scatter", "E": e, "n_out": n_out,
+                              "ms": round(per * 1e3, 4),
+                              "melem_s": round(e / per / 1e6, 1)}), flush=True)
+        except Exception as ex:  # noqa: BLE001 - report, keep sweeping
+            print(json.dumps({"probe": "scatter", "E": e, "n_out": n_out,
+                              "error": f"{type(ex).__name__}: {ex}"[:160]}),
+                  flush=True)
+
+    # ---- postings-row gather (M rows of 128 from HBM) --------------------
+    p_rows = 1 << 12 if smoke else 1 << 20  # 1M rows x 128 = 128M postings, 1 GB
+    tm_doc = jnp.asarray(
+        rng.integers(0, 1 << 20, (p_rows, 128), dtype=np.int32))
+    tm_tf = jnp.asarray(rng.random((p_rows, 128), dtype=np.float32))
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def rowgather_chain(tm_d, tm_f, ridx, reps: int):
+        def body(i, carry):
+            ridx, acc = carry
+            d = jnp.take(tm_d, ridx, axis=0)
+            f = jnp.take(tm_f, ridx, axis=0)
+            s = jnp.sum(f) + jnp.sum(d).astype(jnp.float32) * jnp.float32(1e-9)
+            ridx2 = (ridx + 1 + (s > acc).astype(jnp.int32)) % jnp.int32(p_rows)
+            return (ridx2, acc + s * jnp.float32(1e-9))
+        _, acc = jax.lax.fori_loop(0, reps, body, (ridx, jnp.float32(0.0)))
+        return acc
+
+    for m in ((256,) if smoke else (1024, 16384, 131072)):
+        ridx = jnp.asarray(rng.integers(0, p_rows, (m,), dtype=np.int32))
+        per = _slope(lambda r: float(rowgather_chain(tm_doc, tm_tf, ridx, reps=r)),
+                     r_lo, r_hi)
+        print(json.dumps({"probe": "rowgather", "rows": m,
+                          "ms": round(per * 1e3, 4),
+                          "gb_s": round(m * 128 * 8 / per / 1e9, 2)}), flush=True)
+
+    # ---- flat scalar gather (naive fetch, for contrast) ------------------
+    flat = tm_tf.reshape(-1)
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def flatgather_chain(fl, idx, reps: int):
+        def body(i, carry):
+            idx, acc = carry
+            v = jnp.take(fl, idx)
+            s = jnp.sum(v)
+            idx2 = (idx + 1 + (s > acc).astype(jnp.int32)) % jnp.int32(fl.shape[0])
+            return (idx2, acc + s * jnp.float32(1e-9))
+        _, acc = jax.lax.fori_loop(0, reps, body, (idx, jnp.float32(0.0)))
+        return acc
+
+    for e in ((1 << 12,) if smoke else (1 << 20, 1 << 22)):
+        idx = jnp.asarray(rng.integers(0, flat.shape[0], (e,), dtype=np.int32))
+        per = _slope(lambda r: float(flatgather_chain(flat, idx, reps=r)),
+                     r_lo, r_hi)
+        print(json.dumps({"probe": "flatgather", "E": e,
+                          "ms": round(per * 1e3, 4),
+                          "melem_s": round(e / per / 1e6, 1)}), flush=True)
+
+    # ---- top_k over (B, L) ------------------------------------------------
+    @functools.partial(jax.jit, static_argnames=("reps", "k"))
+    def topk_chain(x, reps: int, k: int):
+        def body(i, carry):
+            x, acc = carry
+            s, _ = jax.lax.top_k(x, k)
+            return (x + jnp.float32(1e-9) * s[:, :1], acc + jnp.sum(s))
+        _, acc = jax.lax.fori_loop(0, reps, body, (x, jnp.float32(0.0)))
+        return acc
+
+    for b, l in shrink(((1, 262144), (64, 262144))):
+        x = jnp.asarray(rng.random((b, l), dtype=np.float32))
+        per = _slope(lambda r: float(topk_chain(x, reps=r, k=10)), r_lo, r_hi)
+        print(json.dumps({"probe": "topk", "B": b, "L": l,
+                          "ms": round(per * 1e3, 4)}), flush=True)
+
+    print(json.dumps({"probe": "done", "platform": platform}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
