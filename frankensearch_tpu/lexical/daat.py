@@ -1,0 +1,262 @@
+"""Term-addressed (DAAT) device BM25 lane: cost ∝ Σ df(query terms).
+
+Parity target: the reference's argus cursor walk, which touches ONLY the
+query terms' postings (crates/frankensearch-quill/src/argus.rs:1-8 — a
+scorer tree over per-term posting cursors; per-query cost ∝ Σ df).
+The exhaustive blocked kernel (lexical/device_bm25.py) streams ALL
+postings every batch — its 1M-doc floor is 28.7 ms at B=1 / 129 ms at
+B=64 (docs/PERF_LEDGER.md r3c) regardless of how rare the query terms
+are. This lane is the TPU recast of term-driven traversal:
+
+  LAYOUT (device, built once): postings sorted by (term, doc asc) as a
+  flat array padded to a multiple of 128 and reshaped into row tiles
+
+      tm_doc (P_pad/128, 128) i32   doc row of each posting
+      tm_tf  (P_pad/128, 128) f32   precomputed tf-side score
+
+  plus a HOST CSR ``ptr (V+1,) i64`` of flat span offsets per term id —
+  the same information argus keeps as posting cursors.
+
+  QUERY (host plan, vectorized numpy): each (query, term) span
+  [ptr[t], ptr[t+1]) covers rows floor(lo/128) .. ceil(hi/128); emit per
+  gathered row its (row id, idf weight, span bounds). Rows per query are
+  bucketed to a power of two so jit variants stay bounded.
+
+  DEVICE: one row gather from HBM (the span fetch), per-element span
+  masks (no per-term alignment padding in the layout), contribution
+  tf_side · idf, then per-query aggregation by doc: a stable two-array
+  sort on doc keys groups duplicates, and a BOUNDED-RUN SUM adds the ≤T
+  entries of each run in fixed term order (stable sort preserves the
+  plan's term emission order, so summation order matches the shipped
+  seq_t accumulation discipline — exact f32, no cumsum cancellation).
+  ``lax.top_k`` over run-start scores + the (score desc, doc asc) tie
+  contract (lower sorted position == lower doc id) finish the query.
+
+Primitive timings that picked this design (tools/bench_daat_probe on
+v5e): batched two-array sort runs ~100-210 Melem/s, so a mid-class
+query's Σdf≈33k sorts in ~0.3 ms vs the 28.7 ms exhaustive floor; row
+gather from HBM streams at slab bandwidth; f32 scatter-add (the
+segment_sum alternative) is the measured-slow primitive on this VPU.
+
+Dispatch: ``choose_lane`` estimates DAAT work (total padded gathered
+elements) against the exhaustive kernel's (total postings) and falls
+back to the blocked kernel for common-term / large-batch queries whose
+Σ df approaches P — the same crossover argus handles with its
+exhaustive scorer fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: sentinel doc key sorting after every real doc row (rows are < 2^30)
+_BIG_DOC = np.int32(1 << 30)
+
+#: DAAT work is counted in gathered elements (per query); the exhaustive
+#: kernel's in postings (per batch). DAAT's per-element cost (gather +
+#: sort + run sum) is ~ALPHA× the exhaustive kernel's per-posting cost
+#: (sort runs ~105-210 Melem/s vs the blocked scan's ~930 Mpost/s
+#: batch-amortized at B=64, tools/bench_daat_probe + PERF_LEDGER r3c),
+#: so a query goes term-driven when ALPHA · (its rows · 128) < P.
+DAAT_ALPHA = 4.0
+
+#: flat posting positions are i32 on device; disable the lane when the
+#: padded postings count would overflow them.
+_MAX_P = (1 << 31) - 256
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(x - 1, 0).bit_length()
+
+
+@dataclass
+class TermMajorPostings:
+    """Device term-major postings + host span CSR (argus cursor set)."""
+
+    tm_doc: jax.Array  # (P_pad/128, 128) i32, -1 on tail padding
+    tm_tf: jax.Array  # (P_pad/128, 128) f32, 0 on tail padding
+    ptr: np.ndarray  # (V+1,) i64 flat span offsets per term id
+    n_postings: int
+
+    @property
+    def hbm_bytes(self) -> int:
+        return int(self.tm_doc.size) * 8
+
+
+def build_term_major(
+    terms_all: np.ndarray, docs_all: np.ndarray, tf_all: np.ndarray, *, vocab_size: int
+) -> TermMajorPostings | None:
+    """Sort postings by (term, doc asc), pad to 128, upload row tiles.
+
+    Returns None when the flat space would overflow i32 positions (the
+    exhaustive lane still serves those corpora)."""
+    p = len(terms_all)
+    p_pad = max(_round_up(max(p, 1), 128), 128)
+    if p_pad >= _MAX_P:
+        return None
+    order = np.lexsort((docs_all, terms_all))
+    doc_flat = np.full(p_pad, -1, dtype=np.int32)
+    tf_flat = np.zeros(p_pad, dtype=np.float32)
+    doc_flat[:p] = docs_all[order]
+    tf_flat[:p] = tf_all[order]
+    counts = np.bincount(
+        terms_all.astype(np.int64), minlength=max(vocab_size, 1)
+    ).astype(np.int64)
+    ptr = np.concatenate([[0], np.cumsum(counts)])
+    return TermMajorPostings(
+        tm_doc=jnp.asarray(doc_flat.reshape(-1, 128)),
+        tm_tf=jnp.asarray(tf_flat.reshape(-1, 128)),
+        ptr=ptr,
+        n_postings=p,
+    )
+
+
+def build_gather_plan(
+    ptr: np.ndarray, ids: np.ndarray, w: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized host plan: per query, the row ids covering its terms'
+    spans plus per-row (idf weight, flat span bounds).
+
+    ids (B, T) i32 / w (B, T) f32 are the sparse query rows of
+    device_bm25._query_sparse_rows — padding is (id 0, weight 0) and is
+    excluded here by the weight mask, NOT by the id (id 0 is a real
+    term). Returns (row_idx, row_w, span_lo, span_hi), all (B, R) with
+    R a power of two; padded slots gather row 0 with an empty span so
+    every element masks to (contrib 0, key _BIG_DOC).
+    """
+    b, t = ids.shape
+    ids64 = ids.astype(np.int64)
+    lo = ptr[ids64]
+    hi = ptr[ids64 + 1]
+    active = w > 0.0
+    lo = np.where(active, lo, 0)
+    hi = np.where(active, hi, 0)
+    row_lo = lo >> 7
+    row_hi = (hi + 127) >> 7
+    nrows = np.maximum(row_hi - row_lo, 0)
+
+    nrows_f = nrows.reshape(-1)
+    total = int(nrows_f.sum())
+    r_b = nrows.sum(axis=1)
+    r_pad = _next_pow2(max(int(r_b.max()) if b else 1, 1))
+    row_idx = np.zeros((b, r_pad), dtype=np.int32)
+    row_w = np.zeros((b, r_pad), dtype=np.float32)
+    span_lo = np.zeros((b, r_pad), dtype=np.int32)
+    span_hi = np.zeros((b, r_pad), dtype=np.int32)
+    if total:
+        j_of = np.repeat(np.arange(b * t, dtype=np.int64), nrows_f)
+        seg_start = np.concatenate([[0], np.cumsum(nrows_f)[:-1]])
+        off = np.arange(total, dtype=np.int64) - seg_start[j_of]
+        b_of = j_of // t
+        b_start = np.concatenate([[0], np.cumsum(r_b)[:-1]])
+        dest = (seg_start[j_of] + off) - b_start[b_of]
+        row_idx[b_of, dest] = (row_lo.reshape(-1)[j_of] + off).astype(np.int32)
+        row_w[b_of, dest] = w.reshape(-1)[j_of]
+        span_lo[b_of, dest] = lo.reshape(-1)[j_of].astype(np.int32)
+        span_hi[b_of, dest] = hi.reshape(-1)[j_of].astype(np.int32)
+    return row_idx, row_w, span_lo, span_hi
+
+
+@functools.partial(jax.jit, static_argnames=("k", "t_run"))
+def daat_topk(
+    tm_doc: jax.Array,  # (P_pad/128, 128) i32
+    tm_tf: jax.Array,  # (P_pad/128, 128) f32
+    row_idx: jax.Array,  # (B, R) i32
+    row_w: jax.Array,  # (B, R) f32
+    span_lo: jax.Array,  # (B, R) i32
+    span_hi: jax.Array,  # (B, R) i32
+    *,
+    k: int,
+    t_run: int,
+):
+    """Span gather → mask → stable doc-key sort → bounded-run sum →
+    top-k. Returns ((B, k) scores, (B, k) GLOBAL doc rows, -1 invalid).
+
+    Exactness: each doc's run holds at most one posting per active
+    (term, field) pair — ≤ t_run entries — summed left-to-right in the
+    plan's term order (f32, fixed order). Ties break (score desc, row
+    asc) because the sort is doc-ascending and top_k prefers the lowest
+    index among equal scores.
+    """
+    b, r = row_idx.shape
+    flat_rows = row_idx.reshape(-1)
+    d = jnp.take(tm_doc, flat_rows, axis=0).reshape(b, r, 128)
+    f = jnp.take(tm_tf, flat_rows, axis=0).reshape(b, r, 128)
+    pos = row_idx[..., None] * jnp.int32(128) + jax.lax.broadcasted_iota(
+        jnp.int32, (b, r, 128), 2
+    )
+    valid = (pos >= span_lo[..., None]) & (pos < span_hi[..., None])
+    contrib = jnp.where(valid, f * row_w[..., None], jnp.float32(0.0))
+    key = jnp.where(valid, d, _BIG_DOC)
+    key = key.reshape(b, r * 128)
+    contrib = contrib.reshape(b, r * 128)
+
+    sd, sv = jax.lax.sort((key, contrib), num_keys=1, is_stable=True)
+
+    score = sv
+    run_len = min(t_run, r * 128)
+    for j in range(1, run_len):
+        nd = jnp.concatenate(
+            [sd[:, j:], jnp.full((b, j), _BIG_DOC + np.int32(1), jnp.int32)], axis=1
+        )
+        nv = jnp.concatenate([sv[:, j:], jnp.zeros((b, j), jnp.float32)], axis=1)
+        score = score + jnp.where(nd == sd, nv, jnp.float32(0.0))
+
+    prev = jnp.concatenate([jnp.full((b, 1), -1, jnp.int32), sd[:, :-1]], axis=1)
+    is_start = (sd != prev) & (sd < _BIG_DOC)
+    score = jnp.where(is_start, score, -jnp.inf)
+
+    kk = min(k, r * 128)
+    top_s, top_pos = jax.lax.top_k(score, kk)
+    top_d = jnp.take_along_axis(sd, top_pos, axis=1)
+    top_d = jnp.where(jnp.isfinite(top_s), top_d, jnp.int32(-1))
+    top_s = jnp.where(jnp.isfinite(top_s), top_s, -jnp.inf)
+    if kk < k:
+        pad_s = jnp.full((b, k - kk), -jnp.inf, jnp.float32)
+        pad_d = jnp.full((b, k - kk), -1, jnp.int32)
+        top_s = jnp.concatenate([top_s, pad_s], axis=1)
+        top_d = jnp.concatenate([top_d, pad_d], axis=1)
+    return top_s, top_d
+
+
+#: per-query element ceiling for the term-driven lane (8k rows ≈ Σ df
+#: 1M postings): keeps each daat sub-batch's gather slab bounded no
+#: matter the batch width, and is a PER-QUERY constant so a query's
+#: lane never depends on its batchmates.
+DAAT_PER_QUERY_CAP = 1 << 20
+
+#: daat device calls chunk to this many queries so the gather slab stays
+#: ≤ CHUNK · CAP · 8 B (256 MB) even at full eligibility.
+DAAT_CHUNK_QUERIES = 32
+
+
+def query_plan_elements(ptr: np.ndarray, ids: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """(B,) unpadded gathered elements per query (rows · 128) — the
+    per-query DAAT cost estimator, computable without building a plan."""
+    ids64 = ids.astype(np.int64)
+    lo = ptr[ids64]
+    hi = ptr[ids64 + 1]
+    active = w > 0.0
+    nrows = np.where(active, ((hi + 127) >> 7) - (lo >> 7), 0)
+    return nrows.sum(axis=1) * 128
+
+
+def daat_eligible(
+    ptr: np.ndarray, ids: np.ndarray, w: np.ndarray, *, total_postings: int
+) -> np.ndarray:
+    """(B,) bool: term-driven traversal when a query's own estimated work
+    beats the exhaustive streaming scan (argus' cursor-vs-exhaustive
+    crossover made explicit with probe slopes). A pure per-query
+    function — a query's lane is identical solo or inside any batch, so
+    each lane's solo-vs-batch bit-parity contract survives dispatch."""
+    est = query_plan_elements(ptr, ids, w)
+    return (est * DAAT_ALPHA < float(total_postings)) & (est <= DAAT_PER_QUERY_CAP)

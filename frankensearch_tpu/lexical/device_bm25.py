@@ -584,6 +584,7 @@ def _upload_postings(
     (the (P, B) contrib slab would no longer fit HBM)."""
     p = len(terms_all)
     index.posting_count = p
+    index._daat = False  # term-major CSR rebuilds lazily from the new postings
     # unpadded host copies: the FLXB serialization source (flexb.save_packed)
     index._post_host = (
         terms_all.astype(np.int32),
@@ -620,6 +621,12 @@ class _FieldArm:
 
 class DeviceBm25Index(LexicalRead):
     """Immutable device-side snapshot of a committed lexical index."""
+
+    #: 'auto' picks term-driven (DAAT) vs exhaustive per batch via
+    #: lexical.daat.choose_lane; 'daat'/'blocked' force a lane; DAAT only
+    #: exists where the blocked lane does (the dense small-corpus kernel
+    #: is already ∝ P with P small).
+    daat_mode = "auto"
 
     def __init__(self, mem: MemoryLexicalIndex) -> None:
         postings, field_stats, docs = mem.snapshot_postings()
@@ -715,47 +722,144 @@ class DeviceBm25Index(LexicalRead):
                 w[b, j] = weight
         return ids, w
 
+    def _term_major(self):
+        """Lazy term-major CSR for the DAAT lane (built once from the
+        host postings copy; None when unavailable)."""
+        tm = getattr(self, "_daat", False)
+        if tm is False:
+            from frankensearch_tpu.lexical import daat as _daat
+
+            host = getattr(self, "_post_host", None)
+            tm = (
+                _daat.build_term_major(*host, vocab_size=self.vocab_size)
+                if host is not None
+                else None
+            )
+            self._daat = tm
+        return tm
+
+    def _search_daat_chunks(self, ids: np.ndarray, w: np.ndarray, k: int) -> list:
+        """Device results for the term-driven lane, chunked so the gather
+        slab stays bounded. Returns a list of ((b_real, k) s, i) DEVICE
+        pairs (fetch stays the caller's single batched device_get)."""
+        from frankensearch_tpu.lexical import daat as _daat
+
+        tm = self._term_major()
+        out = []
+        for c0 in range(0, ids.shape[0], _daat.DAAT_CHUNK_QUERIES):
+            cids = ids[c0 : c0 + _daat.DAAT_CHUNK_QUERIES]
+            cw = w[c0 : c0 + _daat.DAAT_CHUNK_QUERIES]
+            b_real = cids.shape[0]
+            b_pad = max(_round_up(b_real, 8), 8)
+            if b_pad != b_real:
+                rep = b_pad - b_real
+                cids = np.concatenate([cids, np.repeat(cids[:1], rep, axis=0)])
+                cw = np.concatenate([cw, np.repeat(cw[:1], rep, axis=0)])
+            row_idx, row_w, span_lo, span_hi = _daat.build_gather_plan(
+                tm.ptr, cids, cw
+            )
+            top_s, top_i = _daat.daat_topk(
+                tm.tm_doc, tm.tm_tf,
+                jnp.asarray(row_idx), jnp.asarray(row_w),
+                jnp.asarray(span_lo), jnp.asarray(span_hi),
+                k=k, t_run=cids.shape[1],
+            )
+            out.append((top_s[:b_real], top_i[:b_real]))
+        return out
+
+    def _search_blocked(self, ids: np.ndarray, w: np.ndarray, k: int):
+        """One exhaustive blocked-kernel call; returns (s, i) DEVICE pair."""
+        bounds = self._blocked.query_bounds(ids, w)
+        # pad B to a multiple of 8 by repeating query 0 (results
+        # discarded): bounds every small-batch jit variant to one
+        # compiled width, which also keeps the sparse-compare step's
+        # l-reduction order — and thus scores — bit-identical
+        # between a solo query and the same query inside a batch
+        b_real = ids.shape[0]
+        b_pad = max(_round_up(b_real, 8), 8)
+        if b_pad != b_real:
+            rep = b_pad - b_real
+            ids = np.concatenate([ids, np.repeat(ids[:1], rep, axis=0)])
+            w = np.concatenate([w, np.repeat(w[:1], rep, axis=0)])
+            bounds = np.concatenate(
+                [bounds, np.repeat(bounds[:, :1], rep, axis=1)], axis=1
+            )
+        top_s, top_i, skipped = _device_bm25_blocked(
+            self._blocked.classes,
+            self._blocked.split_bounds(bounds),
+            jnp.asarray(ids), jnp.asarray(w),
+            k=k, group=MERGE_GROUP, seq_t=SEQ_T_ACCUM,
+        )
+        self.last_blocks_skipped = int(skipped)
+        return top_s[:b_real], top_i[:b_real]
+
     def search_candidates_batch(
         self, queries: list[str], budget: int
     ) -> list[list[LexicalCandidate]]:
         if self.n_docs == 0 or not queries:
             return [[] for _ in queries]
         k = min(budget, self.n_docs)
+        n = len(queries)
         if self._blocked is not None:
+            from frankensearch_tpu.lexical import daat as _daat
+
             ids, w = self._query_sparse_rows(queries)
-            bounds = self._blocked.query_bounds(ids, w)
-            # pad B to a multiple of 8 by repeating query 0 (results
-            # discarded): bounds every small-batch jit variant to one
-            # compiled width, which also keeps the sparse-compare step's
-            # l-reduction order — and thus scores — bit-identical
-            # between a solo query and the same query inside a batch
-            b_real = len(queries)
-            b_pad = max(_round_up(b_real, 8), 8)
-            if b_pad != b_real:
-                rep = b_pad - b_real
-                ids = np.concatenate([ids, np.repeat(ids[:1], rep, axis=0)])
-                w = np.concatenate([w, np.repeat(w[:1], rep, axis=0)])
-                bounds = np.concatenate(
-                    [bounds, np.repeat(bounds[:, :1], rep, axis=1)], axis=1
+            tm = self._term_major() if self.daat_mode != "blocked" else None
+            if tm is None:
+                take_daat = np.zeros(n, dtype=bool)
+            elif self.daat_mode == "daat":
+                take_daat = np.ones(n, dtype=bool)
+            else:
+                # PER-QUERY crossover (pure function of the query's own
+                # Σ df): a query's lane — hence its f32 summation order
+                # and score bits — never depends on its batchmates
+                take_daat = _daat.daat_eligible(
+                    tm.ptr, ids, w, total_postings=self.posting_count
                 )
-            top_s, top_i, skipped = _device_bm25_blocked(
-                self._blocked.classes,
-                self._blocked.split_bounds(bounds),
-                jnp.asarray(ids), jnp.asarray(w),
-                k=k, group=MERGE_GROUP, seq_t=SEQ_T_ACCUM,
+            self.last_blocks_skipped = 0
+            pieces: list = []  # (dest rows, device s, device i)
+            if take_daat.any():
+                sel = np.flatnonzero(take_daat)
+                for ci, pair in enumerate(
+                    self._search_daat_chunks(ids[sel], w[sel], k)
+                ):
+                    rows = sel[
+                        ci * _daat.DAAT_CHUNK_QUERIES :
+                        (ci + 1) * _daat.DAAT_CHUNK_QUERIES
+                    ]
+                    pieces.append((rows, pair[0], pair[1]))
+            if (~take_daat).any():
+                sel = np.flatnonzero(~take_daat)
+                bs, bi = self._search_blocked(ids[sel], w[sel], k)
+                pieces.append((sel, bs, bi))
+            self.last_lane = (
+                "mixed"
+                if take_daat.any() and not take_daat.all()
+                else ("daat" if take_daat.all() else "blocked")
             )
-            top_s, top_i = top_s[:b_real], top_i[:b_real]
-            self.last_blocks_skipped = int(skipped)
+            # one batched fetch across every piece (remote tunnels pay
+            # per transfer round trip)
+            fetched = jax.device_get(tuple(x for p in pieces for x in p[1:]))
+            s = np.empty((n, k), dtype=np.float32)
+            i = np.empty((n, k), dtype=np.int32)
+            for pi, (rows, _, _) in enumerate(pieces):
+                s[rows] = np.asarray(fetched[2 * pi])
+                i[rows] = np.asarray(fetched[2 * pi + 1])
         else:
             q_idf = jnp.asarray(self._query_idf_rows(queries))
             top_s, top_i = _device_bm25(
                 self._post_term, self._post_doc, self._post_tf, q_idf,
                 n_docs=self.n_docs, k=k,
             )
-        # one batched fetch (remote tunnels pay per transfer round trip)
-        s, i = (np.asarray(x) for x in jax.device_get((top_s, top_i)))
+            self.last_lane = "dense"
+            s, i = (np.asarray(x) for x in jax.device_get((top_s, top_i)))
+        return self._rows_to_candidates(s, i, n)
+
+    def _rows_to_candidates(
+        self, s: np.ndarray, i: np.ndarray, n: int
+    ) -> list[list[LexicalCandidate]]:
         out: list[list[LexicalCandidate]] = []
-        for b in range(len(queries)):
+        for b in range(n):
             hits = [
                 LexicalCandidate(doc_id=self.doc_ids[int(i[b, j])], score=float(s[b, j]))
                 for j in range(s.shape[1])
@@ -862,9 +966,14 @@ class BulkDeviceBm25Index(LexicalRead):
         _upload_postings(self, terms_all, docs_all, tf_all)
 
     # share query/scoring machinery with DeviceBm25Index
+    daat_mode = "auto"
     _query_terms = DeviceBm25Index._query_terms
     _query_idf_rows = DeviceBm25Index._query_idf_rows
     _query_sparse_rows = DeviceBm25Index._query_sparse_rows
+    _term_major = DeviceBm25Index._term_major
+    _search_daat_chunks = DeviceBm25Index._search_daat_chunks
+    _search_blocked = DeviceBm25Index._search_blocked
+    _rows_to_candidates = DeviceBm25Index._rows_to_candidates
     search_candidates_batch = DeviceBm25Index.search_candidates_batch
 
     def search_candidates(self, query: str, budget: int) -> list[LexicalCandidate]:

@@ -1,0 +1,257 @@
+"""DAAT (term-addressed) device BM25 lane: differential conformance.
+
+Parity model: the reference's argus cursor walk touches only query-term
+postings (crates/frankensearch-quill/src/argus.rs:1-8); the gauntlet
+requirement from VERDICT r3 #1 is EXACT rank parity with the oracle and
+the exhaustive blocked kernel on the same corpora.
+"""
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.lexical import daat
+from frankensearch_tpu.lexical import device_bm25 as dbm
+from frankensearch_tpu.lexical.device_bm25 import DeviceBm25Index
+from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+
+WORDS = (
+    "search index vector lexical rust python jax tpu kernel matrix "
+    "query document score rank fusion tier fast quality embed token "
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+).split()
+
+
+def build_corpus(n_docs=400, seed=11):
+    rng = np.random.default_rng(seed)
+    docs = []
+    for i in range(n_docs):
+        length = int(rng.integers(4, 120))
+        # zipf-ish mixture: low word ids far more common
+        idx = np.minimum(
+            rng.zipf(1.3, size=length) - 1, len(WORDS) - 1
+        ).astype(int)
+        words = [WORDS[j] for j in idx]
+        title = " ".join(rng.choice(WORDS, size=2)) if i % 4 == 0 else None
+        docs.append(
+            IndexableDocument(doc_id=f"doc-{i:04d}", content=" ".join(words), title=title)
+        )
+    return docs
+
+
+QUERIES = [
+    "search vector",
+    "kappa",
+    "quality tier fusion theta",
+    "tpu kernel matrix query embed token rank",
+    "nonexistent-term",
+    "search search search",
+    "alpha beta gamma delta epsilon zeta eta theta",
+]
+
+
+@pytest.fixture(scope="module")
+def forced_blocked_pair(monkeypatch_module=None):
+    """Oracle + device index whose corpus lands in the BLOCKED lane
+    (threshold dropped for the test) so DAAT has a real fallback peer."""
+    old = dbm.BLOCKED_THRESHOLD_POSTINGS
+    dbm.BLOCKED_THRESHOLD_POSTINGS = 1
+    try:
+        mem = MemoryLexicalIndex()
+        for d in build_corpus():
+            mem.add_document(d)
+        mem.commit()
+        dev = DeviceBm25Index(mem)
+    finally:
+        dbm.BLOCKED_THRESHOLD_POSTINGS = old
+    assert dev._blocked is not None
+    return mem, dev
+
+
+class TestDaatParity:
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_forced_daat_matches_oracle_scores(self, forced_blocked_pair, query):
+        mem, dev = forced_blocked_pair
+        dev.daat_mode = "daat"
+        try:
+            got = dev.search_candidates(query, 20)
+        finally:
+            dev.daat_mode = "auto"
+        assert dev.last_lane == "daat" or not got
+        oracle = mem.search_candidates(query, 20)
+        o = {c.doc_id: c.score for c in oracle}
+        g = {c.doc_id: c.score for c in got}
+        assert set(o) == set(g), query
+        for doc_id, s in o.items():
+            assert g[doc_id] == pytest.approx(s, rel=1e-4), (query, doc_id)
+
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_forced_daat_rank_parity_with_blocked(self, forced_blocked_pair, query):
+        _, dev = forced_blocked_pair
+        dev.daat_mode = "daat"
+        try:
+            a = dev.search_candidates(query, 15)
+        finally:
+            dev.daat_mode = "blocked"
+            try:
+                b = dev.search_candidates(query, 15)
+            finally:
+                dev.daat_mode = "auto"
+        assert [c.doc_id for c in a] == [c.doc_id for c in b], query
+        for ca, cb in zip(a, b):
+            assert ca.score == pytest.approx(cb.score, rel=1e-5)
+
+    def test_batched_matches_single(self, forced_blocked_pair):
+        _, dev = forced_blocked_pair
+        dev.daat_mode = "daat"
+        try:
+            batch = dev.search_candidates_batch(QUERIES[:4], 10)
+            singles = [dev.search_candidates(q, 10) for q in QUERIES[:4]]
+        finally:
+            dev.daat_mode = "auto"
+        for got, single in zip(batch, singles):
+            assert [(c.doc_id, c.score) for c in got] == [
+                (c.doc_id, c.score) for c in single
+            ]
+
+    def test_exact_tie_ordering(self, forced_blocked_pair):
+        """(score desc, doc_id asc): duplicate-content docs tie exactly."""
+        mem = MemoryLexicalIndex()
+        docs = [
+            IndexableDocument(doc_id=f"t-{i}", content="alpha beta alpha")
+            for i in range(9)
+        ]
+        docs.append(IndexableDocument(doc_id="zz", content="alpha"))
+        old = dbm.BLOCKED_THRESHOLD_POSTINGS
+        dbm.BLOCKED_THRESHOLD_POSTINGS = 1
+        try:
+            for d in docs:
+                mem.add_document(d)
+            mem.commit()
+            dev = DeviceBm25Index(mem)
+            dev.daat_mode = "daat"
+            got = dev.search_candidates("alpha", 10)
+            dev.daat_mode = "blocked"
+            ref = dev.search_candidates("alpha", 10)
+        finally:
+            dbm.BLOCKED_THRESHOLD_POSTINGS = old
+        ids = [c.doc_id for c in got]
+        # the nine identical docs tie exactly and must order doc-id asc
+        tied = [i for i in ids if i.startswith("t-")]
+        assert tied == [f"t-{i}" for i in range(9)]
+        # and the full ordering matches the exhaustive kernel's contract
+        assert ids == [c.doc_id for c in ref]
+
+    def test_auto_lane_picks_daat_for_rare_terms(self, forced_blocked_pair):
+        _, dev = forced_blocked_pair
+        assert dev.daat_mode == "auto"
+        got = dev.search_candidates("kappa", 10)
+        # rare term: Σ df tiny vs P — auto must take the term-driven lane
+        assert dev.last_lane == "daat"
+        oracle_ids = {c.doc_id for c in forced_blocked_pair[0].search_candidates("kappa", 10)}
+        assert {c.doc_id for c in got} == oracle_ids
+
+    def test_mixed_batch_splits_and_matches_solo_bits(self, forced_blocked_pair):
+        """A mixed batch dispatches each query to its own lane; every
+        query's scores are bit-identical to its solo run."""
+        _, dev = forced_blocked_pair
+        queries = ["kappa", "search", "theta eta", "search index query document"]
+        batch = dev.search_candidates_batch(queries, 10)
+        lanes = dev.last_lane
+        solos = [dev.search_candidates(q, 10) for q in queries]
+        for got, solo in zip(batch, solos):
+            assert [(c.doc_id, c.score) for c in got] == [
+                (c.doc_id, c.score) for c in solo
+            ]
+        assert lanes in ("mixed", "daat", "blocked")
+
+
+class TestDaatPrimitives:
+    def test_gather_plan_covers_exact_spans(self):
+        ptr = np.array([0, 5, 5, 300, 301], dtype=np.int64)
+        ids = np.array([[0, 2, 3, 0]], dtype=np.int32)
+        w = np.array([[1.0, 0.5, 2.0, 0.0]], dtype=np.float32)  # last = padding
+        row_idx, row_w, span_lo, span_hi = daat.build_gather_plan(ptr, ids, w)
+        # term 0: rows [0,1) ; term 2: [0,3) ; term 3: [2,3)
+        assert row_idx.shape[0] == 1
+        real = row_w[0] > 0
+        assert int(real.sum()) == 1 + 3 + 1
+        # spans carried per row
+        assert span_hi[0][real].max() == 301
+        # padding id 0 with weight 0 contributes no rows beyond term 0's
+        assert (row_w[0][~real] == 0).all()
+
+    def test_eligibility_crossover_is_per_query(self):
+        ptr = np.array([0, 10, 100_000], dtype=np.int64)
+        ids = np.array([[0], [1]], dtype=np.int32)  # rare, common
+        w = np.ones((2, 1), dtype=np.float32)
+        got = daat.daat_eligible(ptr, ids, w, total_postings=100_000)
+        assert got.tolist() == [True, False]
+        # a query's verdict is identical solo and in the mixed batch
+        solo = daat.daat_eligible(ptr, ids[:1], w[:1], total_postings=100_000)
+        assert solo.tolist() == [True]
+
+    def test_per_query_cap_demotes_huge_spans(self):
+        cap_postings = daat.DAAT_PER_QUERY_CAP + 256
+        ptr = np.array([0, cap_postings], dtype=np.int64)
+        ids = np.array([[0]], dtype=np.int32)
+        w = np.ones((1, 1), dtype=np.float32)
+        got = daat.daat_eligible(
+            ptr, ids, w, total_postings=100 * cap_postings
+        )
+        assert got.tolist() == [False]
+
+    def test_daat_topk_masks_partial_rows(self):
+        """A span not aligned to 128 must not leak neighbor postings."""
+        import jax.numpy as jnp
+
+        docs = np.arange(256, dtype=np.int32)
+        tfs = np.ones(256, dtype=np.float32)
+        tm_doc = jnp.asarray(docs.reshape(2, 128))
+        tm_tf = jnp.asarray(tfs.reshape(2, 128))
+        # span [100, 140): rows 0 and 1, 40 postings
+        row_idx = jnp.asarray(np.array([[0, 1]], dtype=np.int32))
+        row_w = jnp.asarray(np.array([[2.0, 2.0]], dtype=np.float32))
+        span_lo = jnp.asarray(np.array([[100, 100]], dtype=np.int32))
+        span_hi = jnp.asarray(np.array([[140, 140]], dtype=np.int32))
+        s, d = daat.daat_topk(
+            tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, k=64, t_run=8
+        )
+        s, d = np.asarray(s), np.asarray(d)
+        hits = d[0][s[0] > 0]
+        assert sorted(hits.tolist()) == list(range(100, 140))
+        assert np.allclose(s[0][s[0] > 0], 2.0)
+
+    def test_multi_term_same_doc_accumulates(self):
+        """One doc hit by several query terms sums all contributions."""
+        import jax.numpy as jnp
+
+        # two terms, spans [0,2) and [2,4); doc 7 appears in both
+        docs = np.array([7, 9, 5, 7] + [-1] * 124, dtype=np.int32)
+        tfs = np.array([1.0, 1.0, 1.0, 3.0] + [0.0] * 124, dtype=np.float32)
+        tm_doc = jnp.asarray(docs.reshape(1, 128))
+        tm_tf = jnp.asarray(tfs.reshape(1, 128))
+        row_idx = jnp.asarray(np.array([[0, 0]], dtype=np.int32))
+        row_w = jnp.asarray(np.array([[1.0, 0.5]], dtype=np.float32))
+        span_lo = jnp.asarray(np.array([[0, 2]], dtype=np.int32))
+        span_hi = jnp.asarray(np.array([[2, 4]], dtype=np.int32))
+        s, d = daat.daat_topk(
+            tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, k=8, t_run=8
+        )
+        s, d = np.asarray(s)[0], np.asarray(d)[0]
+        scores = dict(zip(d[s > 0].tolist(), s[s > 0].tolist()))
+        assert scores[7] == pytest.approx(1.0 * 1.0 + 0.5 * 3.0)
+        assert scores[9] == pytest.approx(1.0)
+        assert scores[5] == pytest.approx(0.5)
+
+    def test_term_major_build_roundtrip(self):
+        terms = np.array([3, 1, 1, 3, 0], dtype=np.int64)
+        docs = np.array([5, 2, 9, 1, 4], dtype=np.int64)
+        tfs = np.array([0.5, 1.0, 2.0, 3.0, 4.0], dtype=np.float32)
+        tm = daat.build_term_major(terms, docs, tfs, vocab_size=4)
+        assert tm.ptr.tolist() == [0, 1, 3, 3, 5]
+        flat_d = np.asarray(tm.tm_doc).reshape(-1)
+        flat_f = np.asarray(tm.tm_tf).reshape(-1)
+        assert flat_d[:5].tolist() == [4, 2, 9, 1, 5]  # (term, doc asc)
+        assert flat_f[:5].tolist() == [4.0, 1.0, 2.0, 3.0, 0.5]
+        assert (flat_d[5:] == -1).all() and (flat_f[5:] == 0).all()

@@ -1,0 +1,156 @@
+"""DAAT lane at 1M docs on real TPU — the VERDICT r4 #1 acceptance rows.
+
+Targets (VERDICT r3 'Next round' #1): mid-class B=1 ≤ 2 ms (exhaustive
+floor 28.7 ms), zipf-mixed B=64 ≤ 20 ms/batch (exhaustive 129 ms).
+
+Synthesizes the same zipf postings world as tools/bench_lexical_1m (the
+kernel's cost depends on span shapes, not text), builds the term-major
+layout (lexical/daat.py), and slope-times the daat_topk program for
+three query classes:
+
+  rare    terms with df ∈ [1, 100)        (B=1 and B=64)
+  mid     df ∈ [3.3k, 33k)                (the 28.7 ms ledger row's class)
+  mixed   16 zipf-drawn terms per query   (the product batch shape)
+
+Also reports the per-query eligibility split the product dispatch would
+make (lexical/daat.daat_eligible) and the host plan-build cost.
+
+Usage: python -m tools.bench_daat_lane [n_docs] [r_lo r_hi]
+One JSON line per row.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# honor an explicit JAX_PLATFORMS even though the box's sitecustomize
+# re-pins the axon TPU plugin (same pattern as cli/main.py)
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    r_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    r_hi = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+
+    import jax
+    import jax.numpy as jnp
+
+    from frankensearch_tpu.lexical import daat
+
+    platform = jax.devices()[0].platform
+    rng = np.random.default_rng(0)
+    per_doc = 120
+    vocab = 400_000
+    p = n_docs * per_doc
+    t0 = time.perf_counter()
+    docs_all = np.repeat(np.arange(n_docs, dtype=np.int64), per_doc)
+    terms_all = (rng.zipf(1.3, size=p) - 1) % vocab
+    tf_all = rng.integers(1, 5, size=p).astype(np.float32) * 0.37
+    synth_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    tm = daat.build_term_major(terms_all, docs_all, tf_all, vocab_size=vocab)
+    build_s = time.perf_counter() - t0
+    df = np.diff(tm.ptr)
+
+    def pick_terms(lo_df: int, hi_df: int, n: int) -> np.ndarray:
+        cand = np.flatnonzero((df >= lo_df) & (df < hi_df))
+        return rng.choice(cand, size=n, replace=len(cand) < n).astype(np.int32)
+
+    def run_case(name: str, ids_np: np.ndarray, w_np: np.ndarray) -> None:
+        b, t_q = ids_np.shape
+        elig = daat.daat_eligible(tm.ptr, ids_np, w_np, total_postings=p)
+        t0 = time.perf_counter()
+        row_idx, row_w, span_lo, span_hi = daat.build_gather_plan(
+            tm.ptr, ids_np, w_np
+        )
+        plan_s = time.perf_counter() - t0
+        k = 100
+        args = tuple(jnp.asarray(x) for x in (row_idx, row_w, span_lo, span_hi))
+
+        @functools.partial(jax.jit, static_argnames=("reps",))
+        def chain(tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, reps: int):
+            def body(i, carry):
+                w, acc = carry
+                s, d = daat.daat_topk(
+                    tm_doc, tm_tf, row_idx, w, span_lo, span_hi, k=k, t_run=t_q
+                )
+                finite = jnp.where(jnp.isfinite(s), s, jnp.float32(0.0))
+                delta = jnp.float32(1e-7) * jnp.mean(finite)
+                return (row_w + delta, acc + jnp.sum(finite)
+                        + jnp.sum(d).astype(jnp.float32))
+
+            _, acc = jax.lax.fori_loop(0, reps, body, (args[1], jnp.float32(0.0)))
+            return acc
+
+        def timed(reps: int) -> float:
+            t0 = time.perf_counter()
+            acc = chain(tm.tm_doc, tm.tm_tf, args[0], args[1], args[2], args[3],
+                        reps=reps)
+            float(acc)
+            return time.perf_counter() - t0
+
+        timed(r_lo)
+        timed(r_hi)
+        samples = [(timed(r_hi) - timed(r_lo)) / (r_hi - r_lo) for _ in range(3)]
+        per_batch = float(np.median(samples))
+        print(json.dumps({
+            "metric": f"daat_{name}_{n_docs // 1000}k_b{b}",
+            "value": round(per_batch * 1e3, 3),
+            "unit": "ms/batch",
+            "ms_per_query": round(per_batch * 1e3 / b, 4),
+            "r_pad": int(row_idx.shape[1]),
+            "gathered_elems": int(row_idx.shape[1] * 128 * b),
+            "eligible": int(elig.sum()),
+            "plan_ms": round(plan_s * 1e3, 2),
+            "platform": platform,
+            "samples_ms": [round(s * 1e3, 3) for s in samples],
+        }), flush=True)
+
+    t_q = 16
+
+    # B=1 rare / mid (the r3c selectivity classes)
+    for name, lo_df, hi_df in (("rare", 1, 100), ("mid", 3_300, 33_000)):
+        ids = np.zeros((8, t_q), dtype=np.int32)
+        w = np.zeros((8, t_q), dtype=np.float32)
+        ids[:, :4] = pick_terms(lo_df, hi_df, 4)[None, :]
+        w[:, :4] = rng.uniform(0.5, 6.0, size=4).astype(np.float32)[None, :]
+        run_case(f"{name}_b1", ids[:1], w[:1])
+
+    # B=64 all-mid
+    ids = pick_terms(3_300, 33_000, 64 * t_q).reshape(64, t_q)
+    w = rng.uniform(0.5, 6.0, size=(64, t_q)).astype(np.float32)
+    run_case("mid", ids, w)
+
+    # B=64 zipf-mixed (the product batch shape; common terms included —
+    # the dispatch split is what the product would do)
+    ids = ((rng.zipf(1.3, size=(64, t_q)) - 1) % vocab).astype(np.int32)
+    w = rng.uniform(0.5, 6.0, size=(64, t_q)).astype(np.float32)
+    elig = daat.daat_eligible(tm.ptr, ids, w, total_postings=p)
+    if elig.any():
+        sel = np.flatnonzero(elig)
+        # pad the eligible subset to a multiple of 8 like the product does
+        n_sel = max((len(sel) + 7) // 8 * 8, 8)
+        rows = np.resize(sel, n_sel)
+        run_case("mixed_elig", ids[rows], w[rows])
+    print(json.dumps({
+        "metric": f"daat_dispatch_split_{n_docs // 1000}k",
+        "eligible": int(elig.sum()), "total": 64,
+        "host_build_s": round(build_s, 2), "synth_s": round(synth_s, 2),
+        "postings": p, "platform": platform,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
