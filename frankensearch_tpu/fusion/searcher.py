@@ -200,14 +200,42 @@ class TwoTierSearcher:
             return False
         return True
 
-    def _fused_phase1_batch(self, fast_vecs, queries, sem_budget: int, lex_budget: int):
+    def _rrf_ctx(self, classes, live, k):
+        """Pre-dispatch context for the ON-CHIP RRF tail (ops/device_rrf):
+        per-query class-adjusted k and the fused limit, or None when the
+        exactness gates that _vectorized_batch_fuse would check can't
+        hold (strategy/tiebreak/nqc/graph — the quality-tier gates are
+        only knowable later; if they fail, the device fusion is simply
+        unused)."""
+        import numpy as np
+
+        cfg = self.config
+        if (
+            cfg.fusion_strategy is not FusionStrategy.RRF
+            or cfg.tiebreak is not TiebreakStrategy.LEXICAL_THEN_ID
+            or self.nqc is not None
+            or self.graph_ranker is not None
+        ):
+            return None
+        return {
+            "k_arr": np.array(
+                [self._effective_rrf_k(classes[i]) for i in live], dtype=np.float64
+            ),
+            "limit": int(k),
+        }
+
+    def _fused_phase1_batch(
+        self, fast_vecs, queries, sem_budget: int, lex_budget: int, rrf_ctx=None
+    ):
         """Run phase 1's (embed +) vector scan + device BM25 as ONE
         device program (ops/hybrid_phase1.py). With ``fast_vecs=None``
         and a Model2Vec-class fast embedder, the gather-pool embed fuses
-        in too — phase 1 is one dispatch + one fetch. Returns (hydrated
-        vector hits per query, lexical candidate lists per query) or
-        None when any arm is ineligible (sharded/filtered/non-device
-        lanes fall back)."""
+        in too — phase 1 is one dispatch + one fetch. With ``rrf_ctx``,
+        the RRF merge ALSO runs on device (ops/device_rrf — the north
+        star's on-chip fusion) and the exact fused entries ride the same
+        single fetch. Returns (hydrated vector hits per query, lexical
+        candidate lists per query, raw) or None when any arm is
+        ineligible (sharded/filtered/non-device lanes fall back)."""
         import numpy as np
 
         from frankensearch_tpu.index.device_index import DeviceVectorIndex, _on_tpu
@@ -373,8 +401,46 @@ class TwoTierSearcher:
                     k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode, tile_n=tile_n,
                     n_docs_lex=arm.n_docs,
                 )
-        # ONE fetch for all four result arrays
-        vec_s, vec_i, lex_s, lex_i = jax.device_get((vec_s, vec_i, lex_s, lex_i))
+        # ON-CHIP RRF tail (ops/device_rrf): merge both arms on device so
+        # the fused entries ride the same single fetch; the host keeps
+        # hydration + result construction only (north-star clause)
+        rrf_dev = None
+        contribs = None
+        if rrf_ctx is not None and not fast.tombstoned_ids():
+            row_map = self._vecrow_to_lexrow(fast, arm)
+            if row_map is not None:
+                from frankensearch_tpu.ops import device_rrf as drrf
+
+                key = (id(fast), id(arm))
+                cached = getattr(self, "_row_map_dev", None)
+                if cached is None or cached[0] != key:
+                    cached = (key, jnp.asarray(row_map.astype(np.int32)))
+                    self._row_map_dev = cached
+                k_arr = rrf_ctx["k_arr"]
+                if len(k_arr) != b_padded:
+                    k_arr = np.concatenate(
+                        [k_arr, np.repeat(k_arr[:1], b_padded - len(k_arr))]
+                    )
+                sem_w = np.full(b_padded, self.config.fast_rrf_weight, np.float64)
+                contrib_l, contrib_v = drrf.make_contrib_tables(
+                    k_arr, int(lex_i.shape[1]), int(vec_i.shape[1]),
+                    self.config.lexical_rrf_weight, sem_w,
+                )
+                cl_hi, cl_lo = drrf.split_f64(contrib_l)
+                cv_hi, cv_lo = drrf.split_f64(contrib_v)
+                rrf_dev = drrf.device_rrf(
+                    lex_i, lex_s, vec_i, cached[1],
+                    jnp.asarray(cl_hi), jnp.asarray(cl_lo),
+                    jnp.asarray(cv_hi), jnp.asarray(cv_lo),
+                    limit=rrf_ctx["limit"],
+                )
+                contribs = (contrib_l, contrib_v)
+
+        # ONE fetch for all result arrays (fused entries included)
+        fetched = jax.device_get(
+            (vec_s, vec_i, lex_s, lex_i) + (rrf_dev if rrf_dev is not None else ())
+        )
+        vec_s, vec_i, lex_s, lex_i = fetched[:4]
         from frankensearch_tpu.ops.topk_scan import TopKResult
 
         hydrated = fast.hydrate(
@@ -393,6 +459,16 @@ class TwoTierSearcher:
             "vec_rows": np.asarray(vec_i)[:b_real], "lex_rows": i_np,
             "lex_scores": s_np, "arm": arm,
         }
+        if rrf_dev is not None:
+            from frankensearch_tpu.ops.device_rrf import finish_rrf
+
+            raw["fused_entries"] = finish_rrf(
+                np.asarray(fetched[4])[:b_real],
+                np.asarray(fetched[5])[:b_real],
+                np.asarray(fetched[6])[:b_real],
+                contribs[0][:b_real], contribs[1][:b_real],
+            )
+            raw["fused_limit"] = rrf_ctx["limit"]
         return hydrated, lex_lists, raw
 
     @staticmethod
@@ -419,6 +495,16 @@ class TwoTierSearcher:
         )
 
         arm = raw["arm"]
+        # on-chip fused entries (ops/device_rrf) — already exact; only
+        # reusable when the fuse-time limit matches the dispatch-time one
+        ent = raw.get("fused_entries")
+        if ent is not None and raw.get("fused_limit") == k:
+            self.last_fusion_path = "device"
+            return {
+                i: rows_to_fused_hits(ent[j], arm.doc_ids)
+                for j, i in enumerate(live)
+            }
+        self.last_fusion_path = "host_vectorized"
         fast = self.index.fast
         if fast.tombstoned_ids():
             return None  # supersession pruning is per-doc: scalar path
@@ -771,6 +857,7 @@ class TwoTierSearcher:
                 fused = self._fused_phase1_batch(
                     None, [parsed_list[i].positive for i in live],
                     sem_budget_f, lex_budget_f,
+                    rrf_ctx=self._rrf_ctx(classes, live, k),
                 )
             except Exception:
                 fused = None
@@ -808,6 +895,7 @@ class TwoTierSearcher:
                 fused = self._fused_phase1_batch(
                     fast_vecs, [parsed_list[i].positive for i in live],
                     sem_budget_f, lex_budget_f,
+                    rrf_ctx=self._rrf_ctx(classes, live, k),
                 )
             except Exception:
                 fused = None

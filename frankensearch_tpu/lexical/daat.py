@@ -57,13 +57,17 @@ import numpy as np
 #: sentinel doc key sorting after every real doc row (rows are < 2^30)
 _BIG_DOC = np.int32(1 << 30)
 
-#: DAAT work is counted in gathered elements (per query); the exhaustive
-#: kernel's in postings (per batch). DAAT's per-element cost (gather +
-#: sort + run sum) is ~ALPHA× the exhaustive kernel's per-posting cost
-#: (sort runs ~105-210 Melem/s vs the blocked scan's ~930 Mpost/s
-#: batch-amortized at B=64, tools/bench_daat_probe + PERF_LEDGER r3c),
-#: so a query goes term-driven when ALPHA · (its rows · 128) < P.
-DAAT_ALPHA = 4.0
+#: Crossover divisor: a query goes term-driven when its gathered
+#: elements < P / DIVISOR. Derivation (measured, tools/bench_daat_lane
+#: 1M r4): DAAT streams ~400 Melem/s (41.6 ms for 16.7M elements at
+#: B=64) vs the exhaustive kernel's ~930 Mpost/s BATCH-AMORTIZED at
+#: B=64 (129 ms / 120M postings) — per-element ratio ~2.3, times the
+#: B=64 amortization ≈ 128. The rule is deliberately conservative for
+#: small batches (a B=1 query with est just above the threshold would
+#: still beat the un-amortized 28.7 ms exhaustive floor, but lane
+#: choice must stay a pure per-query function so solo-vs-batch score
+#: bits never diverge — see daat_eligible).
+DAAT_CROSSOVER_DIVISOR = 128
 
 #: flat posting positions are i32 on device; disable the lane when the
 #: padded postings count would overflow them.
@@ -259,4 +263,6 @@ def daat_eligible(
     function — a query's lane is identical solo or inside any batch, so
     each lane's solo-vs-batch bit-parity contract survives dispatch."""
     est = query_plan_elements(ptr, ids, w)
-    return (est * DAAT_ALPHA < float(total_postings)) & (est <= DAAT_PER_QUERY_CAP)
+    return (est < total_postings // DAAT_CROSSOVER_DIVISOR) & (
+        est <= DAAT_PER_QUERY_CAP
+    )

@@ -1,0 +1,212 @@
+"""On-chip RRF: the fused-phase-1 tail that merges both arms on device.
+
+Parity target: the reference's fusion stage — BASELINE.json north star
+("frankensearch-fusion's RRF merges lexical and both semantic tiers
+on-chip") and crates/frankensearch-fusion/src/rrf.rs:223 (rank-based
+reciprocal fusion with the LexicalThenId tie policy). The host
+vectorized implementation (fusion/rrf_batch.py) stays the oracle; this
+module reproduces its EXACT ordering contract on device so the merge
+rides the same dispatch as the arms and the host slice shrinks to
+hydration + result construction (VERDICT r3 #2).
+
+How exactness survives f32 hardware:
+
+- CONTRIBUTIONS are precomputed on HOST in f64 with bitwise-identical
+  expressions to rrf_batch (``1/(k+1+rank) · weight``), then split into
+  double-float (hi, lo) f32 pairs (hi = f32(x), lo = f32(x − hi)) — no
+  f64 math on device, no value drift.
+- Each doc receives at most one contribution per arm, so the fused
+  score is ONE two-term sum: an error-free TwoSum on the hi parts plus
+  the lo terms, renormalized. Comparing (hi, lo) lexicographically
+  orders docs by their true f64-precision sums to ~2⁻⁴⁷ relative — the
+  only divergence from the f64 oracle is a pair of DISTINCT sums closer
+  than that, which rank-reciprocal sums of realistic (k, weight)
+  configurations never are (exact ties, e.g. symmetric rank pairs under
+  equal weights, produce identical (hi, lo) pairs and fall through to
+  the same deterministic tiebreaks as the oracle).
+- The 4-level order (rrf desc, in-both first, lexical-score desc, row
+  asc) is one multi-key ``lax.sort`` — the same two-key-sort discipline
+  as the BM25 merge (device_bm25._merge_topk_exact).
+- The device returns only (row, lex_rank, fast_rank); the host
+  recomputes the winners' scores by fancy-indexing the SAME f64 contrib
+  tables (``finish_rrf``), so reported scores are bitwise-identical to
+  rrf_fuse_batch_rows' — order AND values.
+
+Grouping mirrors rrf_batch: lex entries concatenate before vec entries
+and the id-sort is stable, so a doc present in both arms always sees
+its lexical entry first.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: sentinel row id sorting after every real row (rows < 2^30)
+_BIG_ROW = np.int32(1 << 30)
+
+
+def make_contrib_tables(
+    k_arr: np.ndarray, kl: int, kv: int, lex_w: float, sem_w: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(B, Kl) and (B, Kv) f64 rank-contribution tables — the EXACT
+    expressions of fusion/rrf_batch.rrf_fuse_batch_rows (base = k+1)."""
+    base = (np.asarray(k_arr, dtype=np.float64) + 1.0)[:, None]
+    contrib_l = (1.0 / (base + np.arange(kl, dtype=np.float64)[None, :])) * lex_w
+    contrib_v = (1.0 / (base + np.arange(kv, dtype=np.float64)[None, :])) * (
+        np.asarray(sem_w, np.float64)[:, None]
+    )
+    return contrib_l, contrib_v
+
+
+def split_f64(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """f64 -> double-float (hi, lo) f32 pair, exact to f64's low bits
+    that fit in 48 significand bits (hi + lo == x in f64 when |x − hi|
+    is representable — always true for hi = f32(x))."""
+    hi = x.astype(np.float32)
+    lo = (x - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+def rrf_tail(
+    lex_i,  # (B, Kl) i32 lexical rows
+    lex_s,  # (B, Kl) f32 BM25 scores (-inf/0 padding)
+    vec_i,  # (B, Kv) i32 vector-slab rows (-1 padding)
+    row_map,  # (Nv,) i32 vector row -> lexical row
+    cl_hi, cl_lo,  # (B, Kl) f32 double-float lex contribs
+    cv_hi, cv_lo,  # (B, Kv) f32 double-float vec contribs
+    *,
+    limit: int,
+):
+    """Device RRF body (traceable; see device_rrf for the jitted entry).
+
+    Returns ((B, limit) fused rows, lex_ranks, fast_ranks) — rows -1
+    when fewer than ``limit`` docs exist; ranks -1 when that arm didn't
+    contribute (exactly rrf_fuse_batch_rows' tuple fields)."""
+    b, kl = lex_i.shape
+    kv = vec_i.shape[1]
+    k = kl + kv
+
+    lex_valid = lex_s > jnp.float32(0.0)
+    lid = jnp.where(lex_valid, lex_i, jnp.int32(-1))
+    vid = jnp.where(
+        vec_i >= 0,
+        jnp.take(row_map, jnp.maximum(vec_i, 0), axis=0),
+        jnp.int32(-1),
+    )
+    ids = jnp.concatenate([lid, vid], axis=1)  # lex first: grouping order
+    hi = jnp.concatenate([cl_hi, cv_hi], axis=1)
+    lo = jnp.concatenate([cl_lo, cv_lo], axis=1)
+    ranks = jnp.concatenate(
+        [
+            jax.lax.broadcasted_iota(jnp.int32, (b, kl), 1),
+            jax.lax.broadcasted_iota(jnp.int32, (b, kv), 1),
+        ],
+        axis=1,
+    )
+    is_lex = jnp.concatenate(
+        [jnp.ones((b, kl), jnp.int32), jnp.zeros((b, kv), jnp.int32)], axis=1
+    )
+    lexsc = jnp.concatenate([lex_s, jnp.zeros((b, kv), jnp.float32)], axis=1)
+
+    key_id = jnp.where(ids >= 0, ids, _BIG_ROW)
+    sid, shi, slo, srk, silex, slexsc = jax.lax.sort(
+        (key_id, hi, lo, ranks, is_lex, lexsc), num_keys=1, is_stable=True
+    )
+
+    nxt_same = jnp.concatenate(
+        [sid[:, 1:] == sid[:, :-1], jnp.zeros((b, 1), bool)], axis=1
+    )
+    prv_same = jnp.concatenate(
+        [jnp.zeros((b, 1), bool), sid[:, 1:] == sid[:, :-1]], axis=1
+    )
+    is_first = (~prv_same) & (sid < _BIG_ROW)
+
+    def shl(x, fill):
+        return jnp.concatenate(
+            [x[:, 1:], jnp.full((b, 1), fill, x.dtype)], axis=1
+        )
+
+    nhi = jnp.where(nxt_same, shl(shi, 0.0), jnp.float32(0.0))
+    nlo = jnp.where(nxt_same, shl(slo, 0.0), jnp.float32(0.0))
+    nrk = jnp.where(nxt_same, shl(srk, 0), jnp.int32(0))
+
+    # error-free TwoSum on the hi parts, then fold the lo terms
+    s = shi + nhi
+    v = s - shi
+    e = (shi - (s - v)) + (nhi - v)
+    lo_sum = e + slo + nlo
+    hi2 = s + lo_sum
+    lo2 = lo_sum - (hi2 - s)
+
+    in_both = is_first & nxt_same
+    first_is_lex = silex == 1
+    lr = jnp.where(first_is_lex, srk, jnp.int32(-1))
+    fr = jnp.where(in_both, nrk, jnp.where(first_is_lex, jnp.int32(-1), srk))
+    t3 = jnp.where(first_is_lex, -slexsc, jnp.float32(jnp.inf))
+
+    inf = jnp.float32(jnp.inf)
+    k1 = jnp.where(is_first, -hi2, inf)  # rrf desc
+    k2 = jnp.where(is_first, -lo2, inf)
+    k3 = jnp.where(is_first & in_both, jnp.int32(0), jnp.int32(1))  # in-both first
+    k3 = jnp.where(is_first, k3, jnp.int32(2))
+    k4 = jnp.where(is_first, t3, inf)  # lexical score desc
+    k5 = jnp.where(is_first, sid, _BIG_ROW)  # row asc
+
+    _, _, _, _, out_id, out_lr, out_fr = jax.lax.sort(
+        (k1, k2, k3, k4, k5, lr, fr), num_keys=5
+    )
+    lim = min(limit, k)
+    out_id = out_id[:, :lim]
+    out_lr = out_lr[:, :lim]
+    out_fr = out_fr[:, :lim]
+    invalid = out_id >= _BIG_ROW
+    out_id = jnp.where(invalid, jnp.int32(-1), out_id)
+    out_lr = jnp.where(invalid, jnp.int32(-1), out_lr)
+    out_fr = jnp.where(invalid, jnp.int32(-1), out_fr)
+    return out_id, out_lr, out_fr
+
+
+device_rrf = functools.partial(jax.jit, static_argnames=("limit",))(rrf_tail)
+
+
+def finish_rrf(
+    out_id: np.ndarray,  # (B, limit) fused rows (-1 invalid)
+    out_lr: np.ndarray,
+    out_fr: np.ndarray,
+    contrib_l: np.ndarray,  # (B, Kl) f64 — the SAME table the device saw
+    contrib_v: np.ndarray,  # (B, Kv) f64
+) -> list[list[tuple[int, float, bool, int, int]]]:
+    """Reconstruct rrf_fuse_batch_rows' exact per-query tuples from the
+    device ranks: score = fl64(contrib_l[lr] + contrib_v[fr]) with the
+    lex term first — bitwise-identical to np.add.reduceat's lex-first
+    grouped sum."""
+    b, lim = out_id.shape
+    lr = np.asarray(out_lr, dtype=np.int64)
+    fr = np.asarray(out_fr, dtype=np.int64)
+    rows = np.arange(b, dtype=np.int64)[:, None]
+    cl = np.where(lr >= 0, contrib_l[rows, np.maximum(lr, 0)], 0.0)
+    cv = np.where(fr >= 0, contrib_v[rows, np.maximum(fr, 0)], 0.0)
+    score = cl + cv
+    ids = np.asarray(out_id, dtype=np.int64)
+    out: list[list[tuple[int, float, bool, int, int]]] = []
+    for qb in range(b):
+        row_out = []
+        for j in range(lim):
+            rid = int(ids[qb, j])
+            if rid < 0:
+                break
+            row_out.append(
+                (
+                    rid,
+                    float(score[qb, j]),
+                    bool(lr[qb, j] >= 0 and fr[qb, j] >= 0),
+                    int(lr[qb, j]),
+                    int(fr[qb, j]),
+                )
+            )
+        out.append(row_out)
+    return out

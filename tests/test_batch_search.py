@@ -302,7 +302,61 @@ class TestFusedPhase1:
             outs = s.search_batch(queries, k=6)
         finally:
             rb.rrf_fuse_batch_rows = orig
+        # the ON-CHIP merge (ops/device_rrf) supersedes the host
+        # vectorized fusion on this lane — zero host rrf calls
+        assert calls["n"] == 0
+        assert s.last_fusion_path == "device"
+        for q, o in zip(queries, outs):
+            single = [(r.doc_id, r.score) for r in s.search(q, k=6).results]
+            assert [(r.doc_id, r.score) for r in o.results] == single, q
+
+    def test_host_vectorized_fusion_engages_when_device_rrf_gated(self, tmp_path):
+        """With the on-chip merge gated off (non-default tiebreak is
+        out-of-scope for BOTH fused paths, so gate via nqc=None check:
+        monkeypatch _rrf_ctx to refuse), the host vectorized path still
+        fuses with scalar parity."""
+        import numpy as np
+
+        import frankensearch_tpu.fusion.rrf_batch as rb
+        from frankensearch_tpu.core.config import TwoTierConfig
+        from frankensearch_tpu.core.types import IndexableDocument
+        from frankensearch_tpu.embed.model2vec import random_model2vec
+        from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+        from frankensearch_tpu.index.two_tier import TwoTierIndex
+        from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
+
+        rng = np.random.default_rng(2)
+        words = ["alpha", "beta", "gamma", "delta"]
+        m2v = random_model2vec(words + [f"tag{i}" for i in range(9)], dim=32)
+        docs = [
+            IndexableDocument(
+                doc_id=f"d{i:03d}",
+                content=" ".join(rng.choice(words, size=6)) + f" tag{i % 9}",
+            )
+            for i in range(80)
+        ]
+        idx = TwoTierIndex.create(
+            str(tmp_path), m2v.embed_batch([d.content for d in docs]),
+            [d.doc_id for d in docs], m2v.identity(), use_pallas=False,
+        )
+        s = TwoTierSearcher(idx, m2v, lexical=BulkDeviceBm25Index(docs),
+                            config=TwoTierConfig(fast_only=True))
+        s._rrf_ctx = lambda classes, live, k: None  # gate off the device tail
+        calls = {"n": 0}
+        orig = rb.rrf_fuse_batch_rows
+
+        def spy(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        rb.rrf_fuse_batch_rows = spy
+        try:
+            queries = ["alpha beta", "gamma tag3", "delta"]
+            outs = s.search_batch(queries, k=6)
+        finally:
+            rb.rrf_fuse_batch_rows = orig
         assert calls["n"] == 1
+        assert s.last_fusion_path == "host_vectorized"
         for q, o in zip(queries, outs):
             single = [(r.doc_id, r.score) for r in s.search(q, k=6).results]
             assert [(r.doc_id, r.score) for r in o.results] == single, q

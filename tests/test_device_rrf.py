@@ -1,0 +1,169 @@
+"""On-chip RRF vs the host vectorized oracle (fusion/rrf_batch.py).
+
+VERDICT r3 #2 acceptance: bitwise parity with rrf_fuse_batch_rows on
+fuzzed cases including tie / -inf / invalid-index edges.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from frankensearch_tpu.fusion.rrf_batch import rrf_fuse_batch_rows
+from frankensearch_tpu.ops import device_rrf as drrf
+
+
+def run_device(
+    lex_rows, lex_scores, vec_rows, row_map, limit, k_arr, lex_w, sem_w
+):
+    b, kl = lex_rows.shape
+    kv = vec_rows.shape[1]
+    contrib_l, contrib_v = drrf.make_contrib_tables(k_arr, kl, kv, lex_w, sem_w)
+    cl_hi, cl_lo = drrf.split_f64(contrib_l)
+    cv_hi, cv_lo = drrf.split_f64(contrib_v)
+    out_id, out_lr, out_fr = drrf.device_rrf(
+        jnp.asarray(lex_rows.astype(np.int32)),
+        jnp.asarray(lex_scores.astype(np.float32)),
+        jnp.asarray(vec_rows.astype(np.int32)),
+        jnp.asarray(row_map.astype(np.int32)),
+        jnp.asarray(cl_hi), jnp.asarray(cl_lo),
+        jnp.asarray(cv_hi), jnp.asarray(cv_lo),
+        limit=limit,
+    )
+    return drrf.finish_rrf(
+        np.asarray(out_id), np.asarray(out_lr), np.asarray(out_fr),
+        contrib_l, contrib_v,
+    )
+
+
+def run_oracle(lex_rows, lex_scores, vec_rows, row_map, limit, k_arr, lex_w, sem_w, n_ids):
+    vec_lexrows = np.where(
+        vec_rows >= 0, row_map[np.maximum(vec_rows, 0)], -1
+    ).astype(np.int64)
+    lex_rows = np.where(lex_scores > 0.0, lex_rows, -1).astype(np.int64)
+    return rrf_fuse_batch_rows(
+        lex_rows, lex_scores.astype(np.float32), vec_lexrows,
+        limit, k_arr, lex_w, np.asarray(sem_w), n_ids,
+    )
+
+
+def fuzz_case(rng, b, kl, kv, n_docs, *, int_k=True, overlap=0.5):
+    """Random phase-1-shaped outputs: unique rows per arm, -1 padding,
+    some zero lex scores, controllable arm overlap."""
+    lex_rows = np.full((b, kl), -1, dtype=np.int64)
+    lex_scores = np.zeros((b, kl), dtype=np.float32)
+    vec_rows = np.full((b, kv), -1, dtype=np.int64)
+    for q in range(b):
+        n_l = int(rng.integers(0, kl + 1))
+        n_v = int(rng.integers(0, kv + 1))
+        l_ids = rng.choice(n_docs, size=n_l, replace=False)
+        lex_rows[q, :n_l] = l_ids
+        lex_scores[q, :n_l] = np.sort(
+            rng.uniform(0.01, 20, size=n_l).astype(np.float32)
+        )[::-1]
+        # sprinkle exact score ties + zero-score (invalid) slots
+        if n_l >= 3:
+            lex_scores[q, 1] = lex_scores[q, 0]
+            lex_scores[q, n_l - 1] = 0.0
+        pool = np.concatenate([l_ids, rng.choice(n_docs, size=kv, replace=False)])
+        take = rng.permutation(len(pool))[:n_v]
+        seen, v = set(), []
+        for t in take:
+            rid = int(pool[t])
+            if rid in seen:
+                continue
+            seen.add(rid)
+            v.append(rid)
+            if len(v) == n_v:
+                break
+        vec_rows[q, : len(v)] = v
+    row_map = np.arange(n_docs, dtype=np.int64)  # identity: rows pre-mapped
+    k_arr = (
+        rng.integers(10, 100, size=b).astype(np.float64)
+        if int_k
+        else rng.uniform(10, 100, size=b)
+    )
+    lex_w = float(rng.choice([1.0, 0.7, 1.3]))
+    sem_w = rng.choice([1.0, 0.8, 1.2], size=b).astype(np.float64)
+    return lex_rows, lex_scores, vec_rows, row_map, k_arr, lex_w, sem_w
+
+
+class TestDeviceRrfParity:
+    @pytest.mark.parametrize("seed", range(6))
+    def test_fuzz_bitwise_parity(self, seed):
+        rng = np.random.default_rng(seed)
+        b, kl, kv, n_docs = 8, 12, 10, 200
+        lex_rows, lex_scores, vec_rows, row_map, k_arr, lex_w, sem_w = fuzz_case(
+            rng, b, kl, kv, n_docs, int_k=(seed % 2 == 0)
+        )
+        limit = int(rng.integers(1, kl + kv + 2))
+        got = run_device(lex_rows, lex_scores, vec_rows, row_map, limit, k_arr, lex_w, sem_w)
+        want = run_oracle(lex_rows, lex_scores, vec_rows, row_map, limit, k_arr, lex_w, sem_w, n_docs)
+        assert got == want  # ids, scores (bitwise), in_both, both ranks
+
+    def test_symmetric_tie_breaks_identically(self):
+        """Equal weights + mirrored rank pairs: exactly-equal f64 sums
+        must resolve by (in-both, lex-score, id) like the oracle."""
+        lex_rows = np.array([[5, 9, -1]], dtype=np.int64)
+        lex_scores = np.array([[3.0, 3.0, 0.0]], dtype=np.float32)
+        vec_rows = np.array([[9, 5, 7]], dtype=np.int64)  # 5 and 9 swap ranks
+        row_map = np.arange(20, dtype=np.int64)
+        k_arr = np.array([60.0])
+        sem_w = np.array([1.0])
+        got = run_device(lex_rows, lex_scores, vec_rows, row_map, 5, k_arr, 1.0, sem_w)
+        want = run_oracle(lex_rows, lex_scores, vec_rows, row_map, 5, k_arr, 1.0, sem_w, 20)
+        assert got == want
+        # docs 5 and 9 have identical fused scores; both in-both
+        assert got[0][0][1] == got[0][1][1]
+        assert got[0][0][0] == 5 and got[0][1][0] == 9  # lex-score tie -> id asc
+
+    def test_all_invalid_and_empty_arms(self):
+        lex_rows = np.full((2, 4), -1, dtype=np.int64)
+        lex_scores = np.zeros((2, 4), dtype=np.float32)
+        vec_rows = np.full((2, 3), -1, dtype=np.int64)
+        vec_rows[1, 0] = 2
+        row_map = np.arange(5, dtype=np.int64)
+        k_arr = np.array([60.0, 60.0])
+        sem_w = np.array([1.0, 1.0])
+        got = run_device(lex_rows, lex_scores, vec_rows, row_map, 3, k_arr, 1.0, sem_w)
+        want = run_oracle(lex_rows, lex_scores, vec_rows, row_map, 3, k_arr, 1.0, sem_w, 5)
+        assert got == want
+        assert got[0] == [] and len(got[1]) == 1
+
+    def test_neg_inf_lex_scores_are_invalid(self):
+        lex_rows = np.array([[3, 4]], dtype=np.int64)
+        lex_scores = np.array([[-np.inf, 2.0]], dtype=np.float32)
+        vec_rows = np.array([[3]], dtype=np.int64)
+        row_map = np.arange(6, dtype=np.int64)
+        k_arr = np.array([30.0])
+        sem_w = np.array([1.0])
+        got = run_device(lex_rows, lex_scores, vec_rows, row_map, 4, k_arr, 1.0, sem_w)
+        want = run_oracle(lex_rows, lex_scores, vec_rows, row_map, 4, k_arr, 1.0, sem_w, 6)
+        assert got == want
+        # doc 3's lex entry is dead; it appears vector-only
+        by_id = {e[0]: e for e in got[0]}
+        assert by_id[3][3] == -1 and by_id[3][4] == 0
+
+    def test_row_map_translates_vector_rows(self):
+        """Vector rows live in slab space; the device map must land them
+        in lexical-row space before grouping."""
+        lex_rows = np.array([[7]], dtype=np.int64)
+        lex_scores = np.array([[1.5]], dtype=np.float32)
+        vec_rows_slab = np.array([[2]], dtype=np.int64)  # slab row 2 -> lex row 7
+        row_map = np.array([4, 5, 7, 9], dtype=np.int64)
+        k_arr = np.array([60.0])
+        sem_w = np.array([1.0])
+        got = run_device(lex_rows, lex_scores, vec_rows_slab, row_map, 3, k_arr, 1.0, sem_w)
+        assert len(got[0]) == 1
+        rid, _score, in_both, lr, fr = got[0][0]
+        assert rid == 7 and in_both and lr == 0 and fr == 0
+
+    def test_large_batch_fuzz_with_real_budgets(self):
+        rng = np.random.default_rng(99)
+        b, kl, kv, n_docs = 16, 40, 40, 1000
+        lex_rows, lex_scores, vec_rows, row_map, k_arr, lex_w, sem_w = fuzz_case(
+            rng, b, kl, kv, n_docs
+        )
+        got = run_device(lex_rows, lex_scores, vec_rows, row_map, 10, k_arr, lex_w, sem_w)
+        want = run_oracle(lex_rows, lex_scores, vec_rows, row_map, 10, k_arr, lex_w, sem_w, n_docs)
+        assert got == want
