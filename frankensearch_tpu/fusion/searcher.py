@@ -370,23 +370,86 @@ class TwoTierSearcher:
 
         if arm._blocked is not None:
             ids, w = arm._query_sparse_rows(list(queries))
-            bounds = arm._blocked.query_bounds(ids, w)
-            lex_args = (
-                arm._blocked.classes, arm._blocked.split_bounds(bounds),
-                jnp.asarray(ids), jnp.asarray(w),
-            )
-            if embed_args is not None:
-                vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_embed_blocked(
-                    *embed_args, fast.slab, mask, *lex_args,
-                    k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode, tile_n=tile_n,
-                    d_pad=fast.d_pad,
-                )
+            # TERM-DRIVEN fused lane: when EVERY query in the batch is
+            # daat-eligible (a pure per-query test — lexical/daat.py),
+            # the lexical arm gathers only the query terms' spans inside
+            # the same program (interactive B=1: 28.7 ms -> ~0.6 ms at
+            # 1M docs). Any ineligible query keeps the whole batch on
+            # the exhaustive kernel (its cost is batch-amortized anyway).
+            daat_plan = None
+            elig = None
+            if getattr(arm, "daat_mode", "blocked") == "auto":
+                from frankensearch_tpu.lexical import daat as _daat
+
+                tm = arm._term_major()
+                if tm is not None:
+                    elig = _daat.daat_eligible(
+                        tm.ptr, ids, w, total_postings=arm.posting_count
+                    )
+                    if elig.any():
+                        # ineligible queries gather nothing (their lane
+                        # is the exhaustive kernel); eligibility stays a
+                        # pure per-query function, so every query's bits
+                        # are independent of its batchmates
+                        w_plan = np.where(elig[:, None], w, np.float32(0.0))
+                        plan = _daat.build_gather_plan(tm.ptr, ids, w_plan)
+                        if plan[0].size * 128 <= _daat.DAAT_MAX_FUSED_ELEMENTS:
+                            daat_plan = tuple(jnp.asarray(x) for x in plan)
+            if daat_plan is not None and bool(elig.all()):
+                self.last_phase1_lex_lane = "daat"
+                tm_args = (tm.tm_doc, tm.tm_tf) + daat_plan
+                if embed_args is not None:
+                    vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_embed_daat(
+                        *embed_args, fast.slab, mask, *tm_args,
+                        k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode,
+                        tile_n=tile_n, t_run=ids.shape[1], d_pad=fast.d_pad,
+                    )
+                else:
+                    vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_daat(
+                        fast.slab, mask, jnp.asarray(q), *tm_args,
+                        k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode,
+                        tile_n=tile_n, t_run=ids.shape[1],
+                    )
             else:
-                vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_blocked(
-                    fast.slab, mask, jnp.asarray(q), *lex_args,
-                    k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode, tile_n=tile_n,
+                bounds = arm._blocked.query_bounds(ids, w)
+                lex_args = (
+                    arm._blocked.classes, arm._blocked.split_bounds(bounds),
+                    jnp.asarray(ids), jnp.asarray(w),
                 )
+                if daat_plan is not None:
+                    self.last_phase1_lex_lane = "mixed"
+                    # mixed batch: both kernels in one program, per-query
+                    # row-wise selection keeps each query's own lane bits
+                    tm_args = (tm.tm_doc, tm.tm_tf) + daat_plan + (
+                        jnp.asarray(elig),
+                    )
+                    if embed_args is not None:
+                        vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_embed_daat_mixed(
+                            *embed_args, fast.slab, mask, *tm_args, *lex_args,
+                            k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode,
+                            tile_n=tile_n, t_run=ids.shape[1], d_pad=fast.d_pad,
+                        )
+                    else:
+                        vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_daat_mixed(
+                            fast.slab, mask, jnp.asarray(q), *tm_args, *lex_args,
+                            k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode,
+                            tile_n=tile_n, t_run=ids.shape[1],
+                        )
+                elif embed_args is not None:
+                    self.last_phase1_lex_lane = "blocked"
+                    vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_embed_blocked(
+                        *embed_args, fast.slab, mask, *lex_args,
+                        k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode, tile_n=tile_n,
+                        d_pad=fast.d_pad,
+                    )
+                else:
+                    self.last_phase1_lex_lane = "blocked"
+                    vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_blocked(
+                        fast.slab, mask, jnp.asarray(q), *lex_args,
+                        k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode, tile_n=tile_n,
+                    )
         else:
+            self.last_phase1_lex_lane = "dense"
             q_idf = jnp.asarray(arm._query_idf_rows(list(queries)))
             lex_args = (arm._post_term, arm._post_doc, arm._post_tf, q_idf)
             if embed_args is not None:

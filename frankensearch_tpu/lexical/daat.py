@@ -242,6 +242,11 @@ DAAT_PER_QUERY_CAP = 1 << 20
 #: ≤ CHUNK · CAP · 8 B (256 MB) even at full eligibility.
 DAAT_CHUNK_QUERIES = 32
 
+#: the fused phase-1 daat lane (ops/hybrid_phase1.py) is one unchunked
+#: program; batches whose total padded gather would exceed this fall
+#: back to the exhaustive fused lane (32M elements = 256 MB of slabs).
+DAAT_MAX_FUSED_ELEMENTS = 32 * (1 << 20)
+
 
 def query_plan_elements(ptr: np.ndarray, ids: np.ndarray, w: np.ndarray) -> np.ndarray:
     """(B,) unpadded gathered elements per query (rows · 128) — the

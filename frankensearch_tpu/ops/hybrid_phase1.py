@@ -124,6 +124,105 @@ def fused_phase1_embed_dense(
     return vec.scores, vec.indices, lex_s, lex_i
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_vec", "k_lex", "scan_mode", "tile_n", "t_run"),
+)
+def fused_phase1_daat(
+    slab, mask, q_vecs,
+    tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi,
+    *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int, t_run: int,
+):
+    """Vector scan + TERM-DRIVEN BM25 (lexical/daat.py) in one program —
+    the fused lane for batches whose every query is daat-eligible
+    (interactive B=1 searches: the lexical arm drops from the exhaustive
+    28.7 ms floor to ~0.6 ms at 1M docs, PERF_LEDGER r4)."""
+    from frankensearch_tpu.lexical.daat import daat_topk
+
+    vec = _vector_arm(slab, mask, q_vecs, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
+    lex_s, lex_i = daat_topk(
+        tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, k=k_lex, t_run=t_run
+    )
+    return vec.scores, vec.indices, lex_s, lex_i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_vec", "k_lex", "scan_mode", "tile_n", "t_run", "d_pad"),
+)
+def fused_phase1_embed_daat(
+    emb, tok_ids, tok_mask, slab, mask,
+    tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi,
+    *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int, t_run: int,
+    d_pad: int,
+):
+    """Model2Vec embed + scan + term-driven BM25 in one dispatch."""
+    from frankensearch_tpu.lexical.daat import daat_topk
+
+    q = _pad_q(_gather_pool_normalize(emb, tok_ids, tok_mask), d_pad)
+    vec = _vector_arm(slab, mask, q, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
+    lex_s, lex_i = daat_topk(
+        tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, k=k_lex, t_run=t_run
+    )
+    return vec.scores, vec.indices, lex_s, lex_i
+
+
+def _lex_select(elig, daat_s, daat_i, blk_s, blk_i):
+    """Per-query lane selection (a pure row-wise where): eligible
+    queries take their term-driven bits, the rest their exhaustive
+    bits — each query's result is independent of its batchmates."""
+    sel = elig[:, None]
+    return jnp.where(sel, daat_s, blk_s), jnp.where(sel, daat_i, blk_i)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_vec", "k_lex", "scan_mode", "tile_n", "t_run"),
+)
+def fused_phase1_daat_mixed(
+    slab, mask, q_vecs,
+    tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, elig,
+    classes, bounds_list, q_ids, q_w,
+    *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int, t_run: int,
+):
+    """Mixed-eligibility batch: BOTH lexical kernels run in one program
+    (the exhaustive scan is batch-amortized and needed for the
+    ineligible queries anyway; the daat gather for ineligible queries is
+    an empty plan) and each query keeps its own lane's bits."""
+    from frankensearch_tpu.lexical.daat import daat_topk
+
+    vec = _vector_arm(slab, mask, q_vecs, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
+    d_s, d_i = daat_topk(
+        tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, k=k_lex, t_run=t_run
+    )
+    b_s, b_i = _lex_blocked(classes, bounds_list, q_ids, q_w, k_lex=k_lex)
+    lex_s, lex_i = _lex_select(elig, d_s, d_i, b_s, b_i)
+    return vec.scores, vec.indices, lex_s, lex_i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_vec", "k_lex", "scan_mode", "tile_n", "t_run", "d_pad"),
+)
+def fused_phase1_embed_daat_mixed(
+    emb, tok_ids, tok_mask, slab, mask,
+    tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, elig,
+    classes, bounds_list, q_ids, q_w,
+    *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int, t_run: int,
+    d_pad: int,
+):
+    from frankensearch_tpu.lexical.daat import daat_topk
+
+    q = _pad_q(_gather_pool_normalize(emb, tok_ids, tok_mask), d_pad)
+    vec = _vector_arm(slab, mask, q, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
+    d_s, d_i = daat_topk(
+        tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, k=k_lex, t_run=t_run
+    )
+    b_s, b_i = _lex_blocked(classes, bounds_list, q_ids, q_w, k_lex=k_lex)
+    lex_s, lex_i = _lex_select(elig, d_s, d_i, b_s, b_i)
+    return vec.scores, vec.indices, lex_s, lex_i
+
+
 def fused_phase1_sharded(
     slab, mask, q_vecs,
     classes, bounds_list, q_ids, q_w,

@@ -1,0 +1,105 @@
+"""Fused phase-1 with the term-driven lexical arm (ops/hybrid_phase1
+fused_phase1_daat / _daat_mixed): product-path parity + lane purity.
+
+VERDICT r4 #1 integration: the interactive hybrid path rides DAAT when
+the batch qualifies; mixed batches run both kernels in one program and
+each query keeps its own lane's bits (never its batchmates').
+"""
+
+import numpy as np
+import pytest
+
+import frankensearch_tpu.lexical.device_bm25 as dbm
+from frankensearch_tpu.core.config import TwoTierConfig
+from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.embed.model2vec import random_model2vec
+from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+from frankensearch_tpu.index.two_tier import TwoTierIndex
+from frankensearch_tpu.lexical import daat
+from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
+
+
+@pytest.fixture()
+def blocked_searcher(tmp_path, monkeypatch):
+    """A searcher whose lexical arm lands in the blocked lane (threshold
+    dropped) over a corpus with rare AND common terms, so eligibility
+    genuinely splits."""
+    monkeypatch.setattr(dbm, "BLOCKED_THRESHOLD_POSTINGS", 1)
+    # widen the fused-lane crossover so the small corpus can exercise it
+    monkeypatch.setattr(daat, "DAAT_CROSSOVER_DIVISOR", 4)
+    rng = np.random.default_rng(3)
+    common = ["alpha", "beta", "gamma"]
+    rare = [f"rare{i}" for i in range(40)]
+    vocab = common + rare + [f"tag{i}" for i in range(7)]
+    m2v = random_model2vec(vocab, dim=32)
+    docs = []
+    for i in range(300):
+        words = list(rng.choice(common, size=12))
+        if i % 5 == 0:
+            words.append(rare[i % 40])
+        words.append(f"tag{i % 7}")
+        docs.append(IndexableDocument(doc_id=f"d{i:04d}", content=" ".join(words)))
+    idx = TwoTierIndex.create(
+        str(tmp_path), m2v.embed_batch([d.content for d in docs]),
+        [d.doc_id for d in docs], m2v.identity(), use_pallas=False,
+    )
+    arm = BulkDeviceBm25Index(docs)
+    assert arm._blocked is not None
+    s = TwoTierSearcher(idx, m2v, lexical=arm,
+                        config=TwoTierConfig(fast_only=True))
+    return s, arm
+
+
+class TestFusedDaatLane:
+    def test_all_eligible_batch_takes_daat_lane(self, blocked_searcher):
+        s, arm = blocked_searcher
+        queries = ["rare3", "rare7 tag2", "rare11"]
+        tm = arm._term_major()
+        ids, w = arm._query_sparse_rows(queries)
+        assert daat.daat_eligible(
+            tm.ptr, ids, w, total_postings=arm.posting_count
+        ).all(), "fixture must make these queries eligible"
+        outs = s.search_batch(queries, k=5)
+        assert s.last_phase1_lex_lane == "daat"
+        for q, o in zip(queries, outs):
+            single = [(r.doc_id, r.score) for r in s.search(q, k=5).results]
+            assert [(r.doc_id, r.score) for r in o.results] == single, q
+
+    def test_mixed_batch_preserves_per_query_lane_bits(self, blocked_searcher):
+        s, arm = blocked_searcher
+        queries = ["rare5 tag1", "alpha beta gamma", "rare9"]
+        tm = arm._term_major()
+        ids, w = arm._query_sparse_rows(queries)
+        elig = daat.daat_eligible(tm.ptr, ids, w, total_postings=arm.posting_count)
+        assert elig.any() and not elig.all(), "fixture must mix lanes"
+        outs = s.search_batch(queries, k=5)
+        assert s.last_phase1_lex_lane == "mixed"
+        # every query — eligible or not — matches its own solo bits
+        for q, o in zip(queries, outs):
+            single = [(r.doc_id, r.score) for r in s.search(q, k=5).results]
+            assert [(r.doc_id, r.score) for r in o.results] == single, q
+
+    def test_common_only_batch_stays_blocked(self, blocked_searcher):
+        s, arm = blocked_searcher
+        queries = ["alpha beta", "beta gamma"]
+        outs = s.search_batch(queries, k=5)
+        assert s.last_phase1_lex_lane == "blocked"
+        assert all(o.results for o in outs)
+
+    def test_daat_lane_matches_blocked_ranks(self, blocked_searcher):
+        """Force the exhaustive fused lane for the same eligible queries
+        and compare rank order (scores may differ ~1 ulp)."""
+        s, arm = blocked_searcher
+        queries = ["rare3", "rare7 tag2", "rare11"]
+        outs_daat = s.search_batch(queries, k=5)
+        assert s.last_phase1_lex_lane == "daat"
+        arm.daat_mode = "blocked"
+        try:
+            outs_blk = s.search_batch(queries, k=5)
+        finally:
+            arm.daat_mode = "auto"
+        assert s.last_phase1_lex_lane == "blocked"
+        for q, a, b in zip(queries, outs_daat, outs_blk):
+            assert [r.doc_id for r in a.results] == [r.doc_id for r in b.results], q
+            for ra, rb in zip(a.results, b.results):
+                assert ra.score == pytest.approx(rb.score, rel=1e-5)
