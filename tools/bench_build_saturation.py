@@ -1,0 +1,173 @@
+"""Build-side north-star clause: does index build saturate the MXU?
+
+VERDICT r3 missing #5: BASELINE.json's final clause ("index build
+saturating TPU matmul throughput") had no device-side measurement —
+every build row was tunnel/transfer-bound. This isolates DEVICE-ONLY
+build compute with the slope method and self-calibrates utilization
+against a measured big-matmul peak on the same chip in the same run:
+
+  peak      in-graph chained (4096x4096)@(4096x4096) matmul slope,
+            bf16 and f32 — the chip's achievable ceiling, no marketing
+            numbers involved
+  quality   the quality-tier encoder forward (6L/H384/I1536, the real
+            MiniLM shape) at saturation batch: docs/s/chip and
+            FLOPs/s as a fraction of the measured peak
+  bag       the Model2Vec gather-pool-normalize bulk lane (the fast
+            tier's build kernel): docs/s/chip and its binding resource
+            (HBM gather bandwidth, not MXU — reported as GB/s)
+
+Usage: python -m tools.bench_build_saturation [r_lo r_hi]
+One JSON line per row.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+
+
+def _slope(timed, r_lo, r_hi, n=3):
+    timed(r_lo)
+    timed(r_hi)
+    return float(np.median(
+        [(timed(r_hi) - timed(r_lo)) / (r_hi - r_lo) for _ in range(n)]
+    ))
+
+
+def main() -> None:
+    r_lo = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    r_hi = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+    import jax
+    import jax.numpy as jnp
+
+    platform = jax.devices()[0].platform
+    rng = np.random.default_rng(0)
+
+    # ---- measured matmul peak (the "0.83 ms-class floor" calibrated) ----
+    n_mm = 4096
+    a_f32 = jnp.asarray(rng.standard_normal((n_mm, n_mm)).astype(np.float32))
+    b_f32 = jnp.asarray(rng.standard_normal((n_mm, n_mm)).astype(np.float32))
+
+    peaks = {}
+    for dtype in ("bf16", "f32"):
+        a = a_f32.astype(jnp.bfloat16) if dtype == "bf16" else a_f32
+        b = b_f32.astype(jnp.bfloat16) if dtype == "bf16" else b_f32
+
+        @functools.partial(jax.jit, static_argnames=("reps",))
+        def mm_chain(a, b, reps: int):
+            def body(i, carry):
+                x, acc = carry
+                y = x @ b
+                return (y * jnp.asarray(1e-3, y.dtype),
+                        acc + jnp.sum(y[:1, :1]).astype(jnp.float32))
+            _, acc = jax.lax.fori_loop(0, reps, body, (a, jnp.float32(0.0)))
+            return acc
+
+        def timed(reps):
+            t0 = time.perf_counter()
+            acc = mm_chain(a, b, reps=reps)
+            float(acc)
+            return time.perf_counter() - t0
+
+        per = _slope(timed, r_lo, r_hi)
+        tflops = 2 * n_mm**3 / per / 1e12
+        peaks[dtype] = tflops
+        print(json.dumps({
+            "metric": f"matmul_peak_{dtype}", "value": round(per * 1e3, 3),
+            "unit": "ms", "tflops": round(tflops, 1), "platform": platform,
+        }), flush=True)
+
+    # ---- quality-tier encoder forward at saturation batch --------------
+    from frankensearch_tpu.rerank.bert import BertConfig, embed_forward, init_params
+
+    cfg = BertConfig(vocab_size=30522, hidden=384, layers=6, heads=12,
+                     intermediate=1536, max_position=512)
+    params = init_params(cfg, seed=0)
+    t_seq = 128
+    # FLOPs/token: QKV+O (4 H^2) + FFN (2 H I), x2 for MAC; attention
+    # scores+values 4 T H; per layer
+    per_token = cfg.layers * (2 * (4 * cfg.hidden**2 + 2 * cfg.hidden * cfg.intermediate)
+                              + 4 * t_seq * cfg.hidden)
+    for batch in (32, 128, 256):
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, t_seq), dtype=np.int32))
+        mask = jnp.ones((batch, t_seq), jnp.float32)
+
+        @functools.partial(jax.jit, static_argnames=("reps",))
+        def q_chain(params, ids, mask, reps: int):
+            def body(i, carry):
+                ids_c, acc = carry
+                out = embed_forward(params, ids_c, mask, cfg=cfg)
+                bump = (jnp.sum(out[:1, :1]) > acc).astype(jnp.int32)
+                return (jnp.minimum(ids_c + bump, cfg.vocab_size - 1),
+                        acc + jnp.float32(1e-6) * jnp.sum(out[:1]))
+            _, acc = jax.lax.fori_loop(0, reps, body, (ids, jnp.float32(0.0)))
+            return acc
+
+        def timed(reps):
+            t0 = time.perf_counter()
+            acc = q_chain(params, ids, mask, reps=reps)
+            float(acc)
+            return time.perf_counter() - t0
+
+        per = _slope(timed, r_lo, r_hi)
+        flops = batch * t_seq * per_token
+        tflops = flops / per / 1e12
+        print(json.dumps({
+            "metric": f"quality_embed_b{batch}", "value": round(per * 1e3, 3),
+            "unit": "ms/batch", "docs_s": round(batch / per, 1),
+            "tflops": round(tflops, 2),
+            "util_vs_f32_peak": round(tflops / max(peaks["f32"], 1e-9), 3),
+            "util_vs_bf16_peak": round(tflops / max(peaks["bf16"], 1e-9), 3),
+            "platform": platform,
+        }), flush=True)
+
+    # ---- Model2Vec bag lane (gather-pool-normalize) ---------------------
+    from frankensearch_tpu.embed.model2vec import _gather_pool_normalize
+
+    v, d, t_doc = 65536, 256, 64
+    emb = jnp.asarray(rng.standard_normal((v, d)).astype(np.float32))
+    for batch in (1024, 8192):
+        tok = jnp.asarray(rng.integers(0, v, (batch, t_doc), dtype=np.int32))
+        msk = jnp.ones((batch, t_doc), jnp.float32)
+
+        @functools.partial(jax.jit, static_argnames=("reps",))
+        def bag_chain(emb, tok, msk, reps: int):
+            def body(i, carry):
+                tok_c, acc = carry
+                out = _gather_pool_normalize(emb, tok_c, msk)
+                bump = (jnp.sum(out[:1, :1]) > acc).astype(jnp.int32)
+                return (jnp.minimum(tok_c + bump, v - 1),
+                        acc + jnp.float32(1e-6) * jnp.sum(out[:1]))
+            _, acc = jax.lax.fori_loop(0, reps, body, (tok, jnp.float32(0.0)))
+            return acc
+
+        def timed(reps):
+            t0 = time.perf_counter()
+            acc = bag_chain(emb, tok, msk, reps=reps)
+            float(acc)
+            return time.perf_counter() - t0
+
+        per = _slope(timed, r_lo, r_hi)
+        gather_gb = batch * t_doc * d * 4 / per / 1e9
+        print(json.dumps({
+            "metric": f"bag_embed_b{batch}", "value": round(per * 1e3, 3),
+            "unit": "ms/batch", "docs_s": round(batch / per, 1),
+            "gather_gb_s": round(gather_gb, 1), "platform": platform,
+        }), flush=True)
+    print(json.dumps({"metric": "done", "platform": platform}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

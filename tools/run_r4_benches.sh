@@ -1,0 +1,28 @@
+#!/bin/bash
+# Round-4 serialized TPU battery (one job at a time on the tunnel —
+# parallel jobs contend and poison slope timings; see PERF_LEDGER).
+# Usage: bash tools/run_r4_benches.sh [hybrid_pid_to_wait_for]
+set -u
+cd /root/repo
+
+wait_pid() {
+  local pid="$1"
+  while kill -0 "$pid" 2>/dev/null; do sleep 20; done
+}
+
+if [ $# -ge 1 ] && [ -n "$1" ]; then
+  echo "waiting for running job pid $1" >&2
+  wait_pid "$1"
+fi
+
+echo "=== train_quality_lift 384 (r3-proven recipe) ===" >&2
+stdbuf -oL python tools/train_quality_lift.py \
+  --hidden 384 --layers 6 --heads 12 --steps 200 --lr 5e-4 \
+  --save data/quality_encoder_384 --rescan \
+  > /tmp/train384_r4.log 2>&1
+
+echo "=== build saturation ===" >&2
+stdbuf -oL python -m tools.bench_build_saturation \
+  > /tmp/build_sat_r4.log 2>&1
+
+echo "r4 battery done" >&2
