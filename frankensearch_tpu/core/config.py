@@ -114,6 +114,14 @@ class TwoTierConfig:
     #: clusters probed per query in the ivf lane (recall knob; certify
     #: with index/ivf.calibrate_nprobe)
     ivf_nprobe: int = 8
+    #: fail-closed certification for approximate scan lanes
+    #: (recall_certificate.rs parity): when True, scan_mode int8/ivf/mrl
+    #: REFUSES to serve unless DeviceVectorIndex.certify_scan_mode has
+    #: recorded a certificate for that mode whose certified recall meets
+    #: min_certified_recall and whose k covers the request
+    require_recall_certificate: bool = False
+    #: certified-recall floor the certificate must meet when required
+    min_certified_recall: float = 0.9
     #: phase 2 EXPANDS the candidate pool with a full quality-tier scan
     #: (a ~1 device-ms op on TPU; no reference analog — the CPU reference
     #: can only rescore phase-1 candidates). Off by default: it changes

@@ -94,6 +94,15 @@ class IdentityMismatch(SearchError):
     code = "identity_mismatch"
 
 
+class UncertifiedScanMode(SearchError):
+    """An approximate scan mode was requested with fail-closed
+    certification on, but no recall certificate covering the request
+    meets the configured floor (recall_certificate.rs parity: the
+    capacity lane refuses to serve un-certified configs)."""
+
+    code = "uncertified_scan_mode"
+
+
 class WalCorrupted(SearchError):
     """A WAL batch failed its CRC check (partial writes are discarded)."""
 

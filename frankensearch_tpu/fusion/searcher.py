@@ -200,6 +200,40 @@ class TwoTierSearcher:
             return False
         return True
 
+    def _enforce_recall_certificate(self, k: int) -> None:
+        """Fail-closed gate for approximate scan lanes (VERDICT r3 #6,
+        recall_certificate.rs parity): with require_recall_certificate
+        on, an int8/ivf/mrl scan refuses to serve unless the fast index
+        holds a certificate for that mode whose certified recall meets
+        min_certified_recall and whose k covers the request."""
+        cfg = self.config
+        if not getattr(cfg, "require_recall_certificate", False):
+            return
+        mode = "mrl" if cfg.mrl_search_dims else cfg.scan_mode
+        if mode not in ("int8", "ivf", "mrl"):
+            return
+        from frankensearch_tpu.core.errors import UncertifiedScanMode
+
+        cert_of = getattr(self.index.fast, "recall_certificate", None)
+        cert = cert_of(mode) if callable(cert_of) else None
+        if cert is None:
+            raise UncertifiedScanMode(
+                f"scan_mode {mode!r} has no recall certificate; run "
+                "DeviceVectorIndex.certify_scan_mode or disable "
+                "require_recall_certificate"
+            )
+        if cert.certified_recall < cfg.min_certified_recall:
+            raise UncertifiedScanMode(
+                f"scan_mode {mode!r} certificate ({cert.certified_recall:.3f} "
+                f"@ conf {cert.confidence}) is below the configured floor "
+                f"{cfg.min_certified_recall}"
+            )
+        if k > cert.k:
+            raise UncertifiedScanMode(
+                f"requested k={k} exceeds the certified k={cert.k} for "
+                f"scan_mode {mode!r}; re-certify at the larger k"
+            )
+
     def _rrf_ctx(self, classes, live, k):
         """Pre-dispatch context for the ON-CHIP RRF tail (ops/device_rrf):
         per-query class-adjusted k and the fused limit, or None when the
@@ -660,6 +694,7 @@ class TwoTierSearcher:
             # fail-closed typed error: a negative k otherwise escapes as
             # a raw lax.top_k ValueError from inside the device program
             raise InvalidConfig(f"k must be >= 0, got {k}")
+        self._enforce_recall_certificate(k)
         if text_fn is None:
             # handle-level default (storage preview): keeps negation
             # filters + phase-3 live when the caller passes no text_fn
@@ -854,6 +889,7 @@ class TwoTierSearcher:
         """
         if k < 0:
             raise InvalidConfig(f"k must be >= 0, got {k}")
+        self._enforce_recall_certificate(k)
         queries = list(queries)
         outcomes: list[SearchOutcome] = [SearchOutcome(results=[]) for _ in queries]
         if not queries:

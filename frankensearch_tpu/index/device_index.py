@@ -461,6 +461,49 @@ class DeviceVectorIndex:
             return topk_scan.scan_topk_pallas(self.slab, q_dev, k, mask, tile_n=self.tile_n)
         return topk_scan.scan_topk_xla(self.slab, q_dev, k, mask)
 
+    def certify_scan_mode(
+        self,
+        mode: str,
+        k: int,
+        sample_queries: np.ndarray,
+        *,
+        confidence: float = 0.95,
+        **mode_kwargs,
+    ):
+        """Measure the approximate mode's recall against the exact scan
+        on ``sample_queries`` and record a split-conformal certificate
+        (index/recall_certificate.py — recall_certificate.rs parity).
+        The capacity lane can then be gated fail-closed: with
+        ``TwoTierConfig.require_recall_certificate``, an approximate
+        scan mode REFUSES to serve unless a certificate covering
+        (mode, k) meets the configured floor."""
+        from frankensearch_tpu.index.recall_certificate import (
+            certify_recall,
+            per_query_recall,
+        )
+
+        exact = self.search_batch(sample_queries, k, mode="xla")
+        approx = self.search_batch(sample_queries, k, mode=mode, **mode_kwargs)
+        exact_i, approx_i = jax.device_get((exact.indices, approx.indices))
+        recalls = per_query_recall(np.asarray(approx_i), np.asarray(exact_i))
+        param_name, param_value = next(
+            iter(mode_kwargs.items()), ("mode", 0.0)
+        )
+        cert = certify_recall(
+            recalls, k=k,
+            parameter_name=str(param_name),
+            parameter_value=float(param_value) if np.isscalar(param_value) else 0.0,
+            confidence=confidence,
+        )
+        if not hasattr(self, "_recall_certs"):
+            self._recall_certs = {}
+        self._recall_certs[mode] = cert
+        return cert
+
+    def recall_certificate(self, mode: str):
+        """The recorded certificate for an approximate mode, or None."""
+        return getattr(self, "_recall_certs", {}).get(mode)
+
     def enable_ivf(self, n_clusters: int | None = None, **kwargs) -> None:
         """Build the IVF latency arm over the live rows (explicit because
         k-means is an expensive build step). The arm snapshots the current

@@ -1,0 +1,89 @@
+"""Fail-closed recall-certificate gate for approximate scan lanes.
+
+VERDICT r3 #6: the int8 capacity lane must refuse to serve un-certified
+configs. Parity: crates/frankensearch-index/src/recall_certificate.rs.
+"""
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu.core.config import TwoTierConfig
+from frankensearch_tpu.core.errors import UncertifiedScanMode
+from frankensearch_tpu.embed.model2vec import random_model2vec
+from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+from frankensearch_tpu.index.two_tier import TwoTierIndex
+
+
+@pytest.fixture()
+def idx_and_embedder(tmp_path):
+    rng = np.random.default_rng(0)
+    words = [f"w{i}" for i in range(64)]
+    m2v = random_model2vec(words, dim=64)
+    vecs = rng.standard_normal((256, 64)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    idx = TwoTierIndex.create(
+        str(tmp_path), vecs, [f"d{i:03d}" for i in range(256)],
+        m2v.identity(), use_pallas=False,
+    )
+    return idx, m2v, vecs
+
+
+def _searcher(idx, m2v, **cfg):
+    return TwoTierSearcher(
+        idx, m2v,
+        config=TwoTierConfig(fast_only=True, **cfg),
+        cache_query_embeddings=False,
+    )
+
+
+class TestCertificateGate:
+    def test_uncertified_int8_refuses(self, idx_and_embedder):
+        idx, m2v, _ = idx_and_embedder
+        s = _searcher(idx, m2v, scan_mode="int8",
+                      require_recall_certificate=True)
+        with pytest.raises(UncertifiedScanMode, match="no recall certificate"):
+            s.search("w1 w2", k=5)
+        with pytest.raises(UncertifiedScanMode):
+            s.search_batch(["w1", "w2"], k=5)
+
+    def test_certified_int8_serves(self, idx_and_embedder):
+        idx, m2v, vecs = idx_and_embedder
+        sample = vecs[:32] + 0.01
+        cert = idx.fast.certify_scan_mode(
+            "int8", 10, sample, int8_candidate_multiplier=4
+        )
+        assert cert.n_calibration == 32
+        assert 0.0 <= cert.certified_recall <= 1.0
+        s = _searcher(idx, m2v, scan_mode="int8",
+                      require_recall_certificate=True,
+                      min_certified_recall=min(cert.certified_recall, 0.9))
+        out = s.search("w1 w2", k=5)
+        assert out.results
+
+    def test_low_certificate_refuses(self, idx_and_embedder):
+        idx, m2v, vecs = idx_and_embedder
+        idx.fast.certify_scan_mode("int8", 10, vecs[:32])
+        s = _searcher(idx, m2v, scan_mode="int8",
+                      require_recall_certificate=True,
+                      min_certified_recall=1.01)  # unmeetable floor
+        with pytest.raises(UncertifiedScanMode, match="below the configured floor"):
+            s.search("w1", k=5)
+
+    def test_k_beyond_certified_refuses(self, idx_and_embedder):
+        idx, m2v, vecs = idx_and_embedder
+        cert = idx.fast.certify_scan_mode("int8", 10, vecs[:32])
+        s = _searcher(idx, m2v, scan_mode="int8",
+                      require_recall_certificate=True,
+                      min_certified_recall=min(cert.certified_recall, 0.5))
+        with pytest.raises(UncertifiedScanMode, match="exceeds the certified k"):
+            s.search("w1", k=50)
+
+    def test_exact_modes_never_gated(self, idx_and_embedder):
+        idx, m2v, _ = idx_and_embedder
+        s = _searcher(idx, m2v, require_recall_certificate=True)  # auto/exact
+        assert s.search("w1 w2", k=5).results
+
+    def test_gate_off_by_default(self, idx_and_embedder):
+        idx, m2v, _ = idx_and_embedder
+        s = _searcher(idx, m2v, scan_mode="int8")
+        assert s.search("w1 w2", k=5).results

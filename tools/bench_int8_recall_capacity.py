@@ -1,0 +1,143 @@
+"""int8 capacity-lane recall certification at scale (VERDICT r3 #6).
+
+The int8 lane's selling point is 10-20M docs/chip, but its recall was
+certified only at 131k/1M on easy (near-uniform) synthetic. This builds
+a CLUSTERED world (the IVF geometry recipe: Gaussian cluster centers,
+per-cluster spread — the geometry that strains per-dimension symmetric
+quantization, because in-cluster contrasts live in the low-order bits),
+then measures recall@10 of the hierarchical-int8 capacity kernel vs the
+bf16-exact oracle across the group_overfetch curve, and records a
+split-conformal certificate (index/recall_certificate.py) — the row the
+fail-closed serve gate (TwoTierConfig.require_recall_certificate)
+consumes.
+
+Memory plan at 10M x 256: int8 slab 2.5 GB + bf16 oracle 5 GB on chip;
+host generates in chunks. Usage:
+
+  python -m tools.bench_int8_recall_capacity [n_docs] [d] [batch]
+
+One JSON line per (lane, knob) cell.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    d = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    k = 10
+
+    import jax
+    import jax.numpy as jnp
+
+    from frankensearch_tpu.index.recall_certificate import (
+        certify_recall,
+        per_query_recall,
+    )
+    from frankensearch_tpu.ops import topk_scan
+    from frankensearch_tpu.ops.quantize import calibrate_int8
+
+    platform = jax.devices()[0].platform
+    rng = np.random.default_rng(0)
+    n_pad = -(-n_docs // 8192) * 8192
+
+    # clustered geometry (IVF recipe): 4096 centers, spread 0.25 of the
+    # center norm — queries land NEAR centers so the exact top-10 is
+    # intra-cluster, exactly where int8 rounding bites
+    t0 = time.perf_counter()
+    n_centers = 4096
+    centers = rng.standard_normal((n_centers, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    slab = np.zeros((n_pad, d), dtype=np.float32)
+    chunk = 1 << 20
+    for lo in range(0, n_docs, chunk):
+        hi = min(lo + chunk, n_docs)
+        cid = rng.integers(0, n_centers, hi - lo)
+        x = centers[cid] + 0.25 * rng.standard_normal((hi - lo, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        slab[lo:hi] = x
+    synth_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    q = calibrate_int8(slab)
+    quant_s = time.perf_counter() - t0
+
+    # queries: near-center probes (the clustered regime), plus a few
+    # uniform ones for contrast
+    qcid = rng.integers(0, n_centers, batch)
+    queries = centers[qcid] + 0.15 * rng.standard_normal((batch, d)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    t0 = time.perf_counter()
+    slab_i8 = jnp.asarray(q.values)
+    scale = jnp.asarray(q.scale)
+    slab_bf16 = jnp.asarray(slab, dtype=jnp.bfloat16)
+    q_dev = jnp.asarray(queries)
+    mask = jnp.where(
+        jnp.arange(n_pad) < n_docs, jnp.float32(0.0), -jnp.inf
+    )
+    upload_s = time.perf_counter() - t0
+
+    exact = topk_scan.scan_topk_xla(slab_bf16, q_dev, k, mask)
+    exact_i = np.asarray(jax.device_get(exact.indices))
+
+    rows = []
+    use_hier = platform != "cpu" and n_pad % 8192 == 0
+    for overfetch in (1, 2, 4, 8):
+        t0 = time.perf_counter()
+        if use_hier:
+            res = topk_scan.scan_topk_hierarchical_int8(
+                slab_i8, scale, q_dev, k, mask,
+                tile_n=8192, group=128, rescore="pallas",
+                group_overfetch=overfetch,
+            )
+        else:
+            res = topk_scan.scan_topk_int8_two_pass(
+                slab_i8, scale, slab_bf16, q_dev, k, mask,
+                candidate_multiplier=max(overfetch * 2, 2),
+            )
+        got_i = np.asarray(jax.device_get(res.indices))
+        wall = time.perf_counter() - t0
+        recalls = per_query_recall(got_i, exact_i)
+        cert = certify_recall(
+            recalls, parameter_name="group_overfetch",
+            parameter_value=float(overfetch), k=k, confidence=0.95,
+        )
+        row = {
+            "metric": f"int8_recall_{n_docs // 1000}k_of{overfetch}",
+            "lane": "hier_int8" if use_hier else "two_pass",
+            "recall@10_mean": round(cert.mean_recall, 4),
+            "recall@10_certified_p95": round(cert.certified_recall, 4),
+            "n_queries": batch,
+            "wall_s_incl_compile": round(wall, 1),
+            "platform": platform,
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    print(json.dumps({
+        "metric": f"int8_capacity_setup_{n_docs // 1000}k",
+        "synth_s": round(synth_s, 1), "quant_s": round(quant_s, 1),
+        "upload_s": round(upload_s, 1), "d": d, "n_pad": n_pad,
+        "hbm_int8_gb": round(n_pad * d / 1e9, 2),
+        "hbm_bf16_oracle_gb": round(n_pad * d * 2 / 1e9, 2),
+        "platform": platform,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
