@@ -165,10 +165,11 @@ def save_artifact(embedder: TransformerEmbedder, out_dir: str) -> None:
         )
     os.makedirs(out_dir, exist_ok=True)
     np.savez(os.path.join(out_dir, ARTIFACT_PARAMS), **_flat_params(embedder.params))
+    probe_vecs = np.asarray(
+        embedder.embed_batch(list(CONFORMANCE_PROBES)), dtype=np.float32
+    )
     golden = GoldenVectorCertificate.compute(
-        embedder.embedder_id,
-        CONFORMANCE_PROBES,
-        embedder.embed_batch(list(CONFORMANCE_PROBES)),
+        embedder.embedder_id, CONFORMANCE_PROBES, probe_vecs
     )
     meta = {
         "format": "ftenc.v1",
@@ -179,6 +180,13 @@ def save_artifact(embedder: TransformerEmbedder, out_dir: str) -> None:
         "vocab": embedder.tokenizer.vocab,
         "tokenizer_max_len": embedder.tokenizer.max_len,
         "golden": golden.to_dict(),
+        # the probe vectors themselves: cross-PLATFORM loads (artifact
+        # saved on TPU, loaded on CPU or vice versa) legitimately differ
+        # in low-order f32 bits (matmul reduction order), so the exact
+        # sha fast-path falls back to a tolerance check against these —
+        # still fail-closed for tampered/corrupted weights, whose drift
+        # is orders of magnitude above platform numerics
+        "golden_vectors": [[float(x) for x in row] for row in probe_vecs],
     }
     atomic_write_text(os.path.join(out_dir, ARTIFACT_META), json.dumps(meta))
 
@@ -227,17 +235,34 @@ def load_artifact(artifact_dir: str, *, verify: bool = True) -> TransformerEmbed
         max_tokens=int(meta.get("max_tokens", 256)),
     )
     if verify:
+        got_vecs = np.asarray(
+            emb.embed_batch(list(CONFORMANCE_PROBES)), dtype=np.float32
+        )
         got = GoldenVectorCertificate.compute(
-            emb.embedder_id, CONFORMANCE_PROBES,
-            emb.embed_batch(list(CONFORMANCE_PROBES)),
+            emb.embedder_id, CONFORMANCE_PROBES, got_vecs
         )
         want = meta["golden"]
         if got.vectors_sha256 != want["vectors_sha256"]:
-            raise IndexCorrupted(
-                f"golden-vector certificate mismatch for {emb.embedder_id}: "
-                f"runtime produces a different embedding space than at save "
-                f"time ({got.vectors_sha256[:12]} != {want['vectors_sha256'][:12]})"
-            )
+            # cross-platform tolerance path: the sha pins exact bits on
+            # the SAVING platform; a different platform's matmul
+            # reduction order shifts low-order bits only. Tampered or
+            # corrupted weights move probe embeddings by many orders of
+            # magnitude more than 1e-3 (L2-normalized outputs), so this
+            # stays fail-closed.
+            stored = meta.get("golden_vectors")
+            ok = False
+            if stored is not None:
+                ref = np.asarray(stored, dtype=np.float32)
+                ok = (
+                    ref.shape == got_vecs.shape
+                    and bool(np.max(np.abs(ref - got_vecs)) <= 1e-3)
+                )
+            if not ok:
+                raise IndexCorrupted(
+                    f"golden-vector certificate mismatch for {emb.embedder_id}: "
+                    f"runtime produces a different embedding space than at save "
+                    f"time ({got.vectors_sha256[:12]} != {want['vectors_sha256'][:12]})"
+                )
     return emb
 
 

@@ -20,6 +20,7 @@ Prints ONE JSON line.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -54,12 +55,34 @@ def main() -> None:
     vocab = tiny_test_vocab(words + ["topic"])
     tok = WordPieceTokenizer(vocab)
 
+    # TRAINED real-shape artifact when shipped (VERDICT r3 #3: the
+    # Refined phase must bench what the product serves, not random
+    # init); random init stays the fallback for clean-tree runs
+    trained_dir = os.path.join(os.path.dirname(__file__), "..",
+                               "data", "quality_encoder_384")
     cfg = BertConfig()  # REAL shape: 6L / H384 / 12 heads / vocab 30522
     params = init_params(cfg, seed=0)
-    quality = TransformerEmbedder(
-        params, cfg, tok, embedder_id="minilm-l6-realshape", max_tokens=256
+    if os.path.isdir(trained_dir):
+        from frankensearch_tpu.rerank.encoder import load_artifact
+
+        quality = load_artifact(trained_dir)
+        quality_src = "trained:data/quality_encoder_384"
+        # the corpus must live in the trained vocab's world or every
+        # token degrades to [UNK] and the Refined forward is fiction
+        content = [
+            w for w in quality.tokenizer.vocab
+            if not w.startswith("##") and not w.startswith("[") and len(w) > 2
+        ]
+        if len(content) >= 20:
+            words = content[:20]
+    else:
+        quality = TransformerEmbedder(
+            params, cfg, tok, embedder_id="minilm-l6-realshape", max_tokens=256
+        )
+        quality_src = "random-init"
+    reranker = CrossEncoderReranker(
+        params, cfg, quality.tokenizer, reranker_id="xenc-realshape"
     )
-    reranker = CrossEncoderReranker(params, cfg, tok, reranker_id="xenc-realshape")
 
     docs = []
     texts = {}
@@ -100,7 +123,7 @@ def main() -> None:
         root, fast_vecs, doc_ids, fast.identity(),
         quality_vectors=quality_vecs,
         quality_identity=EmbeddingIdentity(
-            embedder_id="minilm-l6-realshape", dim=cfg.hidden
+            embedder_id=quality.embedder_id, dim=cfg.hidden
         ),
     )
 
@@ -147,6 +170,7 @@ def main() -> None:
         "phase_ms": med,
         "percentiles_ms": pct,
         "phases_seen": sorted(phases_seen),
+        "quality_encoder": quality_src,
         "corpus_quality_embed_s": round(embed_s, 1),
         "corpus_quality_docs_per_s": round(n_docs / embed_s, 1),
         "platform": platform,
