@@ -248,6 +248,39 @@ class TestDaatPrimitives:
         assert scores[9] == pytest.approx(1.0)
         assert scores[5] == pytest.approx(0.5)
 
+    @pytest.mark.parametrize("seed", range(5))
+    def test_gather_plan_fuzz_vs_reference(self, seed):
+        """Property fuzz: for random CSRs and query rows, the plan must
+        cover EXACTLY the flat positions of every active term's span
+        (each exactly once, with its term's weight), and nothing else."""
+        rng = np.random.default_rng(seed)
+        v = int(rng.integers(3, 40))
+        df = rng.integers(0, 400, size=v)
+        ptr = np.concatenate([[0], np.cumsum(df)]).astype(np.int64)
+        b, t = int(rng.integers(1, 6)), int(rng.integers(1, 9))
+        ids = rng.integers(0, v, size=(b, t)).astype(np.int32)
+        w = np.where(rng.random((b, t)) < 0.3, 0.0,
+                     rng.uniform(0.1, 5.0, (b, t))).astype(np.float32)
+        row_idx, row_w, span_lo, span_hi = daat.build_gather_plan(ptr, ids, w)
+        for q in range(b):
+            # expected multiset of (flat position, weight)
+            want: list[tuple[int, float]] = []
+            for j in range(t):
+                if w[q, j] <= 0:
+                    continue
+                for pos in range(int(ptr[ids[q, j]]), int(ptr[ids[q, j] + 1])):
+                    want.append((pos, float(w[q, j])))
+            got: list[tuple[int, float]] = []
+            for r in range(row_idx.shape[1]):
+                if span_hi[q, r] <= span_lo[q, r]:
+                    continue
+                base = int(row_idx[q, r]) * 128
+                for lane in range(128):
+                    pos = base + lane
+                    if span_lo[q, r] <= pos < span_hi[q, r]:
+                        got.append((pos, float(row_w[q, r])))
+            assert sorted(got) == sorted(want), (seed, q)
+
     def test_term_major_build_roundtrip(self):
         terms = np.array([3, 1, 1, 3, 0], dtype=np.int64)
         docs = np.array([5, 2, 9, 1, 4], dtype=np.int64)
