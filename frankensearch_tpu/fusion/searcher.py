@@ -258,6 +258,52 @@ class TwoTierSearcher:
             "limit": int(k),
         }
 
+    def _device_rrf_tail(self, fast, arm, vec_i, lex_s, lex_i, rrf_ctx, b_padded):
+        """Enqueue the on-chip RRF merge behind the phase-1 arrays (no
+        host sync). Returns ((out_id, out_lr, out_fr) device arrays,
+        (contrib_l, contrib_v) f64 host tables) or (None, None) when the
+        gates don't hold. Shared by the single-device and sharded fused
+        lanes — the sharded arms' outputs are already all-gathered
+        global rows, so the same tail applies."""
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        if rrf_ctx is None:
+            return None, None
+        tombs = getattr(fast, "tombstoned_ids", None)
+        if tombs is not None and tombs():
+            return None, None
+        row_map = self._vecrow_to_lexrow(fast, arm)
+        if row_map is None:
+            return None, None
+        from frankensearch_tpu.ops import device_rrf as drrf
+
+        key = (id(fast), id(arm))
+        cached = getattr(self, "_row_map_dev", None)
+        if cached is None or cached[0] != key:
+            cached = (key, jnp.asarray(row_map.astype(np.int32)))
+            self._row_map_dev = cached
+        k_arr = rrf_ctx["k_arr"]
+        if len(k_arr) != b_padded:
+            k_arr = np.concatenate(
+                [k_arr, np.repeat(k_arr[:1], b_padded - len(k_arr))]
+            )
+        sem_w = np.full(b_padded, self.config.fast_rrf_weight, np.float64)
+        contrib_l, contrib_v = drrf.make_contrib_tables(
+            k_arr, int(lex_i.shape[1]), int(vec_i.shape[1]),
+            self.config.lexical_rrf_weight, sem_w,
+        )
+        cl_hi, cl_lo = drrf.split_f64(contrib_l)
+        cv_hi, cv_lo = drrf.split_f64(contrib_v)
+        rrf_dev = drrf.device_rrf(
+            lex_i, lex_s, vec_i, cached[1],
+            jnp.asarray(cl_hi), jnp.asarray(cl_lo),
+            jnp.asarray(cv_hi), jnp.asarray(cv_lo),
+            limit=rrf_ctx["limit"],
+        )
+        return rrf_dev, (contrib_l, contrib_v)
+
     def _fused_phase1_batch(
         self, fast_vecs, queries, sem_budget: int, lex_budget: int, rrf_ctx=None
     ):
@@ -372,7 +418,16 @@ class TwoTierSearcher:
                 k_vec=k_vec_s, k_lex=k_lex_s,
                 mesh=arm.mesh, axis=arm.axis, scan_mode=s_mode, tile_n=s_tile,
             )
-            vec_s, vec_i, lex_s, lex_i = jax.device_get((vec_s, vec_i, lex_s, lex_i))
+            # on-chip RRF over the all-gathered sharded heaps (the
+            # VERDICT #2 sharded clause): same tail, same single fetch
+            rrf_dev, contribs = self._device_rrf_tail(
+                fast, arm, vec_i, lex_s, lex_i, rrf_ctx, q.shape[0]
+            )
+            fetched = jax.device_get(
+                (vec_s, vec_i, lex_s, lex_i)
+                + (rrf_dev if rrf_dev is not None else ())
+            )
+            vec_s, vec_i, lex_s, lex_i = fetched[:4]
             from frankensearch_tpu.ops.topk_scan import TopKResult
 
             hydrated = fast.hydrate(
@@ -390,6 +445,16 @@ class TwoTierSearcher:
                 ])
             raw = {"vec_rows": np.asarray(vec_i)[:b_real], "lex_rows": i_np,
                    "lex_scores": s_np, "arm": arm}
+            if rrf_dev is not None:
+                from frankensearch_tpu.ops.device_rrf import finish_rrf
+
+                raw["fused_entries"] = finish_rrf(
+                    np.asarray(fetched[4])[:b_real],
+                    np.asarray(fetched[5])[:b_real],
+                    np.asarray(fetched[6])[:b_real],
+                    contribs[0][:b_real], contribs[1][:b_real],
+                )
+                raw["fused_limit"] = rrf_ctx["limit"]
             return hydrated, lex_lists, raw
 
         mask = fast._effective_mask(None, None)
@@ -501,37 +566,9 @@ class TwoTierSearcher:
         # ON-CHIP RRF tail (ops/device_rrf): merge both arms on device so
         # the fused entries ride the same single fetch; the host keeps
         # hydration + result construction only (north-star clause)
-        rrf_dev = None
-        contribs = None
-        if rrf_ctx is not None and not fast.tombstoned_ids():
-            row_map = self._vecrow_to_lexrow(fast, arm)
-            if row_map is not None:
-                from frankensearch_tpu.ops import device_rrf as drrf
-
-                key = (id(fast), id(arm))
-                cached = getattr(self, "_row_map_dev", None)
-                if cached is None or cached[0] != key:
-                    cached = (key, jnp.asarray(row_map.astype(np.int32)))
-                    self._row_map_dev = cached
-                k_arr = rrf_ctx["k_arr"]
-                if len(k_arr) != b_padded:
-                    k_arr = np.concatenate(
-                        [k_arr, np.repeat(k_arr[:1], b_padded - len(k_arr))]
-                    )
-                sem_w = np.full(b_padded, self.config.fast_rrf_weight, np.float64)
-                contrib_l, contrib_v = drrf.make_contrib_tables(
-                    k_arr, int(lex_i.shape[1]), int(vec_i.shape[1]),
-                    self.config.lexical_rrf_weight, sem_w,
-                )
-                cl_hi, cl_lo = drrf.split_f64(contrib_l)
-                cv_hi, cv_lo = drrf.split_f64(contrib_v)
-                rrf_dev = drrf.device_rrf(
-                    lex_i, lex_s, vec_i, cached[1],
-                    jnp.asarray(cl_hi), jnp.asarray(cl_lo),
-                    jnp.asarray(cv_hi), jnp.asarray(cv_lo),
-                    limit=rrf_ctx["limit"],
-                )
-                contribs = (contrib_l, contrib_v)
+        rrf_dev, contribs = self._device_rrf_tail(
+            fast, arm, vec_i, lex_s, lex_i, rrf_ctx, b_padded
+        )
 
         # ONE fetch for all result arrays (fused entries included)
         fetched = jax.device_get(

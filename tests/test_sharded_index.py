@@ -328,6 +328,9 @@ class TestShardedFusedPhase1:
         finally:
             hp.fused_phase1_sharded = orig
         assert calls["n"] == 1  # one mesh dispatch for both arms
+        # the on-chip RRF tail rides the sharded program too (VERDICT r4:
+        # the sharded variant merges the all-gathered heaps on device)
+        assert fused_s.last_fusion_path == "device"
         for q, o in zip(queries, outs):
-            want = [r.doc_id for r in plain_s.search(q, k=6).results]
-            assert [r.doc_id for r in o.results] == want, q
+            want = [(r.doc_id, r.score) for r in plain_s.search(q, k=6).results]
+            assert [(r.doc_id, r.score) for r in o.results] == want, q
