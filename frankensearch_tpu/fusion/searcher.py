@@ -638,7 +638,6 @@ class TwoTierSearcher:
                 i: rows_to_fused_hits(ent[j], arm.doc_ids)
                 for j, i in enumerate(live)
             }
-        self.last_fusion_path = "host_vectorized"
         fast = self.index.fast
         if fast.tombstoned_ids():
             return None  # supersession pruning is per-doc: scalar path
@@ -661,6 +660,7 @@ class TwoTierSearcher:
             lex_rows, lex_scores, vec_lexrows, k, k_arr,
             cfg.lexical_rrf_weight, sem_w, arm.n_docs,
         )
+        self.last_fusion_path = "host_vectorized"
         doc_ids = arm.doc_ids
         return {
             i: rows_to_fused_hits(entries[j], doc_ids)
