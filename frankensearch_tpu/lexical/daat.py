@@ -73,6 +73,14 @@ DAAT_CROSSOVER_DIVISOR = 128
 #: padded postings count would overflow them.
 _MAX_P = (1 << 31) - 256
 
+#: HBM budget for the SECOND resident lexical layout (the term-major
+#: copy lives NEXT TO the blocked layout): past ~250M postings (2 GB)
+#: the capacity math no longer closes next to a 10M-doc int8 slab
+#: (PERF_LEDGER r4 "postings compression" decision), so the DAAT lane
+#: steps aside until the packed (~3.5-4 B/posting lossless) layout
+#: ships.
+DAAT_MAX_LAYOUT_POSTINGS = 250 * (1 << 20)
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -105,7 +113,7 @@ def build_term_major(
     exhaustive lane still serves those corpora)."""
     p = len(terms_all)
     p_pad = max(_round_up(max(p, 1), 128), 128)
-    if p_pad >= _MAX_P:
+    if p_pad >= _MAX_P or p_pad > DAAT_MAX_LAYOUT_POSTINGS:
         return None
     order = np.lexsort((docs_all, terms_all))
     doc_flat = np.full(p_pad, -1, dtype=np.int32)
