@@ -469,6 +469,24 @@ class TwoTierSearcher:
 
         if arm._blocked is not None:
             ids, w = arm._query_sparse_rows(list(queries))
+            # SPLIT layout (lexical/hot_arm.py): the blocked/term-major
+            # structures hold only the tail postings; any hot-term query
+            # needs the dense head matmul combined in. Hot-less batches
+            # pass hot=None and keep the plain programs' exact bits.
+            hot = None
+            hot_struct = getattr(arm, "_hot", None)
+            if hot_struct is not None:
+                from frankensearch_tpu.lexical import hot_arm as _hot_arm
+
+                q_hot = _hot_arm.split_hot_rows(
+                    hot_struct.hot_row_of, ids, w, hot_struct.h_pad
+                )
+                if (q_hot > 0.0).any():
+                    hot = (
+                        hot_struct.cols,
+                        jnp.asarray(q_hot),
+                        hot_struct.has_cold,
+                    )
             # TERM-DRIVEN fused lane: when EVERY query in the batch is
             # daat-eligible (a pure per-query test — lexical/daat.py),
             # the lexical arm gathers only the query terms' spans inside
@@ -483,7 +501,10 @@ class TwoTierSearcher:
                 tm = arm._term_major()
                 if tm is not None:
                     elig = _daat.daat_eligible(
-                        tm.ptr, ids, w, total_postings=arm.posting_count
+                        tm.ptr, ids, w,
+                        total_postings=getattr(
+                            arm, "cold_posting_count", arm.posting_count
+                        ),
                     )
                     if elig.any():
                         # ineligible queries gather nothing (their lane
@@ -499,13 +520,13 @@ class TwoTierSearcher:
                 tm_args = (tm.tm_doc, tm.tm_tf) + daat_plan
                 if embed_args is not None:
                     vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_embed_daat(
-                        *embed_args, fast.slab, mask, *tm_args,
+                        *embed_args, fast.slab, mask, *tm_args, hot,
                         k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode,
                         tile_n=tile_n, t_run=ids.shape[1], d_pad=fast.d_pad,
                     )
                 else:
                     vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_daat(
-                        fast.slab, mask, jnp.asarray(q), *tm_args,
+                        fast.slab, mask, jnp.asarray(q), *tm_args, hot,
                         k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode,
                         tile_n=tile_n, t_run=ids.shape[1],
                     )
@@ -524,27 +545,27 @@ class TwoTierSearcher:
                     )
                     if embed_args is not None:
                         vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_embed_daat_mixed(
-                            *embed_args, fast.slab, mask, *tm_args, *lex_args,
+                            *embed_args, fast.slab, mask, *tm_args, *lex_args, hot,
                             k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode,
                             tile_n=tile_n, t_run=ids.shape[1], d_pad=fast.d_pad,
                         )
                     else:
                         vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_daat_mixed(
-                            fast.slab, mask, jnp.asarray(q), *tm_args, *lex_args,
+                            fast.slab, mask, jnp.asarray(q), *tm_args, *lex_args, hot,
                             k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode,
                             tile_n=tile_n, t_run=ids.shape[1],
                         )
                 elif embed_args is not None:
                     self.last_phase1_lex_lane = "blocked"
                     vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_embed_blocked(
-                        *embed_args, fast.slab, mask, *lex_args,
+                        *embed_args, fast.slab, mask, *lex_args, hot,
                         k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode, tile_n=tile_n,
                         d_pad=fast.d_pad,
                     )
                 else:
                     self.last_phase1_lex_lane = "blocked"
                     vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_blocked(
-                        fast.slab, mask, jnp.asarray(q), *lex_args,
+                        fast.slab, mask, jnp.asarray(q), *lex_args, hot,
                         k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode, tile_n=tile_n,
                     )
         else:

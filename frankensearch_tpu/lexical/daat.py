@@ -154,7 +154,9 @@ def build_gather_plan(
     hi = np.where(active, hi, 0)
     row_lo = lo >> 7
     row_hi = (hi + 127) >> 7
-    nrows = np.maximum(row_hi - row_lo, 0)
+    # empty spans (df-0 terms — including HOT terms, whose tail spans
+    # are empty by construction) cover zero rows, not a masked junk row
+    nrows = np.where(hi > lo, np.maximum(row_hi - row_lo, 0), 0)
 
     nrows_f = nrows.reshape(-1)
     total = int(nrows_f.sum())
@@ -178,26 +180,24 @@ def build_gather_plan(
     return row_idx, row_w, span_lo, span_hi
 
 
-@functools.partial(jax.jit, static_argnames=("k", "t_run"))
-def daat_topk(
+def gathered_runs(
     tm_doc: jax.Array,  # (P_pad/128, 128) i32
     tm_tf: jax.Array,  # (P_pad/128, 128) f32
     row_idx: jax.Array,  # (B, R) i32
     row_w: jax.Array,  # (B, R) f32
     span_lo: jax.Array,  # (B, R) i32
     span_hi: jax.Array,  # (B, R) i32
-    *,
-    k: int,
     t_run: int,
 ):
-    """Span gather → mask → stable doc-key sort → bounded-run sum →
-    top-k. Returns ((B, k) scores, (B, k) GLOBAL doc rows, -1 invalid).
+    """Span gather → mask → stable doc-key sort → bounded-run sum: the
+    shared term-driven aggregation core (also consumed by the hot-arm
+    combine in lexical/hot_arm.py). Returns (sd, score): ``sd`` (B, M)
+    doc keys ascending (``_BIG_DOC`` on padding), ``score`` (B, M) the
+    per-doc summed contribution at each run start and -inf elsewhere.
 
     Exactness: each doc's run holds at most one posting per active
     (term, field) pair — ≤ t_run entries — summed left-to-right in the
-    plan's term order (f32, fixed order). Ties break (score desc, row
-    asc) because the sort is doc-ascending and top_k prefers the lowest
-    index among equal scores.
+    plan's term order (f32, fixed order).
     """
     b, r = row_idx.shape
     flat_rows = row_idx.reshape(-1)
@@ -226,7 +226,30 @@ def daat_topk(
     prev = jnp.concatenate([jnp.full((b, 1), -1, jnp.int32), sd[:, :-1]], axis=1)
     is_start = (sd != prev) & (sd < _BIG_DOC)
     score = jnp.where(is_start, score, -jnp.inf)
+    return sd, score
 
+
+@functools.partial(jax.jit, static_argnames=("k", "t_run"))
+def daat_topk(
+    tm_doc: jax.Array,  # (P_pad/128, 128) i32
+    tm_tf: jax.Array,  # (P_pad/128, 128) f32
+    row_idx: jax.Array,  # (B, R) i32
+    row_w: jax.Array,  # (B, R) f32
+    span_lo: jax.Array,  # (B, R) i32
+    span_hi: jax.Array,  # (B, R) i32
+    *,
+    k: int,
+    t_run: int,
+):
+    """Term-driven top-k over :func:`gathered_runs`. Returns ((B, k)
+    scores, (B, k) GLOBAL doc rows, -1 invalid). Ties break (score desc,
+    row asc) because the sort is doc-ascending and top_k prefers the
+    lowest index among equal scores.
+    """
+    b, r = row_idx.shape
+    sd, score = gathered_runs(
+        tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, t_run
+    )
     kk = min(k, r * 128)
     top_s, top_pos = jax.lax.top_k(score, kk)
     top_d = jnp.take_along_axis(sd, top_pos, axis=1)
@@ -262,7 +285,7 @@ def query_plan_elements(ptr: np.ndarray, ids: np.ndarray, w: np.ndarray) -> np.n
     ids64 = ids.astype(np.int64)
     lo = ptr[ids64]
     hi = ptr[ids64 + 1]
-    active = w > 0.0
+    active = (w > 0.0) & (hi > lo)
     nrows = np.where(active, ((hi + 127) >> 7) - (lo >> 7), 0)
     return nrows.sum(axis=1) * 128
 

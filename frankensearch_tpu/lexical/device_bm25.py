@@ -98,11 +98,20 @@ class _GradedClass(NamedTuple):
     doc_map: jax.Array  # (n_blk_c, d_blk_c) i32 GLOBAL doc rows asc; -1 pad
 
 
-def _graded_scan_body(classes, bounds_list, q_ids, q_w, *, k: int):
+def _graded_scan_body(classes, bounds_list, q_ids, q_w, *, k: int,
+                      s_hot=None, hot_qmax=None):
     """The pruned streaming scan over the graded length classes — shared
     by the single-device jit wrapper and the shard_map local body
     (parallel/sharded_bm25.py). Returns ((B, k) scores, GLOBAL rows,
     skipped).
+
+    HOT ARM (lexical/hot_arm.py): when ``s_hot`` (B, N_pad) dense hot
+    partials are supplied (the layout split removed the head terms'
+    postings from these blocks), every block's scores add the gathered
+    S_hot[:, doc_map] and the skip bound widens by ``hot_qmax`` (B,)
+    (per-query max hot partial — a true upper bound on any doc's hot
+    part, so pruning stays exact). Queries without hot terms have zero
+    rows: x + 0.0f == x, so their bits match the s_hot=None path.
 
     LAYOUT: each block stores d_blk docs padded to a uniform L postings
     (docs are length-graded at build so padding stays small); ``doc_map``
@@ -161,6 +170,11 @@ def _graded_scan_body(classes, bounds_list, q_ids, q_w, *, k: int):
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             )
+            if s_hot is not None:
+                hot_at = jnp.take(s_hot, jnp.maximum(dmap, 0), axis=1)
+                scores = scores + jnp.where(
+                    dmap[None, :] >= 0, hot_at, jnp.float32(0.0)
+                )
             s2, i2 = jax.lax.top_k(scores, kk)
             rows = jnp.take(dmap, i2)  # local winners -> global rows
             return _merge_topk_exact(ts, ti, s2, rows, ts.shape[1])
@@ -171,6 +185,8 @@ def _graded_scan_body(classes, bounds_list, q_ids, q_w, *, k: int):
             f = jnp.take(cls.tf, p, axis=0)
             dmap = jnp.take(cls.doc_map, p, axis=0)
             bound = jnp.take(bnd, p, axis=0)
+            if hot_qmax is not None:
+                bound = bound + hot_qmax
             kth = ts[:, -1]
             # f32 slack guard: bound and real sum round differently
             safe_bound = bound * jnp.float32(1.0 + 1e-6) + jnp.float32(1e-6)
@@ -238,7 +254,8 @@ def _group_block_scores(tb, fb, q_ids, q_w, *, seq_t: bool):
 
 
 def _graded_scan_body_grouped(
-    classes, bounds_list, q_ids, q_w, *, k: int, group: int, seq_t: bool
+    classes, bounds_list, q_ids, q_w, *, k: int, group: int, seq_t: bool,
+    s_hot=None, hot_qmax=None,
 ):
     """Merge-amortized variant of _graded_scan_body: each scan step
     scores GROUP blocks with one batched per-block top_k and ONE exact
@@ -274,6 +291,13 @@ def _graded_scan_body_grouped(
             tb = t.reshape(g, d_c, l_c)
             fb = f.reshape(g, d_c, l_c)
             scores = _group_block_scores(tb, fb, q_ids, q_w, seq_t=seq_t)
+            if s_hot is not None:
+                hot_at = jnp.take(
+                    s_hot, jnp.maximum(dmap, 0).reshape(-1), axis=1
+                ).reshape(b, g, d_c)
+                scores = scores + jnp.where(
+                    dmap[None, :, :] >= 0, hot_at, jnp.float32(0.0)
+                )
             # padding lanes gathered block 0's real data: zero them out
             scores = jnp.where(valid[None, :, None], scores, jnp.float32(0.0))
             s2, loc = jax.lax.top_k(scores, kk)  # (B, g, kk), per-block tiebreak
@@ -291,6 +315,8 @@ def _graded_scan_body_grouped(
             f = jnp.take(cls.tf, pidx, axis=0)
             dmap = jnp.take(cls.doc_map, pidx, axis=0)  # (g, d_c)
             bound = jnp.take(bnd, pidx, axis=0)  # (g, B)
+            if hot_qmax is not None:
+                bound = bound + hot_qmax[None, :]
             bound = jnp.where(valid[:, None], bound, jnp.float32(0.0))
             kth = ts[:, -1]
             safe_bound = bound * jnp.float32(1.0 + 1e-6) + jnp.float32(1e-6)
@@ -358,6 +384,67 @@ def _device_bm25_blocked(
         return _graded_scan_body(classes, bounds_list, q_ids, q_w, k=k)
     return _graded_scan_body_grouped(
         classes, bounds_list, q_ids, q_w, k=k, group=group, seq_t=seq_t
+    )
+
+
+def _blocked_hot_body(
+    classes, bounds_list, q_ids, q_w, cols, q_hot, has_cold,
+    *, k: int, group: int, seq_t: bool,
+):
+    """Hot-arm exhaustive body (shared by the single-device jit wrapper
+    and the fused phase-1 programs): dense head matmul + the reduced
+    (tail-only) graded scan with in-block hot adds + the cold-less-doc
+    dense tail merge. See lexical/hot_arm.py for the exactness story."""
+    from frankensearch_tpu.lexical.hot_arm import hot_partial
+
+    b = q_ids.shape[0]
+    s_hot = hot_partial(cols, q_hot)  # (B, N_pad)
+    hot_qmax = jnp.max(s_hot, axis=1)  # (B,) true per-query hot bound
+    if group <= 1 and not seq_t:
+        top_s, top_i, skipped = _graded_scan_body(
+            classes, bounds_list, q_ids, q_w, k=k,
+            s_hot=s_hot, hot_qmax=hot_qmax,
+        )
+    else:
+        top_s, top_i, skipped = _graded_scan_body_grouped(
+            classes, bounds_list, q_ids, q_w, k=k, group=group, seq_t=seq_t,
+            s_hot=s_hot, hot_qmax=hot_qmax,
+        )
+    # docs with zero tail postings never enter any block: they surface
+    # through a dense top-k masked to ~has_cold (no duplicates possible);
+    # score-0 docs are masked too (never results — and a zero-q_hot
+    # query's dense part vanishes, keeping hot-less queries bit-stable)
+    dense = jnp.where(
+        has_cold[None, :] | (s_hot <= 0.0), -jnp.inf, s_hot
+    )
+    kk = min(k, dense.shape[1])
+    ds, di = jax.lax.top_k(dense, kk)
+    di = jnp.where(jnp.isfinite(ds), di, jnp.int32(-1))
+    ds = jnp.where(jnp.isfinite(ds), ds, -jnp.inf)
+    if kk < k:
+        ds = jnp.concatenate(
+            [ds, jnp.full((b, k - kk), -jnp.inf, jnp.float32)], axis=1
+        )
+        di = jnp.concatenate(
+            [di, jnp.full((b, k - kk), -1, jnp.int32)], axis=1
+        )
+    top_s, top_i = _merge_topk_exact(top_s, top_i, ds, di, k)
+    return top_s, top_i, skipped
+
+
+@functools.partial(jax.jit, static_argnames=("k", "group", "seq_t"))
+def _device_bm25_blocked_hot(
+    classes, bounds_list,
+    q_ids: jax.Array, q_w: jax.Array,
+    cols: jax.Array,  # (H_pad, N_pad) f32 hot columns
+    q_hot: jax.Array,  # (B, H_pad) f32 hot weight rows
+    has_cold: jax.Array,  # (N_pad,) bool
+    *, k: int, group: int = 1, seq_t: bool = False,
+):
+    """Exhaustive lane over the SPLIT layout (lexical/hot_arm.py)."""
+    return _blocked_hot_body(
+        classes, bounds_list, q_ids, q_w, cols, q_hot, has_cold,
+        k=k, group=group, seq_t=seq_t,
     )
 
 
@@ -581,19 +668,46 @@ def _upload_postings(
 ) -> None:
     """Finalize postings onto the device: dense flat arrays for small
     corpora, doc-blocked streaming layout above BLOCKED_THRESHOLD_POSTINGS
-    (the (P, B) contrib slab would no longer fit HBM)."""
+    (the (P, B) contrib slab would no longer fit HBM).
+
+    At blocked scale the layout SPLITS (lexical/hot_arm.py): head terms
+    densify into hot columns and the blocked/term-major tail structures
+    keep only the remaining postings — every lane re-adds the hot part,
+    so scoring semantics are unchanged."""
     p = len(terms_all)
     index.posting_count = p
     index._daat = False  # term-major CSR rebuilds lazily from the new postings
+    index._hot = None
     # unpadded host copies: the FLXB serialization source (flexb.save_packed)
     index._post_host = (
         terms_all.astype(np.int32),
         docs_all.astype(np.int32),
         tf_all.astype(np.float32),
     )
+    index._cold_host = index._post_host
+    index.cold_posting_count = p
     if p >= BLOCKED_THRESHOLD_POSTINGS:
-        index._blocked = _build_blocked(
+        from frankensearch_tpu.lexical import hot_arm as _hot_arm
+
+        hot = _hot_arm.build_hot_arm(
             terms_all, docs_all, tf_all,
+            n_docs=index.n_docs, vocab_size=index.vocab_size,
+        )
+        t_cold, d_cold, f_cold = terms_all, docs_all, tf_all
+        if hot is not None:
+            index._hot = hot
+            cold_sel = hot.hot_row_of[terms_all.astype(np.int64)] < 0
+            t_cold = terms_all[cold_sel]
+            d_cold = docs_all[cold_sel]
+            f_cold = tf_all[cold_sel]
+            index._cold_host = (
+                t_cold.astype(np.int32),
+                d_cold.astype(np.int32),
+                f_cold.astype(np.float32),
+            )
+            index.cold_posting_count = len(t_cold)
+        index._blocked = _build_blocked(
+            t_cold, d_cold, f_cold,
             n_docs=index.n_docs, vocab_size=index.vocab_size,
         )
         index._post_term = index._post_doc = index._post_tf = None
@@ -724,12 +838,15 @@ class DeviceBm25Index(LexicalRead):
 
     def _term_major(self):
         """Lazy term-major CSR for the DAAT lane (built once from the
-        host postings copy; None when unavailable)."""
+        host TAIL postings copy — hot terms' spans are empty by
+        construction; None when unavailable)."""
         tm = getattr(self, "_daat", False)
         if tm is False:
             from frankensearch_tpu.lexical import daat as _daat
 
-            host = getattr(self, "_post_host", None)
+            host = getattr(self, "_cold_host", None) or getattr(
+                self, "_post_host", None
+            )
             tm = (
                 _daat.build_term_major(*host, vocab_size=self.vocab_size)
                 if host is not None
@@ -738,10 +855,14 @@ class DeviceBm25Index(LexicalRead):
             self._daat = tm
         return tm
 
-    def _search_daat_chunks(self, ids: np.ndarray, w: np.ndarray, k: int) -> list:
+    def _search_daat_chunks(
+        self, ids: np.ndarray, w: np.ndarray, k: int, q_hot: np.ndarray | None = None
+    ) -> list:
         """Device results for the term-driven lane, chunked so the gather
         slab stays bounded. Returns a list of ((b_real, k) s, i) DEVICE
-        pairs (fetch stays the caller's single batched device_get)."""
+        pairs (fetch stays the caller's single batched device_get).
+        ``q_hot`` (B, H_pad) routes the chunk through the hot-combined
+        kernel (lexical/hot_arm.py) when the split layout is active."""
         from frankensearch_tpu.lexical import daat as _daat
 
         tm = self._term_major()
@@ -749,26 +870,46 @@ class DeviceBm25Index(LexicalRead):
         for c0 in range(0, ids.shape[0], _daat.DAAT_CHUNK_QUERIES):
             cids = ids[c0 : c0 + _daat.DAAT_CHUNK_QUERIES]
             cw = w[c0 : c0 + _daat.DAAT_CHUNK_QUERIES]
+            chot = None if q_hot is None else q_hot[c0 : c0 + _daat.DAAT_CHUNK_QUERIES]
             b_real = cids.shape[0]
             b_pad = max(_round_up(b_real, 8), 8)
             if b_pad != b_real:
                 rep = b_pad - b_real
                 cids = np.concatenate([cids, np.repeat(cids[:1], rep, axis=0)])
                 cw = np.concatenate([cw, np.repeat(cw[:1], rep, axis=0)])
+                if chot is not None:
+                    chot = np.concatenate(
+                        [chot, np.repeat(chot[:1], rep, axis=0)]
+                    )
             row_idx, row_w, span_lo, span_hi = _daat.build_gather_plan(
                 tm.ptr, cids, cw
             )
-            top_s, top_i = _daat.daat_topk(
-                tm.tm_doc, tm.tm_tf,
+            plan = (
                 jnp.asarray(row_idx), jnp.asarray(row_w),
                 jnp.asarray(span_lo), jnp.asarray(span_hi),
-                k=k, t_run=cids.shape[1],
             )
+            if chot is None:
+                top_s, top_i = _daat.daat_topk(
+                    tm.tm_doc, tm.tm_tf, *plan, k=k, t_run=cids.shape[1]
+                )
+            else:
+                from frankensearch_tpu.lexical.hot_arm import hot_daat_topk
+
+                top_s, top_i = hot_daat_topk(
+                    self._hot.cols, jnp.asarray(chot),
+                    tm.tm_doc, tm.tm_tf, *plan, k=k, t_run=cids.shape[1],
+                )
             out.append((top_s[:b_real], top_i[:b_real]))
         return out
 
-    def _search_blocked(self, ids: np.ndarray, w: np.ndarray, k: int):
-        """One exhaustive blocked-kernel call; returns (s, i) DEVICE pair."""
+    def _search_blocked(
+        self, ids: np.ndarray, w: np.ndarray, k: int, q_hot: np.ndarray | None = None
+    ):
+        """One exhaustive blocked-kernel call; returns (s, i) DEVICE pair.
+        ``q_hot`` (B, H_pad) routes through the hot-aware kernel when the
+        split layout is active AND the sub-batch touches any hot term
+        (an all-cold sub-batch is bit-identical on the plain kernel —
+        its hot adds would all be +0.0f)."""
         bounds = self._blocked.query_bounds(ids, w)
         # pad B to a multiple of 8 by repeating query 0 (results
         # discarded): bounds every small-batch jit variant to one
@@ -777,6 +918,8 @@ class DeviceBm25Index(LexicalRead):
         # between a solo query and the same query inside a batch
         b_real = ids.shape[0]
         b_pad = max(_round_up(b_real, 8), 8)
+        if q_hot is not None and not (q_hot > 0.0).any():
+            q_hot = None
         if b_pad != b_real:
             rep = b_pad - b_real
             ids = np.concatenate([ids, np.repeat(ids[:1], rep, axis=0)])
@@ -784,12 +927,25 @@ class DeviceBm25Index(LexicalRead):
             bounds = np.concatenate(
                 [bounds, np.repeat(bounds[:, :1], rep, axis=1)], axis=1
             )
-        top_s, top_i, skipped = _device_bm25_blocked(
-            self._blocked.classes,
-            self._blocked.split_bounds(bounds),
-            jnp.asarray(ids), jnp.asarray(w),
-            k=k, group=MERGE_GROUP, seq_t=SEQ_T_ACCUM,
-        )
+            if q_hot is not None:
+                q_hot = np.concatenate(
+                    [q_hot, np.repeat(q_hot[:1], rep, axis=0)]
+                )
+        if q_hot is None:
+            top_s, top_i, skipped = _device_bm25_blocked(
+                self._blocked.classes,
+                self._blocked.split_bounds(bounds),
+                jnp.asarray(ids), jnp.asarray(w),
+                k=k, group=MERGE_GROUP, seq_t=SEQ_T_ACCUM,
+            )
+        else:
+            top_s, top_i, skipped = _device_bm25_blocked_hot(
+                self._blocked.classes,
+                self._blocked.split_bounds(bounds),
+                jnp.asarray(ids), jnp.asarray(w),
+                self._hot.cols, jnp.asarray(q_hot), self._hot.has_cold,
+                k=k, group=MERGE_GROUP, seq_t=SEQ_T_ACCUM,
+            )
         self.last_blocks_skipped = int(skipped)
         return top_s[:b_real], top_i[:b_real]
 
@@ -804,6 +960,16 @@ class DeviceBm25Index(LexicalRead):
             from frankensearch_tpu.lexical import daat as _daat
 
             ids, w = self._query_sparse_rows(queries)
+            hot = getattr(self, "_hot", None)
+            q_hot_all = None
+            has_hot = np.zeros(n, dtype=bool)
+            if hot is not None:
+                from frankensearch_tpu.lexical import hot_arm as _hot_arm
+
+                q_hot_all = _hot_arm.split_hot_rows(
+                    hot.hot_row_of, ids, w, hot.h_pad
+                )
+                has_hot = (q_hot_all > 0.0).any(axis=1)
             tm = self._term_major() if self.daat_mode != "blocked" else None
             if tm is None:
                 take_daat = np.zeros(n, dtype=bool)
@@ -811,17 +977,28 @@ class DeviceBm25Index(LexicalRead):
                 take_daat = np.ones(n, dtype=bool)
             else:
                 # PER-QUERY crossover (pure function of the query's own
-                # Σ df): a query's lane — hence its f32 summation order
-                # and score bits — never depends on its batchmates
+                # Σ df over the TAIL CSR — hot spans are empty there):
+                # a query's lane — hence its f32 summation order and
+                # score bits — never depends on its batchmates
                 take_daat = _daat.daat_eligible(
-                    tm.ptr, ids, w, total_postings=self.posting_count
+                    tm.ptr, ids, w, total_postings=self.cold_posting_count
                 )
             self.last_blocks_skipped = 0
+            self.last_hot_queries = int(has_hot.sum())
             pieces: list = []  # (dest rows, device s, device i)
-            if take_daat.any():
-                sel = np.flatnonzero(take_daat)
+            # term-driven sub-batches split by hot-term presence (both
+            # pure per-query): hot-less queries skip the matmul entirely
+            # (bit-identical — their q_hot row would be all-zero)
+            for daat_sel, use_hot in (
+                (take_daat & ~has_hot, False),
+                (take_daat & has_hot, True),
+            ):
+                if not daat_sel.any():
+                    continue
+                sel = np.flatnonzero(daat_sel)
+                qh = q_hot_all[sel] if use_hot else None
                 for ci, pair in enumerate(
-                    self._search_daat_chunks(ids[sel], w[sel], k)
+                    self._search_daat_chunks(ids[sel], w[sel], k, q_hot=qh)
                 ):
                     rows = sel[
                         ci * _daat.DAAT_CHUNK_QUERIES :
@@ -830,7 +1007,10 @@ class DeviceBm25Index(LexicalRead):
                     pieces.append((rows, pair[0], pair[1]))
             if (~take_daat).any():
                 sel = np.flatnonzero(~take_daat)
-                bs, bi = self._search_blocked(ids[sel], w[sel], k)
+                bs, bi = self._search_blocked(
+                    ids[sel], w[sel], k,
+                    q_hot=None if q_hot_all is None else q_hot_all[sel],
+                )
                 pieces.append((sel, bs, bi))
             self.last_lane = (
                 "mixed"

@@ -1,0 +1,294 @@
+"""Hot-term dense arm: the head of the df distribution as MXU matmuls.
+
+Parity target: the reference's argus scorer tree keeps per-query cost
+proportional to the query's own postings on EVERY query class via
+cursor trees + block-max metadata (crates/frankensearch-quill/src/
+argus.rs:1-8). The TPU DAAT lane (lexical/daat.py) covers rare/mid
+terms, but a zipf corpus concentrates postings in a tiny head: at the
+1M-doc product world, the top ~128 terms hold ~69% of all 120M
+postings, so every 16-term zipf-mixed query contains a common term and
+the whole batch used to fall back to the exhaustive kernel (129 ms at
+B=64 — PERF_LEDGER r4, the unmet VERDICT r3 acceptance).
+
+This module is the TPU-native answer for the HEAD (VERDICT r4 next #1):
+
+  LAYOUT SPLIT (built once, a corpus constant): terms whose posting
+  count ≥ P // HOT_DF_DIVISOR become HOT. Their per-doc tf-side
+  contributions densify into
+
+      cols (H_pad, N_pad) f32   cols[h, d] = tf_side(hot term h, doc d)
+
+  and their postings are REMOVED from both tail structures (the blocked
+  exhaustive layout and the term-major DAAT CSR), which shrink to the
+  zipf tail (~31% of P). ``has_cold`` marks docs that still own ≥1 tail
+  posting (docs made of only hot terms would otherwise be unreachable
+  by the tail kernels).
+
+  QUERY: a query's hot terms become a dense weight row q_hot (B, H_pad)
+  and their partial scores are ONE (B, H)·(H, N) f32 matmul on the MXU
+  (~1 ms class at 1M docs vs 129 ms exhaustive). Tail terms ride the
+  existing lanes (DAAT gather or the now-3x-smaller exhaustive scan).
+  The hot part is a LAYOUT property, not a lane: every lane adds it.
+
+  COMBINE (exact, no scatter): the dense partial S_hot is materialized
+  once per program;
+  - DAAT lane: tail run sums gather S_hot at their (sorted) doc keys —
+    total = run_sum + S_hot[b, doc], hot part added last in one f32 add
+    (the pinned combine order). Docs with NO tail contribution for this
+    query surface through a dense lax.top_k over S_hot whose entries
+    are deduped against the tail doc keys post-top-k (a sorted-
+    membership searchsorted; exact — see the dominance argument in
+    hot_daat_topk).
+  - exhaustive lane: each block's scores add the gathered
+    S_hot[:, doc_map] before its top-k, block-max bounds widen by the
+    per-query hot maximum, and cold-less docs merge in via a dense
+    top_k masked to ~has_cold (device_bm25._device_bm25_blocked_hot).
+
+Dispatch stays a PURE per-query function (the hot set is a corpus
+constant; tail eligibility reads the tail CSR whose hot spans are
+empty), so a query's lane — and its score bits — never depend on its
+batchmates: the solo-vs-batch bit-parity contract survives.
+
+Exactness contract: hot-lane scores are rank-conformant with the CPU
+oracle within f32 tie tolerance (the MXU contraction order over H
+differs from the oracle's sequential order — same contract class as
+the original device/oracle conformance), and bit-deterministic across
+batch widths for a fixed corpus (pinned by tests). Queries with no hot
+terms are bit-identical to the pure tail lanes (their q_hot row is
+zero, and x + 0.0f == x for every finite/−inf score).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frankensearch_tpu.lexical.daat import gathered_runs
+
+#: a term is HOT when its posting count ≥ total_postings // divisor.
+#: Derivation: tail eligibility demands a query's Σ df(tail terms)
+#: < P_tail / 128 (lexical/daat.DAAT_CROSSOVER_DIVISOR); with ≤16 query
+#: terms each bounded by P/2048, the residual sum stays under P/128, so
+#: the zipf-mixed product batch is term-driven by construction. At the
+#: 1M-doc zipf(1.3) world this selects ~123 terms (~69% of postings).
+HOT_DF_DIVISOR = 2048
+
+#: hard cap on the dense head width (memory gate, MXU lane granule 8)
+HOT_MAX_TERMS = 512
+
+#: HBM budget for the dense columns (f32): 1 GiB keeps H=256 at 1M docs
+#: / H=128 at 2M next to the tail layouts and the vector slab. Past it
+#: the head trims (lowest-df hot terms demote to the tail) and finally
+#: the arm disables — the tail lanes remain exact on the full postings.
+HOT_MAX_BYTES = 1 << 30
+
+#: the arm only exists where the blocked streaming layout does; below
+#: this the dense small-corpus kernel is already ∝ P with P small.
+HOT_MIN_POSTINGS = 1 << 21
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@dataclass
+class HotArm:
+    """Dense head columns + host routing tables (a corpus constant)."""
+
+    cols: jax.Array  # (H_pad, N_pad) f32 device
+    has_cold: jax.Array  # (N_pad,) bool device: doc owns ≥1 tail posting
+    hot_row_of: np.ndarray  # (V,) i32 host, -1 when the term is not hot
+    n_hot: int
+    n_docs: int
+
+    @property
+    def h_pad(self) -> int:
+        return int(self.cols.shape[0])
+
+    @property
+    def n_pad(self) -> int:
+        return int(self.cols.shape[1])
+
+    @property
+    def hbm_bytes(self) -> int:
+        return int(self.cols.size) * 4 + int(self.has_cold.size)
+
+
+def build_hot_arm(
+    terms_all: np.ndarray,
+    docs_all: np.ndarray,
+    tf_all: np.ndarray,
+    *,
+    n_docs: int,
+    vocab_size: int,
+) -> HotArm | None:
+    """Pick the head of the df distribution and densify it.
+
+    Returns None when no term qualifies, the corpus is below
+    HOT_MIN_POSTINGS, or the dense columns cannot fit HOT_MAX_BYTES
+    even at the minimum useful width.
+    """
+    p = len(terms_all)
+    if p < HOT_MIN_POSTINGS or n_docs == 0 or vocab_size == 0:
+        return None
+    df = np.bincount(terms_all.astype(np.int64), minlength=vocab_size)
+    thresh = max(p // HOT_DF_DIVISOR, 1)
+    hot_ids = np.flatnonzero(df >= thresh)
+    if len(hot_ids) == 0:
+        return None
+    # rank by df desc (term id asc among equals) and apply the caps
+    order = np.lexsort((hot_ids, -df[hot_ids]))
+    hot_ids = hot_ids[order]
+    n_pad = max(_round_up(n_docs, 128), 128)
+    h_budget = HOT_MAX_BYTES // (n_pad * 4)
+    h = min(len(hot_ids), HOT_MAX_TERMS, int(h_budget))
+    if h <= 0:
+        return None
+    hot_ids = hot_ids[:h]
+    h_pad = max(_round_up(h, 8), 8)
+
+    hot_row_of = np.full(vocab_size, -1, dtype=np.int32)
+    hot_row_of[hot_ids] = np.arange(h, dtype=np.int32)
+
+    rows = hot_row_of[terms_all]
+    sel = rows >= 0
+    cols = np.zeros((h_pad, n_pad), dtype=np.float32)
+    # one value per (term, doc) in real builds (term ids are field-
+    # namespaced and tf aggregates per field at build); add.at keeps
+    # synthetic duplicate postings additive like the tail kernels
+    np.add.at(cols, (rows[sel], docs_all[sel].astype(np.int64)), tf_all[sel])
+
+    cold_docs = docs_all[~sel].astype(np.int64)
+    has_cold = np.zeros(n_pad, dtype=bool)
+    if len(cold_docs):
+        has_cold[np.unique(cold_docs)] = True
+    return HotArm(
+        cols=jnp.asarray(cols),
+        has_cold=jnp.asarray(has_cold),
+        hot_row_of=hot_row_of,
+        n_hot=h,
+        n_docs=n_docs,
+    )
+
+
+def split_hot_rows(
+    hot_row_of: np.ndarray, ids: np.ndarray, w: np.ndarray, h_pad: int
+) -> np.ndarray:
+    """(B, T) sparse query rows → (B, H_pad) dense hot weight rows.
+
+    ``ids``/``w`` pass through UNCHANGED to the tail lanes: the tail CSR
+    and the reduced blocked layout simply contain no postings for hot
+    terms, so their tail contribution is structurally zero."""
+    b = ids.shape[0]
+    q_hot = np.zeros((b, h_pad), dtype=np.float32)
+    rows = hot_row_of[ids.astype(np.int64)]
+    sel = (rows >= 0) & (w > 0.0)
+    if sel.any():
+        bi, _ = np.nonzero(sel)
+        np.add.at(q_hot, (bi, rows[sel]), w[sel])
+    return q_hot
+
+
+def hot_partial(cols: jax.Array, q_hot: jax.Array) -> jax.Array:
+    """(B, N_pad) dense hot partial scores — ONE MXU matmul, f32 exact
+    accumulation. A query row depends only on its own q_hot row, so
+    per-query bits are batch-independent at a fixed compiled width."""
+    return jnp.dot(
+        q_hot,
+        cols,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def hot_daat_body(
+    cols: jax.Array,  # (H_pad, N_pad) f32
+    q_hot: jax.Array,  # (B, H_pad) f32
+    tm_doc: jax.Array,  # (P_pad/128, 128) i32 TAIL term-major tiles
+    tm_tf: jax.Array,  # (P_pad/128, 128) f32
+    row_idx: jax.Array,  # (B, R) i32 tail gather plan
+    row_w: jax.Array,  # (B, R) f32
+    span_lo: jax.Array,  # (B, R) i32
+    span_hi: jax.Array,  # (B, R) i32
+    *,
+    k: int,
+    t_run: int,
+):
+    """Hot matmul + tail DAAT gather, combined exactly without scatter.
+    Non-jitted body shared by the standalone jit wrapper below and the
+    fused phase-1 programs (ops/hybrid_phase1.py).
+
+    Exactness of the dense/sparse merge: every doc with a tail
+    contribution for this query appears in the gathered runs with its
+    FULL total (run_sum + S_hot at its key, hot added last — the pinned
+    combine order). A doc with no tail contribution can only enter the
+    final top-k if it survives the dense top-k over S_hot: if it does
+    not, ≥ k docs dominate it by (hot score, doc asc), and each of
+    those dominates it by (total, doc asc) too (totals ≥ own hot part,
+    tail contributions being strictly positive). Dense candidates whose
+    doc also appears in the runs are dropped post-top-k (their entry
+    understates the total; the run entry is authoritative) — dropping
+    them cannot un-dominate anything, so the merge stays exact.
+    Returns ((B, k) scores, (B, k) doc rows, -1 invalid).
+    """
+    b, r = row_idx.shape
+    n_pad = cols.shape[1]
+    s_hot = hot_partial(cols, q_hot)  # (B, N_pad)
+
+    sd, run_score = gathered_runs(
+        tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, t_run
+    )
+    # totals: -inf (non-run-starts / padding) + gathered garbage = -inf
+    hot_at = jnp.take_along_axis(
+        s_hot, jnp.minimum(sd, jnp.int32(n_pad - 1)), axis=1
+    )
+    totals = run_score + hot_at
+    kk_run = min(k, sd.shape[1])
+    tail_s, tail_pos = jax.lax.top_k(totals, kk_run)
+    tail_d = jnp.take_along_axis(sd, tail_pos, axis=1)
+    tail_d = jnp.where(jnp.isfinite(tail_s), tail_d, jnp.int32(-1))
+    tail_s = jnp.where(jnp.isfinite(tail_s), tail_s, -jnp.inf)
+    if kk_run < k:
+        tail_s = jnp.concatenate(
+            [tail_s, jnp.full((b, k - kk_run), -jnp.inf, jnp.float32)], axis=1
+        )
+        tail_d = jnp.concatenate(
+            [tail_d, jnp.full((b, k - kk_run), -1, jnp.int32)], axis=1
+        )
+
+    kk_dense = min(k, n_pad)
+    # a doc belongs in results only with a strictly positive score (the
+    # oracle never returns score-0 docs); masking s_hot <= 0 also makes a
+    # zero-q_hot query's dense part vanish entirely, so hot-less queries
+    # inside a hot batch keep bit-identical merged arrays
+    dense_s, dense_d = jax.lax.top_k(
+        jnp.where(s_hot > 0.0, s_hot, -jnp.inf), kk_dense
+    )
+    # post-top-k dedup: drop dense entries whose doc has a tail run
+    pos = jax.vmap(lambda a, v: jnp.searchsorted(a, v))(sd, dense_d)
+    found = jnp.take_along_axis(
+        sd, jnp.minimum(pos, jnp.int32(sd.shape[1] - 1)), axis=1
+    )
+    member = found == dense_d
+    dense_s = jnp.where(member, -jnp.inf, dense_s)
+    dense_d = jnp.where(member, jnp.int32(-1), dense_d)
+    if kk_dense < k:
+        dense_s = jnp.concatenate(
+            [dense_s, jnp.full((b, k - kk_dense), -jnp.inf, jnp.float32)], axis=1
+        )
+        dense_d = jnp.concatenate(
+            [dense_d, jnp.full((b, k - kk_dense), -1, jnp.int32)], axis=1
+        )
+
+    from frankensearch_tpu.lexical.device_bm25 import _merge_topk_exact
+
+    return _merge_topk_exact(tail_s, tail_d, dense_s, dense_d, k)
+
+
+hot_daat_topk = functools.partial(jax.jit, static_argnames=("k", "t_run"))(
+    hot_daat_body
+)

@@ -38,11 +38,44 @@ def _vector_arm(slab, mask, q, *, k, scan_mode, tile_n):
     return topk_scan.scan_topk_xla(slab, q, k, mask)
 
 
-def _lex_blocked(classes, bounds_list, q_ids, q_w, *, k_lex):
+def _lex_blocked(classes, bounds_list, q_ids, q_w, *, k_lex, hot=None):
+    """Exhaustive lexical arm. ``hot`` is the optional split-layout hot
+    arm (lexical/hot_arm.py) as a (cols, q_hot, has_cold) tuple — when
+    present, the blocked scan covers only the TAIL postings and the
+    dense head matmul + cold-less-doc merge re-add the rest (the
+    hot-aware body in lexical/device_bm25.py)."""
+    if hot is not None:
+        from frankensearch_tpu.lexical.device_bm25 import _blocked_hot_body
+
+        cols, q_hot, has_cold = hot
+        lex_s, lex_i, _skipped = _blocked_hot_body(
+            classes, bounds_list, q_ids, q_w, cols, q_hot, has_cold,
+            k=k_lex, group=1, seq_t=False,
+        )
+        return lex_s, lex_i
     lex_s, lex_i, _skipped = _graded_scan_body(
         classes, bounds_list, q_ids, q_w, k=k_lex
     )
     return lex_s, lex_i
+
+
+def _lex_daat(tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi,
+              *, k_lex, t_run, hot=None):
+    """Term-driven lexical arm; with ``hot`` the gather covers only the
+    tail CSR and the dense head combines in (lexical/hot_arm.py)."""
+    if hot is not None:
+        from frankensearch_tpu.lexical.hot_arm import hot_daat_body
+
+        cols, q_hot, _has_cold = hot
+        return hot_daat_body(
+            cols, q_hot, tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi,
+            k=k_lex, t_run=t_run,
+        )
+    from frankensearch_tpu.lexical.daat import daat_topk
+
+    return daat_topk(
+        tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, k=k_lex, t_run=t_run
+    )
 
 
 def _lex_dense(post_term, post_doc, post_tf, q_idf, *, k_lex, n_docs_lex):
@@ -65,12 +98,12 @@ def _pad_q(q, d_pad: int):
 )
 def fused_phase1_blocked(
     slab, mask, q_vecs,
-    classes, bounds_list, q_ids, q_w,
+    classes, bounds_list, q_ids, q_w, hot=None,
     *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int,
 ):
     vec = _vector_arm(slab, mask, q_vecs, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
     lex_s, lex_i = _lex_blocked(
-        classes, bounds_list, q_ids, q_w, k_lex=k_lex,
+        classes, bounds_list, q_ids, q_w, k_lex=k_lex, hot=hot,
     )
     return vec.scores, vec.indices, lex_s, lex_i
 
@@ -96,13 +129,13 @@ def fused_phase1_dense(
 )
 def fused_phase1_embed_blocked(
     emb, tok_ids, tok_mask, slab, mask,
-    classes, bounds_list, q_ids, q_w,
+    classes, bounds_list, q_ids, q_w, hot=None,
     *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int, d_pad: int,
 ):
     q = _pad_q(_gather_pool_normalize(emb, tok_ids, tok_mask), d_pad)
     vec = _vector_arm(slab, mask, q, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
     lex_s, lex_i = _lex_blocked(
-        classes, bounds_list, q_ids, q_w, k_lex=k_lex,
+        classes, bounds_list, q_ids, q_w, k_lex=k_lex, hot=hot,
     )
     return vec.scores, vec.indices, lex_s, lex_i
 
@@ -130,18 +163,19 @@ def fused_phase1_embed_dense(
 )
 def fused_phase1_daat(
     slab, mask, q_vecs,
-    tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi,
+    tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, hot=None,
     *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int, t_run: int,
 ):
     """Vector scan + TERM-DRIVEN BM25 (lexical/daat.py) in one program —
     the fused lane for batches whose every query is daat-eligible
     (interactive B=1 searches: the lexical arm drops from the exhaustive
-    28.7 ms floor to ~0.6 ms at 1M docs, PERF_LEDGER r4)."""
-    from frankensearch_tpu.lexical.daat import daat_topk
-
+    28.7 ms floor to ~0.6 ms at 1M docs, PERF_LEDGER r4). With ``hot``
+    (the split layout's (cols, q_hot, has_cold)) the dense head matmul
+    combines in — see lexical/hot_arm.py."""
     vec = _vector_arm(slab, mask, q_vecs, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
-    lex_s, lex_i = daat_topk(
-        tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, k=k_lex, t_run=t_run
+    lex_s, lex_i = _lex_daat(
+        tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi,
+        k_lex=k_lex, t_run=t_run, hot=hot,
     )
     return vec.scores, vec.indices, lex_s, lex_i
 
@@ -152,17 +186,16 @@ def fused_phase1_daat(
 )
 def fused_phase1_embed_daat(
     emb, tok_ids, tok_mask, slab, mask,
-    tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi,
+    tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, hot=None,
     *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int, t_run: int,
     d_pad: int,
 ):
     """Model2Vec embed + scan + term-driven BM25 in one dispatch."""
-    from frankensearch_tpu.lexical.daat import daat_topk
-
     q = _pad_q(_gather_pool_normalize(emb, tok_ids, tok_mask), d_pad)
     vec = _vector_arm(slab, mask, q, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
-    lex_s, lex_i = daat_topk(
-        tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, k=k_lex, t_run=t_run
+    lex_s, lex_i = _lex_daat(
+        tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi,
+        k_lex=k_lex, t_run=t_run, hot=hot,
     )
     return vec.scores, vec.indices, lex_s, lex_i
 
@@ -182,20 +215,19 @@ def _lex_select(elig, daat_s, daat_i, blk_s, blk_i):
 def fused_phase1_daat_mixed(
     slab, mask, q_vecs,
     tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, elig,
-    classes, bounds_list, q_ids, q_w,
+    classes, bounds_list, q_ids, q_w, hot=None,
     *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int, t_run: int,
 ):
     """Mixed-eligibility batch: BOTH lexical kernels run in one program
     (the exhaustive scan is batch-amortized and needed for the
     ineligible queries anyway; the daat gather for ineligible queries is
     an empty plan) and each query keeps its own lane's bits."""
-    from frankensearch_tpu.lexical.daat import daat_topk
-
     vec = _vector_arm(slab, mask, q_vecs, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
-    d_s, d_i = daat_topk(
-        tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, k=k_lex, t_run=t_run
+    d_s, d_i = _lex_daat(
+        tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi,
+        k_lex=k_lex, t_run=t_run, hot=hot,
     )
-    b_s, b_i = _lex_blocked(classes, bounds_list, q_ids, q_w, k_lex=k_lex)
+    b_s, b_i = _lex_blocked(classes, bounds_list, q_ids, q_w, k_lex=k_lex, hot=hot)
     lex_s, lex_i = _lex_select(elig, d_s, d_i, b_s, b_i)
     return vec.scores, vec.indices, lex_s, lex_i
 
@@ -207,18 +239,17 @@ def fused_phase1_daat_mixed(
 def fused_phase1_embed_daat_mixed(
     emb, tok_ids, tok_mask, slab, mask,
     tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, elig,
-    classes, bounds_list, q_ids, q_w,
+    classes, bounds_list, q_ids, q_w, hot=None,
     *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int, t_run: int,
     d_pad: int,
 ):
-    from frankensearch_tpu.lexical.daat import daat_topk
-
     q = _pad_q(_gather_pool_normalize(emb, tok_ids, tok_mask), d_pad)
     vec = _vector_arm(slab, mask, q, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
-    d_s, d_i = daat_topk(
-        tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, k=k_lex, t_run=t_run
+    d_s, d_i = _lex_daat(
+        tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi,
+        k_lex=k_lex, t_run=t_run, hot=hot,
     )
-    b_s, b_i = _lex_blocked(classes, bounds_list, q_ids, q_w, k_lex=k_lex)
+    b_s, b_i = _lex_blocked(classes, bounds_list, q_ids, q_w, k_lex=k_lex, hot=hot)
     lex_s, lex_i = _lex_select(elig, d_s, d_i, b_s, b_i)
     return vec.scores, vec.indices, lex_s, lex_i
 

@@ -37,6 +37,7 @@ except ImportError:  # pragma: no cover - older jax
 
 from frankensearch_tpu.lexical.base import LexicalCandidate, LexicalRead
 from frankensearch_tpu.lexical.device_bm25 import (
+    BLOCKED_THRESHOLD_POSTINGS,
     _BlockedPostings,
     _GradedClass,
     _build_blocked,
@@ -199,10 +200,17 @@ class ShardedBulkDeviceBm25Index(LexicalRead):
         self.doc_ids = inner.doc_ids
         self.n_docs = inner.n_docs
         blocked = getattr(inner, "_blocked", None)
+        if getattr(inner, "_hot", None) is not None:
+            # split layout (lexical/hot_arm.py): inner._blocked holds only
+            # the TAIL postings. The sharded kernel scores the full
+            # postings itself, so rebuild the graded layout from the
+            # unsplit host copy (sharding the dense hot columns is a
+            # future lane; correctness comes first here).
+            blocked = None
         if blocked is None:
             terms, docs, tfs = inner._post_host
             n_dev = mesh.shape[axis]
-            if block_postings is None:
+            if block_postings is None and len(terms) < BLOCKED_THRESHOLD_POSTINGS:
                 # small corpora: aim for >= one block per device
                 block_postings = max(len(terms) // max(n_dev, 1), 128)
             blocked = _build_blocked(

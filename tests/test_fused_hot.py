@@ -1,0 +1,162 @@
+"""Fused phase-1 over the SPLIT hot/tail layout (lexical/hot_arm.py +
+ops/hybrid_phase1 hot= threading): product-path parity.
+
+The r4 fused programs scored the full blocked/term-major structures; the
+r5 split layout moves head-term postings into dense columns, so every
+fused lexical lane must re-add the hot partial or silently drop the
+head terms' contributions. These tests pin that integration:
+
+- fused batch results match solo bits (purity) on every lane;
+- fused results over the split layout rank-match a hot-DISABLED
+  searcher over the same corpus (the full-layout oracle);
+- pure-hot queries are now term-driven (their tail spans are empty,
+  so eligibility holds by construction — the zipf-mixed fix);
+- the sharded wrapper rebuilds the FULL layout (its kernel is
+  hot-unaware by design).
+"""
+
+import numpy as np
+import pytest
+
+import frankensearch_tpu.lexical.device_bm25 as dbm
+from frankensearch_tpu.core.config import TwoTierConfig
+from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.embed.model2vec import random_model2vec
+from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+from frankensearch_tpu.index.two_tier import TwoTierIndex
+from frankensearch_tpu.lexical import daat, hot_arm
+from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
+
+
+def _mk_docs():
+    rng = np.random.default_rng(3)
+    common = ["alpha", "beta", "gamma"]
+    rare = [f"rare{i}" for i in range(40)]
+    vocab = common + rare + [f"tag{i}" for i in range(7)]
+    docs = []
+    for i in range(300):
+        words = list(rng.choice(common, size=12))
+        if i % 5 == 0:
+            words.append(rare[i % 40])
+        words.append(f"tag{i % 7}")
+        docs.append(IndexableDocument(doc_id=f"d{i:04d}", content=" ".join(words)))
+    # one doc made entirely of hot terms: zero tail postings, must stay
+    # reachable through the fused lanes' dense merges
+    docs.append(IndexableDocument(doc_id="hotonly", content="alpha beta alpha"))
+    return vocab, docs
+
+
+def _mk_searcher(tmp_path, docs, vocab, sub):
+    m2v = random_model2vec(vocab, dim=32)
+    idx = TwoTierIndex.create(
+        str(tmp_path / sub), m2v.embed_batch([d.content for d in docs]),
+        [d.doc_id for d in docs], m2v.identity(), use_pallas=False,
+    )
+    arm = BulkDeviceBm25Index(docs)
+    assert arm._blocked is not None
+    s = TwoTierSearcher(idx, m2v, lexical=arm,
+                        config=TwoTierConfig(fast_only=True))
+    return s, arm
+
+
+@pytest.fixture()
+def pair(tmp_path, monkeypatch):
+    """(split-layout searcher, full-layout searcher) over one corpus."""
+    monkeypatch.setattr(dbm, "BLOCKED_THRESHOLD_POSTINGS", 1)
+    monkeypatch.setattr(daat, "DAAT_CROSSOVER_DIVISOR", 4)
+    vocab, docs = _mk_docs()
+    monkeypatch.setattr(hot_arm, "HOT_MIN_POSTINGS", 1)
+    monkeypatch.setattr(hot_arm, "HOT_MAX_TERMS", 6)
+    s_hot, arm_hot = _mk_searcher(tmp_path, docs, vocab, "hot")
+    assert arm_hot._hot is not None and arm_hot._hot.n_hot > 0
+    monkeypatch.setattr(hot_arm, "HOT_MIN_POSTINGS", 1 << 60)
+    s_full, arm_full = _mk_searcher(tmp_path, docs, vocab, "full")
+    assert arm_full._hot is None
+    return (s_hot, arm_hot), (s_full, arm_full)
+
+
+BATCHES = [
+    ["alpha beta", "beta gamma"],                 # pure hot
+    ["rare3", "rare7 tag2", "rare11"],            # pure tail (daat)
+    ["alpha rare5", "beta gamma", "rare9 tag1"],  # hot+tail mixes
+]
+
+
+class TestFusedHotParity:
+    @pytest.mark.parametrize("queries", BATCHES)
+    def test_fused_matches_full_layout_ranks(self, pair, queries):
+        (s_hot, _), (s_full, _) = pair
+        a = s_hot.search_batch(queries, k=8)
+        b = s_full.search_batch(queries, k=8)
+        for q, ra, rb in zip(queries, a, b):
+            assert [r.doc_id for r in ra.results] == [
+                r.doc_id for r in rb.results
+            ], q
+            for xa, xb in zip(ra.results, rb.results):
+                assert xa.score == pytest.approx(xb.score, rel=1e-4)
+
+    @pytest.mark.parametrize("queries", BATCHES)
+    def test_fused_batch_matches_solo_bits(self, pair, queries):
+        (s_hot, _), _ = pair
+        outs = s_hot.search_batch(queries, k=6)
+        for q, o in zip(queries, outs):
+            solo = [(r.doc_id, r.score) for r in s_hot.search(q, k=6).results]
+            assert [(r.doc_id, r.score) for r in o.results] == solo, q
+
+    def test_pure_hot_query_is_term_driven(self, pair):
+        """A hot-only query has EMPTY tail spans → daat-eligible: the
+        zipf-mixed common-term batch no longer pays the exhaustive
+        kernel (the VERDICT r3/r4 acceptance mechanism)."""
+        (s_hot, arm_hot), (s_full, _) = pair
+        s_hot.search_batch(["alpha beta", "beta gamma"], k=5)
+        assert s_hot.last_phase1_lex_lane == "daat"
+        # the same batch on the full layout was exhaustive-bound
+        s_full.search_batch(["alpha beta", "beta gamma"], k=5)
+        assert s_full.last_phase1_lex_lane == "blocked"
+
+    def test_hotonly_doc_reachable_via_fused(self, pair):
+        """hotonly has ZERO tail postings (its only terms are hot) and a
+        near-zero-idf lexical score (rank ~232/301 in the CPU oracle
+        too), so reachability needs full depth — the point is the fused
+        dense merge surfaces it at all."""
+        (s_hot, _), _ = pair
+        outs = s_hot.search_batch(["alpha beta"], k=300)
+        assert "hotonly" in {r.doc_id for r in outs[0].results}
+
+    def test_forced_blocked_fused_matches(self, pair):
+        """The fused exhaustive lane with the hot body (daat disabled)
+        still rank-matches the full layout."""
+        (s_hot, arm_hot), (s_full, arm_full) = pair
+        arm_hot.daat_mode = "blocked"
+        arm_full.daat_mode = "blocked"
+        try:
+            a = s_hot.search_batch(["alpha rare5", "beta gamma"], k=8)
+            assert s_hot.last_phase1_lex_lane == "blocked"
+            b = s_full.search_batch(["alpha rare5", "beta gamma"], k=8)
+        finally:
+            arm_hot.daat_mode = "auto"
+            arm_full.daat_mode = "auto"
+        for ra, rb in zip(a, b):
+            assert [r.doc_id for r in ra.results] == [r.doc_id for r in rb.results]
+            for xa, xb in zip(ra.results, rb.results):
+                assert xa.score == pytest.approx(xb.score, rel=1e-4)
+
+
+class TestShardedWithHot:
+    def test_sharded_wrapper_rebuilds_full_layout(self, pair):
+        import jax
+        from jax.sharding import Mesh
+
+        from frankensearch_tpu.parallel.sharded_bm25 import (
+            ShardedBulkDeviceBm25Index,
+        )
+
+        (_, arm_hot), (_, arm_full) = pair
+        devs = np.array(jax.devices()[:4]).reshape(4)
+        mesh = Mesh(devs, ("d",))
+        sh = ShardedBulkDeviceBm25Index(arm_hot, mesh)
+        ref = arm_full.search_candidates("alpha rare5", 10)
+        got = sh.search_candidates("alpha rare5", 10)
+        assert [c.doc_id for c in got] == [c.doc_id for c in ref]
+        for a, b in zip(got, ref):
+            assert a.score == pytest.approx(b.score, rel=1e-4)

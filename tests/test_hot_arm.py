@@ -1,0 +1,387 @@
+"""Hot-term dense arm (lexical/hot_arm.py): differential conformance.
+
+Parity model: argus keeps per-query cost ∝ the query's own postings on
+EVERY class via cursor trees + block-max metadata
+(crates/frankensearch-quill/src/argus.rs:1-8); the hot arm is the TPU
+recast for the df-distribution HEAD (VERDICT r4 next #1). Contract:
+rank conformance with the CPU oracle within f32 tie tolerance, exact
+result-set membership, solo-vs-batch bit parity, and bit-identical
+tail-lane behavior for queries without hot terms.
+"""
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.lexical import daat
+from frankensearch_tpu.lexical import device_bm25 as dbm
+from frankensearch_tpu.lexical import hot_arm
+from frankensearch_tpu.lexical.device_bm25 import DeviceBm25Index
+from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+
+WORDS = (
+    "search index vector lexical rust python jax tpu kernel matrix "
+    "query document score rank fusion tier fast quality embed token "
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+).split()
+
+
+def build_corpus(n_docs=400, seed=11):
+    rng = np.random.default_rng(seed)
+    docs = []
+    for i in range(n_docs):
+        length = int(rng.integers(4, 120))
+        idx = np.minimum(
+            rng.zipf(1.3, size=length) - 1, len(WORDS) - 1
+        ).astype(int)
+        words = [WORDS[j] for j in idx]
+        title = " ".join(rng.choice(WORDS, size=2)) if i % 4 == 0 else None
+        docs.append(
+            IndexableDocument(
+                doc_id=f"doc-{i:04d}", content=" ".join(words), title=title
+            )
+        )
+    # one doc made ENTIRELY of the most common word: with the split
+    # layout it may own zero tail postings and must stay reachable
+    docs.append(
+        IndexableDocument(doc_id="hotonly", content="search search search")
+    )
+    return docs
+
+
+QUERIES = [
+    "search vector",                       # hot + mid
+    "search",                              # hot only
+    "kappa",                               # rare only
+    "quality tier fusion theta",
+    "search index query document rank",    # several hot terms
+    "nonexistent-term",
+    "alpha beta gamma delta epsilon zeta eta theta",
+]
+
+
+def _build_split(max_terms=6):
+    """Corpus landing in the BLOCKED lane with a real hot arm."""
+    old = (
+        dbm.BLOCKED_THRESHOLD_POSTINGS,
+        hot_arm.HOT_MIN_POSTINGS,
+        hot_arm.HOT_MAX_TERMS,
+    )
+    dbm.BLOCKED_THRESHOLD_POSTINGS = 1
+    hot_arm.HOT_MIN_POSTINGS = 1
+    hot_arm.HOT_MAX_TERMS = max_terms
+    try:
+        mem = MemoryLexicalIndex()
+        for d in build_corpus():
+            mem.add_document(d)
+        mem.commit()
+        dev = DeviceBm25Index(mem)
+    finally:
+        (
+            dbm.BLOCKED_THRESHOLD_POSTINGS,
+            hot_arm.HOT_MIN_POSTINGS,
+            hot_arm.HOT_MAX_TERMS,
+        ) = old
+    return mem, dev
+
+
+@pytest.fixture(scope="module")
+def split_pair():
+    mem, dev = _build_split()
+    assert dev._blocked is not None
+    assert dev._hot is not None and dev._hot.n_hot > 0
+    return mem, dev
+
+
+@pytest.fixture(scope="module")
+def full_pair():
+    """Same corpus, blocked lane, hot arm DISABLED (the r4 layout)."""
+    old = (dbm.BLOCKED_THRESHOLD_POSTINGS, hot_arm.HOT_MIN_POSTINGS)
+    dbm.BLOCKED_THRESHOLD_POSTINGS = 1
+    hot_arm.HOT_MIN_POSTINGS = 1 << 60
+    try:
+        mem = MemoryLexicalIndex()
+        for d in build_corpus():
+            mem.add_document(d)
+        mem.commit()
+        dev = DeviceBm25Index(mem)
+    finally:
+        dbm.BLOCKED_THRESHOLD_POSTINGS, hot_arm.HOT_MIN_POSTINGS = old
+    assert dev._hot is None
+    return mem, dev
+
+
+class TestSplitLayout:
+    def test_split_accounting(self, split_pair):
+        _, dev = split_pair
+        hot = dev._hot
+        terms, _, _ = dev._post_host
+        df = np.bincount(terms.astype(np.int64), minlength=dev.vocab_size)
+        hot_ids = np.flatnonzero(hot.hot_row_of >= 0)
+        assert len(hot_ids) == hot.n_hot
+        # the hot set is the df head: every hot term's df >= every cold term's? No —
+        # capped by rank: min hot df >= max df among demoted-but-qualified terms is
+        # not guaranteed after the cap, but the threshold must hold:
+        thresh = max(dev.posting_count // hot_arm.HOT_DF_DIVISOR, 1)
+        assert (df[hot_ids] >= thresh).all()
+        # postings conservation: hot + cold == all
+        assert dev.cold_posting_count + int(df[hot_ids].sum()) == dev.posting_count
+        # tail CSR has empty spans for hot terms
+        tm = dev._term_major()
+        spans = np.diff(tm.ptr)
+        assert (spans[hot_ids] == 0).all()
+
+    def test_cols_match_oracle_tf_side(self, split_pair):
+        """Dense columns hold exactly the tf-side values the tail arrays
+        would have held (spot check via the full postings copy)."""
+        _, dev = split_pair
+        hot = dev._hot
+        terms, docs, tfs = dev._post_host
+        rows = hot.hot_row_of[terms.astype(np.int64)]
+        sel = rows >= 0
+        cols = np.asarray(hot.cols)
+        got = cols[rows[sel], docs[sel].astype(np.int64)]
+        assert got == pytest.approx(tfs[sel], rel=1e-6)
+
+    def test_hot_only_doc_reachable_every_lane(self, split_pair):
+        _, dev = split_pair
+        for mode in ("auto", "daat", "blocked"):
+            dev.daat_mode = mode
+            try:
+                got = dev.search_candidates("search", 500)
+            finally:
+                dev.daat_mode = "auto"
+            assert "hotonly" in {c.doc_id for c in got}, mode
+
+
+class TestHotParity:
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_auto_matches_oracle(self, split_pair, query):
+        mem, dev = split_pair
+        got = dev.search_candidates(query, 20)
+        oracle = mem.search_candidates(query, 20)
+        o = {c.doc_id: c.score for c in oracle}
+        g = {c.doc_id: c.score for c in got}
+        assert set(o) == set(g), query
+        for doc_id, s in o.items():
+            assert g[doc_id] == pytest.approx(s, rel=1e-4), (query, doc_id)
+
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_forced_blocked_matches_oracle(self, split_pair, query):
+        mem, dev = split_pair
+        dev.daat_mode = "blocked"
+        try:
+            got = dev.search_candidates(query, 20)
+        finally:
+            dev.daat_mode = "auto"
+        oracle = mem.search_candidates(query, 20)
+        o = {c.doc_id: c.score for c in oracle}
+        g = {c.doc_id: c.score for c in got}
+        assert set(o) == set(g), query
+        for doc_id, s in o.items():
+            assert g[doc_id] == pytest.approx(s, rel=1e-4), (query, doc_id)
+
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_hot_daat_rank_parity_with_hot_blocked(self, split_pair, query):
+        _, dev = split_pair
+        dev.daat_mode = "daat"
+        try:
+            a = dev.search_candidates(query, 15)
+        finally:
+            dev.daat_mode = "blocked"
+            try:
+                b = dev.search_candidates(query, 15)
+            finally:
+                dev.daat_mode = "auto"
+        assert [c.doc_id for c in a] == [c.doc_id for c in b], query
+        for ca, cb in zip(a, b):
+            assert ca.score == pytest.approx(cb.score, rel=1e-5)
+
+    def test_no_duplicate_docs_in_results(self, split_pair):
+        _, dev = split_pair
+        for mode in ("daat", "blocked"):
+            dev.daat_mode = mode
+            try:
+                for q in QUERIES:
+                    got = dev.search_candidates(q, 50)
+                    ids = [c.doc_id for c in got]
+                    assert len(ids) == len(set(ids)), (mode, q)
+            finally:
+                dev.daat_mode = "auto"
+
+    def test_batched_matches_single_bits(self, split_pair):
+        _, dev = split_pair
+        batch = dev.search_candidates_batch(QUERIES[:5], 10)
+        singles = [dev.search_candidates(q, 10) for q in QUERIES[:5]]
+        for got, single in zip(batch, singles):
+            assert [(c.doc_id, c.score) for c in got] == [
+                (c.doc_id, c.score) for c in single
+            ]
+
+    def test_tie_ordering_with_hot_terms(self):
+        """Identical docs whose only term is HOT must tie doc-id asc."""
+        old = (
+            dbm.BLOCKED_THRESHOLD_POSTINGS,
+            hot_arm.HOT_MIN_POSTINGS,
+            hot_arm.HOT_MAX_TERMS,
+        )
+        dbm.BLOCKED_THRESHOLD_POSTINGS = 1
+        hot_arm.HOT_MIN_POSTINGS = 1
+        hot_arm.HOT_MAX_TERMS = 4
+        try:
+            mem = MemoryLexicalIndex()
+            docs = [
+                IndexableDocument(doc_id=f"t-{i}", content="alpha beta alpha")
+                for i in range(9)
+            ]
+            docs.append(IndexableDocument(doc_id="zz", content="alpha"))
+            # pad the corpus so alpha/beta are the df head
+            for i in range(40):
+                mem.add_document(
+                    IndexableDocument(doc_id=f"pad-{i:02d}", content="alpha pad")
+                )
+            for d in docs:
+                mem.add_document(d)
+            mem.commit()
+            dev = DeviceBm25Index(mem)
+            assert dev._hot is not None
+            dev.daat_mode = "daat"
+            got = dev.search_candidates("alpha beta", 60)
+            dev.daat_mode = "blocked"
+            ref = dev.search_candidates("alpha beta", 60)
+        finally:
+            (
+                dbm.BLOCKED_THRESHOLD_POSTINGS,
+                hot_arm.HOT_MIN_POSTINGS,
+                hot_arm.HOT_MAX_TERMS,
+            ) = old
+        ids = [c.doc_id for c in got]
+        tied = [i for i in ids if i.startswith("t-")]
+        assert tied == [f"t-{i}" for i in range(9)]
+        assert ids == [c.doc_id for c in ref]
+
+    def test_no_hot_query_bits_match_full_layout(self, split_pair, full_pair):
+        """A query with no hot terms must score BIT-IDENTICALLY on the
+        split layout (tail-only blocked + empty q_hot) and the full one:
+        per-(term, doc, field) l-sums are singleton hits, so re-blocking
+        cannot perturb f32 order."""
+        _, dev_split = split_pair
+        _, dev_full = full_pair
+        hot = dev_split._hot
+        # find a query word that is NOT hot in the split index
+        cold_words = [
+            wq for wq in WORDS
+            if all(
+                hot.hot_row_of[tid] < 0
+                for arm in dev_split._arms.values()
+                if (tid := arm.term_ids.get(wq)) is not None
+            )
+        ]
+        assert cold_words, "need at least one cold query word"
+        q = " ".join(cold_words[:3])
+        a = dev_split.search_candidates(q, 25)
+        b = dev_full.search_candidates(q, 25)
+        assert [(c.doc_id, c.score) for c in a] == [
+            (c.doc_id, c.score) for c in b
+        ]
+
+
+class TestHotPrimitives:
+    def test_split_hot_rows(self):
+        hot_row_of = np.array([-1, 0, 1, -1], dtype=np.int32)
+        ids = np.array([[1, 2, 0, 3]], dtype=np.int32)
+        w = np.array([[2.0, 0.0, 1.0, 4.0]], dtype=np.float32)
+        q_hot = hot_arm.split_hot_rows(hot_row_of, ids, w, 8)
+        assert q_hot.shape == (1, 8)
+        assert q_hot[0, 0] == 2.0  # term 1 -> row 0, weight kept
+        assert q_hot[0, 1] == 0.0  # term 2 has weight 0: excluded
+        assert q_hot[0, 2:].sum() == 0.0
+
+    def test_build_caps_and_budget(self):
+        rng = np.random.default_rng(0)
+        p = 4096
+        terms = (rng.zipf(1.3, size=p) - 1) % 50
+        docs = rng.integers(0, 300, size=p)
+        tfs = rng.uniform(0.1, 2.0, size=p).astype(np.float32)
+        old_min, old_bytes, old_max = (
+            hot_arm.HOT_MIN_POSTINGS,
+            hot_arm.HOT_MAX_BYTES,
+            hot_arm.HOT_MAX_TERMS,
+        )
+        hot_arm.HOT_MIN_POSTINGS = 1
+        try:
+            hot_arm.HOT_MAX_TERMS = 3
+            arm = hot_arm.build_hot_arm(
+                terms, docs, tfs, n_docs=300, vocab_size=50
+            )
+            assert arm is not None and arm.n_hot == 3
+            # budget trims below the cap: one 128-col row budget
+            hot_arm.HOT_MAX_TERMS = 512
+            hot_arm.HOT_MAX_BYTES = 384 * 4 * 2  # H budget = 2 (n_pad=384)
+            arm2 = hot_arm.build_hot_arm(
+                terms, docs, tfs, n_docs=300, vocab_size=50
+            )
+            assert arm2 is not None and arm2.n_hot == 2
+            hot_arm.HOT_MAX_BYTES = 0
+            assert (
+                hot_arm.build_hot_arm(
+                    terms, docs, tfs, n_docs=300, vocab_size=50
+                )
+                is None
+            )
+        finally:
+            hot_arm.HOT_MIN_POSTINGS = old_min
+            hot_arm.HOT_MAX_BYTES = old_bytes
+            hot_arm.HOT_MAX_TERMS = old_max
+
+    def test_below_min_postings_disables(self):
+        terms = np.zeros(100, dtype=np.int64)
+        docs = np.arange(100, dtype=np.int64)
+        tfs = np.ones(100, dtype=np.float32)
+        assert (
+            hot_arm.build_hot_arm(terms, docs, tfs, n_docs=100, vocab_size=4)
+            is None
+        )
+
+    def test_eligibility_reads_tail_spans(self, split_pair):
+        """A hot-term query is tail-eligible because its hot spans are
+        empty in the tail CSR — the dispatch purity invariant."""
+        _, dev = split_pair
+        tm = dev._term_major()
+        hot_tid = int(np.flatnonzero(dev._hot.hot_row_of >= 0)[0])
+        ids = np.array([[hot_tid]], dtype=np.int32)
+        w = np.ones((1, 1), dtype=np.float32)
+        est = daat.query_plan_elements(tm.ptr, ids, w)
+        assert est[0] == 0
+
+
+class TestFlexbRoundtripWithHot:
+    def test_roundtrip_preserves_results(self, tmp_path):
+        from frankensearch_tpu.lexical import flexb
+
+        mem, dev = _build_split()
+        path = str(tmp_path / "seg.flxb")
+        old = (
+            dbm.BLOCKED_THRESHOLD_POSTINGS,
+            hot_arm.HOT_MIN_POSTINGS,
+            hot_arm.HOT_MAX_TERMS,
+        )
+        dbm.BLOCKED_THRESHOLD_POSTINGS = 1
+        hot_arm.HOT_MIN_POSTINGS = 1
+        hot_arm.HOT_MAX_TERMS = 6
+        try:
+            flexb.save_packed(dev, path)
+            loaded = flexb.load_packed(path)
+        finally:
+            (
+                dbm.BLOCKED_THRESHOLD_POSTINGS,
+                hot_arm.HOT_MIN_POSTINGS,
+                hot_arm.HOT_MAX_TERMS,
+            ) = old
+        assert loaded._hot is not None
+        for q in QUERIES[:4]:
+            a = dev.search_candidates(q, 10)
+            b = loaded.search_candidates(q, 10)
+            assert [(c.doc_id, c.score) for c in a] == [
+                (c.doc_id, c.score) for c in b
+            ]
