@@ -204,6 +204,12 @@ class DeviceVectorIndex:
                 if row is not None:
                     tomb[row] = True
         index = cls(vectors, doc_ids, f.header.identity, tombstoned=tomb, **kwargs)
+        # durable identity for recall-certificate binding (the persisted
+        # cert is void when any of these change — see scan_state_signature)
+        index._base_slab_crc32 = int(f.header.slab_crc32)
+        index._wal_mutations = (
+            (len(wal.live), len(wal.tombstones)) if wal is not None else (0, 0)
+        )
         if f.header.dtype == "int8" and f.scale is not None and not (
             wal is not None and (wal.live or wal.tombstones)
         ):
@@ -251,6 +257,10 @@ class DeviceVectorIndex:
             padded[:, : self.dim] = norm_vecs
             clone = object.__new__(DeviceVectorIndex)
             clone.__dict__.update(self.__dict__)
+            # the appended clone scans different rows: recall certificates
+            # measured on the parent MUST NOT carry over (fail-closed —
+            # the gate demands a fresh certify_scan_mode)
+            clone.__dict__.pop("_recall_certs", None)
             # rows are contiguous -> dynamic_update_slice (a block copy),
             # not a scatter (slow for bf16 on CPU backends)
             clone.slab = jax.lax.dynamic_update_slice(
@@ -503,6 +513,28 @@ class DeviceVectorIndex:
     def recall_certificate(self, mode: str):
         """The recorded certificate for an approximate mode, or None."""
         return getattr(self, "_recall_certs", {}).get(mode)
+
+    def scan_state_signature(self) -> dict | None:
+        """Durable identity of the scanned state, for binding persisted
+        recall certificates (index/recall_certificate.py persistence;
+        generation.rs:1-6 parity). None for purely in-memory indexes —
+        those have nothing durable to bind to. Mutating clones
+        (with_appended / with_tombstones) don't carry the base attrs, so
+        their signature is None and stale certs can never rebind."""
+        crc = getattr(self, "_base_slab_crc32", None)
+        if crc is None:
+            return None
+        wal_live, wal_tomb = getattr(self, "_wal_mutations", (0, 0))
+        return {
+            "slab_crc32": int(crc),
+            "n_rows": int(self.n_rows),
+            "live_count": int(self.live_count),
+            "dim": int(self.dim),
+            "slab_dtype": self.slab_dtype,
+            "embedder_id": self.identity.embedder_id,
+            "wal_live": int(wal_live),
+            "wal_tombstones": int(wal_tomb),
+        }
 
     def enable_ivf(self, n_clusters: int | None = None, **kwargs) -> None:
         """Build the IVF latency arm over the live rows (explicit because

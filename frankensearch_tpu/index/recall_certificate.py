@@ -40,6 +40,30 @@ class RecallCertificate:
             "mean_recall": self.mean_recall,
         }
 
+    def to_record(self) -> dict:
+        """Lossless flat form for manifest persistence."""
+        return {
+            "parameter_name": self.parameter_name,
+            "parameter_value": self.parameter_value,
+            "k": self.k,
+            "n_calibration": self.n_calibration,
+            "confidence": self.confidence,
+            "certified_recall": self.certified_recall,
+            "mean_recall": self.mean_recall,
+        }
+
+    @staticmethod
+    def from_record(d: dict) -> "RecallCertificate":
+        return RecallCertificate(
+            parameter_name=str(d["parameter_name"]),
+            parameter_value=float(d["parameter_value"]),
+            k=int(d["k"]),
+            n_calibration=int(d["n_calibration"]),
+            confidence=float(d["confidence"]),
+            certified_recall=float(d["certified_recall"]),
+            mean_recall=float(d["mean_recall"]),
+        )
+
 
 def per_query_recall(approx_idx: np.ndarray, exact_idx: np.ndarray) -> np.ndarray:
     """(B, k) index arrays -> (B,) recall@k, ignoring -1 padding."""
@@ -104,3 +128,78 @@ def calibrate_minimal_parameter(
         if cert.certified_recall >= target_recall:
             return cert
     return None
+
+
+# -- manifest persistence (VERDICT r4 #6) ------------------------------------
+#
+# The reference persists conformance/recall certificates in the generation
+# manifest (crates/frankensearch-core/src/generation.rs:1-6;
+# index/src/recall_certificate.rs), so a capacity index certifies once per
+# GENERATION, not once per process. Certificates are identity-bound: the
+# stored binding is the fast tier's scan_state_signature (base slab crc32 +
+# WAL mutation census + row/live counts + embedder id); any slab or WAL
+# change voids the cert and the fail-closed gate demands re-certification.
+
+_CERT_EXTRA_KEY = "recall_certificates"
+
+
+def persist_certificate(root: str, mode: str, cert: RecallCertificate,
+                        binding: dict) -> bool:
+    """Merge one mode's certificate into the generation manifest's extra
+    section (creating a minimal manifest for manifest-less roots). Returns
+    False when the root has no durable identity to bind to."""
+    import os
+    import time
+
+    from frankensearch_tpu.core.generation import (
+        MANIFEST_FILE,
+        build_manifest,
+        read_manifest,
+        write_manifest,
+    )
+    from frankensearch_tpu.index.durability import artifact_mutation_lock
+
+    if not binding or binding.get("slab_crc32") is None:
+        return False
+    with artifact_mutation_lock(os.path.join(root, MANIFEST_FILE)):
+        if os.path.exists(os.path.join(root, MANIFEST_FILE)):
+            manifest = read_manifest(root)
+        else:
+            manifest = build_manifest(
+                root,
+                generation_id=f"gen-{int(time.time() * 1000):013d}",
+                commit_seq=int(time.time() * 1000),
+            )
+        certs = dict(manifest.extra.get(_CERT_EXTRA_KEY, {}))
+        certs[mode] = {"cert": cert.to_record(), "binding": dict(binding)}
+        manifest.extra[_CERT_EXTRA_KEY] = certs
+        write_manifest(root, manifest)
+    return True
+
+
+def load_persisted_certificates(root: str, binding: dict | None) -> dict:
+    """Certificates from the generation manifest whose stored binding
+    matches the CURRENT fast-tier signature — a cert is void if the slab,
+    WAL census, row/live counts, or embedder changed (fail-closed: the
+    gate then demands a fresh certify_scan_mode)."""
+    import os
+
+    from frankensearch_tpu.core.generation import MANIFEST_FILE, read_manifest
+
+    if not binding or binding.get("slab_crc32") is None:
+        return {}
+    if not os.path.exists(os.path.join(root, MANIFEST_FILE)):
+        return {}
+    try:
+        manifest = read_manifest(root)
+    except Exception:
+        # an unreadable manifest voids the certs, never the open
+        return {}
+    out: dict = {}
+    for mode, entry in manifest.extra.get(_CERT_EXTRA_KEY, {}).items():
+        try:
+            if dict(entry.get("binding", {})) == dict(binding):
+                out[mode] = RecallCertificate.from_record(entry["cert"])
+        except (KeyError, TypeError, ValueError):
+            continue
+    return out

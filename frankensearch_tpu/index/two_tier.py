@@ -192,6 +192,20 @@ class TwoTierIndex:
         # fold boundaries for a later compact(): the WAL prefix THIS
         # open's tier state actually materialized (truncate-to-consumed)
         idx._wal_consumed = wal_consumed
+        # persisted recall certificates (generation.rs:1-6 parity): a
+        # capacity index certifies once per GENERATION — rebind the
+        # manifest's certs when the fast tier's durable identity matches
+        # (slab crc + WAL census + counts); any mismatch silently drops
+        # them and the fail-closed gate demands a fresh certify
+        sig_of = getattr(fast, "scan_state_signature", None)
+        if callable(sig_of):
+            from frankensearch_tpu.index.recall_certificate import (
+                load_persisted_certificates,
+            )
+
+            certs = load_persisted_certificates(root, sig_of())
+            if certs:
+                fast._recall_certs = dict(certs)
         return idx
 
     @classmethod
@@ -290,6 +304,36 @@ class TwoTierIndex:
         compacted = TwoTierIndex.open(self.root, mesh_shards=self.mesh_shards)
         compacted.last_vacuum_stats = stats
         return compacted
+
+    def certify_fast_scan_mode(
+        self,
+        mode: str,
+        k: int,
+        sample_queries: np.ndarray,
+        *,
+        confidence: float = 0.95,
+        persist: bool = True,
+        **mode_kwargs,
+    ):
+        """Certify an approximate fast-tier scan mode AND persist the
+        certificate into the generation manifest, identity-bound to the
+        current slab/WAL state (VERDICT r4 #6; generation.rs:1-6 +
+        recall_certificate.rs parity). A reopened index whose state
+        matches rebinds the cert without re-running the exact-oracle
+        pass; any slab/WAL change voids it fail-closed."""
+        cert = self.fast.certify_scan_mode(
+            mode, k, sample_queries, confidence=confidence, **mode_kwargs
+        )
+        sig_of = getattr(self.fast, "scan_state_signature", None)
+        if persist and self.root is not None and callable(sig_of):
+            sig = sig_of()
+            if sig is not None:
+                from frankensearch_tpu.index.recall_certificate import (
+                    persist_certificate,
+                )
+
+                persist_certificate(self.root, mode, cert, sig)
+        return cert
 
     # -- appends (WAL path) ---------------------------------------------------
 

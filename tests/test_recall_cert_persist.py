@@ -1,0 +1,157 @@
+"""Persisted recall certificates (VERDICT r4 #6).
+
+Parity: the reference keeps conformance/recall certificates in the
+generation manifest (crates/frankensearch-core/src/generation.rs:1-6,
+index/src/recall_certificate.rs) so a capacity index certifies once per
+GENERATION. Contract pinned here: certify → manifest entry; reopen with
+an unchanged slab/WAL state → the cert rebinds without an exact-oracle
+pass; ANY state change (WAL append, slab rewrite) voids it fail-closed.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu.core.config import TwoTierConfig
+from frankensearch_tpu.core.errors import UncertifiedScanMode
+from frankensearch_tpu.core.generation import MANIFEST_FILE
+from frankensearch_tpu.embed.model2vec import random_model2vec
+from frankensearch_tpu.fusion.searcher import TwoTierSearcher
+from frankensearch_tpu.index.device_index import DeviceVectorIndex
+from frankensearch_tpu.index.recall_certificate import (
+    RecallCertificate,
+    load_persisted_certificates,
+    persist_certificate,
+)
+from frankensearch_tpu.index.two_tier import TwoTierIndex
+
+
+@pytest.fixture()
+def rooted(tmp_path):
+    rng = np.random.default_rng(0)
+    words = [f"w{i}" for i in range(64)]
+    m2v = random_model2vec(words, dim=64)
+    vecs = rng.standard_normal((256, 64)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    idx = TwoTierIndex.create(
+        str(tmp_path), vecs, [f"d{i:03d}" for i in range(256)],
+        m2v.identity(), use_pallas=False,
+    )
+    return str(tmp_path), idx, m2v, vecs
+
+
+def _searcher(idx, m2v, floor):
+    return TwoTierSearcher(
+        idx, m2v,
+        config=TwoTierConfig(
+            fast_only=True, scan_mode="int8",
+            require_recall_certificate=True,
+            min_certified_recall=floor,
+        ),
+        cache_query_embeddings=False,
+    )
+
+
+class TestPersistRoundtrip:
+    def test_record_roundtrip_lossless(self):
+        cert = RecallCertificate(
+            parameter_name="int8_candidate_multiplier",
+            parameter_value=4.0, k=10, n_calibration=32,
+            confidence=0.95, certified_recall=0.9375, mean_recall=0.99,
+        )
+        assert RecallCertificate.from_record(cert.to_record()) == cert
+
+    def test_certify_persists_and_reopen_rebinds(self, rooted):
+        root, idx, m2v, vecs = rooted
+        cert = idx.certify_fast_scan_mode(
+            "int8", 10, vecs[:32] + 0.01, int8_candidate_multiplier=4
+        )
+        # manifest entry exists and is identity-bound
+        with open(os.path.join(root, MANIFEST_FILE)) as f:
+            man = json.load(f)
+        entry = man["extra"]["recall_certificates"]["int8"]
+        assert entry["cert"]["k"] == 10
+        assert entry["binding"]["slab_crc32"] == idx.fast.scan_state_signature()["slab_crc32"]
+        # restart: the cert rebinds without re-certifying
+        idx2 = TwoTierIndex.open(root, use_pallas=False)
+        got = idx2.fast.recall_certificate("int8")
+        assert got == cert
+        # and the fail-closed gate serves from the persisted cert
+        floor = min(cert.certified_recall, 0.5)
+        out = _searcher(idx2, m2v, floor).search("w1 w2", k=5)
+        assert out.results
+
+    def test_wal_append_voids_cert(self, rooted):
+        root, idx, m2v, vecs = rooted
+        idx.certify_fast_scan_mode(
+            "int8", 10, vecs[:32] + 0.01, int8_candidate_multiplier=4
+        )
+        idx.append_fast(["extra-doc"], vecs[:1] * 0.9)
+        idx2 = TwoTierIndex.open(root, use_pallas=False)
+        assert idx2.fast.recall_certificate("int8") is None
+        with pytest.raises(UncertifiedScanMode, match="no recall certificate"):
+            _searcher(idx2, m2v, 0.5).search("w1", k=5)
+
+    def test_slab_rewrite_voids_cert(self, rooted):
+        root, idx, m2v, vecs = rooted
+        idx.certify_fast_scan_mode(
+            "int8", 10, vecs[:32] + 0.01, int8_candidate_multiplier=4
+        )
+        # a new generation of the artifact (different content)
+        rng = np.random.default_rng(7)
+        v2 = rng.standard_normal((256, 64)).astype(np.float32)
+        v2 /= np.linalg.norm(v2, axis=1, keepdims=True)
+        TwoTierIndex.create(
+            root, v2, [f"d{i:03d}" for i in range(256)],
+            m2v.identity(), use_pallas=False,
+        )
+        idx2 = TwoTierIndex.open(root, use_pallas=False)
+        assert idx2.fast.recall_certificate("int8") is None
+
+    def test_cert_survives_unrelated_manifest_refresh(self, rooted):
+        root, idx, m2v, vecs = rooted
+        cert = idx.certify_fast_scan_mode(
+            "int8", 10, vecs[:32] + 0.01, int8_candidate_multiplier=4
+        )
+        from frankensearch_tpu.core.generation import refresh_manifest
+
+        refresh_manifest(root)  # extra carries over (generation contract)
+        idx2 = TwoTierIndex.open(root, use_pallas=False)
+        assert idx2.fast.recall_certificate("int8") == cert
+
+
+class TestBindingEdges:
+    def test_in_memory_index_has_no_signature(self):
+        rng = np.random.default_rng(1)
+        v = rng.standard_normal((16, 8)).astype(np.float32)
+        from frankensearch_tpu.index.fsvi import EmbeddingIdentity
+
+        d = DeviceVectorIndex(
+            v, [f"x{i}" for i in range(16)],
+            EmbeddingIdentity(embedder_id="mem", dim=8), use_pallas=False,
+        )
+        assert d.scan_state_signature() is None
+
+    def test_persist_refuses_unbound(self, tmp_path):
+        cert = RecallCertificate(
+            parameter_name="p", parameter_value=1.0, k=5,
+            n_calibration=8, confidence=0.95,
+            certified_recall=0.9, mean_recall=0.95,
+        )
+        assert persist_certificate(str(tmp_path), "int8", cert, {}) is False
+        assert load_persisted_certificates(str(tmp_path), None) == {}
+
+    def test_appended_clone_drops_session_certs(self, rooted):
+        root, idx, m2v, vecs = rooted
+        idx.certify_fast_scan_mode(
+            "int8", 10, vecs[:32] + 0.01, int8_candidate_multiplier=4
+        )
+        assert idx.fast.recall_certificate("int8") is not None
+        clone = idx.fast.with_appended(["new-doc"], vecs[:1] * 0.8)
+        assert clone.recall_certificate("int8") is None
+        # and the clone's signature cannot rebind the persisted cert
+        assert load_persisted_certificates(
+            root, clone.scan_state_signature()
+        ) == {}
