@@ -1,0 +1,239 @@
+"""Real-model drop-in seam, end-to-end on byte-format-faithful fixtures.
+
+VERDICT r4 #9: quality parity with real weights is environmentally
+blocked (no egress), so the strongest available claim is that the seam
+itself is TESTED — the day real weights/data appear, zero code changes
+are needed. These fixtures are written in the real on-disk formats:
+
+- an HF BERT checkpoint: ``model.safetensors`` (BertModel +
+  classification-head tensor names), ``config.json``, ``vocab.txt``;
+- a model2vec fast-tier dir: ``tokenizer.json`` (a real `tokenizers`
+  WordPiece serialization), ``model.safetensors`` (key 'embeddings');
+- a BEIR-format dataset dir: ``corpus.jsonl`` / ``queries.jsonl`` /
+  ``qrels/test.tsv`` (the reference harness's input layout,
+  /root/reference/docs/quality_harness/README.md:24-36).
+
+Then the full path runs: load_hf_bert / load_hf_wordpiece →
+TransformerEmbedder.from_dir / CrossEncoderReranker.from_dir →
+tools/quality_eval --beir-dir (index → search → nDCG@10 rows).
+"""
+
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu.rerank.tokenizer import tiny_test_vocab
+
+WORDS = [
+    "search", "index", "vector", "query", "rank", "fusion",
+    "alpha", "beta", "gamma", "delta", "token", "tier",
+]
+
+H, L, HEADS, INTER, MAXPOS = 32, 2, 2, 64, 64
+
+
+def _write_hf_bert_dir(root: str) -> tuple[str, dict]:
+    """A tiny BertForSequenceClassification checkpoint in the REAL HF
+    on-disk format (safetensors tensor names, config.json keys,
+    vocab.txt line-per-token)."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(root, exist_ok=True)
+    vocab = tiny_test_vocab(WORDS)
+    v = len(vocab)
+    with open(os.path.join(root, "vocab.txt"), "w", encoding="utf-8") as f:
+        for tok_str, _ in sorted(vocab.items(), key=lambda kv: kv[1]):
+            f.write(tok_str + "\n")
+    with open(os.path.join(root, "config.json"), "w") as f:
+        json.dump({
+            "architectures": ["BertForSequenceClassification"],
+            "model_type": "bert",
+            "vocab_size": v,
+            "hidden_size": H,
+            "num_hidden_layers": L,
+            "num_attention_heads": HEADS,
+            "intermediate_size": INTER,
+            "max_position_embeddings": MAXPOS,
+            "type_vocab_size": 2,
+            "layer_norm_eps": 1e-12,
+            "id2label": {"0": "LABEL_0"},
+        }, f)
+    rng = np.random.default_rng(42)
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.02).astype(np.float32)
+
+    t = {
+        "embeddings.word_embeddings.weight": w(v, H),
+        "embeddings.position_embeddings.weight": w(MAXPOS, H),
+        "embeddings.token_type_embeddings.weight": w(2, H),
+        "embeddings.LayerNorm.weight": np.ones(H, np.float32),
+        "embeddings.LayerNorm.bias": np.zeros(H, np.float32),
+        "pooler.dense.weight": w(H, H),
+        "pooler.dense.bias": np.zeros(H, np.float32),
+        "classifier.weight": w(1, H),
+        "classifier.bias": np.zeros(1, np.float32),
+    }
+    for i in range(L):
+        base = f"encoder.layer.{i}"
+        for name, shape in (
+            ("attention.self.query", (H, H)),
+            ("attention.self.key", (H, H)),
+            ("attention.self.value", (H, H)),
+            ("attention.output.dense", (H, H)),
+            ("intermediate.dense", (INTER, H)),
+            ("output.dense", (H, INTER)),
+        ):
+            t[f"{base}.{name}.weight"] = w(*shape)
+            t[f"{base}.{name}.bias"] = np.zeros(shape[0], np.float32)
+        for ln in ("attention.output.LayerNorm", "output.LayerNorm"):
+            t[f"{base}.{ln}.weight"] = np.ones(H, np.float32)
+            t[f"{base}.{ln}.bias"] = np.zeros(H, np.float32)
+    save_file(t, os.path.join(root, "model.safetensors"))
+    return root, t
+
+
+def _write_model2vec_dir(root: str) -> str:
+    """A model2vec fast-tier dir with a REAL `tokenizers` WordPiece
+    serialization (tokenizer.json) and an 'embeddings' safetensors."""
+    from safetensors.numpy import save_file
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordPiece
+    from tokenizers.normalizers import Lowercase
+    from tokenizers.pre_tokenizers import Whitespace
+
+    os.makedirs(root, exist_ok=True)
+    vocab = tiny_test_vocab(WORDS)
+    tok = Tokenizer(WordPiece(vocab, unk_token="[UNK]"))
+    tok.normalizer = Lowercase()
+    tok.pre_tokenizer = Whitespace()
+    tok.save(os.path.join(root, "tokenizer.json"))
+    rng = np.random.default_rng(7)
+    emb = rng.standard_normal((len(vocab), 48)).astype(np.float32)
+    save_file({"embeddings": emb}, os.path.join(root, "model.safetensors"))
+    with open(os.path.join(root, "config.json"), "w") as f:
+        json.dump({"model_revision": "fixture-r5"}, f)
+    return root
+
+
+def _write_beir_dir(root: str) -> str:
+    """BEIR-format dataset dir (the reference harness input layout)."""
+    os.makedirs(os.path.join(root, "qrels"), exist_ok=True)
+    rng = np.random.default_rng(3)
+    with open(os.path.join(root, "corpus.jsonl"), "w") as f:
+        for i in range(24):
+            words = " ".join(rng.choice(WORDS, size=6))
+            f.write(json.dumps({
+                "_id": f"doc{i}", "title": f"title {i}", "text": words,
+            }) + "\n")
+    queries = {
+        "q1": "search index", "q2": "vector query",
+        "q3": "alpha beta", "q4": "rank fusion",
+    }
+    with open(os.path.join(root, "queries.jsonl"), "w") as f:
+        for qid, text in queries.items():
+            f.write(json.dumps({"_id": qid, "text": text}) + "\n")
+    with open(os.path.join(root, "qrels", "test.tsv"), "w") as f:
+        f.write("query-id\tcorpus-id\tscore\n")
+        for qi, qid in enumerate(queries):
+            f.write(f"{qid}\tdoc{qi * 3}\t1\n")
+            f.write(f"{qid}\tdoc{qi * 3 + 1}\t1\n")
+    return root
+
+
+@pytest.fixture(scope="module")
+def fixture_dirs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("real_seam")
+    bert_dir, tensors = _write_hf_bert_dir(str(base / "bert-mini"))
+    m2v_dir = _write_model2vec_dir(str(base / "m2v-mini"))
+    beir_dir = _write_beir_dir(str(base / "beir-mini"))
+    return bert_dir, tensors, m2v_dir, beir_dir
+
+
+class TestHfLoaders:
+    def test_load_hf_bert_maps_real_format(self, fixture_dirs):
+        bert_dir, tensors, _, _ = fixture_dirs
+        from frankensearch_tpu.rerank.bert import load_hf_bert
+
+        params, cfg = load_hf_bert(bert_dir)
+        assert cfg.hidden == H and cfg.layers == L and cfg.num_labels == 1
+        np.testing.assert_array_equal(
+            np.asarray(params["embeddings"]["word"]),
+            tensors["embeddings.word_embeddings.weight"],
+        )
+        # HF stores dense as (out, in); ours is (in, out)
+        np.testing.assert_array_equal(
+            np.asarray(params["classifier"]["w"]),
+            tensors["classifier.weight"].T,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(params["layers"][1]["ffn_in"]["w"]),
+            tensors["encoder.layer.1.intermediate.dense.weight"].T,
+        )
+
+    def test_transformer_embedder_from_dir(self, fixture_dirs):
+        bert_dir, _, _, _ = fixture_dirs
+        from frankensearch_tpu.rerank.encoder import TransformerEmbedder
+
+        emb = TransformerEmbedder.from_dir(bert_dir)
+        assert emb.dim == H
+        out = emb.embed_batch(["search index", "vector query"])
+        assert out.shape == (2, H)
+        assert np.isfinite(out).all()
+        # deterministic across calls (the real-weight contract)
+        again = emb.embed_batch(["search index", "vector query"])
+        np.testing.assert_array_equal(out, again)
+
+    def test_cross_encoder_from_dir(self, fixture_dirs):
+        bert_dir, _, _, _ = fixture_dirs
+        from frankensearch_tpu.rerank.cross_encoder import CrossEncoderReranker
+
+        ce = CrossEncoderReranker.from_dir(bert_dir)
+        scores = ce.score_pairs(
+            "search index", [("a", "search index vector"), ("b", "gamma delta")]
+        )
+        assert {s.doc_id for s in scores} == {"a", "b"}
+        assert all(np.isfinite(s.score) for s in scores)
+
+    def test_model2vec_from_dir_real_tokenizer_json(self, fixture_dirs):
+        _, _, m2v_dir, _ = fixture_dirs
+        from frankensearch_tpu.embed.model2vec import Model2VecEmbedder
+
+        m2v = Model2VecEmbedder.from_dir(m2v_dir)
+        assert m2v.revision == "fixture-r5"
+        out = m2v.embed_batch(["search index", "alpha beta gamma"])
+        assert out.shape[0] == 2 and np.isfinite(out).all()
+
+
+class TestBeirEndToEnd:
+    def test_quality_eval_beir_full_path(self, fixture_dirs, capsys):
+        """The COMPLETE drop-in path in one run: BEIR dir + fast model
+        dir + quality model dir → index → hybrid search → nDCG rows.
+        With random fixture weights the scores are meaningless; the
+        claim under test is the seam, end to end, zero code changes."""
+        import argparse
+
+        from tools.quality_eval import run_beir
+
+        bert_dir, _, m2v_dir, beir_dir = fixture_dirs
+        args = argparse.Namespace(
+            beir_dir=beir_dir, split="test", max_queries=None,
+            fast_model_dir=m2v_dir, quality_model_dir=bert_dir,
+        )
+        run_beir(args)
+        out = capsys.readouterr().out
+        rows = json.loads(out[out.index("{"):])
+        assert rows["n_docs"] == 24 and rows["n_queries"] == 4
+        assert rows["fast_semantic"] is True
+        assert rows["quality_tier"] is True
+        for lane in ("lexical_bm25", "dense_fast", "hybrid_rrf", "two_tier_full"):
+            assert "ndcg@10" in rows[lane] or any(
+                k.startswith("ndcg") for k in rows[lane]
+            ), lane
+        # the real-data BM25 lane must actually retrieve the relevant docs
+        assert rows["lexical_bm25"][next(
+            k for k in rows["lexical_bm25"] if k.startswith("ndcg")
+        )] > 0.0

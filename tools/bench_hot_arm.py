@@ -165,6 +165,68 @@ def main() -> None:
     qh1 = hot_arm.split_hot_rows(hot.hot_row_of, ids1, w1, hot.h_pad)
     run_case("b1_hot", ids1[:1], w1[:1], qh1[:1])
 
+    # THE BATCH ROUTE: hot matmul + the reduced blocked tail scan. At
+    # B=64 the exhaustive tail scan is batch-amortized while the daat
+    # gather is per-query — the mixed batch's cheaper lane is this one.
+    from frankensearch_tpu.lexical.device_bm25 import (
+        MERGE_GROUP,
+        SEQ_T_ACCUM,
+        _build_blocked,
+        _device_bm25_blocked_hot,
+    )
+
+    t0 = time.perf_counter()
+    blocked = _build_blocked(
+        t_cold, d_cold, f_cold, n_docs=n_docs, vocab_size=vocab
+    )
+    blk_build_s = time.perf_counter() - t0
+    bounds = blocked.split_bounds(blocked.query_bounds(ids, w))
+    q_ids = jnp.asarray(ids)
+    q_w = jnp.asarray(w)
+    qh_dev = jnp.asarray(q_hot)
+    k = 100
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def chain_blk(classes, bounds, q_ids, q_w, cols, qh, has_cold, reps: int):
+        def body(i, carry):
+            w_c, acc = carry
+            from frankensearch_tpu.lexical.device_bm25 import _blocked_hot_body
+
+            top_s, top_i, _sk = _blocked_hot_body(
+                classes, bounds, q_ids, w_c, cols, qh, has_cold,
+                k=k, group=MERGE_GROUP, seq_t=SEQ_T_ACCUM,
+            )
+            finite = jnp.where(jnp.isfinite(top_s), top_s, jnp.float32(0.0))
+            delta = jnp.float32(1e-7) * jnp.mean(finite)
+            return (q_w + delta, acc + jnp.sum(finite)
+                    + jnp.sum(top_i).astype(jnp.float32))
+
+        _, acc = jax.lax.fori_loop(0, reps, body, (q_w, jnp.float32(0.0)))
+        return acc
+
+    def timed_blk(reps: int) -> float:
+        t0 = time.perf_counter()
+        acc = chain_blk(blocked.classes, bounds, q_ids, q_w,
+                        cols_dev, qh_dev, hot.has_cold, reps=reps)
+        float(acc)
+        return time.perf_counter() - t0
+
+    timed_blk(r_lo)
+    timed_blk(r_hi)
+    samples = [(timed_blk(r_hi) - timed_blk(r_lo)) / (r_hi - r_lo)
+               for _ in range(3)]
+    per_batch = float(np.median(samples))
+    print(json.dumps({
+        "metric": f"hot_blocked_mixed_{n_docs // 1000}k_b64",
+        "value": round(per_batch * 1e3, 3),
+        "unit": "ms/batch",
+        "ms_per_query": round(per_batch * 1e3 / 64, 4),
+        "tail_postings": p_cold,
+        "blk_build_s": round(blk_build_s, 2),
+        "platform": platform,
+        "samples_ms": [round(s * 1e3, 3) for s in samples],
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()
