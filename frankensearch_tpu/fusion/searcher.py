@@ -473,7 +473,10 @@ class TwoTierSearcher:
             # structures hold only the tail postings; any hot-term query
             # needs the dense head matmul combined in. Hot-less batches
             # pass hot=None and keep the plain programs' exact bits.
+            # Sparse rows compact to TAIL terms (bit-identical under
+            # SEQ_T_ACCUM; halves the blocked step's padded T).
             hot = None
+            has_hot = np.zeros(len(queries), dtype=bool)
             hot_struct = getattr(arm, "_hot", None)
             if hot_struct is not None:
                 from frankensearch_tpu.lexical import hot_arm as _hot_arm
@@ -481,18 +484,28 @@ class TwoTierSearcher:
                 q_hot = _hot_arm.split_hot_rows(
                     hot_struct.hot_row_of, ids, w, hot_struct.h_pad
                 )
-                if (q_hot > 0.0).any():
-                    hot = (
-                        hot_struct.cols,
-                        jnp.asarray(q_hot),
-                        hot_struct.has_cold,
-                    )
+                has_hot = (q_hot > 0.0).any(axis=1)
+                ids, w = _hot_arm.compact_tail_rows(
+                    hot_struct.hot_row_of, ids, w
+                )
+                # always-hot on split corpora (a corpus constant): one
+                # compiled fused variant, and hot-less batches' bits
+                # match anyway (zero q_hot rows add exactly +0.0f)
+                hot = (
+                    hot_struct.cols_phys,
+                    jnp.asarray(q_hot),
+                    hot_struct.cold_cols,
+                    hot_struct.cold_rows,
+                    hot_struct.dmap_groups,
+                )
             # TERM-DRIVEN fused lane: when EVERY query in the batch is
-            # daat-eligible (a pure per-query test — lexical/daat.py),
-            # the lexical arm gathers only the query terms' spans inside
-            # the same program (interactive B=1: 28.7 ms -> ~0.6 ms at
-            # 1M docs). Any ineligible query keeps the whole batch on
-            # the exhaustive kernel (its cost is batch-amortized anyway).
+            # daat-eligible (a pure per-query test — lexical/daat.py;
+            # hot-term queries are never eligible: their hot adds are
+            # contiguous slices on the blocked lane only), the lexical
+            # arm gathers only the query terms' spans inside the same
+            # program (interactive B=1: 28.7 ms -> ~0.6 ms at 1M docs).
+            # Any ineligible query keeps the whole batch on the
+            # exhaustive kernel (its cost is batch-amortized anyway).
             daat_plan = None
             elig = None
             if getattr(arm, "daat_mode", "blocked") == "auto":
@@ -505,7 +518,7 @@ class TwoTierSearcher:
                         total_postings=getattr(
                             arm, "cold_posting_count", arm.posting_count
                         ),
-                    )
+                    ) & ~has_hot
                     if elig.any():
                         # ineligible queries gather nothing (their lane
                         # is the exhaustive kernel); eligibility stays a
@@ -516,24 +529,32 @@ class TwoTierSearcher:
                         if plan[0].size * 128 <= _daat.DAAT_MAX_FUSED_ELEMENTS:
                             daat_plan = tuple(jnp.asarray(x) for x in plan)
             if daat_plan is not None and bool(elig.all()):
+                # all queries pure-tail eligible => hot is None here by
+                # construction (elig excludes has_hot)
                 self.last_phase1_lex_lane = "daat"
                 tm_args = (tm.tm_doc, tm.tm_tf) + daat_plan
                 if embed_args is not None:
                     vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_embed_daat(
-                        *embed_args, fast.slab, mask, *tm_args, hot,
+                        *embed_args, fast.slab, mask, *tm_args,
                         k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode,
                         tile_n=tile_n, t_run=ids.shape[1], d_pad=fast.d_pad,
                     )
                 else:
                     vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_daat(
-                        fast.slab, mask, jnp.asarray(q), *tm_args, hot,
+                        fast.slab, mask, jnp.asarray(q), *tm_args,
                         k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode,
                         tile_n=tile_n, t_run=ids.shape[1],
                     )
             else:
-                bounds = arm._blocked.query_bounds(ids, w)
+                # the flat hot kernel consumes no block-max bounds — skip
+                # the host bound pass entirely on split corpora
+                bounds_list = (
+                    arm._blocked.split_bounds(arm._blocked.query_bounds(ids, w))
+                    if hot is None
+                    else None
+                )
                 lex_args = (
-                    arm._blocked.classes, arm._blocked.split_bounds(bounds),
+                    arm._blocked.classes, bounds_list,
                     jnp.asarray(ids), jnp.asarray(w),
                 )
                 if daat_plan is not None:

@@ -98,20 +98,13 @@ class _GradedClass(NamedTuple):
     doc_map: jax.Array  # (n_blk_c, d_blk_c) i32 GLOBAL doc rows asc; -1 pad
 
 
-def _graded_scan_body(classes, bounds_list, q_ids, q_w, *, k: int,
-                      s_hot=None, hot_qmax=None):
+def _graded_scan_body(classes, bounds_list, q_ids, q_w, *, k: int):
     """The pruned streaming scan over the graded length classes — shared
     by the single-device jit wrapper and the shard_map local body
     (parallel/sharded_bm25.py). Returns ((B, k) scores, GLOBAL rows,
-    skipped).
-
-    HOT ARM (lexical/hot_arm.py): when ``s_hot`` (B, N_pad) dense hot
-    partials are supplied (the layout split removed the head terms'
-    postings from these blocks), every block's scores add the gathered
-    S_hot[:, doc_map] and the skip bound widens by ``hot_qmax`` (B,)
-    (per-query max hot partial — a true upper bound on any doc's hot
-    part, so pruning stays exact). Queries without hot terms have zero
-    rows: x + 0.0f == x, so their bits match the s_hot=None path.
+    skipped). Split-layout (hot-arm) batches use _graded_scan_flat
+    instead — pruning cannot engage there (dense head partials lift
+    every block's bound past the k-th score).
 
     LAYOUT: each block stores d_blk docs padded to a uniform L postings
     (docs are length-graded at build so padding stays small); ``doc_map``
@@ -170,11 +163,6 @@ def _graded_scan_body(classes, bounds_list, q_ids, q_w, *, k: int,
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             )
-            if s_hot is not None:
-                hot_at = jnp.take(s_hot, jnp.maximum(dmap, 0), axis=1)
-                scores = scores + jnp.where(
-                    dmap[None, :] >= 0, hot_at, jnp.float32(0.0)
-                )
             s2, i2 = jax.lax.top_k(scores, kk)
             rows = jnp.take(dmap, i2)  # local winners -> global rows
             return _merge_topk_exact(ts, ti, s2, rows, ts.shape[1])
@@ -185,8 +173,6 @@ def _graded_scan_body(classes, bounds_list, q_ids, q_w, *, k: int,
             f = jnp.take(cls.tf, p, axis=0)
             dmap = jnp.take(cls.doc_map, p, axis=0)
             bound = jnp.take(bnd, p, axis=0)
-            if hot_qmax is not None:
-                bound = bound + hot_qmax
             kth = ts[:, -1]
             # f32 slack guard: bound and real sum round differently
             safe_bound = bound * jnp.float32(1.0 + 1e-6) + jnp.float32(1e-6)
@@ -232,17 +218,31 @@ def _group_block_scores(tb, fb, q_ids, q_w, *, seq_t: bool):
     """(B, G, d) f32 scores for a G-block slab tb/fb of shape (G, d, l).
 
     The gather-free sparse-compare step (see _graded_scan_body SCORING)
-    lifted over a leading group axis. seq_t picks the fixed-order
-    per-term accumulation; otherwise the T axis contracts in one einsum
-    at HIGHEST precision (the shipped formulation)."""
+    lifted over a leading group axis. seq_t picks the CHUNKED-EINSUM
+    fixed-order accumulation: the T axis is processed in fixed
+    T_PAD_GRANULE-wide einsum chunks accumulated sequentially, so score
+    bits are invariant across padded T widths by construction (every
+    batch runs whole chunks in the same order — the property the old
+    per-term loop bought, test_seq_t_invariant_across_padded_widths)
+    while each chunk contracts at einsum speed (the per-term loop
+    measured 4x slower at shallow-L tail shapes:
+    tools/bench_block_step_probe, L=8 on v5e). seq_t=False contracts
+    the whole T axis in one einsum (bits then depend on the padded
+    width — only safe at a fixed global T)."""
     if seq_t:
         b = q_ids.shape[0]
         g, d_c, _ = tb.shape
         scores = jnp.zeros((b, g, d_c), jnp.float32)
-        for j in range(q_ids.shape[1]):
-            hit = tb[None, :, :, :] == q_ids[:, j, None, None, None]
-            mass = jnp.sum(fb[None] * hit.astype(jnp.float32), axis=-1)
-            scores = scores + q_w[:, j, None, None] * mass
+        for j0 in range(0, q_ids.shape[1], T_PAD_GRANULE):
+            ids_c = q_ids[:, j0 : j0 + T_PAD_GRANULE]
+            w_c = q_w[:, j0 : j0 + T_PAD_GRANULE]
+            hit = tb[None, None, :, :, :] == ids_c[:, :, None, None, None]
+            mass = jnp.sum(fb[None, None] * hit.astype(jnp.float32), axis=-1)
+            scores = scores + jnp.einsum(
+                "bj,bjgd->bgd", w_c, mass,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
         return scores
     hit = tb[None, None, :, :, :] == q_ids[:, :, None, None, None]
     mass = jnp.sum(fb[None, None] * hit.astype(jnp.float32), axis=-1)
@@ -255,7 +255,6 @@ def _group_block_scores(tb, fb, q_ids, q_w, *, seq_t: bool):
 
 def _graded_scan_body_grouped(
     classes, bounds_list, q_ids, q_w, *, k: int, group: int, seq_t: bool,
-    s_hot=None, hot_qmax=None,
 ):
     """Merge-amortized variant of _graded_scan_body: each scan step
     scores GROUP blocks with one batched per-block top_k and ONE exact
@@ -291,13 +290,6 @@ def _graded_scan_body_grouped(
             tb = t.reshape(g, d_c, l_c)
             fb = f.reshape(g, d_c, l_c)
             scores = _group_block_scores(tb, fb, q_ids, q_w, seq_t=seq_t)
-            if s_hot is not None:
-                hot_at = jnp.take(
-                    s_hot, jnp.maximum(dmap, 0).reshape(-1), axis=1
-                ).reshape(b, g, d_c)
-                scores = scores + jnp.where(
-                    dmap[None, :, :] >= 0, hot_at, jnp.float32(0.0)
-                )
             # padding lanes gathered block 0's real data: zero them out
             scores = jnp.where(valid[None, :, None], scores, jnp.float32(0.0))
             s2, loc = jax.lax.top_k(scores, kk)  # (B, g, kk), per-block tiebreak
@@ -315,8 +307,6 @@ def _graded_scan_body_grouped(
             f = jnp.take(cls.tf, pidx, axis=0)
             dmap = jnp.take(cls.doc_map, pidx, axis=0)  # (g, d_c)
             bound = jnp.take(bnd, pidx, axis=0)  # (g, B)
-            if hot_qmax is not None:
-                bound = bound + hot_qmax[None, :]
             bound = jnp.where(valid[:, None], bound, jnp.float32(0.0))
             kth = ts[:, -1]
             safe_bound = bound * jnp.float32(1.0 + 1e-6) + jnp.float32(1e-6)
@@ -387,64 +377,166 @@ def _device_bm25_blocked(
     )
 
 
+def _graded_scan_flat(
+    classes, q_ids, q_w, s_phys, dmap_groups, *, k: int, seq_t: bool,
+):
+    """FLAT exhaustive scan over the graded classes for the SPLIT
+    layout: materialize dense per-doc scores (tail mass + contiguous
+    hot slice), reduce to per-128-slot-group (max, row-of-first-max),
+    select the top-k groups per query with ONE two-key sort, gather the
+    winners' 128-slot chunks via leading-axis row takes, and finish
+    with one exact (score desc, row asc) sort. Returns ((B, k) scores,
+    (B, k) GLOBAL rows, skipped=0).
+
+    Why not the pruned carry scan: with the dense head folded in, every
+    block's bound exceeds the running k-th (the head dominates scores),
+    so pruning never fires and its machinery is pure overhead — and the
+    per-block ``lax.top_k`` degenerates at the tail layout's wide
+    shallow blocks (0.46-0.90 ms/block at d_c 10922-32768 vs ~0 at
+    2048; tools/bench_block_step_probe). The flat body pays the compare
+    floor once plus O(total/128) selection work.
+
+    TIE-EXACT GROUP COVERAGE (any group order): select k groups per
+    query by the key (group max desc, row of the group's FIRST max
+    attainer asc). If x=(s, r) is in the exact (score desc, row asc)
+    top-k but its group G is not selected, each of the k selected H has
+    either max_H > max_G >= s (an element strictly beating x) or
+    max_H == max_G with rowofmax_H < rowofmax_G; when max_G == s,
+    rowofmax_G <= r (x attains the max, the first attainer's row is
+    minimal), so H's attainer (s, rowofmax_H) beats x by row — k
+    elements dominate x either way, contradiction. rowofmax is exact:
+    within a block, slots ascend by global row, so argmax's first-index
+    tiebreak lands on the minimal row; rows are unique across groups
+    (each doc lives in exactly one block slot).
+
+    Padding: block slots with row -1 mask to -inf BEFORE grouping (so
+    padding can never displace a real score-0 doc from the selection),
+    and d_c pads to a 128 multiple with (-inf, row -1) lanes; empty
+    groups carry (-inf, -1) keys and sort last.
+    """
+    b = q_ids.shape[0]
+    gmax_parts, grow_parts, score_parts = [], [], []
+    off = 0
+    for cls in classes:
+        n_c, d_c = cls.doc_map.shape
+        l_c = cls.term.shape[1] // d_c
+        gc = -(-d_c // 128)
+        pad = gc * 128 - d_c
+        hots_c = None
+        if s_phys is not None:
+            hots_c = jax.lax.slice_in_dim(
+                s_phys, off, off + n_c * d_c, axis=1
+            ).reshape(b, n_c, d_c)
+        off += n_c * d_c
+
+        def step(carry, p, cls=cls, hots_c=hots_c,
+                 d_c=d_c, l_c=l_c, gc=gc, pad=pad):
+            t = jnp.take(cls.term, p, axis=0)
+            f = jnp.take(cls.tf, p, axis=0)
+            dmap = jnp.take(cls.doc_map, p, axis=0)  # (d_c,)
+            tb = t.reshape(1, d_c, l_c)
+            fb = f.reshape(1, d_c, l_c)
+            scores = _group_block_scores(tb, fb, q_ids, q_w, seq_t=seq_t)[:, 0, :]
+            if hots_c is not None:
+                scores = scores + jax.lax.dynamic_index_in_dim(
+                    hots_c, p, axis=1, keepdims=False
+                )
+            scores = jnp.where(dmap[None, :] >= 0, scores, -jnp.inf)
+            if pad:
+                scores = jnp.pad(
+                    scores, ((0, 0), (0, pad)), constant_values=-jnp.inf
+                )
+                dmap = jnp.pad(dmap, (0, pad), constant_values=-1)
+            sg = scores.reshape(b, gc, 128)
+            gmax = jnp.max(sg, axis=2)
+            am = jnp.argmax(sg, axis=2).astype(jnp.int32)  # first max
+            grow = jnp.take(
+                dmap,
+                jax.lax.broadcasted_iota(jnp.int32, (b, gc), 1) * 128 + am,
+            )
+            return carry, (scores, gmax, grow)
+
+        _, (sc, gm, gr) = jax.lax.scan(
+            step, jnp.int32(0), jnp.arange(n_c, dtype=jnp.int32)
+        )
+        score_parts.append(
+            jnp.transpose(sc.reshape(n_c, b, gc, 128), (1, 0, 2, 3))
+            .reshape(b, n_c * gc, 128)
+        )
+        gmax_parts.append(jnp.transpose(gm, (1, 0, 2)).reshape(b, n_c * gc))
+        grow_parts.append(jnp.transpose(gr, (1, 0, 2)).reshape(b, n_c * gc))
+
+    gmax = jnp.concatenate(gmax_parts, axis=1)  # (B, TG)
+    grow = jnp.concatenate(grow_parts, axis=1)
+    scores_all = jnp.concatenate(score_parts, axis=1)  # (B, TG, 128)
+    tg = gmax.shape[1]
+    kg = min(k, tg)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b, tg), 1)
+    _, _, gid = jax.lax.sort((-gmax, grow, iota), num_keys=2)
+    gid = gid[:, :kg]  # (B, kg) winning group ids
+
+    # leading-axis row takes (the proven fast gather pattern — per-row
+    # take_along_axis measured 249 ms at these volumes)
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, kg), 0) * tg + gid
+    ).reshape(-1)
+    cand_s = jnp.take(
+        scores_all.reshape(b * tg, 128), flat, axis=0
+    ).reshape(b, kg * 128)
+    cand_r = jnp.take(dmap_groups, gid.reshape(-1), axis=0).reshape(b, kg * 128)
+
+    neg_s, out_r = jax.lax.sort((-cand_s, cand_r), num_keys=2)
+    kk = min(k, kg * 128)
+    top_s, top_i = -neg_s[:, :kk], out_r[:, :kk]
+    top_i = jnp.where(jnp.isfinite(top_s), top_i, jnp.int32(-1))
+    top_s = jnp.where(jnp.isfinite(top_s), top_s, -jnp.inf)
+    if kk < k:
+        top_s = jnp.concatenate(
+            [top_s, jnp.full((b, k - kk), -jnp.inf, jnp.float32)], axis=1
+        )
+        top_i = jnp.concatenate(
+            [top_i, jnp.full((b, k - kk), -1, jnp.int32)], axis=1
+        )
+    return top_s, top_i, jnp.int32(0)
+
+
 def _blocked_hot_body(
-    classes, bounds_list, q_ids, q_w, cols, q_hot, has_cold,
-    *, k: int, group: int, seq_t: bool,
+    classes, q_ids, q_w, cols_phys, q_hot, cold_cols, cold_rows, dmap_groups,
+    *, k: int, seq_t: bool = SEQ_T_ACCUM,
 ):
     """Hot-arm exhaustive body (shared by the single-device jit wrapper
-    and the fused phase-1 programs): dense head matmul + the reduced
-    (tail-only) graded scan with in-block hot adds + the cold-less-doc
-    dense tail merge. See lexical/hot_arm.py for the exactness story."""
-    from frankensearch_tpu.lexical.hot_arm import hot_partial
+    and the fused phase-1 programs): dense head matmul in the blocked
+    layout's PHYSICAL slot order + the flat tail scan with in-scan
+    contiguous hot slices + the zero-tail-posting docs' tiny dense
+    merge. See lexical/hot_arm.py for the layout story (and the 249 ms
+    measured-negative gather architecture this replaced); block-max
+    bounds are not consumed — the head partials would defeat pruning."""
+    from frankensearch_tpu.lexical.hot_arm import cold_doc_topk, hot_partial
 
-    b = q_ids.shape[0]
-    s_hot = hot_partial(cols, q_hot)  # (B, N_pad)
-    hot_qmax = jnp.max(s_hot, axis=1)  # (B,) true per-query hot bound
-    if group <= 1 and not seq_t:
-        top_s, top_i, skipped = _graded_scan_body(
-            classes, bounds_list, q_ids, q_w, k=k,
-            s_hot=s_hot, hot_qmax=hot_qmax,
-        )
-    else:
-        top_s, top_i, skipped = _graded_scan_body_grouped(
-            classes, bounds_list, q_ids, q_w, k=k, group=group, seq_t=seq_t,
-            s_hot=s_hot, hot_qmax=hot_qmax,
-        )
-    # docs with zero tail postings never enter any block: they surface
-    # through a dense top-k masked to ~has_cold (no duplicates possible);
-    # score-0 docs are masked too (never results — and a zero-q_hot
-    # query's dense part vanishes, keeping hot-less queries bit-stable)
-    dense = jnp.where(
-        has_cold[None, :] | (s_hot <= 0.0), -jnp.inf, s_hot
+    s_phys = hot_partial(cols_phys, q_hot)  # (B, NP_pad), slot order
+    top_s, top_i, skipped = _graded_scan_flat(
+        classes, q_ids, q_w, s_phys, dmap_groups, k=k, seq_t=seq_t,
     )
-    kk = min(k, dense.shape[1])
-    ds, di = jax.lax.top_k(dense, kk)
-    di = jnp.where(jnp.isfinite(ds), di, jnp.int32(-1))
-    ds = jnp.where(jnp.isfinite(ds), ds, -jnp.inf)
-    if kk < k:
-        ds = jnp.concatenate(
-            [ds, jnp.full((b, k - kk), -jnp.inf, jnp.float32)], axis=1
-        )
-        di = jnp.concatenate(
-            [di, jnp.full((b, k - kk), -1, jnp.int32)], axis=1
-        )
+    ds, di = cold_doc_topk(cold_cols, cold_rows, q_hot, k=k)
     top_s, top_i = _merge_topk_exact(top_s, top_i, ds, di, k)
     return top_s, top_i, skipped
 
 
-@functools.partial(jax.jit, static_argnames=("k", "group", "seq_t"))
+@functools.partial(jax.jit, static_argnames=("k", "seq_t"))
 def _device_bm25_blocked_hot(
-    classes, bounds_list,
+    classes,
     q_ids: jax.Array, q_w: jax.Array,
-    cols: jax.Array,  # (H_pad, N_pad) f32 hot columns
+    cols_phys: jax.Array,  # (H_pad, NP_pad) f32 hot columns, slot order
     q_hot: jax.Array,  # (B, H_pad) f32 hot weight rows
-    has_cold: jax.Array,  # (N_pad,) bool
-    *, k: int, group: int = 1, seq_t: bool = False,
+    cold_cols: jax.Array,  # (H_pad, C_pad) f32
+    cold_rows: jax.Array,  # (C_pad,) i32
+    dmap_groups: jax.Array,  # (TG, 128) i32 group slot -> global row
+    *, k: int, seq_t: bool = SEQ_T_ACCUM,
 ):
     """Exhaustive lane over the SPLIT layout (lexical/hot_arm.py)."""
     return _blocked_hot_body(
-        classes, bounds_list, q_ids, q_w, cols, q_hot, has_cold,
-        k=k, group=group, seq_t=seq_t,
+        classes, q_ids, q_w, cols_phys, q_hot,
+        cold_cols, cold_rows, dmap_groups, k=k, seq_t=seq_t,
     )
 
 
@@ -461,6 +553,11 @@ class _BlockedPostings:
     class_offsets: tuple  # tuple[int], len == len(classes)
     v_pad: int
     n_blk: int = 0
+    #: physical slot order (HOST): global doc row of every class-major
+    #: block slot (-1 on in-block padding). The hot arm's dense columns
+    #: are stored in THIS order so per-block hot adds are contiguous
+    #: slices (lexical/hot_arm.finalize_hot_arm).
+    phys_doc: np.ndarray | None = None  # (Σ_c n_c*d_c,) i64
     #: per-term block-max CSR (HOST arrays — bounds are computed host-side
     #: from a query's handful of terms; argus.rs block-max metadata role):
     #: term t's blocks are bm_blk[bm_ptr[t]:bm_ptr[t+1]] with per-block
@@ -597,6 +694,7 @@ def _build_blocked(
     post_blk = np.zeros(len(terms), dtype=np.int64)  # posting -> global blk
     classes: list[_GradedClass] = []
     class_offsets: list[int] = []
+    phys_parts: list[np.ndarray] = []
     gid = 0
     for l_blk in class_ls:
         blks = by_l[l_blk]
@@ -628,8 +726,12 @@ def _build_blocked(
                 term=jnp.asarray(bt), tf=jnp.asarray(bf), doc_map=jnp.asarray(dm)
             )
         )
+        phys_parts.append(dm.reshape(-1).astype(np.int64))
         gid += n_c
     n_blk = gid
+    phys_doc = (
+        np.concatenate(phys_parts) if phys_parts else np.zeros(0, np.int64)
+    )
 
     # per-(term, global block) max tf-side — the block-max pruning
     # metadata (argus.rs:1-8); grouped max over (term, block) keys
@@ -657,6 +759,7 @@ def _build_blocked(
         class_offsets=tuple(class_offsets),
         v_pad=v_pad,
         n_blk=n_blk,
+        phys_doc=phys_doc,
         bm_ptr=bm_ptr,
         bm_blk=grp_blk,
         bm_max=grp_max,
@@ -689,14 +792,13 @@ def _upload_postings(
     if p >= BLOCKED_THRESHOLD_POSTINGS:
         from frankensearch_tpu.lexical import hot_arm as _hot_arm
 
-        hot = _hot_arm.build_hot_arm(
+        split = _hot_arm.split_postings(
             terms_all, docs_all, tf_all,
             n_docs=index.n_docs, vocab_size=index.vocab_size,
         )
         t_cold, d_cold, f_cold = terms_all, docs_all, tf_all
-        if hot is not None:
-            index._hot = hot
-            cold_sel = hot.hot_row_of[terms_all.astype(np.int64)] < 0
+        if split is not None:
+            cold_sel = split.hot_row_of[terms_all.astype(np.int64)] < 0
             t_cold = terms_all[cold_sel]
             d_cold = docs_all[cold_sel]
             f_cold = tf_all[cold_sel]
@@ -710,6 +812,12 @@ def _upload_postings(
             t_cold, d_cold, f_cold,
             n_docs=index.n_docs, vocab_size=index.vocab_size,
         )
+        if split is not None:
+            # the dense columns reorder into the tail layout's physical
+            # slot order (so in-scan hot adds are contiguous slices)
+            index._hot = _hot_arm.finalize_hot_arm(
+                split, index._blocked, index.n_docs
+            )
         index._post_term = index._post_doc = index._post_tf = None
         return
     index._blocked = None
@@ -855,14 +963,14 @@ class DeviceBm25Index(LexicalRead):
             self._daat = tm
         return tm
 
-    def _search_daat_chunks(
-        self, ids: np.ndarray, w: np.ndarray, k: int, q_hot: np.ndarray | None = None
-    ) -> list:
+    def _search_daat_chunks(self, ids: np.ndarray, w: np.ndarray, k: int) -> list:
         """Device results for the term-driven lane, chunked so the gather
         slab stays bounded. Returns a list of ((b_real, k) s, i) DEVICE
         pairs (fetch stays the caller's single batched device_get).
-        ``q_hot`` (B, H_pad) routes the chunk through the hot-combined
-        kernel (lexical/hot_arm.py) when the split layout is active."""
+        PURE-TAIL queries only: hot-term queries always ride the blocked
+        lane, whose hot adds are contiguous slices (the gather-at-doc-
+        keys DAAT combine measured 249 ms/batch at 1M — retired to
+        ops/ab_primitives.hot_daat_topk_ab with its evidence)."""
         from frankensearch_tpu.lexical import daat as _daat
 
         tm = self._term_major()
@@ -870,17 +978,12 @@ class DeviceBm25Index(LexicalRead):
         for c0 in range(0, ids.shape[0], _daat.DAAT_CHUNK_QUERIES):
             cids = ids[c0 : c0 + _daat.DAAT_CHUNK_QUERIES]
             cw = w[c0 : c0 + _daat.DAAT_CHUNK_QUERIES]
-            chot = None if q_hot is None else q_hot[c0 : c0 + _daat.DAAT_CHUNK_QUERIES]
             b_real = cids.shape[0]
             b_pad = max(_round_up(b_real, 8), 8)
             if b_pad != b_real:
                 rep = b_pad - b_real
                 cids = np.concatenate([cids, np.repeat(cids[:1], rep, axis=0)])
                 cw = np.concatenate([cw, np.repeat(cw[:1], rep, axis=0)])
-                if chot is not None:
-                    chot = np.concatenate(
-                        [chot, np.repeat(chot[:1], rep, axis=0)]
-                    )
             row_idx, row_w, span_lo, span_hi = _daat.build_gather_plan(
                 tm.ptr, cids, cw
             )
@@ -888,17 +991,9 @@ class DeviceBm25Index(LexicalRead):
                 jnp.asarray(row_idx), jnp.asarray(row_w),
                 jnp.asarray(span_lo), jnp.asarray(span_hi),
             )
-            if chot is None:
-                top_s, top_i = _daat.daat_topk(
-                    tm.tm_doc, tm.tm_tf, *plan, k=k, t_run=cids.shape[1]
-                )
-            else:
-                from frankensearch_tpu.lexical.hot_arm import hot_daat_topk
-
-                top_s, top_i = hot_daat_topk(
-                    self._hot.cols, jnp.asarray(chot),
-                    tm.tm_doc, tm.tm_tf, *plan, k=k, t_run=cids.shape[1],
-                )
+            top_s, top_i = _daat.daat_topk(
+                tm.tm_doc, tm.tm_tf, *plan, k=k, t_run=cids.shape[1]
+            )
             out.append((top_s[:b_real], top_i[:b_real]))
         return out
 
@@ -906,32 +1001,30 @@ class DeviceBm25Index(LexicalRead):
         self, ids: np.ndarray, w: np.ndarray, k: int, q_hot: np.ndarray | None = None
     ):
         """One exhaustive blocked-kernel call; returns (s, i) DEVICE pair.
-        ``q_hot`` (B, H_pad) routes through the hot-aware kernel when the
-        split layout is active AND the sub-batch touches any hot term
-        (an all-cold sub-batch is bit-identical on the plain kernel —
-        its hot adds would all be +0.0f)."""
-        bounds = self._blocked.query_bounds(ids, w)
+        ``q_hot`` (B, H_pad) routes through the hot-aware FLAT kernel
+        whenever the split layout is active — a corpus constant, so the
+        kernel choice (and thus every query's score bits) never depends
+        on the sub-batch's composition. The flat kernel consumes no
+        block-max bounds (the head partials would defeat pruning), so
+        the host bound pass is skipped entirely there."""
         # pad B to a multiple of 8 by repeating query 0 (results
         # discarded): bounds every small-batch jit variant to one
         # compiled width, which also keeps the sparse-compare step's
-        # l-reduction order — and thus scores — bit-identical
+        # chunk-reduction order — and thus scores — bit-identical
         # between a solo query and the same query inside a batch
         b_real = ids.shape[0]
         b_pad = max(_round_up(b_real, 8), 8)
-        if q_hot is not None and not (q_hot > 0.0).any():
-            q_hot = None
+        hot = getattr(self, "_hot", None)
         if b_pad != b_real:
             rep = b_pad - b_real
             ids = np.concatenate([ids, np.repeat(ids[:1], rep, axis=0)])
             w = np.concatenate([w, np.repeat(w[:1], rep, axis=0)])
-            bounds = np.concatenate(
-                [bounds, np.repeat(bounds[:, :1], rep, axis=1)], axis=1
-            )
             if q_hot is not None:
                 q_hot = np.concatenate(
                     [q_hot, np.repeat(q_hot[:1], rep, axis=0)]
                 )
-        if q_hot is None:
+        if hot is None:
+            bounds = self._blocked.query_bounds(ids, w)
             top_s, top_i, skipped = _device_bm25_blocked(
                 self._blocked.classes,
                 self._blocked.split_bounds(bounds),
@@ -939,12 +1032,14 @@ class DeviceBm25Index(LexicalRead):
                 k=k, group=MERGE_GROUP, seq_t=SEQ_T_ACCUM,
             )
         else:
+            if q_hot is None:
+                q_hot = np.zeros((b_pad, hot.h_pad), dtype=np.float32)
             top_s, top_i, skipped = _device_bm25_blocked_hot(
                 self._blocked.classes,
-                self._blocked.split_bounds(bounds),
                 jnp.asarray(ids), jnp.asarray(w),
-                self._hot.cols, jnp.asarray(q_hot), self._hot.has_cold,
-                k=k, group=MERGE_GROUP, seq_t=SEQ_T_ACCUM,
+                hot.cols_phys, jnp.asarray(q_hot),
+                hot.cold_cols, hot.cold_rows, hot.dmap_groups,
+                k=k, seq_t=SEQ_T_ACCUM,
             )
         self.last_blocks_skipped = int(skipped)
         return top_s[:b_real], top_i[:b_real]
@@ -970,35 +1065,35 @@ class DeviceBm25Index(LexicalRead):
                     hot.hot_row_of, ids, w, hot.h_pad
                 )
                 has_hot = (q_hot_all > 0.0).any(axis=1)
+                # the tail structures hold no hot postings: compact the
+                # sparse rows to TAIL terms only (halves the blocked
+                # compare step's padded T on zipf-mixed queries; scores
+                # are bit-identical under the SEQ_T_ACCUM discipline —
+                # dropped hot terms contributed exactly +0.0f)
+                ids, w = _hot_arm.compact_tail_rows(hot.hot_row_of, ids, w)
             tm = self._term_major() if self.daat_mode != "blocked" else None
             if tm is None:
                 take_daat = np.zeros(n, dtype=bool)
             elif self.daat_mode == "daat":
-                take_daat = np.ones(n, dtype=bool)
+                take_daat = ~has_hot
             else:
                 # PER-QUERY crossover (pure function of the query's own
-                # Σ df over the TAIL CSR — hot spans are empty there):
-                # a query's lane — hence its f32 summation order and
-                # score bits — never depends on its batchmates
+                # Σ df over the TAIL CSR plus the corpus-constant hot
+                # set): a query's lane — hence its f32 summation order
+                # and score bits — never depends on its batchmates.
+                # Hot-term queries always ride the blocked lane (their
+                # hot adds are contiguous slices there; the DAAT
+                # gather-combine is the retired 249 ms architecture).
                 take_daat = _daat.daat_eligible(
                     tm.ptr, ids, w, total_postings=self.cold_posting_count
-                )
+                ) & ~has_hot
             self.last_blocks_skipped = 0
             self.last_hot_queries = int(has_hot.sum())
             pieces: list = []  # (dest rows, device s, device i)
-            # term-driven sub-batches split by hot-term presence (both
-            # pure per-query): hot-less queries skip the matmul entirely
-            # (bit-identical — their q_hot row would be all-zero)
-            for daat_sel, use_hot in (
-                (take_daat & ~has_hot, False),
-                (take_daat & has_hot, True),
-            ):
-                if not daat_sel.any():
-                    continue
-                sel = np.flatnonzero(daat_sel)
-                qh = q_hot_all[sel] if use_hot else None
+            if take_daat.any():
+                sel = np.flatnonzero(take_daat)
                 for ci, pair in enumerate(
-                    self._search_daat_chunks(ids[sel], w[sel], k, q_hot=qh)
+                    self._search_daat_chunks(ids[sel], w[sel], k)
                 ):
                     rows = sel[
                         ci * _daat.DAAT_CHUNK_QUERIES :

@@ -5,7 +5,7 @@ proportional to the query's own postings on EVERY query class via
 cursor trees + block-max metadata (crates/frankensearch-quill/src/
 argus.rs:1-8). The TPU DAAT lane (lexical/daat.py) covers rare/mid
 terms, but a zipf corpus concentrates postings in a tiny head: at the
-1M-doc product world, the top ~128 terms hold ~69% of all 120M
+1M-doc product world the top ~256 terms hold ~85% of all 120M
 postings, so every 16-term zipf-mixed query contains a common term and
 the whole batch used to fall back to the exhaustive kernel (129 ms at
 B=64 — PERF_LEDGER r4, the unmet VERDICT r3 acceptance).
@@ -14,40 +14,38 @@ This module is the TPU-native answer for the HEAD (VERDICT r4 next #1):
 
   LAYOUT SPLIT (built once, a corpus constant): terms whose posting
   count ≥ P // HOT_DF_DIVISOR become HOT. Their per-doc tf-side
-  contributions densify into
+  contributions densify into columns scored by ONE (B, H)·(H, N) f32
+  MXU matmul per batch, and their postings are REMOVED from both tail
+  structures (the blocked exhaustive layout and the term-major DAAT
+  CSR), which shrink to the zipf tail. Queries also split: hot terms
+  become a dense (B, H_pad) weight row; tail terms COMPACT to the left
+  (compact_tail_rows), roughly halving the padded T width the blocked
+  compare step pays.
 
-      cols (H_pad, N_pad) f32   cols[h, d] = tf_side(hot term h, doc d)
+  PHYSICAL COLUMN ORDER (the r5 second rework): the dense columns are
+  stored in the blocked layout's own graded slot order —
+  ``cols_phys[h, slot]`` where ``slot`` walks class-major over every
+  block's doc_map — so the per-block hot add inside the streaming scan
+  is a contiguous dynamic slice of the (B, N_phys) hot-partial matrix.
+  The first shipped architecture kept global doc order and GATHERED
+  the hot partial at per-block doc maps / DAAT doc keys; measured on
+  v5e (tools/bench_dense_topk_probe, 2026-08-19): a (64, 262144)
+  row-wise take_along_axis from a (64, 1M) f32 matrix costs **249 ms**
+  (XLA scalarizes it) and a dense (64, 1M) lax.top_k **19.5 ms** —
+  both off any ≤20 ms batch path. Slices cost neither.
 
-  and their postings are REMOVED from both tail structures (the blocked
-  exhaustive layout and the term-major DAAT CSR), which shrink to the
-  zipf tail (~31% of P). ``has_cold`` marks docs that still own ≥1 tail
-  posting (docs made of only hot terms would otherwise be unreachable
-  by the tail kernels).
+  Docs with ZERO tail postings never enter any block; their columns
+  live separately (``cold_cols``/``cold_rows``, global rows ascending)
+  and surface through a tiny (B, C) dense top-k merged exactly.
 
-  QUERY: a query's hot terms become a dense weight row q_hot (B, H_pad)
-  and their partial scores are ONE (B, H)·(H, N) f32 matmul on the MXU
-  (~1 ms class at 1M docs vs 129 ms exhaustive). Tail terms ride the
-  existing lanes (DAAT gather or the now-3x-smaller exhaustive scan).
-  The hot part is a LAYOUT property, not a lane: every lane adds it.
-
-  COMBINE (exact, no scatter): the dense partial S_hot is materialized
-  once per program;
-  - DAAT lane: tail run sums gather S_hot at their (sorted) doc keys —
-    total = run_sum + S_hot[b, doc], hot part added last in one f32 add
-    (the pinned combine order). Docs with NO tail contribution for this
-    query surface through a dense lax.top_k over S_hot whose entries
-    are deduped against the tail doc keys post-top-k (a sorted-
-    membership searchsorted; exact — see the dominance argument in
-    hot_daat_topk).
-  - exhaustive lane: each block's scores add the gathered
-    S_hot[:, doc_map] before its top-k, block-max bounds widen by the
-    per-query hot maximum, and cold-less docs merge in via a dense
-    top_k masked to ~has_cold (device_bm25._device_bm25_blocked_hot).
-
-Dispatch stays a PURE per-query function (the hot set is a corpus
-constant; tail eligibility reads the tail CSR whose hot spans are
-empty), so a query's lane — and its score bits — never depend on its
-batchmates: the solo-vs-batch bit-parity contract survives.
+  DISPATCH: queries containing ≥1 hot term always ride the blocked
+  lane (hot adds are slices there); the term-driven DAAT lane keeps
+  serving PURE-TAIL queries bit-identically to the pre-split layout
+  (its gather-at-doc-keys hot combine was the 249 ms architecture —
+  retired to ops/ab_primitives with its evidence). Both tests are pure
+  per-query functions (the hot set is a corpus constant), so a query's
+  lane — and its score bits — never depend on its batchmates: the
+  solo-vs-batch bit-parity contract survives.
 
 Exactness contract: hot-lane scores are rank-conformant with the CPU
 oracle within f32 tie tolerance (the MXU contraction order over H
@@ -55,27 +53,25 @@ differs from the oracle's sequential order — same contract class as
 the original device/oracle conformance), and bit-deterministic across
 batch widths for a fixed corpus (pinned by tests). Queries with no hot
 terms are bit-identical to the pure tail lanes (their q_hot row is
-zero, and x + 0.0f == x for every finite/−inf score).
+zero, and x + 0.0f == x for every finite score here, all sums of
+non-negative products).
 """
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from frankensearch_tpu.lexical.daat import gathered_runs
-
 #: a term is HOT when its posting count ≥ total_postings // divisor.
-#: Derivation: tail eligibility demands a query's Σ df(tail terms)
-#: < P_tail / 128 (lexical/daat.DAAT_CROSSOVER_DIVISOR); with ≤16 query
-#: terms each bounded by P/2048, the residual sum stays under P/128, so
-#: the zipf-mixed product batch is term-driven by construction. At the
-#: 1M-doc zipf(1.3) world this selects ~123 terms (~69% of postings).
-HOT_DF_DIVISOR = 2048
+#: 8192 selects the whole affordable head: at the 1M-doc zipf(1.3)
+#: product world ~357 terms qualify (capped at 256 by HOT_MAX_BYTES),
+#: moving ~85% of postings into the dense columns — the blocked tail
+#: scan's cost (∝ tail postings × padded query terms) drops ~6x
+#: combined with tail compaction.
+HOT_DF_DIVISOR = 8192
 
 #: hard cap on the dense head width (memory gate, MXU lane granule 8)
 HOT_MAX_TERMS = 512
@@ -96,37 +92,57 @@ def _round_up(x: int, m: int) -> int:
 
 
 @dataclass
-class HotArm:
-    """Dense head columns + host routing tables (a corpus constant)."""
+class HotSplit:
+    """Host-side head selection (phase 1 of the build: picked BEFORE the
+    blocked tail layout exists, consumed by finalize_hot_arm after)."""
 
-    cols: jax.Array  # (H_pad, N_pad) f32 device
-    has_cold: jax.Array  # (N_pad,) bool device: doc owns ≥1 tail posting
+    hot_row_of: np.ndarray  # (V,) i32, -1 when the term is not hot
+    cols_np: np.ndarray  # (H_pad, N) f32 GLOBAL doc order (host only)
+    n_hot: int
+
+    @property
+    def h_pad(self) -> int:
+        return int(self.cols_np.shape[0])
+
+
+@dataclass
+class HotArm:
+    """Device arm: graded-physical dense columns + host routing tables."""
+
+    cols_phys: jax.Array  # (H_pad, NP_pad) f32, blocked slot order
+    cold_cols: jax.Array  # (H_pad, C_pad) f32, zero-tail-posting docs
+    cold_rows: jax.Array  # (C_pad,) i32 GLOBAL rows ascending, -1 pad
+    #: (TG, 128) i32: global row of every 128-slot GROUP slot, class-
+    #: major in the same order the flat scan emits groups (-1 padding) —
+    #: the candidate-row table of device_bm25._graded_scan_flat
+    dmap_groups: jax.Array
     hot_row_of: np.ndarray  # (V,) i32 host, -1 when the term is not hot
     n_hot: int
     n_docs: int
 
     @property
     def h_pad(self) -> int:
-        return int(self.cols.shape[0])
-
-    @property
-    def n_pad(self) -> int:
-        return int(self.cols.shape[1])
+        return int(self.cols_phys.shape[0])
 
     @property
     def hbm_bytes(self) -> int:
-        return int(self.cols.size) * 4 + int(self.has_cold.size)
+        return (
+            int(self.cols_phys.size)
+            + int(self.cold_cols.size)
+            + int(self.cold_rows.size)
+            + int(self.dmap_groups.size)
+        ) * 4
 
 
-def build_hot_arm(
+def split_postings(
     terms_all: np.ndarray,
     docs_all: np.ndarray,
     tf_all: np.ndarray,
     *,
     n_docs: int,
     vocab_size: int,
-) -> HotArm | None:
-    """Pick the head of the df distribution and densify it.
+) -> HotSplit | None:
+    """Pick the head of the df distribution and densify it (host).
 
     Returns None when no term qualifies, the corpus is below
     HOT_MIN_POSTINGS, or the dense columns cannot fit HOT_MAX_BYTES
@@ -156,21 +172,63 @@ def build_hot_arm(
 
     rows = hot_row_of[terms_all]
     sel = rows >= 0
-    cols = np.zeros((h_pad, n_pad), dtype=np.float32)
+    cols = np.zeros((h_pad, n_docs), dtype=np.float32)
     # one value per (term, doc) in real builds (term ids are field-
     # namespaced and tf aggregates per field at build); add.at keeps
     # synthetic duplicate postings additive like the tail kernels
     np.add.at(cols, (rows[sel], docs_all[sel].astype(np.int64)), tf_all[sel])
+    return HotSplit(hot_row_of=hot_row_of, cols_np=cols, n_hot=h)
 
-    cold_docs = docs_all[~sel].astype(np.int64)
-    has_cold = np.zeros(n_pad, dtype=bool)
-    if len(cold_docs):
-        has_cold[np.unique(cold_docs)] = True
+
+def finalize_hot_arm(split: HotSplit, blocked, n_docs: int) -> HotArm:
+    """Reorder the head columns into the blocked layout's physical slot
+    order (host-side — zero device gathers at query time) and extract
+    the zero-tail-posting docs' columns.
+
+    ``blocked`` is the tail _BlockedPostings; its ``phys_doc`` maps
+    physical slot → global row (-1 on block padding slots)."""
+    phys_doc = blocked.phys_doc
+    n_phys = len(phys_doc)
+    np_pad = max(_round_up(max(n_phys, 1), 128), 128)
+    cols_phys = np.zeros((split.h_pad, np_pad), dtype=np.float32)
+    real = phys_doc >= 0
+    cols_phys[:, np.flatnonzero(real)] = split.cols_np[:, phys_doc[real]]
+
+    # per-128-slot-group row table in the flat scan's emission order:
+    # class-major, block-major, each block's d_c padded to a 128 multiple
+    group_parts: list[np.ndarray] = []
+    off = 0
+    for cls in blocked.classes:
+        n_c, d_c = cls.doc_map.shape
+        gc = -(-d_c // 128)
+        dm = phys_doc[off : off + n_c * d_c].reshape(n_c, d_c)
+        dmp = np.full((n_c, gc * 128), -1, dtype=np.int32)
+        dmp[:, :d_c] = dm
+        group_parts.append(dmp.reshape(n_c * gc, 128))
+        off += n_c * d_c
+    dmap_groups = (
+        np.concatenate(group_parts)
+        if group_parts
+        else np.full((1, 128), -1, np.int32)
+    )
+
+    in_blocks = np.zeros(n_docs, dtype=bool)
+    in_blocks[phys_doc[real]] = True
+    cold = np.flatnonzero(~in_blocks).astype(np.int64)  # ascending rows
+    c_pad = max(_round_up(max(len(cold), 1), 128), 128)
+    cold_cols = np.zeros((split.h_pad, c_pad), dtype=np.float32)
+    if len(cold):
+        cold_cols[:, : len(cold)] = split.cols_np[:, cold]
+    cold_rows = np.full(c_pad, -1, dtype=np.int32)
+    cold_rows[: len(cold)] = cold
+
     return HotArm(
-        cols=jnp.asarray(cols),
-        has_cold=jnp.asarray(has_cold),
-        hot_row_of=hot_row_of,
-        n_hot=h,
+        cols_phys=jnp.asarray(cols_phys),
+        cold_cols=jnp.asarray(cold_cols),
+        cold_rows=jnp.asarray(cold_rows),
+        dmap_groups=jnp.asarray(dmap_groups),
+        hot_row_of=split.hot_row_of,
+        n_hot=split.n_hot,
         n_docs=n_docs,
     )
 
@@ -178,11 +236,7 @@ def build_hot_arm(
 def split_hot_rows(
     hot_row_of: np.ndarray, ids: np.ndarray, w: np.ndarray, h_pad: int
 ) -> np.ndarray:
-    """(B, T) sparse query rows → (B, H_pad) dense hot weight rows.
-
-    ``ids``/``w`` pass through UNCHANGED to the tail lanes: the tail CSR
-    and the reduced blocked layout simply contain no postings for hot
-    terms, so their tail contribution is structurally zero."""
+    """(B, T) sparse query rows → (B, H_pad) dense hot weight rows."""
     b = ids.shape[0]
     q_hot = np.zeros((b, h_pad), dtype=np.float32)
     rows = hot_row_of[ids.astype(np.int64)]
@@ -193,8 +247,42 @@ def split_hot_rows(
     return q_hot
 
 
+def compact_tail_rows(
+    hot_row_of: np.ndarray,
+    ids: np.ndarray,
+    w: np.ndarray,
+    granule: int = 8,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(B, T) sparse query rows → (B, T_tail) TAIL-ONLY rows, left-packed
+    in original term order and re-padded to ``granule``.
+
+    The blocked compare step's cost is ∝ padded query terms × posting
+    slots; hot terms match nothing in the tail blocks (their postings
+    were removed), so keeping them in the rows was pure waste — on a
+    16-term zipf query ~13 of 16 terms are hot and T drops 16 → 8.
+    Bit-safety: the shipped SEQ_T_ACCUM step accumulates terms
+    sequentially in row order, and dropped hot terms contributed exactly
+    +0.0f (zero mass), so compacted scores are bit-identical; scores are
+    also invariant across padded T widths by the same discipline
+    (test_seq_t_invariant_across_padded_widths)."""
+    b, t = ids.shape
+    is_tail = (hot_row_of[ids.astype(np.int64)] < 0) & (w > 0.0)
+    counts = is_tail.sum(axis=1).astype(np.int64)
+    t_tail = int(counts.max()) if b else 0
+    t_pad = max(_round_up(max(t_tail, 1), granule), granule)
+    out_ids = np.zeros((b, t_pad), dtype=np.int32)
+    out_w = np.zeros((b, t_pad), dtype=np.float32)
+    bi, _ = np.nonzero(is_tail)
+    if len(bi):
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = np.arange(len(bi), dtype=np.int64) - starts[bi]
+        out_ids[bi, pos] = ids[is_tail]
+        out_w[bi, pos] = w[is_tail]
+    return out_ids, out_w
+
+
 def hot_partial(cols: jax.Array, q_hot: jax.Array) -> jax.Array:
-    """(B, N_pad) dense hot partial scores — ONE MXU matmul, f32 exact
+    """(B, N) dense hot partial scores — ONE MXU matmul, f32 exact
     accumulation. A query row depends only on its own q_hot row, so
     per-query bits are batch-independent at a fixed compiled width."""
     return jnp.dot(
@@ -205,90 +293,37 @@ def hot_partial(cols: jax.Array, q_hot: jax.Array) -> jax.Array:
     )
 
 
-def hot_daat_body(
-    cols: jax.Array,  # (H_pad, N_pad) f32
+def cold_doc_topk(
+    cold_cols: jax.Array,  # (H_pad, C_pad) f32
+    cold_rows: jax.Array,  # (C_pad,) i32 global rows asc, -1 pad
     q_hot: jax.Array,  # (B, H_pad) f32
-    tm_doc: jax.Array,  # (P_pad/128, 128) i32 TAIL term-major tiles
-    tm_tf: jax.Array,  # (P_pad/128, 128) f32
-    row_idx: jax.Array,  # (B, R) i32 tail gather plan
-    row_w: jax.Array,  # (B, R) f32
-    span_lo: jax.Array,  # (B, R) i32
-    span_hi: jax.Array,  # (B, R) i32
     *,
     k: int,
-    t_run: int,
 ):
-    """Hot matmul + tail DAAT gather, combined exactly without scatter.
-    Non-jitted body shared by the standalone jit wrapper below and the
-    fused phase-1 programs (ops/hybrid_phase1.py).
+    """Exact top-k over the zero-tail-posting docs' hot scores.
 
-    Exactness of the dense/sparse merge: every doc with a tail
-    contribution for this query appears in the gathered runs with its
-    FULL total (run_sum + S_hot at its key, hot added last — the pinned
-    combine order). A doc with no tail contribution can only enter the
-    final top-k if it survives the dense top-k over S_hot: if it does
-    not, ≥ k docs dominate it by (hot score, doc asc), and each of
-    those dominates it by (total, doc asc) too (totals ≥ own hot part,
-    tail contributions being strictly positive). Dense candidates whose
-    doc also appears in the runs are dropped post-top-k (their entry
-    understates the total; the run entry is authoritative) — dropping
-    them cannot un-dominate anything, so the merge stays exact.
-    Returns ((B, k) scores, (B, k) doc rows, -1 invalid).
-    """
-    b, r = row_idx.shape
-    n_pad = cols.shape[1]
-    s_hot = hot_partial(cols, q_hot)  # (B, N_pad)
-
-    sd, run_score = gathered_runs(
-        tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, t_run
+    These docs never enter any tail block, so the streaming scan cannot
+    surface them; C is tiny in practice (docs made entirely of head
+    terms). Ties break (score desc, row asc) because cold_rows ascend
+    and lax.top_k prefers the first index among equals. Score-0 docs
+    mask out (the oracle never returns them — and a zero-q_hot query's
+    cold arm vanishes entirely, keeping hot-less queries bit-stable).
+    Returns ((B, k) scores, (B, k) global rows, -inf/-1 padded)."""
+    b = q_hot.shape[0]
+    s_cold = hot_partial(cold_cols, q_hot)  # (B, C_pad)
+    s_cold = jnp.where(
+        (cold_rows[None, :] >= 0) & (s_cold > 0.0), s_cold, -jnp.inf
     )
-    # totals: -inf (non-run-starts / padding) + gathered garbage = -inf
-    hot_at = jnp.take_along_axis(
-        s_hot, jnp.minimum(sd, jnp.int32(n_pad - 1)), axis=1
-    )
-    totals = run_score + hot_at
-    kk_run = min(k, sd.shape[1])
-    tail_s, tail_pos = jax.lax.top_k(totals, kk_run)
-    tail_d = jnp.take_along_axis(sd, tail_pos, axis=1)
-    tail_d = jnp.where(jnp.isfinite(tail_s), tail_d, jnp.int32(-1))
-    tail_s = jnp.where(jnp.isfinite(tail_s), tail_s, -jnp.inf)
-    if kk_run < k:
-        tail_s = jnp.concatenate(
-            [tail_s, jnp.full((b, k - kk_run), -jnp.inf, jnp.float32)], axis=1
+    kk = min(k, s_cold.shape[1])
+    ds, pos = jax.lax.top_k(s_cold, kk)
+    di = jnp.take(cold_rows, pos)
+    di = jnp.where(jnp.isfinite(ds), di, jnp.int32(-1))
+    ds = jnp.where(jnp.isfinite(ds), ds, -jnp.inf)
+    if kk < k:
+        ds = jnp.concatenate(
+            [ds, jnp.full((b, k - kk), -jnp.inf, jnp.float32)], axis=1
         )
-        tail_d = jnp.concatenate(
-            [tail_d, jnp.full((b, k - kk_run), -1, jnp.int32)], axis=1
+        di = jnp.concatenate(
+            [di, jnp.full((b, k - kk), -1, jnp.int32)], axis=1
         )
-
-    kk_dense = min(k, n_pad)
-    # a doc belongs in results only with a strictly positive score (the
-    # oracle never returns score-0 docs); masking s_hot <= 0 also makes a
-    # zero-q_hot query's dense part vanish entirely, so hot-less queries
-    # inside a hot batch keep bit-identical merged arrays
-    dense_s, dense_d = jax.lax.top_k(
-        jnp.where(s_hot > 0.0, s_hot, -jnp.inf), kk_dense
-    )
-    # post-top-k dedup: drop dense entries whose doc has a tail run
-    pos = jax.vmap(lambda a, v: jnp.searchsorted(a, v))(sd, dense_d)
-    found = jnp.take_along_axis(
-        sd, jnp.minimum(pos, jnp.int32(sd.shape[1] - 1)), axis=1
-    )
-    member = found == dense_d
-    dense_s = jnp.where(member, -jnp.inf, dense_s)
-    dense_d = jnp.where(member, jnp.int32(-1), dense_d)
-    if kk_dense < k:
-        dense_s = jnp.concatenate(
-            [dense_s, jnp.full((b, k - kk_dense), -jnp.inf, jnp.float32)], axis=1
-        )
-        dense_d = jnp.concatenate(
-            [dense_d, jnp.full((b, k - kk_dense), -1, jnp.int32)], axis=1
-        )
-
-    from frankensearch_tpu.lexical.device_bm25 import _merge_topk_exact
-
-    return _merge_topk_exact(tail_s, tail_d, dense_s, dense_d, k)
-
-
-hot_daat_topk = functools.partial(jax.jit, static_argnames=("k", "t_run"))(
-    hot_daat_body
-)
+    return ds, di

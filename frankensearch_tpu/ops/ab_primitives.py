@@ -19,6 +19,12 @@ Contents:
   (PERF_LEDGER: per-block cost is B-independent/HBM-bound, so B=8
   sub-batches scan blocks 8x less efficiently than one B=64 pass;
   formerly config ``lexical_selectivity_grouping``).
+- :func:`hot_daat_topk_ab` — the term-driven lane's hot combine
+  (gather dense hot partials at tail doc keys + dense 1M top-k):
+  249 ms/batch of scalarized gather + 19.5 ms of dense lax.top_k at
+  1M/B=64 (tools/bench_dense_topk_probe, PERF_LEDGER r5); hot-term
+  queries now ride the blocked lane whose physical column order makes
+  the hot add a contiguous slice.
 
 All remain bit-equal to their product counterparts — the tests in
 tests/test_ops_scan.py / tests/test_device_bm25.py pin that.
@@ -316,3 +322,95 @@ def grouped_blocked_dispatch(index, ids, w, bounds, k: int):
     run(broad)
     index.last_blocks_skipped = total_skipped
     return out_s, out_i
+
+
+def hot_daat_topk_ab(
+    cols: jax.Array,  # (H_pad, N_pad) f32 hot columns, GLOBAL doc order
+    q_hot: jax.Array,  # (B, H_pad) f32
+    tm_doc: jax.Array,  # (P_pad/128, 128) i32 TAIL term-major tiles
+    tm_tf: jax.Array,  # (P_pad/128, 128) f32
+    row_idx: jax.Array,  # (B, R) i32 tail gather plan
+    row_w: jax.Array,  # (B, R) f32
+    span_lo: jax.Array,  # (B, R) i32
+    span_hi: jax.Array,  # (B, R) i32
+    *,
+    k: int,
+    t_run: int,
+):
+    """RETIRED r5: the term-driven lane's hot combine — gather the dense
+    hot partial at the tail runs' doc keys, dense-top-k the hot matrix
+    for tail-less docs, dedup by sorted membership, exact merge.
+
+    Measured on v5e at 1M docs (tools/bench_dense_topk_probe +
+    bench_hot_arm, 2026-08-19): the (B=64, 262144) row-wise
+    take_along_axis from the (64, 1M) f32 hot matrix costs **249 ms**
+    (XLA scalarizes per-row gathers) and the dense (64, 1M) lax.top_k
+    **19.5 ms** — the full lane measured 406 ms/batch vs the blocked
+    split layout's in-scan slice adds. Product dispatch now routes every
+    hot-term query to the blocked lane (lexical/device_bm25.py), whose
+    physical-slot column order makes the hot add a contiguous
+    dynamic slice instead. Kept importable for the parity tests: the
+    merge itself is exact (dominance argument below).
+
+    Exactness of the dense/sparse merge: every doc with a tail
+    contribution for this query appears in the gathered runs with its
+    FULL total (run_sum + S_hot at its key, hot added last — the pinned
+    combine order). A doc with no tail contribution can only enter the
+    final top-k if it survives the dense top-k over S_hot: if it does
+    not, >= k docs dominate it by (hot score, doc asc), and each of
+    those dominates it by (total, doc asc) too (totals >= own hot part,
+    tail contributions being strictly positive). Dense candidates whose
+    doc also appears in the runs are dropped post-top-k (their entry
+    understates the total; the run entry is authoritative) — dropping
+    them cannot un-dominate anything, so the merge stays exact.
+    Returns ((B, k) scores, (B, k) doc rows, -1 invalid).
+    """
+    from frankensearch_tpu.lexical.daat import gathered_runs
+    from frankensearch_tpu.lexical.device_bm25 import _merge_topk_exact
+    from frankensearch_tpu.lexical.hot_arm import hot_partial
+
+    b, r = row_idx.shape
+    n_pad = cols.shape[1]
+    s_hot = hot_partial(cols, q_hot)  # (B, N_pad)
+
+    sd, run_score = gathered_runs(
+        tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, t_run
+    )
+    # totals: -inf (non-run-starts / padding) + gathered garbage = -inf
+    hot_at = jnp.take_along_axis(
+        s_hot, jnp.minimum(sd, jnp.int32(n_pad - 1)), axis=1
+    )
+    totals = run_score + hot_at
+    kk_run = min(k, sd.shape[1])
+    tail_s, tail_pos = jax.lax.top_k(totals, kk_run)
+    tail_d = jnp.take_along_axis(sd, tail_pos, axis=1)
+    tail_d = jnp.where(jnp.isfinite(tail_s), tail_d, jnp.int32(-1))
+    tail_s = jnp.where(jnp.isfinite(tail_s), tail_s, -jnp.inf)
+    if kk_run < k:
+        tail_s = jnp.concatenate(
+            [tail_s, jnp.full((b, k - kk_run), -jnp.inf, jnp.float32)], axis=1
+        )
+        tail_d = jnp.concatenate(
+            [tail_d, jnp.full((b, k - kk_run), -1, jnp.int32)], axis=1
+        )
+
+    kk_dense = min(k, n_pad)
+    dense_s, dense_d = jax.lax.top_k(
+        jnp.where(s_hot > 0.0, s_hot, -jnp.inf), kk_dense
+    )
+    # post-top-k dedup: drop dense entries whose doc has a tail run
+    pos = jax.vmap(lambda a, v: jnp.searchsorted(a, v))(sd, dense_d)
+    found = jnp.take_along_axis(
+        sd, jnp.minimum(pos, jnp.int32(sd.shape[1] - 1)), axis=1
+    )
+    member = found == dense_d
+    dense_s = jnp.where(member, -jnp.inf, dense_s)
+    dense_d = jnp.where(member, jnp.int32(-1), dense_d)
+    if kk_dense < k:
+        dense_s = jnp.concatenate(
+            [dense_s, jnp.full((b, k - kk_dense), -jnp.inf, jnp.float32)], axis=1
+        )
+        dense_d = jnp.concatenate(
+            [dense_d, jnp.full((b, k - kk_dense), -1, jnp.int32)], axis=1
+        )
+    return _merge_topk_exact(tail_s, tail_d, dense_s, dense_d, k)

@@ -23,8 +23,14 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from frankensearch_tpu.embed.model2vec import _gather_pool_normalize
-from frankensearch_tpu.lexical.device_bm25 import _graded_scan_body
+from frankensearch_tpu.embed.model2vec import (
+    _gather_pool_normalize,
+)
+from frankensearch_tpu.lexical.device_bm25 import (
+    MERGE_GROUP,
+    SEQ_T_ACCUM,
+    _device_bm25_blocked,
+)
 from frankensearch_tpu.ops import topk_scan
 
 
@@ -40,37 +46,42 @@ def _vector_arm(slab, mask, q, *, k, scan_mode, tile_n):
 
 def _lex_blocked(classes, bounds_list, q_ids, q_w, *, k_lex, hot=None):
     """Exhaustive lexical arm. ``hot`` is the optional split-layout hot
-    arm (lexical/hot_arm.py) as a (cols, q_hot, has_cold) tuple — when
-    present, the blocked scan covers only the TAIL postings and the
-    dense head matmul + cold-less-doc merge re-add the rest (the
-    hot-aware body in lexical/device_bm25.py)."""
+    arm (lexical/hot_arm.py) as a (cols_phys, q_hot, cold_cols,
+    cold_rows, dmap_groups) tuple — when present, the FLAT tail scan
+    (dense head matmul in the layout's physical slot order + in-scan
+    hot slices + zero-tail-posting merge) runs instead of the pruned
+    carry scan, and ``bounds_list`` is unused (pass None; the head
+    partials would defeat block-max pruning anyway).
+
+    Both branches route through the SHIPPED step constants
+    (MERGE_GROUP/SEQ_T_ACCUM — lexical/device_bm25.py): the fused
+    program's lexical bits stay identical to the unfused
+    ``_search_blocked`` product lane (the r4 SEQ_T_ACCUM flip had left
+    this lane on the old einsum step: ~1-ulp score divergence and a
+    measured 1.75x slower block step)."""
     if hot is not None:
         from frankensearch_tpu.lexical.device_bm25 import _blocked_hot_body
 
-        cols, q_hot, has_cold = hot
+        cols_phys, q_hot, cold_cols, cold_rows, dmap_groups = hot
         lex_s, lex_i, _skipped = _blocked_hot_body(
-            classes, bounds_list, q_ids, q_w, cols, q_hot, has_cold,
-            k=k_lex, group=1, seq_t=False,
+            classes, q_ids, q_w, cols_phys, q_hot,
+            cold_cols, cold_rows, dmap_groups,
+            k=k_lex, seq_t=SEQ_T_ACCUM,
         )
         return lex_s, lex_i
-    lex_s, lex_i, _skipped = _graded_scan_body(
-        classes, bounds_list, q_ids, q_w, k=k_lex
+    lex_s, lex_i, _skipped = _device_bm25_blocked(
+        classes, bounds_list, q_ids, q_w,
+        k=k_lex, group=MERGE_GROUP, seq_t=SEQ_T_ACCUM,
     )
     return lex_s, lex_i
 
 
 def _lex_daat(tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi,
-              *, k_lex, t_run, hot=None):
-    """Term-driven lexical arm; with ``hot`` the gather covers only the
-    tail CSR and the dense head combines in (lexical/hot_arm.py)."""
-    if hot is not None:
-        from frankensearch_tpu.lexical.hot_arm import hot_daat_body
-
-        cols, q_hot, _has_cold = hot
-        return hot_daat_body(
-            cols, q_hot, tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi,
-            k=k_lex, t_run=t_run,
-        )
+              *, k_lex, t_run):
+    """Term-driven lexical arm — PURE-TAIL queries only (hot-term
+    queries ride the blocked lane; the DAAT gather-at-doc-keys hot
+    combine is the retired 249 ms architecture, see
+    ops/ab_primitives.hot_daat_topk_ab)."""
     from frankensearch_tpu.lexical.daat import daat_topk
 
     return daat_topk(
@@ -163,19 +174,17 @@ def fused_phase1_embed_dense(
 )
 def fused_phase1_daat(
     slab, mask, q_vecs,
-    tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, hot=None,
+    tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi,
     *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int, t_run: int,
 ):
     """Vector scan + TERM-DRIVEN BM25 (lexical/daat.py) in one program —
-    the fused lane for batches whose every query is daat-eligible
-    (interactive B=1 searches: the lexical arm drops from the exhaustive
-    28.7 ms floor to ~0.6 ms at 1M docs, PERF_LEDGER r4). With ``hot``
-    (the split layout's (cols, q_hot, has_cold)) the dense head matmul
-    combines in — see lexical/hot_arm.py."""
+    the fused lane for batches whose every query is daat-eligible AND
+    pure-tail (interactive B=1 searches: the lexical arm drops from the
+    exhaustive 28.7 ms floor to ~0.6 ms at 1M docs, PERF_LEDGER r4)."""
     vec = _vector_arm(slab, mask, q_vecs, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
     lex_s, lex_i = _lex_daat(
         tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi,
-        k_lex=k_lex, t_run=t_run, hot=hot,
+        k_lex=k_lex, t_run=t_run,
     )
     return vec.scores, vec.indices, lex_s, lex_i
 
@@ -186,7 +195,7 @@ def fused_phase1_daat(
 )
 def fused_phase1_embed_daat(
     emb, tok_ids, tok_mask, slab, mask,
-    tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, hot=None,
+    tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi,
     *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int, t_run: int,
     d_pad: int,
 ):
@@ -195,7 +204,7 @@ def fused_phase1_embed_daat(
     vec = _vector_arm(slab, mask, q, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
     lex_s, lex_i = _lex_daat(
         tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi,
-        k_lex=k_lex, t_run=t_run, hot=hot,
+        k_lex=k_lex, t_run=t_run,
     )
     return vec.scores, vec.indices, lex_s, lex_i
 
@@ -225,7 +234,7 @@ def fused_phase1_daat_mixed(
     vec = _vector_arm(slab, mask, q_vecs, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
     d_s, d_i = _lex_daat(
         tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi,
-        k_lex=k_lex, t_run=t_run, hot=hot,
+        k_lex=k_lex, t_run=t_run,
     )
     b_s, b_i = _lex_blocked(classes, bounds_list, q_ids, q_w, k_lex=k_lex, hot=hot)
     lex_s, lex_i = _lex_select(elig, d_s, d_i, b_s, b_i)
@@ -247,7 +256,7 @@ def fused_phase1_embed_daat_mixed(
     vec = _vector_arm(slab, mask, q, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
     d_s, d_i = _lex_daat(
         tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi,
-        k_lex=k_lex, t_run=t_run, hot=hot,
+        k_lex=k_lex, t_run=t_run,
     )
     b_s, b_i = _lex_blocked(classes, bounds_list, q_ids, q_w, k_lex=k_lex, hot=hot)
     lex_s, lex_i = _lex_select(elig, d_s, d_i, b_s, b_i)

@@ -9,8 +9,10 @@ head terms' contributions. These tests pin that integration:
 - fused batch results match solo bits (purity) on every lane;
 - fused results over the split layout rank-match a hot-DISABLED
   searcher over the same corpus (the full-layout oracle);
-- pure-hot queries are now term-driven (their tail spans are empty,
-  so eligibility holds by construction — the zipf-mixed fix);
+- hot-term queries ride the blocked lane (their hot adds are
+  contiguous physical-order slices; the DAAT gather-combine is the
+  retired 249 ms architecture — ops/ab_primitives), pure-tail queries
+  stay term-driven;
 - the sharded wrapper rebuilds the FULL layout (its kernel is
   hot-unaware by design).
 """
@@ -103,16 +105,20 @@ class TestFusedHotParity:
             solo = [(r.doc_id, r.score) for r in s_hot.search(q, k=6).results]
             assert [(r.doc_id, r.score) for r in o.results] == solo, q
 
-    def test_pure_hot_query_is_term_driven(self, pair):
-        """A hot-only query has EMPTY tail spans → daat-eligible: the
-        zipf-mixed common-term batch no longer pays the exhaustive
-        kernel (the VERDICT r3/r4 acceptance mechanism)."""
+    def test_lane_routing_hot_vs_tail(self, pair):
+        """Hot-term queries ride the blocked lane (hot adds are in-scan
+        slices over the TAIL-ONLY blocks — the zipf-mixed batch pays the
+        reduced tail scan plus one MXU matmul, not the full exhaustive
+        kernel); pure-tail batches stay term-driven."""
         (s_hot, arm_hot), (s_full, _) = pair
         s_hot.search_batch(["alpha beta", "beta gamma"], k=5)
+        assert s_hot.last_phase1_lex_lane == "blocked"
+        # the split blocked layout holds only the tail postings
+        assert arm_hot.cold_posting_count < arm_hot.posting_count
+        # pure-tail batch stays term-driven on the split layout (rare*
+        # terms can never enter the 6-term head of this fixture world)
+        s_hot.search_batch(["rare3", "rare11"], k=5)
         assert s_hot.last_phase1_lex_lane == "daat"
-        # the same batch on the full layout was exhaustive-bound
-        s_full.search_batch(["alpha beta", "beta gamma"], k=5)
-        assert s_full.last_phase1_lex_lane == "blocked"
 
     def test_hotonly_doc_reachable_via_fused(self, pair):
         """hotonly has ZERO tail postings (its only terms are hot) and a

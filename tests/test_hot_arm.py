@@ -133,15 +133,32 @@ class TestSplitLayout:
 
     def test_cols_match_oracle_tf_side(self, split_pair):
         """Dense columns hold exactly the tf-side values the tail arrays
-        would have held (spot check via the full postings copy)."""
+        would have held (spot check via the full postings copy). The
+        columns live in the blocked layout's PHYSICAL slot order plus a
+        separate zero-tail-posting block, so reconstruct global order
+        from phys_doc/cold_rows first."""
         _, dev = split_pair
         hot = dev._hot
         terms, docs, tfs = dev._post_host
         rows = hot.hot_row_of[terms.astype(np.int64)]
         sel = rows >= 0
-        cols = np.asarray(hot.cols)
+        cols_phys = np.asarray(hot.cols_phys)
+        cold_cols = np.asarray(hot.cold_cols)
+        cold_rows = np.asarray(hot.cold_rows)
+        phys_doc = dev._blocked.phys_doc
+        cols = np.zeros((hot.h_pad, dev.n_docs), dtype=np.float32)
+        real = phys_doc >= 0
+        cols[:, phys_doc[real]] = cols_phys[:, : len(phys_doc)][:, real]
+        creal = cold_rows >= 0
+        cols[:, cold_rows[creal]] = cold_cols[:, creal]
         got = cols[rows[sel], docs[sel].astype(np.int64)]
         assert got == pytest.approx(tfs[sel], rel=1e-6)
+        # every doc lands in exactly one home: blocks or the cold set
+        in_blocks = np.zeros(dev.n_docs, dtype=bool)
+        in_blocks[phys_doc[real]] = True
+        covered = in_blocks | np.isin(np.arange(dev.n_docs), cold_rows[creal])
+        assert covered.all()
+        assert not (in_blocks & np.isin(np.arange(dev.n_docs), cold_rows[creal])).any()
 
     def test_hot_only_doc_reachable_every_lane(self, split_pair):
         _, dev = split_pair
@@ -183,6 +200,9 @@ class TestHotParity:
 
     @pytest.mark.parametrize("query", QUERIES)
     def test_hot_daat_rank_parity_with_hot_blocked(self, split_pair, query):
+        """Forced-daat mode routes hot-term queries to the blocked lane
+        (the DAAT hot combine is retired — ops/ab_primitives), so both
+        modes must agree on every query class."""
         _, dev = split_pair
         dev.daat_mode = "daat"
         try:
@@ -297,6 +317,25 @@ class TestHotPrimitives:
         assert q_hot[0, 1] == 0.0  # term 2 has weight 0: excluded
         assert q_hot[0, 2:].sum() == 0.0
 
+    def test_compact_tail_rows(self):
+        hot_row_of = np.array([-1, 0, 1, -1, -1], dtype=np.int32)
+        ids = np.array(
+            [[1, 0, 2, 3, 4, 0, 0, 0], [1, 2, 0, 0, 0, 0, 0, 0]],
+            dtype=np.int32,
+        )
+        w = np.array(
+            [[2.0, 1.0, 3.0, 4.0, 5.0, 0, 0, 0], [2.0, 3.0, 0, 0, 0, 0, 0, 0]],
+            dtype=np.float32,
+        )
+        t_ids, t_w = hot_arm.compact_tail_rows(hot_row_of, ids, w)
+        # row 0: tail terms 0, 3, 4 (hot 1, 2 dropped), original order kept
+        assert t_ids.shape[1] == 8  # granule
+        assert list(t_ids[0, :3]) == [0, 3, 4]
+        assert list(t_w[0, :3]) == [1.0, 4.0, 5.0]
+        assert t_w[0, 3:].sum() == 0.0
+        # row 1: all hot -> empty tail row
+        assert t_w[1].sum() == 0.0
+
     def test_build_caps_and_budget(self):
         rng = np.random.default_rng(0)
         p = 4096
@@ -311,20 +350,20 @@ class TestHotPrimitives:
         hot_arm.HOT_MIN_POSTINGS = 1
         try:
             hot_arm.HOT_MAX_TERMS = 3
-            arm = hot_arm.build_hot_arm(
+            split = hot_arm.split_postings(
                 terms, docs, tfs, n_docs=300, vocab_size=50
             )
-            assert arm is not None and arm.n_hot == 3
+            assert split is not None and split.n_hot == 3
             # budget trims below the cap: one 128-col row budget
             hot_arm.HOT_MAX_TERMS = 512
             hot_arm.HOT_MAX_BYTES = 384 * 4 * 2  # H budget = 2 (n_pad=384)
-            arm2 = hot_arm.build_hot_arm(
+            split2 = hot_arm.split_postings(
                 terms, docs, tfs, n_docs=300, vocab_size=50
             )
-            assert arm2 is not None and arm2.n_hot == 2
+            assert split2 is not None and split2.n_hot == 2
             hot_arm.HOT_MAX_BYTES = 0
             assert (
-                hot_arm.build_hot_arm(
+                hot_arm.split_postings(
                     terms, docs, tfs, n_docs=300, vocab_size=50
                 )
                 is None
@@ -339,9 +378,50 @@ class TestHotPrimitives:
         docs = np.arange(100, dtype=np.int64)
         tfs = np.ones(100, dtype=np.float32)
         assert (
-            hot_arm.build_hot_arm(terms, docs, tfs, n_docs=100, vocab_size=4)
+            hot_arm.split_postings(terms, docs, tfs, n_docs=100, vocab_size=4)
             is None
         )
+
+    def test_retired_hot_daat_ab_matches_blocked_lane(self, split_pair):
+        """The retired gather-combine (ops/ab_primitives.hot_daat_topk_ab,
+        249 ms/batch measured-negative) must still rank-match the shipped
+        blocked-hot lane — its exactness argument is load-bearing for the
+        dominance-style merges elsewhere."""
+        import jax.numpy as jnp
+
+        from frankensearch_tpu.lexical import daat as _daat
+        from frankensearch_tpu.ops.ab_primitives import hot_daat_topk_ab
+
+        _, dev = split_pair
+        hot = dev._hot
+        terms, docs, tfs = dev._post_host
+        # global-order dense columns (the retired layout), rebuilt host-side
+        n_pad = max((dev.n_docs + 127) // 128 * 128, 128)
+        cols = np.zeros((hot.h_pad, n_pad), dtype=np.float32)
+        rows = hot.hot_row_of[terms.astype(np.int64)]
+        sel = rows >= 0
+        np.add.at(cols, (rows[sel], docs[sel].astype(np.int64)), tfs[sel])
+        tm = dev._term_major()
+        queries = ["search vector", "search index query document rank"]
+        ids, w = dev._query_sparse_rows(queries)
+        q_hot = hot_arm.split_hot_rows(hot.hot_row_of, ids, w, hot.h_pad)
+        plan = _daat.build_gather_plan(tm.ptr, ids, w)
+        s_ab, i_ab = hot_daat_topk_ab(
+            jnp.asarray(cols), jnp.asarray(q_hot), tm.tm_doc, tm.tm_tf,
+            *(jnp.asarray(x) for x in plan), k=15, t_run=ids.shape[1],
+        )
+        got = dev.search_candidates_batch(queries, 15)
+        s_ab = np.asarray(s_ab)
+        i_ab = np.asarray(i_ab)
+        for b, cands in enumerate(got):
+            ab = [
+                (dev.doc_ids[int(i_ab[b, j])], float(s_ab[b, j]))
+                for j in range(15)
+                if s_ab[b, j] > 0.0
+            ]
+            assert [c.doc_id for c in cands] == [d for d, _ in ab]
+            for c, (_, s) in zip(cands, ab):
+                assert c.score == pytest.approx(s, rel=1e-5)
 
     def test_eligibility_reads_tail_spans(self, split_pair):
         """A hot-term query is tail-eligible because its hot spans are

@@ -1,0 +1,112 @@
+"""Per-block step cost vs block SHAPE (d_c x l_c) and step variant.
+
+The r5 tail layout (hot split) produces shallow-L blocks (L=8..24,
+d_c=10922..32768 docs/block at p_blk=2^18) where the full layout's
+uniform world had L=128/d_c=2048. The tail control measured 424 ms for
+88 blocks (4.8 ms/block) vs the r4 t8_seq row's 0.266 ms/block at the
+old shape — this probe isolates WHERE the shape hurts: the compare
+step (einsum vs seq_t), the per-block lax.top_k, or the merge.
+
+Usage: python -m tools.bench_block_step_probe
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+
+import numpy as np
+
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from frankensearch_tpu.lexical.device_bm25 import (
+        _group_block_scores,
+        _merge_topk_exact,
+    )
+
+    platform = jax.devices()[0].platform
+    rng = np.random.default_rng(0)
+    b, k = 64, 100
+    vocab = 400_000
+
+    def slope(fn, args, r_lo=8, r_hi=32):
+        @functools.partial(jax.jit, static_argnames=("reps",))
+        def chain(*a, reps: int):
+            def body(i, carry):
+                x, acc = carry
+                out = fn(x, *a[1:])
+                return (x + jnp.float32(1e-9) * acc, acc + out)
+
+            _, acc = jax.lax.fori_loop(0, reps, body, (a[0], jnp.float32(0.0)))
+            return acc
+
+        def timed(reps):
+            t0 = time.perf_counter()
+            float(chain(*args, reps=reps))
+            return time.perf_counter() - t0
+
+        timed(r_lo)
+        timed(r_hi)
+        return float(np.median(
+            [(timed(r_hi) - timed(r_lo)) / (r_hi - r_lo) for _ in range(3)]
+        )) * 1e3
+
+    shapes = [(2048, 128, 16), (10922, 24, 8), (32768, 8, 8)]
+    for d_c, l_c, t_q in shapes:
+        tb = rng.integers(0, vocab, size=(1, d_c, l_c)).astype(np.int32)
+        fb = rng.uniform(0.1, 2.0, size=(1, d_c, l_c)).astype(np.float32)
+        ids = rng.integers(0, vocab, size=(b, t_q)).astype(np.int32)
+        # plant query terms so hits exist
+        for j in range(t_q):
+            sel = rng.integers(0, d_c, size=200)
+            tb[0, sel, rng.integers(0, l_c)] = ids[rng.integers(0, b), j]
+        w = rng.uniform(0.5, 6.0, size=(b, t_q)).astype(np.float32)
+        tbj, fbj = jnp.asarray(tb), jnp.asarray(fb)
+        idsj, wj = jnp.asarray(ids), jnp.asarray(w)
+        scores_np = rng.normal(size=(b, d_c)).astype(np.float32)
+        sj = jnp.asarray(scores_np)
+
+        def step_seq(qw, tb=tbj, fb=fbj, ids=idsj):
+            s = _group_block_scores(tb, fb, ids, qw, seq_t=True)
+            return jnp.sum(s)
+
+        def step_einsum(qw, tb=tbj, fb=fbj, ids=idsj):
+            s = _group_block_scores(tb, fb, ids, qw, seq_t=False)
+            return jnp.sum(s)
+
+        def blk_topk(s):
+            ts, ti = jax.lax.top_k(s, min(k, s.shape[1]))
+            return jnp.sum(ts) + jnp.sum(ti).astype(jnp.float32)
+
+        def full_step(qw, tb=tbj, fb=fbj, ids=idsj, d_c=d_c):
+            s = _group_block_scores(tb, fb, ids, qw, seq_t=True)[:, 0, :]
+            s2, i2 = jax.lax.top_k(s, min(k, d_c))
+            carry_s = jnp.full((b, k), 0.5, jnp.float32)
+            carry_i = jnp.full((b, k), 3, jnp.int32)
+            ms, mi = _merge_topk_exact(carry_s, carry_i, s2, i2, k)
+            return jnp.sum(ms) + jnp.sum(mi).astype(jnp.float32)
+
+        row = {
+            "metric": f"block_step_d{d_c}_l{l_c}_t{t_q}",
+            "seq_t_ms": round(slope(step_seq, (wj,)), 4),
+            "einsum_ms": round(slope(step_einsum, (wj,)), 4),
+            "topk_ms": round(slope(blk_topk, (sj,)), 4),
+            "full_seq_step_ms": round(slope(full_step, (wj,)), 4),
+            "slots": d_c * l_c, "platform": platform,
+        }
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

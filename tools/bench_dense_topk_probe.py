@@ -1,0 +1,107 @@
+"""Probe: dense (B, N) top-k cost — lax.top_k vs group-max two-stage.
+
+The hot-arm combine (lexical/hot_arm.py hot_daat_body and
+device_bm25._blocked_hot_body) runs jax.lax.top_k over a precomputed
+(B, N_pad) dense score matrix (N_pad = 1M at the product scale). This
+probe decides whether that top_k explains the 406/134 ms hot-lane
+measurements (PERF_LEDGER r5) and how much the group-max two-stage
+replacement (the scan_topk_hierarchical coverage argument applied to a
+dense matrix, pure XLA) buys.
+
+Rows: lax_topk, groupmax_topk, hot_gather (take_along_axis), vsearch.
+Usage: python -m tools.bench_dense_topk_probe [n] [b]
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    b = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    k = 100
+    import jax
+    import jax.numpy as jnp
+
+    platform = jax.devices()[0].platform
+    rng = np.random.default_rng(0)
+    n_pad = (n + 127) // 128 * 128
+    s_np = rng.normal(size=(b, n_pad)).astype(np.float32)
+    s = jnp.asarray(s_np)
+    idx_np = rng.integers(0, n_pad, size=(b, 262144)).astype(np.int32)
+    idx = jnp.asarray(idx_np)
+    q_np = np.sort(rng.integers(0, 262144, size=(b, k)).astype(np.int32), axis=1)
+    qv = jnp.asarray(q_np)
+
+    def slope(fn, args, r_lo=4, r_hi=16):
+        @functools.partial(jax.jit, static_argnames=("reps",))
+        def chain(*a, reps: int):
+            def body(i, carry):
+                x, acc = carry
+                out = fn(x, *a[1:])
+                return (x + jnp.float32(1e-7) * acc, acc + out)
+
+            _, acc = jax.lax.fori_loop(0, reps, body, (a[0], jnp.float32(0.0)))
+            return acc
+
+        def timed(reps):
+            t0 = time.perf_counter()
+            float(chain(*args, reps=reps))
+            return time.perf_counter() - t0
+
+        timed(r_lo)
+        timed(r_hi)
+        return float(np.median(
+            [(timed(r_hi) - timed(r_lo)) / (r_hi - r_lo) for _ in range(3)]
+        ))
+
+    def lax_topk(x):
+        ts, ti = jax.lax.top_k(x, k)
+        return jnp.sum(ts) + jnp.sum(ti).astype(jnp.float32)
+
+    def groupmax_topk(x):
+        r = 128
+        g = x.reshape(b, n_pad // r, r).max(axis=2)
+        _, tg = jax.lax.top_k(g, k)  # (B, k) group ids, first-index ties
+        offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, r), 2)
+        rows = (tg[:, :, None] * r + offs).reshape(b, k * r)
+        cand = jnp.take_along_axis(x, rows, axis=1)
+        neg, ridx = jax.lax.sort((-cand, rows), num_keys=2)
+        return jnp.sum(-neg[:, :k]) + jnp.sum(ridx[:, :k]).astype(jnp.float32)
+
+    def hot_gather(x, ii):
+        return jnp.sum(jnp.take_along_axis(x, ii, axis=1))
+
+    def vsearch(x, ii, qq):
+        pos = jax.vmap(lambda a, v: jnp.searchsorted(a, v))(ii, qq)
+        return jnp.sum(pos).astype(jnp.float32) + x[0, 0]
+
+    for name, fn, args in (
+        ("lax_topk", lax_topk, (s,)),
+        ("groupmax_topk", groupmax_topk, (s,)),
+        ("hot_gather", hot_gather, (s, idx)),
+        ("vsearch", vsearch, (s, idx, qv)),
+    ):
+        ms = slope(fn, args) * 1e3
+        print(json.dumps({
+            "metric": f"dense_topk_probe_{name}",
+            "value": round(ms, 3), "unit": "ms",
+            "n": n_pad, "b": b, "k": k, "platform": platform,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

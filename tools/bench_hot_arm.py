@@ -1,17 +1,23 @@
 """Hot-arm split layout at 1M docs on real TPU — the VERDICT r4 #1 rows.
 
 Target (VERDICT r3, restated r4): zipf-mixed B=64 at 1M docs ≤ 20 ms /
-batch. On the r4 layout 0/64 zipf-mixed queries were DAAT-eligible (every
-query carries a common term) so the whole batch paid the 129 ms
-exhaustive floor. The split layout (lexical/hot_arm.py) densifies the df
-head into (H, N) columns scored by one MXU matmul; the tail CSR shrinks
-to ~31% of postings and eligibility is re-judged on the tail alone.
+batch. On the r4 layout 0/64 zipf-mixed queries were DAAT-eligible
+(every query carries a common term) so the whole batch paid the 129 ms
+exhaustive floor. The split layout (lexical/hot_arm.py) densifies the
+df head into columns scored by one MXU matmul; the tail shrinks to
+~15% of postings; query rows compact to tail terms (T 16 → 8); and the
+hot partial joins the blocked scan as per-block contiguous slices in
+the layout's own physical order (the gather formulation measured
+249 ms/batch — tools/bench_dense_topk_probe, retired).
 
 Rows emitted (one JSON line each):
-  hot_split_*        — layout accounting (H, hot postings share, bytes)
-  hot_dispatch_*     — the product eligibility split on the zipf batch
-  hot_daat_mixed_*   — slope-timed hot_daat_topk on the eligible subset
-  hot_daat_b1_hot    — B=1 pure-hot query (the interactive common case)
+  hot_split_*         — layout accounting (H, hot postings share, bytes)
+  hot_dispatch_*      — the product eligibility split on the zipf batch
+  hot_blocked_mixed_* — THE ACCEPTANCE ROW: slope-timed blocked-hot body
+                        on the B=64 zipf-mixed batch (target ≤ 20 ms)
+  tail_blocked_ctrl_* — same scan WITHOUT the hot adds (timing control;
+                        results would be wrong — isolates hot-add cost)
+  hot_blocked_b1_*    — B=1 pure-hot query (interactive common case)
 
 Usage: python -m tools.bench_hot_arm [n_docs] [r_lo r_hi]
 """
@@ -37,11 +43,19 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     r_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     r_hi = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    k = 100
 
     import jax
     import jax.numpy as jnp
 
     from frankensearch_tpu.lexical import daat, hot_arm
+    from frankensearch_tpu.lexical.device_bm25 import (
+        MERGE_GROUP,
+        SEQ_T_ACCUM,
+        _blocked_hot_body,
+        _build_blocked,
+        _device_bm25_blocked,
+    )
 
     platform = jax.devices()[0].platform
     rng = np.random.default_rng(0)
@@ -55,177 +69,138 @@ def main() -> None:
     synth_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    hot = hot_arm.build_hot_arm(
+    split = hot_arm.split_postings(
         terms_all, docs_all, tf_all, n_docs=n_docs, vocab_size=vocab
     )
-    assert hot is not None, "hot arm must qualify at this scale"
-    hot_build_s = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    cold_sel = hot.hot_row_of[terms_all] < 0
+    assert split is not None, "hot arm must qualify at this scale"
+    cold_sel = split.hot_row_of[terms_all] < 0
     t_cold = terms_all[cold_sel]
     d_cold = docs_all[cold_sel]
     f_cold = tf_all[cold_sel]
     p_cold = len(t_cold)
-    tm = daat.build_term_major(t_cold, d_cold, f_cold, vocab_size=vocab)
-    tail_build_s = time.perf_counter() - t0
-
-    print(json.dumps({
-        "metric": f"hot_split_{n_docs // 1000}k",
-        "n_hot": hot.n_hot, "h_pad": hot.h_pad,
-        "hot_postings_pct": round(100.0 * (p - p_cold) / p, 1),
-        "cols_mb": round(hot.hbm_bytes / 2**20, 1),
-        "tail_postings": p_cold,
-        "hot_build_s": round(hot_build_s, 2),
-        "tail_build_s": round(tail_build_s, 2),
-        "synth_s": round(synth_s, 2), "platform": platform,
-    }), flush=True)
-
-    t_q = 16
-    ids = ((rng.zipf(1.3, size=(64, t_q)) - 1) % vocab).astype(np.int32)
-    w = rng.uniform(0.5, 6.0, size=(64, t_q)).astype(np.float32)
-    elig = daat.daat_eligible(tm.ptr, ids, w, total_postings=p_cold)
-    q_hot = hot_arm.split_hot_rows(hot.hot_row_of, ids, w, hot.h_pad)
-    print(json.dumps({
-        "metric": f"hot_dispatch_split_{n_docs // 1000}k",
-        "eligible": int(elig.sum()), "total": 64,
-        "has_hot": int((q_hot > 0.0).any(axis=1).sum()),
-        "platform": platform,
-    }), flush=True)
-
-    cols_dev = hot.cols  # device upload happens in build_hot_arm
-
-    def run_case(name: str, ids_np, w_np, qh_np) -> None:
-        b = ids_np.shape[0]
-        t0 = time.perf_counter()
-        row_idx, row_w, span_lo, span_hi = daat.build_gather_plan(
-            tm.ptr, ids_np, w_np
-        )
-        plan_s = time.perf_counter() - t0
-        k = 100
-        args = tuple(jnp.asarray(x) for x in (row_idx, row_w, span_lo, span_hi))
-        qh = jnp.asarray(qh_np)
-
-        @functools.partial(jax.jit, static_argnames=("reps",))
-        def chain(cols, q_hot, tm_doc, tm_tf,
-                  row_idx, row_w, span_lo, span_hi, reps: int):
-            def body(i, carry):
-                w_c, acc = carry
-                s, d = hot_arm.hot_daat_body(
-                    cols, q_hot, tm_doc, tm_tf,
-                    row_idx, w_c, span_lo, span_hi, k=k, t_run=t_q,
-                )
-                finite = jnp.where(jnp.isfinite(s), s, jnp.float32(0.0))
-                delta = jnp.float32(1e-7) * jnp.mean(finite)
-                return (row_w + delta, acc + jnp.sum(finite)
-                        + jnp.sum(d).astype(jnp.float32))
-
-            _, acc = jax.lax.fori_loop(
-                0, reps, body, (row_w, jnp.float32(0.0))
-            )
-            return acc
-
-        def timed(reps: int) -> float:
-            t0 = time.perf_counter()
-            acc = chain(cols_dev, qh, tm.tm_doc, tm.tm_tf,
-                        args[0], args[1], args[2], args[3], reps=reps)
-            float(acc)
-            return time.perf_counter() - t0
-
-        timed(r_lo)
-        timed(r_hi)
-        samples = [(timed(r_hi) - timed(r_lo)) / (r_hi - r_lo) for _ in range(3)]
-        per_batch = float(np.median(samples))
-        print(json.dumps({
-            "metric": f"hot_daat_{name}_{n_docs // 1000}k_b{b}",
-            "value": round(per_batch * 1e3, 3),
-            "unit": "ms/batch",
-            "ms_per_query": round(per_batch * 1e3 / b, 4),
-            "r_pad": int(row_idx.shape[1]),
-            "plan_ms": round(plan_s * 1e3, 2),
-            "platform": platform,
-            "samples_ms": [round(s * 1e3, 3) for s in samples],
-        }), flush=True)
-
-    # the acceptance case: zipf-mixed eligible subset, padded like the
-    # product dispatch (most/all of the 64 should be eligible now)
-    if elig.any():
-        sel = np.flatnonzero(elig)
-        n_sel = max((len(sel) + 7) // 8 * 8, 8)
-        rows = np.resize(sel, n_sel)
-        run_case("mixed_elig", ids[rows], w[rows], q_hot[rows])
-
-    # B=1 pure-hot interactive query (the r4 "common term demotes the
-    # batch" case, now term-driven with an empty tail plan)
-    hot_ids = np.flatnonzero(hot.hot_row_of >= 0)[:4].astype(np.int32)
-    ids1 = np.zeros((8, t_q), dtype=np.int32)
-    w1 = np.zeros((8, t_q), dtype=np.float32)
-    ids1[:, :4] = hot_ids[None, :]
-    w1[:, :4] = rng.uniform(0.5, 6.0, size=4).astype(np.float32)[None, :]
-    qh1 = hot_arm.split_hot_rows(hot.hot_row_of, ids1, w1, hot.h_pad)
-    run_case("b1_hot", ids1[:1], w1[:1], qh1[:1])
-
-    # THE BATCH ROUTE: hot matmul + the reduced blocked tail scan. At
-    # B=64 the exhaustive tail scan is batch-amortized while the daat
-    # gather is per-query — the mixed batch's cheaper lane is this one.
-    from frankensearch_tpu.lexical.device_bm25 import (
-        MERGE_GROUP,
-        SEQ_T_ACCUM,
-        _build_blocked,
-        _device_bm25_blocked_hot,
-    )
+    split_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     blocked = _build_blocked(
         t_cold, d_cold, f_cold, n_docs=n_docs, vocab_size=vocab
     )
     blk_build_s = time.perf_counter() - t0
-    bounds = blocked.split_bounds(blocked.query_bounds(ids, w))
-    q_ids = jnp.asarray(ids)
-    q_w = jnp.asarray(w)
-    qh_dev = jnp.asarray(q_hot)
-    k = 100
+    t0 = time.perf_counter()
+    hot = hot_arm.finalize_hot_arm(split, blocked, n_docs)
+    fin_s = time.perf_counter() - t0
+    tm = daat.build_term_major(t_cold, d_cold, f_cold, vocab_size=vocab)
+    n_blk = blocked.n_blk
+    slots = sum(int(c.term.shape[0] * c.term.shape[1]) for c in blocked.classes)
 
-    @functools.partial(jax.jit, static_argnames=("reps",))
-    def chain_blk(classes, bounds, q_ids, q_w, cols, qh, has_cold, reps: int):
-        def body(i, carry):
-            w_c, acc = carry
-            from frankensearch_tpu.lexical.device_bm25 import _blocked_hot_body
-
-            top_s, top_i, _sk = _blocked_hot_body(
-                classes, bounds, q_ids, w_c, cols, qh, has_cold,
-                k=k, group=MERGE_GROUP, seq_t=SEQ_T_ACCUM,
-            )
-            finite = jnp.where(jnp.isfinite(top_s), top_s, jnp.float32(0.0))
-            delta = jnp.float32(1e-7) * jnp.mean(finite)
-            return (q_w + delta, acc + jnp.sum(finite)
-                    + jnp.sum(top_i).astype(jnp.float32))
-
-        _, acc = jax.lax.fori_loop(0, reps, body, (q_w, jnp.float32(0.0)))
-        return acc
-
-    def timed_blk(reps: int) -> float:
-        t0 = time.perf_counter()
-        acc = chain_blk(blocked.classes, bounds, q_ids, q_w,
-                        cols_dev, qh_dev, hot.has_cold, reps=reps)
-        float(acc)
-        return time.perf_counter() - t0
-
-    timed_blk(r_lo)
-    timed_blk(r_hi)
-    samples = [(timed_blk(r_hi) - timed_blk(r_lo)) / (r_hi - r_lo)
-               for _ in range(3)]
-    per_batch = float(np.median(samples))
     print(json.dumps({
-        "metric": f"hot_blocked_mixed_{n_docs // 1000}k_b64",
-        "value": round(per_batch * 1e3, 3),
-        "unit": "ms/batch",
-        "ms_per_query": round(per_batch * 1e3 / 64, 4),
-        "tail_postings": p_cold,
-        "blk_build_s": round(blk_build_s, 2),
+        "metric": f"hot_split_{n_docs // 1000}k",
+        "n_hot": hot.n_hot, "h_pad": hot.h_pad,
+        "hot_postings_pct": round(100.0 * (p - p_cold) / p, 1),
+        "cols_mb": round(hot.hbm_bytes / 2**20, 1),
+        "tail_postings": p_cold, "tail_slots": slots, "n_blk": n_blk,
+        "split_s": round(split_s, 2), "blk_build_s": round(blk_build_s, 2),
+        "finalize_s": round(fin_s, 2), "synth_s": round(synth_s, 2),
         "platform": platform,
-        "samples_ms": [round(s * 1e3, 3) for s in samples],
     }), flush=True)
+
+    t_q = 16
+    b = 64
+    ids = ((rng.zipf(1.3, size=(b, t_q)) - 1) % vocab).astype(np.int32)
+    w = rng.uniform(0.5, 6.0, size=(b, t_q)).astype(np.float32)
+    q_hot = hot_arm.split_hot_rows(hot.hot_row_of, ids, w, hot.h_pad)
+    has_hot = (q_hot > 0.0).any(axis=1)
+    tail_ids, tail_w = hot_arm.compact_tail_rows(hot.hot_row_of, ids, w)
+    elig = daat.daat_eligible(
+        tm.ptr, tail_ids, tail_w, total_postings=p_cold
+    ) & ~has_hot
+    print(json.dumps({
+        "metric": f"hot_dispatch_split_{n_docs // 1000}k",
+        "daat_eligible": int(elig.sum()), "total": b,
+        "has_hot": int(has_hot.sum()),
+        "t_tail": int(tail_ids.shape[1]),
+        "platform": platform,
+    }), flush=True)
+
+    t0 = time.perf_counter()
+    bounds = blocked.query_bounds(tail_ids, tail_w)
+    bounds_s = time.perf_counter() - t0
+
+    def run_blocked(name: str, t_i, t_w, qh, bnds, hot_on: bool) -> None:
+        bb = t_i.shape[0]
+        args = (
+            jnp.asarray(t_i), jnp.asarray(t_w),
+            jnp.asarray(qh) if qh is not None else jnp.zeros(
+                (bb, hot.h_pad), jnp.float32
+            ),
+            blocked.split_bounds(bnds),
+        )
+
+        @functools.partial(jax.jit, static_argnames=("reps", "use_hot"))
+        def chain(classes, bounds_list, q_ids, q_w, cols_phys, qh_d,
+                  cold_cols, cold_rows, dmap_groups, reps: int, use_hot: bool):
+            def body(i, carry):
+                w_c, acc = carry
+                if use_hot:
+                    s, d, _sk = _blocked_hot_body(
+                        classes, q_ids, w_c, cols_phys, qh_d,
+                        cold_cols, cold_rows, dmap_groups,
+                        k=k, seq_t=SEQ_T_ACCUM,
+                    )
+                else:
+                    s, d, _sk = _device_bm25_blocked(
+                        classes, bounds_list, q_ids, w_c,
+                        k=k, group=MERGE_GROUP, seq_t=SEQ_T_ACCUM,
+                    )
+                finite = jnp.where(jnp.isfinite(s), s, jnp.float32(0.0))
+                delta = jnp.float32(1e-7) * jnp.mean(finite)
+                return (q_w + delta, acc + jnp.sum(finite)
+                        + jnp.sum(d).astype(jnp.float32))
+
+            _, acc = jax.lax.fori_loop(0, reps, body, (q_w, jnp.float32(0.0)))
+            return acc
+
+        def timed(reps: int) -> float:
+            t0 = time.perf_counter()
+            acc = chain(
+                blocked.classes, args[3], args[0], args[1],
+                hot.cols_phys, args[2],
+                hot.cold_cols, hot.cold_rows, hot.dmap_groups,
+                reps=reps, use_hot=hot_on,
+            )
+            float(acc)
+            return time.perf_counter() - t0
+
+        timed(r_lo)
+        timed(r_hi)
+        samples = [
+            (timed(r_hi) - timed(r_lo)) / (r_hi - r_lo) for _ in range(3)
+        ]
+        per_batch = float(np.median(samples))
+        print(json.dumps({
+            "metric": f"{name}_{n_docs // 1000}k_b{bb}",
+            "value": round(per_batch * 1e3, 3),
+            "unit": "ms/batch",
+            "ms_per_query": round(per_batch * 1e3 / bb, 4),
+            "bounds_host_ms": round(bounds_s * 1e3, 2),
+            "platform": platform,
+            "samples_ms": [round(s * 1e3, 3) for s in samples],
+        }), flush=True)
+
+    # THE ACCEPTANCE ROW: zipf-mixed B=64, hot adds in-scan
+    run_blocked("hot_blocked_mixed", tail_ids, tail_w, q_hot, bounds, True)
+    # control: the same tail scan without hot adds (timing only)
+    run_blocked("tail_blocked_ctrl", tail_ids, tail_w, None, bounds, False)
+
+    # B=1 pure-hot interactive query (padded to 8 like the product lane)
+    hot_ids = np.flatnonzero(hot.hot_row_of >= 0)[:4].astype(np.int32)
+    ids1 = np.zeros((8, t_q), dtype=np.int32)
+    w1 = np.zeros((8, t_q), dtype=np.float32)
+    ids1[:, :4] = hot_ids[None, :]
+    w1[:, :4] = rng.uniform(0.5, 6.0, size=4).astype(np.float32)[None, :]
+    qh1 = hot_arm.split_hot_rows(hot.hot_row_of, ids1, w1, hot.h_pad)
+    t1, tw1 = hot_arm.compact_tail_rows(hot.hot_row_of, ids1, w1)
+    b1 = blocked.query_bounds(t1, tw1)
+    run_blocked("hot_blocked_b1", t1, tw1, qh1, b1, True)
 
 
 if __name__ == "__main__":

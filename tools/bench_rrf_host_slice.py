@@ -1,0 +1,148 @@
+"""Host-CPU slice of RRF fusion, before vs after the on-chip merge.
+
+VERDICT r4 weak #1 / next #4a: the on-chip RRF tail (ops/device_rrf)
+shipped with fuzz-proven bitwise parity but no row isolating the host
+work it removes — and the e2e QPS delta drowns in tunnel variance. This
+bench measures the quantity the tunnel CANNOT confound: wall time spent
+in host Python AFTER the phase-1 fetch completes, per 256-query batch
+at 1M-doc shapes, on both fusion paths:
+
+  host_vectorized — fusion/rrf_batch.rrf_fuse_batch_rows (the pre-r4
+                    path: full f64 scatter/sort fusion on the host)
+  device          — ops/device_rrf.finish_rrf (reconstruct exact tuples
+                    from device ranks) + the pre-dispatch contrib-table
+                    build the device path adds (make_contrib_tables +
+                    split_f64, charged against it honestly)
+
+Both paths then pay the same rows_to_fused_hits tuple construction;
+it is timed separately so the comparison isolates the fusion itself.
+Parity is asserted (the device path must reproduce the host tuples
+exactly) before any timing is reported.
+
+Run anywhere (pure host work): JAX_PLATFORMS=cpu python -m
+tools.bench_rrf_host_slice [B] [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+
+
+def _med_ms(fn, reps: int = 9) -> float:
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) * 1e3
+
+
+def main() -> None:
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    k = 10  # fused result limit (product default search k)
+    kl = kv = 60  # candidate budgets (k * multiplier * class headroom)
+
+    import jax.numpy as jnp
+
+    from frankensearch_tpu.fusion.rrf_batch import (
+        rows_to_fused_hits,
+        rrf_fuse_batch_rows,
+    )
+    from frankensearch_tpu.ops import device_rrf as drrf
+
+    rng = np.random.default_rng(7)
+    # per-query UNIQUE rows per arm (real top-k lists never repeat a
+    # doc), ~30% lexical/vector overlap: draw kl+kv unique rows, the
+    # vector arm reuses a random ~30% of the lexical ones
+    lex_rows = np.empty((b, kl), dtype=np.int64)
+    vec_rows = np.empty((b, kv), dtype=np.int64)
+    for qb in range(b):
+        pool = rng.choice(n_docs, size=kl + kv, replace=False)
+        lex_rows[qb] = pool[:kl]
+        fresh = pool[kl:]
+        overlap = rng.random(kv) < 0.3
+        take = rng.permutation(kl)[:kv]
+        vec_rows[qb] = np.where(overlap, lex_rows[qb][take], fresh)
+    lex_scores = np.sort(
+        rng.uniform(0.5, 12.0, size=(b, kl)).astype(np.float32), axis=1
+    )[:, ::-1].copy()
+    k_arr = np.full(b, 60.0, dtype=np.float64)
+    lex_w, sem_w = 1.0, np.full(b, 1.0, dtype=np.float64)
+
+    # ---- host-vectorized path --------------------------------------------
+    def host_fuse():
+        return rrf_fuse_batch_rows(
+            lex_rows, lex_scores, vec_rows, k, k_arr, lex_w, sem_w, n_docs
+        )
+
+    entries_host = host_fuse()
+    host_ms = _med_ms(host_fuse)
+
+    # ---- device path: host residue ---------------------------------------
+    def pre_dispatch():
+        cl, cv = drrf.make_contrib_tables(k_arr, kl, kv, lex_w, sem_w)
+        return cl, cv, *drrf.split_f64(cl), *drrf.split_f64(cv)
+
+    contrib_l, contrib_v, cl_hi, cl_lo, cv_hi, cv_lo = pre_dispatch()
+    pre_ms = _med_ms(pre_dispatch)
+
+    # the device merge itself runs on-chip; reproduce its outputs here
+    # (CPU jax) once, untimed, to feed the host-residue measurement
+    row_map = jnp.arange(n_docs, dtype=jnp.int32)
+    out = drrf.device_rrf(
+        jnp.asarray(lex_rows.astype(np.int32)), jnp.asarray(lex_scores),
+        jnp.asarray(vec_rows.astype(np.int32)), row_map,
+        jnp.asarray(cl_hi), jnp.asarray(cl_lo),
+        jnp.asarray(cv_hi), jnp.asarray(cv_lo), limit=k,
+    )
+    out_id, out_lr, out_fr = (np.asarray(x) for x in out)
+
+    def device_finish():
+        return drrf.finish_rrf(out_id, out_lr, out_fr, contrib_l, contrib_v)
+
+    entries_dev = device_finish()
+    finish_ms = _med_ms(device_finish)
+
+    # ---- parity gate ------------------------------------------------------
+    assert len(entries_host) == len(entries_dev) == b
+    for qh, qd in zip(entries_host, entries_dev):
+        assert [tuple(x) for x in qh[:k]] == [tuple(x) for x in qd[:k]], (
+            "device fusion must reproduce the host tuples exactly"
+        )
+
+    # ---- shared tail: tuple -> FusedHit construction ----------------------
+    doc_ids = [f"doc-{i:08d}" for i in range(n_docs)]
+
+    def hydrate():
+        return [rows_to_fused_hits(e, doc_ids) for e in entries_host]
+
+    hydrate_ms = _med_ms(hydrate)
+
+    speedup = host_ms / max(finish_ms + pre_ms, 1e-9)
+    print(json.dumps({
+        "metric": f"rrf_host_slice_b{b}_{n_docs // 1000}k",
+        "host_vectorized_ms": round(host_ms, 2),
+        "device_residue_ms": round(finish_ms + pre_ms, 2),
+        "device_finish_ms": round(finish_ms, 2),
+        "device_predispatch_ms": round(pre_ms, 2),
+        "shared_fusedhit_ms": round(hydrate_ms, 2),
+        "host_cpu_speedup": round(speedup, 2),
+        "unit": "ms/batch (host wall, tunnel-independent)",
+        "b": b, "k": k, "kl": kl, "kv": kv,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
