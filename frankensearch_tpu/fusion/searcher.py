@@ -532,18 +532,20 @@ class TwoTierSearcher:
                 # all queries pure-tail eligible => hot is None here by
                 # construction (elig excludes has_hot)
                 self.last_phase1_lex_lane = "daat"
-                tm_args = (tm.tm_doc, tm.tm_tf) + daat_plan
+                tm_args = (tm.device_arrays(),) + daat_plan
                 if embed_args is not None:
                     vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_embed_daat(
                         *embed_args, fast.slab, mask, *tm_args,
                         k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode,
                         tile_n=tile_n, t_run=ids.shape[1], d_pad=fast.d_pad,
+                        tm_packed=tm.packed,
                     )
                 else:
                     vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_daat(
                         fast.slab, mask, jnp.asarray(q), *tm_args,
                         k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode,
                         tile_n=tile_n, t_run=ids.shape[1],
+                        tm_packed=tm.packed,
                     )
             else:
                 # the flat hot kernel consumes no block-max bounds — skip
@@ -561,7 +563,7 @@ class TwoTierSearcher:
                     self.last_phase1_lex_lane = "mixed"
                     # mixed batch: both kernels in one program, per-query
                     # row-wise selection keeps each query's own lane bits
-                    tm_args = (tm.tm_doc, tm.tm_tf) + daat_plan + (
+                    tm_args = (tm.device_arrays(),) + daat_plan + (
                         jnp.asarray(elig),
                     )
                     if embed_args is not None:
@@ -569,12 +571,14 @@ class TwoTierSearcher:
                             *embed_args, fast.slab, mask, *tm_args, *lex_args, hot,
                             k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode,
                             tile_n=tile_n, t_run=ids.shape[1], d_pad=fast.d_pad,
+                            tm_packed=tm.packed,
                         )
                     else:
                         vec_s, vec_i, lex_s, lex_i = hp.fused_phase1_daat_mixed(
                             fast.slab, mask, jnp.asarray(q), *tm_args, *lex_args, hot,
                             k_vec=k_vec, k_lex=k_lex, scan_mode=scan_mode,
                             tile_n=tile_n, t_run=ids.shape[1],
+                            tm_packed=tm.packed,
                         )
                 elif embed_args is not None:
                     self.last_phase1_lex_lane = "blocked"

@@ -74,12 +74,21 @@ DAAT_CROSSOVER_DIVISOR = 128
 _MAX_P = (1 << 31) - 256
 
 #: HBM budget for the SECOND resident lexical layout (the term-major
-#: copy lives NEXT TO the blocked layout): past ~250M postings (2 GB)
-#: the capacity math no longer closes next to a 10M-doc int8 slab
-#: (PERF_LEDGER r4 "postings compression" decision), so the DAAT lane
-#: steps aside until the packed (~3.5-4 B/posting lossless) layout
-#: ships.
+#: copy lives NEXT TO the blocked layout): ~2 GB is the point past
+#: which the capacity math stops closing next to a 10M-doc int8 slab
+#: (PERF_LEDGER r4 "postings compression" decision). The PACKED layout
+#: (5 B/posting, quiver.rs:1-8 parity move) stretches the same byte
+#: budget to ~400M postings — enough for a 10M-doc zipf tail after the
+#: hot split; the f32 layout (8 B/posting) keeps its r4 ceiling.
+DAAT_MAX_LAYOUT_BYTES = 2 * (1 << 30)
+#: r4-compat postings expression of the same budget for the F32 layout
 DAAT_MAX_LAYOUT_POSTINGS = 250 * (1 << 20)
+
+#: packed-layout gates: doc rows must fit 24 bits and raw tf 7 bits
+#: (the u16 word is tf<<9 | field<<8 | fieldnorm_id). Outside the
+#: gates the f32 layout serves (correctness never depends on packing).
+PACKED_MAX_DOCS = 1 << 24
+PACKED_MAX_TF = 127
 
 
 def _round_up(x: int, m: int) -> int:
@@ -92,38 +101,115 @@ def _next_pow2(x: int) -> int:
 
 @dataclass
 class TermMajorPostings:
-    """Device term-major postings + host span CSR (argus cursor set)."""
+    """Device term-major postings + host span CSR (argus cursor set).
 
-    tm_doc: jax.Array  # (P_pad/128, 128) i32, -1 on tail padding
-    tm_tf: jax.Array  # (P_pad/128, 128) f32, 0 on tail padding
+    Two storage modes, selected at build (``packed``):
+
+    - F32 (8 B/posting): tm_doc i32 + tm_tf f32 holding the precomputed
+      tf-side score.
+    - PACKED (5 B/posting, the quiver.rs:1-8 capacity move): doc rows as
+      three u8 bit planes (24-bit docs) + one u16 word
+      ``tf<<9 | field<<8 | fieldnorm_id``; the tf-side score is
+      recomputed LOSSLESSLY on device as bk[field]·tf/(tf + cache[idx])
+      with the SAME f32 op order the host build used, so scores are
+      bit-identical to the f32 layout (pinned by tests). ``cache512`` is
+      the per-field fieldnorm caches concatenated (field·256+fid) and
+      ``bk`` the per-field boost·(k1+1) f32 products.
+    """
+
+    tm_doc: jax.Array | None  # (P_pad/128, 128) i32, -1 on tail padding
+    tm_tf: jax.Array | None  # (P_pad/128, 128) f32, 0 on tail padding
     ptr: np.ndarray  # (V+1,) i64 flat span offsets per term id
     n_postings: int
+    packed: bool = False
+    tm_d0: jax.Array | None = None  # (P_pad/128, 128) u8 doc bits 0-7
+    tm_d1: jax.Array | None = None  # u8 doc bits 8-15
+    tm_d2: jax.Array | None = None  # u8 doc bits 16-23
+    tm_w: jax.Array | None = None  # (P_pad/128, 128) u16 tf|field|fid
+    cache512: jax.Array | None = None  # (F*256 pad 512,) f32
+    bk: jax.Array | None = None  # (F pad 8,) f32
 
     @property
     def hbm_bytes(self) -> int:
+        if self.packed:
+            return int(self.tm_w.size) * 5
         return int(self.tm_doc.size) * 8
+
+    def device_arrays(self) -> tuple:
+        """The pytree the device kernels consume (layout-dependent)."""
+        if self.packed:
+            return (
+                self.tm_d0, self.tm_d1, self.tm_d2, self.tm_w,
+                self.cache512, self.bk,
+            )
+        return (self.tm_doc, self.tm_tf)
 
 
 def build_term_major(
-    terms_all: np.ndarray, docs_all: np.ndarray, tf_all: np.ndarray, *, vocab_size: int
+    terms_all: np.ndarray,
+    docs_all: np.ndarray,
+    tf_all: np.ndarray,
+    *,
+    vocab_size: int,
+    raw=None,
 ) -> TermMajorPostings | None:
     """Sort postings by (term, doc asc), pad to 128, upload row tiles.
 
-    Returns None when the flat space would overflow i32 positions (the
-    exhaustive lane still serves those corpora)."""
+    ``raw`` (optional) = (tf_raw, fidx, cache_flat, bk) host arrays —
+    per-posting integer tf and field·256+fieldnorm_id, plus the
+    per-field norm caches/boost products — enables the 5 B/posting
+    packed layout when the gates hold (docs < 2^24, tf ≤ 127).
+
+    Returns None when the flat space would overflow i32 positions or
+    the layout would exceed DAAT_MAX_LAYOUT_BYTES (the exhaustive lane
+    still serves those corpora)."""
     p = len(terms_all)
     p_pad = max(_round_up(max(p, 1), 128), 128)
-    if p_pad >= _MAX_P or p_pad > DAAT_MAX_LAYOUT_POSTINGS:
+    if p_pad >= _MAX_P:
+        return None
+    use_packed = False
+    if raw is not None:
+        tf_raw, fidx, cache_flat, bk = raw
+        use_packed = bool(
+            (len(tf_raw) == p)
+            and (p == 0 or int(tf_raw.max(initial=0)) <= PACKED_MAX_TF)
+            and (p == 0 or int(docs_all.max(initial=0)) < PACKED_MAX_DOCS)
+        )
+    budget = 5 * p_pad if use_packed else 8 * p_pad
+    if budget > DAAT_MAX_LAYOUT_BYTES or (
+        not use_packed and p_pad > DAAT_MAX_LAYOUT_POSTINGS
+    ):
         return None
     order = np.lexsort((docs_all, terms_all))
-    doc_flat = np.full(p_pad, -1, dtype=np.int32)
-    tf_flat = np.zeros(p_pad, dtype=np.float32)
-    doc_flat[:p] = docs_all[order]
-    tf_flat[:p] = tf_all[order]
     counts = np.bincount(
         terms_all.astype(np.int64), minlength=max(vocab_size, 1)
     ).astype(np.int64)
     ptr = np.concatenate([[0], np.cumsum(counts)])
+    if use_packed:
+        d = np.zeros(p_pad, dtype=np.int64)
+        d[:p] = docs_all[order]
+        w16 = np.zeros(p_pad, dtype=np.uint16)
+        w16[:p] = (
+            (tf_raw[order].astype(np.uint16) << 9)
+            | fidx[order].astype(np.uint16)
+        )
+        c512 = np.zeros(max(_round_up(len(cache_flat), 512), 512), np.float32)
+        c512[: len(cache_flat)] = cache_flat
+        bk8 = np.zeros(8, np.float32)
+        bk8[: len(bk)] = bk
+        return TermMajorPostings(
+            tm_doc=None, tm_tf=None, ptr=ptr, n_postings=p, packed=True,
+            tm_d0=jnp.asarray((d & 0xFF).astype(np.uint8).reshape(-1, 128)),
+            tm_d1=jnp.asarray(((d >> 8) & 0xFF).astype(np.uint8).reshape(-1, 128)),
+            tm_d2=jnp.asarray(((d >> 16) & 0xFF).astype(np.uint8).reshape(-1, 128)),
+            tm_w=jnp.asarray(w16.reshape(-1, 128)),
+            cache512=jnp.asarray(c512),
+            bk=jnp.asarray(bk8),
+        )
+    doc_flat = np.full(p_pad, -1, dtype=np.int32)
+    tf_flat = np.zeros(p_pad, dtype=np.float32)
+    doc_flat[:p] = docs_all[order]
+    tf_flat[:p] = tf_all[order]
     return TermMajorPostings(
         tm_doc=jnp.asarray(doc_flat.reshape(-1, 128)),
         tm_tf=jnp.asarray(tf_flat.reshape(-1, 128)),
@@ -180,20 +266,69 @@ def build_gather_plan(
     return row_idx, row_w, span_lo, span_hi
 
 
-def gathered_runs(
-    tm_doc: jax.Array,  # (P_pad/128, 128) i32
-    tm_tf: jax.Array,  # (P_pad/128, 128) f32
+#: packed-layout cache lookup strategy: "onehot" computes
+#: c = Σ_j (fidx==j)·cache512[j] (gather-free compare-reduce, 512 wide);
+#: "take" is a per-element small-table gather. A/B'd on v5e — see
+#: PERF_LEDGER r5.
+PACKED_CACHE_LOOKUP = "onehot"
+
+
+def _gather_span_tiles(tm_arrays, flat_rows, b: int, r: int, *, packed: bool):
+    """Row-gather the plan's tiles and return (doc (b,r,128) i32,
+    tf_side (b,r,128) f32). The packed path decodes doc bit planes and
+    recomputes the tf-side score LOSSLESSLY: bk[field]·tf/(tf+cache) in
+    the same f32 op order the host build used (bk is the host's own
+    f32 product), so values are bit-identical to the stored-f32 path."""
+    if not packed:
+        tm_doc, tm_tf = tm_arrays
+        d = jnp.take(tm_doc, flat_rows, axis=0).reshape(b, r, 128)
+        f = jnp.take(tm_tf, flat_rows, axis=0).reshape(b, r, 128)
+        return d, f
+    tm_d0, tm_d1, tm_d2, tm_w, cache512, bk = tm_arrays
+    d0 = jnp.take(tm_d0, flat_rows, axis=0).reshape(b, r, 128).astype(jnp.int32)
+    d1 = jnp.take(tm_d1, flat_rows, axis=0).reshape(b, r, 128).astype(jnp.int32)
+    d2 = jnp.take(tm_d2, flat_rows, axis=0).reshape(b, r, 128).astype(jnp.int32)
+    d = d0 | (d1 << 8) | (d2 << 16)
+    w16 = jnp.take(tm_w, flat_rows, axis=0).reshape(b, r, 128).astype(jnp.int32)
+    fidx = w16 & jnp.int32(0x1FF)
+    tf = (w16 >> 9).astype(jnp.float32)
+    if PACKED_CACHE_LOOKUP == "take":
+        c = jnp.take(cache512, fidx)
+        bksel = jnp.take(bk, fidx >> 8)
+    else:
+        nc = cache512.shape[0]
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, nc), 3)
+        c = jnp.sum(
+            jnp.where(fidx[..., None] == iota_c, cache512, jnp.float32(0.0)),
+            axis=-1,
+        )
+        nf = bk.shape[0]
+        iota_f = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, nf), 3)
+        bksel = jnp.sum(
+            jnp.where(
+                (fidx >> 8)[..., None] == iota_f, bk, jnp.float32(0.0)
+            ),
+            axis=-1,
+        )
+    f = bksel * tf / (tf + c)
+    return d, f
+
+
+def gathered_runs_tm(
+    tm_arrays,
     row_idx: jax.Array,  # (B, R) i32
     row_w: jax.Array,  # (B, R) f32
     span_lo: jax.Array,  # (B, R) i32
     span_hi: jax.Array,  # (B, R) i32
     t_run: int,
+    *,
+    packed: bool = False,
 ):
     """Span gather → mask → stable doc-key sort → bounded-run sum: the
-    shared term-driven aggregation core (also consumed by the hot-arm
-    combine in lexical/hot_arm.py). Returns (sd, score): ``sd`` (B, M)
-    doc keys ascending (``_BIG_DOC`` on padding), ``score`` (B, M) the
-    per-doc summed contribution at each run start and -inf elsewhere.
+    shared term-driven aggregation core. Returns (sd, score): ``sd``
+    (B, M) doc keys ascending (``_BIG_DOC`` on padding), ``score``
+    (B, M) the per-doc summed contribution at each run start and -inf
+    elsewhere.
 
     Exactness: each doc's run holds at most one posting per active
     (term, field) pair — ≤ t_run entries — summed left-to-right in the
@@ -201,8 +336,7 @@ def gathered_runs(
     """
     b, r = row_idx.shape
     flat_rows = row_idx.reshape(-1)
-    d = jnp.take(tm_doc, flat_rows, axis=0).reshape(b, r, 128)
-    f = jnp.take(tm_tf, flat_rows, axis=0).reshape(b, r, 128)
+    d, f = _gather_span_tiles(tm_arrays, flat_rows, b, r, packed=packed)
     pos = row_idx[..., None] * jnp.int32(128) + jax.lax.broadcasted_iota(
         jnp.int32, (b, r, 128), 2
     )
@@ -229,10 +363,17 @@ def gathered_runs(
     return sd, score
 
 
-@functools.partial(jax.jit, static_argnames=("k", "t_run"))
-def daat_topk(
-    tm_doc: jax.Array,  # (P_pad/128, 128) i32
-    tm_tf: jax.Array,  # (P_pad/128, 128) f32
+def gathered_runs(tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, t_run):
+    """F32-layout compatibility wrapper over :func:`gathered_runs_tm`."""
+    return gathered_runs_tm(
+        (tm_doc, tm_tf), row_idx, row_w, span_lo, span_hi, t_run,
+        packed=False,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "t_run", "packed"))
+def daat_topk_tm(
+    tm_arrays,  # layout pytree (TermMajorPostings.device_arrays())
     row_idx: jax.Array,  # (B, R) i32
     row_w: jax.Array,  # (B, R) f32
     span_lo: jax.Array,  # (B, R) i32
@@ -240,15 +381,16 @@ def daat_topk(
     *,
     k: int,
     t_run: int,
+    packed: bool = False,
 ):
-    """Term-driven top-k over :func:`gathered_runs`. Returns ((B, k)
+    """Term-driven top-k over :func:`gathered_runs_tm`. Returns ((B, k)
     scores, (B, k) GLOBAL doc rows, -1 invalid). Ties break (score desc,
     row asc) because the sort is doc-ascending and top_k prefers the
     lowest index among equal scores.
     """
     b, r = row_idx.shape
-    sd, score = gathered_runs(
-        tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, t_run
+    sd, score = gathered_runs_tm(
+        tm_arrays, row_idx, row_w, span_lo, span_hi, t_run, packed=packed
     )
     kk = min(k, r * 128)
     top_s, top_pos = jax.lax.top_k(score, kk)
@@ -261,6 +403,14 @@ def daat_topk(
         top_s = jnp.concatenate([top_s, pad_s], axis=1)
         top_d = jnp.concatenate([top_d, pad_d], axis=1)
     return top_s, top_d
+
+
+def daat_topk(tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, *, k, t_run):
+    """F32-layout compatibility wrapper over :func:`daat_topk_tm`."""
+    return daat_topk_tm(
+        (tm_doc, tm_tf), row_idx, row_w, span_lo, span_hi,
+        k=k, t_run=t_run, packed=False,
+    )
 
 
 #: per-query element ceiling for the term-driven lane (8k rows ≈ Σ df

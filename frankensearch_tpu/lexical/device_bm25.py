@@ -93,9 +93,16 @@ class _GradedClass(NamedTuple):
     All shape information is carried by the arrays: P_blk = term.shape[1],
     d_blk = doc_map.shape[1], L = P_blk // d_blk."""
 
-    term: jax.Array  # (n_blk_c, P_blk) i32, doc-major, per-doc L-padded
-    tf: jax.Array  # (n_blk_c, P_blk) f32 tf-side scores (0 on padding)
+    term: jax.Array | None  # (n_blk_c, P_blk) i32, doc-major, per-doc L-padded
+    tf: jax.Array | None  # (n_blk_c, P_blk) f32 tf-side scores (0 on padding)
     doc_map: jax.Array  # (n_blk_c, d_blk_c) i32 GLOBAL doc rows asc; -1 pad
+    #: TRANSPOSED layout for the FLAT hot-arm scan (split corpora store
+    #: ONLY this form; term/tf are None there): (n_blk_c, L, d_pad) with
+    #: d_pad = ceil(d_blk/128)*128, term padding -1 (matches no query
+    #: id), tf padding 0. Lane-major d makes the Pallas compare-FMA
+    #: kernel's (B, d) ops full-width.
+    term_t: jax.Array | None = None  # (n_blk_c, L, d_pad) i32
+    tf_t: jax.Array | None = None  # (n_blk_c, L, d_pad) f32
 
 
 def _graded_scan_body(classes, bounds_list, q_ids, q_w, *, k: int):
@@ -377,12 +384,123 @@ def _device_bm25_blocked(
     )
 
 
-def _graded_scan_flat(
-    classes, q_ids, q_w, s_phys, dmap_groups, *, k: int, seq_t: bool,
-):
+#: flat-scan scoring backend: None = auto (Pallas kernel on TPU, XLA
+#: elsewhere); True/False force; "interpret" runs the kernel in Pallas
+#: interpret mode (CPU parity tests). Read at TRACE time — flips after
+#: a shape has compiled do not retrace (vary a static to force).
+FLAT_PALLAS = None
+
+
+def _flat_pallas_mode():
+    if FLAT_PALLAS is not None:
+        return FLAT_PALLAS
+    return jax.default_backend() == "tpu"
+
+
+def _flat_score_kernel(qi_ref, qw_ref, tb_ref, fb_ref, out_ref, *, t_q, l_c):
+    """Per-(block, B-tile) tail scores in the transposed layout.
+
+    out[b, d] = Σ_l Σ_j qw[b,j] · tf_t[l,d] · (term_t[l,d] == qi[b,j])
+
+    Every op is a full-width (bt, d_pad) vector op (d is the lane
+    axis); the j loop is static (t_q ≤ 16 after tail compaction), l is
+    a fori. f32 accumulation in a fixed (l, j) order — bit-stable
+    across batch widths (each (b, d) cell's order never depends on its
+    batchmates), but a DIFFERENT fixed order from the XLA chunked
+    einsum: the two backends agree to rank/1-ulp, not bitwise (TPU
+    runs exactly one backend per process, so every purity contract
+    stays within-backend)."""
+    bt = out_ref.shape[1]
+    d_pad = out_ref.shape[2]
+    acc0 = jnp.zeros((bt, d_pad), jnp.float32)
+
+    def body_l(l, acc):
+        tl = tb_ref[0, l, :]  # (d_pad,) i32
+        fl = fb_ref[0, l, :]  # (d_pad,) f32
+        for j in range(t_q):
+            idsj = qi_ref[:, j]  # (bt,)
+            wj = qw_ref[:, j]
+            hit = tl[None, :] == idsj[:, None]
+            acc = acc + jnp.where(hit, wj[:, None] * fl[None, :], 0.0)
+        return acc
+
+    out_ref[0] = jax.lax.fori_loop(0, l_c, body_l, acc0)
+
+
+def _flat_class_scores_pallas(term_t, tf_t, q_ids, q_w, *, interpret: bool):
+    """(n_c, B, d_pad) tail scores for one class via the Pallas kernel.
+    B tiles at ≤64 rows (VMEM: out tile ≤ 8.4 MB at the shallowest
+    class's d_pad=32768 + ≤2 MB of term/tf rows — under the 12 MB
+    scratch guard)."""
+    from jax.experimental import pallas as pl
+
+    n_c, l_c, d_pad = term_t.shape
+    b, t_q = q_ids.shape
+    # B-tile sized so the (bt, d_pad) accumulator stays ~2 MiB: Mosaic
+    # double-buffers the in/out blocks and keeps unrolled-j temporaries
+    # live, so bt=64 at d_pad=11008 measured 152 KB OVER the 16 MiB
+    # scoped-vmem limit (v5e) — the adaptive tile keeps every class
+    # comfortably under it.
+    bt = 8
+    for cand in (64, 32, 16):
+        if b % cand == 0 and cand * d_pad * 4 <= (2 << 20):
+            bt = cand
+            break
+    assert b % bt == 0
+    kernel = functools.partial(_flat_score_kernel, t_q=t_q, l_c=l_c)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_c, b // bt),
+        in_specs=[
+            pl.BlockSpec((bt, t_q), lambda i, g: (g, 0)),
+            pl.BlockSpec((bt, t_q), lambda i, g: (g, 0)),
+            pl.BlockSpec((1, l_c, d_pad), lambda i, g: (i, 0, 0)),
+            pl.BlockSpec((1, l_c, d_pad), lambda i, g: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bt, d_pad), lambda i, g: (i, g, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_c, b, d_pad), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t_q * l_c * d_pad * n_c,
+            bytes_accessed=n_c * (l_c * d_pad * 8 + b * d_pad * 4),
+            transcendentals=0,
+        ),
+    )(q_ids, q_w, term_t, tf_t)
+
+
+def _flat_class_scores_xla(term_t, tf_t, q_ids, q_w):
+    """XLA fallback: lax.scan over blocks, chunked-einsum scoring on the
+    transposed layout (same chunk discipline as _group_block_scores)."""
+    n_c, l_c, d_pad = term_t.shape
+    b = q_ids.shape[0]
+
+    def step(carry, p):
+        t = jnp.take(term_t, p, axis=0)  # (l, d_pad)
+        f = jnp.take(tf_t, p, axis=0)
+        scores = jnp.zeros((b, d_pad), jnp.float32)
+        for j0 in range(0, q_ids.shape[1], T_PAD_GRANULE):
+            ids_c = q_ids[:, j0 : j0 + T_PAD_GRANULE]
+            w_c = q_w[:, j0 : j0 + T_PAD_GRANULE]
+            hit = t[None, None] == ids_c[:, :, None, None]  # (B, 8, l, d)
+            mass = jnp.sum(f[None, None] * hit.astype(jnp.float32), axis=2)
+            scores = scores + jnp.einsum(
+                "bj,bjd->bd", w_c, mass,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+        return carry, scores
+
+    _, sc = jax.lax.scan(
+        step, jnp.int32(0), jnp.arange(n_c, dtype=jnp.int32)
+    )
+    return sc  # (n_c, B, d_pad)
+
+
+def _graded_scan_flat(classes, q_ids, q_w, s_phys, dmap_groups, *, k: int):
     """FLAT exhaustive scan over the graded classes for the SPLIT
-    layout: materialize dense per-doc scores (tail mass + contiguous
-    hot slice), reduce to per-128-slot-group (max, row-of-first-max),
+    layout: materialize dense per-doc scores in the GROUP-ALIGNED
+    physical slot space (tail mass + the hot partial added in the same
+    space), reduce to per-128-slot-group (max, row-of-first-max),
     select the top-k groups per query with ONE two-key sort, gather the
     winners' 128-slot chunks via leading-axis row takes, and finish
     with one exact (score desc, row asc) sort. Returns ((B, k) scores,
@@ -394,7 +512,9 @@ def _graded_scan_flat(
     per-block ``lax.top_k`` degenerates at the tail layout's wide
     shallow blocks (0.46-0.90 ms/block at d_c 10922-32768 vs ~0 at
     2048; tools/bench_block_step_probe). The flat body pays the compare
-    floor once plus O(total/128) selection work.
+    floor once plus O(total/128) selection work; the compare itself is
+    the Pallas kernel on TPU (the XLA chunked einsum measured ~10% VPU
+    efficiency — 24.6 ms of the 35.8 ms batch; tools/bench_flat_decomp).
 
     TIE-EXACT GROUP COVERAGE (any group order): select k groups per
     query by the key (group max desc, row of the group's FIRST max
@@ -409,67 +529,46 @@ def _graded_scan_flat(
     tiebreak lands on the minimal row; rows are unique across groups
     (each doc lives in exactly one block slot).
 
-    Padding: block slots with row -1 mask to -inf BEFORE grouping (so
-    padding can never displace a real score-0 doc from the selection),
-    and d_c pads to a 128 multiple with (-inf, row -1) lanes; empty
-    groups carry (-inf, -1) keys and sort last.
+    Padding: slots with row -1 (in-block padding and the per-block
+    d_pad alignment lanes) mask to -inf BEFORE grouping, so padding can
+    never displace a real score-0 doc; empty groups carry (-inf, -1)
+    keys and sort last.
     """
     b = q_ids.shape[0]
-    gmax_parts, grow_parts, score_parts = [], [], []
+    mode = _flat_pallas_mode()
+    use_pallas = bool(mode) and b % 8 == 0  # callers pad B to 8-multiples
+    interpret = mode == "interpret"
+    parts = []
     off = 0
     for cls in classes:
-        n_c, d_c = cls.doc_map.shape
-        l_c = cls.term.shape[1] // d_c
-        gc = -(-d_c // 128)
-        pad = gc * 128 - d_c
-        hots_c = None
-        if s_phys is not None:
-            hots_c = jax.lax.slice_in_dim(
-                s_phys, off, off + n_c * d_c, axis=1
-            ).reshape(b, n_c, d_c)
-        off += n_c * d_c
-
-        def step(carry, p, cls=cls, hots_c=hots_c,
-                 d_c=d_c, l_c=l_c, gc=gc, pad=pad):
-            t = jnp.take(cls.term, p, axis=0)
-            f = jnp.take(cls.tf, p, axis=0)
-            dmap = jnp.take(cls.doc_map, p, axis=0)  # (d_c,)
-            tb = t.reshape(1, d_c, l_c)
-            fb = f.reshape(1, d_c, l_c)
-            scores = _group_block_scores(tb, fb, q_ids, q_w, seq_t=seq_t)[:, 0, :]
-            if hots_c is not None:
-                scores = scores + jax.lax.dynamic_index_in_dim(
-                    hots_c, p, axis=1, keepdims=False
-                )
-            scores = jnp.where(dmap[None, :] >= 0, scores, -jnp.inf)
-            if pad:
-                scores = jnp.pad(
-                    scores, ((0, 0), (0, pad)), constant_values=-jnp.inf
-                )
-                dmap = jnp.pad(dmap, (0, pad), constant_values=-1)
-            sg = scores.reshape(b, gc, 128)
-            gmax = jnp.max(sg, axis=2)
-            am = jnp.argmax(sg, axis=2).astype(jnp.int32)  # first max
-            grow = jnp.take(
-                dmap,
-                jax.lax.broadcasted_iota(jnp.int32, (b, gc), 1) * 128 + am,
+        n_c, d_pad = cls.term_t.shape[0], cls.term_t.shape[2]
+        if use_pallas:
+            sc = _flat_class_scores_pallas(
+                cls.term_t, cls.tf_t, q_ids, q_w, interpret=interpret
             )
-            return carry, (scores, gmax, grow)
+        else:
+            sc = _flat_class_scores_xla(cls.term_t, cls.tf_t, q_ids, q_w)
+        sc_t = jnp.transpose(sc, (1, 0, 2)).reshape(b, n_c * d_pad)
+        if s_phys is not None:
+            sc_t = sc_t + jax.lax.slice_in_dim(
+                s_phys, off, off + n_c * d_pad, axis=1
+            )
+        parts.append(sc_t)
+        off += n_c * d_pad
 
-        _, (sc, gm, gr) = jax.lax.scan(
-            step, jnp.int32(0), jnp.arange(n_c, dtype=jnp.int32)
-        )
-        score_parts.append(
-            jnp.transpose(sc.reshape(n_c, b, gc, 128), (1, 0, 2, 3))
-            .reshape(b, n_c * gc, 128)
-        )
-        gmax_parts.append(jnp.transpose(gm, (1, 0, 2)).reshape(b, n_c * gc))
-        grow_parts.append(jnp.transpose(gr, (1, 0, 2)).reshape(b, n_c * gc))
-
-    gmax = jnp.concatenate(gmax_parts, axis=1)  # (B, TG)
-    grow = jnp.concatenate(grow_parts, axis=1)
-    scores_all = jnp.concatenate(score_parts, axis=1)  # (B, TG, 128)
-    tg = gmax.shape[1]
+    scores_full = jnp.concatenate(parts, axis=1)  # (B, TG*128)
+    dmap_flat = dmap_groups.reshape(-1)
+    scores_full = jnp.where(
+        dmap_flat[None, :] >= 0, scores_full, -jnp.inf
+    )
+    tg = dmap_groups.shape[0]
+    sg = scores_full.reshape(b, tg, 128)
+    gmax = jnp.max(sg, axis=2)
+    am = jnp.argmax(sg, axis=2).astype(jnp.int32)  # first max = lowest row
+    grow = jnp.take(
+        dmap_flat,
+        jax.lax.broadcasted_iota(jnp.int32, (b, tg), 1) * 128 + am,
+    )
     kg = min(k, tg)
     iota = jax.lax.broadcasted_iota(jnp.int32, (b, tg), 1)
     _, _, gid = jax.lax.sort((-gmax, grow, iota), num_keys=2)
@@ -481,7 +580,7 @@ def _graded_scan_flat(
         jax.lax.broadcasted_iota(jnp.int32, (b, kg), 0) * tg + gid
     ).reshape(-1)
     cand_s = jnp.take(
-        scores_all.reshape(b * tg, 128), flat, axis=0
+        scores_full.reshape(b * tg, 128), flat, axis=0
     ).reshape(b, kg * 128)
     cand_r = jnp.take(dmap_groups, gid.reshape(-1), axis=0).reshape(b, kg * 128)
 
@@ -502,27 +601,28 @@ def _graded_scan_flat(
 
 def _blocked_hot_body(
     classes, q_ids, q_w, cols_phys, q_hot, cold_cols, cold_rows, dmap_groups,
-    *, k: int, seq_t: bool = SEQ_T_ACCUM,
+    *, k: int,
 ):
     """Hot-arm exhaustive body (shared by the single-device jit wrapper
     and the fused phase-1 programs): dense head matmul in the blocked
-    layout's PHYSICAL slot order + the flat tail scan with in-scan
-    contiguous hot slices + the zero-tail-posting docs' tiny dense
-    merge. See lexical/hot_arm.py for the layout story (and the 249 ms
-    measured-negative gather architecture this replaced); block-max
-    bounds are not consumed — the head partials would defeat pruning."""
+    layout's PHYSICAL slot order + the flat tail scan with the hot
+    partial added in the same slot space + the zero-tail-posting docs'
+    tiny dense merge. See lexical/hot_arm.py for the layout story (and
+    the 249 ms measured-negative gather architecture this replaced);
+    block-max bounds are not consumed — the head partials would defeat
+    pruning."""
     from frankensearch_tpu.lexical.hot_arm import cold_doc_topk, hot_partial
 
     s_phys = hot_partial(cols_phys, q_hot)  # (B, NP_pad), slot order
     top_s, top_i, skipped = _graded_scan_flat(
-        classes, q_ids, q_w, s_phys, dmap_groups, k=k, seq_t=seq_t,
+        classes, q_ids, q_w, s_phys, dmap_groups, k=k,
     )
     ds, di = cold_doc_topk(cold_cols, cold_rows, q_hot, k=k)
     top_s, top_i = _merge_topk_exact(top_s, top_i, ds, di, k)
     return top_s, top_i, skipped
 
 
-@functools.partial(jax.jit, static_argnames=("k", "seq_t"))
+@functools.partial(jax.jit, static_argnames=("k",))
 def _device_bm25_blocked_hot(
     classes,
     q_ids: jax.Array, q_w: jax.Array,
@@ -531,12 +631,12 @@ def _device_bm25_blocked_hot(
     cold_cols: jax.Array,  # (H_pad, C_pad) f32
     cold_rows: jax.Array,  # (C_pad,) i32
     dmap_groups: jax.Array,  # (TG, 128) i32 group slot -> global row
-    *, k: int, seq_t: bool = SEQ_T_ACCUM,
+    *, k: int,
 ):
     """Exhaustive lane over the SPLIT layout (lexical/hot_arm.py)."""
     return _blocked_hot_body(
         classes, q_ids, q_w, cols_phys, q_hot,
-        cold_cols, cold_rows, dmap_groups, k=k, seq_t=seq_t,
+        cold_cols, cold_rows, dmap_groups, k=k,
     )
 
 
@@ -573,7 +673,8 @@ class _BlockedPostings:
         out = []
         for c, cls in enumerate(self.classes):
             start = self.class_offsets[c]
-            out.append(jnp.asarray(bounds[start : start + cls.term.shape[0]]))
+            n_c = cls.doc_map.shape[0]
+            out.append(jnp.asarray(bounds[start : start + n_c]))
         return tuple(out)
 
     def query_bounds(self, ids: np.ndarray, w: np.ndarray) -> np.ndarray:
@@ -629,6 +730,7 @@ def _build_blocked(
     n_docs: int,
     vocab_size: int,
     block_postings: int | None = None,
+    transpose_for_flat: bool = False,
 ) -> _BlockedPostings:
     """Length-graded block build (host-side, vectorized per block).
 
@@ -700,10 +802,15 @@ def _build_blocked(
         blks = by_l[l_blk]
         d_cap = max(p_blk // l_blk, 1)
         n_c = len(blks)
+        d_pad = max(_round_up(d_cap, 128), 128)
         # class arrays are exactly (d_cap * l_blk) wide so the scan body's
         # reshape to (d_cap, l_blk) is exact
-        bt = np.zeros((n_c, d_cap * l_blk), dtype=np.int32)
-        bf = np.zeros((n_c, d_cap * l_blk), dtype=np.float32)
+        if transpose_for_flat:
+            bt_t = np.full((n_c, l_blk, d_pad), -1, dtype=np.int32)
+            bf_t = np.zeros((n_c, l_blk, d_pad), dtype=np.float32)
+        else:
+            bt = np.zeros((n_c, d_cap * l_blk), dtype=np.int32)
+            bf = np.zeros((n_c, d_cap * l_blk), dtype=np.float32)
         dm = np.full((n_c, d_cap), -1, dtype=np.int32)
         class_offsets.append(gid)
         for r, block_docs in enumerate(blks):
@@ -717,15 +824,28 @@ def _build_blocked(
                 seg_start = np.concatenate([[0], np.cumsum(lens)[:-1]])
                 off = np.arange(total, dtype=np.int64) - seg_start[j_of]
                 src = starts[j_of] + off
-                dst = j_of * l_blk + off
-                bt[r, dst] = terms[src]
-                bf[r, dst] = tfs[src]
+                if transpose_for_flat:
+                    bt_t[r, off, j_of] = terms[src]
+                    bf_t[r, off, j_of] = tfs[src]
+                else:
+                    dst = j_of * l_blk + off
+                    bt[r, dst] = terms[src]
+                    bf[r, dst] = tfs[src]
                 post_blk[src] = gid + r
-        classes.append(
-            _GradedClass(
-                term=jnp.asarray(bt), tf=jnp.asarray(bf), doc_map=jnp.asarray(dm)
+        if transpose_for_flat:
+            classes.append(
+                _GradedClass(
+                    term=None, tf=None, doc_map=jnp.asarray(dm),
+                    term_t=jnp.asarray(bt_t), tf_t=jnp.asarray(bf_t),
+                )
             )
-        )
+        else:
+            classes.append(
+                _GradedClass(
+                    term=jnp.asarray(bt), tf=jnp.asarray(bf),
+                    doc_map=jnp.asarray(dm),
+                )
+            )
         phys_parts.append(dm.reshape(-1).astype(np.int64))
         gid += n_c
     n_blk = gid
@@ -767,7 +887,11 @@ def _build_blocked(
 
 
 def _upload_postings(
-    index, terms_all: np.ndarray, docs_all: np.ndarray, tf_all: np.ndarray
+    index,
+    terms_all: np.ndarray,
+    docs_all: np.ndarray,
+    tf_all: np.ndarray,
+    raw=None,
 ) -> None:
     """Finalize postings onto the device: dense flat arrays for small
     corpora, doc-blocked streaming layout above BLOCKED_THRESHOLD_POSTINGS
@@ -776,7 +900,12 @@ def _upload_postings(
     At blocked scale the layout SPLITS (lexical/hot_arm.py): head terms
     densify into hot columns and the blocked/term-major tail structures
     keep only the remaining postings — every lane re-adds the hot part,
-    so scoring semantics are unchanged."""
+    so scoring semantics are unchanged.
+
+    ``raw`` = (tf_raw, fidx, cache_flat, bk) per-posting integer tf and
+    field·256+fieldnorm_id plus the per-field norm caches / boost
+    products — enables the PACKED 5 B/posting term-major layout
+    (lexical/daat.py) when its gates hold."""
     p = len(terms_all)
     index.posting_count = p
     index._daat = False  # term-major CSR rebuilds lazily from the new postings
@@ -787,7 +916,9 @@ def _upload_postings(
         docs_all.astype(np.int32),
         tf_all.astype(np.float32),
     )
+    index._raw_host = raw
     index._cold_host = index._post_host
+    index._cold_raw = raw
     index.cold_posting_count = p
     if p >= BLOCKED_THRESHOLD_POSTINGS:
         from frankensearch_tpu.lexical import hot_arm as _hot_arm
@@ -807,10 +938,15 @@ def _upload_postings(
                 d_cold.astype(np.int32),
                 f_cold.astype(np.float32),
             )
+            if raw is not None:
+                index._cold_raw = (
+                    raw[0][cold_sel], raw[1][cold_sel], raw[2], raw[3],
+                )
             index.cold_posting_count = len(t_cold)
         index._blocked = _build_blocked(
             t_cold, d_cold, f_cold,
             n_docs=index.n_docs, vocab_size=index.vocab_size,
+            transpose_for_flat=split is not None,
         )
         if split is not None:
             # the dense columns reorder into the tail layout's physical
@@ -862,14 +998,20 @@ class DeviceBm25Index(LexicalRead):
         terms_all: list[int] = []
         docs_all: list[int] = []
         tf_all: list[float] = []
+        raw_tf: list[int] = []
+        raw_fx: list[int] = []
+        cache_flat = np.zeros(len(_FIELDS) * 256, dtype=np.float32)
+        bk_arr = np.zeros(len(_FIELDS), dtype=np.float32)
         vocab_offset = 0
-        for fname in _FIELDS:
+        for ford, fname in enumerate(_FIELDS):
             stats = field_stats[fname]
             field_postings = postings[fname]
             vocab = sorted(field_postings.keys())
             term_ids = {t: vocab_offset + i for i, t in enumerate(vocab)}
             cache = tf_norm_cache(stats.avgdl)
             boost = _BOOSTS[fname]
+            cache_flat[ford * 256 : (ford + 1) * 256] = cache
+            bk_arr[ford] = np.float32(boost) * (BM25_K1 + np.float32(1.0))
             idf_host = np.zeros(len(vocab), dtype=np.float32)
             for i, term in enumerate(vocab):
                 plist = field_postings[term]
@@ -886,6 +1028,8 @@ class DeviceBm25Index(LexicalRead):
                     terms_all.append(term_ids[term])
                     docs_all.append(self._row_of[doc_id])
                     tf_all.append(tf_side)
+                    raw_tf.append(int(tf))
+                    raw_fx.append(ford * 256 + int(fid))
             self._arms[fname] = _FieldArm(
                 term_ids=term_ids, idf_host=idf_host, boost=boost, base=vocab_offset
             )
@@ -897,6 +1041,12 @@ class DeviceBm25Index(LexicalRead):
             np.asarray(terms_all, dtype=np.int64),
             np.asarray(docs_all, dtype=np.int64),
             np.asarray(tf_all, dtype=np.float32),
+            raw=(
+                np.asarray(raw_tf, dtype=np.int64),
+                np.asarray(raw_fx, dtype=np.uint16),
+                cache_flat,
+                bk_arr,
+            ),
         )
 
     # -- LexicalRead -------------------------------------------------------
@@ -947,7 +1097,9 @@ class DeviceBm25Index(LexicalRead):
     def _term_major(self):
         """Lazy term-major CSR for the DAAT lane (built once from the
         host TAIL postings copy — hot terms' spans are empty by
-        construction; None when unavailable)."""
+        construction; None when unavailable). Builds the PACKED
+        5 B/posting layout when the raw (tf, fieldnorm) arrays are
+        available and its gates hold (lexical/daat.py)."""
         tm = getattr(self, "_daat", False)
         if tm is False:
             from frankensearch_tpu.lexical import daat as _daat
@@ -956,7 +1108,11 @@ class DeviceBm25Index(LexicalRead):
                 self, "_post_host", None
             )
             tm = (
-                _daat.build_term_major(*host, vocab_size=self.vocab_size)
+                _daat.build_term_major(
+                    *host,
+                    vocab_size=self.vocab_size,
+                    raw=getattr(self, "_cold_raw", None),
+                )
                 if host is not None
                 else None
             )
@@ -991,8 +1147,9 @@ class DeviceBm25Index(LexicalRead):
                 jnp.asarray(row_idx), jnp.asarray(row_w),
                 jnp.asarray(span_lo), jnp.asarray(span_hi),
             )
-            top_s, top_i = _daat.daat_topk(
-                tm.tm_doc, tm.tm_tf, *plan, k=k, t_run=cids.shape[1]
+            top_s, top_i = _daat.daat_topk_tm(
+                tm.device_arrays(), *plan,
+                k=k, t_run=cids.shape[1], packed=tm.packed,
             )
             out.append((top_s[:b_real], top_i[:b_real]))
         return out
@@ -1039,7 +1196,7 @@ class DeviceBm25Index(LexicalRead):
                 jnp.asarray(ids), jnp.asarray(w),
                 hot.cols_phys, jnp.asarray(q_hot),
                 hot.cold_cols, hot.cold_rows, hot.dmap_groups,
-                k=k, seq_t=SEQ_T_ACCUM,
+                k=k,
             )
         self.last_blocks_skipped = int(skipped)
         return top_s[:b_real], top_i[:b_real]
@@ -1187,8 +1344,11 @@ class BulkDeviceBm25Index(LexicalRead):
         }
         all_term_ids: dict[str, _FieldArm] = {}
         parts_term, parts_doc, parts_tf = [], [], []
+        parts_rtf, parts_rfx = [], []
+        cache_flat = _np.zeros(len(_FIELDS) * 256, dtype=_np.float32)
+        bk_arr = _np.zeros(len(_FIELDS), dtype=_np.float32)
         vocab_offset = 0
-        for fname in _FIELDS:
+        for ford, fname in enumerate(_FIELDS):
             bp = native.build_postings_native(field_texts[fname])
             if bp is None:
                 raise RuntimeError(
@@ -1213,14 +1373,19 @@ class BulkDeviceBm25Index(LexicalRead):
                 (big_n - df + _np.float32(0.5)) / (df + _np.float32(0.5))
             ).astype(_np.float32)
             boost = _BOOSTS[fname]
+            cache_flat[ford * 256 : (ford + 1) * 256] = cache
+            bk_arr[ford] = _np.float32(boost) * (BM25_K1 + _np.float32(1.0))
             tf32 = bp.post_tf.astype(_np.float32)
-            norms = cache[fieldnorm_ids[bp.post_doc]]
+            post_fid = fieldnorm_ids[bp.post_doc]
+            norms = cache[post_fid]
             tf_side = (
                 _np.float32(boost) * (BM25_K1 + _np.float32(1.0)) * tf32 / (tf32 + norms)
             ).astype(_np.float32)
             parts_term.append(bp.post_term.astype(_np.int64) + vocab_offset)
             parts_doc.append(bp.post_doc.astype(_np.int64))
             parts_tf.append(tf_side)
+            parts_rtf.append(bp.post_tf.astype(_np.int64))
+            parts_rfx.append((ford * 256 + post_fid).astype(_np.uint16))
             all_term_ids[fname] = _FieldArm(
                 term_ids={t: vocab_offset + i for i, t in enumerate(bp.terms)},
                 idf_host=idf_host,
@@ -1234,11 +1399,18 @@ class BulkDeviceBm25Index(LexicalRead):
             terms_all = _np.concatenate(parts_term)
             docs_all = _np.concatenate(parts_doc)
             tf_all = _np.concatenate(parts_tf)
+            raw = (
+                _np.concatenate(parts_rtf),
+                _np.concatenate(parts_rfx),
+                cache_flat,
+                bk_arr,
+            )
         else:
             terms_all = _np.zeros(0, _np.int64)
             docs_all = _np.zeros(0, _np.int64)
             tf_all = _np.zeros(0, _np.float32)
-        _upload_postings(self, terms_all, docs_all, tf_all)
+            raw = None
+        _upload_postings(self, terms_all, docs_all, tf_all, raw=raw)
 
     # share query/scoring machinery with DeviceBm25Index
     daat_mode = "auto"

@@ -184,6 +184,19 @@ def save_packed(index, path: str) -> None:
     sections["pterm"] = np.ascontiguousarray(np.asarray(pterm), np.int32).tobytes()
     sections["pdoc"] = np.ascontiguousarray(np.asarray(pdoc), np.int32).tobytes()
     sections["ptf"] = np.ascontiguousarray(np.asarray(ptf), np.float32).tobytes()
+    raw = getattr(index, "_raw_host", None)
+    if raw is not None and (
+        len(raw[0]) == 0 or int(np.max(raw[0])) <= 0xFFFF
+    ):
+        # raw (tf, field*256+fieldnorm_id) per posting + per-field norm
+        # caches/boost products: lets loads rebuild the PACKED 5 B/posting
+        # term-major layout (lexical/daat.py). Optional sections — old
+        # segments load fine without them (f32 layout).
+        tf_raw, fidx, cache_flat, bk = raw
+        sections["rtf"] = np.ascontiguousarray(tf_raw, np.uint16).tobytes()
+        sections["rfx"] = np.ascontiguousarray(fidx, np.uint16).tobytes()
+        sections["rcache"] = np.ascontiguousarray(cache_flat, np.float32).tobytes()
+        sections["rbk"] = np.ascontiguousarray(bk, np.float32).tobytes()
     sections["docmeta"] = json.dumps(meta, separators=(",", ":")).encode()
     write_sections(path, sections)
 
@@ -207,6 +220,14 @@ def load_packed(path: str):
     p = manifest["posting_count"]
     from frankensearch_tpu.lexical.device_bm25 import _upload_postings
 
+    raw = None
+    if "rtf" in sec:
+        raw = (
+            np.frombuffer(sec["rtf"], dtype=np.uint16)[:p].astype(np.int64),
+            np.frombuffer(sec["rfx"], dtype=np.uint16)[:p],
+            np.frombuffer(sec["rcache"], dtype=np.float32),
+            np.frombuffer(sec["rbk"], dtype=np.float32),
+        )
     # legacy segments carry padded arrays; trim to the true posting count,
     # then the shared finalizer picks dense vs doc-blocked layout
     _upload_postings(
@@ -214,6 +235,7 @@ def load_packed(path: str):
         np.frombuffer(sec["pterm"], dtype=np.int32)[:p].astype(np.int64),
         np.frombuffer(sec["pdoc"], dtype=np.int32)[:p].astype(np.int64),
         np.frombuffer(sec["ptf"], dtype=np.float32)[:p],
+        raw=raw,
     )
     index._arms = {}
     for fname, finfo in manifest["fields"].items():

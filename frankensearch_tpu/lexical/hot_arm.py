@@ -181,39 +181,46 @@ def split_postings(
 
 
 def finalize_hot_arm(split: HotSplit, blocked, n_docs: int) -> HotArm:
-    """Reorder the head columns into the blocked layout's physical slot
-    order (host-side — zero device gathers at query time) and extract
-    the zero-tail-posting docs' columns.
+    """Reorder the head columns into the blocked layout's GROUP-ALIGNED
+    physical slot order (host-side — zero device gathers at query time)
+    and extract the zero-tail-posting docs' columns.
 
     ``blocked`` is the tail _BlockedPostings; its ``phys_doc`` maps
-    physical slot → global row (-1 on block padding slots)."""
+    unpadded class-major slot → global row (-1 on block padding slots).
+    The device slot space pads every block's d_c to a 128 multiple so
+    128-slot GROUPS never straddle blocks: the hot-partial matrix, the
+    flat scan's per-block score rows (d_pad wide) and ``dmap_groups``
+    all share one slot numbering."""
     phys_doc = blocked.phys_doc
-    n_phys = len(phys_doc)
-    np_pad = max(_round_up(max(n_phys, 1), 128), 128)
-    cols_phys = np.zeros((split.h_pad, np_pad), dtype=np.float32)
-    real = phys_doc >= 0
-    cols_phys[:, np.flatnonzero(real)] = split.cols_np[:, phys_doc[real]]
-
-    # per-128-slot-group row table in the flat scan's emission order:
-    # class-major, block-major, each block's d_c padded to a 128 multiple
+    # padded slot space + per-128-group row table, class-major
     group_parts: list[np.ndarray] = []
+    doc_parts: list[np.ndarray] = []
     off = 0
     for cls in blocked.classes:
         n_c, d_c = cls.doc_map.shape
         gc = -(-d_c // 128)
         dm = phys_doc[off : off + n_c * d_c].reshape(n_c, d_c)
-        dmp = np.full((n_c, gc * 128), -1, dtype=np.int32)
+        dmp = np.full((n_c, gc * 128), -1, dtype=np.int64)
         dmp[:, :d_c] = dm
-        group_parts.append(dmp.reshape(n_c * gc, 128))
+        group_parts.append(dmp.reshape(n_c * gc, 128).astype(np.int32))
+        doc_parts.append(dmp.reshape(-1))
         off += n_c * d_c
     dmap_groups = (
         np.concatenate(group_parts)
         if group_parts
         else np.full((1, 128), -1, np.int32)
     )
+    phys_padded = (
+        np.concatenate(doc_parts) if doc_parts else np.full(128, -1, np.int64)
+    )
+    n_phys = len(phys_padded)
+    np_pad = max(_round_up(max(n_phys, 1), 128), 128)
+    cols_phys = np.zeros((split.h_pad, np_pad), dtype=np.float32)
+    real = phys_padded >= 0
+    cols_phys[:, np.flatnonzero(real)] = split.cols_np[:, phys_padded[real]]
 
     in_blocks = np.zeros(n_docs, dtype=bool)
-    in_blocks[phys_doc[real]] = True
+    in_blocks[phys_padded[real]] = True
     cold = np.flatnonzero(~in_blocks).astype(np.int64)  # ascending rows
     c_pad = max(_round_up(max(len(cold), 1), 128), 128)
     cold_cols = np.zeros((split.h_pad, c_pad), dtype=np.float32)

@@ -66,7 +66,7 @@ def _lex_blocked(classes, bounds_list, q_ids, q_w, *, k_lex, hot=None):
         lex_s, lex_i, _skipped = _blocked_hot_body(
             classes, q_ids, q_w, cols_phys, q_hot,
             cold_cols, cold_rows, dmap_groups,
-            k=k_lex, seq_t=SEQ_T_ACCUM,
+            k=k_lex,
         )
         return lex_s, lex_i
     lex_s, lex_i, _skipped = _device_bm25_blocked(
@@ -76,16 +76,18 @@ def _lex_blocked(classes, bounds_list, q_ids, q_w, *, k_lex, hot=None):
     return lex_s, lex_i
 
 
-def _lex_daat(tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi,
-              *, k_lex, t_run):
+def _lex_daat(tm, row_idx, row_w, span_lo, span_hi,
+              *, k_lex, t_run, tm_packed):
     """Term-driven lexical arm — PURE-TAIL queries only (hot-term
     queries ride the blocked lane; the DAAT gather-at-doc-keys hot
     combine is the retired 249 ms architecture, see
-    ops/ab_primitives.hot_daat_topk_ab)."""
-    from frankensearch_tpu.lexical.daat import daat_topk
+    ops/ab_primitives.hot_daat_topk_ab). ``tm`` is the layout pytree
+    (TermMajorPostings.device_arrays(): 2 arrays f32 / 6 packed)."""
+    from frankensearch_tpu.lexical.daat import daat_topk_tm
 
-    return daat_topk(
-        tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, k=k_lex, t_run=t_run
+    return daat_topk_tm(
+        tm, row_idx, row_w, span_lo, span_hi,
+        k=k_lex, t_run=t_run, packed=tm_packed,
     )
 
 
@@ -170,12 +172,13 @@ def fused_phase1_embed_dense(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_vec", "k_lex", "scan_mode", "tile_n", "t_run"),
+    static_argnames=("k_vec", "k_lex", "scan_mode", "tile_n", "t_run", "tm_packed"),
 )
 def fused_phase1_daat(
     slab, mask, q_vecs,
-    tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi,
+    tm, row_idx, row_w, span_lo, span_hi,
     *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int, t_run: int,
+    tm_packed: bool = False,
 ):
     """Vector scan + TERM-DRIVEN BM25 (lexical/daat.py) in one program —
     the fused lane for batches whose every query is daat-eligible AND
@@ -183,28 +186,30 @@ def fused_phase1_daat(
     exhaustive 28.7 ms floor to ~0.6 ms at 1M docs, PERF_LEDGER r4)."""
     vec = _vector_arm(slab, mask, q_vecs, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
     lex_s, lex_i = _lex_daat(
-        tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi,
-        k_lex=k_lex, t_run=t_run,
+        tm, row_idx, row_w, span_lo, span_hi,
+        k_lex=k_lex, t_run=t_run, tm_packed=tm_packed,
     )
     return vec.scores, vec.indices, lex_s, lex_i
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_vec", "k_lex", "scan_mode", "tile_n", "t_run", "d_pad"),
+    static_argnames=(
+        "k_vec", "k_lex", "scan_mode", "tile_n", "t_run", "d_pad", "tm_packed",
+    ),
 )
 def fused_phase1_embed_daat(
     emb, tok_ids, tok_mask, slab, mask,
-    tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi,
+    tm, row_idx, row_w, span_lo, span_hi,
     *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int, t_run: int,
-    d_pad: int,
+    d_pad: int, tm_packed: bool = False,
 ):
     """Model2Vec embed + scan + term-driven BM25 in one dispatch."""
     q = _pad_q(_gather_pool_normalize(emb, tok_ids, tok_mask), d_pad)
     vec = _vector_arm(slab, mask, q, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
     lex_s, lex_i = _lex_daat(
-        tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi,
-        k_lex=k_lex, t_run=t_run,
+        tm, row_idx, row_w, span_lo, span_hi,
+        k_lex=k_lex, t_run=t_run, tm_packed=tm_packed,
     )
     return vec.scores, vec.indices, lex_s, lex_i
 
@@ -219,13 +224,14 @@ def _lex_select(elig, daat_s, daat_i, blk_s, blk_i):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_vec", "k_lex", "scan_mode", "tile_n", "t_run"),
+    static_argnames=("k_vec", "k_lex", "scan_mode", "tile_n", "t_run", "tm_packed"),
 )
 def fused_phase1_daat_mixed(
     slab, mask, q_vecs,
-    tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, elig,
+    tm, row_idx, row_w, span_lo, span_hi, elig,
     classes, bounds_list, q_ids, q_w, hot=None,
     *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int, t_run: int,
+    tm_packed: bool = False,
 ):
     """Mixed-eligibility batch: BOTH lexical kernels run in one program
     (the exhaustive scan is batch-amortized and needed for the
@@ -233,8 +239,8 @@ def fused_phase1_daat_mixed(
     an empty plan) and each query keeps its own lane's bits."""
     vec = _vector_arm(slab, mask, q_vecs, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
     d_s, d_i = _lex_daat(
-        tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi,
-        k_lex=k_lex, t_run=t_run,
+        tm, row_idx, row_w, span_lo, span_hi,
+        k_lex=k_lex, t_run=t_run, tm_packed=tm_packed,
     )
     b_s, b_i = _lex_blocked(classes, bounds_list, q_ids, q_w, k_lex=k_lex, hot=hot)
     lex_s, lex_i = _lex_select(elig, d_s, d_i, b_s, b_i)
@@ -243,20 +249,22 @@ def fused_phase1_daat_mixed(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_vec", "k_lex", "scan_mode", "tile_n", "t_run", "d_pad"),
+    static_argnames=(
+        "k_vec", "k_lex", "scan_mode", "tile_n", "t_run", "d_pad", "tm_packed",
+    ),
 )
 def fused_phase1_embed_daat_mixed(
     emb, tok_ids, tok_mask, slab, mask,
-    tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi, elig,
+    tm, row_idx, row_w, span_lo, span_hi, elig,
     classes, bounds_list, q_ids, q_w, hot=None,
     *, k_vec: int, k_lex: int, scan_mode: str, tile_n: int, t_run: int,
-    d_pad: int,
+    d_pad: int, tm_packed: bool = False,
 ):
     q = _pad_q(_gather_pool_normalize(emb, tok_ids, tok_mask), d_pad)
     vec = _vector_arm(slab, mask, q, k=k_vec, scan_mode=scan_mode, tile_n=tile_n)
     d_s, d_i = _lex_daat(
-        tm_doc, tm_tf, row_idx, row_w, span_lo, span_hi,
-        k_lex=k_lex, t_run=t_run,
+        tm, row_idx, row_w, span_lo, span_hi,
+        k_lex=k_lex, t_run=t_run, tm_packed=tm_packed,
     )
     b_s, b_i = _lex_blocked(classes, bounds_list, q_ids, q_w, k_lex=k_lex, hot=hot)
     lex_s, lex_i = _lex_select(elig, d_s, d_i, b_s, b_i)

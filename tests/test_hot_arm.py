@@ -145,17 +145,23 @@ class TestSplitLayout:
         cols_phys = np.asarray(hot.cols_phys)
         cold_cols = np.asarray(hot.cold_cols)
         cold_rows = np.asarray(hot.cold_rows)
-        phys_doc = dev._blocked.phys_doc
+        # dmap_groups IS the padded slot -> global row map: slot s of
+        # cols_phys belongs to doc dmap_groups.flat[s]
+        slot_doc = np.asarray(hot.dmap_groups).reshape(-1).astype(np.int64)
         cols = np.zeros((hot.h_pad, dev.n_docs), dtype=np.float32)
-        real = phys_doc >= 0
-        cols[:, phys_doc[real]] = cols_phys[:, : len(phys_doc)][:, real]
+        real = slot_doc >= 0
+        cols[:, slot_doc[real]] = cols_phys[:, : len(slot_doc)][:, real]
         creal = cold_rows >= 0
         cols[:, cold_rows[creal]] = cold_cols[:, creal]
         got = cols[rows[sel], docs[sel].astype(np.int64)]
         assert got == pytest.approx(tfs[sel], rel=1e-6)
+        # padding slots carry zero columns (the flat scan relies on it)
+        full_real = np.zeros(cols_phys.shape[1], dtype=bool)
+        full_real[: len(slot_doc)] = real
+        assert not cols_phys[:, ~full_real].any()
         # every doc lands in exactly one home: blocks or the cold set
         in_blocks = np.zeros(dev.n_docs, dtype=bool)
-        in_blocks[phys_doc[real]] = True
+        in_blocks[slot_doc[real]] = True
         covered = in_blocks | np.isin(np.arange(dev.n_docs), cold_rows[creal])
         assert covered.all()
         assert not (in_blocks & np.isin(np.arange(dev.n_docs), cold_rows[creal])).any()
@@ -401,7 +407,11 @@ class TestHotPrimitives:
         rows = hot.hot_row_of[terms.astype(np.int64)]
         sel = rows >= 0
         np.add.at(cols, (rows[sel], docs[sel].astype(np.int64)), tfs[sel])
-        tm = dev._term_major()
+        # the retired fn consumes the F32 term-major arrays; build them
+        # explicitly (the product tm may be the packed layout)
+        tm = _daat.build_term_major(
+            *dev._cold_host, vocab_size=dev.vocab_size
+        )
         queries = ["search vector", "search index query document rank"]
         ids, w = dev._query_sparse_rows(queries)
         q_hot = hot_arm.split_hot_rows(hot.hot_row_of, ids, w, hot.h_pad)
@@ -465,3 +475,26 @@ class TestFlexbRoundtripWithHot:
             assert [(c.doc_id, c.score) for c in a] == [
                 (c.doc_id, c.score) for c in b
             ]
+
+
+class TestFlatPallasKernel:
+    def test_kernel_matches_xla_flat(self, split_pair):
+        """The Pallas flat-score kernel (interpret mode on CPU) must
+        rank-match the XLA chunked-einsum body: same result sets, same
+        rows, scores to 1-ulp class (the two backends accumulate the
+        (l, j) contributions in different fixed orders)."""
+        _, dev = split_pair
+        queries = ["search vector", "alpha beta gamma delta epsilon zeta",
+                   "search index query document rank", "kappa"]
+        ref = dev.search_candidates_batch(queries, 25)
+        old = dbm.FLAT_PALLAS
+        dbm.FLAT_PALLAS = "interpret"
+        try:
+            # force retrace: jit caches don't key on the module flag
+            got = dev.search_candidates_batch(queries, 26)
+        finally:
+            dbm.FLAT_PALLAS = old
+        for q, a, b in zip(queries, ref, got):
+            assert [c.doc_id for c in a] == [c.doc_id for c in b[: len(a)]], q
+            for ca, cb in zip(a, b):
+                assert ca.score == pytest.approx(cb.score, rel=1e-5), q

@@ -1,0 +1,195 @@
+"""Packed 5 B/posting term-major layout (lexical/daat.py): exactness.
+
+Parity target: quiver's compressed postings (~1-2 B/posting,
+crates/frankensearch-quill/src/quiver.rs:1-8) — the TPU recast packs doc
+rows into three u8 bit planes (24-bit) plus one u16 ``tf<<9|field<<8|fid``
+word and recomputes the tf-side score ON DEVICE from the per-field norm
+caches with the exact f32 op order of the host build, so scores are
+BIT-IDENTICAL to the stored-f32 layout (VERDICT r4 next #2: "exact score
+parity — the tf_side recompute bit-matches the stored f32").
+"""
+
+import numpy as np
+import pytest
+
+import frankensearch_tpu.lexical.device_bm25 as dbm
+from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.lexical import daat, flexb, hot_arm
+from frankensearch_tpu.lexical.device_bm25 import DeviceBm25Index
+from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+
+WORDS = (
+    "search index vector lexical rust python jax tpu kernel matrix "
+    "query document score rank fusion tier fast quality embed token "
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+).split()
+
+
+def _build(seed=3, n_docs=300):
+    rng = np.random.default_rng(seed)
+    mem = MemoryLexicalIndex()
+    for i in range(n_docs):
+        length = int(rng.integers(4, 80))
+        idx = np.minimum(rng.zipf(1.4, size=length) - 1, len(WORDS) - 1)
+        title = " ".join(rng.choice(WORDS, size=2)) if i % 5 == 0 else None
+        mem.add_document(IndexableDocument(
+            doc_id=f"doc-{i:04d}",
+            content=" ".join(WORDS[j] for j in idx),
+            title=title,
+        ))
+    mem.commit()
+    return mem
+
+
+@pytest.fixture(scope="module")
+def blocked_dev():
+    old = (dbm.BLOCKED_THRESHOLD_POSTINGS, hot_arm.HOT_MIN_POSTINGS)
+    dbm.BLOCKED_THRESHOLD_POSTINGS = 1
+    hot_arm.HOT_MIN_POSTINGS = 1 << 60  # pure tail world: every term cold
+    try:
+        dev = DeviceBm25Index(_build())
+    finally:
+        dbm.BLOCKED_THRESHOLD_POSTINGS, hot_arm.HOT_MIN_POSTINGS = old
+    return dev
+
+
+class TestPackedLayout:
+    def test_packed_builds_and_shrinks(self, blocked_dev):
+        tm = blocked_dev._term_major()
+        assert tm is not None and tm.packed
+        f32 = daat.build_term_major(
+            *blocked_dev._cold_host, vocab_size=blocked_dev.vocab_size
+        )
+        assert tm.hbm_bytes * 8 == f32.hbm_bytes * 5  # 5 vs 8 B/posting
+        assert (tm.ptr == f32.ptr).all()
+
+    def test_packed_bitwise_matches_f32(self, blocked_dev):
+        """The packed decode must reproduce the stored f32 tf-side score
+        BIT FOR BIT (same op order, same inputs)."""
+        import jax.numpy as jnp
+
+        dev = blocked_dev
+        tm_p = dev._term_major()
+        tm_f = daat.build_term_major(
+            *dev._cold_host, vocab_size=dev.vocab_size
+        )
+        queries = [
+            "search vector", "kappa", "alpha beta gamma theta",
+            "quality tier fusion rank token",
+        ]
+        ids, w = dev._query_sparse_rows(queries)
+        plan = daat.build_gather_plan(tm_p.ptr, ids, w)
+        args = tuple(jnp.asarray(x) for x in plan)
+        s_p, d_p = daat.daat_topk_tm(
+            tm_p.device_arrays(), *args, k=25, t_run=ids.shape[1], packed=True
+        )
+        s_f, d_f = daat.daat_topk_tm(
+            tm_f.device_arrays(), *args, k=25, t_run=ids.shape[1], packed=False
+        )
+        assert (np.asarray(d_p) == np.asarray(d_f)).all()
+        a, b = np.asarray(s_p), np.asarray(s_f)
+        assert (a[np.isfinite(a)] == b[np.isfinite(b)]).all()
+        assert (np.isfinite(a) == np.isfinite(b)).all()
+
+    def test_cache_lookup_strategies_agree(self, blocked_dev):
+        import jax.numpy as jnp
+
+        dev = blocked_dev
+        tm = dev._term_major()
+        ids, w = dev._query_sparse_rows(["search index rank", "iota zeta"])
+        plan = daat.build_gather_plan(tm.ptr, ids, w)
+        args = tuple(jnp.asarray(x) for x in plan)
+        old = daat.PACKED_CACHE_LOOKUP
+        try:
+            daat.PACKED_CACHE_LOOKUP = "onehot"
+            s1, d1 = daat.daat_topk_tm(
+                tm.device_arrays(), *args, k=20, t_run=ids.shape[1], packed=True
+            )
+            daat.PACKED_CACHE_LOOKUP = "take"
+            # fresh jit cache key not needed: flag read at trace time only
+            # if shapes differ; force retrace via different k
+            s2, d2 = daat.daat_topk_tm(
+                tm.device_arrays(), *args, k=21, t_run=ids.shape[1], packed=True
+            )
+        finally:
+            daat.PACKED_CACHE_LOOKUP = old
+        assert (np.asarray(d1) == np.asarray(d2)[:, :20]).all()
+        a, b = np.asarray(s1), np.asarray(s2)[:, :20]
+        assert (a[np.isfinite(a)] == b[np.isfinite(b)]).all()
+
+    def test_tf_gate_falls_back_to_f32(self):
+        """A corpus with tf > 127 must refuse the packed layout."""
+        mem = MemoryLexicalIndex()
+        mem.add_document(IndexableDocument(
+            doc_id="big", content=" ".join(["alpha"] * 200 + ["beta"])
+        ))
+        mem.add_document(IndexableDocument(doc_id="b2", content="beta gamma"))
+        mem.commit()
+        old = dbm.BLOCKED_THRESHOLD_POSTINGS
+        dbm.BLOCKED_THRESHOLD_POSTINGS = 1
+        try:
+            dev = DeviceBm25Index(mem)
+            tm = dev._term_major()
+        finally:
+            dbm.BLOCKED_THRESHOLD_POSTINGS = old
+        assert tm is not None and not tm.packed
+        got = dev.search_candidates("alpha beta", 5)
+        oracle = mem.search_candidates("alpha beta", 5)
+        assert [c.doc_id for c in got] == [c.doc_id for c in oracle]
+
+    def test_doc_gate_falls_back(self, blocked_dev, monkeypatch):
+        monkeypatch.setattr(daat, "PACKED_MAX_DOCS", 8)
+        tm = daat.build_term_major(
+            *blocked_dev._cold_host,
+            vocab_size=blocked_dev.vocab_size,
+            raw=blocked_dev._cold_raw,
+        )
+        assert tm is not None and not tm.packed
+
+    def test_byte_budget_uses_packed_rate(self, blocked_dev, monkeypatch):
+        """The packed layout survives a byte budget the f32 one misses."""
+        p_pad = max((blocked_dev.cold_posting_count + 127) // 128 * 128, 128)
+        monkeypatch.setattr(daat, "DAAT_MAX_LAYOUT_BYTES", 6 * p_pad)
+        tm = daat.build_term_major(
+            *blocked_dev._cold_host,
+            vocab_size=blocked_dev.vocab_size,
+            raw=blocked_dev._cold_raw,
+        )
+        assert tm is not None and tm.packed
+        assert daat.build_term_major(
+            *blocked_dev._cold_host, vocab_size=blocked_dev.vocab_size
+        ) is None  # f32 at 8 B/posting no longer fits
+
+    def test_oracle_parity_via_dispatch(self, blocked_dev):
+        """End-to-end through the product dispatch (packed DAAT lane)."""
+        mem = blocked_dev._source
+        blocked_dev.daat_mode = "daat"
+        try:
+            for q in ["kappa", "iota eta", "search"]:
+                got = blocked_dev.search_candidates(q, 15)
+                oracle = mem.search_candidates(q, 15)
+                o = {c.doc_id: c.score for c in oracle}
+                g = {c.doc_id: c.score for c in got}
+                assert set(o) == set(g), q
+                for d, s in o.items():
+                    assert g[d] == pytest.approx(s, rel=1e-4)
+        finally:
+            blocked_dev.daat_mode = "auto"
+
+    def test_flexb_roundtrip_keeps_packed(self, blocked_dev, tmp_path):
+        path = str(tmp_path / "seg.flxb")
+        old = dbm.BLOCKED_THRESHOLD_POSTINGS
+        dbm.BLOCKED_THRESHOLD_POSTINGS = 1
+        try:
+            flexb.save_packed(blocked_dev, path)
+            loaded = flexb.load_packed(path)
+            tm = loaded._term_major()
+        finally:
+            dbm.BLOCKED_THRESHOLD_POSTINGS = old
+        assert tm is not None and tm.packed
+        for q in ["search vector", "kappa"]:
+            a = blocked_dev.search_candidates(q, 10)
+            b = loaded.search_candidates(q, 10)
+            assert [(c.doc_id, c.score) for c in a] == [
+                (c.doc_id, c.score) for c in b
+            ]

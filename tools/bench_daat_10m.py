@@ -1,0 +1,216 @@
+"""Packed DAAT at 10M docs — the VERDICT r4 #2 capacity rows.
+
+At 10M docs / 1.2B postings the hot split leaves a ~372M-posting tail.
+The f32 term-major layout (8 B/posting) busts the 2 GiB second-layout
+budget there (DAAT_MAX_LAYOUT_BYTES — the r4 capacity adjudication), so
+the r4 lane self-disabled at exactly the scale where the exhaustive
+kernel hurts most. The PACKED layout (5 B/posting: doc bit planes +
+tf|field|fid u16, tf-side recomputed losslessly on device) fits, so the
+term-driven lane stays live at 10M.
+
+Rows:
+  daat10m_census    — byte census: packed vs f32-would-be, gate verdicts
+  daat10m_b8_mid    — packed DAAT latency, B=8 mid-class tail queries
+  daat10m_b64_rare  — packed DAAT, B=64 rare-term batch
+  hot10m_blocked_b64— flat blocked-hot tail scan at 10M (zipf-mixed)
+
+Usage: python -m tools.bench_daat_10m [n_docs] [per_doc]
+(long: ~30-60 min of host synth/build before the first device row)
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    per_doc = int(sys.argv[2]) if len(sys.argv) > 2 else 120
+    k = 100
+    import jax
+    import jax.numpy as jnp
+
+    from frankensearch_tpu.lexical import daat, hot_arm
+    from frankensearch_tpu.lexical.device_bm25 import (
+        _blocked_hot_body,
+        _build_blocked,
+    )
+
+    platform = jax.devices()[0].platform
+    rng = np.random.default_rng(0)
+    vocab = 400_000
+    p = n_docs * per_doc
+    t0 = time.perf_counter()
+    docs_all = np.repeat(np.arange(n_docs, dtype=np.int64), per_doc)
+    terms_all = (rng.zipf(1.3, size=p) - 1) % vocab
+    tf_raw = rng.integers(1, 5, size=p).astype(np.int64)
+    # tf-side must be consistent with the packed recompute: use ONE
+    # field (fidx 0..255), a real norm cache, and host-exact op order
+    fidx = rng.integers(0, 256, size=p).astype(np.uint16)
+    cache_flat = np.linspace(0.3, 40.0, 256, dtype=np.float32)
+    bk = np.asarray([np.float32(1.0) * np.float32(2.2)], dtype=np.float32)
+    tf32 = tf_raw.astype(np.float32)
+    tf_all = (bk[0] * tf32 / (tf32 + cache_flat[fidx])).astype(np.float32)
+    synth_s = time.perf_counter() - t0
+    print(json.dumps({"metric": "daat10m_synth", "postings": p,
+                      "synth_s": round(synth_s, 1)}), flush=True)
+
+    t0 = time.perf_counter()
+    split = hot_arm.split_postings(
+        terms_all, docs_all, tf_all, n_docs=n_docs, vocab_size=vocab
+    )
+    assert split is not None
+    cold_sel = split.hot_row_of[terms_all] < 0
+    t_cold = terms_all[cold_sel]
+    d_cold = docs_all[cold_sel]
+    f_cold = tf_all[cold_sel]
+    raw_cold = (tf_raw[cold_sel], fidx[cold_sel], cache_flat, bk)
+    p_cold = len(t_cold)
+    split_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    tm_packed = daat.build_term_major(
+        t_cold, d_cold, f_cold, vocab_size=vocab, raw=raw_cold
+    )
+    tm_f32_would = daat.build_term_major(
+        t_cold, d_cold, f_cold, vocab_size=vocab
+    )
+    tm_build_s = time.perf_counter() - t0
+    assert tm_packed is not None and tm_packed.packed, "packed gate must pass"
+    p_pad = ((p_cold + 127) // 128) * 128
+    print(json.dumps({
+        "metric": f"daat10m_census_{n_docs // 1000}k",
+        "tail_postings": p_cold,
+        "hot_share_pct": round(100.0 * (p - p_cold) / p, 1),
+        "n_hot": split.n_hot,
+        "packed_gb": round(tm_packed.hbm_bytes / 2**30, 2),
+        "f32_would_be_gb": round(8 * p_pad / 2**30, 2),
+        "f32_layout_admitted": tm_f32_would is not None,
+        "budget_gb": round(daat.DAAT_MAX_LAYOUT_BYTES / 2**30, 2),
+        "tm_build_s": round(tm_build_s, 1),
+        "split_s": round(split_s, 1),
+        "platform": platform,
+    }), flush=True)
+
+    df = np.bincount(t_cold, minlength=vocab)
+
+    def slope_daat(name, ids, w):
+        b = ids.shape[0]
+        plan = daat.build_gather_plan(tm_packed.ptr, ids, w)
+        args = tuple(jnp.asarray(x) for x in plan)
+        tm_arrays = tm_packed.device_arrays()
+
+        @functools.partial(jax.jit, static_argnames=("reps",))
+        def chain(tm_arrays, row_idx, row_w, span_lo, span_hi, reps: int):
+            def body(i, carry):
+                w_c, acc = carry
+                s, d = daat.daat_topk_tm(
+                    tm_arrays, row_idx, w_c, span_lo, span_hi,
+                    k=k, t_run=ids.shape[1], packed=True,
+                )
+                fin = jnp.where(jnp.isfinite(s), s, jnp.float32(0.0))
+                return (row_w + jnp.float32(1e-9) * acc,
+                        acc + jnp.sum(fin) + jnp.sum(d).astype(jnp.float32))
+
+            _, acc = jax.lax.fori_loop(0, reps, body, (row_w, jnp.float32(0.0)))
+            return acc
+
+        def timed(reps):
+            t0 = time.perf_counter()
+            float(chain(tm_arrays, *args, reps=reps))
+            return time.perf_counter() - t0
+
+        timed(4)
+        timed(16)
+        samples = [(timed(16) - timed(4)) / 12 for _ in range(3)]
+        ms = float(np.median(samples)) * 1e3
+        print(json.dumps({
+            "metric": f"{name}_{n_docs // 1000}k_b{b}",
+            "value": round(ms, 3), "unit": "ms/batch",
+            "ms_per_query": round(ms / b, 4),
+            "r_pad": int(plan[0].shape[1]),
+            "platform": platform,
+            "samples_ms": [round(s * 1e3, 3) for s in samples],
+        }), flush=True)
+
+    # mid-class B=8: terms with df 1k-10k (smoke scales fall back to
+    # whatever mid band exists)
+    mid_terms = np.flatnonzero((df >= 1000) & (df <= 10000))
+    if len(mid_terms) == 0:
+        mid_terms = np.flatnonzero((df >= 10) & (df <= 1000))
+    ids8 = rng.choice(mid_terms, size=(8, 8)).astype(np.int32)
+    w8 = rng.uniform(0.5, 6.0, size=(8, 8)).astype(np.float32)
+    slope_daat("daat10m_b8_mid", ids8, w8)
+
+    # rare B=64: df <= 100
+    rare_terms = np.flatnonzero((df > 0) & (df <= 100))
+    ids64 = rng.choice(rare_terms, size=(64, 8)).astype(np.int32)
+    w64 = rng.uniform(0.5, 6.0, size=(64, 8)).astype(np.float32)
+    slope_daat("daat10m_b64_rare", ids64, w64)
+
+    # flat blocked-hot at 10M (zipf-mixed B=64)
+    t0 = time.perf_counter()
+    blocked = _build_blocked(
+        t_cold, d_cold, f_cold, n_docs=n_docs, vocab_size=vocab,
+        transpose_for_flat=True,
+    )
+    hot = hot_arm.finalize_hot_arm(split, blocked, n_docs)
+    blk_s = time.perf_counter() - t0
+    ids = ((rng.zipf(1.3, size=(64, 16)) - 1) % vocab).astype(np.int32)
+    w = rng.uniform(0.5, 6.0, size=(64, 16)).astype(np.float32)
+    q_hot = hot_arm.split_hot_rows(hot.hot_row_of, ids, w, hot.h_pad)
+    tids, tw = hot_arm.compact_tail_rows(hot.hot_row_of, ids, w)
+    qi, qw, qh = jnp.asarray(tids), jnp.asarray(tw), jnp.asarray(q_hot)
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def chain_blk(classes, q_ids, q_w, cols_phys, qh_d,
+                  cold_cols, cold_rows, dmap_groups, reps: int):
+        def body(i, carry):
+            w_c, acc = carry
+            s, d, _sk = _blocked_hot_body(
+                classes, q_ids, w_c, cols_phys, qh_d,
+                cold_cols, cold_rows, dmap_groups, k=k,
+            )
+            fin = jnp.where(jnp.isfinite(s), s, jnp.float32(0.0))
+            return (q_w + jnp.float32(1e-9) * acc,
+                    acc + jnp.sum(fin) + jnp.sum(d).astype(jnp.float32))
+
+        _, acc = jax.lax.fori_loop(0, reps, body, (q_w, jnp.float32(0.0)))
+        return acc
+
+    def timed(reps):
+        t0 = time.perf_counter()
+        float(chain_blk(blocked.classes, qi, qw, hot.cols_phys, qh,
+                        hot.cold_cols, hot.cold_rows, hot.dmap_groups,
+                        reps=reps))
+        return time.perf_counter() - t0
+
+    timed(2)
+    timed(8)
+    samples = [(timed(8) - timed(2)) / 6 for _ in range(3)]
+    ms = float(np.median(samples)) * 1e3
+    print(json.dumps({
+        "metric": f"hot10m_blocked_{n_docs // 1000}k_b64",
+        "value": round(ms, 3), "unit": "ms/batch",
+        "ms_per_query": round(ms / 64, 4),
+        "blk_build_s": round(blk_s, 1),
+        "cols_mb": round(hot.hbm_bytes / 2**20, 1),
+        "platform": platform,
+        "samples_ms": [round(s * 1e3, 3) for s in samples],
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

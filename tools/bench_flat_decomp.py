@@ -1,0 +1,194 @@
+"""Decompose the flat hot-arm tail scan's 35.9 ms (PERF_LEDGER r5).
+
+Variants over the SAME 1M tail world, slope-timed:
+  v0_compare   — scan: chunked-einsum block scores only (summed away)
+  v1_stats     — + per-128-group (max, argmax->row) stats + selection sort
+  v2_full      — the shipped _graded_scan_flat (adds score
+                 materialization, candidate gathers, final exact sort)
+  hot_matmul   — the (B,H)@(H,NP) head partial alone
+
+Usage: python -m tools.bench_flat_decomp [n_docs] [b]
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    b = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    k = 100
+
+    import jax
+    import jax.numpy as jnp
+
+    from frankensearch_tpu.lexical import hot_arm
+    from frankensearch_tpu.lexical.device_bm25 import (
+        _build_blocked,
+        _graded_scan_flat,
+        _group_block_scores,
+    )
+
+    platform = jax.devices()[0].platform
+    rng = np.random.default_rng(0)
+    per_doc = 120
+    vocab = 400_000
+    p = n_docs * per_doc
+    docs_all = np.repeat(np.arange(n_docs, dtype=np.int64), per_doc)
+    terms_all = (rng.zipf(1.3, size=p) - 1) % vocab
+    tf_all = rng.integers(1, 5, size=p).astype(np.float32) * 0.37
+    split = hot_arm.split_postings(
+        terms_all, docs_all, tf_all, n_docs=n_docs, vocab_size=vocab
+    )
+    assert split is not None
+    sel = split.hot_row_of[terms_all] < 0
+    blocked = _build_blocked(
+        terms_all[sel], docs_all[sel], tf_all[sel],
+        n_docs=n_docs, vocab_size=vocab,
+    )
+    hot = hot_arm.finalize_hot_arm(split, blocked, n_docs)
+    print(json.dumps({"metric": "decomp_setup", "n_blk": blocked.n_blk,
+                      "platform": platform}), flush=True)
+
+    t_q = 16
+    ids = ((rng.zipf(1.3, size=(b, t_q)) - 1) % vocab).astype(np.int32)
+    w = rng.uniform(0.5, 6.0, size=(b, t_q)).astype(np.float32)
+    q_hot = hot_arm.split_hot_rows(hot.hot_row_of, ids, w, hot.h_pad)
+    tail_ids, tail_w = hot_arm.compact_tail_rows(hot.hot_row_of, ids, w)
+    qi, qw = jnp.asarray(tail_ids), jnp.asarray(tail_w)
+    qh = jnp.asarray(q_hot)
+
+    def scan_variant(classes, q_ids, q_w, s_phys, mode: str):
+        outs = []
+        off = 0
+        for cls in classes:
+            n_c, d_c = cls.doc_map.shape
+            l_c = cls.term.shape[1] // d_c
+            gc = -(-d_c // 128)
+            pad = gc * 128 - d_c
+            hots_c = None
+            if s_phys is not None:
+                hots_c = jax.lax.slice_in_dim(
+                    s_phys, off, off + n_c * d_c, axis=1
+                ).reshape(b, n_c, d_c)
+            off += n_c * d_c
+
+            def step(carry, pp, cls=cls, hots_c=hots_c,
+                     d_c=d_c, l_c=l_c, gc=gc, pad=pad):
+                t = jnp.take(cls.term, pp, axis=0)
+                f = jnp.take(cls.tf, pp, axis=0)
+                dmap = jnp.take(cls.doc_map, pp, axis=0)
+                tb = t.reshape(1, d_c, l_c)
+                fb = f.reshape(1, d_c, l_c)
+                scores = _group_block_scores(tb, fb, q_ids, q_w, seq_t=True)[:, 0, :]
+                if hots_c is not None:
+                    scores = scores + jax.lax.dynamic_index_in_dim(
+                        hots_c, pp, axis=1, keepdims=False
+                    )
+                if mode == "compare":
+                    return carry, jnp.sum(scores)
+                scores = jnp.where(dmap[None, :] >= 0, scores, -jnp.inf)
+                if pad:
+                    scores = jnp.pad(scores, ((0, 0), (0, pad)),
+                                     constant_values=-jnp.inf)
+                    dmap = jnp.pad(dmap, (0, pad), constant_values=-1)
+                sg = scores.reshape(b, gc, 128)
+                gmax = jnp.max(sg, axis=2)
+                am = jnp.argmax(sg, axis=2).astype(jnp.int32)
+                grow = jnp.take(
+                    dmap,
+                    jax.lax.broadcasted_iota(jnp.int32, (b, gc), 1) * 128 + am,
+                )
+                return carry, (gmax, grow)
+
+            _, ys = jax.lax.scan(
+                step, jnp.int32(0), jnp.arange(n_c, dtype=jnp.int32)
+            )
+            outs.append(ys)
+        if mode == "compare":
+            return sum(jnp.sum(y) for y in outs)
+        gmax = jnp.concatenate(
+            [jnp.transpose(g, (1, 0, 2)).reshape(b, -1) for g, _ in outs], axis=1
+        )
+        grow = jnp.concatenate(
+            [jnp.transpose(r, (1, 0, 2)).reshape(b, -1) for _, r in outs], axis=1
+        )
+        tg = gmax.shape[1]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (b, tg), 1)
+        _, _, gid = jax.lax.sort((-gmax, grow, iota), num_keys=2)
+        return jnp.sum(gid[:, :k]).astype(jnp.float32)
+
+    from frankensearch_tpu.lexical.hot_arm import hot_partial
+
+    def v0(q_w_x, classes, cols_phys, qh_a, qi_a, dg):
+        s_phys = hot_partial(cols_phys, qh_a)
+        return scan_variant(classes, qi_a, q_w_x, s_phys, "compare")
+
+    def v1(q_w_x, classes, cols_phys, qh_a, qi_a, dg):
+        s_phys = hot_partial(cols_phys, qh_a)
+        return scan_variant(classes, qi_a, q_w_x, s_phys, "stats")
+
+    def v2(q_w_x, classes, cols_phys, qh_a, qi_a, dg):
+        s_phys = hot_partial(cols_phys, qh_a)
+        s, d, _ = _graded_scan_flat(
+            classes, qi_a, q_w_x, s_phys, dg, k=k, seq_t=True,
+        )
+        fin = jnp.where(jnp.isfinite(s), s, jnp.float32(0.0))
+        return jnp.sum(fin) + jnp.sum(d).astype(jnp.float32)
+
+    def hm(q_hot_x, classes, cols_phys, qh_a, qi_a, dg):
+        return jnp.sum(hot_partial(cols_phys, q_hot_x))
+
+    # big arrays ride as jit ARGUMENTS (closure capture serializes them
+    # into the remote-compile request: HTTP 413 — CLAUDE.md gotcha)
+    def slope(fn, x0, r_lo=4, r_hi=16):
+        @functools.partial(jax.jit, static_argnames=("reps",))
+        def chain(x, classes, cols_phys, qh_a, qi_a, dg, reps: int):
+            def body(i, carry):
+                xc, acc = carry
+                out = fn(xc, classes, cols_phys, qh_a, qi_a, dg)
+                return (x + jnp.float32(1e-9) * acc, acc + out)
+
+            _, acc = jax.lax.fori_loop(0, reps, body, (x, jnp.float32(0.0)))
+            return acc
+
+        def timed(reps):
+            t0 = time.perf_counter()
+            float(chain(x0, blocked.classes, hot.cols_phys, qh, qi,
+                        hot.dmap_groups, reps=reps))
+            return time.perf_counter() - t0
+
+        timed(r_lo)
+        timed(r_hi)
+        return float(np.median(
+            [(timed(r_hi) - timed(r_lo)) / (r_hi - r_lo) for _ in range(3)]
+        )) * 1e3
+
+    for name, fn, x0 in (
+        ("hot_matmul", hm, qh),
+        ("v0_compare", v0, qw),
+        ("v1_stats", v1, qw),
+        ("v2_full", v2, qw),
+    ):
+        ms = slope(fn, x0)
+        print(json.dumps({
+            "metric": f"flat_decomp_{name}_{n_docs // 1000}k_b{b}",
+            "value": round(ms, 3), "unit": "ms", "platform": platform,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -82,7 +82,8 @@ def main() -> None:
 
     t0 = time.perf_counter()
     blocked = _build_blocked(
-        t_cold, d_cold, f_cold, n_docs=n_docs, vocab_size=vocab
+        t_cold, d_cold, f_cold, n_docs=n_docs, vocab_size=vocab,
+        transpose_for_flat=True,
     )
     blk_build_s = time.perf_counter() - t0
     t0 = time.perf_counter()
@@ -90,7 +91,10 @@ def main() -> None:
     fin_s = time.perf_counter() - t0
     tm = daat.build_term_major(t_cold, d_cold, f_cold, vocab_size=vocab)
     n_blk = blocked.n_blk
-    slots = sum(int(c.term.shape[0] * c.term.shape[1]) for c in blocked.classes)
+    slots = sum(
+        int(c.term_t.shape[0] * c.term_t.shape[1] * c.term_t.shape[2])
+        for c in blocked.classes
+    )
 
     print(json.dumps({
         "metric": f"hot_split_{n_docs // 1000}k",
@@ -144,12 +148,17 @@ def main() -> None:
                     s, d, _sk = _blocked_hot_body(
                         classes, q_ids, w_c, cols_phys, qh_d,
                         cold_cols, cold_rows, dmap_groups,
-                        k=k, seq_t=SEQ_T_ACCUM,
+                        k=k,
                     )
                 else:
-                    s, d, _sk = _device_bm25_blocked(
-                        classes, bounds_list, q_ids, w_c,
-                        k=k, group=MERGE_GROUP, seq_t=SEQ_T_ACCUM,
+                    # control: flat body with a ZERO hot matmul (the
+                    # pruned doc-major kernel no longer applies to the
+                    # transposed split layout)
+                    s, d, _sk = _blocked_hot_body(
+                        classes, q_ids, w_c, cols_phys,
+                        jnp.zeros_like(qh_d),
+                        cold_cols, cold_rows, dmap_groups,
+                        k=k,
                     )
                 finite = jnp.where(jnp.isfinite(s), s, jnp.float32(0.0))
                 delta = jnp.float32(1e-7) * jnp.mean(finite)
