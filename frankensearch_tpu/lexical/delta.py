@@ -93,6 +93,11 @@ class DeltaLexicalIndex(LexicalRead):
         self.auto_seal = auto_seal
         self.clock = clock
         self._delta_count = 0
+        # append-fast-path bookkeeping: the window's NEW docs, and
+        # whether anything disqualified the incremental seal (deletes,
+        # doc-id supersession) — those need the full republish
+        self._window_docs: list[IndexableDocument] = []
+        self._window_dirty = False
         self.seal_history: list[SealReceipt] = []
         # in-process write-path mutex: an auto-seal triggered by one
         # writer thread must not serialize the oracle's postings while
@@ -119,6 +124,12 @@ class DeltaLexicalIndex(LexicalRead):
                     raise LeaseExceeded(f"delta lease: {reason}; seal() required")
                 self.seal()
             self.lease.acquire(self.clock())
+            if doc.doc_id in self.oracle._docs or any(
+                d.doc_id == doc.doc_id for d in self._window_docs
+            ):
+                self._window_dirty = True  # supersession: full republish
+            else:
+                self._window_docs.append(doc)
             self.oracle.add_document(doc)
             self.lease.docs_written += 1
             self._delta_count += 1
@@ -127,6 +138,7 @@ class DeltaLexicalIndex(LexicalRead):
         # deletes ride the same lease window (tombstone folds at seal)
         with self._write_lock:
             self.lease.acquire(self.clock())
+            self._window_dirty = True
             self.oracle.delete_document(doc_id)
             self._delta_count += 1
 
@@ -146,13 +158,33 @@ class DeltaLexicalIndex(LexicalRead):
                 return None
             self.oracle.commit()
             generation = ""
+            incremental = not self._window_dirty and self._window_docs
             if self.root is not None:
                 from frankensearch_tpu.lexical.persist import (
                     load_packed_lexical,
+                    publish_incremental,
                     republish_lexical,
                 )
 
-                generation = republish_lexical(self.oracle, self.root)
+                generation = None
+                if incremental:
+                    # APPEND fast path (keeper/quiver concat-merge
+                    # parity): stack the window as a new device segment
+                    # — the main segment's layouts are untouched, so
+                    # seal cost tracks the DELTA, not the corpus.
+                    # None => stack full / no packed base: compaction
+                    # falls through to the republish below.
+                    from frankensearch_tpu.lexical.memory_index import (
+                        MemoryLexicalIndex,
+                    )
+
+                    delta_mem = MemoryLexicalIndex()
+                    for d in self._window_docs:
+                        delta_mem.add_document(d)
+                    delta_mem.commit()
+                    generation = publish_incremental(delta_mem, self.root)
+                if generation is None:
+                    generation = republish_lexical(self.oracle, self.root)
                 packed = load_packed_lexical(self.root)
                 if packed is not None:
                     self.sealed = packed
@@ -160,8 +192,20 @@ class DeltaLexicalIndex(LexicalRead):
 
                 refresh_manifest(self.root)  # new lexical generation in the census
             else:
-                # in-memory only: the oracle IS the sealed arm
-                self.sealed = self.oracle
+                from frankensearch_tpu.lexical.segments import (
+                    SegmentedBm25,
+                    append_segment,
+                )
+
+                stacked = None
+                if incremental and (
+                    hasattr(self.sealed, "_dispatch_rows")
+                    or isinstance(self.sealed, SegmentedBm25)
+                ):
+                    # in-memory append fast path over a DEVICE sealed arm
+                    stacked = append_segment(self.sealed, self._window_docs)
+                # stack full / non-device arm: the oracle IS the sealed arm
+                self.sealed = stacked if stacked is not None else self.oracle
             receipt = SealReceipt(
                 generation=generation,
                 docs_sealed=self._delta_count,
@@ -169,6 +213,8 @@ class DeltaLexicalIndex(LexicalRead):
             )
             self.seal_history.append(receipt)
             self._delta_count = 0
+            self._window_docs = []
+            self._window_dirty = False
             self.lease.reset()
             return receipt
 

@@ -384,11 +384,16 @@ def _device_bm25_blocked(
     )
 
 
-#: flat-scan scoring backend: None = auto (Pallas kernel on TPU, XLA
-#: elsewhere); True/False force; "interpret" runs the kernel in Pallas
-#: interpret mode (CPU parity tests). Read at TRACE time — flips after
-#: a shape has compiled do not retrace (vary a static to force).
-FLAT_PALLAS = None
+#: flat-scan scoring backend: False = XLA chunked einsum (the SHIPPED
+#: default — measured 16.7 ms vs the Pallas kernel's 25.2 ms for the
+#: B=64 compare pass at 1M; the kernel wins small batches ~2x but the
+#: backend must be ONE corpus-wide constant or solo-vs-batch score
+#: bits diverge, and the batched lane is the acceptance workload —
+#: tools/bench_flat_decomp, PERF_LEDGER r5); True forces the kernel;
+#: "interpret" runs it in Pallas interpret mode (CPU parity tests).
+#: Read at TRACE time — flips after a shape has compiled do not
+#: retrace (vary a static to force).
+FLAT_PALLAS = False
 
 
 def _flat_pallas_mode():
@@ -565,9 +570,13 @@ def _graded_scan_flat(classes, q_ids, q_w, s_phys, dmap_groups, *, k: int):
     sg = scores_full.reshape(b, tg, 128)
     gmax = jnp.max(sg, axis=2)
     am = jnp.argmax(sg, axis=2).astype(jnp.int32)  # first max = lowest row
-    grow = jnp.take(
-        dmap_flat,
-        jax.lax.broadcasted_iota(jnp.int32, (b, tg), 1) * 128 + am,
+    # row-of-max via an in-group compare-reduce, NOT a flat gather: a
+    # (B, TG) element gather from the row table measured ~8 ms at 1M
+    # (XLA scalarizes it); the 128-lane select-sum fuses to ~0.1 ms
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+    grow = jnp.sum(
+        jnp.where(am[..., None] == lane, dmap_groups[None], jnp.int32(0)),
+        axis=-1,
     )
     kg = min(k, tg)
     iota = jax.lax.broadcasted_iota(jnp.int32, (b, tg), 1)
@@ -975,6 +984,10 @@ class _FieldArm:
     idf_host: np.ndarray  # (V_field,) f32, indexed by (tid - base)
     boost: np.float32
     base: int = 0
+    #: docs-with-term per field (the idf numerator input) — segmented
+    #: reads (lexical/segments.py) sum these across segments to weight
+    #: every segment with GLOBAL-corpus idf
+    df_host: np.ndarray | None = None
 
 
 class DeviceBm25Index(LexicalRead):
@@ -1013,9 +1026,11 @@ class DeviceBm25Index(LexicalRead):
             cache_flat[ford * 256 : (ford + 1) * 256] = cache
             bk_arr[ford] = np.float32(boost) * (BM25_K1 + np.float32(1.0))
             idf_host = np.zeros(len(vocab), dtype=np.float32)
+            df_host = np.zeros(len(vocab), dtype=np.int64)
             for i, term in enumerate(vocab):
                 plist = field_postings[term]
                 idf_host[i] = idf(n, len(plist))
+                df_host[i] = len(plist)
                 for doc_id, tf in plist.items():
                     fid = docs[doc_id].fieldnorm_id.get(fname, 0)
                     tf32 = np.float32(tf)
@@ -1031,7 +1046,8 @@ class DeviceBm25Index(LexicalRead):
                     raw_tf.append(int(tf))
                     raw_fx.append(ford * 256 + int(fid))
             self._arms[fname] = _FieldArm(
-                term_ids=term_ids, idf_host=idf_host, boost=boost, base=vocab_offset
+                term_ids=term_ids, idf_host=idf_host, boost=boost,
+                base=vocab_offset, df_host=df_host,
             )
             vocab_offset += len(vocab)
 
@@ -1208,10 +1224,20 @@ class DeviceBm25Index(LexicalRead):
             return [[] for _ in queries]
         k = min(budget, self.n_docs)
         n = len(queries)
+        ids, w = self._query_sparse_rows(queries)
+        s, i = self._dispatch_rows(ids, w, k)
+        return self._rows_to_candidates(s, i, n)
+
+    def _dispatch_rows(
+        self, ids: np.ndarray, w: np.ndarray, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Lane dispatch over PRE-RESOLVED sparse query rows; returns
+        host ((B, k) scores, (B, k) rows). The seam segmented reads use
+        to inject GLOBAL-idf weights (lexical/segments.py)."""
+        n = ids.shape[0]
         if self._blocked is not None:
             from frankensearch_tpu.lexical import daat as _daat
 
-            ids, w = self._query_sparse_rows(queries)
             hot = getattr(self, "_hot", None)
             q_hot_all = None
             has_hot = np.zeros(n, dtype=bool)
@@ -1278,14 +1304,21 @@ class DeviceBm25Index(LexicalRead):
                 s[rows] = np.asarray(fetched[2 * pi])
                 i[rows] = np.asarray(fetched[2 * pi + 1])
         else:
-            q_idf = jnp.asarray(self._query_idf_rows(queries))
+            v_pad = max(_round_up(max(self.vocab_size, 1), 128), 128)
+            q_idf_np = np.zeros((n, v_pad), dtype=np.float32)
+            rows_b = np.repeat(np.arange(n), ids.shape[1])
+            np.maximum.at(
+                q_idf_np, (rows_b, ids.reshape(-1).astype(np.int64)),
+                np.where(w > 0.0, w, 0.0).reshape(-1),
+            )
+            q_idf = jnp.asarray(q_idf_np)
             top_s, top_i = _device_bm25(
                 self._post_term, self._post_doc, self._post_tf, q_idf,
                 n_docs=self.n_docs, k=k,
             )
             self.last_lane = "dense"
             s, i = (np.asarray(x) for x in jax.device_get((top_s, top_i)))
-        return self._rows_to_candidates(s, i, n)
+        return s, i
 
     def _rows_to_candidates(
         self, s: np.ndarray, i: np.ndarray, n: int
@@ -1367,7 +1400,8 @@ class BulkDeviceBm25Index(LexicalRead):
             cache = tf_norm_cache(avgdl)
             # idf per term: one posting per (term, doc) => bincount = df
             n_terms = len(bp.terms)
-            df = _np.bincount(bp.post_term, minlength=n_terms).astype(_np.float32)
+            df_i = _np.bincount(bp.post_term, minlength=n_terms)
+            df = df_i.astype(_np.float32)
             big_n = _np.float32(self.n_docs)
             idf_host = _np.log1p(
                 (big_n - df + _np.float32(0.5)) / (df + _np.float32(0.5))
@@ -1391,6 +1425,7 @@ class BulkDeviceBm25Index(LexicalRead):
                 idf_host=idf_host,
                 boost=boost,
                 base=vocab_offset,
+                df_host=df_i.astype(_np.int64),
             )
             vocab_offset += n_terms
         self._arms = all_term_ids
@@ -1421,6 +1456,7 @@ class BulkDeviceBm25Index(LexicalRead):
     _search_daat_chunks = DeviceBm25Index._search_daat_chunks
     _search_blocked = DeviceBm25Index._search_blocked
     _rows_to_candidates = DeviceBm25Index._rows_to_candidates
+    _dispatch_rows = DeviceBm25Index._dispatch_rows
     search_candidates_batch = DeviceBm25Index.search_candidates_batch
 
     def search_candidates(self, query: str, budget: int) -> list[LexicalCandidate]:

@@ -66,21 +66,23 @@ import jax.numpy as jnp
 import numpy as np
 
 #: a term is HOT when its posting count ≥ total_postings // divisor.
-#: 8192 selects the whole affordable head: at the 1M-doc zipf(1.3)
-#: product world ~357 terms qualify (capped at 256 by HOT_MAX_BYTES),
-#: moving ~85% of postings into the dense columns — the blocked tail
-#: scan's cost (∝ tail postings × padded query terms) drops ~6x
-#: combined with tail compaction.
-HOT_DF_DIVISOR = 8192
+#: 16384 admits the whole affordable head (the HBM budget below is the
+#: binding cap): at the 1M-doc zipf(1.3) product world this moves ~88%
+#: of postings into the dense columns — the flat tail scan's compare
+#: floor (∝ tail postings × padded query terms) is the acceptance
+#: batch's dominant cost (PERF_LEDGER r5).
+HOT_DF_DIVISOR = 16384
 
 #: hard cap on the dense head width (memory gate, MXU lane granule 8)
 HOT_MAX_TERMS = 512
 
-#: HBM budget for the dense columns (f32): 1 GiB keeps H=256 at 1M docs
-#: / H=128 at 2M next to the tail layouts and the vector slab. Past it
-#: the head trims (lowest-df hot terms demote to the tail) and finally
-#: the arm disables — the tail lanes remain exact on the full postings.
-HOT_MAX_BYTES = 1 << 30
+#: HBM budget for the dense columns (f32): 1.5 GiB keeps H=402 at 1M
+#: docs (tail ~15.2M postings, the flat-scan compare floor's direct
+#: knob) / H=38 at 10M next to the int8 slab + packed tail layouts.
+#: Past it the head trims (lowest-df hot terms demote to the tail) and
+#: finally the arm disables — the tail lanes remain exact on the full
+#: postings.
+HOT_MAX_BYTES = 3 << 29
 
 #: the arm only exists where the blocked streaming layout does; below
 #: this the dense small-corpus kernel is already ∝ P with P small.

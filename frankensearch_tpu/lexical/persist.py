@@ -50,12 +50,9 @@ def _new_generation_name(root: str) -> str:
         base += 1
 
 
-def _save_lexical_locked(index: MemoryLexicalIndex, root: str) -> str:
+def _flex_payload(index: MemoryLexicalIndex) -> dict:
     postings, field_stats, docs = index.snapshot_postings()
-    generation = _new_generation_name(root)
-    gen_dir = os.path.join(root, "lexical", generation)
-    os.makedirs(gen_dir, exist_ok=True)
-    payload = {
+    return {
         "version": FLEX_VERSION,
         "field_stats": {
             f: {"total_tokens": s.total_tokens, "doc_count": s.doc_count}
@@ -83,6 +80,13 @@ def _save_lexical_locked(index: MemoryLexicalIndex, root: str) -> str:
             for f, terms in postings.items()
         },
     }
+
+
+def _save_lexical_locked(index: MemoryLexicalIndex, root: str) -> str:
+    generation = _new_generation_name(root)
+    gen_dir = os.path.join(root, "lexical", generation)
+    os.makedirs(gen_dir, exist_ok=True)
+    payload = _flex_payload(index)
     path = os.path.join(gen_dir, "index.flex.json")
     tmp = path + ".tmp"
     try:
@@ -148,6 +152,10 @@ def load_lexical(root: str) -> MemoryLexicalIndex | None:
         for term, plist in terms.items():
             index._postings[fname][term] = {d: int(tf) for d, tf in plist.items()}
     index._generation = 1
+    # incremental generations (publish_incremental) carry the window
+    # snapshots alongside the base: fold them so the oracle holds the
+    # full corpus with exact fresh global stats
+    fold_delta_snapshots(index, os.path.join(root, "lexical", generation))
     return index
 
 
@@ -191,8 +199,10 @@ def save_packed_lexical(device_index, root: str, generation: str | None = None) 
 
 
 def load_packed_lexical(root: str):
-    """Load the CURRENT generation's FLXB segment as a ready
-    BulkDeviceBm25Index; None when absent."""
+    """Load the CURRENT generation's FLXB segment(s) as a ready device
+    arm; None when absent. Incremental generations (segments.json —
+    publish_incremental) load as a lexical/segments.SegmentedBm25
+    stack; single-segment generations load the plain packed arm."""
     from frankensearch_tpu.lexical.flexb import load_packed
 
     current = os.path.join(root, "lexical", "CURRENT")
@@ -200,7 +210,29 @@ def load_packed_lexical(root: str):
         return None
     with open(current) as f:
         generation = f.read().strip()
-    path = os.path.join(root, "lexical", generation, "index.flexb")
+    gen_dir = os.path.join(root, "lexical", generation)
+    seg_names = _load_segments_manifest(gen_dir)
+    if seg_names and len(seg_names) > 1:
+        from frankensearch_tpu.core.errors import IndexCorrupted
+        from frankensearch_tpu.index.durability import ensure_artifact
+        from frankensearch_tpu.lexical.flexb import read_sections
+        from frankensearch_tpu.lexical.segments import SegmentedBm25
+
+        def _flexb_ok(p: str) -> bool:
+            read_sections(p)  # raises on payload-CRC damage
+            return True
+
+        segs = []
+        for name in seg_names:
+            spath = os.path.join(gen_dir, name)
+            if not ensure_artifact(spath, intrinsic_check=_flexb_ok):
+                return None
+            try:
+                segs.append(load_packed(spath))
+            except IndexCorrupted:
+                return None
+        return SegmentedBm25(segs)
+    path = os.path.join(gen_dir, "index.flexb")
     if not os.path.exists(path):
         return None
     # verify-then-repair-on-open (tantivy_wrapper.rs per-segment .fec
@@ -279,3 +311,140 @@ def list_generations(root: str) -> list[str]:
     if not os.path.isdir(lex_root):
         return []
     return sorted(g for g in os.listdir(lex_root) if g.startswith("gen-"))
+
+
+# -- incremental (segment-stacking) publication -------------------------------
+
+
+def publish_incremental(delta_mem: MemoryLexicalIndex, root: str) -> str | None:
+    """Publish a new generation that STACKS a delta segment over the
+    previous generation's artifacts instead of rebuilding them — the
+    keeper.rs concat-merge / quiver.rs byte-copy-merge parity move
+    (VERDICT r4 next #3): update→searchable cost is the DELTA's build.
+
+    The new generation hard-links (copy fallback) every artifact of the
+    CURRENT one, adds ``seg-NNN.flexb`` (the delta's packed device
+    segment) + ``delta-NNN.flex.json`` (its oracle snapshot, folded into
+    the base oracle at load), and lists the device segments in
+    ``segments.json`` (lexical/segments.SegmentedBm25 loads the stack).
+
+    Returns the generation name, or None when the append fast path does
+    not apply — no packed base in CURRENT, or the stack is at
+    MAX_SEGMENTS (compaction due): the caller falls back to the full
+    ``republish_lexical``.
+    """
+    import shutil
+
+    from frankensearch_tpu.index.file_identity import WriterLock
+    from frankensearch_tpu.lexical.device_bm25 import DeviceBm25Index
+    from frankensearch_tpu.lexical.flexb import save_packed
+    from frankensearch_tpu.lexical.segments import MAX_SEGMENTS
+
+    os.makedirs(os.path.join(root, "lexical"), exist_ok=True)
+    with WriterLock(os.path.join(root, "lexical", ".writer.lock")):
+        current = os.path.join(root, "lexical", "CURRENT")
+        if not os.path.exists(current):
+            return None
+        with open(current) as f:
+            prev = f.read().strip()
+        prev_dir = os.path.join(root, "lexical", prev)
+        if not os.path.exists(os.path.join(prev_dir, "index.flexb")):
+            return None
+        prev_segs = sorted(
+            f for f in os.listdir(prev_dir)
+            if f.startswith("seg-") and f.endswith(".flexb")
+        )
+        if 1 + len(prev_segs) + 1 > MAX_SEGMENTS:
+            return None  # compaction due
+        seg_no = len(prev_segs) + 1
+
+        generation = _new_generation_name(root)
+        gen_dir = os.path.join(root, "lexical", generation)
+        os.makedirs(gen_dir, exist_ok=True)
+        try:
+            # carry forward every prior artifact by hard link (same-fs
+            # O(1); the sidecars ride along so verify-on-open still heals)
+            for fname in os.listdir(prev_dir):
+                src = os.path.join(prev_dir, fname)
+                dst = os.path.join(gen_dir, fname)
+                if fname == "segments.json" or not os.path.isfile(src):
+                    continue
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+
+            seg_name = f"seg-{seg_no:03d}.flexb"
+            seg_path = os.path.join(gen_dir, seg_name)
+            save_packed(DeviceBm25Index(delta_mem), seg_path)
+            try:
+                from frankensearch_tpu.index.durability import protect_artifact
+
+                protect_artifact(seg_path)
+            except OSError:
+                pass
+            delta_json = os.path.join(gen_dir, f"delta-{seg_no:03d}.flex.json")
+            tmp = delta_json + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(_flex_payload(delta_mem), f, separators=(",", ":"))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, delta_json)
+            manifest = {
+                "v": 1,
+                "segments": ["index.flexb"]
+                + [f"seg-{i:03d}.flexb" for i in range(1, seg_no + 1)],
+            }
+            atomic_write_text(
+                os.path.join(gen_dir, "segments.json"),
+                json.dumps(manifest, separators=(",", ":")),
+            )
+            atomic_write_text(current, generation)
+        except BaseException:
+            shutil.rmtree(gen_dir, ignore_errors=True)
+            raise
+    prune_generations(root)
+    return generation
+
+
+def _load_segments_manifest(gen_dir: str) -> list[str] | None:
+    path = os.path.join(gen_dir, "segments.json")
+    if not os.path.exists(path):
+        return None
+    from frankensearch_tpu.core.errors import IndexCorrupted
+
+    try:
+        with open(path, encoding="utf-8") as f:
+            manifest = json.load(f)
+        return list(manifest["segments"])
+    except (ValueError, KeyError, UnicodeDecodeError) as e:
+        raise IndexCorrupted(f"segments manifest unreadable: {e}") from None
+
+
+def fold_delta_snapshots(index: MemoryLexicalIndex, gen_dir: str) -> int:
+    """Fold every delta-*.flex.json of an incremental generation into a
+    loaded base oracle (re-adds the delta documents: the oracle keeps
+    exact fresh global stats by construction). Returns docs folded."""
+    from frankensearch_tpu.core.errors import IndexCorrupted
+    from frankensearch_tpu.core.types import IndexableDocument
+
+    folded = 0
+    for fname in sorted(os.listdir(gen_dir)):
+        if not (fname.startswith("delta-") and fname.endswith(".flex.json")):
+            continue
+        try:
+            with open(os.path.join(gen_dir, fname), encoding="utf-8") as f:
+                payload = json.load(f)
+        except (ValueError, UnicodeDecodeError) as e:
+            raise IndexCorrupted(f"delta snapshot unreadable: {e}") from None
+        for doc_id, d in payload["docs"].items():
+            index.add_document(IndexableDocument(
+                doc_id=doc_id,
+                content=d.get("content", "") or d.get("preview", ""),
+                title=d.get("title"),
+                metadata=d.get("metadata"),
+            ))
+            folded += 1
+    if folded:
+        index.commit()
+    return folded

@@ -1,0 +1,230 @@
+"""Incremental (segment-stacking) seals — VERDICT r4 next #3.
+
+Parity target: keeper.rs tiered concat-merge + quiver.rs byte-copy
+merges (appends never rewrite existing segments). Contract under test:
+
+- a seal with only NEW docs stacks a small device segment; the main
+  segment's device arrays are untouched (object identity / packed
+  term-major stays live);
+- reads are exact: disjoint doc sets merge by (score desc, doc_id asc),
+  idf is GLOBAL-fresh (df summed across segments, N total);
+- avgdl is per-segment (documented Lucene-style norms): when the delta
+  preserves the corpus length distribution, segmented scores equal the
+  full-rebuild scores;
+- deletes/supersession and a full stack (MAX_SEGMENTS) fall back to the
+  full republish (compaction);
+- the persisted form round-trips: segments.json generation loads as a
+  stack, the folded oracle holds every doc.
+"""
+
+import numpy as np
+import pytest
+
+import frankensearch_tpu.lexical.device_bm25 as dbm
+from frankensearch_tpu.core.types import IndexableDocument
+from frankensearch_tpu.lexical import segments as segmod
+from frankensearch_tpu.lexical.delta import DeltaLexicalIndex, DeltaLease
+from frankensearch_tpu.lexical.device_bm25 import DeviceBm25Index
+from frankensearch_tpu.lexical.memory_index import MemoryLexicalIndex
+from frankensearch_tpu.lexical.persist import (
+    load_lexical,
+    load_packed_lexical,
+    publish_incremental,
+    republish_lexical,
+)
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def _doc(i: int, words: list[str]) -> IndexableDocument:
+    return IndexableDocument(doc_id=f"doc-{i:05d}", content=" ".join(words))
+
+
+def _base_docs(n=120, seed=2, length=12):
+    rng = np.random.default_rng(seed)
+    return [
+        _doc(i, list(rng.choice(WORDS, size=length))) for i in range(n)
+    ]
+
+
+def _delta_docs(n=10, seed=7, length=12, start=1000):
+    rng = np.random.default_rng(seed)
+    return [
+        _doc(start + i, list(rng.choice(WORDS, size=length)))
+        for i in range(n)
+    ]
+
+
+def _mem_of(docs):
+    mem = MemoryLexicalIndex()
+    for d in docs:
+        mem.add_document(d)
+    mem.commit()
+    return mem
+
+
+class TestInMemoryStacking:
+    def test_seal_stacks_and_keeps_main_segment(self):
+        base = _base_docs()
+        sealed = DeviceBm25Index(_mem_of(base))
+        oracle = _mem_of(base)
+        delta = DeltaLexicalIndex(oracle, sealed=sealed)
+        for d in _delta_docs():
+            delta.add_document(d)
+        delta.commit()
+        delta.seal()
+        assert isinstance(delta.sealed, segmod.SegmentedBm25)
+        # the main segment is the SAME object: zero rebuild
+        assert delta.sealed.segments[0] is sealed
+        got = delta.search_candidates("alpha beta", 200)
+        ids = {c.doc_id for c in got}
+        assert any(i.startswith("doc-010") for i in ids)  # delta docs
+        assert any(i == "doc-00000" for i in ids) or len(ids) > 100
+
+    def test_scores_match_full_rebuild_when_stats_preserved(self):
+        """Delta docs drawn from the same length/term distribution keep
+        avgdl identical (every doc has the same length), so segmented
+        scores must equal a full single-segment rebuild's (global idf is
+        recomputed either way)."""
+        base = _base_docs(n=100, length=10)
+        extra = _delta_docs(n=20, length=10)
+        sealed = DeviceBm25Index(_mem_of(base))
+        stack = segmod.append_segment(sealed, extra)
+        assert stack is not None
+        full = DeviceBm25Index(_mem_of(base + extra))
+        oracle = _mem_of(base + extra)
+        for q in ["alpha", "beta gamma", "kappa iota theta"]:
+            a = stack.search_candidates(q, 30)
+            b = full.search_candidates(q, 30)
+            o = oracle.search_candidates(q, 30)
+            assert [c.doc_id for c in a] == [c.doc_id for c in b], q
+            for ca, cb in zip(a, b):
+                assert ca.score == pytest.approx(cb.score, rel=1e-5)
+            # and the oracle agrees (global stats, exact contract)
+            assert [c.doc_id for c in a] == [c.doc_id for c in o], q
+
+    def test_global_idf_is_fresh_across_segments(self):
+        """A term that floods the delta must down-weight in the OLD
+        segment's results too (df is summed across segments)."""
+        base = [_doc(i, ["alpha", "beta"]) for i in range(20)]
+        base += [_doc(100 + i, ["gamma", "beta"]) for i in range(20)]
+        sealed = DeviceBm25Index(_mem_of(base))
+        solo = {
+            c.doc_id: c.score
+            for c in sealed.search_candidates("alpha", 50)
+        }
+        flood = [_doc(1000 + i, ["alpha", "alpha", "delta"]) for i in range(60)]
+        stack = segmod.append_segment(sealed, flood)
+        after = {
+            c.doc_id: c.score
+            for c in stack.search_candidates("alpha", 200)
+            if c.doc_id.startswith("doc-000")
+        }
+        # idf(40 docs, df 20) -> idf(100 docs, df 80): scores must drop
+        for d, s in after.items():
+            assert s < solo[d], d
+
+    def test_supersession_forces_full_path(self):
+        base = _base_docs(n=30)
+        sealed = DeviceBm25Index(_mem_of(base))
+        delta = DeltaLexicalIndex(_mem_of(base), sealed=sealed)
+        delta.add_document(_doc(0, ["alpha", "zeta"]))  # overwrites doc-00000
+        delta.commit()
+        delta.seal()
+        assert not isinstance(delta.sealed, segmod.SegmentedBm25)
+
+    def test_delete_forces_full_path(self):
+        base = _base_docs(n=30)
+        sealed = DeviceBm25Index(_mem_of(base))
+        delta = DeltaLexicalIndex(_mem_of(base), sealed=sealed)
+        delta.add_document(_doc(999, ["alpha"]))
+        delta.delete_document("doc-00001")
+        delta.commit()
+        delta.seal()
+        assert not isinstance(delta.sealed, segmod.SegmentedBm25)
+
+    def test_stack_caps_then_compacts(self):
+        base = _base_docs(n=40)
+        sealed = DeviceBm25Index(_mem_of(base))
+        oracle = _mem_of(base)
+        delta = DeltaLexicalIndex(oracle, sealed=sealed)
+        start = 1000
+        for round_no in range(segmod.MAX_SEGMENTS + 1):
+            for d in _delta_docs(n=5, start=start, seed=round_no + 1):
+                delta.add_document(d)
+            start += 100
+            delta.commit()
+            delta.seal()
+        # the stack capped at MAX_SEGMENTS and the overflow seal folded
+        # to the oracle (the in-memory 'compaction')
+        assert not isinstance(delta.sealed, segmod.SegmentedBm25)
+        got = delta.search_candidates("alpha", 500)
+        assert len({c.doc_id for c in got}) > 40
+
+
+class TestPersistedStacking:
+    def test_publish_incremental_roundtrip(self, tmp_path):
+        root = str(tmp_path)
+        base = _base_docs(n=60)
+        republish_lexical(_mem_of(base), root)
+        gen = publish_incremental(_mem_of(_delta_docs(n=8)), root)
+        assert gen is not None
+        arm = load_packed_lexical(root)
+        assert isinstance(arm, segmod.SegmentedBm25)
+        assert arm.n_docs == 68
+        got = arm.search_candidates("alpha", 200)
+        ids = {c.doc_id for c in got}
+        assert any(i.startswith("doc-010") for i in ids)
+        # the folded oracle carries every doc with fresh global stats
+        oracle = load_lexical(root)
+        assert oracle.doc_count() == 68
+        o = oracle.search_candidates("alpha beta", 30)
+        a = arm.search_candidates("alpha beta", 30)
+        assert {c.doc_id for c in o[:10]} & {c.doc_id for c in a[:10]}
+
+    def test_incremental_seal_via_delta_root(self, tmp_path):
+        root = str(tmp_path)
+        base = _base_docs(n=60)
+        republish_lexical(_mem_of(base), root)
+        oracle = load_lexical(root)
+        delta = DeltaLexicalIndex(
+            oracle, sealed=load_packed_lexical(root), root=root
+        )
+        for d in _delta_docs(n=6):
+            delta.add_document(d)
+        delta.commit()
+        receipt = delta.seal()
+        assert receipt is not None and receipt.generation
+        assert isinstance(delta.sealed, segmod.SegmentedBm25)
+        import os
+
+        gen_dir = os.path.join(root, "lexical", receipt.generation)
+        assert os.path.exists(os.path.join(gen_dir, "segments.json"))
+        assert os.path.exists(os.path.join(gen_dir, "seg-001.flexb"))
+        # the base artifact is a hard link of the previous generation's
+        # (byte-copy merge: nothing rebuilt)
+        assert os.stat(os.path.join(gen_dir, "index.flexb")).st_nlink >= 2
+
+    def test_compaction_after_max_segments(self, tmp_path):
+        import os
+
+        root = str(tmp_path)
+        republish_lexical(_mem_of(_base_docs(n=40)), root)
+        start = 1000
+        last = None
+        for i in range(segmod.MAX_SEGMENTS - 1):  # base counts as one
+            last = publish_incremental(
+                _mem_of(_delta_docs(n=4, start=start, seed=i + 1)), root
+            )
+            start += 100
+        # stack is now at MAX_SEGMENTS: the next incremental refuses
+        assert last is not None
+        assert publish_incremental(
+            _mem_of(_delta_docs(n=4, start=start)), root
+        ) is None
+        # ... and the full republish compacts back to one segment
+        oracle = load_lexical(root)
+        republish_lexical(oracle, root)
+        arm = load_packed_lexical(root)
+        assert not isinstance(arm, segmod.SegmentedBm25)
+        assert arm.n_docs == oracle.doc_count()

