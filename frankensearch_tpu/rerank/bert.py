@@ -38,6 +38,12 @@ class BertConfig:
     type_vocab: int = 2
     ln_eps: float = 1e-12
     num_labels: int = 1  # cross-encoder head
+    #: matmul activation dtype: "f32" (exact — training, certs, the
+    #: pinned-parity paths) or "bf16" (serve/build speed: bf16 MXU
+    #: inputs with f32 accumulation; LN/softmax/GELU/residual stay f32.
+    #: VERDICT r4 next #7 — gated on rank parity + held-out quality CI,
+    #: tests/test_bf16_compute.py). int8 params override per layer.
+    compute: str = "f32"
 
     @property
     def head_dim(self) -> int:
@@ -113,8 +119,10 @@ def quantize_linear_weights(params: dict[str, Any]) -> dict[str, Any]:
     return out
 
 
-def _linear(x: jax.Array, p: dict) -> jax.Array:
-    """Dense layer; dispatches on f32 vs int8 param layout."""
+def _linear(x: jax.Array, p: dict, compute: str = "f32") -> jax.Array:
+    """Dense layer; dispatches on f32 vs int8 param layout. With
+    ``compute="bf16"`` the matmul inputs cast to bf16 (2x MXU peak) and
+    accumulate in f32; bias adds in f32."""
     if "w_int8" in p:
         # per-row dynamic activation quantization (native.rs recipe)
         amax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-6)
@@ -127,6 +135,15 @@ def _linear(x: jax.Array, p: dict) -> jax.Array:
         ).astype(jnp.float32)
         y = acc * (amax / 127.0) * p["w_scale"]
         return y + p["b"]
+    if compute == "bf16":
+        return (
+            jnp.dot(
+                x.astype(jnp.bfloat16),
+                p["w"].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            + p["b"]
+        )
     return jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
 
 
@@ -152,23 +169,30 @@ def transformer_layer(
     encoder and the pipeline-parallel stages apply (identical math)."""
     b, t = x.shape[0], x.shape[1]
     scale = 1.0 / math.sqrt(cfg.head_dim)
-    q = _linear(x, layer["q"]).reshape(b, t, cfg.heads, cfg.head_dim)
-    k = _linear(x, layer["k"]).reshape(b, t, cfg.heads, cfg.head_dim)
-    v = _linear(x, layer["v"]).reshape(b, t, cfg.heads, cfg.head_dim)
+    cd = cfg.compute
+    q = _linear(x, layer["q"], cd).reshape(b, t, cfg.heads, cfg.head_dim)
+    k = _linear(x, layer["k"], cd).reshape(b, t, cfg.heads, cfg.head_dim)
+    v = _linear(x, layer["v"], cd).reshape(b, t, cfg.heads, cfg.head_dim)
+    if cd == "bf16":
+        q = q.astype(jnp.bfloat16)
+        k = k.astype(jnp.bfloat16)
     logits = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale + amask
     probs = jax.nn.softmax(logits, axis=-1)
+    if cd == "bf16":
+        probs = probs.astype(jnp.bfloat16)
+        v = v.astype(jnp.bfloat16)
     ctx = jnp.einsum("bhts,bshd->bthd", probs, v, preferred_element_type=jnp.float32)
     ctx = ctx.reshape(b, t, cfg.hidden)
     x = _layer_norm(
-        x + _linear(ctx, layer["attn_out"]),
+        x + _linear(ctx, layer["attn_out"], cd),
         layer["attn_ln_scale"],
         layer["attn_ln_bias"],
         cfg.ln_eps,
     )
-    h = _exact_gelu(_linear(x, layer["ffn_in"]))
+    h = _exact_gelu(_linear(x, layer["ffn_in"], cd))
     return _layer_norm(
-        x + _linear(h, layer["ffn_out"]),
+        x + _linear(h, layer["ffn_out"], cd),
         layer["ffn_ln_scale"],
         layer["ffn_ln_bias"],
         cfg.ln_eps,

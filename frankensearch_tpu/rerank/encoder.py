@@ -8,6 +8,8 @@ ONNX quality tier this replaces).
 
 from __future__ import annotations
 
+import dataclasses
+
 from frankensearch_tpu.core.atomic_io import atomic_write_text
 
 from typing import Sequence
@@ -52,7 +54,14 @@ class TransformerEmbedder(Embedder):
         revision: str = "",
         max_tokens: int = 256,
         int8: bool = False,
+        compute: str | None = None,
     ) -> None:
+        # serve/build activation dtype (VERDICT r4 next #7): "bf16" runs
+        # the matmuls on bf16 MXU inputs with f32 accumulation (~2x the
+        # f32 peak); certs/training stay on the exact f32 path. Gated by
+        # tests/test_bf16_compute.py (rank parity + held-out quality CI).
+        if compute is not None:
+            cfg = dataclasses.replace(cfg, compute=compute)
         self.cfg = cfg
         self.params = quantize_linear_weights(params) if int8 else params
         self.tokenizer = tokenizer
@@ -163,6 +172,11 @@ def save_artifact(embedder: TransformerEmbedder, out_dir: str) -> None:
             "save_artifact requires the self-contained WordPiece tokenizer "
             "(HF-tokenizer models are already directories; keep using them)"
         )
+    if embedder.cfg.compute != "f32":
+        raise ValueError(
+            "artifacts pin the exact f32 embedding space; save with the "
+            "f32 embedder and pass compute='bf16' at LOAD time instead"
+        )
     os.makedirs(out_dir, exist_ok=True)
     np.savez(os.path.join(out_dir, ARTIFACT_PARAMS), **_flat_params(embedder.params))
     probe_vecs = np.asarray(
@@ -191,10 +205,16 @@ def save_artifact(embedder: TransformerEmbedder, out_dir: str) -> None:
     atomic_write_text(os.path.join(out_dir, ARTIFACT_META), json.dumps(meta))
 
 
-def load_artifact(artifact_dir: str, *, verify: bool = True) -> TransformerEmbedder:
+def load_artifact(
+    artifact_dir: str, *, verify: bool = True, compute: str | None = None
+) -> TransformerEmbedder:
     """Load a save_artifact dir; with ``verify`` (default) the golden
     vectors are recomputed and the certificate checked FAIL-CLOSED — a
-    drifted runtime cannot silently serve a different embedding space."""
+    drifted runtime cannot silently serve a different embedding space.
+    ``compute="bf16"`` switches SERVING to bf16-MXU activations AFTER
+    the certificate verifies on the exact f32 path (the cert pins f32
+    bits; bf16 is a serve-speed mode gated by rank-parity/quality-CI
+    tests, not a new embedding space)."""
     import json
     import os
 
@@ -263,6 +283,14 @@ def load_artifact(artifact_dir: str, *, verify: bool = True) -> TransformerEmbed
                     f"runtime produces a different embedding space than at save "
                     f"time ({got.vectors_sha256[:12]} != {want['vectors_sha256'][:12]})"
                 )
+    if compute is not None:
+        # switch serving dtype only AFTER the cert verified on the exact
+        # f32 path (the cert pins f32 bits; bf16 is a serve-speed mode)
+        emb = TransformerEmbedder(
+            emb.params, cfg, tok,
+            embedder_id=meta["embedder_id"], revision=meta.get("revision", ""),
+            max_tokens=int(meta.get("max_tokens", 256)), compute=compute,
+        )
     return emb
 
 

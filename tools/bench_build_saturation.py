@@ -92,6 +92,8 @@ def main() -> None:
     # ---- quality-tier encoder forward at saturation batch --------------
     from frankensearch_tpu.rerank.bert import BertConfig, embed_forward, init_params
 
+    import dataclasses as _dc
+
     cfg = BertConfig(vocab_size=30522, hidden=384, layers=6, heads=12,
                      intermediate=1536, max_position=512)
     params = init_params(cfg, seed=0)
@@ -100,38 +102,41 @@ def main() -> None:
     # scores+values 4 T H; per layer
     per_token = cfg.layers * (2 * (4 * cfg.hidden**2 + 2 * cfg.hidden * cfg.intermediate)
                               + 4 * t_seq * cfg.hidden)
-    for batch in (32, 128, 256):
-        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, t_seq), dtype=np.int32))
-        mask = jnp.ones((batch, t_seq), jnp.float32)
+    for compute in ("f32", "bf16"):
+        cfg_c = _dc.replace(cfg, compute=compute)
+        for batch in (32, 128, 256):
+            ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, t_seq), dtype=np.int32))
+            mask = jnp.ones((batch, t_seq), jnp.float32)
 
-        @functools.partial(jax.jit, static_argnames=("reps",))
-        def q_chain(params, ids, mask, reps: int):
-            def body(i, carry):
-                ids_c, acc = carry
-                out = embed_forward(params, ids_c, mask, cfg=cfg)
-                bump = (jnp.sum(out[:1, :1]) > acc).astype(jnp.int32)
-                return (jnp.minimum(ids_c + bump, cfg.vocab_size - 1),
-                        acc + jnp.float32(1e-6) * jnp.sum(out[:1]))
-            _, acc = jax.lax.fori_loop(0, reps, body, (ids, jnp.float32(0.0)))
-            return acc
+            @functools.partial(jax.jit, static_argnames=("reps",))
+            def q_chain(params, ids, mask, reps: int, cfg_c=cfg_c):
+                def body(i, carry):
+                    ids_c, acc = carry
+                    out = embed_forward(params, ids_c, mask, cfg=cfg_c)
+                    bump = (jnp.sum(out[:1, :1]) > acc).astype(jnp.int32)
+                    return (jnp.minimum(ids_c + bump, cfg.vocab_size - 1),
+                            acc + jnp.float32(1e-6) * jnp.sum(out[:1]))
+                _, acc = jax.lax.fori_loop(0, reps, body, (ids, jnp.float32(0.0)))
+                return acc
 
-        def timed(reps):
-            t0 = time.perf_counter()
-            acc = q_chain(params, ids, mask, reps=reps)
-            float(acc)
-            return time.perf_counter() - t0
+            def timed(reps):
+                t0 = time.perf_counter()
+                acc = q_chain(params, ids, mask, reps=reps)
+                float(acc)
+                return time.perf_counter() - t0
 
-        per = _slope(timed, r_lo, r_hi)
-        flops = batch * t_seq * per_token
-        tflops = flops / per / 1e12
-        print(json.dumps({
-            "metric": f"quality_embed_b{batch}", "value": round(per * 1e3, 3),
-            "unit": "ms/batch", "docs_s": round(batch / per, 1),
-            "tflops": round(tflops, 2),
-            "util_vs_f32_peak": round(tflops / max(peaks["f32"], 1e-9), 3),
-            "util_vs_bf16_peak": round(tflops / max(peaks["bf16"], 1e-9), 3),
-            "platform": platform,
-        }), flush=True)
+            per = _slope(timed, r_lo, r_hi)
+            flops = batch * t_seq * per_token
+            tflops = flops / per / 1e12
+            print(json.dumps({
+                "metric": f"quality_embed_{compute}_b{batch}",
+                "value": round(per * 1e3, 3),
+                "unit": "ms/batch", "docs_s": round(batch / per, 1),
+                "tflops": round(tflops, 2),
+                "util_vs_f32_peak": round(tflops / max(peaks["f32"], 1e-9), 3),
+                "util_vs_bf16_peak": round(tflops / max(peaks["bf16"], 1e-9), 3),
+                "platform": platform,
+            }), flush=True)
 
     # ---- Model2Vec bag lane (gather-pool-normalize) ---------------------
     from frankensearch_tpu.embed.model2vec import _gather_pool_normalize
