@@ -222,12 +222,22 @@ def load_packed(path: str):
 
     raw = None
     if "rtf" in sec:
-        raw = (
-            np.frombuffer(sec["rtf"], dtype=np.uint16)[:p].astype(np.int64),
-            np.frombuffer(sec["rfx"], dtype=np.uint16)[:p],
-            np.frombuffer(sec["rcache"], dtype=np.float32),
-            np.frombuffer(sec["rbk"], dtype=np.float32),
-        )
+        # raw sections are OPTIONAL accelerators (the packed term-major
+        # layout): any shape/size inconsistency degrades to raw=None and
+        # the f32 layout serves — never a crash (payload CRC already
+        # guards bit damage; this guards crafted/truncated sections)
+        try:
+            rtf = np.frombuffer(sec["rtf"], dtype=np.uint16)
+            rfx = np.frombuffer(sec["rfx"], dtype=np.uint16)
+            if len(rtf) >= p and len(rfx) >= p:
+                raw = (
+                    rtf[:p].astype(np.int64),
+                    rfx[:p],
+                    np.frombuffer(sec["rcache"], dtype=np.float32),
+                    np.frombuffer(sec["rbk"], dtype=np.float32),
+                )
+        except (ValueError, KeyError):
+            raw = None
     # legacy segments carry padded arrays; trim to the true posting count,
     # then the shared finalizer picks dense vs doc-blocked layout
     _upload_postings(

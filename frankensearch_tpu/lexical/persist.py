@@ -225,6 +225,8 @@ def load_packed_lexical(root: str):
         segs = []
         for name in seg_names:
             spath = os.path.join(gen_dir, name)
+            if not os.path.exists(spath):
+                return None  # degrade: the JSON oracle arm keeps serving
             if not ensure_artifact(spath, intrinsic_check=_flexb_ok):
                 return None
             try:
