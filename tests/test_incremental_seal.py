@@ -204,6 +204,11 @@ class TestPersistedStacking:
         # the base artifact is a hard link of the previous generation's
         # (byte-copy merge: nothing rebuilt)
         assert os.stat(os.path.join(gen_dir, "index.flexb")).st_nlink >= 2
+        # the term-driven lane stays LIVE across the seal (the VERDICT
+        # watch-workload clause): the main segment still serves its
+        # packed term-major layout
+        tm = delta.sealed.segments[0]._term_major()
+        assert tm is not None and tm.packed
 
     def test_compaction_after_max_segments(self, tmp_path):
         import os
