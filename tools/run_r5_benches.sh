@@ -1,0 +1,40 @@
+#!/bin/bash
+# Round-5 serialized TPU battery (one job at a time on the tunnel —
+# parallel jobs contend and poison slope timings; see PERF_LEDGER).
+# Usage: bash tools/run_r5_benches.sh [pid_to_wait_for]
+set -u
+cd /root/repo
+
+wait_pid() {
+  local pid="$1"
+  while kill -0 "$pid" 2>/dev/null; do sleep 20; done
+}
+
+if [ $# -ge 1 ] && [ -n "$1" ]; then
+  echo "waiting for running job pid $1" >&2
+  wait_pid "$1"
+fi
+
+echo "=== design-space probes (gather / top-k / block-step slopes) ===" >&2
+stdbuf -oL python -m tools.bench_dense_topk_probe > /tmp/topk_probe_r5.log 2>&1
+stdbuf -oL python -m tools.bench_block_step_probe > /tmp/blockstep_r5.log 2>&1
+
+echo "=== hot-arm acceptance rows (zipf-mixed B=64 at 1M) ===" >&2
+stdbuf -oL python -m tools.bench_hot_arm 1000000 > /tmp/hot_arm_r5.log 2>&1
+
+echo "=== flat-scan decomposition ===" >&2
+stdbuf -oL python -m tools.bench_flat_decomp 1000000 64 > /tmp/flat_decomp_r5.log 2>&1
+
+echo "=== on-chip RRF host-slice row (tunnel-independent) ===" >&2
+stdbuf -oL python -m tools.bench_rrf_host_slice > /tmp/rrf_host_r5.log 2>&1
+
+echo "=== incremental seal: update->searchable at 1M+1k ===" >&2
+stdbuf -oL python -m tools.bench_incremental_seal 1000000 1000 > /tmp/incr_seal_r5.log 2>&1
+
+echo "=== build saturation (f32/bf16 row pairs) ===" >&2
+stdbuf -oL python -m tools.bench_build_saturation > /tmp/build_sat_r5.log 2>&1
+
+echo "=== packed DAAT at 10M (long: host synth dominates) ===" >&2
+stdbuf -oL python -m tools.bench_daat_10m > /tmp/daat_10m_r5.log 2>&1
+
+echo "r5 battery done" >&2
