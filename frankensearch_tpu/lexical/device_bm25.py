@@ -473,27 +473,35 @@ def _flat_class_scores_pallas(term_t, tf_t, q_ids, q_w, *, interpret: bool):
     )(q_ids, q_w, term_t, tf_t)
 
 
+def _chunked_einsum_scores(t, f, q_ids, q_w):
+    """(l, d_pad) block postings × (B, T) query rows → (B, d_pad) tail
+    scores via the chunked-einsum discipline (T_PAD_GRANULE-wide chunks,
+    fixed within-chunk order): bit-stable across padded T widths and
+    across batch widths — the same contract _group_block_scores pins."""
+    b, d_pad = q_ids.shape[0], t.shape[1]
+    scores = jnp.zeros((b, d_pad), jnp.float32)
+    for j0 in range(0, q_ids.shape[1], T_PAD_GRANULE):
+        ids_c = q_ids[:, j0 : j0 + T_PAD_GRANULE]
+        w_c = q_w[:, j0 : j0 + T_PAD_GRANULE]
+        hit = t[None, None] == ids_c[:, :, None, None]  # (B, 8, l, d)
+        mass = jnp.sum(f[None, None] * hit.astype(jnp.float32), axis=2)
+        scores = scores + jnp.einsum(
+            "bj,bjd->bd", w_c, mass,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+    return scores
+
+
 def _flat_class_scores_xla(term_t, tf_t, q_ids, q_w):
     """XLA fallback: lax.scan over blocks, chunked-einsum scoring on the
     transposed layout (same chunk discipline as _group_block_scores)."""
-    n_c, l_c, d_pad = term_t.shape
-    b = q_ids.shape[0]
+    n_c = term_t.shape[0]
 
     def step(carry, p):
         t = jnp.take(term_t, p, axis=0)  # (l, d_pad)
         f = jnp.take(tf_t, p, axis=0)
-        scores = jnp.zeros((b, d_pad), jnp.float32)
-        for j0 in range(0, q_ids.shape[1], T_PAD_GRANULE):
-            ids_c = q_ids[:, j0 : j0 + T_PAD_GRANULE]
-            w_c = q_w[:, j0 : j0 + T_PAD_GRANULE]
-            hit = t[None, None] == ids_c[:, :, None, None]  # (B, 8, l, d)
-            mass = jnp.sum(f[None, None] * hit.astype(jnp.float32), axis=2)
-            scores = scores + jnp.einsum(
-                "bj,bjd->bd", w_c, mass,
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-        return carry, scores
+        return carry, _chunked_einsum_scores(t, f, q_ids, q_w)
 
     _, sc = jax.lax.scan(
         step, jnp.int32(0), jnp.arange(n_c, dtype=jnp.int32)
@@ -501,13 +509,95 @@ def _flat_class_scores_xla(term_t, tf_t, q_ids, q_w):
     return sc  # (n_c, B, d_pad)
 
 
+def _flat_step_stats(scores, dm):
+    """Per-128-group (max, row-of-first-max) for ONE block's masked
+    (B, d_pad) scores with its (d_pad,) global-row map. Shared by the
+    fused XLA step and the Pallas post-pass. row-of-max rides an
+    in-group 128-lane compare-reduce, never an element gather (a (B, TG)
+    gather from the row table measured ~8 ms at 1M — XLA scalarizes it;
+    the select-sum fuses to ~0.1 ms)."""
+    b, d_pad = scores.shape
+    gc = d_pad // 128
+    sg = scores.reshape(b, gc, 128)
+    gmax = jnp.max(sg, axis=2)
+    am = jnp.argmax(sg, axis=2).astype(jnp.int32)  # first max = lowest row
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+    grow = jnp.sum(
+        jnp.where(
+            am[..., None] == lane, dm.reshape(gc, 128)[None], jnp.int32(0)
+        ),
+        axis=-1,
+    )
+    return gmax, grow
+
+
+def _flat_hot_mask_stats(scores, p, s_phys, off, dmap_blocks, d_pad):
+    """The shared per-block tail of both flat backends: add the hot
+    partial's contiguous slice (same element pairing as the former
+    post-scan formulation — bit-identical), mask padding slots to -inf,
+    and reduce to per-group (max, row-of-first-max) while the block's
+    scores are still on-chip instead of re-reading the full (B, NP)
+    matrix from HBM in three post-passes (the r5 decomp's 4.8 ms stats
+    cost; PERF_LEDGER r5)."""
+    if s_phys is not None:
+        scores = scores + jax.lax.dynamic_slice_in_dim(
+            s_phys, off + p * d_pad, d_pad, axis=1
+        )
+    dm = jnp.take(dmap_blocks, p, axis=0)  # (d_pad,) global rows, -1 pad
+    scores = jnp.where(dm[None, :] >= 0, scores, -jnp.inf)
+    gmax, grow = _flat_step_stats(scores, dm)
+    return scores, gmax, grow
+
+
+def _flat_class_fused_xla(term_t, tf_t, q_ids, q_w, s_phys, off, dmap_blocks):
+    """One class of the flat scan, fully fused: chunked-einsum compare +
+    hot add + padding mask + group stats inside ONE scan step. Returns
+    (masked (n_c, B, d_pad), gmax (n_c, B, gc), grow (n_c, B, gc))."""
+    n_c, l_c, d_pad = term_t.shape
+
+    def step(carry, p):
+        t = jnp.take(term_t, p, axis=0)
+        f = jnp.take(tf_t, p, axis=0)
+        scores = _chunked_einsum_scores(t, f, q_ids, q_w)
+        return carry, _flat_hot_mask_stats(
+            scores, p, s_phys, off, dmap_blocks, d_pad
+        )
+
+    _, (sc, gmax, grow) = jax.lax.scan(
+        step, jnp.int32(0), jnp.arange(n_c, dtype=jnp.int32)
+    )
+    return sc, gmax, grow
+
+
+def _flat_class_poststats(sc0, s_phys, off, dmap_blocks):
+    """Pallas-backend post-pass: the kernel emits raw (n_c, B, d_pad)
+    tail scores; fold hot add + mask + group stats in one scan over
+    blocks (one read of sc0, one write of the masked scores)."""
+    n_c, b, d_pad = sc0.shape
+
+    def step(carry, p):
+        scores = jnp.take(sc0, p, axis=0)
+        return carry, _flat_hot_mask_stats(
+            scores, p, s_phys, off, dmap_blocks, d_pad
+        )
+
+    _, (sc, gmax, grow) = jax.lax.scan(
+        step, jnp.int32(0), jnp.arange(n_c, dtype=jnp.int32)
+    )
+    return sc, gmax, grow
+
+
 def _graded_scan_flat(classes, q_ids, q_w, s_phys, dmap_groups, *, k: int):
     """FLAT exhaustive scan over the graded classes for the SPLIT
-    layout: materialize dense per-doc scores in the GROUP-ALIGNED
-    physical slot space (tail mass + the hot partial added in the same
-    space), reduce to per-128-slot-group (max, row-of-first-max),
-    select the top-k groups per query with ONE two-key sort, gather the
-    winners' 128-slot chunks via leading-axis row takes, and finish
+    layout: score dense per-doc slots in the GROUP-ALIGNED physical
+    slot space (tail mass + the hot partial added in the same space),
+    reduce to per-128-slot-group (max, row-of-first-max) INSIDE the
+    scoring scan step (fused — the stats never re-read the (B, NP)
+    score matrix from HBM; the pre-fusion formulation is kept as
+    _graded_scan_flat_reference and pinned bitwise-equal by
+    tests/test_flat_fused_equiv.py), select the top-k groups per query
+    with ONE two-key sort, gather the winners' 128-slot chunks from the
+    scan-native class layouts via leading-axis row takes, and finish
     with one exact (score desc, row asc) sort. Returns ((B, k) scores,
     (B, k) GLOBAL rows, skipped=0).
 
@@ -517,9 +607,10 @@ def _graded_scan_flat(classes, q_ids, q_w, s_phys, dmap_groups, *, k: int):
     per-block ``lax.top_k`` degenerates at the tail layout's wide
     shallow blocks (0.46-0.90 ms/block at d_c 10922-32768 vs ~0 at
     2048; tools/bench_block_step_probe). The flat body pays the compare
-    floor once plus O(total/128) selection work; the compare itself is
-    the Pallas kernel on TPU (the XLA chunked einsum measured ~10% VPU
-    efficiency — 24.6 ms of the 35.8 ms batch; tools/bench_flat_decomp).
+    floor once plus O(total/128) selection work; the compare is the XLA
+    chunked einsum by default (the Pallas kernel measured 25.2 ms vs
+    XLA's 16.7 at B=64 and ships flag-gated; tools/bench_flat_decomp,
+    PERF_LEDGER r5).
 
     TIE-EXACT GROUP COVERAGE (any group order): select k groups per
     query by the key (group max desc, row of the group's FIRST max
@@ -543,6 +634,99 @@ def _graded_scan_flat(classes, q_ids, q_w, s_phys, dmap_groups, *, k: int):
     mode = _flat_pallas_mode()
     use_pallas = bool(mode) and b % 8 == 0  # callers pad B to 8-multiples
     interpret = mode == "interpret"
+    scores_cls: list = []
+    meta: list = []
+    gmax_parts: list = []
+    grow_parts: list = []
+    off = 0
+    goff = 0
+    for cls in classes:
+        n_c, d_pad = cls.term_t.shape[0], cls.term_t.shape[2]
+        gc = d_pad // 128
+        dmap_blocks = jax.lax.slice_in_dim(
+            dmap_groups, goff, goff + n_c * gc, axis=0
+        ).reshape(n_c, d_pad)
+        if use_pallas:
+            sc0 = _flat_class_scores_pallas(
+                cls.term_t, cls.tf_t, q_ids, q_w, interpret=interpret
+            )
+            sc, gmax, grow = _flat_class_poststats(
+                sc0, s_phys, off, dmap_blocks
+            )
+        else:
+            sc, gmax, grow = _flat_class_fused_xla(
+                cls.term_t, cls.tf_t, q_ids, q_w, s_phys, off, dmap_blocks
+            )
+        scores_cls.append(sc)
+        meta.append((goff, gc, n_c))
+        gmax_parts.append(jnp.transpose(gmax, (1, 0, 2)).reshape(b, n_c * gc))
+        grow_parts.append(jnp.transpose(grow, (1, 0, 2)).reshape(b, n_c * gc))
+        off += n_c * d_pad
+        goff += n_c * gc
+
+    gmax_all = jnp.concatenate(gmax_parts, axis=1)  # (B, TG) — tiny
+    grow_all = jnp.concatenate(grow_parts, axis=1)
+    tg = dmap_groups.shape[0]
+    kg = min(k, tg)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b, tg), 1)
+    _, _, gid = jax.lax.sort((-gmax_all, grow_all, iota), num_keys=2)
+    gid = gid[:, :kg]  # (B, kg) winning group ids
+
+    # candidate rows from the global group->row table (leading-axis row
+    # takes — the proven fast gather pattern; per-row take_along_axis
+    # measured 249 ms at these volumes)
+    cand_r = jnp.take(
+        dmap_groups, gid.reshape(-1), axis=0
+    ).reshape(b, kg * 128)
+    # candidate scores straight from each class's scan-native
+    # (n_c, B, gc, 128) layout — no (B, NP) transpose/concat ever
+    # materializes; global group ids partition class-major, so every
+    # winner resolves in exactly one class and the zeros init never
+    # survives the where-combine.
+    brow = jax.lax.broadcasted_iota(jnp.int32, (b, kg), 0)
+    cand_s = jnp.zeros((b, kg, 128), jnp.float32)
+    for sc, (goff_c, gc, n_c) in zip(scores_cls, meta):
+        local = gid - goff_c
+        in_cls = (local >= 0) & (local < n_c * gc)
+        loc = jnp.where(in_cls, local, 0)
+        p = loc // gc
+        g = loc - p * gc
+        idx = (p * b + brow) * gc + g  # row into (n_c*B*gc, 128)
+        got = jnp.take(
+            sc.reshape(n_c * b * gc, 128), idx.reshape(-1), axis=0
+        ).reshape(b, kg, 128)
+        cand_s = jnp.where(in_cls[..., None], got, cand_s)
+    cand_s = cand_s.reshape(b, kg * 128)
+
+    neg_s, out_r = jax.lax.sort((-cand_s, cand_r), num_keys=2)
+    kk = min(k, kg * 128)
+    top_s, top_i = -neg_s[:, :kk], out_r[:, :kk]
+    top_i = jnp.where(jnp.isfinite(top_s), top_i, jnp.int32(-1))
+    top_s = jnp.where(jnp.isfinite(top_s), top_s, -jnp.inf)
+    if kk < k:
+        top_s = jnp.concatenate(
+            [top_s, jnp.full((b, k - kk), -jnp.inf, jnp.float32)], axis=1
+        )
+        top_i = jnp.concatenate(
+            [top_i, jnp.full((b, k - kk), -1, jnp.int32)], axis=1
+        )
+    return top_s, top_i, jnp.int32(0)
+
+
+def _graded_scan_flat_reference(
+    classes, q_ids, q_w, s_phys, dmap_groups, *, k: int
+):
+    """The PRE-FUSION flat-scan formulation (r5 first shipping): raw
+    class scores → (B, NP) transpose/concat → hot add → mask → global
+    group stats as separate full-matrix passes. Kept verbatim as the
+    bitwise oracle for the fused _graded_scan_flat
+    (tests/test_flat_fused_equiv.py) — every fused step pairs the same
+    f32 elements in the same order, so outputs must be IDENTICAL, and
+    any future drift in the fused path fails loudly."""
+    b = q_ids.shape[0]
+    mode = _flat_pallas_mode()
+    use_pallas = bool(mode) and b % 8 == 0
+    interpret = mode == "interpret"
     parts = []
     off = 0
     for cls in classes:
@@ -563,16 +747,11 @@ def _graded_scan_flat(classes, q_ids, q_w, s_phys, dmap_groups, *, k: int):
 
     scores_full = jnp.concatenate(parts, axis=1)  # (B, TG*128)
     dmap_flat = dmap_groups.reshape(-1)
-    scores_full = jnp.where(
-        dmap_flat[None, :] >= 0, scores_full, -jnp.inf
-    )
+    scores_full = jnp.where(dmap_flat[None, :] >= 0, scores_full, -jnp.inf)
     tg = dmap_groups.shape[0]
     sg = scores_full.reshape(b, tg, 128)
     gmax = jnp.max(sg, axis=2)
-    am = jnp.argmax(sg, axis=2).astype(jnp.int32)  # first max = lowest row
-    # row-of-max via an in-group compare-reduce, NOT a flat gather: a
-    # (B, TG) element gather from the row table measured ~8 ms at 1M
-    # (XLA scalarizes it); the 128-lane select-sum fuses to ~0.1 ms
+    am = jnp.argmax(sg, axis=2).astype(jnp.int32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
     grow = jnp.sum(
         jnp.where(am[..., None] == lane, dmap_groups[None], jnp.int32(0)),
@@ -581,17 +760,17 @@ def _graded_scan_flat(classes, q_ids, q_w, s_phys, dmap_groups, *, k: int):
     kg = min(k, tg)
     iota = jax.lax.broadcasted_iota(jnp.int32, (b, tg), 1)
     _, _, gid = jax.lax.sort((-gmax, grow, iota), num_keys=2)
-    gid = gid[:, :kg]  # (B, kg) winning group ids
+    gid = gid[:, :kg]
 
-    # leading-axis row takes (the proven fast gather pattern — per-row
-    # take_along_axis measured 249 ms at these volumes)
     flat = (
         jax.lax.broadcasted_iota(jnp.int32, (b, kg), 0) * tg + gid
     ).reshape(-1)
     cand_s = jnp.take(
         scores_full.reshape(b * tg, 128), flat, axis=0
     ).reshape(b, kg * 128)
-    cand_r = jnp.take(dmap_groups, gid.reshape(-1), axis=0).reshape(b, kg * 128)
+    cand_r = jnp.take(
+        dmap_groups, gid.reshape(-1), axis=0
+    ).reshape(b, kg * 128)
 
     neg_s, out_r = jax.lax.sort((-cand_s, cand_r), num_keys=2)
     kk = min(k, kg * 128)

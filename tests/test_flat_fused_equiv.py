@@ -1,0 +1,112 @@
+"""Fused flat scan ≡ pre-fusion reference, bitwise (r5 perf restructure).
+
+The fused _graded_scan_flat moves the hot add, padding mask, and
+per-128-group (max, row-of-first-max) stats INSIDE the scoring scan
+step and gathers candidate chunks from the scan-native class layout.
+Every step pairs the same f32 elements in the same order as the
+pre-fusion formulation (kept verbatim as _graded_scan_flat_reference),
+so the outputs must be bit-identical — this test pins that, which also
+transitively pins every score-bit contract the flat lane carries
+(solo-vs-batch purity, mixed-batch row-select parity, tie ordering).
+
+Parity target: crates/frankensearch-quill/src/argus.rs:1-8 (the hot-arm
+lane's reference role); the restructure itself is the r5 answer to the
+stats/transpose HBM re-read cost (PERF_LEDGER r5 decomposition).
+"""
+
+import numpy as np
+import pytest
+
+from frankensearch_tpu.lexical import hot_arm
+from frankensearch_tpu.lexical import device_bm25 as dbm
+from frankensearch_tpu.lexical.device_bm25 import (
+    _graded_scan_flat,
+    _graded_scan_flat_reference,
+)
+
+from tests.test_hot_arm import _build_split
+
+
+@pytest.fixture(scope="module")
+def split_world():
+    mem, dev = _build_split()
+    assert dev._blocked is not None and dev._hot is not None
+    return mem, dev
+
+
+def _query_rows(dev, b, t_q=8, seed=3):
+    """Random sparse rows over the live vocab, hot + tail mixed."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    hot = dev._hot
+    vocab = len(hot.hot_row_of)
+    ids = rng.integers(0, vocab, size=(b, t_q)).astype(np.int32)
+    # force hot coverage on some rows, none on others
+    hot_ids = np.flatnonzero(hot.hot_row_of >= 0)
+    ids[::2, 0] = rng.choice(hot_ids, size=len(ids[::2, 0]))
+    ids[1::2, 0] = 0
+    w = rng.uniform(0.1, 4.0, size=(b, t_q)).astype(np.float32)
+    w[1::3, -1] = 0.0  # some inactive terms
+    q_hot = hot_arm.split_hot_rows(hot.hot_row_of, ids, w, hot.h_pad)
+    t_ids, t_w = hot_arm.compact_tail_rows(hot.hot_row_of, ids, w)
+    from frankensearch_tpu.lexical.hot_arm import hot_partial
+
+    s_phys = hot_partial(hot.cols_phys, jnp.asarray(q_hot))
+    return jnp.asarray(t_ids), jnp.asarray(t_w), s_phys
+
+
+@pytest.mark.parametrize("b", [8, 16])
+@pytest.mark.parametrize("k", [1, 7, 100])
+def test_fused_bitwise_equals_reference(split_world, b, k):
+    _, dev = split_world
+    classes = dev._blocked.classes
+    dg = dev._hot.dmap_groups
+    qi, qw, s_phys = _query_rows(dev, b)
+    s_new, i_new, _ = _graded_scan_flat(classes, qi, qw, s_phys, dg, k=k)
+    s_ref, i_ref, _ = _graded_scan_flat_reference(
+        classes, qi, qw, s_phys, dg, k=k
+    )
+    np.testing.assert_array_equal(np.asarray(i_new), np.asarray(i_ref))
+    assert np.array_equal(
+        np.asarray(s_new).view(np.uint32), np.asarray(s_ref).view(np.uint32)
+    ), "fused flat scan drifted from the pre-fusion reference bits"
+
+
+def test_fused_equals_reference_without_hot_partial(split_world):
+    """s_phys=None branch (no hot arm folded in) stays bit-identical."""
+    _, dev = split_world
+    classes = dev._blocked.classes
+    dg = dev._hot.dmap_groups
+    qi, qw, _ = _query_rows(dev, 8, seed=9)
+    s_new, i_new, _ = _graded_scan_flat(classes, qi, qw, None, dg, k=25)
+    s_ref, i_ref, _ = _graded_scan_flat_reference(
+        classes, qi, qw, None, dg, k=25
+    )
+    np.testing.assert_array_equal(np.asarray(i_new), np.asarray(i_ref))
+    assert np.array_equal(
+        np.asarray(s_new).view(np.uint32), np.asarray(s_ref).view(np.uint32)
+    )
+
+
+def test_fused_equals_reference_pallas_interpret(split_world):
+    """The Pallas backend's post-pass path (interpret mode on CPU)."""
+    _, dev = split_world
+    classes = dev._blocked.classes
+    dg = dev._hot.dmap_groups
+    qi, qw, s_phys = _query_rows(dev, 8, seed=17)
+    old = dbm.FLAT_PALLAS
+    dbm.FLAT_PALLAS = "interpret"
+    try:
+        s_new, i_new, _ = _graded_scan_flat(
+            classes, qi, qw, s_phys, dg, k=40
+        )
+        s_ref, i_ref, _ = _graded_scan_flat_reference(
+            classes, qi, qw, s_phys, dg, k=40
+        )
+    finally:
+        dbm.FLAT_PALLAS = old
+    np.testing.assert_array_equal(np.asarray(i_new), np.asarray(i_ref))
+    assert np.array_equal(
+        np.asarray(s_new).view(np.uint32), np.asarray(s_ref).view(np.uint32)
+    )
