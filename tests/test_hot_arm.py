@@ -498,3 +498,31 @@ class TestFlatPallasKernel:
             assert [c.doc_id for c in a] == [c.doc_id for c in b[: len(a)]], q
             for ca, cb in zip(a, b):
                 assert ca.score == pytest.approx(cb.score, rel=1e-5), q
+
+
+class TestFlatLayoutAccounting:
+    def test_class_widths_sized_by_occupancy(self, split_pair):
+        """Flat class arrays are sized from ACTUAL max block occupancy,
+        not the p_blk//L cap (the cap stretched every block to the
+        theoretical width: 20.8M vs 18.7M tail slots at 1M docs —
+        PERF_LEDGER r5). Width stays 128-aligned for the group lemma."""
+        _, dev = split_pair
+        for cls in dev._blocked.classes:
+            n_c, l_c, d_pad = cls.term_t.shape
+            assert d_pad % 128 == 0
+            dm = np.asarray(cls.doc_map)
+            assert dm.shape == (n_c, d_pad)
+            occ = int((dm >= 0).sum(axis=1).max())
+            assert d_pad - 128 < occ <= d_pad
+
+    def test_no_posting_lost_to_grading(self, split_pair):
+        """Every tail posting owns exactly one (block, l, slot) cell:
+        per-doc cell counts under the granule-4 grading match the tail
+        postings exactly (tf padding is hard 0 and term padding -1)."""
+        _, dev = split_pair
+        total = 0
+        for cls in dev._blocked.classes:
+            tf_t = np.asarray(cls.tf_t)
+            total += int((np.asarray(cls.term_t) >= 0).sum())
+            assert ((np.asarray(cls.term_t) < 0) <= (tf_t == 0.0)).all()
+        assert total == dev.cold_posting_count
