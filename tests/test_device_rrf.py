@@ -167,3 +167,63 @@ class TestDeviceRrfParity:
         got = run_device(lex_rows, lex_scores, vec_rows, row_map, 10, k_arr, lex_w, sem_w)
         want = run_oracle(lex_rows, lex_scores, vec_rows, row_map, 10, k_arr, lex_w, sem_w, n_docs)
         assert got == want
+
+
+class TestDeviceRrfAdversarial:
+    """VERDICT r4 #10: extreme contribution tables — k_arr at the edges
+    of the double-float split's usefulness and zero-weight arms."""
+
+    @pytest.mark.parametrize("k_val", [1e-3, 0.5, 1.0, 1e6, 1e9])
+    def test_extreme_k_constants(self, k_val):
+        rng = np.random.default_rng(int(abs(np.log10(k_val)) * 7 + 3))
+        b, kl, kv, n_docs = 4, 8, 6, 60
+        lex_rows, lex_scores, vec_rows, row_map, _, lex_w, sem_w = fuzz_case(
+            rng, b, kl, kv, n_docs
+        )
+        k_arr = np.full(b, k_val, dtype=np.float64)
+        got = run_device(
+            lex_rows, lex_scores, vec_rows, row_map, 10, k_arr, lex_w, sem_w
+        )
+        want = run_oracle(
+            lex_rows, lex_scores, vec_rows, row_map, 10, k_arr, lex_w,
+            sem_w, n_docs,
+        )
+        assert got == want
+
+    def test_mixed_extreme_k_per_query(self):
+        """Per-query k spanning 9 orders of magnitude in ONE batch: the
+        (hi, lo) split must keep every query's own contributions exact."""
+        rng = np.random.default_rng(11)
+        b, kl, kv, n_docs = 6, 10, 8, 100
+        lex_rows, lex_scores, vec_rows, row_map, _, lex_w, sem_w = fuzz_case(
+            rng, b, kl, kv, n_docs
+        )
+        k_arr = np.array([1e-3, 0.7, 13.0, 60.0, 1e5, 1e8])
+        got = run_device(
+            lex_rows, lex_scores, vec_rows, row_map, 12, k_arr, lex_w, sem_w
+        )
+        want = run_oracle(
+            lex_rows, lex_scores, vec_rows, row_map, 12, k_arr, lex_w,
+            sem_w, n_docs,
+        )
+        assert got == want
+
+    @pytest.mark.parametrize("zero_arm", ["lex", "sem", "both"])
+    def test_zero_weight_arms(self, zero_arm):
+        rng = np.random.default_rng(29)
+        b, kl, kv, n_docs = 4, 8, 6, 60
+        lex_rows, lex_scores, vec_rows, row_map, k_arr, _, _ = fuzz_case(
+            rng, b, kl, kv, n_docs
+        )
+        lex_w = 0.0 if zero_arm in ("lex", "both") else 1.0
+        sem_w = np.full(
+            b, 0.0 if zero_arm in ("sem", "both") else 1.0, dtype=np.float64
+        )
+        got = run_device(
+            lex_rows, lex_scores, vec_rows, row_map, 10, k_arr, lex_w, sem_w
+        )
+        want = run_oracle(
+            lex_rows, lex_scores, vec_rows, row_map, 10, k_arr, lex_w,
+            sem_w, n_docs,
+        )
+        assert got == want
