@@ -787,6 +787,31 @@ def _graded_scan_flat_reference(
     return top_s, top_i, jnp.int32(0)
 
 
+#: batch-tile width for the flat hot-arm body: the dense score space is
+#: (B, NP_pad) f32 — at 10M docs and B=256 that is ~10.3 GB, past HBM
+#: next to the int8 slab. Tiling the batch through lax.map bounds the
+#: peak at FLAT_B_TILE × NP_pad × 4 (~2.6 GB at 10M) and is exactly
+#: bit-preserving: every per-query value (einsum row, group stats,
+#: sorts) depends only on its own row, pinned by
+#: test_flat_fused_equiv.test_batch_tiling_bit_invariant.
+FLAT_B_TILE = 64
+
+
+def _blocked_hot_body_tile(
+    classes, q_ids, q_w, cols_phys, q_hot, cold_cols, cold_rows,
+    dmap_groups, *, k: int,
+):
+    from frankensearch_tpu.lexical.hot_arm import cold_doc_topk, hot_partial
+
+    s_phys = hot_partial(cols_phys, q_hot)  # (tile, NP_pad), slot order
+    top_s, top_i, skipped = _graded_scan_flat(
+        classes, q_ids, q_w, s_phys, dmap_groups, k=k,
+    )
+    ds, di = cold_doc_topk(cold_cols, cold_rows, q_hot, k=k)
+    top_s, top_i = _merge_topk_exact(top_s, top_i, ds, di, k)
+    return top_s, top_i, skipped
+
+
 def _blocked_hot_body(
     classes, q_ids, q_w, cols_phys, q_hot, cold_cols, cold_rows, dmap_groups,
     *, k: int,
@@ -795,19 +820,46 @@ def _blocked_hot_body(
     and the fused phase-1 programs): dense head matmul in the blocked
     layout's PHYSICAL slot order + the flat tail scan with the hot
     partial added in the same slot space + the zero-tail-posting docs'
-    tiny dense merge. See lexical/hot_arm.py for the layout story (and
-    the 249 ms measured-negative gather architecture this replaced);
-    block-max bounds are not consumed — the head partials would defeat
-    pruning."""
-    from frankensearch_tpu.lexical.hot_arm import cold_doc_topk, hot_partial
+    tiny dense merge, batch-tiled at FLAT_B_TILE rows (the dense score
+    space is the capacity hazard, not the postings). See
+    lexical/hot_arm.py for the layout story (and the 249 ms
+    measured-negative gather architecture this replaced); block-max
+    bounds are not consumed — the head partials would defeat pruning."""
+    b = q_ids.shape[0]
+    tile = FLAT_B_TILE
+    if b <= tile:
+        return _blocked_hot_body_tile(
+            classes, q_ids, q_w, cols_phys, q_hot,
+            cold_cols, cold_rows, dmap_groups, k=k,
+        )
+    pad = (-b) % tile
+    if pad:
+        q_ids = jnp.concatenate([q_ids, jnp.repeat(q_ids[:1], pad, axis=0)])
+        q_w = jnp.concatenate([q_w, jnp.repeat(q_w[:1], pad, axis=0)])
+        q_hot = jnp.concatenate([q_hot, jnp.repeat(q_hot[:1], pad, axis=0)])
+    nt = (b + pad) // tile
+    t_q = q_ids.shape[1]
 
-    s_phys = hot_partial(cols_phys, q_hot)  # (B, NP_pad), slot order
-    top_s, top_i, skipped = _graded_scan_flat(
-        classes, q_ids, q_w, s_phys, dmap_groups, k=k,
+    def one(args):
+        qi, qw, qh = args
+        return _blocked_hot_body_tile(
+            classes, qi, qw, cols_phys, qh,
+            cold_cols, cold_rows, dmap_groups, k=k,
+        )
+
+    s, i, _sk = jax.lax.map(
+        one,
+        (
+            q_ids.reshape(nt, tile, t_q),
+            q_w.reshape(nt, tile, t_q),
+            q_hot.reshape(nt, tile, q_hot.shape[1]),
+        ),
     )
-    ds, di = cold_doc_topk(cold_cols, cold_rows, q_hot, k=k)
-    top_s, top_i = _merge_topk_exact(top_s, top_i, ds, di, k)
-    return top_s, top_i, skipped
+    return (
+        s.reshape(nt * tile, -1)[:b],
+        i.reshape(nt * tile, -1)[:b],
+        jnp.int32(0),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

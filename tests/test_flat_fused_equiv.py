@@ -110,3 +110,51 @@ def test_fused_equals_reference_pallas_interpret(split_world):
     assert np.array_equal(
         np.asarray(s_new).view(np.uint32), np.asarray(s_ref).view(np.uint32)
     )
+
+
+def test_batch_tiling_bit_invariant(split_world, monkeypatch):
+    """The FLAT_B_TILE batch tiling (the 10M-capacity memory guard) is
+    exactly bit-preserving: a B=32 batch run through 8-row tiles equals
+    the untiled body row for row."""
+    import jax.numpy as jnp
+
+    _, dev = split_world
+    classes = dev._blocked.classes
+    hot = dev._hot
+    qi, qw, _ = _query_rows(dev, 32, seed=23)
+    rng = np.random.default_rng(23)
+    q_hot = jnp.asarray(
+        rng.uniform(0.0, 2.0, size=(32, hot.h_pad)).astype(np.float32)
+    )
+    args = (classes, qi, qw, hot.cols_phys, q_hot,
+            hot.cold_cols, hot.cold_rows, hot.dmap_groups)
+    s_ut, i_ut, _ = dbm._blocked_hot_body_tile(*args, k=50)
+    monkeypatch.setattr(dbm, "FLAT_B_TILE", 8)
+    s_t, i_t, _ = dbm._blocked_hot_body(*args, k=50)
+    np.testing.assert_array_equal(np.asarray(i_t), np.asarray(i_ut))
+    assert np.array_equal(
+        np.asarray(s_t).view(np.uint32), np.asarray(s_ut).view(np.uint32)
+    )
+
+
+def test_batch_tiling_pads_non_multiple(split_world, monkeypatch):
+    """A batch that is not a tile multiple pads with row 0 and trims."""
+    _, dev = split_world
+    hot = dev._hot
+    qi, qw, s_phys = _query_rows(dev, 24, seed=31)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(31)
+    q_hot = jnp.asarray(
+        rng.uniform(0.0, 2.0, size=(24, hot.h_pad)).astype(np.float32)
+    )
+    args = (dev._blocked.classes, qi, qw, hot.cols_phys, q_hot,
+            hot.cold_cols, hot.cold_rows, hot.dmap_groups)
+    s_ut, i_ut, _ = dbm._blocked_hot_body_tile(*args, k=20)
+    monkeypatch.setattr(dbm, "FLAT_B_TILE", 16)
+    s_t, i_t, _ = dbm._blocked_hot_body(*args, k=20)
+    assert s_t.shape == (24, 20)
+    np.testing.assert_array_equal(np.asarray(i_t), np.asarray(i_ut))
+    assert np.array_equal(
+        np.asarray(s_t).view(np.uint32), np.asarray(s_ut).view(np.uint32)
+    )
